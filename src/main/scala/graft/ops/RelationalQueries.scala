@@ -1,0 +1,404 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operator inventory (SURVEY.md §2.3–§2.7, §2.10):
+  * projections, filters, inner/outer/semi/anti/cross joins, hash
+  * aggregation, distinct, sort / top-k, set ops, rollup/cube, window
+  * functions. Each query is expressed declaratively on the DataFrame API
+  * so Catalyst applies pushdown / pruning / join selection; small
+  * dimension sides are explicitly `broadcast(...)`-hinted where the
+  * 100 TB plan needs it (fact tables shuffle, dims broadcast).
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-style pricing summary: wide hash aggregate with partial
+    * (map-side) combine; the groupBy keys are low-cardinality so the
+    * shuffle moves only #groups × #partitions rows. */
+  private def aggPricing(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q6-style selective scan → scalar agg. The filter must reach
+    * the parquet reader as PushedFilters (asserted in specs). */
+  private def filterRevenue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount".between(0.04, 0.07) && $"l_quantity" < 24)
+      .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"))
+  }
+
+  /** Flagship 3-way join: fact ⋈ fact shuffles on the join key; the
+    * customer dimension is broadcast (no shuffle for the small side). */
+  private def joinMktsegment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+  }
+
+  /** Star-schema dim chain: both dims broadcast → zero shuffles before
+    * the final small aggregation. */
+  private def joinBroadcastDims(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("cnt"), round(avg($"c_acctbal"), 4).as("avg_bal"))
+  }
+
+  /** Left outer join preserving customers with zero orders; count(key)
+    * skips nulls so empty groups report 0. */
+  private def joinLeft(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("order_cnt"))
+  }
+
+  /** Left-semi = EXISTS: orders having at least one high-quantity line. */
+  private def joinSemi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .join(
+        Tables.lineitem(s, d).filter($"l_quantity" > 45),
+        $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Left-anti = NOT EXISTS: customers that never placed an urgent
+    * order (the filter lives on the anti side so the result is
+    * non-empty at every SF). */
+  private def joinAnti(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+  }
+
+  /** Full outer join over two aggregated sides (nations seen from the
+    * customer vs supplier tables), null-filled with coalesce. */
+  private def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d).groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust"))
+    val p = Tables.supplier(s, d).groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(p, $"c_nationkey" === $"s_nationkey", "full_outer")
+      .select(
+        coalesce($"c_nationkey", $"s_nationkey").cast("long").as("nationkey"),
+        coalesce($"n_cust", lit(0L)).as("n_cust"),
+        coalesce($"n_supp", lit(0L)).as("n_supp"))
+  }
+
+  /** Cross join of two tiny dims (cartesian stays driver-small). */
+  private def joinCross(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val r1 = Tables.region(s, d).select($"r_name".as("r1"))
+    val r2 = Tables.region(s, d).select($"r_name".as("r2"))
+    r1.crossJoin(r2).filter($"r1" < $"r2")
+  }
+
+  /** Non-equi (theta) join: same-nation supplier/customer pairs with a
+    * balance inequality; nation key equality keeps it a hash join with a
+    * post-filter rather than a cartesian. */
+  private def joinNonEqui(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.supplier(s, d)
+      .join(Tables.customer(s, d),
+        $"s_nationkey" === $"c_nationkey" && $"s_acctbal" > $"c_acctbal")
+      .groupBy($"s_suppkey")
+      .agg(count(lit(1)).as("richer_than"))
+  }
+
+  /** Global top-k: Catalyst plans orderBy+limit as TakeOrderedAndProject
+    * — no total sort, each partition keeps k rows. Orderkey tiebreak
+    * makes the result set deterministic for the oracle. */
+  private def topk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+      .select($"o_orderkey", round($"o_totalprice", 2).as("total"))
+  }
+
+  /** Distinct projection (A4): shuffles only the single kept column. */
+  private def distinctSegments(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_mktsegment").distinct()
+
+  /** Multi-key global sort (range partitioned at scale). */
+  private def sortMulti(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.nation(s, d)
+      .orderBy($"n_regionkey".desc, $"n_name".asc)
+      .select($"n_name", $"n_regionkey".cast("long").as("regionkey"))
+  }
+
+  /** Set ops: UNION (distinct), INTERSECT, EXCEPT over key projections. */
+  private def setUnion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d).select($"c_nationkey".cast("long").as("nationkey"))
+    val p = Tables.supplier(s, d).select($"s_nationkey".cast("long").as("nationkey"))
+    c.union(p).distinct()
+  }
+
+  private def setIntersect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d).select($"c_nationkey".cast("long").as("nationkey"))
+    val p = Tables.supplier(s, d).select($"s_nationkey".cast("long").as("nationkey"))
+    c.intersect(p)
+  }
+
+  private def setExcept(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d).select($"c_nationkey".cast("long").as("nationkey"))
+    val p = Tables.supplier(s, d).select($"s_nationkey".cast("long").as("nationkey"))
+    c.except(p)
+  }
+
+  /** ROLLUP hierarchy totals (region → nation → grand total). */
+  private def rollupRegionNation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CUBE over two independent dimensions. */
+  private def cubeStatusPriority(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"o_totalprice"), 2).as("total"))
+  }
+
+  /** Per-group top-k via window rank (dashboard "top businesses per
+    * city" pattern, SURVEY.md §2.11 Q9). */
+  private def windowTopPerGroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.customer(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"c_nationkey".cast("long").as("nationkey"), $"c_custkey",
+        round($"c_acctbal", 2).as("acctbal"), $"rn".cast("long").as("rn"))
+  }
+
+  /** Running (cumulative) sum per customer — frame-based window agg.
+    * The per-partition order is total (orderdate, orderkey) so the
+    * floating addition order is deterministic and oracle-safe. */
+  private def windowRunning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running", round(sum($"o_totalprice").over(w), 2))
+      .select($"o_custkey", $"o_orderkey", $"running")
+  }
+
+  /** lag(): gap in days between consecutive orders of a customer. */
+  private def windowLag(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(s, d)
+      .withColumn("prev_date", lag($"o_orderdate", 1).over(w))
+      .select($"o_custkey", $"o_orderkey",
+        datediff($"o_orderdate", $"prev_date").cast("long").as("gap_days"))
+  }
+
+  /** Scalar count action surface (A5) as a 1-row DataFrame. */
+  private def scalarCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct($"l_orderkey").as("n_orders"))
+  }
+
+  /** approx_count_distinct (HLL++): the scalable form of the dashboard
+    * countDistinct KPIs. HLL estimates differ across engines → no SQL
+    * oracle; the spec asserts relative error < 5% vs exact instead. */
+  private def approxDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d).agg(
+      approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
+      approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_agg_pricing", aggPricing, Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus"""), headline = true),
+
+    Q("q_filter_revenue", filterRevenue, Some("""
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.04 AND 0.07
+        AND l_quantity < 24"""), headline = true),
+
+    Q("q_join_mktsegment", joinMktsegment, Some("""
+      SELECT c_mktsegment, count(*) AS cnt,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment"""), headline = true),
+
+    Q("q_join_broadcast_dims", joinBroadcastDims, Some("""
+      SELECT r_name, n_name, count(*) AS cnt,
+             round(avg(c_acctbal), 4) AS avg_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name""")),
+
+    Q("q_join_left", joinLeft, Some("""
+      SELECT c_custkey, count(o_orderkey) AS order_cnt
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey""")),
+
+    Q("q_join_semi", joinSemi, Some("""
+      SELECT o_orderstatus, count(*) AS cnt
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderstatus""")),
+
+    Q("q_join_anti", joinAnti, Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')""")),
+
+    Q("q_join_full_outer", joinFullOuter, Some("""
+      WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+           s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
+      SELECT CAST(coalesce(c_nationkey, s_nationkey) AS BIGINT) AS nationkey,
+             coalesce(n_cust, 0) AS n_cust,
+             coalesce(n_supp, 0) AS n_supp
+      FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""")),
+
+    Q("q_join_cross", joinCross, Some("""
+      SELECT a.r_name AS r1, b.r_name AS r2
+      FROM region a CROSS JOIN region b
+      WHERE a.r_name < b.r_name""")),
+
+    Q("q_join_non_equi", joinNonEqui, Some("""
+      SELECT s_suppkey, count(*) AS richer_than
+      FROM supplier JOIN customer
+        ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+      GROUP BY s_suppkey""")),
+
+    Q("q_topk", topk, Some("""
+      SELECT o_orderkey, round(o_totalprice, 2) AS total
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 10""")),
+
+    Q("q_distinct", distinctSegments, Some(
+      "SELECT DISTINCT c_mktsegment FROM customer")),
+
+    Q("q_sort_multi", sortMulti, Some("""
+      SELECT n_name, CAST(n_regionkey AS BIGINT) AS regionkey
+      FROM nation ORDER BY n_regionkey DESC, n_name ASC""")),
+
+    Q("q_set_union", setUnion, Some("""
+      SELECT DISTINCT nationkey FROM (
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        UNION ALL
+        SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier) u""")),
+
+    Q("q_set_intersect", setIntersect, Some("""
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      INTERSECT
+      SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""")),
+
+    Q("q_set_except", setExcept, Some("""
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      EXCEPT
+      SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""")),
+
+    Q("q_rollup", rollupRegionNation, Some("""
+      SELECT r_name, n_name, count(*) AS cnt
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)""")),
+
+    Q("q_cube", cubeStatusPriority, Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    Q("q_window_top_per_group", windowTopPerGroup, Some("""
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_custkey,
+             round(c_acctbal, 2) AS acctbal, CAST(rn AS BIGINT) AS rn
+      FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+            FROM customer) t
+      WHERE rn <= 3"""), headline = true),
+
+    Q("q_window_running", windowRunning, Some("""
+      SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+      FROM orders""")),
+
+    Q("q_window_lag", windowLag, Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(date_diff('day',
+               lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC),
+               o_orderdate) AS BIGINT) AS gap_days
+      FROM orders""")),
+
+    Q("q_scalar_counts", scalarCounts, Some("""
+      SELECT count(*) AS n_rows,
+             count(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem""")),
+
+    Q("q_approx_distinct", approxDistinct, None)
+  )
+}

@@ -1,0 +1,311 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY.md §2.8) plus the derived-column
+  * patterns the reference builds its master table from: date extraction
+  * (`year`/`month`/`to_date`, glue_job.py:76-77, scripts/etl.py:105),
+  * CASE chains (sentiment scripts/etl.py:96-101; state normalization
+  * scripts/glue_job.py:85-115), substring-containment category mapping
+  * (glue_job.py:50-73), string functions, JSON extraction, array
+  * split/explode, pivot, and null handling (na.drop/coalesce,
+  * scripts/etl.py:58). Everything is built from codegen'd
+  * `org.apache.spark.sql.functions` — no UDFs in the hot path.
+  */
+object ScalarQueries {
+
+  /** year()/month() extraction + group (reference glue_job.py:76-77 and
+    * dashboard Q4 yearly-trend shape). */
+  private def dateExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy(
+        year($"o_orderdate").cast("long").as("o_year"),
+        month($"o_orderdate").cast("long").as("o_month"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"o_totalprice"), 2).as("total"))
+  }
+
+  /** to_date() (scripts/etl.py:105 `only_date`) + day-of-week name
+    * (dashboard Q5 "day-wise reviews"). */
+  private def toDateDow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select(to_date($"l_shipdate").as("ship_date"),
+        date_format($"l_shipdate", "EEEE").as("dow"))
+      .groupBy($"dow")
+      .agg(count(lit(1)).as("cnt"), min($"ship_date").as("first_date"))
+  }
+
+  /** Sentiment-style 3-way CASE chain on a numeric column — exactly the
+    * reference's stars→sentiment mapping (scripts/etl.py:96-101) with
+    * o_totalprice standing in for stars. */
+  private def caseChain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .withColumn("bucket",
+        when($"o_totalprice" <= 50000.0, "low")
+          .when($"o_totalprice" <= 150000.0, "mid")
+          .otherwise("high"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("cnt"),
+        round(avg($"o_totalprice"), 2).as("avg_price"))
+  }
+
+  /** State-normalization pattern (scripts/glue_job.py:85-115): map known
+    * codes to long names, pass unknowns through — implemented the
+    * scalable way, as a broadcast map literal + coalesce instead of a
+    * 27-branch when-chain (SURVEY.md §2.8 X4 "idiomatic" mapping). */
+  private def mapNormalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val regionFull = Map(
+      "AMERICA" -> "The Americas", "ASIA" -> "Asia-Pacific",
+      "EUROPE" -> "Europe")
+    val m = typedLit(regionFull)
+    Tables.region(s, d)
+      .select($"r_name",
+        coalesce(element_at(m, $"r_name"), $"r_name").as("r_full"))
+  }
+
+  /** Super-category first-match containment chain (glue_job.py:50-73):
+    * ordered keyword → category lookup over a delimited string, null →
+    * "Other", no-match → "Other". Built programmatically as a when-chain
+    * (native Contains expressions, whole-stage codegen) over p_type. */
+  val typeKeywords: Seq[(String, String)] = Seq(
+    "BURNISHED" -> "polished", "ECONOMY" -> "economy", "STANDARD" -> "standard",
+    "PROMO" -> "promotional", "SMALL" -> "compact", "MEDIUM" -> "midsize",
+    "LARGE" -> "oversize")
+
+  def superCategoryCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val chain = typeKeywords.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (acc, (kw, cat)) =>
+        Some(acc match {
+          case None    => when(c.contains(kw), cat)
+          case Some(w) => w.when(c.contains(kw), cat)
+        })
+    }.get
+    when(c.isNull, "other").otherwise(coalesce(chain, lit("other")))
+  }
+
+  private def superCategory(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d)
+      .withColumn("category", superCategoryCol($"p_type"))
+      .groupBy($"category")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** String function battery: upper/lower/length/substring/concat/trim/
+    * replace/lpad — all codegen'd built-ins (absent in reference; §2.8
+    * "not present" list made available natively). */
+  private def stringFuncs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d).select(
+      $"p_partkey",
+      upper($"p_brand").as("brand_u"),
+      lower($"p_type").as("type_l"),
+      length($"p_name").cast("long").as("name_len"),
+      substring($"p_name", 1, 5).as("name_pfx"),
+      concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+      regexp_replace($"p_name", " ", "_").as("name_us"),
+      lpad($"p_partkey".cast("string"), 8, "0").as("key_pad"))
+  }
+
+  /** split + explode (categories-as-array capability, SURVEY.md §2.8):
+    * p_type tokenized to words, exploded, counted. */
+  private def splitExplode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d)
+      .select(explode(split($"p_type", " ")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** JSON scalar extraction (events.props is a JSON string). */
+  private def jsonExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .filter($"k" > 50)
+  }
+
+  /** Pivot event_type → columns (BI-layer capability pulled into the
+    * engine; oracle expressed with FILTERed aggregates). */
+  private def pivotEvents(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id")
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum($"value"), 2))
+      .na.fill(0.0)
+  }
+
+  /** Null handling: left join produces nulls, then na.drop() (F2,
+    * scripts/etl.py:58) — equivalent to keeping matched rows only. */
+  private def nullDrop(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"o_orderkey", $"o_orderstatus")
+      .na.drop()
+  }
+
+  /** Null fill: coalesce missing aggregates to sentinel values (F3
+    * null-guard pattern natively). */
+  private def nullFill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).groupBy($"o_custkey")
+          .agg(round(sum($"o_totalprice"), 2).as("spent")),
+        $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", coalesce($"spent", lit(0.0)).as("spent"))
+  }
+
+  /** Math battery: abs/floor/ceil/sqrt/pow/round. */
+  private def mathFuncs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_linenumber" === 1)
+      .select(
+        $"l_orderkey",
+        round(abs($"l_extendedprice" - $"l_quantity" * lit(1000.0)), 2).as("absdiff"),
+        floor($"l_extendedprice").cast("long").as("flr"),
+        ceil($"l_extendedprice").cast("long").as("cl"),
+        round(sqrt($"l_quantity"), 6).as("sq"),
+        round(pow($"l_discount", 2), 6).as("disc2"))
+  }
+
+  /** Conditional aggregation (count/sum with predicates — the FILTER
+    * clause pattern used all over BI queries). */
+  private def conditionalAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(when($"l_quantity" > 25, 1)).as("n_big"),
+        count(when($"l_quantity" <= 25, 1)).as("n_small"),
+        round(sum(when($"l_discount" > 0.05, $"l_extendedprice")
+          .otherwise(0.0)), 2).as("discounted_px"))
+  }
+
+  /** Time bucketing via window() in batch mode (tumbling 1-day windows
+    * over events — the Structured-Streaming agg shape, runnable and
+    * oracle-checkable as a batch query). */
+  private def timeBucket(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("total"))
+      .select(date_format($"window.start", "yyyy-MM-dd").as("day"),
+        $"event_type", $"cnt", $"total")
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_date_extract", dateExtract, Some("""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(month(o_orderdate) AS BIGINT) AS o_month,
+             count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY 1, 2""")),
+
+    Q("q_to_date_dow", toDateDow, Some("""
+      SELECT dayname(l_shipdate) AS dow, count(*) AS cnt,
+             min(CAST(l_shipdate AS DATE)) AS first_date
+      FROM lineitem GROUP BY 1""")),
+
+    Q("q_case_chain", caseChain, Some("""
+      SELECT CASE WHEN o_totalprice <= 50000.0 THEN 'low'
+                  WHEN o_totalprice <= 150000.0 THEN 'mid'
+                  ELSE 'high' END AS bucket,
+             count(*) AS cnt, round(avg(o_totalprice), 2) AS avg_price
+      FROM orders GROUP BY 1""")),
+
+    Q("q_map_normalize", mapNormalize, Some("""
+      SELECT r_name,
+             CASE WHEN r_name = 'AMERICA' THEN 'The Americas'
+                  WHEN r_name = 'ASIA' THEN 'Asia-Pacific'
+                  WHEN r_name = 'EUROPE' THEN 'Europe'
+                  ELSE r_name END AS r_full
+      FROM region""")),
+
+    Q("q_super_category", superCategory, Some("""
+      SELECT CASE
+               WHEN p_type IS NULL THEN 'other'
+               WHEN contains(p_type, 'BURNISHED') THEN 'polished'
+               WHEN contains(p_type, 'ECONOMY') THEN 'economy'
+               WHEN contains(p_type, 'STANDARD') THEN 'standard'
+               WHEN contains(p_type, 'PROMO') THEN 'promotional'
+               WHEN contains(p_type, 'SMALL') THEN 'compact'
+               WHEN contains(p_type, 'MEDIUM') THEN 'midsize'
+               WHEN contains(p_type, 'LARGE') THEN 'oversize'
+               ELSE 'other' END AS category,
+             count(*) AS cnt
+      FROM part GROUP BY 1"""), headline = true),
+
+    Q("q_string_funcs", stringFuncs, Some("""
+      SELECT p_partkey,
+             upper(p_brand) AS brand_u,
+             lower(p_type) AS type_l,
+             CAST(length(p_name) AS BIGINT) AS name_len,
+             substr(p_name, 1, 5) AS name_pfx,
+             concat_ws('|', p_brand, p_type) AS brand_type,
+             replace(p_name, ' ', '_') AS name_us,
+             lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad
+      FROM part""")),
+
+    Q("q_split_explode", splitExplode, Some("""
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part) t
+      GROUP BY word""")),
+
+    Q("q_json_extract", jsonExtract, Some("""
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""")),
+
+    Q("q_pivot_events", pivotEvents, Some("""
+      SELECT user_id,
+             coalesce(round(sum(value) FILTER (WHERE event_type = 'click'), 2), 0.0) AS click,
+             coalesce(round(sum(value) FILTER (WHERE event_type = 'error'), 2), 0.0) AS error,
+             coalesce(round(sum(value) FILTER (WHERE event_type = 'purchase'), 2), 0.0) AS purchase,
+             coalesce(round(sum(value) FILTER (WHERE event_type = 'signup'), 2), 0.0) AS signup,
+             coalesce(round(sum(value) FILTER (WHERE event_type = 'view'), 2), 0.0) AS view
+      FROM events GROUP BY user_id""")),
+
+    Q("q_null_drop", nullDrop, Some("""
+      SELECT c_custkey, o_orderkey, o_orderstatus
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL""")),
+
+    Q("q_null_fill", nullFill, Some("""
+      SELECT c_custkey, coalesce(spent, 0.0) AS spent
+      FROM customer LEFT JOIN
+        (SELECT o_custkey, round(sum(o_totalprice), 2) AS spent
+         FROM orders GROUP BY 1) o ON c_custkey = o_custkey""")),
+
+    Q("q_math_funcs", mathFuncs, Some("""
+      SELECT l_orderkey,
+             round(abs(l_extendedprice - l_quantity * 1000.0), 2) AS absdiff,
+             CAST(floor(l_extendedprice) AS BIGINT) AS flr,
+             CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
+             round(sqrt(l_quantity), 6) AS sq,
+             round(pow(l_discount, 2), 6) AS disc2
+      FROM lineitem WHERE l_linenumber = 1""")),
+
+    Q("q_conditional_agg", conditionalAgg, Some("""
+      SELECT l_returnflag,
+             count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+             count(*) FILTER (WHERE l_quantity <= 25) AS n_small,
+             round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice
+                            ELSE 0.0 END), 2) AS discounted_px
+      FROM lineitem GROUP BY 1""")),
+
+    Q("q_time_bucket", timeBucket, Some("""
+      SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+             event_type, count(*) AS cnt, round(sum(value), 2) AS total
+      FROM events GROUP BY 1, 2"""))
+  )
+}

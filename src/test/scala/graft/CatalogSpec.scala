@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Smoke + invariant coverage for every catalog entry at sf0.001. */
+class CatalogSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("catalog names are unique and oracle keys ⊆ query keys") {
+    val names = SparkEntry.catalog.map(_.name)
+    assert(names.distinct.size === names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for (q <- SparkEntry.catalog) {
+    test(s"${q.name} runs and returns rows") {
+      val df = q.run(spark, sf)
+      assert(df.count() > 0, s"${q.name} returned 0 rows at sf0.001")
+    }
+  }
+
+  test("q_topk returns exactly 10 descending totals") {
+    val rows = SparkEntry.queries("q_topk")(spark, sf)
+      .collect().map(_.getDouble(1))
+    assert(rows.length === 10)
+    assert(rows.sameElements(rows.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q_approx_distinct is within 5% of exact") {
+    val r = SparkEntry.queries("q_approx_distinct")(spark, sf).collect()(0)
+    val exact = Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count()
+    assert(math.abs(r.getLong(0) - exact).toDouble / exact < 0.05)
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val plan = SparkEntry.queries("q_filter_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["))
+    assert(plan.contains("l_shipdate"), "shipdate filter not pushed")
+  }
+
+  test("broadcast join is chosen for dimension sides") {
+    val plan = SparkEntry.queries("q_join_broadcast_dims")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
+
+/** Boundary semantics locked from the reference (SURVEY.md §5.2). */
+class SemanticsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+
+  test("super-category chain is first-match in keyword order") {
+    import spark.implicits._
+    val df = Seq(
+      ("BURNISHED ECONOMY THING", "polished"), // first keyword wins
+      ("PLATED ECONOMY STANDARD", "economy"),
+      ("nothing matches here", "other"),
+      (null.asInstanceOf[String], "other")
+    ).toDF("p_type", "expected")
+    val got = df.withColumn("category",
+      ops.ScalarQueries.superCategoryCol(col("p_type")))
+    assert(got.filter($"category" =!= $"expected").count() === 0)
+  }
+
+  test("case-chain boundaries are inclusive like the reference sentiment") {
+    import spark.implicits._
+    val buckets = Seq(50000.0 -> "low", 50000.01 -> "mid",
+      150000.0 -> "mid", 150000.01 -> "high")
+    val df = buckets.toDF("o_totalprice", "expected")
+      .withColumn("bucket",
+        when($"o_totalprice" <= 50000.0, "low")
+          .when($"o_totalprice" <= 150000.0, "mid")
+          .otherwise("high"))
+    assert(df.filter($"bucket" =!= $"expected").count() === 0)
+  }
+}
