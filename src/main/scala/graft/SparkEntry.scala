@@ -13,7 +13,8 @@ object SparkEntry {
   /** All catalog entries, in registration order. */
   def catalog: Seq[Q] =
     ops.RelationalQueries.queries ++
-      ops.ScalarQueries.queries
+      ops.ScalarQueries.queries ++
+      ops.PipelineQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * 3-way join + aggregation — the reference's master-table shape

@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end pipeline-shape coverage, driver-oracle-checkable on the
+  * TPC-H tables:
+  *
+  *  - q_master_pipeline mirrors the reference's full master-table
+  *    flow (rename → join ×2 → project → dedup → CASE derivations →
+  *    date extraction → drop; reference glue_job.py:20-92) with
+  *    orders/customer/nation standing in for review/user/business.
+  *  - q_csv_roundtrip / q_json_roundtrip cover the S1/S4 sources and
+  *    K1/K3 sinks (SURVEY.md §2.1–2.2): write the fact table out in
+  *    the interchange format, read it back with a PINNED schema
+  *    (single-pass, no inference job — SURVEY.md §1.2), aggregate.
+  */
+object PipelineQueries {
+
+  private def masterPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nationFull = Map("FRANCE" -> "France", "GERMANY" -> "Germany",
+      "CHINA" -> "China", "UNITED STATES" -> "United States")
+    val o = Tables.orders(s, d)
+      .withColumnRenamed("o_totalprice", "price")
+      .withColumnRenamed("o_orderdate", "odate")
+    val c = Tables.customer(s, d)
+      .withColumnRenamed("c_name", "cust_name")
+    o.join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"o_orderkey", $"cust_name", $"price", $"c_mktsegment",
+        $"odate", $"n_name")
+      .dropDuplicates()
+      .withColumn("bucket",
+        when($"price" <= 50000.0, "low")
+          .when($"price" <= 150000.0, "mid")
+          .otherwise("high"))
+      .withColumn("nation_full",
+        coalesce(element_at(typedLit(nationFull), $"n_name"), $"n_name"))
+      .withColumn("o_year", year($"odate").cast("long"))
+      .withColumn("o_month", month($"odate").cast("long"))
+      .drop("odate", "n_name")
+      .withColumn("price", round($"price", 2))
+  }
+
+  private val lineitemSchema = StructType(Seq(
+    StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  /** Stable scratch dir per sf under the repo's target/. */
+  private def scratch(d: String, tag: String): String = {
+    val sf = new java.io.File(d).getName
+    s"target/fmtcache/$sf/$tag"
+  }
+
+  private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = scratch(d, "lineitem_csv")
+    Tables.lineitem(s, d).write.mode("overwrite")
+      .option("header", true).csv(path)
+    s.read.schema(lineitemSchema).option("header", true).csv(path)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"l_quantity"), 2).as("sum_qty"))
+  }
+
+  private def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = scratch(d, "orders_json")
+    Tables.orders(s, d).write.mode("overwrite").json(path)
+    s.read.schema(StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))).json(path)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"o_totalprice"), 2).as("total"))
+  }
+
+  /** SQL entry point (replaces the reference's Athena layer, SURVEY.md
+    * §3.3): register temp views, run the query through spark.sql —
+    * same Catalyst plan as the DataFrame form. */
+  private def sqlEntry(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    Tables.customer(s, d).createOrReplaceTempView("v_customer")
+    s.sql("""
+      SELECT c_mktsegment, count(*) AS cnt,
+             round(avg(o_totalprice), 2) AS avg_price
+      FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment""")
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_master_pipeline", masterPipeline, Some("""
+      SELECT o_orderkey, cust_name, round(price, 2) AS price,
+             c_mktsegment,
+             CASE WHEN price <= 50000.0 THEN 'low'
+                  WHEN price <= 150000.0 THEN 'mid'
+                  ELSE 'high' END AS bucket,
+             CASE WHEN n_name = 'FRANCE' THEN 'France'
+                  WHEN n_name = 'GERMANY' THEN 'Germany'
+                  WHEN n_name = 'CHINA' THEN 'China'
+                  WHEN n_name = 'UNITED STATES' THEN 'United States'
+                  ELSE n_name END AS nation_full,
+             CAST(year(odate) AS BIGINT) AS o_year,
+             CAST(month(odate) AS BIGINT) AS o_month
+      FROM (SELECT DISTINCT o_orderkey, c_name AS cust_name,
+                   o_totalprice AS price, c_mktsegment,
+                   o_orderdate AS odate, n_name
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey) t"""),
+      headline = true),
+
+    Q("q_csv_roundtrip", csvRoundtrip, Some("""
+      SELECT l_returnflag, count(*) AS cnt,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY 1""")),
+
+    Q("q_json_roundtrip", jsonRoundtrip, Some("""
+      SELECT o_orderstatus, count(*) AS cnt,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY 1""")),
+
+    Q("q_sql_entry", sqlEntry, Some("""
+      SELECT c_mktsegment, count(*) AS cnt,
+             round(avg(o_totalprice), 2) AS avg_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment"""))
+  )
+}
