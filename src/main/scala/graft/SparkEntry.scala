@@ -14,7 +14,10 @@ object SparkEntry {
   def catalog: Seq[Q] =
     ops.RelationalQueries.queries ++
       ops.ScalarQueries.queries ++
-      ops.PipelineQueries.queries
+      ops.PipelineQueries.queries ++
+      scale.TextOps.queries ++
+      scale.Dedup.queries ++
+      scale.Similarity.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * 3-way join + aggregation — the reference's master-table shape

@@ -1,0 +1,189 @@
+package graft.scale
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings`:
+  *
+  *  - exact: hash-groupBy on content digest (one shuffle on the digest,
+  *    never on the full text);
+  *  - n-gram Jaccard: distinct-shingle inverted index → candidate pairs
+  *    → exact Jaccard verify. Ground truth for the sketch variants;
+  *  - MinHash + LSH banding: 128 minhashes → 32 bands × 4 rows →
+  *    bucket-join candidates → exact verify. The 100 TB path: shuffle
+  *    volume is #docs × #bands instead of #docs × #shingles, and bucket
+  *    joins replace the all-pairs comparison entirely;
+  *  - SimHash: 64-bit signatures, near-dup = small Hamming distance;
+  *  - embedding cosine: all-pairs above threshold (brute at test SF;
+  *    the LSH-bucketed variant lives in Similarity.scala).
+  *
+  * MinHash/LSH parameters: P(candidate | j=0.8) = 1-(1-0.8⁴)³² ≈
+  * 1-5e-8, so at the 0.8 verify threshold LSH output equals the exact
+  * inverted-index output with near-certainty — both share one oracle.
+  */
+object Dedup {
+
+  val NumHashes = 128
+  val Bands = 32
+  val RowsPerBand = 4
+  val JaccardThreshold = 0.8
+
+  /** (doc_id, shingles) with empty-shingle docs dropped. */
+  private def docShingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", TextOps.shingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+  }
+
+  /** Exact Jaccard over distinct shingle sets for a pair DataFrame with
+    * columns d1/d2; keeps pairs ≥ threshold. */
+  private def verifyPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val s1 = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    pairs.join(s1, "d1").join(s2, "d2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact near-dup ground truth: inverted index on distinct shingles.
+    * Candidate generation shuffles (shingle → doc) postings; at scale
+    * the equivalent-but-cheaper MinHash path below replaces it. */
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d)
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val candidates = posting.as("a").join(posting.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifyPairs(candidates, sh)
+  }
+
+  /** MinHash signatures: explode shingles once, then a single hash
+    * aggregate computes all 128 min-hashes per doc (hash functions =
+    * xxhash64 seeded by index — deterministic across runs/engines). */
+  private def minhashSignatures(sh: DataFrame): DataFrame = {
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val mins = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    posting.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: band b's bucket key = hash of its 4 signature rows.
+    * Docs colliding in ANY band become candidates. */
+  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d)
+    val sig = minhashSignatures(sh)
+    val bandCols = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
+    }
+    val buckets = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifyPairs(candidates, sh)
+  }
+
+  /** SimHash: 64-bit signature; bit k is the sign of the sum of ±1
+    * votes (bit k of each token hash) over the doc's tokens.
+    * Implemented as explode → ONE hash aggregate with 64 long sums —
+    * a single codegen'd partial+final aggregation, so signature
+    * computation stays map-side-combinable at 100 TB. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"v$b"))
+    tok.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  private def simhashQ(s: SparkSession, d: String): DataFrame =
+    simhashSignatures(Tables.documents(s, d))
+
+  /** Exact dedup by content digest. The input plants duplicates (a
+    * re-keyed copy of doc_id < 50) so the operator demonstrably
+    * collapses them: output = dup groups with the kept (min) id. */
+  private def exactDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val planted = docs.filter($"doc_id" < 50)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    docs.union(planted)
+      .groupBy(md5($"text").as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keep_id"))
+      .filter($"n_copies" > 1)
+  }
+
+  /** Embedding near-dup: all pairs with cosine ≥ 0.45 (embeddings are
+    * L2-normalized so cosine = dot). Brute force is O(n²·dim) — fine
+    * for verification SFs; the bucketed path is q_ann_lsh. */
+  private def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val dot = aggregate(
+      zip_with($"a.v", $"b.v", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
+        dot.as("cosine"))
+      .filter($"cosine" >= 0.45)
+      .select($"v1", $"v2", round($"cosine", 4).as("cosine"))
+  }
+
+  private val jaccardOracle = s"""
+      WITH tk AS (SELECT doc_id,
+                         string_split_regex(lower(text), '\\s+') AS toks
+                  FROM documents),
+      sh AS (SELECT doc_id,
+                    unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                          for i in range(1, len(toks)-1)])) AS s
+             FROM tk WHERE len(toks) >= 3),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT d1, d2, round(j, 4) AS jaccard
+      FROM (SELECT d1, d2, i * 1.0 / (s1.sz + s2.sz - i) AS j
+            FROM inter
+            JOIN sizes s1 ON d1 = s1.doc_id
+            JOIN sizes s2 ON d2 = s2.doc_id) q
+      WHERE j >= ${JaccardThreshold}"""
+
+  val queries: Seq[Q] = Seq(
+    Q("q_dedup_exact", exactDedup, Some("""
+      SELECT md5(text) AS text_hash, count(*) AS n_copies,
+             min(doc_id) AS keep_id
+      FROM (SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50) u
+      GROUP BY 1 HAVING count(*) > 1""")),
+    Q("q_dedup_ngram_jaccard", ngramJaccard, Some(jaccardOracle)),
+    Q("q_dedup_minhash_lsh", minhashLsh, Some(jaccardOracle),
+      headline = true),
+    Q("q_dedup_simhash", simhashQ, None),
+    Q("q_dedup_embed_cosine", embedNearDup, Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings)
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             round(list_dot_product(a.v, b.v), 4) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) >= 0.45"""))
+  )
+}

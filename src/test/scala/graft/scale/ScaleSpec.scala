@@ -1,0 +1,95 @@
+package graft.scale
+
+import graft.{SparkTestSession, SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  test("minhash LSH finds exactly the exact-jaccard pairs at τ=0.8") {
+    val exact = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh === exact)
+  }
+
+  test("simhash: planted near-dup pairs have small hamming distance") {
+    val sig = Dedup.simhashSignatures(Tables.documents(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val dists = pairs.map { case (a, b) => hamming(sig(a), sig(b)) }
+    // near-dups should be far closer than random 64-bit pairs (E=32)
+    assert(dists.nonEmpty && dists.sum.toDouble / dists.length < 16.0,
+      s"mean hamming ${dists.sum.toDouble / dists.length}")
+  }
+
+  test("simhash is deterministic across runs") {
+    val a = Dedup.simhashSignatures(Tables.documents(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simhashSignatures(Tables.documents(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("ANN LSH returns true candidates ranked correctly with useful recall") {
+    val brute = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q_ann_lsh")(spark, sf)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(lsh.nonEmpty)
+    assert(recall >= 0.2, s"LSH recall $recall too low") // 4×4-bit bands
+  }
+
+  test("ANN LSH per-query results are subsets of candidate re-rank (≤ k each)") {
+    val perQuery = SparkEntry.queries("q_ann_lsh")(spark, sf)
+      .groupBy($"query_id").agg(count(lit(1)).as("n"), max($"rank").as("mx"))
+      .collect()
+    perQuery.foreach { r =>
+      assert(r.getLong(1) <= Similarity.TopK)
+      assert(r.getLong(2) <= Similarity.TopK)
+    }
+  }
+
+  test("langId is total, deterministic, and 'und' only for no-hit docs") {
+    val out = SparkEntry.queries("q_text_langid")(spark, sf)
+    assert(out.filter($"lang_pred".isNull).count() === 0)
+    val langs = Set("en", "de", "es", "fr", "zh", "und")
+    assert(out.select($"lang_pred").distinct().collect()
+      .map(_.getString(0)).forall(langs.contains))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq(
+      ("a b c", "a b c"), ("a b c", "c b a"))
+      .toDF("t1", "t2")
+      .select(TextOps.fingerprint($"t1").as("f1"),
+        TextOps.fingerprint($"t2").as("f2"))
+      .collect()
+    assert(df(0).getLong(0) === df(0).getLong(1)) // same text, same fp
+    assert(df(1).getLong(0) !== df(1).getLong(1)) // permuted ≠
+  }
+
+  test("shingles handle short documents without error") {
+    val out = Seq("one two", "a", "").toDF("text")
+      .select(TextOps.shingles($"text").as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(out.forall(_.isEmpty))
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val rows = SparkEntry.queries("q_dedup_embed_cosine")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.45)
+    }
+  }
+}
