@@ -97,6 +97,18 @@ object ScalarQueries {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Same query through the custom codegen'd Catalyst Expression
+    * (graft.ext.SuperCategoryExpr) — shares the when-chain oracle,
+    * proving the extension point produces identical results. */
+  private def superCategoryNative(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d)
+      .withColumn("category", graft.ext.SuperCategoryExpr.superCategory(
+        $"p_type", typeKeywords, fallback = "other"))
+      .groupBy($"category")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** String function battery: upper/lower/length/substring/concat/trim/
     * replace/lpad — all codegen'd built-ins (absent in reference; §2.8
     * "not present" list made available natively). */
@@ -244,6 +256,20 @@ object ScalarQueries {
                ELSE 'other' END AS category,
              count(*) AS cnt
       FROM part GROUP BY 1"""), headline = true),
+
+    Q("q_super_category_native", superCategoryNative, Some("""
+      SELECT CASE
+               WHEN p_type IS NULL THEN 'other'
+               WHEN contains(p_type, 'BURNISHED') THEN 'polished'
+               WHEN contains(p_type, 'ECONOMY') THEN 'economy'
+               WHEN contains(p_type, 'STANDARD') THEN 'standard'
+               WHEN contains(p_type, 'PROMO') THEN 'promotional'
+               WHEN contains(p_type, 'SMALL') THEN 'compact'
+               WHEN contains(p_type, 'MEDIUM') THEN 'midsize'
+               WHEN contains(p_type, 'LARGE') THEN 'oversize'
+               ELSE 'other' END AS category,
+             count(*) AS cnt
+      FROM part GROUP BY 1""")),
 
     Q("q_string_funcs", stringFuncs, Some("""
       SELECT p_partkey,

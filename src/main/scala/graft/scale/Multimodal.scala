@@ -1,0 +1,133 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing: media travel as
+  * opaque `binary` columns with typed metadata alongside — the layout
+  * a 100 TB training-data pipeline uses (blob + metadata in parquet,
+  * column pruning keeps metadata-only queries from ever touching the
+  * bytes).
+  *
+  * The Spark-side plumbing here is real and tested: schemas, typed
+  * mapPartitions batching, native header/frame expressions that stay
+  * in whole-stage codegen. The CODEC itself is a clearly-marked
+  * deterministic fake — this container has no image/audio libraries —
+  * see [[FakeCodec.decode]]; swapping in a real decoder changes one
+  * function.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, media: Array[Byte])
+  case class DecodedMeta(media_id: Long, kind: String, width: Int,
+      height: Int, n_bytes: Long, checksum: Long)
+  case class MediaFeatures(media_id: Long, histogram: Array[Long])
+
+  /** STUB — deterministic fake codec. A real implementation would
+    * dispatch to an image/audio library per `kind`; the container has
+    * none, so "decode" parses our synthetic 8-byte header
+    * (big-endian width, height) and checksums the payload. The
+    * signature and batch shape are what a real codec plugs into. */
+  object FakeCodec {
+    def decode(row: MediaRow): DecodedMeta = {
+      val b = row.media
+      def be32(o: Int): Int =
+        ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+          ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+      var sum = 0L
+      var i = 8
+      while (i < b.length) { sum = sum * 31 + (b(i) & 0xff); i += 1 }
+      DecodedMeta(row.media_id, row.kind, be32(0), be32(4),
+        b.length.toLong, sum)
+    }
+  }
+
+  /** Deterministic synthetic media table (generator for tests/demos):
+    * header = (width, height), payload bytes are a function of
+    * (media_id, offset) only. */
+  def synthetic(spark: SparkSession, n: Int,
+      payloadBytes: Int = 256): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val width = 16 + (id % 16).toInt
+      val height = 9 + (id % 9).toInt
+      val b = new Array[Byte](8 + payloadBytes)
+      def put32(o: Int, v: Int): Unit = {
+        b(o) = (v >>> 24).toByte; b(o + 1) = (v >>> 16).toByte
+        b(o + 2) = (v >>> 8).toByte; b(o + 3) = v.toByte
+      }
+      put32(0, width); put32(4, height)
+      var i = 0
+      while (i < payloadBytes) {
+        b(8 + i) = (((id * 31 + i) * 2654435761L) >>> 24).toByte
+        i += 1
+      }
+      MediaRow(id, if (id % 3 == 0) "image" else "audio", b)
+    }
+  }
+
+  /** Decode via the codec, batched per partition (the shape a real
+    * vectorized decoder wants: one codec init per partition, streamed
+    * rows — the Scala analogue of a pandas-batch UDF). */
+  def decodeMeta(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[DecodedMeta] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // codec/session init would happen here, once per partition
+      it.map(FakeCodec.decode)
+    }
+  }
+
+  /** Byte-histogram features (16 buckets) — stand-in for an embedding
+    * extractor; same per-partition batching. */
+  def byteHistogram(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val hist = new Array[Long](16)
+        var i = 8
+        while (i < row.media.length) {
+          hist((row.media(i) & 0xff) >>> 4) += 1
+          i += 1
+        }
+        MediaFeatures(row.media_id, hist)
+      }
+    }
+  }
+
+  /** Header metadata WITHOUT decoding — pure native expressions
+    * (substring/hex/conv on the binary column stay in codegen and let
+    * Catalyst prune the blob for metadata-only queries downstream). */
+  def headerMeta(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("kind"),
+      conv(hex(substring(col("media"), 1, 4)), 16, 10).cast("int")
+        .as("width"),
+      conv(hex(substring(col("media"), 5, 4)), 16, 10).cast("int")
+        .as("height"),
+      length(col("media")).cast("long").as("n_bytes"))
+
+  /** Frame sampling as a native expression: every `stride`-th
+    * `frameLen`-byte slice of the payload, exploded to one row per
+    * frame. No JVM closure — array/substring expressions only. */
+  def sampleFrames(media: DataFrame, frameLen: Int = 32,
+      stride: Int = 64): DataFrame = {
+    val nFrames = floor((length(col("media")) - lit(8)).cast("double") /
+      lit(stride)).cast("int")
+    media.select(col("media_id"),
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0))))
+          .as("frame_idx"))
+      .join(media.select(col("media_id"), col("media")), "media_id")
+      .select(col("media_id"), col("frame_idx"),
+        substring_index_binary(col("media"), col("frame_idx"),
+          frameLen, stride).as("frame"))
+  }
+
+  /** substring on binary with a computed offset (substring() needs
+    * literal pos in the Column API; expr() takes the computed form). */
+  private def substring_index_binary(media: org.apache.spark.sql.Column,
+      idx: org.apache.spark.sql.Column, frameLen: Int,
+      stride: Int): org.apache.spark.sql.Column =
+    expr(s"substring(media, 9 + frame_idx * $stride, $frameLen)")
+}

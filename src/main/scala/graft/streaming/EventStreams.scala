@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming slice over the `events` shape (TESTDATA.md):
+  * watermarked tumbling/sliding/session windows, streaming dedup, and
+  * custom per-key state via flatMapGroupsWithState.
+  *
+  * Every transform takes a plain DataFrame so the SAME logic runs in
+  * batch mode (oracle-checkable — see q_time_bucket) and in streaming
+  * mode (spec drives it with MemoryStream + memory sink). This is the
+  * capability the reference lacks entirely (SURVEY.md §2.10): its
+  * check-in time-series data was never processed by committed code.
+  *
+  * Scale notes: watermarks bound state size (without one, windowed
+  * state grows forever at 100 TB/day); session windows use Spark's
+  * native merging-session state store; dedup keys expire with the
+  * watermark via dropDuplicatesWithinWatermark.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Tumbling event-time windows with a watermark bounding state. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("cnt"), col("total"))
+
+  /** Sliding windows (width, slide). */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("cnt"))
+
+  /** Session windows: gap-based per-user sessions. */
+  def userSessions(events: DataFrame, gap: String = "10 minutes",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"),
+        col("n_events"), col("session_value"))
+
+  /** Streaming exact dedup on the event key; state expires with the
+    * watermark instead of growing unboundedly. */
+  def dedupedEvents(events: DataFrame,
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom state machine: running per-user totals emitted on every
+    * update (flatMapGroupsWithState, update mode). The buffer is one
+    * (count, sum) pair per live user — O(#users), not O(#events). */
+  def runningUserStats(spark: SparkSession,
+      events: Dataset[Event]): Dataset[UserStats] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), UserStats](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var v = v0
+          batch.foreach { e => n += 1; v += e.value }
+          state.update((n, v))
+          Iterator(UserStats(userId, n, math.round(v * 100.0) / 100.0))
+      }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.scale
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+  import Multimodal._
+
+  lazy val media = synthetic(spark, 64).cache()
+
+  test("decodeMeta parses header and checksums deterministically") {
+    val metas = decodeMeta(spark, media).collect()
+    assert(metas.length === 64)
+    metas.foreach { m =>
+      assert(m.width === 16 + (m.media_id % 16))
+      assert(m.height === 9 + (m.media_id % 9))
+      assert(m.n_bytes === 264L)
+    }
+    val again = decodeMeta(spark, media).collect().map(_.checksum).toSeq
+    assert(again === metas.map(_.checksum).toSeq)
+  }
+
+  test("native headerMeta agrees with codec decode") {
+    val native = headerMeta(media.toDF()).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3))).toMap
+    decodeMeta(spark, media).collect().foreach { m =>
+      assert(native(m.media_id) === (m.width, m.height))
+    }
+  }
+
+  test("byteHistogram buckets all payload bytes") {
+    byteHistogram(spark, media).collect().foreach { f =>
+      assert(f.histogram.length === 16)
+      assert(f.histogram.sum === 256L) // payload bytes, header excluded
+    }
+  }
+
+  test("sampleFrames yields fixed-length frames at the right offsets") {
+    val frames = sampleFrames(media.toDF(), frameLen = 32, stride = 64)
+      .collect()
+    // 256-byte payload / 64 stride = 4 frames per media row
+    assert(frames.length === 64 * 4)
+    frames.foreach { r =>
+      assert(r.getAs[Array[Byte]]("frame").length === 32)
+    }
+    // frame 0 must equal the first payload slice
+    val m0 = media.filter($"media_id" === 0).collect()(0).media
+    val f0 = frames.find(r => r.getLong(0) === 0L && r.getInt(1) === 0).get
+      .getAs[Array[Byte]]("frame")
+    assert(f0.toSeq === m0.slice(8, 40).toSeq)
+  }
+
+  test("metadata-only query prunes the blob column from the scan") {
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "media")
+    media.write.mode("overwrite").parquet(s"$dir/media")
+    val plan = spark.read.parquet(s"$dir/media")
+      .select($"media_id", $"kind")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<media_id:bigint,kind:string>"),
+      s"blob not pruned:\n$plan")
+  }
+}

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives each streaming transform with a MemoryStream through a
+  * memory sink — golden-sequence tests incl. late-data semantics
+  * (SURVEY.md §5.2.5: these can't be DuckDB-oracled; MemoryStream
+  * sequences are the spec instead).
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+  import EventStreams._
+
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String,
+      value: Double = 1.0) = Event(id, ts(minute), user, typ, value)
+
+  private def runToCompletion(out: DataFrame, name: String,
+      mode: String): Unit = {
+    val q: StreamingQuery = out.writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("tumbling window counts by event type (complete mode)") {
+    val in = MemoryStream[Event]
+    in.addData(ev(1, 10, 1, "click"), ev(2, 20, 1, "click"),
+      ev(3, 70, 2, "view"))
+    runToCompletion(tumblingCounts(in.toDF()), "tumbling_t", "complete")
+    val got = spark.table("tumbling_t")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2))).toSet
+    assert(got === Set(
+      ("2024-01-01 00:00:00.0", "click", 2L),
+      ("2024-01-01 01:00:00.0", "view", 1L)))
+  }
+
+  test("append mode emits a window only after the watermark passes it") {
+    val in = MemoryStream[Event]
+    val out = tumblingCounts(in.toDF(), width = "10 minutes",
+      lateness = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("tumbling_wm")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 2, 1, "click"))
+      q.processAllAvailable()
+      // watermark = max(ts)-5min = still inside window [0,10) → nothing
+      assert(spark.table("tumbling_wm").count() === 0)
+      in.addData(ev(2, 40, 1, "click")) // watermark → 35min, closes [0,10)
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_wm").collect()
+      assert(rows.length === 1 && rows(0).getLong(2) === 1L)
+    } finally q.stop()
+  }
+
+  test("late event beyond watermark is dropped") {
+    val in = MemoryStream[Event]
+    val out = tumblingCounts(in.toDF(), width = "10 minutes",
+      lateness = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 2, 1, "click"))
+      q.processAllAvailable()
+      in.addData(ev(2, 60, 1, "view")) // watermark → 55
+      q.processAllAvailable()
+      in.addData(ev(3, 3, 1, "click")) // 52 min late → dropped
+      q.processAllAvailable()
+      in.addData(ev(4, 120, 1, "view")) // close everything
+      q.processAllAvailable()
+      val clickCnt = spark.table("late_drop")
+        .filter($"event_type" === "click").collect().map(_.getLong(2)).sum
+      assert(clickCnt === 1L, "late click should have been discarded")
+    } finally q.stop()
+  }
+
+  test("session windows split on gap") {
+    val in = MemoryStream[Event]
+    in.addData(
+      ev(1, 0, 7, "click"), ev(2, 5, 7, "click"),  // session 1
+      ev(3, 30, 7, "click"))                        // gap > 10min → session 2
+    runToCompletion(userSessions(in.toDF(), gap = "10 minutes"),
+      "sessions_t", "complete")
+    val got = spark.table("sessions_t").collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toList.sorted
+    assert(got === List((7L, 1L), (7L, 2L)))
+  }
+
+  test("streaming dedup keeps first occurrence per event_id") {
+    val in = MemoryStream[Event]
+    in.addData(ev(1, 0, 1, "click", 5.0), ev(1, 1, 1, "click", 5.0),
+      ev(2, 2, 1, "view", 3.0))
+    runToCompletion(dedupedEvents(in.toDF()), "dedup_t", "append")
+    assert(spark.table("dedup_t").count() === 2)
+  }
+
+  test("flatMapGroupsWithState accumulates per-user running totals") {
+    val in = MemoryStream[Event]
+    val q = runningUserStats(spark, in.toDS()).writeStream
+      .format("memory").queryName("running_t").outputMode("update").start()
+    try {
+      in.addData(ev(1, 0, 1, "click", 2.0), ev(2, 1, 1, "click", 3.0))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, 1, "click", 5.0), ev(4, 2, 2, "view", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byUser = spark.table("running_t")
+      .groupBy($"user_id").max("n_events", "total_value")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(byUser(1L) === (3L, 10.0))
+    assert(byUser(2L) === (1L, 1.0))
+  }
+
+  test("same transforms run in batch mode (stream-batch unification)") {
+    val batch = Seq(ev(1, 10, 1, "click"), ev(2, 20, 1, "click"),
+      ev(3, 70, 2, "view")).toDF()
+    val got = tumblingCounts(batch).collect()
+    assert(got.length === 2)
+  }
+}
