@@ -29,12 +29,16 @@ object Dedup {
   val RowsPerBand = 4
   val JaccardThreshold = 0.8
 
-  /** (doc_id, shingles) with empty-shingle docs dropped. */
+  /** (doc_id, shingles) with empty-shingle docs dropped. Cached: the
+    * near-dup queries read it three times (signature pass + the two
+    * verify joins); at cluster scale this is a checkpoint, locally an
+    * in-memory persist of ~#docs rows. */
   private def docShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", TextOps.shingles($"text").as("sh"))
       .filter(size($"sh") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Exact Jaccard over distinct shingle sets for a pair DataFrame with
@@ -63,13 +67,33 @@ object Dedup {
     verifyPairs(candidates, sh)
   }
 
-  /** MinHash signatures: explode shingles once, then a single hash
-    * aggregate computes all 128 min-hashes per doc (hash functions =
-    * xxhash64 seeded by index — deterministic across runs/engines). */
+  /** Mersenne prime for the 2-universal hash family. */
+  private val P = 2147483647L
+
+  /** Deterministic (a, b) coefficients for h_i(x) = (a_i·x + b_i) mod P
+    * — fixed-seed LCG, so signatures are stable across runs. */
+  private lazy val hashCoefs: Array[(Long, Long)] = {
+    var state = 20240601L
+    def next(bound: Long): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(state >>> 17, bound)
+    }
+    Array.fill(NumHashes)((next(P - 1) + 1, next(P)))
+  }
+
+  /** MinHash signatures: explode shingles once, hash each shingle ONCE
+    * (xxhash64 → 31-bit domain), then derive all 128 min-hashes as
+    * affine transforms (aᵢ·h + bᵢ mod P — 2-universal family) inside a
+    * single codegen'd hash aggregate. One string hash + 128 long ops
+    * per posting instead of 128 string hashes — this is what keeps the
+    * signature pass ~linear in corpus size at 100 TB. */
   private def minhashSignatures(sh: DataFrame): DataFrame = {
     val posting = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val mins = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+      .withColumn("h31", pmod(xxhash64(col("shingle")), lit(P)))
+    val mins = (0 until NumHashes).map { i =>
+      val (a, b) = hashCoefs(i)
+      min(pmod(col("h31") * lit(a) + lit(b), lit(P))).as(s"h$i")
+    }
     posting.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
