@@ -15,6 +15,7 @@ object SparkEntry {
     ops.RelationalQueries.queries ++
       ops.ScalarQueries.queries ++
       ops.PipelineQueries.queries ++
+      ops.AdvancedQueries.queries ++
       scale.TextOps.queries ++
       scale.Dedup.queries ++
       scale.Similarity.queries

@@ -1,0 +1,254 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second breadth batch: window frames and ranking variants,
+  * statistical / percentile aggregates, ordered list aggregation,
+  * higher-order array functions, date arithmetic, JSON struct parsing,
+  * and union-by-name — the §2 "absent in reference, in-scope for the
+  * engine" surface (SURVEY.md §2.6–§2.10).
+  */
+object AdvancedQueries {
+
+  /** RANGE frame: per customer, sum of orders within the prior 90 days
+    * (event-time window without a self-join). */
+  private def windowRange(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(unix_timestamp($"o_orderdate"))
+      .rangeBetween(-90L * 86400, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("d90_total", round(sum($"o_totalprice").over(w), 2))
+      .select($"o_custkey", $"o_orderkey", $"d90_total")
+  }
+
+  /** Ranking battery: dense_rank / percent_rank / ntile over one
+    * deterministic ordering. */
+  private def windowRanks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.customer(s, d).select(
+      $"c_mktsegment", $"c_custkey",
+      dense_rank().over(w).cast("long").as("drank"),
+      round(percent_rank().over(w), 6).as("prank"),
+      ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  /** first/last value over a bounded frame. */
+  private def windowFirstLast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).select(
+      $"o_custkey", $"o_orderkey",
+      first($"o_orderkey").over(w).as("first_order"),
+      last($"o_orderkey").over(w).as("last_order"))
+  }
+
+  /** Statistical aggregates per group. */
+  private def statsAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+        round(var_samp($"l_quantity"), 4).as("var_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qp"),
+        round(covar_samp($"l_quantity", $"l_discount"), 6).as("cov_qd"))
+  }
+
+  /** Exact interpolated percentiles (the scalable dashboards use
+    * approx_percentile; exact keeps the oracle tight). */
+  private def percentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(percentile($"o_totalprice", lit(0.5)), 4).as("p50"),
+        round(percentile($"o_totalprice", lit(0.9)), 4).as("p90"),
+        round(percentile($"o_totalprice", lit(0.99)), 4).as("p99"))
+  }
+
+  /** Ordered list aggregation (collect_list is unordered by contract —
+    * sort_array makes it deterministic; the BI string_agg pattern). */
+  private def listAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.nation(s, d)
+      .groupBy($"n_regionkey".cast("long").as("regionkey"))
+      .agg(array_join(sort_array(collect_list($"n_name")), ",")
+        .as("nations"))
+  }
+
+  /** Higher-order array functions over the embeddings: transform /
+    * filter / exists / aggregate. */
+  private def higherOrder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .select(
+        $"vec_id",
+        size(filter($"v", x => x > 0)).cast("long").as("n_pos"),
+        exists($"v", x => x > lit(0.3)).as("has_big"),
+        round(aggregate($"v", lit(0.0), (a, x) => a + abs(x)), 4)
+          .as("l1_norm"),
+        round(element_at(transform($"v", x => x * 2), 1), 6)
+          .as("first_doubled"))
+  }
+
+  /** Date arithmetic battery. */
+  private def dateArith(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d).filter($"o_orderkey" % 100 === 0).select(
+      $"o_orderkey",
+      to_date($"o_orderdate").as("od"),
+      date_add(to_date($"o_orderdate"), 30).as("plus30"),
+      add_months(to_date($"o_orderdate"), 2).as("plus2m"),
+      last_day($"o_orderdate").as("eom"),
+      trunc($"o_orderdate", "month").as("som"),
+      quarter($"o_orderdate").cast("long").as("qtr"),
+      dayofweek($"o_orderdate").cast("long").as("dow_n"))
+  }
+
+  /** from_json → struct field access (typed parse of events.props). */
+  private def jsonStruct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .withColumn("p", from_json($"props",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))))
+      .groupBy(($"p.k" % 10).as("k_mod"))
+      .agg(count(lit(1)).as("cnt"), round(avg($"value"), 4).as("avg_value"))
+  }
+
+  /** unionByName with missing columns (schema evolution append). */
+  private def unionByNameQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.customer(s, d)
+      .select($"c_custkey".as("key"), $"c_name".as("name"),
+        $"c_acctbal".as("bal"))
+    val b = Tables.supplier(s, d)
+      .select(($"s_suppkey" + 1000000L).as("key"), $"s_name".as("name"))
+    a.unionByName(b.withColumn("bal", lit(null).cast("double")),
+        allowMissingColumns = true)
+      .select($"key", $"name", coalesce(round($"bal", 2), lit(-1.0)).as("bal"))
+  }
+
+  /** String battery #2: regexp_extract / initcap / translate /
+    * reverse / repeat / instr. */
+  private def stringFuncs2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d).filter($"p_partkey" <= 500).select(
+      $"p_partkey",
+      regexp_extract($"p_type", "^(\\w+)", 1).as("first_word"),
+      initcap(lower($"p_type")).as("type_title"),
+      translate($"p_brand", "#", "-").as("brand_t"),
+      reverse($"p_name").as("name_rev"),
+      repeat($"p_brand", 2).as("brand_x2"),
+      instr($"p_type", "ED").cast("long").as("ed_pos"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_window_range", windowRange, Some("""
+      SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2)
+               AS d90_total
+      FROM orders""")),
+
+    Q("q_window_ranks", windowRanks, Some("""
+      SELECT c_mktsegment, c_custkey,
+             CAST(dense_rank() OVER w AS BIGINT) AS drank,
+             round(percent_rank() OVER w, 6) AS prank,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey ASC)""")),
+
+    Q("q_window_first_last", windowFirstLast, Some("""
+      SELECT o_custkey, o_orderkey,
+             first_value(o_orderkey) OVER w AS first_order,
+             last_value(o_orderkey) OVER w AS last_order
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)""")),
+
+    Q("q_stats_agg", statsAgg, Some("""
+      SELECT l_returnflag,
+             round(stddev_samp(l_quantity), 4) AS sd_qty,
+             round(var_samp(l_quantity), 4) AS var_qty,
+             round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+             round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+      FROM lineitem GROUP BY 1""")),
+
+    Q("q_percentiles", percentiles, Some("""
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      FROM orders GROUP BY 1""")),
+
+    Q("q_list_agg", listAgg, Some("""
+      SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+             list_aggregate(list_sort(list(n_name)), 'string_agg', ',')
+               AS nations
+      FROM nation GROUP BY 1""")),
+
+    Q("q_higher_order", higherOrder, Some("""
+      SELECT vec_id,
+             CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
+               AS BIGINT) AS n_pos,
+             len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.3)) > 0
+               AS has_big,
+             round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+               x -> abs(x))), 4) AS l1_norm,
+             round(CAST(embedding[1] AS DOUBLE) * 2, 6) AS first_doubled
+      FROM embeddings""")),
+
+    Q("q_date_arith", dateArith, Some("""
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS od,
+             CAST(o_orderdate AS DATE) + 30 AS plus30,
+             CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+             last_day(o_orderdate) AS eom,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS som,
+             CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+             CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_n
+      FROM orders WHERE o_orderkey % 100 = 0""")),
+
+    Q("q_json_struct", jsonStruct, Some("""
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+               AS k_mod,
+             count(*) AS cnt, round(avg(value), 4) AS avg_value
+      FROM events GROUP BY 1""")),
+
+    Q("q_union_by_name", unionByNameQ, Some("""
+      SELECT c_custkey AS key, c_name AS name,
+             coalesce(round(c_acctbal, 2), -1.0) AS bal
+      FROM customer
+      UNION ALL
+      SELECT s_suppkey + 1000000, s_name, -1.0 FROM supplier""")),
+
+    Q("q_string_funcs2", stringFuncs2, Some("""
+      SELECT p_partkey,
+             regexp_extract(p_type, '^(\w+)', 1) AS first_word,
+             -- initcap: DuckDB has no initcap; title-case each word
+             array_to_string(list_transform(
+               string_split(lower(p_type), ' '),
+               w -> upper(w[1]) || w[2:]), ' ') AS type_title,
+             replace(p_brand, '#', '-') AS brand_t,
+             reverse(p_name) AS name_rev,
+             repeat(p_brand, 2) AS brand_x2,
+             CAST(instr(p_type, 'ED') AS BIGINT) AS ed_pos
+      FROM part WHERE p_partkey <= 500"""))
+  )
+}

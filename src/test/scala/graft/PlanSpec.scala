@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the "would this survive 100×
+  * scale-up" checks (SURVEY.md §4.4): filters reach the scan, small
+  * dims broadcast instead of shuffling, aggregates combine map-side,
+  * and shuffle counts stay at the expected minimum.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  private def initial(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+
+  private def shuffles(df: DataFrame): Int =
+    initial(df).collect { case e: ShuffleExchangeLike => e }.size
+
+  private def broadcasts(df: DataFrame): Int =
+    initial(df).collect { case e: BroadcastExchangeLike => e }.size
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("q_agg_pricing: single shuffle, partial aggregation present") {
+    val df = q("q_agg_pricing")
+    assert(shuffles(df) === 1)
+    val plan = initial(df).toString
+    assert(plan.contains("partial_"), "no map-side combine")
+  }
+
+  test("q_filter_revenue: no shuffle at all (scan → partial → final)") {
+    // scalar agg: partial aggregate per partition, single-partition final
+    assert(shuffles(q("q_filter_revenue")) <= 1)
+    val plan = q("q_filter_revenue").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: ["))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      "shipdate range not pushed to parquet")
+  }
+
+  test("q_join_mktsegment: customer dim broadcast, facts shuffle once each") {
+    val df = q("q_join_mktsegment")
+    assert(broadcasts(df) >= 1, "customer should broadcast")
+    // lineitem⋈orders shuffle (2) + final agg exchange (1)
+    assert(shuffles(df) <= 3)
+  }
+
+  test("q_join_broadcast_dims: zero shuffles before final aggregation") {
+    val df = q("q_join_broadcast_dims")
+    assert(broadcasts(df) === 2, "both dims must broadcast")
+    assert(shuffles(df) === 1, "only the groupBy may shuffle")
+  }
+
+  test("q_topk plans as TakeOrderedAndProject (no global sort)") {
+    val plan = initial(q("q_topk")).toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("SortExec"), "top-k must not global-sort")
+  }
+
+  test("q_master_pipeline: dimension broadcast survives the full chain") {
+    assert(broadcasts(q("q_master_pipeline")) >= 1)
+  }
+
+  test("scans prune columns: projection-only query reads 2 columns") {
+    val df = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_extendedprice")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>"),
+      s"column pruning failed:\n$plan")
+  }
+
+  test("documents text ops stay shuffle-free (scan-local)") {
+    assert(shuffles(q("q_text_token_count")) === 0)
+    assert(shuffles(q("q_text_fingerprint")) === 0)
+    assert(shuffles(q("q_text_langid")) === 0)
+  }
+
+  test("whole-stage codegen spans cover the hot aggregation path") {
+    val df = q("q_agg_pricing")
+    df.collect() // finalize the adaptive plan
+    // '*(n)' prefixes mark WholeStageCodegen spans in the final plan
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "no codegen span in final adaptive plan")
+  }
+}
