@@ -16,6 +16,7 @@ object SparkEntry {
       ops.ScalarQueries.queries ++
       ops.PipelineQueries.queries ++
       ops.AdvancedQueries.queries ++
+      ops.TypedAndSources.queries ++
       scale.TextOps.queries ++
       scale.Dedup.queries ++
       scale.Similarity.queries

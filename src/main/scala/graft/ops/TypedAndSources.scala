@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Typed Dataset API surface (case-class Encoders, groupByKey, custom
+  * Aggregator/UDAF) plus the remaining source formats (ORC, text).
+  * The reference has no UDAF/UDTF at all (SURVEY.md §2.9); these are
+  * the engine-native equivalents with DuckDB oracles.
+  */
+object TypedAndSources {
+
+  case class Line(l_orderkey: Long, l_quantity: Double,
+      l_extendedprice: Double, l_discount: Double, l_returnflag: String)
+
+  /** Discount-weighted average price — a custom typed Aggregator
+    * (merge-able buffer → works as partial+final aggregation, the
+    * scalable UDAF shape). */
+  object WeightedAvg extends Aggregator[(Double, Double), (Double, Double), Double] {
+    override def zero: (Double, Double) = (0.0, 0.0)
+    override def reduce(b: (Double, Double), in: (Double, Double)): (Double, Double) =
+      (b._1 + in._1 * in._2, b._2 + in._2)
+    override def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
+      (a._1 + b._1, a._2 + b._2)
+    override def finish(r: (Double, Double)): Double =
+      if (r._2 == 0.0) 0.0 else r._1 / r._2
+    override def bufferEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Aggregator registered as an untyped UDAF column function. */
+  private def typedUdaf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wavg = udaf(WeightedAvg)
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(round(wavg($"l_extendedprice", $"l_discount"), 4)
+        .as("disc_weighted_price"))
+  }
+
+  /** Typed groupByKey + mapGroups — the Dataset[T] API end of the
+    * surface (kept for genuinely row-typed logic; aggregations prefer
+    * the relational form above, which keeps partial aggregation). */
+  private def typedGroupBy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice",
+        $"l_discount", $"l_returnflag")
+      .as[Line]
+      .groupByKey(_.l_returnflag)
+      .mapGroups { (flag, it) =>
+        var n = 0L
+        var qty = 0.0
+        it.foreach { l => n += 1; qty += l.l_quantity }
+        (flag, n, math.round(qty * 100.0) / 100.0)
+      }
+      .toDF("l_returnflag", "cnt", "sum_qty")
+  }
+
+  private def scratch(d: String, tag: String): String =
+    s"target/fmtcache/${new java.io.File(d).getName}/$tag"
+
+  /** ORC sink + source round-trip (columnar alternative to parquet). */
+  private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = scratch(d, "supplier_orc")
+    Tables.supplier(s, d).write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .groupBy($"s_nationkey".cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("cnt"), round(sum($"s_acctbal"), 2).as("bal"))
+  }
+
+  /** Line-oriented text source: write the raw corpus as text, read it
+    * back (schema = single `value` column), re-derive stats. */
+  private def textRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = scratch(d, "documents_text")
+    Tables.documents(s, d).select($"text").write.mode("overwrite").text(path)
+    s.read.text(path)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length($"value")).as("total_chars"),
+        max(length($"value")).cast("long").as("max_chars"))
+  }
+
+  /** Salted join — the skew-mitigation pattern: the (potentially
+    * skewed) fact side gets a deterministic salt in [0, nSalts); the
+    * dimension side is exploded nSalts× so every (key, salt) pair
+    * still matches. Same result as the plain join, but a hot key's
+    * rows spread over nSalts reducers instead of one. */
+  def saltedJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, nSalts: Int = 8): DataFrame = {
+    val salted = fact.withColumn("_salt",
+      pmod(xxhash64(col(factKey), monotonically_increasing_id()),
+        lit(nSalts)).cast("int"))
+    val expanded = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(expanded,
+      salted(factKey) === expanded(dimKey) &&
+        salted("_salt") === expanded("_salt"))
+      .drop("_salt")
+  }
+
+  private def saltedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val joined = saltedJoin(Tables.orders(s, d), "o_custkey",
+      Tables.customer(s, d), "c_custkey")
+    joined.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"o_totalprice"), 2).as("total"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_typed_udaf", typedUdaf, Some("""
+      SELECT l_returnflag,
+             round(sum(l_extendedprice * l_discount) / sum(l_discount), 4)
+               AS disc_weighted_price
+      FROM lineitem GROUP BY 1""")),
+
+    Q("q_typed_groupby", typedGroupBy, Some("""
+      SELECT l_returnflag, count(*) AS cnt,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY 1""")),
+
+    Q("q_orc_roundtrip", orcRoundtrip, Some("""
+      SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS cnt,
+             round(sum(s_acctbal), 2) AS bal
+      FROM supplier GROUP BY 1""")),
+
+    Q("q_text_roundtrip", textRoundtrip, Some("""
+      SELECT count(*) AS n_lines, sum(length(text)) AS total_chars,
+             CAST(max(length(text)) AS BIGINT) AS max_chars
+      FROM documents""")),
+
+    Q("q_join_salted", saltedAgg, Some("""
+      SELECT c_mktsegment, count(*) AS cnt,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1"""))
+  )
+}

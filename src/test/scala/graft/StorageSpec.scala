@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-layout strategies for scale: bucketing (co-located joins
+  * with zero shuffle), partitioned writes (partition pruning), and
+  * salting (skew). These are the §4.4 replacements for the
+  * reference's coalesce(1)-and-hope layout.
+  */
+class StorageSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    p.collect { case e: ShuffleExchangeLike => e }.size
+  }
+
+  test("salted join returns exactly the plain join's aggregate") {
+    val got = SparkEntry.queries("q_join_salted")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val want = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), round(sum($"o_totalprice"), 2).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got === want)
+  }
+
+  test("bucketed tables join without any shuffle") {
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bucketed")
+    Tables.customer(spark, sf).write.mode("overwrite")
+      .bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bucketed")
+    val joined = spark.table("orders_bucketed")
+      .join(spark.table("customer_bucketed"),
+        $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_name")
+    assert(shuffleCount(joined) === 0,
+      "bucketed equi-join must not shuffle")
+    assert(joined.count() > 0)
+  }
+
+  test("partitioned write enables partition pruning in the scan") {
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "part_out")
+    Tables.orders(spark, sf)
+      .withColumn("o_year", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("o_year")
+      .parquet(s"$dir/orders_by_year")
+    val pruned = spark.read.parquet(s"$dir/orders_by_year")
+      .filter($"o_year" === 1996)
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"),
+      s"no partition filter:\n$plan")
+    assert(pruned.count() ===
+      Tables.orders(spark, sf).filter(year($"o_orderdate") === 1996).count())
+  }
+
+  test("repartition by column co-locates keys (single shuffle, then none)") {
+    val re = Tables.orders(spark, sf).repartition(4, $"o_custkey")
+    val agg = re.groupBy($"o_custkey").agg(count(lit(1)))
+    // the groupBy reuses the repartition's hash distribution
+    assert(shuffleCount(agg) === 1)
+  }
+}
