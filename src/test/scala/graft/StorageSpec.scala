@@ -36,6 +36,19 @@ class StorageSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join without any shuffle") {
+    // the in-memory metastore is fresh per JVM but the warehouse dir
+    // persists on disk — clear both before re-creating
+    Seq("orders_bucketed", "customer_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"target/spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     Tables.orders(spark, sf).write.mode("overwrite")
       .bucketBy(4, "o_custkey").sortBy("o_custkey")
       .saveAsTable("orders_bucketed")
