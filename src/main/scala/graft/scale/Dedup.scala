@@ -155,6 +155,21 @@ object Dedup {
       .filter($"n_copies" > 1)
   }
 
+  /** The reference's duplicate PROBE (SURVEY.md §2.6 A1:
+    * `groupBy(all columns).count().filter("count > 1")`,
+    * reference scripts/etl.py:54) — run over a union that plants
+    * duplicates so the probe demonstrably fires. */
+  private def dupProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"source")
+    val once = docs.filter($"doc_id" < 25)
+    val all = docs.union(once)
+    all.groupBy(all.columns.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" > 1)
+  }
+
   /** Embedding near-dup: all pairs with cosine ≥ 0.45 (embeddings are
     * L2-normalized so cosine = dot). Brute force is O(n²·dim) — fine
     * for verification SFs; the bucketed path is q_ann_lsh. */
@@ -198,6 +213,12 @@ object Dedup {
             UNION ALL
             SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50) u
       GROUP BY 1 HAVING count(*) > 1""")),
+    Q("q_dup_probe", dupProbe, Some("""
+      SELECT doc_id, lang, source, count(*) AS cnt
+      FROM (SELECT doc_id, lang, source FROM documents
+            UNION ALL
+            SELECT doc_id, lang, source FROM documents WHERE doc_id < 25) u
+      GROUP BY 1, 2, 3 HAVING count(*) > 1""")),
     Q("q_dedup_ngram_jaccard", ngramJaccard, Some(jaccardOracle)),
     Q("q_dedup_minhash_lsh", minhashLsh, Some(jaccardOracle),
       headline = true),

@@ -113,6 +113,51 @@ object Similarity {
         $"vec_id".as("neighbor_id"), round($"cosine", 4).as("cosine"))
   }
 
+  val IvfCentroids = 16
+  val IvfProbes = 4
+
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    * into `IvfCentroids` cells; each query probes only the `IvfProbes`
+    * nearest cells and re-ranks exactly inside them. Centroids are a
+    * deterministic sample of the corpus (FAISS-style sampled coarse
+    * quantizer — no Lloyd refinement, which keeps cell assignment
+    * bit-deterministic). At 100 TB the corpus is written partitioned
+    * by cell id once, and a query touches ~probes/cells of the data. */
+  private def annIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = corpus(s, d)
+    // deterministic spread of seed ids, clear of the query ids
+    val seeds = (0 until IvfCentroids).map(i => NumQueries + 7L * i + 3L)
+    val centroids = e.filter($"vec_id".isin(seeds: _*))
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    // cell assignment: argmax centroid dot (struct max → deterministic
+    // tie-break on cid)
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("cdot", dot($"v", $"cv"))
+      .groupBy($"vec_id")
+      .agg(max(struct($"cdot", $"cid")).as("best"))
+      .select($"vec_id", $"best.cid".as("cell"))
+    val lists = assigned.join(e, "vec_id") // inverted lists (cell → vectors)
+    val qIds = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val wProbe = Window.partitionBy($"query_id")
+      .orderBy($"cdot".desc, $"cid".asc)
+    val probes = qIds.crossJoin(broadcast(centroids))
+      .withColumn("cdot", dot($"qv", $"cv"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter($"pr" <= IvfProbes)
+      .select($"query_id", $"qv", $"cid".as("cell"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    probes.join(lists, "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cosine", dot($"v", $"qv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"rank".cast("long").as("rank"),
+        $"vec_id".as("neighbor_id"), round($"cosine", 4).as("cosine"))
+  }
+
   /** Label-aware kNN check: majority label among the exact top-k —
     * the evaluation-style query a training pipeline runs. */
   private def knnLabels(s: SparkSession, d: String): DataFrame = {
@@ -141,6 +186,7 @@ object Similarity {
              vec_id AS neighbor_id, round(cosine, 4) AS cosine
       FROM ranked WHERE rank <= ${TopK}"""), headline = true),
     Q("q_ann_lsh", annLsh, None),
+    Q("q_ann_ivf", annIvf, None),
     Q("q_knn_labels", knnLabels, Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings),

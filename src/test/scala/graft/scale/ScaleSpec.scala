@@ -59,6 +59,20 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN IVF probes a subset yet recovers useful recall, deterministically") {
+    val brute = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf1 = SparkEntry.queries("q_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivf2 = SparkEntry.queries("q_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf1 === ivf2, "IVF must be deterministic")
+    val pairs = ivf1.map(t => (t._1, t._3))
+    val recall = (brute intersect pairs).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall $recall too low")
+  }
+
   test("langId is total, deterministic, and 'und' only for no-hit docs") {
     val out = SparkEntry.queries("q_text_langid")(spark, sf)
     assert(out.filter($"lang_pred".isNull).count() === 0)
