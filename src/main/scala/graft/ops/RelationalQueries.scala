@@ -245,6 +245,21 @@ object RelationalQueries {
       countDistinct($"l_orderkey").as("n_orders"))
   }
 
+  /** Dashboard Q8 argmax shape (SURVEY.md §2.11 "most active day /
+    * city / category"): top-1 per dimension via TakeOrderedAndProject,
+    * stitched with unionByName — no full sort, no window state. */
+  private def mostActive(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def top1(df: DataFrame, c: String, dim: String): DataFrame =
+      df.groupBy(col(c).cast("string").as("val"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("val").asc).limit(1)
+        .select(lit(dim).as("dimension"), col("val"), col("cnt"))
+    top1(Tables.orders(s, d), "o_orderpriority", "priority")
+      .unionByName(top1(Tables.events(s, d), "event_type", "event_type"))
+      .unionByName(top1(Tables.customer(s, d), "c_mktsegment", "segment"))
+  }
+
   /** approx_count_distinct (HLL++): the scalable form of the dashboard
     * countDistinct KPIs. HLL estimates differ across engines → no SQL
     * oracle; the spec asserts relative error < 5% vs exact instead. */
@@ -398,6 +413,18 @@ object RelationalQueries {
       SELECT count(*) AS n_rows,
              count(DISTINCT l_orderkey) AS n_orders
       FROM lineitem""")),
+
+    Q("q_most_active", mostActive, Some("""
+      (SELECT 'priority' AS dimension, o_orderpriority AS val,
+              count(*) AS cnt
+       FROM orders GROUP BY 2 ORDER BY cnt DESC, val ASC LIMIT 1)
+      UNION ALL
+      (SELECT 'event_type', event_type, count(*) AS cnt
+       FROM events GROUP BY 2 ORDER BY cnt DESC, event_type ASC LIMIT 1)
+      UNION ALL
+      (SELECT 'segment', c_mktsegment, count(*) AS cnt
+       FROM customer GROUP BY 2 ORDER BY cnt DESC, c_mktsegment ASC
+       LIMIT 1)""")),
 
     Q("q_approx_distinct", approxDistinct, None)
   )

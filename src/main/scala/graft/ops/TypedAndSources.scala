@@ -130,7 +130,8 @@ object TypedAndSources {
       FROM supplier GROUP BY 1""")),
 
     Q("q_text_roundtrip", textRoundtrip, Some("""
-      SELECT count(*) AS n_lines, sum(length(text)) AS total_chars,
+      SELECT count(*) AS n_lines,
+             CAST(sum(length(text)) AS BIGINT) AS total_chars,
              CAST(max(length(text)) AS BIGINT) AS max_chars
       FROM documents""")),
 

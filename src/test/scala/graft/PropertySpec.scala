@@ -1,0 +1,112 @@
+package graft
+
+import graft.yelp.Transforms
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY.md §5.2.4): totality of the CASE
+  * chains, first-match consistency of the category mapping against an
+  * independent Scala model, state-map pass-through, dedup idempotence,
+  * and fingerprint algebra. Generators are ScalaCheck `Gen`s pulled
+  * with fixed seeds (deterministic — no scalatestplus bridge needed);
+  * each property batches its samples into ONE Spark job.
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  /** n deterministic samples from a generator. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(0xC0FFEEL + i)))
+
+  test("sentiment is total: every star value maps to exactly one label") {
+    val stars = samples(Gen.chooseNum(-10.0, 10.0), 100) ++
+      Seq(2.0, 3.0, 4.0, 2.5, 3.0000001) // boundary pins
+    val got = stars.toDF("stars")
+      .select($"stars", Transforms.sentiment($"stars").as("s"))
+      .collect()
+    got.foreach { r =>
+      val v = r.getDouble(0)
+      val want =
+        if (v <= 2) "negative" else if (v == 3) "neutral" else "positive"
+      assert(r.getString(1) === want, s"stars=$v")
+    }
+  }
+
+  test("super-category matches an independent first-match model") {
+    val words = Gen.oneOf("Restaurants", "Food", "Bars", "Gyms", "Books",
+      "Plumbing", "Xyz", "Tutoring Centers", "Pet Stores", "noise")
+    val catGen = Gen.listOfN(3, words).map(_.mkString(", "))
+    def model(c: String): String =
+      if (c == null) "Other"
+      else Transforms.keywordOrder.find(p => c.contains(p._1))
+        .map(_._2).getOrElse("Other")
+    val cats = samples(catGen, 200)
+    val got = cats.toDF("c")
+      .select($"c", Transforms.superCategory($"c").as("chain"),
+        ext.SuperCategoryExpr.superCategory($"c",
+          Transforms.keywordOrder).as("native"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(1) === model(r.getString(0)), r.getString(0))
+      assert(r.getString(2) === model(r.getString(0)), r.getString(0))
+    }
+  }
+
+  test("state normalization: mapped codes translate, all else passes through") {
+    val codes = (Transforms.stateNames.keys.toSeq ++
+      Seq("QC", "NY", "ZZ", "", "delaware", "de")).distinct
+    val got = codes.toDF("state")
+      .select($"state", Transforms.normalizeState($"state").as("s"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(1) ===
+        Transforms.stateNames.getOrElse(r.getString(0), r.getString(0)))
+    }
+  }
+
+  test("dropDuplicates is idempotent with exact distinct cardinality") {
+    val lists = samples(Gen.listOfN(30, Gen.chooseNum(0, 10)), 10)
+      .filter(_.nonEmpty)
+    lists.foreach { xs =>
+      val df = xs.toDF("x")
+      val once = df.dropDuplicates()
+      assert(once.count() === xs.distinct.size.toLong)
+      assert(once.dropDuplicates().count() === once.count())
+    }
+  }
+
+  test("fingerprint: equal token streams collide, model-computed") {
+    val tok = Gen.listOfN(5, Gen.oneOf("a", "bb", "ccc", "dd", "e"))
+    val pairs = samples(Gen.zip(tok, tok), 50)
+    val df = pairs.map { case (a, b) => (a.mkString(" "), b.mkString(" ")) }
+      .toDF("t1", "t2")
+      .select($"t1", $"t2",
+        scale.TextOps.fingerprint($"t1").as("f1"),
+        scale.TextOps.fingerprint($"t2").as("f2"))
+      .collect()
+    df.foreach { r =>
+      if (r.getString(0) == r.getString(1))
+        assert(r.getLong(2) === r.getLong(3))
+      // (inequality not asserted: a 31-bit rolling hash may collide)
+    }
+    assert(df.exists(r => r.getString(0) == r.getString(1)) ||
+      pairs.nonEmpty)
+  }
+
+  test("join row-count bounds: inner ≤ left ≤ left+anti ≡ left table") {
+    val sf = SparkTestSession.sf
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val inner = c.join(o, $"c_custkey" === $"o_custkey").count()
+    val left = c.join(o, $"c_custkey" === $"o_custkey", "left").count()
+    val semi = c.join(o, $"c_custkey" === $"o_custkey", "left_semi").count()
+    val anti = c.join(o, $"c_custkey" === $"o_custkey", "left_anti").count()
+    assert(semi + anti === c.count())
+    assert(inner >= semi)
+    assert(left >= inner)
+  }
+}
