@@ -29,14 +29,28 @@ object Dedup {
   val RowsPerBand = 4
   val JaccardThreshold = 0.8
 
-  /** (doc_id, shingles) with empty-shingle docs dropped. Cached: the
+  /** Distinct 3-gram shingles as 64-bit hashes of the token TRIPLE —
+    * no concatenated shingle strings are ever materialized. Identity
+    * is hash-based; a cross-shingle collision would need ~2³² shingles
+    * per doc pair (we have ~5·10²), so set algebra (and therefore
+    * Jaccard) matches the string-shingle oracle exactly. */
+  def shingleHashes(text: Column): Column = {
+    val t = TextOps.tokens(text)
+    when(size(t) < 3, array().cast("array<bigint>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(t) - lit(2)),
+          i => xxhash64(element_at(t, i), element_at(t, i + 1),
+            element_at(t, i + 2)))))
+  }
+
+  /** (doc_id, shingle-hash set) with empty docs dropped. Cached: the
     * near-dup queries read it three times (signature pass + the two
     * verify joins); at cluster scale this is a checkpoint, locally an
     * in-memory persist of ~#docs rows. */
   private def docShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", TextOps.shingles($"text").as("sh"))
+      .select($"doc_id", shingleHashes($"text").as("sh"))
       .filter(size($"sh") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
@@ -81,15 +95,18 @@ object Dedup {
     Array.fill(NumHashes)((next(P - 1) + 1, next(P)))
   }
 
-  /** MinHash signatures: explode shingles once, hash each shingle ONCE
-    * (xxhash64 → 31-bit domain), then derive all 128 min-hashes as
-    * affine transforms (aᵢ·h + bᵢ mod P — 2-universal family) inside a
-    * single codegen'd hash aggregate. One string hash + 128 long ops
-    * per posting instead of 128 string hashes — this is what keeps the
-    * signature pass ~linear in corpus size at 100 TB. */
+  /** MinHash signatures: explode shingle hashes once (already 64-bit
+    * longs), fold into the 31-bit domain, then derive all 128
+    * min-hashes as affine transforms (aᵢ·h + bᵢ mod P — 2-universal
+    * family) inside a single codegen'd hash aggregate. Zero string
+    * hashing per posting — this is what keeps the signature pass
+    * ~linear in corpus size at 100 TB. */
   private def minhashSignatures(sh: DataFrame): DataFrame = {
     val posting = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .withColumn("h31", pmod(xxhash64(col("shingle")), lit(P)))
+      .withColumn("h31", pmod(col("shingle"), lit(P)))
+    // mod-prime affine family — multiply-shift was measurably biased
+    // here (dropped a true pair at τ=0.8); the division cost is noise
+    // next to the explode+aggregate
     val mins = (0 until NumHashes).map { i =>
       val (a, b) = hashCoefs(i)
       min(pmod(col("h31") * lit(a) + lit(b), lit(P))).as(s"h$i")
