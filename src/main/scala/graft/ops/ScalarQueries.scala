@@ -216,7 +216,45 @@ object ScalarQueries {
         $"event_type", $"cnt", $"total")
   }
 
+  /** Gap-based sessionization in BATCH mode via the native
+    * session_window operator (the streaming module uses the same call
+    * on a stream). Oracle: the classic SQL gaps-and-islands rewrite —
+    * a session id is the running count of gap>10min flags per user;
+    * session end = last event + gap (session_window's semantics). */
+  private def sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(session_window($"ts", "10 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("session_value"))
+      .select(
+        date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss")
+          .as("s_start"),
+        date_format($"session_window.end", "yyyy-MM-dd HH:mm:ss")
+          .as("s_end"),
+        $"user_id", $"n_events", $"session_value")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_sessionize", sessionize, Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts) > INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+             strftime(max(ts) + INTERVAL 10 MINUTE,
+               '%Y-%m-%d %H:%M:%S') AS s_end,
+             user_id, count(*) AS n_events,
+             round(sum(value), 2) AS session_value
+      FROM sessions GROUP BY user_id, sid""")),
+
     Q("q_date_extract", dateExtract, Some("""
       SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
              CAST(month(o_orderdate) AS BIGINT) AS o_month,

@@ -108,6 +108,35 @@ object Multimodal {
         .as("height"),
       length(col("media")).cast("long").as("n_bytes"))
 
+  /** "Resize": downsample the payload by `factor` (every factor-th
+    * byte) and rewrite the header to the scaled dimensions. STUB —
+    * a real implementation would be a codec call; the pipeline shape
+    * (binary → binary, metadata kept in sync) is the tested part. */
+  def resize(spark: SparkSession, media: Dataset[MediaRow],
+      factor: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(factor >= 1)
+    media.mapPartitions { it =>
+      it.map { row =>
+        val b = row.media
+        def be32(o: Int): Int =
+          ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+            ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+        val w2 = math.max(1, be32(0) / factor)
+        val h2 = math.max(1, be32(4) / factor)
+        val payload = (8 until b.length by factor).map(b(_)).toArray
+        val out = new Array[Byte](8 + payload.length)
+        def put32(o: Int, v: Int): Unit = {
+          out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
+          out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
+        }
+        put32(0, w2); put32(4, h2)
+        System.arraycopy(payload, 0, out, 8, payload.length)
+        MediaRow(row.media_id, row.kind, out)
+      }
+    }
+  }
+
   /** Frame sampling as a native expression: every `stride`-th
     * `frameLen`-byte slice of the payload, exploded to one row per
     * frame. No JVM closure — array/substring expressions only. */

@@ -27,6 +27,12 @@ object TextOps {
           i => array_join(slice(t, i, lit(n)), " "))))
   }
 
+  /** BPE-ish regex tokenization: letter runs, single digits, and
+    * punctuation runs — the GPT-2-style pre-tokenizer shape, engine-
+    * portable (same regex dialect subset in Java and RE2/DuckDB). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]+"), lit(0))
+
   /** BPE-ish subword count: word tokens plus extra units for long
     * words (every 6 chars beyond the first 6 ≈ one extra subword) —
     * a deterministic stand-in for a real BPE vocab. */
@@ -88,6 +94,7 @@ object TextOps {
     Tables.documents(s, d).select(
       $"doc_id",
       size(tokens($"text")).cast("long").as("n_tokens"),
+      size(bpeTokens($"text")).cast("long").as("n_bpe"),
       subwordCount($"text").as("n_subwords"))
   }
 
@@ -130,6 +137,8 @@ object TextOps {
       SELECT doc_id,
              CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
                AS n_tokens,
+             CAST(len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]|[^a-z0-9\s]+')) AS BIGINT) AS n_bpe,
              CAST(list_sum(list_transform(
                string_split_regex(lower(text), '\s+'),
                w -> 1 + (length(w) - 1) // 6)) AS BIGINT) AS n_subwords

@@ -53,6 +53,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f0.toSeq === m0.slice(8, 40).toSeq)
   }
 
+  test("resize halves dimensions and downsamples payload, header in sync") {
+    val resized = resize(spark, media, 2)
+    val metas = decodeMeta(spark, resized).collect()
+    val orig = decodeMeta(spark, media).collect()
+      .map(m => m.media_id -> m).toMap
+    metas.foreach { m =>
+      val o = orig(m.media_id)
+      assert(m.width === math.max(1, o.width / 2))
+      assert(m.height === math.max(1, o.height / 2))
+      assert(m.n_bytes === 8 + 128) // 256-byte payload stride 2
+    }
+    // determinism
+    val again = resize(spark, media, 2)
+    assert(decodeMeta(spark, again).collect().map(_.checksum).toSeq ===
+      metas.map(_.checksum).toSeq)
+  }
+
   test("metadata-only query prunes the blob column from the scan") {
     val dir = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("target"), "media")
