@@ -17,6 +17,15 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Scratch dir for format round-trip queries — anchored to the repo
+    * (not the CWD, which the driver may set elsewhere). */
+  def scratch(sfDir: String, tag: String): String = {
+    val base = sys.env.get("SPARK_GRAFT_SCRATCH")
+      .orElse(Option("/root/repo/target").filter(p => new java.io.File(p).isDirectory))
+      .getOrElse("target")
+    s"$base/fmtcache/${new java.io.File(sfDir).getName}/$tag"
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")

@@ -58,10 +58,8 @@ object PipelineQueries {
     StructField("l_shipdate", TimestampType)))
 
   /** Stable scratch dir per sf under the repo's target/. */
-  private def scratch(d: String, tag: String): String = {
-    val sf = new java.io.File(d).getName
-    s"target/fmtcache/$sf/$tag"
-  }
+  private def scratch(d: String, tag: String): String =
+    Tables.scratch(d, tag)
 
   private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -61,7 +61,7 @@ object TypedAndSources {
   }
 
   private def scratch(d: String, tag: String): String =
-    s"target/fmtcache/${new java.io.File(d).getName}/$tag"
+    Tables.scratch(d, tag)
 
   /** ORC sink + source round-trip (columnar alternative to parquet). */
   private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {

@@ -16,7 +16,9 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return ("nan",)
-        return (f"{v:.6g}",)
+        if v == int(v) and abs(v) < 1e15:  # int-valued: match int repr
+            return (str(int(v)),)
+        return (f"{v:.10g}",)
     return (str(v),)
 
 def key(row):
