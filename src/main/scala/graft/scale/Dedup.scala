@@ -95,18 +95,19 @@ object Dedup {
     Array.fill(NumHashes)((next(P - 1) + 1, next(P)))
   }
 
-  /** MinHash signatures: explode shingle hashes once (already 64-bit
-    * longs), fold into the 31-bit domain, then derive all 128
+  /** MinHash signatures: explode shingle hashes (already 64-bit
+    * longs), fold into the 31-bit domain once, then derive all 128
     * min-hashes as affine transforms (aᵢ·h + bᵢ mod P — 2-universal
-    * family) inside a single codegen'd hash aggregate. Zero string
-    * hashing per posting — this is what keeps the signature pass
-    * ~linear in corpus size at 100 TB. */
+    * mod-prime family) inside a single codegen'd hash aggregate with
+    * map-side combine. Measured against two alternatives at sf0.1:
+    * multiply-shift hashing (biased — dropped a true pair at τ=0.8)
+    * and a row-local nested-transform signature (3.6× slower —
+    * higher-order functions are interpreted, the hash aggregate is
+    * codegen'd). The explode+aggregate shape shuffles only
+    * 5000×128-long signature rows, never the postings. */
   private def minhashSignatures(sh: DataFrame): DataFrame = {
     val posting = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .withColumn("h31", pmod(col("shingle"), lit(P)))
-    // mod-prime affine family — multiply-shift was measurably biased
-    // here (dropped a true pair at τ=0.8); the division cost is noise
-    // next to the explode+aggregate
     val mins = (0 until NumHashes).map { i =>
       val (a, b) = hashCoefs(i)
       min(pmod(col("h31") * lit(a) + lit(b), lit(P))).as(s"h$i")
