@@ -67,6 +67,29 @@ object EventStreams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases matched to the clicks of
+    * the same user within the preceding hour. Both sides carry
+    * watermarks so the join state is bounded — the unbounded-state
+    * trap is the reason stream-stream joins REQUIRE the time-range
+    * condition at scale. */
+  def purchaseAttribution(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      expr("""p_user = c_user AND
+              click_ts <= purchase_ts AND
+              click_ts >= purchase_ts - INTERVAL 1 HOUR"""))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Custom state machine: running per-user totals emitted on every
     * update (flatMapGroupsWithState, update mode). The buffer is one
     * (count, sum) pair per live user — O(#users), not O(#events). */

@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   *  - super_category / sentiment / state are native expression chains
   *    (the reference pays a Python UDF boundary for super_category);
   *  - exact dedup keys on review_id — the natural key — instead of the
-  *    reference's all-column dropDuplicates over 15 wide columns
-  *    (same result on well-formed data, ~15× less shuffle width;
-  *    `dedupeExact=AllColumns` restores bit-parity semantics).
+  *    reference's all-column dropDuplicates (same result on
+  *    well-formed data; also collapses same-key rows that differ in a
+  *    non-key column, which all-column dedup would keep —
+  *    `dedup=AllColumns` restores bit-parity semantics. Physically:
+  *    keyed dedup plans as SortAggregate with first(), all-column as
+  *    a pure HashAggregate; both combine map-side before the
+  *    shuffle).
   *
   * Output schema is the union of the reference variants' outputs
   * (SURVEY.md §3.5.4): business_id, user_id, name, cool, review_id,

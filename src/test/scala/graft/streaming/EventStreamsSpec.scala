@@ -121,6 +121,29 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(byUser(2L) === (1L, 1.0))
   }
 
+  test("stream-stream interval join attributes purchases to prior clicks") {
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val out = purchaseAttribution(clicks.toDF(), purchases.toDF())
+    val q = out.writeStream.format("memory").queryName("attrib_t")
+      .outputMode("append").start()
+    try {
+      clicks.addData(ev(1, 0, 7, "click"), ev(2, 30, 7, "click"),
+        ev(3, 10, 8, "click"))
+      purchases.addData(ev(100, 45, 7, "purchase", 9.99))
+      q.processAllAvailable()
+      // advance both watermarks far enough to emit the joined rows
+      clicks.addData(ev(4, 300, 9, "click"))
+      purchases.addData(ev(101, 300, 9, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attrib_t")
+      .filter($"purchase_id" === 100L).collect()
+    // purchase at t=45 joins user 7's clicks at t=0 and t=30 (≤1h back)
+    assert(rows.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L))
+    assert(rows.forall(_.getLong(2) === 7L))
+  }
+
   test("same transforms run in batch mode (stream-batch unification)") {
     val batch = Seq(ev(1, 10, 1, "click"), ev(2, 20, 1, "click"),
       ev(3, 70, 2, "view")).toDF()
