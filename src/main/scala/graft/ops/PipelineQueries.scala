@@ -100,7 +100,52 @@ object PipelineQueries {
       GROUP BY c_mktsegment""")
   }
 
+  /** SQL parser surface: IN-subquery + scalar subquery through
+    * spark.sql (Catalyst rewrites them to joins — the Athena-style
+    * interactive path, SURVEY.md §3.3). */
+  private def subqueries(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("sq_orders")
+    Tables.customer(s, d).createOrReplaceTempView("sq_customer")
+    s.sql("""
+      SELECT c_mktsegment, count(*) AS cnt
+      FROM sq_customer
+      WHERE c_custkey IN (SELECT o_custkey FROM sq_orders
+                          WHERE o_totalprice >
+                            (SELECT avg(o_totalprice) FROM sq_orders))
+      GROUP BY c_mktsegment""")
+  }
+
+  /** Partitioned write + partition-pruned read as a driver-checked
+    * query: orders land partitioned by year, the read-back filters one
+    * partition (the §4.4 replacement for coalesce(1) layouts). */
+  private def partitionedRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = Tables.scratch(d, "orders_by_year")
+    Tables.orders(s, d)
+      .withColumn("o_year", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    s.read.parquet(path)
+      .filter($"o_year" === 1996)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"o_totalprice"), 2).as("total"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_subqueries", subqueries, Some("""
+      SELECT c_mktsegment, count(*) AS cnt
+      FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders
+                          WHERE o_totalprice >
+                            (SELECT avg(o_totalprice) FROM orders))
+      GROUP BY c_mktsegment""")),
+
+    Q("q_partitioned_roundtrip", partitionedRoundtrip, Some("""
+      SELECT o_orderstatus, count(*) AS cnt,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders WHERE year(o_orderdate) = 1996
+      GROUP BY 1""")),
+
     Q("q_master_pipeline", masterPipeline, Some("""
       SELECT o_orderkey, cust_name, round(price, 2) AS price,
              c_mktsegment,

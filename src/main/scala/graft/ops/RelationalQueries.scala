@@ -188,7 +188,7 @@ object RelationalQueries {
       .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
       .rollup($"r_name", $"n_name")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
   }
 
   /** CUBE over two independent dimensions. */
@@ -374,7 +374,8 @@ object RelationalQueries {
       SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""")),
 
     Q("q_rollup", rollupRegionNation, Some("""
-      SELECT r_name, n_name, count(*) AS cnt
+      SELECT r_name, n_name, count(*) AS cnt,
+             CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
       FROM customer
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey

@@ -69,6 +69,24 @@ class PlanSpec extends AnyFunSuite {
     assert(broadcasts(q("q_master_pipeline")) >= 1)
   }
 
+  test("merge hint forces sort-merge join (large-large strategy)") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf).hint("merge")
+    val plan = initial(li.join(o, $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"o_totalprice")).toString
+    assert(plan.contains("SortMergeJoin"))
+  }
+
+  test("shuffle hash hint forces shuffled hash join") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf).hint("shuffle_hash")
+    val plan = initial(li.join(o, $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"o_totalprice")).toString
+    assert(plan.contains("ShuffledHashJoin"))
+  }
+
   test("scans prune columns: projection-only query reads 2 columns") {
     val df = Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_extendedprice")
