@@ -245,6 +245,19 @@ object RelationalQueries {
       countDistinct($"l_orderkey").as("n_orders"))
   }
 
+  /** Per-nation top-3 customers through the custom TopKPerKey
+    * operator (graft.ext: LogicalPlan + Strategy + bounded-heap Exec
+    * with map-side partial) — same semantics as the window form, so it
+    * shares that oracle shape. */
+  private def topkCustom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val in = Tables.customer(s, d)
+      .select($"c_nationkey".cast("long").as("nationkey"), $"c_custkey",
+        round($"c_acctbal", 2).as("acctbal"))
+    graft.ext.TopKPerKey.topK(in, Seq("nationkey"),
+      Seq(("acctbal", false), ("c_custkey", true)), 3)
+  }
+
   /** Dashboard Q8 argmax shape (SURVEY.md §2.11 "most active day /
     * city / category"): top-1 per dimension via TakeOrderedAndProject,
     * stitched with unionByName — no full sort, no window state. */
@@ -414,6 +427,14 @@ object RelationalQueries {
       SELECT count(*) AS n_rows,
              count(DISTINCT l_orderkey) AS n_orders
       FROM lineitem""")),
+
+    Q("q_topk_custom", topkCustom, Some("""
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_custkey,
+             round(c_acctbal, 2) AS acctbal
+      FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                 ORDER BY round(c_acctbal, 2) DESC, c_custkey ASC) AS rn
+            FROM customer) t
+      WHERE rn <= 3""")),
 
     Q("q_most_active", mostActive, Some("""
       (SELECT 'priority' AS dimension, o_orderpriority AS val,
