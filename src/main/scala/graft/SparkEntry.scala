@@ -19,6 +19,7 @@ object SparkEntry {
       ops.TypedAndSources.queries ++
       scale.TextOps.queries ++
       scale.Dedup.queries ++
+      scale.MinHashSigAgg.queries ++
       scale.Similarity.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -73,6 +73,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall too low")
   }
 
+  test("sketch-union estimate tracks exact set Jaccard within ±0.1") {
+    import graft.Tables
+    val est = SparkEntry.queries("q_sketch_union")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est.nonEmpty)
+    // exact per-language shingle sets, computed via plain Spark
+    val sets = Tables.documents(spark, sf)
+      .select($"lang", explode(Dedup.shingleHashes($"text")).as("h"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).map { case (l, rs) =>
+        l -> rs.map(_.getLong(1)).toSet }
+    est.foreach { case ((l1, l2), e) =>
+      val exact = sets(l1).intersect(sets(l2)).size.toDouble /
+        sets(l1).union(sets(l2)).size
+      assert(math.abs(e - exact) <= 0.1, s"$l1/$l2 est=$e exact=$exact")
+    }
+  }
+
+  test("sketch union is merge-order independent (distributive)") {
+    val a = Seq(1L, 2L, 3L)
+    val b = Seq(4L, 5L)
+    val c = Seq(6L)
+    def sig(chunks: Seq[Seq[Long]]): Seq[Long] =
+      MinHashSigAgg.finish(chunks.foldLeft(MinHashSigAgg.zero) {
+        (buf, ch) => MinHashSigAgg.reduce(buf, ch) })
+    val s1 = sig(Seq(a, b, c))
+    val s2 = MinHashSigAgg.finish(MinHashSigAgg.merge(
+      Seq(a).foldLeft(MinHashSigAgg.zero)(MinHashSigAgg.reduce),
+      Seq(b, c).foldLeft(MinHashSigAgg.zero)(MinHashSigAgg.reduce)))
+    assert(s1 === s2)
+  }
+
   test("langId is total, deterministic, and 'und' only for no-hit docs") {
     val out = SparkEntry.queries("q_text_langid")(spark, sf)
     assert(out.filter($"lang_pred".isNull).count() === 0)
