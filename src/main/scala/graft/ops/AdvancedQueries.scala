@@ -50,6 +50,31 @@ object AdvancedQueries {
       last($"o_orderkey").over(w).as("last_order"))
   }
 
+  /** lead + cume_dist over the order stream. */
+  private def windowLead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(s, d).select(
+      $"o_custkey", $"o_orderkey",
+      lead($"o_orderkey", 1).over(w).as("next_order"),
+      round(cume_dist().over(w), 6).as("cd"))
+  }
+
+  /** approx_percentile — the sketch-based scalable form of
+    * q_percentiles (t-digest-style; estimates differ from DuckDB's
+    * exact quantiles → spec-bounded instead of oracled). */
+  private def approxPercentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(percentile_approx($"o_totalprice", lit(0.5), lit(1000)), 4)
+          .as("p50_approx"),
+        round(percentile_approx($"o_totalprice", lit(0.99), lit(1000)), 4)
+          .as("p99_approx"))
+  }
+
   /** Statistical aggregates per group. */
   private def statsAgg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -181,6 +206,16 @@ object AdvancedQueries {
                    ORDER BY o_orderdate ASC, o_orderkey ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING
                             AND UNBOUNDED FOLLOWING)""")),
+
+    Q("q_window_lead", windowLead, Some("""
+      SELECT o_custkey, o_orderkey,
+             lead(o_orderkey, 1) OVER w AS next_order,
+             round(cume_dist() OVER w, 6) AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC)""")),
+
+    Q("q_approx_percentiles", approxPercentiles, None),
 
     Q("q_stats_agg", statsAgg, Some("""
       SELECT l_returnflag,

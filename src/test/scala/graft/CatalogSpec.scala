@@ -48,6 +48,16 @@ class CatalogSpec extends AnyFunSuite {
     assert(rows.sameElements(rows.sorted(Ordering[Double].reverse)))
   }
 
+  test("q_approx_percentiles within 5% of exact percentiles") {
+    val approx = SparkEntry.queries("q_approx_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = SparkEntry.queries("q_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, p50) =>
+      assert(math.abs(approx(k) - p50) / p50 < 0.05, s"$k")
+    }
+  }
+
   test("q_approx_distinct is within 5% of exact") {
     val r = SparkEntry.queries("q_approx_distinct")(spark, sf).collect()(0)
     val exact = Tables.lineitem(spark, sf)
