@@ -124,10 +124,13 @@ object Dedup {
       val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
     }
+    // persisted: the self-join below would otherwise recompute the
+    // whole signature pipeline for each side
     val buckets = sig.select(col("doc_id"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = buckets.as("a").join(buckets.as("b"),
         Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
