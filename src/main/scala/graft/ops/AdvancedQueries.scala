@@ -125,6 +125,25 @@ object AdvancedQueries {
           .as("first_doubled"))
   }
 
+  /** Array-function battery over token arrays: sort, slice, flatten,
+    * zip_with, array_contains, array_position, reverse. */
+  private def arrayFuncs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id",
+        slice(split(lower($"text"), "\\s+"), 1, 6).as("toks"))
+    base.select(
+      $"doc_id",
+      array_join(array_sort($"toks"), " ").as("sorted_toks"),
+      array_join(reverse($"toks"), " ").as("rev_toks"),
+      array_contains($"toks", "the").as("has_the"),
+      array_position($"toks", "data").cast("long").as("data_pos"),
+      array_join(flatten(array($"toks", array(lit("eof")))), " ")
+        .as("flat"),
+      array_join(zip_with($"toks", $"toks", (a, b) => concat(a, b)), " ")
+        .as("doubled"))
+  }
+
   /** Date arithmetic battery. */
   private def dateArith(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -248,6 +267,21 @@ object AdvancedQueries {
                x -> abs(x))), 4) AS l1_norm,
              round(CAST(embedding[1] AS DOUBLE) * 2, 6) AS first_doubled
       FROM embeddings""")),
+
+    Q("q_array_funcs", arrayFuncs, Some("""
+      WITH t AS (SELECT doc_id,
+                        string_split_regex(lower(text), '\s+')[1:6] AS toks
+                 FROM documents)
+      SELECT doc_id,
+             array_to_string(list_sort(toks), ' ') AS sorted_toks,
+             array_to_string(list_reverse(toks), ' ') AS rev_toks,
+             list_contains(toks, 'the') AS has_the,
+             CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT)
+               AS data_pos,
+             array_to_string(list_concat(toks, ['eof']), ' ') AS flat,
+             array_to_string(list_transform(toks, x -> x || x), ' ')
+               AS doubled
+      FROM t""")),
 
     Q("q_date_arith", dateArith, Some("""
       SELECT o_orderkey,
