@@ -45,9 +45,14 @@ object MasterTable {
     * the canonical glue_job.py pipeline has no null-drop, so the
     * default is off — null categories flow to super_category "Other"
     * (reference glue_job.py:64-65). */
+  /** `keepText` builds the EXTENDED master with the review text
+    * retained — required by the review-length analytics the reference
+    * lists as an objective but never computes (README.md:20, dashboard
+    * Q10; the reference's projection drops text at glue_job.py:39-44). */
   def build(business: DataFrame, review: DataFrame, user: DataFrame,
       dedup: DedupMode = ByReviewId,
-      dropNulls: Boolean = false): DataFrame = {
+      dropNulls: Boolean = false,
+      keepText: Boolean = false): DataFrame = {
 
     // Disambiguating renames (reference glue_job.py:25-32) — expressed
     // as withColumnRenamed chains; Catalyst collapses them into the
@@ -64,10 +69,11 @@ object MasterTable {
 
     // J1: review ⋈ user on user_id (fact ⋈ mid-size → shuffle join);
     // J2: ⋈ business on business_id (small dim → broadcast).
+    val kept = if (keepText) keptColumns :+ "text" else keptColumns
     val joined = r
       .join(user, Seq("user_id"), "inner")
       .join(broadcast(b), Seq("business_id"), "inner")
-      .select(keptColumns.map(col): _*)
+      .select(kept.map(col): _*)
 
     val deduped = dedup match {
       case ByReviewId => joined.dropDuplicates("review_id")

@@ -139,6 +139,28 @@ class YelpVolumeSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("Q3/Q5/Q8 dashboard queries run with sane shapes") {
+    val q3 = Analytics.businessesByStars(master).collect()
+    assert(q3.map(_.getLong(1)).sum >= q3.length) // ≥1 biz per bucket
+    val q5 = Analytics.dayWiseByCategory(master)
+    assert(q5.select($"dow").distinct().count() === 7)
+    val q8 = Analytics.mostActive(master).collect()
+    assert(q8.map(_.getString(0)).toSet === Set("city", "super_category", "dow"))
+  }
+
+  test("Q10 review-length analytics over the extended (keepText) master") {
+    val extended = MasterTable.build(bizRows.toDF(), revRows.toDF(),
+      userRows.toDF(), keepText = true)
+    assert(extended.columns.contains("text"))
+    val q10 = Analytics.reviewLengthByMonth(extended)
+    val rows = q10.collect()
+    assert(rows.map(_.getLong(4)).sum === NumReviews)
+    // generator model: text = "text " * (1 + dd%40) → avg length sane
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 5.0 && r.getDouble(2) <= 205.0)
+    }
+  }
+
   test("sentiment partitions all reviews across the three labels") {
     val bySent = master.groupBy($"sentiment").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
