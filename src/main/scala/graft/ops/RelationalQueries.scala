@@ -428,7 +428,7 @@ object RelationalQueries {
              count(DISTINCT l_orderkey) AS n_orders
       FROM lineitem""")),
 
-    Q("q_topk_custom", topkCustom, Some("""
+    Q("q_topk_custom", topkCustom, headline = true, oracle = Some("""
       SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_custkey,
              round(c_acctbal, 2) AS acctbal
       FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey
