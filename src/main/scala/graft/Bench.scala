@@ -1,13 +1,21 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times the headline query set on SPARK_GRAFT_SF_DIR
   * and prints ONE JSON line the driver collects as BENCH_r{N}.json.
+  * The same line is also written to target/bench.json so the metric
+  * survives even if stdout gets wrapped by a build-tool logger (round 1
+  * lost the parse to sbt's "[info] " prefix).
   *
   * Each query runs once untimed (JVM/codegen/broadcast warm-up — we
   * measure the engine, not JIT compilation) and then timed. AQE stays
   * on, shuffle partitions match local core count.
+  *
+  * Failures are NOT swallowed: a query that errors is timed to its
+  * failure point, reported in an "errors" map, and forces a non-zero
+  * exit — a silently-zero bench entry must never read as a pass.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,22 +32,45 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.headline
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     qs.foreach { q => // warm-up: plan + run once, discard timing
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        errors.getOrElseUpdate(q.name, s"warmup: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
     val results = qs.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        errors.put(q.name, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qJson = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val errJson = errors
+      .map { case (k, v) => jstr(k) + ":" + jstr(v.take(300)) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    try {
+      Files.createDirectories(Paths.get("target"))
+      Files.writeString(Paths.get("target/bench.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
+    GraftCaches.release(spark)
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -43,17 +43,18 @@ object Dedup {
             element_at(t, i + 2)))))
   }
 
-  /** (doc_id, shingle-hash set) with empty docs dropped. Cached: the
-    * near-dup queries read it three times (signature pass + the two
-    * verify joins); at cluster scale this is a checkpoint, locally an
-    * in-memory persist of ~#docs rows. */
-  private def docShingles(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", shingleHashes($"text").as("sh"))
-      .filter(size($"sh") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  /** (doc_id, shingle-hash set) with empty docs dropped. Cached via
+    * the session registry: the near-dup queries read it three times
+    * each (signature pass + the two verify joins) and BOTH near-dup
+    * queries share it; at cluster scale this is a checkpoint, locally
+    * an in-memory persist of ~#docs rows. Released by
+    * GraftCaches.release / Bench / Verify. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    graft.GraftCaches.getOrPersist(s, s"dedup.shingles:$d") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+    }
 
   /** Exact Jaccard over distinct shingle sets for a pair DataFrame with
     * columns d1/d2; keeps pairs ≥ threshold. */
@@ -124,13 +125,14 @@ object Dedup {
       val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
     }
-    // persisted: the self-join below would otherwise recompute the
-    // whole signature pipeline for each side
-    val buckets = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted (session registry): the self-join below would otherwise
+    // recompute the whole signature pipeline for each side
+    val buckets = graft.GraftCaches.getOrPersist(s, s"dedup.lsh_buckets:$d") {
+      sig.select(col("doc_id"),
+          explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
+    }
     val candidates = buckets.as("a").join(buckets.as("b"),
         Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))

@@ -91,9 +91,11 @@ object Similarity {
   private def annLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = corpus(s, d)
-    // persisted: probed twice (query-bucket lookup + candidate join)
-    val buckets = bandBuckets(e)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted (session registry): probed twice (query-bucket lookup +
+    // candidate join); released by GraftCaches.release / Bench / Verify
+    val buckets = graft.GraftCaches.getOrPersist(s, s"ann.band_buckets:$d") {
+      bandBuckets(e)
+    }
     val qIds = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
     val qBuckets = buckets.join(
