@@ -141,28 +141,62 @@ object Dedup {
     verifyPairs(candidates, sh)
   }
 
-  /** SimHash: 64-bit signature; bit k is the sign of the sum of ±1
+  /** SimHash: bit k of the signature is the sign of the sum of ±1
     * votes (bit k of each token hash) over the doc's tokens.
-    * Implemented as explode → ONE hash aggregate with 64 long sums —
-    * a single codegen'd partial+final aggregation, so signature
-    * computation stays map-side-combinable at 100 TB. */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
+    * Implemented as explode → ONE hash aggregate with one long sum per
+    * bit — a single codegen'd partial+final aggregation, so signature
+    * computation stays map-side-combinable at 100 TB.
+    *
+    * Two token hashes: the default 64-bit `xxhash64` (codegen'd — the
+    * 100 TB path), and a `portable` 62-bit variant (two 31-bit
+    * polynomial char hashes packed as h₁ + h₂·2³¹) that DuckDB can
+    * replay exactly, giving the catalog query a full value-level
+    * oracle. Same signature shape and hamming semantics either way. */
+  def simhashSignatures(docs: DataFrame, portable: Boolean = false): DataFrame = {
+    val bits = if (portable) 62 else 64
+    val hash =
+      if (portable)
+        TextOps.polyHash(col("w"), 31L) +
+          TextOps.polyHash(col("w"), 37L) * lit(2147483648L)
+      else xxhash64(col("w"))
     val tok = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val votes = (0 until 64).map(b =>
+      .withColumn("h", hash)
+    val votes = (0 until bits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
         .otherwise(-1L)).as(s"v$b"))
     tok.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b =>
+        (0 until bits).map(b =>
           when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
   private def simhashQ(s: SparkSession, d: String): DataFrame =
-    simhashSignatures(Tables.documents(s, d))
+    simhashSignatures(Tables.documents(s, d), portable = true)
+
+  /** DuckDB oracle for the portable simhash — generated so the hash
+    * constants and bit count can never drift from the Spark side. */
+  private def simhashOracle: String = {
+    val h1 = TextOps.polyHashSql("w", 31L)
+    val h2 = TextOps.polyHashSql("w", 37L)
+    val votes = (0 until 62).map { b =>
+      s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n               ")
+    val recompose = (0 until 62)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""
+      WITH tok AS (SELECT doc_id,
+                          unnest(string_split_regex(lower(text), '\\s+')) AS w
+                   FROM documents),
+      h AS (SELECT doc_id, $h1 + $h2 * 2147483648 AS h FROM tok),
+      v AS (SELECT doc_id,
+               $votes
+            FROM h GROUP BY doc_id)
+      SELECT doc_id, $recompose AS simhash FROM v"""
+  }
 
   /** Exact dedup by content digest. The input plants duplicates (a
     * re-keyed copy of doc_id < 50) so the operator demonstrably
@@ -245,7 +279,7 @@ object Dedup {
     Q("q_dedup_ngram_jaccard", ngramJaccard, Some(jaccardOracle)),
     Q("q_dedup_minhash_lsh", minhashLsh, Some(jaccardOracle),
       headline = true),
-    Q("q_dedup_simhash", simhashQ, None),
+    Q("q_dedup_simhash", simhashQ, Some(simhashOracle)),
     Q("q_dedup_embed_cosine", embedNearDup, Some("""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings)

@@ -76,15 +76,69 @@ object TextOps {
     when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
   }
 
+  /** Portable 31-bit polynomial hash over a string's characters:
+    * h = foldl (acc·base + codepoint(c)) mod P (Mersenne 2³¹-1).
+    * Reproducible byte-for-byte in DuckDB (see [[polyHashSql]]) — the
+    * token hash for every oracled sketch query. Spark's `split(s,"")`
+    * and `ascii` are unicode-codepoint-aware exactly like DuckDB's
+    * `string_split(s,'')` / `ord` (verified incl. CJK), and every
+    * intermediate stays < 2⁴² so ANSI mode never overflows. Slower
+    * than `xxhash64` (interpreted higher-order fold) — use it on
+    * correctness-tier paths, not 100 TB hot paths. */
+  def polyHash(str: Column, base: Long): Column =
+    aggregate(split(str, ""), lit(0L),
+      (acc, c) => pmod(acc * lit(base) + ascii(c), lit(2147483647L)))
+
+  /** DuckDB rendering of [[polyHash]] for oracle SQL. `greatest(ord(c),
+    * 0)` pins the one divergence: DuckDB's ord('') is -1 where Spark's
+    * ascii('') is 0. */
+  def polyHashSql(expr: String, base: Long): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($expr, ''), " +
+      s"c -> CAST(greatest(ord(c), 0) AS BIGINT))), " +
+      s"(acc, x) -> (acc * $base + x) % 2147483647)"
+
   /** Rolling polynomial fingerprint over the token stream:
-    * fp = Σ hash(token_i) · B^(n-1-i)  mod p (Mersenne prime 2³¹-1;
-    * modular form keeps every intermediate < 2⁵² so ANSI-mode Spark
-    * never overflows). Order-sensitive — permuted docs get different
-    * fingerprints — and computable in one pass with `aggregate`. */
+    * fp = Σ h(token_i) · B^(n-1-i)  mod p, with h = [[polyHash]] so the
+    * whole fingerprint replays in DuckDB (modular form keeps every
+    * intermediate < 2⁵² so ANSI-mode Spark never overflows).
+    * Order-sensitive — permuted docs get different fingerprints — and
+    * computable in one pass with `aggregate`. */
   def fingerprint(text: Column): Column = {
     val p = lit(2147483647L)
     aggregate(tokens(text), lit(0L),
-      (acc, w) => pmod(acc * lit(1000003L) + pmod(xxhash64(w), p), p))
+      (acc, w) => pmod(acc * lit(1000003L) + polyHash(w, 31L), p))
+  }
+
+  /** DuckDB oracle for [[langId]], generated from [[langStopwords]] so
+    * the two can never drift. The CASE chain picks the FIRST language
+    * (declaration order) whose hit count equals the global max —
+    * provably the same winner as the Spark reduceLeft (a later language
+    * replaces the champion only on a strictly greater count). */
+  private def langIdOracle: String = {
+    val n = langStopwords.size
+    val hits = langStopwords.zipWithIndex.map { case ((_, sws), i) =>
+      val inList = sws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, w -> w IN ($inList))) AS h$i"
+    }.mkString(",\n               ")
+    val allH = (0 until n).map(i => s"h$i").mkString(", ")
+    val branches = langStopwords.zipWithIndex.map { case ((lang, _), i) =>
+      val laterGe = (i + 1 until n).map(j => s"h$i >= h$j")
+      if (laterGe.isEmpty) s"ELSE '$lang'"
+      else s"WHEN ${laterGe.mkString(" AND ")} THEN '$lang'"
+    }.mkString("\n                  ")
+    s"""
+      WITH t AS (SELECT doc_id, lang,
+                        string_split_regex(lower(text), '\\s+') AS toks
+                 FROM documents),
+      h AS (SELECT doc_id, lang,
+               $hits
+            FROM t)
+      SELECT doc_id, lang,
+             CASE WHEN greatest($allH) = 0 THEN 'und'
+                  $branches
+             END AS lang_pred
+      FROM h"""
   }
 
   // ---- catalog queries ----
@@ -156,8 +210,14 @@ object TextOps {
              round(min(q), 4) AS min_quality, round(max(q), 4) AS max_quality
       FROM q GROUP BY lang""")),
 
-    Q("q_text_langid", langIdQ, None),
-    Q("q_text_fingerprint", fingerprintQ, None),
+    Q("q_text_langid", langIdQ, Some(langIdOracle)),
+    Q("q_text_fingerprint", fingerprintQ, Some(s"""
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(lower(text), '\\s+'),
+                 w -> ${polyHashSql("w", 31L)})),
+               (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp
+      FROM documents""")),
 
     Q("q_text_profile", docProfile, Some("""
       SELECT lang, source, count(*) AS cnt,
