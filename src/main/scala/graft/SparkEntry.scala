@@ -17,6 +17,7 @@ object SparkEntry {
       ops.PipelineQueries.queries ++
       ops.AdvancedQueries.queries ++
       ops.TypedAndSources.queries ++
+      yelp.YelpQueries.queries ++
       scale.TextOps.queries ++
       scale.Dedup.queries ++
       scale.MinHashSigAgg.queries ++
