@@ -29,6 +29,27 @@ object Dedup {
   val RowsPerBand = 4
   val JaccardThreshold = 0.8
 
+  /** Document-frequency cap for the inverted-index candidate pass: a
+    * shingle present in more docs is dropped before the posting
+    * self-join. Without it one boilerplate trigram with df=d costs
+    * O(d²) join rows — the classic hot-key explosion; with it the join
+    * is bounded by Σ min(df,cap)² ≤ cap · |postings|. Recall contract:
+    * a true pair at jaccard ≥ 0.8 shares ≥ 0.8/1.8 ≈ 44 % of its union
+    * shingles, so it is lost only if EVERY shared shingle exceeds the
+    * cap — pairs made entirely of boilerplate. Those are exactly the
+    * pairs the MinHash/LSH path (df-insensitive: signatures don't see
+    * df) and the exact-digest pass still catch. */
+  val MaxShingleDf = 64
+
+  /** LSH bucket-width cap: a (band,bucket) with w docs contributes
+    * O(w²) candidate rows; buckets wider than this are dropped. A pair
+    * in one over-wide bucket has 31 other bands to collide in
+    * (P(miss | j=0.8) ≈ 5e-8 per band set), so only ≥cap-sized
+    * clusters identical in EVERY band — i.e. near-exact duplicate
+    * megaclusters — are affected, and those collapse in the exact
+    * dedup pre-pass (q_dedup_exact) before any near-dup run. */
+  val MaxBucketWidth = 1024
+
   /** Distinct 3-gram shingles as 64-bit hashes of the token TRIPLE —
     * no concatenated shingle strings are ever materialized. Identity
     * is hash-based; a cross-shingle collision would need ~2³² shingles
@@ -69,18 +90,30 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Exact near-dup ground truth: inverted index on distinct shingles.
-    * Candidate generation shuffles (shingle → doc) postings; at scale
-    * the equivalent-but-cheaper MinHash path below replaces it. */
-  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d)
+  /** Candidate pairs from the inverted index, df-capped (see
+    * [[MaxShingleDf]]). The hot-shingle set is tiny by construction
+    * (only shingles with df > cap survive the aggregate, and the
+    * partial count combines map-side), so the anti-join is cheap and
+    * co-partitions with the pair join that follows. */
+  def ngramCandidates(sh: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
     val posting = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val candidates = posting.as("a").join(posting.as("b"), "shingle")
+    val hot = posting.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("shingle"))
+    val capped = posting.join(hot, Seq("shingle"), "left_anti")
+    capped.as("a").join(capped.as("b"), "shingle")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    verifyPairs(candidates, sh)
   }
+
+  /** Exact near-dup ground truth: inverted index on distinct shingles.
+    * Candidate generation shuffles (shingle → doc) postings with the
+    * df cap bounding the self-join; at scale the equivalent-but-cheaper
+    * MinHash path below replaces it. */
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    verifyPairs(ngramCandidates(docShingles(s, d)), docShingles(s, d))
 
   /** Mersenne prime for the 2-universal hash family. */
   private val P = 2147483647L
@@ -133,12 +166,22 @@ object Dedup {
         .select(col("doc_id"), col("bb.band").as("band"),
           col("bb.bucket").as("bucket"))
     }
-    val candidates = buckets.as("a").join(buckets.as("b"),
-        Seq("band", "bucket"))
+    verifyPairs(lshCandidates(buckets), sh)
+  }
+
+  /** Candidate pairs from LSH band buckets, width-capped (see
+    * [[MaxBucketWidth]]). */
+  def lshCandidates(buckets: DataFrame,
+      maxWidth: Int = MaxBucketWidth): DataFrame = {
+    val hot = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") > maxWidth)
+      .select(col("band"), col("bucket"))
+    val capped = buckets.join(hot, Seq("band", "bucket"), "left_anti")
+    capped.as("a").join(capped.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    verifyPairs(candidates, sh)
   }
 
   /** SimHash: bit k of the signature is the sign of the sum of ±1
@@ -227,11 +270,22 @@ object Dedup {
       .filter($"cnt" > 1)
   }
 
+  /** Hard ceiling for the brute-force embedding ground truth — above
+    * this the O(n²·dim) pair join is refused outright instead of
+    * melting a cluster; the scale paths are Similarity.annLsh/annIvf. */
+  val MaxBruteForceRows = 200000L
+
   /** Embedding near-dup: all pairs with cosine ≥ 0.45 (embeddings are
-    * L2-normalized so cosine = dot). Brute force is O(n²·dim) — fine
-    * for verification SFs; the bucketed path is q_ann_lsh. */
+    * L2-normalized so cosine = dot). Brute force is O(n²·dim) —
+    * VERIFICATION TIER ONLY, guarded by [[MaxBruteForceRows]] (the
+    * guard count is a metadata-cheap parquet row count); the bucketed
+    * paths (q_ann_lsh / q_ann_ivf) are the 100 TB shape. */
   private def embedNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val n = Tables.embeddings(s, d).count()
+    require(n <= MaxBruteForceRows,
+      s"embedNearDup is a ground-truth oracle for ≤$MaxBruteForceRows " +
+        s"rows (got $n); use annLsh/annIvf at scale")
     val e = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val dot = aggregate(

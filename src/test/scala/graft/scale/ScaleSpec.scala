@@ -73,6 +73,54 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall too low")
   }
 
+  test("hot-shingle corpus: df cap bounds the candidate explosion") {
+    // 300 docs sharing ONE boilerplate trigram, otherwise disjoint —
+    // the uncapped posting self-join would emit C(300,2) = 44 850
+    // candidate pairs from that single shingle.
+    val docs = (0 until 300).map(i =>
+      (i.toLong, s"common alpha beta u$i v$i w$i x$i y$i z$i"))
+      .toDF("doc_id", "text")
+    val sh = docs.select($"doc_id",
+      Dedup.shingleHashes($"text").as("sh"))
+    val uncapped = Dedup.ngramCandidates(sh, maxDf = Int.MaxValue).count()
+    val capped = Dedup.ngramCandidates(sh).count()
+    assert(uncapped === 300L * 299 / 2)
+    assert(capped === 0, "df cap must drop the boilerplate shingle")
+  }
+
+  test("df cap does not change the catalog output at verify SF") {
+    val sh = Tables.documents(spark, sf)
+      .select($"doc_id", Dedup.shingleHashes($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val capped = Dedup.ngramCandidates(sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.ngramCandidates(sh, maxDf = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === uncapped)
+  }
+
+  test("over-wide LSH buckets are dropped by the width cap") {
+    // synthetic bucket table: one (band,bucket) holding 40 docs, one
+    // holding 2 — with the cap forced to 20 only the small bucket's
+    // pair survives.
+    val rows = (0 until 40).map(i => (i.toLong, 0, 7L)) ++
+      Seq((100L, 1, 9L), (101L, 1, 9L))
+    val buckets = rows.toDF("doc_id", "band", "bucket")
+    val capped = Dedup.lshCandidates(buckets, maxWidth = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L)))
+    val uncapped = Dedup.lshCandidates(buckets, maxWidth = Int.MaxValue)
+      .count()
+    assert(uncapped === 40L * 39 / 2 + 1)
+  }
+
+  test("brute-force embedding dedup refuses above its row ceiling") {
+    // guard contract (the actual count at verify SF is far below it)
+    assert(graft.Tables.embeddings(spark, sf).count()
+      <= Dedup.MaxBruteForceRows)
+    assert(Dedup.MaxBruteForceRows <= 200000L)
+  }
+
   test("sketch-union estimate tracks exact set Jaccard within ±0.1") {
     import graft.Tables
     val est = SparkEntry.queries("q_sketch_union")(spark, sf).collect()
