@@ -57,6 +57,42 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(got.count() === input.select($"nationkey").distinct().count())
   }
 
+  test("epoch flush: tiny retain cap still yields exact results at high key cardinality") {
+    // 60k rows, 20k distinct keys (≫ cap): with maxPartialRows=256 the
+    // partial pass flushes ~hundreds of epochs per task; the union of
+    // epoch top-ks must still reduce to the exact per-key top-2.
+    val df = spark.range(60000).selectExpr(
+      "id % 20000 AS key",
+      "CAST((id * 2654435761) % 1000 AS DOUBLE) AS score",
+      "id AS tiebreak")
+    val got = TopKPerKey.topK(df, Seq("key"),
+      Seq(("score", false), ("tiebreak", true)), 2, maxPartialRows = 256)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val w = Window.partitionBy($"key")
+      .orderBy($"score".desc, $"tiebreak".asc)
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
+  test("retain cap keeps partial output a superset per epoch (cap=k edge)") {
+    // cap equal to k: every row insertion can trigger a flush — the
+    // degenerate worst case must still be exact.
+    val df = spark.range(5000).selectExpr(
+      "id % 97 AS key", "CAST(id % 31 AS DOUBLE) AS score",
+      "id AS tiebreak")
+    val got = TopKPerKey.topK(df, Seq("key"),
+      Seq(("score", false), ("tiebreak", true)), 3, maxPartialRows = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val w = Window.partitionBy($"key")
+      .orderBy($"score".desc, $"tiebreak".asc)
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
   test("unknown column raises a clear error") {
     val e = intercept[Exception] {
       TopKPerKey.topK(input, Seq("nope"), Seq(("acctbal", false)), 3)
