@@ -144,6 +144,41 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(2) === 7L))
   }
 
+  test("interval join drops exactly the late click beyond the watermark") {
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val out = purchaseAttribution(clicks.toDF(), purchases.toDF())
+    val q = out.writeStream.format("memory").queryName("attrib_late")
+      .outputMode("append").start()
+    try {
+      // on-time click + purchase for user 7
+      clicks.addData(ev(1, 0, 7, "click"))
+      purchases.addData(ev(100, 30, 7, "purchase", 9.99))
+      q.processAllAvailable()
+      // advance BOTH watermarks to ~340 min (1h lateness on each side)
+      clicks.addData(ev(2, 400, 9, "click"))
+      purchases.addData(ev(101, 400, 9, "purchase"))
+      q.processAllAvailable()
+      // late click at t=20: inside purchase 100's [t-1h, t] interval,
+      // but 320 min behind the watermark → must be discarded, not joined
+      clicks.addData(ev(5, 20, 7, "click"))
+      q.processAllAvailable()
+      // push watermarks further so any (incorrect) pending match would
+      // have been emitted before we assert
+      clicks.addData(ev(6, 500, 9, "click"))
+      purchases.addData(ev(102, 500, 9, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val joined = spark.table("attrib_late")
+      .filter($"purchase_id" === 100L).collect()
+    // exact joined-set: ONLY the on-time click; the late click's id must
+    // appear nowhere in the output
+    assert(joined.map(_.getLong(1)).toSeq === Seq(1L))
+    assert(spark.table("attrib_late")
+      .filter($"click_id" === 5L).count() === 0L,
+      "late click beyond watermark must be dropped from join state")
+  }
+
   test("same transforms run in batch mode (stream-batch unification)") {
     val batch = Seq(ev(1, 10, 1, "click"), ev(2, 20, 1, "click"),
       ev(3, 70, 2, "view")).toDF()
