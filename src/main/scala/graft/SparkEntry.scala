@@ -21,6 +21,7 @@ object SparkEntry {
       scale.TextOps.queries ++
       scale.Dedup.queries ++
       scale.MinHashSigAgg.queries ++
+      scale.Multimodal.queries ++
       scale.Similarity.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,5 +1,6 @@
 package graft.scale
 
+import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -159,4 +160,42 @@ object Multimodal {
       idx: org.apache.spark.sql.Column, frameLen: Int,
       stride: Int): org.apache.spark.sql.Column =
     expr(s"substring(media, 9 + frame_idx * $stride, $frameLen)")
+
+  // ---- catalog query: driver-oracled header extraction ----
+
+  /** Blob column built IN the plan from `documents` — 8-byte
+    * big-endian (width, height) header via hex/unhex expressions, then
+    * a UTF-8 payload (first 64 chars of text cast to binary). Fully
+    * deterministic, so DuckDB can check the header PARSE by inverting
+    * the construction arithmetically. */
+  private def mediaFromDocs(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val width = (lit(16) + id % 16).cast("int")
+    val height = (lit(9) + id % 9).cast("int")
+    val header = unhex(concat(
+      lpad(hex(width), 8, "0"), lpad(hex(height), 8, "0")))
+    Tables.documents(s, d).select(
+      id.as("media_id"),
+      when(id % 3 === 0, "image").otherwise("audio").as("kind"),
+      concat(header, substring(col("text"), 1, 64).cast("binary"))
+        .as("media"))
+  }
+
+  private def headerQ(s: SparkSession, d: String): DataFrame =
+    headerMeta(mediaFromDocs(s, d))
+
+  /** The oracle recomputes width/height/n_bytes from the generator
+    * formula — Spark must PARSE the same numbers back out of the
+    * binary header it built, so a byte-order or offset bug on either
+    * the build or parse side breaks the hash match. */
+  val queries: Seq[Q] = Seq(
+    Q("q_multimodal_header", headerQ, Some("""
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END
+               AS kind,
+             CAST(16 + doc_id % 16 AS INT) AS width,
+             CAST(9 + doc_id % 9 AS INT) AS height,
+             8 + octet_length(encode(substring(text, 1, 64))) AS n_bytes
+      FROM documents"""))
+  )
 }
