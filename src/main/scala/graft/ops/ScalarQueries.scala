@@ -145,7 +145,11 @@ object ScalarQueries {
   }
 
   /** Pivot event_type → columns (BI-layer capability pulled into the
-    * engine; oracle expressed with FILTERed aggregates). */
+    * engine; oracle expressed with FILTERed aggregates). The value
+    * list is pinned deliberately: a pinned pivot skips the extra
+    * distinct-values collection job AND keeps the output schema (and
+    * thus the oracle's column set) independent of which types happen
+    * to appear at a given sf. */
   private def pivotEvents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.events(s, d)
@@ -207,6 +211,22 @@ object ScalarQueries {
   /** Time bucketing via window() in batch mode (tumbling 1-day windows
     * over events — the Structured-Streaming agg shape, runnable and
     * oracle-checkable as a batch query). */
+  /** Peak activity hours per event type (the reference synopsis'
+    * "check-in peak hours" analytic — reference README.md:30 lists the
+    * check-in dataset but never processes it; the events table stands
+    * in, SURVEY.md §2.10): hour-of-day histogram, top 3 per type via
+    * window rank. */
+  private def peakHours(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byHour = Tables.events(s, d)
+      .groupBy(hour($"ts").cast("long").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"cnt".desc, $"hour".asc)
+    byHour.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+  }
+
   private def timeBucket(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.events(s, d)
@@ -366,6 +386,16 @@ object ScalarQueries {
              round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice
                             ELSE 0.0 END), 2) AS discounted_px
       FROM lineitem GROUP BY 1""")),
+
+    Q("q_peak_hours", peakHours, Some("""
+      SELECT * FROM (
+        SELECT hour, event_type, cnt,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY cnt DESC, hour ASC) AS BIGINT) AS rank
+        FROM (SELECT CAST(hour(ts) AS BIGINT) AS hour, event_type,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2) h) r
+      WHERE rank <= 3""")),
 
     Q("q_time_bucket", timeBucket, Some("""
       SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,

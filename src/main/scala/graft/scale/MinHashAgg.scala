@@ -74,10 +74,16 @@ object MinHashSigAgg extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
       .select($"lang", Dedup.shingleHashes($"text").as("sh"))
       .groupBy($"lang")
       .agg(sketch($"sh").as("sig"))
-    val est = udf((a: Seq[Long], b: Seq[Long]) => estimate(a, b))
+    // slot-match fraction as native zip_with/aggregate expressions
+    // (no UDF; mirrors `estimate` which the spec uses as the model)
+    val matches = aggregate(
+      zip_with($"a.sig", $"b.sig",
+        (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
     sigs.as("a").join(sigs.as("b"), $"a.lang" < $"b.lang")
       .select($"a.lang".as("lang1"), $"b.lang".as("lang2"),
-        round(est($"a.sig", $"b.sig"), 4).as("est_jaccard"))
+        round(matches.cast("double") / size($"a.sig"), 4)
+          .as("est_jaccard"))
   }
 
   val queries: Seq[Q] = Seq(

@@ -110,12 +110,14 @@ object TextOps {
       (acc, w) => pmod(acc * lit(1000003L) + polyHash(w, 31L), p))
   }
 
-  /** DuckDB oracle for [[langId]], generated from [[langStopwords]] so
-    * the two can never drift. The CASE chain picks the FIRST language
-    * (declaration order) whose hit count equals the global max —
-    * provably the same winner as the Spark reduceLeft (a later language
-    * replaces the champion only on a strictly greater count). */
-  private def langIdOracle: String = {
+  /** DuckDB fragments for [[langId]], generated from [[langStopwords]]
+    * so SQL and Spark can never drift: (hit-count select list over a
+    * `toks` column, winner CASE over the h0..hN aliases). The CASE
+    * chain picks the FIRST language (declaration order) whose hit
+    * count equals the global max — provably the same winner as the
+    * Spark reduceLeft (a later language replaces the champion only on
+    * a strictly greater count). */
+  private[scale] def langIdSqlParts: (String, String) = {
     val n = langStopwords.size
     val hits = langStopwords.zipWithIndex.map { case ((_, sws), i) =>
       val inList = sws.map(w => s"'$w'").mkString(", ")
@@ -127,6 +129,14 @@ object TextOps {
       if (laterGe.isEmpty) s"ELSE '$lang'"
       else s"WHEN ${laterGe.mkString(" AND ")} THEN '$lang'"
     }.mkString("\n                  ")
+    val winner = s"""CASE WHEN greatest($allH) = 0 THEN 'und'
+                  $branches
+             END"""
+    (hits, winner)
+  }
+
+  private def langIdOracle: String = {
+    val (hits, winner) = langIdSqlParts
     s"""
       WITH t AS (SELECT doc_id, lang,
                         string_split_regex(lower(text), '\\s+') AS toks
@@ -134,12 +144,15 @@ object TextOps {
       h AS (SELECT doc_id, lang,
                $hits
             FROM t)
-      SELECT doc_id, lang,
-             CASE WHEN greatest($allH) = 0 THEN 'und'
-                  $branches
-             END AS lang_pred
+      SELECT doc_id, lang, $winner AS lang_pred
       FROM h"""
   }
+
+  /** The DuckDB rendering of [[qualityScore]] over `text`/`toks`. */
+  private[scale] def qualitySql: String =
+    """round((least(length(text) / 200.0, 1.0) +
+              len(list_distinct(toks)) * 1.0 /
+              greatest(len(toks), 1)) / 2.0, 4)"""
 
   // ---- catalog queries ----
 
@@ -173,6 +186,45 @@ object TextOps {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", fingerprint($"text").as("fp"))
+  }
+
+  /** End-to-end curation pass — the canonical LLM training-data
+    * pipeline composed from the operators above: language-verified
+    * (predicted == labeled), quality-filtered, exact-deduped, then
+    * rolled up to per-language document/token budgets. One scan, one
+    * digest shuffle, one tiny rollup — the 100 TB shape (all per-doc
+    * scoring is scan-stage; only digests and the per-language partials
+    * cross the network). */
+  private def curation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("lang_pred", langId($"text"))
+      .withColumn("q", qualityScore($"text"))
+      .filter($"q" >= 0.5 && $"lang_pred" === $"lang")
+      .groupBy(md5($"text").as("digest"))
+      .agg(min($"lang_pred").as("lang_pred"),
+        min(size(tokens($"text")).cast("long")).as("n_tokens"))
+      .groupBy($"lang_pred")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+  }
+
+  private def curationOracle: String = {
+    val (hits, winner) = langIdSqlParts
+    s"""
+      WITH t AS (SELECT doc_id, lang, text,
+                        string_split_regex(lower(text), '\\s+') AS toks
+                 FROM documents),
+      h AS (SELECT *, $hits FROM t),
+      p AS (SELECT lang, text, toks, $winner AS lang_pred,
+                   $qualitySql AS q
+            FROM h),
+      f AS (SELECT * FROM p WHERE q >= 0.5 AND lang_pred = lang),
+      d AS (SELECT min(lang_pred) AS lang_pred,
+                   CAST(min(len(toks)) AS BIGINT) AS n_tokens
+            FROM f GROUP BY md5(text))
+      SELECT lang_pred, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM d GROUP BY 1"""
   }
 
   /** Per-language length stats — the document profiling sweep. */
@@ -218,6 +270,8 @@ object TextOps {
                  w -> ${polyHashSql("w", 31L)})),
                (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp
       FROM documents""")),
+
+    Q("q_curation_pipeline", curation, Some(curationOracle)),
 
     Q("q_text_profile", docProfile, Some("""
       SELECT lang, source, count(*) AS cnt,
