@@ -10,8 +10,11 @@ import java.nio.file.{Files, Paths}
   * lost the parse to sbt's "[info] " prefix).
   *
   * Each query runs once untimed (JVM/codegen/broadcast warm-up — we
-  * measure the engine, not JIT compilation) and then timed. AQE stays
-  * on, shuffle partitions match local core count.
+  * measure the engine, not JIT compilation) and then timed TWICE,
+  * reporting the per-query MIN — the standard de-noise against
+  * shared-machine load spikes (round 1's driver run was ~6× BENCHNOTES
+  * on every query and inverted one comparison). AQE stays on, shuffle
+  * partitions match local core count.
   *
   * Failures are NOT swallowed: a query that errors is timed to its
   * failure point, reported in an "errors" map, and forces a non-zero
@@ -39,13 +42,17 @@ object Bench {
         errors.getOrElseUpdate(q.name, s"warmup: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
-    val results = qs.map { q =>
+    def timedPass(): Seq[(String, Double)] = qs.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         errors.put(q.name, s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
       q.name -> (System.nanoTime() - t0) / 1e9
+    }
+    val pass1 = timedPass().toMap
+    val results = timedPass().map { case (n, t2) =>
+      n -> math.min(pass1(n), t2)
     }
     val qJson = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -61,7 +68,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"runs":2,"agg":"min","sf":"$sfDir"}"""
     println(line)
     try {
       Files.createDirectories(Paths.get("target"))

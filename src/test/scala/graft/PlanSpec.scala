@@ -102,6 +102,37 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(q("q_text_langid")) === 0)
   }
 
+  test("q_yelp_master_volume: both dims broadcast; dedup shuffle carries only pruned columns") {
+    val df = q("q_yelp_master_volume")
+    assert(broadcasts(df) === 2, "user and business dims must broadcast")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the rollup needs 4 columns; Catalyst must prune the rest through
+    // the dropDuplicates aggregate — name/city/categories etc. in the
+    // dedup's first() set would mean the 12M-row exchange carries the
+    // whole master row
+    assert(!plan.contains("first(categories"),
+      "unpruned dedup: categories crossed the shuffle")
+    assert(!plan.contains("first(city"),
+      "unpruned dedup: city crossed the shuffle")
+  }
+
+  test("q_yelp dashboard rollups reuse one cached master build") {
+    q("q_yelp_kpi").collect()
+    val plan2 = initial(q("q_yelp_engagement")).toString
+    assert(plan2.contains("InMemoryTableScan") ||
+      plan2.contains("TableCacheQueryStage"),
+      s"second dashboard query should read the cached master:\n${plan2.take(2000)}")
+  }
+
+  test("q_peak_hours: one agg shuffle + one window shuffle, nothing more") {
+    assert(shuffles(q("q_peak_hours")) <= 2)
+  }
+
+  test("q_curation_pipeline: per-doc scoring is scan-local (shuffles only for dedup+rollup)") {
+    assert(shuffles(q("q_curation_pipeline")) === 2)
+  }
+
   test("whole-stage codegen spans cover the hot aggregation path") {
     val df = q("q_agg_pricing")
     df.collect() // finalize the adaptive plan
