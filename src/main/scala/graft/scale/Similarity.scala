@@ -173,7 +173,30 @@ object Similarity {
       .agg(count(lit(1)).as("votes"))
   }
 
+  /** Per-label centroids as distributed element-wise vector math:
+    * posexplode → (label, dim) partial averages — one shuffle of
+    * |labels|·dim partial sums, never the vectors themselves. Flat
+    * (label, pos, centroid) output keeps the oracle comparison
+    * value-typed; array_agg re-assembly is a projection away. */
+  private def embedCentroids(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"label".cast("long").as("label"),
+        posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(round(avg($"v"), 6).as("centroid"))
+      .withColumn("pos", $"pos".cast("long"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_embed_centroids", embedCentroids, Some("""
+      WITH e AS (SELECT label,
+                        generate_subscripts(embedding, 1) - 1 AS pos,
+                        unnest(embedding) AS v
+                 FROM embeddings)
+      SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+             round(avg(v), 6) AS centroid
+      FROM e GROUP BY 1, 2""")),
     Q("q_ann_bruteforce", annBrute, Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings),

@@ -227,6 +227,21 @@ object TextOps {
       FROM d GROUP BY 1"""
   }
 
+  /** Corpus-level token frequency top-k — the vocabulary/stopword
+    * sweep a tokenizer-training pass starts from. Explode → partial
+    * count (map-side combine collapses each partition to its distinct
+    * tokens) → TakeOrderedAndProject; shuffle volume is distinct-token
+    * cardinality, never the token stream. */
+  private def topTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token".asc)
+      .limit(20)
+  }
+
   /** Per-language length stats — the document profiling sweep. */
   private def docProfile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -272,6 +287,13 @@ object TextOps {
       FROM documents""")),
 
     Q("q_curation_pipeline", curation, Some(curationOracle)),
+
+    Q("q_top_tokens", topTokens, Some("""
+      WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+'))
+                     AS token
+                   FROM documents)
+      SELECT token, count(*) AS cnt FROM tok
+      GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 20""")),
 
     Q("q_text_profile", docProfile, Some("""
       SELECT lang, source, count(*) AS cnt,

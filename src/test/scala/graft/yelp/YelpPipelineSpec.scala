@@ -156,6 +156,34 @@ class YelpPipelineSpec extends AnyFunSuite {
     assert(dropped.filter($"business_id" === "b3").count() === 0)
   }
 
+  test("MasterTable.build runs UNCHANGED as a streaming query (stream-static joins + stateful dedup)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reviews = MemoryStream[YelpVolume.Rev]
+    // same build call as batch — reviews side is a stream, dims static
+    val m = MasterTable.build(
+      YelpVolume.bizRows.toDF(), reviews.toDF(), YelpVolume.userRows.toDF())
+    val q = m.writeStream.format("memory").queryName("stream_master")
+      .outputMode("append").start()
+    try {
+      val batch1 = YelpVolume.revRows.take(50)
+      reviews.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(spark.table("stream_master").count() === 50)
+      // second micro-batch: 25 new reviews + 10 replays of batch 1 —
+      // the pipeline's dropDuplicates("review_id") is STATEFUL across
+      // batches, so replays must not re-emit
+      val batch2 = YelpVolume.revRows.slice(50, 75) ++ batch1.take(10)
+      reviews.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(spark.table("stream_master").count() === 75)
+      // derived columns flow through the streaming plan identically
+      val cats = spark.table("stream_master")
+        .select($"super_category").distinct().collect().map(_.getString(0))
+      assert(cats.nonEmpty && cats.forall(c => c != null))
+    } finally q.stop()
+  }
+
   test("partitioned write produces year= directories; coalesce(1) single CSV") {
     val dir = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("target"), "yelp_out")
