@@ -184,10 +184,21 @@ object Multimodal {
   private def headerQ(s: SparkSession, d: String): DataFrame =
     headerMeta(mediaFromDocs(s, d))
 
-  /** The oracle recomputes width/height/n_bytes from the generator
-    * formula — Spark must PARSE the same numbers back out of the
-    * binary header it built, so a byte-order or offset bug on either
-    * the build or parse side breaks the hash match. */
+  /** Frame-sampling accounting per media: number of sampled frames and
+    * total frame bytes. Exercises the native frame-slice expressions
+    * end-to-end; the oracle recomputes both from the payload length
+    * alone (stride 64, frame 32: full frames when payload ≥ stride,
+    * else one truncated frame — exactly sampleFrames' emit rule). */
+  private def framesQ(s: SparkSession, d: String): DataFrame =
+    sampleFrames(mediaFromDocs(s, d))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame")).cast("long")).as("frame_bytes"))
+
+  /** The oracles recompute expected values from the generator formula —
+    * Spark must PARSE the same numbers back out of the binary it
+    * built, so a byte-order or offset bug on either the build or parse
+    * side breaks the hash match. */
   val queries: Seq[Q] = Seq(
     Q("q_multimodal_header", headerQ, Some("""
       SELECT doc_id AS media_id,
@@ -196,6 +207,18 @@ object Multimodal {
              CAST(16 + doc_id % 16 AS INT) AS width,
              CAST(9 + doc_id % 9 AS INT) AS height,
              8 + octet_length(encode(substring(text, 1, 64))) AS n_bytes
-      FROM documents"""))
+      FROM documents""")),
+
+    Q("q_multimodal_frames", framesQ, Some("""
+      WITH m AS (SELECT doc_id AS media_id,
+                        octet_length(encode(substring(text, 1, 64)))
+                          AS payload
+                 FROM documents)
+      SELECT media_id,
+             CAST(greatest(payload // 64, 1) AS BIGINT) AS n_frames,
+             CAST(CASE WHEN payload // 64 = 0 THEN least(payload, 32)
+                       ELSE (payload // 64) * 32 END AS BIGINT)
+               AS frame_bytes
+      FROM m"""))
   )
 }
