@@ -219,9 +219,47 @@ object Dedup {
   private def simhashQ(s: SparkSession, d: String): DataFrame =
     simhashSignatures(Tables.documents(s, d), portable = true)
 
-  /** DuckDB oracle for the portable simhash — generated so the hash
-    * constants and bit count can never drift from the Spark side. */
-  private def simhashOracle: String = {
+  /** Max hamming distance for the banded simhash near-dup pass. */
+  val SimHashMaxHamming = 3
+
+  /** 62 signature bits split into 4 blocks (16+16+16+14): by
+    * pigeonhole, any pair within hamming ≤ 3 matches EXACTLY in at
+    * least one block, so a bucket join on (block, value) finds every
+    * such pair with zero recall loss — the classic simhash web-dedup
+    * shape. */
+  private val SimHashBlocks = Seq((0, 16), (16, 16), (32, 16), (48, 14))
+
+  /** SimHash banded near-dup: signature → 4 block buckets → capped
+    * bucket join (reuses [[lshCandidates]]) → exact hamming verify
+    * with native xor/bit_count. Shuffle volume is 4 rows per doc;
+    * candidates are bounded by bucket width — never all-pairs. */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = graft.GraftCaches.getOrPersist(s, s"dedup.simhash:$d") {
+      simhashSignatures(Tables.documents(s, d), portable = true)
+    }
+    val blockCols = SimHashBlocks.zipWithIndex.map { case ((off, w), i) =>
+      struct(lit(i).as("band"),
+        shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+          .as("bucket"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(blockCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val s1 = sig.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+    val s2 = sig.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+    lshCandidates(buckets)
+      .join(s1, "d1").join(s2, "d2")
+      .withColumn("hamming",
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
+      .filter(col("hamming") <= SimHashMaxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  /** Shared DuckDB CTE computing the portable simhash signatures —
+    * generated so the hash constants and bit count can never drift
+    * from the Spark side. */
+  private def simhashSigCte: String = {
     val h1 = TextOps.polyHashSql("w", 31L)
     val h2 = TextOps.polyHashSql("w", 37L)
     val votes = (0 until 62).map { b =>
@@ -237,9 +275,23 @@ object Dedup {
       h AS (SELECT doc_id, $h1 + $h2 * 2147483648 AS h FROM tok),
       v AS (SELECT doc_id,
                $votes
-            FROM h GROUP BY doc_id)
-      SELECT doc_id, $recompose AS simhash FROM v"""
+            FROM h GROUP BY doc_id),
+      sigs AS (SELECT doc_id, $recompose AS simhash FROM v)"""
   }
+
+  private def simhashOracle: String =
+    s"""$simhashSigCte
+      SELECT doc_id, simhash FROM sigs"""
+
+  /** Pair oracle goes all-pairs (fine at verify SF) — the Spark side
+    * must find the identical set through banding. */
+  private def simhashPairsOracle: String =
+    s"""$simhashSigCte
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+               AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming"""
 
   /** Exact dedup by content digest. The input plants duplicates (a
     * re-keyed copy of doc_id < 50) so the operator demonstrably
@@ -334,6 +386,7 @@ object Dedup {
     Q("q_dedup_minhash_lsh", minhashLsh, Some(jaccardOracle),
       headline = true),
     Q("q_dedup_simhash", simhashQ, Some(simhashOracle)),
+    Q("q_dedup_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
     Q("q_dedup_embed_cosine", embedNearDup, Some("""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings)
