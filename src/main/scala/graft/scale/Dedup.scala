@@ -222,6 +222,18 @@ object Dedup {
   /** Max hamming distance for the banded simhash near-dup pass. */
   val SimHashMaxHamming = 3
 
+  /** Bucket cap for the simhash pair join — deliberately much higher
+    * than [[MaxBucketWidth]]: a wide simhash block bucket is a genuine
+    * near-identical cluster whose pairs ARE the requested output
+    * (output-bound work), unlike minhash band buckets where width is
+    * mostly false-positive collisions. Found empirically: sf0.1
+    * already produces an 1845-wide bucket (language-level signature
+    * convergence), so the LSH-tier cap of 1024 silently lost 1 637
+    * true pairs there. Beyond 2¹⁶ the quadratic OUTPUT itself is the
+    * infeasibility — collapse exact duplicates (digest pre-pass)
+    * before running near-dup at that density. */
+  val SimHashPairsMaxWidth = 1 << 16
+
   /** 62 signature bits split into 4 blocks (16+16+16+14): by
     * pigeonhole, any pair within hamming ≤ 3 matches EXACTLY in at
     * least one block, so a bucket join on (block, value) finds every
@@ -248,7 +260,7 @@ object Dedup {
         col("bb.bucket").as("bucket"))
     val s1 = sig.select(col("doc_id").as("d1"), col("simhash").as("h1"))
     val s2 = sig.select(col("doc_id").as("d2"), col("simhash").as("h2"))
-    lshCandidates(buckets)
+    lshCandidates(buckets, maxWidth = SimHashPairsMaxWidth)
       .join(s1, "d1").join(s2, "d2")
       .withColumn("hamming",
         bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
