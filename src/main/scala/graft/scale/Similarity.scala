@@ -127,20 +127,32 @@ object Similarity {
     * quantizer — no Lloyd refinement, which keeps cell assignment
     * bit-deterministic). At 100 TB the corpus is written partitioned
     * by cell id once, and a query touches ~probes/cells of the data. */
+  /** Deterministic sampled coarse quantizer: seed ids spread over the
+    * corpus, clear of the query ids (FAISS-style, no Lloyd refinement
+    * — keeps cell assignment bit-deterministic). */
+  def ivfCentroidsOf(e: DataFrame): DataFrame = {
+    val seeds = (0 until IvfCentroids).map(i => NumQueries + 7L * i + 3L)
+    e.filter(col("vec_id").isin(seeds: _*))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+  }
+
+  /** (vec_id, cell): argmax centroid dot, deterministic tie-break on
+    * cid via struct max. Also the WRITE-TIME partitioner — persisting
+    * the corpus `partitionBy("cell")` lets every probe-limited read
+    * prune to probes/cells of the files (StorageSpec proves the
+    * pruned scan). */
+  def ivfAssign(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroids))
+      .withColumn("cdot", dot(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cdot"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cell"))
+
   private def annIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = corpus(s, d)
-    // deterministic spread of seed ids, clear of the query ids
-    val seeds = (0 until IvfCentroids).map(i => NumQueries + 7L * i + 3L)
-    val centroids = e.filter($"vec_id".isin(seeds: _*))
-      .select($"vec_id".as("cid"), $"v".as("cv"))
-    // cell assignment: argmax centroid dot (struct max → deterministic
-    // tie-break on cid)
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("cdot", dot($"v", $"cv"))
-      .groupBy($"vec_id")
-      .agg(max(struct($"cdot", $"cid")).as("best"))
-      .select($"vec_id", $"best.cid".as("cell"))
+    val centroids = ivfCentroidsOf(e)
+    val assigned = ivfAssign(e, centroids)
     val lists = assigned.join(e, "vec_id") // inverted lists (cell → vectors)
     val qIds = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))

@@ -81,6 +81,28 @@ class StorageSpec extends AnyFunSuite {
       Tables.orders(spark, sf).filter(year($"o_orderdate") === 1996).count())
   }
 
+  test("IVF cell-partitioned embedding layout prunes reads to probed cells") {
+    import graft.scale.Similarity
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val assigned = Similarity.ivfAssign(e, Similarity.ivfCentroidsOf(e))
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ivf_out")
+    assigned.join(e, "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/ivf")
+    // a 4-probe query reads 4 of the 16 cell directories, nothing else
+    val probeCells = assigned.select($"cell").distinct()
+      .orderBy($"cell").limit(4).collect().map(_.getLong(0))
+    val probed = spark.read.parquet(s"$dir/ivf")
+      .filter($"cell".isin(probeCells: _*))
+    val plan = probed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"no partition filter on cell:\n${plan.take(2000)}")
+    assert(probed.count() ===
+      assigned.filter($"cell".isin(probeCells: _*)).count())
+  }
+
   test("repartition by column co-locates keys (single shuffle, then none)") {
     val re = Tables.orders(spark, sf).repartition(4, $"o_custkey")
     val agg = re.groupBy($"o_custkey").agg(count(lit(1)))

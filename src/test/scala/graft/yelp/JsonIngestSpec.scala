@@ -63,6 +63,36 @@ class JsonIngestSpec extends AnyFunSuite {
     assert(byId("r1").getAs[Int]("year") === 2019)
   }
 
+  test("corrupt JSON lines: PERMISSIVE quarantines, DROPMALFORMED skips, FAILFAST raises") {
+    // real dumps contain the occasional truncated line — ingestion
+    // must be able to quarantine rather than kill a 100 TB batch
+    val p = writeLines("corrupt.json", Seq(
+      """{"user_id":"u1","name":"Ok","review_count":1,"useful":0,"funny":0,"cool":0,"fans":0}""",
+      """{"user_id":"u2","name":"Trunc""",
+      """not json at all"""))
+    import org.apache.spark.sql.types._
+    val withCorrupt = StructType(Schemas.user.fields :+
+      StructField("_corrupt_record", StringType))
+    val permissive = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(p).cache()
+    assert(permissive.count() === 3)
+    assert(permissive.filter($"_corrupt_record".isNotNull).count() === 2)
+    assert(permissive.filter($"user_id" === "u1")
+      .select($"_corrupt_record").collect()(0).isNullAt(0))
+    permissive.unpersist()
+    val dropped = spark.read.schema(Schemas.user)
+      .option("mode", "DROPMALFORMED").json(p)
+    assert(dropped.count() === 1)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(Schemas.user)
+        .option("mode", "FAILFAST").json(p).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("malformed") ||
+      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
+
   test("schema-on-read tolerates extra unknown JSON fields") {
     val p = writeLines("extra.json", Seq(
       """{"user_id":"u9","name":"Zed","review_count":1,"useful":0,"funny":0,"cool":0,"fans":0,"brand_new_field":{"x":1}}"""))
