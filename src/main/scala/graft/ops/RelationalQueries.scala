@@ -136,6 +136,48 @@ object RelationalQueries {
       .agg(count(lit(1)).as("richer_than"))
   }
 
+  /** SCD1 upsert (the warehouse MERGE pattern without a table format):
+    * a deterministic change set (re-priced orders + brand-new rows) is
+    * applied to the base with latest-wins per key — unionByName +
+    * per-key window top-1. One shuffle on the merge key; at scale this
+    * is the nightly-merge shape when Delta/Iceberg MERGE isn't
+    * available. */
+  private def upsertScd1(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderstatus", round($"o_totalprice", 2)
+        .as("price"), lit(0).as("version"))
+    // changes: 10% re-priced + appended new keys (shifted id space)
+    val updates = Tables.orders(s, d).filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", lit("U").as("o_orderstatus"),
+        round($"o_totalprice" + 1000.0, 2).as("price"), lit(1).as("version"))
+    val inserts = Tables.orders(s, d).filter($"o_orderkey" % 100 === 7)
+      .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), round($"o_totalprice", 2).as("price"),
+        lit(1).as("version"))
+    val merged = base.unionByName(updates).unionByName(inserts)
+    val w = Window.partitionBy($"o_orderkey").orderBy($"version".desc)
+    merged.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+      .withColumn("version", $"version".cast("long"))
+  }
+
+  /** Null-safe equi join (<=>): groups where BOTH sides are null still
+    * match — the semantics MERGE keys need when nullable. */
+  private def joinNullSafe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // derive a nullable key on both sides deterministically
+    val a = Tables.customer(s, d).select($"c_custkey",
+      when($"c_custkey" % 7 === 0, lit(null).cast("long"))
+        .otherwise($"c_custkey" % 5).as("k"))
+    val b = Tables.supplier(s, d).select($"s_suppkey",
+      when($"s_suppkey" % 7 === 0, lit(null).cast("long"))
+        .otherwise($"s_suppkey" % 5).as("k"))
+    a.as("a").join(b.as("b"), $"a.k" <=> $"b.k")
+      .groupBy($"a.k".as("k"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Global top-k: Catalyst plans orderBy+limit as TakeOrderedAndProject
     * — no total sort, each partition keeps k rows. Orderkey tiebreak
     * makes the result set deterministic for the oracle. */
@@ -356,6 +398,43 @@ object RelationalQueries {
       FROM supplier JOIN customer
         ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
       GROUP BY s_suppkey""")),
+
+    Q("q_join_null_safe", joinNullSafe, Some("""
+      WITH a AS (SELECT c_custkey,
+                        CASE WHEN c_custkey % 7 = 0 THEN NULL
+                             ELSE c_custkey % 5 END AS k
+                 FROM customer),
+      b AS (SELECT s_suppkey,
+                   CASE WHEN s_suppkey % 7 = 0 THEN NULL
+                        ELSE s_suppkey % 5 END AS k
+            FROM supplier)
+      SELECT a.k, count(*) AS cnt
+      FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      GROUP BY a.k""")),
+
+    Q("q_upsert_scd1", upsertScd1, Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price,
+               0 AS version
+        FROM orders),
+      updates AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               round(o_totalprice + 1000.0, 2) AS price, 1 AS version
+        FROM orders WHERE o_orderkey % 10 = 0),
+      inserts AS (
+        SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
+               round(o_totalprice, 2) AS price, 1 AS version
+        FROM orders WHERE o_orderkey % 100 = 7),
+      merged AS (
+        SELECT * FROM base UNION ALL
+        SELECT * FROM updates UNION ALL
+        SELECT * FROM inserts)
+      SELECT o_orderkey, o_orderstatus, price,
+             CAST(version AS BIGINT) AS version
+      FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                        ORDER BY version DESC) AS rn
+            FROM merged) t
+      WHERE rn = 1""")),
 
     Q("q_topk", topk, Some("""
       SELECT o_orderkey, round(o_totalprice, 2) AS total

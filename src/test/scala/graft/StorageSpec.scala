@@ -103,6 +103,23 @@ class StorageSpec extends AnyFunSuite {
       assigned.filter($"cell".isin(probeCells: _*)).count())
   }
 
+  test("schema evolution: mergeSchema unions old and new parquet batches") {
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "evolve")
+    // v1 batch has (id, a); later batches add column b — the additive
+    // schema drift every long-lived 100 TB dataset accumulates
+    spark.range(0, 5).selectExpr("id", "id * 2 AS a")
+      .write.mode("append").parquet(s"$dir/t")
+    spark.range(5, 10).selectExpr("id", "id * 2 AS a", "id + 100 AS b")
+      .write.mode("append").parquet(s"$dir/t")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet === Set("id", "a", "b"))
+    assert(merged.count() === 10)
+    // old rows surface b as null, new rows carry values
+    assert(merged.filter($"b".isNull).count() === 5)
+    assert(merged.filter($"b" === $"id" + 100).count() === 5)
+  }
+
   test("repartition by column co-locates keys (single shuffle, then none)") {
     val re = Tables.orders(spark, sf).repartition(4, $"o_custkey")
     val agg = re.groupBy($"o_custkey").agg(count(lit(1)))
