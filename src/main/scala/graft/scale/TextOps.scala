@@ -227,6 +227,65 @@ object TextOps {
       FROM d GROUP BY 1"""
   }
 
+  /** Gopher/C4-style per-document quality rules — the rule-based
+    * filter battery an LLM pretraining pipeline applies before dedup:
+    * token-count band, mean-word-length band, minimum English-stopword
+    * evidence, and duplicate-bigram ceiling (repetition detector).
+    * All pure scan-stage expressions; `keep` is the conjunction. */
+  private def gopherRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = tokens($"text")
+    val nTok = size(t)
+    val meanWLen = aggregate(t, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / greatest(nTok.cast("double"), lit(1.0))
+    val swHits = size(filter(t, w => w.isInCollection(langStopwords.head._2)))
+    val bigrams = when(nTok < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nTok - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+    val dupFrac = when(size(bigrams) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+        size(bigrams).cast("double"))
+    Tables.documents(s, d).select(
+      $"doc_id",
+      (nTok >= 20 && nTok <= 100000).as("r_word_count"),
+      (meanWLen >= 3.0 && meanWLen <= 10.0).as("r_mean_word_len"),
+      (swHits >= 2).as("r_stopwords"),
+      (round(dupFrac, 4) <= 0.2).as("r_dup_bigrams"))
+      .withColumn("keep",
+        $"r_word_count" && $"r_mean_word_len" && $"r_stopwords" &&
+          $"r_dup_bigrams")
+  }
+
+  private def gopherOracle: String = {
+    val enSw = langStopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""
+      WITH t AS (SELECT doc_id, text,
+                        string_split_regex(lower(text), '\\s+') AS toks
+                 FROM documents),
+      m AS (SELECT doc_id,
+                   len(toks) AS n_tok,
+                   list_sum(list_transform(toks, w -> length(w))) * 1.0 /
+                     greatest(len(toks), 1) AS mean_wlen,
+                   len(list_filter(toks, w -> w IN ($enSw))) AS sw_hits,
+                   [toks[i] || ' ' || toks[i+1]
+                    for i in range(1, len(toks))] AS bigrams
+            FROM t),
+      r AS (SELECT doc_id,
+                   n_tok >= 20 AND n_tok <= 100000 AS r_word_count,
+                   mean_wlen >= 3.0 AND mean_wlen <= 10.0
+                     AS r_mean_word_len,
+                   sw_hits >= 2 AS r_stopwords,
+                   round(CASE WHEN len(bigrams) = 0 THEN 0.0
+                         ELSE 1.0 - len(list_distinct(bigrams)) * 1.0 /
+                              len(bigrams) END, 4) <= 0.2 AS r_dup_bigrams
+            FROM m)
+      SELECT doc_id, r_word_count, r_mean_word_len, r_stopwords,
+             r_dup_bigrams,
+             r_word_count AND r_mean_word_len AND r_stopwords AND
+               r_dup_bigrams AS keep
+      FROM r"""
+  }
+
   /** Corpus-level token frequency top-k — the vocabulary/stopword
     * sweep a tokenizer-training pass starts from. Explode → partial
     * count (map-side combine collapses each partition to its distinct
@@ -287,6 +346,8 @@ object TextOps {
       FROM documents""")),
 
     Q("q_curation_pipeline", curation, Some(curationOracle)),
+
+    Q("q_gopher_rules", gopherRules, Some(gopherOracle)),
 
     Q("q_top_tokens", topTokens, Some("""
       WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+'))
