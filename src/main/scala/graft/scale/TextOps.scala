@@ -76,16 +76,19 @@ object TextOps {
     when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
   }
 
-  /** Portable 31-bit polynomial hash over a string's characters:
+  /** Portable 31-bit polynomial hash over a string's codepoints:
     * h = foldl (acc·base + codepoint(c)) mod P (Mersenne 2³¹-1).
     * Reproducible byte-for-byte in DuckDB (see [[polyHashSql]]) — the
-    * token hash for every oracled sketch query. Spark's `split(s,"")`
-    * and `ascii` are unicode-codepoint-aware exactly like DuckDB's
-    * `string_split(s,'')` / `ord` (verified incl. CJK), and every
-    * intermediate stays < 2⁴² so ANSI mode never overflows. Slower
-    * than `xxhash64` (interpreted higher-order fold) — use it on
-    * correctness-tier paths, not 100 TB hot paths. */
+    * token hash for every oracled sketch query. Backed by the codegen
+    * [[graft.ext.PolyHashExpr]] (one fused loop in whole-stage
+    * codegen); the equivalent-but-interpreted Column formulation is
+    * [[polyHashInterpreted]], kept as the parity model. */
   def polyHash(str: Column, base: Long): Column =
+    graft.ext.PolyHashExpr.polyHash(str, base)
+
+  /** Reference formulation via split/ascii/aggregate — identical
+    * values (PropertySpec parity), interpreted execution. */
+  def polyHashInterpreted(str: Column, base: Long): Column =
     aggregate(split(str, ""), lit(0L),
       (acc, c) => pmod(acc * lit(base) + ascii(c), lit(2147483647L)))
 

@@ -79,6 +79,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("codegen PolyHashExpr ≡ interpreted split/ascii fold (incl. unicode, empty)") {
+    val gen = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.listOf(Gen.oneOf('a', 'Z', '9', ' ', '的', 'é', 'ß', '!'))
+        .map(_.mkString),
+      Gen.const(""), Gen.const(" a  b "))
+    val strs = samples(gen, 200).distinct
+    val df = strs.toDF("s").select(
+      scale.TextOps.polyHash($"s", 31L).as("native"),
+      scale.TextOps.polyHashInterpreted($"s", 31L).as("model"),
+      scale.TextOps.polyHash($"s", 37L).as("native37"),
+      scale.TextOps.polyHashInterpreted($"s", 37L).as("model37"))
+      .collect()
+    df.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+  }
+
   test("fingerprint: equal token streams collide, model-computed") {
     val tok = Gen.listOfN(5, Gen.oneOf("a", "bb", "ccc", "dd", "e"))
     val pairs = samples(Gen.zip(tok, tok), 50)
