@@ -133,6 +133,36 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(q("q_curation_pipeline")) === 2)
   }
 
+  test("runtime bloom-filter pruning injects on a selective shuffle join") {
+    // the 100 TB lever when a join's build side is selective but too
+    // big to broadcast: Catalyst plants a bloom_filter_agg on the
+    // build side and a might_contain probe in front of the fact scan
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{count, lit}
+      val li = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf).filter($"o_totalprice" > 400000)
+      val j = li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").agg(count(lit(1)).as("cnt"))
+      val plan = j.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("bloom_filter_agg"),
+        s"no bloom filter injected:\n${plan.take(1500)}")
+      assert(plan.toLowerCase.contains("might_contain"),
+        "no application-side bloom probe")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen spans cover the hot aggregation path") {
     val df = q("q_agg_pricing")
     df.collect() // finalize the adaptive plan

@@ -121,6 +121,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(Dedup.MaxBruteForceRows <= 200000L)
   }
 
+  test("stratified sampleBy: class-balanced training sample with seeded determinism") {
+    import graft.Tables
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang")
+    // downsample the dominant class, keep the rest — the class-balance
+    // pass before fine-tuning-data export
+    val fractions = Map("en" -> 0.3, "de" -> 1.0, "es" -> 1.0,
+      "fr" -> 1.0, "zh" -> 1.0)
+    val s1 = docs.stat.sampleBy("lang", fractions, seed = 42L)
+    val s2 = docs.stat.sampleBy("lang", fractions, seed = 42L)
+    assert(s1.collect().map(_.getLong(0)).toSet ===
+      s2.collect().map(_.getLong(0)).toSet, "same seed must reproduce")
+    val byLang = s1.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // non-en classes fully kept; en downsampled around 30% (Bernoulli)
+    Seq("de", "es", "fr", "zh").foreach { l =>
+      assert(byLang(l) === full(l), s"$l must be fully retained")
+    }
+    val enFrac = byLang("en").toDouble / full("en")
+    assert(enFrac > 0.1 && enFrac < 0.5, s"en fraction $enFrac off target")
+  }
+
   test("sketch-union estimate tracks exact set Jaccard within ±0.1") {
     import graft.Tables
     val est = SparkEntry.queries("q_sketch_union")(spark, sf).collect()
