@@ -113,6 +113,28 @@ object AdvancedQueries {
         .as("nations"))
   }
 
+  /** Map-typed column battery: construction (map_from_arrays), merge
+    * (map_concat), key/value extraction, lookup, membership — the
+    * attribute-bag shape semi-structured pipelines carry. Outputs are
+    * flattened to arrays/scalars so the oracle compare stays
+    * value-typed. */
+  private def mapFuncs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = map_from_arrays(
+      array(lit("status"), lit("priority")),
+      array($"o_orderstatus", $"o_orderpriority"))
+    val merged = map_concat(m, map_from_arrays(
+      array(lit("bucket")),
+      array(when($"o_totalprice" > 150000, "high").otherwise("low"))))
+    Tables.orders(s, d).select(
+      $"o_orderkey",
+      map_keys(m).as("ks"),
+      map_values(merged).as("vs"),
+      element_at(m, "status").as("status_val"),
+      size(merged).cast("long").as("m_size"),
+      map_contains_key(m, "status").as("has_status"))
+  }
+
   /** Higher-order array functions over the embeddings: transform /
     * filter / exists / aggregate. */
   private def higherOrder(s: SparkSession, d: String): DataFrame = {
@@ -264,6 +286,24 @@ object AdvancedQueries {
              list_aggregate(list_sort(list(n_name)), 'string_agg', ',')
                AS nations
       FROM nation GROUP BY 1""")),
+
+    Q("q_map_funcs", mapFuncs, Some("""
+      WITH t AS (
+        SELECT o_orderkey,
+               map(['status', 'priority'],
+                   [o_orderstatus, o_orderpriority]) AS m,
+               map(['status', 'priority', 'bucket'],
+                   [o_orderstatus, o_orderpriority,
+                    CASE WHEN o_totalprice > 150000 THEN 'high'
+                         ELSE 'low' END]) AS merged
+        FROM orders)
+      SELECT o_orderkey,
+             map_keys(m) AS ks,
+             map_values(merged) AS vs,
+             map_extract(m, 'status')[1] AS status_val,
+             CAST(cardinality(merged) AS BIGINT) AS m_size,
+             list_contains(map_keys(m), 'status') AS has_status
+      FROM t""")),
 
     Q("q_higher_order", higherOrder, Some("""
       SELECT vec_id,

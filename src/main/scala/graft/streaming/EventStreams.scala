@@ -71,9 +71,11 @@ object EventStreams {
     * the same user within the preceding hour. Both sides carry
     * watermarks so the join state is bounded — the unbounded-state
     * trap is the reason stream-stream joins REQUIRE the time-range
-    * condition at scale. */
+    * condition at scale. `joinType` "left_outer" additionally emits
+    * unattributed purchases (null click columns) once the watermark
+    * proves no matching click can still arrive. */
   def purchaseAttribution(clicks: DataFrame,
-      purchases: DataFrame): DataFrame = {
+      purchases: DataFrame, joinType: String = "inner"): DataFrame = {
     val c = clicks
       .withWatermark("ts", "1 hour")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
@@ -85,7 +87,8 @@ object EventStreams {
     p.join(c,
       expr("""p_user = c_user AND
               click_ts <= purchase_ts AND
-              click_ts >= purchase_ts - INTERVAL 1 HOUR"""))
+              click_ts >= purchase_ts - INTERVAL 1 HOUR"""),
+      joinType)
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
         col("purchase_ts"), col("click_ts"), col("value"))
   }

@@ -179,6 +179,37 @@ class EventStreamsSpec extends AnyFunSuite {
       "late click beyond watermark must be dropped from join state")
   }
 
+  test("left-outer interval join emits unattributed purchases after the watermark") {
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val out = purchaseAttribution(clicks.toDF(), purchases.toDF(),
+      joinType = "left_outer")
+    val q = out.writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      // user 7 has a prior click; user 8's purchase has none
+      clicks.addData(ev(1, 0, 7, "click"))
+      purchases.addData(ev(100, 30, 7, "purchase", 9.99),
+        ev(200, 30, 8, "purchase", 5.0))
+      q.processAllAvailable()
+      // the null-match for purchase 200 may only emit once the
+      // watermark proves no click can still arrive in its interval
+      clicks.addData(ev(2, 300, 9, "click"))
+      purchases.addData(ev(201, 300, 9, "purchase"))
+      q.processAllAvailable()
+      clicks.addData(ev(3, 500, 9, "click"))
+      purchases.addData(ev(202, 500, 9, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attrib_outer").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(rows.contains((100L, 1L)), "matched purchase joins its click")
+    assert(rows.contains((200L, -1L)),
+      "unattributed purchase must emit with null click after watermark")
+    assert(!rows.exists(p => p._1 == 200L && p._2 != -1L))
+  }
+
   test("same transforms run in batch mode (stream-batch unification)") {
     val batch = Seq(ev(1, 10, 1, "click"), ev(2, 20, 1, "click"),
       ev(3, 70, 2, "view")).toDF()
