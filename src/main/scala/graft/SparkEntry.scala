@@ -16,6 +16,7 @@ object SparkEntry {
       ops.ScalarQueries.queries ++
       ops.PipelineQueries.queries ++
       ops.AdvancedQueries.queries ++
+      ops.TemporalJoins.queries ++
       ops.TypedAndSources.queries ++
       yelp.YelpQueries.queries ++
       scale.TextOps.queries ++

@@ -1,0 +1,154 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins the built-in operators don't express directly:
+  * as-of (latest-preceding-match) and bounded-interval range joins.
+  *
+  * Reference analog: the dashboards attribute reviews/check-ins to the
+  * business state "as of" the review date (README.md:16-20 trend
+  * panels); more broadly an as-of join is the canonical
+  * training-data-pipeline primitive for point-in-time-correct feature
+  * lookup (no leakage from the future).
+  *
+  * Both operators here deliberately avoid the naive non-equi join
+  * (`l.key = r.key AND r.ts <= l.ts`), which Spark can only plan as a
+  * broadcast nested-loop / cartesian-per-key — O(n·m) per key and a
+  * guaranteed scale-killer. Instead:
+  *
+  *  - as-of: union both sides, ONE hash exchange on the key, one sort,
+  *    one window pass carrying the latest right payload forward —
+  *    O((n+m) log (n+m)) per partition, spillable, AQE-friendly.
+  *  - range join: band each side into fixed-width time buckets and
+  *    equi-join on (key, bucket) with the right side replicated into
+  *    the buckets its interval can reach, then apply the exact bound —
+  *    candidates are bounded by bucket co-residency, not |l|×|r|.
+  */
+object TemporalJoins {
+
+  /** As-of join: every `left` row picks the single most recent `right`
+    * row with `right.tsCol <= left.tsCol` for the same `key` (ties on
+    * the timestamp take the right row — `>=` semantics, matching
+    * DuckDB/kdb ASOF). Left-outer: unmatched left rows keep nulls.
+    *
+    * Contract: `right` must be unique per (key, ts) — pre-aggregate if
+    * not (the output would otherwise be nondeterministic in any
+    * engine). Right payload columns must not collide with left's.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => c == key || c == rightTs)
+    // Right rows sort BEFORE left rows at an equal timestamp (__side
+    // 0 < 1) so an exact-tie right row is visible to the window frame.
+    val r = right.select(
+      col(key), col(rightTs).as("__ts"), lit(0).as("__side"),
+      struct(payloadCols.map(col) :+ col(rightTs).as("__rts"): _*).as("__r"))
+    val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    val outCols: Seq[Column] = left.columns.map(col).toSeq ++
+      payloadCols.map(c => col(s"__m.$c").as(c)) :+
+      col("__m.__rts").as("matched_ts")
+    matched.filter(col("__side") === 1).select(outCols: _*)
+  }
+
+  /** Bounded-interval range join: all (left, right) pairs sharing `key`
+    * with `right.ts` in `[left.ts - windowSec, left.ts]`. Scalable
+    * shape: band both sides into `windowSec`-wide buckets, replicate
+    * the LEFT side into its bucket and the previous one (the interval
+    * spans at most 2 buckets), equi-join on (key, bucket), then the
+    * exact predicate. The equi-join shuffles on (key, bucket) — a
+    * sort-merge/broadcast plan, never a nested loop.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, windowSec: Long): DataFrame = {
+    // Exact long bucketing: Column./ is double division, which would
+    // make bucket ids fractional — subtract the remainder first so the
+    // division is exact, then cast back to long.
+    val bucket = (ts: Column) => {
+      val us = unix_micros(ts)
+      val w = lit(windowSec * 1000000L)
+      ((us - pmod(us, w)) / w).cast("long")
+    }
+    // Alias both sides: left and right may share lineage (e.g. two
+    // filters of the same table), where unqualified l(key) === r(key)
+    // resolves to a trivially-true self-comparison.
+    val l = left
+      .withColumn("__b", explode(array(bucket(col(leftTs)) - 1, bucket(col(leftTs)))))
+      .alias("__gl")
+    val r = right.withColumn("__b", bucket(col(rightTs))).alias("__gr")
+    l.join(r, col(s"__gl.$key") === col(s"__gr.$key") &&
+        col("__gl.__b") === col("__gr.__b") &&
+        col(s"__gr.$rightTs") <= col(s"__gl.$leftTs") &&
+        col(s"__gr.$rightTs") >=
+          col(s"__gl.$leftTs") - expr(s"INTERVAL $windowSec SECOND"))
+      .drop(col("__gl.__b")).drop(col("__gr.__b")).drop(col(s"__gr.$key"))
+  }
+
+  /** q_asof_attribution: attribute each purchase event to the latest
+    * click at-or-before it by the same user (point-in-time-correct
+    * last-touch attribution). Clicks are pre-deduped to one per
+    * (user, ts) so the as-of match is well-defined. */
+  private def asofAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id",
+        $"ts".as("purchase_ts"), $"value")
+    asofJoin(purchases, clicks, "user_id", "purchase_ts", "ts")
+      .select($"purchase_id", $"user_id", $"purchase_ts", $"value",
+        $"click_id", $"matched_ts".as("click_ts"),
+        (unix_micros($"purchase_ts") - unix_micros($"matched_ts"))
+          .as("gap_us"))
+  }
+
+  /** q_range_join_banded: every (purchase, click) pair by the same user
+    * within the preceding hour — the batch twin of the streaming
+    * interval join (EventStreams.purchaseAttribution), planned as a
+    * banded equi-join instead of a nested loop. */
+  private def rangeAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id",
+        $"ts".as("purchase_ts"))
+    rangeJoin(purchases, clicks, "user_id", "purchase_ts", "click_ts", 3600L)
+      .select($"purchase_id", $"user_id", $"purchase_ts",
+        $"click_id", $"click_ts")
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_asof_attribution", asofAttribution, Some("""
+      WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      purch AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.purchase_id, p.user_id, p.purchase_ts, p.value,
+             c.click_id, c.ts AS click_ts,
+             CAST(epoch_us(p.purchase_ts) - epoch_us(c.ts) AS BIGINT)
+               AS gap_us
+      FROM purch p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.purchase_ts >= c.ts""")),
+
+    Q("q_range_join_banded", rangeAttribution, Some("""
+      SELECT p.event_id AS purchase_id, p.user_id,
+             p.ts AS purchase_ts,
+             c.event_id AS click_id, c.ts AS click_ts
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL 1 HOUR"""))
+  )
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of / banded range join semantics and scale-shape tests. */
+class TemporalJoinsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+  import ops.TemporalJoins._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  // (key, ts, tag)
+  private def lhs = Seq(
+    (1L, ts(100), "p1"), (1L, ts(200), "p2"), (1L, ts(50), "p0"),
+    (2L, ts(500), "p3")).toDF("k", "lts", "ltag")
+  private def rhs = Seq(
+    (1L, ts(90), "c1"), (1L, ts(100), "c2"), (1L, ts(150), "c3"),
+    (3L, ts(10), "c4")).toDF("k", "rts", "rtag")
+
+  test("asofJoin picks the latest right row at-or-before each left row") {
+    val out = asofJoin(lhs, rhs, "k", "lts", "rts")
+      .select($"ltag", $"rtag").as[(String, String)].collect().toMap
+    // p1@100 ties with c2@100 (>= semantics) not c1@90
+    assert(out("p1") === "c2")
+    // p2@200: latest preceding is c3@150
+    assert(out("p2") === "c3")
+  }
+
+  test("asofJoin is left-outer: no-match rows keep null payload") {
+    val out = asofJoin(lhs, rhs, "k", "lts", "rts")
+    assert(out.count() === 4, "every left row survives exactly once")
+    val misses = out.filter($"rtag".isNull).select($"ltag")
+      .as[String].collect().toSet
+    // p0@50 precedes every key-1 click; key 2 has no clicks at all
+    assert(misses === Set("p0", "p3"))
+  }
+
+  test("asofJoin plans exactly one shuffle (union + window, no join node)") {
+    val out = asofJoin(lhs, rhs, "k", "lts", "rts")
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }.size
+    assert(shuffles === 1, s"expected 1 exchange, got $shuffles:\n$plan")
+  }
+
+  test("rangeJoin matches the naive non-equi join, without a nested loop") {
+    val naive = lhs.as("l").join(rhs.as("r"),
+        $"l.k" === $"r.k" && $"r.rts" <= $"l.lts" &&
+          $"r.rts" >= $"l.lts" - org.apache.spark.sql.functions
+            .expr("INTERVAL 60 SECOND"))
+      .select($"ltag", $"rtag").as[(String, String)].collect().toSet
+    val banded = rangeJoin(lhs, rhs, "k", "lts", "rts", 60L)
+      .select($"ltag", $"rtag").as[(String, String)].collect().toSet
+    assert(banded === naive)
+    assert(naive.contains(("p1", "c1")) && naive.contains(("p1", "c2")))
+    val plan = rangeJoin(lhs, rhs, "k", "lts", "rts", 60L)
+      .queryExecution.executedPlan
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"banded range join must not plan a nested loop:\n$plan")
+  }
+
+  test("rangeJoin window edges are inclusive on both bounds") {
+    val l = Seq((1L, ts(1000), "p")).toDF("k", "lts", "ltag")
+    val r = Seq((1L, ts(940), "exact_low"), (1L, ts(1000), "exact_hi"),
+      (1L, ts(939), "below"), (1L, ts(1001), "above"))
+      .toDF("k", "rts", "rtag")
+    val got = rangeJoin(l, r, "k", "lts", "rts", 60L)
+      .select($"rtag").as[String].collect().toSet
+    assert(got === Set("exact_low", "exact_hi"))
+  }
+
+  test("catalog queries return attributed rows on sf data") {
+    def q(n: String): DataFrame = SparkEntry.queries(n)(spark, sf)
+    val asof = q("q_asof_attribution")
+    assert(asof.count() > 0)
+    // exactly one output row per purchase event
+    val purchases = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase").count()
+    assert(asof.count() === purchases)
+    assert(q("q_range_join_banded").count() >= 0)
+  }
+}
