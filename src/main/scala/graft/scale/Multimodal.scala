@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing here is real and tested: schemas, typed
   * mapPartitions batching, native header/frame expressions that stay
-  * in whole-stage codegen. The CODEC itself is a clearly-marked
-  * deterministic fake — this container has no image/audio libraries —
-  * see [[FakeCodec.decode]]; swapping in a real decoder changes one
+  * in whole-stage codegen. The IMAGE codec is real — PNG via the
+  * JDK's `javax.imageio` ([[JdkImageCodec]]), encode/decode/resize,
+  * driver-oracled by q_multimodal_png. Audio/video stay behind the
+  * clearly-marked deterministic [[FakeCodec]] (those libraries aren't
+  * in this container); swapping in a real decoder changes one
   * function.
   */
 object Multimodal {
@@ -24,11 +26,76 @@ object Multimodal {
       height: Int, n_bytes: Long, checksum: Long)
   case class MediaFeatures(media_id: Long, histogram: Array[Long])
 
-  /** STUB — deterministic fake codec. A real implementation would
-    * dispatch to an image/audio library per `kind`; the container has
-    * none, so "decode" parses our synthetic 8-byte header
-    * (big-endian width, height) and checksums the payload. The
-    * signature and batch shape are what a real codec plugs into. */
+  /** Real JDK image codec — PNG encode/decode via `javax.imageio`
+    * (ships in the JDK, no extra jars) plus a `Graphics2D` resize.
+    * Pixels are losslessly round-trippable through PNG, so decoded
+    * values can be oracled against the generator formula exactly.
+    * Everything here is executor-side and headless-safe
+    * ([[java.awt.image.BufferedImage]] needs no display toolkit). */
+  object JdkImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** Deterministic grayscale test image: pixel (x, y) of image `id`
+      * has value (id·31 + x·7 + y·13) mod 256 in all three channels. */
+    def encodePng(id: Long, width: Int, height: Int): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode → (width, height, sum of blue-channel pixel values). */
+    def decode(png: Array[Byte]): (Int, Int, Long) = {
+      val img = ImageIO.read(new ByteArrayInputStream(png))
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          sum += (img.getRGB(x, y) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (img.getWidth, img.getHeight, sum)
+    }
+
+    /** Real image resize (area-averaging scale), re-encoded as PNG. */
+    def resize(png: Array[Byte], factor: Int): Array[Byte] = {
+      require(factor >= 1)
+      val src = ImageIO.read(new ByteArrayInputStream(png))
+      val w2 = math.max(1, src.getWidth / factor)
+      val h2 = math.max(1, src.getHeight / factor)
+      val dst = new BufferedImage(w2, h2, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try g.drawImage(
+        src.getScaledInstance(w2, h2, java.awt.Image.SCALE_AREA_AVERAGING),
+        0, 0, null)
+      finally g.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(dst, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** STUB — deterministic fake codec for the NON-image kinds (audio/
+    * video libraries genuinely aren't in this container; images are
+    * real — see [[JdkImageCodec]]). "decode" parses our synthetic
+    * 8-byte header (big-endian width, height) and checksums the
+    * payload. The signature and batch shape are what a real codec
+    * plugs into. */
   object FakeCodec {
     def decode(row: MediaRow): DecodedMeta = {
       val b = row.media
@@ -195,6 +262,41 @@ object Multimodal {
       .agg(count(lit(1)).as("n_frames"),
         sum(length(col("frame")).cast("long")).as("frame_bytes"))
 
+  /** Real-codec round trip, driver-oracled: encode an actual PNG per
+    * document (pixels from the generator formula), parse the IHDR
+    * width/height straight off the bytes with native expressions
+    * (PNG layout: 8-byte signature + 4-byte length + "IHDR", so width
+    * is big-endian at byte offset 16, height at 20), then DECODE the
+    * PNG and sum the pixel values. PNG is lossless, so DuckDB can
+    * recompute the exact pixel sum from the formula alone — a codec
+    * bug on either the encode or decode side breaks the hash. */
+  private def pngQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        // one codec context per partition; rows stream through
+        it.map { id =>
+          val w = 16 + (id % 16).toInt
+          val h = 9 + (id % 9).toInt
+          (id, JdkImageCodec.encodePng(id, w, h))
+        }
+      }.toDF("media_id", "media")
+    val parsed = media.select(
+      col("media_id"),
+      conv(hex(substring(col("media"), 17, 4)), 16, 10).cast("int")
+        .as("png_width"),
+      conv(hex(substring(col("media"), 21, 4)), 16, 10).cast("int")
+        .as("png_height"),
+      col("media"))
+    parsed.as[(Long, Int, Int, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, w, h, png) =>
+        val (dw, dh, pixelSum) = JdkImageCodec.decode(png)
+        (id, w, h, dw, dh, pixelSum)
+      }
+    }.toDF("media_id", "png_width", "png_height",
+      "dec_width", "dec_height", "pixel_sum")
+  }
+
   /** The oracles recompute expected values from the generator formula —
     * Spark must PARSE the same numbers back out of the binary it
     * built, so a byte-order or offset bug on either the build or parse
@@ -208,6 +310,22 @@ object Multimodal {
              CAST(9 + doc_id % 9 AS INT) AS height,
              8 + octet_length(encode(substring(text, 1, 64))) AS n_bytes
       FROM documents""")),
+
+    Q("q_multimodal_png", pngQ, Some("""
+      WITH dims AS (
+        SELECT doc_id AS media_id,
+               CAST(16 + doc_id % 16 AS INT) AS w,
+               CAST(9 + doc_id % 9 AS INT) AS h
+        FROM documents)
+      SELECT d.media_id,
+             d.w AS png_width, d.h AS png_height,
+             d.w AS dec_width, d.h AS dec_height,
+             CAST(sum((d.media_id * 31 + x.x * 7 + y.y * 13) % 256)
+                  AS BIGINT) AS pixel_sum
+      FROM dims d
+      JOIN generate_series(0, 31) AS x(x) ON x.x < d.w
+      JOIN generate_series(0, 17) AS y(y) ON y.y < d.h
+      GROUP BY 1, 2, 3""")),
 
     Q("q_multimodal_frames", framesQ, Some("""
       WITH m AS (SELECT doc_id AS media_id,

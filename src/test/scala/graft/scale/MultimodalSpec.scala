@@ -70,6 +70,38 @@ class MultimodalSpec extends AnyFunSuite {
       metas.map(_.checksum).toSeq)
   }
 
+  test("JdkImageCodec: PNG encode/decode round-trips exact pixel values") {
+    import JdkImageCodec._
+    for (id <- Seq(0L, 7L, 123L)) {
+      val (w, h) = (16 + (id % 16).toInt, 9 + (id % 9).toInt)
+      val (dw, dh, sum) = decode(encodePng(id, w, h))
+      assert((dw, dh) === (w, h))
+      val expected = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + x * 7 + y * 13) % 256).sum
+      assert(sum === expected, s"lossless round-trip broken for id=$id")
+    }
+  }
+
+  test("JdkImageCodec: native IHDR parse agrees with the decoder") {
+    import JdkImageCodec._
+    val png = encodePng(42L, 20, 11)
+    val parsed = Seq(Tuple1(png)).toDF("media")
+      .select(
+        conv(hex(substring($"media", 17, 4)), 16, 10).cast("int"),
+        conv(hex(substring($"media", 21, 4)), 16, 10).cast("int"))
+      .as[(Int, Int)].head()
+    assert(parsed === (20, 11))
+  }
+
+  test("JdkImageCodec: resize scales dimensions through a real re-encode") {
+    import JdkImageCodec._
+    val png = encodePng(5L, 24, 16)
+    val (w2, h2, _) = decode(resize(png, 2))
+    assert((w2, h2) === (12, 8))
+    val (w4, h4, _) = decode(resize(png, 32)) // floors at 1×1
+    assert((w4, h4) === (1, 1))
+  }
+
   test("metadata-only query prunes the blob column from the scan") {
     val dir = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("target"), "media")
