@@ -40,8 +40,15 @@ object Similarity {
     Seq.fill(NumHyperplanes)(Seq.fill(Dim)(next()))
   }
 
-  /** dot(a, b) for equal-length array<double> columns. */
+  /** dot(a, b) for equal-length array<double> columns — fused codegen
+    * loop (graft.ext.DotProductExpr); the interpreted higher-order
+    * form below is kept as the parity model for the spec. */
   def dot(a: Column, b: Column): Column =
+    graft.ext.DotProductExpr.dotProduct(a, b)
+
+  /** Interpreted reference: aggregate ∘ zip_with (spec parity only —
+    * lambda-per-element, measurably slower in the ANN hot path). */
+  def dotInterpreted(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** 16-bit hyperplane signature of an array<double> vector. */

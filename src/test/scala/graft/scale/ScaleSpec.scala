@@ -8,6 +8,29 @@ class ScaleSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf}
   import spark.implicits._
 
+  test("codegen dot product matches the interpreted higher-order form exactly") {
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .limit(200)
+    val both = e.select(
+        Similarity.dot($"v", reverse($"v")).as("fast"),
+        Similarity.dotInterpreted($"v", reverse($"v")).as("ref"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1),
+      "codegen and interpreted dot diverge"))
+    // null input → null out, like any null-safe binary expression
+    val n = e.select(Similarity.dot(lit(null).cast("array<double>"), $"v"))
+      .head()
+    assert(n.isNullAt(0))
+    // and the expression must actually be inside whole-stage codegen
+    val plan = e.select(Similarity.dot($"v", $"v")).queryExecution.executedPlan
+    val inCodegen = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+        if w.toString.contains("dot_product") => w
+    }
+    assert(inCodegen.nonEmpty, s"dot_product not inside codegen:\n$plan")
+  }
+
   test("minhash LSH finds exactly the exact-jaccard pairs at τ=0.8") {
     val exact = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
       .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
