@@ -139,7 +139,8 @@ object TemporalJoins {
              CAST(epoch_us(p.purchase_ts) - epoch_us(c.ts) AS BIGINT)
                AS gap_us
       FROM purch p ASOF LEFT JOIN clicks c
-        ON p.user_id = c.user_id AND p.purchase_ts >= c.ts""")),
+        ON p.user_id = c.user_id AND p.purchase_ts >= c.ts"""),
+      headline = true),
 
     Q("q_range_join_banded", rangeAttribution, Some("""
       SELECT p.event_id AS purchase_id, p.user_id,

@@ -2,6 +2,7 @@ package graft.scale
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline over the
@@ -304,6 +305,50 @@ object TextOps {
       .limit(20)
   }
 
+  /** Deterministic train/valid/test assignment — the reproducible-split
+    * primitive a training pipeline needs: membership is a pure function
+    * of the stable document id (Knuth multiplicative hash mod 100 →
+    * 80/10/10 bands), so ANY executor count, partitioning, or rerun
+    * yields the same split, and new documents never reshuffle old ones
+    * (unlike randomSplit, which is seed- and partitioning-dependent).
+    * Scan-local projection + one small agg shuffle; the assignment
+    * column itself costs nothing at 100 TB. */
+  private def hashSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket = pmod($"doc_id" * lit(2654435761L), lit(4294967296L)) % 100
+    val split = when(bucket < 80, "train")
+      .when(bucket < 90, "valid").otherwise("test")
+    Tables.documents(s, d)
+      .select(split.as("split"), $"lang", $"n_chars")
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+  }
+
+  /** TF-IDF top terms per document — the classic salient-term extract
+    * (here: top 3 by tf·ln(N/df), restricted to doc_id < 100 to bound
+    * the output). Shape at scale: token stream collapses map-side into
+    * (doc, token) and (token) partial counts; the document-frequency
+    * table is vocabulary-sized and BROADCAST back onto tf, so the big
+    * token stream crosses the wire once; the corpus count joins as a
+    * broadcast scalar, never a driver-side collect. */
+  private def tfidfTop(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val tok = docs
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+    val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tok.distinct().groupBy($"token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"token".asc)
+    tf.join(broadcast(df), "token").crossJoin(broadcast(nDocs))
+      .withColumn("score", round($"tf" * log($"n_docs" / $"df"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3 && $"doc_id" < 100)
+      .select($"doc_id", $"rn".cast("long").as("rn"), $"token", $"score")
+  }
+
   /** Per-language length stats — the document profiling sweep. */
   private def docProfile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -350,7 +395,43 @@ object TextOps {
 
     Q("q_curation_pipeline", curation, Some(curationOracle)),
 
+    Q("q_hash_split", hashSplit, Some("""
+      WITH s AS (
+        SELECT CASE
+                 WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
+                   THEN 'train'
+                 WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+                   THEN 'valid'
+                 ELSE 'test' END AS split,
+               lang, n_chars
+        FROM documents)
+      SELECT split, lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM s GROUP BY 1, 2""")),
+
     Q("q_gopher_rules", gopherRules, Some(gopherOracle)),
+
+    Q("q_tfidf_top_terms", tfidfTop, Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\s+')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf
+             FROM tok WHERE token <> '' GROUP BY 1, 2),
+      df AS (SELECT token, count(DISTINCT doc_id) AS df
+             FROM tok WHERE token <> '' GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS score
+        FROM tf JOIN df USING (token) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, token, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, token ASC) AS rn
+        FROM scored)
+      SELECT doc_id, CAST(rn AS BIGINT) AS rn, token, score
+      FROM ranked WHERE rn <= 3 AND doc_id < 100""")),
 
     Q("q_top_tokens", topTokens, Some("""
       WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+'))
