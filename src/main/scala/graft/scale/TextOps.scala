@@ -324,6 +324,30 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis): per language, keep the 5 documents with the largest
+    * u^(1/w) — ranked via the equivalent ln(u)/w — where u is a
+    * deterministic uniform derived from doc_id (Knuth multiplicative
+    * hash, +0.5 so u is never 0) and the weight w = n_chars. Because
+    * u is a pure function of the id, the sample is reproducible
+    * across reruns and partitionings (unlike rand()-based sampling),
+    * and longer documents are proportionally likelier — the weighted
+    * data-mixing primitive. Selection routes through the custom
+    * TopKPerKey operator: bounded per-partition heaps, partial+final,
+    * so only per-partition survivors cross the shuffle — no global
+    * sort of the corpus. */
+  private def weightedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val u = (pmod($"doc_id" * lit(2654435761L), lit(4294967296L))
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val scored = Tables.documents(s, d)
+      .filter($"n_chars" > 0)
+      .select($"lang", $"doc_id", (log(u) / $"n_chars").as("score"))
+    graft.ext.TopKPerKey.topK(scored, Seq("lang"),
+        Seq(("score", false), ("doc_id", true)), 5)
+      .select($"lang", $"doc_id", round($"score", 8).as("score"))
+  }
+
   /** TF-IDF top terms per document — the classic salient-term extract
     * (here: top 3 by tf·ln(N/df), restricted to doc_id < 100 to bound
     * the output). Shape at scale: token stream collapses map-side into
@@ -410,6 +434,20 @@ object TextOps {
       FROM s GROUP BY 1, 2""")),
 
     Q("q_gopher_rules", gopherRules, Some(gopherOracle)),
+
+    Q("q_weighted_sample", weightedSample, Some("""
+      WITH s AS (
+        SELECT lang, doc_id,
+               ln(((doc_id * 2654435761) % 4294967296 + 0.5)
+                  / 4294967296.0) / n_chars AS score
+        FROM documents WHERE n_chars > 0),
+      r AS (
+        SELECT lang, doc_id, score,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY score DESC, doc_id ASC) AS rk
+        FROM s)
+      SELECT lang, doc_id, round(score, 8) AS score
+      FROM r WHERE rk <= 5""")),
 
     Q("q_tfidf_top_terms", tfidfTop, Some("""
       WITH tok AS (
