@@ -361,8 +361,10 @@ object Dedup {
       .select($"v1", $"v2", round($"cosine", 4).as("cosine"))
   }
 
-  private val jaccardOracle = s"""
-      WITH tk AS (SELECT doc_id,
+  /** Shared CTE block: exact n-gram-Jaccard near-dup pairs at the
+    * threshold — the ground-truth `pairs(d1, d2, jaccard)` table both
+    * the pair oracles and the component oracle build on. */
+  private val jaccardPairsCte = s"""tk AS (SELECT doc_id,
                          string_split_regex(lower(text), '\\s+') AS toks
                   FROM documents),
       sh AS (SELECT doc_id,
@@ -372,13 +374,88 @@ object Dedup {
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
       inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
-      SELECT d1, d2, round(j, 4) AS jaccard
-      FROM (SELECT d1, d2, i * 1.0 / (s1.sz + s2.sz - i) AS j
-            FROM inter
-            JOIN sizes s1 ON d1 = s1.doc_id
-            JOIN sizes s2 ON d2 = s2.doc_id) q
-      WHERE j >= ${JaccardThreshold}"""
+                GROUP BY 1, 2),
+      pairs AS (
+        SELECT d1, d2, round(j, 4) AS jaccard
+        FROM (SELECT d1, d2, i * 1.0 / (s1.sz + s2.sz - i) AS j
+              FROM inter
+              JOIN sizes s1 ON d1 = s1.doc_id
+              JOIN sizes s2 ON d2 = s2.doc_id) q
+        WHERE j >= ${JaccardThreshold})"""
+
+  private val jaccardOracle = s"""
+      WITH $jaccardPairsCte
+      SELECT d1, d2, jaccard FROM pairs"""
+
+  /** Min-label components of the pair graph, checked by a DuckDB
+    * recursive CTE (transitive reachability → min reachable id). */
+  private val componentsOracle = s"""
+      WITH RECURSIVE $jaccardPairsCte,
+      sym AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION ALL SELECT d2, d1 FROM pairs),
+      reach AS (
+        SELECT a AS node, b AS r FROM sym
+        UNION
+        SELECT re.node, s.b FROM reach re JOIN sym s ON re.r = s.a)
+      SELECT node AS doc_id, least(node, min(r)) AS component
+      FROM reach GROUP BY node"""
+
+  /** Connected components over a near-dup pair graph — the CLUSTERING
+    * step of dedup: every node gets the min doc_id of its component,
+    * so "keep one document per duplicate cluster" is a groupBy away.
+    *
+    * Fixed-round min-label propagation, pure dataflow: each round
+    * every node adopts the smallest label among itself and its
+    * neighbors, so `rounds` = component diameter suffices. Near-dup
+    * components are shallow by construction (mutual near-dups form
+    * dense, small-diameter clusters), so the default 8 rounds carries
+    * slack — and there is NO driver-side convergence loop, no
+    * collect/count per step. At cluster scale each round is one
+    * shuffle of the node-label table, and nodes are pair members
+    * only — orders of magnitude smaller than the corpus. For general
+    * graphs with long chains, swap the step for alternating
+    * large-star/small-star (O(log n) rounds); pair input and output
+    * contract stay the same. Production note: checkpoint every ~4
+    * rounds to keep lineage flat; at test rounds the optimizer
+    * handles the join chain directly.
+    *
+    * @param pairs columns (d1, d2), each pair once with d1 < d2
+    * @return (doc_id, component) for every node appearing in `pairs`
+    */
+  def connectedComponents(pairs: DataFrame, rounds: Int = 8,
+      cacheKey: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val sym = pairs.select(col("d1").as("node"), col("d2").as("nbr"))
+      .union(pairs.select(col("d2").as("node"), col("d1").as("nbr")))
+    // Self-loop per node, so one join+min covers "self ∪ neighbors".
+    // This keeps each round referencing the previous labels exactly
+    // ONCE — a second reference (e.g. a left join to keep isolated
+    // nodes) would double evaluation work per round: 2^rounds blowup.
+    val adjRaw = sym.union(sym.select(col("node")).distinct()
+      .select(col("node"), col("node").as("nbr")))
+    // The adjacency is re-read every round — persist it (session
+    // registry) or the whole upstream pair pipeline re-executes
+    // `rounds` times.
+    val adj = cacheKey match {
+      case Some(k) => graft.GraftCaches.getOrPersist(spark, k)(adjRaw)
+      case None => adjRaw
+    }
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      labels = adj.alias("g")
+        .join(labels.alias("l"), col("g.nbr") === col("l.node"))
+        .groupBy(col("g.node"))
+        .agg(min(col("l.label")).as("label"))
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
+  /** q_dedup_components: cluster ids over the MinHash-LSH pair graph
+    * (which itself equals the exact-Jaccard pairs — ScaleSpec). */
+  private def componentsQ(s: SparkSession, d: String): DataFrame =
+    connectedComponents(minhashLsh(s, d).select(col("d1"), col("d2")),
+      cacheKey = Some(s"dedup.cc_adj:$d"))
 
   val queries: Seq[Q] = Seq(
     Q("q_dedup_exact", exactDedup, Some("""
@@ -397,6 +474,7 @@ object Dedup {
     Q("q_dedup_ngram_jaccard", ngramJaccard, Some(jaccardOracle)),
     Q("q_dedup_minhash_lsh", minhashLsh, Some(jaccardOracle),
       headline = true),
+    Q("q_dedup_components", componentsQ, Some(componentsOracle)),
     Q("q_dedup_simhash", simhashQ, Some(simhashOracle)),
     Q("q_dedup_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
     Q("q_dedup_embed_cosine", embedNearDup, Some("""

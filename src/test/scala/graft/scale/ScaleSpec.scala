@@ -31,6 +31,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(inCodegen.nonEmpty, s"dot_product not inside codegen:\n$plan")
   }
 
+  test("connectedComponents labels chains, stars, and islands correctly") {
+    // chain 1-2-3-4, star 10-(11,12,13), island pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L)).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents converges for a chain as long as the round count") {
+    // path graph 0-1-...-8: diameter 8 needs all 8 default rounds
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet === Set(0L), s"chain not fully labeled: $got")
+  }
+
   test("minhash LSH finds exactly the exact-jaccard pairs at τ=0.8") {
     val exact = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
       .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
