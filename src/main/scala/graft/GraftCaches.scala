@@ -13,33 +13,64 @@ import org.apache.spark.storage.StorageLevel
   * [[release]] — called by Bench/Verify before session stop, and safe
   * to call between queries.
   *
-  * Keys include the session's identity so a stopped-and-recreated
-  * session (test suites) never sees another session's cached plans.
+  * Keys use the session's `sessionUUID` — unique for the JVM's
+  * lifetime, so a stopped-and-recreated session (test suites) can
+  * never collide with another session's cached plans (identity
+  * hash codes, used in round 2, can be reused by the allocator).
+  * Entries owned by a session whose SparkContext has stopped are
+  * swept on every access, so a caller that forgets [[release]]
+  * leaks at most until the next cache lookup, not for the JVM
+  * lifetime.
   */
 object GraftCaches {
   private val entries =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  private def sessionKey(s: SparkSession, key: String): (Int, String) =
-    (System.identityHashCode(s), key)
+  /** Weakly-held per-session UUID (Spark's own `sessionUUID` is
+    * `private[sql]`). Unlike the identity hash codes round 2 keyed on,
+    * a UUID is unique for the JVM lifetime — the allocator can hand a
+    * dead session's identity hash to a new object, which would return
+    * a cached DataFrame bound to a stopped session. */
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  private def uuidOf(s: SparkSession): String =
+    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
+  private def sessionKey(s: SparkSession, key: String): (String, String) =
+    (uuidOf(s), key)
+
+  /** Drop entries bound to a dead session. Their blocks died with the
+    * context, so forgetting the handle is the whole cleanup. */
+  private def sweepStopped(): Unit =
+    entries.filter(_._2.sparkSession.sparkContext.isStopped)
+      .keys.foreach(entries.remove)
 
   /** Get the cached DataFrame for `key`, persisting `build` on first
     * use. MEMORY_AND_DISK: at cluster scale these are checkpoints, on
     * local[32] an in-memory persist. */
-  def getOrPersist(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+  def getOrPersist(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    sweepStopped()
     entries.getOrElseUpdate(sessionKey(s, key),
       build.persist(StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Unpersist and forget every cache owned by `s`. */
   def release(s: SparkSession): Unit = {
-    val id = System.identityHashCode(s)
+    val id = uuidOf(s)
     entries.keys.filter(_._1 == id).foreach { k =>
-      entries.remove(k).foreach(_.unpersist(false))
+      entries.remove(k).foreach { df =>
+        if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false)
+      }
     }
+    sweepStopped()
   }
 
   /** Unpersist and forget everything (all sessions). */
   def releaseAll(): Unit = {
-    entries.keys.foreach(k => entries.remove(k).foreach(_.unpersist(false)))
+    entries.keys.foreach(k => entries.remove(k).foreach { df =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false)
+    })
   }
 }

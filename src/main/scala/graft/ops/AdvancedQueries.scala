@@ -115,9 +115,10 @@ object AdvancedQueries {
 
   /** Map-typed column battery: construction (map_from_arrays), merge
     * (map_concat), key/value extraction, lookup, membership — the
-    * attribute-bag shape semi-structured pipelines carry. Outputs are
-    * flattened to arrays/scalars so the oracle compare stays
-    * value-typed. */
+    * attribute-bag shape semi-structured pipelines carry. Key/value
+    * lists are flattened to joined strings: the verification harness
+    * sorts output columns with pandas, which cannot order array
+    * cells. */
   private def mapFuncs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val m = map_from_arrays(
@@ -128,8 +129,8 @@ object AdvancedQueries {
       array(when($"o_totalprice" > 150000, "high").otherwise("low"))))
     Tables.orders(s, d).select(
       $"o_orderkey",
-      map_keys(m).as("ks"),
-      map_values(merged).as("vs"),
+      array_join(map_keys(m), ",").as("ks"),
+      array_join(map_values(merged), ",").as("vs"),
       element_at(m, "status").as("status_val"),
       size(merged).cast("long").as("m_size"),
       map_contains_key(m, "status").as("has_status"))
@@ -298,8 +299,8 @@ object AdvancedQueries {
                          ELSE 'low' END]) AS merged
         FROM orders)
       SELECT o_orderkey,
-             map_keys(m) AS ks,
-             map_values(merged) AS vs,
+             array_to_string(map_keys(m), ',') AS ks,
+             array_to_string(map_values(merged), ',') AS vs,
              map_extract(m, 'status')[1] AS status_val,
              CAST(cardinality(merged) AS BIGINT) AS m_size,
              list_contains(map_keys(m), 'status') AS has_status

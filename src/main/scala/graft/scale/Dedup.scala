@@ -149,22 +149,28 @@ object Dedup {
     posting.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding: band b's bucket key = hash of its 4 signature rows.
-    * Docs colliding in ANY band become candidates. */
-  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d)
+  /** (doc_id, band, bucket) rows from MinHash banding: band b's bucket
+    * key = hash of its 4 signature rows. Public so ScaleSpec can
+    * measure real bucket widths against [[MaxBucketWidth]]. */
+  def bandBuckets(sh: DataFrame): DataFrame = {
     val sig = minhashSignatures(sh)
     val bandCols = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
     }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
+  /** LSH banding near-dup: docs colliding in ANY band become
+    * candidates, then exact-Jaccard verify. */
+  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d)
     // persisted (session registry): the self-join below would otherwise
     // recompute the whole signature pipeline for each side
     val buckets = graft.GraftCaches.getOrPersist(s, s"dedup.lsh_buckets:$d") {
-      sig.select(col("doc_id"),
-          explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"),
-          col("bb.bucket").as("bucket"))
+      bandBuckets(sh)
     }
     verifyPairs(lshCandidates(buckets), sh)
   }
@@ -387,6 +393,38 @@ object Dedup {
       WITH $jaccardPairsCte
       SELECT d1, d2, jaccard FROM pairs"""
 
+  /** Oracle for the df-CAPPED inverted-index query: candidate pairs
+    * come from postings with shingle df ≤ [[MaxShingleDf]] (mirroring
+    * [[ngramCandidates]] exactly), while Jaccard itself is computed
+    * over the FULL shingle sets — the same split the Spark side makes.
+    * This keeps oracle equality data-independent: a pair whose shared
+    * shingles are all boilerplate is dropped by BOTH sides, instead of
+    * relying on the fixture never containing one (ADVICE r2). */
+  private val jaccardCappedOracle = s"""
+      WITH tk AS (SELECT doc_id,
+                         string_split_regex(lower(text), '\\s+') AS toks
+                  FROM documents),
+      sh AS (SELECT doc_id,
+                    unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                          for i in range(1, len(toks)-1)])) AS s
+             FROM tk WHERE len(toks) >= 3),
+      hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > $MaxShingleDf),
+      shc AS (SELECT doc_id, s FROM sh
+              WHERE s NOT IN (SELECT s FROM hot)),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT c.d1, c.d2,
+             round(i * 1.0 / (s1.sz + s2.sz - i), 4) AS jaccard
+      FROM cand c
+      JOIN inter ON c.d1 = inter.d1 AND c.d2 = inter.d2
+      JOIN sizes s1 ON c.d1 = s1.doc_id
+      JOIN sizes s2 ON c.d2 = s2.doc_id
+      WHERE i * 1.0 / (s1.sz + s2.sz - i) >= $JaccardThreshold"""
+
   /** Min-label components of the pair graph, checked by a DuckDB
     * recursive CTE (transitive reachability → min reachable id). */
   private val componentsOracle = s"""
@@ -471,7 +509,11 @@ object Dedup {
             UNION ALL
             SELECT doc_id, lang, source FROM documents WHERE doc_id < 25) u
       GROUP BY 1, 2, 3 HAVING count(*) > 1""")),
-    Q("q_dedup_ngram_jaccard", ngramJaccard, Some(jaccardOracle)),
+    Q("q_dedup_ngram_jaccard", ngramJaccard, Some(jaccardCappedOracle)),
+    // Oracled against UNCAPPED exact Jaccard: LSH equality is
+    // probabilistic (P(miss | j=0.8) ≈ 5e-8 per pair) and the bucket
+    // cap provably cannot bite at gate SF — ScaleSpec asserts the
+    // widest band bucket stays far below MaxBucketWidth.
     Q("q_dedup_minhash_lsh", minhashLsh, Some(jaccardOracle),
       headline = true),
     Q("q_dedup_components", componentsQ, Some(componentsOracle)),

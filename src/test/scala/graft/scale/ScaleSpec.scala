@@ -156,6 +156,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(uncapped === 40L * 39 / 2 + 1)
   }
 
+  test("LSH bucket-width cap has large headroom at gate SF") {
+    // q_dedup_minhash_lsh is oracled against UNCAPPED exact Jaccard,
+    // so the width cap must provably not bite at the SF the gate runs:
+    // assert the widest real (band,bucket) is far below MaxBucketWidth.
+    val sh = Tables.documents(spark, sf)
+      .select($"doc_id", Dedup.shingleHashes($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val widest = Dedup.bandBuckets(sh)
+      .groupBy($"band", $"bucket").count()
+      .agg(max($"count")).head().getLong(0)
+    assert(widest * 4 <= Dedup.MaxBucketWidth,
+      s"widest bucket $widest too close to cap ${Dedup.MaxBucketWidth}")
+  }
+
   test("brute-force embedding dedup refuses above its row ceiling") {
     // guard contract (the actual count at verify SF is far below it)
     assert(graft.Tables.embeddings(spark, sf).count()
