@@ -20,6 +20,7 @@ object SparkEntry {
       ops.TypedAndSources.queries ++
       yelp.YelpQueries.queries ++
       scale.TextOps.queries ++
+      scale.Privacy.queries ++
       scale.Dedup.queries ++
       scale.MinHashSigAgg.queries ++
       scale.Multimodal.queries ++

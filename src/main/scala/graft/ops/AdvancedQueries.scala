@@ -224,7 +224,122 @@ object AdvancedQueries {
       instr($"p_type", "ED").cast("long").as("ed_pos"))
   }
 
+  /** Equal-frequency binning via ntile — the quantile-bucket feature
+    * transform (and the partition-size equalizer for export jobs).
+    * The (o_totalprice, o_orderkey) order is total, so bin assignment
+    * is deterministic. NOT `ntile().over(Window.orderBy(…))`: an
+    * unpartitioned window plans a single-partition sort; the
+    * GlobalRank primitive computes the identical bucket with range
+    * partitioning + broadcast offsets (bit-exact — ntileFromRn
+    * replays the SQL bucket-size rule). */
+  private def ntileBins(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d).select($"o_orderkey", $"o_totalprice")
+    val n = base.agg(count(lit(1)).as("n_rows"))
+    graft.ext.GlobalRank
+      .withRowNumber(base, Seq($"o_totalprice", $"o_orderkey"))
+      .crossJoin(broadcast(n))
+      .select($"o_totalprice",
+        graft.ext.GlobalRank.ntileFromRn($"rn", $"n_rows", 10).as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        round(min($"o_totalprice"), 2).as("lo"),
+        round(max($"o_totalprice"), 2).as("hi"))
+  }
+
+  /** Two-phase salted aggregation: group by (key, salt) first so a
+    * hot key's rows spread over 16 reducers, then re-aggregate the
+    * tiny partial table by key. Equal to the plain groupBy (the
+    * oracle IS the plain GROUP BY) — this entry exists to keep the
+    * skew-mitigation shape under the correctness gate, like
+    * q_join_salted does for joins. The salt must be deterministic
+    * (orderkey-derived, not rand()) or reruns re-bucket rows. */
+  private def saltedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val partial = Tables.lineitem(s, d)
+      .withColumn("salt", pmod($"l_orderkey", lit(16)))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(sum($"l_quantity").as("q"), count(lit(1)).as("c"))
+    partial.groupBy($"l_returnflag")
+      .agg(round(sum($"q"), 2).as("sum_qty"), sum($"c").as("n"))
+  }
+
+  /** Distribution ranks: percent_rank + cume_dist over account
+    * balance — the empirical-CDF transform behind calibration and
+    * outlier screens. Total order via the custkey tie-break, which
+    * also makes the closed forms exact: with no peer rows,
+    * percent_rank = (rn-1)/(N-1) and cume_dist = rn/N. Computed from
+    * the distributed GlobalRank row number — an unpartitioned
+    * `percent_rank().over(…)` window would sort the table on one
+    * task. */
+  private def distRanks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.customer(s, d).select($"c_custkey", $"c_acctbal")
+    val n = base.agg(count(lit(1)).as("n_rows"))
+    graft.ext.GlobalRank
+      .withRowNumber(base, Seq($"c_acctbal", $"c_custkey"))
+      .crossJoin(broadcast(n))
+      .select($"c_custkey",
+        round(($"rn" - 1).cast("double") / ($"n_rows" - 1), 6)
+          .as("pct_rank"),
+        round($"rn".cast("double") / $"n_rows", 6).as("cdf"))
+  }
+
+  /** Feature standardization: z-score and min-max scaling of a
+    * numeric column. The stats collapse to ONE row which joins back
+    * as a broadcast — never a window over the whole table (a global
+    * window frame forces a single partition at scale; the 1-row
+    * cross join keeps the big side embarrassingly parallel). */
+  private def featureScale(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stats = Tables.orders(s, d).agg(
+      avg($"o_totalprice").as("mu"),
+      stddev_samp($"o_totalprice").as("sigma"),
+      min($"o_totalprice").as("mn"),
+      max($"o_totalprice").as("mx"))
+    Tables.orders(s, d).crossJoin(broadcast(stats))
+      .select($"o_orderkey",
+        round(($"o_totalprice" - $"mu") / $"sigma", 2).as("zscore"),
+        round(($"o_totalprice" - $"mn") / ($"mx" - $"mn"), 4)
+          .as("minmax"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_ntile_bins", ntileBins, Some("""
+      WITH b AS (SELECT o_orderkey, o_totalprice,
+                        CAST(ntile(10) OVER (ORDER BY o_totalprice,
+                                             o_orderkey) AS BIGINT)
+                          AS bin
+                 FROM orders)
+      SELECT bin, count(*) AS n,
+             round(min(o_totalprice), 2) AS lo,
+             round(max(o_totalprice), 2) AS hi
+      FROM b GROUP BY 1""")),
+
+    Q("q_salted_agg", saltedAgg, Some("""
+      SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1""")),
+
+    Q("q_dist_ranks", distRanks, Some("""
+      SELECT c_custkey,
+             round(percent_rank() OVER
+               (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+             round(cume_dist() OVER
+               (ORDER BY c_acctbal, c_custkey), 6) AS cdf
+      FROM customer""")),
+
+    Q("q_feature_scale", featureScale, Some("""
+      WITH s AS (SELECT avg(o_totalprice) AS mu,
+                        stddev_samp(o_totalprice) AS sigma,
+                        min(o_totalprice) AS mn,
+                        max(o_totalprice) AS mx
+                 FROM orders)
+      SELECT o_orderkey,
+             round((o_totalprice - mu) / sigma, 2) AS zscore,
+             round((o_totalprice - mn) / (mx - mn), 4) AS minmax
+      FROM orders, s""")),
+
     Q("q_window_range", windowRange, Some("""
       SELECT o_custkey, o_orderkey,
              round(sum(o_totalprice) OVER (

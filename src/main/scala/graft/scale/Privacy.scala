@@ -1,0 +1,133 @@
+package graft.scale
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Privacy / governance operators for the training-data pipeline:
+  * PII redaction (regex scrubbing of emails / phone numbers before a
+  * corpus is used for training), deterministic pseudonymization
+  * (keyed hashing so identity joins still work after anonymization),
+  * and URL extraction (the pre-pass for link-graph dedup and domain
+  * filtering).
+  *
+  * Everything is scan-local native expressions — no UDFs, no shuffle;
+  * at 100 TB these run inside whole-stage codegen over the parquet
+  * scan, exactly like TextOps. The regex subset used (character
+  * classes, bounded repetition, alternation) behaves identically in
+  * Java regex (Spark) and RE2 (DuckDB), which is what makes the
+  * oracles exact.
+  *
+  * The `documents` fixture carries no natural PII, so the queries
+  * PLANT deterministic emails/phones/URLs derived from doc_id (both
+  * sides replay the same construction) — the operator is then
+  * demonstrably removing something real.
+  */
+object Privacy {
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val UrlPattern = "https?://[A-Za-z0-9./_-]+"
+
+  /** Deterministic planted-PII text: the doc text plus an email and a
+    * phone number derived from doc_id. */
+  private def plantedPii: Column =
+    concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com tel +1-555-010-"),
+      lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"))
+
+  private val plantedPiiSql =
+    """text || ' contact user' || CAST(doc_id AS VARCHAR)
+       || '@example.com tel +1-555-010-'
+       || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')"""
+
+  /** PII redaction: count then scrub emails and phone numbers.
+    * Spark's regexp_replace is replace-all by default (DuckDB needs
+    * the 'g' flag for parity). */
+  private def piiRedact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", plantedPii.as("t"))
+      .select(
+        $"doc_id",
+        size(regexp_extract_all($"t", lit(EmailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all($"t", lit(PhonePattern), lit(0)))
+          .cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace($"t", EmailPattern, "[EMAIL]"),
+          PhonePattern, "[PHONE]").as("redacted"))
+  }
+
+  /** Deterministic pseudonymization over `customer`: a keyed SHA-256
+    * of the name (same input → same token, so joins on the pseudonym
+    * still co-partition), plus partial masking (first char + last 2
+    * kept) — the two standard anonymization shapes. The salt is a
+    * pipeline constant, NOT a per-row secret: rotating it re-keys the
+    * whole corpus. */
+  private def pseudonymize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d).select(
+      $"c_custkey",
+      sha2(concat(lit("graft-v1:"), $"c_name"), 256).as("name_token"),
+      concat(substring($"c_name", 1, 1), lit("***"),
+        substring($"c_name", -2, 2)).as("name_masked"))
+  }
+
+  /** URL extraction: the pre-pass for domain filtering / link dedup.
+    * Plants two deterministic URLs per doc, extracts them plus the
+    * registrable domain of the first. */
+  private def urlExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = concat(lit("see https://example.com/d/"),
+      $"doc_id".cast("string"),
+      lit(" and http://mirror-"), pmod($"doc_id", lit(10)).cast("string"),
+      lit(".example.org/x "), $"text")
+    Tables.documents(s, d)
+      .select($"doc_id", planted.as("t"))
+      .select(
+        $"doc_id",
+        array_join(regexp_extract_all($"t", lit(UrlPattern), lit(0)), " ")
+          .as("urls"),
+        size(regexp_extract_all($"t", lit(UrlPattern), lit(0)))
+          .cast("long").as("n_urls"),
+        regexp_extract($"t", "https?://([A-Za-z0-9.-]+)/", 1)
+          .as("first_domain"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_pii_redact", piiRedact, Some(s"""
+      WITH p AS (SELECT doc_id, $plantedPiiSql AS t FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '$EmailPattern')) AS BIGINT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(t, '$PhonePattern')) AS BIGINT)
+               AS n_phones,
+             regexp_replace(
+               regexp_replace(t, '$EmailPattern', '[EMAIL]', 'g'),
+               '$PhonePattern', '[PHONE]', 'g') AS redacted
+      FROM p""")),
+
+    Q("q_pseudonymize", pseudonymize, Some("""
+      SELECT c_custkey,
+             sha256('graft-v1:' || c_name) AS name_token,
+             left(c_name, 1) || '***' || right(c_name, 2) AS name_masked
+      FROM customer""")),
+
+    Q("q_url_extract", urlExtract, Some(s"""
+      WITH p AS (SELECT doc_id,
+                        'see https://example.com/d/' || CAST(doc_id AS VARCHAR)
+                        || ' and http://mirror-' || CAST(doc_id % 10 AS VARCHAR)
+                        || '.example.org/x ' || text AS t
+                 FROM documents)
+      SELECT doc_id,
+             array_to_string(regexp_extract_all(t, '$UrlPattern'), ' ')
+               AS urls,
+             CAST(len(regexp_extract_all(t, '$UrlPattern')) AS BIGINT)
+               AS n_urls,
+             regexp_extract(t, 'https?://([A-Za-z0-9.-]+)/', 1)
+               AS first_domain
+      FROM p"""))
+  )
+}

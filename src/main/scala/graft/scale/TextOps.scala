@@ -373,6 +373,35 @@ object TextOps {
       .select($"doc_id", $"rn".cast("long").as("rn"), $"token", $"score")
   }
 
+  /** Bigram language-model statistics: adjacent-token pair counts plus
+    * the conditional probability p(w2 | w1) = count(w1 w2) / count(w1 ·),
+    * the unit of n-gram LM training and of corpus-contamination
+    * screens. Shape at scale: both the bigram and the left-unigram
+    * counts collapse map-side (hash aggregate with partial combine)
+    * before one key shuffle each; the unigram table is
+    * vocabulary-sized and joins back BROADCAST, so the token stream
+    * crosses the wire once. Top 50 by (count, w1, w2) — a total order,
+    * so the output is deterministic. */
+  private def bigramLm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = tokens($"text")
+    val pairs = when(size(t) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"),
+          element_at(t, i + 1).as("w2"))))
+    val big = Tables.documents(s, d)
+      .select(explode(pairs).as("p"))
+      .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("cnt"))
+    val uni = big.groupBy($"w1").agg(sum($"cnt").as("tot"))
+    big.join(broadcast(uni), "w1")
+      .select($"w1", $"w2", $"cnt",
+        round($"cnt".cast("double") / $"tot", 4).as("p_cond"))
+      .orderBy($"cnt".desc, $"w1", $"w2")
+      .limit(50)
+  }
+
   /** Per-language length stats — the document profiling sweep. */
   private def docProfile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -484,6 +513,20 @@ object TextOps {
              CAST(max(length(text)) AS BIGINT) AS max_len,
              round(avg(len(string_split_regex(lower(text), '\s+'))), 4)
                AS avg_tokens
-      FROM documents GROUP BY lang, source"""))
+      FROM documents GROUP BY lang, source""")),
+
+    Q("q_bigram_lm", bigramLm, Some("""
+      WITH tk AS (SELECT string_split_regex(lower(text), '\s+') AS toks
+                  FROM documents),
+      pairs AS (SELECT unnest([struct_pack(w1 := toks[i], w2 := toks[i+1])
+                              for i in range(1, len(toks))]) AS p
+                FROM tk WHERE len(toks) >= 2),
+      big AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cnt
+              FROM pairs GROUP BY 1, 2),
+      uni AS (SELECT w1, sum(cnt) AS tot FROM big GROUP BY 1)
+      SELECT b.w1, b.w2, CAST(b.cnt AS BIGINT) AS cnt,
+             round(b.cnt * 1.0 / u.tot, 4) AS p_cond
+      FROM big b JOIN uni u USING (w1)
+      ORDER BY cnt DESC, w1, w2 LIMIT 50"""))
   )
 }
