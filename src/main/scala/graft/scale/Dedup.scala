@@ -72,7 +72,14 @@ object Dedup {
     * GraftCaches.release / Bench / Verify. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     graft.GraftCaches.getOrPersist(s, s"dedup.shingles:$d") {
+      // Repartition before shingling: the documents parquet is a
+      // single split at test SF, and every downstream consumer
+      // EXPLODES the shingle arrays (~x100 rows) — spreading the slim
+      // (doc_id, text) rows first keeps the explode and the partial
+      // aggregates over it on all cores (same lesson as
+      // YelpQueries.amplifiedReviews, measured 8x there).
       Tables.documents(s, d)
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
     }
@@ -209,6 +216,7 @@ object Dedup {
           TextOps.polyHash(col("w"), 37L) * lit(2147483648L)
       else xxhash64(col("w"))
     val tok = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
       .withColumn("h", hash)
     val votes = (0 until bits).map(b =>

@@ -174,7 +174,18 @@ object YelpQueries {
   private val VolumeAmp = 80
 
   private def amplifiedReviews(s: SparkSession, d: String): DataFrame = {
+    // Repartition BEFORE the ×80 explode: the sf0.1 orders parquet is
+    // a single input split, so without this the 12 M generated rows —
+    // and the dedup's partial aggregate over them — all ran on ONE
+    // task (measured 8× slower end-to-end). The repartition shuffles
+    // only the slim 150 k-row base; a production-scale input with
+    // many splits makes it a near-no-op, a pathological one (few huge
+    // row groups) is exactly what it guards against. Row-multiplying
+    // operators must spread their INPUT, not rely on their output
+    // being spread.
+    val nPart = s.sessionState.conf.numShufflePartitions
     val base = reviewFrom(Tables.orders(s, d))
+      .repartition(nPart)
       .withColumn("i", explode(sequence(lit(0), lit(VolumeAmp - 1))))
       .withColumn("review_id", col("review_id") * VolumeAmp + col("i"))
     base
@@ -195,10 +206,18 @@ object YelpQueries {
       businessFrom(Tables.part(s, d)),
       amplifiedReviews(s, d),
       userFrom(Tables.customer(s, d)))
-    m.groupBy(col("year"))
-      .agg(count(col("review_id")).as("n_reviews"),
-        countDistinct(col("business_id")).as("n_businesses"),
-        round(avg(col("stars")), 4).as("avg_stars"))
+    // Two-level aggregate instead of count+countDistinct in one pass:
+    // a mixed distinct aggregate plans an Expand that streams every
+    // row TWICE into the partial hash aggregate; pre-grouping by
+    // (year, business_id) collapses 12 M rows map-side to
+    // |years|x|businesses| partials, and the final rollup then needs
+    // no distinct at all. Same result, measurably cheaper at volume.
+    m.groupBy(col("year"), col("business_id"))
+      .agg(count(col("review_id")).as("n"), sum(col("stars")).as("s"))
+      .groupBy(col("year"))
+      .agg(sum(col("n")).as("n_reviews"),
+        count(lit(1)).as("n_businesses"),
+        round(sum(col("s")) / sum(col("n")), 4).as("avg_stars"))
       .withColumn("year", col("year").cast("long"))
   }
 
