@@ -433,18 +433,42 @@ object Dedup {
       JOIN sizes s2 ON c.d2 = s2.doc_id
       WHERE i * 1.0 / (s1.sz + s2.sz - i) >= $JaccardThreshold"""
 
-  /** Min-label components of the pair graph, checked by a DuckDB
-    * recursive CTE (transitive reachability → min reachable id). */
-  private val componentsOracle = s"""
-      WITH RECURSIVE $jaccardPairsCte,
+  /** Recursive-CTE block computing components from the exact pair
+    * graph (transitive reachability → min reachable id). */
+  private val componentsCte = s"""
       sym AS (SELECT d1 AS a, d2 AS b FROM pairs
               UNION ALL SELECT d2, d1 FROM pairs),
       reach AS (
         SELECT a AS node, b AS r FROM sym
         UNION
-        SELECT re.node, s.b FROM reach re JOIN sym s ON re.r = s.a)
-      SELECT node AS doc_id, least(node, min(r)) AS component
-      FROM reach GROUP BY node"""
+        SELECT re.node, s.b FROM reach re JOIN sym s ON re.r = s.a),
+      comp AS (SELECT node AS doc_id, least(node, min(r)) AS component
+               FROM reach GROUP BY node)"""
+
+  /** Min-label components of the pair graph, checked by a DuckDB
+    * recursive CTE. */
+  private val componentsOracle = s"""
+      WITH RECURSIVE $jaccardPairsCte,
+      $componentsCte
+      SELECT doc_id, component FROM comp"""
+
+  /** Survivor-per-cluster oracle: components + the q_text_quality
+    * score expression + a per-component argmax. */
+  private val keepBestOracle = s"""
+      WITH RECURSIVE $jaccardPairsCte,
+      $componentsCte,
+      ql AS (SELECT doc_id,
+                    round((least(length(text) / 200.0, 1.0) +
+                           len(list_distinct(string_split_regex(lower(text), '\\s+'))) * 1.0 /
+                           greatest(len(string_split_regex(lower(text), '\\s+')), 1)) / 2.0,
+                          4) AS q
+             FROM documents),
+      ranked AS (SELECT c.component, c.doc_id, ql.q,
+                        row_number() OVER (PARTITION BY c.component
+                                           ORDER BY ql.q DESC,
+                                                    c.doc_id ASC) AS rn
+                 FROM comp c JOIN ql USING (doc_id))
+      SELECT component, doc_id AS keep_id, q FROM ranked WHERE rn = 1"""
 
   /** Connected components over a near-dup pair graph — the CLUSTERING
     * step of dedup: every node gets the min doc_id of its component,
@@ -503,6 +527,23 @@ object Dedup {
     connectedComponents(minhashLsh(s, d).select(col("d1"), col("d2")),
       cacheKey = Some(s"dedup.cc_adj:$d"))
 
+  /** The dedup ENDPOINT: one survivor per near-dup cluster, chosen by
+    * quality (tie → smallest doc_id) — LSH pairs → connected
+    * components → quality join → TopKPerKey k=1. Per-partition heaps
+    * mean only one candidate row per (partition, component) crosses
+    * the final shuffle; the component table is pair-members only,
+    * orders of magnitude smaller than the corpus. */
+  private def keepBest(s: SparkSession, d: String): DataFrame = {
+    val comp = connectedComponents(
+      minhashLsh(s, d).select(col("d1"), col("d2")),
+      cacheKey = Some(s"dedup.cc_adj:$d"))
+    val quality = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+    graft.ext.TopKPerKey.topK(comp.join(quality, "doc_id"),
+        Seq("component"), Seq(("q", false), ("doc_id", true)), 1)
+      .select(col("component"), col("doc_id").as("keep_id"), col("q"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_dedup_exact", exactDedup, Some("""
       SELECT md5(text) AS text_hash, count(*) AS n_copies,
@@ -525,6 +566,7 @@ object Dedup {
     Q("q_dedup_minhash_lsh", minhashLsh, Some(jaccardOracle),
       headline = true),
     Q("q_dedup_components", componentsQ, Some(componentsOracle)),
+    Q("q_dedup_keep_best", keepBest, Some(keepBestOracle)),
     Q("q_dedup_simhash", simhashQ, Some(simhashOracle)),
     Q("q_dedup_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
     Q("q_dedup_embed_cosine", embedNearDup, Some("""

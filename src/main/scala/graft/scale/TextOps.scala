@@ -402,6 +402,25 @@ object TextOps {
       .limit(50)
   }
 
+  /** Data-mixing weights: per-language sampling weight that would
+    * rebalance the corpus to a uniform language mixture —
+    * weight(l) = target_share / actual_share. The shape every
+    * training-mix rebalancer needs: one tiny groupBy, totals joined
+    * back as a broadcast scalar (never a driver-side collect), weights
+    * then drive sampleBy/weighted-sample downstream. */
+  private def mixtureWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byLang = Tables.documents(s, d)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+    val tot = byLang.agg(sum($"n").as("tot_n"),
+      count(lit(1)).as("n_langs"))
+    byLang.crossJoin(broadcast(tot))
+      .select($"lang", $"n",
+        round($"n" / $"tot_n", 4).as("actual_share"),
+        round((lit(1.0) / $"n_langs") / ($"n" / $"tot_n"), 4)
+          .as("weight"))
+  }
+
   /** Per-language length stats — the document profiling sweep. */
   private def docProfile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -527,6 +546,17 @@ object TextOps {
       SELECT b.w1, b.w2, CAST(b.cnt AS BIGINT) AS cnt,
              round(b.cnt * 1.0 / u.tot, 4) AS p_cond
       FROM big b JOIN uni u USING (w1)
-      ORDER BY cnt DESC, w1, w2 LIMIT 50"""))
+      ORDER BY cnt DESC, w1, w2 LIMIT 50""")),
+
+    Q("q_mixture_weights", mixtureWeights, Some("""
+      WITH by_lang AS (SELECT lang, count(*) AS n
+                       FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+                     count(*) AS n_langs
+              FROM by_lang)
+      SELECT lang, CAST(n AS BIGINT) AS n,
+             round(n * 1.0 / tot_n, 4) AS actual_share,
+             round((1.0 / n_langs) / (n * 1.0 / tot_n), 4) AS weight
+      FROM by_lang, tot"""))
   )
 }
