@@ -207,6 +207,93 @@ object Similarity {
       .withColumn("pos", $"pos".cast("long"))
   }
 
+  /** DuckDB oracle replaying the FULL LSH pipeline value-for-value:
+    * the fixed-seed hyperplanes are rendered as literal lists (Scala's
+    * shortest-repr Double.toString round-trips through DuckDB's
+    * parser bit-exactly), signature bits are CASE sums, banding is
+    * div/mod arithmetic, and the re-rank reuses the brute-force
+    * shape. Every stage is deterministic, so the approximate operator
+    * still gets an EXACT oracle — the same fp-parity base
+    * (list_dot_product ≡ DotProductExpr) the q_ann_bruteforce oracle
+    * already proves at both gate SFs. */
+  private def lshOracle: String = {
+    val sigExpr = hyperplanes.zipWithIndex.map { case (h, i) =>
+      s"(CASE WHEN list_dot_product(v, ${h.mkString("[", ", ", "]")}) >= 0" +
+        s" THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n               + ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      sig AS (SELECT vec_id,
+               $sigExpr AS sig
+              FROM e),
+      buckets AS (SELECT vec_id, band,
+                         (sig // CAST(power(${1 << SimRowsPerBand}, band)
+                                      AS BIGINT))
+                           % ${1 << SimRowsPerBand} AS bucket
+                  FROM sig
+                  CROSS JOIN (SELECT unnest(range($SimBands)) AS band) b),
+      qb AS (SELECT vec_id AS query_id, band, bucket
+             FROM buckets WHERE vec_id < $NumQueries),
+      cand AS (SELECT DISTINCT qb.query_id, bk.vec_id
+               FROM buckets bk
+               JOIN qb ON bk.band = qb.band AND bk.bucket = qb.bucket
+               WHERE bk.vec_id <> qb.query_id),
+      ranked AS (SELECT c.query_id, c.vec_id,
+                        list_dot_product(ev.v, eq.v) AS cosine,
+                        row_number() OVER (PARTITION BY c.query_id
+                          ORDER BY list_dot_product(ev.v, eq.v) DESC,
+                                   c.vec_id ASC) AS rank
+                 FROM cand c
+                 JOIN e ev ON c.vec_id = ev.vec_id
+                 JOIN e eq ON c.query_id = eq.vec_id)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank,
+             vec_id AS neighbor_id, round(cosine, 4) AS cosine
+      FROM ranked WHERE rank <= $TopK"""
+  }
+
+  /** DuckDB oracle replaying the IVF pipeline: literal seed ids →
+    * centroids, argmax cell assignment (struct-max ties break to the
+    * LARGER cid, hence ORDER BY cdot DESC, cid DESC), nprobe nearest
+    * cells per query (probe ties break to the SMALLER cid, matching
+    * the window in annIvf), exact re-rank inside probed cells. */
+  private def ivfOracle: String = {
+    val seeds = (0 until IvfCentroids)
+      .map(i => NumQueries + 7L * i + 3L).mkString(", ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e
+               WHERE vec_id IN ($seeds)),
+      assign AS (SELECT vec_id, cid AS cell FROM (
+          SELECT ev.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY ev.vec_id
+                   ORDER BY list_dot_product(ev.v, c.cv) DESC,
+                            c.cid DESC) AS rn
+          FROM e ev CROSS JOIN cent c) t WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id < $NumQueries),
+      probes AS (SELECT query_id, cid AS cell FROM (
+          SELECT q.query_id, c.cid,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qv, c.cv) DESC,
+                            c.cid ASC) AS pr
+          FROM q CROSS JOIN cent c) t WHERE pr <= $IvfProbes),
+      ranked AS (SELECT p.query_id, ev.vec_id,
+                        list_dot_product(ev.v, eq.qv) AS cosine,
+                        row_number() OVER (PARTITION BY p.query_id
+                          ORDER BY list_dot_product(ev.v, eq.qv) DESC,
+                                   ev.vec_id ASC) AS rank
+                 FROM probes p
+                 JOIN assign a ON p.cell = a.cell
+                 JOIN e ev ON a.vec_id = ev.vec_id
+                 JOIN q eq ON p.query_id = eq.query_id
+                 WHERE ev.vec_id <> p.query_id)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank,
+             vec_id AS neighbor_id, round(cosine, 4) AS cosine
+      FROM ranked WHERE rank <= $TopK"""
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_embed_centroids", embedCentroids, Some("""
       WITH e AS (SELECT label,
@@ -231,8 +318,8 @@ object Similarity {
       SELECT query_id, CAST(rank AS BIGINT) AS rank,
              vec_id AS neighbor_id, round(cosine, 4) AS cosine
       FROM ranked WHERE rank <= ${TopK}"""), headline = true),
-    Q("q_ann_lsh", annLsh, None),
-    Q("q_ann_ivf", annIvf, None),
+    Q("q_ann_lsh", annLsh, Some(lshOracle)),
+    Q("q_ann_ivf", annIvf, Some(ivfOracle)),
     Q("q_knn_labels", knnLabels, Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings),

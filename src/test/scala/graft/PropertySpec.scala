@@ -116,6 +116,33 @@ class PropertySpec extends AnyFunSuite {
       pairs.nonEmpty)
   }
 
+  test("ntileFromRn matches SQL ntile across random (n, k)") {
+    val cases = samples(for {
+      n <- Gen.chooseNum(1, 200)
+      k <- Gen.chooseNum(1, 20)
+    } yield (n, k), 25)
+    cases.foreach { case (n, k) =>
+      // reference model: SQL ntile semantics — first (n mod k) buckets
+      // hold ceil(n/k) rows, the rest floor(n/k)
+      def model(rn: Int): Int = {
+        val q = n / k; val r = n % k; val big = (q + 1) * r
+        if (rn <= big) (rn - 1) / (q + 1) + 1
+        else r + (rn - 1 - big) / math.max(q, 1) + 1
+      }
+      val got = (1 to n).map(_.toLong).toDF("rn")
+        .select($"rn", ext.GlobalRank
+          .ntileFromRn($"rn", lit(n.toLong), k).as("b"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt)
+      got.foreach { case (rn, b) =>
+        assert(b === model(rn), s"n=$n k=$k rn=$rn")
+      }
+      // bucket sizes: max-min ≤ 1 and buckets numbered 1..min(n,k)
+      val sizes = got.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(sizes.keySet === (1 to math.min(n, k)).toSet, s"n=$n k=$k")
+      assert(sizes.values.max - sizes.values.min <= 1, s"n=$n k=$k")
+    }
+  }
+
   test("join row-count bounds: inner ≤ left ≤ left+anti ≡ left table") {
     val sf = SparkTestSession.sf
     val c = Tables.customer(spark, sf)
