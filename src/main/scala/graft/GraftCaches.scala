@@ -67,6 +67,9 @@ object GraftCaches {
     sweepStopped()
   }
 
+  /** Live entry count — test hook for lifecycle hygiene. */
+  private[graft] def size: Int = entries.size
+
   /** Unpersist and forget everything (all sessions). */
   def releaseAll(): Unit = {
     entries.keys.foreach(k => entries.remove(k).foreach { df =>

@@ -544,6 +544,49 @@ object Dedup {
       .select(col("component"), col("doc_id").as("keep_id"), col("q"))
   }
 
+  /** Benchmark-contamination screen: fraction of a training doc's
+    * distinct shingles that appear anywhere in the eval set (docs with
+    * doc_id < 20 stand in for a benchmark). The standard n-gram
+    * containment check run before training. Shape at scale: the eval
+    * shingle set is benchmark-sized → broadcast; the corpus posting
+    * stream stays map-side (one groupBy on doc_id, combineable), so
+    * the corpus never shuffles its shingles — only (doc_id, count)
+    * partials. */
+  private def contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d)
+    val evalSet = sh.filter(col("doc_id") < 20)
+      .select(explode(col("sh")).as("shingle")).distinct()
+      .withColumn("is_eval", lit(1L))
+    val corpus = sh.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    corpus.join(broadcast(evalSet), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_eval"), lit(0L))).as("n_hits"))
+      .withColumn("ratio",
+        round(col("n_hits").cast("double") / col("n_shingles"), 4))
+      .filter(col("ratio") >= 0.1)
+  }
+
+  private val contaminationOracle = s"""
+      WITH tk AS (SELECT doc_id,
+                         string_split_regex(lower(text), '\\s+') AS toks
+                  FROM documents),
+      sh AS (SELECT doc_id,
+                    unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                          for i in range(1, len(toks)-1)])) AS s
+             FROM tk WHERE len(toks) >= 3),
+      ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+      c AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20),
+      agg AS (SELECT c.doc_id, count(*) AS n_shingles,
+                     CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hits
+              FROM c LEFT JOIN ev ON c.s = ev.s
+              GROUP BY 1)
+      SELECT doc_id, n_shingles, n_hits,
+             round(n_hits * 1.0 / n_shingles, 4) AS ratio
+      FROM agg WHERE round(n_hits * 1.0 / n_shingles, 4) >= 0.1"""
+
   val queries: Seq[Q] = Seq(
     Q("q_dedup_exact", exactDedup, Some("""
       SELECT md5(text) AS text_hash, count(*) AS n_copies,
@@ -567,6 +610,7 @@ object Dedup {
       headline = true),
     Q("q_dedup_components", componentsQ, Some(componentsOracle)),
     Q("q_dedup_keep_best", keepBest, Some(keepBestOracle)),
+    Q("q_contamination", contamination, Some(contaminationOracle)),
     Q("q_dedup_simhash", simhashQ, Some(simhashOracle)),
     Q("q_dedup_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
     Q("q_dedup_embed_cosine", embedNearDup, Some("""

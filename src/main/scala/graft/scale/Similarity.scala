@@ -207,6 +207,41 @@ object Similarity {
       .withColumn("pos", $"pos".cast("long"))
   }
 
+  /** Int8 scalar quantization of the embedding column — the storage
+    * compression every vector index applies before serving. Per-vector
+    * max-abs scale, q = floor(127·x/scale + 0.5) (explicit floor, not
+    * round: identical halfway semantics in every engine), plus the
+    * reconstruction-error summary. Scan-local higher-order
+    * expressions; outputs are scalars so the verification harness
+    * never sorts array cells. */
+  private def embedQuantize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = corpus(s, d)
+    val scale = array_max(transform($"v", x => abs(x)))
+    val qOf = (x: Column, sc: Column) => floor(x * 127 / sc + lit(0.5))
+    e.select($"vec_id", scale.as("sc"), $"v")
+      .select($"vec_id",
+        round($"sc", 6).as("scale"),
+        round(array_max(transform($"v",
+          x => abs(x - qOf(x, $"sc") * $"sc" / 127))), 6).as("max_err"),
+        aggregate(transform($"v", x => qOf(x, $"sc")), lit(0.0),
+          (acc, q) => acc + q).cast("long").as("q_sum"))
+  }
+
+  private val quantizeOracle = """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      s AS (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS sc
+            FROM e)
+      SELECT vec_id, round(sc, 6) AS scale,
+             round(list_max(list_transform(v,
+               x -> abs(x - floor(x * 127 / sc + 0.5) * sc / 127))), 6)
+               AS max_err,
+             CAST(list_sum(list_transform(v,
+               x -> floor(x * 127 / sc + 0.5))) AS BIGINT) AS q_sum
+      FROM s"""
+
   /** DuckDB oracle replaying the FULL LSH pipeline value-for-value:
     * the fixed-seed hyperplanes are rendered as literal lists (Scala's
     * shortest-repr Double.toString round-trips through DuckDB's
@@ -318,6 +353,7 @@ object Similarity {
       SELECT query_id, CAST(rank AS BIGINT) AS rank,
              vec_id AS neighbor_id, round(cosine, 4) AS cosine
       FROM ranked WHERE rank <= ${TopK}"""), headline = true),
+    Q("q_embed_quantize", embedQuantize, Some(quantizeOracle)),
     Q("q_ann_lsh", annLsh, Some(lshOracle)),
     Q("q_ann_ivf", annIvf, Some(ivfOracle)),
     Q("q_knn_labels", knnLabels, Some(s"""

@@ -30,6 +30,30 @@ class GraftCachesSpec extends AnyFunSuite {
     GraftCaches.release(spark)
   }
 
+  test("sessions are isolated: same key in a sibling session rebuilds") {
+    var builds = 0
+    def build() = { builds += 1; Seq(1).toDF("z") }
+    val sibling = spark.newSession()
+    GraftCaches.getOrPersist(spark, "spec.iso")(build())
+    GraftCaches.getOrPersist(sibling, "spec.iso")(build())
+    assert(builds === 2, "sessions must not share cache entries")
+    // releasing one session must leave the other's entry alone
+    GraftCaches.release(spark)
+    GraftCaches.getOrPersist(sibling, "spec.iso")(build())
+    assert(builds === 2, "sibling entry must survive the other release")
+    GraftCaches.release(sibling)
+  }
+
+  test("release leaves no registry entries behind") {
+    val before = GraftCaches.size
+    GraftCaches.getOrPersist(spark, "spec.count.a")(Seq(1).toDF("v"))
+    GraftCaches.getOrPersist(spark, "spec.count.b")(Seq(2).toDF("v"))
+    assert(GraftCaches.size === before + 2)
+    GraftCaches.release(spark)
+    assert(GraftCaches.size === before,
+      "release must forget every entry it owns")
+  }
+
   test("keys are scoped per sf-dir style suffix (no cross-key bleed)") {
     val a = GraftCaches.getOrPersist(spark, "spec.k:a")(Seq(1).toDF("v"))
     val b = GraftCaches.getOrPersist(spark, "spec.k:b")(Seq(2).toDF("v"))
