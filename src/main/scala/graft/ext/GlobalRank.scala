@@ -1,60 +1,127 @@
 package graft.ext
 
+import scala.util.Try
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
-/** Distributed global row numbering under a total order — WITHOUT the
-  * single-partition window Spark plans for `row_number() OVER (ORDER
-  * BY …)` (its WindowExec warns "Moving all data to a single
-  * partition"; at 100 TB that is a one-executor sort, the canonical
-  * scale-killer).
+/** Distributed global row numbering / prefix sums under a total
+  * order — WITHOUT the single-partition window Spark plans for
+  * `row_number() OVER (ORDER BY …)` (its WindowExec warns "Moving all
+  * data to a single partition"; at 100 TB that is a one-executor
+  * sort, the canonical scale-killer).
   *
-  * Shape: range-repartition on the sort key (so partition p holds keys
-  * strictly below partition p+1), count rows per partition (a
-  * #partitions-row table), turn counts into per-partition starting
-  * offsets with a cumulative sum over that TINY table, broadcast the
-  * offsets back, and add them to per-partition local row numbers. Two
-  * shuffles of only the projected columns, no global sort point; the
-  * result is identical to the single-partition form whenever the sort
-  * order is total (strict — add a unique tie-break column, exactly as
-  * you must anyway for deterministic ranks).
+  * Shape: split the table into ordered key buckets, count rows per
+  * bucket (a #buckets-row table), turn counts into per-bucket
+  * starting offsets with a cumulative sum over that TINY table,
+  * broadcast the offsets back, and add them to per-bucket local row
+  * numbers — the TeraSort recipe (sampled boundaries + prefix
+  * offsets).
   *
-  * This is the standard distributed ranking recipe (TeraSort-style
-  * range partitioning + prefix offsets) and the building block for the
-  * catalog's percent_rank / cume_dist / ntile queries.
+  * Bucketing strategy matters for CORRECTNESS, not just speed. The
+  * obvious `repartitionByRange` twice (data path + counts path) is
+  * WRONG in general: each physical execution of a range exchange
+  * re-samples boundaries with a seed derived from the RDD id, so the
+  * two sides can disagree (measured: 13 152 of 15 000 ranks off with
+  * `spark.sql.exchange.reuse=false`; the default-on exchange reuse is
+  * what makes the naive form accidentally correct). So:
+  *
+  *  - numeric ascending first sort key (the common case): bucket
+  *    boundaries are computed ONCE via `approxQuantile` and baked
+  *    into the plan as literals — the bucket id becomes a pure
+  *    function of the key, deterministic under any configuration,
+  *    re-execution, or retry. Quantile error only skews bucket
+  *    BALANCE, never the rank.
+  *  - otherwise: fall back to `repartitionByRange`, which requires
+  *    exchange reuse (asserted) to pin both sides to one physical
+  *    shuffle.
+  *
+  * The result is identical to the single-partition form whenever the
+  * sort order is total (strict — add a unique tie-break column,
+  * exactly as you must anyway for deterministic ranks).
   */
 object GlobalRank {
+
+  private val PidCol = "_gr_pid"
+
+  /** df + [[PidCol]] such that pid is monotone in the sort order
+    * (all rows of bucket p sort before every row of bucket p+1, ties
+    * never split) and rows are spread across `nPart` tasks. */
+  private def withPid(df: DataFrame, sort: Seq[Column],
+      nPart: Int): DataFrame = {
+    val bucketed =
+      for {
+        // sort.head must be a projectable plain expression (a bare
+        // desc/asc SortOrder fails the select) of numeric type
+        keyType <- Try(df.select(sort.head).schema.head.dataType).toOption
+        if keyType.isInstanceOf[NumericType] && nPart > 1
+      } yield {
+        val keyed = df.withColumn("_gr_key", sort.head.cast("double"))
+        val probs = (1 until nPart).map(_.toDouble / nPart).toArray
+        // one lightweight pass; boundaries become plan literals
+        val bounds = keyed.stat
+          .approxQuantile("_gr_key", probs, 0.001).distinct.sorted
+        val pid = bounds.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col("_gr_key") > b, 1).otherwise(0)
+        }
+        keyed.withColumn(PidCol, pid)
+          .repartition(nPart, col(PidCol))
+          .drop("_gr_key")
+      }
+    bucketed.getOrElse {
+      require(org.apache.spark.sql.internal.SQLConf.get
+          .exchangeReuseEnabled,
+        "GlobalRank fallback (non-numeric or descending first sort " +
+          "key) needs spark.sql.exchange.reuse=true: without reuse " +
+          "the two range exchanges sample different boundaries")
+      df.repartitionByRange(nPart, sort: _*)
+        .withColumn(PidCol, spark_partition_id())
+    }
+  }
+
+  /** Per-pid starting offsets: prefix sum of `perPidAgg` over the
+    * tiny (≤ nPart rows) per-bucket table. The single-partition
+    * window HERE is fine — it is bounded by the bucket count, not
+    * the data. */
+  private def offsetsOf(parted: DataFrame, value: Column): DataFrame =
+    parted.groupBy(col(PidCol)).agg(sum(value).as("_psum"))
+      .withColumn("_offset",
+        coalesce(sum(col("_psum")).over(
+          Window.orderBy(col(PidCol))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(PidCol), col("_offset"))
 
   /** `df` plus a 1-based global row number column `rn` under the total
     * order `sort`. `sort` must be strict (no ties) for a deterministic
     * result — include a unique key as the last column. */
   def withRowNumber(df: DataFrame, sort: Seq[Column],
       rnCol: String = "rn"): DataFrame = {
-    val spark = df.sparkSession
-    val nPart = spark.sessionState.conf.numShufflePartitions
-    val pid = "_graft_pid"
-    // Range partitioning: partition boundaries come from a sample pass,
-    // but the FINAL rank depends only on the total order, not on where
-    // the boundaries fall — determinism survives resampling.
-    val parted = df.repartitionByRange(nPart, sort: _*)
-      .withColumn(pid, spark_partition_id())
-    // Per-partition counts: nPart rows — the single-partition window
-    // over THIS table is fine (it is bounded by the partition count,
-    // not the data).
-    val offsets = parted.groupBy(col(pid)).agg(count(lit(1)).as("_cnt"))
-      .withColumn("_offset",
-        coalesce(sum(col("_cnt")).over(
-          Window.orderBy(col(pid))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(pid), col("_offset"))
-    // Local row number within each range partition + that partition's
-    // offset. The pid-partitioned window shuffles by pid (partitions
-    // stay whole), never concentrates on one task.
-    val w = Window.partitionBy(col(pid)).orderBy(sort: _*)
-    parted.join(broadcast(offsets), pid)
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = withPid(df, sort, nPart)
+    val offsets = offsetsOf(parted, lit(1L))
+    val w = Window.partitionBy(col(PidCol)).orderBy(sort: _*)
+    parted.join(broadcast(offsets), PidCol)
       .withColumn(rnCol, row_number().over(w).cast("long") + col("_offset"))
-      .drop(pid, "_offset")
+      .drop(PidCol, "_offset")
+  }
+
+  /** Distributed INCLUSIVE prefix sum of `value` under the total
+    * order `sort` — equals `sum(value) OVER (ORDER BY sort ROWS
+    * UNBOUNDED PRECEDING)` without its single-partition sort. The
+    * building block for sequence packing, running budgets, and quota
+    * cuts. */
+  def withPrefixSum(df: DataFrame, sort: Seq[Column], value: Column,
+      sumCol: String = "cum"): DataFrame = {
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = withPid(df.withColumn("_gr_v", value), sort, nPart)
+    val offsets = offsetsOf(parted, col("_gr_v"))
+    val w = Window.partitionBy(col(PidCol)).orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(broadcast(offsets), PidCol)
+      .withColumn(sumCol, sum(col("_gr_v")).over(w) + col("_offset"))
+      .drop(PidCol, "_offset", "_gr_v")
   }
 
   /** SQL `ntile(k)` bucket from a global row number: the first
@@ -62,8 +129,8 @@ object GlobalRank {
     * with the window function, computed without its single-partition
     * sort. `rn` is 1-based, `n` the total row count. */
   def ntileFromRn(rn: Column, n: Column, k: Int): Column = {
-    // Column./ is DOUBLE division (SQL semantics) — use try_divide-free
-    // explicit floor division to stay in long arithmetic.
+    // Column./ is DOUBLE division (SQL semantics) — use explicit
+    // floor division to stay in long arithmetic.
     def fdiv(a: Column, b: Column): Column = floor(a / b).cast("long")
     val q = fdiv(n, lit(k))
     val r = n % k

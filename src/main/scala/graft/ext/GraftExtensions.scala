@@ -39,6 +39,7 @@ object UdfRewriteRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => UdfRewriteRule)
+    e.injectOptimizerRule(_ => GlobalWindowRewriteRule)
   }
 }
 
@@ -47,6 +48,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(UdfRewriteRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ UdfRewriteRule
+    if (!spark.experimental.extraOptimizations
+        .contains(GlobalWindowRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GlobalWindowRewriteRule
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "super_category",
       exprs => SuperCategoryExpr(exprs.head, Transforms.keywordOrder),

@@ -421,6 +421,23 @@ object TextOps {
           .as("weight"))
   }
 
+  /** Sequence packing: assign each document to the fixed-size token
+    * block (2048 here) in which its first token lands when the corpus
+    * is laid out in doc_id order — the "streaming pack" that turns a
+    * document set into fixed-length training sequences. The global
+    * running token total comes from GlobalRank.withPrefixSum (range
+    * partition + broadcast offsets), NOT an unpartitioned window —
+    * a 100 TB corpus cannot cumsum through one task. */
+  private def seqPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+    graft.ext.GlobalRank
+      .withPrefixSum(docs, Seq($"doc_id"), $"n_tokens")
+      .select($"doc_id", $"n_tokens",
+        floor(($"cum" - $"n_tokens") / 2048).cast("long").as("bin"))
+  }
+
   /** Per-language length stats — the document profiling sweep. */
   private def docProfile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -547,6 +564,20 @@ object TextOps {
              round(b.cnt * 1.0 / u.tot, 4) AS p_cond
       FROM big b JOIN uni u USING (w1)
       ORDER BY cnt DESC, w1, w2 LIMIT 50""")),
+
+    Q("q_seq_pack", seqPack, Some("""
+      WITH t AS (SELECT doc_id,
+                        CAST(len(string_split_regex(lower(text), '\s+'))
+                             AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+            FROM t)
+      SELECT doc_id, n_tokens,
+             CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
+      FROM c""")),
 
     Q("q_mixture_weights", mixtureWeights, Some("""
       WITH by_lang AS (SELECT lang, count(*) AS n

@@ -41,20 +41,64 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(diff === 0)
   }
 
+  test("withPrefixSum equals the single-partition window running sum") {
+    val base = Tables.orders(spark, sf)
+      .select($"o_orderkey", ($"o_orderkey" % 97).as("v"))
+    val viaWindow = base
+      .withColumn("cum_w", sum($"v")
+        .over(Window.orderBy($"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"o_orderkey", $"cum_w")
+    val viaRank = GlobalRank
+      .withPrefixSum(base, Seq($"o_orderkey"), $"v")
+      .select($"o_orderkey", $"cum")
+    val diff = viaRank.join(viaWindow, "o_orderkey")
+      .filter($"cum" =!= $"cum_w").count()
+    assert(diff === 0, "distributed prefix sum diverges from window")
+    assert(viaRank.count() === base.count())
+  }
+
   test("no single-partition exchange in the GlobalRank plan") {
     val plan = GlobalRank
       .withRowNumber(input, Seq($"c_acctbal", $"c_custkey"))
       .queryExecution.executedPlan.toString
-    // the data path must range-partition, never funnel the table
-    // through one task the way an unpartitioned window does; the only
-    // allowed SinglePartition exchange is the offsets side, whose
-    // input is the #shuffle-partitions-row count table
+    // the data path must spread by deterministic key buckets, never
+    // funnel the table through one task the way an unpartitioned
+    // window does; the only allowed SinglePartition exchange is the
+    // offsets side, whose input is the #buckets-row count table
     val singles = plan.linesIterator.count(_.contains("SinglePartition"))
     assert(singles <= 1,
       s"data path funnels through SinglePartition:\n$plan")
-    assert(plan.contains("rangepartitioning"),
-      s"expected range partitioning in:\n$plan")
-    assert(plan.contains("hashpartitioning(_graft_pid"),
-      s"expected pid-local window shuffle in:\n$plan")
+    assert(plan.contains("hashpartitioning(_gr_pid"),
+      s"expected deterministic pid bucketing in:\n$plan")
+  }
+
+  test("rank survives with exchange reuse AND AQE disabled") {
+    // The naive double-repartitionByRange formulation silently relies
+    // on exchange reuse: each physical range exchange re-samples its
+    // boundaries from an RDD-id-derived seed, so with reuse off the
+    // counts side can disagree with the data side (measured 13 152 of
+    // 15 000 ranks wrong at sf0.1 before the quantile-literal
+    // bucketing fix). Pin the fix under the hostile config.
+    val reuse = spark.conf.get("spark.sql.exchange.reuse", "true")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.exchange.reuse", "false")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val viaWindow = input
+        .withColumn("rn_w", row_number()
+          .over(Window.orderBy($"c_acctbal", $"c_custkey")).cast("long"))
+        .select($"c_custkey", $"rn_w")
+      val viaRank = GlobalRank
+        .withRowNumber(input, Seq($"c_acctbal", $"c_custkey"))
+        .select($"c_custkey", $"rn")
+      val diff = viaRank.join(viaWindow, "c_custkey")
+        .filter($"rn" =!= $"rn_w").count()
+      assert(diff === 0,
+        "rank must not depend on exchange reuse for correctness")
+    } finally {
+      spark.conf.set("spark.sql.exchange.reuse", reuse)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
   }
 }
