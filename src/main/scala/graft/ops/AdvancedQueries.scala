@@ -289,15 +289,29 @@ object AdvancedQueries {
     * numeric column. The stats collapse to ONE row which joins back
     * as a broadcast — never a window over the whole table (a global
     * window frame forces a single partition at scale; the 1-row
-    * cross join keeps the big side embarrassingly parallel). */
+    * cross join keeps the big side embarrassingly parallel).
+    *
+    * The moments accumulate in exact decimal, not double: a double
+    * sum's value depends on partial-aggregate merge order, so mu and
+    * sigma would drift by an ulp between runs and flip rounded
+    * z-scores on boundary rows (observed as a run-to-run hash flake
+    * at 15k rows). Decimal sums are order-independent, so the whole
+    * result is bit-stable and engine-portable. */
   private def featureScale(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val x  = $"o_totalprice".cast("decimal(30,10)")
     val stats = Tables.orders(s, d).agg(
-      avg($"o_totalprice").as("mu"),
-      stddev_samp($"o_totalprice").as("sigma"),
+      sum(x).cast("double").as("sx"),
+      sum(($"o_totalprice" * $"o_totalprice").cast("decimal(38,12)"))
+        .cast("double").as("sx2"),
+      count(lit(1)).cast("double").as("n"),
       min($"o_totalprice").as("mn"),
       max($"o_totalprice").as("mx"))
-    Tables.orders(s, d).crossJoin(broadcast(stats))
+    val withMoments = stats
+      .withColumn("mu", $"sx" / $"n")
+      .withColumn("sigma",
+        sqrt(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1)))
+    Tables.orders(s, d).crossJoin(broadcast(withMoments))
       .select($"o_orderkey",
         round(($"o_totalprice" - $"mu") / $"sigma", 2).as("zscore"),
         round(($"o_totalprice" - $"mn") / ($"mx" - $"mn"), 4)
@@ -330,11 +344,19 @@ object AdvancedQueries {
       FROM customer""")),
 
     Q("q_feature_scale", featureScale, Some("""
-      WITH s AS (SELECT avg(o_totalprice) AS mu,
-                        stddev_samp(o_totalprice) AS sigma,
-                        min(o_totalprice) AS mn,
-                        max(o_totalprice) AS mx
-                 FROM orders)
+      WITH raw AS (SELECT
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(30,10)))
+                          AS DOUBLE) AS sx,
+                     CAST(sum(CAST(o_totalprice * o_totalprice
+                                   AS DECIMAL(38,12))) AS DOUBLE) AS sx2,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     min(o_totalprice) AS mn,
+                     max(o_totalprice) AS mx
+                   FROM orders),
+           s AS (SELECT sx / n AS mu,
+                        sqrt((sx2 - sx * sx / n) / (n - 1)) AS sigma,
+                        mn, mx
+                 FROM raw)
       SELECT o_orderkey,
              round((o_totalprice - mu) / sigma, 2) AS zscore,
              round((o_totalprice - mn) / (mx - mn), 4) AS minmax
