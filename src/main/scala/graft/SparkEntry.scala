@@ -24,7 +24,8 @@ object SparkEntry {
       scale.Dedup.queries ++
       scale.MinHashSigAgg.queries ++
       scale.Multimodal.queries ++
-      scale.Similarity.queries
+      scale.Similarity.queries ++
+      scale.Sketches.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * 3-way join + aggregation — the reference's master-table shape

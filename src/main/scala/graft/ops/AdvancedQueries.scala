@@ -295,22 +295,28 @@ object AdvancedQueries {
     * sum's value depends on partial-aggregate merge order, so mu and
     * sigma would drift by an ulp between runs and flip rounded
     * z-scores on boundary rows (observed as a run-to-run hash flake
-    * at 15k rows). Decimal sums are order-independent, so the whole
-    * result is bit-stable and engine-portable. */
+    * at 15k rows). The price is first snapped to DECIMAL(18,2) — both
+    * Spark and DuckDB recover the 2-decimal price grid identically
+    * from the double — and every product/sum stays in decimal until
+    * after aggregation. (Casting the squared DOUBLE to a wide decimal
+    * does NOT work: beyond ~17 significant digits Spark's
+    * shortest-string cast and DuckDB's exact-binary-expansion cast
+    * disagree, which flipped rounded z-scores on boundary rows.)
+    * sigma is NULL when n<=1 (sample stddev undefined). */
   private def featureScale(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val x  = $"o_totalprice".cast("decimal(30,10)")
+    val x  = $"o_totalprice".cast("decimal(18,2)")
     val stats = Tables.orders(s, d).agg(
       sum(x).cast("double").as("sx"),
-      sum(($"o_totalprice" * $"o_totalprice").cast("decimal(38,12)"))
-        .cast("double").as("sx2"),
+      sum((x * x).cast("decimal(38,4)")).cast("double").as("sx2"),
       count(lit(1)).cast("double").as("n"),
       min($"o_totalprice").as("mn"),
       max($"o_totalprice").as("mx"))
     val withMoments = stats
       .withColumn("mu", $"sx" / $"n")
       .withColumn("sigma",
-        sqrt(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1)))
+        when($"n" > 1,
+          sqrt(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1))))
     Tables.orders(s, d).crossJoin(broadcast(withMoments))
       .select($"o_orderkey",
         round(($"o_totalprice" - $"mu") / $"sigma", 2).as("zscore"),
@@ -344,17 +350,21 @@ object AdvancedQueries {
       FROM customer""")),
 
     Q("q_feature_scale", featureScale, Some("""
-      WITH raw AS (SELECT
-                     CAST(sum(CAST(o_totalprice AS DECIMAL(30,10)))
-                          AS DOUBLE) AS sx,
-                     CAST(sum(CAST(o_totalprice * o_totalprice
-                                   AS DECIMAL(38,12))) AS DOUBLE) AS sx2,
+      WITH g AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS xd,
+                        o_totalprice
+                 FROM orders),
+           raw AS (SELECT
+                     CAST(sum(xd) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(xd * xd AS DECIMAL(38,4)))
+                          AS DOUBLE) AS sx2,
                      CAST(count(*) AS DOUBLE) AS n,
                      min(o_totalprice) AS mn,
                      max(o_totalprice) AS mx
-                   FROM orders),
+                   FROM g),
            s AS (SELECT sx / n AS mu,
-                        sqrt((sx2 - sx * sx / n) / (n - 1)) AS sigma,
+                        CASE WHEN n > 1 THEN
+                          sqrt((sx2 - sx * sx / n) / (n - 1))
+                        END AS sigma,
                         mn, mx
                  FROM raw)
       SELECT o_orderkey,

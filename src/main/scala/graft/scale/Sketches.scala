@@ -1,0 +1,178 @@
+package graft.scale
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Probabilistic-sketch operators: Bloom-filter pre-join pruning and
+  * Count-Min heavy hitters — the two sketch patterns a 100 TB pipeline
+  * leans on when the exact structure (the dim-key set / the key
+  * histogram) is too large or too expensive to move.
+  *
+  * Both follow the same lifecycle:
+  *   1. a mergeable typed [[Aggregator]] builds the sketch — partials
+  *      combine map-side, so only the FIXED-SIZE table (KBs) crosses
+  *      the shuffle regardless of input rows;
+  *   2. the one-row result is taken on the driver (`head()` of a
+  *      single bounded row — the same contract as Spark's own
+  *      `DataFrameStatFunctions.bloomFilter/countMinSketch`, NOT a
+  *      data collect);
+  *   3. a codegen probe expression ([[graft.ext.BloomProbeExpr]] /
+  *      [[graft.ext.CmsProbeExpr]]) applies it at the fact-table scan,
+  *      inside whole-stage codegen, before any shuffle.
+  *
+  * Because Bloom has no false negatives and CMS never under-counts,
+  * an EXACT pass over the sketch-pruned remainder reproduces the exact
+  * answer — so both catalog queries carry plain-SQL DuckDB oracles
+  * even though the pruning step is probabilistic.
+  */
+object Sketches {
+
+  /** SplitMix64 finalizer over (key, salt) — the shared hash family of
+    * every sketch build/probe pair. Deterministic plain-long
+    * arithmetic: the Aggregator (Scala), interpreted eval, and the
+    * generated Java call this same static forwarder. */
+  def mix(x: Long, salt: Long): Long = {
+    var z = x + salt * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def longArrayEnc: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+  // ---------------------------------------------------------------- Bloom
+
+  val BloomBits = 1 << 14   // 16 Kbit = 2 KB
+  val BloomHashes = 6
+
+  /** Bloom filter as a mergeable aggregate: reduce sets k bits, merge
+    * ORs words. ~n=1000 keys at m=16384, k=6 → fp ≈ (1-e^{-kn/m})^k
+    * ≈ 2e-3; false positives only cost re-checked rows, never
+    * correctness (the exact join after the probe removes them). */
+  object BloomAgg extends Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](BloomBits / 64)
+    override def reduce(buf: Array[Long], x: Long): Array[Long] = {
+      var j = 0
+      while (j < BloomHashes) {
+        val pos = (mix(x, 101L + j) & (BloomBits - 1)).toInt
+        buf(pos >> 6) |= 1L << (pos & 63)
+        j += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = longArrayEnc
+    override def outputEncoder: Encoder[Array[Long]] = longArrayEnc
+  }
+
+  // ------------------------------------------------------------ Count-Min
+
+  val CmsDepth = 5
+  val CmsWidth = 1 << 16    // 5 × 65536 counters = 2.6 MB
+
+  /** Count-Min sketch as a mergeable aggregate: reduce increments one
+    * counter per row (depth rows), merge adds tables element-wise.
+    * Point estimate = min over rows — never below the true count. */
+  object CmsAgg extends Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](CmsDepth * CmsWidth)
+    override def reduce(buf: Array[Long], x: Long): Array[Long] = {
+      var i = 0
+      while (i < CmsDepth) {
+        buf(i * CmsWidth + (mix(x, i + 1L) & (CmsWidth - 1)).toInt) += 1L
+        i += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = longArrayEnc
+    override def outputEncoder: Encoder[Array[Long]] = longArrayEnc
+  }
+
+  /** Collapse a sketch aggregation to its single driver-side table —
+    * one row of fixed size (2 KB Bloom / 2.6 MB CMS), bounded by the
+    * sketch parameters, never by the data. */
+  private def sketchOf(df: DataFrame): Array[Long] =
+    df.head().getSeq[Long](0).toArray
+
+  // ------------------------------------------------------------- queries
+
+  /** The nation whose suppliers the bloom-prejoin query keeps; picked
+    * arbitrarily, exists at every SF. */
+  val BloomNation = "NATION_9"
+  /** Heavy-hitter threshold: customers with ≥ this many orders. */
+  val HeavyThreshold = 18L
+
+  /** Bloom pre-join pruning: revenue by return flag for lineitems of
+    * one nation's suppliers. At 100 TB the supplier set of a nation is
+    * too big to broadcast as data but its Bloom filter is 2 KB — the
+    * probe drops ~96 % of fact rows AT THE SCAN (before the join
+    * shuffle), and the exact join then removes the filter's false
+    * positives, so the result is exactly the plain join's. */
+  private def bloomPrejoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter($"n_name" === BloomNation)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val bloomAgg = udaf(BloomAgg)
+    val bloom = sketchOf(dim.agg(bloomAgg($"s_suppkey")))
+    val pre = Tables.lineitem(s, d)
+      .filter(graft.ext.BloomProbeExpr.probe($"l_suppkey", bloom, BloomHashes))
+    pre.join(dim.hint("broadcast"), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** CMS heavy hitters: customers with ≥ HeavyThreshold orders, found
+    * by a sketch candidate pass + exact confirm. Pass 1 builds the CMS
+    * (map-side mergeable, 2.6 MB across the wire); pass 2 keeps only
+    * rows whose key the sketch says MIGHT be heavy (conservative ⇒ no
+    * heavy key is ever lost) — at scale the exact groupBy then
+    * shuffles only the surviving hot-key rows, not the full key space;
+    * the HAVING confirm makes the output exact. */
+  private def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+    val cmsAgg = udaf(CmsAgg)
+    val cms = sketchOf(orders.agg(cmsAgg($"o_custkey")))
+    orders
+      .filter(graft.ext.CmsProbeExpr.estimate(
+        $"o_custkey", cms, CmsDepth, CmsWidth) >= HeavyThreshold)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter($"n_orders" >= HeavyThreshold)
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_bloom_prejoin", bloomPrejoin, Some(s"""
+      SELECT l_returnflag,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = '$BloomNation'
+      GROUP BY 1""")),
+
+    Q("q_heavy_hitters", heavyHitters, Some(s"""
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders
+      GROUP BY 1
+      HAVING count(*) >= $HeavyThreshold"""))
+  )
+}

@@ -1,0 +1,102 @@
+package graft.scale
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketch build/probe invariants: the guarantees the oracle can't see
+  * (it only checks the final exact answers). */
+class SketchSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  private lazy val orders = Tables.orders(spark, sf)
+
+  private lazy val cms: Array[Long] = {
+    val agg = udaf(Sketches.CmsAgg)
+    orders.agg(agg($"o_custkey")).head().getSeq[Long](0).toArray
+  }
+
+  test("CMS is conservative: estimate >= exact count for every key") {
+    val est = graft.ext.CmsProbeExpr.estimate(
+      $"o_custkey", cms, Sketches.CmsDepth, Sketches.CmsWidth)
+    val bad = orders.groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      .withColumn("est", est)
+      .filter($"est" < $"n")
+      .count()
+    assert(bad === 0, "CMS under-counted a key — breaks the heavy-hitter guarantee")
+  }
+
+  test("CMS overestimate is small at this load factor") {
+    val est = graft.ext.CmsProbeExpr.estimate(
+      $"o_custkey", cms, Sketches.CmsDepth, Sketches.CmsWidth)
+    val worst = orders.groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      .withColumn("over", est - $"n")
+      .agg(max($"over")).head().getLong(0)
+    // 15k–150k increments over 5×65536 counters: min-of-5 collision
+    // mass stays tiny; 10 is an order of magnitude of slack
+    assert(worst <= 10, s"CMS overestimate $worst too large — width mis-sized")
+  }
+
+  test("CMS probe agrees between interpreted eval and codegen") {
+    val keys = orders.select($"o_custkey").distinct().limit(500)
+    val expr = graft.ext.CmsProbeExpr(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.LongType, nullable = true),
+      cms, Sketches.CmsDepth, Sketches.CmsWidth)
+    val viaPlan = keys.withColumn("est", graft.ext.CmsProbeExpr.estimate(
+        $"o_custkey", cms, Sketches.CmsDepth, Sketches.CmsWidth))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaEval = viaPlan.keys.map { k =>
+      k -> expr.eval(org.apache.spark.sql.catalyst.InternalRow(k))
+        .asInstanceOf[Long]
+    }.toMap
+    assert(viaPlan === viaEval, "codegen vs interpreted CMS probe diverge")
+  }
+
+  test("bloom has zero false negatives and a tiny false-positive rate") {
+    val dim = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf).filter($"n_name" === Sketches.BloomNation),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val agg = udaf(Sketches.BloomAgg)
+    val bits = dim.agg(agg($"s_suppkey")).head().getSeq[Long](0).toArray
+    val probe = graft.ext.BloomProbeExpr.probe(
+      $"s_suppkey", bits, Sketches.BloomHashes)
+    val all = Tables.supplier(spark, sf)
+      .join(dim.withColumn("in_dim", lit(true)), Seq("s_suppkey"), "left")
+      .withColumn("hit", probe)
+    // no false negatives: every dim key must hit
+    assert(all.filter($"in_dim" && !$"hit").count() === 0)
+    // false positives bounded: non-dim keys that hit
+    val nonDim = all.filter($"in_dim".isNull)
+    val fp = nonDim.filter($"hit").count().toDouble
+    val n = math.max(nonDim.count(), 1L).toDouble
+    assert(fp / n < 0.01, s"bloom fp rate ${fp / n} too high")
+  }
+
+  test("bloom prejoin prunes most fact rows before the join") {
+    val dim = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf).filter($"n_name" === Sketches.BloomNation),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val agg = udaf(Sketches.BloomAgg)
+    val bits = dim.agg(agg($"s_suppkey")).head().getSeq[Long](0).toArray
+    val li = Tables.lineitem(spark, sf)
+    val kept = li.filter(graft.ext.BloomProbeExpr.probe(
+      $"l_suppkey", bits, Sketches.BloomHashes)).count()
+    val total = li.count()
+    val exact = li.join(dim, $"l_suppkey" === $"s_suppkey").count()
+    assert(kept >= exact, "bloom dropped a matching fact row")
+    assert(kept < total / 4,
+      s"bloom kept $kept of $total rows — probe not selective")
+  }
+
+  test("sketch aggregators are merge-order independent") {
+    val agg = udaf(Sketches.CmsAgg)
+    val a = orders.repartition(17).agg(agg($"o_custkey"))
+    val b = orders.repartition(3).agg(agg($"o_custkey"))
+    // partial layout differs; merged table must not
+    assert(a.head().getSeq[Long](0) === b.head().getSeq[Long](0))
+  }
+}
