@@ -25,7 +25,8 @@ object SparkEntry {
       scale.MinHashSigAgg.queries ++
       scale.Multimodal.queries ++
       scale.Similarity.queries ++
-      scale.Sketches.queries
+      scale.Sketches.queries ++
+      scale.Layout.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * 3-way join + aggregation — the reference's master-table shape

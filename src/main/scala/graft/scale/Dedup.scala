@@ -587,7 +587,94 @@ object Dedup {
              round(n_hits * 1.0 / n_shingles, 4) AS ratio
       FROM agg WHERE round(n_hits * 1.0 / n_shingles, 4) >= 0.1"""
 
+  /** Chunk width (tokens) for duplicate-span removal. */
+  val SpanTokens = 3
+
+  /** C4-style duplicate-SPAN removal: split every doc into
+    * non-overlapping `SpanTokens`-token chunks, keep only the globally
+    * FIRST occurrence of each repeated chunk (order = (doc_id, chunk
+    * position)), and reassemble each doc from its surviving chunks
+    * (the sub-chunk tail is always kept). This is the intra-corpus
+    * fine-grained pass that runs AFTER whole-doc dedup: boilerplate
+    * repeated across documents disappears from every doc but its
+    * first.
+    *
+    * Shape at scale: one shuffle of (chunk, pos) pairs for the
+    * global-first groupBy, one hash join back, one groupBy doc_id to
+    * reassemble — all map-side combinable; the chunk key would be a
+    * 64-bit hash at 100 TB (string keys here keep the oracle exact,
+    * the plan is identical either way). */
+  def dedupSpans(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val base = docs.select(col("doc_id"), toks.as("toks"))
+      .withColumn("nc", (size(col("toks")) / SpanTokens)
+        .cast("long"))
+      .withColumn("tail_str", array_join(
+        slice(col("toks"), (col("nc") * SpanTokens + 1).cast("int"),
+          greatest(size(col("toks")) - (col("nc") * SpanTokens).cast("int"),
+            lit(0))), " "))
+    val chunked = base
+      .select(col("doc_id"), col("nc"),
+        posexplode(when(col("nc") > 0,
+            transform(sequence(lit(0), (col("nc") - 1).cast("int")),
+              i => array_join(
+                slice(col("toks"), i * SpanTokens + 1, lit(SpanTokens)), " ")))
+          .otherwise(array().cast("array<string>"))).as(Seq("idx", "chunk")))
+      .withColumn("pos", col("doc_id") * 100000L + col("idx"))
+    val firsts = chunked.groupBy(col("chunk"))
+      .agg(min(col("pos")).as("keep_pos"))
+    val kept = chunked.join(firsts, "chunk")
+      .filter(col("pos") === col("keep_pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("body"))
+    base.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(filter(array(col("body"), col("tail_str")),
+          x => x.isNotNull && x =!= ""), " ").as("text_clean"),
+        col("nc").as("n_chunks"),
+        (col("nc") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  private def dedupSpansQ(s: SparkSession, d: String): DataFrame =
+    dedupSpans(Tables.documents(s, d))
+
+  private val dedupSpansOracle = s"""
+      WITH tok AS (SELECT doc_id,
+                          string_split_regex(lower(text), '\\s+') AS toks
+                   FROM documents),
+      base AS (SELECT doc_id, toks,
+                      CAST(len(toks) // $SpanTokens AS BIGINT) AS nc,
+                      array_to_string(
+                        toks[len(toks) // $SpanTokens * $SpanTokens + 1
+                             : len(toks)], ' ') AS tail_str
+               FROM tok),
+      chunked AS (SELECT doc_id, nc, i AS idx,
+                         array_to_string(
+                           toks[i * $SpanTokens + 1
+                                : i * $SpanTokens + $SpanTokens], ' ')
+                           AS chunk,
+                         doc_id * 100000 + i AS pos
+                  FROM base CROSS JOIN unnest(range(nc)) AS t(i)),
+      firsts AS (SELECT chunk, min(pos) AS keep_pos
+                 FROM chunked GROUP BY 1),
+      kept AS (SELECT c.doc_id,
+                      CAST(count(*) AS BIGINT) AS n_kept,
+                      string_agg(c.chunk, ' ' ORDER BY c.idx) AS body
+               FROM chunked c JOIN firsts f ON c.chunk = f.chunk
+               WHERE c.pos = f.keep_pos
+               GROUP BY 1)
+      SELECT b.doc_id,
+             concat_ws(' ', nullif(k.body, ''), nullif(b.tail_str, ''))
+               AS text_clean,
+             b.nc AS n_chunks,
+             b.nc - coalesce(k.n_kept, 0) AS n_removed
+      FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id"""
+
   val queries: Seq[Q] = Seq(
+    Q("q_dedup_spans", dedupSpansQ, Some(dedupSpansOracle)),
     Q("q_dedup_exact", exactDedup, Some("""
       SELECT md5(text) AS text_hash, count(*) AS n_copies,
              min(doc_id) AS keep_id

@@ -1,0 +1,84 @@
+package graft.scale
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  test("zorder expression matches a bit-by-bit reference and stays in codegen") {
+    val ref = (a: Long, b: Long) =>
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val rows = spark.range(1000)
+      .select($"id".as("a"), ($"id" * 37 % 1024).as("b"))
+      .withColumn("z", graft.ext.ZOrderExpr.zorder($"a" % 1024, $"b"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) === ref(r.getLong(0) % 1024, r.getLong(1)),
+        s"zorder mismatch at a=${r.getLong(0)} b=${r.getLong(1)}")
+    }
+    val plan = spark.range(10)
+      .select(graft.ext.ZOrderExpr.zorder($"id", $"id"))
+      .queryExecution.executedPlan
+    val inCodegen = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+        if w.toString.contains("zorder") => w
+    }
+    assert(inCodegen.nonEmpty, s"zorder not inside codegen:\n$plan")
+  }
+
+  test("z-sorted slices bound BOTH dims; lexicographic sort only its leading one") {
+    // simulate the file layout: sort, cut into 16 contiguous "files",
+    // measure each file's min/max span per dimension (what parquet
+    // footer pruning sees)
+    val ka = pmod($"o_custkey", lit(Layout.ZBuckets)).cast("long")
+    val kb = pmod(datediff($"o_orderdate", to_date(lit("1992-01-01"))),
+      lit(Layout.ZBuckets)).cast("long")
+    val base = Tables.orders(spark, sf)
+      .select(ka.as("ka"), kb.as("kb"))
+      .withColumn("zkey", graft.ext.ZOrderExpr.zorder($"ka", $"kb"))
+    def meanSpans(sortCol: String): (Double, Double) = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(sortCol))
+      val sliced = base.withColumn("slice", ntile(16).over(w))
+        .groupBy($"slice")
+        .agg((max($"ka") - min($"ka")).as("ka_span"),
+          (max($"kb") - min($"kb")).as("kb_span"))
+        .agg(avg($"ka_span"), avg($"kb_span")).head()
+      (sliced.getDouble(0), sliced.getDouble(1))
+    }
+    val (zKa, zKb) = meanSpans("zkey")
+    val (lexKa, lexKb) = meanSpans("ka")
+    assert(zKa < 300 && zKb < 300,
+      s"z-order slices should bound both dims, got ka=$zKa kb=$zKb")
+    assert(lexKa < zKa, "lexicographic sort must win on its leading column")
+    assert(lexKb > 2 * zKb,
+      s"lexicographic slices should NOT bound the second dim (kb span $lexKb vs z $zKb)")
+  }
+
+  test("dedupSpans: intra-doc, cross-doc, short-doc, and tail semantics") {
+    val docs = Seq(
+      (1L, "a b c a b c x"),       // chunk 'a b c' repeats in-doc; tail 'x'
+      (2L, "a b c d e f"),         // 'a b c' already seen in doc 1
+      (3L, "zz"),                  // shorter than one chunk
+      (4L, "d e f g h i j k")      // 'd e f' seen in doc 2; tail 'j k'
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) === (("a b c x", 2L, 1L)))   // 2nd 'a b c' removed, tail kept
+    assert(got(2L) === (("d e f", 2L, 1L)))     // lost 'a b c' to doc 1
+    assert(got(3L) === (("zz", 0L, 0L)))        // too short: untouched
+    assert(got(4L) === (("g h i j k", 2L, 1L))) // lost 'd e f' to doc 2
+  }
+
+  test("dedupSpans drops nothing when all chunks are unique") {
+    val docs = Seq((1L, "q w e r t y"), (2L, "u i o p a s")).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(docs).collect()
+    assert(got.forall(_.getLong(3) === 0L))
+    got.foreach(r => assert(r.getString(1).split(" ").length === 6))
+  }
+}
