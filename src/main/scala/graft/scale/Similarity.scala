@@ -181,6 +181,150 @@ object Similarity {
         $"vec_id".as("neighbor_id"), round($"cosine", 4).as("cosine"))
   }
 
+  val PqSubspaces = 8       // M: 64-dim vector → 8 subvectors of 8
+  val PqCentroids = 16      // K per subspace → 4-bit codes, 8×4 = 32 bits/vector
+  val PqCandidates = 40     // ADC candidate pool before exact re-rank
+
+  /** PQ codebook seeds: centroid j of EVERY subspace is the j-th seed
+    * vector's subvector (deterministic sampled codebook, no Lloyd —
+    * same bit-determinism contract as the IVF quantizer). */
+  def pqSeeds: Seq[Long] = (0 until PqCentroids).map(j => NumQueries + 11L * j + 5L)
+
+  /** Product-quantization ANN: encode each corpus vector as M 4-bit
+    * codes (nearest codebook centroid per subspace), score queries
+    * against CODES via the ADC table (M×K query-centroid partial dots,
+    * 1 280 values — broadcast), keep the top `PqCandidates` by
+    * approximate score, then exact re-rank to top-k.
+    *
+    * This is the memory-compression scale path: 64 floats (256 B)
+    * become 4 B per vector — a 100 TB embedding corpus's index fits in
+    * ~1.6 TB of codes, and the scan over codes is a broadcast-join +
+    * map-side-combinable sum, never a vector shuffle. Exact vectors
+    * are fetched only for the candidate pool.
+    *
+    * Determinism (what makes the DuckDB oracle exact despite PQ being
+    * approximate): sampled codebook, argmin ties → smaller centroid
+    * id, ADC partials summed in subspace order (a groupBy-sum of
+    * doubles would be merge-order dependent), all ranks tie-broken on
+    * vec_id. */
+  private def annPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = corpus(s, d)
+    // (m, cid, cslice): the codebook, M×K rows of 8-dim slices — tiny
+    val centroids = e.filter($"vec_id".isin(pqSeeds: _*))
+    val mIdx = explode(sequence(lit(0), lit(PqSubspaces - 1))).as("m")
+    val codebook = centroids
+      .select($"vec_id", mIdx, $"v")
+      .select($"vec_id", $"m",
+        slice($"v", $"m" * 8 + 1, lit(8)).as("cslice"))
+      .join(broadcast(
+          e.filter($"vec_id".isin(pqSeeds: _*)).select($"vec_id")
+            .withColumn("cid",
+              (row_number().over(Window.orderBy($"vec_id")) - 1).cast("long"))),
+        "vec_id")
+      .select($"m", $"cid", $"cslice")
+    // encode: per (vector, subspace) the nearest centroid's cid.
+    // ||x-c||² = x·x − 2x·c + c·c — every term a DotProductExpr, the
+    // fp-parity primitive the LSH/IVF oracles already lock.
+    val subvecs = e.select($"vec_id", mIdx, $"v")
+      .select($"vec_id", $"m", slice($"v", $"m" * 8 + 1, lit(8)).as("vs"))
+    val codes = subvecs.join(broadcast(codebook), "m")
+      .withColumn("dist",
+        dot($"vs", $"vs") - lit(2.0) * dot($"vs", $"cslice")
+          + dot($"cslice", $"cslice"))
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"dist", $"cid")).as("best"))
+      .select($"vec_id", $"m", $"best.cid".as("code"))
+    // ADC lookup table: query × subspace × centroid partial dots
+    val qIds = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val lut = qIds.select($"query_id", mIdx, $"qv")
+      .select($"query_id", $"m", slice($"qv", $"m" * 8 + 1, lit(8)).as("qs"))
+      .join(codebook, "m")
+      .select($"query_id", $"m", $"cid".as("code"),
+        dot($"qs", $"cslice").as("partial"))
+    // approximate score: partials summed in subspace order
+    val approx = codes.join(broadcast(lut), Seq("m", "code"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct($"m", $"partial"))),
+          p => p.getField("partial")),
+        lit(0.0), (acc, x) => acc + x).as("approx"))
+    val wCand = Window.partitionBy($"query_id")
+      .orderBy($"approx".desc, $"vec_id".asc)
+    val pool = approx.withColumn("cr", row_number().over(wCand))
+      .filter($"cr" <= PqCandidates)
+      .select($"query_id", $"vec_id")
+    // exact re-rank of the candidate pool
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    pool.join(e, "vec_id").join(broadcast(qIds), "query_id")
+      .withColumn("cosine", dot($"v", $"qv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"rank".cast("long").as("rank"),
+        $"vec_id".as("neighbor_id"), round($"cosine", 4).as("cosine"))
+  }
+
+  /** DuckDB oracle replaying the PQ pipeline: codebook from literal
+    * seed ids (cid = rank of seed vec_id), argmin encode with the same
+    * x·x − 2x·c + c·c arithmetic, ADC partials summed IN SUBSPACE
+    * ORDER (list_sum over a list ordered by m — matching the Spark
+    * side's ordered aggregate), candidate pool, exact re-rank. */
+  private def pqOracle: String = {
+    val seeds = pqSeeds.mkString(", ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      cent AS (SELECT vec_id,
+                      row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                      v AS cv
+               FROM e WHERE vec_id IN ($seeds)),
+      ms AS (SELECT unnest(range($PqSubspaces)) AS m),
+      codebook AS (SELECT m, cid, cv[m*8+1 : m*8+8] AS cslice
+                   FROM cent CROSS JOIN ms),
+      subvecs AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS vs
+                  FROM e CROSS JOIN ms),
+      coded AS (SELECT vec_id, m, cid AS code FROM (
+          SELECT sv.vec_id, sv.m, cb.cid,
+                 row_number() OVER (PARTITION BY sv.vec_id, sv.m
+                   ORDER BY list_dot_product(sv.vs, sv.vs)
+                            - 2 * list_dot_product(sv.vs, cb.cslice)
+                            + list_dot_product(cb.cslice, cb.cslice) ASC,
+                          cb.cid ASC) AS rn
+          FROM subvecs sv JOIN codebook cb ON sv.m = cb.m) t
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id < $NumQueries),
+      lut AS (SELECT q.query_id, cb.m, cb.cid AS code,
+                     list_dot_product(q.qv[cb.m*8+1 : cb.m*8+8], cb.cslice)
+                       AS partial
+              FROM q CROSS JOIN codebook cb),
+      approx AS (SELECT l.query_id, c.vec_id,
+                        list_sum(list(l.partial ORDER BY l.m)) AS approx
+                 FROM coded c
+                 JOIN lut l ON c.m = l.m AND c.code = l.code
+                 WHERE c.vec_id <> l.query_id
+                 GROUP BY 1, 2),
+      pool AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY approx DESC, vec_id ASC) AS cr
+          FROM approx) t WHERE cr <= $PqCandidates),
+      ranked AS (SELECT p.query_id, ev.vec_id,
+                        list_dot_product(ev.v, eq.qv) AS cosine,
+                        row_number() OVER (PARTITION BY p.query_id
+                          ORDER BY list_dot_product(ev.v, eq.qv) DESC,
+                                   ev.vec_id ASC) AS rank
+                 FROM pool p
+                 JOIN e ev ON p.vec_id = ev.vec_id
+                 JOIN q eq ON p.query_id = eq.query_id)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank,
+             vec_id AS neighbor_id, round(cosine, 4) AS cosine
+      FROM ranked WHERE rank <= $TopK"""
+  }
+
   /** Label-aware kNN check: majority label among the exact top-k —
     * the evaluation-style query a training pipeline runs. */
   private def knnLabels(s: SparkSession, d: String): DataFrame = {
@@ -356,6 +500,7 @@ object Similarity {
     Q("q_embed_quantize", embedQuantize, Some(quantizeOracle)),
     Q("q_ann_lsh", annLsh, Some(lshOracle)),
     Q("q_ann_ivf", annIvf, Some(ivfOracle)),
+    Q("q_ann_pq", annPq, Some(pqOracle)),
     Q("q_knn_labels", knnLabels, Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings),

@@ -115,6 +115,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall too low")
   }
 
+  test("ANN PQ: 4 B/vector codes still recover useful recall, deterministically") {
+    val brute = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq1 = SparkEntry.queries("q_ann_pq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pq2 = SparkEntry.queries("q_ann_pq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pq1 === pq2, "PQ must be deterministic")
+    val pairs = pq1.map(t => (t._1, t._3))
+    val recall = (brute intersect pairs).size.toDouble / brute.size
+    // 8×4-bit sampled codebook + 40-candidate exact re-rank
+    assert(recall >= 0.2, s"PQ recall $recall too low")
+    // every query returns exactly TopK ranked rows
+    val perQuery = pq1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQuery.values.forall(_ == Similarity.TopK))
+  }
+
   test("hot-shingle corpus: df cap bounds the candidate explosion") {
     // 300 docs sharing ONE boilerplate trigram, otherwise disjoint —
     // the uncapped posting self-join would emit C(300,2) = 44 850
