@@ -181,6 +181,64 @@ object Similarity {
         $"vec_id".as("neighbor_id"), round($"cosine", 4).as("cosine"))
   }
 
+  /** Corpus-wide near-dup PAIRS via the band buckets — the scale-safe
+    * counterpart of q_dedup_embed_cosine's all-pairs ground truth: the
+    * pair join runs INSIDE (band, bucket) groups (each ~1/2^bits of
+    * the corpus per band), then exact-cosine verification keeps
+    * precision at 1.0. Recall is the banded-LSH curve (≈0.5 at the
+    * 0.45 threshold — spec-measured); tightening it is a parameter
+    * change (more hyperplanes per band, more bands), not a new plan.
+    * This is THE standard semantic-dedup shape at 100 TB: bucket
+    * count scales with corpus size, so bucket width — and the per-
+    * bucket quadratic — stays bounded. */
+  private def embedNearDupLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = corpus(s, d)
+    val buckets = graft.GraftCaches.getOrPersist(s, s"ann.band_buckets:$d") {
+      bandBuckets(e)
+    }
+    val cand = buckets.as("a")
+      .join(buckets.as("b"), Seq("band", "bucket"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"))
+      .distinct()
+    cand
+      .join(e.select($"vec_id".as("v1"), $"v".as("va")), "v1")
+      .join(e.select($"vec_id".as("v2"), $"v".as("vb")), "v2")
+      .withColumn("cosine", dot($"va", $"vb"))
+      .filter($"cosine" >= 0.45)
+      .select($"v1", $"v2", round($"cosine", 4).as("cosine"))
+  }
+
+  private def nearDupLshOracle: String = {
+    val sigExpr = hyperplanes.zipWithIndex.map { case (h, i) =>
+      s"(CASE WHEN list_dot_product(v, ${h.mkString("[", ", ", "]")}) >= 0" +
+        s" THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n               + ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      sig AS (SELECT vec_id,
+               $sigExpr AS sig
+              FROM e),
+      buckets AS (SELECT vec_id, band,
+                         (sig // CAST(power(${1 << SimRowsPerBand}, band)
+                                      AS BIGINT))
+                           % ${1 << SimRowsPerBand} AS bucket
+                  FROM sig
+                  CROSS JOIN (SELECT unnest(range($SimBands)) AS band) b),
+      cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+               FROM buckets a
+               JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+               WHERE a.vec_id < b.vec_id)
+      SELECT c.v1, c.v2,
+             round(list_dot_product(ea.v, eb.v), 4) AS cosine
+      FROM cand c
+      JOIN e ea ON c.v1 = ea.vec_id
+      JOIN e eb ON c.v2 = eb.vec_id
+      WHERE list_dot_product(ea.v, eb.v) >= 0.45"""
+  }
+
   val PqSubspaces = 8       // M: 64-dim vector → 8 subvectors of 8
   val PqCentroids = 16      // K per subspace → 4-bit codes, 8×4 = 32 bits/vector
   val PqCandidates = 40     // ADC candidate pool before exact re-rank
@@ -501,6 +559,7 @@ object Similarity {
     Q("q_ann_lsh", annLsh, Some(lshOracle)),
     Q("q_ann_ivf", annIvf, Some(ivfOracle)),
     Q("q_ann_pq", annPq, Some(pqOracle)),
+    Q("q_embed_neardup_lsh", embedNearDupLsh, Some(nearDupLshOracle)),
     Q("q_knn_labels", knnLabels, Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings),

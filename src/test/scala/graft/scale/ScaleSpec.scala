@@ -133,6 +133,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(perQuery.values.forall(_ == Similarity.TopK))
   }
 
+  test("LSH near-dup pairs: perfect precision, useful recall vs all-pairs truth") {
+    val exact = SparkEntry.queries("q_dedup_embed_cosine")(spark, sf)
+      .select($"v1", $"v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q_embed_neardup_lsh")(spark, sf)
+      .select($"v1", $"v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact),
+      "exact-cosine verify must make every LSH pair a true pair")
+    assert(lsh.size.toDouble / exact.size >= 0.3,
+      s"LSH pair recall ${lsh.size.toDouble / exact.size} too low")
+  }
+
   test("hot-shingle corpus: df cap bounds the candidate explosion") {
     // 300 docs sharing ONE boilerplate trigram, otherwise disjoint —
     // the uncapped posting self-join would emit C(300,2) = 44 850
