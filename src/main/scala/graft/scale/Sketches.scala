@@ -110,8 +110,8 @@ object Sketches {
   // ------------------------------------------------------------- queries
 
   /** The nation whose suppliers the bloom-prejoin query keeps; picked
-    * arbitrarily, exists at every SF. */
-  val BloomNation = "NATION_9"
+    * arbitrarily, exists at every SF incl. sf0.001. */
+  val BloomNation = "NATION_12"
   /** Heavy-hitter threshold: customers with ≥ this many orders. */
   val HeavyThreshold = 18L
 

@@ -421,6 +421,37 @@ object TextOps {
           .as("weight"))
   }
 
+  /** Apply the mixture weights as a DETERMINISTIC per-language sample:
+    * keep-rate(lang) = min(1, budget · uniform_share / actual_share),
+    * i.e. over-represented languages are down-sampled toward a uniform
+    * mix at half the corpus budget, and a document survives iff its
+    * id-derived uniform (same Knuth hash as q_hash_split — partition-
+    * independent, rerun-stable, unlike rand()) falls under its
+    * language's rate. This is the materialization step after
+    * q_mixture_weights: the rebalance actually applied to rows, the
+    * way a training-mix job runs it at 100 TB — a broadcast of
+    * |languages| rates against a scan-stage filter, no shuffle of the
+    * kept data until the audit rollup. */
+  private def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byLang = Tables.documents(s, d)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+    val tot = byLang.agg(sum($"n").as("tot_n"), count(lit(1)).as("n_langs"))
+    val rates = byLang.crossJoin(broadcast(tot))
+      .select($"lang", $"n".as("n_total"),
+        least(lit(1.0),
+          ($"tot_n" / $"n_langs") / $"n" * lit(0.5)).as("rate"))
+    val u = (pmod($"doc_id" * lit(2654435761L), lit(4294967296L))
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang", u.as("u"))
+      .join(broadcast(rates), "lang")
+      .groupBy($"lang")
+      .agg(max($"n_total").as("n_total"),
+        sum(when($"u" < $"rate", 1L).otherwise(0L)).as("n_kept"),
+        round(max($"rate"), 4).as("rate"))
+  }
+
   /** Sequence packing: assign each document to the fixed-size token
     * block (2048 here) in which its first token lands when the corpus
     * is laid out in doc_id order — the "streaming pack" that turns a
@@ -588,6 +619,25 @@ object TextOps {
       SELECT lang, CAST(n AS BIGINT) AS n,
              round(n * 1.0 / tot_n, 4) AS actual_share,
              round((1.0 / n_langs) / (n * 1.0 / tot_n), 4) AS weight
-      FROM by_lang, tot"""))
+      FROM by_lang, tot""")),
+
+    Q("q_mixture_sample", mixtureSample, Some("""
+      WITH by_lang AS (SELECT lang, count(*) AS n
+                       FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+                     count(*) AS n_langs
+              FROM by_lang),
+      rates AS (SELECT lang, n AS n_total,
+                       least(1.0, (tot_n / n_langs) / n * 0.5) AS rate
+                FROM by_lang, tot),
+      scored AS (SELECT d.lang, r.n_total, r.rate,
+                        ((d.doc_id * 2654435761) % 4294967296 + 0.5)
+                          / 4294967296.0 AS u
+                 FROM documents d JOIN rates r ON d.lang = r.lang)
+      SELECT lang, CAST(max(n_total) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             round(max(rate), 4) AS rate
+      FROM scored GROUP BY 1"""))
   )
 }
