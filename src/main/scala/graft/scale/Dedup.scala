@@ -674,7 +674,8 @@ object Dedup {
       FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id"""
 
   val queries: Seq[Q] = Seq(
-    Q("q_dedup_spans", dedupSpansQ, Some(dedupSpansOracle)),
+    Q("q_dedup_spans", dedupSpansQ, Some(dedupSpansOracle),
+      headline = true),
     Q("q_dedup_exact", exactDedup, Some("""
       SELECT md5(text) AS text_hash, count(*) AS n_copies,
              min(doc_id) AS keep_id

@@ -90,12 +90,63 @@ object Multimodal {
     }
   }
 
-  /** STUB — deterministic fake codec for the NON-image kinds (audio/
-    * video libraries genuinely aren't in this container; images are
-    * real — see [[JdkImageCodec]]). "decode" parses our synthetic
-    * 8-byte header (big-endian width, height) and checksums the
-    * payload. The signature and batch shape are what a real codec
-    * plugs into. */
+  /** Real JDK audio codec — PCM WAV encode/decode via
+    * `javax.sound.sampled` (ships in the JDK, no extra jars,
+    * headless-safe). 16-bit mono little-endian PCM round-trips
+    * losslessly through the canonical 44-byte RIFF/WAVE container, so
+    * decoded samples can be oracled against the generator formula
+    * exactly — the same contract as [[JdkImageCodec]] for PNG. */
+  object JdkAudioCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Deterministic test signal: sample i of clip `id` is
+      * (((id·31 + i·7) mod 2003) − 1001) · 16 — full 16-bit range,
+      * sign-alternating, reproducible in SQL. */
+    def sampleAt(id: Long, i: Int): Int =
+      ((((id * 31 + i * 7) % 2003) - 1001) * 16).toInt
+
+    def encodeWav(id: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val s = sampleAt(id, i)
+        pcm(2 * i) = (s & 0xff).toByte        // little-endian
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1,
+        /*signed=*/ true, /*bigEndian=*/ false)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode → (sampleRate, nSamples, Σ|sample|). */
+    def decodeWav(wav: Array[Byte]): (Int, Long, Long) = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+      val fmt = ais.getFormat
+      val n = ais.getFrameLength
+      val bytes = ais.readAllBytes()
+      var sum = 0L
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toInt
+        sum += math.abs(s.toLong)
+        i += 2
+      }
+      (fmt.getSampleRate.toInt, n, sum)
+    }
+  }
+
+  /** STUB — deterministic fake codec for the VIDEO kind (video
+    * libraries genuinely aren't in this container; images and audio
+    * are real — see [[JdkImageCodec]] / [[JdkAudioCodec]]). "decode"
+    * parses our synthetic 8-byte header (big-endian width, height) and
+    * checksums the payload. The signature and batch shape are what a
+    * real codec plugs into. */
   object FakeCodec {
     def decode(row: MediaRow): DecodedMeta = {
       val b = row.media
@@ -297,6 +348,38 @@ object Multimodal {
       "dec_width", "dec_height", "pixel_sum")
   }
 
+  /** Real-audio-codec round trip, same contract as [[pngQ]]: encode an
+    * actual RIFF/WAVE clip per document (samples from the generator
+    * formula), parse the sample rate natively off the container bytes
+    * (PCM WAV: little-endian u32 at byte offset 24 — note the LE byte
+    * reversal in the `conv(hex(...))` chain), then DECODE the clip and
+    * sum |sample|. PCM is lossless, so DuckDB recomputes the exact
+    * amplitude sum from the formula alone — a codec bug on either side
+    * breaks the hash. */
+  private def wavQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 100 + (id % 50).toInt
+          val rate = 8000 + (id % 4).toInt * 4000
+          (id, JdkAudioCodec.encodeWav(id, n, rate))
+        }
+      }.toDF("media_id", "media")
+    def byteHex(off: Int) = hex(substring(col("media"), off, 1))
+    val parsed = media.select(
+      col("media_id"),
+      conv(concat(byteHex(28), byteHex(27), byteHex(26), byteHex(25)),
+        16, 10).cast("int").as("hdr_rate"),
+      col("media"))
+    parsed.as[(Long, Int, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, hdrRate, wav) =>
+        val (decRate, nSamples, ampSum) = JdkAudioCodec.decodeWav(wav)
+        (id, hdrRate, decRate, nSamples, ampSum)
+      }
+    }.toDF("media_id", "hdr_rate", "dec_rate", "n_samples", "amp_sum")
+  }
+
   /** The oracles recompute expected values from the generator formula —
     * Spark must PARSE the same numbers back out of the binary it
     * built, so a byte-order or offset bug on either the build or parse
@@ -326,6 +409,20 @@ object Multimodal {
       JOIN generate_series(0, 31) AS x(x) ON x.x < d.w
       JOIN generate_series(0, 17) AS y(y) ON y.y < d.h
       GROUP BY 1, 2, 3""")),
+
+    Q("q_multimodal_wav", wavQ, Some("""
+      WITH clips AS (SELECT doc_id AS media_id,
+                            100 + doc_id % 50 AS n,
+                            CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate
+                     FROM documents)
+      SELECT c.media_id,
+             c.rate AS hdr_rate, c.rate AS dec_rate,
+             CAST(c.n AS BIGINT) AS n_samples,
+             CAST(sum(abs((((c.media_id * 31 + i.i * 7) % 2003) - 1001)
+                          * 16)) AS BIGINT) AS amp_sum
+      FROM clips c
+      JOIN generate_series(0, 149) AS i(i) ON i.i < c.n
+      GROUP BY 1, 2, 3, 4""")),
 
     Q("q_multimodal_frames", framesQ, Some("""
       WITH m AS (SELECT doc_id AS media_id,

@@ -167,7 +167,7 @@ object Sketches {
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name = '$BloomNation'
-      GROUP BY 1""")),
+      GROUP BY 1"""), headline = true),
 
     Q("q_heavy_hitters", heavyHitters, Some(s"""
       SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders

@@ -102,6 +102,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert((w4, h4) === (1, 1))
   }
 
+  test("JdkAudioCodec: WAV encode/decode round-trips exact samples") {
+    import JdkAudioCodec._
+    val wav = encodeWav(7L, 120, 16000)
+    val (rate, n, ampSum) = decodeWav(wav)
+    assert(rate === 16000)
+    assert(n === 120L)
+    val expected = (0 until 120).map(i => math.abs(sampleAt(7L, i)).toLong).sum
+    assert(ampSum === expected, "PCM samples must round-trip losslessly")
+  }
+
+  test("JdkAudioCodec: canonical RIFF header carries the sample rate at offset 24") {
+    import JdkAudioCodec._
+    val wav = encodeWav(3L, 100, 12000)
+    assert(new String(wav.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val le32 = (wav(24) & 0xff) | ((wav(25) & 0xff) << 8) |
+      ((wav(26) & 0xff) << 16) | ((wav(27) & 0xff) << 24)
+    assert(le32 === 12000)
+  }
+
   test("metadata-only query prunes the blob column from the scan") {
     val dir = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("target"), "media")
