@@ -587,6 +587,33 @@ object Dedup {
              round(n_hits * 1.0 / n_shingles, 4) AS ratio
       FROM agg WHERE round(n_hits * 1.0 / n_shingles, 4) >= 0.1"""
 
+  /** The doc_id below which documents count as the NEW batch for the
+    * incremental-dedup query (the rest is the indexed corpus). */
+  val IncrementalBatchMax = 50L
+
+  /** INCREMENTAL dedup: screen a new batch against an already-indexed
+    * corpus without recomputing the corpus. The batch's band buckets
+    * probe the corpus's bucket table — at 100 TB the corpus buckets
+    * are a stored, bucketed-by-(band,bucket) table maintained
+    * incrementally, so a day's ingest shuffles only ITS OWN signatures
+    * (batch × 32 band rows) plus the collided candidates, never the
+    * corpus. Exact-Jaccard verify keeps precision 1.0. Here both
+    * sides come from one cached bucket pass (shared with
+    * q_dedup_minhash_lsh's registry entry) split by id — the plan
+    * after the split is identical to the stored-index probe. */
+  private def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d)
+    val buckets = graft.GraftCaches.getOrPersist(s, s"dedup.lsh_buckets:$d") {
+      bandBuckets(sh)
+    }
+    val batch = buckets.filter(col("doc_id") < IncrementalBatchMax)
+    val corpus = buckets.filter(col("doc_id") >= IncrementalBatchMax)
+    val cand = batch.as("a").join(corpus.as("b"), Seq("band", "bucket"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifyPairs(cand, sh)
+  }
+
   /** Chunk width (tokens) for duplicate-span removal. */
   val SpanTokens = 3
 
@@ -696,6 +723,13 @@ object Dedup {
     // widest band bucket stays far below MaxBucketWidth.
     Q("q_dedup_minhash_lsh", minhashLsh, Some(jaccardOracle),
       headline = true),
+    // Same probabilistic-equality argument as q_dedup_minhash_lsh:
+    // the oracle is the EXACT cross-set pair list; LSH misses a true
+    // τ=0.8 pair with P ≈ 5e-8.
+    Q("q_dedup_incremental", incrementalDedup, Some(s"""
+      WITH $jaccardPairsCte
+      SELECT d1, d2, jaccard FROM pairs
+      WHERE d1 < $IncrementalBatchMax AND d2 >= $IncrementalBatchMax""")),
     Q("q_dedup_components", componentsQ, Some(componentsOracle)),
     Q("q_dedup_keep_best", keepBest, Some(keepBestOracle)),
     Q("q_contamination", contamination, Some(contaminationOracle)),
