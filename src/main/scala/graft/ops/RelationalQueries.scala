@@ -162,6 +162,36 @@ object RelationalQueries {
       .withColumn("version", $"version".cast("long"))
   }
 
+  /** SCD TYPE-2 upsert: build the versioned dimension — one row per
+    * (key, attribute-run) with a [valid_from, valid_to] interval —
+    * from a change stream. Change points are detected with lag(),
+    * intervals closed with lead(); both windows partition BY KEY, so
+    * the whole history build is one shuffle on the key and each
+    * partition's windows run independently — no global sort, the
+    * standard warehouse pattern at any scale. (SCD1 keep-latest is
+    * q_upsert_scd1; as-of reads over the result are q_asof_attribution.) */
+  private def upsertScd2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // change stream: a customer's attribute on a day = min priority
+    // of that day's orders (deterministic within-day tie-break)
+    val changes = Tables.orders(s, d)
+      .groupBy($"o_custkey", $"o_orderdate".cast("date").as("day"))
+      .agg(min($"o_orderpriority").as("attr"))
+    val w = Window.partitionBy($"o_custkey").orderBy($"day")
+    changes
+      .withColumn("prev", lag($"attr", 1).over(w))
+      .filter($"prev".isNull || $"attr" =!= $"prev")
+      .withColumn("valid_from", $"day")
+      .withColumn("valid_to",
+        date_sub(lead($"valid_from", 1).over(
+          Window.partitionBy($"o_custkey").orderBy($"valid_from")), 1))
+      .withColumn("version",
+        row_number().over(
+          Window.partitionBy($"o_custkey").orderBy($"valid_from"))
+          .cast("long"))
+      .select($"o_custkey", $"attr", $"valid_from", $"valid_to", $"version")
+  }
+
   /** Null-safe equi join (<=>): groups where BOTH sides are null still
     * match — the semantics MERGE keys need when nullable. */
   private def joinNullSafe(s: SparkSession, d: String): DataFrame = {
@@ -435,6 +465,26 @@ object RelationalQueries {
                         ORDER BY version DESC) AS rn
             FROM merged) t
       WHERE rn = 1""")),
+
+    Q("q_upsert_scd2", upsertScd2, Some("""
+      WITH changes AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+               min(o_orderpriority) AS attr
+        FROM orders GROUP BY 1, 2),
+      runs AS (
+        SELECT o_custkey, day, attr,
+               lag(attr) OVER (PARTITION BY o_custkey ORDER BY day)
+                 AS prev
+        FROM changes),
+      pts AS (
+        SELECT o_custkey, day AS valid_from, attr
+        FROM runs WHERE prev IS NULL OR attr <> prev)
+      SELECT o_custkey, attr, valid_from,
+             lead(valid_from) OVER (PARTITION BY o_custkey
+               ORDER BY valid_from) - 1 AS valid_to,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY valid_from) AS BIGINT) AS version
+      FROM pts""")),
 
     Q("q_topk", topk, Some("""
       SELECT o_orderkey, round(o_totalprice, 2) AS total
