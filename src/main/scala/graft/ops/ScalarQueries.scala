@@ -255,7 +255,87 @@ object ScalarQueries {
         $"user_id", $"n_events", $"session_value")
   }
 
+  /** Ordered-funnel analysis: how many users progressed view → click →
+    * purchase IN ORDER (each step's timestamp ≥ the previous step's
+    * first completion). Dependent step minima can't be one conditional
+    * aggregate, so the funnel runs as a chain of per-step aggregations,
+    * each broadcast back into the next step's scan — the events table
+    * is scanned once per step with only (user, ts) aggregates ever
+    * shuffling, never re-sorted or collected per user (a hot user with
+    * millions of events costs the same as a cold one). */
+  private def eventFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val step1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val step2 = ev.filter($"event_type" === "click")
+      .join(broadcast(step1), "user_id").filter($"ts" >= $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val step3 = ev.filter($"event_type" === "purchase")
+      .join(broadcast(step2), "user_id").filter($"ts" >= $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    val stages = Seq(("1_view", step1), ("2_click_after_view", step2),
+      ("3_purchase_after_click", step3))
+    stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"),
+        $"n_users")
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Weekly cohort retention: users grouped by signup week, counted as
+    * retained in each later week they have ANY event. Both sides are
+    * user-level pre-aggregates before the join — the events table never
+    * joins raw-to-raw, so the shuffle carries (user, week) rows, not
+    * events. */
+  private def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val cohort = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).cast("date").as("c_week"))
+    val activity = ev
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("a_week"))
+      .distinct()
+    activity.join(cohort, "user_id")
+      .filter($"a_week" >= $"c_week")
+      .groupBy($"c_week",
+        (datediff($"a_week", $"c_week") / 7).cast("long").as("week_n"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format($"c_week", "yyyy-MM-dd").as("cohort_week"),
+        $"week_n", $"n_users")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_cohort_retention", cohortRetention, Some("""
+      WITH cohort AS (SELECT user_id,
+                             CAST(date_trunc('week', min(ts)) AS DATE)
+                               AS c_week
+                      FROM events WHERE event_type = 'signup'
+                      GROUP BY 1),
+      act AS (SELECT DISTINCT user_id,
+                     CAST(date_trunc('week', ts) AS DATE) AS a_week
+              FROM events)
+      SELECT strftime(c.c_week, '%Y-%m-%d') AS cohort_week,
+             CAST((a.a_week - c.c_week) // 7 AS BIGINT) AS week_n,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM act a JOIN cohort c ON a.user_id = c.user_id
+      WHERE a.a_week >= c.c_week
+      GROUP BY 1, 2""")),
+
+    Q("q_event_funnel", eventFunnel, Some("""
+      WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+      SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+      UNION ALL
+      SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM s3""")),
     Q("q_sessionize", sessionize, Some("""
       WITH flagged AS (
         SELECT user_id, ts, value,
