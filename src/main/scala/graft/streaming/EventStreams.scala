@@ -113,4 +113,50 @@ object EventStreams {
           Iterator(UserStats(userId, n, math.round(v * 100.0) / 100.0))
       }
   }
+
+  /** The same per-user running totals on Spark 4's transformWithState
+    * — the arbitrary-stateful API that supersedes
+    * flatMapGroupsWithState: typed state variables from a handle,
+    * RocksDB-backed, with per-state TTL support. Kept semantically
+    * identical to [[runningUserStats]] so the spec can assert parity
+    * between the old and new state APIs on one input. */
+  class UserTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, UserStats] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserStats] = {
+      val (n0, v0) = if (totals.exists()) totals.get() else (0L, 0.0)
+      var n = n0
+      var v = v0
+      rows.foreach { e => n += 1; v += e.value }
+      totals.update((n, v))
+      Iterator(UserStats(key, n, math.round(v * 100.0) / 100.0))
+    }
+  }
+
+  /** RocksDB state store is required by transformWithState; the spec
+    * sets spark.sql.streaming.stateStore.providerClass accordingly. */
+  def runningUserStatsTws(spark: SparkSession,
+      events: Dataset[Event]): Dataset[UserStats] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -121,6 +121,41 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(byUser(2L) === (1L, 1.0))
   }
 
+  test("transformWithState matches flatMapGroupsWithState on the same input") {
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val q = runningUserStatsTws(spark, in.toDS()).writeStream
+        .format("memory").queryName("tws_t").outputMode("update").start()
+      try {
+        in.addData(ev(1, 0, 1, "click", 2.0), ev(2, 1, 1, "click", 3.0))
+        q.processAllAvailable()
+        in.addData(ev(3, 2, 1, "click", 5.0), ev(4, 2, 2, "view", 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val byUser = spark.table("tws_t")
+        .groupBy($"user_id").max("n_events", "total_value")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      // same totals the flatMapGroupsWithState test asserts
+      assert(byUser(1L) === (3L, 10.0))
+      assert(byUser(2L) === (1L, 1.0))
+      // state accumulated ACROSS batches, not per-batch
+      val updatesUser1 = spark.table("tws_t").filter($"user_id" === 1)
+        .select($"n_events").collect().map(_.getLong(0)).sorted
+      assert(updatesUser1 === Array(2L, 3L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     val clicks = MemoryStream[Event]
     val purchases = MemoryStream[Event]
