@@ -305,7 +305,38 @@ object ScalarQueries {
         $"week_n", $"n_users")
   }
 
+  /** Rolling 7-day active users per day — the WAU curve. COUNT
+    * DISTINCT over a sliding window can't ride a window frame (frames
+    * don't dedup), so: dedup to (day, user) once, band-join the tiny
+    * day dimension against it (each day sees its trailing week), and
+    * count distinct users per anchor day. The fact side is the
+    * DEDUPED (day, user) set — at 100 TB that's the small aggregate of
+    * the event stream, and the 7× fan-out happens after dedup, never
+    * on raw events. */
+  private def rollingActive(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dayUsers = Tables.events(s, d)
+      .select($"ts".cast("date").as("a_day"), $"user_id")
+      .distinct()
+    val days = dayUsers.select($"a_day".as("day")).distinct()
+    days.join(dayUsers,
+        $"a_day" <= $"day" && $"a_day" >= date_sub($"day", 6))
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("wau"))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"wau")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_rolling_active", rollingActive, Some("""
+      WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS a_day, user_id
+                  FROM events),
+      days AS (SELECT DISTINCT a_day AS day FROM du)
+      SELECT strftime(d.day, '%Y-%m-%d') AS day,
+             CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM days d JOIN du u
+        ON u.a_day <= d.day AND u.a_day >= d.day - 6
+      GROUP BY 1""")),
+
     Q("q_cohort_retention", cohortRetention, Some("""
       WITH cohort AS (SELECT user_id,
                              CAST(date_trunc('week', min(ts)) AS DATE)
