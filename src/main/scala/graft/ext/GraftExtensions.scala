@@ -56,6 +56,16 @@ object GraftExtensions {
       "super_category",
       exprs => SuperCategoryExpr(exprs.head, Transforms.keywordOrder),
       "scala_udf")
+    // the codegen expression library, exposed to SQL users too
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => DotProductExpr(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder",
+      exprs => ZOrderExpr(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash",
+      exprs => PolyHashExpr(exprs.head, 31L), "scala_udf")
   }
 
   /** The reference's UDF, verbatim semantics, as a Scala UDF — exists

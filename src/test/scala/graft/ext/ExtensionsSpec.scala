@@ -81,6 +81,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.sameElements(want))
   }
 
+  test("SQL registration exposes the whole codegen expression library") {
+    GraftExtensions.install(spark)
+    val row = spark.sql("""
+      SELECT dot_product(array(1.0d, 2.0d, 3.0d),
+                         array(4.0d, 5.0d, 6.0d)) AS dp,
+             zorder(3L, 5L) AS z,
+             poly_hash('abc') AS ph""").head()
+    assert(row.getDouble(0) === 32.0)
+    // interleave(0b011, 0b101): even bits 3, odd bits 5 → 0b100111
+    assert(row.getLong(1) === 39L)
+    val expected = ("abc".foldLeft(0L)((a, c) =>
+      (a * 31 + c) % 2147483647L))
+    assert(row.getLong(2) === expected)
+  }
+
   test("native expression stays inside whole-stage codegen") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     val exec = graft.Tables.part(spark, SparkTestSession.sf)
