@@ -92,6 +92,16 @@ class SketchSpec extends AnyFunSuite {
       s"bloom kept $kept of $total rows — probe not selective")
   }
 
+  test("KMV distinct estimate lands inside the 1/sqrt(K) error band") {
+    val row = graft.SparkEntry.queries("q_approx_distinct_kmv")(spark, sf)
+      .head()
+    val est = row.getDouble(row.fieldIndex("est"))
+    val exact = row.getLong(row.fieldIndex("n_exact")).toDouble
+    val bound = 3.0 / math.sqrt(Sketches.KmvK) // 3 sigma
+    assert(math.abs(est - exact) / exact <= bound,
+      s"KMV estimate $est vs exact $exact outside ±${bound * 100}%")
+  }
+
   test("sketch aggregators are merge-order independent") {
     val agg = udaf(Sketches.CmsAgg)
     val a = orders.repartition(17).agg(agg($"o_custkey"))
