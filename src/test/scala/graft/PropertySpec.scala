@@ -143,6 +143,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("zorder spread/interleave: bit-exact vs model, masks above 32 bits") {
+    val longs = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 500)
+    def model(x: Long): Long =
+      (0 until 32).foldLeft(0L)((acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)))
+    longs.foreach { x =>
+      assert(graft.ext.ZOrderExpr.spread(x) === model(x),
+        s"spread mismatch at $x")
+    }
+    // inputs beyond 32 bits are masked, not wrapped
+    assert(graft.ext.ZOrderExpr.spread(-1L) ===
+      graft.ext.ZOrderExpr.spread(0xFFFFFFFFL))
+    // z-order locality: within an aligned 2^k × 2^k tile, keys are
+    // contiguous — the property file pruning relies on
+    val tile = for (a <- 0 until 8; b <- 0 until 8)
+      yield graft.ext.ZOrderExpr.spread(a) |
+        (graft.ext.ZOrderExpr.spread(b) << 1)
+    assert(tile.sorted === (0 until 64).map(_.toLong))
+  }
+
+  test("sketch mix: deterministic, salt-separated, avalanching") {
+    val keys = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 300)
+    keys.foreach { k =>
+      assert(graft.scale.Sketches.mix(k, 1L) ===
+        graft.scale.Sketches.mix(k, 1L))
+      assert(graft.scale.Sketches.mix(k, 1L) !==
+        graft.scale.Sketches.mix(k, 2L), s"salts collide at $k")
+    }
+    // avalanche: flipping one input bit flips ~half the output bits
+    val flips = keys.map { k =>
+      java.lang.Long.bitCount(
+        graft.scale.Sketches.mix(k, 1L) ^ graft.scale.Sketches.mix(k ^ 1L, 1L))
+    }
+    val mean = flips.sum.toDouble / flips.size
+    assert(mean > 24 && mean < 40, s"poor avalanche: mean $mean of 64 bits")
+  }
+
   test("join row-count bounds: inner ≤ left ≤ left+anti ≡ left table") {
     val sf = SparkTestSession.sf
     val c = Tables.customer(spark, sf)
