@@ -285,6 +285,23 @@ object AdvancedQueries {
         round($"rn".cast("double") / $"n_rows", 6).as("cdf"))
   }
 
+  /** Equi-WIDTH histogram (q_ntile_bins is the equi-DEPTH one): bin
+    * width from broadcast min/max stats, one scan + one aggregate —
+    * never a sort. Same broadcast-1-row-stats shape as featureScale,
+    * so the big side stays embarrassingly parallel. */
+  private def histogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nb = 20
+    val stats = Tables.orders(s, d)
+      .agg(min($"o_totalprice").as("mn"), max($"o_totalprice").as("mx"))
+    Tables.orders(s, d).crossJoin(broadcast(stats))
+      .select(least(
+        floor(($"o_totalprice" - $"mn") / (($"mx" - $"mn") / nb)),
+        lit(nb - 1)).cast("long").as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Feature standardization: z-score and min-max scaling of a
     * numeric column. The stats collapse to ONE row which joins back
     * as a broadcast — never a window over the whole table (a global
@@ -348,6 +365,15 @@ object AdvancedQueries {
              round(cume_dist() OVER
                (ORDER BY c_acctbal, c_custkey), 6) AS cdf
       FROM customer""")),
+
+    Q("q_histogram", histogram, Some("""
+      WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+                 FROM orders)
+      SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 20)),
+                        19) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders, s
+      GROUP BY 1""")),
 
     Q("q_feature_scale", featureScale, Some("""
       WITH g AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS xd,

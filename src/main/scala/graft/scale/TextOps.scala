@@ -421,6 +421,22 @@ object TextOps {
           .as("weight"))
   }
 
+  /** C4-style text normalization — the cleaning projection every
+    * corpus pass starts with: lowercase, strip non-alphanumerics,
+    * collapse whitespace runs, trim. Scan-local expressions (no
+    * shuffle); the before/after char counts feed the quality-filter
+    * thresholds downstream. */
+  private def textNormalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val norm = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9 ]", " "),
+      " +", " "))
+    Tables.documents(s, d)
+      .select($"doc_id", norm.as("norm_text"),
+        length($"text").cast("long").as("chars_before"),
+        length(norm).cast("long").as("chars_after"))
+  }
+
   /** Apply the mixture weights as a DETERMINISTIC per-language sample:
     * keep-rate(lang) = min(1, budget · uniform_share / actual_share),
     * i.e. over-represented languages are down-sampled toward a uniform
@@ -620,6 +636,17 @@ object TextOps {
              round(n * 1.0 / tot_n, 4) AS actual_share,
              round((1.0 / n_langs) / (n * 1.0 / tot_n), 4) AS weight
       FROM by_lang, tot""")),
+
+    Q("q_text_normalize", textNormalize, Some("""
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text,
+             CAST(length(text) AS BIGINT) AS chars_before,
+             CAST(length(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'))) AS BIGINT) AS chars_after
+      FROM documents""")),
 
     Q("q_mixture_sample", mixtureSample, Some("""
       WITH by_lang AS (SELECT lang, count(*) AS n
