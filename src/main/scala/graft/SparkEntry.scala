@@ -17,11 +17,13 @@ object SparkEntry {
       ops.PipelineQueries.queries ++
       ops.AdvancedQueries.queries ++
       ops.TemporalJoins.queries ++
+      ops.StatsQueries.queries ++
       ops.TypedAndSources.queries ++
       yelp.YelpQueries.queries ++
       scale.TextOps.queries ++
       scale.Privacy.queries ++
       scale.Dedup.queries ++
+      scale.EntityResolution.queries ++
       scale.MinHashSigAgg.queries ++
       scale.Multimodal.queries ++
       scale.Similarity.queries ++

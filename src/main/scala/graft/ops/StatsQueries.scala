@@ -1,0 +1,191 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distribution-statistics operators: IQR outlier screening,
+  * correlation from exact decimal moments, and time-decayed
+  * (recency-weighted) aggregation.
+  *
+  * Reference analog: the dashboard's distribution panels (review-count
+  * histograms, rating spreads — README.md:16-20) imply exactly these
+  * screens; for a training-data pipeline they are the numeric-feature
+  * quality gates (outlier filtering before feature scaling, drift
+  * checks via correlation, recency weighting for data mixing).
+  *
+  * All three share the same 100 TB shape as q_feature_scale: the
+  * per-group statistics collapse to a handful of rows, join back as a
+  * BROADCAST, and the big fact side stays embarrassingly parallel —
+  * never a global window.
+  *
+  * Float discipline (the q_feature_scale lesson, ADVICE r4): every
+  * cross-row SUM of doubles is order-dependent, so any sum feeding a
+  * compared value is accumulated in exact decimal — either by snapping
+  * the input to its decimal grid first, or by rounding a per-row
+  * double term to a fixed scale before the decimal cast. Double math
+  * that happens strictly per-row (or after aggregation, on identical
+  * inputs) is bit-identical across engines and safe.
+  */
+object StatsQueries {
+
+  /** IQR outlier screen over `events.value` per event type: Tukey
+    * fences at q1/q3 ± 1.5·IQR, with exact linearly-interpolated
+    * percentiles (both engines define quantile as pos = p·(n-1) with
+    * linear interpolation — identical double arithmetic on identical
+    * inputs). Two aggregates over the fact table: one to build the
+    * per-type fences (tiny result, broadcast back), one to count
+    * violations — no sort of the fact side ever leaves a partition
+    * (percentile aggregates spill per-group; at 100 TB swap in
+    * approx_percentile with a documented error budget). */
+  private def outlierIqr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fences = Tables.events(s, d).groupBy($"event_type").agg(
+      expr("percentile(value, 0.25)").as("q1"),
+      expr("percentile(value, 0.75)").as("q3"))
+      .select($"event_type", $"q1", $"q3",
+        ($"q1" - ($"q3" - $"q1") * 1.5).as("lo"),
+        ($"q3" + ($"q3" - $"q1") * 1.5).as("hi"))
+    Tables.events(s, d).join(broadcast(fences), "event_type")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"value" < $"lo" || $"value" > $"hi", 1L).otherwise(0L))
+          .as("n_outliers"),
+        round(max($"q1"), 2).as("q1"),
+        round(max($"q3"), 2).as("q3"),
+        round(max($"hi"), 2).as("hi_fence"))
+      .withColumn("outlier_pct",
+        round($"n_outliers".cast("double") / $"n", 6))
+  }
+
+  /** Pairwise Pearson correlations among lineitem's numeric columns
+    * from EXACT decimal moments: each input is snapped to its decimal
+    * grid (quantity/price/discount are 2-decimal values), products and
+    * sums stay in decimal arithmetic (order-independent, exact), and
+    * only the final covariance/correlation formula runs in double —
+    * on sums that are bit-identical in both engines (decimal→double
+    * is correctly rounded from the exact value in both; it is the
+    * double→decimal direction that diverges, per ADVICE r4). One
+    * map-side-combinable aggregate, one row out. */
+  private def corrMoments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = $"l_quantity".cast("decimal(12,2)")
+    val p = $"l_extendedprice".cast("decimal(18,2)")
+    val dc = $"l_discount".cast("decimal(4,2)")
+    val m = Tables.lineitem(s, d).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(q).cast("double").as("sq"),
+      sum(p).cast("double").as("sp"),
+      sum(dc).cast("double").as("sd"),
+      sum(q * q).cast("double").as("sqq"),
+      sum(p * p).cast("double").as("spp"),
+      sum(dc * dc).cast("double").as("sdd"),
+      sum(q * p).cast("double").as("sqp"),
+      sum(q * dc).cast("double").as("sqd"),
+      sum(p * dc).cast("double").as("spd"))
+    def corr(sxy: org.apache.spark.sql.Column,
+        sx: org.apache.spark.sql.Column, sy: org.apache.spark.sql.Column,
+        sxx: org.apache.spark.sql.Column, syy: org.apache.spark.sql.Column) = {
+      val cov = sxy / $"n" - (sx / $"n") * (sy / $"n")
+      val vx = sxx / $"n" - (sx / $"n") * (sx / $"n")
+      val vy = syy / $"n" - (sy / $"n") * (sy / $"n")
+      round(cov / (sqrt(vx) * sqrt(vy)), 6)
+    }
+    m.select(
+      $"n".cast("long").as("n"),
+      corr($"sqp", $"sq", $"sp", $"sqq", $"spp").as("corr_qty_price"),
+      corr($"sqd", $"sq", $"sd", $"sqq", $"sdd").as("corr_qty_disc"),
+      corr($"spd", $"sp", $"sd", $"spp", $"sdd").as("corr_price_disc"))
+  }
+
+  /** Recency-weighted aggregation: each event contributes
+    * value · 1/(1+age_days) relative to the corpus's latest day — the
+    * data-mixing primitive that up-weights fresh data. The decay is a
+    * RATIONAL weight, not exp(): 1/(1+d) is a single correctly-rounded
+    * IEEE divide, identical in every engine, where libm exp() differs
+    * by ulps across implementations. Per-row terms are rounded to the
+    * 1e-6 grid and summed in decimal (order-independent); the
+    * reference date is one tiny aggregate broadcast back. */
+  private def timeDecay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ref = Tables.events(s, d).agg(max(to_date($"ts")).as("ref_day"))
+    val term = round($"value" / (lit(1.0) + datediff($"ref_day", to_date($"ts"))), 6)
+      .cast("decimal(18,6)")
+    Tables.events(s, d).crossJoin(broadcast(ref))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"value".cast("decimal(18,2)")).cast("double"), 2)
+          .as("raw_total"),
+        round(sum(term).cast("double"), 4).as("decayed_total"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_outlier_iqr", outlierIqr, Some("""
+      WITH f AS (SELECT event_type,
+                        quantile_cont(value, 0.25) AS q1,
+                        quantile_cont(value, 0.75) AS q3
+                 FROM events GROUP BY 1),
+      fe AS (SELECT event_type, q1, q3,
+                    q1 - (q3 - q1) * 1.5 AS lo,
+                    q3 + (q3 - q1) * 1.5 AS hi
+             FROM f)
+      SELECT e.event_type,
+             count(*) AS n,
+             CAST(sum(CASE WHEN e.value < fe.lo OR e.value > fe.hi
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             round(max(fe.q1), 2) AS q1,
+             round(max(fe.q3), 2) AS q3,
+             round(max(fe.hi), 2) AS hi_fence,
+             round(sum(CASE WHEN e.value < fe.lo OR e.value > fe.hi
+                            THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS outlier_pct
+      FROM events e JOIN fe USING (event_type)
+      GROUP BY 1""")),
+
+    Q("q_corr_moments", corrMoments, Some("""
+      WITH g AS (SELECT CAST(l_quantity AS DECIMAL(12,2)) AS q,
+                        CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+                        CAST(l_discount AS DECIMAL(4,2)) AS d
+                 FROM lineitem),
+      m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(q) AS DOUBLE) AS sq,
+                   CAST(sum(p) AS DOUBLE) AS sp,
+                   CAST(sum(d) AS DOUBLE) AS sd,
+                   CAST(sum(q * q) AS DOUBLE) AS sqq,
+                   CAST(sum(p * p) AS DOUBLE) AS spp,
+                   CAST(sum(d * d) AS DOUBLE) AS sdd,
+                   CAST(sum(q * p) AS DOUBLE) AS sqp,
+                   CAST(sum(q * d) AS DOUBLE) AS sqd,
+                   CAST(sum(p * d) AS DOUBLE) AS spd
+            FROM g)
+      SELECT CAST(n AS BIGINT) AS n,
+             round((sqp / n - (sq / n) * (sp / n)) /
+                   (sqrt(sqq / n - (sq / n) * (sq / n)) *
+                    sqrt(spp / n - (sp / n) * (sp / n))), 6)
+               AS corr_qty_price,
+             round((sqd / n - (sq / n) * (sd / n)) /
+                   (sqrt(sqq / n - (sq / n) * (sq / n)) *
+                    sqrt(sdd / n - (sd / n) * (sd / n))), 6)
+               AS corr_qty_disc,
+             round((spd / n - (sp / n) * (sd / n)) /
+                   (sqrt(spp / n - (sp / n) * (sp / n)) *
+                    sqrt(sdd / n - (sd / n) * (sd / n))), 6)
+               AS corr_price_disc
+      FROM m""")),
+
+    Q("q_time_decay", timeDecay, Some("""
+      WITH r AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+      t AS (SELECT e.event_type, e.value,
+                   CAST(round(e.value /
+                     (1.0 + date_diff('day', CAST(e.ts AS DATE), r.ref_day)),
+                     6) AS DECIMAL(18,6)) AS term
+            FROM events e CROSS JOIN r)
+      SELECT event_type, count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS raw_total,
+             round(CAST(sum(term) AS DOUBLE), 4) AS decayed_total
+      FROM t GROUP BY 1"""))
+  )
+}

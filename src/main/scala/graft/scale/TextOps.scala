@@ -485,6 +485,72 @@ object TextOps {
         floor(($"cum" - $"n_tokens") / 2048).cast("long").as("bin"))
   }
 
+  /** RAG/embedding-style document chunking: fixed 64-token windows
+    * with a 48-token stride (16-token overlap), the unit a retrieval
+    * index or a context-window packer consumes. Chunk starts are a
+    * per-row `sequence` (scan-stage, no shuffle — the explode is the
+    * only row amplification and it is bounded by ~nTokens/stride per
+    * doc); at 100 TB this runs embarrassingly parallel and feeds the
+    * embedding UDF stage directly. */
+  private def docChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chunk = 64
+    val stride = 48
+    val t = tokens($"text")
+    val starts = sequence(lit(1),
+      greatest(size(t) - lit(chunk - stride), lit(1)), lit(stride))
+    Tables.documents(s, d)
+      .select($"doc_id", t.as("toks"), explode(starts).as("start"))
+      .select($"doc_id",
+        (($"start" - 1) / stride).cast("long").as("chunk_id"),
+        size(slice($"toks", $"start", lit(chunk))).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice($"toks", $"start", lit(chunk)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Per-document cross-entropy (nats/bigram) under the corpus's own
+    * add-one-smoothed bigram LM — the KenLM-style perplexity filter a
+    * pretraining pipeline uses to score fluency (low = natural, high =
+    * gibberish). p(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V).
+    *
+    * Shape at scale: doc-bigram counts and the LM's bigram counts both
+    * collapse map-side before ONE shuffle each on (w1,w2); the unigram
+    * table is vocabulary-sized and joins BROADCAST; vocab size V is a
+    * broadcast scalar. Float discipline: p is a rational of exact
+    * integers (identical correctly-rounded divide in both engines),
+    * each distinct bigram's ln(p) is rounded to the 1e-6 grid BEFORE
+    * the per-doc decimal sum, so accumulation order can never move the
+    * result (the q_feature_scale lesson). */
+  private def perplexity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = tokens($"text")
+    val pairs = when(size(t) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"),
+          element_at(t, i + 1).as("w2"))))
+    val docBig = Tables.documents(s, d)
+      .select($"doc_id", explode(pairs).as("p"))
+      .groupBy($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val lmBig = docBig.groupBy($"w1", $"w2").agg(sum($"cnt").as("c12"))
+    val lmUni = lmBig.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("w"))
+      .agg(countDistinct($"w").as("v"))
+    val lnp = round(log(($"c12" + 1).cast("double") / ($"c1" + $"v")), 6)
+      .cast("decimal(18,6)")
+    docBig
+      .join(lmBig, Seq("w1", "w2"))
+      .join(broadcast(lmUni), "w1")
+      .crossJoin(broadcast(vocab))
+      .select($"doc_id", $"cnt", (lnp * $"cnt").as("term"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_bigrams"),
+        round(-sum($"term").cast("double") / sum($"cnt"), 4).as("xent_nats"))
+  }
+
   /** Per-language length stats — the document profiling sweep. */
   private def docProfile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -647,6 +713,45 @@ object TextOps {
                regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
                ' +', ' ', 'g'))) AS BIGINT) AS chars_after
       FROM documents""")),
+
+    Q("q_doc_chunks", docChunks, Some("""
+      WITH t AS (SELECT doc_id,
+                        string_split_regex(lower(text), '\s+') AS toks
+                 FROM documents),
+      s AS (SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks) - 16, 1) + 1, 48))
+                     AS start
+            FROM t)
+      SELECT doc_id,
+             CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+             CAST(len(toks[start : start + 63]) AS BIGINT)
+               AS n_chunk_tokens,
+             array_to_string(toks[start : start + 63], ' ') AS chunk_text
+      FROM s""")),
+
+    Q("q_perplexity", perplexity, Some("""
+      WITH tk AS (SELECT doc_id,
+                         string_split_regex(lower(text), '\s+') AS toks
+                  FROM documents),
+      pairs AS (SELECT doc_id,
+                       unnest([struct_pack(w1 := toks[i], w2 := toks[i+1])
+                               for i in range(1, len(toks))]) AS p
+                FROM tk WHERE len(toks) >= 2),
+      db AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS cnt
+             FROM pairs GROUP BY 1, 2, 3),
+      big AS (SELECT w1, w2, sum(cnt) AS c12 FROM db GROUP BY 1, 2),
+      uni AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+      voc AS (SELECT count(DISTINCT w) AS v FROM
+                (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+                 FROM documents)),
+      terms AS (SELECT db.doc_id, db.cnt,
+                       CAST(round(ln((big.c12 + 1) * 1.0 / (uni.c1 + voc.v)),
+                                  6) AS DECIMAL(18,6)) * db.cnt AS term
+                FROM db JOIN big USING (w1, w2) JOIN uni USING (w1)
+                     CROSS JOIN voc)
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             round(-CAST(sum(term) AS DOUBLE) / sum(cnt), 4) AS xent_nats
+      FROM terms GROUP BY 1""")),
 
     Q("q_mixture_sample", mixtureSample, Some("""
       WITH by_lang AS (SELECT lang, count(*) AS n

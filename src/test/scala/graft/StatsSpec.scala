@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model checks for the distribution-stats operators (StatsQueries)
+  * and the chunking/perplexity text operators. */
+class StatsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  test("q_outlier_iqr: fences ordered, pct in [0,1], counts partition the table") {
+    val rows = SparkEntry.queries("q_outlier_iqr")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("q1") <= r.getAs[Double]("q3"))
+      assert(r.getAs[Double]("q3") <= r.getAs[Double]("hi_fence"))
+      val pct = r.getAs[Double]("outlier_pct")
+      assert(pct >= 0.0 && pct <= 1.0)
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n"))
+    }
+  }
+
+  test("q_corr_moments: correlations in [-1,1]; qty–price strongly positive") {
+    val r = SparkEntry.queries("q_corr_moments")(spark, sf).head()
+    val cs = Seq("corr_qty_price", "corr_qty_disc", "corr_price_disc")
+      .map(r.getAs[Double])
+    cs.foreach(c => assert(c >= -1.0 && c <= 1.0, s"corr out of range: $c"))
+    // the exact-decimal moment form must equal Spark's own corr()
+    val ref = Tables.lineitem(spark, sf).agg(
+      corr($"l_quantity", $"l_extendedprice"),
+      corr($"l_quantity", $"l_discount"),
+      corr($"l_extendedprice", $"l_discount")).head()
+    cs.zipWithIndex.foreach { case (c, i) =>
+      assert(math.abs(c - ref.getDouble(i)) < 1e-4,
+        s"moment corr diverges from corr() at $i: $c vs ${ref.getDouble(i)}")
+    }
+  }
+
+  test("q_time_decay: decayed total is positive and never exceeds raw") {
+    val rows = SparkEntry.queries("q_time_decay")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val raw = r.getAs[Double]("raw_total")
+      val dec = r.getAs[Double]("decayed_total")
+      assert(dec > 0.0 && dec <= raw, s"decay out of band: $dec vs $raw")
+    }
+  }
+
+  test("q_doc_chunks: chunks tile every document exactly") {
+    val chunks = SparkEntry.queries("q_doc_chunks")(spark, sf)
+    val docs = Tables.documents(spark, sf).select($"doc_id",
+      size(split(lower($"text"), "\\s+")).cast("long").as("n_tokens"))
+    // per doc: starts are 1,49,97,…; the last chunk must reach the end
+    val agg = chunks.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      max($"chunk_id" * 48 + $"n_chunk_tokens").as("covered"),
+      min($"n_chunk_tokens").as("min_ct"),
+      max($"n_chunk_tokens").as("max_ct"))
+    val joined = agg.join(docs, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("covered") === r.getAs[Long]("n_tokens"),
+        s"doc ${r.getAs[Long]("doc_id")} not fully tiled")
+      assert(r.getAs[Long]("max_ct") <= 64L)
+    }
+    // overlap really is 16 tokens: chunk i starts 48 past chunk i-1
+    val twoPlus = joined.filter(_.getAs[Long]("n_chunks") > 1)
+    assert(twoPlus.nonEmpty, "fixture has no multi-chunk docs")
+  }
+
+  test("q_perplexity: every multi-token doc scored, xent positive") {
+    val out = SparkEntry.queries("q_perplexity")(spark, sf)
+    val expected = Tables.documents(spark, sf)
+      .filter(size(split(lower($"text"), "\\s+")) >= 2).count()
+    assert(out.count() === expected)
+    out.collect().foreach { r =>
+      assert(r.getAs[Double]("xent_nats") > 0.0)
+      assert(r.getAs[Long]("n_bigrams") >= 1L)
+    }
+  }
+}

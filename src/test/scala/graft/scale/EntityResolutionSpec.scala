@@ -1,0 +1,69 @@
+package graft.scale
+
+import graft.{SparkEntry, SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EntityResolutionSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  test("fuzzy join recovers every corrupted name at distance 1") {
+    val dict = Tables.part(spark, sf).select($"p_name").distinct()
+    val nDict = dict.count()
+    val out = SparkEntry.queries("q_fuzzy_join")(spark, sf).collect()
+    // every probe resolves, and (deleting one char → distance exactly 1)
+    assert(out.length.toLong === nDict)
+    assert(out.forall(_.getLong(2) === 1L),
+      "a probe matched something other than its 1-edit source")
+    // the match really is the un-corrupted source name
+    out.foreach { r =>
+      val probe = r.getString(0)
+      val name = r.getString(1)
+      assert(name.head == probe.head && name.substring(2) == probe.substring(1))
+    }
+  }
+
+  test("fuzzy join plans a hash join on the blocking key, never a nested loop") {
+    val plan = SparkEntry.queries("q_fuzzy_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"fuzzy join degenerated to an all-pairs plan:\n$plan")
+  }
+
+  test("fuzzy join drops probes whose best match exceeds maxDist") {
+    val dict = Seq("alpha beta", "gamma beta").toDF("name")
+    val probes = Seq("alpha beta", "zzzzzzzz beta").toDF("nm")
+    val out = EntityResolution.fuzzyJoin(probes, "nm", dict, "name",
+      c => split_part(c, lit(" "), lit(2)), maxDist = 2)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "alpha beta")
+    assert(out.head.getLong(2) === 0L)
+  }
+
+  test("hot blocking keys are excluded by the block-size cap") {
+    import spark.implicits._
+    // 40 dict entries share the useless block "x"; 2 live in block "y"
+    val dict = ((1 to 40).map(i => f"name$i%02d x") ++
+      Seq("alpha y", "beta y")).toDF("name")
+    val probes = Seq("name01 x", "alpha y").toDF("nm")
+    val out = EntityResolution.fuzzyJoin(probes, "nm", dict, "name",
+      c => split_part(c, lit(" "), lit(2)), maxDist = 2, maxBlock = 10)
+      .collect()
+    // the hot block's probe finds nothing; the small block still matches
+    assert(out.map(_.getString(0)).toSet === Set("alpha y"))
+  }
+
+  test("ties break on distance first, then lexicographic name") {
+    val dict = Seq("aa x", "ab x", "ba x").toDF("name")
+    val probes = Seq("ac x").toDF("nm")
+    val out = EntityResolution.fuzzyJoin(probes, "nm", dict, "name",
+      c => split_part(c, lit(" "), lit(2)), maxDist = 2)
+      .collect()
+    // "aa x" and "ab x" are both distance 1; lexicographically first wins
+    assert(out.length === 1)
+    assert(out.head.getString(1) === "aa x")
+  }
+}
