@@ -24,6 +24,7 @@ object SparkEntry {
       scale.Privacy.queries ++
       scale.Dedup.queries ++
       scale.EntityResolution.queries ++
+      scale.GraphOps.queries ++
       scale.MinHashSigAgg.queries ++
       scale.Multimodal.queries ++
       scale.Similarity.queries ++

@@ -1,0 +1,108 @@
+package graft.scale
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics as fixed-round dataflow — PageRank over
+  * the bipartite supplier↔part co-purchase graph derived from
+  * lineitem. Complements Dedup's label-propagation connected
+  * components: that one iterates a MIN lattice, this one iterates a
+  * NUMERIC fixed-point, the pattern behind influence scoring /
+  * source-trust weighting in a curation pipeline.
+  *
+  * Scale shape per iteration: the rank and degree tables are
+  * NODE-cardinality (tiny next to edges) and join onto the edge list
+  * BROADCAST, so the edge table — the 100 TB side — never moves; the
+  * only shuffle is the groupBy(dst) of contributions, and those
+  * collapse map-side to ≤|nodes| rows per partition before the wire.
+  * Iterations are unrolled into one DAG (fixed k, no driver-side
+  * convergence loop, no collect).
+  *
+  * Float discipline, taken one step past the q_feature_scale lesson:
+  * the whole fixed-point runs in FIXED-POINT INTEGER arithmetic —
+  * ranks are bigints in units of 1e-12, contributions are integer
+  * divisions (rank_fp div deg), damping is (85·sum) div 100 with the
+  * 0.15/N teleport as 150000000000 div N. Integer ops are bit-exact
+  * in every engine (an earlier formulation that grid-snapped DOUBLES
+  * to 1e-9 still diverged on 77/2100 rows: Spark rounds the exact
+  * binary expansion HALF_UP while DuckDB rounds a scaled double, and
+  * iteration compounds the boundary flips). The DuckDB oracle replays
+  * all k iterations value-for-value (generated unrolled — recursive
+  * CTEs cannot aggregate per step).
+  */
+object GraphOps {
+
+  /** Fixed-point scale: ranks live in units of 1e-12 (sum ≈ 1e12). */
+  val FpOne = 1000000000000L
+  val Iterations = 3
+
+  /** Undirected bipartite edges: supplier s<k> ↔ part p<k> for every
+    * distinct (suppkey, partkey) pair in lineitem. Undirected (both
+    * directions materialized) so no node is dangling. */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_suppkey".as("sk"), $"l_partkey".as("pk")).distinct()
+    li.select(concat(lit("s"), $"sk").as("src"),
+        concat(lit("p"), $"pk").as("dst"))
+      .unionAll(li.select(concat(lit("p"), $"pk").as("src"),
+        concat(lit("s"), $"sk").as("dst")))
+  }
+
+  private def pagerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = edges(s, d)
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    var rank = deg.crossJoin(broadcast(n))
+      .select($"src".as("node"), expr(s"${FpOne}L div n").as("rank_fp"))
+    for (_ <- 1 to Iterations) {
+      val contrib = e
+        .join(broadcast(rank.withColumnRenamed("node", "src")), "src")
+        .join(broadcast(deg), "src")
+        .select($"dst".as("node"), expr("rank_fp div deg").as("c"))
+      // teleport 0.15·FpOne = 150000000000 exactly; damping 85/100
+      rank = contrib.groupBy($"node").agg(sum($"c").as("sc"))
+        .crossJoin(broadcast(n))
+        .select($"node",
+          (expr(s"${FpOne / 100 * 15}L div n") +
+            expr("(85 * sc) div 100")).as("rank_fp"))
+    }
+    rank.select($"node", $"rank_fp",
+      ($"rank_fp".cast("double") / lit(FpOne.toDouble)).as("rank"))
+  }
+
+  /** Unrolled DuckDB replay of [[pagerank]] — same fixed-point units,
+    * same integer divisions, k chained CTEs. */
+  private def pagerankOracle: String = {
+    val teleport = FpOne / 100 * 15
+    val base = s"""
+      WITH li AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                  FROM lineitem),
+      edges AS (SELECT 's' || sk AS src, 'p' || pk AS dst FROM li
+                UNION ALL
+                SELECT 'p' || pk, 's' || sk FROM li),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM deg),
+      r0 AS (SELECT src AS node, $FpOne // n AS rank_fp FROM deg, nn)"""
+    val iters = (1 to Iterations).map { i =>
+      s""",
+      c$i AS (SELECT e.dst AS node, r.rank_fp // d.deg AS c
+              FROM edges e
+              JOIN r${i - 1} r ON e.src = r.node
+              JOIN deg d ON e.src = d.src),
+      r$i AS (SELECT node,
+                     $teleport // nn.n + (85 * sum(c)) // 100 AS rank_fp
+              FROM c$i, nn GROUP BY node, nn.n)"""
+    }.mkString
+    s"""$base$iters
+      SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp,
+             CAST(rank_fp AS DOUBLE) / $FpOne AS rank
+      FROM r$Iterations"""
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_pagerank", pagerank, Some(pagerankOracle))
+  )
+}
