@@ -93,6 +93,20 @@ object EventStreams {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** Stream-static enrichment join: the event stream joined to a
+    * static dimension (here a user→segment lookup) with an explicit
+    * broadcast hint. Stream-static joins are stateless — the static
+    * side is (re-)read per micro-batch and hash-broadcast to the
+    * stream's tasks, so no watermark and no join state are needed; at
+    * 100 TB/day this is the canonical way to decorate a firehose with
+    * slowly-changing reference data (the dimension refresh cadence is
+    * the micro-batch, not a shuffle of the stream). Left join keeps
+    * events whose user is missing from the dimension. */
+  def enrichedEvents(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), coalesce(col("segment"), lit("unknown")).as("segment"))
+
   /** Custom state machine: running per-user totals emitted on every
     * update (flatMapGroupsWithState, update mode). The buffer is one
     * (count, sum) pair per live user — O(#users), not O(#events). */

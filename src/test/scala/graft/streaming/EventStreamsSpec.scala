@@ -44,6 +44,20 @@ class EventStreamsSpec extends AnyFunSuite {
       ("2024-01-01 01:00:00.0", "view", 1L)))
   }
 
+  test("stream-static join enriches events with a broadcast dimension") {
+    val in = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    in.addData(ev(1, 5, 1, "click"), ev(2, 6, 2, "view"),
+      ev(3, 7, 99, "click"))
+    runToCompletion(enrichedEvents(in.toDF(), dim), "enriched_t", "append")
+    val got = spark.table("enriched_t")
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        r.getAs[String]("segment"))).toSet
+    // matched users get their segment; unknown users survive the left
+    // join with the sentinel instead of being dropped
+    assert(got === Set((1L, "gold"), (2L, "silver"), (3L, "unknown")))
+  }
+
   test("append mode emits a window only after the watermark passes it") {
     val in = MemoryStream[Event]
     val out = tumblingCounts(in.toDF(), width = "10 minutes",
