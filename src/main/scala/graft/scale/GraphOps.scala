@@ -52,15 +52,28 @@ object GraphOps {
 
   private def pagerank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = edges(s, d)
-    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    // The adjacency (edges with the source degree folded in) is
+    // referenced by every iteration level plus the node/count prologue
+    // — registry-cache it so the lineitem distinct and the degree
+    // shuffle run once, not once per lineage branch, and each
+    // iteration costs ONE broadcast join instead of two.
+    val adj = graft.GraftCaches.getOrPersist(s, s"graph.adj:$d") {
+      val e = edges(s, d)
+      val dg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+      e.join(dg, "src")
+    }
+    // node table cached too: every broadcast build (rank init, the
+    // per-iteration n scalar) walks its lineage, and an un-cached
+    // distinct would re-shuffle the full adjacency each time
+    val deg = graft.GraftCaches.getOrPersist(s, s"graph.deg:$d") {
+      adj.select($"src", $"deg").distinct()
+    }
     val n = deg.agg(count(lit(1)).as("n"))
     var rank = deg.crossJoin(broadcast(n))
       .select($"src".as("node"), expr(s"${FpOne}L div n").as("rank_fp"))
     for (_ <- 1 to Iterations) {
-      val contrib = e
+      val contrib = adj
         .join(broadcast(rank.withColumnRenamed("node", "src")), "src")
-        .join(broadcast(deg), "src")
         .select($"dst".as("node"), expr("rank_fp div deg").as("c"))
       // teleport 0.15·FpOne = 150000000000 exactly; damping 85/100
       rank = contrib.groupBy($"node").agg(sum($"c").as("sc"))
@@ -103,6 +116,6 @@ object GraphOps {
   }
 
   val queries: Seq[Q] = Seq(
-    Q("q_pagerank", pagerank, Some(pagerankOracle))
+    Q("q_pagerank", pagerank, Some(pagerankOracle), headline = true)
   )
 }

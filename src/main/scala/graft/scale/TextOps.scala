@@ -530,10 +530,16 @@ object TextOps {
       .otherwise(transform(sequence(lit(1), size(t) - 1),
         i => struct(element_at(t, i).as("w1"),
           element_at(t, i + 1).as("w2"))))
-    val docBig = Tables.documents(s, d)
-      .select($"doc_id", explode(pairs).as("p"))
-      .groupBy($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
-      .agg(count(lit(1)).as("cnt"))
+    // The doc-bigram table feeds the LM (twice) AND the scoring join;
+    // registry-cache it so the token explode runs once per session,
+    // not once per downstream branch (broadcast builds don't share
+    // exchange reuse with the shuffled branch).
+    val docBig = graft.GraftCaches.getOrPersist(s, s"text.doc_bigrams:$d") {
+      Tables.documents(s, d)
+        .select($"doc_id", explode(pairs).as("p"))
+        .groupBy($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+        .agg(count(lit(1)).as("cnt"))
+    }
     val lmBig = docBig.groupBy($"w1", $"w2").agg(sum($"cnt").as("c12"))
     val lmUni = lmBig.groupBy($"w1").agg(sum($"c12").as("c1"))
     val vocab = Tables.documents(s, d)
@@ -729,7 +735,7 @@ object TextOps {
              array_to_string(toks[start : start + 63], ' ') AS chunk_text
       FROM s""")),
 
-    Q("q_perplexity", perplexity, Some("""
+    Q("q_perplexity", perplexity, headline = true, oracle = Some("""
       WITH tk AS (SELECT doc_id,
                          string_split_regex(lower(text), '\s+') AS toks
                   FROM documents),
