@@ -668,6 +668,103 @@ object Dedup {
   private def dedupSpansQ(s: SparkSession, d: String): DataFrame =
     dedupSpans(Tables.documents(s, d))
 
+  /** Boilerplate document-frequency ceiling: a chunk is boilerplate
+    * within its SOURCE when more than `BoilerplateDfPct`% of that
+    * source's documents contain it. */
+  val BoilerplateDfPct = 5L
+
+  /** C4-style BOILERPLATE removal — the df-thresholded complement of
+    * [[dedupSpans]]: instead of keeping the first occurrence of every
+    * repeated chunk, a chunk that appears in more than
+    * `BoilerplateDfPct`% of a source's documents (site chrome, nav
+    * text, legal footers) is stripped from EVERY document of that
+    * source, first occurrence included. Rare cross-doc repetition
+    * survives (that is dedupSpans' job).
+    *
+    * Shape at scale: chunk document-frequencies collapse map-side
+    * before one (source, chunk) shuffle; the boilerplate set is the
+    * high-df tail only — orders of magnitude smaller than the chunk
+    * stream — and prunes via a left-anti join; reassembly is the same
+    * one groupBy(doc_id) as dedupSpans. The df threshold is compared
+    * in INTEGER form (100·df > pct·docs), so no float boundary exists
+    * for engines to disagree on. */
+  def boilerplateStrip(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val base = docs.select(col("doc_id"), col("source"), toks.as("toks"))
+      .withColumn("nc", (size(col("toks")) / SpanTokens).cast("long"))
+      .withColumn("tail_str", array_join(
+        slice(col("toks"), (col("nc") * SpanTokens + 1).cast("int"),
+          greatest(size(col("toks")) - (col("nc") * SpanTokens).cast("int"),
+            lit(0))), " "))
+    val chunked = base
+      .select(col("doc_id"), col("source"), col("nc"),
+        posexplode(when(col("nc") > 0,
+            transform(sequence(lit(0), (col("nc") - 1).cast("int")),
+              i => array_join(
+                slice(col("toks"), i * SpanTokens + 1, lit(SpanTokens)), " ")))
+          .otherwise(array().cast("array<string>"))).as(Seq("idx", "chunk")))
+    val srcDocs = docs.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val boiler = chunked
+      .groupBy(col("source"), col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .join(srcDocs, "source")
+      .filter(col("df") * 100L > lit(BoilerplateDfPct) * col("nd"))
+      .select(col("source"), col("chunk"))
+    val kept = chunked.join(boiler, Seq("source", "chunk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("body"))
+    base.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(filter(array(col("body"), col("tail_str")),
+          x => x.isNotNull && x =!= ""), " ").as("text_clean"),
+        col("nc").as("n_chunks"),
+        (col("nc") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  private def boilerplateQ(s: SparkSession, d: String): DataFrame =
+    boilerplateStrip(Tables.documents(s, d))
+
+  private val boilerplateOracle = s"""
+      WITH tok AS (SELECT doc_id, source,
+                          string_split_regex(lower(text), '\\s+') AS toks
+                   FROM documents),
+      base AS (SELECT doc_id, source, toks,
+                      CAST(len(toks) // $SpanTokens AS BIGINT) AS nc,
+                      array_to_string(
+                        toks[len(toks) // $SpanTokens * $SpanTokens + 1
+                             : len(toks)], ' ') AS tail_str
+               FROM tok),
+      chunked AS (SELECT doc_id, source, nc, i AS idx,
+                         array_to_string(
+                           toks[i * $SpanTokens + 1
+                                : i * $SpanTokens + $SpanTokens], ' ')
+                           AS chunk
+                  FROM base CROSS JOIN unnest(range(nc)) AS t(i)),
+      src_docs AS (SELECT source, count(DISTINCT doc_id) AS nd
+                   FROM documents GROUP BY 1),
+      boiler AS (SELECT c.source, c.chunk
+                 FROM (SELECT source, chunk,
+                              count(DISTINCT doc_id) AS df
+                       FROM chunked GROUP BY 1, 2) c
+                 JOIN src_docs s ON c.source = s.source
+                 WHERE c.df * 100 > $BoilerplateDfPct * s.nd),
+      kept AS (SELECT c.doc_id,
+                      CAST(count(*) AS BIGINT) AS n_kept,
+                      string_agg(c.chunk, ' ' ORDER BY c.idx) AS body
+               FROM chunked c ANTI JOIN boiler b
+                 ON c.source = b.source AND c.chunk = b.chunk
+               GROUP BY 1)
+      SELECT b.doc_id,
+             concat_ws(' ', nullif(k.body, ''), nullif(b.tail_str, ''))
+               AS text_clean,
+             b.nc AS n_chunks,
+             b.nc - coalesce(k.n_kept, 0) AS n_removed
+      FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id"""
+
   private val dedupSpansOracle = s"""
       WITH tok AS (SELECT doc_id,
                           string_split_regex(lower(text), '\\s+') AS toks
@@ -703,6 +800,7 @@ object Dedup {
   val queries: Seq[Q] = Seq(
     Q("q_dedup_spans", dedupSpansQ, Some(dedupSpansOracle),
       headline = true),
+    Q("q_boilerplate_strip", boilerplateQ, Some(boilerplateOracle)),
     Q("q_dedup_exact", exactDedup, Some("""
       SELECT md5(text) AS text_hash, count(*) AS n_copies,
              min(doc_id) AS keep_id

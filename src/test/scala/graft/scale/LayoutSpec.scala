@@ -81,4 +81,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.forall(_.getLong(3) === 0L))
     got.foreach(r => assert(r.getString(1).split(" ").length === 6))
   }
+
+  test("boilerplateStrip removes high-df chunks everywhere, keeps rare repeats") {
+    // 20 docs in srcA all open with the chrome 'nav bar here'
+    // (df = 100% > 5%); doc 1 additionally carries the rare chunk
+    // 'x y z' (df = 1/20 = exactly 5%, NOT above the ceiling)
+    val srcA = (1L to 20L).map { i =>
+      val rare = if (i == 1L) "x y z " else ""
+      (i, "srcA", s"nav bar here ${rare}u$i v$i w$i")
+    }
+    // a different source keeps its own counts: 'nav bar here' appears
+    // in only 1 of its 30 docs (df 3.3% < 5%) and must SURVIVE there
+    val srcB = (101L to 130L).map { i =>
+      val chrome = if (i == 101L) "nav bar here " else ""
+      (i, "srcB", s"${chrome}a$i b$i c$i")
+    }
+    val docs = (srcA ++ srcB).toDF("doc_id", "source", "text")
+    val got = Dedup.boilerplateStrip(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    // srcA: chrome stripped from every doc INCLUDING the first
+    (1L to 20L).foreach { i =>
+      assert(!got(i)._1.contains("nav bar here"), s"doc $i kept chrome")
+    }
+    // the rare 'x y z' chunk in doc 1 survives (df 1/20 = 5% not > 5%)
+    assert(got(1L)._1.startsWith("x y z"))
+    // srcB is below the ceiling: its single chrome occurrence survives
+    assert(got(101L)._1.startsWith("nav bar here"))
+    assert((102L to 130L).forall(got(_)._2 === 0L))
+  }
 }
