@@ -121,6 +121,31 @@ object StatsQueries {
         round(sum(term).cast("double"), 4).as("decayed_total"))
   }
 
+  /** Robust (median/MAD) standardization — the outlier-insensitive
+    * sibling of q_feature_scale's z-score: med and MAD come from two
+    * exact-percentile passes (each a 1-row aggregate broadcast back),
+    * the scaled value is pure per-row double math on inputs both
+    * engines compute identically — no cross-row float sum exists in
+    * the query at all. 1.4826·MAD makes the scale consistent with σ
+    * under normality; |rz| > 3.5 is the standard robust outlier flag.
+    * At 100 TB the exact percentiles swap for approx_percentile with
+    * an error budget; the plan shape (scan → tiny agg → broadcast →
+    * scan) is unchanged. */
+  private def robustScale(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val med = Tables.orders(s, d)
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    val mad = Tables.orders(s, d).crossJoin(broadcast(med))
+      .agg(expr("percentile(abs(o_totalprice - med), 0.5)").as("mad"),
+        max($"med").as("med"))
+    Tables.orders(s, d).crossJoin(broadcast(mad))
+      .select($"o_orderkey",
+        round(($"o_totalprice" - $"med") / (lit(1.4826) * $"mad"), 4)
+          .as("robust_z"),
+        (abs(($"o_totalprice" - $"med") / (lit(1.4826) * $"mad")) > 3.5)
+          .as("is_outlier"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_outlier_iqr", outlierIqr, Some("""
       WITH f AS (SELECT event_type,
@@ -174,6 +199,19 @@ object StatsQueries {
                     sqrt(sdd / n - (sd / n) * (sd / n))), 6)
                AS corr_price_disc
       FROM m""")),
+
+    Q("q_robust_scale", robustScale, Some("""
+      WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS med
+                 FROM orders),
+      s AS (SELECT quantile_cont(abs(o_totalprice - m.med), 0.5) AS mad,
+                   max(m.med) AS med
+            FROM orders, m)
+      SELECT o_orderkey,
+             round((o_totalprice - s.med) / (1.4826 * s.mad), 4)
+               AS robust_z,
+             abs((o_totalprice - s.med) / (1.4826 * s.mad)) > 3.5
+               AS is_outlier
+      FROM orders, s""")),
 
     Q("q_time_decay", timeDecay, Some("""
       WITH r AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),

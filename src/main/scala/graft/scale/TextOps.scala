@@ -557,6 +557,45 @@ object TextOps {
         round(-sum($"term").cast("double") / sum($"cnt"), 4).as("xent_nats"))
   }
 
+  /** Top collocations by pointwise mutual information —
+    * pmi(w1,w2) = ln(c12·N / (c1·c2)) over corpus bigram counts, the
+    * phrase-mining/tokenizer-merge-candidate primitive. Counts come
+    * from the registry-cached doc-bigram table (shared with
+    * q_perplexity), position-unigram totals join back BROADCAST, and
+    * N is a broadcast scalar: the token stream crosses the wire once
+    * per session, not per query. The pmi itself is one per-row ln of
+    * a rational of exact integers — no cross-row float accumulation.
+    * Min support c12 ≥ 20 keeps the rare-pair PMI blow-up out (the
+    * standard collocation-mining guard), top 40 by (pmi, w1, w2) — a
+    * total order, so output is deterministic. */
+  private def pmiTerms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = tokens($"text")
+    val pairs = when(size(t) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"),
+          element_at(t, i + 1).as("w2"))))
+    val docBig = graft.GraftCaches.getOrPersist(s, s"text.doc_bigrams:$d") {
+      Tables.documents(s, d)
+        .select($"doc_id", explode(pairs).as("p"))
+        .groupBy($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val big = docBig.groupBy($"w1", $"w2").agg(sum($"cnt").as("c12"))
+    val left = big.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val right = big.groupBy($"w2").agg(sum($"c12").as("c2"))
+    val n = big.agg(sum($"c12").as("nn"))
+    big.join(broadcast(left), "w1").join(broadcast(right), "w2")
+      .crossJoin(broadcast(n))
+      .filter($"c12" >= 20)
+      .select($"w1", $"w2", $"c12",
+        round(log(($"c12" * $"nn").cast("double") /
+          ($"c1" * $"c2").cast("double")), 4).as("pmi"))
+      .orderBy($"pmi".desc, $"w1".asc, $"w2".asc)
+      .limit(40)
+  }
+
   /** Per-language length stats — the document profiling sweep. */
   private def docProfile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -758,6 +797,28 @@ object TextOps {
       SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
              round(-CAST(sum(term) AS DOUBLE) / sum(cnt), 4) AS xent_nats
       FROM terms GROUP BY 1""")),
+
+    Q("q_pmi_terms", pmiTerms, Some("""
+      WITH tk AS (SELECT doc_id,
+                         string_split_regex(lower(text), '\s+') AS toks
+                  FROM documents),
+      pairs AS (SELECT doc_id,
+                       unnest([struct_pack(w1 := toks[i], w2 := toks[i+1])
+                               for i in range(1, len(toks))]) AS p
+                FROM tk WHERE len(toks) >= 2),
+      db AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS cnt
+             FROM pairs GROUP BY 1, 2, 3),
+      big AS (SELECT w1, w2, sum(cnt) AS c12 FROM db GROUP BY 1, 2),
+      lft AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+      rgt AS (SELECT w2, sum(c12) AS c2 FROM big GROUP BY 1),
+      n AS (SELECT sum(c12) AS nn FROM big)
+      SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS c12,
+             round(ln(CAST(b.c12 * n.nn AS DOUBLE) /
+                      CAST(l.c1 * r.c2 AS DOUBLE)), 4) AS pmi
+      FROM big b JOIN lft l USING (w1) JOIN rgt r USING (w2)
+           CROSS JOIN n
+      WHERE b.c12 >= 20
+      ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 40""")),
 
     Q("q_mixture_sample", mixtureSample, Some("""
       WITH by_lang AS (SELECT lang, count(*) AS n

@@ -23,7 +23,7 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
-  test("q_corr_moments: correlations in [-1,1]; qty–price strongly positive") {
+  test("q_corr_moments: correlations in [-1,1] and equal to Spark's corr()") {
     val r = SparkEntry.queries("q_corr_moments")(spark, sf).head()
     val cs = Seq("corr_qty_price", "corr_qty_disc", "corr_price_disc")
       .map(r.getAs[Double])
@@ -47,6 +47,27 @@ class StatsSpec extends AnyFunSuite {
       val dec = r.getAs[Double]("decayed_total")
       assert(dec > 0.0 && dec <= raw, s"decay out of band: $dec vs $raw")
     }
+  }
+
+  test("q_robust_scale: centered on the median, flags only extreme rows") {
+    val rows = SparkEntry.queries("q_robust_scale")(spark, sf).collect()
+    assert(rows.length === Tables.orders(spark, sf).count())
+    val zs = rows.map(_.getAs[Double]("robust_z")).sorted
+    // median of robust-z is 0 by construction (subtraction of med)
+    assert(math.abs(zs(zs.length / 2)) < 0.01)
+    // flag agrees with the reported value everywhere
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_outlier") ===
+        (math.abs(r.getAs[Double]("robust_z")) > 3.5))
+    }
+  }
+
+  test("q_pmi_terms: min support holds and ordering is by pmi") {
+    val rows = SparkEntry.queries("q_pmi_terms")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("c12") >= 20L))
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.sameElements(pmis.sorted(Ordering[Double].reverse)))
   }
 
   test("q_doc_chunks: chunks tile every document exactly") {
