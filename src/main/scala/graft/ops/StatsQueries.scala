@@ -146,6 +146,49 @@ object StatsQueries {
           .as("is_outlier"))
   }
 
+  /** Calendar-coverage profile per event type: span vs active days —
+    * the data-freshness/completeness check a pipeline runs before
+    * trusting a time slice. Pure integer date arithmetic (datediff,
+    * distinct-day counts), one tiny aggregate. Always emits one row
+    * per type even when coverage is complete (gap_days = 0). */
+  private def dateGaps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type")
+      .agg(min($"day").as("first_day"), max($"day").as("last_day"),
+        countDistinct($"day").as("active_days"))
+      .select($"event_type", $"first_day", $"last_day",
+        (datediff($"last_day", $"first_day") + 1).cast("long")
+          .as("span_days"),
+        $"active_days",
+        (datediff($"last_day", $"first_day") + 1 - $"active_days")
+          .cast("long").as("gap_days"))
+  }
+
+  /** First-order Markov transition model over each user's event
+    * sequence (ordered by ts, tie-broken by event_id): the
+    * user-journey statistics behind funnel design and next-event
+    * prediction. One window shuffle on user_id produces the lagged
+    * pairs; the transition counts and the per-origin totals both
+    * collapse map-side; p(next|prev) is a per-row divide of exact
+    * counts. */
+  private def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val pairs = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy($"prev_type").agg(sum($"cnt").as("tot"))
+    pairs.join(broadcast(totals), "prev_type")
+      .select($"prev_type", $"next_type", $"cnt",
+        round($"cnt" / $"tot", 4).as("p_next"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_outlier_iqr", outlierIqr, Some("""
       WITH f AS (SELECT event_type,
@@ -199,6 +242,29 @@ object StatsQueries {
                     sqrt(sdd / n - (sd / n) * (sd / n))), 6)
                AS corr_price_disc
       FROM m""")),
+
+    Q("q_date_gaps", dateGaps, Some("""
+      WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events)
+      SELECT event_type, min(day) AS first_day, max(day) AS last_day,
+             CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT)
+               AS span_days,
+             CAST(count(DISTINCT day) AS BIGINT) AS active_days,
+             CAST(date_diff('day', min(day), max(day)) + 1
+                  - count(DISTINCT day) AS BIGINT) AS gap_days
+      FROM d GROUP BY 1""")),
+
+    Q("q_markov_transitions", markovTransitions, Some("""
+      WITH seq AS (SELECT user_id, event_type,
+                          lag(event_type) OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS prev_type
+                   FROM events),
+      pairs AS (SELECT prev_type, event_type AS next_type,
+                       count(*) AS cnt
+                FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT prev_type, sum(cnt) AS tot FROM pairs GROUP BY 1)
+      SELECT p.prev_type, p.next_type, CAST(p.cnt AS BIGINT) AS cnt,
+             round(p.cnt / t.tot, 4) AS p_next
+      FROM pairs p JOIN tot t USING (prev_type)""")),
 
     Q("q_robust_scale", robustScale, Some("""
       WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS med

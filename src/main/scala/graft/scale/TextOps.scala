@@ -596,6 +596,58 @@ object TextOps {
       .limit(40)
   }
 
+  /** Per-document token Shannon entropy — the gibberish/degenerate-
+    * repetition detector (a natural doc has H near the corpus band; a
+    * keyword-stuffed or copy-looped doc collapses toward 0). Terms
+    * -(c/n)·ln(c/n) are per-row doubles from exact integer rationals
+    * (identical in both engines), snapped to the 1e-9 grid and summed
+    * per doc in DECIMAL — order-independent. Shape: token explode →
+    * (doc, token) count → one doc-keyed sum; both aggregates collapse
+    * map-side. */
+  private def tokenEntropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+    val withN = counts.groupBy($"doc_id")
+      .agg(sum($"c").as("n"), count(lit(1)).as("n_distinct"))
+    counts.join(withN, "doc_id")
+      .select($"doc_id", $"n", $"n_distinct",
+        round(($"c" / $"n") * log($"c" / $"n"), 9)
+          .cast("decimal(18,9)").as("term"))
+      .groupBy($"doc_id")
+      .agg(max($"n").as("n_tokens"), max($"n_distinct").as("n_distinct"),
+        round(-sum($"term").cast("double"), 4).as("entropy_nats"))
+  }
+
+  /** Cross-source vocabulary overlap: Jaccard between every source
+    * pair's distinct-token sets — the corpus-composition diagnostic
+    * (two mirrors of one crawl show up as a ≈1.0 cell). Shape at
+    * scale: per-source vocabularies collapse to (source, token)
+    * postings; the pair join fans out by each token's SOURCE count
+    * (≤ #sources, a constant), never by document count; per-source
+    * sizes join back broadcast. Jaccard is one per-row divide of
+    * exact integers, rounded — no float accumulation. */
+  private def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, d)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .distinct()
+    val sizes = vocab.groupBy($"source").agg(count(lit(1)).as("nv"))
+    val inter = vocab.as("a").join(vocab.as("b"), Seq("w"))
+      .filter($"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select($"source".as("src_a"), $"nv".as("nv_a"))),
+        "src_a")
+      .join(broadcast(sizes.select($"source".as("src_b"), $"nv".as("nv_b"))),
+        "src_b")
+      .select($"src_a", $"src_b", $"n_inter",
+        round($"n_inter" / ($"nv_a" + $"nv_b" - $"n_inter"), 4)
+          .as("jaccard"))
+  }
+
   /** Per-language length stats — the document profiling sweep. */
   private def docProfile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -797,6 +849,41 @@ object TextOps {
       SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
              round(-CAST(sum(term) AS DOUBLE) / sum(cnt), 4) AS xent_nats
       FROM terms GROUP BY 1""")),
+
+    Q("q_token_entropy", tokenEntropy, Some("""
+      WITH tok AS (SELECT doc_id,
+                          unnest(string_split_regex(lower(text), '\s+'))
+                            AS w
+                   FROM documents),
+      c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+      nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                    count(*) AS n_distinct
+             FROM c GROUP BY 1),
+      t AS (SELECT c.doc_id, nn.n, nn.n_distinct,
+                   CAST(round((c.c / nn.n) * ln(c.c / nn.n), 9)
+                        AS DECIMAL(18,9)) AS term
+            FROM c JOIN nn USING (doc_id))
+      SELECT doc_id, max(n) AS n_tokens,
+             CAST(max(n_distinct) AS BIGINT) AS n_distinct,
+             round(-CAST(sum(term) AS DOUBLE), 4) AS entropy_nats
+      FROM t GROUP BY 1""")),
+
+    Q("q_source_overlap", sourceOverlap, Some("""
+      WITH t0 AS (SELECT source,
+                         unnest(string_split_regex(lower(text), '\s+'))
+                           AS w
+                  FROM documents),
+      v AS (SELECT DISTINCT source, w FROM t0),
+      sz AS (SELECT source, count(*) AS nv FROM v GROUP BY 1),
+      i AS (SELECT a.source AS src_a, b.source AS src_b,
+                   count(*) AS n_inter
+            FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT i.src_a, i.src_b, i.n_inter,
+             round(i.n_inter /
+                   (sa.nv + sb.nv - i.n_inter), 4) AS jaccard
+      FROM i JOIN sz sa ON i.src_a = sa.source
+             JOIN sz sb ON i.src_b = sb.source""")),
 
     Q("q_pmi_terms", pmiTerms, Some("""
       WITH tk AS (SELECT doc_id,

@@ -70,6 +70,51 @@ class StatsSpec extends AnyFunSuite {
     assert(pmis.sameElements(pmis.sorted(Ordering[Double].reverse)))
   }
 
+  test("q_date_gaps: gaps are exactly span minus active") {
+    val rows = SparkEntry.queries("q_date_gaps")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("active_days") <= r.getAs[Long]("span_days"))
+      assert(r.getAs[Long]("gap_days") ===
+        r.getAs[Long]("span_days") - r.getAs[Long]("active_days"))
+    }
+  }
+
+  test("q_markov_transitions: rows partition the non-first events, probs sum to 1") {
+    val rows = SparkEntry.queries("q_markov_transitions")(spark, sf).collect()
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select($"user_id").distinct().count()
+    // every event except each user's first contributes one transition
+    assert(rows.map(_.getAs[Long]("cnt")).sum === nEvents - nUsers)
+    rows.groupBy(_.getAs[String]("prev_type")).foreach { case (p, g) =>
+      val tot = g.map(_.getAs[Double]("p_next")).sum
+      assert(math.abs(tot - 1.0) < 1e-3, s"$p: $tot")
+    }
+  }
+
+  test("q_token_entropy: bounded by ln(n_distinct), zero for degenerate docs") {
+    val rows = SparkEntry.queries("q_token_entropy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_nats")
+      val hMax = math.log(r.getAs[Long]("n_distinct").toDouble)
+      // h is rounded to 4 decimals; allow the half-step plus term dust
+      assert(h >= -1e-9 && h <= hMax + 6e-5,
+        s"doc ${r.getAs[Long]("doc_id")}: H=$h above ln(k)=$hMax")
+    }
+  }
+
+  test("q_source_overlap: one row per unordered source pair, jaccard in (0,1]") {
+    val rows = SparkEntry.queries("q_source_overlap")(spark, sf).collect()
+    val nSrc = Tables.documents(spark, sf)
+      .select($"source").distinct().count()
+    assert(rows.length === (nSrc * (nSrc - 1) / 2).toInt)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("q_doc_chunks: chunks tile every document exactly") {
     val chunks = SparkEntry.queries("q_doc_chunks")(spark, sf)
     val docs = Tables.documents(spark, sf).select($"doc_id",
