@@ -72,6 +72,44 @@ object Multimodal {
       (img.getWidth, img.getHeight, sum)
     }
 
+    /** Block-mean perceptual hash (aHash) over the decoded pixels:
+      * the image is partitioned into an 8×8 grid by integer index
+      * math (bx = x·8 div w), and bit b is set when block b's mean
+      * exceeds the global mean — compared CROSS-MULTIPLIED
+      * (blockSum·totalCount > totalSum·blockCount) so the whole hash
+      * is exact integer arithmetic: engine-portable, replayable in
+      * SQL from the pixel formula, and robust to the ±1-pixel noise
+      * that breaks exact/byte hashes (the image near-dup key). */
+    def aHash64(png: Array[Byte]): Long = {
+      val img = ImageIO.read(new ByteArrayInputStream(png))
+      val w = img.getWidth
+      val h = img.getHeight
+      val bs = new Array[Long](64)
+      val bc = new Array[Long](64)
+      var ts = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (img.getRGB(x, y) & 0xff).toLong
+          val b = (y * 8 / h) * 8 + (x * 8 / w)
+          bs(b) += v
+          bc(b) += 1
+          ts += v
+          x += 1
+        }
+        y += 1
+      }
+      val tc = w.toLong * h
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        if (bs(b) * tc > ts * bc(b)) hash |= (1L << b)
+        b += 1
+      }
+      hash
+    }
+
     /** Real image resize (area-averaging scale), re-encoded as PNG. */
     def resize(png: Array[Byte], factor: Int): Array[Byte] = {
       require(factor >= 1)
@@ -348,6 +386,30 @@ object Multimodal {
       "dec_width", "dec_height", "pixel_sum")
   }
 
+  /** Image perceptual-hash extraction through the REAL codec path:
+    * encode an actual PNG per document, decode it back, and compute
+    * the integer block-mean aHash ([[JdkImageCodec.aHash64]]) — the
+    * near-dup key for image dedup (equal hashes bucket together; a
+    * Hamming-ball probe reuses the SimHash banding machinery). The
+    * hash ships as two unsigned 32-bit halves so the oracle never
+    * touches the sign bit. PNG is lossless and the hash is pure
+    * integer math, so DuckDB replays it exactly from the pixel
+    * formula — through a real encode/decode on the Spark side.
+    * Scale shape: scan-stage mapPartitions, no shuffle at all. */
+  private def ahashQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 16 + (id % 16).toInt
+          val h = 9 + (id % 9).toInt
+          val hash = JdkImageCodec.aHash64(
+            JdkImageCodec.encodePng(id, w, h))
+          (id, hash >>> 32, hash & 0xffffffffL)
+        }
+      }.toDF("media_id", "ahash_hi", "ahash_lo")
+  }
+
   /** Real-audio-codec round trip, same contract as [[pngQ]]: encode an
     * actual RIFF/WAVE clip per document (samples from the generator
     * formula), parse the sample rate natively off the container bytes
@@ -409,6 +471,33 @@ object Multimodal {
       JOIN generate_series(0, 31) AS x(x) ON x.x < d.w
       JOIN generate_series(0, 17) AS y(y) ON y.y < d.h
       GROUP BY 1, 2, 3""")),
+
+    Q("q_image_ahash", ahashQ, Some("""
+      WITH dims AS (SELECT doc_id AS media_id,
+                           CAST(16 + doc_id % 16 AS INT) AS w,
+                           CAST(9 + doc_id % 9 AS INT) AS h
+                    FROM documents),
+      px AS (SELECT d.media_id,
+                    (y.y * 8 // d.h) * 8 + (x.x * 8 // d.w) AS b,
+                    (d.media_id * 31 + x.x * 7 + y.y * 13) % 256 AS v
+             FROM dims d
+             JOIN generate_series(0, 31) AS x(x) ON x.x < d.w
+             JOIN generate_series(0, 17) AS y(y) ON y.y < d.h),
+      blk AS (SELECT media_id, b, sum(v) AS bs, count(*) AS bc
+              FROM px GROUP BY 1, 2),
+      tot AS (SELECT media_id, sum(bs) AS ts, sum(bc) AS tc
+              FROM blk GROUP BY 1)
+      SELECT blk.media_id,
+             CAST(sum(CASE WHEN blk.b >= 32
+                            AND blk.bs * tot.tc > tot.ts * blk.bc
+                           THEN CAST(1 AS BIGINT) << CAST(blk.b - 32 AS INT)
+                           ELSE 0 END) AS BIGINT) AS ahash_hi,
+             CAST(sum(CASE WHEN blk.b < 32
+                            AND blk.bs * tot.tc > tot.ts * blk.bc
+                           THEN CAST(1 AS BIGINT) << CAST(blk.b AS INT)
+                           ELSE 0 END) AS BIGINT) AS ahash_lo
+      FROM blk JOIN tot USING (media_id)
+      GROUP BY 1""")),
 
     Q("q_multimodal_wav", wavQ, Some("""
       WITH clips AS (SELECT doc_id AS media_id,

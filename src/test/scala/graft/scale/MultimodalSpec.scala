@@ -82,6 +82,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("JdkImageCodec: aHash survives 1-pixel noise, separates structure") {
+    import JdkImageCodec._
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def png(f: (Int, Int) => Int, w: Int = 24, h: Int = 16): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // horizontal gradient: left half dark, right half bright
+    val base = png((x, _) => x * 10)
+    // the same image with one pixel nudged by 1 — an exact/byte hash
+    // breaks, the perceptual hash must NOT
+    val noisy = png((x, y) => if (x == 5 && y == 5) 51 else x * 10)
+    assert(base.toSeq !== noisy.toSeq, "fixture: bytes should differ")
+    assert(aHash64(base) === aHash64(noisy), "aHash not noise-robust")
+    // structurally opposite image (mirrored gradient) must separate
+    val mirrored = png((x, _) => (23 - x) * 10)
+    assert(aHash64(base) !== aHash64(mirrored), "aHash can't separate")
+  }
+
   test("JdkImageCodec: native IHDR parse agrees with the decoder") {
     import JdkImageCodec._
     val png = encodePng(42L, 20, 11)
