@@ -162,6 +162,38 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Amplitude-envelope fingerprint over the decoded samples — the
+      * audio sibling of [[JdkImageCodec.aHash64]]: samples split into
+      * 32 windows by integer index math (wi = i·32 div n), bit w set
+      * when window w's mean |amplitude| exceeds the clip mean,
+      * compared cross-multiplied so the hash is exact integer
+      * arithmetic — robust to per-sample dither, SQL-replayable. */
+    def envHash32(wav: Array[Byte]): Long = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      val ws = new Array[Long](32)
+      val wc = new Array[Long](32)
+      var ts = 0L
+      var i = 0
+      while (i < n) {
+        val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+        val a = math.abs(s.toLong)
+        val w = i * 32 / n
+        ws(w) += a
+        wc(w) += 1
+        ts += a
+        i += 1
+      }
+      var hash = 0L
+      var w = 0
+      while (w < 32) {
+        if (ws(w) * n > ts * wc(w)) hash |= (1L << w)
+        w += 1
+      }
+      hash
+    }
+
     /** Decode → (sampleRate, nSamples, Σ|sample|). */
     def decodeWav(wav: Array[Byte]): (Int, Long, Long) = {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
@@ -410,6 +442,24 @@ object Multimodal {
       }.toDF("media_id", "ahash_hi", "ahash_lo")
   }
 
+  /** Audio envelope fingerprint through the REAL codec path — encode
+    * an actual WAV per document, decode it, hash the amplitude
+    * envelope ([[JdkAudioCodec.envHash32]]). Near-dup key for audio
+    * dedup, fully DuckDB-replayable from the sample formula since PCM
+    * is lossless and the hash is integer-exact. Scan-stage only. */
+  private def envHashQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 100 + (id % 50).toInt
+          val rate = 8000 + (id % 4).toInt * 4000
+          (id, JdkAudioCodec.envHash32(
+            JdkAudioCodec.encodeWav(id, n, rate)))
+        }
+      }.toDF("media_id", "env_hash")
+  }
+
   /** Real-audio-codec round trip, same contract as [[pngQ]]: encode an
     * actual RIFF/WAVE clip per document (samples from the generator
     * formula), parse the sample rate natively off the container bytes
@@ -497,6 +547,25 @@ object Multimodal {
                            THEN CAST(1 AS BIGINT) << CAST(blk.b AS INT)
                            ELSE 0 END) AS BIGINT) AS ahash_lo
       FROM blk JOIN tot USING (media_id)
+      GROUP BY 1""")),
+
+    Q("q_audio_envhash", envHashQ, Some("""
+      WITH clips AS (SELECT doc_id AS media_id, 100 + doc_id % 50 AS n
+                     FROM documents),
+      smp AS (SELECT c.media_id, c.n,
+                     i.i * 32 // c.n AS w,
+                     abs((((c.media_id * 31 + i.i * 7) % 2003) - 1001)
+                         * 16) AS a
+              FROM clips c
+              JOIN generate_series(0, 149) AS i(i) ON i.i < c.n),
+      win AS (SELECT media_id, n, w, sum(a) AS ws, count(*) AS wc
+              FROM smp GROUP BY 1, 2, 3),
+      tot AS (SELECT media_id, sum(ws) AS ts FROM win GROUP BY 1)
+      SELECT win.media_id,
+             CAST(sum(CASE WHEN win.ws * win.n > tot.ts * win.wc
+                           THEN CAST(1 AS BIGINT) << CAST(win.w AS INT)
+                           ELSE 0 END) AS BIGINT) AS env_hash
+      FROM win JOIN tot USING (media_id)
       GROUP BY 1""")),
 
     Q("q_multimodal_wav", wavQ, Some("""

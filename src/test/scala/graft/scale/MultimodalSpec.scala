@@ -109,6 +109,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(aHash64(base) !== aHash64(mirrored), "aHash can't separate")
   }
 
+  test("JdkAudioCodec: envHash survives one-sample dither, separates envelopes") {
+    import JdkAudioCodec._
+    // reuse the real encoder; clip 3 vs clip 3 re-encoded is identical
+    val base = encodeWav(3L, 120, 8000)
+    assert(envHash32(base) === envHash32(encodeWav(3L, 120, 8000)))
+    // dither ONE sample by one quantization step: byte hash breaks,
+    // the envelope hash must not (one sample can't move a window mean
+    // across the global mean for this signal)
+    val dithered = base.clone()
+    val dataOff = base.length - 240 // last 120 samples * 2 bytes
+    dithered(dataOff) = (dithered(dataOff) + 1).toByte
+    assert(base.toSeq !== dithered.toSeq)
+    assert(envHash32(base) === envHash32(dithered), "not dither-robust")
+    // an engineered opposite envelope (quiet first half, loud second)
+    // must separate — neighboring generator ids share the same
+    // V-shaped envelope by construction, so build the contrast clip
+    // explicitly through the same real codec
+    def pcmWav(samples: Array[Int]): Array[Byte] = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val quietLoud = pcmWav(Array.tabulate(120)(i => if (i < 60) 10 else 5000))
+    val loudQuiet = pcmWav(Array.tabulate(120)(i => if (i < 60) 5000 else 10))
+    assert(envHash32(quietLoud) !== envHash32(loudQuiet),
+      "aHash can't separate opposite envelopes")
+    assert(envHash32(quietLoud) === 0xFFFF0000L,
+      "loud second half should set exactly the high 16 windows")
+  }
+
   test("JdkImageCodec: native IHDR parse agrees with the decoder") {
     import JdkImageCodec._
     val png = encodePng(42L, 20, 11)
