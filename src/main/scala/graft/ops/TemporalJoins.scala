@@ -90,6 +90,77 @@ object TemporalJoins {
       .drop(col("__gl.__b")).drop(col("__gr.__b")).drop(col(s"__gr.$key"))
   }
 
+  /** General INTERVAL-overlap join: all (left, right) pairs whose time
+    * intervals intersect ([ls,le] ∩ [rs,re] ≠ ∅) — the two-sided
+    * generalization of [[rangeJoin]] (whose right side is a point).
+    * Both sides replicate into every `bucketSec`-wide bucket their
+    * interval touches; candidates come from the bucket equi-join.
+    *
+    * Dedup without a distinct: a pair sharing k buckets would emit k
+    * times, so each match is emitted ONLY from the bucket containing
+    * the overlap's start (bucket(max(ls,rs))) — an emit-once rule that
+    * is a pure per-row predicate, saving the extra shuffle a
+    * `.distinct()` would cost. Replication factor is
+    * interval_len/bucketSec + 1 per row — size bucketSec to the
+    * typical interval, exactly like any banded spatial join. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketSec: Long): DataFrame = {
+    val w = lit(bucketSec * 1000000L)
+    def bucketOf(ts: Column): Column = {
+      val us = unix_micros(ts)
+      ((us - pmod(us, w)) / w).cast("long")
+    }
+    val l = left.withColumn("__b",
+      explode(sequence(bucketOf(col(lStart)), bucketOf(col(lEnd)))))
+      .alias("__il")
+    val r = right.withColumn("__b",
+      explode(sequence(bucketOf(col(rStart)), bucketOf(col(rEnd)))))
+      .alias("__ir")
+    l.join(r,
+        col("__il.__b") === col("__ir.__b") &&
+        col(s"__il.$lStart") <= col(s"__ir.$rEnd") &&
+        col(s"__ir.$rStart") <= col(s"__il.$lEnd") &&
+        col("__il.__b") === bucketOf(greatest(col(s"__il.$lStart"),
+          col(s"__ir.$rStart"))))
+      .drop("__b")
+  }
+
+  /** q_interval_overlap: which user activity sessions overlapped an
+    * error incident (each error event widened ±5 min)? Sessions are
+    * the 10-minute-gap sessionization of each user's events — the
+    * interval×interval workload (session spans vs incident windows)
+    * that point-in-window rangeJoin cannot express. Output is the
+    * per-user incident exposure: overlap seconds are exact integer
+    * microsecond arithmetic. */
+  private def intervalOverlapQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val sessions = ev
+      .withColumn("gap_us",
+        unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+      .withColumn("is_new",
+        when($"gap_us".isNull || $"gap_us" > 600L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum($"is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess")
+      .agg(min($"ts").as("s_start"), max($"ts").as("s_end"))
+    val incidents = ev.filter($"event_type" === "error")
+      .select($"event_id".as("incident_id"),
+        ($"ts" - expr("INTERVAL 300 SECOND")).as("i_start"),
+        ($"ts" + expr("INTERVAL 300 SECOND")).as("i_end"))
+    intervalOverlapJoin(sessions, incidents,
+        "s_start", "s_end", "i_start", "i_end", 600L)
+      .select($"user_id", $"incident_id",
+        (unix_micros(least($"s_end", $"i_end")) -
+          unix_micros(greatest($"s_start", $"i_start"))).as("overlap_us"))
+      .groupBy($"user_id")
+      .agg(countDistinct($"incident_id").as("n_incidents"),
+        sum($"overlap_us").as("exposure_us"))
+  }
+
   /** q_asof_attribution: attribute each purchase event to the latest
     * click at-or-before it by the same user (point-in-time-correct
     * last-touch attribution). Clicks are pre-deduped to one per
@@ -141,6 +212,40 @@ object TemporalJoins {
       FROM purch p ASOF LEFT JOIN clicks c
         ON p.user_id = c.user_id AND p.purchase_ts >= c.ts"""),
       headline = true),
+
+    Q("q_interval_overlap", intervalOverlapQ, Some("""
+      WITH seq AS (SELECT user_id, event_id, ts,
+                          lag(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS prev_ts
+                   FROM events),
+      marked AS (SELECT user_id, event_id, ts,
+                        CASE WHEN prev_ts IS NULL OR
+                                  epoch_us(ts) - epoch_us(prev_ts)
+                                    > 600000000
+                             THEN 1 ELSE 0 END AS is_new
+                 FROM seq),
+      numbered AS (SELECT user_id, ts,
+                          sum(is_new) OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS sess
+                   FROM marked),
+      sessions AS (SELECT user_id, sess,
+                          min(ts) AS s_start, max(ts) AS s_end
+                   FROM numbered GROUP BY 1, 2),
+      inc AS (SELECT event_id AS incident_id,
+                     ts - INTERVAL 300 SECOND AS i_start,
+                     ts + INTERVAL 300 SECOND AS i_end
+              FROM events WHERE event_type = 'error'),
+      ov AS (SELECT s.user_id, i.incident_id,
+                    epoch_us(least(s.s_end, i.i_end)) -
+                      epoch_us(greatest(s.s_start, i.i_start))
+                      AS overlap_us
+             FROM sessions s JOIN inc i
+               ON s.s_start <= i.i_end AND i.i_start <= s.s_end)
+      SELECT user_id,
+             CAST(count(DISTINCT incident_id) AS BIGINT) AS n_incidents,
+             CAST(sum(overlap_us) AS BIGINT) AS exposure_us
+      FROM ov GROUP BY 1""")),
 
     Q("q_range_join_banded", rangeAttribution, Some("""
       SELECT p.event_id AS purchase_id, p.user_id,

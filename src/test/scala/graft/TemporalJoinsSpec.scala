@@ -78,6 +78,39 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got === Set("exact_low", "exact_hi"))
   }
 
+  test("intervalOverlapJoin matches the naive theta join, emits each pair once") {
+    // intervals spanning MANY buckets (bucketSec=60, spans up to 400s)
+    // so the emit-once rule is actually exercised
+    val l = Seq((ts(0), ts(400), "a"), (ts(500), ts(520), "b"),
+      (ts(1000), ts(1000), "c")).toDF("ls", "le", "ltag")
+    val r = Seq((ts(100), ts(600), "x"), (ts(399), ts(401), "y"),
+      (ts(700), ts(999), "z")).toDF("rs", "re", "rtag")
+    val naive = l.as("l").join(r.as("r"),
+        $"l.ls" <= $"r.re" && $"r.rs" <= $"l.le")
+      .select($"ltag", $"rtag").as[(String, String)].collect()
+    val banded = intervalOverlapJoin(l, r, "ls", "le", "rs", "re", 60L)
+      .select($"ltag", $"rtag").as[(String, String)].collect()
+    // SAME multiset: equality of sets plus equality of sizes proves no
+    // pair was double-emitted from a shared bucket
+    assert(banded.toSet === naive.toSet)
+    assert(banded.length === naive.length,
+      s"duplicate emits: ${banded.length} vs ${naive.length}")
+    assert(naive.toSet === Set(("a", "x"), ("a", "y"), ("b", "x")))
+    val plan = intervalOverlapJoin(l, r, "ls", "le", "rs", "re", 60L)
+      .queryExecution.executedPlan
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"interval join must not plan a nested loop:\n$plan")
+  }
+
+  test("intervalOverlapJoin endpoints touch counts as overlap") {
+    val l = Seq((ts(100), ts(200), "a")).toDF("ls", "le", "ltag")
+    val r = Seq((ts(200), ts(300), "touch_hi"), (ts(0), ts(100), "touch_lo"),
+      (ts(201), ts(300), "miss")).toDF("rs", "re", "rtag")
+    val got = intervalOverlapJoin(l, r, "ls", "le", "rs", "re", 60L)
+      .select($"rtag").as[String].collect().toSet
+    assert(got === Set("touch_hi", "touch_lo"))
+  }
+
   test("catalog queries return attributed rows on sf data") {
     def q(n: String): DataFrame = SparkEntry.queries(n)(spark, sf)
     val asof = q("q_asof_attribution")
