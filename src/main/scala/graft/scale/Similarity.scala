@@ -181,6 +181,67 @@ object Similarity {
         $"vec_id".as("neighbor_id"), round($"cosine", 4).as("cosine"))
   }
 
+  val KmeansIters = 2
+
+  /** Lloyd's k-means refinement of the sampled IVF quantizer — the
+    * missing step between the deterministic seed centroids and a real
+    * FAISS-style index build. `KmeansIters` fixed iterations, unrolled
+    * into one DAG (no driver loop): assign (argmax centroid dot,
+    * broadcast centroids — the corpus never shuffles for assignment),
+    * then re-center. The per-(cell, dim) means accumulate DECIMAL sums
+    * of grid-snapped values (round to 1e-7 before the cast), so the
+    * refined centroids are accumulation-order-independent and the
+    * DuckDB oracle replays both iterations value-for-value; cells that
+    * lose all members simply drop out of the next round, exactly as
+    * the oracle's group-by does. Output is the final assignment. */
+  private def kmeansRefine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = graft.GraftCaches.getOrPersist(s, s"ann.corpus:$d")(corpus(s, d))
+    var cent = ivfCentroidsOf(e)
+    for (_ <- 1 to KmeansIters) {
+      cent = ivfAssign(e, cent).join(e, "vec_id")
+        .select($"cell", posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"cell", $"dim")
+        .agg((sum(round($"x", 7).cast("decimal(18,7)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+          p => p.getField("m")).as("cv"))
+        .select($"cell".as("cid"), $"cv")
+    }
+    ivfAssign(e, cent).select($"vec_id", $"cell")
+  }
+
+  private def kmeansOracle: String = {
+    val seeds = (0 until IvfCentroids)
+      .map(i => NumQueries + 7L * i + 3L).mkString(", ")
+    // assignment tie-break mirrors ivfAssign's max(struct): cid DESC
+    def assign(cents: String, out: String) = s"""
+      $out AS (SELECT vec_id, v, cid AS cell FROM (
+          SELECT ev.vec_id, ev.v, c.cid,
+                 row_number() OVER (PARTITION BY ev.vec_id
+                   ORDER BY list_dot_product(ev.v, c.cv) DESC,
+                            c.cid DESC) AS rn
+          FROM e ev CROSS JOIN $cents c) t WHERE rn = 1)"""
+    def recenter(assigned: String, out: String) = s"""
+      ${out}m AS (SELECT cell,
+                         generate_subscripts(v, 1) - 1 AS dim,
+                         unnest(v) AS x
+                  FROM $assigned),
+      ${out}g AS (SELECT cell, dim,
+                         CAST(sum(CAST(round(x, 7) AS DECIMAL(18,7)))
+                              AS DOUBLE) / count(*) AS m
+                  FROM ${out}m GROUP BY 1, 2),
+      $out AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv
+               FROM ${out}g GROUP BY 1)"""
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+             WHERE vec_id IN ($seeds)),${assign("c0", "a1")},${recenter("a1", "c1")},${assign("c1", "a2")},${recenter("a2", "c2")},${assign("c2", "af")}
+      SELECT vec_id, cell FROM af"""
+  }
+
   /** Corpus-wide near-dup PAIRS via the band buckets — the scale-safe
     * counterpart of q_dedup_embed_cosine's all-pairs ground truth: the
     * pair join runs INSIDE (band, bucket) groups (each ~1/2^bits of
@@ -558,6 +619,7 @@ object Similarity {
     Q("q_embed_quantize", embedQuantize, Some(quantizeOracle)),
     Q("q_ann_lsh", annLsh, Some(lshOracle)),
     Q("q_ann_ivf", annIvf, Some(ivfOracle)),
+    Q("q_kmeans_refine", kmeansRefine, Some(kmeansOracle)),
     Q("q_ann_pq", annPq, Some(pqOracle)),
     Q("q_embed_neardup_lsh", embedNearDupLsh, Some(nearDupLshOracle)),
     Q("q_knn_labels", knnLabels, Some(s"""

@@ -296,4 +296,23 @@ class ScaleSpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.45)
     }
   }
+
+  test("kmeans refinement partitions the corpus over the seed cells, deterministically") {
+    val out = SparkEntry.queries("q_kmeans_refine")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nVecs = graft.Tables.embeddings(spark, sf).count()
+    // a partition: every vector exactly once
+    assert(out.length.toLong === nVecs)
+    assert(out.map(_._1).distinct.length === out.length)
+    // cells carry the original seed labels; refinement may empty some
+    // cells but must keep a real clustering (>1 cell)
+    val seeds = (0 until Similarity.IvfCentroids)
+      .map(i => Similarity.NumQueries + 7L * i + 3L).toSet
+    assert(out.map(_._2).forall(seeds.contains))
+    assert(out.map(_._2).distinct.length > 1)
+    // fixed-point DAG: a second run reproduces the assignment exactly
+    val again = SparkEntry.queries("q_kmeans_refine")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
 }
