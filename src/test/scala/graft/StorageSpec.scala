@@ -35,6 +35,49 @@ class StorageSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // Salting (above) is the MANUAL skew fix; this pins the AUTOMATIC
+    // one: with a planted hot key and thresholds scaled to test data,
+    // AQE must re-plan the straggler partition into skew-split reads
+    // (isSkewJoin on the final SortMergeJoin).
+    val keep = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pad = "x" * 64
+      // payload must be non-constant so it can't fold away — it has to
+      // ride the shuffle and actually inflate the hot partition
+      val hot = spark.range(30000)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id") % 50)
+          .as("k"), concat(lit(pad), col("id")).as("payload"))
+      val dim = spark.range(50).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("tag"))
+      val joined = hot.join(dim, "k")
+      joined.collect() // finalize this QueryExecution's adaptive plan
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // query stages are leaf nodes to collect(), so match the
+      // rendered plan: the join must carry skew=true and the shuffle
+      // read must be a skew-split one
+      val rendered = finalPlan.toString
+      assert(rendered.contains("skew=true") && rendered.contains("skewed"),
+        s"AQE did not mark the hot-key join as skew-split:\n$rendered")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without any shuffle") {
     // the in-memory metastore is fresh per JVM but the warehouse dir
     // persists on disk — clear both before re-creating
