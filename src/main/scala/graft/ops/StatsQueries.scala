@@ -189,6 +189,50 @@ object StatsQueries {
         round($"cnt" / $"tot", 4).as("p_next"))
   }
 
+  /** Benford first-digit screen — the fraud/synthetic-data smell test:
+    * the first significant digit of organic amounts follows
+    * p(d) = log10(1+1/d). The digit is extracted via BIGINT→string
+    * (identical rendering in every engine — no log10/power on doubles
+    * anywhere near the digit), counts are exact, and only the
+    * constant expected-p and the observed share are floating (one
+    * per-row divide each). A synthetic-uniform price column fails the
+    * screen, which is itself informative for the test data. */
+  private def benford(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = ($"o_totalprice".cast("decimal(18,2)") * 100)
+      .cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val counts = Tables.orders(s, d)
+      .select(digit.as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum($"n").as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .select($"digit", $"n",
+        round($"n" / $"tot", 4).as("obs_p"),
+        round(log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)), 4)
+          .as("benford_p"))
+  }
+
+  /** Inter-arrival-time percentiles per event type — the ops-telemetry
+    * profile (burstiness, staleness SLO). Gaps are exact integer
+    * microseconds from one window pass; the percentiles are exact
+    * interpolated quantiles over those integers. */
+  private def interEvent(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, d)
+      .select($"event_type", $"ts", $"event_id")
+      .withColumn("gap_us",
+        unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+      .filter($"gap_us".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_us, 0.5)").as("p50_us"),
+        expr("percentile(gap_us, 0.95)").as("p95_us"),
+        max($"gap_us").as("max_us"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_outlier_iqr", outlierIqr, Some("""
       WITH f AS (SELECT event_type,
@@ -242,6 +286,31 @@ object StatsQueries {
                     sqrt(sdd / n - (sd / n) * (sd / n))), 6)
                AS corr_price_disc
       FROM m""")),
+
+    Q("q_benford", benford, Some("""
+      WITH c AS (SELECT CAST(substr(CAST(
+                          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+                          AS digit
+                 FROM orders),
+      g AS (SELECT digit, count(*) AS n FROM c GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+      SELECT digit, CAST(n AS BIGINT) AS n,
+             round(n * 1.0 / tot, 4) AS obs_p,
+             round(ln(1.0 + 1.0 / digit) / ln(10.0), 4) AS benford_p
+      FROM g, t""")),
+
+    Q("q_interevent_times", interEvent, Some("""
+      WITH g AS (SELECT event_type,
+                        epoch_us(ts) - epoch_us(lag(ts) OVER (
+                          PARTITION BY event_type
+                          ORDER BY ts ASC, event_id ASC)) AS gap_us
+                 FROM events)
+      SELECT event_type, count(*) AS n_gaps,
+             quantile_cont(gap_us, 0.5) AS p50_us,
+             quantile_cont(gap_us, 0.95) AS p95_us,
+             CAST(max(gap_us) AS BIGINT) AS max_us
+      FROM g WHERE gap_us IS NOT NULL GROUP BY 1""")),
 
     Q("q_date_gaps", dateGaps, Some("""
       WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events)

@@ -70,6 +70,28 @@ class StatsSpec extends AnyFunSuite {
     assert(pmis.sameElements(pmis.sorted(Ordering[Double].reverse)))
   }
 
+  test("q_benford: nine digits, probabilities sum to 1 on both sides") {
+    val rows = SparkEntry.queries("q_benford")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("digit")).sorted.sameElements(1 to 9))
+    val obs = rows.map(_.getAs[Double]("obs_p")).sum
+    val exp = rows.map(_.getAs[Double]("benford_p")).sum
+    assert(math.abs(obs - 1.0) < 1e-3 && math.abs(exp - 1.0) < 1e-3)
+    assert(rows.map(_.getAs[Long]("n")).sum ===
+      Tables.orders(spark, sf).count())
+  }
+
+  test("q_interevent_times: ordered percentiles, gaps count checks out") {
+    val rows = SparkEntry.queries("q_interevent_times")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nTypes = rows.length.toLong
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum ===
+      Tables.events(spark, sf).count() - nTypes)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p50_us") <= r.getAs[Double]("p95_us"))
+      assert(r.getAs[Double]("p95_us") <= r.getAs[Long]("max_us").toDouble)
+    }
+  }
+
   test("q_date_gaps: gaps are exactly span minus active") {
     val rows = SparkEntry.queries("q_date_gaps")(spark, sf).collect()
     assert(rows.nonEmpty)
