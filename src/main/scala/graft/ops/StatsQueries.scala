@@ -233,6 +233,35 @@ object StatsQueries {
         max($"gap_us").as("max_us"))
   }
 
+  /** Dataset-profiling manifest — the per-column stats card
+    * (row/null/distinct counts, lexicographic min/max) a pipeline
+    * publishes with every snapshot. ONE aggregate pass computes every
+    * column's measures (not one scan per column); the row-per-column
+    * layout comes from exploding an array of structs built from that
+    * single row. Values are profiled through their STRING rendering
+    * (BIGINT→string is identical in every engine; lexicographic
+    * min/max is engine-neutral), so nothing float-formatted leaks
+    * into the manifest. */
+  private def dataProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      val sc = col(c).cast("string")
+      Seq(count(sc).as(s"${c}__nn"),
+        countDistinct(sc).as(s"${c}__nd"),
+        min(sc).as(s"${c}__mn"),
+        max(sc).as(s"${c}__mx"))
+    } :+ count(lit(1)).as("__n")
+    val one = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+    val entries = array(cols.map { c =>
+      struct(lit(c).as("column_name"), col("__n").as("n_rows"),
+        col(s"${c}__nn").as("n_nonnull"), col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__mn").as("min_s"), col(s"${c}__mx").as("max_s"))
+    }: _*)
+    one.select(explode(entries).as("e")).select($"e.*")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_outlier_iqr", outlierIqr, Some("""
       WITH f AS (SELECT event_type,
@@ -286,6 +315,34 @@ object StatsQueries {
                     sqrt(sdd / n - (sd / n) * (sd / n))), 6)
                AS corr_price_disc
       FROM m""")),
+
+    Q("q_data_profile", dataProfile, Some("""
+      WITH g AS (SELECT count(*) AS n,
+                        count(CAST(o_orderkey AS VARCHAR)) AS k_nn,
+                        count(DISTINCT CAST(o_orderkey AS VARCHAR)) AS k_nd,
+                        min(CAST(o_orderkey AS VARCHAR)) AS k_mn,
+                        max(CAST(o_orderkey AS VARCHAR)) AS k_mx,
+                        count(CAST(o_custkey AS VARCHAR)) AS c_nn,
+                        count(DISTINCT CAST(o_custkey AS VARCHAR)) AS c_nd,
+                        min(CAST(o_custkey AS VARCHAR)) AS c_mn,
+                        max(CAST(o_custkey AS VARCHAR)) AS c_mx,
+                        count(o_orderstatus) AS s_nn,
+                        count(DISTINCT o_orderstatus) AS s_nd,
+                        min(o_orderstatus) AS s_mn,
+                        max(o_orderstatus) AS s_mx,
+                        count(o_orderpriority) AS p_nn,
+                        count(DISTINCT o_orderpriority) AS p_nd,
+                        min(o_orderpriority) AS p_mn,
+                        max(o_orderpriority) AS p_mx
+                 FROM orders)
+      SELECT 'o_orderkey' AS column_name, n AS n_rows, k_nn AS n_nonnull,
+             k_nd AS n_distinct, k_mn AS min_s, k_mx AS max_s FROM g
+      UNION ALL
+      SELECT 'o_custkey', n, c_nn, c_nd, c_mn, c_mx FROM g
+      UNION ALL
+      SELECT 'o_orderstatus', n, s_nn, s_nd, s_mn, s_mx FROM g
+      UNION ALL
+      SELECT 'o_orderpriority', n, p_nn, p_nd, p_mn, p_mx FROM g""")),
 
     Q("q_benford", benford, Some("""
       WITH c AS (SELECT CAST(substr(CAST(

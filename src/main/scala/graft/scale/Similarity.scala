@@ -242,6 +242,35 @@ object Similarity {
       SELECT vec_id, cell FROM af"""
   }
 
+  /** Deterministic negative sampling for contrastive training: for
+    * each anchor (the query vectors), k corpus items with a DIFFERENT
+    * label, picked by a reproducible per-(anchor, candidate) hash
+    * order — the hard requirement is that reruns, repartitions and
+    * engines agree on the sample, which rand() cannot give. Shape:
+    * anchors are a tiny broadcast against one corpus scan; the
+    * per-anchor top-k runs on the 64-bit mix of the id pair (pure
+    * integer arithmetic, engine-portable), so candidates never
+    * shuffle — only k rows per anchor survive the window. */
+  private def negativeSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"label")
+    val anchors = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("anchor_id"), $"label".as("anchor_label"))
+    // Knuth multiplicative mix of the pair — positive, portable
+    val mix = pmod($"anchor_id" * lit(2654435761L) + $"vec_id" * lit(40503L),
+      lit(4294967296L))
+    val w = Window.partitionBy($"anchor_id")
+      .orderBy($"u".asc, $"vec_id".asc)
+    e.crossJoin(broadcast(anchors))
+      .filter($"label" =!= $"anchor_label")
+      .select($"anchor_id", $"vec_id", $"label", mix.as("u"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= TopK)
+      .select($"anchor_id", $"rn".cast("long").as("rn"),
+        $"vec_id".as("negative_id"), $"label".cast("long").as("neg_label"))
+  }
+
   /** Corpus-wide near-dup PAIRS via the band buckets — the scale-safe
     * counterpart of q_dedup_embed_cosine's all-pairs ground truth: the
     * pair join runs INSIDE (band, bucket) groups (each ~1/2^bits of
@@ -620,6 +649,21 @@ object Similarity {
     Q("q_ann_lsh", annLsh, Some(lshOracle)),
     Q("q_ann_ivf", annIvf, Some(ivfOracle)),
     Q("q_kmeans_refine", kmeansRefine, Some(kmeansOracle)),
+    Q("q_negative_sample", negativeSample, Some(s"""
+      WITH e AS (SELECT vec_id, label FROM embeddings),
+      a AS (SELECT vec_id AS anchor_id, label AS anchor_label
+            FROM e WHERE vec_id < $NumQueries),
+      cand AS (SELECT a.anchor_id, e.vec_id, e.label,
+                      (a.anchor_id * 2654435761 + e.vec_id * 40503)
+                        % 4294967296 AS u
+               FROM e CROSS JOIN a WHERE e.label <> a.anchor_label),
+      r AS (SELECT anchor_id, vec_id, label,
+                   row_number() OVER (PARTITION BY anchor_id
+                                      ORDER BY u ASC, vec_id ASC) AS rn
+            FROM cand)
+      SELECT anchor_id, CAST(rn AS BIGINT) AS rn,
+             vec_id AS negative_id, CAST(label AS BIGINT) AS neg_label
+      FROM r WHERE rn <= $TopK""")),
     Q("q_ann_pq", annPq, Some(pqOracle)),
     Q("q_embed_neardup_lsh", embedNearDupLsh, Some(nearDupLshOracle)),
     Q("q_knn_labels", knnLabels, Some(s"""

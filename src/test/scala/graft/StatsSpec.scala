@@ -70,6 +70,18 @@ class StatsSpec extends AnyFunSuite {
     assert(pmis.sameElements(pmis.sorted(Ordering[Double].reverse)))
   }
 
+  test("q_data_profile: one row per column, count invariants hold") {
+    val rows = SparkEntry.queries("q_data_profile")(spark, sf).collect()
+    assert(rows.length === 4)
+    val n = Tables.orders(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === n)
+      assert(r.getAs[Long]("n_nonnull") <= n)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_nonnull"))
+      assert(r.getAs[String]("min_s") <= r.getAs[String]("max_s"))
+    }
+  }
+
   test("q_benford: nine digits, probabilities sum to 1 on both sides") {
     val rows = SparkEntry.queries("q_benford")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("digit")).sorted.sameElements(1 to 9))

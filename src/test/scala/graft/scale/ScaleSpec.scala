@@ -297,6 +297,25 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("negative sampling: k per anchor, label-disjoint, rerun-stable") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_negative_sample")(spark, sf).collect()
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byAnchor = out.groupBy(_.getAs[Long]("anchor_id"))
+    byAnchor.foreach { case (a, g) =>
+      assert(g.length === Similarity.TopK, s"anchor $a")
+      g.foreach { r =>
+        assert(r.getAs[Long]("neg_label") !== labels(a).toLong,
+          s"anchor $a sampled its own label")
+      }
+    }
+    val again = SparkEntry.queries("q_negative_sample")(spark, sf).collect()
+    assert(out.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted))
+  }
+
   test("kmeans refinement partitions the corpus over the seed cells, deterministically") {
     val out = SparkEntry.queries("q_kmeans_refine")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
