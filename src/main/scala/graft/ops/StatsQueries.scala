@@ -262,6 +262,36 @@ object StatsQueries {
     one.select(explode(entries).as("e")).select($"e.*")
   }
 
+  /** Top session paths — the user-journey patterns (event-type
+    * sequences within a 10-minute-gap session) ranked by frequency,
+    * the input to funnel design. One user-keyed window pass assigns
+    * sessions; the path string re-sorts each session's events locally
+    * (collect_list + array_sort — bounded by session length, never a
+    * second shuffle); path counts collapse map-side. */
+  private def sessionPaths(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val paths = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("gap_us",
+        unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+      .withColumn("is_new",
+        when($"gap_us".isNull || $"gap_us" > 600L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum($"is_new").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .groupBy($"user_id", $"sess")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+        e => e.getField("event_type")), ">").as("path"))
+    paths.groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path".asc)
+      .limit(10)
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_outlier_iqr", outlierIqr, Some("""
       WITH f AS (SELECT event_type,
@@ -378,6 +408,30 @@ object StatsQueries {
              CAST(date_diff('day', min(day), max(day)) + 1
                   - count(DISTINCT day) AS BIGINT) AS gap_days
       FROM d GROUP BY 1""")),
+
+    Q("q_session_paths", sessionPaths, Some("""
+      WITH seq AS (SELECT user_id, event_id, ts, event_type,
+                          lag(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS prev_ts
+                   FROM events),
+      marked AS (SELECT user_id, event_id, ts, event_type,
+                        CASE WHEN prev_ts IS NULL OR
+                                  epoch_us(ts) - epoch_us(prev_ts)
+                                    > 600000000
+                             THEN 1 ELSE 0 END AS is_new
+                 FROM seq),
+      numbered AS (SELECT user_id, event_id, ts, event_type,
+                          sum(is_new) OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS sess
+                   FROM marked),
+      paths AS (SELECT user_id, sess,
+                       string_agg(event_type, '>'
+                         ORDER BY ts ASC, event_id ASC) AS path
+                FROM numbered GROUP BY 1, 2)
+      SELECT path, count(*) AS n_sessions
+      FROM paths GROUP BY 1
+      ORDER BY n_sessions DESC, path ASC LIMIT 10""")),
 
     Q("q_markov_transitions", markovTransitions, Some("""
       WITH seq AS (SELECT user_id, event_type,

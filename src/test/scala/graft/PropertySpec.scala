@@ -192,4 +192,56 @@ class PropertySpec extends AnyFunSuite {
     assert(inner >= semi)
     assert(left >= inner)
   }
+
+  test("aHash is invariant under global brightness shift (mean-relative)") {
+    import scale.Multimodal.JdkImageCodec
+    import java.awt.image.BufferedImage
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // random non-clipping images: values in [60, 160], shift +40 keeps
+    // every pixel inside [0, 255] — the hash compares blocks to the
+    // GLOBAL mean, so a uniform shift must never change a bit
+    val gens = samples(Gen.listOfN(256, Gen.chooseNum(60, 160)), 20)
+    gens.foreach { vals =>
+      val f = (x: Int, y: Int) => vals(y * 16 + x)
+      val h0 = JdkImageCodec.aHash64(png(f))
+      val h1 = JdkImageCodec.aHash64(png((x, y) => f(x, y) + 40))
+      assert(h0 === h1, "brightness shift changed the perceptual hash")
+    }
+  }
+
+  test("envHash is invariant under volume scaling (mean-relative)") {
+    import scale.Multimodal.JdkAudioCodec
+    // window-vs-clip mean |amplitude| is scale-free: doubling the
+    // volume (within 16-bit range) must never change a bit
+    val gens = samples(Gen.listOfN(96, Gen.chooseNum(-8000, 8000)), 20)
+    gens.foreach { vals =>
+      def wav(scaleBy: Int): Array[Byte] = {
+        import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+        val pcm = new Array[Byte](vals.length * 2)
+        vals.zipWithIndex.foreach { case (s, i) =>
+          val v = s * scaleBy
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        }
+        val fmt = new AudioFormat(8000f, 16, 1, true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, vals.length.toLong),
+          AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      assert(JdkAudioCodec.envHash32(wav(1)) ===
+        JdkAudioCodec.envHash32(wav(2)),
+        "volume scaling changed the envelope fingerprint")
+    }
+  }
 }
