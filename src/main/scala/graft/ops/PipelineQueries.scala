@@ -131,7 +131,64 @@ object PipelineQueries {
         round(sum($"o_totalprice"), 2).as("total"))
   }
 
+  /** Snapshot diff (CDC extraction): classify every key across two
+    * table versions as insert / delete / update by comparing row
+    * digests over a FULL OUTER join on the key — the change feed a
+    * lakehouse pipeline derives when the source can't emit one. The
+    * digest is md5 of the integer cents rendering (no float formatting
+    * in the hash); unchanged keys — the overwhelming majority at
+    * 100 TB — are filtered out before anything leaves the join stage,
+    * so the output is change-set-sized, and the join itself is one
+    * co-partitioned shuffle on the key.
+    *
+    * Snapshots are carved deterministically from `orders`: the old
+    * version is keys ≢0 (mod 10), the new version keys ≢0 (mod 7)
+    * with every ≡0 (mod 5) key's price bumped by 1.00 — yielding all
+    * three change classes. */
+  private def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d).select($"o_orderkey".as("k"),
+      ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val old = base.filter($"k" % 10 =!= 0)
+      .select($"k", md5($"cents".cast("string")).as("old_digest"))
+    val neu = base.filter($"k" % 7 =!= 0)
+      .select($"k", md5(
+        when($"k" % 5 === 0, $"cents" + 100).otherwise($"cents")
+          .cast("string")).as("new_digest"))
+    old.join(neu, Seq("k"), "full_outer")
+      .withColumn("change_type",
+        when($"old_digest".isNull, "insert")
+          .when($"new_digest".isNull, "delete")
+          .when($"old_digest" =!= $"new_digest", "update"))
+      .filter($"change_type".isNotNull)
+      .groupBy($"change_type")
+      .agg(count(lit(1)).as("n"),
+        min($"k").as("first_key"), max($"k").as("last_key"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_snapshot_diff", snapshotDiff, Some("""
+      WITH base AS (SELECT o_orderkey AS k,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                AS BIGINT) AS cents
+                    FROM orders),
+      old AS (SELECT k, md5(CAST(cents AS VARCHAR)) AS old_digest
+              FROM base WHERE k % 10 <> 0),
+      neu AS (SELECT k, md5(CAST(CASE WHEN k % 5 = 0 THEN cents + 100
+                                      ELSE cents END AS VARCHAR))
+                       AS new_digest
+              FROM base WHERE k % 7 <> 0),
+      d AS (SELECT coalesce(old.k, neu.k) AS k,
+                   CASE WHEN old_digest IS NULL THEN 'insert'
+                        WHEN new_digest IS NULL THEN 'delete'
+                        WHEN old_digest <> new_digest THEN 'update'
+                   END AS change_type
+            FROM old FULL OUTER JOIN neu ON old.k = neu.k)
+      SELECT change_type, count(*) AS n,
+             min(k) AS first_key, max(k) AS last_key
+      FROM d WHERE change_type IS NOT NULL
+      GROUP BY 1""")),
+
     Q("q_subqueries", subqueries, Some("""
       SELECT c_mktsegment, count(*) AS cnt
       FROM customer
