@@ -166,7 +166,109 @@ object PipelineQueries {
         min($"k").as("first_key"), max($"k").as("last_key"))
   }
 
+  /** Referential-integrity audit across the star schema's FK edges —
+    * the constraint check a lake has to run itself (no database
+    * enforces FKs over parquet). One row per edge: total, null-FK and
+    * orphan (anti-join) counts. Dimension sides broadcast; the only
+    * fact-fact edge (lineitem→orders) shuffles once on the key. All
+    * counts are exact integers. */
+  private def fkAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def edge(name: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String, broadcastDim: Boolean): DataFrame = {
+      val keys = dim.select(col(pk).as("__pk")).distinct()
+      val dimSide = if (broadcastDim) broadcast(keys) else keys
+      // orphan count stays IN the plan (a 1-row aggregate cross-joined
+      // back) — no driver-side action in a catalog query, ever
+      val orphans = fact.filter(col(fk).isNotNull)
+        .join(dimSide, col(fk) === col("__pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      fact.agg(
+        lit(name).as("edge"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col(fk).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+        .crossJoin(broadcast(orphans))
+    }
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    Seq(
+      edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey", false),
+      edge("lineitem->part", li, "l_partkey",
+        Tables.part(s, d), "p_partkey", true),
+      edge("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey", true),
+      edge("orders->customer", o, "o_custkey",
+        Tables.customer(s, d), "c_custkey", true),
+      edge("customer->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey", true),
+      edge("nation->region", Tables.nation(s, d), "n_regionkey",
+        Tables.region(s, d), "r_regionkey", true)
+    ).reduce(_ unionAll _)
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_fk_audit", fkAudit, Some("""
+      SELECT 'lineitem->orders' AS edge, count(*) AS n_rows,
+             CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null_fk,
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE l.l_orderkey IS NOT NULL
+                     AND l.l_orderkey NOT IN
+                         (SELECT o_orderkey FROM orders
+                          WHERE o_orderkey IS NOT NULL)) AS BIGINT)
+               AS n_orphans
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem->part', count(*),
+             CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE l.l_partkey IS NOT NULL
+                     AND l.l_partkey NOT IN
+                         (SELECT p_partkey FROM part
+                          WHERE p_partkey IS NOT NULL)) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem->supplier', count(*),
+             CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE l.l_suppkey IS NOT NULL
+                     AND l.l_suppkey NOT IN
+                         (SELECT s_suppkey FROM supplier
+                          WHERE s_suppkey IS NOT NULL)) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders->customer', count(*),
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST((SELECT count(*) FROM orders o
+                   WHERE o.o_custkey IS NOT NULL
+                     AND o.o_custkey NOT IN
+                         (SELECT c_custkey FROM customer
+                          WHERE c_custkey IS NOT NULL)) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'customer->nation', count(*),
+             CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST((SELECT count(*) FROM customer c
+                   WHERE c.c_nationkey IS NOT NULL
+                     AND c.c_nationkey NOT IN
+                         (SELECT n_nationkey FROM nation
+                          WHERE n_nationkey IS NOT NULL)) AS BIGINT)
+      FROM customer
+      UNION ALL
+      SELECT 'nation->region', count(*),
+             CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST((SELECT count(*) FROM nation n
+                   WHERE n.n_regionkey IS NOT NULL
+                     AND n.n_regionkey NOT IN
+                         (SELECT r_regionkey FROM region
+                          WHERE r_regionkey IS NOT NULL)) AS BIGINT)
+      FROM nation""")),
+
     Q("q_snapshot_diff", snapshotDiff, Some("""
       WITH base AS (SELECT o_orderkey AS k,
                            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
