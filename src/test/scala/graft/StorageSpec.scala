@@ -163,6 +163,50 @@ class StorageSpec extends AnyFunSuite {
     assert(merged.filter($"b" === $"id" + 100).count() === 5)
   }
 
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dpo").toString
+    val keep = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      Seq((1, "a", 10), (2, "b", 20), (3, "c", 30))
+        .toDF("id", "part", "v")
+        .write.partitionBy("part").mode("overwrite").parquet(dir)
+      // overwrite ONLY partition b — a static overwrite would wipe a/c
+      Seq((9, "b", 99)).toDF("id", "part", "v")
+        .write.partitionBy("part").mode("overwrite").parquet(dir)
+      val got = spark.read.parquet(dir)
+        .collect().map(r => (r.getAs[String]("part"), r.getAs[Int]("v")))
+        .toSet
+      assert(got === Set(("a", 10), ("b", 99), ("c", 30)),
+        "dynamic overwrite must leave untouched partitions intact")
+    } finally {
+      keep match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("Observation API collects pipeline metrics without a second pass") {
+    // the data-quality counters a production job attaches to its write:
+    // collected DURING the action (CollectMetrics node), not by
+    // re-scanning afterwards
+    val obs = new org.apache.spark.sql.Observation("quality")
+    val df = Tables.orders(spark, sf)
+      .observe(obs,
+        count(lit(1)).as("rows"),
+        sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("null_cust"),
+        max($"o_totalprice").as("max_price"))
+    df.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("rows") === Tables.orders(spark, sf).count())
+    assert(m("null_cust") === 0L)
+    assert(m("max_price").asInstanceOf[Double] > 0.0)
+  }
+
   test("repartition by column co-locates keys (single shuffle, then none)") {
     val re = Tables.orders(spark, sf).repartition(4, $"o_custkey")
     val agg = re.groupBy($"o_custkey").agg(count(lit(1)))
