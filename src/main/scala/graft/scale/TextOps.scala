@@ -648,6 +648,34 @@ object TextOps {
           .as("jaccard"))
   }
 
+  /** Vocabulary-growth (Heaps' law) curve: cumulative distinct-token
+    * count vs cumulative token count as the corpus is consumed in
+    * doc_id order — the tokenizer-sizing diagnostic (a vocabulary
+    * that keeps growing linearly signals noise/PII; sub-linear is
+    * healthy text). Each token's FIRST document comes from one
+    * min-aggregate; both running totals ride GlobalRank.withPrefixSum
+    * (range-partitioned prefix sum — a 100 TB corpus cannot cumsum
+    * through one task), and only every 50th document is emitted.
+    * Pure integer counts end to end. */
+  private def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("w"))
+    val newPerDoc = tok.groupBy($"w").agg(min($"doc_id").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_new"))
+    val perDoc = Tables.documents(s, d)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+      .join(newPerDoc, Seq("doc_id"), "left")
+      .withColumn("n_new", coalesce($"n_new", lit(0L)))
+    val cumTok = graft.ext.GlobalRank
+      .withPrefixSum(perDoc, Seq($"doc_id"), $"n_tokens", "cum_tokens")
+    val cumBoth = graft.ext.GlobalRank
+      .withPrefixSum(cumTok, Seq($"doc_id"), $"n_new", "cum_vocab")
+    cumBoth.filter($"doc_id" % 50 === 0)
+      .select($"doc_id", $"cum_tokens", $"cum_vocab",
+        round($"cum_vocab" / $"cum_tokens", 6).as("vocab_rate"))
+  }
+
   /** Per-language length stats — the document profiling sweep. */
   private def docProfile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -884,6 +912,30 @@ object TextOps {
                    (sa.nv + sb.nv - i.n_inter), 4) AS jaccard
       FROM i JOIN sz sa ON i.src_a = sa.source
              JOIN sz sb ON i.src_b = sb.source""")),
+
+    Q("q_vocab_growth", vocabGrowth, Some("""
+      WITH tok AS (SELECT doc_id,
+                          unnest(string_split_regex(lower(text), '\s+'))
+                            AS w
+                   FROM documents),
+      firsts AS (SELECT w, min(doc_id) AS doc_id FROM tok GROUP BY 1),
+      new_per AS (SELECT doc_id, count(*) AS n_new
+                  FROM firsts GROUP BY 1),
+      per_doc AS (SELECT d.doc_id,
+                         CAST(len(string_split_regex(lower(d.text),
+                           '\s+')) AS BIGINT) AS n_tokens,
+                         coalesce(n.n_new, 0) AS n_new
+                  FROM documents d LEFT JOIN new_per n USING (doc_id)),
+      cum AS (SELECT doc_id,
+                     sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+                     sum(n_new) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_vocab
+              FROM per_doc)
+      SELECT doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+             CAST(cum_vocab AS BIGINT) AS cum_vocab,
+             round(cum_vocab * 1.0 / cum_tokens, 6) AS vocab_rate
+      FROM cum WHERE doc_id % 50 = 0""")),
 
     Q("q_pmi_terms", pmiTerms, Some("""
       WITH tk AS (SELECT doc_id,
