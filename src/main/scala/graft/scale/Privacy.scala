@@ -96,7 +96,79 @@ object Privacy {
           .as("first_domain"))
   }
 
+  /** URL canonicalization + dedup — the FIRST pass of a web-scale
+    * crawl pipeline: the same page arrives as scheme/case/WWW/default-
+    * port/query-tracking/trailing-slash variants, and duplicates must
+    * collapse on the canonical form BEFORE any content is fetched or
+    * compared. Canonical policy (documented, applied identically in
+    * the oracle): lowercase, drop scheme, drop leading www., drop
+    * default ports, drop query+fragment, drop trailing slash. Five
+    * planted variants per logical page; everything is scan-local
+    * string work plus one canonical-key groupBy. */
+  private def urlDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val page = pmod($"doc_id", lit(100)).cast("string")
+    val variant = pmod(($"doc_id" / 100).cast("long"), lit(5))
+    val raw = when(variant === 0,
+        concat(lit("https://example.com/page/"), page))
+      .when(variant === 1,
+        concat(lit("HTTP://WWW.Example.com/page/"), page, lit("/")))
+      .when(variant === 2,
+        concat(lit("https://example.com:443/page/"), page,
+          lit("?utm_source=x")))
+      .when(variant === 3,
+        concat(lit("http://example.com:80/page/"), page, lit("#frag")))
+      .otherwise(
+        concat(lit("https://www.example.com/page/"), page,
+          lit("?a=1&utm_campaign=y")))
+    val canon = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(lower(raw),
+        "^https?://", ""),
+        "^www\\.", ""),
+        ":(80|443)/", "/"),
+        "[?#].*$", ""),
+        "/$", "")
+    Tables.documents(s, d)
+      .select($"doc_id", raw.as("raw_url"), canon.as("canonical_url"))
+      .groupBy($"canonical_url")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"raw_url").as("n_variants"),
+        min($"doc_id").as("keep_doc"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_url_dedup", urlDedup, Some("""
+      WITH p AS (SELECT doc_id,
+                        CAST(doc_id % 100 AS VARCHAR) AS page,
+                        (doc_id // 100) % 5 AS variant
+                 FROM documents),
+      raw AS (SELECT doc_id,
+                     CASE variant
+                       WHEN 0 THEN 'https://example.com/page/' || page
+                       WHEN 1 THEN 'HTTP://WWW.Example.com/page/' || page
+                                   || '/'
+                       WHEN 2 THEN 'https://example.com:443/page/' || page
+                                   || '?utm_source=x'
+                       WHEN 3 THEN 'http://example.com:80/page/' || page
+                                   || '#frag'
+                       ELSE 'https://www.example.com/page/' || page
+                            || '?a=1&utm_campaign=y'
+                     END AS raw_url
+              FROM p),
+      c AS (SELECT doc_id, raw_url,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(regexp_replace(lower(raw_url),
+                       '^https?://', ''),
+                       '^www\.', ''),
+                       ':(80|443)/', '/'),
+                       '[?#].*$', ''),
+                       '/$', '') AS canonical_url
+            FROM raw)
+      SELECT canonical_url, count(*) AS n_docs,
+             CAST(count(DISTINCT raw_url) AS BIGINT) AS n_variants,
+             min(doc_id) AS keep_doc
+      FROM c GROUP BY 1""")),
+
     Q("q_pii_redact", piiRedact, Some(s"""
       WITH p AS (SELECT doc_id, $plantedPiiSql AS t FROM documents)
       SELECT doc_id,
