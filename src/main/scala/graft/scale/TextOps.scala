@@ -231,6 +231,54 @@ object TextOps {
       FROM d GROUP BY 1"""
   }
 
+  /** The curation pipeline composed THROUGH the split assignment —
+    * one declarative plan from raw text to per-(split, language)
+    * training budgets: language-verify + quality-filter (the
+    * q_curation_pipeline gates), then the deterministic 80/10/10
+    * Knuth-hash split (q_hash_split's assignment), then token budgets
+    * per cell. What a user actually runs before a training job; the
+    * whole thing is one scan + one small rollup shuffle (every gate
+    * and the split id are scan-stage expressions). */
+  private def curationSplits(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket = pmod($"doc_id" * lit(2654435761L), lit(4294967296L)) % 100
+    val split = when(bucket < 80, "train")
+      .when(bucket < 90, "valid").otherwise("test")
+    Tables.documents(s, d)
+      .withColumn("lang_pred", langId($"text"))
+      .withColumn("q", qualityScore($"text"))
+      .filter($"q" >= 0.5 && $"lang_pred" === $"lang")
+      .select(split.as("split"), $"lang",
+        size(tokens($"text")).cast("long").as("n_tokens"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+  }
+
+  private def curationSplitsOracle: String = {
+    val (hits, winner) = langIdSqlParts
+    s"""
+      WITH t AS (SELECT doc_id, lang, text,
+                        string_split_regex(lower(text), '\\s+') AS toks
+                 FROM documents),
+      h AS (SELECT *, $hits FROM t),
+      p AS (SELECT doc_id, lang, toks, $winner AS lang_pred,
+                   $qualitySql AS q
+            FROM h),
+      f AS (SELECT doc_id, lang, toks FROM p
+            WHERE q >= 0.5 AND lang_pred = lang),
+      s AS (SELECT CASE
+                     WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
+                       THEN 'train'
+                     WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+                       THEN 'valid'
+                     ELSE 'test' END AS split,
+                   lang, CAST(len(toks) AS BIGINT) AS n_tokens
+            FROM f)
+      SELECT split, lang, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM s GROUP BY 1, 2"""
+  }
+
   /** Gopher/C4-style per-document quality rules — the rule-based
     * filter battery an LLM pretraining pipeline applies before dedup:
     * token-count band, mean-word-length band, minimum English-stopword
@@ -737,6 +785,7 @@ object TextOps {
       FROM s GROUP BY 1, 2""")),
 
     Q("q_gopher_rules", gopherRules, Some(gopherOracle)),
+    Q("q_curation_splits", curationSplits, Some(curationSplitsOracle)),
 
     Q("q_weighted_sample", weightedSample, Some("""
       WITH s AS (
