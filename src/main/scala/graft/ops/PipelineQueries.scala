@@ -206,7 +206,51 @@ object PipelineQueries {
     ).reduce(_ unionAll _)
   }
 
+  /** Incremental rollup maintenance: yesterday's MATERIALIZED partial
+    * aggregates merged with today's raw delta must equal the full
+    * recompute — the algebraic-decomposition property every
+    * incremental materialized view rests on (sum of sums, count of
+    * counts, min of mins; avg re-derived from merged sum/count, never
+    * averaged). The Spark side runs the INCREMENTAL path — historical
+    * rows are touched once to build partials (cheap, decimal-exact),
+    * then only the delta is re-read; the oracle runs the full
+    * recompute. Equality of the two IS the correctness statement. */
+  private def incrementalRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pivot = "1997-01-01"
+    val price = $"o_totalprice".cast("decimal(18,2)")
+    def partial(df: DataFrame) = df
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(price).as("s"),
+        min(price).as("mn"), max(price).as("mx"))
+    val hist = partial(Tables.orders(s, d)
+      .filter(to_date($"o_orderdate") < lit(pivot)))
+    val delta = partial(Tables.orders(s, d)
+      .filter(to_date($"o_orderdate") >= lit(pivot)))
+    hist.unionAll(delta)
+      .groupBy($"o_orderpriority")
+      .agg(sum($"n").as("n_orders"), sum($"s").as("s2"),
+        min($"mn").as("min_price"), max($"mx").as("max_price"))
+      .select($"o_orderpriority", $"n_orders",
+        round($"s2".cast("double"), 2).as("total"),
+        round($"s2".cast("double") / $"n_orders", 4).as("avg_price"),
+        $"min_price".cast("double").as("min_price"),
+        $"max_price".cast("double").as("max_price"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_incremental_rollup", incrementalRollup, Some("""
+      WITH g AS (SELECT o_orderpriority,
+                        CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                 FROM orders)
+      SELECT o_orderpriority,
+             count(*) AS n_orders,
+             round(CAST(sum(p) AS DOUBLE), 2) AS total,
+             round(CAST(sum(p) AS DOUBLE) / count(*), 4) AS avg_price,
+             CAST(min(p) AS DOUBLE) AS min_price,
+             CAST(max(p) AS DOUBLE) AS max_price
+      FROM g GROUP BY 1""")),
+
     Q("q_fk_audit", fkAudit, Some("""
       SELECT 'lineitem->orders' AS edge, count(*) AS n_rows,
              CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
