@@ -193,6 +193,38 @@ class PropertySpec extends AnyFunSuite {
     assert(left >= inner)
   }
 
+  test("text normalization is idempotent") {
+    val texts = samples(Gen.listOfN(30,
+      Gen.oneOf(Gen.alphaNumStr, Gen.oneOf("!", "  ", "\t", "É", "ß", "3")))
+      .map(_.mkString(" ")), 40)
+    val norm = (c: org.apache.spark.sql.Column) =>
+      trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "),
+        " +", " "))
+    val rows = texts.toDF("t")
+      .select(norm($"t").as("once"))
+      .select($"once", norm($"once").as("twice"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) === r.getString(1),
+      "normalizing a normalized string changed it"))
+  }
+
+  test("duplicate-span removal: a second pass removes nothing") {
+    import scale.Dedup
+    // after pass 1 every surviving chunk is globally unique; as long
+    // as re-chunking alignment is preserved (true here — removals are
+    // whole chunks), pass 2 must be a no-op
+    val docs = Seq(
+      (1L, "a b c a b c x"), (2L, "a b c d e f"),
+      (3L, "d e f g h i j k"), (4L, "q w e r t y")).toDF("doc_id", "text")
+    val once = Dedup.dedupSpans(docs)
+      .select($"doc_id", $"text_clean".as("text"))
+    val twice = Dedup.dedupSpans(once).collect()
+    twice.foreach { r =>
+      assert(r.getAs[Long]("n_removed") === 0L,
+        s"second pass removed chunks from doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("aHash is invariant under global brightness shift (mean-relative)") {
     import scale.Multimodal.JdkImageCodec
     import java.awt.image.BufferedImage
