@@ -50,41 +50,57 @@ object GraphOps {
         concat(lit("s"), $"sk").as("dst")))
   }
 
-  private def pagerank(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** Library API: fixed-point-integer PageRank over ANY undirected
+    * edge list with columns (src, dst) — every node must appear as a
+    * `src` (materialize both directions for undirected graphs, which
+    * also removes dangling nodes). `cacheKey` registers the derived
+    * adjacency/node tables in [[graft.GraftCaches]] so repeated runs
+    * in one session share them; pass None for uncached one-shots. */
+  def pagerankOn(edgeList: DataFrame, iterations: Int = Iterations,
+      cacheKey: Option[String] = None): DataFrame = {
     // The adjacency (edges with the source degree folded in) is
     // referenced by every iteration level plus the node/count prologue
-    // — registry-cache it so the lineitem distinct and the degree
-    // shuffle run once, not once per lineage branch, and each
-    // iteration costs ONE broadcast join instead of two.
-    val adj = graft.GraftCaches.getOrPersist(s, s"graph.adj:$d") {
-      val e = edges(s, d)
-      val dg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
-      e.join(dg, "src")
+    // — cache it so the edge build and the degree shuffle run once,
+    // not once per lineage branch, and each iteration costs ONE
+    // broadcast join instead of two.
+    def adjOf = {
+      val dg = edgeList.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      edgeList.join(dg, "src")
+    }
+    val adj = cacheKey match {
+      case Some(k) => graft.GraftCaches.getOrPersist(
+        edgeList.sparkSession, s"$k.adj")(adjOf)
+      case None => adjOf
     }
     // node table cached too: every broadcast build (rank init, the
     // per-iteration n scalar) walks its lineage, and an un-cached
     // distinct would re-shuffle the full adjacency each time
-    val deg = graft.GraftCaches.getOrPersist(s, s"graph.deg:$d") {
-      adj.select($"src", $"deg").distinct()
+    def degOf = adj.select(col("src"), col("deg")).distinct()
+    val deg = cacheKey match {
+      case Some(k) => graft.GraftCaches.getOrPersist(
+        edgeList.sparkSession, s"$k.deg")(degOf)
+      case None => degOf
     }
     val n = deg.agg(count(lit(1)).as("n"))
     var rank = deg.crossJoin(broadcast(n))
-      .select($"src".as("node"), expr(s"${FpOne}L div n").as("rank_fp"))
-    for (_ <- 1 to Iterations) {
+      .select(col("src").as("node"), expr(s"${FpOne}L div n").as("rank_fp"))
+    for (_ <- 1 to iterations) {
       val contrib = adj
         .join(broadcast(rank.withColumnRenamed("node", "src")), "src")
-        .select($"dst".as("node"), expr("rank_fp div deg").as("c"))
+        .select(col("dst").as("node"), expr("rank_fp div deg").as("c"))
       // teleport 0.15·FpOne = 150000000000 exactly; damping 85/100
-      rank = contrib.groupBy($"node").agg(sum($"c").as("sc"))
+      rank = contrib.groupBy(col("node")).agg(sum(col("c")).as("sc"))
         .crossJoin(broadcast(n))
-        .select($"node",
+        .select(col("node"),
           (expr(s"${FpOne / 100 * 15}L div n") +
             expr("(85 * sc) div 100")).as("rank_fp"))
     }
-    rank.select($"node", $"rank_fp",
-      ($"rank_fp".cast("double") / lit(FpOne.toDouble)).as("rank"))
+    rank.select(col("node"), col("rank_fp"),
+      (col("rank_fp").cast("double") / lit(FpOne.toDouble)).as("rank"))
   }
+
+  private def pagerank(s: SparkSession, d: String): DataFrame =
+    pagerankOn(edges(s, d), Iterations, Some(s"graph:$d"))
 
   /** Unrolled DuckDB replay of [[pagerank]] — same fixed-point units,
     * same integer divisions, k chained CTEs. */

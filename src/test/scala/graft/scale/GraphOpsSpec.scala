@@ -23,6 +23,21 @@ class GraphOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("rank_fp") > 0L))
   }
 
+  test("pagerankOn API: the hub of a star graph outranks every leaf") {
+    import SparkTestSession.spark.implicits._
+    // undirected star: hub <-> leaf1..leaf6 (both directions)
+    val leaves = (1 to 6).map(i => s"leaf$i")
+    val edges = leaves.flatMap(l => Seq(("hub", l), (l, "hub")))
+      .toDF("src", "dst")
+    val ranks = GraphOps.pagerankOn(edges, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("rank_fp")).toMap
+    assert(ranks.size === 7)
+    val hub = ranks("hub")
+    leaves.foreach(l => assert(hub > ranks(l), s"hub <= $l"))
+    // symmetric leaves must tie exactly (integer arithmetic: no drift)
+    assert(leaves.map(ranks).distinct.size === 1)
+  }
+
   test("pagerank favors high-degree nodes") {
     val rows = SparkEntry.queries("q_pagerank")(spark, sf).collect()
     // suppliers connect to many parts; parts to few suppliers — the
