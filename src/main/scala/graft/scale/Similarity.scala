@@ -194,22 +194,32 @@ object Similarity {
     * DuckDB oracle replays both iterations value-for-value; cells that
     * lose all members simply drop out of the next round, exactly as
     * the oracle's group-by does. Output is the final assignment. */
-  private def kmeansRefine(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val e = graft.GraftCaches.getOrPersist(s, s"ann.corpus:$d")(corpus(s, d))
-    var cent = ivfCentroidsOf(e)
-    for (_ <- 1 to KmeansIters) {
-      cent = ivfAssign(e, cent).join(e, "vec_id")
-        .select($"cell", posexplode($"v").as(Seq("dim", "x")))
-        .groupBy($"cell", $"dim")
-        .agg((sum(round($"x", 7).cast("decimal(18,7)")).cast("double") /
+  /** Library API: Lloyd refinement of a coarse quantizer over ANY
+    * point set with columns (vec_id, v: array<double>) and seed
+    * centroids (cid, cv). Fixed `iterations` unrolled into one DAG;
+    * decimal-snapped means keep the result accumulation-order-
+    * independent (engine-portable). Returns the final (vec_id, cell)
+    * assignment under the refined centroids. */
+  def lloydRefine(points: DataFrame, seeds: DataFrame,
+      iterations: Int = KmeansIters): DataFrame = {
+    var cent = seeds
+    for (_ <- 1 to iterations) {
+      cent = ivfAssign(points, cent).join(points, "vec_id")
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg((sum(round(col("x"), 7).cast("decimal(18,7)")).cast("double") /
           count(lit(1))).as("m"))
-        .groupBy($"cell")
-        .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           p => p.getField("m")).as("cv"))
-        .select($"cell".as("cid"), $"cv")
+        .select(col("cell").as("cid"), col("cv"))
     }
-    ivfAssign(e, cent).select($"vec_id", $"cell")
+    ivfAssign(points, cent).select(col("vec_id"), col("cell"))
+  }
+
+  private def kmeansRefine(s: SparkSession, d: String): DataFrame = {
+    val e = graft.GraftCaches.getOrPersist(s, s"ann.corpus:$d")(corpus(s, d))
+    lloydRefine(e, ivfCentroidsOf(e), KmeansIters)
   }
 
   private def kmeansOracle: String = {
