@@ -146,6 +146,30 @@ object StatsQueries {
           .as("is_outlier"))
   }
 
+  /** Telemetry debounce: drop an event arriving within 5 s of the
+    * PREVIOUS event of the same (user, type) — the duplicate-click /
+    * retry suppressor. Lag-based (gap to the previous raw event, not
+    * to the previous KEPT one — the standard windowed approximation;
+    * chained-burst semantics need the sessionize machinery instead,
+    * documented trade-off). One window shuffle, integer microsecond
+    * gaps, summary per type. */
+  private def debounce(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, d)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("gap_us",
+        unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+      .withColumn("kept",
+        ($"gap_us".isNull || $"gap_us" > 5000000L).cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum($"kept").as("n_kept"),
+        (count(lit(1)) - sum($"kept")).as("n_debounced"))
+  }
+
   /** Calendar-coverage profile per event type: span vs active days —
     * the data-freshness/completeness check a pipeline runs before
     * trusting a time slice. Pure integer date arithmetic (datediff,
@@ -398,6 +422,21 @@ object StatsQueries {
              quantile_cont(gap_us, 0.95) AS p95_us,
              CAST(max(gap_us) AS BIGINT) AS max_us
       FROM g WHERE gap_us IS NOT NULL GROUP BY 1""")),
+
+    Q("q_event_debounce", debounce, Some("""
+      WITH g AS (SELECT event_type,
+                        epoch_us(ts) - epoch_us(lag(ts) OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY ts ASC, event_id ASC)) AS gap_us
+                 FROM events)
+      SELECT event_type, count(*) AS n_total,
+             CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 5000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(count(*) - sum(CASE WHEN gap_us IS NULL
+                                        OR gap_us > 5000000
+                                      THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_debounced
+      FROM g GROUP BY 1""")),
 
     Q("q_date_gaps", dateGaps, Some("""
       WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events)
