@@ -238,7 +238,49 @@ object PipelineQueries {
         $"max_price".cast("double").as("max_price"))
   }
 
+  /** Primary-key uniqueness audit — q_fk_audit's companion: per
+    * table, row count vs distinct-key count and the number of
+    * violated key values. One map-side-combinable aggregate per
+    * table, tiny union of 1-row results. */
+  private def pkAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def check(table: String, df: DataFrame, pk: String): DataFrame = {
+      val dups = df.groupBy(col(pk)).agg(count(lit(1)).as("__n"))
+        .filter($"__n" > 1).agg(count(lit(1)).as("n_dup_keys"))
+      df.agg(lit(table).as("table_name"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(pk)).as("n_distinct_pk"))
+        .crossJoin(broadcast(dups))
+    }
+    Seq(
+      check("region", Tables.region(s, d), "r_regionkey"),
+      check("nation", Tables.nation(s, d), "n_nationkey"),
+      check("customer", Tables.customer(s, d), "c_custkey"),
+      check("supplier", Tables.supplier(s, d), "s_suppkey"),
+      check("part", Tables.part(s, d), "p_partkey"),
+      check("orders", Tables.orders(s, d), "o_orderkey"),
+      check("events", Tables.events(s, d), "event_id"),
+      check("documents", Tables.documents(s, d), "doc_id"),
+      check("embeddings", Tables.embeddings(s, d), "vec_id")
+    ).reduce(_ unionAll _)
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_pk_audit", pkAudit, Some(
+      Seq(("region", "r_regionkey"), ("nation", "n_nationkey"),
+        ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+        ("part", "p_partkey"), ("orders", "o_orderkey"),
+        ("events", "event_id"), ("documents", "doc_id"),
+        ("embeddings", "vec_id")).map { case (t, k) =>
+        s"""
+      SELECT '$t' AS table_name, count(*) AS n_rows,
+             CAST(count(DISTINCT $k) AS BIGINT) AS n_distinct_pk,
+             CAST((SELECT count(*) FROM (
+                     SELECT $k FROM $t GROUP BY $k HAVING count(*) > 1))
+                  AS BIGINT) AS n_dup_keys
+      FROM $t"""
+      }.mkString("\n      UNION ALL"))),
+
     Q("q_incremental_rollup", incrementalRollup, Some("""
       WITH g AS (SELECT o_orderpriority,
                         CAST(o_totalprice AS DECIMAL(18,2)) AS p
