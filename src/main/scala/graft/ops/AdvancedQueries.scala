@@ -319,7 +319,17 @@ object AdvancedQueries {
     * does NOT work: beyond ~17 significant digits Spark's
     * shortest-string cast and DuckDB's exact-binary-expansion cast
     * disagree, which flipped rounded z-scores on boundary rows.)
-    * sigma is NULL when n<=1 (sample stddev undefined). */
+    * sigma is NULL when n<=1 (sample stddev undefined).
+    *
+    * The FINAL scaled value is emitted in fixed-point integer units
+    * (hundredths / 1e-4 units via floor), never `round(double, n)`:
+    * rounding a derived double quotient at a fine grid is itself
+    * engine-divergent — Spark rounds the exact binary expansion
+    * HALF_UP while DuckDB rounds a scaled double, and boundary rows
+    * flip (this exact query hash-failed three rounds on that rule).
+    * floor() of a bit-identical double is exact in every engine, so
+    * the BIGINT units — and the single int→double divide that derives
+    * the convenience doubles — are reproducible everywhere. */
   private def featureScale(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val x  = $"o_totalprice".cast("decimal(18,2)")
@@ -334,11 +344,14 @@ object AdvancedQueries {
       .withColumn("sigma",
         when($"n" > 1,
           sqrt(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1))))
+    val z  = ($"o_totalprice" - $"mu") / $"sigma"
+    val mm = ($"o_totalprice" - $"mn") / ($"mx" - $"mn")
     Tables.orders(s, d).crossJoin(broadcast(withMoments))
       .select($"o_orderkey",
-        round(($"o_totalprice" - $"mu") / $"sigma", 2).as("zscore"),
-        round(($"o_totalprice" - $"mn") / ($"mx" - $"mn"), 4)
-          .as("minmax"))
+        floor(z * 100).as("zscore_c2"),
+        floor(mm * 10000).as("minmax_e4"))
+      .withColumn("zscore", $"zscore_c2".cast("double") / 100.0)
+      .withColumn("minmax", $"minmax_e4".cast("double") / 10000.0)
   }
 
   val queries: Seq[Q] = Seq(
@@ -392,11 +405,17 @@ object AdvancedQueries {
                           sqrt((sx2 - sx * sx / n) / (n - 1))
                         END AS sigma,
                         mn, mx
-                 FROM raw)
-      SELECT o_orderkey,
-             round((o_totalprice - mu) / sigma, 2) AS zscore,
-             round((o_totalprice - mn) / (mx - mn), 4) AS minmax
-      FROM orders, s""")),
+                 FROM raw),
+           f AS (SELECT o_orderkey,
+                   CAST(floor((o_totalprice - mu) / sigma * 100)
+                        AS BIGINT) AS zscore_c2,
+                   CAST(floor((o_totalprice - mn) / (mx - mn) * 10000)
+                        AS BIGINT) AS minmax_e4
+                 FROM orders, s)
+      SELECT o_orderkey, zscore_c2, minmax_e4,
+             CAST(zscore_c2 AS DOUBLE) / 100.0 AS zscore,
+             CAST(minmax_e4 AS DOUBLE) / 10000.0 AS minmax
+      FROM f""")),
 
     Q("q_window_range", windowRange, Some("""
       SELECT o_custkey, o_orderkey,

@@ -25,7 +25,14 @@ import org.apache.spark.sql.functions._
   * the input to its decimal grid first, or by rounding a per-row
   * double term to a fixed scale before the decimal cast. Double math
   * that happens strictly per-row (or after aggregation, on identical
-  * inputs) is bit-identical across engines and safe.
+  * inputs) is bit-identical across engines and safe — EXCEPT
+  * `round(double, n)` itself (rule 4): rounding a derived double
+  * quotient at a fine grid diverges even on bit-identical inputs
+  * (Spark rounds the exact binary expansion HALF_UP; DuckDB rounds a
+  * scaled double), so emitted fine-grid values go through
+  * floor(q · 10^n) into BIGINT fixed-point units — floor of a
+  * bit-identical double is exact in every engine (the q_pagerank /
+  * q_robust_scale / q_feature_scale pattern).
   */
 object StatsQueries {
 
@@ -125,12 +132,19 @@ object StatsQueries {
     * sibling of q_feature_scale's z-score: med and MAD come from two
     * exact-percentile passes (each a 1-row aggregate broadcast back),
     * the scaled value is pure per-row double math on inputs both
-    * engines compute identically — no cross-row float sum exists in
-    * the query at all. 1.4826·MAD makes the scale consistent with σ
-    * under normality; |rz| > 3.5 is the standard robust outlier flag.
+    * engines compute identically. 1.4826·MAD makes the scale
+    * consistent with σ under normality; |rz| > 3.5 is the standard
+    * robust outlier flag (computed from the UNROUNDED quotient).
     * At 100 TB the exact percentiles swap for approx_percentile with
     * an error budget; the plan shape (scan → tiny agg → broadcast →
-    * scan) is unchanged. */
+    * scan) is unchanged.
+    *
+    * The emitted value is fixed-point (1e-4 units via floor), not
+    * `round(quotient, 4)`: per float rule 4, round() of a derived
+    * double quotient at a fine grid diverges between engines even
+    * when the quotient itself is bit-identical — floor into BIGINT
+    * units is exact everywhere (this query hash-failed r5 on exactly
+    * that rule). */
   private def robustScale(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val med = Tables.orders(s, d)
@@ -138,12 +152,12 @@ object StatsQueries {
     val mad = Tables.orders(s, d).crossJoin(broadcast(med))
       .agg(expr("percentile(abs(o_totalprice - med), 0.5)").as("mad"),
         max($"med").as("med"))
+    val rz = ($"o_totalprice" - $"med") / (lit(1.4826) * $"mad")
     Tables.orders(s, d).crossJoin(broadcast(mad))
       .select($"o_orderkey",
-        round(($"o_totalprice" - $"med") / (lit(1.4826) * $"mad"), 4)
-          .as("robust_z"),
-        (abs(($"o_totalprice" - $"med") / (lit(1.4826) * $"mad")) > 3.5)
-          .as("is_outlier"))
+        floor(rz * 10000).as("robust_z_e4"),
+        (abs(rz) > 3.5).as("is_outlier"))
+      .withColumn("robust_z", $"robust_z_e4".cast("double") / 10000.0)
   }
 
   /** Telemetry debounce: drop an event arriving within 5 s of the
@@ -490,13 +504,16 @@ object StatsQueries {
                  FROM orders),
       s AS (SELECT quantile_cont(abs(o_totalprice - m.med), 0.5) AS mad,
                    max(m.med) AS med
-            FROM orders, m)
-      SELECT o_orderkey,
-             round((o_totalprice - s.med) / (1.4826 * s.mad), 4)
-               AS robust_z,
-             abs((o_totalprice - s.med) / (1.4826 * s.mad)) > 3.5
-               AS is_outlier
-      FROM orders, s""")),
+            FROM orders, m),
+      f AS (SELECT o_orderkey,
+              CAST(floor((o_totalprice - s.med) / (1.4826 * s.mad)
+                         * 10000) AS BIGINT) AS robust_z_e4,
+              abs((o_totalprice - s.med) / (1.4826 * s.mad)) > 3.5
+                AS is_outlier
+            FROM orders, s)
+      SELECT o_orderkey, robust_z_e4, is_outlier,
+             CAST(robust_z_e4 AS DOUBLE) / 10000.0 AS robust_z
+      FROM f""")),
 
     Q("q_time_decay", timeDecay, Some("""
       WITH r AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
