@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per iteration: the rank and degree tables are
   * NODE-cardinality (tiny next to edges) and join onto the edge list
-  * BROADCAST, so the edge table — the 100 TB side — never moves; the
-  * only shuffle is the groupBy(dst) of contributions, and those
-  * collapse map-side to ≤|nodes| rows per partition before the wire.
+  * BROADCAST while |nodes| fits an executor, so the edge table — the
+  * 100 TB side — never moves; the only shuffle is the groupBy(dst) of
+  * contributions, and those collapse map-side to ≤|nodes| rows per
+  * partition before the wire. Above the node cap (billions of nodes,
+  * where a broadcast build OOMs) the rank join falls back to a
+  * shuffled hash join on `src` — see [[pagerankOn]].
   * Iterations are unrolled into one DAG (fixed k, no driver-side
   * convergence loop, no collect).
   *
@@ -50,14 +53,33 @@ object GraphOps {
         concat(lit("s"), $"sk").as("dst")))
   }
 
+  /** Broadcasting the rank table into the edge join is only safe
+    * while the NODE table fits an executor — beyond this many nodes
+    * the per-iteration join falls back to a shuffled hash join on
+    * `src` (AQE handles skew). 10M nodes ≈ a few hundred MB of
+    * (string, long) rows: comfortably broadcastable on the target
+    * executors, far below any web-scale node count. */
+  val DefaultBroadcastNodeCap = 10000000L
+
   /** Library API: fixed-point-integer PageRank over ANY undirected
     * edge list with columns (src, dst) — every node must appear as a
     * `src` (materialize both directions for undirected graphs, which
     * also removes dangling nodes). `cacheKey` registers the derived
     * adjacency/node tables in [[graft.GraftCaches]] so repeated runs
-    * in one session share them; pass None for uncached one-shots. */
+    * in one session share them; pass None for uncached one-shots.
+    *
+    * `broadcastNodeCap` gates the per-iteration join strategy: at or
+    * below the cap the node-cardinality rank table is broadcast onto
+    * the edges (edges never move); above it — billions of nodes at
+    * 100 TB of edges, where a broadcast build OOMs — ranks join via
+    * shuffle on `src` instead. Both paths are bit-identical (integer
+    * arithmetic; a ScaleSpec case locks the equality). The node count
+    * that decides the gate is one count() over the node-cardinality
+    * `deg` table (cached under `cacheKey`), and its value also
+    * replaces the former 1-row `n` cross-joins with literals. */
   def pagerankOn(edgeList: DataFrame, iterations: Int = Iterations,
-      cacheKey: Option[String] = None): DataFrame = {
+      cacheKey: Option[String] = None,
+      broadcastNodeCap: Long = DefaultBroadcastNodeCap): DataFrame = {
     // The adjacency (edges with the source degree folded in) is
     // referenced by every iteration level plus the node/count prologue
     // — cache it so the edge build and the degree shuffle run once,
@@ -81,19 +103,26 @@ object GraphOps {
         edgeList.sparkSession, s"$k.deg")(degOf)
       case None => degOf
     }
-    val n = deg.agg(count(lit(1)).as("n"))
-    var rank = deg.crossJoin(broadcast(n))
-      .select(col("src").as("node"), expr(s"${FpOne}L div n").as("rank_fp"))
+    // One count() over the node-cardinality deg table (cached above)
+    // decides the join strategy and folds the n scalar into literals.
+    // All values are positive, so Scala's truncating Long division
+    // matches Spark's `div` and DuckDB's `//` exactly.
+    val nNodes = deg.count()
+    val broadcastRanks = nNodes <= broadcastNodeCap
+    val teleport = FpOne / 100 * 15 / nNodes
+    var rank = deg.select(col("src").as("node"),
+      lit(FpOne / nNodes).as("rank_fp"))
     for (_ <- 1 to iterations) {
-      val contrib = adj
-        .join(broadcast(rank.withColumnRenamed("node", "src")), "src")
+      val r = rank.withColumnRenamed("node", "src")
+      val joined =
+        if (broadcastRanks) adj.join(broadcast(r), "src")
+        else adj.join(r.hint("shuffle_hash"), "src")
+      val contrib = joined
         .select(col("dst").as("node"), expr("rank_fp div deg").as("c"))
       // teleport 0.15·FpOne = 150000000000 exactly; damping 85/100
       rank = contrib.groupBy(col("node")).agg(sum(col("c")).as("sc"))
-        .crossJoin(broadcast(n))
         .select(col("node"),
-          (expr(s"${FpOne / 100 * 15}L div n") +
-            expr("(85 * sc) div 100")).as("rank_fp"))
+          (lit(teleport) + expr("(85 * sc) div 100")).as("rank_fp"))
     }
     rank.select(col("node"), col("rank_fp"),
       (col("rank_fp").cast("double") / lit(FpOne.toDouble)).as("rank"))

@@ -1,6 +1,7 @@
 package graft.scale
 
 import graft.{SparkEntry, SparkTestSession}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class GraphOpsSpec extends AnyFunSuite {
@@ -36,6 +37,41 @@ class GraphOpsSpec extends AnyFunSuite {
     leaves.foreach(l => assert(hub > ranks(l), s"hub <= $l"))
     // symmetric leaves must tie exactly (integer arithmetic: no drift)
     assert(leaves.map(ranks).distinct.size === 1)
+  }
+
+  test("pagerankOn shuffle fallback (node cap exceeded) is bit-identical " +
+      "to the broadcast path") {
+    import spark.implicits._
+    // the catalog's bipartite supplier<->part edges, built inline
+    val li = graft.Tables.lineitem(spark, sf)
+      .select($"l_suppkey".as("sk"), $"l_partkey".as("pk")).distinct()
+    val edges = li.select(concat(lit("s"), $"sk").as("src"),
+        concat(lit("p"), $"pk").as("dst"))
+      .unionAll(li.select(concat(lit("p"), $"pk").as("src"),
+        concat(lit("s"), $"sk").as("dst")))
+    val viaBroadcast = GraphOps.pagerankOn(edges, iterations = 2)
+    val b = viaBroadcast.collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("rank_fp")).toMap
+    // With size-based auto-broadcast off, the only possible broadcast
+    // left is an explicit hint — so the cap=0 plan must have none
+    // (the gate removed the unconditional rank-table hint).
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val viaShuffle = GraphOps.pagerankOn(edges, iterations = 2,
+        broadcastNodeCap = 0L)
+      // collect() walks only THIS plan's tree (a cached adjacency's
+      // internal plan may legitimately contain broadcasts from when
+      // it was first built under default settings)
+      val bhj = viaShuffle.queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(bhj.isEmpty, "cap=0 path still broadcasts the rank table")
+      val s = viaShuffle.collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("rank_fp")).toMap
+      assert(b === s)
+    } finally spark.conf.set(thresholdKey, prev)
   }
 
   test("pagerank favors high-degree nodes") {
