@@ -355,15 +355,25 @@ object Dedup {
 
   /** Embedding near-dup: all pairs with cosine ≥ 0.45 (embeddings are
     * L2-normalized so cosine = dot). Brute force is O(n²·dim) —
-    * VERIFICATION TIER ONLY, guarded by [[MaxBruteForceRows]] (the
-    * guard count is a metadata-cheap parquet row count); the bucketed
-    * paths (q_ann_lsh / q_ann_ivf) are the 100 TB shape. */
+    * VERIFICATION TIER ONLY, guarded by [[MaxBruteForceRows]]. The
+    * guard is a BOUNDED probe — limit(cap+1).count() — so it stops
+    * scanning the moment the cap is provably exceeded instead of
+    * counting the whole table before refusing it. */
+  /** Refuses a table too large for an all-pairs verification query.
+    * limit(cap+1) bounds the probe: the scan stops as soon as cap+1
+    * rows exist, so an over-limit table is rejected without being
+    * read end-to-end. */
+  private[scale] def requireBruteForceable(df: DataFrame,
+      what: String): Unit = {
+    val probe = df.limit(MaxBruteForceRows.toInt + 1).count()
+    require(probe <= MaxBruteForceRows,
+      s"$what is a ground-truth oracle for ≤$MaxBruteForceRows " +
+        s"rows (got >$MaxBruteForceRows); use annLsh/annIvf at scale")
+  }
+
   private def embedNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val n = Tables.embeddings(s, d).count()
-    require(n <= MaxBruteForceRows,
-      s"embedNearDup is a ground-truth oracle for ≤$MaxBruteForceRows " +
-        s"rows (got $n); use annLsh/annIvf at scale")
+    requireBruteForceable(Tables.embeddings(s, d), "embedNearDup")
     val e = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val dot = aggregate(

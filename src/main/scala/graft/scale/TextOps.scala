@@ -564,13 +564,28 @@ object TextOps {
     *
     * Shape at scale: doc-bigram counts and the LM's bigram counts both
     * collapse map-side before ONE shuffle each on (w1,w2); the unigram
-    * table is vocabulary-sized and joins BROADCAST; vocab size V is a
-    * broadcast scalar. Float discipline: p is a rational of exact
-    * integers (identical correctly-rounded divide in both engines),
-    * each distinct bigram's ln(p) is rounded to the 1e-6 grid BEFORE
-    * the per-doc decimal sum, so accumulation order can never move the
-    * result (the q_feature_scale lesson). */
-  private def perplexity(s: SparkSession, d: String): DataFrame = {
+    * table is vocabulary-sized and joins BROADCAST only while it fits
+    * an executor — web-corpus vocabularies run to tens of millions of
+    * rows, past any broadcast build, so above [[UnigramBroadcastCap]]
+    * the join falls back to a shuffled hash join on w1 (values are
+    * join-strategy-independent; a ScaleSpec case locks the equality).
+    * The unigram LM is registry-cached, so the gate's count() reads
+    * the materialized table rather than recomputing the LM. Vocab
+    * size V is a broadcast scalar. Float discipline: p is a rational
+    * of exact integers (identical correctly-rounded divide in both
+    * engines), each distinct bigram's ln(p) is rounded to the 1e-6
+    * grid BEFORE the per-doc decimal sum, so accumulation order can
+    * never move the result (the q_feature_scale lesson). */
+  private def perplexity(s: SparkSession, d: String): DataFrame =
+    perplexityOn(s, d)
+
+  /** Rows above which the unigram LM stops being broadcast into the
+    * scoring join: ~10M (string, long) rows is a few hundred MB —
+    * the executor-memory comfort limit for a broadcast build. */
+  val UnigramBroadcastCap = 10000000L
+
+  private[graft] def perplexityOn(s: SparkSession, d: String,
+      uniBroadcastCap: Long = UnigramBroadcastCap): DataFrame = {
     import s.implicits._
     val t = tokens($"text")
     val pairs = when(size(t) < 2,
@@ -589,7 +604,12 @@ object TextOps {
         .agg(count(lit(1)).as("cnt"))
     }
     val lmBig = docBig.groupBy($"w1", $"w2").agg(sum($"cnt").as("c12"))
-    val lmUni = lmBig.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val lmUni = graft.GraftCaches.getOrPersist(s, s"text.lm_unigrams:$d") {
+      lmBig.groupBy($"w1").agg(sum($"c12").as("c1"))
+    }
+    val uniJoin =
+      if (lmUni.count() <= uniBroadcastCap) broadcast(lmUni)
+      else lmUni.hint("shuffle_hash")
     val vocab = Tables.documents(s, d)
       .select(explode(tokens($"text")).as("w"))
       .agg(countDistinct($"w").as("v"))
@@ -597,7 +617,7 @@ object TextOps {
       .cast("decimal(18,6)")
     docBig
       .join(lmBig, Seq("w1", "w2"))
-      .join(broadcast(lmUni), "w1")
+      .join(uniJoin, "w1")
       .crossJoin(broadcast(vocab))
       .select($"doc_id", $"cnt", (lnp * $"cnt").as("term"))
       .groupBy($"doc_id")

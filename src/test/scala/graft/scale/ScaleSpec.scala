@@ -206,6 +206,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(graft.Tables.embeddings(spark, sf).count()
       <= Dedup.MaxBruteForceRows)
     assert(Dedup.MaxBruteForceRows <= 200000L)
+    // the bounded probe must trip on an over-limit table …
+    val over = spark.range(Dedup.MaxBruteForceRows + 1).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.requireBruteForceable(over, "test")
+    }
+    assert(e.getMessage.contains("ground-truth oracle"))
+    // … and pass a table exactly at the cap
+    Dedup.requireBruteForceable(
+      spark.range(Dedup.MaxBruteForceRows).toDF("id"), "test")
   }
 
   test("stratified sampleBy: class-balanced training sample with seeded determinism") {
@@ -333,5 +342,28 @@ class ScaleSpec extends AnyFunSuite {
     val again = SparkEntry.queries("q_kmeans_refine")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("perplexity shuffle fallback (unigram cap exceeded) matches the " +
+      "broadcast path exactly and broadcasts nothing") {
+    val viaBroadcast = SparkEntry.queries("q_perplexity")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("xent_nats"))).toMap
+    // with size-based auto-broadcast off, the only broadcast left in
+    // an equi-join would be an explicit hint — the cap=0 path must
+    // have none (the scalar vocab cross-join is a BNLJ, not a BHJ)
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val viaShuffle = TextOps.perplexityOn(spark, sf, uniBroadcastCap = 0L)
+      val bhj = viaShuffle.queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(bhj.isEmpty, "cap=0 path still broadcasts the unigram LM")
+      val s = viaShuffle.collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("xent_nats"))).toMap
+      assert(s === viaBroadcast)
+    } finally spark.conf.set(thresholdKey, prev)
   }
 }
