@@ -173,4 +173,57 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** Streaming telemetry debounce — the stateful twin of
+    * q_event_debounce's lag-based batch form (ops/StatsQueries.scala):
+    * an event is dropped when it arrives within `gapUs` of the
+    * PREVIOUS raw event of the same (user, type); emitted rows are the
+    * KEPT events. State is ONE timestamp per live key — O(#keys), not
+    * O(#events). Rows inside a micro-batch are processed in
+    * (ts, event_id) order so a batch's internal arrival order can't
+    * change the answer; parity with the batch window-lag form holds
+    * whenever each key's events arrive in event-time order across
+    * micro-batches (out-of-order beyond that is the watermark's
+    * business, as in any lag-based stream op). */
+  class DebounceProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (Long, String), Event, Event] {
+    @transient private var lastTsUs:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      lastTsUs = getHandle.getValueState[Long]("lastTsUs",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (Long, String), rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Event] = {
+      val ordered = rows.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var prev = if (lastTsUs.exists()) Some(lastTsUs.get()) else None
+      val kept = Vector.newBuilder[Event]
+      ordered.foreach { e =>
+        val t = e.ts.getTime * 1000L
+        if (prev.forall(p => t - p > gapUs)) kept += e
+        prev = Some(t) // lag semantics: gap to previous RAW event
+      }
+      prev.foreach(lastTsUs.update)
+      kept.result().iterator
+    }
+  }
+
+  /** Debounced event stream: default 5 s gap, matching
+    * q_event_debounce. */
+  def debouncedEvents(spark: SparkSession, events: Dataset[Event],
+      gapUs: Long = 5000000L): Dataset[Event] = {
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new DebounceProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

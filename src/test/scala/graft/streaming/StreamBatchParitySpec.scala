@@ -1,0 +1,216 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming↔batch parity: each streaming op replays its exact input
+  * through the SAME transform executed as a batch plan — the path the
+  * DuckDB-oracled batch twins (q_time_bucket / q_sessionize /
+  * q_event_debounce) hash-check — asserting the STATEFUL RUNTIME
+  * (watermark bookkeeping, state store, append-mode eviction)
+  * computes what the batch plan does. Late-data semantics are part of
+  * the contract: the batch side sees the input MINUS the rows the
+  * watermark provably dropped, restricted to windows the final
+  * watermark closed (append mode emits nothing else).
+  *
+  * Watermark mechanics the sequences rely on: the watermark is
+  * max(event ts) − lateness, computed at the END of a micro-batch and
+  * applied to the NEXT one; a window/session is emitted (and its
+  * state evicted) once its END ≤ watermark; a row whose every window
+  * has END ≤ watermark is dropped.
+  */
+class StreamBatchParitySpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+  import EventStreams._
+
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(
+      f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def tsSec(sec: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(
+      f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String,
+      value: Double = 1.0) = Event(id, ts(minute), user, typ, value)
+
+  test("tumbling windows: streaming append == batch twin on retained " +
+      "rows, late row dropped") {
+    val in = MemoryStream[Event]
+    val q = tumblingCounts(in.toDF(), width = "10 minutes",
+      lateness = "5 minutes").writeStream
+      .format("memory").queryName("parity_tumbling")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 2, 1, "click", 1.0), ev(2, 12, 1, "click", 2.0),
+        ev(3, 14, 2, "view", 3.0))
+      q.processAllAvailable() // watermark → 9: nothing closed yet
+      in.addData(ev(5, 34, 1, "click", 4.0))
+      q.processAllAvailable() // watermark → 29: [0,10) and [10,20) emit
+      in.addData(ev(4, 3, 2, "view", 5.0)) // window end 10 ≤ 29: DROPPED
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("parity_tumbling").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // batch twin: same transform, batch execution, minus the dropped
+    // late row, restricted to windows the final watermark (29) closed
+    val retained = Seq(ev(1, 2, 1, "click", 1.0),
+      ev(2, 12, 1, "click", 2.0), ev(3, 14, 2, "view", 3.0),
+      ev(5, 34, 1, "click", 4.0)).toDF()
+    val batch = tumblingCounts(retained, width = "10 minutes",
+        lateness = "5 minutes")
+      .filter($"w_start" < lit(ts(20))) // closed ⇔ end ≤ 29 ⇔ start < 20
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed === batch)
+    // and the late view row really was dropped, not merged
+    assert(!streamed.exists(t => t._2 == "view" && t._4 == 8.0))
+    assert(streamed.nonEmpty)
+  }
+
+  test("sliding windows: streaming append == batch twin on retained " +
+      "rows, late row dropped from every window") {
+    val in = MemoryStream[Event]
+    val q = slidingCounts(in.toDF(), width = "10 minutes",
+      slide = "5 minutes", lateness = "5 minutes").writeStream
+      .format("memory").queryName("parity_sliding")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 12, 1, "click"), ev(2, 17, 2, "view"))
+      q.processAllAvailable() // watermark → 12
+      in.addData(ev(3, 44, 1, "click"))
+      q.processAllAvailable() // watermark → 39: starts ≤ 29 emit
+      // windows of minute 13 are [5,15) and [10,20): both ends ≤ 39
+      in.addData(ev(4, 13, 1, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("parity_sliding").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val retained = Seq(ev(1, 12, 1, "click"), ev(2, 17, 2, "view"),
+      ev(3, 44, 1, "click")).toDF()
+    val batch = slidingCounts(retained, width = "10 minutes",
+        slide = "5 minutes", lateness = "5 minutes")
+      .filter($"w_start" < lit(ts(30))) // closed ⇔ end ≤ 39 ⇔ start < 30
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("session windows: streaming append == batch twin; a late " +
+      "session-merging row is dropped, not merged") {
+    val in = MemoryStream[Event]
+    val q = userSessions(in.toDF(), gap = "10 minutes",
+      lateness = "5 minutes").writeStream
+      .format("memory").queryName("parity_sessions")
+      .outputMode("append").start()
+    try {
+      // u1 at minutes 0 and 15: gap 15 > 10 ⇒ TWO sessions
+      in.addData(ev(1, 0, 1, "click", 1.0), ev(2, 15, 1, "click", 2.0))
+      q.processAllAvailable() // watermark → 0 (below both sessions)
+      in.addData(ev(3, 60, 9, "view", 7.0))
+      q.processAllAvailable() // watermark → 55: both u1 sessions emit
+      // minute 7 would bridge [0,10) and [15,25) into ONE session had
+      // it arrived on time; its session end 17 ≤ 55 ⇒ DROPPED
+      in.addData(ev(4, 7, 1, "click", 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("parity_sessions").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val retained = Seq(ev(1, 0, 1, "click", 1.0),
+      ev(2, 15, 1, "click", 2.0), ev(3, 60, 9, "view", 7.0)).toDF()
+    val batch = userSessions(retained, gap = "10 minutes",
+        lateness = "5 minutes")
+      .filter($"s_end" <= lit(ts(55))) // final watermark
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed === batch)
+    // u1 kept TWO sessions — the late bridge row did not merge them
+    assert(streamed.count(_._3 == 1L) === 2)
+    // counterfactual: had the bridge row been on time, batch would
+    // see ONE merged u1 session — proving the drop is semantic
+    val merged = userSessions(retained.unionByName(
+        Seq(ev(4, 7, 1, "click", 9.0)).toDF()), gap = "10 minutes")
+      .collect().count(_.getLong(2) == 1L)
+    assert(merged === 1)
+  }
+
+  test("streaming dedup == batch dropDuplicates on the same input") {
+    val in = MemoryStream[Event]
+    val q = dedupedEvents(in.toDF(), lateness = "30 minutes").writeStream
+      .format("memory").queryName("parity_dedup")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 0, 1, "click"), ev(2, 1, 1, "view"),
+        ev(1, 2, 1, "click")) // in-batch duplicate id
+      q.processAllAvailable()
+      in.addData(ev(1, 3, 1, "click"), ev(3, 10, 2, "view")) // cross-batch dup
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("parity_dedup").collect()
+      .map(_.getAs[Long]("event_id")).sorted
+    val batch = Seq(ev(1, 0, 1, "click"), ev(2, 1, 1, "view"),
+        ev(1, 2, 1, "click"), ev(1, 3, 1, "click"), ev(3, 10, 2, "view"))
+      .toDF().dropDuplicates("event_id")
+      .collect().map(_.getAs[Long]("event_id")).sorted
+    assert(streamed === batch)
+    assert(streamed === Array(1L, 2L, 3L))
+  }
+
+  test("debounce via transformWithState == the oracled batch lag form " +
+      "across micro-batch boundaries") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      def sev(id: Long, sec: Int, user: Long, typ: String) =
+        Event(id, tsSec(sec), user, typ, 1.0)
+      // u1 clicks at 0,3,7,9,20 s: lag gaps 3,4,2,11 ⇒ kept {0s, 20s};
+      // u2 views at 1,4 s: gap 3 ⇒ kept {1s}. The 0/3 | 7/9/20 split
+      // forces the 3s→7s gap to cross a micro-batch via state.
+      val all = Seq(sev(10, 0, 1, "click"), sev(11, 3, 1, "click"),
+        sev(12, 7, 1, "click"), sev(13, 9, 1, "click"),
+        sev(14, 20, 1, "click"), sev(20, 1, 2, "view"),
+        sev(21, 4, 2, "view"))
+      val in = MemoryStream[Event]
+      val q = debouncedEvents(spark, in.toDS()).writeStream
+        .format("memory").queryName("parity_debounce")
+        .outputMode("append").start()
+      try {
+        in.addData(all.filter(_.ts.getTime <= tsSec(4).getTime): _*)
+        q.processAllAvailable()
+        in.addData(all.filter(_.ts.getTime > tsSec(4).getTime): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("parity_debounce").collect()
+        .map(_.getAs[Long]("event_id")).sorted
+      // the batch twin is q_event_debounce's window-lag form
+      // (ops/StatsQueries.scala), applied to the identical rows
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts".asc, $"event_id".asc)
+      val batch = all.toDF()
+        .withColumn("gap_us",
+          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+        .filter($"gap_us".isNull || $"gap_us" > 5000000L)
+        .collect().map(_.getAs[Long]("event_id")).sorted
+      assert(streamed === batch)
+      assert(streamed === Array(10L, 14L, 20L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+}
