@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing here is real and tested: schemas, typed
   * mapPartitions batching, native header/frame expressions that stay
-  * in whole-stage codegen. The IMAGE codec is real — PNG via the
-  * JDK's `javax.imageio` ([[JdkImageCodec]]), encode/decode/resize,
-  * driver-oracled by q_multimodal_png. Audio/video stay behind the
-  * clearly-marked deterministic [[FakeCodec]] (those libraries aren't
-  * in this container); swapping in a real decoder changes one
-  * function.
+  * in whole-stage codegen. The IMAGE and AUDIO codecs are real — PNG
+  * via the JDK's `javax.imageio` ([[JdkImageCodec]]) and RIFF/WAVE
+  * via `javax.sound.sampled` ([[JdkAudioCodec]]), driver-oracled by
+  * q_multimodal_png / q_multimodal_wav. VIDEO has no decode library
+  * in this container, so its oracled path (q_multimodal_video) runs
+  * over the honest [[SyntheticVideo]] container — the frame-index and
+  * header-parse expressions are codec-independent — and the generic
+  * decodeMeta path keeps the clearly-marked [[FakeCodec]] stand-in;
+  * swapping in a real decoder changes one function.
   */
 object Multimodal {
 
@@ -228,6 +231,40 @@ object Multimodal {
       while (i < b.length) { sum = sum * 31 + (b(i) & 0xff); i += 1 }
       DecodedMeta(row.media_id, row.kind, be32(0), be32(4),
         b.length.toLong, sum)
+    }
+  }
+
+  /** Synthetic VIDEO container (real video decode libraries aren't in
+    * this container — images and audio go through real JDK codecs;
+    * this format makes the video PLUMBING oracled end-to-end anyway):
+    * 12-byte header (be32 width, height, n_frames) followed by
+    * n_frames fixed-size [[FrameBytes]]-byte frames, where byte j of
+    * frame f of video `id` is (id·131 + f·17 + j·7) mod 256. A real
+    * codec swap replaces [[encode]]'s byte generation only — the
+    * native header parse, the frame-index offset expression, and the
+    * query shape are codec-independent. */
+  object SyntheticVideo {
+    val FrameBytes = 16
+
+    def encode(id: Long, width: Int, height: Int,
+        nFrames: Int): Array[Byte] = {
+      val b = new Array[Byte](12 + nFrames * FrameBytes)
+      def put32(o: Int, v: Int): Unit = {
+        b(o) = (v >>> 24).toByte; b(o + 1) = (v >>> 16).toByte
+        b(o + 2) = (v >>> 8).toByte; b(o + 3) = v.toByte
+      }
+      put32(0, width); put32(4, height); put32(8, nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var j = 0
+        while (j < FrameBytes) {
+          b(12 + f * FrameBytes + j) =
+            ((id * 131 + f * 17 + j * 7) % 256).toByte
+          j += 1
+        }
+        f += 1
+      }
+      b
     }
   }
 
@@ -492,6 +529,45 @@ object Multimodal {
     }.toDF("media_id", "hdr_rate", "dec_rate", "n_samples", "amp_sum")
   }
 
+  /** Video frame extraction over the synthetic container: build one
+    * video blob per document, parse the frame COUNT natively off the
+    * container bytes (be32 at offset 8), explode a frame index per
+    * frame, slice each frame at its computed offset with a native
+    * substring, and parse the frame's first word (be32) natively.
+    * Everything after the encode is array/substring/conv expressions —
+    * whole-stage-codegen, no JVM closure — and the oracle recomputes
+    * count, offsets, and words from the generator formula, so an
+    * offset or byte-order bug anywhere in the chain breaks the hash.
+    * Scale shape: scan-stage explode bounded by frames-per-video; the
+    * blob column is pruned away before anything shuffles. */
+  private def videoQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fb = SyntheticVideo.FrameBytes
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 16 + (id % 16).toInt
+          val h = 9 + (id % 9).toInt
+          val nf = 4 + (id % 5).toInt
+          (id, SyntheticVideo.encode(id, w, h, nf))
+        }
+      }.toDF("media_id", "media")
+    media
+      .select(col("media_id"),
+        conv(hex(substring(col("media"), 9, 4)), 16, 10).cast("int")
+          .as("n_frames"),
+        col("media"))
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
+        col("media"))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        expr(s"substring(media, 13 + frame_idx * $fb, $fb)").as("frame"))
+      .select(col("media_id"), col("frame_idx"),
+        conv(hex(expr("substring(frame, 1, 4)")), 16, 10).cast("long")
+          .as("frame_word"),
+        length(col("frame")).cast("long").as("frame_len"))
+  }
+
   /** The oracles recompute expected values from the generator formula —
     * Spark must PARSE the same numbers back out of the binary it
     * built, so a byte-order or offset bug on either the build or parse
@@ -581,6 +657,20 @@ object Multimodal {
       FROM clips c
       JOIN generate_series(0, 149) AS i(i) ON i.i < c.n
       GROUP BY 1, 2, 3, 4""")),
+
+    Q("q_multimodal_video", videoQ, Some("""
+      WITH v AS (SELECT doc_id AS media_id, 4 + doc_id % 5 AS nf
+                 FROM documents),
+      fr AS (SELECT v.media_id, f.f AS frame_idx
+             FROM v JOIN generate_series(0, 8) AS f(f) ON f.f < v.nf)
+      SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             CAST(((media_id * 131 + frame_idx * 17) % 256) * 16777216
+                + ((media_id * 131 + frame_idx * 17 + 7) % 256) * 65536
+                + ((media_id * 131 + frame_idx * 17 + 14) % 256) * 256
+                + ((media_id * 131 + frame_idx * 17 + 21) % 256)
+               AS BIGINT) AS frame_word,
+             CAST(16 AS BIGINT) AS frame_len
+      FROM fr""")),
 
     Q("q_multimodal_frames", framesQ, Some("""
       WITH m AS (SELECT doc_id AS media_id,
