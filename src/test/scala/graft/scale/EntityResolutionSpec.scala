@@ -56,6 +56,31 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).toSet === Set("alpha y"))
   }
 
+  test("ER pipeline recovers exactly one 3-record cluster per entity " +
+      "with the clean name as canonical") {
+    val nEnts = Tables.part(spark, sf).select($"p_name").distinct().count()
+    val rows = SparkEntry.queries("q_er_cluster")(spark, sf).collect()
+    assert(rows.length.toLong === nEnts,
+      "cluster count != entity count: variants split or entities merged")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_records") === 3L,
+        s"cluster ${r.getString(0)} missing variants")
+      // canonical record is the clean variant: rid "a|<name>" and the
+      // name equals the id's payload (corruptions are shorter/longer)
+      val rid = r.getAs[String]("canonical_rid")
+      assert(rid.startsWith("a|"))
+      assert(r.getAs[String]("canonical_name") === rid.substring(2))
+    }
+  }
+
+  test("ER pipeline candidates come from hash joins, never a nested loop") {
+    val plan = SparkEntry.queries("q_er_cluster")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"ER pipeline degenerated to an all-pairs plan:\n$plan")
+  }
+
   test("ties break on distance first, then lexicographic name") {
     val dict = Seq("aa x", "ab x", "ba x").toDF("name")
     val probes = Seq("ac x").toDF("nm")
