@@ -424,7 +424,7 @@ object AdvancedQueries {
                ORDER BY epoch(o_orderdate)
                RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2)
                AS d90_total
-      FROM orders""")),
+      FROM orders"""), headline = true),
 
     Q("q_window_ranks", windowRanks, Some("""
       SELECT c_mktsegment, c_custkey,

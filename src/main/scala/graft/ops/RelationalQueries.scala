@@ -484,7 +484,7 @@ object RelationalQueries {
                ORDER BY valid_from) - 1 AS valid_to,
              CAST(row_number() OVER (PARTITION BY o_custkey
                ORDER BY valid_from) AS BIGINT) AS version
-      FROM pts""")),
+      FROM pts"""), headline = true),
 
     Q("q_topk", topk, Some("""
       SELECT o_orderkey, round(o_totalprice, 2) AS total
@@ -542,7 +542,7 @@ object RelationalQueries {
              round(sum(o_totalprice) OVER (PARTITION BY o_custkey
                ORDER BY o_orderdate ASC, o_orderkey ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
-      FROM orders""")),
+      FROM orders"""), headline = true),
 
     Q("q_window_lag", windowLag, Some("""
       SELECT o_custkey, o_orderkey,

@@ -384,7 +384,7 @@ object ScalarQueries {
                '%Y-%m-%d %H:%M:%S') AS s_end,
              user_id, count(*) AS n_events,
              round(sum(value), 2) AS session_value
-      FROM sessions GROUP BY user_id, sid""")),
+      FROM sessions GROUP BY user_id, sid"""), headline = true),
 
     Q("q_date_extract", dateExtract, Some("""
       SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
