@@ -631,7 +631,62 @@ object Similarity {
       FROM ranked WHERE rank <= $TopK"""
   }
 
+  /** SemDeDup within-cell cosine threshold: at or above it the
+    * higher-id vector of a pair is a semantic duplicate (same value
+    * as the exact near-dup tier, so the spec can cross-check). */
+  val SemDedupTau = 0.45
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public): assign every embedding to its
+    * nearest coarse centroid (the IVF cells — broadcast centroids,
+    * the corpus never shuffles for assignment), then prune
+    * near-duplicates WITHIN each cell only: a vector is dropped when
+    * a lower-id member of its cell has cosine ≥ τ with it; survivors
+    * keep their semantic cell label. The cell structure bounds the
+    * pairwise stage to Σ|cell|² instead of n² — the paper's
+    * observation that semantic duplicates share a cluster — and at
+    * 100 TB the cells are also the write-time partitioning, so the
+    * pair join is partition-local. Deterministic end to end (sampled
+    * centroids, integer tie-breaks, min-id survivor rule), so the
+    * DuckDB oracle replays assignment, pairing, and pruning exactly. */
+  private def semDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = graft.GraftCaches.getOrPersist(s, s"ann.corpus:$d")(corpus(s, d))
+    // cells referenced three times (both pair sides + survivor base)
+    val lists = graft.GraftCaches.getOrPersist(s, s"ann.semcells:$d") {
+      ivfAssign(e, ivfCentroidsOf(e)).join(e, "vec_id")
+    }
+    val dup = lists.as("a").join(lists.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .filter(dot(col("a.v"), col("b.v")) >= SemDedupTau)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    lists.join(dup, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"cell")
+  }
+
+  private def semDedupOracle: String = {
+    val seeds = (0 until IvfCentroids)
+      .map(i => NumQueries + 7L * i + 3L).mkString(", ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e
+            WHERE vec_id IN ($seeds)),
+      a AS (SELECT vec_id, v, cid AS cell FROM (
+              SELECT ev.vec_id, ev.v, c.cid,
+                     row_number() OVER (PARTITION BY ev.vec_id
+                       ORDER BY list_dot_product(ev.v, c.cv) DESC,
+                                c.cid DESC) AS rn
+              FROM e ev CROSS JOIN c) t WHERE rn = 1),
+      dup AS (SELECT DISTINCT x.vec_id
+              FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id > y.vec_id
+              WHERE list_dot_product(x.v, y.v) >= $SemDedupTau)
+      SELECT a.vec_id, a.cell
+      FROM a LEFT JOIN dup USING (vec_id) WHERE dup.vec_id IS NULL"""
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_semdedup", semDedup, Some(semDedupOracle)),
     Q("q_embed_centroids", embedCentroids, Some("""
       WITH e AS (SELECT label,
                         generate_subscripts(embedding, 1) - 1 AS pos,

@@ -308,6 +308,77 @@ object TextOps {
           $"r_dup_bigrams")
   }
 
+  /** Fixed-weight linear quality classifier — the model-based filter
+    * stage of a curation pipeline (production quality gates are
+    * fastText-style linear models over cheap text features; the
+    * weights here are pinned constants so the gate is reproducible
+    * everywhere, and a trained model swaps in by replacing the
+    * constants). Features are the same exact-integer-derived per-row
+    * ratios the Gopher rules use (bit-identical in any engine —
+    * float rule 1); the margin is one fixed-order linear combination,
+    * emitted as floor(margin·1e6) BIGINT units (float rule 4: never
+    * round() a derived double), with the keep decision from the
+    * UNROUNDED margin. No exp(): a sigmoid is monotone in the margin,
+    * so the libm-free margin is the portable score. Scan-stage only —
+    * no shuffle, no UDF, stays in whole-stage codegen. */
+  private def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = tokens($"text")
+    val nTok = size(t)
+    val nTokD = greatest(nTok.cast("double"), lit(1.0))
+    val lenScore = least(length($"text").cast("double") / lit(500.0), lit(1.0))
+    val diversity = size(array_distinct(t)).cast("double") / nTokD
+    val swRatio = size(filter(t, w => w.isInCollection(langStopwords.head._2)))
+      .cast("double") / nTokD
+    val bigrams = when(nTok < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nTok - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+    val dupFrac = when(size(bigrams) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+        size(bigrams).cast("double"))
+    val margin = lit(-1.5) + lit(1.0) * lenScore + lit(1.5) * diversity +
+      lit(8.0) * swRatio - lit(4.0) * dupFrac
+    Tables.documents(s, d).select(
+      $"doc_id",
+      floor(margin * 1000000).as("score_e6"),
+      (margin > 0).as("keep"))
+      .withColumn("score", $"score_e6".cast("double") / 1000000.0)
+  }
+
+  private def qualityClassifierOracle: String = {
+    val enSw = langStopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""
+      WITH t AS (SELECT doc_id, text,
+                        string_split_regex(lower(text), '\\s+') AS toks
+                 FROM documents),
+      m AS (SELECT doc_id,
+                   least(length(text) * 1.0 / 500.0, 1.0) AS len_score,
+                   len(list_distinct(toks)) * 1.0 /
+                     greatest(len(toks), 1) AS diversity,
+                   len(list_filter(toks, w -> w IN ($enSw))) * 1.0 /
+                     greatest(len(toks), 1) AS sw_ratio,
+                   [toks[i] || ' ' || toks[i+1]
+                    for i in range(1, len(toks))] AS bigrams
+            FROM t),
+      f AS (SELECT doc_id, len_score, diversity, sw_ratio,
+                   CASE WHEN len(bigrams) = 0 THEN 0.0
+                        ELSE 1.0 - len(list_distinct(bigrams)) * 1.0 /
+                             len(bigrams)
+                   END AS dup_frac
+            FROM m),
+      g AS (SELECT doc_id,
+                   -1.5 + 1.0 * len_score + 1.5 * diversity +
+                     8.0 * sw_ratio - 4.0 * dup_frac AS margin
+            FROM f),
+      h AS (SELECT doc_id,
+                   CAST(floor(margin * 1000000) AS BIGINT) AS score_e6,
+                   margin > 0 AS keep
+            FROM g)
+      SELECT doc_id, score_e6, keep,
+             CAST(score_e6 AS DOUBLE) / 1000000.0 AS score
+      FROM h"""
+  }
+
   private def gopherOracle: String = {
     val enSw = langStopwords.head._2.map(w => s"'$w'").mkString(", ")
     s"""
@@ -805,6 +876,8 @@ object TextOps {
       FROM s GROUP BY 1, 2""")),
 
     Q("q_gopher_rules", gopherRules, Some(gopherOracle)),
+    Q("q_quality_classifier", qualityClassifier,
+      Some(qualityClassifierOracle)),
     Q("q_curation_splits", curationSplits, Some(curationSplitsOracle)),
 
     Q("q_weighted_sample", weightedSample, Some("""

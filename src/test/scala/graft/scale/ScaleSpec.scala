@@ -344,6 +344,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("semdedup drops only true near-duplicates (subset of the exact " +
+      "cosine tier) and keeps one member of every pair") {
+    val survivors = SparkEntry.queries("q_semdedup")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val all = Tables.embeddings(spark, sf)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val dropped = all diff survivors
+    // exact corpus-wide near-dup pairs at the same τ (v1 < v2)
+    val exactHi = SparkEntry.queries("q_dedup_embed_cosine")(spark, sf)
+      .select($"v2").collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "fixture should contain semantic dups")
+    assert(dropped.subsetOf(exactHi),
+      "semdedup dropped a vector with no exact near-dup — precision broken")
+    // the min-id survivor rule never empties a duplicate group
+    assert(survivors.nonEmpty && (all diff dropped) === survivors)
+  }
+
+  test("quality classifier: fixed-point score consistent with the flag, " +
+      "bounded margin, deterministic") {
+    val rows = SparkEntry.queries("q_quality_classifier")(spark, sf)
+      .collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val e6 = r.getAs[Long]("score_e6")
+      val score = r.getAs[Double]("score")
+      assert(score === e6 / 1000000.0)
+      // weights bound the margin: -1.5 - 4.0 ≤ m ≤ -1.5 + 1 + 1.5 + 8
+      assert(e6 >= -5500000L && e6 <= 9000000L, s"margin out of range: $e6")
+      if (math.abs(score) > 1e-3)
+        assert(r.getAs[Boolean]("keep") === (score > 0))
+    }
+    // both classes occur on the fixture — the gate actually separates
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length,
+      s"degenerate classifier: $kept/${rows.length} kept")
+  }
+
   test("perplexity shuffle fallback (unigram cap exceeded) matches the " +
       "broadcast path exactly and broadcasts nothing") {
     val viaBroadcast = SparkEntry.queries("q_perplexity")(spark, sf)
