@@ -631,7 +631,8 @@ object TextOps {
   /** Per-document cross-entropy (nats/bigram) under the corpus's own
     * add-one-smoothed bigram LM — the KenLM-style perplexity filter a
     * pretraining pipeline uses to score fluency (low = natural, high =
-    * gibberish). p(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V).
+    * gibberish). p(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V),
+    * V = |distinct continuations w2| (the smoothed support).
     *
     * Shape at scale: doc-bigram counts and the LM's bigram counts both
     * collapse map-side before ONE shuffle each on (w1,w2); the unigram
@@ -681,9 +682,11 @@ object TextOps {
     val uniJoin =
       if (lmUni.count() <= uniBroadcastCap) broadcast(lmUni)
       else lmUni.hint("shuffle_hash")
-    val vocab = Tables.documents(s, d)
-      .select(explode(tokens($"text")).as("w"))
-      .agg(countDistinct($"w").as("v"))
+    // V = the smoothed conditional's support: distinct continuations
+    // w2 in the corpus bigram table. Derived from the CACHED doc-
+    // bigram table — the previous all-tokens definition re-exploded
+    // the whole corpus for one scalar, a second full pass per run.
+    val vocab = lmBig.agg(countDistinct($"w2").as("v"))
     val lnp = round(log(($"c12" + 1).cast("double") / ($"c1" + $"v")), 6)
       .cast("decimal(18,6)")
     docBig
@@ -1008,9 +1011,7 @@ object TextOps {
              FROM pairs GROUP BY 1, 2, 3),
       big AS (SELECT w1, w2, sum(cnt) AS c12 FROM db GROUP BY 1, 2),
       uni AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
-      voc AS (SELECT count(DISTINCT w) AS v FROM
-                (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
-                 FROM documents)),
+      voc AS (SELECT count(DISTINCT w2) AS v FROM big),
       terms AS (SELECT db.doc_id, db.cnt,
                        CAST(round(ln((big.c12 + 1) * 1.0 / (uni.c1 + voc.v)),
                                   6) AS DECIMAL(18,6)) * db.cnt AS term
