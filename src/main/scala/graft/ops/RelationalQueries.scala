@@ -71,6 +71,36 @@ object RelationalQueries {
 
   /** Left outer join preserving customers with zero orders; count(key)
     * skips nulls so empty groups report 0. */
+  /** TPC-H Q5-style star join — the deepest multi-way join in the
+    * catalog (6 tables): lineitem ⋈ orders is the fact-fact shuffle;
+    * customer and supplier are SF-scaling dimensions left UNHINTED so
+    * the planner picks broadcast at test SFs from parquet stats and
+    * AQE falls back to shuffle once they outgrow the threshold at
+    * real scale (hinting them broadcast would OOM a 100 TB run);
+    * only the fixed-size nation ⋈ region chain is hinted. The
+    * local-supplier condition (c_nationkey = s_nationkey) makes the
+    * supplier join two-keyed — the classic Q5 wrinkle that defeats
+    * naive star-join rewrites. Date filter reaches the orders scan as
+    * PushedFilters. */
+  private def starJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dims = Tables.nation(s, d)
+      .join(Tables.region(s, d), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(Tables.supplier(s, d),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(dims), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   private def joinLeft(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.customer(s, d)
@@ -485,6 +515,23 @@ object RelationalQueries {
              CAST(row_number() OVER (PARTITION BY o_custkey
                ORDER BY valid_from) AS BIGINT) AS version
       FROM pts"""), headline = true),
+
+    Q("q_star_join", starJoin, headline = true, oracle = Some("""
+      SELECT n_name,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+               AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+                   AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1""")),
 
     Q("q_topk", topk, Some("""
       SELECT o_orderkey, round(o_totalprice, 2) AS total

@@ -197,6 +197,45 @@ object Multimodal {
       hash
     }
 
+    /** VAD-style voiced-segment stats over the DECODED samples: fixed
+      * 25-sample windows, a window is "voiced" when its mean
+      * |amplitude| exceeds the clip mean — compared cross-multiplied
+      * (windowSum·n > totalSum·windowCount, the same exact-integer
+      * form as [[envHash32]]), so the segmentation is SQL-replayable.
+      * Returns (nWindows, nVoiced, longest consecutive voiced run) —
+      * the speech-detection accounting an audio curation pipeline
+      * runs before keeping a clip. */
+    def voicedSegments(wav: Array[Byte],
+        windowLen: Int = 25): (Long, Long, Long) = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      val nW = (n + windowLen - 1) / windowLen
+      val ws = new Array[Long](nW)
+      val wc = new Array[Long](nW)
+      var ts = 0L
+      var i = 0
+      while (i < n) {
+        val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+        val a = math.abs(s.toLong)
+        val w = i / windowLen
+        ws(w) += a; wc(w) += 1; ts += a
+        i += 1
+      }
+      var voiced = 0L
+      var longest = 0L
+      var run = 0L
+      var w = 0
+      while (w < nW) {
+        if (ws(w) * n > ts * wc(w)) {
+          voiced += 1; run += 1
+          if (run > longest) longest = run
+        } else run = 0
+        w += 1
+      }
+      (nW.toLong, voiced, longest)
+    }
+
     /** Decode → (sampleRate, nSamples, Σ|sample|). */
     def decodeWav(wav: Array[Byte]): (Int, Long, Long) = {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
@@ -529,6 +568,27 @@ object Multimodal {
     }.toDF("media_id", "hdr_rate", "dec_rate", "n_samples", "amp_sum")
   }
 
+  /** Voiced-segment accounting through the REAL WAV codec — encode an
+    * actual PCM clip per document, decode it, run the integer
+    * segmentation ([[JdkAudioCodec.voicedSegments]]). The oracle
+    * replays windows, the cross-multiplied voiced test, and the
+    * longest run (gaps-and-islands) from the sample formula — a codec
+    * or windowing bug on either side breaks the hash. Scan-stage
+    * mapPartitions, no shuffle. */
+  private def audioSegQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nSamp = 100 + (id % 50).toInt
+          val rate = 8000 + (id % 4).toInt * 4000
+          val (nw, nv, lr) = JdkAudioCodec.voicedSegments(
+            JdkAudioCodec.encodeWav(id, nSamp, rate))
+          (id, nw, nv, lr)
+        }
+      }.toDF("media_id", "n_windows", "n_voiced", "longest_voiced")
+  }
+
   /** Video frame extraction over the synthetic container: build one
     * video blob per document, parse the frame COUNT natively off the
     * container bytes (be32 at offset 8), explode a frame index per
@@ -657,6 +717,36 @@ object Multimodal {
       FROM clips c
       JOIN generate_series(0, 149) AS i(i) ON i.i < c.n
       GROUP BY 1, 2, 3, 4""")),
+
+    Q("q_audio_segments", audioSegQ, Some("""
+      WITH clips AS (SELECT doc_id AS media_id, 100 + doc_id % 50 AS n
+                     FROM documents),
+      smp AS (SELECT c.media_id, c.n, i.i // 25 AS w,
+                     abs((((c.media_id * 31 + i.i * 7) % 2003) - 1001)
+                         * 16) AS a
+              FROM clips c
+              JOIN generate_series(0, 149) AS i(i) ON i.i < c.n),
+      win AS (SELECT media_id, n, w, sum(a) AS ws, count(*) AS wc
+              FROM smp GROUP BY 1, 2, 3),
+      tot AS (SELECT media_id, sum(ws) AS ts FROM win GROUP BY 1),
+      flags AS (SELECT win.media_id, win.w,
+                       CASE WHEN win.ws * win.n > tot.ts * win.wc
+                            THEN 1 ELSE 0 END AS v
+                FROM win JOIN tot USING (media_id)),
+      runs AS (SELECT media_id, w, v,
+                      w - row_number() OVER (PARTITION BY media_id, v
+                                             ORDER BY w) AS grp
+               FROM flags),
+      runlen AS (SELECT media_id, count(*) AS len
+                 FROM runs WHERE v = 1 GROUP BY media_id, grp),
+      agg AS (SELECT media_id, count(*) AS n_windows, sum(v) AS n_voiced
+              FROM flags GROUP BY 1),
+      lr AS (SELECT media_id, max(len) AS longest FROM runlen GROUP BY 1)
+      SELECT a.media_id,
+             CAST(a.n_windows AS BIGINT) AS n_windows,
+             CAST(a.n_voiced AS BIGINT) AS n_voiced,
+             CAST(coalesce(l.longest, 0) AS BIGINT) AS longest_voiced
+      FROM agg a LEFT JOIN lr l USING (media_id)""")),
 
     Q("q_multimodal_video", videoQ, Some("""
       WITH v AS (SELECT doc_id AS media_id, 4 + doc_id % 5 AS nf

@@ -53,6 +53,19 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(df) <= 3)
   }
 
+  test("q_star_join: date filter pushed, dims broadcast at this SF, " +
+      "facts shuffle once each, no cartesian") {
+    val df = q("q_star_join")
+    val plan = initial(df).toString
+    assert(plan.contains("PushedFilters: ["), "no pushdown at any scan")
+    assert(plan.contains("o_orderdate"), "date filter missing from scan")
+    // customer/supplier/nation⋈region all fit the threshold here; the
+    // only shuffles are lineitem⋈orders (2) + final agg (1)
+    assert(broadcasts(df) >= 3, "dimension chain should broadcast")
+    assert(shuffles(df) <= 3, s"too many shuffles:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_join_broadcast_dims: zero shuffles before final aggregation") {
     val df = q("q_join_broadcast_dims")
     assert(broadcasts(df) === 2, "both dims must broadcast")
