@@ -271,6 +271,32 @@ object StatsQueries {
         max($"gap_us").as("max_us"))
   }
 
+  /** Forward-fill (LOCF — last observation carried forward): treat
+    * `click` events' values as sparse sensor readings and carry each
+    * user's most recent reading onto every subsequent event — the
+    * gap-fill a feature-engineering pipeline runs before training-set
+    * assembly (as-of self-join semantics, expressed as ONE window).
+    * Shape at scale: a single shuffle on user_id, then a running
+    * `last(ignoreNulls)` frame — no self-join, no range probe; the
+    * user_id predicate is pushed to the parquet scan. Values pass
+    * through untouched (no arithmetic), so the hash compare is
+    * float-safe by construction. */
+  private def locfFill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Long.MinValue, 0)
+    Tables.events(s, d)
+      .filter($"user_id" < 10)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"event_type", $"ts",
+        when($"event_type" === "click", $"value").as("reading"))
+      .withColumn("filled", last($"reading", ignoreNulls = true).over(w))
+      .select($"event_id", $"user_id", $"ts_us", $"event_type",
+        $"reading", $"filled",
+        ($"reading".isNull && $"filled".isNotNull).as("is_filled"))
+  }
+
   /** Dataset-profiling manifest — the per-column stats card
     * (row/null/distinct counts, lexicographic min/max) a pipeline
     * publishes with every snapshot. ONE aggregate pass computes every
@@ -436,6 +462,20 @@ object StatsQueries {
              quantile_cont(gap_us, 0.95) AS p95_us,
              CAST(max(gap_us) AS BIGINT) AS max_us
       FROM g WHERE gap_us IS NOT NULL GROUP BY 1""")),
+
+    Q("q_locf_fill", locfFill, Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                        event_type,
+                        CASE WHEN event_type = 'click' THEN value END
+                          AS reading
+                 FROM events WHERE user_id < 10),
+      f AS (SELECT *, last_value(reading IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+            FROM e)
+      SELECT event_id, user_id, ts_us, event_type, reading, filled,
+             (reading IS NULL AND filled IS NOT NULL) AS is_filled
+      FROM f""")),
 
     Q("q_event_debounce", debounce, Some("""
       WITH g AS (SELECT event_type,

@@ -160,7 +160,58 @@ object GraphOps {
       FROM r$Iterations"""
   }
 
+  /** Triangle counting over the supplier co-occurrence graph (an edge
+    * links two suppliers iff they appear in the same order) — the
+    * clustering/community primitive of graph analytics. Edges are
+    * id-ORIENTED (a < b), so each triangle is enumerated exactly once
+    * as a<b<c: wedge-join E(a,b)⋈E(b,c) then a semi-join probe for
+    * the closing edge E(a,c) — two equi-shuffles, never an all-pairs.
+    * Per-order co-occurrence is bounded by the ~7-lineitem order size,
+    * so the edge build is a small self-join inside each order group.
+    * At web scale the refinement is degree-ordering instead of
+    * id-ordering (orient edges low-degree → high-degree), which bounds
+    * the wedge fan-out by the arboricity — same plan shape, different
+    * orientation key; left id-ordered here because the oracle must
+    * replay the orientation exactly. */
+  private def triangles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // Four branches read the oriented edge list (both wedge sides, the
+    // closing-edge probe, the edge/node counts) — registry-cache it so
+    // the order-group self-join runs once, not once per branch.
+    val e = graft.GraftCaches.getOrPersist(s, s"graph.supplier_cooc:$d") {
+      val so = Tables.lineitem(s, d)
+        .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+      so.as("x").join(so.as("y"), Seq("ok"))
+        .filter($"x.sk" < $"y.sk")
+        .select($"x.sk".as("a"), $"y.sk".as("b"))
+        .distinct()
+    }
+    val wedges = e.as("e1")
+      .join(e.as("e2"), $"e1.b" === $"e2.a")
+      .select($"e1.a".as("a"), $"e1.b".as("b"), $"e2.b".as("c"))
+    val tri = wedges.as("w").join(e.as("e3"),
+      $"w.a" === $"e3.a" && $"w.c" === $"e3.b", "left_semi")
+    val nNodes = e.select($"a".as("n")).unionAll(e.select($"b".as("n")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    tri.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(nNodes))
+      .select($"n_nodes", $"n_edges", $"n_triangles")
+  }
+
   val queries: Seq[Q] = Seq(
-    Q("q_pagerank", pagerank, Some(pagerankOracle), headline = true)
+    Q("q_pagerank", pagerank, Some(pagerankOracle), headline = true),
+    Q("q_triangle_count", triangles, Some("""
+      WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                  FROM lineitem),
+      e AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+            FROM so x JOIN so y ON x.ok = y.ok AND x.sk < y.sk),
+      tri AS (SELECT 1 FROM e e1
+              JOIN e e2 ON e1.b = e2.a
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e)
+      SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+             (SELECT count(*) FROM e) AS n_edges,
+             (SELECT count(*) FROM tri) AS n_triangles"""))
   )
 }

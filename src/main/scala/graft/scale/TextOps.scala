@@ -492,6 +492,49 @@ object TextOps {
       .select($"doc_id", $"rn".cast("long").as("rn"), $"token", $"score")
   }
 
+  /** BM25 retrieval scoring (k1=1.2, b=0.75, Lucene's +1-inside-the-log
+    * idf, so idf ≥ 0 even for stop-like terms) for a pinned 3-term
+    * query — the ranking function a retrieval index computes over a
+    * corpus, and the relevance filter a RAG-style curation pipeline
+    * runs at selection time. Shape at scale: the token stream collapses
+    * map-side into per-doc lengths (one shuffle) and — term-filtered
+    * BEFORE the aggregate, so only matching postings move — per-doc
+    * term frequencies; df and the corpus length stats derive from
+    * those tiny tables and join back BROADCAST; top-20 is
+    * TakeOrderedAndProject, never a global sort. Float discipline:
+    * ln() is rounded to the 1e-6 grid (rule 6), every other step is a
+    * single correctly-rounded op on bit-identical doubles, and the
+    * final score is emitted as floor(score·1e6) BIGINT units
+    * (rule 4a) with the convenience double via one exact divide. */
+  private def bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qTerms = Seq("query", "join", "data")
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+    val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(sum($"dl").as("tot_len"), count(lit(1)).as("n_docs"))
+    val tf = tok.filter($"token".isInCollection(qTerms))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val idf6 = round(log(($"n_docs" - $"df" + lit(0.5)) /
+      ($"df" + lit(0.5)) + lit(1.0)), 6)
+    val units = floor(idf6 * (lit(2.2) * $"tf") /
+        ($"tf" + lit(1.2) * (lit(0.25) +
+          lit(0.75) * ($"dl" * $"n_docs" / $"tot_len"))) *
+        lit(1000000.0)).cast("long")
+    tf.join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", units.as("units"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum($"units").as("score_units"))
+      .orderBy($"score_units".desc, $"doc_id".asc)
+      .limit(20)
+      .select($"doc_id", $"n_terms", $"score_units",
+        ($"score_units" / lit(1000000.0)).as("score"))
+  }
+
   /** Bigram language-model statistics: adjacent-token pair counts plus
     * the conditional probability p(w2 | w1) = count(w1 w2) / count(w1 ·),
     * the unit of n-gram LM training and of corpus-contamination
@@ -918,6 +961,34 @@ object TextOps {
         FROM scored)
       SELECT doc_id, CAST(rn AS BIGINT) AS rn, token, score
       FROM ranked WHERE rn <= 3 AND doc_id < 100""")),
+
+    Q("q_bm25", bm25, Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\s+')) AS token
+        FROM documents),
+      tok2 AS (SELECT * FROM tok WHERE token <> ''),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+      stats AS (SELECT sum(dl) AS tot_len, count(*) AS n_docs FROM dl),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2
+             WHERE token IN ('query', 'join', 'data') GROUP BY 1, 2),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                 round(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5)
+                          + 1.0), 6)
+                 * (2.2 * tf.tf)
+                 / (tf.tf + 1.2 * (0.25
+                     + 0.75 * (dl.dl * stats.n_docs / stats.tot_len)))
+                 * 1000000.0) AS BIGINT) AS units
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+        CROSS JOIN stats),
+      agg AS (SELECT doc_id, count(*) AS n_terms, sum(units) AS score_units
+              FROM scored GROUP BY 1)
+      SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, score_units,
+             score_units / 1000000.0 AS score
+      FROM agg ORDER BY score_units DESC, doc_id ASC LIMIT 20""")),
 
     Q("q_top_tokens", topTokens, Some("""
       WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+'))
