@@ -302,6 +302,71 @@ object AdvancedQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Association-rule mining (market-basket) over parts co-ordered in
+    * the same order: pair support from an in-order self-join (order
+    * baskets are ~7 lineitems, so the per-group pair blowup is bounded
+    * by C(7,2) — never an all-pairs across orders), item supports and
+    * the order count from one pass each over the cached basket table.
+    * confidence = sup_ab/sup_a and lift = sup_ab·N/(sup_a·sup_b) are
+    * emitted as RAW doubles — each is ONE correctly-rounded divide of
+    * exact integers (float rule 1), so no rounding is needed for the
+    * hash compare. Top-20 by (support, a, b) is a total order via
+    * TakeOrderedAndProject. The item-support join is left unhinted:
+    * |parts| scales with SF, so AQE picks broadcast only while it
+    * fits. */
+  private def assocRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // Three consumers (pair join ×2 sides via aliases, item supports,
+    // order count) — registry-cache the distinct basket table.
+    val op = graft.GraftCaches.getOrPersist(s, s"basket.order_part:$d") {
+      Tables.lineitem(s, d)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    }
+    val supItem = op.groupBy($"pk").agg(count(lit(1)).as("sup"))
+    val nOrders = op.select($"ok").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    op.as("x").join(op.as("y"), Seq("ok"))
+      .filter($"x.pk" < $"y.pk")
+      .groupBy($"x.pk".as("a"), $"y.pk".as("b"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .join(supItem.select($"pk".as("a"), $"sup".as("sup_a")), "a")
+      .join(supItem.select($"pk".as("b"), $"sup".as("sup_b")), "b")
+      .crossJoin(broadcast(nOrders))
+      .orderBy($"sup_ab".desc, $"a".asc, $"b".asc)
+      .limit(20)
+      .select($"a", $"b", $"sup_ab", $"sup_a", $"sup_b",
+        ($"sup_ab" / $"sup_a").as("confidence"),
+        ($"sup_ab" * $"n_orders" / ($"sup_a" * $"sup_b")).as("lift"))
+  }
+
+  /** Key-skew profiler — the diagnostic a pipeline runs BEFORE picking
+    * a join/agg strategy on a key (salting and AQE skew-join decisions
+    * start from exactly this table): top-20 heaviest l_suppkey values
+    * with each key's share and the cumulative share of the head.
+    * Shares are single divides of exact integers (float rule 1); the
+    * cumulative numerator is a running BIGINT sum over the already-
+    * limited 20 rows (exact, and the unpartitioned window is fine
+    * because it sees only the top-k survivors, never the corpus).
+    * hot_ratio = cnt·n_keys/total compares each key to the uniform
+    * expectation — the number a salting heuristic thresholds on. */
+  private def skewProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.lineitem(s, d)
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum($"cnt").as("total"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.crossJoin(broadcast(tot))
+      .orderBy($"cnt".desc, $"l_suppkey".asc)
+      .limit(20)
+    val w = Window.orderBy($"cnt".desc, $"l_suppkey".asc)
+      .rowsBetween(Long.MinValue, 0)
+    top.withColumn("cum_cnt", sum($"cnt").over(w))
+      .select($"l_suppkey", $"cnt",
+        ($"cnt" / $"total").as("share"),
+        ($"cum_cnt" / $"total").as("cum_share"),
+        ($"cnt" * $"n_keys" / $"total").as("hot_ratio"))
+  }
+
   /** Feature standardization: z-score and min-max scaling of a
     * numeric column. The stats collapse to ONE row which joins back
     * as a broadcast — never a window over the whole table (a global
@@ -416,6 +481,43 @@ object AdvancedQueries {
              CAST(zscore_c2 AS DOUBLE) / 100.0 AS zscore,
              CAST(minmax_e4 AS DOUBLE) / 10000.0 AS minmax
       FROM f""")),
+
+    Q("q_assoc_rules", assocRules, Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem),
+      sup AS (SELECT pk, count(*) AS sup FROM op GROUP BY 1),
+      n AS (SELECT count(DISTINCT ok) AS n_orders FROM op),
+      pairs AS (SELECT x.pk AS a, y.pk AS b, count(*) AS sup_ab
+                FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+                GROUP BY 1, 2),
+      top AS (SELECT p.a, p.b, p.sup_ab, sa.sup AS sup_a, sb.sup AS sup_b,
+                     n.n_orders
+              FROM pairs p
+              JOIN sup sa ON sa.pk = p.a
+              JOIN sup sb ON sb.pk = p.b
+              CROSS JOIN n
+              ORDER BY p.sup_ab DESC, p.a ASC, p.b ASC LIMIT 20)
+      SELECT a, b, sup_ab, sup_a, sup_b,
+             sup_ab / sup_a AS confidence,
+             sup_ab * n_orders / (sup_a * sup_b) AS lift
+      FROM top""")),
+
+    Q("q_skew_profile", skewProfile, Some("""
+      WITH c AS (SELECT l_suppkey, count(*) AS cnt
+                 FROM lineitem GROUP BY 1),
+      t AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM c),
+      top AS (SELECT c.l_suppkey, c.cnt, t.total, t.n_keys
+              FROM c CROSS JOIN t
+              ORDER BY c.cnt DESC, c.l_suppkey ASC LIMIT 20),
+      r AS (SELECT *, sum(cnt) OVER (ORDER BY cnt DESC, l_suppkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_cnt
+            FROM top)
+      SELECT l_suppkey, cnt,
+             cnt / total AS share,
+             cum_cnt / total AS cum_share,
+             cnt * n_keys / total AS hot_ratio
+      FROM r""")),
 
     Q("q_window_range", windowRange, Some("""
       SELECT o_custkey, o_orderkey,

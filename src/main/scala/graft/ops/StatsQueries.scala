@@ -297,6 +297,38 @@ object StatsQueries {
         ($"reading".isNull && $"filled".isNotNull).as("is_filled"))
   }
 
+  /** Rolling anomaly detection — flag events whose value exceeds 3
+    * rolling standard deviations over the trailing 50 events of the
+    * same type (the streaming-shaped drift/outlier monitor a metrics
+    * pipeline runs per series). Float discipline: values are snapped
+    * to integer cents (the 2-decimal grid is exact in every engine),
+    * the rolling moments are BIGINT window sums (exact regardless of
+    * accumulation order), and the 3σ test is CROSS-MULTIPLIED into
+    * pure integer form — (n·x−s)² > 9·(n·q−s²) ⇔ (x−mean)² > 9·var —
+    * so no float ever reaches the comparison (rules 2/5). Shape at
+    * scale: ONE shuffle on event_type, then a bounded 50-row frame —
+    * no self-join, no global window. */
+  private def rollingAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(-49, 0)
+    Tables.events(s, d)
+      .select($"event_id", $"event_type", $"ts",
+        unix_micros($"ts").as("ts_us"),
+        round($"value" * 100, 0).cast("long").as("cents"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sw", sum($"cents").over(w))
+      .withColumn("qw", sum($"cents" * $"cents").over(w))
+      .filter($"n" >= 10 &&
+        ($"n" * $"cents" - $"sw") * ($"n" * $"cents" - $"sw") >
+          lit(9) * ($"n" * $"qw" - $"sw" * $"sw"))
+      .select($"event_id", $"event_type", $"ts_us", $"cents", $"n",
+        (($"n" * $"cents" - $"sw") *
+          ($"n" * $"cents" - $"sw")).as("dev2_n2"),
+        ($"n" * $"qw" - $"sw" * $"sw").as("var_n2"))
+  }
+
   /** Dataset-profiling manifest — the per-column stats card
     * (row/null/distinct counts, lexicographic min/max) a pipeline
     * publishes with every snapshot. ONE aggregate pass computes every
@@ -462,6 +494,25 @@ object StatsQueries {
              quantile_cont(gap_us, 0.95) AS p95_us,
              CAST(max(gap_us) AS BIGINT) AS max_us
       FROM g WHERE gap_us IS NOT NULL GROUP BY 1""")),
+
+    Q("q_rolling_anomaly", rollingAnomaly, Some("""
+      WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us, ts,
+                        CAST(round(value * 100, 0) AS BIGINT) AS cents
+                 FROM events),
+      r AS (SELECT event_id, event_type, ts_us, cents,
+                   count(*) OVER w AS n,
+                   sum(cents) OVER w AS sw,
+                   sum(cents * cents) OVER w AS qw
+            FROM e
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
+      SELECT event_id, event_type, ts_us, cents, n,
+             (n * cents - sw) * (n * cents - sw) AS dev2_n2,
+             n * qw - sw * sw AS var_n2
+      FROM r
+      WHERE n >= 10
+        AND (n * cents - sw) * (n * cents - sw) > 9 * (n * qw - sw * sw)""")),
 
     Q("q_locf_fill", locfFill, Some("""
       WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
