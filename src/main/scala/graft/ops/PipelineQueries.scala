@@ -131,6 +131,37 @@ object PipelineQueries {
         round(sum($"o_totalprice"), 2).as("total"))
   }
 
+  /** Bucketed co-located join: both fact and dimension are written as
+    * Hive-bucketed parquet tables (8 buckets on the join key, sorted
+    * within buckets), then joined THROUGH the catalog — matching
+    * bucket spec on both sides means the join needs NO exchange at
+    * all; at 100 TB this is the difference between re-shuffling the
+    * fact table on every consuming join and paying the layout cost
+    * once at write time (the same motivation as q_zorder_layout, for
+    * join keys instead of range predicates). A BucketSpec case in
+    * StorageSpec pins the shuffle-free plan with broadcast disabled;
+    * the oracle replays the join from the raw parquet — results are
+    * layout-independent by construction. Table names carry the SF-dir
+    * tag so sf0.01/sf0.1 runs never collide in one session. */
+  private def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val ot = s"orders_bkt_$tag"
+    val ct = s"customer_bkt_$tag"
+    Tables.orders(s, d).write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", Tables.scratch(d, "orders_bucketed"))
+      .saveAsTable(ot)
+    Tables.customer(s, d).write.mode("overwrite").format("parquet")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", Tables.scratch(d, "customer_bucketed"))
+      .saveAsTable(ct)
+    s.table(ot).join(s.table(ct), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"o_totalprice"), 2).as("total"))
+  }
+
   /** Snapshot diff (CDC extraction): classify every key across two
     * table versions as insert / delete / update by comparing row
     * digests over a FULL OUTER join on the key — the change feed a
@@ -389,6 +420,12 @@ object PipelineQueries {
       SELECT o_orderstatus, count(*) AS cnt,
              round(sum(o_totalprice), 2) AS total
       FROM orders WHERE year(o_orderdate) = 1996
+      GROUP BY 1""")),
+
+    Q("q_bucketed_join", bucketedJoin, Some("""
+      SELECT c_mktsegment, count(*) AS cnt,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1""")),
 
     Q("q_master_pipeline", masterPipeline, Some("""

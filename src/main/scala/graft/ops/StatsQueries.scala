@@ -297,6 +297,35 @@ object StatsQueries {
         ($"reading".isNull && $"filled".isNotNull).as("is_filled"))
   }
 
+  /** Grouped least-squares trend: per event series, the OLS slope of
+    * value against day index — the per-key regression a metrics
+    * pipeline fits to ask "is this series drifting, and how fast".
+    * Float discipline: x is an integer day index and y integer cents,
+    * all four moments (Σx, Σy, Σxy, Σx²) are exact BIGINT sums, and
+    * the closed-form slope (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is ONE divide
+    * of exact integers (rule 1) — numerator and denominator are also
+    * emitted so the oracle pins the integer algebra, not just the
+    * quotient. One map-side-combining aggregate, no window, no
+    * self-join. */
+  private def groupOls(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val day = datediff($"ts".cast("date"), lit("2024-01-01").cast("date"))
+      .cast("long")
+    Tables.events(s, d)
+      .select($"event_type", day.as("x"),
+        round($"value" * 100, 0).cast("long").as("y"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"))
+      .select($"event_type", $"n",
+        ($"n" * $"sxy" - $"sx" * $"sy").as("slope_num"),
+        ($"n" * $"sxx" - $"sx" * $"sx").as("slope_den"),
+        (($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx")).as("slope_cents_per_day"),
+        ($"sy" / $"n").as("mean_cents"))
+  }
+
   /** Rolling anomaly detection — flag events whose value exceeds 3
     * rolling standard deviations over the trailing 50 events of the
     * same type (the streaming-shaped drift/outlier monitor a metrics
@@ -494,6 +523,23 @@ object StatsQueries {
              quantile_cont(gap_us, 0.95) AS p95_us,
              CAST(max(gap_us) AS BIGINT) AS max_us
       FROM g WHERE gap_us IS NOT NULL GROUP BY 1""")),
+
+    Q("q_group_ols", groupOls, Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(datediff('day', DATE '2024-01-01',
+                          CAST(ts AS DATE)) AS BIGINT) AS x,
+                        CAST(round(value * 100, 0) AS BIGINT) AS y
+                 FROM events),
+      m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM e GROUP BY 1)
+      SELECT event_type, n,
+             n * sxy - sx * sy AS slope_num,
+             n * sxx - sx * sx AS slope_den,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx)
+               AS slope_cents_per_day,
+             sy / n AS mean_cents
+      FROM m""")),
 
     Q("q_rolling_anomaly", rollingAnomaly, Some("""
       WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us, ts,

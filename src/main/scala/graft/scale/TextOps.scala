@@ -535,6 +535,55 @@ object TextOps {
         ($"score_units" / lit(1000000.0)).as("score"))
   }
 
+  /** BPE tokenizer induction, first merge round: the frequency of
+    * every adjacent symbol pair, weighted by word frequency — the
+    * statistic whose argmax IS the first BPE merge rule. The critical
+    * scale property is that pair counting runs over the VOCABULARY
+    * (word, freq) table, never the raw corpus: the token stream
+    * collapses map-side into word frequencies first (one shuffle),
+    * and the per-word character explode then touches |vocab|·|word|
+    * rows — orders of magnitude below corpus token count, which is
+    * exactly how production BPE trainers stay tractable. Top-20 by
+    * (count, pair) is a total order via TakeOrderedAndProject. */
+  private def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    val pairs = when(length($"w") < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length($"w") - 1),
+        i => $"w".substr(i, lit(2))))
+    vocab.select($"freq", explode(pairs).as("pair"))
+      .groupBy($"pair").agg(sum($"freq").as("cnt"))
+      .orderBy($"cnt".desc, $"pair".asc)
+      .limit(20)
+  }
+
+  /** Quantile-threshold selection — keep only documents at or above
+    * the corpus's 90th-percentile token count, reported per language
+    * (the "top-X% by quality score" selection step of a curation
+    * pipeline; any scored column slots in for the score). The exact
+    * interpolated percentile collapses to a 1-row broadcast that the
+    * scan-stage filter compares against — never a global sort or a
+    * rank window over the corpus, which is what makes percentile
+    * selection viable at 100 TB. The interpolation arithmetic is the
+    * same exact formula in Spark's percentile() and DuckDB's
+    * quantile_cont (locked green by q_percentiles). */
+  private def quantileFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nt = Tables.documents(s, d)
+      .select($"doc_id", $"lang",
+        size(tokens($"text")).cast("long").as("n_tokens"))
+    val thr = nt.agg(expr("percentile(n_tokens, 0.9)").as("p90"))
+    nt.crossJoin(broadcast(thr))
+      .filter($"n_tokens" >= $"p90")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"),
+        min($"n_tokens").as("min_kept_tokens"),
+        max($"p90").as("p90"))
+  }
+
   /** Bigram language-model statistics: adjacent-token pair counts plus
     * the conditional probability p(w2 | w1) = count(w1 w2) / count(w1 ·),
     * the unit of n-gram LM training and of corpus-contamination
@@ -989,6 +1038,31 @@ object TextOps {
       SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, score_units,
              score_units / 1000000.0 AS score
       FROM agg ORDER BY score_units DESC, doc_id ASC LIMIT 20""")),
+
+    Q("q_bpe_merges", bpeMerges, Some("""
+      WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+'))
+                     AS w
+                   FROM documents),
+      v AS (SELECT w, count(*) AS freq FROM tok WHERE w <> ''
+            GROUP BY 1),
+      p AS (SELECT substring(v.w, i.i, 2) AS pair, v.freq
+            FROM v JOIN generate_series(1, 64) AS i(i)
+              ON i.i <= length(v.w) - 1)
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM p GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 20""")),
+
+    Q("q_quantile_filter", quantileFilter, Some("""
+      WITH nt AS (SELECT doc_id, lang,
+                         CAST(len(string_split_regex(lower(text), '\s+'))
+                           AS BIGINT) AS n_tokens
+                  FROM documents),
+      t AS (SELECT quantile_cont(n_tokens, 0.9) AS p90 FROM nt)
+      SELECT lang, count(*) AS n_kept,
+             CAST(min(n_tokens) AS BIGINT) AS min_kept_tokens,
+             max(t.p90) AS p90
+      FROM nt CROSS JOIN t
+      WHERE n_tokens >= t.p90
+      GROUP BY 1""")),
 
     Q("q_top_tokens", topTokens, Some("""
       WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+'))

@@ -107,6 +107,20 @@ class StorageSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("q_bucketed_join: bucket-to-bucket join, only the final agg " +
+      "shuffles even with broadcast disabled") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q_bucketed_join")(spark, sf)
+      assert(shuffleCount(df) === 1,
+        "the 8-bucket join must be exchange-free; only the groupBy " +
+          "aggregation may shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("partitioned write enables partition pruning in the scan") {
     val dir = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("target"), "part_out")
