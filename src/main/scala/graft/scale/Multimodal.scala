@@ -59,6 +59,35 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Nearest-neighbor thumbnail resize over the DECODED raster —
+      * the sample index is pure integer center-point math
+      * (sx = (2·tx+1)·w div 2·tw), NOT Graphics2D interpolation, so
+      * the thumbnail is engine-portable and SQL-replayable from the
+      * pixel formula. Returns (Σ pixel, Σ pixel·position) over the
+      * tw×th thumbnail — the two exact sums that pin content and
+      * layout. */
+    def resizeNearest(png: Array[Byte], tw: Int, th: Int): (Long, Long) = {
+      val img = ImageIO.read(new ByteArrayInputStream(png))
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0L
+      var wsum = 0L
+      var ty = 0
+      while (ty < th) {
+        val sy = (2 * ty + 1) * h / (2 * th)
+        var tx = 0
+        while (tx < tw) {
+          val sx = (2 * tx + 1) * w / (2 * tw)
+          val v = (img.getRGB(sx, sy) & 0xff).toLong
+          sum += v
+          wsum += v * (ty * tw + tx + 1)
+          tx += 1
+        }
+        ty += 1
+      }
+      (sum, wsum)
+    }
+
     /** Decode → (width, height, sum of blue-channel pixel values). */
     def decode(png: Array[Byte]): (Int, Int, Long) = {
       val img = ImageIO.read(new ByteArrayInputStream(png))
@@ -518,6 +547,30 @@ object Multimodal {
       }.toDF("media_id", "ahash_hi", "ahash_lo")
   }
 
+  /** Thumbnail/resize feature extraction through the REAL image codec
+    * — encode an actual PNG per document, decode it, and downsample
+    * to an 8×6 thumbnail with integer nearest-neighbor indexing
+    * ([[JdkImageCodec.resizeNearest]]): the resize stage of a
+    * multimodal curation pipeline (thumbnails feed dedup, NSFW
+    * scoring, and embedding models at a fraction of full-res cost).
+    * The oracle replays the sampled pixel positions and both content
+    * sums straight from the pixel formula — a codec, indexing, or
+    * channel bug on either side breaks the hash. Scan-stage
+    * mapPartitions, no shuffle. */
+  private def imageResizeQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 16 + (id % 16).toInt
+          val h = 9 + (id % 9).toInt
+          val (sum, wsum) = JdkImageCodec.resizeNearest(
+            JdkImageCodec.encodePng(id, w, h), 8, 6)
+          (id, sum, wsum)
+        }
+      }.toDF("media_id", "thumb_sum", "thumb_wsum")
+  }
+
   /** Audio envelope fingerprint through the REAL codec path — encode
     * an actual WAV per document, decode it, hash the amplitude
     * envelope ([[JdkAudioCodec.envHash32]]). Near-dup key for audio
@@ -717,6 +770,23 @@ object Multimodal {
       FROM clips c
       JOIN generate_series(0, 149) AS i(i) ON i.i < c.n
       GROUP BY 1, 2, 3, 4""")),
+
+    Q("q_image_resize", imageResizeQ, Some("""
+      WITH img AS (SELECT doc_id AS media_id,
+                          16 + doc_id % 16 AS w, 9 + doc_id % 9 AS h
+                   FROM documents),
+      grid AS (SELECT x.i AS tx, y.i AS ty
+               FROM generate_series(0, 7) AS x(i)
+               CROSS JOIN generate_series(0, 5) AS y(i)),
+      px AS (SELECT i.media_id,
+                    (i.media_id * 31
+                     + (((2 * g.tx + 1) * i.w) // 16) * 7
+                     + (((2 * g.ty + 1) * i.h) // 12) * 13) % 256 AS v,
+                    g.ty * 8 + g.tx + 1 AS pos
+             FROM img i CROSS JOIN grid g)
+      SELECT media_id, CAST(sum(v) AS BIGINT) AS thumb_sum,
+             CAST(sum(v * pos) AS BIGINT) AS thumb_wsum
+      FROM px GROUP BY 1""")),
 
     Q("q_audio_segments", audioSegQ, Some("""
       WITH clips AS (SELECT doc_id AS media_id, 100 + doc_id % 50 AS n

@@ -685,7 +685,52 @@ object Similarity {
       FROM a LEFT JOIN dup USING (vec_id) WHERE dup.vec_id IS NULL"""
   }
 
+  /** 8 fixed-seed Johnson-Lindenstrauss projection directions (same
+    * LCG family as [[hyperplanes]], independent seed). */
+  lazy val jlPlanes: Seq[Seq[Double]] = {
+    var state = 777L
+    def next(): Double = {
+      state = state * 0x5DEECE66DL + 0xBL
+      ((state >>> 16) % 2000003L).toDouble / 1000001.5 - 1.0
+    }
+    Seq.fill(8)(Seq.fill(Dim)(next()))
+  }
+
+  /** Johnson-Lindenstrauss random projection: every embedding is
+    * mapped 64 → 8 dims through the fixed projection directions — the
+    * dimensionality-reduction stage a 100 TB embedding pipeline runs
+    * before storing/sketching (JL preserves pairwise distances within
+    * 1±ε, so the 8-dim shadow is the cheap pre-filter ahead of exact
+    * cosine on survivors; the LSH sign bits in [[lshSignature]] are
+    * exactly these projections quantized to 1 bit). Scan-stage
+    * per-row dots, no shuffle; the fused [[graft.ext.DotProductExpr]]
+    * codegen loop does the arithmetic, and the oracle replays the
+    * literal directions through list_dot_product on the fp-parity
+    * base q_ann_bruteforce already proves. */
+  private def embedProject(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cols = jlPlanes.zipWithIndex.map { case (p, i) =>
+      round(dot($"v", typedLit(p)), 4).as(s"p$i")
+    }
+    e.select(($"vec_id" +: cols): _*)
+  }
+
+  private def jlOracle: String = {
+    val projs = jlPlanes.zipWithIndex.map { case (p, i) =>
+      s"round(list_dot_product(v, ${p.mkString("[", ", ", "]")}), 4) AS p$i"
+    }.mkString(",\n             ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings)
+      SELECT vec_id,
+             $projs
+      FROM e"""
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_embed_project", embedProject, Some(jlOracle)),
     Q("q_semdedup", semDedup, Some(semDedupOracle)),
     Q("q_embed_centroids", embedCentroids, Some("""
       WITH e AS (SELECT label,
