@@ -297,6 +297,33 @@ object StatsQueries {
         ($"reading".isNull && $"filled".isNotNull).as("is_filled"))
   }
 
+  /** Calendar densification (resample to a fixed hourly grid): the
+    * sparse high-severity `error` series is re-laid onto a complete
+    * hourly spine between its first and last occurrence, gaps
+    * zero-filled and flagged — the step that turns an irregular event
+    * log into the fixed-grid series a forecaster or SLA monitor
+    * consumes. The spine comes from a per-key
+    * `sequence(min_hour, max_hour, 1 hour)` explode — bounded by the
+    * series' own time range, never a global calendar cross join — and
+    * the left join back is one co-partitioned shuffle on
+    * (series, hour). Hours travel as epoch-microsecond BIGINTs;
+    * counts are exact longs. */
+  private def calendarFill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, d)
+      .filter($"event_type" === "error" && $"value" > 200.0)
+      .select($"event_type", date_trunc("hour", $"ts").as("hr"))
+      .groupBy($"event_type", $"hr").agg(count(lit(1)).as("n_events"))
+    val spine = hourly.groupBy($"event_type")
+      .agg(min($"hr").as("t0"), max($"hr").as("t1"))
+      .select($"event_type",
+        explode(sequence($"t0", $"t1", expr("interval 1 hour"))).as("hr"))
+    spine.join(hourly, Seq("event_type", "hr"), "left")
+      .select($"event_type", unix_micros($"hr").as("hr_us"),
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        $"n_events".isNull.as("was_gap"))
+  }
+
   /** Grouped least-squares trend: per event series, the OLS slope of
     * value against day index — the per-key regression a metrics
     * pipeline fits to ask "is this series drifting, and how fast".
@@ -523,6 +550,27 @@ object StatsQueries {
              quantile_cont(gap_us, 0.95) AS p95_us,
              CAST(max(gap_us) AS BIGINT) AS max_us
       FROM g WHERE gap_us IS NOT NULL GROUP BY 1""")),
+
+    Q("q_calendar_fill", calendarFill, Some("""
+      WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                             count(*) AS n_events
+                      FROM events
+                      WHERE event_type = 'error' AND value > 200.0
+                      GROUP BY 1, 2),
+      b AS (SELECT event_type, min(hr) AS t0, max(hr) AS t1
+            FROM hourly GROUP BY 1),
+      spine AS (SELECT b.event_type, gs.g AS hr
+                FROM b
+                JOIN generate_series(TIMESTAMP '2024-01-01',
+                                     TIMESTAMP '2027-01-01',
+                                     INTERVAL 1 HOUR) gs(g)
+                  ON gs.g BETWEEN b.t0 AND b.t1)
+      SELECT s.event_type, epoch_us(s.hr) AS hr_us,
+             coalesce(h.n_events, 0) AS n_events,
+             h.n_events IS NULL AS was_gap
+      FROM spine s
+      LEFT JOIN hourly h ON s.event_type = h.event_type
+                        AND s.hr = h.hr""")),
 
     Q("q_group_ols", groupOls, Some("""
       WITH e AS (SELECT event_type,

@@ -175,6 +175,24 @@ class StatsSpec extends AnyFunSuite {
     assert(twoPlus.nonEmpty, "fixture has no multi-chunk docs")
   }
 
+  test("q_calendar_fill: contiguous per-series spine, gaps zero-filled " +
+      "and genuinely present") {
+    val rows = SparkEntry.queries("q_calendar_fill")(spark, sf).collect()
+    assert(rows.exists(_.getAs[Boolean]("was_gap")),
+      "fixture produced no gaps — densification is vacuous")
+    rows.foreach { r =>
+      val gap = r.getAs[Boolean]("was_gap")
+      val n = r.getAs[Long]("n_events")
+      assert(gap === (n == 0L), "was_gap must mirror n_events == 0")
+    }
+    // the spine is contiguous: per series, row count == hour span
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val hrs = rs.map(_.getAs[Long]("hr_us"))
+      val span = (hrs.max - hrs.min) / 3600000000L + 1
+      assert(rs.length.toLong === span, "spine has holes or duplicates")
+    }
+  }
+
   test("q_perplexity: every multi-token doc scored, xent positive") {
     val out = SparkEntry.queries("q_perplexity")(spark, sf)
     val expected = Tables.documents(spark, sf)

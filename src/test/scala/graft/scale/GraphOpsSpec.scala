@@ -74,6 +74,28 @@ class GraphOpsSpec extends AnyFunSuite {
     } finally spark.conf.set(thresholdKey, prev)
   }
 
+  test("q_triangle_count agrees with an independent brute-force count") {
+    import spark.implicits._
+    val row = SparkEntry.queries("q_triangle_count")(spark, sf).collect()(0)
+    // independent model: collect the oriented edge list and count
+    // closed wedges by set probing — different algorithm, same graph
+    val so = graft.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_suppkey").distinct()
+      .as[(Long, Long)].collect()
+    val edges = so.groupBy(_._1).values.flatMap { grp =>
+      val sks = grp.map(_._2).distinct.sorted
+      for (i <- sks.indices; j <- (i + 1) until sks.length)
+        yield (sks(i), sks(j))
+    }.toSet
+    val adj = edges.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+    val naive = edges.toSeq.map { case (a, b) =>
+      adj.getOrElse(b, Set.empty).count(c => edges.contains((a, c)))
+    }.sum
+    assert(row.getAs[Long]("n_edges") === edges.size.toLong)
+    assert(row.getAs[Long]("n_triangles") === naive.toLong,
+      s"wedge-join count ${row.getAs[Long]("n_triangles")} != naive $naive")
+  }
+
   test("pagerank favors high-degree nodes") {
     val rows = SparkEntry.queries("q_pagerank")(spark, sf).collect()
     // suppliers connect to many parts; parts to few suppliers — the

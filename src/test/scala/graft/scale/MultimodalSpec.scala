@@ -82,6 +82,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("JdkImageCodec: resizeNearest at source dims is the identity; " +
+      "thumbnails stay in pixel range") {
+    import JdkImageCodec._
+    for (id <- Seq(3L, 42L)) {
+      val (w, h) = (16 + (id % 16).toInt, 9 + (id % 9).toInt)
+      val png = encodePng(id, w, h)
+      val (_, _, fullSum) = decode(png)
+      // tw==w, th==h → sx=(2tx+1)w/2w = tx (exact), so every pixel
+      // samples itself and the thumbnail IS the image
+      val (idSum, _) = resizeNearest(png, w, h)
+      assert(idSum === fullSum, "identity resize must preserve the sum")
+      val (tSum, tWsum) = resizeNearest(png, 8, 6)
+      assert(tSum >= 0 && tSum <= 255L * 48, "8×6 sum out of range")
+      assert(tWsum >= tSum, "position weights start at 1")
+    }
+  }
+
+  test("JdkAudioCodec: voicedSegments invariants (window count, " +
+      "voiced ⊆ windows, run ⊆ voiced)") {
+    import JdkAudioCodec._
+    for (id <- Seq(5L, 77L)) {
+      val n = 100 + (id % 50).toInt
+      val (nw, nv, lr) = voicedSegments(encodeWav(id, n, 8000))
+      assert(nw === (n + 24) / 25, "window count must be ceil(n/25)")
+      assert(nv <= nw && lr <= nv,
+        s"bounds violated: nw=$nw nv=$nv lr=$lr")
+      assert(nv > 0, "a nonconstant clip must have at least one " +
+        "above-mean window")
+    }
+  }
+
   test("JdkImageCodec: aHash survives 1-pixel noise, separates structure") {
     import JdkImageCodec._
     import java.awt.image.BufferedImage
