@@ -131,6 +131,46 @@ object PipelineQueries {
         round(sum($"o_totalprice"), 2).as("total"))
   }
 
+  /** Expectation-suite audit (Great-Expectations-style data contract):
+    * every constraint yields one row — checked count, violation
+    * count, pass flag, and the SMALLEST violating key as the triage
+    * sample. The row-level constraints (range, domain, positivity)
+    * share ONE conditional-aggregate pass over the fact table; the
+    * referential check is a broadcast-dim left join counted in the
+    * same style; uniqueness compares count vs distinct. Violation
+    * samples stay IN the plan (min() aggregates, no driver-side
+    * probing), so the audit is one job regardless of table size —
+    * the shape a 100 TB contract check must have. Two constraints
+    * genuinely fail on this fixture, so the pass/fail split is
+    * non-vacuous. */
+  private def expectations(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    def c(name: String, bad: org.apache.spark.sql.Column) =
+      struct(lit(name).as("check_name"),
+        count(lit(1)).as("n_checked"),
+        sum(when(bad, 1L).otherwise(0L)).as("n_violations"),
+        min(when(bad, $"o_orderkey")).as("sample_key"))
+    val rowLevel = o.agg(
+        c("totalprice_positive", $"o_totalprice" <= 0.0).as("c1"),
+        c("orderdate_before_2001",
+          $"o_orderdate" >= lit("2001-01-01").cast("timestamp")).as("c2"),
+        c("status_in_open_final", !$"o_orderstatus".isin("O", "F")).as("c3"))
+      .select(explode(array($"c1", $"c2", $"c3")).as("r")).select($"r.*")
+    val fk = o.join(broadcast(Tables.customer(s, d)
+        .select($"c_custkey")), $"o_custkey" === $"c_custkey", "left")
+      .agg(c("custkey_references_customer", $"c_custkey".isNull).as("r"))
+      .select($"r.*")
+    val uniq = o.groupBy($"o_orderkey").agg(count(lit(1)).as("k"))
+      .agg(lit("orderkey_unique").as("check_name"),
+        count(lit(1)).as("n_checked"),
+        sum(when($"k" > 1, 1L).otherwise(0L)).as("n_violations"),
+        min(when($"k" > 1, $"o_orderkey")).as("sample_key"))
+    rowLevel.unionByName(fk).unionByName(uniq)
+      .select($"check_name", $"n_checked", $"n_violations",
+        ($"n_violations" === 0L).as("pass"), $"sample_key")
+  }
+
   /** Bucketed co-located join: both fact and dimension are written as
     * Hive-bucketed parquet tables (8 buckets on the join key, sorted
     * within buckets), then joined THROUGH the catalog — matching
@@ -421,6 +461,43 @@ object PipelineQueries {
              round(sum(o_totalprice), 2) AS total
       FROM orders WHERE year(o_orderdate) = 1996
       GROUP BY 1""")),
+
+    Q("q_expectations", expectations, Some("""
+      WITH rl AS (
+        SELECT 'totalprice_positive' AS check_name, count(*) AS n_checked,
+               sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)
+                 AS n_violations,
+               min(CASE WHEN o_totalprice <= 0.0 THEN o_orderkey END)
+                 AS sample_key
+        FROM orders
+        UNION ALL
+        SELECT 'orderdate_before_2001', count(*),
+               sum(CASE WHEN o_orderdate >= TIMESTAMP '2001-01-01'
+                        THEN 1 ELSE 0 END),
+               min(CASE WHEN o_orderdate >= TIMESTAMP '2001-01-01'
+                        THEN o_orderkey END)
+        FROM orders
+        UNION ALL
+        SELECT 'status_in_open_final', count(*),
+               sum(CASE WHEN o_orderstatus NOT IN ('O', 'F')
+                        THEN 1 ELSE 0 END),
+               min(CASE WHEN o_orderstatus NOT IN ('O', 'F')
+                        THEN o_orderkey END)
+        FROM orders
+        UNION ALL
+        SELECT 'custkey_references_customer', count(*),
+               sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END),
+               min(CASE WHEN c.c_custkey IS NULL THEN o.o_orderkey END)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'orderkey_unique', count(*),
+               sum(CASE WHEN k > 1 THEN 1 ELSE 0 END),
+               min(CASE WHEN k > 1 THEN o_orderkey END)
+        FROM (SELECT o_orderkey, count(*) AS k FROM orders GROUP BY 1))
+      SELECT check_name, n_checked, CAST(n_violations AS BIGINT)
+               AS n_violations,
+             n_violations = 0 AS pass, sample_key
+      FROM rl""")),
 
     Q("q_bucketed_join", bucketedJoin, Some("""
       SELECT c_mktsegment, count(*) AS cnt,

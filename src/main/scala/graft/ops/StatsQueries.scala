@@ -297,6 +297,46 @@ object StatsQueries {
         ($"reading".isNull && $"filled".isNotNull).as("is_filled"))
   }
 
+  /** Population-stability-index drift report — THE production metric
+    * for "has this feature's distribution moved between the reference
+    * window and now" (model-monitoring 101; >0.2 conventionally
+    * triggers retraining). Orders before 1998 are the reference
+    * population, 1998+ the current one; o_totalprice is binned into
+    * 10 equal-width buckets from the GLOBAL min/max (one broadcast
+    * stats row), and PSI = Σ (p−q)·ln(p/q) with add-one smoothing so
+    * empty bins stay defined. Float discipline: p, q, and p/q are
+    * single divides of exact integers (rule 1), ln is rounded to the
+    * 1e-6 grid (rule 6), each bin's term lands as floor(term·1e9)
+    * BIGINT units (rule 4a), and the grand total is an exact integer
+    * window sum — no cross-row double accumulation anywhere. One
+    * conditional-aggregate shuffle on the bin; the 10-row total
+    * window is post-aggregation. */
+  private def psiDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val stats = o.agg(min($"o_totalprice").as("mn"),
+      max($"o_totalprice").as("mx"))
+    val cut = lit("1998-01-01").cast("timestamp")
+    val binned = o.crossJoin(broadcast(stats))
+      .select(least(floor(($"o_totalprice" - $"mn") /
+          (($"mx" - $"mn") / 10)), lit(9)).cast("long").as("bin"),
+        ($"o_orderdate" < cut).as("is_ref"))
+      .groupBy($"bin")
+      .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("ref_n"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("cur_n"))
+    val tot = binned.agg(sum($"ref_n").as("ref_tot"),
+      sum($"cur_n").as("cur_tot"))
+    val p = ($"ref_n" + 1) / ($"ref_tot" + 10)
+    val q = ($"cur_n" + 1) / ($"cur_tot" + 10)
+    val units = floor((p - q) * round(log(p / q), 6) *
+      lit(1000000000.0)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    binned.crossJoin(broadcast(tot))
+      .select($"bin", $"ref_n", $"cur_n", units.as("psi_term_units"))
+      .withColumn("psi_total_units", sum($"psi_term_units").over(w))
+  }
+
   /** Calendar densification (resample to a fixed hourly grid): the
     * sparse high-severity `error` series is re-laid onto a complete
     * hourly spine between its first and last occurrence, gaps
@@ -550,6 +590,33 @@ object StatsQueries {
              quantile_cont(gap_us, 0.95) AS p95_us,
              CAST(max(gap_us) AS BIGINT) AS max_us
       FROM g WHERE gap_us IS NOT NULL GROUP BY 1""")),
+
+    Q("q_psi_drift", psiDrift, Some("""
+      WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+                 FROM orders),
+      b AS (SELECT least(CAST(floor((o_totalprice - s.mn)
+                                    / ((s.mx - s.mn) / 10)) AS BIGINT),
+                         9) AS bin,
+                   o_orderdate < TIMESTAMP '1998-01-01' AS is_ref
+            FROM orders CROSS JOIN s),
+      c AS (SELECT bin,
+                   sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_n,
+                   sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cur_n
+            FROM b GROUP BY 1),
+      t AS (SELECT sum(ref_n) AS ref_tot, sum(cur_n) AS cur_tot FROM c),
+      u AS (SELECT c.bin, c.ref_n, c.cur_n,
+                   CAST(floor(((c.ref_n + 1) / (t.ref_tot + 10)
+                               - (c.cur_n + 1) / (t.cur_tot + 10))
+                              * round(ln(((c.ref_n + 1) / (t.ref_tot + 10))
+                                         / ((c.cur_n + 1)
+                                            / (t.cur_tot + 10))), 6)
+                              * 1000000000.0) AS BIGINT)
+                     AS psi_term_units
+            FROM c CROSS JOIN t)
+      SELECT bin, CAST(ref_n AS BIGINT) AS ref_n,
+             CAST(cur_n AS BIGINT) AS cur_n, psi_term_units,
+             sum(psi_term_units) OVER () AS psi_total_units
+      FROM u""")),
 
     Q("q_calendar_fill", calendarFill, Some("""
       WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr,
