@@ -131,6 +131,40 @@ object PipelineQueries {
         round(sum($"o_totalprice"), 2).as("total"))
   }
 
+  /** TPC-H Q21-shaped correlated EXISTS / NOT EXISTS ("suppliers who
+    * kept the order waiting"): for finished orders, count per supplier
+    * the late lineitems where ANOTHER supplier shares the order
+    * (EXISTS) but NO other supplier was also late (NOT EXISTS) — the
+    * classic blame-assignment query whose correlated subqueries
+    * Catalyst DECORRELATES into semi/anti joins on l_orderkey (run
+    * through spark.sql precisely to exercise that rewrite; the
+    * DataFrame equivalent would hand-write the joins). Both probes
+    * shuffle on the order key alongside the main fact join — three
+    * co-partitioned passes over lineitem, no per-row subquery
+    * execution, which is what makes the shape viable at 100 TB. */
+  private def existsWaiting(s: SparkSession, d: String): DataFrame = {
+    Tables.supplier(s, d).createOrReplaceTempView("ew_supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("ew_lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("ew_orders")
+    s.sql("""
+      SELECT s_name, count(*) AS numwait
+      FROM ew_supplier
+      JOIN ew_lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN ew_orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > TIMESTAMP '1997-06-01'
+        AND EXISTS (SELECT 1 FROM ew_lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM ew_lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > TIMESTAMP '1997-06-01')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name ASC
+      LIMIT 20""")
+  }
+
   /** Expectation-suite audit (Great-Expectations-style data contract):
     * every constraint yields one row — checked count, violation
     * count, pass flag, and the SMALLEST violating key as the triage
@@ -461,6 +495,24 @@ object PipelineQueries {
              round(sum(o_totalprice), 2) AS total
       FROM orders WHERE year(o_orderdate) = 1996
       GROUP BY 1""")),
+
+    Q("q_exists_waiting", existsWaiting, Some("""
+      SELECT s_name, count(*) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > TIMESTAMP '1997-06-01'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > TIMESTAMP '1997-06-01')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name ASC
+      LIMIT 20""")),
 
     Q("q_expectations", expectations, Some("""
       WITH rl AS (

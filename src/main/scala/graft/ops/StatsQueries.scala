@@ -297,6 +297,34 @@ object StatsQueries {
         ($"reading".isNull && $"filled".isNotNull).as("is_filled"))
   }
 
+  /** Group-mean imputation: a deterministic subset of readings is
+    * nulled (event_id ≡ 0 mod 37 — the planted-missingness pattern),
+    * then refilled with the per-series mean of the SURVIVING readings
+    * — the feature-engineering fill a training pipeline applies when
+    * LOCF has no donor. The means collapse to one tiny aggregate that
+    * joins back BROADCAST onto the scan (never a window over the fact
+    * table). Float discipline: means live in integer cents land —
+    * sum/count are exact BIGINTs and the imputed value is emitted as
+    * the floor of one exact-integer divide (rule 4a); the audit
+    * counts per series are exact. */
+  private def imputeGroupMean(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.events(s, d)
+      .select($"event_id", $"event_type",
+        when($"event_id" % 37 =!= 0,
+          round($"value" * 100, 0).cast("long")).as("cents"))
+    val means = base.filter($"cents".isNotNull)
+      .groupBy($"event_type")
+      .agg(sum($"cents").as("sc"), count(lit(1)).as("nc"))
+    base.join(broadcast(means), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"cents".isNull, 1L).otherwise(0L)).as("n_imputed"),
+        max(expr("sc div nc")).as("fill_cents"),
+        sum(coalesce($"cents", expr("sc div nc")))
+          .as("total_cents_after_fill"))
+  }
+
   /** Population-stability-index drift report — THE production metric
     * for "has this feature's distribution moved between the reference
     * window and now" (model-monitoring 101; >0.2 conventionally
@@ -590,6 +618,23 @@ object StatsQueries {
              quantile_cont(gap_us, 0.95) AS p95_us,
              CAST(max(gap_us) AS BIGINT) AS max_us
       FROM g WHERE gap_us IS NOT NULL GROUP BY 1""")),
+
+    Q("q_impute_group_mean", imputeGroupMean, Some("""
+      WITH base AS (SELECT event_id, event_type,
+                           CASE WHEN event_id % 37 <> 0
+                                THEN CAST(round(value * 100, 0) AS BIGINT)
+                           END AS cents
+                    FROM events),
+      m AS (SELECT event_type, sum(cents) AS sc, count(cents) AS nc
+            FROM base WHERE cents IS NOT NULL GROUP BY 1)
+      SELECT b.event_type, count(*) AS n_rows,
+             sum(CASE WHEN b.cents IS NULL THEN 1 ELSE 0 END)
+               AS n_imputed,
+             CAST(max(sc // nc) AS BIGINT) AS fill_cents,
+             CAST(sum(coalesce(b.cents, sc // nc)) AS BIGINT)
+               AS total_cents_after_fill
+      FROM base b JOIN m ON b.event_type = m.event_type
+      GROUP BY 1""")),
 
     Q("q_psi_drift", psiDrift, Some("""
       WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx

@@ -66,6 +66,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_exists_waiting: correlated EXISTS/NOT EXISTS decorrelate to " +
+      "semi/anti joins, no per-row subquery") {
+    val df = q("q_exists_waiting")
+    val plan = initial(df).toString
+    assert(plan.contains("LeftSemi"), s"EXISTS not decorrelated:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS not decorrelated:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_join_broadcast_dims: zero shuffles before final aggregation") {
     val df = q("q_join_broadcast_dims")
     assert(broadcasts(df) === 2, "both dims must broadcast")
