@@ -33,6 +33,16 @@ import org.apache.spark.sql.functions._
   * floor(q · 10^n) into BIGINT fixed-point units — floor of a
   * bit-identical double is exact in every engine (the q_pagerank /
   * q_robust_scale / q_feature_scale pattern).
+  *
+  * Corollary (the r6 lesson, VERDICT r6): NEVER integerize an input
+  * via round(double, n) — snap on the decimal grid instead:
+  * `cast(x as decimal(18,2)) * 100 → long` here,
+  * `CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT)` in the oracle.
+  * And once a rounded ln/log exists, pin it to BIGINT units through
+  * DECIMAL(18,6) and keep EVERY subsequent multiply/divide in
+  * decimal/BIGINT space — feeding the rounded double back into a
+  * multiply-then-floor chain reintroduces the boundary divergence the
+  * round was supposed to kill.
   */
 object StatsQueries {
 
@@ -303,7 +313,8 @@ object StatsQueries {
     * — the feature-engineering fill a training pipeline applies when
     * LOCF has no donor. The means collapse to one tiny aggregate that
     * joins back BROADCAST onto the scan (never a window over the fact
-    * table). Float discipline: means live in integer cents land —
+    * table). Float discipline: values snap to integer cents ON THE
+    * DECIMAL GRID (cast decimal(18,2)·100, never round(double·100)),
     * sum/count are exact BIGINTs and the imputed value is emitted as
     * the floor of one exact-integer divide (rule 4a); the audit
     * counts per series are exact. */
@@ -312,7 +323,7 @@ object StatsQueries {
     val base = Tables.events(s, d)
       .select($"event_id", $"event_type",
         when($"event_id" % 37 =!= 0,
-          round($"value" * 100, 0).cast("long")).as("cents"))
+          ($"value".cast("decimal(18,2)") * 100).cast("long")).as("cents"))
     val means = base.filter($"cents".isNotNull)
       .groupBy($"event_type")
       .agg(sum($"cents").as("sc"), count(lit(1)).as("nc"))
@@ -332,13 +343,16 @@ object StatsQueries {
     * population, 1998+ the current one; o_totalprice is binned into
     * 10 equal-width buckets from the GLOBAL min/max (one broadcast
     * stats row), and PSI = Σ (p−q)·ln(p/q) with add-one smoothing so
-    * empty bins stay defined. Float discipline: p, q, and p/q are
-    * single divides of exact integers (rule 1), ln is rounded to the
-    * 1e-6 grid (rule 6), each bin's term lands as floor(term·1e9)
-    * BIGINT units (rule 4a), and the grand total is an exact integer
-    * window sum — no cross-row double accumulation anywhere. One
-    * conditional-aggregate shuffle on the bin; the 10-row total
-    * window is post-aggregation. */
+    * empty bins stay defined. Float discipline (the r6 lesson: never
+    * feed a rounded ln back into a double multiply-then-floor): ln is
+    * rounded to the 1e-6 grid (rule 6) and immediately pinned as
+    * BIGINT micro-units via DECIMAL(18,6); p−q is carried as the
+    * EXACT integer ratio num/den (common-denominator form), so each
+    * bin's 1e-9-unit term is one integer `div` — floor of an exact
+    * integer quotient, bit-identical in every engine — and the grand
+    * total is an exact integer window sum. No double ever re-enters
+    * after the ln. One conditional-aggregate shuffle on the bin; the
+    * 10-row total window is post-aggregation. */
   private def psiDrift(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, d)
@@ -356,12 +370,21 @@ object StatsQueries {
       sum($"cur_n").as("cur_tot"))
     val p = ($"ref_n" + 1) / ($"ref_tot" + 10)
     val q = ($"cur_n" + 1) / ($"cur_tot" + 10)
-    val units = floor((p - q) * round(log(p / q), 6) *
-      lit(1000000000.0)).cast("long")
+    // ln on the 1e-6 grid, pinned to exact BIGINT micro-units; p−q as
+    // the exact integer ratio num/den. term·1e9 = num·lnU·1000 div den
+    // (both factors share sign, so trunc-div == floor-div).
+    val lnUnits = (round(log(p / q), 6).cast("decimal(18,6)") *
+      1000000).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .rowsBetween(Long.MinValue, Long.MaxValue)
     binned.crossJoin(broadcast(tot))
-      .select($"bin", $"ref_n", $"cur_n", units.as("psi_term_units"))
+      .withColumn("ln_units", lnUnits)
+      .withColumn("num", ($"ref_n" + 1) * ($"cur_tot" + 10) -
+        ($"cur_n" + 1) * ($"ref_tot" + 10))
+      .withColumn("den", ($"ref_tot" + 10) * ($"cur_tot" + 10))
+      .select($"bin", $"ref_n", $"cur_n",
+        expr("CAST((CAST(num AS DECIMAL(38,0)) * ln_units * 1000)" +
+          " div den AS BIGINT)").as("psi_term_units"))
       .withColumn("psi_total_units", sum($"psi_term_units").over(w))
   }
 
@@ -395,7 +418,8 @@ object StatsQueries {
   /** Grouped least-squares trend: per event series, the OLS slope of
     * value against day index — the per-key regression a metrics
     * pipeline fits to ask "is this series drifting, and how fast".
-    * Float discipline: x is an integer day index and y integer cents,
+    * Float discipline: x is an integer day index and y integer cents
+    * snapped on the decimal grid (cast decimal(18,2)·100),
     * all four moments (Σx, Σy, Σxy, Σx²) are exact BIGINT sums, and
     * the closed-form slope (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is ONE divide
     * of exact integers (rule 1) — numerator and denominator are also
@@ -408,7 +432,7 @@ object StatsQueries {
       .cast("long")
     Tables.events(s, d)
       .select($"event_type", day.as("x"),
-        round($"value" * 100, 0).cast("long").as("y"))
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("y"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
         sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
@@ -424,8 +448,9 @@ object StatsQueries {
   /** Rolling anomaly detection — flag events whose value exceeds 3
     * rolling standard deviations over the trailing 50 events of the
     * same type (the streaming-shaped drift/outlier monitor a metrics
-    * pipeline runs per series). Float discipline: values are snapped
-    * to integer cents (the 2-decimal grid is exact in every engine),
+    * pipeline runs per series). Float discipline: values snap to
+    * integer cents on the decimal grid (cast decimal(18,2)·100 — the
+    * 2-decimal grid is exact in every engine),
     * the rolling moments are BIGINT window sums (exact regardless of
     * accumulation order), and the 3σ test is CROSS-MULTIPLIED into
     * pure integer form — (n·x−s)² > 9·(n·q−s²) ⇔ (x−mean)² > 9·var —
@@ -440,7 +465,7 @@ object StatsQueries {
     Tables.events(s, d)
       .select($"event_id", $"event_type", $"ts",
         unix_micros($"ts").as("ts_us"),
-        round($"value" * 100, 0).cast("long").as("cents"))
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("sw", sum($"cents").over(w))
       .withColumn("qw", sum($"cents" * $"cents").over(w))
@@ -622,7 +647,8 @@ object StatsQueries {
     Q("q_impute_group_mean", imputeGroupMean, Some("""
       WITH base AS (SELECT event_id, event_type,
                            CASE WHEN event_id % 37 <> 0
-                                THEN CAST(round(value * 100, 0) AS BIGINT)
+                                THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                          AS BIGINT)
                            END AS cents
                     FROM events),
       m AS (SELECT event_type, sum(cents) AS sc, count(cents) AS nc
@@ -650,12 +676,16 @@ object StatsQueries {
             FROM b GROUP BY 1),
       t AS (SELECT sum(ref_n) AS ref_tot, sum(cur_n) AS cur_tot FROM c),
       u AS (SELECT c.bin, c.ref_n, c.cur_n,
-                   CAST(floor(((c.ref_n + 1) / (t.ref_tot + 10)
-                               - (c.cur_n + 1) / (t.cur_tot + 10))
-                              * round(ln(((c.ref_n + 1) / (t.ref_tot + 10))
-                                         / ((c.cur_n + 1)
-                                            / (t.cur_tot + 10))), 6)
-                              * 1000000000.0) AS BIGINT)
+                   CAST((CAST((c.ref_n + 1) * (t.cur_tot + 10)
+                              - (c.cur_n + 1) * (t.ref_tot + 10)
+                              AS HUGEINT)
+                         * CAST(CAST(round(
+                               ln(((c.ref_n + 1) / (t.ref_tot + 10))
+                                  / ((c.cur_n + 1) / (t.cur_tot + 10))), 6)
+                             AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                         * 1000)
+                        // ((t.ref_tot + 10) * (t.cur_tot + 10))
+                        AS BIGINT)
                      AS psi_term_units
             FROM c CROSS JOIN t)
       SELECT bin, CAST(ref_n AS BIGINT) AS ref_n,
@@ -688,7 +718,8 @@ object StatsQueries {
       WITH e AS (SELECT event_type,
                         CAST(datediff('day', DATE '2024-01-01',
                           CAST(ts AS DATE)) AS BIGINT) AS x,
-                        CAST(round(value * 100, 0) AS BIGINT) AS y
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS y
                  FROM events),
       m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
                    sum(x * y) AS sxy, sum(x * x) AS sxx
@@ -703,7 +734,8 @@ object StatsQueries {
 
     Q("q_rolling_anomaly", rollingAnomaly, Some("""
       WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us, ts,
-                        CAST(round(value * 100, 0) AS BIGINT) AS cents
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents
                  FROM events),
       r AS (SELECT event_id, event_type, ts_us, cents,
                    count(*) OVER w AS n,

@@ -501,11 +501,17 @@ object TextOps {
     * BEFORE the aggregate, so only matching postings move — per-doc
     * term frequencies; df and the corpus length stats derive from
     * those tiny tables and join back BROADCAST; top-20 is
-    * TakeOrderedAndProject, never a global sort. Float discipline:
-    * ln() is rounded to the 1e-6 grid (rule 6), every other step is a
-    * single correctly-rounded op on bit-identical doubles, and the
-    * final score is emitted as floor(score·1e6) BIGINT units
-    * (rule 4a) with the convenience double via one exact divide. */
+    * TakeOrderedAndProject, never a global sort. Float discipline (the
+    * r6 lesson: never feed a rounded ln back into a double
+    * multiply-then-floor): idf's ln is rounded to the 1e-6 grid
+    * (rule 6) and immediately pinned as BIGINT micro-units via
+    * DECIMAL(18,6); tf, dl, n_docs, tot_len are all exact integers, so
+    * clearing the k1/b constants' denominators (×20·tot_len) turns the
+    * whole per-term score into ONE integer `div` —
+    * idfU·44·tf·tot_len div (20·tf·tot_len + 6·tot_len + 18·dl·n_docs)
+    * — floor of an exact non-negative integer quotient, bit-identical
+    * in every engine. The convenience double is one exact divide at
+    * the very end. */
   private def bm25(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val qTerms = Seq("query", "join", "data")
@@ -517,16 +523,20 @@ object TextOps {
     val tf = tok.filter($"token".isInCollection(qTerms))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
-    val idf6 = round(log(($"n_docs" - $"df" + lit(0.5)) /
-      ($"df" + lit(0.5)) + lit(1.0)), 6)
-    val units = floor(idf6 * (lit(2.2) * $"tf") /
-        ($"tf" + lit(1.2) * (lit(0.25) +
-          lit(0.75) * ($"dl" * $"n_docs" / $"tot_len"))) *
-        lit(1000000.0)).cast("long")
+    val idfUnits = (round(log(($"n_docs" - $"df" + lit(0.5)) /
+      ($"df" + lit(0.5)) + lit(1.0)), 6).cast("decimal(18,6)") *
+      1000000).cast("long")
+    // score·1e6 = idfU·2.2·tf / (tf + 1.2·(0.25 + 0.75·dl·n_docs/tot_len));
+    // multiply num and den by 20·tot_len to clear every constant:
+    // units = idfU·44·tf·tot_len div (20·tf·tot_len + 6·tot_len + 18·dl·n_docs)
     tf.join(broadcast(df), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .select($"doc_id", units.as("units"))
+      .withColumn("idf_units", idfUnits)
+      .select($"doc_id",
+        expr("CAST((CAST(idf_units AS DECIMAL(38,0)) * 44 * tf * tot_len)" +
+          " div (20 * tf * tot_len + 6 * tot_len + 18 * dl * n_docs)" +
+          " AS BIGINT)").as("units"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_terms"), sum($"units").as("score_units"))
       .orderBy($"score_units".desc, $"doc_id".asc)
@@ -1024,13 +1034,14 @@ object TextOps {
       df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
       scored AS (
         SELECT tf.doc_id,
-               CAST(floor(
-                 round(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5)
-                          + 1.0), 6)
-                 * (2.2 * tf.tf)
-                 / (tf.tf + 1.2 * (0.25
-                     + 0.75 * (dl.dl * stats.n_docs / stats.tot_len)))
-                 * 1000000.0) AS BIGINT) AS units
+               CAST((CAST(CAST(CAST(round(
+                        ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5)
+                           + 1.0), 6) AS DECIMAL(18,6)) * 1000000
+                      AS BIGINT) AS HUGEINT)
+                     * 44 * tf.tf * stats.tot_len)
+                    // (20 * tf.tf * stats.tot_len + 6 * stats.tot_len
+                        + 18 * dl.dl * stats.n_docs)
+                    AS BIGINT) AS units
         FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
         CROSS JOIN stats),
       agg AS (SELECT doc_id, count(*) AS n_terms, sum(units) AS score_units
