@@ -73,6 +73,27 @@ class EntityResolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("hostile collapsed blocking key: every capped record falls back " +
+      "to a singleton cluster; benign records still cluster") {
+    val nEnts = Tables.part(spark, sf).select($"p_name").distinct().count()
+    val rows = SparkEntry.queries("q_er_hostile_block")(spark, sf).collect()
+    val (hostileRows, benignRows) =
+      rows.partition(_.getAs[String]("canonical_rid").startsWith("h|"))
+    // all 1200 hostile records survived the cap as SINGLETONS — none
+    // merged (their identical names would weld them into one 1200-
+    // clique were the cap broken), none dropped from the output
+    assert(hostileRows.length === 1200)
+    assert(hostileRows.forall(_.getAs[Long]("n_records") === 1L))
+    assert(hostileRows.forall(r =>
+      r.getAs[String]("cluster_id") == r.getAs[String]("canonical_rid")))
+    // the benign part-name records flowing through the SAME pipeline
+    // still form one 2-record cluster per entity, clean name canonical
+    assert(benignRows.length.toLong === nEnts)
+    assert(benignRows.forall(_.getAs[Long]("n_records") === 2L))
+    assert(benignRows.forall(_.getAs[String]("canonical_rid")
+      .startsWith("a|")))
+  }
+
   test("ER pipeline candidates come from hash joins, never a nested loop") {
     val plan = SparkEntry.queries("q_er_cluster")(spark, sf)
       .queryExecution.executedPlan.toString

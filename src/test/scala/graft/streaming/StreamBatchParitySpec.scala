@@ -145,6 +145,116 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(merged === 1)
   }
 
+  test("watermark boundary: window end EXACTLY at the watermark is " +
+      "closed (row dropped); event ts exactly at the watermark is kept") {
+    val in = MemoryStream[Event]
+    val q = tumblingCounts(in.toDF(), width = "10 minutes",
+      lateness = "5 minutes").writeStream
+      .format("memory").queryName("parity_boundary")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 15, 1, "click", 1.0))
+      q.processAllAvailable() // watermark → 10
+      // ts 10 == watermark: its window [10,20) has end 20 > 10 ⇒ KEPT
+      // ts 0: window [0,10) has end 10 ≤ 10 — END EXACTLY AT THE
+      // WATERMARK is closed ⇒ DROPPED (the ≤-vs-< boundary this test
+      // pins)
+      in.addData(ev(2, 10, 1, "click", 2.0), ev(3, 0, 2, "view", 4.0))
+      q.processAllAvailable() // watermark stays 10
+      in.addData(ev(4, 40, 1, "click", 8.0))
+      q.processAllAvailable() // watermark → 35: [10,20) emits
+    } finally q.stop()
+    val streamed = spark.table("parity_boundary").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val retained = Seq(ev(1, 15, 1, "click", 1.0),
+      ev(2, 10, 1, "click", 2.0), ev(4, 40, 1, "click", 8.0)).toDF()
+    val batch = tumblingCounts(retained, width = "10 minutes",
+        lateness = "5 minutes")
+      .filter($"w_start" < lit(ts(30))) // closed ⇔ end ≤ 35 ⇔ start < 30
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed === batch)
+    // the at-watermark row WAS accepted: [10,20) counts both clicks
+    assert(streamed.exists(t => t._1 == ts(10) && t._3 == 2L))
+    // the end-at-watermark window's row was dropped: no view anywhere
+    assert(!streamed.exists(_._2 == "view"))
+  }
+
+  test("watermark boundary: a micro-batch arriving WHOLLY late emits " +
+      "nothing and perturbs no state") {
+    val in = MemoryStream[Event]
+    val q = tumblingCounts(in.toDF(), width = "10 minutes",
+      lateness = "5 minutes").writeStream
+      .format("memory").queryName("parity_wholly_late")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 2, 1, "click", 1.0), ev(2, 30, 1, "click", 2.0))
+      q.processAllAvailable() // watermark → 25: [0,10) emits
+      val afterOnTime = spark.table("parity_wholly_late").count()
+      // every row's window end (10, 10, 20) ≤ 25 ⇒ the WHOLE batch is
+      // late: dropped on input, nothing emitted, open state untouched
+      in.addData(ev(3, 1, 2, "view", 4.0), ev(4, 5, 2, "view", 8.0),
+        ev(5, 12, 1, "click", 16.0))
+      q.processAllAvailable() // watermark unchanged (12−5 < 25)
+      assert(spark.table("parity_wholly_late").count() === afterOnTime)
+      in.addData(ev(6, 50, 1, "click", 32.0))
+      q.processAllAvailable() // watermark → 45: [30,40) emits intact
+    } finally q.stop()
+    val streamed = spark.table("parity_wholly_late").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val retained = Seq(ev(1, 2, 1, "click", 1.0),
+      ev(2, 30, 1, "click", 2.0), ev(6, 50, 1, "click", 32.0)).toDF()
+    val batch = tumblingCounts(retained, width = "10 minutes",
+        lateness = "5 minutes")
+      .filter($"w_start" < lit(ts(40))) // closed ⇔ end ≤ 45 ⇔ start < 40
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed === batch)
+    // [30,40) emitted with ONLY the on-time row — the late batch
+    // neither merged into it nor resurrected [0,10)/[10,20)
+    assert(streamed.exists(t => t._1 == ts(30) && t._3 == 1L &&
+      t._4 == 2.0))
+    assert(!streamed.exists(_._2 == "view"))
+  }
+
+  test("watermark boundary: ON-TIME rows in different micro-batches " +
+      "merge into one session across the batch boundary") {
+    val in = MemoryStream[Event]
+    val q = userSessions(in.toDF(), gap = "10 minutes",
+      lateness = "5 minutes").writeStream
+      .format("memory").queryName("parity_session_merge")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 20, 1, "click", 2.0))
+      q.processAllAvailable() // watermark → 15; session [20,30) open
+      // minute 28 is ON TIME (28 > 15) and overlaps [20,30): the state
+      // store must extend the session to [20,38) ACROSS the boundary
+      in.addData(ev(2, 28, 1, "click", 3.0))
+      q.processAllAvailable() // watermark → 23; merged session open
+      in.addData(ev(3, 60, 9, "view", 7.0))
+      q.processAllAvailable() // watermark → 55 ≥ 38: merged session emits
+    } finally q.stop()
+    val streamed = spark.table("parity_session_merge").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val retained = Seq(ev(1, 20, 1, "click", 2.0),
+      ev(2, 28, 1, "click", 3.0), ev(3, 60, 9, "view", 7.0)).toDF()
+    val batch = userSessions(retained, gap = "10 minutes",
+        lateness = "5 minutes")
+      .filter($"s_end" <= lit(ts(55))) // final watermark
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed === batch)
+    // exactly ONE u1 session, spanning both micro-batches' rows
+    assert(streamed.filter(_._3 == 1L) ===
+      Set((ts(20), ts(38), 1L, 2L, 5.0)))
+  }
+
   test("streaming dedup == batch dropDuplicates on the same input") {
     val in = MemoryStream[Event]
     val q = dedupedEvents(in.toDF(), lateness = "30 minutes").writeStream
