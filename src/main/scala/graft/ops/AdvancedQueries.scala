@@ -419,7 +419,45 @@ object AdvancedQueries {
       .withColumn("minmax", $"minmax_e4".cast("double") / 10000.0)
   }
 
+  /** Unpivot (melt): wide metric columns → long (metric, value) rows —
+    * the reshape a feature store or metrics warehouse applies before
+    * generic per-metric processing, and the inverse of q_pivot_events.
+    * Spark's native `unpivot` is a zero-shuffle projection (each input
+    * row emits k rows map-side via Expand; the only exchange is the
+    * final 3-group aggregate). Totals accumulate on the decimal grid
+    * (the q_time_decay pattern); min/max pass input doubles through
+    * untouched, so the whole row is hash-exact. */
+  private def unpivotMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice",
+        $"l_discount")
+      .unpivot(Array($"l_orderkey"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+        "metric", "value")
+      .groupBy($"metric")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value".cast("decimal(18,2)")).cast("double"), 2)
+          .as("total"),
+        min($"value").as("min_v"), max($"value").as("max_v"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_unpivot_metrics", unpivotMetrics, Some("""
+      WITH u AS (
+        SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS value
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, 'l_extendedprice', l_extendedprice
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, 'l_discount', l_discount FROM lineitem)
+      SELECT metric, count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total,
+             min(value) AS min_v, max(value) AS max_v
+      FROM u GROUP BY 1""")),
+
     Q("q_ntile_bins", ntileBins, Some("""
       WITH b AS (SELECT o_orderkey, o_totalprice,
                         CAST(ntile(10) OVER (ORDER BY o_totalprice,

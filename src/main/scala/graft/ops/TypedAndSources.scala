@@ -85,6 +85,41 @@ object TypedAndSources {
         max(length($"value")).cast("long").as("max_chars"))
   }
 
+  /** JDBC sink + source round-trip against the EMBEDDED Derby engine
+    * that ships in the Spark distribution (zero egress — the database
+    * is a directory under the scratch root). Covers the reference's
+    * JDBC connectivity surface (its Athena query layer is reached over
+    * JDBC — reference README.md architecture): `df.write.jdbc` creates
+    * and loads the table, `spark.read.jdbc` reads it back with a
+    * PARTITIONED scan (partitionColumn + bounds + numPartitions — the
+    * parallel-read shape that matters on a cluster: each executor
+    * opens its own connection for one key-range slice, instead of
+    * serializing the whole table through a single connection). The
+    * downstream aggregate snaps balances on the decimal grid, so the
+    * double column survives the DOUBLE↔Derby-DOUBLE round-trip
+    * bit-exactly and the oracle (straight from parquet) hash-matches
+    * — which is precisely what "the round-trip is lossless" means. */
+  private def jdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // keep Derby's boot log out of the process CWD (= the repo root)
+    System.setProperty("derby.stream.error.file",
+      new java.io.File(System.getProperty("java.io.tmpdir"), "derby.log")
+        .getAbsolutePath)
+    val url = s"jdbc:derby:${scratch(d, "derby")}/db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    Tables.customer(s, d)
+      .select($"c_custkey", $"c_nationkey", $"c_mktsegment", $"c_acctbal")
+      .write.mode("overwrite").jdbc(url, "customer_dim", props)
+    s.read.jdbc(url, "customer_dim",
+        columnName = "c_custkey", lowerBound = 0L,
+        upperBound = 1000000L, numPartitions = 4, props)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(($"c_acctbal".cast("decimal(18,2)") * 100).cast("long"))
+          .as("bal_cents"))
+  }
+
   /** Salted join — the skew-mitigation pattern: the (potentially
     * skewed) fact side gets a deterministic salt in [0, nSalts); the
     * dimension side is exploded nSalts× so every (key, salt) pair
@@ -134,6 +169,12 @@ object TypedAndSources {
              CAST(sum(length(text)) AS BIGINT) AS total_chars,
              CAST(max(length(text)) AS BIGINT) AS max_chars
       FROM documents""")),
+
+    Q("q_jdbc_roundtrip", jdbcRoundtrip, Some("""
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS bal_cents
+      FROM customer GROUP BY 1""")),
 
     Q("q_join_salted", saltedAgg, Some("""
       SELECT c_mktsegment, count(*) AS cnt,

@@ -56,6 +56,54 @@ object Layout {
              min(kb) AS kb_min, max(kb) AS kb_max
       FROM z GROUP BY 1"""
 
+  /** Compaction-bin target size for [[compactionPlan]] (8 KiB demo
+    * scale — several bins per partition at every test SF; a production
+    * compactor targets 128 MB–1 GB). */
+  val CompactionTarget = 8L * 1024
+
+  /** Small-file compaction planner — the maintenance pass every
+    * long-lived 100 TB table needs (streaming ingest and dynamic
+    * partition overwrite both strew small files; scan throughput dies
+    * by open()-call). Within each partition (lang), files are walked
+    * in directory order and greedily grouped into ~target-size
+    * compaction bins: bin = floor(cumulative-bytes-before / target) —
+    * one window over the FILE MANIFEST, which is directory-sized,
+    * never data-sized, and embarrassingly parallel across partitions.
+    * Emits the per-bin work orders (file count, bytes, id range) a
+    * compactor would execute. Integer bytes and an integer `div` keep
+    * the plan hash-exact across engines. */
+  private def compactionPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"doc_id".asc)
+      .rowsBetween(Long.MinValue, -1)
+    Tables.documents(s, d)
+      .select($"lang", $"doc_id", length($"text").cast("long").as("bytes"))
+      .withColumn("cum_before", coalesce(sum($"bytes").over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div ${CompactionTarget}L"))
+      .groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("n_files"), sum($"bytes").as("bytes"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+  }
+
   val queries: Seq[Q] = Seq(
-    Q("q_zorder_layout", zorderLayout, Some(zorderOracle)))
+    Q("q_zorder_layout", zorderLayout, Some(zorderOracle)),
+
+    Q("q_compaction_plan", compactionPlan, Some(s"""
+      WITH f AS (SELECT lang, doc_id,
+                        CAST(length(text) AS BIGINT) AS bytes
+                 FROM documents),
+      c AS (SELECT lang, doc_id, bytes,
+                   coalesce(sum(bytes) OVER (
+                     PARTITION BY lang ORDER BY doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cum_before
+            FROM f),
+      b AS (SELECT lang, doc_id, bytes,
+                   cum_before // $CompactionTarget AS bin
+            FROM c)
+      SELECT lang, bin, count(*) AS n_files,
+             CAST(sum(bytes) AS BIGINT) AS bytes,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM b GROUP BY 1, 2""")))
 }

