@@ -18,6 +18,7 @@ object SparkEntry {
       ops.AdvancedQueries.queries ++
       ops.TemporalJoins.queries ++
       ops.StatsQueries.queries ++
+      ops.EvalQueries.queries ++
       ops.TypedAndSources.queries ++
       yelp.YelpQueries.queries ++
       scale.TextOps.queries ++

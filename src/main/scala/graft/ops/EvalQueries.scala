@@ -1,0 +1,344 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation metrics computed AT CORPUS SCALE — the scoring
+  * half of a training-data pipeline: once a classifier/ranker/labeler
+  * runs over millions of rows, its quality numbers (confusion matrix,
+  * agreement, ranking quality) must come out of the same engine as one
+  * aggregate pass, not a driver-side sklearn detour over collected
+  * rows.
+  *
+  * Reference analog: the dashboards' quality panels (rating averages,
+  * engagement — README.md:16-20) are the BI cousins; for an ML data
+  * pipeline these are the eval gates run per snapshot.
+  *
+  * All three share one scale shape: the per-row judgment (predicted
+  * label, annotator vote, rank position) is scan-stage arithmetic, and
+  * everything after is a map-side-combinable aggregate — no metric
+  * ever needs the rows co-located, only the counts.
+  *
+  * Float discipline: every emitted ratio is ONE divide of exact
+  * BIGINTs (rule 1 — a single correctly-rounded op on bit-identical
+  * inputs), with the integer numerator/denominator emitted beside it
+  * so the oracle pins the algebra, not just the quotient. F1 uses the
+  * identity F1 = 2·tp / (2·tp + fp + fn) to stay one divide; kappa
+  * uses (n·agree − Σ marginals) / (n² − Σ marginals). No ln, no
+  * multi-op double chain anywhere.
+  */
+object EvalQueries {
+
+  /** Binary-classifier confusion matrix + precision/recall/F1 in one
+    * aggregate pass: the "predicted" label is a cheap length gate (the
+    * quality-classifier stand-in), the "gold" label a deterministic
+    * held-out rule, so tp/fp/fn/tn are reproducible in SQL. At 100 TB
+    * the only thing that moves is four counters per partition. */
+  private def confusion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val judged = Tables.documents(s, d).select(
+      (length($"text") >= 200).as("pred"),
+      ($"doc_id" % 3 =!= 0).as("gold"))
+    judged.agg(
+      sum(when($"pred" && $"gold", 1L).otherwise(0L)).as("tp"),
+      sum(when($"pred" && !$"gold", 1L).otherwise(0L)).as("fp"),
+      sum(when(!$"pred" && $"gold", 1L).otherwise(0L)).as("fn"),
+      sum(when(!$"pred" && !$"gold", 1L).otherwise(0L)).as("tn"))
+      .select($"tp", $"fp", $"fn", $"tn",
+        ($"tp".cast("double") / ($"tp" + $"fp")).as("precision"),
+        ($"tp".cast("double") / ($"tp" + $"fn")).as("recall"),
+        ((lit(2) * $"tp").cast("double") /
+          (lit(2) * $"tp" + $"fp" + $"fn")).as("f1"))
+  }
+
+  /** Cohen's kappa between two deterministic "annotators" (a length
+    * gate and a token-count gate — correlated through document length,
+    * so agreement is non-trivial): kappa = (p_o − p_e)/(1 − p_e)
+    * cleared to the exact integer form
+    * (n·agree − na1·nb1 − na0·nb0) / (n² − na1·nb1 − na0·nb0).
+    * Numerator and denominator are exact BIGINT emitted beside the
+    * single-divide double. One counting aggregate; the marginals are
+    * algebra over the same four cells. */
+  private def kappa(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val votes = Tables.documents(s, d).select(
+      (length($"text") >= 150).as("a"),
+      (size(split(lower($"text"), "\\s+")) >= 25).as("b"))
+    val cells = votes.agg(
+      count(lit(1)).as("n"),
+      sum(when($"a" && $"b", 1L).otherwise(0L)).as("n11"),
+      sum(when($"a" && !$"b", 1L).otherwise(0L)).as("n10"),
+      sum(when(!$"a" && $"b", 1L).otherwise(0L)).as("n01"),
+      sum(when(!$"a" && !$"b", 1L).otherwise(0L)).as("n00"))
+    cells
+      .withColumn("agree", $"n11" + $"n00")
+      .withColumn("chance",
+        ($"n11" + $"n10") * ($"n11" + $"n01") +
+          ($"n01" + $"n00") * ($"n10" + $"n00"))
+      .select($"n", $"n11", $"n10", $"n01", $"n00", $"agree",
+        ($"n" * $"agree" - $"chance").as("kappa_num"),
+        ($"n" * $"n" - $"chance").as("kappa_den"),
+        (($"n" * $"agree" - $"chance").cast("double") /
+          ($"n" * $"n" - $"chance")).as("kappa"))
+  }
+
+  /** Mean reciprocal rank at 10 — retrieval-eval over per-(series,
+    * day) "queries": events ranked by value within each query, a
+    * deterministic relevance rule, RR = 1/rank of the first relevant
+    * result in the top 10 (0 when none). RR lands as the exact
+    * integer 1e6 div rank, so the per-series mean is a BIGINT sum and
+    * one divide. One window shuffle on the query key (rank), one
+    * aggregate — at scale, ranking depth 10 makes the window frame
+    * trivially bounded. */
+  private def mrr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type", $"day")
+      .orderBy($"cents".desc, $"event_id".asc)
+    val ranked = Tables.events(s, d)
+      .select($"event_type", $"ts".cast("date").as("day"), $"event_id",
+        $"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 10)
+    val hits = ranked.filter($"user_id" % 5 === 0)
+      .groupBy($"event_type", $"day")
+      .agg(min($"rnk").as("first_rel"))
+    ranked.select($"event_type", $"day").distinct()
+      .join(hits, Seq("event_type", "day"), "left")
+      .withColumn("rr_e6",
+        coalesce(expr("1000000L div first_rel"), lit(0L)))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when($"first_rel".isNotNull, 1L).otherwise(0L))
+          .as("n_with_hit"),
+        sum($"rr_e6").as("sum_rr_e6"))
+      .withColumn("mrr",
+        $"sum_rr_e6".cast("double") / $"n_queries" / 1000000.0)
+  }
+
+  /** ROC AUC per language via the rank-sum (Mann–Whitney) identity,
+    * computed at DISTINCT-SCORE granularity: collapsing to per-(lang,
+    * score) positive/negative counts first shrinks the window input
+    * from |corpus| to |distinct scores| — at 100 TB the running sum
+    * walks thousands of rows per language, not billions. Ties
+    * contribute half a concordant pair each, cleared to integers by
+    * carrying 2·numerator: auc_num = Σ_s pos_s·(2·neg_below_s +
+    * neg_s), AUC = auc_num / (2·n_pos·n_neg) — exact BIGINT algebra,
+    * ONE divide at the end (float rule 1). */
+  private def auc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perScore = Tables.documents(s, d)
+      .select($"lang", $"n_chars".as("score"),
+        ($"doc_id" % 3 =!= 0).as("gold"))
+      .groupBy($"lang", $"score")
+      .agg(sum(when($"gold", 1L).otherwise(0L)).as("pos"),
+        sum(when(!$"gold", 1L).otherwise(0L)).as("neg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"score".asc)
+      .rowsBetween(Long.MinValue, -1)
+    perScore
+      .withColumn("neg_below", coalesce(sum($"neg").over(w), lit(0L)))
+      .groupBy($"lang")
+      .agg(sum($"pos").as("n_pos"), sum($"neg").as("n_neg"),
+        sum($"pos" * (lit(2) * $"neg_below" + $"neg")).as("auc_num"))
+      .select($"lang", $"n_pos", $"n_neg", $"auc_num",
+        ($"auc_num".cast("double") / (lit(2) * $"n_pos" * $"n_neg"))
+          .as("auc"))
+  }
+
+  /** NDCG@10, micro-averaged per series: retrieval ranked by value
+    * within each (series, day) query, graded relevance user_id % 3 ∈
+    * {0,1,2}, logarithmic position discount from a PINNED integer
+    * table (⌊1e6/log2(r+1)⌋ for r = 1..10 — the same ten literals on
+    * both engines, so no ln is ever evaluated at query time). The
+    * ideal ordering re-ranks the SAME retrieved ten by relevance
+    * (self-normalized NDCG), making IDCG a second row_number over an
+    * already-10-row frame. Micro-averaging (Σdcg / Σidcg per series)
+    * keeps the emit a single divide of exact BIGINTs rather than a
+    * fp-order-dependent mean of per-query ratios. */
+  private def ndcg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val disc = map(Seq(1000000L, 630929L, 500000L, 430676L, 386852L,
+      356207L, 333333L, 315464L, 301029L, 289064L)
+      .zipWithIndex.flatMap { case (e6, i) =>
+        Seq(lit(i + 1), lit(e6)) }: _*)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type", $"day")
+      .orderBy($"cents".desc, $"event_id".asc)
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type", $"day")
+      .orderBy($"rel".desc, $"event_id".asc)
+    Tables.events(s, d)
+      .select($"event_type", $"ts".cast("date").as("day"), $"event_id",
+        ($"user_id" % 3).as("rel"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter($"rnk" <= 10)
+      .withColumn("irnk", row_number().over(wIdeal))
+      .groupBy($"event_type")
+      .agg(countDistinct($"day").as("n_queries"),
+        sum($"rel" * element_at(disc, $"rnk")).as("dcg_e6"),
+        sum($"rel" * element_at(disc, $"irnk")).as("idcg_e6"))
+      .select($"event_type", $"n_queries", $"dcg_e6", $"idcg_e6",
+        ($"dcg_e6".cast("double") / $"idcg_e6").as("ndcg_micro"))
+  }
+
+  /** Calibration (reliability) table — the per-bin comparison of a
+    * classifier's claimed confidence against observed frequency that
+    * decides whether its scores are usable as sampling weights. The
+    * "predicted probability" is a deterministic fake (n_chars % 100
+    * over 100), binned into deciles; per bin the emit carries exact
+    * integer cells (n, n_pos, sum_p100) and three single-divide
+    * ratios, including the calibration gap cleared to one divide:
+    * obs − pred = (100·n_pos − sum_p100) / (100·n). Pure scan-stage
+    * arithmetic plus one 10-group aggregate. */
+  private def calibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(($"n_chars" % 100).as("p100"),
+        ($"doc_id" % 3 =!= 0).as("gold"))
+      .groupBy(($"p100" / 10).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"gold", 1L).otherwise(0L)).as("n_pos"),
+        sum($"p100").cast("long").as("sum_p100"))
+      .select($"bin", $"n", $"n_pos", $"sum_p100",
+        ($"sum_p100".cast("double") / (lit(100) * $"n")).as("mean_pred"),
+        ($"n_pos".cast("double") / $"n").as("obs_rate"),
+        ((lit(100) * $"n_pos" - $"sum_p100").cast("double") /
+          (lit(100) * $"n")).as("gap"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_eval_confusion", confusion, Some("""
+      WITH j AS (SELECT length(text) >= 200 AS pred,
+                        doc_id % 3 <> 0 AS gold
+                 FROM documents),
+      c AS (SELECT
+              sum(CASE WHEN pred AND gold THEN 1 ELSE 0 END) AS tp,
+              sum(CASE WHEN pred AND NOT gold THEN 1 ELSE 0 END) AS fp,
+              sum(CASE WHEN NOT pred AND gold THEN 1 ELSE 0 END) AS fn,
+              sum(CASE WHEN NOT pred AND NOT gold THEN 1 ELSE 0 END)
+                AS tn
+            FROM j)
+      SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+             CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+             CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+             CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) AS f1
+      FROM c""")),
+
+    Q("q_eval_kappa", kappa, Some("""
+      WITH v AS (SELECT length(text) >= 150 AS a,
+                        len(string_split_regex(lower(text), '\s+')) >= 25
+                          AS b
+                 FROM documents),
+      c AS (SELECT count(*) AS n,
+                   sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+                   sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+                   sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
+                   sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                     AS n00
+            FROM v),
+      k AS (SELECT n, n11, n10, n01, n00, n11 + n00 AS agree,
+                   (n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00) AS chance
+            FROM c)
+      SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+             CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+             CAST(n00 AS BIGINT) AS n00, CAST(agree AS BIGINT) AS agree,
+             CAST(n * agree - chance AS BIGINT) AS kappa_num,
+             CAST(n * n - chance AS BIGINT) AS kappa_den,
+             CAST(n * agree - chance AS DOUBLE) / (n * n - chance)
+               AS kappa
+      FROM k""")),
+
+    Q("q_eval_mrr", mrr, Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, event_id,
+                        user_id,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT) AS cents
+                 FROM events),
+      r AS (SELECT event_type, day, event_id, user_id,
+                   row_number() OVER (PARTITION BY event_type, day
+                     ORDER BY cents DESC, event_id ASC) AS rnk
+            FROM e),
+      top AS (SELECT * FROM r WHERE rnk <= 10),
+      hits AS (SELECT event_type, day, min(rnk) AS first_rel
+               FROM top WHERE user_id % 5 = 0 GROUP BY 1, 2),
+      q AS (SELECT DISTINCT event_type, day FROM top),
+      rr AS (SELECT q.event_type, q.day, h.first_rel,
+                    coalesce(1000000 // h.first_rel, 0) AS rr_e6
+             FROM q LEFT JOIN hits h
+               ON q.event_type = h.event_type AND q.day = h.day)
+      SELECT event_type, count(*) AS n_queries,
+             sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_with_hit,
+             CAST(sum(rr_e6) AS BIGINT) AS sum_rr_e6,
+             CAST(sum(rr_e6) AS DOUBLE) / count(*) / 1000000.0 AS mrr
+      FROM rr GROUP BY 1""")),
+
+    Q("q_eval_auc", auc, Some("""
+      WITH s AS (SELECT lang, n_chars AS score,
+                        sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)
+                          AS pos,
+                        sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                          AS neg
+                 FROM documents GROUP BY 1, 2),
+      c AS (SELECT lang, score, pos, neg,
+                   coalesce(sum(neg) OVER (PARTITION BY lang
+                     ORDER BY score ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS neg_below
+            FROM s)
+      SELECT lang, CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(neg) AS BIGINT) AS n_neg,
+             CAST(sum(pos * (2 * neg_below + neg)) AS BIGINT) AS auc_num,
+             CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE)
+               / (2 * sum(pos) * sum(neg)) AS auc
+      FROM c GROUP BY 1""")),
+
+    Q("q_eval_ndcg", ndcg, Some("""
+      WITH d(r, e6) AS (VALUES (1, 1000000), (2, 630929), (3, 500000),
+        (4, 430676), (5, 386852), (6, 356207), (7, 333333),
+        (8, 315464), (9, 301029), (10, 289064)),
+      e AS (SELECT event_type, CAST(ts AS DATE) AS day, event_id,
+                   user_id % 3 AS rel,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     AS cents
+            FROM events),
+      r AS (SELECT event_type, day, event_id, rel,
+                   row_number() OVER (PARTITION BY event_type, day
+                     ORDER BY cents DESC, event_id ASC) AS rnk
+            FROM e),
+      top AS (SELECT event_type, day, event_id, rel, rnk,
+                     row_number() OVER (PARTITION BY event_type, day
+                       ORDER BY rel DESC, event_id ASC) AS irnk
+              FROM r WHERE rnk <= 10)
+      SELECT t.event_type,
+             CAST(count(DISTINCT t.day) AS BIGINT) AS n_queries,
+             CAST(sum(t.rel * dr.e6) AS BIGINT) AS dcg_e6,
+             CAST(sum(t.rel * di.e6) AS BIGINT) AS idcg_e6,
+             CAST(sum(t.rel * dr.e6) AS DOUBLE) / sum(t.rel * di.e6)
+               AS ndcg_micro
+      FROM top t JOIN d dr ON t.rnk = dr.r JOIN d di ON t.irnk = di.r
+      GROUP BY 1""")),
+
+    Q("q_eval_calibration", calibration, Some("""
+      WITH p AS (SELECT n_chars % 100 AS p100,
+                        doc_id % 3 <> 0 AS gold
+                 FROM documents),
+      b AS (SELECT p100 // 10 AS bin, count(*) AS n,
+                   sum(CASE WHEN gold THEN 1 ELSE 0 END) AS n_pos,
+                   sum(p100) AS sum_p100
+            FROM p GROUP BY 1)
+      SELECT CAST(bin AS BIGINT) AS bin, n, CAST(n_pos AS BIGINT)
+               AS n_pos,
+             CAST(sum_p100 AS BIGINT) AS sum_p100,
+             CAST(sum_p100 AS DOUBLE) / (100 * n) AS mean_pred,
+             CAST(n_pos AS DOUBLE) / n AS obs_rate,
+             CAST(100 * n_pos - sum_p100 AS DOUBLE) / (100 * n) AS gap
+      FROM b"""))
+  )
+}

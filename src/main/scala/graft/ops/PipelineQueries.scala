@@ -90,6 +90,39 @@ object PipelineQueries {
   /** SQL entry point (replaces the reference's Athena layer, SURVEY.md
     * §3.3): register temp views, run the query through spark.sql —
     * same Catalyst plan as the DataFrame form. */
+  /** Corrupt-record quarantine (dead-letter) ingest: a JSON feed with
+    * deterministically planted malformed rows (every 37th record loses
+    * its last 3 characters — always severing the closing brace) is
+    * parsed with `from_json`, which yields NULL for unparseable input
+    * instead of failing the batch; rows routing to the quarantine are
+    * counted per priority beside the successfully-parsed payload sum.
+    * This is the ingest-robustness contract every 100 TB pipeline
+    * needs: one bad upstream record must cost one quarantine row,
+    * never the job. The oracle recomputes from the CORRUPTION FORMULA
+    * (o_orderkey ≡ 0 mod 37), so the hash check asserts Spark's parser
+    * fails on exactly the planted rows and no others — parse detection
+    * via `coalesce` on the struct's required field covers both the
+    * null-struct and null-fields malformed renderings. Everything is
+    * scan-stage until the final tiny aggregate. */
+  private def jsonQuarantine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val js = concat(lit("{\"k\": "), $"o_orderkey",
+      lit(", \"p\": "), $"o_totalprice", lit("}"))
+    val dirty = Tables.orders(s, d)
+      .select($"o_orderpriority", $"o_orderkey", js.as("js"))
+      .select($"o_orderpriority", $"o_orderkey",
+        when($"o_orderkey" % 37 === 0,
+          expr("substring(js, 1, length(js) - 3)")).otherwise($"js")
+          .as("js"))
+      .withColumn("rec", from_json($"js",
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, p DOUBLE")))
+    dirty
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"rec.k".isNull, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(coalesce($"rec.k", lit(0L))).as("sum_parsed_k"))
+  }
+
   private def sqlEntry(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("v_orders")
     Tables.customer(s, d).createOrReplaceTempView("v_customer")
@@ -582,6 +615,14 @@ object PipelineQueries {
       SELECT l_returnflag, count(*) AS cnt,
              round(sum(l_quantity), 2) AS sum_qty
       FROM lineitem GROUP BY 1""")),
+
+    Q("q_json_quarantine", jsonQuarantine, Some("""
+      SELECT o_orderpriority, count(*) AS n_rows,
+             sum(CASE WHEN o_orderkey % 37 = 0 THEN 1 ELSE 0 END)
+               AS n_quarantined,
+             CAST(sum(CASE WHEN o_orderkey % 37 <> 0 THEN o_orderkey
+                           ELSE 0 END) AS BIGINT) AS sum_parsed_k
+      FROM orders GROUP BY 1""")),
 
     Q("q_json_roundtrip", jsonRoundtrip, Some("""
       SELECT o_orderstatus, count(*) AS cnt,

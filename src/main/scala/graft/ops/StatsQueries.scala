@@ -478,6 +478,31 @@ object StatsQueries {
         ($"n" * $"qw" - $"sw" * $"sw").as("var_n2"))
   }
 
+  /** Lagged-feature construction for forecasting — the
+    * feature-engineering step that turns a daily metric series into
+    * supervised training rows: per (series, day), the day's total
+    * beside its lag-1 and lag-7 values and the trailing-7-day sum
+    * (nulls where history is short — the consumer's train/skip
+    * decision, not ours to impute). One aggregate collapses events to
+    * the daily grain (map-side combinable), then ONE window shuffle on
+    * the series key serves all three features — the frames share the
+    * same (partition, order). Cents snap on the decimal grid; every
+    * feature is an exact BIGINT. */
+  private def featureLags(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"), count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day".asc)
+    val w7 = w.rowsBetween(-6, 0)
+    daily.select($"event_type", $"day", $"cents", $"n",
+      lag($"cents", 1).over(w).as("lag1_cents"),
+      lag($"cents", 7).over(w).as("lag7_cents"),
+      sum($"cents").over(w7).as("roll7_cents"))
+  }
+
   /** Dataset-profiling manifest — the per-column stats card
     * (row/null/distinct counts, lexicographic min/max) a pipeline
     * publishes with every snapshot. ONE aggregate pass computes every
@@ -751,6 +776,23 @@ object StatsQueries {
       FROM r
       WHERE n >= 10
         AND (n * cents - sw) * (n * cents - sw) > 9 * (n * qw - sw * sw)""")),
+
+    Q("q_feature_lags", featureLags, Some("""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+                                          * 100 AS BIGINT)) AS BIGINT)
+                              AS cents,
+                            count(*) AS n
+                     FROM events GROUP BY 1, 2)
+      SELECT event_type, day, cents, n,
+             lag(cents, 1) OVER w AS lag1_cents,
+             lag(cents, 7) OVER w AS lag7_cents,
+             CAST(sum(cents) OVER (PARTITION BY event_type
+               ORDER BY day ASC
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS roll7_cents
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)""")),
 
     Q("q_locf_fill", locfFill, Some("""
       WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,

@@ -623,6 +623,39 @@ object TextOps {
       .limit(50)
   }
 
+  /** Top-p (nucleus) quality-mass selection — per language, keep the
+    * smallest prefix of documents (ordered by token count desc, then
+    * doc_id) whose cumulative tokens reach 80 % of the language's
+    * total: the "take the best X % of the QUALITY MASS, not the best
+    * X % of the rows" curation cut (row-quantile cuts keep too many
+    * near-duplicates of the head; mass cuts adapt to the score
+    * distribution). Nucleus rule: a doc is kept while the cumulative
+    * mass BEFORE it is still short of the target, so the row that
+    * crosses the threshold is included. One window shuffle on lang
+    * serves both the ordered prefix sum and the per-lang total
+    * (frames share the partition key); the threshold test is
+    * cross-multiplied into pure integers — 100·cum_before < 80·total
+    * — so no ratio is ever materialized. */
+  private def topPSelect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, d)
+      .select($"lang", $"doc_id",
+        size(tokens($"text")).cast("long").as("n_tokens"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n_tokens".desc, $"doc_id".asc)
+      .rowsBetween(Long.MinValue, -1)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+    scored
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(wCum), lit(0L)))
+      .withColumn("total", sum($"n_tokens").over(wTot))
+      .withColumn("kept", $"cum_before" * 100 < $"total" * 80)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        max($"total").as("tokens_total"),
+        sum(when($"kept", $"n_tokens").otherwise(0L)).as("tokens_kept"))
+  }
+
   /** Stupid-backoff bigram scoring (the web-scale LM smoothing of
     * Brants et al. 2007, "Large Language Models in Machine
     * Translation") over a pinned 3×3 probe grid:
@@ -1150,6 +1183,29 @@ object TextOps {
              round(b.cnt * 1.0 / u.tot, 4) AS p_cond
       FROM big b JOIN uni u USING (w1)
       ORDER BY cnt DESC, w1, w2 LIMIT 50""")),
+
+    Q("q_topp_select", topPSelect, Some("""
+      WITH s AS (SELECT lang, doc_id,
+                        CAST(len(string_split_regex(lower(text), '\s+'))
+                             AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT lang, doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                     PARTITION BY lang
+                     ORDER BY n_tokens DESC, doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cum_before,
+                   sum(n_tokens) OVER (PARTITION BY lang) AS total
+            FROM s),
+      k AS (SELECT lang, n_tokens, cum_before * 100 < total * 80 AS kept,
+                   total
+            FROM c)
+      SELECT lang, count(*) AS n_docs,
+             sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+             CAST(max(total) AS BIGINT) AS tokens_total,
+             CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_kept
+      FROM k GROUP BY 1""")),
 
     Q("q_stupid_backoff", stupidBackoff, Some("""
       WITH tk AS (SELECT string_split_regex(lower(text), '\s+') AS toks

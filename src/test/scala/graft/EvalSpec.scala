@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the eval-metric operators (ops/EvalQueries) that the
+  * hash-compare oracle can't express: algebraic identities between the
+  * emitted integer cells and the derived ratios. */
+class EvalSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  test("confusion cells partition the corpus; F1 is the harmonic mean") {
+    val r = SparkEntry.queries("q_eval_confusion")(spark, sf).head()
+    val (tp, fp, fn, tn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+    val n = Tables.documents(spark, sf).count()
+    assert(tp + fp + fn + tn === n)
+    val (p, rec, f1) = (r.getAs[Double]("precision"),
+      r.getAs[Double]("recall"), r.getAs[Double]("f1"))
+    assert(math.abs(f1 - 2 * p * rec / (p + rec)) < 1e-12)
+    // harmonic mean lies between min and max of its arguments
+    assert(f1 >= math.min(p, rec) - 1e-12 && f1 <= math.max(p, rec) + 1e-12)
+  }
+
+  test("kappa cells are consistent and kappa == num/den in [-1, 1]") {
+    val r = SparkEntry.queries("q_eval_kappa")(spark, sf).head()
+    assert(r.getAs[Long]("n11") + r.getAs[Long]("n10") +
+      r.getAs[Long]("n01") + r.getAs[Long]("n00") === r.getAs[Long]("n"))
+    assert(r.getAs[Long]("agree") ===
+      r.getAs[Long]("n11") + r.getAs[Long]("n00"))
+    val k = r.getAs[Double]("kappa")
+    assert(k === r.getAs[Long]("kappa_num").toDouble /
+      r.getAs[Long]("kappa_den"))
+    assert(k >= -1.0 && k <= 1.0)
+  }
+
+  test("MRR covers every (series, day) query and stays in [0, 1]") {
+    val rows = SparkEntry.queries("q_eval_mrr")(spark, sf).collect()
+    val expected = Tables.events(spark, sf)
+      .select($"event_type", $"ts".cast("date").as("day")).distinct()
+      .groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_queries") === expected(t))
+      val mrr = r.getAs[Double]("mrr")
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      assert(r.getAs[Long]("n_with_hit") <= r.getAs[Long]("n_queries"))
+      // no-hit queries contribute exactly zero: sum_rr_e6 == 0 iff no hits
+      assert((r.getAs[Long]("sum_rr_e6") > 0) ===
+        (r.getAs[Long]("n_with_hit") > 0))
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("AUC is num/den in [0,1] and counts partition each language") {
+    val rows = SparkEntry.queries("q_eval_auc")(spark, sf).collect()
+    val perLang = Tables.documents(spark, sf)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getAs[String]("lang")).toSet === perLang.keySet)
+    rows.foreach { r =>
+      val (np, nn) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"))
+      assert(np + nn === perLang(r.getAs[String]("lang")))
+      val auc = r.getAs[Double]("auc")
+      assert(auc === r.getAs[Long]("auc_num").toDouble / (2 * np * nn))
+      assert(auc >= 0.0 && auc <= 1.0)
+    }
+  }
+
+  test("AUC equals the O(n^2) pair-counting definition on one language") {
+    // independent model: concordant pairs + half ties over pos×neg
+    val docs = Tables.documents(spark, sf)
+      .filter($"lang" === "en")
+      .select($"n_chars", ($"doc_id" % 3 =!= 0).as("gold")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val pos = docs.filter(_._2).map(_._1)
+    val neg = docs.filterNot(_._2).map(_._1)
+    val num2 = pos.iterator.map { p =>
+      2L * neg.count(_ < p) + neg.count(_ == p)
+    }.sum
+    val expected = num2.toDouble / (2L * pos.length * neg.length)
+    val got = SparkEntry.queries("q_eval_auc")(spark, sf)
+      .filter($"lang" === "en").head().getAs[Double]("auc")
+    assert(got === expected)
+  }
+
+  test("micro-NDCG is in (0,1] and ideal ordering dominates retrieval") {
+    val rows = SparkEntry.queries("q_eval_ndcg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, i) = (r.getAs[Long]("dcg_e6"), r.getAs[Long]("idcg_e6"))
+      assert(d <= i)            // ideal re-rank can only raise the sum
+      assert(d > 0 && i > 0)
+      assert(r.getAs[Double]("ndcg_micro") === d.toDouble / i)
+    }
+  }
+
+  test("calibration bins cover deciles; cells and gap are consistent") {
+    val rows = SparkEntry.queries("q_eval_calibration")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("bin")).sorted === (0L to 9L).toArray)
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      // per-bin mean prediction must sit inside the bin's decile range
+      val mp = r.getAs[Double]("mean_pred")
+      val b = r.getAs[Long]("bin")
+      assert(mp >= b / 10.0 && mp < (b + 1) / 10.0)
+      assert(math.abs(r.getAs[Double]("gap") -
+        (r.getAs[Double]("obs_rate") - mp)) < 1e-12)
+    }
+  }
+}
