@@ -19,6 +19,7 @@ object SparkEntry {
       ops.TemporalJoins.queries ++
       ops.StatsQueries.queries ++
       ops.EvalQueries.queries ++
+      ops.FeatureQueries.queries ++
       ops.TypedAndSources.queries ++
       yelp.YelpQueries.queries ++
       scale.TextOps.queries ++

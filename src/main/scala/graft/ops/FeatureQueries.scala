@@ -1,0 +1,238 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Experimentation and feature-engineering statistics — the decision
+  * gates that sit beside a training-data pipeline: did the treatment
+  * move the metric (two-proportion z), are two categoricals dependent
+  * (chi-square), where should a stump split (Gini), and what does a
+  * category tell us about the label without leaking it (leave-one-out
+  * target encoding).
+  *
+  * Reference analog: the dashboards' comparative panels (per-state /
+  * per-category rating contrasts — README.md:16-20) are informal
+  * versions of exactly these tests; here they are emitted with their
+  * exact integer evidence so a reviewer can re-derive every number.
+  *
+  * Scale shape shared by all four: per-group integer cells collapse
+  * the corpus (map-side combinable), marginals are GROUP-cardinality
+  * (tiny) and rejoin as broadcasts; nothing ever needs two fact rows
+  * co-located. Float discipline (StatsQueries header): all compared
+  * doubles are either ONE divide of exact BIGINTs or a fixed
+  * parenthesized per-row chain over exact integer inputs — each IEEE
+  * op is correctly rounded on bit-identical operands, so the result is
+  * bit-identical across engines; no round(), no ln, no cross-row
+  * double sum anywhere.
+  */
+object FeatureQueries {
+
+  /** Two-proportion z-test per metric series: cohort A/B by user-id
+    * parity, "conversion" = value ≥ 50 (cents ≥ 5000 on the decimal
+    * grid). The pooled z² is cleared to integer evidence —
+    * diff = x_a·n_b − x_b·n_a (exact BIGINT, sign = direction) — and
+    * the statistic itself is a fixed-order double chain over the exact
+    * cells: z² = diff²·(n_a+n_b) / (n_a·n_b·x·(n−x)), x pooled. The
+    * square is done in double because diff² ·(n_a+n_b) can exceed
+    * BIGINT at petabyte row counts; each factor converts exactly and
+    * every multiply is correctly rounded on identical operands. */
+  private def abTest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.events(s, d)
+      .select($"event_type", ($"user_id" % 2 === 0).as("cohort_a"),
+        (($"value".cast("decimal(18,2)") * 100).cast("long") >= 5000L)
+          .as("conv"))
+      .groupBy($"event_type")
+      .agg(sum(when($"cohort_a", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"cohort_a" && $"conv", 1L).otherwise(0L)).as("x_a"),
+        sum(when(!$"cohort_a", 1L).otherwise(0L)).as("n_b"),
+        sum(when(!$"cohort_a" && $"conv", 1L).otherwise(0L)).as("x_b"))
+    cells
+      .withColumn("diff", $"x_a" * $"n_b" - $"x_b" * $"n_a")
+      .withColumn("pooled", $"x_a" + $"x_b")
+      .select($"event_type", $"n_a", $"x_a", $"n_b", $"x_b", $"diff",
+        (($"diff".cast("double") * $"diff" * ($"n_a" + $"n_b")) /
+          ($"n_a".cast("double") * $"n_b" * $"pooled" *
+            ($"n_a" + $"n_b" - $"pooled"))).as("z2"))
+  }
+
+  /** Chi-square independence evidence for lang × source — emitted as
+    * the per-cell contribution table (observed count, expected-count
+    * ratio, and the cell's chi² term), not a single opaque statistic:
+    * the per-cell view is what a curation reviewer actually reads
+    * ("which source is over-feeding which language"). Cells and
+    * marginals are three tiny aggregates off one scan; marginals
+    * rejoin the 100-row cell table as broadcasts. Every emitted ratio
+    * is ONE divide of exact BIGINTs ((O·N − R·C)² stays well inside
+    * BIGINT at any realistic group count). */
+  private def chiSquare(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val cells = docs.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("observed"))
+    val rows = docs.groupBy($"lang").agg(count(lit(1)).as("row_tot"))
+    val cols = docs.groupBy($"source").agg(count(lit(1)).as("col_tot"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    cells
+      .join(broadcast(rows), Seq("lang"))
+      .join(broadcast(cols), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("dev", $"observed" * $"n" - $"row_tot" * $"col_tot")
+      .select($"lang", $"source", $"observed", $"row_tot", $"col_tot",
+        $"n",
+        (($"row_tot" * $"col_tot").cast("double") / $"n").as("expected"),
+        ($"dev" * $"dev").as("chi_num"),
+        (($"dev" * $"dev").cast("double") /
+          ($"n" * $"row_tot" * $"col_tot")).as("contrib"))
+  }
+
+  /** Decision-stump split selection: for each candidate threshold on
+    * n_chars, the weighted Gini impurity of the induced left/right
+    * partition against the held-out label — the scan primitive behind
+    * tree building and behind "where do I cut this quality score".
+    * One pass: each row fans out to the fixed 7-threshold grid
+    * (explode of a literal array — a 7× pre-agg blowup that map-side
+    * combines straight back down), then per-threshold integer cells.
+    * Weighted Gini is cleared to one divide:
+    * G = [n_r·(n_l² − pos_l² − neg_l²) + n_l·(n_r² − pos_r² − neg_r²)]
+    *     / (n · n_l · n_r), guarded null when a side is empty. */
+  private def giniSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val thresholds = array((150L to 450L by 50L).map(lit): _*)
+    val cells = Tables.documents(s, d)
+      .select($"n_chars", ($"doc_id" % 3 =!= 0).as("gold"),
+        explode(thresholds).as("threshold"))
+      .groupBy($"threshold")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"n_chars" < $"threshold", 1L).otherwise(0L)).as("n_l"),
+        sum(when($"n_chars" < $"threshold" && $"gold", 1L).otherwise(0L))
+          .as("pos_l"),
+        sum(when($"gold", 1L).otherwise(0L)).as("pos"))
+    cells
+      .withColumn("n_r", $"n" - $"n_l")
+      .withColumn("pos_r", $"pos" - $"pos_l")
+      .withColumn("neg_l", $"n_l" - $"pos_l")
+      .withColumn("neg_r", $"n_r" - $"pos_r")
+      .withColumn("gini_num",
+        $"n_r" * ($"n_l" * $"n_l" - $"pos_l" * $"pos_l" -
+          $"neg_l" * $"neg_l") +
+          $"n_l" * ($"n_r" * $"n_r" - $"pos_r" * $"pos_r" -
+            $"neg_r" * $"neg_r"))
+      .select($"threshold", $"n", $"n_l", $"pos_l", $"n_r", $"pos_r",
+        $"gini_num",
+        when($"n_l" > 0 && $"n_r" > 0,
+          $"gini_num".cast("double") / ($"n" * $"n_l" * $"n_r"))
+          .as("gini"))
+  }
+
+  /** Leave-one-out target encoding of `source` against the held-out
+    * label — the category-to-number feature that excludes each row's
+    * own label from its encoding (the standard target-leak guard).
+    * Per-category sums are GROUP-cardinality and broadcast back onto
+    * the scan; each row's encoding is then pure per-row arithmetic:
+    * loo = (sum_y − y) / (cnt − 1), emitted beside its exact integer
+    * numerator/denominator. The fact side never shuffles. */
+  private def targetEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labeled = Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        when($"doc_id" % 3 =!= 0, 1L).otherwise(0L).as("y"))
+    val perCat = labeled.groupBy($"source")
+      .agg(sum($"y").as("sum_y"), count(lit(1)).as("cnt"))
+    labeled.join(broadcast(perCat), Seq("source"))
+      .select($"doc_id", $"source", $"y",
+        ($"sum_y" - $"y").as("loo_num"), ($"cnt" - 1).as("loo_den"),
+        when($"cnt" > 1,
+          ($"sum_y" - $"y").cast("double") / ($"cnt" - 1)).as("loo"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_ab_test", abTest, Some("""
+      WITH e AS (SELECT event_type, user_id % 2 = 0 AS cohort_a,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT) >= 5000 AS conv
+                 FROM events),
+      c AS (SELECT event_type,
+                   sum(CASE WHEN cohort_a THEN 1 ELSE 0 END) AS n_a,
+                   sum(CASE WHEN cohort_a AND conv THEN 1 ELSE 0 END)
+                     AS x_a,
+                   sum(CASE WHEN NOT cohort_a THEN 1 ELSE 0 END) AS n_b,
+                   sum(CASE WHEN NOT cohort_a AND conv THEN 1 ELSE 0 END)
+                     AS x_b
+            FROM e GROUP BY 1)
+      SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+             CAST(x_a AS BIGINT) AS x_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(x_b AS BIGINT) AS x_b,
+             CAST(x_a * n_b - x_b * n_a AS BIGINT) AS diff,
+             ((CAST(x_a * n_b - x_b * n_a AS DOUBLE)
+                 * (x_a * n_b - x_b * n_a)) * (n_a + n_b))
+               / (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b)
+                  * (n_a + n_b - x_a - x_b)) AS z2
+      FROM c""")),
+
+    Q("q_chi_square", chiSquare, Some("""
+      WITH cells AS (SELECT lang, source, count(*) AS observed
+                     FROM documents GROUP BY 1, 2),
+      r AS (SELECT lang, count(*) AS row_tot FROM documents GROUP BY 1),
+      c AS (SELECT source, count(*) AS col_tot FROM documents
+            GROUP BY 1),
+      t AS (SELECT count(*) AS n FROM documents)
+      SELECT cells.lang, cells.source,
+             CAST(observed AS BIGINT) AS observed,
+             CAST(row_tot AS BIGINT) AS row_tot,
+             CAST(col_tot AS BIGINT) AS col_tot, CAST(n AS BIGINT) AS n,
+             CAST(row_tot * col_tot AS DOUBLE) / n AS expected,
+             CAST((observed * n - row_tot * col_tot)
+                  * (observed * n - row_tot * col_tot) AS BIGINT)
+               AS chi_num,
+             CAST((observed * n - row_tot * col_tot)
+                  * (observed * n - row_tot * col_tot) AS DOUBLE)
+               / (n * row_tot * col_tot) AS contrib
+      FROM cells JOIN r USING (lang) JOIN c USING (source)
+      CROSS JOIN t""")),
+
+    Q("q_gini_split", giniSplit, Some("""
+      WITH g AS (SELECT n_chars, doc_id % 3 <> 0 AS gold,
+                        unnest([150, 200, 250, 300, 350, 400, 450])
+                          AS threshold
+                 FROM documents),
+      cells AS (SELECT threshold, count(*) AS n,
+                       sum(CASE WHEN n_chars < threshold THEN 1 ELSE 0
+                           END) AS n_l,
+                       sum(CASE WHEN n_chars < threshold AND gold
+                           THEN 1 ELSE 0 END) AS pos_l,
+                       sum(CASE WHEN gold THEN 1 ELSE 0 END) AS pos
+                FROM g GROUP BY 1),
+      x AS (SELECT threshold, n, n_l, pos_l, n - n_l AS n_r,
+                   pos - pos_l AS pos_r, n_l - pos_l AS neg_l,
+                   (n - n_l) - (pos - pos_l) AS neg_r
+            FROM cells),
+      y AS (SELECT threshold, n, n_l, pos_l, n_r, pos_r,
+                   n_r * (n_l * n_l - pos_l * pos_l - neg_l * neg_l)
+                     + n_l * (n_r * n_r - pos_r * pos_r - neg_r * neg_r)
+                     AS gini_num
+            FROM x)
+      SELECT CAST(threshold AS BIGINT) AS threshold,
+             CAST(n AS BIGINT) AS n, CAST(n_l AS BIGINT) AS n_l,
+             CAST(pos_l AS BIGINT) AS pos_l, CAST(n_r AS BIGINT) AS n_r,
+             CAST(pos_r AS BIGINT) AS pos_r,
+             CAST(gini_num AS BIGINT) AS gini_num,
+             CASE WHEN n_l > 0 AND n_r > 0 THEN
+               CAST(gini_num AS DOUBLE) / (n * n_l * n_r) END AS gini
+      FROM y""")),
+
+    Q("q_target_encode", targetEncode, Some("""
+      WITH l AS (SELECT doc_id, source,
+                        CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS y
+                 FROM documents),
+      p AS (SELECT source, sum(y) AS sum_y, count(*) AS cnt
+            FROM l GROUP BY 1)
+      SELECT doc_id, l.source, CAST(y AS BIGINT) AS y,
+             CAST(sum_y - y AS BIGINT) AS loo_num,
+             CAST(cnt - 1 AS BIGINT) AS loo_den,
+             CASE WHEN cnt > 1 THEN
+               CAST(sum_y - y AS DOUBLE) / (cnt - 1) END AS loo
+      FROM l JOIN p USING (source)"""))
+  )
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the experimentation / feature-engineering operators
+  * (ops/FeatureQueries) beyond the hash oracle: cell-partition
+  * identities, statistic ranges, and monotonicity the SQL compare
+  * can't state. */
+class FeatureSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  test("A/B cells partition each series and z2 is non-negative") {
+    val rows = SparkEntry.queries("q_ab_test")(spark, sf).collect()
+    val perType = Tables.events(spark, sf)
+      .groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getAs[String]("event_type")).toSet ===
+      perType.keySet)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") ===
+        perType(r.getAs[String]("event_type")))
+      assert(r.getAs[Long]("x_a") <= r.getAs[Long]("n_a"))
+      assert(r.getAs[Long]("x_b") <= r.getAs[Long]("n_b"))
+      assert(r.getAs[Double]("z2") >= 0.0)
+      // z2 == 0 exactly when the scaled proportions are identical
+      assert((r.getAs[Double]("z2") == 0.0) ===
+        (r.getAs[Long]("diff") == 0L))
+    }
+  }
+
+  test("chi-square cells reconstruct their marginals; contribs >= 0") {
+    val rows = SparkEntry.queries("q_chi_square")(spark, sf).collect()
+    val n = rows.head.getAs[Long]("n")
+    assert(rows.map(_.getAs[Long]("observed")).sum === n)
+    // per-lang observed cells must sum to the lang's row_tot
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, cells) =>
+      assert(cells.map(_.getAs[Long]("observed")).sum ===
+        cells.head.getAs[Long]("row_tot"))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Double]("contrib") >= 0.0)
+      assert(r.getAs[Double]("expected") > 0.0)
+    }
+  }
+
+  test("Gini split: sides partition, impurity in [0, 1/2], n_l monotone") {
+    val rows = SparkEntry.queries("q_gini_split")(spark, sf)
+      .orderBy($"threshold").collect()
+    assert(rows.length === 7)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_l") + r.getAs[Long]("n_r") ===
+        r.getAs[Long]("n"))
+      if (!r.isNullAt(r.fieldIndex("gini"))) {
+        val g = r.getAs[Double]("gini")
+        assert(g >= 0.0 && g <= 0.5 + 1e-12)
+      }
+    }
+    val nls = rows.map(_.getAs[Long]("n_l"))
+    assert(nls.zip(nls.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("LOO target encoding excludes the row's own label") {
+    val df = SparkEntry.queries("q_target_encode")(spark, sf)
+    assert(df.count() === Tables.documents(spark, sf).count())
+    // reconstruct each category's full sum from any member row:
+    // loo_num + y must be constant per source (the category's sum_y)
+    val perSource = df.groupBy($"source")
+      .agg(countDistinct($"loo_num" + $"y").as("distinct_sums"),
+        max($"loo_num" + $"y").as("sum_y"), count(lit(1)).as("cnt"),
+        sum($"y").as("check_sum"))
+      .collect()
+    perSource.foreach { r =>
+      assert(r.getAs[Long]("distinct_sums") === 1L)
+      assert(r.getAs[Long]("sum_y") === r.getAs[Long]("check_sum"))
+    }
+    // encodings are proportions in [0, 1]
+    val bad = df.filter($"loo" < 0.0 || $"loo" > 1.0).count()
+    assert(bad === 0L)
+  }
+}
