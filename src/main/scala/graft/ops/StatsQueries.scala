@@ -503,6 +503,41 @@ object StatsQueries {
       sum($"cents").over(w7).as("roll7_cents"))
   }
 
+  /** Lag-1 autocorrelation per metric series — the "is yesterday
+    * predictive of today" diagnostic that decides whether the lagged
+    * features (q_feature_lags) are worth training on. Daily totals on
+    * the exact cents grid; consecutive-day pairs via ONE window lag on
+    * the series key (pairs where the previous calendar day exists);
+    * then Pearson r from EXACT integer moments (Σx Σy Σxx Σyy Σxy all
+    * BIGINT — cents² summed over day-cardinality rows sits far inside
+    * BIGINT), with the double algebra only after aggregation on
+    * bit-identical inputs, rounded at 1e-6 like q_corr_moments. */
+  private def autocorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+        .as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day".asc)
+    val pairs = daily
+      .withColumn("x_prev", lag($"x", 1).over(w))
+      .withColumn("day_prev", lag($"day", 1).over(w))
+      .filter($"x_prev".isNotNull &&
+        datediff($"day", $"day_prev") === 1)
+    val m = pairs.groupBy($"event_type").agg(
+      count(lit(1)).as("n_pairs"), sum($"x").as("sx"),
+      sum($"x_prev").as("sy"), sum($"x" * $"x").as("sxx"),
+      sum($"x_prev" * $"x_prev").as("syy"),
+      sum($"x" * $"x_prev").as("sxy"))
+    val n = $"n_pairs".cast("double")
+    val cov = $"sxy" / n - ($"sx" / n) * ($"sy" / n)
+    val vx = $"sxx" / n - ($"sx" / n) * ($"sx" / n)
+    val vy = $"syy" / n - ($"sy" / n) * ($"sy" / n)
+    m.select($"event_type", $"n_pairs", $"sx", $"sy", $"sxx", $"syy",
+      $"sxy", round(cov / (sqrt(vx) * sqrt(vy)), 6).as("autocorr_lag1"))
+  }
+
   /** Dataset-profiling manifest — the per-column stats card
     * (row/null/distinct counts, lexicographic min/max) a pipeline
     * publishes with every snapshot. ONE aggregate pass computes every
@@ -793,6 +828,40 @@ object StatsQueries {
                AS roll7_cents
       FROM daily
       WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)""")),
+
+    Q("q_autocorr", autocorr, Some("""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+                                          * 100 AS BIGINT)) AS BIGINT)
+                              AS x
+                     FROM events GROUP BY 1, 2),
+      p AS (SELECT event_type, day, x,
+                   lag(x, 1) OVER w AS x_prev,
+                   lag(day, 1) OVER w AS day_prev
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)),
+      pairs AS (SELECT * FROM p
+                WHERE x_prev IS NOT NULL
+                  AND date_diff('day', day_prev, day) = 1),
+      m AS (SELECT event_type, count(*) AS n_pairs, sum(x) AS sx,
+                   sum(x_prev) AS sy, sum(x * x) AS sxx,
+                   sum(x_prev * x_prev) AS syy, sum(x * x_prev) AS sxy
+            FROM pairs GROUP BY 1)
+      SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+             CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+             CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy,
+             CAST(sxy AS BIGINT) AS sxy,
+             round((CAST(sxy AS DOUBLE) / n_pairs
+                     - (CAST(sx AS DOUBLE) / n_pairs)
+                       * (CAST(sy AS DOUBLE) / n_pairs))
+                   / (sqrt(CAST(sxx AS DOUBLE) / n_pairs
+                           - (CAST(sx AS DOUBLE) / n_pairs)
+                             * (CAST(sx AS DOUBLE) / n_pairs))
+                      * sqrt(CAST(syy AS DOUBLE) / n_pairs
+                             - (CAST(sy AS DOUBLE) / n_pairs)
+                               * (CAST(sy AS DOUBLE) / n_pairs))), 6)
+               AS autocorr_lag1
+      FROM m""")),
 
     Q("q_locf_fill", locfFill, Some("""
       WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,

@@ -199,8 +199,117 @@ object GraphOps {
       .select($"n_nodes", $"n_edges", $"n_triangles")
   }
 
+  /** HITS fixed-point grid: 1e6 is coarse enough that raw·Fp stays
+    * far inside BIGINT even at large edge counts (raw ≤ n_edges·Fp),
+    * and fine enough for a stable top-k ordering. */
+  val HitsFp = 1000000L
+  val HitsIterations = 2
+
+  /** HITS hubs & authorities over the DIRECTED supplier→part purchase
+    * graph (Kleinberg 1999, "Authoritative sources in a hyperlinked
+    * environment") — the "which suppliers span the catalog / which
+    * parts anchor the market" dual of PageRank's single score. Mutual
+    * recursion a(p) = Σ h(s), h(s) = Σ a(p) run for a fixed round
+    * count on the integer grid, L1-normalized each half-step
+    * (score·Fp div Σscore — all-positive truncating division, exact
+    * on both engines; classic L2 needs a sqrt the oracle can't replay
+    * bit-exactly). Per half-step cost: one broadcast (or, above the
+    * node cap, shuffle-hash — the pagerank gate) join onto the
+    * never-moving edge list, one key aggregate, one scalar sum. The
+    * emit is the top 50 of each side via TakeOrdered — no global
+    * sort. */
+  /** Library API: HITS over ANY directed edge list with columns
+    * (src, dst); returns the top 50 per side. `cacheKeyPrefix` keys
+    * the per-half-step registry caches — pass a distinct prefix per
+    * distinct edge list. `broadcastNodeCap` gates the per-half-step
+    * join exactly like [[pagerankOn]]'s; both paths are bit-identical
+    * (integer arithmetic; GraphOpsSpec locks the equality). */
+  def hitsOn(e: DataFrame, iterations: Int = HitsIterations,
+      cacheKeyPrefix: String = "graph.hits",
+      broadcastNodeCap: Long = DefaultBroadcastNodeCap): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val nNodes = e.agg(countDistinct($"src") + countDistinct($"dst"))
+      .head().getLong(0)
+    val small = nNodes <= broadcastNodeCap
+    def side(scores: DataFrame, key: String): DataFrame =
+      if (small) e.join(broadcast(scores), key)
+      else e.join(scores.hint("shuffle_hash"), key)
+    // score·Fp div Σ — the scalar joins in as a broadcast literal row.
+    // Each half-step's raw table is registry-cached: its lineage is
+    // read twice (the scalar sum and the normalize select) and feeds
+    // the next half-step — uncached, the recompute would double per
+    // half-step (the q_er_cluster lesson).
+    def normalize(raw0: DataFrame, key: String): DataFrame = {
+      val raw = graft.GraftCaches.getOrPersist(s, key)(raw0)
+      raw.crossJoin(broadcast(raw.agg(sum($"raw").as("s_tot"))))
+        .select($"node", expr(s"(raw * $HitsFp) div s_tot").as("score"))
+    }
+    var hubs = e.select($"src".as("node")).distinct()
+      .select($"node", lit(HitsFp).as("score"))
+    var auths: DataFrame = null
+    for (i <- 1 to iterations) {
+      auths = normalize(side(hubs.withColumnRenamed("node", "src"), "src")
+        .groupBy($"dst".as("node")).agg(sum($"score").as("raw")),
+        s"$cacheKeyPrefix:a$i")
+      hubs = normalize(side(auths.withColumnRenamed("node", "dst"), "dst")
+        .groupBy($"src".as("node")).agg(sum($"score").as("raw")),
+        s"$cacheKeyPrefix:h$i")
+    }
+    def top(df: DataFrame, sideName: String): DataFrame = df
+      .orderBy($"score".desc, $"node".asc).limit(50)
+      .select(lit(sideName).as("side"), $"node",
+        $"score".as("score_fp"),
+        ($"score".cast("double") / HitsFp).as("score"))
+    top(auths, "auth").unionAll(top(hubs, "hub"))
+  }
+
+  private def hits(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = graft.GraftCaches.getOrPersist(s, s"graph.sp_directed:$d") {
+      Tables.lineitem(s, d)
+        .select($"l_suppkey".as("sk"), $"l_partkey".as("pk")).distinct()
+        .select(concat(lit("s"), $"sk").as("src"),
+          concat(lit("p"), $"pk").as("dst"))
+    }
+    hitsOn(e, HitsIterations, s"graph.hits:$d")
+  }
+
+  /** Unrolled DuckDB replay of [[hits]]: same grid, same truncating
+    * divisions, k chained (authority, hub) CTE pairs. */
+  private def hitsOracle: String = {
+    val base = s"""
+      WITH li AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                  FROM lineitem),
+      e AS (SELECT 's' || sk AS src, 'p' || pk AS dst FROM li),
+      h0 AS (SELECT DISTINCT src AS node, $HitsFp AS score FROM e)"""
+    val iters = (1 to HitsIterations).map { i =>
+      s""",
+      ar$i AS (SELECT e.dst AS node, sum(h.score) AS raw
+               FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+      a$i AS (SELECT node, (raw * $HitsFp)
+                // (SELECT sum(raw) FROM ar$i) AS score FROM ar$i),
+      hr$i AS (SELECT e.src AS node, sum(a.score) AS raw
+               FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+      h$i AS (SELECT node, (raw * $HitsFp)
+                // (SELECT sum(raw) FROM hr$i) AS score FROM hr$i)"""
+    }.mkString
+    val k = HitsIterations
+    s"""$base$iters
+      SELECT * FROM (
+        SELECT 'auth' AS side, node, CAST(score AS BIGINT) AS score_fp,
+               CAST(score AS DOUBLE) / $HitsFp AS score
+        FROM a$k ORDER BY score_fp DESC, node ASC LIMIT 50)
+      UNION ALL
+      SELECT * FROM (
+        SELECT 'hub' AS side, node, CAST(score AS BIGINT) AS score_fp,
+               CAST(score AS DOUBLE) / $HitsFp AS score
+        FROM h$k ORDER BY score_fp DESC, node ASC LIMIT 50)"""
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_pagerank", pagerank, Some(pagerankOracle), headline = true),
+    Q("q_hits", hits, Some(hitsOracle)),
     Q("q_triangle_count", triangles, Some("""
       WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
                   FROM lineitem),

@@ -136,7 +136,43 @@ object Privacy {
         min($"doc_id").as("keep_doc"))
   }
 
+  /** k-anonymity / l-diversity audit over quasi-identifiers — the
+    * release gate run before a table leaves the pipeline: every
+    * (segment, nation, balance-decile) equivalence class reports its
+    * size k (re-identification risk is 1/k) and the diversity l of the
+    * sensitive attribute inside it (k-anonymous but l=1 still leaks
+    * the sensitive value). One groupBy on the QI tuple — the class
+    * table is GROUP-cardinality, tiny at any scale. The balance decile
+    * is banded on the exact cents grid SHIFTED POSITIVE before the
+    * integer division: Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors, so negative balances would band differently
+    * — with the +100000 shift every operand is positive and the two
+    * semantics coincide. */
+  private def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = ($"c_acctbal".cast("decimal(12,2)") * 100).cast("long")
+    Tables.customer(s, d)
+      .select($"c_mktsegment", $"c_nationkey", cents.as("cents"))
+      .groupBy($"c_mktsegment", $"c_nationkey",
+        expr("(cents + 100000) div 100000").as("bal_band"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct($"cents").as("l_div"))
+      .withColumn("anonymous", $"k" >= 5)
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_k_anonymity", kAnonymity, Some("""
+      WITH c AS (SELECT c_mktsegment, c_nationkey,
+                        CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                             AS BIGINT) AS cents
+                 FROM customer)
+      SELECT c_mktsegment, c_nationkey,
+             CAST((cents + 100000) // 100000 AS BIGINT) AS bal_band,
+             count(*) AS k,
+             CAST(count(DISTINCT cents) AS BIGINT) AS l_div,
+             count(*) >= 5 AS anonymous
+      FROM c GROUP BY 1, 2, 3""")),
+
     Q("q_url_dedup", urlDedup, Some("""
       WITH p AS (SELECT doc_id,
                         CAST(doc_id % 100 AS VARCHAR) AS page,

@@ -192,4 +192,44 @@ class PlanSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("*("),
       "no codegen span in final adaptive plan")
   }
+
+  test("q_chi_square: all three marginals broadcast, one cell shuffle") {
+    val df = q("q_chi_square")
+    // rows / cols / total each rejoin the cell table as broadcasts;
+    // the only exchanges are the four tiny aggregates' own shuffles
+    assert(broadcasts(df) === 3, "marginal joins must not shuffle cells")
+    assert(initial(df).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, "no sort-merge join on group-cardinality marginals")
+  }
+
+  test("q_target_encode: category stats broadcast; facts never shuffle " +
+    "for the join") {
+    val df = q("q_target_encode")
+    assert(broadcasts(df) === 1)
+    // the only shuffle is the per-category aggregate's own exchange —
+    // the labeled fact scan flows join-ward shuffle-free
+    assert(shuffles(df) === 1)
+  }
+
+  test("q_gini_split: threshold fan-out map-side combines to one shuffle") {
+    assert(shuffles(q("q_gini_split")) === 1)
+    assert(initial(q("q_gini_split")).toString.contains("partial_"),
+      "explode fan-out must combine before the exchange")
+  }
+
+  test("q_ab_test and q_eval_calibration: single-shuffle aggregates") {
+    assert(shuffles(q("q_ab_test")) === 1)
+    assert(shuffles(q("q_eval_calibration")) === 1)
+  }
+
+  test("q_eval_auc: window walks distinct scores, not rows (pre-agg " +
+    "below the window)") {
+    val df = q("q_eval_auc")
+    val plan = initial(df).toString
+    // the (lang, score) collapse must sit under the running-sum window:
+    // partial aggregate present, and ≤3 shuffles (agg, window, final)
+    assert(plan.contains("partial_"))
+    assert(shuffles(df) <= 3)
+  }
 }

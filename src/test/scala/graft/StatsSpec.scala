@@ -203,4 +203,41 @@ class StatsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_bigrams") >= 1L)
     }
   }
+
+  test("q_autocorr: moment form equals Spark's corr() over the same pairs") {
+    val rows = SparkEntry.queries("q_autocorr")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+        .as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day".asc)
+    val ref = daily
+      .withColumn("x_prev", lag($"x", 1).over(w))
+      .withColumn("day_prev", lag($"day", 1).over(w))
+      .filter($"x_prev".isNotNull && datediff($"day", $"day_prev") === 1)
+      .groupBy($"event_type").agg(corr($"x", $"x_prev").as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val ac = r.getAs[Double]("autocorr_lag1")
+      assert(ac >= -1.0 && ac <= 1.0)
+      assert(math.abs(ac - ref(r.getAs[String]("event_type"))) < 1e-4,
+        s"moment autocorr diverges from corr() for ${r.getString(0)}")
+    }
+  }
+
+  test("q_k_anonymity: classes partition the table; l bounded by k") {
+    val rows = SparkEntry.queries("q_k_anonymity")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("k")).sum ===
+      Tables.customer(spark, sf).count())
+    rows.foreach { r =>
+      val (k, l) = (r.getAs[Long]("k"), r.getAs[Long]("l_div"))
+      assert(k >= 1L && l >= 1L && l <= k)
+      assert(r.getAs[Boolean]("anonymous") === (k >= 5L))
+      // band arithmetic: shifted-positive division keeps bands in range
+      val band = r.getAs[Long]("bal_band")
+      assert(band >= 0L && band <= 10L, s"band out of range: $band")
+    }
+  }
 }

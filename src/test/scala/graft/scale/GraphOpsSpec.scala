@@ -96,6 +96,68 @@ class GraphOpsSpec extends AnyFunSuite {
       s"wedge-join count ${row.getAs[Long]("n_triangles")} != naive $naive")
   }
 
+  test("hitsOn: directed star — hub is the only hub, leaves tie as " +
+      "authorities") {
+    import spark.implicits._
+    val edges = (1 to 6).map(i => ("hub", s"leaf$i")).toDF("src", "dst")
+    val rows = GraphOps.hitsOn(edges, iterations = 2,
+      cacheKeyPrefix = "test.hits.star").collect()
+    val (auths, hubs) = rows.partition(_.getAs[String]("side") == "auth")
+    assert(hubs.map(_.getAs[String]("node")).toSeq === Seq("hub"))
+    // sole hub: normalization returns exactly Fp
+    assert(hubs.head.getAs[Long]("score_fp") === GraphOps.HitsFp)
+    // symmetric leaves: exact integer tie at Fp div 6
+    assert(auths.length === 6)
+    assert(auths.map(_.getAs[Long]("score_fp")).distinct.toSeq ===
+      Seq(GraphOps.HitsFp / 6))
+  }
+
+  test("hitsOn shuffle fallback (node cap exceeded) is bit-identical " +
+      "to the broadcast path") {
+    import spark.implicits._
+    val edges = graft.Tables.lineitem(spark, sf)
+      .select(concat(lit("s"), $"l_suppkey").as("src"),
+        concat(lit("p"), $"l_partkey").as("dst")).distinct()
+    val b = GraphOps.hitsOn(edges, iterations = 2,
+        cacheKeyPrefix = "test.hits.b").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("score_fp")).toMap
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val viaShuffle = GraphOps.hitsOn(edges, iterations = 2,
+        cacheKeyPrefix = "test.hits.s", broadcastNodeCap = 0L)
+      // the only broadcasts allowed above the cap are the 1-row scalar
+      // normalizers (nested-loop) — no hash-broadcast of a score table
+      val bhj = viaShuffle.queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(bhj.isEmpty, "cap=0 path still hash-broadcasts scores")
+      val sres = viaShuffle.collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          r.getAs[Long]("score_fp")).toMap
+      assert(b === sres)
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
+  test("q_hits emits min(50, side) per side, descending, positive") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_hits")(spark, sf).collect()
+    val bySide = rows.groupBy(_.getAs[String]("side"))
+    assert(bySide.keySet === Set("auth", "hub"))
+    val li = graft.Tables.lineitem(spark, sf)
+    val expected = Map(
+      "hub" -> li.select($"l_suppkey").distinct().count(),
+      "auth" -> li.select($"l_partkey").distinct().count())
+    bySide.foreach { case (name, side) =>
+      assert(side.length === math.min(50L, expected(name)))
+      val scores = side.map(_.getAs[Long]("score_fp")).toSeq
+      assert(scores === scores.sorted.reverse, "not descending")
+      assert(scores.forall(_ > 0L))
+    }
+  }
+
   test("pagerank favors high-degree nodes") {
     val rows = SparkEntry.queries("q_pagerank")(spark, sf).collect()
     // suppliers connect to many parts; parts to few suppliers — the
