@@ -63,6 +63,53 @@ object TypedAndSources {
   private def scratch(d: String, tag: String): String =
     Tables.scratch(d, tag)
 
+  /** Avro sink + source round-trip — the row-oriented interchange
+    * format of the Kafka/streaming world (schema evolution, compact
+    * binary rows). Spark 4 bundles the avro DataSource in spark-sql,
+    * so `format("avro")` resolves with no extra jars. The oracle
+    * re-derives the same aggregate from the parquet original, so the
+    * hash check asserts the write→read cycle is lossless (row count,
+    * grouping keys, and the decimal-rounded balance all survive the
+    * Avro encoding). */
+  private def avroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = scratch(d, "customer_avro")
+    // Spark's shortname lookup special-cases "avro" to a deployment
+    // error when the external module jar is absent; the FileFormat
+    // class itself ships inside spark-sql 4.x, so the fully-qualified
+    // name loads it directly.
+    val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+    Tables.customer(s, d)
+      .select($"c_custkey", $"c_nationkey", $"c_mktsegment", $"c_acctbal")
+      .write.mode("overwrite").format(avro).save(path)
+    s.read.format(avro).load(path)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct($"c_nationkey").as("n_nations"),
+        round(sum($"c_acctbal"), 2).as("bal"))
+  }
+
+  /** XML sink + source round-trip — Spark 4 ships the XML DataSource
+    * in core (shortname `xml`), covering the config/feed-file
+    * interchange surface. The nation dimension goes out as one
+    * <nation> element per row and comes back through the schema-
+    * inferring reader; the oracle recomputes the aggregate from the
+    * parquet original, so the hash check asserts the XML encoding is
+    * lossless for keys, strings, and grouping. */
+  private def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = scratch(d, "nation_xml")
+    Tables.nation(s, d)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .write.mode("overwrite").option("rowTag", "nation")
+      .format("xml").save(path)
+    s.read.option("rowTag", "nation").format("xml").load(path)
+      .groupBy($"n_regionkey".cast("long").as("regionkey"))
+      .agg(count(lit(1)).as("cnt"),
+        min($"n_name").as("first_name"),
+        sum($"n_nationkey").cast("long").as("key_sum"))
+  }
+
   /** ORC sink + source round-trip (columnar alternative to parquet). */
   private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -158,6 +205,18 @@ object TypedAndSources {
       SELECT l_returnflag, count(*) AS cnt,
              round(sum(l_quantity), 2) AS sum_qty
       FROM lineitem GROUP BY 1""")),
+
+    Q("q_avro_roundtrip", avroRoundtrip, Some("""
+      SELECT c_mktsegment, count(*) AS cnt,
+             CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+             round(sum(c_acctbal), 2) AS bal
+      FROM customer GROUP BY 1""")),
+
+    Q("q_xml_roundtrip", xmlRoundtrip, Some("""
+      SELECT CAST(n_regionkey AS BIGINT) AS regionkey, count(*) AS cnt,
+             min(n_name) AS first_name,
+             CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+      FROM nation GROUP BY 1""")),
 
     Q("q_orc_roundtrip", orcRoundtrip, Some("""
       SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS cnt,

@@ -656,6 +656,29 @@ object TextOps {
         sum(when($"kept", $"n_tokens").otherwise(0L)).as("tokens_kept"))
   }
 
+  /** Hashing-trick feature-space audit — the collision report a
+    * pipeline publishes before committing to hashed features (fixed
+    * 64-bucket space here): per bucket, the distinct vocabulary mapped
+    * into it (collision load) and the occurrence mass it would carry.
+    * The hash is the codegen'd [[polyHash]] expression — scan-stage,
+    * cross-engine exact — so the bucket assignment itself is part of
+    * the oracle contract, not just the counts. One explode + one
+    * 64-group aggregate (map-side combinable); the uniform-share
+    * comparison is a single divide of exact BIGINTs. */
+  private def featureHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tk = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("tok"))
+      .select(pmod(polyHash($"tok", 31L), lit(64L)).as("bucket"), $"tok")
+    tk.groupBy($"bucket")
+      .agg(count(lit(1)).as("total_count"),
+        countDistinct($"tok").as("n_tokens"))
+      .crossJoin(broadcast(tk.agg(count(lit(1)).as("corpus_tokens"))))
+      .select($"bucket", $"total_count", $"n_tokens", $"corpus_tokens",
+        ($"total_count".cast("double") / $"corpus_tokens").as("mass"),
+        ($"total_count" * 64 > $"corpus_tokens").as("overloaded"))
+  }
+
   /** Stupid-backoff bigram scoring (the web-scale LM smoothing of
     * Brants et al. 2007, "Large Language Models in Machine
     * Translation") over a pinned 3×3 probe grid:
@@ -1183,6 +1206,20 @@ object TextOps {
              round(b.cnt * 1.0 / u.tot, 4) AS p_cond
       FROM big b JOIN uni u USING (w1)
       ORDER BY cnt DESC, w1, w2 LIMIT 50""")),
+
+    Q("q_feature_hash", featureHash, Some(s"""
+      WITH tk AS (SELECT unnest(string_split_regex(lower(text), '\\s+'))
+                    AS tok
+                  FROM documents),
+      b AS (SELECT ${polyHashSql("tok", 31L)} % 64 AS bucket, tok
+            FROM tk),
+      t AS (SELECT count(*) AS corpus_tokens FROM b)
+      SELECT bucket, count(*) AS total_count,
+             CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens,
+             CAST(corpus_tokens AS BIGINT) AS corpus_tokens,
+             CAST(count(*) AS DOUBLE) / corpus_tokens AS mass,
+             count(*) * 64 > corpus_tokens AS overloaded
+      FROM b, t GROUP BY bucket, corpus_tokens""")),
 
     Q("q_topp_select", topPSelect, Some("""
       WITH s AS (SELECT lang, doc_id,
