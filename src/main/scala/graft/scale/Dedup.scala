@@ -807,7 +807,70 @@ object Dedup {
              b.nc - coalesce(k.n_kept, 0) AS n_removed
       FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id"""
 
+  /** Dedup-funnel efficiency report — the one-row summary a pipeline
+    * publishes about its own candidate generation: how many pairs the
+    * blocked (df-capped) inverted index proposed, how many survived
+    * exact verification, the stage precision, and the candidate
+    * fraction relative to the naive n·(n−1)/2 all-pairs — the number
+    * that justifies the blocking design at 100 TB. All counts are the
+    * catalog's own oracled pipelines re-aggregated; candidates are
+    * registry-cached because both the count and the verify stage read
+    * them. Ratios are ONE divide of exact BIGINTs. */
+  private def dedupFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = docShingles(s, d)
+    val cand = graft.GraftCaches.getOrPersist(s, s"dedup.ngram_cand:$d") {
+      ngramCandidates(sh)
+    }
+    val verified = verifyPairs(cand, sh)
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(verified.agg(count(lit(1)).as("n_verified"))))
+      .crossJoin(broadcast(sh.agg(count(lit(1)).as("n_docs"))))
+      .select($"n_docs", $"n_candidates", $"n_verified",
+        expr("(n_docs * (n_docs - 1)) div 2").as("naive_pairs"),
+        ($"n_verified".cast("double") / $"n_candidates").as("precision"),
+        ($"n_candidates".cast("double") /
+          expr("(n_docs * (n_docs - 1)) div 2")).as("candidate_frac"))
+  }
+
+  private val dedupFunnelOracle = s"""
+      WITH tk AS (SELECT doc_id,
+                         string_split_regex(lower(text), '\\s+') AS toks
+                  FROM documents),
+      sh AS (SELECT doc_id,
+                    unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                          for i in range(1, len(toks)-1)])) AS s
+             FROM tk WHERE len(toks) >= 3),
+      hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > $MaxShingleDf),
+      shc AS (SELECT doc_id, s FROM sh
+              WHERE s NOT IN (SELECT s FROM hot)),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM shc a JOIN shc b
+                 ON a.s = b.s AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      inter AS (SELECT c.d1, c.d2, count(*) AS i
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.d1
+                JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+                GROUP BY 1, 2),
+      ver AS (SELECT d1 FROM inter
+              JOIN sizes s1 ON d1 = s1.doc_id
+              JOIN sizes s2 ON d2 = s2.doc_id
+              WHERE i * 1.0 / (s1.sz + s2.sz - i) >= $JaccardThreshold),
+      agg AS (SELECT (SELECT count(*) FROM sizes) AS n_docs,
+                     (SELECT count(*) FROM cand) AS n_candidates,
+                     (SELECT count(*) FROM ver) AS n_verified)
+      SELECT CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(n_candidates AS BIGINT) AS n_candidates,
+             CAST(n_verified AS BIGINT) AS n_verified,
+             CAST((n_docs * (n_docs - 1)) // 2 AS BIGINT) AS naive_pairs,
+             CAST(n_verified AS DOUBLE) / n_candidates AS precision,
+             CAST(n_candidates AS DOUBLE)
+               / ((n_docs * (n_docs - 1)) // 2) AS candidate_frac
+      FROM agg"""
+
   val queries: Seq[Q] = Seq(
+    Q("q_dedup_funnel", dedupFunnel, Some(dedupFunnelOracle)),
     Q("q_dedup_spans", dedupSpansQ, Some(dedupSpansOracle),
       headline = true),
     Q("q_boilerplate_strip", boilerplateQ, Some(boilerplateOracle)),

@@ -729,7 +729,98 @@ object Similarity {
       FROM e"""
   }
 
+  /** ANN quality gate: recall@k / precision of the LSH index measured
+    * against the exact brute-force top-k — the measurement a pipeline
+    * runs before trusting an approximate index for retrieval dedup or
+    * hard-negative mining. Both sides are the catalog's own oracled
+    * pipelines (annBrute is the truth set, annLsh the candidate set);
+    * the comparison itself is two tiny per-query aggregates and a
+    * left-semi hit join — query-cardinality data, nothing corpus-sized
+    * moves. Recall and precision are each ONE divide of exact BIGINTs.
+    * At 100 TB this runs on a SAMPLED query set (NumQueries here) —
+    * the estimator needs hundreds of probes, not the corpus. */
+  private def annRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val truth = annBrute(s, d).select($"query_id", $"neighbor_id")
+    val got = annLsh(s, d).select($"query_id", $"neighbor_id")
+    val hits = got.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+    val gotN = got.groupBy($"query_id").agg(count(lit(1)).as("n_lsh"))
+    truth.groupBy($"query_id").agg(count(lit(1)).as("n_true"))
+      .join(gotN, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id", $"n_true",
+        coalesce($"n_lsh", lit(0L)).as("n_lsh"),
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        (coalesce($"n_hit", lit(0L)).cast("double") / $"n_true")
+          .as("recall"),
+        when(coalesce($"n_lsh", lit(0L)) > 0,
+          coalesce($"n_hit", lit(0L)).cast("double") / $"n_lsh")
+          .as("precision"))
+  }
+
+  /** One flat WITH replaying BOTH pipelines (shared e/q prefix, then
+    * the brute ranking as `truth` and the LSH bucket pipeline as
+    * `lranked`) and deriving the per-query hit counts. */
+  private def annRecallOracle: String = {
+    val sigExpr = hyperplanes.zipWithIndex.map { case (h, i) =>
+      s"(CASE WHEN list_dot_product(v, ${h.mkString("[", ", ", "]")}) >= 0" +
+        s" THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n               + ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id < $NumQueries),
+      tscored AS (SELECT q.query_id, e.vec_id,
+                         list_dot_product(e.v, q.qv) AS cosine
+                  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      truth AS (SELECT query_id, vec_id FROM (
+                  SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id ASC) AS rank
+                  FROM tscored) WHERE rank <= $TopK),
+      sig AS (SELECT vec_id,
+               $sigExpr AS sig
+              FROM e),
+      buckets AS (SELECT vec_id, band,
+                         (sig // CAST(power(${1 << SimRowsPerBand}, band)
+                                      AS BIGINT))
+                           % ${1 << SimRowsPerBand} AS bucket
+                  FROM sig
+                  CROSS JOIN (SELECT unnest(range($SimBands)) AS band) b),
+      qb AS (SELECT vec_id AS query_id, band, bucket
+             FROM buckets WHERE vec_id < $NumQueries),
+      cand AS (SELECT DISTINCT qb.query_id, bk.vec_id
+               FROM buckets bk
+               JOIN qb ON bk.band = qb.band AND bk.bucket = qb.bucket
+               WHERE bk.vec_id <> qb.query_id),
+      lsh AS (SELECT query_id, vec_id FROM (
+                SELECT c.query_id, c.vec_id,
+                       row_number() OVER (PARTITION BY c.query_id
+                         ORDER BY list_dot_product(ev.v, eq.v) DESC,
+                                  c.vec_id ASC) AS rank
+                FROM cand c
+                JOIN e ev ON c.vec_id = ev.vec_id
+                JOIN e eq ON c.query_id = eq.vec_id) WHERE rank <= $TopK),
+      nt AS (SELECT query_id, count(*) AS n_true FROM truth GROUP BY 1),
+      nl AS (SELECT query_id, count(*) AS n_lsh FROM lsh GROUP BY 1),
+      nh AS (SELECT t.query_id, count(*) AS n_hit
+             FROM truth t JOIN lsh l
+               ON t.query_id = l.query_id AND t.vec_id = l.vec_id
+             GROUP BY 1)
+      SELECT nt.query_id, CAST(n_true AS BIGINT) AS n_true,
+             CAST(coalesce(n_lsh, 0) AS BIGINT) AS n_lsh,
+             CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+             CAST(coalesce(n_hit, 0) AS DOUBLE) / n_true AS recall,
+             CASE WHEN coalesce(n_lsh, 0) > 0 THEN
+               CAST(coalesce(n_hit, 0) AS DOUBLE) / n_lsh END AS precision
+      FROM nt LEFT JOIN nl ON nt.query_id = nl.query_id
+      LEFT JOIN nh ON nt.query_id = nh.query_id"""
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_ann_recall", annRecall, Some(annRecallOracle)),
     Q("q_embed_project", embedProject, Some(jlOracle)),
     Q("q_semdedup", semDedup, Some(semDedupOracle)),
     Q("q_embed_centroids", embedCentroids, Some("""

@@ -403,4 +403,35 @@ class ScaleSpec extends AnyFunSuite {
       assert(s === viaBroadcast)
     } finally spark.conf.set(thresholdKey, prev)
   }
+
+  test("q_ann_recall reconstructs from the catalog's own ANN outputs") {
+    val recall = SparkEntry.queries("q_ann_recall")(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    val truth = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val lsh = SparkEntry.queries("q_ann_lsh")(spark, sf)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    assert(recall.keySet === truth.keySet)
+    recall.foreach { case (q, r) =>
+      val hits = truth(q).intersect(lsh.getOrElse(q, Set.empty)).size.toLong
+      assert(r.getAs[Long]("n_hit") === hits)
+      assert(r.getAs[Long]("n_true") === truth(q).size.toLong)
+      val rc = r.getAs[Double]("recall")
+      assert(rc >= 0.0 && rc <= 1.0)
+      assert(rc === hits.toDouble / truth(q).size)
+    }
+  }
+
+  test("q_dedup_funnel counts agree with the ngram-jaccard catalog query") {
+    val r = SparkEntry.queries("q_dedup_funnel")(spark, sf).head()
+    val (cand, ver, naive) = (r.getAs[Long]("n_candidates"),
+      r.getAs[Long]("n_verified"), r.getAs[Long]("naive_pairs"))
+    assert(ver <= cand && cand <= naive)
+    assert(ver ===
+      SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf).count())
+    assert(r.getAs[Double]("precision") === ver.toDouble / cand)
+    assert(r.getAs[Double]("candidate_frac") === cand.toDouble / naive)
+  }
 }
