@@ -147,7 +147,32 @@ object FeatureQueries {
           ($"sum_y" - $"y").cast("double") / ($"cnt" - 1)).as("loo"))
   }
 
+  /** Inverse-frequency class weights — the loss-reweighting table for
+    * imbalanced training (weight_c = N / (k·n_c), the sklearn
+    * "balanced" convention: a class at uniform share weighs 1.0).
+    * One GROUP-cardinality aggregate plus a broadcast scalar; the
+    * weight is ONE divide of exact BIGINT products. */
+  private def classWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perClass = Tables.documents(s, d)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+    val tot = perClass.agg(sum($"n").as("n_total"),
+      count(lit(1)).as("k_classes"))
+    perClass.crossJoin(broadcast(tot))
+      .select($"lang", $"n", $"n_total", $"k_classes",
+        ($"n_total".cast("double") / ($"k_classes" * $"n")).as("weight"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_class_weights", classWeights, Some("""
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      t AS (SELECT sum(n) AS n_total, count(*) AS k_classes FROM c)
+      SELECT lang, CAST(n AS BIGINT) AS n,
+             CAST(n_total AS BIGINT) AS n_total,
+             CAST(k_classes AS BIGINT) AS k_classes,
+             CAST(n_total AS DOUBLE) / (k_classes * n) AS weight
+      FROM c, t""")),
+
     Q("q_ab_test", abTest, Some("""
       WITH e AS (SELECT event_type, user_id % 2 = 0 AS cohort_a,
                         CAST(CAST(value AS DECIMAL(18,2)) * 100

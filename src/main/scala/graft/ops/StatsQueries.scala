@@ -538,6 +538,64 @@ object StatsQueries {
       $"sxy", round(cov / (sqrt(vx) * sqrt(vy)), 6).as("autocorr_lag1"))
   }
 
+  /** Day-of-week seasonality index per metric series — mean of each
+    * weekday relative to the series' overall mean, the decomposition
+    * diagnostic read before choosing lag features (a strong weekly
+    * index argues for lag-7 over lag-1, q_feature_lags). The ratio of
+    * two means clears to one divide of exact BIGINT cross-products:
+    * index = (sum_dow · n_all) / (n_dow · sum_all). One daily-grain
+    * aggregate, one 7-group aggregate, one broadcast of the per-series
+    * totals. */
+  private def seasonality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+    val byDow = daily
+      .groupBy($"event_type", dayofweek($"day").cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum($"cents").as("sum_cents"))
+    val totals = byDow.groupBy($"event_type")
+      .agg(sum($"n_days").as("n_all"), sum($"sum_cents").as("sum_all"))
+    byDow.join(broadcast(totals), Seq("event_type"))
+      .select($"event_type", $"dow", $"n_days", $"sum_cents",
+        (($"sum_cents" * $"n_all").cast("double") /
+          ($"n_days" * $"sum_all")).as("seasonal_index"))
+  }
+
+  /** CUSUM changepoint locator per metric series — the first-order
+    * drift detector that complements q_psi_drift's distributional one:
+    * the day maximizing |Σ_{t≤day}(x_t − mean)| is the most likely
+    * level-shift point. Kept exactly integer by scaling through n·Σx:
+    * cusum'(day) = n_all·cum(day) − rank(day)·sum_all (= n_all² × the
+    * usual statistic — same argmax). One window pass per series for
+    * the running sum, one TakeOrdered-style max via row_number. */
+  private def cusumDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day".asc)
+    val scored = daily
+      .withColumn("cum", sum($"cents").over(w.rowsBetween(Long.MinValue, 0)))
+      .withColumn("rank_day", row_number().over(w).cast("long"))
+    val totals = scored.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_all"), sum($"cents").as("sum_all"))
+    val dev = scored.join(broadcast(totals), Seq("event_type"))
+      .withColumn("cusum_scaled",
+        $"n_all" * $"cum" - $"rank_day" * $"sum_all")
+      .withColumn("abs_cusum", abs($"cusum_scaled"))
+    val wMax = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type")
+      .orderBy($"abs_cusum".desc, $"day".asc)
+    dev.withColumn("rn", row_number().over(wMax)).filter($"rn" === 1)
+      .select($"event_type", $"day".as("changepoint_day"),
+        $"rank_day".as("day_index"), $"n_all", $"cusum_scaled",
+        $"abs_cusum")
+  }
+
   /** Dataset-profiling manifest — the per-column stats card
     * (row/null/distinct counts, lexicographic min/max) a pipeline
     * publishes with every snapshot. ONE aggregate pass computes every
@@ -828,6 +886,54 @@ object StatsQueries {
                AS roll7_cents
       FROM daily
       WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)""")),
+
+    Q("q_seasonality", seasonality, Some("""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+                                          * 100 AS BIGINT)) AS BIGINT)
+                              AS cents
+                     FROM events GROUP BY 1, 2),
+      dw AS (SELECT event_type, CAST(isodow(day) % 7 + 1 AS BIGINT)
+                      AS dow,
+                    count(*) AS n_days, sum(cents) AS sum_cents
+             FROM daily GROUP BY 1, 2),
+      t AS (SELECT event_type, sum(n_days) AS n_all,
+                   sum(sum_cents) AS sum_all
+            FROM dw GROUP BY 1)
+      SELECT dw.event_type, dow, CAST(n_days AS BIGINT) AS n_days,
+             CAST(sum_cents AS BIGINT) AS sum_cents,
+             CAST(sum_cents * n_all AS DOUBLE) / (n_days * sum_all)
+               AS seasonal_index
+      FROM dw JOIN t ON dw.event_type = t.event_type""")),
+
+    Q("q_cusum_drift", cusumDrift, Some("""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+                                          * 100 AS BIGINT)) AS BIGINT)
+                              AS cents
+                     FROM events GROUP BY 1, 2),
+      sc AS (SELECT event_type, day, cents,
+                    sum(cents) OVER (PARTITION BY event_type
+                      ORDER BY day ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum,
+                    CAST(row_number() OVER (PARTITION BY event_type
+                      ORDER BY day ASC) AS BIGINT) AS rank_day
+             FROM daily),
+      t AS (SELECT event_type, count(*) AS n_all, sum(cents) AS sum_all
+            FROM sc GROUP BY 1),
+      dev AS (SELECT sc.event_type, day, rank_day, n_all,
+                     n_all * cum - rank_day * sum_all AS cusum_scaled,
+                     abs(n_all * cum - rank_day * sum_all) AS abs_cusum
+              FROM sc JOIN t ON sc.event_type = t.event_type),
+      r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                        ORDER BY abs_cusum DESC, day ASC) AS rn
+            FROM dev)
+      SELECT event_type, day AS changepoint_day,
+             rank_day AS day_index, CAST(n_all AS BIGINT) AS n_all,
+             CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+             CAST(abs_cusum AS BIGINT) AS abs_cusum
+      FROM r WHERE rn = 1""")),
 
     Q("q_autocorr", autocorr, Some("""
       WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -227,6 +227,44 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_seasonality: day-weighted indices average to exactly 1 per series") {
+    val rows = SparkEntry.queries("q_seasonality")(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, dws) =>
+      assert(dws.length <= 7)
+      assert(dws.map(_.getAs[Long]("dow")).distinct.length === dws.length)
+      val nAll = dws.map(_.getAs[Long]("n_days")).sum
+      // Σ n_dow · index = n_all  (the weighted indices must rebuild the mean)
+      val weighted = dws.map(r =>
+        r.getAs[Long]("n_days") * r.getAs[Double]("seasonal_index")).sum
+      assert(math.abs(weighted - nAll) < 1e-6 * nAll)
+      dws.foreach(r => assert(r.getAs[Double]("seasonal_index") > 0.0))
+    }
+  }
+
+  test("q_cusum_drift: one interior argmax per series, consistent cells") {
+    val rows = SparkEntry.queries("q_cusum_drift")(spark, sf).collect()
+    val nSeries = Tables.events(spark, sf)
+      .select($"event_type").distinct().count()
+    assert(rows.length === nSeries)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("abs_cusum") ===
+        math.abs(r.getAs[Long]("cusum_scaled")))
+      val idx = r.getAs[Long]("day_index")
+      assert(idx >= 1L && idx <= r.getAs[Long]("n_all"))
+    }
+  }
+
+  test("q_class_weights: balanced weights rebuild the corpus size") {
+    val rows = SparkEntry.queries("q_class_weights")(spark, sf).collect()
+    val n = rows.head.getAs[Long]("n_total")
+    assert(rows.map(_.getAs[Long]("n")).sum === n)
+    assert(rows.head.getAs[Long]("k_classes") === rows.length.toLong)
+    // Σ n_c · weight_c = N for the sklearn "balanced" convention
+    val weighted = rows.map(r =>
+      r.getAs[Long]("n") * r.getAs[Double]("weight")).sum
+    assert(math.abs(weighted - n) < 1e-6 * n)
+  }
+
   test("q_k_anonymity: classes partition the table; l bounded by k") {
     val rows = SparkEntry.queries("q_k_anonymity")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("k")).sum ===
