@@ -33,14 +33,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
-    * type for — read nanos as long and truncate to microseconds (the
-    * same truncation DuckDB applies, keeping the oracle in lockstep). */
+  /** events.ts has shipped in two parquet encodings across testdata
+    * regenerations: TIMESTAMP(NANOS) (no native Spark type — surfaces as
+    * LongType under `nanosAsLong`, truncated here to micros, the same
+    * truncation DuckDB applies) and plain timestamp[us] (read natively).
+    * Branch on the loaded schema so either encoding works; the conf is
+    * set unconditionally BEFORE the read so the LongType branch is even
+    * reachable on nanos-encoded files (without it the read itself throws
+    * `Illegal Parquet type`). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamp[us] with isAdjustedToUTC=false loads as NTZ; the
+        // session TZ is pinned to UTC everywhere (Bench/Verify/specs),
+        // so this cast is a value-preserving relabel that keeps every
+        // downstream consumer on the TimestampType the catalog was
+        // verified against.
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -273,8 +273,8 @@ object EvalQueries {
              FROM q LEFT JOIN hits h
                ON q.event_type = h.event_type AND q.day = h.day)
       SELECT event_type, count(*) AS n_queries,
-             sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
-               AS n_with_hit,
+             CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_with_hit,
              CAST(sum(rr_e6) AS BIGINT) AS sum_rr_e6,
              CAST(sum(rr_e6) AS DOUBLE) / count(*) / 1000000.0 AS mrr
       FROM rr GROUP BY 1""")),

@@ -618,8 +618,8 @@ object PipelineQueries {
 
     Q("q_json_quarantine", jsonQuarantine, Some("""
       SELECT o_orderpriority, count(*) AS n_rows,
-             sum(CASE WHEN o_orderkey % 37 = 0 THEN 1 ELSE 0 END)
-               AS n_quarantined,
+             CAST(sum(CASE WHEN o_orderkey % 37 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_quarantined,
              CAST(sum(CASE WHEN o_orderkey % 37 <> 0 THEN o_orderkey
                            ELSE 0 END) AS BIGINT) AS sum_parsed_k
       FROM orders GROUP BY 1""")),

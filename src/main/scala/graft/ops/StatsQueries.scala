@@ -772,8 +772,8 @@ object StatsQueries {
       m AS (SELECT event_type, sum(cents) AS sc, count(cents) AS nc
             FROM base WHERE cents IS NOT NULL GROUP BY 1)
       SELECT b.event_type, count(*) AS n_rows,
-             sum(CASE WHEN b.cents IS NULL THEN 1 ELSE 0 END)
-               AS n_imputed,
+             CAST(sum(CASE WHEN b.cents IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_imputed,
              CAST(max(sc // nc) AS BIGINT) AS fill_cents,
              CAST(sum(coalesce(b.cents, sc // nc)) AS BIGINT)
                AS total_cents_after_fill
@@ -808,7 +808,8 @@ object StatsQueries {
             FROM c CROSS JOIN t)
       SELECT bin, CAST(ref_n AS BIGINT) AS ref_n,
              CAST(cur_n AS BIGINT) AS cur_n, psi_term_units,
-             sum(psi_term_units) OVER () AS psi_total_units
+             CAST(sum(psi_term_units) OVER () AS BIGINT)
+               AS psi_total_units
       FROM u""")),
 
     Q("q_calendar_fill", calendarFill, Some("""
@@ -843,8 +844,8 @@ object StatsQueries {
                    sum(x * y) AS sxy, sum(x * x) AS sxx
             FROM e GROUP BY 1)
       SELECT event_type, n,
-             n * sxy - sx * sy AS slope_num,
-             n * sxx - sx * sx AS slope_den,
+             CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+             CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
              (n * sxy - sx * sy) / (n * sxx - sx * sx)
                AS slope_cents_per_day,
              sy / n AS mean_cents
@@ -864,8 +865,8 @@ object StatsQueries {
                          ORDER BY ts ASC, event_id ASC
                          ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
       SELECT event_id, event_type, ts_us, cents, n,
-             (n * cents - sw) * (n * cents - sw) AS dev2_n2,
-             n * qw - sw * sw AS var_n2
+             CAST((n * cents - sw) * (n * cents - sw) AS BIGINT) AS dev2_n2,
+             CAST(n * qw - sw * sw AS BIGINT) AS var_n2
       FROM r
       WHERE n >= 10
         AND (n * cents - sw) * (n * cents - sw) > 9 * (n * qw - sw * sw)""")),

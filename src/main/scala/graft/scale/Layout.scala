@@ -100,7 +100,7 @@ object Layout {
                      0) AS cum_before
             FROM f),
       b AS (SELECT lang, doc_id, bytes,
-                   cum_before // $CompactionTarget AS bin
+                   CAST(cum_before // $CompactionTarget AS BIGINT) AS bin
             FROM c)
       SELECT lang, bin, count(*) AS n_files,
              CAST(sum(bytes) AS BIGINT) AS bytes,

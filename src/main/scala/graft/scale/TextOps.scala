@@ -1147,7 +1147,8 @@ object TextOps {
                     AS BIGINT) AS units
         FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
         CROSS JOIN stats),
-      agg AS (SELECT doc_id, count(*) AS n_terms, sum(units) AS score_units
+      agg AS (SELECT doc_id, count(*) AS n_terms,
+                     CAST(sum(units) AS BIGINT) AS score_units
               FROM scored GROUP BY 1)
       SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, score_units,
              score_units / 1000000.0 AS score
@@ -1238,7 +1239,8 @@ object TextOps {
                    total
             FROM c)
       SELECT lang, count(*) AS n_docs,
-             sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
              CAST(max(total) AS BIGINT) AS tokens_total,
              CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
                AS tokens_kept

@@ -33,7 +33,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_rolling_active",   // 7-day band joins the ~|days| calendar side
     "q_sketch_union",     // per-group sketch table (|groups| rows)
     "q_ann_bruteforce",   // 10-row broadcast query set vs corpus
-    "q_knn_labels"        // rides q_ann_bruteforce's query set
+    "q_knn_labels",       // rides q_ann_bruteforce's query set
+    "q_ann_recall"        // recall gate re-plans the brute truth subtree
+                          // twice (semi-join probe + n_true agg) — both
+                          // are the same bounded 10-row broadcast loop
   )
 
   private def offenders(p: SparkPlan): Seq[String] = {
