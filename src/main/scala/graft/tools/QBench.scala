@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Subset slice of graft.Bench for perf adjudication: times only the
+  * NAMED catalog queries under the exact official bench config
+  * (local[32], shuffle.partitions=32, AQE on, noop sink, warm-up then
+  * N timed passes) and prints every pass — not just the min — so
+  * run-to-run spread is visible next to /proc/loadavg.
+  *
+  *   sbt "runMain graft.tools.QBench /root/testdata/sf0.1 5 q_yelp_master_volume q_perplexity"
+  */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val runs = args(1).toInt
+    val names = args.drop(2).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-qbench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val picked = graft.SparkEntry.catalog.filter(q => names(q.name))
+    require(picked.size == names.size,
+      s"unknown names: ${names -- picked.map(_.name).toSet}")
+
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      catch { case _: Throwable => "n/a" }
+
+    picked.foreach { q =>
+      q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[qbench] ${q.name}: min=${times.min}%.3f " +
+        times.map(t => f"$t%.3f").mkString("runs=[", ", ", "]") +
+        s" loadavg=${loadavg()}")
+    }
+    graft.GraftCaches.release(spark)
+    spark.stop()
+  }
+}
