@@ -42,15 +42,14 @@ object Bench {
         errors.getOrElseUpdate(q.name, s"warmup: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
+    // NOTE (round 8): a System.gc() before each query's clock was
+    // tried here to reclaim prior queries' broadcast/shuffle state —
+    // it trimmed the heavy tail (~0.2 s on q_yelp_master_volume) but
+    // cost every mid query ~0.3 s (full GC evicts soft-referenced
+    // broadcast/codegen state the back-to-back passes otherwise
+    // reuse): idle-box totals 26.1 s with GC vs 23.5 s without.
+    // Reverted; see BENCHNOTES Round 8.
     def timedPass(): Seq[(String, Double)] = qs.map { q =>
-      // Nudge ContextCleaner BEFORE the clock starts: broadcast blocks
-      // and shuffle files from prior queries are only reclaimed when
-      // their weak refs are GC'd, and with a 100+ GiB heap the JVM may
-      // not GC for the whole suite — round 8 measured ~1.4 s of this
-      // accumulated-state tax on the heavy tail queries (standalone
-      // 1.9 s vs in-suite 3.3 s for q_yelp_master_volume). We measure
-      // the engine, not the previous twenty queries' garbage.
-      System.gc()
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
