@@ -633,6 +633,55 @@ object PipelineQueries {
       SELECT c_mktsegment, count(*) AS cnt,
              round(avg(o_totalprice), 2) AS avg_price
       FROM orders JOIN customer ON o_custkey = c_custkey
-      GROUP BY c_mktsegment"""))
+      GROUP BY c_mktsegment""")),
+
+    Q("q_cdc_merge", cdcMerge, Some("""
+      WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+                         CASE WHEN o_orderkey % 7 = 0 THEN 'D'
+                              ELSE 'U' END AS op,
+                         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS cents
+                  FROM orders),
+      latest AS (SELECT key, op, cents FROM (
+                   SELECT key, op, cents,
+                          row_number() OVER (PARTITION BY key
+                            ORDER BY seq DESC) AS rn
+                   FROM ch) t WHERE rn = 1)
+      SELECT CAST(key % 10 AS BIGINT) AS shard, count(*) AS n_keys,
+             CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tombstoned,
+             CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alive,
+             CAST(sum(CASE WHEN op <> 'D' THEN cents ELSE 0 END)
+               AS BIGINT) AS alive_cents
+      FROM latest GROUP BY 1"""))
   )
+
+  /** CDC apply — latest-wins merge with delete tombstones, the core
+    * of a lakehouse MERGE INTO / change-stream compaction (distinct
+    * from the SCD1/SCD2 upserts, which never delete): orders is read
+    * as a change stream keyed by customer with o_orderkey as the
+    * monotone sequence number and every 7th change a delete. The
+    * newest change per key decides the key's fate; a final tombstone
+    * removes it from the snapshot. One window shuffle on the merge
+    * key, one |shards|-row rollup — at 100 TB the window pass IS the
+    * standard CDC-compaction shape (shuffle by key, sort by seq), and
+    * the same plan serves any log-structured table format.
+    */
+  private def cdcMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val changes = Tables.orders(s, d).select(
+      $"o_custkey".as("key"),
+      $"o_orderkey".as("seq"),
+      when($"o_orderkey" % 7 === 0, lit("D")).otherwise(lit("U")).as("op"),
+      ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy($"key").orderBy($"seq".desc)
+    changes.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .groupBy(($"key" % 10).cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when($"op" === "D", 1L).otherwise(0L)).as("n_tombstoned"),
+        sum(when($"op" =!= "D", 1L).otherwise(0L)).as("n_alive"),
+        sum(when($"op" =!= "D", $"cents").otherwise(0L)).as("alive_cents"))
+  }
 }

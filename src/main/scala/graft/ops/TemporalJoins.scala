@@ -57,6 +57,34 @@ object TemporalJoins {
     matched.filter(col("__side") === 1).select(outCols: _*)
   }
 
+  /** FORWARD as-of join: every `left` row picks the single EARLIEST
+    * `right` row with `right.tsCol >= left.tsCol` for the same `key`
+    * ("time to next event" — churn/response-latency features; the
+    * mirror of [[asofJoin]]). Ties on the timestamp take the right row
+    * (`<=` semantics, matching DuckDB's forward ASOF). Same
+    * union-once/one-exchange/one-window shape as the backward join —
+    * only the frame direction flips, so the 100 TB story is identical.
+    * Same uniqueness contract on `right` per (key, ts).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => c == key || c == rightTs)
+    // Right rows sort AFTER left rows at an equal timestamp (__side
+    // 0 < 1) so an exact-tie right row is inside the following frame.
+    val r = right.select(
+      col(key), col(rightTs).as("__ts"), lit(1).as("__side"),
+      struct(payloadCols.map(col) :+ col(rightTs).as("__rts"): _*).as("__r"))
+    val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(0))
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__m", first(col("__r"), ignoreNulls = true).over(w))
+    val outCols: Seq[Column] = left.columns.map(col).toSeq ++
+      payloadCols.map(c => col(s"__m.$c").as(c)) :+
+      col("__m.__rts").as("matched_ts")
+    matched.filter(col("__side") === 0).select(outCols: _*)
+  }
+
   /** Bounded-interval range join: all (left, right) pairs sharing `key`
     * with `right.ts` in `[left.ts - windowSec, left.ts]`. Scalable
     * shape: band both sides into `windowSec`-wide buckets, replicate
@@ -197,6 +225,26 @@ object TemporalJoins {
         $"click_id", $"click_ts")
   }
 
+  /** q_asof_forward: for every click, the NEXT purchase at-or-after it
+    * by the same user and the wait in µs — the forward mirror of
+    * q_asof_attribution (conversion-latency / time-to-next-event
+    * features). Purchases are pre-deduped to one per (user, ts) so
+    * the match is well-defined. */
+  private def asofForward(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("purchase_id"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id",
+        $"ts".as("click_ts"))
+    asofJoinForward(clicks, purchases, "user_id", "click_ts", "ts")
+      .select($"click_id", $"user_id", $"click_ts",
+        $"purchase_id", $"matched_ts".as("purchase_ts"),
+        (unix_micros($"matched_ts") - unix_micros($"click_ts"))
+          .as("wait_us"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_asof_attribution", asofAttribution, Some("""
       WITH clicks AS (
@@ -255,6 +303,20 @@ object TemporalJoins {
         ON p.user_id = c.user_id
        AND p.event_type = 'purchase' AND c.event_type = 'click'
        AND c.ts <= p.ts
-       AND c.ts >= p.ts - INTERVAL 1 HOUR"""))
+       AND c.ts >= p.ts - INTERVAL 1 HOUR""")),
+
+    Q("q_asof_forward", asofForward, Some("""
+      WITH purch AS (
+        SELECT user_id, ts, max(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      clicks AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click')
+      SELECT c.click_id, c.user_id, c.click_ts,
+             p.purchase_id, p.ts AS purchase_ts,
+             CAST(epoch_us(p.ts) - epoch_us(c.click_ts) AS BIGINT)
+               AS wait_us
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND c.click_ts <= p.ts"""))
   )
 }

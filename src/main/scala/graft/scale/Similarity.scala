@@ -819,6 +819,82 @@ object Similarity {
       LEFT JOIN nh ON nt.query_id = nh.query_id"""
   }
 
+  /** Embedding-drift monitor: split the corpus into two snapshots by
+    * vec_id parity (standing in for "last week's embeddings vs this
+    * week's"), assign every vector to its IVF cell, and report the
+    * per-cell population shift plus the L1 centroid displacement in
+    * exact cross-multiplied integer form — `drift_num / (1000 ·
+    * drift_den)` is Σ_d |mean_A[d] − mean_B[d]|, but the division is
+    * left to the reader so the oracle hash stays integer-exact.
+    * Re-embedding/model-refresh monitoring is where ANN indexes rot;
+    * this is the telemetry that catches it. Shape: the quantized
+    * posexplode fans each vector into |dim| rows that combine
+    * map-side to (cell, dim) partials — ≤ |cells|·|dim| rows ever
+    * cross the wire, independent of corpus size, then a |cells|-row
+    * rollup. Rides the same broadcast-centroid assignment as the IVF
+    * index build, so at 100 TB it adds one scan, no new join shape. */
+  private def embedDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = corpus(s, d)
+    val assigned = ivfAssign(e, ivfCentroidsOf(e))
+    val exploded = assigned.join(e, "vec_id")
+      .select($"cell", ($"vec_id" % 2 === 0).as("is_a"),
+        posexplode(transform($"v",
+          x => floor(x * 1000 + lit(0.5)).cast("long"))).as(Seq("dim", "xq")))
+    exploded.groupBy($"cell", $"dim")
+      .agg(
+        sum(when($"is_a", $"xq").otherwise(0L)).as("sa"),
+        sum(when(!$"is_a", $"xq").otherwise(0L)).as("sb"),
+        sum(when($"is_a", 1L).otherwise(0L)).as("na"),
+        sum(when(!$"is_a", 1L).otherwise(0L)).as("nb"))
+      .groupBy($"cell")
+      .agg(
+        max($"na").as("n_a"),
+        max($"nb").as("n_b"),
+        sum(abs($"sa" * $"nb" - $"sb" * $"na")).as("drift_num"),
+        max($"na" * $"nb").as("drift_den"))
+      .filter($"drift_den" > 0)
+  }
+
+  private def embedDriftOracle: String = {
+    val seeds = (0 until IvfCentroids)
+      .map(i => NumQueries + 7L * i + 3L).mkString(", ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e
+               WHERE vec_id IN ($seeds)),
+      assign AS (SELECT vec_id, cid AS cell FROM (
+          SELECT ev.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY ev.vec_id
+                   ORDER BY list_dot_product(ev.v, c.cv) DESC,
+                            c.cid DESC) AS rn
+          FROM e ev CROSS JOIN cent c) t WHERE rn = 1),
+      expl AS (SELECT a.cell, t.vec_id % 2 = 0 AS is_a,
+                      t.u.dim AS dim,
+                      CAST(floor(t.u.x * 1000 + 0.5) AS BIGINT) AS xq
+               FROM (SELECT vec_id,
+                            unnest(list_transform(v, (x, i) ->
+                              {'dim': i - 1, 'x': x})) AS u
+                     FROM e) t
+               JOIN assign a USING (vec_id)),
+      per AS (SELECT cell, dim,
+                     CAST(sum(CASE WHEN is_a THEN xq ELSE 0 END)
+                       AS BIGINT) AS sa,
+                     CAST(sum(CASE WHEN NOT is_a THEN xq ELSE 0 END)
+                       AS BIGINT) AS sb,
+                     CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END)
+                       AS BIGINT) AS na,
+                     CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)
+                       AS BIGINT) AS nb
+              FROM expl GROUP BY 1, 2)
+      SELECT cell, max(na) AS n_a, max(nb) AS n_b,
+             CAST(sum(abs(sa * nb - sb * na)) AS BIGINT) AS drift_num,
+             CAST(max(na * nb) AS BIGINT) AS drift_den
+      FROM per GROUP BY 1
+      HAVING max(na) * max(nb) > 0"""
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_ann_recall", annRecall, Some(annRecallOracle)),
     Q("q_embed_project", embedProject, Some(jlOracle)),
@@ -847,6 +923,7 @@ object Similarity {
              vec_id AS neighbor_id, round(cosine, 4) AS cosine
       FROM ranked WHERE rank <= ${TopK}"""), headline = true),
     Q("q_embed_quantize", embedQuantize, Some(quantizeOracle)),
+    Q("q_embed_drift", embedDrift, Some(embedDriftOracle)),
     Q("q_ann_lsh", annLsh, Some(lshOracle)),
     Q("q_ann_ivf", annIvf, Some(ivfOracle)),
     Q("q_kmeans_refine", kmeansRefine, Some(kmeansOracle)),

@@ -1034,6 +1034,48 @@ object TextOps {
         round(avg(size(tokens($"text"))), 4).as("avg_tokens"))
   }
 
+  /** Tokenizer-fertility telemetry per language: words, BPE-ish
+    * pre-tokens, and chars aggregated per lang, with the two ratios a
+    * tokenizer team actually tracks — subwords-per-word ("fertility")
+    * and chars-per-subword — in exact 1e4 fixed point (integer floor
+    * division keeps the oracle hash byte-stable). A single map-side-
+    * combining aggregate over the scan: at 100 TB this is one shuffle
+    * of |langs| partial rows per task, nothing else. */
+  private def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length($"text").cast("long")).as("n_chars"),
+        sum(size(tokens($"text")).cast("long")).as("n_words"),
+        sum(size(bpeTokens($"text")).cast("long")).as("n_bpe"))
+      .select($"lang", $"n_docs", $"n_chars", $"n_words", $"n_bpe",
+        expr("(n_bpe * 10000) div n_words").as("fertility_e4"),
+        expr("(n_chars * 10000) div n_bpe").as("chars_per_bpe_e4"))
+  }
+
+  /** N-gram novelty rate: the share of a document's distinct 3-gram
+    * shingles that occur NOWHERE else in the corpus (df = 1) — the
+    * complement of the dedup/boilerplate signals: high novelty marks
+    * content worth keeping, near-zero novelty marks templated text.
+    * Shape: shingle-df is one partial-agg shuffle on the shingle key,
+    * the df join reuses that partitioning, and the per-doc rollup is
+    * the only other exchange — no all-pairs anywhere, so it scales
+    * exactly like the MinHash pipeline that shares this explode. */
+  private def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select($"doc_id", explode(shingles($"text")).as("s"))
+    val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+    sh.join(df, "s")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"df" === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        expr("(n_novel * 10000) div n_shingles").as("novelty_e4"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_text_token_count", tokenCount, Some("""
       SELECT doc_id,
@@ -1454,6 +1496,39 @@ object TextOps {
              CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT)
                AS n_kept,
              round(max(rate), 4) AS rate
-      FROM scored GROUP BY 1"""))
+      FROM scored GROUP BY 1""")),
+
+    Q("q_tokenizer_fertility", tokenizerFertility, Some("""
+      WITH t AS (SELECT lang, length(text) AS nc,
+                        len(string_split_regex(lower(text), '\s+')) AS nw,
+                        len(regexp_extract_all(lower(text),
+                          '[a-z]+|[0-9]|[^a-z0-9\s]+')) AS nb
+                 FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(nc) AS BIGINT) AS n_chars,
+             CAST(sum(nw) AS BIGINT) AS n_words,
+             CAST(sum(nb) AS BIGINT) AS n_bpe,
+             CAST(sum(nb) * 10000 // sum(nw) AS BIGINT) AS fertility_e4,
+             CAST(sum(nc) * 10000 // sum(nb) AS BIGINT)
+               AS chars_per_bpe_e4
+      FROM t GROUP BY 1""")),
+
+    Q("q_ngram_novelty", ngramNovelty, Some("""
+      WITH tk AS (SELECT doc_id,
+                         string_split_regex(lower(text), '\s+') AS toks
+                  FROM documents),
+      sh AS (SELECT doc_id,
+                    unnest(list_distinct(
+                      [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       for i in range(1, len(toks)-1)])) AS s
+             FROM tk WHERE len(toks) >= 3),
+      df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+      j AS (SELECT doc_id, df FROM sh JOIN df USING (s))
+      SELECT doc_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+             CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 10000
+                  // count(*) AS BIGINT) AS novelty_e4
+      FROM j GROUP BY 1"""))
   )
 }

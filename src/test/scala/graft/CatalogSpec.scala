@@ -108,4 +108,28 @@ class SemanticsSpec extends AnyFunSuite {
           .otherwise("high"))
     assert(df.filter($"bucket" =!= $"expected").count() === 0)
   }
+
+  test("q_cdc_merge: latest change wins and tombstones remove their key") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_cdc_merge")(spark, sf).cache()
+    // every merge key is accounted for exactly once across all shards
+    val keyTotal = out.agg(org.apache.spark.sql.functions.sum($"n_keys"))
+      .head().getLong(0)
+    val distinctKeys = Tables.orders(spark, sf)
+      .select($"o_custkey").distinct().count()
+    assert(keyTotal === distinctKeys)
+    // independent recomputation of the per-key fate via a groupBy max:
+    // the newest seq decides; a final %7==0 change tombstones the key
+    val fate = Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(org.apache.spark.sql.functions.max($"o_orderkey").as("last_seq"))
+      .withColumn("dead", $"last_seq" % 7 === 0)
+    val wantDead = fate.filter($"dead").count()
+    val gotDead = out.agg(org.apache.spark.sql.functions.sum($"n_tombstoned"))
+      .head().getLong(0)
+    assert(gotDead === wantDead)
+    assert(out.filter($"n_alive" + $"n_tombstoned" =!= $"n_keys")
+      .count() === 0)
+    out.unpersist()
+  }
 }

@@ -121,4 +121,42 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(asof.count() === purchases)
     assert(q("q_range_join_banded").count() >= 0)
   }
+
+  test("asofJoinForward picks the earliest right row at-or-after each left row") {
+    val out = asofJoinForward(lhs, rhs, "k", "lts", "rts")
+      .select($"ltag", $"rtag").as[(String, String)].collect().toMap
+    // p1@100 ties with c2@100 (<= semantics), not c3@150
+    assert(out("p1") === "c2")
+    // p0@50: earliest following is c1@90
+    assert(out("p0") === "c1")
+  }
+
+  test("asofJoinForward is left-outer: rows past the last right keep nulls") {
+    val out = asofJoinForward(lhs, rhs, "k", "lts", "rts")
+    assert(out.count() === 4, "every left row survives exactly once")
+    val misses = out.filter($"rtag".isNull).select($"ltag")
+      .as[String].collect().toSet
+    // p2@200 follows every key-1 click; key 2 has no clicks at all
+    assert(misses === Set("p2", "p3"))
+  }
+
+  test("asofJoinForward plans exactly one shuffle, like the backward join") {
+    val out = asofJoinForward(lhs, rhs, "k", "lts", "rts")
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }.size
+    assert(shuffles === 1, s"expected 1 exchange, got $shuffles:\n$plan")
+  }
+
+  test("q_asof_forward emits one row per click with non-negative waits") {
+    val out = SparkEntry.queries("q_asof_forward")(spark, sf).cache()
+    val clicks = Tables.events(spark, sf)
+      .filter($"event_type" === "click").count()
+    assert(out.count() === clicks)
+    assert(out.filter($"wait_us" < 0).count() === 0,
+      "a forward match can never precede its click")
+    out.unpersist()
+  }
 }

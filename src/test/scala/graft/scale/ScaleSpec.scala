@@ -434,4 +434,67 @@ class ScaleSpec extends AnyFunSuite {
     assert(r.getAs[Double]("precision") === ver.toDouble / cand)
     assert(r.getAs[Double]("candidate_frac") === cand.toDouble / naive)
   }
+
+  test("tokenizer fertility: totals reconcile with the per-doc token counts") {
+    val fert = SparkEntry.queries("q_tokenizer_fertility")(spark, sf)
+    val rows = fert.collect()
+    assert(rows.nonEmpty)
+    // fertility ≥ 1e4: the BPE-ish pre-tokenizer never merges across
+    // whitespace, so it can only split words further
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fertility_e4") >= 10000L,
+        s"lang ${r.getAs[String]("lang")}: more words than BPE tokens")
+      assert(r.getAs[Long]("chars_per_bpe_e4") > 0L)
+    }
+    // cross-check one total against the independent per-doc query
+    val perDoc = SparkEntry.queries("q_text_token_count")(spark, sf)
+      .agg(sum($"n_bpe")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_bpe")).sum === perDoc)
+  }
+
+  test("ngram novelty: bounded by [0,1e4] and consistent with shingle dfs") {
+    val nov = SparkEntry.queries("q_ngram_novelty")(spark, sf).cache()
+    val bad = nov.filter($"novelty_e4" < 0 || $"novelty_e4" > 10000 ||
+      $"n_novel" > $"n_shingles").count()
+    assert(bad === 0)
+    // corpus invariant: Σ n_novel = number of df=1 shingles
+    val shingleDf1 = Tables.documents(spark, sf)
+      .select(explode(TextOps.shingles($"text")).as("s"))
+      .groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" === 1).count()
+    val sumNovel = nov.agg(sum($"n_novel")).head().getLong(0)
+    assert(sumNovel === shingleDf1)
+    nov.unpersist()
+  }
+
+  test("embed drift: cells partition the corpus and identical snapshots " +
+      "would have zero drift") {
+    val drift = SparkEntry.queries("q_embed_drift")(spark, sf).cache()
+    val total = drift.agg(sum($"n_a") + sum($"n_b")).head().getLong(0)
+    assert(total === Tables.embeddings(spark, sf).count(),
+      "every vector lands in exactly one cell and one snapshot")
+    assert(drift.filter($"drift_den" =!= $"n_a" * $"n_b").count() === 0)
+    // self-drift is exactly zero: feed the SAME corpus as both
+    // snapshots (every vector once as A, once as B) through the
+    // identical quantize/aggregate/cross-multiply pipeline
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cells = Similarity.ivfAssign(e, Similarity.ivfCentroidsOf(e))
+    val doubled = cells.join(e, "vec_id")
+      .crossJoin(Seq(true, false).toDF("is_a"))
+    val self = doubled
+      .select($"cell", $"is_a", posexplode(transform($"v",
+        x => floor(x * 1000 + lit(0.5)).cast("long"))).as(Seq("dim", "xq")))
+      .groupBy($"cell", $"dim")
+      .agg(
+        sum(when($"is_a", $"xq").otherwise(0L)).as("sa"),
+        sum(when(!$"is_a", $"xq").otherwise(0L)).as("sb"),
+        sum(when($"is_a", 1L).otherwise(0L)).as("na"),
+        sum(when(!$"is_a", 1L).otherwise(0L)).as("nb"))
+      .groupBy($"cell")
+      .agg(sum(abs($"sa" * $"nb" - $"sb" * $"na")).as("num"))
+      .filter($"num" =!= 0L).count()
+    assert(self === 0L)
+    drift.unpersist()
+  }
 }
