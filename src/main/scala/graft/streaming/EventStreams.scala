@@ -226,4 +226,35 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** One CDC change record and the key's materialized fate. */
+  case class Change(key: Long, seq: Long, op: String, cents: Long)
+  case class KeyFate(key: Long, seq: Long, alive: Boolean, cents: Long)
+
+  /** Streaming CDC apply — the stateful twin of the batch
+    * q_cdc_merge: per merge key the state is exactly the newest
+    * (seq, op, cents) seen so far, updated latest-wins BY SEQUENCE
+    * NUMBER (an out-of-order older change can never overwrite a newer
+    * one — the property that makes CDC correct under shuffle/network
+    * reordering), and every update emits the key's current fate, with
+    * a delete tombstone materialized as alive=false. State is one
+    * fixed-size tuple per live key — O(#keys), not O(#changes) — the
+    * same footprint a streaming MERGE INTO maintains at 100 TB/day. */
+  def cdcApply(spark: SparkSession,
+      changes: Dataset[Change]): Dataset[KeyFate] = {
+    import spark.implicits._
+    changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, String, Long), KeyFate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[Change],
+         state: GroupState[(Long, String, Long)]) =>
+          var cur = state.getOption.getOrElse((Long.MinValue, "", 0L))
+          batch.foreach { c =>
+            if (c.seq > cur._1) cur = (c.seq, c.op, c.cents)
+          }
+          state.update(cur)
+          Iterator(KeyFate(key, cur._1, cur._2 != "D", cur._3))
+      }
+  }
 }

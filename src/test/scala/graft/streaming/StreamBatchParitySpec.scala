@@ -323,4 +323,43 @@ class StreamBatchParitySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("CDC apply: streaming latest-wins state == batch window twin, " +
+      "out-of-order old change never overwrites") {
+    val changes = Seq(
+      Change(1L, 5L, "U", 500L),  // key 1 newest first...
+      Change(2L, 1L, "U", 100L),
+      Change(3L, 2L, "U", 250L))
+    val late = Seq(
+      Change(1L, 3L, "D", 0L),    // ...then an OLDER delete: must lose
+      Change(2L, 7L, "D", 0L),    // a NEWER delete: must tombstone
+      Change(3L, 9L, "U", 900L))
+    val in = MemoryStream[Change]
+    val q = cdcApply(spark, in.toDS()).writeStream
+      .format("memory").queryName("parity_cdc")
+      .outputMode("update").start()
+    try {
+      in.addData(changes: _*)
+      q.processAllAvailable()
+      in.addData(late: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // final state per key = its highest-seq emission across batches
+    val streamed = spark.table("parity_cdc").collect()
+      .map(r => (r.getAs[Long]("key"), (r.getAs[Long]("seq"),
+        r.getAs[Boolean]("alive"), r.getAs[Long]("cents"))))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).maxBy(_._1) }
+    // batch twin: q_cdc_merge's core — newest seq per key wins
+    val w = Window.partitionBy($"key").orderBy($"seq".desc)
+    val batch = (changes ++ late).toDF()
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .collect()
+      .map(r => r.getAs[Long]("key") -> (r.getAs[Long]("seq"),
+        r.getAs[String]("op") != "D", r.getAs[Long]("cents"))).toMap
+    assert(streamed === batch)
+    // the out-of-order delete for key 1 lost: still alive at seq 5
+    assert(streamed(1L) === ((5L, true, 500L)))
+    // the newer delete for key 2 won: tombstoned
+    assert(streamed(2L) === ((7L, false, 0L)))
+  }
 }
