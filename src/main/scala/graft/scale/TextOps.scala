@@ -1076,6 +1076,62 @@ object TextOps {
         expr("(n_novel * 10000) div n_shingles").as("novelty_e4"))
   }
 
+  /** Epoch expansion — the materialization step after the mixture
+    * weights: each source's documents are REPEATED `repeats` times
+    * (an integer epoch factor derived deterministically from the
+    * source id here; in production it comes from the mixing solver),
+    * producing the actual upsampled training mix with an `epoch`
+    * column for shuffling/curriculum control downstream. The explode
+    * multiplies rows by ≤4, so as with every row-amplifying operator
+    * the input must already be spread across partitions (the
+    * q_yelp_master_volume lesson); the audit rollup is
+    * |sources|×|epochs| rows. */
+  private def epochExpand(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("repeats",
+        (regexp_extract($"source", "(\\d+)", 1).cast("long") % 4 + 1)
+          .cast("int"))
+      .withColumn("epoch", explode(sequence(lit(1), $"repeats")))
+      .groupBy($"source", $"epoch".cast("long").as("epoch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens($"text")).cast("long")).as("n_tokens"))
+  }
+
+  /** T5/UL2-style span corruption: every 7th token position starting
+    * at 4 opens a 2-token span (if it fits) that is replaced by a
+    * `<extra_id_K>` sentinel in the input and emitted after the same
+    * sentinel in the target — the standard denoising-objective data
+    * transform, made deterministic (fixed stride instead of random
+    * spans) so the oracle replays it exactly. Scan-local lambda
+    * expressions over the token array, no shuffle: at 100 TB this
+    * rides the same single-pass scan stage as normalization. */
+  private def spanCorrupt(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = tokens($"text")
+    val n = size(t)
+    val sentinel = (i: Column) =>
+      concat(lit("<extra_id_"),
+        ((i - lit(4)) / lit(7)).cast("long").cast("string"), lit(">"))
+    val corrParts = transform(sequence(lit(1), n), i =>
+      when(i % 7 === 4 && i < n, array(sentinel(i)))
+        .when(i % 7 === 5, array().cast("array<string>"))
+        .otherwise(array(element_at(t, i))))
+    val tgtParts = transform(sequence(lit(1), n), i =>
+      when(i % 7 === 4 && i < n,
+        array(sentinel(i), element_at(t, i), element_at(t, i + 1)))
+        .otherwise(array().cast("array<string>")))
+    val nSpans = size(filter(sequence(lit(1), n),
+      i => i % 7 === 4 && i < n)).cast("long")
+    Tables.documents(s, d).select(
+      $"doc_id",
+      nSpans.as("n_spans"),
+      (n.cast("long") - nSpans).as("n_input_tokens"),
+      (nSpans * 3).as("n_target_tokens"),
+      array_join(flatten(corrParts), " ").as("corrupted"),
+      array_join(flatten(tgtParts), " ").as("target"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_text_token_count", tokenCount, Some("""
       SELECT doc_id,
@@ -1529,6 +1585,45 @@ object TextOps {
                AS n_novel,
              CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 10000
                   // count(*) AS BIGINT) AS novelty_e4
-      FROM j GROUP BY 1"""))
+      FROM j GROUP BY 1""")),
+
+    Q("q_epoch_expand", epochExpand, Some("""
+      WITH d AS (SELECT source,
+                        CAST(regexp_extract(source, '(\d+)', 1)
+                          AS BIGINT) % 4 + 1 AS repeats,
+                        len(string_split_regex(lower(text), '\s+')) AS nt
+                 FROM documents),
+      x AS (SELECT source, unnest(range(1, repeats + 1)) AS epoch, nt
+            FROM d)
+      SELECT source, CAST(epoch AS BIGINT) AS epoch,
+             count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+      FROM x GROUP BY 1, 2""")),
+
+    Q("q_span_corrupt", spanCorrupt, Some("""
+      WITH tk AS (SELECT doc_id,
+                         string_split_regex(lower(text), '\s+') AS toks
+                  FROM documents),
+      c AS (SELECT doc_id, len(toks) AS n,
+                   flatten(list_transform(range(1, len(toks) + 1), i ->
+                     CASE WHEN i % 7 = 4 AND i < len(toks)
+                            THEN ['<extra_id_' ||
+                                  CAST((i - 4) // 7 AS VARCHAR) || '>']
+                          WHEN i % 7 = 5 THEN []::VARCHAR[]
+                          ELSE [toks[i]] END)) AS corr,
+                   flatten(list_transform(range(1, len(toks) + 1), i ->
+                     CASE WHEN i % 7 = 4 AND i < len(toks)
+                            THEN ['<extra_id_' ||
+                                  CAST((i - 4) // 7 AS VARCHAR) || '>',
+                                  toks[i], toks[i + 1]]
+                          ELSE []::VARCHAR[] END)) AS tgt,
+                   len(list_filter(range(1, len(toks) + 1),
+                     i -> i % 7 = 4 AND i < len(toks))) AS n_spans
+            FROM tk)
+      SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+             CAST(n - n_spans AS BIGINT) AS n_input_tokens,
+             CAST(3 * n_spans AS BIGINT) AS n_target_tokens,
+             array_to_string(corr, ' ') AS corrupted,
+             array_to_string(tgt, ' ') AS target
+      FROM c"""))
   )
 }

@@ -467,6 +467,65 @@ class ScaleSpec extends AnyFunSuite {
     nov.unpersist()
   }
 
+  test("epoch expand: every epoch of a source carries the full source") {
+    val out = SparkEntry.queries("q_epoch_expand")(spark, sf).cache()
+    // within a source all epochs are identical copies
+    val uneven = out.groupBy($"source")
+      .agg(countDistinct($"n_docs").as("d1"),
+        countDistinct($"n_tokens").as("d2"))
+      .filter($"d1" =!= 1 || $"d2" =!= 1).count()
+    assert(uneven === 0)
+    // epoch count per source == its repeat factor (src_num % 4 + 1)
+    val eps = out.groupBy($"source").agg(max($"epoch").as("max_ep"),
+      count(lit(1)).as("n_ep")).collect()
+    eps.foreach { r =>
+      val srcNum = r.getAs[String]("source").replaceAll("\\D", "").toLong
+      assert(r.getAs[Long]("max_ep") === srcNum % 4 + 1)
+      assert(r.getAs[Long]("n_ep") === srcNum % 4 + 1)
+    }
+    // grand total = Σ repeats(source) · docs(source)
+    val total = out.agg(sum($"n_docs")).head().getLong(0)
+    val want = Tables.documents(spark, sf)
+      .groupBy($"source").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[String]("source").replaceAll("\\D", "").toLong % 4
+        + 1) * r.getAs[Long]("n")).sum
+    assert(total === want)
+    out.unpersist()
+  }
+
+  test("span corrupt: sentinels pair up and the spans splice back to " +
+      "the original") {
+    val out = SparkEntry.queries("q_span_corrupt")(spark, sf).cache()
+    // token accounting: a span nets −1 input token (2 removed, 1
+    // sentinel added), so original n = n_input_tokens + n_spans
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n"))
+    val bad = out.join(docs, "doc_id")
+      .filter($"n_input_tokens" + $"n_spans" =!= $"n" ||
+        $"n_target_tokens" =!= $"n_spans" * 3).count()
+    assert(bad === 0)
+    // splice check on every doc: substituting each sentinel in the
+    // corrupted text with its target span restores the original tokens
+    val restored = out
+      .select($"doc_id", $"corrupted", $"target").collect().map { r =>
+        val tgt = r.getAs[String]("target")
+        val spans = "<extra_id_(\\d+)> (\\S+ \\S+)".r
+          .findAllMatchIn(tgt).map(m => m.group(1) -> m.group(2)).toMap
+        val rebuilt = r.getAs[String]("corrupted").split(" ").flatMap {
+          case s if s.startsWith("<extra_id_") =>
+            spans(s.stripPrefix("<extra_id_").stripSuffix(">")).split(" ")
+          case t => Array(t)
+        }.mkString(" ")
+        r.getAs[Long]("doc_id") -> rebuilt
+      }.toMap
+    val originals = Tables.documents(spark, sf)
+      .select($"doc_id", array_join(TextOps.tokens($"text"), " ").as("o"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("o"))
+      .toMap
+    assert(restored === originals)
+    out.unpersist()
+  }
+
   test("embed drift: cells partition the corpus and identical snapshots " +
       "would have zero drift") {
     val drift = SparkEntry.queries("q_embed_drift")(spark, sf).cache()
