@@ -232,4 +232,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_"))
     assert(shuffles(df) <= 3)
   }
+
+  test("round-8 additions keep their scale shapes") {
+    // span corruption is scan-local: lambda expressions only, NO shuffle
+    assert(shuffles(q("q_span_corrupt")) === 0)
+    // fertility is one combinable aggregate over the scan
+    assert(shuffles(q("q_tokenizer_fertility")) === 1)
+    // epoch expansion: explode feeds one aggregate exchange
+    assert(shuffles(q("q_epoch_expand")) === 1)
+    // CDC merge: window on the merge key + final shard rollup
+    assert(shuffles(q("q_cdc_merge")) === 2)
+    // forward as-of: purchase pre-dedup agg + the union/window
+    // exchange — no join node (the bare helper is pinned to exactly
+    // one shuffle in TemporalJoinsSpec)
+    assert(shuffles(q("q_asof_forward")) === 2)
+    // novelty: shingle-df agg, df join, per-doc rollup — and the join
+    // must reuse the df aggregation's hash partitioning on the shingle
+    // key rather than add a fourth exchange
+    assert(shuffles(q("q_ngram_novelty")) <= 3)
+  }
 }
