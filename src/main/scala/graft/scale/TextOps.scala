@@ -1132,6 +1132,39 @@ object TextOps {
       array_join(flatten(tgtParts), " ").as("target"))
   }
 
+  /** Vocabulary size for [[vocabEncode]] — cap-bounded, so the id
+    * table always broadcasts. */
+  val VocabEncodeSize = 256
+
+  /** Vocabulary encoding — the tokenize-to-ids step every pretraining
+    * corpus pass ends with: the top-[[VocabEncodeSize]] tokens by
+    * frequency become ids 1..N (deterministic count-desc/token-asc
+    * order), everything else maps to OOV id 0, and each document is
+    * re-assembled into its ORDER-PRESERVING id sequence via
+    * posexplode → broadcast vocab join → sort-by-position array_agg.
+    * At 100 TB the vocab stays cap-bounded (broadcast), the join is
+    * map-side, and the only exchange after the count is the per-doc
+    * regroup — the exact shape of a distributed tokenizer run. */
+  private def vocabEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+    val top = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok".asc).limit(VocabEncodeSize)
+    val vocab = top.select($"tok",
+      row_number().over(Window.orderBy($"cnt".desc, $"tok".asc))
+        .cast("long").as("id"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("id", coalesce($"id", lit(0L)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"id" === 0L, 1L).otherwise(0L)).as("n_oov"),
+        transform(array_sort(collect_list(struct($"pos", $"id"))),
+          x => x.getField("id")).as("ids"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_text_token_count", tokenCount, Some("""
       SELECT doc_id,
@@ -1624,6 +1657,29 @@ object TextOps {
              CAST(3 * n_spans AS BIGINT) AS n_target_tokens,
              array_to_string(corr, ' ') AS corrupted,
              array_to_string(tgt, ' ') AS target
-      FROM c"""))
+      FROM c""")),
+
+    Q("q_vocab_encode", vocabEncode, Some(s"""
+      WITH tk AS (SELECT doc_id,
+                         string_split_regex(lower(text), '\\s+') AS toks
+                  FROM documents),
+      tl AS (SELECT doc_id, t.u.pos AS pos, t.u.tok AS tok
+             FROM (SELECT doc_id,
+                          unnest(list_transform(toks, (x, i) ->
+                            {'pos': i - 1, 'tok': x})) AS u
+                   FROM tk) t),
+      cnts AS (SELECT tok, count(*) AS cnt FROM tl GROUP BY 1),
+      vocab AS (SELECT tok,
+                       CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC)
+                         AS BIGINT) AS id
+                FROM cnts ORDER BY cnt DESC, tok ASC
+                LIMIT $VocabEncodeSize),
+      enc AS (SELECT tl.doc_id, tl.pos, coalesce(v.id, 0) AS id
+              FROM tl LEFT JOIN vocab v USING (tok))
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+             list(id ORDER BY pos) AS ids
+      FROM enc GROUP BY 1"""))
   )
 }

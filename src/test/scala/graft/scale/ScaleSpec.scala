@@ -526,6 +526,27 @@ class ScaleSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("vocab encode: id sequences align with tokens and OOV counts " +
+      "match the top-k complement") {
+    val out = SparkEntry.queries("q_vocab_encode")(spark, sf).cache()
+    // every doc's id sequence has exactly one id per token, in range
+    val bad = out.filter(size($"ids") =!= $"n_tokens" ||
+      exists($"ids", i => i < 0 || i > TextOps.VocabEncodeSize)).count()
+    assert(bad === 0)
+    // independent OOV recount: tokens outside the top-k set
+    val topSet = Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok".asc).limit(TextOps.VocabEncodeSize)
+      .select($"tok").as[String].collect().toSet
+    val wantOov = Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens($"text")).as("tok"))
+      .filter(!$"tok".isin(topSet.toSeq: _*)).count()
+    val gotOov = out.agg(sum($"n_oov")).head().getLong(0)
+    assert(gotOov === wantOov)
+    out.unpersist()
+  }
+
   test("embed drift: cells partition the corpus and identical snapshots " +
       "would have zero drift") {
     val drift = SparkEntry.queries("q_embed_drift")(spark, sf).cache()
