@@ -276,4 +276,43 @@ class PropertySpec extends AnyFunSuite {
         "volume scaling changed the envelope fingerprint")
     }
   }
+
+  test("as-of joins (both directions) match the brute-force non-equi " +
+      "definition on random frames") {
+    import java.sql.Timestamp
+    val rowGen = for {
+      k <- Gen.chooseNum(1L, 4L)   // few keys → dense per-key collisions
+      t <- Gen.chooseNum(0L, 20L)  // small ts range → frequent exact ties
+    } yield (k, new Timestamp(t * 1000L))
+    val leftRows = samples(rowGen, 60).zipWithIndex
+      .map { case ((k, t), i) => (k, t, s"L$i") }
+    // right side deduped per (key, ts): the operator's contract
+    val rightRows = samples(rowGen, 60).zipWithIndex
+      .map { case ((k, t), i) => (k, t, s"R$i") }
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val l = leftRows.toDF("k", "lts", "ltag")
+    val r = rightRows.toDF("k", "rts", "rtag")
+
+    // brute-force model: filter the full cross by the inequality, take
+    // the extreme ts (ties impossible — right is unique per (key, ts))
+    def model(forward: Boolean): Map[String, String] =
+      leftRows.map { case (k, t, tag) =>
+        val cand = rightRows.filter(rr => rr._1 == k &&
+          (if (forward) !rr._2.before(t) else !rr._2.after(t)))
+        val pick =
+          if (cand.isEmpty) null
+          else if (forward) cand.minBy(_._2.getTime)._3
+          else cand.maxBy(_._2.getTime)._3
+        tag -> pick
+      }.toMap
+
+    val back = ops.TemporalJoins.asofJoin(l, r, "k", "lts", "rts")
+      .select($"ltag", $"rtag").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(back === model(forward = false))
+    val fwd = ops.TemporalJoins.asofJoinForward(l, r, "k", "lts", "rts")
+      .select($"ltag", $"rtag").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(fwd === model(forward = true))
+  }
 }
