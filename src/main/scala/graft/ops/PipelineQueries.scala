@@ -72,6 +72,49 @@ object PipelineQueries {
         round(sum($"l_quantity"), 2).as("sum_qty"))
   }
 
+  /** Gzip-compressed CSV round-trip: same reader/writer pair as
+    * q_csv_roundtrip but through the block-compression codec path —
+    * at 100 TB corpora ship compressed, and gzip splits per FILE (not
+    * per block), so the write keeps Spark's default many-files layout
+    * to preserve read parallelism (one task per .csv.gz part). */
+  private def csvGzipRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = scratch(d, "lineitem_csv_gz")
+    Tables.lineitem(s, d).write.mode("overwrite")
+      .option("header", true).option("compression", "gzip").csv(path)
+    s.read.schema(lineitemSchema).option("header", true).csv(path)
+      .groupBy($"l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"l_extendedprice"), 2).as("sum_price"))
+  }
+
+  /** Multiline (pretty-printed / JSON-array) reader path — the other
+    * JSON on-disk shape: a whole file is ONE parse unit, so unlike
+    * line-delimited JSON a multiline file is NOT splittable and each
+    * file must stay bounded; the write side therefore keeps the
+    * many-parts layout. */
+  private def jsonMultilineRoundtrip(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    val path = scratch(d, "nation_json_ml")
+    // render each partition as a JSON ARRAY (multiline form)
+    val arr = Tables.nation(s, d)
+      .select(to_json(struct($"n_nationkey", $"n_name", $"n_regionkey"))
+        .as("j"))
+      .agg(concat(lit("["), concat_ws(",\n", collect_list($"j")), lit("]"))
+        .as("doc"))
+    arr.write.mode("overwrite").text(path)
+    s.read.option("multiLine", true)
+      .schema(StructType(Seq(
+        StructField("n_nationkey", LongType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", LongType))))
+      .json(path)
+      .groupBy($"n_regionkey")
+      .agg(count(lit(1)).as("n_nations"),
+        min($"n_name").as("first_name"))
+  }
+
   private def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val path = scratch(d, "orders_json")
@@ -615,6 +658,16 @@ object PipelineQueries {
       SELECT l_returnflag, count(*) AS cnt,
              round(sum(l_quantity), 2) AS sum_qty
       FROM lineitem GROUP BY 1""")),
+
+    Q("q_csv_gzip_roundtrip", csvGzipRoundtrip, Some("""
+      SELECT l_linestatus, count(*) AS cnt,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem GROUP BY 1""")),
+
+    Q("q_json_multiline_roundtrip", jsonMultilineRoundtrip, Some("""
+      SELECT n_regionkey, count(*) AS n_nations,
+             min(n_name) AS first_name
+      FROM nation GROUP BY 1""")),
 
     Q("q_json_quarantine", jsonQuarantine, Some("""
       SELECT o_orderpriority, count(*) AS n_rows,
