@@ -90,14 +90,17 @@ object PipelineQueries {
 
   /** Multiline (pretty-printed / JSON-array) reader path — the other
     * JSON on-disk shape: a whole file is ONE parse unit, so unlike
-    * line-delimited JSON a multiline file is NOT splittable and each
-    * file must stay bounded; the write side therefore keeps the
-    * many-parts layout. */
+    * line-delimited JSON a multiline file is NOT splittable. This demo
+    * deliberately renders the BOUNDED 25-row nation dim as a single
+    * array file to exercise the `multiLine` reader; at corpus scale
+    * multiline-array JSON is inherently a bounded-per-file format and
+    * line-delimited JSON (q_json_roundtrip) is the splittable shape
+    * you ingest instead. */
   private def jsonMultilineRoundtrip(s: SparkSession, d: String)
       : DataFrame = {
     import s.implicits._
     val path = scratch(d, "nation_json_ml")
-    // render each partition as a JSON ARRAY (multiline form)
+    // render the whole (bounded) dim as ONE JSON array document
     val arr = Tables.nation(s, d)
       .select(to_json(struct($"n_nationkey", $"n_name", $"n_regionkey"))
         .as("j"))

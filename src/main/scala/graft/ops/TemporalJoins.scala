@@ -62,23 +62,33 @@ object TemporalJoins {
     * ("time to next event" — churn/response-latency features; the
     * mirror of [[asofJoin]]). Ties on the timestamp take the right row
     * (`<=` semantics, matching DuckDB's forward ASOF). Same
-    * union-once/one-exchange/one-window shape as the backward join —
-    * only the frame direction flips, so the 100 TB story is identical.
+    * union-once/one-exchange/one-window shape as the backward join.
     * Same uniqueness contract on `right` per (key, ts).
+    *
+    * The window sorts DESCENDING and carries `last` over a RUNNING
+    * preceding frame rather than using a `[currentRow,
+    * unboundedFollowing]` frame with `first`: Spark executes an
+    * unbounded-FOLLOWING frame by re-scanning from the current row to
+    * the partition end for every output row — O(n²) on a hot key —
+    * while the running frame is the same O(n) streaming pass the
+    * backward join gets. Semantics are identical, tie rule included:
+    * in descending order a right row at an equal timestamp sorts
+    * before the left row (side 1 > 0 desc), so it is inside the
+    * preceding frame, and `last` over rows seen so far in descending
+    * time is exactly the EARLIEST right at-or-after the current row.
     */
   def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String): DataFrame = {
     val payloadCols = right.columns.filterNot(c => c == key || c == rightTs)
-    // Right rows sort AFTER left rows at an equal timestamp (__side
-    // 0 < 1) so an exact-tie right row is inside the following frame.
     val r = right.select(
       col(key), col(rightTs).as("__ts"), lit(1).as("__side"),
       struct(payloadCols.map(col) :+ col(rightTs).as("__rts"): _*).as("__r"))
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(0))
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts").desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__m", first(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
     val outCols: Seq[Column] = left.columns.map(col).toSeq ++
       payloadCols.map(c => col(s"__m.$c").as(c)) :+
       col("__m.__rts").as("matched_ts")

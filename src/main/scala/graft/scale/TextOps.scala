@@ -1089,9 +1089,11 @@ object TextOps {
   private def epochExpand(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
+      // digitless source names get a null extract → default to 1 epoch
+      // instead of being silently dropped by explode(sequence(1, null))
       .withColumn("repeats",
-        (regexp_extract($"source", "(\\d+)", 1).cast("long") % 4 + 1)
-          .cast("int"))
+        (coalesce(regexp_extract($"source", "(\\d+)", 1).cast("long"),
+          lit(0L)) % 4 + 1).cast("int"))
       .withColumn("epoch", explode(sequence(lit(1), $"repeats")))
       .groupBy($"source", $"epoch".cast("long").as("epoch"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1622,8 +1624,8 @@ object TextOps {
 
     Q("q_epoch_expand", epochExpand, Some("""
       WITH d AS (SELECT source,
-                        CAST(regexp_extract(source, '(\d+)', 1)
-                          AS BIGINT) % 4 + 1 AS repeats,
+                        coalesce(TRY_CAST(regexp_extract(source, '(\d+)', 1)
+                          AS BIGINT), 0) % 4 + 1 AS repeats,
                         len(string_split_regex(lower(text), '\s+')) AS nt
                  FROM documents),
       x AS (SELECT source, unnest(range(1, repeats + 1)) AS epoch, nt

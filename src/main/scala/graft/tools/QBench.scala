@@ -14,6 +14,7 @@ object QBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val runs = args(1).toInt
+    require(runs >= 1, s"runs must be >= 1, got $runs")
     val names = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -23,11 +23,19 @@ class TablesSpec extends AnyFunSuite {
   // Three event rows at fixed epoch-micros instants.
   private val micros = Seq(1700000000000000L, 1700000001500000L, 1700000086400999L)
 
+  private val fixtureDirs = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+
   /** Build a fixture dir containing events.parquet with the given ts column. */
   private def fixture(tag: String)(mk: String => Unit): String = {
-    val base = Files.createTempDirectory(s"graft-events-$tag").toFile.getAbsolutePath
-    mk(s"$base/events.parquet")
-    base
+    val base = Files.createTempDirectory(s"graft-events-$tag").toFile
+    fixtureDirs += base
+    mk(s"${base.getAbsolutePath}/events.parquet")
+    base.getAbsolutePath
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   private def load(dir: String): (DataType, Seq[Long]) = {
@@ -61,17 +69,22 @@ class TablesSpec extends AnyFunSuite {
         .write.mode("overwrite").parquet(p)
     }
 
-    val (dtA, a) = load(nanosDir)
-    val (dtB, b) = load(ntzDir)
-    val (dtC, c) = load(tzDir)
-    // Every encoding must normalize to TimestampType — downstream
-    // catalog queries and streaming watermarks were verified against it.
-    assert(dtA === TimestampType, "nanos-as-long branch")
-    assert(dtB === TimestampType, "micros-NTZ branch")
-    assert(dtC === TimestampType, "timestamp passthrough branch")
-    assert(a === micros.sorted)
-    assert(b === micros.sorted)
-    assert(c === micros.sorted)
+    try {
+      val (dtA, a) = load(nanosDir)
+      val (dtB, b) = load(ntzDir)
+      val (dtC, c) = load(tzDir)
+      // Every encoding must normalize to TimestampType — downstream
+      // catalog queries and streaming watermarks were verified against it.
+      assert(dtA === TimestampType, "nanos-as-long branch")
+      assert(dtB === TimestampType, "micros-NTZ branch")
+      assert(dtC === TimestampType, "timestamp passthrough branch")
+      assert(a === micros.sorted)
+      assert(b === micros.sorted)
+      assert(c === micros.sorted)
+    } finally {
+      fixtureDirs.foreach(deleteRecursively)
+      fixtureDirs.clear()
+    }
   }
 
   test("events loader reads the real testdata without error and yields TimestampType") {
