@@ -118,6 +118,43 @@ object PipelineQueries {
         min($"n_name").as("first_name"))
   }
 
+  /** `binaryFile` source scan — the standard blob-ingest path for a
+    * multimodal corpus (one image/audio/doc per object): the executors
+    * materialize each document's UTF-8 bytes as a `.bin` object
+    * (distributed foreachPartition, no driver collect), then the
+    * binaryFile reader lists the store and yields (path, length,
+    * content) rows whose ids are recovered from the object names. The
+    * audit reconciles BOTH the filesystem-reported length and the
+    * actual content byte count against the source-of-truth text, per
+    * id bucket — the integrity check a blob-ingest job runs before
+    * decode. binaryFile listing parallelizes per file at 100 TB; the
+    * decode stage downstream is the Multimodal codec path. */
+  private def binaryFileScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = scratch(d, "docs_bin")
+    val dir = new java.io.File(path)
+    if (dir.exists()) {
+      Option(dir.listFiles()).foreach(_.foreach(f => { f.delete(): Unit }))
+    }
+    dir.mkdirs()
+    Tables.documents(s, d).select($"doc_id", $"text")
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path, s"${r.getLong(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    s.read.format("binaryFile").load(path)
+      .select(
+        regexp_extract($"path", "(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        $"length", length($"content").cast("long").as("content_bytes"))
+      .groupBy(($"doc_id" % 5).as("bucket"))
+      .agg(count(lit(1)).as("n_files"),
+        sum($"length").as("fs_bytes"),
+        sum($"content_bytes").as("content_bytes"))
+  }
+
   private def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val path = scratch(d, "orders_json")
@@ -671,6 +708,14 @@ object PipelineQueries {
       SELECT n_regionkey, count(*) AS n_nations,
              min(n_name) AS first_name
       FROM nation GROUP BY 1""")),
+
+    Q("q_binaryfile_scan", binaryFileScan, Some("""
+      SELECT CAST(doc_id % 5 AS BIGINT) AS bucket,
+             count(*) AS n_files,
+             CAST(sum(octet_length(encode(text))) AS BIGINT) AS fs_bytes,
+             CAST(sum(octet_length(encode(text))) AS BIGINT)
+               AS content_bytes
+      FROM documents GROUP BY 1""")),
 
     Q("q_json_quarantine", jsonQuarantine, Some("""
       SELECT o_orderpriority, count(*) AS n_rows,
