@@ -257,4 +257,44 @@ object EventStreams {
           Iterator(KeyFate(key, cur._1, cur._2 != "D", cur._3))
       }
   }
+
+  /** foreachBatch MERGE sink — the streaming-merge-into-a-table
+    * pattern for engines without an ACID table format: every
+    * micro-batch of changes is merged latest-wins-by-seq into a
+    * parquet snapshot. The new snapshot is FULLY materialized into a
+    * temp dir before the old one is swapped out (read-then-overwrite
+    * of the same path would corrupt the files mid-scan), and
+    * tombstoned keys are RETAINED with op='D' so a late out-of-order
+    * change can never resurrect a deleted key — readers filter
+    * `op <> 'D'` for the live view. At production scale the
+    * rewrite-the-snapshot step is what Delta/Iceberg's MERGE replaces
+    * with a log commit; the merge plan itself (union + one window
+    * shuffle on the key) is identical. */
+  def cdcSnapshotSink(changes: Dataset[Change], snapshotDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[Change], batchId: Long) =>
+        val s = batch.sparkSession
+        import org.apache.hadoop.fs.Path
+        val fs = new Path(snapshotDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val snap = new Path(snapshotDir)
+        val tmp = new Path(s"${snapshotDir}_tmp$batchId")
+        val cur =
+          if (fs.exists(snap)) s.read.parquet(snapshotDir)
+          else batch.toDF().limit(0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy(col("seq").desc)
+        cur.unionByName(batch.toDF())
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(snap)) { fs.delete(snap, true): Unit }
+        fs.rename(tmp, snap): Unit
+      }
+      .start()
+  }
 }

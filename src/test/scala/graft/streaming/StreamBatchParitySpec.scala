@@ -362,4 +362,41 @@ class StreamBatchParitySpec extends AnyFunSuite {
     // the newer delete for key 2 won: tombstoned
     assert(streamed(2L) === ((7L, false, 0L)))
   }
+
+  test("foreachBatch CDC snapshot sink: parquet snapshot converges to " +
+      "the batch merge, tombstones retained across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-snap")
+      .toFile.getAbsolutePath
+    val snap = s"$dir/snapshot"
+    val in = MemoryStream[Change]
+    val q = cdcSnapshotSink(in.toDS(), snap, s"$dir/ckpt")
+    try {
+      in.addData(Change(1L, 5L, "U", 500L), Change(2L, 1L, "U", 100L),
+        Change(3L, 2L, "U", 250L))
+      q.processAllAvailable()
+      in.addData(Change(1L, 3L, "D", 0L),  // stale delete: must lose
+        Change(2L, 7L, "D", 0L),           // fresh delete: tombstones
+        Change(3L, 9L, "U", 900L),
+        Change(4L, 1L, "U", 42L))          // new key in a later batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(snap).collect()
+      .map(r => r.getAs[Long]("key") -> (r.getAs[Long]("seq"),
+        r.getAs[String]("op"), r.getAs[Long]("cents"))).toMap
+    // snapshot holds exactly one row per key ever seen, newest seq wins
+    assert(got === Map(
+      1L -> ((5L, "U", 500L)),  // stale cross-batch delete lost
+      2L -> ((7L, "D", 0L)),    // tombstone RETAINED, not dropped
+      3L -> ((9L, "U", 900L)),
+      4L -> ((1L, "U", 42L))))
+    // the live view a reader derives
+    val alive = spark.read.parquet(snap)
+      .filter($"op" =!= "D").select($"key").as[Long].collect().toSet
+    assert(alive === Set(1L, 3L, 4L))
+    // cleanup scratch
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+  }
 }
