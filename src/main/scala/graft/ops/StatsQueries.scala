@@ -655,6 +655,43 @@ object StatsQueries {
       .limit(10)
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic per event type —
+    * the distribution-free complement of the binned PSI monitor (no
+    * binning choice to get wrong): the corpus splits into a reference
+    * and current sample by event-id parity, values snap to the exact
+    * cent grid, and KS = max over thresholds of |ECDF_ref − ECDF_cur|
+    * is carried as the cross-multiplied integer pair (ks_num, ks_den =
+    * n_ref·n_cur) so the oracle hash is byte-stable — the statistic
+    * itself is ks_num / ks_den. Shape: per-(type, value) pre-aggregate
+    * collapses ties BEFORE the cumulative window (the window walks
+    * distinct values, not rows — the q_eval_auc lesson), then a
+    * |types|-row rollup. Two exchanges total at any scale. */
+  private def ksTest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val running = W.partitionBy($"event_type").orderBy($"cents".asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    // full-partition frame: computed once per partition, O(n)
+    val whole = W.partitionBy($"event_type")
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    Tables.events(s, d)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        ($"event_id" % 2 === 0).as("is_ref"))
+      .groupBy($"event_type", $"cents")
+      .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("r"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("c"))
+      .select($"event_type",
+        sum($"r").over(running).as("cum_r"),
+        sum($"c").over(running).as("cum_c"),
+        sum($"r").over(whole).as("n_ref"),
+        sum($"c").over(whole).as("n_cur"))
+      .groupBy($"event_type")
+      .agg(max($"n_ref").as("n_ref"), max($"n_cur").as("n_cur"),
+        max(abs($"cum_r" * $"n_cur" - $"cum_c" * $"n_ref")).as("ks_num"),
+        max($"n_ref" * $"n_cur").as("ks_den"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_outlier_iqr", outlierIqr, Some("""
       WITH f AS (SELECT event_type,
@@ -779,6 +816,36 @@ object StatsQueries {
                AS total_cents_after_fill
       FROM base b JOIN m ON b.event_type = m.event_type
       GROUP BY 1""")),
+
+    Q("q_ks_test", ksTest, Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents,
+                        event_id % 2 = 0 AS is_ref
+                 FROM events),
+      g AS (SELECT event_type, cents,
+                   CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                     AS BIGINT) AS r,
+                   CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c
+            FROM e GROUP BY 1, 2),
+      cum AS (SELECT event_type,
+                     CAST(sum(r) OVER (PARTITION BY event_type
+                       ORDER BY cents ASC ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cum_r,
+                     CAST(sum(c) OVER (PARTITION BY event_type
+                       ORDER BY cents ASC ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cum_c,
+                     CAST(sum(r) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS n_ref,
+                     CAST(sum(c) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS n_cur
+              FROM g)
+      SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+             CAST(max(abs(cum_r * n_cur - cum_c * n_ref)) AS BIGINT)
+               AS ks_num,
+             CAST(max(n_ref * n_cur) AS BIGINT) AS ks_den
+      FROM cum GROUP BY 1""")),
 
     Q("q_psi_drift", psiDrift, Some("""
       WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx

@@ -278,4 +278,33 @@ class StatsSpec extends AnyFunSuite {
       assert(band >= 0L && band <= 10L, s"band out of range: $band")
     }
   }
+
+  test("q_ks_test matches an independent exact KS recompute per type") {
+    val got = SparkEntry.queries("q_ks_test")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Long]("ks_num"), r.getAs[Long]("ks_den"))).toMap
+    // brute recompute from raw rows (sf0.001 is small enough)
+    val raw = Tables.events(spark, sf)
+      .select($"event_type", ($"value".cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"), ($"event_id" % 2 === 0).as("is_ref"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val want = raw.groupBy(_._1).map { case (typ, rows) =>
+      val ref = rows.filter(_._3).map(_._2).sorted
+      val cur = rows.filterNot(_._3).map(_._2).sorted
+      val (nR, nC) = (ref.length.toLong, cur.length.toLong)
+      val ksNum = rows.map(_._2).distinct.map { t =>
+        val cr = ref.count(_ <= t).toLong
+        val cc = cur.count(_ <= t).toLong
+        math.abs(cr * nC - cc * nR)
+      }.max
+      typ -> ((nR, nC, ksNum, nR * nC))
+    }
+    assert(got === want)
+    // and the statistic is a valid probability-scale difference
+    got.values.foreach { case (_, _, num, den) =>
+      assert(num >= 0L && num <= den)
+    }
+  }
 }
