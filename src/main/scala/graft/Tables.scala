@@ -43,6 +43,12 @@ object Tables {
     * `Illegal Parquet type`). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→Timestamp cast below is value-preserving ONLY under a
+    // UTC session timezone. Every shipped entrypoint pins it, but a
+    // new caller that forgets would silently shift all event
+    // timestamps by its local offset — so pin it here, at the one
+    // place the cast happens, instead of trusting every caller.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

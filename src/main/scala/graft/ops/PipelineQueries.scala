@@ -128,21 +128,34 @@ object PipelineQueries {
     * actual content byte count against the source-of-truth text, per
     * id bucket — the integrity check a blob-ingest job runs before
     * decode. binaryFile listing parallelizes per file at 100 TB; the
-    * decode stage downstream is the Multimodal codec path. */
+    * decode stage downstream is the Multimodal codec path.
+    *
+    * The blob writes go through the Hadoop FileSystem resolved from
+    * the staging path — on a cluster this targets the SHARED store
+    * (HDFS/S3/local-shared), never each executor's private disk, so
+    * the subsequent binaryFile listing sees every object regardless
+    * of which executor wrote it. */
   private def binaryFileScan(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     val path = scratch(d, "docs_bin")
-    val dir = new java.io.File(path)
-    if (dir.exists()) {
-      Option(dir.listFiles()).foreach(_.foreach(f => { f.delete(): Unit }))
-    }
-    dir.mkdirs()
+    val hPath = new HPath(path)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) { fs.delete(hPath, true): Unit }
+    fs.mkdirs(hPath): Unit
+    val fsUri = fs.getUri // java.net.URI is Serializable
     Tables.documents(s, d).select($"doc_id", $"text")
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        // Executor side: re-resolve the FileSystem from the URI (the
+        // Configuration itself is not serializable; executors load
+        // core-site.xml from their own classpath).
+        val efs = FileSystem.get(fsUri,
+          new org.apache.hadoop.conf.Configuration())
         rows.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(path, s"${r.getLong(0)}.bin"),
-            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val out = efs.create(new HPath(path, s"${r.getLong(0)}.bin"), true)
+          try out.write(r.getString(1)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
         }
       }
     s.read.format("binaryFile").load(path)

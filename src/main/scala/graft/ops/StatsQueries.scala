@@ -678,6 +678,10 @@ object StatsQueries {
       .select($"event_type",
         ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
         ($"event_id" % 2 === 0).as("is_ref"))
+      // null values carry no ECDF mass, and Spark (NULLS FIRST) vs
+      // DuckDB (NULLS LAST) order them differently under ASC — drop
+      // them identically on both sides before the cumulative window
+      .filter($"cents".isNotNull)
       .groupBy($"event_type", $"cents")
       .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("r"),
         sum(when(!$"is_ref", 1L).otherwise(0L)).as("c"))
@@ -822,7 +826,8 @@ object StatsQueries {
                         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
                           AS cents,
                         event_id % 2 = 0 AS is_ref
-                 FROM events),
+                 FROM events
+                 WHERE value IS NOT NULL),
       g AS (SELECT event_type, cents,
                    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
                      AS BIGINT) AS r,

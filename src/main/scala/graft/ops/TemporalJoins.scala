@@ -327,6 +327,7 @@ object TemporalJoins {
              CAST(epoch_us(p.ts) - epoch_us(c.click_ts) AS BIGINT)
                AS wait_us
       FROM clicks c ASOF LEFT JOIN purch p
-        ON c.user_id = p.user_id AND c.click_ts <= p.ts"""))
+        ON c.user_id = p.user_id AND c.click_ts <= p.ts"""),
+      headline = true)
   )
 }

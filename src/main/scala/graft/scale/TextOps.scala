@@ -1146,7 +1146,9 @@ object TextOps {
     * posexplode → broadcast vocab join → sort-by-position array_agg.
     * At 100 TB the vocab stays cap-bounded (broadcast), the join is
     * map-side, and the only exchange after the count is the per-doc
-    * regroup — the exact shape of a distributed tokenizer run. */
+    * regroup — the exact shape of a distributed tokenizer run. The id
+    * sequence is emitted as a space-joined string (the q_span_corrupt
+    * convention) so result cells stay scalar and hash-comparable. */
   private def vocabEncode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, d)
@@ -1163,8 +1165,8 @@ object TextOps {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(when($"id" === 0L, 1L).otherwise(0L)).as("n_oov"),
-        transform(array_sort(collect_list(struct($"pos", $"id"))),
-          x => x.getField("id")).as("ids"))
+        array_join(transform(array_sort(collect_list(struct($"pos", $"id"))),
+          x => x.getField("id").cast("string")), " ").as("ids"))
   }
 
   val queries: Seq[Q] = Seq(
@@ -1681,7 +1683,7 @@ object TextOps {
       SELECT doc_id, count(*) AS n_tokens,
              CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_oov,
-             list(id ORDER BY pos) AS ids
+             array_to_string(list(id ORDER BY pos), ' ') AS ids
       FROM enc GROUP BY 1"""))
   )
 }

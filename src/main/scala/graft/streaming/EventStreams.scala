@@ -282,7 +282,18 @@ object EventStreams {
         val fs = new Path(snapshotDir)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         val snap = new Path(snapshotDir)
+        val old = new Path(snapshotDir + "_old")
         val tmp = new Path(s"${snapshotDir}_tmp$batchId")
+        // Crash recovery: a prior run that died mid-swap (after
+        // snap→snap_old but before tmp→snap) left the newest COMPLETE
+        // snapshot parked at _old — restore it before merging, so no
+        // batch ever rebuilds from only its own changes.
+        if (!fs.exists(snap) && fs.exists(old))
+          require(fs.rename(old, snap), s"recovery rename $old failed")
+        // Sweep temp dirs orphaned by failed/retried batches.
+        Option(fs.globStatus(new Path(snapshotDir + "_tmp*")))
+          .getOrElse(Array.empty)
+          .foreach(st => fs.delete(st.getPath, true))
         val cur =
           if (fs.exists(snap)) s.read.parquet(snapshotDir)
           else batch.toDF().limit(0)
@@ -292,8 +303,15 @@ object EventStreams {
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
           .write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(snap)) { fs.delete(snap, true): Unit }
-        fs.rename(tmp, snap): Unit
+        // Rename-aside swap: the previous snapshot survives at _old
+        // until the new one is in place, and every rename result is
+        // CHECKED — a failed swap aborts the batch (checkpoint will
+        // retry) instead of silently destroying the snapshot.
+        if (fs.exists(old)) { fs.delete(old, true): Unit }
+        if (fs.exists(snap))
+          require(fs.rename(snap, old), s"swap: retiring $snap failed")
+        require(fs.rename(tmp, snap), s"swap: promoting $tmp failed")
+        if (fs.exists(old)) { fs.delete(old, true): Unit }
       }
       .start()
   }

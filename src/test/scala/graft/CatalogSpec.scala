@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{types, SparkSession}
 import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
@@ -38,6 +38,21 @@ class CatalogSpec extends AnyFunSuite {
     test(s"${q.name} runs and returns rows") {
       val df = q.run(spark, sf)
       assert(df.count() > 0, s"${q.name} returned 0 rows at sf0.001")
+      // The driver's pandas-based oracle harness can only sort/hash
+      // SCALAR cells — a top-level array/map/struct column makes the
+      // whole query unverifiable (the q_vocab_encode r8 lesson).
+      // Nested output must be serialized (array_join / to_json) on
+      // both the Spark and oracle sides.
+      if (q.oracle.isDefined) {
+        val complex = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[types.ArrayType] ||
+            f.dataType.isInstanceOf[types.MapType] ||
+            f.dataType.isInstanceOf[types.StructType] => f.name
+        }
+        assert(complex.isEmpty, s"${q.name} is oracled but emits " +
+          s"non-scalar column(s) ${complex.mkString(", ")} — the " +
+          "harness cannot hash these; serialize them to strings")
+      }
     }
   }
 

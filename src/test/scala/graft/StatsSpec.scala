@@ -288,6 +288,7 @@ class StatsSpec extends AnyFunSuite {
     val raw = Tables.events(spark, sf)
       .select($"event_type", ($"value".cast("decimal(18,2)") * 100)
         .cast("long").as("cents"), ($"event_id" % 2 === 0).as("is_ref"))
+      .filter($"cents".isNotNull) // mirror the query's null policy
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
     val want = raw.groupBy(_._1).map { case (typ, rows) =>

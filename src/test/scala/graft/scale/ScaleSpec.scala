@@ -529,9 +529,12 @@ class ScaleSpec extends AnyFunSuite {
   test("vocab encode: id sequences align with tokens and OOV counts " +
       "match the top-k complement") {
     val out = SparkEntry.queries("q_vocab_encode")(spark, sf).cache()
-    // every doc's id sequence has exactly one id per token, in range
-    val bad = out.filter(size($"ids") =!= $"n_tokens" ||
-      exists($"ids", i => i < 0 || i > TextOps.VocabEncodeSize)).count()
+    // ids is a space-joined string (harness-hashable); re-split to check
+    // one id per token, each in [0, VocabEncodeSize]
+    val idArr = split($"ids", " ").cast("array<long>")
+    val bad = out.filter(size(idArr) =!= $"n_tokens" ||
+      exists(idArr, i => i.isNull || i < 0 ||
+        i > TextOps.VocabEncodeSize)).count()
     assert(bad === 0)
     // independent OOV recount: tokens outside the top-k set
     val topSet = Tables.documents(spark, sf)
