@@ -210,7 +210,65 @@ object EvalQueries {
           (lit(100) * $"n")).as("gap"))
   }
 
+  /** Reciprocal-rank fusion (RRF) of two independent rankers — the
+    * standard way a retrieval stack ensembles lexical and semantic
+    * rankings (score = Σ 1/(k + rankᵣ), k = 60 per the original
+    * Cormack/Clarke/Büttcher formulation): here suppliers ranked by
+    * exact-integer revenue and by total quantity, fused and top-20'd.
+    * The reciprocal is carried as the scaled integer 10⁶ div (60+rank)
+    * so the fused score is exact BIGINT — no float ordering ties.
+    * Scale shape: the fact scan collapses to a DIM-cardinality
+    * aggregate (one row per supplier); the two rank windows run over
+    * that dim-sized table, where a single-partition window is the
+    * documented-OK shape (bounded by |suppliers|, not data — the
+    * GlobalRank offsets table precedent). At a fact-cardinality
+    * ranking, swap in GlobalRank.withRowNumber. */
+  private def rrfFuse(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val metrics = Tables.lineitem(s, d)
+      .groupBy($"l_suppkey")
+      .agg(
+        sum(($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long")
+          * (lit(100L) - ($"l_discount".cast("decimal(4,2)") * 100)
+            .cast("long"))).as("rev_units"),
+        sum(($"l_quantity".cast("decimal(18,2)") * 100).cast("long"))
+          .as("qty_cents"))
+    metrics
+      .withColumn("rank_rev", row_number()
+        .over(W.orderBy($"rev_units".desc, $"l_suppkey".asc)).cast("long"))
+      .withColumn("rank_qty", row_number()
+        .over(W.orderBy($"qty_cents".desc, $"l_suppkey".asc)).cast("long"))
+      .select($"l_suppkey", $"rank_rev", $"rank_qty",
+        (expr("1000000L div (60 + rank_rev)") +
+          expr("1000000L div (60 + rank_qty)")).as("rrf_e6"))
+      .orderBy($"rrf_e6".desc, $"l_suppkey".asc)
+      .limit(20)
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_eval_rrf", rrfFuse, Some("""
+      WITH m AS (SELECT l_suppkey,
+                        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                      * 100 AS BIGINT)
+                          * (100 - CAST(CAST(l_discount AS DECIMAL(4,2))
+                                        * 100 AS BIGINT))) AS BIGINT)
+                          AS rev_units,
+                        CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                                      * 100 AS BIGINT)) AS BIGINT)
+                          AS qty_cents
+                 FROM lineitem GROUP BY 1),
+      r AS (SELECT l_suppkey,
+                   CAST(row_number() OVER (ORDER BY rev_units DESC,
+                     l_suppkey ASC) AS BIGINT) AS rank_rev,
+                   CAST(row_number() OVER (ORDER BY qty_cents DESC,
+                     l_suppkey ASC) AS BIGINT) AS rank_qty
+            FROM m)
+      SELECT l_suppkey, rank_rev, rank_qty,
+             CAST(1000000 // (60 + rank_rev)
+                  + 1000000 // (60 + rank_qty) AS BIGINT) AS rrf_e6
+      FROM r ORDER BY rrf_e6 DESC, l_suppkey ASC LIMIT 20""")),
+
     Q("q_eval_confusion", confusion, Some("""
       WITH j AS (SELECT length(text) >= 200 AS pred,
                         doc_id % 3 <> 0 AS gold

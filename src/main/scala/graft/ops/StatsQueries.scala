@@ -696,6 +696,77 @@ object StatsQueries {
         max($"n_ref" * $"n_cur").as("ks_den"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample drift test per
+    * event type — the rank-based companion to [[ksTest]]: KS is
+    * sensitive to any ECDF gap, U specifically to stochastic
+    * dominance (one sample tending larger). Same reference/current
+    * split (event-id parity), same cent-grid snap. The whole
+    * statistic is carried in integers: for a tie group of g values
+    * whose predecessors total p, each member's midrank is
+    * p + (g+1)/2, so 2·midrank = 2p + g + 1 stays integral, and the
+    * emitted pair (u2_ref = 2·U_ref, u2_den = 2·n_ref·n_cur) is the
+    * exact rational U/(n_ref·n_cur) — the common-language effect
+    * size / AUC. Shape: per-(type,value) pre-aggregate collapses
+    * ties BEFORE the cumulative window (walks distinct values, not
+    * rows), then a |types|-row rollup — two exchanges at any scale. */
+  private def mannWhitney(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val cum = W.partitionBy($"event_type").orderBy($"cents".asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    Tables.events(s, d)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        ($"event_id" % 2 === 0).as("is_ref"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"cents")
+      .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("r"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("c"))
+      .withColumn("cum_all", sum($"r" + $"c").over(cum))
+      .withColumn("prev", $"cum_all" - $"r" - $"c")
+      .groupBy($"event_type")
+      .agg(sum($"r").as("n_ref"), sum($"c").as("n_cur"),
+        sum($"r" * (lit(2L) * $"prev" + $"r" + $"c" + lit(1L)))
+          .as("w2_ref"))
+      .select($"event_type", $"n_ref", $"n_cur",
+        ($"w2_ref" - $"n_ref" * ($"n_ref" + lit(1L))).as("u2_ref"),
+        (lit(2L) * $"n_ref" * $"n_cur").as("u2_den"))
+  }
+
+  /** How many daily observations the binary-decay EWMA looks back. */
+  val EwmaWindow = 16
+
+  /** Exponentially-weighted moving average of daily event volume with
+    * a BINARY decay (α = 1/2) — chosen so the whole smoother stays in
+    * exact integer arithmetic: over the last [[EwmaWindow]] daily
+    * cent-totals (oldest→newest) the left fold acc·2 + x yields
+    * Σ xᵢ·2^(k-1-i) and the denominator is 2^k − 1, an exact rational
+    * EWMA with zero float drift across engines (the KS/U convention:
+    * emit numerator and denominator, plus the integer-division cents
+    * value for readability). The fold-over-collected-frame trick
+    * works because both engines fold ordered window frames
+    * identically when the init contributes zero. One exchange (the
+    * daily rollup); the window walks calendar days, not events. */
+  private def ewmaBinary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val win = W.partitionBy($"event_type").orderBy($"day".asc)
+      .rowsBetween(-(EwmaWindow - 1), 0)
+    Tables.events(s, d)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("day_cents"))
+      .withColumn("lastk", collect_list($"day_cents").over(win))
+      .select($"event_type", $"day", $"day_cents",
+        size($"lastk").cast("long").as("n_window"),
+        aggregate($"lastk", lit(0L), (acc, x) => acc * 2 + x)
+          .as("ewma_num"),
+        (expr(s"shiftleft(1L, size(lastk))") - lit(1L)).as("ewma_den"))
+      .withColumn("ewma_cents", expr("ewma_num div ewma_den"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_outlier_iqr", outlierIqr, Some("""
       WITH f AS (SELECT event_type,
@@ -851,6 +922,61 @@ object StatsQueries {
                AS ks_num,
              CAST(max(n_ref * n_cur) AS BIGINT) AS ks_den
       FROM cum GROUP BY 1""")),
+
+    Q("q_mann_whitney", mannWhitney, Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents,
+                        event_id % 2 = 0 AS is_ref
+                 FROM events
+                 WHERE value IS NOT NULL),
+      g AS (SELECT event_type, cents,
+                   CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                     AS BIGINT) AS r,
+                   CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c
+            FROM e GROUP BY 1, 2),
+      cum AS (SELECT event_type, r, c,
+                     CAST(sum(r + c) OVER (PARTITION BY event_type
+                       ORDER BY cents ASC ROWS UNBOUNDED PRECEDING)
+                       - r - c AS BIGINT) AS prev
+              FROM g),
+      agg AS (SELECT event_type,
+                     CAST(sum(r) AS BIGINT) AS n_ref,
+                     CAST(sum(c) AS BIGINT) AS n_cur,
+                     CAST(sum(r * (2 * prev + r + c + 1)) AS BIGINT)
+                       AS w2_ref
+              FROM cum GROUP BY 1)
+      SELECT event_type, n_ref, n_cur,
+             CAST(w2_ref - n_ref * (n_ref + 1) AS BIGINT) AS u2_ref,
+             CAST(2 * n_ref * n_cur AS BIGINT) AS u2_den
+      FROM agg""")),
+
+    Q("q_ewma_binary", ewmaBinary, Some(s"""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents
+                 FROM events
+                 WHERE value IS NOT NULL),
+      dly AS (SELECT event_type, day,
+                     CAST(sum(cents) AS BIGINT) AS day_cents
+              FROM e GROUP BY 1, 2),
+      w AS (SELECT event_type, day, day_cents,
+                   list(day_cents) OVER (PARTITION BY event_type
+                     ORDER BY day ASC
+                     ROWS BETWEEN ${EwmaWindow - 1} PRECEDING
+                       AND CURRENT ROW) AS lastk
+            FROM dly)
+      SELECT event_type, day, day_cents,
+             CAST(len(lastk) AS BIGINT) AS n_window,
+             CAST(list_reduce(lastk, (acc, x) -> acc * 2 + x) AS BIGINT)
+               AS ewma_num,
+             CAST((CAST(1 AS BIGINT) << len(lastk)) - 1 AS BIGINT)
+               AS ewma_den,
+             CAST(list_reduce(lastk, (acc, x) -> acc * 2 + x)
+               // ((CAST(1 AS BIGINT) << len(lastk)) - 1) AS BIGINT)
+               AS ewma_cents
+      FROM w""")),
 
     Q("q_psi_drift", psiDrift, Some("""
       WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx

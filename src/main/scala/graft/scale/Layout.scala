@@ -86,8 +86,64 @@ object Layout {
         min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
   }
 
+  /** Number of output shards for [[shardPack]]. */
+  val NShards = 8
+
+  /** Balanced shard packing — the loader-facing layout step of every
+    * pretraining run: documents must split into N shards whose TOKEN
+    * totals (not doc counts) are near-equal, or the slowest shard
+    * gates every data-parallel epoch. Greedy LPT packing is inherently
+    * sequential; the scalable static approximation is SERPENTINE
+    * (boustrophedon) assignment — rank docs by weight descending and
+    * deal them N-at-a-time, reversing direction each pass, so each
+    * pass adds its heaviest doc to the previously-lightest shard.
+    * The global rank uses [[graft.ext.GlobalRank]] (range-partition +
+    * broadcast offsets), never a single-partition sort; everything
+    * after the rank is one integer expression and an N-row rollup.
+    * Emits the per-shard manifest a loader would consume. */
+  private def shardPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weighted = Tables.documents(s, d)
+      .select($"doc_id",
+        size(split(lower($"text"), "\\s+")).cast("long").as("n_tok"))
+      // rank heaviest-first as an ASCENDING sort on the negated weight
+      // so GlobalRank takes its deterministic quantile-literal path
+      // (a desc SortOrder would force the range-exchange fallback)
+      .withColumn("neg_tok", -$"n_tok")
+    val ranked = graft.ext.GlobalRank.withRowNumber(
+      weighted, Seq($"neg_tok", $"doc_id"))
+    ranked
+      .withColumn("pass", expr(s"(rn - 1) div $NShards"))
+      .withColumn("pos", (($"rn" - 1) % NShards).cast("long"))
+      .withColumn("shard",
+        when($"pass" % 2 === 0, $"pos").otherwise(lit(NShards - 1) - $"pos"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("shard_tokens"),
+        min($"n_tok").as("min_tok"), max($"n_tok").as("max_tok"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_zorder_layout", zorderLayout, Some(zorderOracle)),
+
+    Q("q_shard_pack", shardPack, Some(s"""
+      WITH w AS (SELECT doc_id,
+                        CAST(len(string_split_regex(lower(text), '\\s+'))
+                          AS BIGINT) AS n_tok
+                 FROM documents),
+      r AS (SELECT doc_id, n_tok,
+                   row_number() OVER (ORDER BY n_tok DESC, doc_id ASC)
+                     AS rn
+            FROM w),
+      a AS (SELECT n_tok,
+                   CASE WHEN ((rn - 1) // $NShards) % 2 = 0
+                        THEN (rn - 1) % $NShards
+                        ELSE ${NShards - 1} - ((rn - 1) % $NShards)
+                   END AS shard
+            FROM r)
+      SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+             min(n_tok) AS min_tok, max(n_tok) AS max_tok
+      FROM a GROUP BY 1""")),
 
     Q("q_compaction_plan", compactionPlan, Some(s"""
       WITH f AS (SELECT lang, doc_id,

@@ -112,4 +112,25 @@ class EvalSpec extends AnyFunSuite {
         (r.getAs[Double]("obs_rate") - mp)) < 1e-12)
     }
   }
+
+  test("q_eval_rrf: fused scores rebuild from the two rank columns and " +
+      "every ranker's top-1 survives the fusion cut") {
+    val got = SparkEntry.queries("q_eval_rrf")(spark, sf).collect()
+    val nSupp = Tables.lineitem(spark, sf)
+      .select($"l_suppkey").distinct().count()
+    assert(got.length === math.min(20L, nSupp))
+    got.foreach { r =>
+      val (rr, rq) = (r.getAs[Long]("rank_rev"), r.getAs[Long]("rank_qty"))
+      assert(r.getAs[Long]("rrf_e6") ===
+        1000000L / (60L + rr) + 1000000L / (60L + rq))
+    }
+    // a doc ranked #1 by either ranker scores ≥ 1e6/61 + 1e6/(60+n)
+    // which beats any doc outside both top-~n lists — top-1s must be
+    // in the fused top-20
+    assert(got.exists(_.getAs[Long]("rank_rev") === 1L))
+    assert(got.exists(_.getAs[Long]("rank_qty") === 1L))
+    // fused order is non-increasing in rrf_e6
+    val scores = got.map(_.getAs[Long]("rrf_e6"))
+    assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)))
+  }
 }

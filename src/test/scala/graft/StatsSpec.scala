@@ -308,4 +308,66 @@ class StatsSpec extends AnyFunSuite {
       assert(num >= 0L && num <= den)
     }
   }
+
+  test("q_mann_whitney matches an exact midrank recompute and the " +
+      "U_ref + U_cur identity") {
+    val got = SparkEntry.queries("q_mann_whitney")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Long]("u2_ref"), r.getAs[Long]("u2_den"))).toMap
+    val raw = Tables.events(spark, sf)
+      .select($"event_type", ($"value".cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"), ($"event_id" % 2 === 0).as("is_ref"))
+      .filter($"cents".isNotNull)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val want = raw.groupBy(_._1).map { case (typ, rows) =>
+      val all = rows.map(_._2).sorted
+      // 2×midrank of value v = 2·(#strictly below) + (#ties) + 1
+      def midrank2(v: Long): Long =
+        2L * all.count(_ < v) + all.count(_ == v) + 1
+      val refs = rows.filter(_._3).map(_._2)
+      val (nR, nC) = (refs.length.toLong, (rows.length - refs.length).toLong)
+      val w2 = refs.map(midrank2).sum
+      typ -> ((nR, nC, w2 - nR * (nR + 1), 2L * nR * nC))
+    }
+    assert(got === want)
+    // U_ref + U_cur = n_ref·n_cur ⇒ 0 ≤ u2_ref ≤ u2_den
+    got.values.foreach { case (_, _, u2, den) =>
+      assert(u2 >= 0L && u2 <= den)
+    }
+  }
+
+  test("q_ewma_binary: exact binary-decay fold, denominator 2^n - 1, " +
+      "and day-one passthrough") {
+    val got = SparkEntry.queries("q_ewma_binary")(spark, sf).cache()
+    // denominator is always 2^n_window − 1 and num/den stays within
+    // the window's min..max daily total (a weighted mean must)
+    assert(got.filter(
+      $"ewma_den" =!= expr("shiftleft(1L, cast(n_window as int)) - 1L"))
+      .count() === 0)
+    // brute recompute of the fold per (type, day)
+    val daily = Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day").agg(sum($"cents").as("day_cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val byType = daily.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(t => t._2 -> t._3)).toMap
+    val want = byType.flatMap { case (typ, series) =>
+      series.indices.map { i =>
+        val lastK = series.slice(math.max(0, i - ops.StatsQueries.EwmaWindow + 1),
+          i + 1).map(_._2)
+        val num = lastK.foldLeft(0L)((acc, x) => acc * 2 + x)
+        (typ, series(i)._1) -> num
+      }
+    }
+    val gotNums = got.collect().map(r =>
+      (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString)
+        -> r.getAs[Long]("ewma_num")).toMap
+    assert(gotNums === want)
+    got.unpersist()
+  }
 }

@@ -109,4 +109,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(got(101L)._1.startsWith("nav bar here"))
     assert((102L to 130L).forall(got(_)._2 === 0L))
   }
+
+  test("shardPack: covers every doc, near-equal doc counts, and token " +
+      "imbalance bounded by the heaviest document") {
+    val shards = graft.SparkEntry.queries("q_shard_pack")(spark, sf)
+      .collect()
+    assert(shards.length === Layout.NShards)
+    val nDocs = shards.map(_.getAs[Long]("n_docs"))
+    assert(nDocs.sum === Tables.documents(spark, sf).count())
+    // serpentine dealing leaves doc counts within 1 of each other
+    assert(nDocs.max - nDocs.min <= 1)
+    // serpentine (LPT-flavored) balance: the spread between the
+    // heaviest and lightest shard cannot exceed the single heaviest
+    // document (each N-doc pass adds its largest doc to the shard
+    // the previous pass loaded least)
+    val toks = shards.map(_.getAs[Long]("shard_tokens"))
+    val maxDoc = shards.map(_.getAs[Long]("max_tok")).max
+    assert(toks.max - toks.min <= maxDoc,
+      s"imbalance ${toks.max - toks.min} exceeds heaviest doc $maxDoc")
+  }
 }
