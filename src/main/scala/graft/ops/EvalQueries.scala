@@ -185,6 +185,40 @@ object EvalQueries {
         ($"dcg_e6".cast("double") / $"idcg_e6").as("ndcg_micro"))
   }
 
+  /** Precision@k / Recall@k (k = 10) — the cutoff-based companion to
+    * [[mrr]]/[[ndcg]]: per (event_type, day) ranking of the day's
+    * events by spend, a hit is a relevant event (user_id % 3 ≠ 0)
+    * inside the top 10. The per-ranker rollup carries exact integer
+    * cells (query count, hits inside the cutoff, total relevant) and
+    * derives the two micro-averaged ratios with one divide each —
+    * precision over the fixed k·queries budget, recall over all
+    * relevant. Same pre-agg-below-window shape as the rest of the eval
+    * battery: one rank window, a per-day aggregate, a |types|-row
+    * rollup — two exchanges at any scale. */
+  private def prAtK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type", $"day")
+      .orderBy($"cents".desc, $"event_id".asc)
+    Tables.events(s, d)
+      .select($"event_type", $"ts".cast("date").as("day"), $"event_id",
+        when($"user_id" % 3 =!= 0, 1L).otherwise(0L).as("rel"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("rnk", row_number().over(wRank))
+      .groupBy($"event_type", $"day")
+      .agg(sum(when($"rnk" <= 10, $"rel").otherwise(0L)).as("tp"),
+        sum($"rel").as("day_rel"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_queries"),
+        sum($"tp").as("tp_at_10"),
+        sum($"day_rel").as("n_rel"))
+      .select($"event_type", $"n_queries", $"tp_at_10", $"n_rel",
+        ($"tp_at_10".cast("double") / ($"n_queries" * 10).cast("double"))
+          .as("precision_at_10"),
+        ($"tp_at_10".cast("double") / $"n_rel".cast("double"))
+          .as("recall_at_10"))
+  }
+
   /** Calibration (reliability) table — the per-bin comparison of a
     * classifier's claimed confidence against observed frequency that
     * decides whether its scores are usable as sampling weights. The
@@ -397,6 +431,29 @@ object EvalQueries {
              CAST(sum_p100 AS DOUBLE) / (100 * n) AS mean_pred,
              CAST(n_pos AS DOUBLE) / n AS obs_rate,
              CAST(100 * n_pos - sum_p100 AS DOUBLE) / (100 * n) AS gap
-      FROM b"""))
+      FROM b""")),
+
+    Q("q_eval_pr_at_k", prAtK, Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, event_id,
+                        CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END
+                          AS rel,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events),
+      r AS (SELECT event_type, day, rel,
+                   row_number() OVER (PARTITION BY event_type, day
+                     ORDER BY cents DESC, event_id ASC) AS rnk
+            FROM e),
+      q AS (SELECT event_type, day,
+                   sum(CASE WHEN rnk <= 10 THEN rel ELSE 0 END) AS tp,
+                   sum(rel) AS day_rel
+            FROM r GROUP BY 1, 2)
+      SELECT event_type, count(*) AS n_queries,
+             CAST(sum(tp) AS BIGINT) AS tp_at_10,
+             CAST(sum(day_rel) AS BIGINT) AS n_rel,
+             CAST(sum(tp) AS DOUBLE) / (count(*) * 10)
+               AS precision_at_10,
+             CAST(sum(tp) AS DOUBLE) / sum(day_rel) AS recall_at_10
+      FROM q GROUP BY 1"""))
   )
 }

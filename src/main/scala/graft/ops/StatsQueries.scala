@@ -767,6 +767,58 @@ object StatsQueries {
       .withColumn("ewma_cents", expr("ewma_num div ewma_den"))
   }
 
+  /** Rolling window size (days) for [[rollingCorr]]. */
+  val RollCorrWindow = 7
+
+  /** Rolling inter-series correlation — the co-movement monitor
+    * between every PAIR of event-type daily-revenue series: a 7-day
+    * rolling Pearson correlation per (type_a, type_b) pair, the
+    * leading-indicator / decoupling detector that complements
+    * [[corrMoments]] (global, between columns of one row) with a
+    * time-LOCAL statistic between two SERIES. All five moment sums
+    * (Σx, Σy, Σxy, Σx², Σy²) are exact integer cents over the
+    * ordered frame; only the final num/√(vx·vy) runs in double — on
+    * integer inputs that are bit-identical in both engines, with each
+    * variance cast to double BEFORE the product (vx·vy overflows
+    * int64 at real daily volumes). Shape: one groupBy(type, day)
+    * pre-aggregate (map-side combinable), a day-equi self-join that
+    * fans the DAY-cardinality table to its 10 type pairs, then a
+    * window PARTITIONED BY PAIR — parallel across pairs, and the
+    * frame walks days, not events (the q_eval_auc lesson), so the
+    * window input is ~365 rows per pair-year at ANY event volume. */
+  private def rollingCorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val win = W.partitionBy($"type_a", $"type_b").orderBy($"day".asc)
+      .rowsBetween(-(RollCorrWindow - 1), 0)
+    val daily = Tables.events(s, d)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("day_cents"))
+    val a = daily.select($"event_type".as("type_a"), $"day",
+      $"day_cents".as("x"))
+    val b = daily.select($"event_type".as("type_b"), $"day",
+      $"day_cents".as("y"))
+    a.join(b, Seq("day")).filter($"type_a" < $"type_b")
+      .select($"type_a", $"type_b", $"day", $"x", $"y",
+        count(lit(1)).over(win).as("n_w"),
+        sum($"x").over(win).as("sx"),
+        sum($"y").over(win).as("sy"),
+        sum($"x" * $"y").over(win).as("sxy"),
+        sum($"x" * $"x").over(win).as("sxx"),
+        sum($"y" * $"y").over(win).as("syy"))
+      .select($"type_a", $"type_b", $"day", $"x", $"y", $"n_w",
+        ($"n_w" * $"sxy" - $"sx" * $"sy").as("num"),
+        ($"n_w" * $"sxx" - $"sx" * $"sx").as("vx"),
+        ($"n_w" * $"syy" - $"sy" * $"sy").as("vy"))
+      .withColumn("corr",
+        when($"vx" > 0 && $"vy" > 0,
+          round($"num".cast("double") /
+            sqrt($"vx".cast("double") * $"vy".cast("double")), 6)))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_outlier_iqr", outlierIqr, Some("""
       WITH f AS (SELECT event_type,
@@ -1271,6 +1323,41 @@ object StatsQueries {
              round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
                AS raw_total,
              round(CAST(sum(term) AS DOUBLE), 4) AS decayed_total
-      FROM t GROUP BY 1"""))
+      FROM t GROUP BY 1""")),
+
+    Q("q_rolling_corr", rollingCorr, Some(s"""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) AS day_cents
+                     FROM events WHERE value IS NOT NULL
+                     GROUP BY 1, 2),
+      pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       a.day, a.day_cents AS x, b.day_cents AS y
+                FROM daily a JOIN daily b ON a.day = b.day
+                WHERE a.event_type < b.event_type),
+      w AS (SELECT type_a, type_b, day, x, y,
+                   count(*) OVER win AS n_w,
+                   sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+                   sum(x * y) OVER win AS sxy,
+                   sum(x * x) OVER win AS sxx,
+                   sum(y * y) OVER win AS syy
+            FROM pairs
+            WINDOW win AS (PARTITION BY type_a, type_b
+                           ORDER BY day ASC
+                           ROWS BETWEEN ${RollCorrWindow - 1} PRECEDING
+                             AND CURRENT ROW)),
+      m AS (SELECT type_a, type_b, day, x, y, n_w,
+                   n_w * sxy - sx * sy AS num,
+                   n_w * sxx - sx * sx AS vx,
+                   n_w * syy - sy * sy AS vy
+            FROM w)
+      SELECT type_a, type_b, day, x, y, n_w,
+             CAST(num AS BIGINT) AS num, CAST(vx AS BIGINT) AS vx,
+             CAST(vy AS BIGINT) AS vy,
+             CASE WHEN vx > 0 AND vy > 0
+                  THEN round(CAST(num AS DOUBLE) /
+                    sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6)
+             END AS corr
+      FROM m"""))
   )
 }

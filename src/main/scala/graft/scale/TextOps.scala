@@ -1169,6 +1169,72 @@ object TextOps {
           x => x.getField("id").cast("string")), " ").as("ids"))
   }
 
+  /** Fill-in-the-middle (FIM) transform — the PSM-format rearrangement
+    * (Bavarian et al., arXiv:2207.14255) that turns a causal-LM corpus
+    * into an infilling corpus: each document's token stream splits at
+    * two cut points into prefix/middle/suffix and is re-emitted as
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M`, so the model
+    * learns to generate the middle conditioned on both sides. The cut
+    * points derive from two independent Knuth-hash mixes of doc_id —
+    * uniform over the valid splits yet exactly replayable by the
+    * oracle, the same determinism move as q_hash_split /
+    * q_span_corrupt. Documents under two tokens pass through with an
+    * empty middle and suffix. The reassembly is one flatten +
+    * array_join over slices (empty slices vanish, so the separator
+    * never doubles). Pure scan-stage lambda expressions over the token
+    * array — no shuffle, rides the corpus scan at any scale. */
+  private def fimTransform(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = tokens($"text")
+    val nn = size(t).cast("long")
+    val h1 = ($"doc_id" * 2654435761L) % 4294967296L
+    val h2 = ($"doc_id" * 2246822519L) % 4294967296L
+    Tables.documents(s, d)
+      .withColumn("n", nn)
+      .withColumn("a", when($"n" >= 2, h1 % ($"n" - 1) + 1).otherwise($"n"))
+      .withColumn("b",
+        when($"n" >= 2, $"a" + 1 + h2 % ($"n" - $"a")).otherwise($"n"))
+      .select(
+        $"doc_id",
+        $"n".as("n_tokens"),
+        $"a".as("n_prefix"),
+        ($"b" - $"a").as("n_middle"),
+        ($"n" - $"b").as("n_suffix"),
+        array_join(flatten(array(
+          array(lit("<fim_prefix>")),
+          slice(t, lit(1), $"a".cast("int")),
+          array(lit("<fim_suffix>")),
+          slice(t, ($"b" + 1).cast("int"), ($"n" - $"b").cast("int")),
+          array(lit("<fim_middle>")),
+          slice(t, ($"a" + 1).cast("int"), ($"b" - $"a").cast("int")))),
+          " ").as("fim"))
+  }
+
+  /** Padding-efficiency audit — the batch-assembly cost model for
+    * fixed-length training: for each candidate bucket granularity
+    * (64/128/256/512 tokens) every document pads up to the next
+    * multiple, and the audit reports corpus-wide padded volume plus
+    * the waste fraction in 1e4 units. This is the measurement that
+    * picks a sequence-packing strategy (compare [[seqPack]], which
+    * eliminates the waste by packing, and q_shard_pack, which balances
+    * it across shards). Exact integer arithmetic end to end; the
+    * explode is over a 4-element literal array, so the plan is one
+    * corpus scan + a 4-row rollup at any scale. */
+  private def padWaste(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(size(tokens($"text")).cast("long").as("nt"),
+        explode(array(lit(64L), lit(128L), lit(256L), lit(512L)))
+          .as("bucket"))
+      .withColumn("padded", expr("((nt + bucket - 1) div bucket) * bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"nt").as("n_tokens"),
+        sum($"padded").as("n_padded"))
+      .withColumn("waste_e4",
+        expr("((n_padded - n_tokens) * 10000) div n_padded"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_text_token_count", tokenCount, Some("""
       SELECT doc_id,
@@ -1684,6 +1750,46 @@ object TextOps {
              CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_oov,
              array_to_string(list(id ORDER BY pos), ' ') AS ids
-      FROM enc GROUP BY 1"""))
+      FROM enc GROUP BY 1""")),
+
+    Q("q_fim_transform", fimTransform, Some("""
+      WITH tk AS (SELECT doc_id,
+                         string_split_regex(lower(text), '\s+') AS toks
+                  FROM documents),
+      c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+                   (doc_id * 2654435761) % 4294967296 AS h1,
+                   (doc_id * 2246822519) % 4294967296 AS h2
+            FROM tk),
+      cut1 AS (SELECT doc_id, toks, n, h2,
+                      CASE WHEN n >= 2 THEN h1 % (n - 1) + 1
+                           ELSE n END AS a
+               FROM c),
+      cut2 AS (SELECT doc_id, toks, n, a,
+                      CASE WHEN n >= 2 THEN a + 1 + h2 % (n - a)
+                           ELSE n END AS b
+               FROM cut1)
+      SELECT doc_id, n AS n_tokens, CAST(a AS BIGINT) AS n_prefix,
+             CAST(b - a AS BIGINT) AS n_middle,
+             CAST(n - b AS BIGINT) AS n_suffix,
+             array_to_string(flatten([
+               ['<fim_prefix>'], toks[1:a],
+               ['<fim_suffix>'], toks[b+1:n],
+               ['<fim_middle>'], toks[a+1:b]]), ' ') AS fim
+      FROM cut2""")),
+
+    Q("q_pad_waste", padWaste, Some("""
+      WITH t AS (SELECT CAST(len(string_split_regex(lower(text), '\s+'))
+                          AS BIGINT) AS nt
+                 FROM documents),
+      x AS (SELECT nt, unnest([64, 128, 256, 512]) AS bucket FROM t),
+      p AS (SELECT CAST(bucket AS BIGINT) AS bucket, nt,
+                   ((nt + bucket - 1) // bucket) * bucket AS padded
+            FROM x)
+      SELECT bucket, count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(sum(padded) AS BIGINT) AS n_padded,
+             CAST((sum(padded) - sum(nt)) * 10000 // sum(padded)
+               AS BIGINT) AS waste_e4
+      FROM p GROUP BY 1"""))
   )
 }

@@ -133,4 +133,35 @@ class EvalSpec extends AnyFunSuite {
     val scores = got.map(_.getAs[Long]("rrf_e6"))
     assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)))
   }
+
+  test("q_eval_pr_at_k matches a brute per-day rank recompute and the " +
+      "ratios stay in range") {
+    val got = SparkEntry.queries("q_eval_pr_at_k")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_queries"), r.getAs[Long]("tp_at_10"),
+          r.getAs[Long]("n_rel"), r.getAs[Double]("precision_at_10"),
+          r.getAs[Double]("recall_at_10"))).toMap
+    val raw = Tables.events(spark, sf)
+      .select($"event_type", $"ts".cast("date").cast("string").as("day"),
+        $"event_id", ($"user_id" % 3 =!= 0).as("rel"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3),
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))
+    val want = raw.groupBy(_._1).map { case (typ, rows) =>
+      val days = rows.groupBy(_._2)
+      val tp = days.values.map { evs =>
+        evs.sortBy(e => (-e._5, e._3)).take(10).count(_._4).toLong
+      }.sum
+      val nRel = rows.count(_._4).toLong
+      typ -> ((days.size.toLong, tp, nRel))
+    }
+    assert(got.view.mapValues(v => (v._1, v._2, v._3)).toMap === want)
+    got.values.foreach { case (nq, tp, nRel, p, r) =>
+      assert(tp <= 10 * nq && tp <= nRel)
+      assert(p === tp.toDouble / (nq * 10) && p >= 0.0 && p <= 1.0)
+      assert(r === tp.toDouble / nRel && r >= 0.0 && r <= 1.0)
+    }
+  }
 }

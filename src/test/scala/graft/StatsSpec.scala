@@ -338,6 +338,68 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_rolling_corr matches a brute windowed-moment recompute and " +
+      "correlations stay in [-1, 1]") {
+    val got = SparkEntry.queries("q_rolling_corr")(spark, sf).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"),
+        r.getAs[java.sql.Date]("day").toString) ->
+        (r.getAs[Long]("n_w"), r.getAs[Long]("num"), r.getAs[Long]("vx"),
+          r.getAs[Long]("vy"),
+          if (r.isNullAt(r.fieldIndex("corr"))) None
+          else Some(r.getAs[Double]("corr")))).toMap
+    // all 10 unordered type pairs appear
+    assert(got.keys.map(k => (k._1, k._2)).toSet.size === 10)
+    // brute: daily totals -> per-pair day-sorted series -> 7-row frames
+    val daily = Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day").agg(sum($"cents").as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val byType = daily.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val types = byType.keys.toSeq.sorted
+    val want = (for {
+      ta <- types; tb <- types if ta < tb
+      days = (byType(ta).keySet intersect byType(tb).keySet).toSeq.sorted
+      (day, i) <- days.zipWithIndex
+    } yield {
+      val frame = days.slice(math.max(0, i - 6), i + 1)
+      val xs = frame.map(byType(ta))
+      val ys = frame.map(byType(tb))
+      val n = frame.length.toLong
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val (sxx, syy) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum)
+      val (num, vx, vy) = (n * sxy - sx * sy, n * sxx - sx * sx,
+        n * syy - sy * sy)
+      val corr = if (vx > 0 && vy > 0)
+        Some(num.toDouble / math.sqrt(vx.toDouble * vy.toDouble))
+      else None
+      (ta, tb, day) -> ((n, num, vx, vy, corr))
+    }).toMap
+    // exact integer moments cell-for-cell
+    assert(got.view.mapValues(v => (v._1, v._2, v._3, v._4)).toMap ===
+      want.view.mapValues(v => (v._1, v._2, v._3, v._4)).toMap)
+    // the rounded correlation sits within half an ulp-of-rounding of
+    // the brute ratio (round(·,6) is decimal HALF_UP; rint is not)
+    want.foreach { case (k, (_, _, _, _, wc)) =>
+      val gc = got(k)._5
+      assert(gc.isDefined === wc.isDefined, s"corr nullability at $k")
+      (gc, wc) match {
+        case (Some(g), Some(w)) =>
+          assert(math.abs(g - w) <= 5e-7, s"corr at $k: $g vs $w")
+        case _ => ()
+      }
+    }
+    got.values.foreach { case (nw, _, vx, vy, corr) =>
+      assert(nw >= 1 && nw <= ops.StatsQueries.RollCorrWindow)
+      assert(vx >= 0 && vy >= 0, "window variance terms are nonnegative")
+      corr.foreach(c => assert(c >= -1.0 && c <= 1.0))
+    }
+  }
+
   test("q_ewma_binary: exact binary-decay fold, denominator 2^n - 1, " +
       "and day-one passthrough") {
     val got = SparkEntry.queries("q_ewma_binary")(spark, sf).cache()

@@ -550,6 +550,64 @@ class ScaleSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("fim transform: split counts account exactly and P+M+S restores " +
+      "the original token stream") {
+    val out = SparkEntry.queries("q_fim_transform")(spark, sf).cache()
+    // the three segments partition the document; multi-token docs get
+    // a non-empty prefix AND middle (the cut-point ranges guarantee it)
+    val bad = out.filter(
+      $"n_prefix" + $"n_middle" + $"n_suffix" =!= $"n_tokens" ||
+        ($"n_tokens" >= 2 &&
+          ($"n_prefix" < 1 || $"n_middle" < 1 ||
+            $"n_prefix" > $"n_tokens" - 1))).count()
+    assert(bad === 0)
+    // PSM parse: prefix ++ middle ++ suffix rebuilds the original
+    val restored = out.select($"doc_id", $"fim").collect().map { r =>
+      val f = r.getAs[String]("fim")
+      assert(f.startsWith("<fim_prefix>"))
+      val ps = f.indexOf(" <fim_suffix>")
+      val ms = f.indexOf(" <fim_middle>")
+      assert(ps >= 0 && ms > ps)
+      val prefix = f.substring("<fim_prefix>".length, ps).trim
+      val suffix = f.substring(ps + " <fim_suffix>".length, ms).trim
+      val middle = f.substring(ms + " <fim_middle>".length).trim
+      r.getAs[Long]("doc_id") ->
+        Seq(prefix, middle, suffix).filter(_.nonEmpty).mkString(" ")
+    }.toMap
+    val originals = Tables.documents(spark, sf)
+      .select($"doc_id", array_join(TextOps.tokens($"text"), " ").as("o"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("o"))
+      .toMap
+    assert(restored === originals)
+    out.unpersist()
+  }
+
+  test("pad waste: every bucket covers all docs, padding is the exact " +
+      "round-up, and waste grows with bucket size") {
+    val out = SparkEntry.queries("q_pad_waste")(spark, sf).cache()
+    val rows = out.collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_padded"), r.getAs[Long]("waste_e4"))).toMap
+    assert(rows.keySet === Set(64L, 128L, 256L, 512L))
+    val nDocs = Tables.documents(spark, sf).count()
+    val lens = Tables.documents(spark, sf)
+      .select(size(TextOps.tokens($"text")).cast("long").as("n"))
+      .as[Long].collect()
+    rows.foreach { case (b, (nd, nt, np, we4)) =>
+      assert(nd === nDocs)
+      assert(nt === lens.sum)
+      assert(np === lens.map(n => (n + b - 1) / b * b).sum,
+        s"bucket $b round-up mismatch")
+      assert(np % b === 0 && np >= nt)
+      assert(we4 === (np - nt) * 10000 / np && we4 >= 0 && we4 < 10000)
+    }
+    // coarser buckets can only pad more
+    val padded = Seq(64L, 128L, 256L, 512L).map(rows(_)._3)
+    assert(padded === padded.sorted)
+    out.unpersist()
+  }
+
   test("embed drift: cells partition the corpus and identical snapshots " +
       "would have zero drift") {
     val drift = SparkEntry.queries("q_embed_drift")(spark, sf).cache()
