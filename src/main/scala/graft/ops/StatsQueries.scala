@@ -819,6 +819,101 @@ object StatsQueries {
             sqrt($"vx".cast("double") * $"vy".cast("double")), 6)))
   }
 
+  /** Poisson-bootstrap replicate count for [[bootstrapCi]]. */
+  val BootstrapReplicates = 32
+
+  /** Poisson bootstrap confidence band — THE bootstrap that works on
+    * distributed data: classical resampling needs the global row count
+    * up front and a shared random state, but for large n the
+    * multinomial resample weight of each row converges to Poisson(1),
+    * which is a PER-ROW independent draw. Each row therefore fans out
+    * to [[BootstrapReplicates]] (replicate, weight) pairs, the weight
+    * drawn by inverting the Poisson(1) CDF on a hash-derived uniform
+    * in 1e-5 grid units (36788 / 73576 / 91970 / 98101 / 99634 —
+    * ⌊1e5·CDF⌋, capped at 5) — deterministic, seedless, and exactly
+    * replayable by the oracle. Per (series, replicate) the weighted
+    * sum and weight-count collapse MAP-SIDE, so the shuffle carries
+    * |types|·B rows at any corpus size; the replicate means then rank
+    * inside a B-row window and the band is the 2nd-lowest/2nd-highest
+    * replicate mean (~94 % coverage at B = 32). All cells up to the
+    * final mean divides are exact integers. */
+  private def bootstrapCi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val b = BootstrapReplicates
+    val reps = Tables.events(s, d)
+      .select($"event_type", $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("u",
+        (($"event_id" + $"b" * 1000003L) * 2654435761L)
+          % 4294967296L % 100000L)
+      .withColumn("w",
+        when($"u" < 36788L, 0L).when($"u" < 73576L, 1L)
+          .when($"u" < 91970L, 2L).when($"u" < 98101L, 3L)
+          .when($"u" < 99634L, 4L).otherwise(5L))
+      .groupBy($"event_type", $"b")
+      .agg(sum($"w").as("n_w"), sum($"w" * $"cents").as("sum_wx"))
+      .withColumn("mean_b", $"sum_wx".cast("double") / $"n_w")
+    val lo = W.partitionBy($"event_type").orderBy($"mean_b".asc, $"b".asc)
+    val hi = W.partitionBy($"event_type").orderBy($"mean_b".desc, $"b".asc)
+    reps
+      .withColumn("r_lo", row_number().over(lo))
+      .withColumn("r_hi", row_number().over(hi))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("long").as("n_replicates"),
+        sum($"n_w").as("sum_w_all"),
+        max(when($"r_lo" === 2, $"mean_b")).as("ci_lo"),
+        max(when($"r_hi" === 2, $"mean_b")).as("ci_hi"))
+  }
+
+  /** Event-time disorder profile — the watermark-sizing measurement
+    * for the streaming side of the house: per (event_type, user_id)
+    * stream, replaying events in ARRIVAL order (event_id), how far
+    * behind the stream's running event-time high-water mark does each
+    * event land? `delayThresholdMs` on withWatermark is exactly a bet
+    * on this distribution's tail, and mapGroupsWithState keys state by
+    * the same (type, user) granularity this profiles. Lateness is
+    * exact integer microseconds binned into operational buckets
+    * (on-time / ≤1 s / ≤1 min / ≤10 min / beyond); the rollup emits
+    * per-type bucket counts plus the max observed lateness. One
+    * window PARTITIONED BY (type, user) — user-cardinality
+    * parallelism, never a per-type megapartition — then a map-side
+    * combinable bucket aggregate.
+    *
+    * Library form over ANY stream shaped (event_type, user_id,
+    * event_id, ts_us): the catalog binding profiles the events
+    * corpus — which it certifies as fully in-order (every row lands
+    * in `0_on_time`; that "no watermark needed" answer IS the
+    * operational signal) — while StatsSpec feeds a constructed
+    * disordered stream to exercise every lateness bucket. */
+  def latenessProfileOn(events: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val arrival = W.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("event_id").asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    events
+      .withColumn("late_us",
+        max(col("ts_us")).over(arrival) - col("ts_us"))
+      .withColumn("bucket",
+        when(col("late_us") === 0L, "0_on_time")
+          .when(col("late_us") <= 1000000L, "1_le_1s")
+          .when(col("late_us") <= 60000000L, "2_le_1min")
+          .when(col("late_us") <= 600000000L, "3_le_10min")
+          .otherwise("4_beyond"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        max(col("late_us")).as("max_late_us"))
+  }
+
+  private def latenessProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    latenessProfileOn(Tables.events(s, d)
+      .select($"event_type", $"user_id", $"event_id",
+        unix_micros($"ts").as("ts_us")))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_outlier_iqr", outlierIqr, Some("""
       WITH f AS (SELECT event_type,
@@ -1358,6 +1453,61 @@ object StatsQueries {
                   THEN round(CAST(num AS DOUBLE) /
                     sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6)
              END AS corr
-      FROM m"""))
+      FROM m""")),
+
+    Q("q_bootstrap_ci", bootstrapCi, Some(s"""
+      WITH e AS (SELECT event_type, event_id,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      x AS (SELECT event_type, event_id, cents,
+                   unnest(range(0, $BootstrapReplicates)) AS b
+            FROM e),
+      ww AS (SELECT event_type, b, cents,
+                    CASE WHEN u < 36788 THEN 0 WHEN u < 73576 THEN 1
+                         WHEN u < 91970 THEN 2 WHEN u < 98101 THEN 3
+                         WHEN u < 99634 THEN 4 ELSE 5 END AS w
+             FROM (SELECT event_type, b, cents,
+                          ((event_id + b * 1000003) * 2654435761)
+                            % 4294967296 % 100000 AS u
+                   FROM x)),
+      rep AS (SELECT event_type, b, sum(w) AS n_w,
+                     sum(w * cents) AS sum_wx
+              FROM ww GROUP BY 1, 2),
+      m AS (SELECT event_type, b, n_w,
+                   CAST(sum_wx AS DOUBLE) / n_w AS mean_b,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY CAST(sum_wx AS DOUBLE) / n_w ASC, b ASC)
+                     AS r_lo,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY CAST(sum_wx AS DOUBLE) / n_w DESC, b ASC)
+                     AS r_hi
+            FROM rep)
+      SELECT event_type, count(*) AS n_replicates,
+             CAST(sum(n_w) AS BIGINT) AS sum_w_all,
+             max(CASE WHEN r_lo = 2 THEN mean_b END) AS ci_lo,
+             max(CASE WHEN r_hi = 2 THEN mean_b END) AS ci_hi
+      FROM m GROUP BY 1""")),
+
+    Q("q_lateness_profile", latenessProfile, Some("""
+      WITH e AS (SELECT event_type, user_id, event_id,
+                        epoch_us(ts) AS ts_us
+                 FROM events),
+      w AS (SELECT event_type,
+                   max(ts_us) OVER (PARTITION BY event_type, user_id
+                     ORDER BY event_id ASC
+                     ROWS UNBOUNDED PRECEDING) - ts_us AS late_us
+            FROM e),
+      bkt AS (SELECT event_type,
+                     CASE WHEN late_us = 0 THEN '0_on_time'
+                          WHEN late_us <= 1000000 THEN '1_le_1s'
+                          WHEN late_us <= 60000000 THEN '2_le_1min'
+                          WHEN late_us <= 600000000 THEN '3_le_10min'
+                          ELSE '4_beyond' END AS bucket,
+                     late_us
+              FROM w)
+      SELECT event_type, bucket, count(*) AS n,
+             CAST(max(late_us) AS BIGINT) AS max_late_us
+      FROM bkt GROUP BY 1, 2"""))
   )
 }

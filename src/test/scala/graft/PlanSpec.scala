@@ -251,4 +251,22 @@ class PlanSpec extends AnyFunSuite {
     // key rather than add a fourth exchange
     assert(shuffles(q("q_ngram_novelty")) <= 3)
   }
+
+  test("round-9 additions keep their scale shapes") {
+    // FIM is pure scan-local slicing: NO shuffle
+    assert(shuffles(q("q_fim_transform")) === 0)
+    // pad waste: literal 4-way explode feeds one combinable aggregate
+    assert(shuffles(q("q_pad_waste")) === 1)
+    // precision@k: one rank-window exchange on (type, day) that the
+    // per-day aggregate reuses, then the per-type rollup
+    assert(shuffles(q("q_eval_pr_at_k")) === 2)
+    // lateness: one (type, user) window exchange + the bucket rollup
+    assert(shuffles(q("q_lateness_profile")) === 2)
+    // bootstrap: replicate aggregate on (type, b), whose type-prefix
+    // partitioning the two rank windows and final rollup must reuse
+    assert(shuffles(q("q_bootstrap_ci")) <= 3)
+    // rolling corr: day-totals agg, the pair self-join, one
+    // pair-partitioned window — never a per-event shuffle
+    assert(shuffles(q("q_rolling_corr")) <= 5)
+  }
 }

@@ -400,6 +400,109 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bootstrap_ci: band brackets the observed mean, replicate " +
+      "count is exact, and a replicate-0 recompute matches") {
+    val got = SparkEntry.queries("q_bootstrap_ci")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_replicates"), r.getAs[Long]("sum_w_all"),
+          r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))).toMap
+    assert(got.nonEmpty)
+    val b = ops.StatsQueries.BootstrapReplicates
+    val raw = Tables.events(spark, sf)
+      .select($"event_type", $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def weight(id: Long, rep: Long): Long = {
+      val u = ((id + rep * 1000003L) * 2654435761L) % 4294967296L % 100000L
+      if (u < 36788L) 0L else if (u < 73576L) 1L else if (u < 91970L) 2L
+      else if (u < 98101L) 3L else if (u < 99634L) 4L else 5L
+    }
+    raw.groupBy(_._1).foreach { case (typ, rows) =>
+      val (nr, sumW, lo, hi) = got(typ)
+      assert(nr === b.toLong)
+      assert(lo <= hi)
+      // the true mean sits inside the (wider) min..max replicate band,
+      // and a from-scratch fold of every replicate reproduces the
+      // 2nd-order statistics exactly
+      val means = (0 until b).map { rep =>
+        val ws = rows.map { case (_, id, c) => (weight(id, rep), c) }
+        val nw = ws.map(_._1).sum
+        ws.map { case (w, c) => w * c }.sum.toDouble / nw
+      }.sorted
+      assert(lo === means(1) && hi === means(b - 2))
+      val wantSumW = (0 until b).flatMap(rep =>
+        rows.map { case (_, id, _) => weight(id, rep) }).sum
+      assert(sumW === wantSumW)
+      val trueMean = rows.map(_._3).sum.toDouble / rows.length
+      assert(trueMean >= means.head && trueMean <= means.last,
+        s"$typ: observed mean outside the full replicate range")
+    }
+  }
+
+  test("q_lateness_profile: buckets partition every event and a brute " +
+      "per-user high-water-mark replay matches") {
+    val got = SparkEntry.queries("q_lateness_profile")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("bucket")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("max_late_us"))).toMap
+    val raw = Tables.events(spark, sf)
+      .select($"event_type", $"user_id", $"event_id",
+        unix_micros($"ts").as("ts_us"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def bucket(late: Long): String =
+      if (late == 0L) "0_on_time" else if (late <= 1000000L) "1_le_1s"
+      else if (late <= 60000000L) "2_le_1min"
+      else if (late <= 600000000L) "3_le_10min" else "4_beyond"
+    val want = raw.groupBy(t => (t._1, t._2)).toSeq.flatMap {
+      case ((typ, _), rows) =>
+        var hwm = Long.MinValue
+        rows.sortBy(_._3).map { case (_, _, _, ts) =>
+          hwm = math.max(hwm, ts)
+          (typ, bucket(hwm - ts), hwm - ts)
+        }
+    }.groupBy(t => (t._1, t._2)).view
+      .mapValues(v => (v.size.toLong, v.map(_._3).max)).toMap
+    assert(got === want)
+    assert(got.map(_._2._1).sum === raw.length.toLong,
+      "buckets partition the event table")
+    // the synthetic corpus is fully in-order, so the catalog binding
+    // certifies exactly that — every row in 0_on_time
+    assert(got.keys.map(_._2).toSet === Set("0_on_time"))
+  }
+
+  test("lateness profile: a constructed disordered stream exercises " +
+      "every bucket with exact boundary values") {
+    // per-user arrival sequences with known high-water-mark gaps,
+    // including both boundary sides of every bucket edge
+    val rows = Seq(
+      // user 1: hwm jumps to 100s, then late arrivals at each edge
+      ("a", 1L, 1L, 100000000L),            // on time (new hwm)
+      ("a", 1L, 2L, 100000000L - 1000000L), // exactly 1s late
+      ("a", 1L, 3L, 100000000L - 1000001L), // 1s+1us -> le_1min
+      ("a", 1L, 4L, 100000000L - 60000000L),  // exactly 1min
+      ("a", 1L, 5L, 40000000L),             // 60s+... -> le_1min edge
+      ("a", 1L, 6L, 100000000L),            // ties hwm: on time
+      // user 2 (same type): independent hwm — big disorder
+      ("a", 2L, 1L, 700000000L),
+      ("a", 2L, 2L, 700000000L - 600000000L),  // exactly 10min
+      ("a", 2L, 3L, 700000000L - 600000001L),  // beyond
+      // type b: strictly increasing, all on time
+      ("b", 3L, 1L, 1L), ("b", 3L, 2L, 2L))
+      .toDF("event_type", "user_id", "event_id", "ts_us")
+    val got = ops.StatsQueries.latenessProfileOn(rows).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("bucket")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("max_late_us"))).toMap
+    assert(got === Map(
+      ("a", "0_on_time") -> ((3L, 0L)),
+      ("a", "1_le_1s") -> ((1L, 1000000L)),
+      ("a", "2_le_1min") -> ((3L, 60000000L)),
+      ("a", "3_le_10min") -> ((1L, 600000000L)),
+      ("a", "4_beyond") -> ((1L, 600000001L)),
+      ("b", "0_on_time") -> ((2L, 0L))))
+  }
+
   test("q_ewma_binary: exact binary-decay fold, denominator 2^n - 1, " +
       "and day-one passthrough") {
     val got = SparkEntry.queries("q_ewma_binary")(spark, sf).cache()
