@@ -399,4 +399,48 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
     rm(new java.io.File(dir))
   }
+
+  test("q_lateness_profile's beyond-band predicts exactly the rows a " +
+      "5-minute watermark drops") {
+    // one event per micro-batch so the watermark tracks the arrival
+    // high-water mark row-by-row (wm before batch k = hwm<k − 5 min).
+    // Lateness values are either 0 (guaranteed kept) or 12 min —
+    // beyond delay + window width, guaranteed dropped — so the
+    // profile's bucket boundary IS the drop predictor, with no
+    // window-alignment slack in between.
+    val arrivals = Seq(        // (event_id = arrival order, ts minute)
+      ev(1, 60, 1, "click", 1.0),
+      ev(2, 61, 1, "click", 2.0),
+      ev(3, 49, 1, "click", 4.0),   // 12 min late -> 4_beyond
+      ev(4, 62, 1, "click", 8.0),
+      ev(5, 50, 1, "click", 16.0),  // 12 min late -> 4_beyond
+      ev(6, 90, 1, "click", 32.0))  // on time; closes the open windows
+    val in = MemoryStream[Event]
+    val q = tumblingCounts(in.toDF(), width = "1 minute",
+      lateness = "5 minutes").writeStream
+      .format("memory").queryName("parity_lateness")
+      .outputMode("append").start()
+    try arrivals.foreach { e =>
+      in.addData(e); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("parity_lateness").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3))).toSet
+    // the profile over the SAME arrival sequence
+    val profile = graft.ops.StatsQueries.latenessProfileOn(
+      arrivals.toDF().select($"event_type", $"user_id", $"event_id",
+        unix_micros($"ts").as("ts_us"))).collect()
+      .map(r => r.getAs[String]("bucket") -> r.getAs[Long]("n")).toMap
+    assert(profile === Map("0_on_time" -> 4L, "4_beyond" -> 2L))
+    // batch twin on the profile-predicted retained rows (the on-time
+    // ones), restricted to windows the final watermark (85) closed
+    val retained = arrivals.filter(e => Seq(1L, 2L, 4L, 6L).contains(e.event_id))
+    val batch = tumblingCounts(retained.toDF(), width = "1 minute",
+        lateness = "5 minutes")
+      .filter($"w_start" < lit(ts(85)))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === batch)
+    // and the two beyond-band rows are nowhere in the output
+    assert(!streamed.exists(t => t._3 == 4.0 || t._3 == 16.0))
+  }
 }
