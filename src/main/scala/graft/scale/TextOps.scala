@@ -1210,6 +1210,45 @@ object TextOps {
           " ").as("fim"))
   }
 
+  /** Language-ID confusion matrix — the eval loop closed over a real
+    * operator: [[langId]]'s prediction scored against the corpus's
+    * labeled `lang` column, emitting per-(label, predicted) cell
+    * counts and each cell's share of its label row in 1e4 units. The
+    * prediction is scan-stage; the matrix is |langs|²-bounded, so the
+    * only exchange is one combinable aggregate, and the label-share
+    * window walks those ≤36 rows. Both the Spark expression and the
+    * DuckDB replay are generated from [[langStopwords]], so oracle
+    * and engine can never drift. */
+  private def langConfusion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"lang".as("label"), langId($"text").as("pred"))
+      .groupBy($"label", $"pred")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("label_total",
+        sum($"n").over(Window.partitionBy($"label")))
+      .withColumn("share_e4", expr("n * 10000 div label_total"))
+  }
+
+  private def langConfusionOracle: String = {
+    val (hits, winner) = langIdSqlParts
+    s"""
+      WITH t AS (SELECT lang AS label,
+                        string_split_regex(lower(text), '\\s+') AS toks
+                 FROM documents),
+      h AS (SELECT label,
+               $hits
+            FROM t),
+      p AS (SELECT label, $winner AS pred FROM h),
+      c AS (SELECT label, pred, count(*) AS n FROM p GROUP BY 1, 2)
+      SELECT label, pred, n,
+             CAST(sum(n) OVER (PARTITION BY label) AS BIGINT)
+               AS label_total,
+             CAST(n * 10000 // sum(n) OVER (PARTITION BY label)
+               AS BIGINT) AS share_e4
+      FROM c"""
+  }
+
   /** Padding-efficiency audit — the batch-assembly cost model for
     * fixed-length training: for each candidate bucket granularity
     * (64/128/256/512 tokens) every document pads up to the next
@@ -1776,6 +1815,8 @@ object TextOps {
                ['<fim_suffix>'], toks[b+1:n],
                ['<fim_middle>'], toks[a+1:b]]), ' ') AS fim
       FROM cut2""")),
+
+    Q("q_lang_confusion", langConfusion, Some(langConfusionOracle)),
 
     Q("q_pad_waste", padWaste, Some("""
       WITH t AS (SELECT CAST(len(string_split_regex(lower(text), '\s+'))

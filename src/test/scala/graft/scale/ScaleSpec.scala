@@ -582,6 +582,32 @@ class ScaleSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("lang confusion: cells partition the corpus and rebuild from " +
+      "the per-doc langid query") {
+    val got = SparkEntry.queries("q_lang_confusion")(spark, sf).cache()
+    assert(got.agg(sum($"n")).head().getLong(0) ===
+      Tables.documents(spark, sf).count())
+    // cell counts are exactly the per-doc prediction rollup
+    val want = SparkEntry.queries("q_text_langid")(spark, sf)
+      .groupBy($"lang".as("label"), $"lang_pred".as("pred"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cells = got.collect()
+      .map(r => (r.getAs[String]("label"), r.getAs[String]("pred")) ->
+        r.getAs[Long]("n")).toMap
+    assert(cells === want)
+    // per-label shares sum to ~1 (integer floor leaves < |cells| e4)
+    got.collect().groupBy(_.getAs[String]("label")).foreach {
+      case (label, rs) =>
+        val tot = rs.map(_.getAs[Long]("share_e4")).sum
+        assert(tot <= 10000L && tot > 10000L - rs.length,
+          s"label $label shares sum to $tot")
+        rs.foreach(r => assert(r.getAs[Long]("label_total") ===
+          rs.map(_.getAs[Long]("n")).sum))
+    }
+    got.unpersist()
+  }
+
   test("pad waste: every bucket covers all docs, padding is the exact " +
       "round-up, and waste grows with bucket size") {
     val out = SparkEntry.queries("q_pad_waste")(spark, sf).cache()
