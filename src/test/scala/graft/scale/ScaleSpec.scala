@@ -280,6 +280,32 @@ class ScaleSpec extends AnyFunSuite {
       .map(_.getString(0)).forall(langs.contains))
   }
 
+  test("native LangIdExpr == interpreted langId on the whole corpus " +
+      "and on adversarial edge rows") {
+    val corpus = Tables.documents(spark, sf)
+      .select(TextOps.langId($"text").as("native"),
+        TextOps.langIdInterpreted($"text").as("interp"))
+    assert(corpus.filter($"native" =!= $"interp").count() === 0)
+    // edge rows: empty, whitespace-only, ties (shared es/fr words),
+    // mixed case, every ASCII whitespace separator, zh hits, no hits
+    val edges = Seq(
+      "", "   ", "\t\n\f\r", "de la un que", "DE LA UN QUE",
+      "the\tund\nelle\fde\r的", "xyzzy plugh", "und und und",
+      "the der el le 的", "  leading and trailing  ",
+      "the the the der der die das und ist nicht ein")
+      .toDF("text")
+      .select($"text", TextOps.langId($"text").as("native"),
+        TextOps.langIdInterpreted($"text").as("interp"))
+      .collect()
+    edges.foreach(r => assert(r.getString(1) === r.getString(2),
+      s"mismatch on ${r.getString(0).replace("\n", "\\n")}: " +
+        s"${r.getString(1)} vs ${r.getString(2)}"))
+    // shared-word credit: "de la un que" hits es AND fr 4× each —
+    // first-declared (es) wins
+    assert(edges.find(_.getString(0) == "de la un que")
+      .get.getString(1) === "es")
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val df = Seq(
       ("a b c", "a b c"), ("a b c", "c b a"))
