@@ -74,6 +74,29 @@ object TextOps {
   def langId(text: Column): Column =
     graft.ext.LangIdExpr.langId(text, langStopwords)
 
+  /** Reference formulation of [[graft.ext.TextStatsExpr]]'s six cells
+    * via split + higher-order aggregate/filter + bigram transform +
+    * array_distinct — identical values (ScaleSpec parity over the
+    * corpus plus edge rows), interpreted execution. The Gopher/quality
+    * oracles replay THIS shape, so the parity test anchors the native
+    * kernel to them. */
+  def textStatsInterpreted(text: Column): Column = {
+    val t = tokens(text)
+    val nTok = size(t)
+    val bigrams = when(nTok < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nTok - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+    struct(
+      nTok.cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct_tokens"),
+      aggregate(t, lit(0L), (acc, w) => acc + length(w))
+        .as("sum_char_len"),
+      size(filter(t, w => w.isInCollection(langStopwords.head._2)))
+        .cast("long").as("en_sw_hits"),
+      size(bigrams).cast("long").as("n_bigrams"),
+      size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"))
+  }
+
   /** Reference formulation via split + per-language higher-order
     * filters + a reduceLeft struct chain — identical values (ScaleSpec
     * parity over the corpus plus edge rows), interpreted execution.
@@ -299,23 +322,25 @@ object TextOps {
     * All pure scan-stage expressions; `keep` is the conjunction. */
   private def gopherRules(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val t = tokens($"text")
-    val nTok = size(t)
-    val meanWLen = aggregate(t, lit(0L), (acc, w) => acc + length(w))
-      .cast("double") / greatest(nTok.cast("double"), lit(1.0))
-    val swHits = size(filter(t, w => w.isInCollection(langStopwords.head._2)))
-    val bigrams = when(nTok < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), nTok - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-    val dupFrac = when(size(bigrams) === 0, lit(0.0))
-      .otherwise(lit(1.0) - size(array_distinct(bigrams)).cast("double") /
-        size(bigrams).cast("double"))
-    Tables.documents(s, d).select(
-      $"doc_id",
-      (nTok >= 20 && nTok <= 100000).as("r_word_count"),
-      (meanWLen >= 3.0 && meanWLen <= 10.0).as("r_mean_word_len"),
-      (swHits >= 2).as("r_stopwords"),
-      (round(dupFrac, 4) <= 0.2).as("r_dup_bigrams"))
+    // all rule inputs come from the single-pass codegen kernel
+    // (graft.ext.TextStatsExpr): the interpreted HOF formulation this
+    // replaced re-walked the token array four times per row and timed
+    // 14.9 s at sf0.1 — see textStatsInterpreted (the parity model)
+    val nTok = $"st.n_tokens"
+    val meanWLen = $"st.sum_char_len".cast("double") /
+      greatest(nTok.cast("double"), lit(1.0))
+    val dupFrac = when($"st.n_bigrams" === 0L, lit(0.0))
+      .otherwise(lit(1.0) - $"st.n_distinct_bigrams".cast("double") /
+        $"st.n_bigrams".cast("double"))
+    Tables.documents(s, d)
+      .withColumn("st",
+        graft.ext.TextStatsExpr.textStats($"text", langStopwords.head._2))
+      .select(
+        $"doc_id",
+        (nTok >= 20 && nTok <= 100000).as("r_word_count"),
+        (meanWLen >= 3.0 && meanWLen <= 10.0).as("r_mean_word_len"),
+        ($"st.en_sw_hits" >= 2).as("r_stopwords"),
+        (round(dupFrac, 4) <= 0.2).as("r_dup_bigrams"))
       .withColumn("keep",
         $"r_word_count" && $"r_mean_word_len" && $"r_stopwords" &&
           $"r_dup_bigrams")
@@ -336,25 +361,26 @@ object TextOps {
     * no shuffle, no UDF, stays in whole-stage codegen. */
   private def qualityClassifier(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val t = tokens($"text")
-    val nTok = size(t)
-    val nTokD = greatest(nTok.cast("double"), lit(1.0))
+    // features off the same single-pass kernel as gopherRules; the
+    // exact-integer cells convert to double identically to the
+    // interpreted formulation, so the fixed-order margin chain (and
+    // its floor/compare) is bit-identical — parity in ScaleSpec
+    val nTokD = greatest($"st.n_tokens".cast("double"), lit(1.0))
     val lenScore = least(length($"text").cast("double") / lit(500.0), lit(1.0))
-    val diversity = size(array_distinct(t)).cast("double") / nTokD
-    val swRatio = size(filter(t, w => w.isInCollection(langStopwords.head._2)))
-      .cast("double") / nTokD
-    val bigrams = when(nTok < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), nTok - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-    val dupFrac = when(size(bigrams) === 0, lit(0.0))
-      .otherwise(lit(1.0) - size(array_distinct(bigrams)).cast("double") /
-        size(bigrams).cast("double"))
+    val diversity = $"st.n_distinct_tokens".cast("double") / nTokD
+    val swRatio = $"st.en_sw_hits".cast("double") / nTokD
+    val dupFrac = when($"st.n_bigrams" === 0L, lit(0.0))
+      .otherwise(lit(1.0) - $"st.n_distinct_bigrams".cast("double") /
+        $"st.n_bigrams".cast("double"))
     val margin = lit(-1.5) + lit(1.0) * lenScore + lit(1.5) * diversity +
       lit(8.0) * swRatio - lit(4.0) * dupFrac
-    Tables.documents(s, d).select(
-      $"doc_id",
-      floor(margin * 1000000).as("score_e6"),
-      (margin > 0).as("keep"))
+    Tables.documents(s, d)
+      .withColumn("st",
+        graft.ext.TextStatsExpr.textStats($"text", langStopwords.head._2))
+      .select(
+        $"doc_id",
+        floor(margin * 1000000).as("score_e6"),
+        (margin > 0).as("keep"))
       .withColumn("score", $"score_e6".cast("double") / 1000000.0)
   }
 

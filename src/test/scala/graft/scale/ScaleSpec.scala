@@ -306,6 +306,31 @@ class ScaleSpec extends AnyFunSuite {
       .get.getString(1) === "es")
   }
 
+  test("native TextStatsExpr == interpreted six-cell recompute on the " +
+      "whole corpus and on split-quirk edge rows") {
+    val en = TextOps.langStopwords.head._2
+    def both(df: org.apache.spark.sql.DataFrame) = df
+      .select(graft.ext.TextStatsExpr.textStats($"text", en).as("native"),
+        TextOps.textStatsInterpreted($"text").as("interp"))
+    assert(both(Tables.documents(spark, sf))
+      .filter($"native" =!= $"interp").count() === 0)
+    // split quirks: leading/trailing empties kept (limit −1), empty
+    // and whitespace-only docs, repeated bigrams, stopword case,
+    // multi-codepoint chars (length counts code points)
+    val edges = both(Seq(
+      "", " ", "   ", "  a b  ", "a", "a a a a", "the the of of",
+      "The THE tHe", "x\ty\nzw\fq\rr", "的 是 的 是 的",
+      "one two one two one two").toDF("text")).collect()
+    edges.foreach(r => assert(r.getStruct(0) === r.getStruct(1),
+      s"native ${r.getStruct(0)} vs interp ${r.getStruct(1)}"))
+    // spot-check absolute cells on the canonical quirk row:
+    // "  a b  " -> ["", "a", "b", ""]: 4 tokens, 3 distinct, len 2,
+    // 3 bigrams (" a", "a b", "b "), all distinct
+    val q = both(Seq("  a b  ").toDF("text")).head().getStruct(0)
+    assert(q.getLong(0) === 4L && q.getLong(1) === 3L &&
+      q.getLong(2) === 2L && q.getLong(4) === 3L && q.getLong(5) === 3L)
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val df = Seq(
       ("a b c", "a b c"), ("a b c", "c b a"))
