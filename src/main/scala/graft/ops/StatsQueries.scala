@@ -914,6 +914,58 @@ object StatsQueries {
         unix_micros($"ts").as("ts_us")))
   }
 
+  /** Time-to-event hazard table — the survival-analysis primitive
+    * behind conversion/churn/retention modelling, with censoring done
+    * RIGHT: each signup user either converts at their first
+    * on-or-after-signup purchase (event at day-offset t) or is
+    * censored at the observation end; a user whose only purchases
+    * precede signup is censored, not dropped. Per distinct event
+    * offset the table carries the exact integer risk set
+    * (n_total − everyone who exited strictly before t), conversions
+    * and censorings at t, and the discrete hazard n_conv/n_risk as a
+    * 1e6-unit integer — the Kaplan–Meier input cells without the
+    * cumulative product (a cross-engine float trap: Πᵢ(1−hᵢ) only
+    * replays via libm exp/ln, so the oracle-stable emit is the exact
+    * hazard column the curve derives from). Shape: two filtered
+    * per-user aggregates, a day-offset rollup, then windows that walk
+    * DISTINCT OFFSETS (≤ observation-span days, corpus-size
+    * independent — the q_eval_auc lesson); the one global scalar
+    * (observation end) is a 1-row broadcast cross join. */
+  private def conversionHazard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val signup = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("s_ts"))
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"))
+    val perUser = signup.join(purch, Seq("user_id"), "left")
+      .groupBy($"user_id", $"s_ts")
+      .agg(min(when($"p_ts" >= $"s_ts", $"p_ts")).as("c_ts"))
+    val obsEnd = ev.agg(max($"ts").as("end_ts"))
+    val byT = perUser.crossJoin(obsEnd)
+      .select(
+        when($"c_ts".isNotNull,
+          datediff($"c_ts".cast("date"), $"s_ts".cast("date")))
+          .otherwise(datediff($"end_ts".cast("date"), $"s_ts".cast("date")))
+          .cast("long").as("t"),
+        $"c_ts".isNotNull.as("converted"))
+      .groupBy($"t")
+      .agg(sum(when($"converted", 1L).otherwise(0L)).as("n_conv"),
+        sum(when(!$"converted", 1L).otherwise(0L)).as("n_cens"))
+    val before = W.orderBy($"t".asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val whole = W.orderBy($"t".asc)
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    byT
+      .withColumn("n_risk",
+        sum($"n_conv" + $"n_cens").over(whole) -
+          coalesce(sum($"n_conv" + $"n_cens").over(before), lit(0L)))
+      .filter($"n_conv" > 0)
+      .select($"t", $"n_risk", $"n_conv", $"n_cens",
+        expr("n_conv * 1000000 div n_risk").as("hazard_e6"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_outlier_iqr", outlierIqr, Some("""
       WITH f AS (SELECT event_type,
@@ -1508,6 +1560,44 @@ object StatsQueries {
               FROM w)
       SELECT event_type, bucket, count(*) AS n,
              CAST(max(late_us) AS BIGINT) AS max_late_us
-      FROM bkt GROUP BY 1, 2"""))
+      FROM bkt GROUP BY 1, 2""")),
+
+    Q("q_conversion_hazard", conversionHazard, Some("""
+      WITH su AS (SELECT user_id, min(ts) AS s_ts
+                  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      pu AS (SELECT user_id, ts AS p_ts
+             FROM events WHERE event_type = 'purchase'),
+      per_user AS (SELECT su.user_id, su.s_ts,
+                          min(CASE WHEN pu.p_ts >= su.s_ts
+                                   THEN pu.p_ts END) AS c_ts
+                   FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+                   GROUP BY 1, 2),
+      oe AS (SELECT max(ts) AS end_ts FROM events),
+      rows_t AS (SELECT CASE WHEN c_ts IS NOT NULL
+                             THEN date_diff('day', CAST(s_ts AS DATE),
+                                            CAST(c_ts AS DATE))
+                             ELSE date_diff('day', CAST(s_ts AS DATE),
+                                            CAST(end_ts AS DATE))
+                        END AS t,
+                        c_ts IS NOT NULL AS converted
+                 FROM per_user CROSS JOIN oe),
+      by_t AS (SELECT CAST(t AS BIGINT) AS t,
+                      sum(CASE WHEN converted THEN 1 ELSE 0 END)
+                        AS n_conv,
+                      sum(CASE WHEN converted THEN 0 ELSE 1 END)
+                        AS n_cens
+               FROM rows_t GROUP BY 1),
+      r AS (SELECT t, n_conv, n_cens,
+                   sum(n_conv + n_cens) OVER () -
+                     coalesce(sum(n_conv + n_cens) OVER (
+                       ORDER BY t ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n_risk
+            FROM by_t)
+      SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+             CAST(n_conv AS BIGINT) AS n_conv,
+             CAST(n_cens AS BIGINT) AS n_cens,
+             CAST(n_conv * 1000000 // n_risk AS BIGINT) AS hazard_e6
+      FROM r WHERE n_conv > 0"""))
   )
 }

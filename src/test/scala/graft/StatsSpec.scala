@@ -503,6 +503,60 @@ class StatsSpec extends AnyFunSuite {
       ("b", "0_on_time") -> ((2L, 0L))))
   }
 
+  test("q_conversion_hazard matches a brute per-user survival replay " +
+      "with correct censoring") {
+    val got = SparkEntry.queries("q_conversion_hazard")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("t") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("n_conv"),
+          r.getAs[Long]("n_cens"), r.getAs[Long]("hazard_e6"))).toMap
+    assert(got.nonEmpty)
+    // collect epoch micros + the Spark-side UTC date string so the
+    // brute never touches the JVM default timezone
+    val raw = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+        $"ts".cast("date").cast("string").as("day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        java.time.LocalDate.parse(r.getString(3))))
+    val endDay = raw.maxBy(_._3)._4
+    val byUser = raw.groupBy(_._1)
+    val exits = byUser.toSeq.flatMap { case (_, evs) =>
+      val signups = evs.filter(_._2 == "signup")
+      if (signups.isEmpty) None
+      else {
+        val s = signups.minBy(_._3)
+        val conv = evs.filter(e => e._2 == "purchase" && e._3 >= s._3)
+        if (conv.nonEmpty) {
+          val c = conv.minBy(_._3)
+          Some((java.time.temporal.ChronoUnit.DAYS.between(s._4, c._4),
+            true))
+        } else Some((java.time.temporal.ChronoUnit.DAYS.between(
+          s._4, endDay), false))
+      }
+    }
+    val n = exits.size.toLong
+    val want = exits.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (t, xs) =>
+        val exitedBefore = exits.count(_._1 < t).toLong
+        val nConv = xs.count(_._2).toLong
+        (t, n - exitedBefore, nConv, xs.count(!_._2).toLong,
+          if (nConv > 0) Some(nConv * 1000000L / (n - exitedBefore))
+          else None)
+    }.collect { case (t, risk, conv, cens, Some(h)) =>
+      t -> ((risk, conv, cens, h))
+    }.toMap
+    assert(got === want)
+    // risk sets are non-increasing in t and hazards are probabilities
+    val ts = got.keys.toSeq.sorted
+    ts.zip(ts.tail).foreach { case (a, b) =>
+      assert(got(a)._1 >= got(b)._1)
+    }
+    got.values.foreach { case (risk, conv, _, h) =>
+      assert(conv <= risk && h >= 0L && h <= 1000000L)
+    }
+  }
+
   test("q_ewma_binary: exact binary-decay fold, denominator 2^n - 1, " +
       "and day-one passthrough") {
     val got = SparkEntry.queries("q_ewma_binary")(spark, sf).cache()
