@@ -164,20 +164,26 @@ object GraphOps {
     * links two suppliers iff they appear in the same order) — the
     * clustering/community primitive of graph analytics. Edges are
     * id-ORIENTED (a < b), so each triangle is enumerated exactly once
-    * as a<b<c: wedge-join E(a,b)⋈E(b,c) then a semi-join probe for
-    * the closing edge E(a,c) — two equi-shuffles, never an all-pairs.
+    * as a<b<c; the counting strategy is gated on edge count (see
+    * [[triangleCountOn]]): adjacency-broadcast edge-iterator under the
+    * cap, wedge-join + closing-edge semi probe above it.
     * Per-order co-occurrence is bounded by the ~7-lineitem order size,
     * so the edge build is a small self-join inside each order group.
-    * At web scale the refinement is degree-ordering instead of
-    * id-ordering (orient edges low-degree → high-degree), which bounds
-    * the wedge fan-out by the arboricity — same plan shape, different
-    * orientation key; left id-ordered here because the oracle must
-    * replay the orientation exactly. */
+    * At web scale the wedge path's refinement is degree-ordering
+    * instead of id-ordering (orient edges low-degree → high-degree),
+    * which bounds the wedge fan-out by the arboricity — same plan
+    * shape, different orientation key; left id-ordered here because
+    * the oracle must replay the orientation exactly. */
+  /** Edge cap under which [[triangles]] broadcasts the
+    * higher-neighbor adjacency (~2·edges longs; 20 M edges ≈ 320 MB
+    * of build) — above it the wedge-join path runs instead. */
+  val TriangleAdjBroadcastEdgeCap = 20000000L
+
   private def triangles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // Four branches read the oriented edge list (both wedge sides, the
-    // closing-edge probe, the edge/node counts) — registry-cache it so
-    // the order-group self-join runs once, not once per branch.
+    // Several branches read the oriented edge list (the count path,
+    // the adjacency build, the node/edge counts) — registry-cache it
+    // so the order-group self-join runs once, not once per branch.
     val e = graft.GraftCaches.getOrPersist(s, s"graph.supplier_cooc:$d") {
       val so = Tables.lineitem(s, d)
         .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
@@ -186,17 +192,54 @@ object GraphOps {
         .select($"x.sk".as("a"), $"y.sk".as("b"))
         .distinct()
     }
-    val wedges = e.as("e1")
-      .join(e.as("e2"), $"e1.b" === $"e2.a")
-      .select($"e1.a".as("a"), $"e1.b".as("b"), $"e2.b".as("c"))
-    val tri = wedges.as("w").join(e.as("e3"),
-      $"w.a" === $"e3.a" && $"w.c" === $"e3.b", "left_semi")
+    // One count over the cached edges gates the strategy and folds
+    // the n_edges scalar into a literal (the pagerankOn move).
+    val nEdges = e.count()
     val nNodes = e.select($"a".as("n")).unionAll(e.select($"b".as("n")))
       .distinct().agg(count(lit(1)).as("n_nodes"))
-    tri.agg(count(lit(1)).as("n_triangles"))
-      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+    triangleCountOn(e, nEdges)
       .crossJoin(broadcast(nNodes))
-      .select($"n_nodes", $"n_edges", $"n_triangles")
+      .select($"n_nodes", lit(nEdges).as("n_edges"), $"n_triangles")
+  }
+
+  /** Library API: triangle count over an id-ORIENTED edge list
+    * (columns a < b), strategy-gated on edge count:
+    *
+    * At or below `adjBroadcastEdgeCap`, the EDGE-ITERATOR
+    * (compact-forward, Latapy 2008): triangles a<b<c are
+    * Σ over edges (a,b) of |N⁺(a) ∩ N⁺(b)| with N⁺ the
+    * higher-neighbor set — the node-cardinality adjacency broadcasts
+    * onto the never-moving edge list, so the wedge materialization
+    * the join formulation shuffles (125 M rows on the near-complete
+    * sf0.1 supplier graph) simply never exists. Measured
+    * 18.4 s → 2.1 s at sf0.1. A max node has no adjacency row; the
+    * inner join dropping its edges is exact (empty intersection).
+    *
+    * Above the cap — adjacency too big to broadcast — the
+    * two-equi-shuffle wedge join + closing-edge semi probe (never
+    * all-pairs). Both paths count identical triangles
+    * (GraphOpsSpec locks the equality). */
+  def triangleCountOn(e: DataFrame, nEdges: Long,
+      adjBroadcastEdgeCap: Long = TriangleAdjBroadcastEdgeCap): DataFrame = {
+    if (nEdges <= adjBroadcastEdgeCap) {
+      val adj = e.groupBy(col("a"))
+        .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+      e.join(broadcast(adj.select(col("a"), col("nbrs").as("na"))), Seq("a"))
+        .join(broadcast(adj.select(col("a").as("b"), col("nbrs").as("nb"))),
+          Seq("b"))
+        .select(size(array_intersect(col("na"), col("nb")))
+          .cast("long").as("c"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
+    } else {
+      val wedges = e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("a"), col("e1.b").as("b"),
+          col("e2.b").as("c"))
+      wedges.as("w").join(e.as("e3"),
+          col("w.a") === col("e3.a") && col("w.c") === col("e3.b"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+    }
   }
 
   /** HITS fixed-point grid: 1e6 is coarse enough that raw·Fp stays

@@ -93,7 +93,24 @@ class GraphOpsSpec extends AnyFunSuite {
     }.sum
     assert(row.getAs[Long]("n_edges") === edges.size.toLong)
     assert(row.getAs[Long]("n_triangles") === naive.toLong,
-      s"wedge-join count ${row.getAs[Long]("n_triangles")} != naive $naive")
+      s"triangle count ${row.getAs[Long]("n_triangles")} != naive $naive")
+  }
+
+  test("triangleCountOn: edge-iterator and wedge-join paths count " +
+      "identically (the strategy gate is a pure perf choice)") {
+    import spark.implicits._
+    val so = graft.Tables.lineitem(spark, sf)
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+    val e = so.as("x").join(so.as("y"), Seq("ok"))
+      .filter($"x.sk" < $"y.sk")
+      .select($"x.sk".as("a"), $"y.sk".as("b")).distinct().cache()
+    val n = e.count()
+    val viaAdj = GraphOps.triangleCountOn(e, n,
+      adjBroadcastEdgeCap = Long.MaxValue).head().getLong(0)
+    val viaWedge = GraphOps.triangleCountOn(e, n,
+      adjBroadcastEdgeCap = 0L).head().getLong(0)
+    assert(viaAdj === viaWedge)
+    e.unpersist()
   }
 
   test("hitsOn: directed star — hub is the only hub, leaves tie as " +
