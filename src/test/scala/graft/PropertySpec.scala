@@ -79,6 +79,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("codegen DotProductExpr ≡ interpreted zip_with/aggregate fold " +
+      "bit-for-bit (same ascending-index summation order)") {
+    val gen = Gen.listOfN(8,
+      Gen.chooseNum(-1e3, 1e3).map(x => math.rint(x * 1e6) / 1e6))
+    val pairs = samples(Gen.zip(gen, gen), 150)
+    val df = pairs.toDF("a", "b").select(
+      graft.ext.DotProductExpr.dotProduct($"a", $"b").as("native"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x).as("model"))
+      .collect()
+    // bit-identical, not approximately equal: both fold in index order
+    df.foreach(r => assert(java.lang.Double.doubleToLongBits(r.getDouble(0))
+      === java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
   test("codegen PolyHashExpr ≡ interpreted split/ascii fold (incl. unicode, empty)") {
     val gen = Gen.oneOf(
       Gen.alphaNumStr,
