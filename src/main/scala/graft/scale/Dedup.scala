@@ -520,10 +520,17 @@ object Dedup {
       .select(col("node"), col("node").as("nbr")))
     // The adjacency is re-read every round — persist it (session
     // registry) or the whole upstream pair pipeline re-executes
-    // `rounds` times.
+    // `rounds` times. Persist it PRE-PARTITIONED on the join key:
+    // InMemoryRelation reports its child's outputPartitioning, so
+    // every round's join reads the cached hash layout instead of
+    // re-exchanging the adjacency — `rounds` shuffles gone (and the
+    // label side arrives partitioned on node from the previous
+    // round's aggregate, so the per-round cost drops to ONE exchange:
+    // the min-label groupBy).
     val adj = cacheKey match {
-      case Some(k) => graft.GraftCaches.getOrPersist(spark, k)(adjRaw)
-      case None => adjRaw
+      case Some(k) => graft.GraftCaches.getOrPersist(spark, k)(
+        adjRaw.repartition(col("nbr")))
+      case None => adjRaw.repartition(col("nbr"))
     }
     var labels = adj.select(col("node")).distinct()
       .withColumn("label", col("node"))

@@ -1149,7 +1149,26 @@ object TextOps {
     * rides the same single-pass scan stage as normalization. */
   private def spanCorrupt(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val t = tokens($"text")
+    // single-pass codegen kernel (graft.ext.SpanCorruptExpr) — the
+    // interpreted two-transform formulation below is the parity model
+    // the oracle replays; it timed 4.5 s at sf0.1 vs ~0.3 s fused
+    Tables.documents(s, d)
+      .withColumn("sc", graft.ext.SpanCorruptExpr.spanCorrupt($"text"))
+      .select(
+        $"doc_id",
+        $"sc.n_spans".as("n_spans"),
+        ($"sc.n_tokens" - $"sc.n_spans").as("n_input_tokens"),
+        ($"sc.n_spans" * 3).as("n_target_tokens"),
+        $"sc.corrupted".as("corrupted"),
+        $"sc.target".as("target"))
+  }
+
+  /** Reference formulation of [[graft.ext.SpanCorruptExpr]] via two
+    * transform lambdas + flatten + array_join — identical values
+    * (ScaleSpec corpus parity), interpreted execution; the DuckDB
+    * oracle replays THIS shape. */
+  def spanCorruptInterpreted(text: Column): Column = {
+    val t = tokens(text)
     val n = size(t)
     val sentinel = (i: Column) =>
       concat(lit("<extra_id_"),
@@ -1164,11 +1183,9 @@ object TextOps {
         .otherwise(array().cast("array<string>")))
     val nSpans = size(filter(sequence(lit(1), n),
       i => i % 7 === 4 && i < n)).cast("long")
-    Tables.documents(s, d).select(
-      $"doc_id",
+    struct(
+      n.cast("long").as("n_tokens"),
       nSpans.as("n_spans"),
-      (n.cast("long") - nSpans).as("n_input_tokens"),
-      (nSpans * 3).as("n_target_tokens"),
       array_join(flatten(corrParts), " ").as("corrupted"),
       array_join(flatten(tgtParts), " ").as("target"))
   }

@@ -577,6 +577,25 @@ class ScaleSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("native SpanCorruptExpr == interpreted two-transform recompute " +
+      "on the whole corpus and on quirk edge rows") {
+    def both(df: org.apache.spark.sql.DataFrame) = df
+      .select(graft.ext.SpanCorruptExpr.spanCorrupt($"text").as("native"),
+        TextOps.spanCorruptInterpreted($"text").as("interp"))
+    assert(both(Tables.documents(spark, sf))
+      .filter($"native" =!= $"interp").count() === 0)
+    // edges: span at end of doc (no following token -> no span), doc
+    // shorter than first span position, empty tokens inside spans,
+    // exactly-at-boundary lengths (n = 4, 5, 11, 12)
+    val edges = both(Seq(
+      "", " ", "a b c", "a b c d", "a b c d e", "a b c d e f",
+      "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11",
+      "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12",
+      "  a b c d e  ", "w x  y z q").toDF("text")).collect()
+    edges.foreach(r => assert(r.getStruct(0) === r.getStruct(1),
+      s"native ${r.getStruct(0)} vs interp ${r.getStruct(1)}"))
+  }
+
   test("vocab encode: id sequences align with tokens and OOV counts " +
       "match the top-k complement") {
     val out = SparkEntry.queries("q_vocab_encode")(spark, sf).cache()
