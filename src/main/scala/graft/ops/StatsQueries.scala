@@ -966,6 +966,185 @@ object StatsQueries {
         expr("n_conv * 1000000 div n_risk").as("hazard_e6"))
   }
 
+  /** Nelson–Aalen cumulative-hazard curve over the same
+    * signup→purchase risk sets as [[conversionHazard]] — the CURVE
+    * the per-offset hazard table feeds: Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, plus
+    * its variance estimate Σ dᵢ/nᵢ². Chosen over Kaplan–Meier for
+    * the emit because NA is a SUM of exact rationals — carried as
+    * cumulative BIGINT e6/e9 fixed-point with zero float anywhere
+    * (KM's Π(1−dᵢ/nᵢ) only replays via libm exp/ln; a consumer gets
+    * S(t) = exp(−Ĥ(t)) to first order, or exactly from the hazard
+    * cells). Unlike the hazard table this keeps pure-censoring
+    * offsets (they shrink later risk sets and advance the curve's
+    * support). Integer headroom: dᵢ·10⁹ overflows int64 only past
+    * ~9·10⁹ same-day conversions — at that scale widen the two
+    * cumulated terms to DECIMAL(38,0); the shape (windows walking
+    * distinct day offsets, ≤ observation-span rows) is unchanged.
+    * Same scale story as the hazard table: two filtered per-user
+    * aggregates, a day-offset rollup, then O(span-days) windows. */
+  private def nelsonAalen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val signup = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("s_ts"))
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"))
+    val perUser = signup.join(purch, Seq("user_id"), "left")
+      .groupBy($"user_id", $"s_ts")
+      .agg(min(when($"p_ts" >= $"s_ts", $"p_ts")).as("c_ts"))
+    val obsEnd = ev.agg(max($"ts").as("end_ts"))
+    val byT = perUser.crossJoin(obsEnd)
+      .select(
+        when($"c_ts".isNotNull,
+          datediff($"c_ts".cast("date"), $"s_ts".cast("date")))
+          .otherwise(datediff($"end_ts".cast("date"), $"s_ts".cast("date")))
+          .cast("long").as("t"),
+        $"c_ts".isNotNull.as("converted"))
+      .groupBy($"t")
+      .agg(sum(when($"converted", 1L).otherwise(0L)).as("n_conv"),
+        sum(when(!$"converted", 1L).otherwise(0L)).as("n_cens"))
+    val before = W.orderBy($"t".asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val whole = W.orderBy($"t".asc)
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val running = W.orderBy($"t".asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    byT
+      .withColumn("n_risk",
+        sum($"n_conv" + $"n_cens").over(whole) -
+          coalesce(sum($"n_conv" + $"n_cens").over(before), lit(0L)))
+      .withColumn("na_e6",
+        sum(expr("n_conv * 1000000 div n_risk")).over(running))
+      .withColumn("na_var_e9",
+        sum(expr("n_conv * 1000000000 div (n_risk * n_risk)"))
+          .over(running))
+      .select($"t", $"n_risk", $"n_conv", $"n_cens",
+        $"na_e6", $"na_var_e9")
+  }
+
+  /** Benjamini–Hochberg step-up FDR control over a family of
+    * per-segment Welch z-tests — the multiple-comparisons gate every
+    * metrics sweep needs once it tests more than one segment: 5 event
+    * types × calendar weeks ≈ 25 simultaneous A/B tests (event-id
+    * parity split), each yielding a two-sided normal p-value, then
+    * one BH pass picks the largest k with p₍ᵢ₎ ≤ α·i/m and rejects
+    * ranks 1..k. Float discipline: the moment sums feeding each test
+    * are exact integer cents (Σx, Σx² per arm); the per-segment z and
+    * Φ(|z|) (Abramowitz–Stegun 26.2.17 polynomial — max abs error
+    * 7.5e-8) run in double on those identical integer inputs, and the
+    * resulting p is immediately pinned to BIGINT e6 units via
+    * floor(p·10⁶) (rule 4 — floor of a bit-identical double is exact
+    * in every engine), so the ENTIRE BH
+    * comparison chain is integer: reject cells satisfy
+    * p_e6·m ≤ α_e6·i with α_e6 = 50 000 (α = 0.05). Shape: one fact
+    * rollup to m segment rows, then O(m) windows — the test family is
+    * segment-cardinality, never row-cardinality. */
+  private def fdrBh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val seg = Tables.events(s, d)
+      .select($"event_type", weekofyear($"ts").as("week"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        ($"event_id" % 2 === 0).as("is_a"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"week")
+      .agg(
+        sum(when($"is_a", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"is_a", $"cents").otherwise(0L)).as("s_a"),
+        sum(when($"is_a", $"cents" * $"cents").otherwise(0L)).as("ss_a"),
+        sum(when(!$"is_a", 1L).otherwise(0L)).as("n_b"),
+        sum(when(!$"is_a", $"cents").otherwise(0L)).as("s_b"),
+        sum(when(!$"is_a", $"cents" * $"cents").otherwise(0L)).as("ss_b"))
+      .filter($"n_a" >= 2 && $"n_b" >= 2)
+    val z = seg
+      .withColumn("var_a",
+        (($"ss_a" - $"s_a".cast("double") * $"s_a" / $"n_a".cast("double"))
+          / ($"n_a" - 1).cast("double")))
+      .withColumn("var_b",
+        (($"ss_b" - $"s_b".cast("double") * $"s_b" / $"n_b".cast("double"))
+          / ($"n_b" - 1).cast("double")))
+      .withColumn("az", abs(
+        ($"s_a" / $"n_a".cast("double") - $"s_b" / $"n_b".cast("double"))
+          / sqrt($"var_a" / $"n_a" + $"var_b" / $"n_b")))
+    // Φ(|z|) via A&S 26.2.17: t = 1/(1+0.2316419|z|); the only
+    // libm call is exp(−z²/2); p is floored onto the 1e-6 integer
+    // grid the moment it exists and every comparison after is integer.
+    val p = z
+      .withColumn("tt", lit(1.0) / (lit(1.0) + lit(0.2316419) * $"az"))
+      .withColumn("phi",
+        exp(-$"az" * $"az" / 2.0) * lit(0.3989422804014327))
+      .withColumn("poly",
+        $"tt" * (lit(0.319381530)
+          + $"tt" * (lit(-0.356563782)
+            + $"tt" * (lit(1.781477937)
+              + $"tt" * (lit(-1.821255978)
+                + $"tt" * lit(1.330274429))))))
+      .withColumn("p_e6",
+        floor($"phi" * $"poly" * lit(2000000.0)).cast("long"))
+    val byP = W.orderBy($"p_e6".asc, $"event_type".asc, $"week".asc)
+    val whole = W.orderBy($"p_e6".asc, $"event_type".asc, $"week".asc)
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    p.select($"event_type", $"week", $"n_a", $"n_b", $"p_e6")
+      .withColumn("rank", row_number().over(byP).cast("long"))
+      .withColumn("m", count(lit(1)).over(whole))
+      .withColumn("k", max(when($"p_e6" * $"m" <= lit(50000L) * $"rank",
+        $"rank").otherwise(0L)).over(whole))
+      .select($"event_type", $"week", $"n_a", $"n_b", $"p_e6", $"rank",
+        ($"rank" <= $"k").as("rejected"))
+  }
+
+  /** Single change-point detection per event-type daily-revenue
+    * series — binary segmentation's first split: the day boundary k
+    * maximizing the between-segment sum of squares
+    * S_L²/n_L + S_R²/n_R (equivalently minimizing pooled SSE, since
+    * Σx² is split-invariant). The prefix sums S_k are exact integer
+    * cents over an O(days) window; each candidate's score is then
+    * per-row double math on those identical integers (IEEE +,*,/
+    * only — bit-identical in both engines), so the argmax and the
+    * emitted floor()ed gain replay exactly. Tie-break: earliest
+    * split day. Shape: fact table → per-(type,day) rollup (map-side
+    * combinable), then windows that walk CALENDAR DAYS per type —
+    * score evaluation is O(days²)-free (prefix sums make each
+    * candidate O(1)) and day-cardinality at any event volume. */
+  private def changepoint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val running = W.partitionBy($"event_type").orderBy($"day".asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val whole = W.partitionBy($"event_type")
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val daily = Tables.events(s, d)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("day_cents"))
+    val scored = daily
+      .withColumn("s_l", sum($"day_cents").over(running))
+      .withColumn("k", count(lit(1)).over(running))
+      .withColumn("s", sum($"day_cents").over(whole))
+      .withColumn("n", count(lit(1)).over(whole))
+      .filter($"k" < $"n")
+      .withColumn("score",
+        $"s_l".cast("double") * $"s_l" / $"k".cast("double")
+          + ($"s" - $"s_l").cast("double") * ($"s" - $"s_l")
+            / ($"n" - $"k").cast("double"))
+      .withColumn("gain_cents2",
+        floor($"score" - $"s".cast("double") * $"s" / $"n".cast("double"))
+          .cast("long"))
+    val best = W.partitionBy($"event_type")
+      .orderBy($"gain_cents2".desc, $"day".asc)
+    scored
+      .withColumn("rn", row_number().over(best))
+      .filter($"rn" === 1)
+      .select($"event_type", $"day".as("split_day"),
+        $"k".as("n_left"), ($"n" - $"k").as("n_right"),
+        expr("s_l div k").as("mean_left_cents"),
+        expr("(s - s_l) div (n - k)").as("mean_right_cents"),
+        $"gain_cents2")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_outlier_iqr", outlierIqr, Some("""
       WITH f AS (SELECT event_type,
@@ -1598,6 +1777,156 @@ object StatsQueries {
              CAST(n_conv AS BIGINT) AS n_conv,
              CAST(n_cens AS BIGINT) AS n_cens,
              CAST(n_conv * 1000000 // n_risk AS BIGINT) AS hazard_e6
-      FROM r WHERE n_conv > 0"""))
+      FROM r WHERE n_conv > 0""")),
+
+    Q("q_nelson_aalen", nelsonAalen, Some("""
+      WITH su AS (SELECT user_id, min(ts) AS s_ts
+                  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      pu AS (SELECT user_id, ts AS p_ts
+             FROM events WHERE event_type = 'purchase'),
+      per_user AS (SELECT su.user_id, su.s_ts,
+                          min(CASE WHEN pu.p_ts >= su.s_ts
+                                   THEN pu.p_ts END) AS c_ts
+                   FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+                   GROUP BY 1, 2),
+      oe AS (SELECT max(ts) AS end_ts FROM events),
+      rows_t AS (SELECT CASE WHEN c_ts IS NOT NULL
+                             THEN date_diff('day', CAST(s_ts AS DATE),
+                                            CAST(c_ts AS DATE))
+                             ELSE date_diff('day', CAST(s_ts AS DATE),
+                                            CAST(end_ts AS DATE))
+                        END AS t,
+                        c_ts IS NOT NULL AS converted
+                 FROM per_user CROSS JOIN oe),
+      by_t AS (SELECT CAST(t AS BIGINT) AS t,
+                      sum(CASE WHEN converted THEN 1 ELSE 0 END)
+                        AS n_conv,
+                      sum(CASE WHEN converted THEN 0 ELSE 1 END)
+                        AS n_cens
+               FROM rows_t GROUP BY 1),
+      r AS (SELECT t, n_conv, n_cens,
+                   sum(n_conv + n_cens) OVER () -
+                     coalesce(sum(n_conv + n_cens) OVER (
+                       ORDER BY t ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n_risk
+            FROM by_t)
+      SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+             CAST(n_conv AS BIGINT) AS n_conv,
+             CAST(n_cens AS BIGINT) AS n_cens,
+             CAST(sum(n_conv * 1000000 // n_risk) OVER (
+               ORDER BY t ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS na_e6,
+             CAST(sum(n_conv * 1000000000 // (n_risk * n_risk)) OVER (
+               ORDER BY t ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS na_var_e9
+      FROM r""")),
+
+    Q("q_fdr_bh", fdrBh, Some("""
+      WITH seg AS (
+        SELECT event_type, CAST(weekofyear(ts) AS INTEGER) AS week,
+               CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN event_id % 2 = 0 THEN cents
+                        ELSE 0 END) AS BIGINT) AS s_a,
+               CAST(sum(CASE WHEN event_id % 2 = 0 THEN cents * cents
+                        ELSE 0 END) AS BIGINT) AS ss_a,
+               CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN event_id % 2 <> 0 THEN cents
+                        ELSE 0 END) AS BIGINT) AS s_b,
+               CAST(sum(CASE WHEN event_id % 2 <> 0 THEN cents * cents
+                        ELSE 0 END) AS BIGINT) AS ss_b
+        FROM (SELECT event_type, ts, event_id,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+              FROM events WHERE value IS NOT NULL)
+        GROUP BY 1, 2
+        HAVING n_a >= 2 AND n_b >= 2),
+      z AS (
+        SELECT event_type, week, n_a, n_b,
+               abs((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                    - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt(
+                     ((ss_a - CAST(s_a AS DOUBLE) * s_a
+                         / CAST(n_a AS DOUBLE))
+                       / CAST(n_a - 1 AS DOUBLE)) / n_a
+                   + ((ss_b - CAST(s_b AS DOUBLE) * s_b
+                         / CAST(n_b AS DOUBLE))
+                       / CAST(n_b - 1 AS DOUBLE)) / n_b)) AS az
+        FROM seg),
+      p AS (
+        SELECT event_type, week, n_a, n_b,
+               CAST(floor(
+                 exp(-az * az / 2.0) * 0.3989422804014327
+                 * ((1.0 / (1.0 + 0.2316419 * az))
+                    * (0.319381530
+                       + (1.0 / (1.0 + 0.2316419 * az))
+                         * (-0.356563782
+                            + (1.0 / (1.0 + 0.2316419 * az))
+                              * (1.781477937
+                                 + (1.0 / (1.0 + 0.2316419 * az))
+                                   * (-1.821255978
+                                      + (1.0 / (1.0 + 0.2316419 * az))
+                                        * 1.330274429)))))
+                 * 2000000.0) AS BIGINT) AS p_e6
+        FROM z),
+      ranked AS (
+        SELECT event_type, week, n_a, n_b, p_e6,
+               CAST(row_number() OVER (
+                 ORDER BY p_e6 ASC, event_type ASC, week ASC)
+                 AS BIGINT) AS rank,
+               count(*) OVER () AS m
+        FROM p),
+      kk AS (
+        SELECT *, max(CASE WHEN p_e6 * m <= 50000 * rank
+                           THEN rank ELSE 0 END) OVER () AS k
+        FROM ranked)
+      SELECT event_type, week, n_a, n_b, p_e6, rank,
+             rank <= k AS rejected
+      FROM kk""")),
+
+    Q("q_changepoint", changepoint, Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS day_cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2),
+      pre AS (
+        SELECT event_type, day, day_cents,
+               sum(day_cents) OVER (PARTITION BY event_type
+                 ORDER BY day ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS s_l,
+               CAST(count(*) OVER (PARTITION BY event_type
+                 ORDER BY day ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS k,
+               sum(day_cents) OVER (PARTITION BY event_type) AS s,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS n
+        FROM daily),
+      scored AS (
+        SELECT event_type, day, k, n, s_l, s,
+               CAST(floor(
+                 CAST(s_l AS DOUBLE) * s_l / CAST(k AS DOUBLE)
+                 + CAST(s - s_l AS DOUBLE) * (s - s_l)
+                     / CAST(n - k AS DOUBLE)
+                 - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE))
+                 AS BIGINT) AS gain_cents2
+        FROM pre WHERE k < n),
+      best AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                 ORDER BY gain_cents2 DESC, day ASC) AS rn
+        FROM scored)
+      SELECT event_type, day AS split_day,
+             k AS n_left, n - k AS n_right,
+             CAST(s_l // k AS BIGINT) AS mean_left_cents,
+             CAST((s - s_l) // (n - k) AS BIGINT) AS mean_right_cents,
+             gain_cents2
+      FROM best WHERE rn = 1"""))
   )
 }

@@ -589,4 +589,131 @@ class StatsSpec extends AnyFunSuite {
     assert(gotNums === want)
     got.unpersist()
   }
+
+  test("q_nelson_aalen: cumulative sums of the hazard cells, keeps " +
+      "censoring-only offsets, curve monotone, risk sets decreasing") {
+    val na = SparkEntry.queries("q_nelson_aalen")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("t"))
+    assert(na.nonEmpty)
+    // the hazard table (independently spec'd) must be the subset of
+    // NA rows with conversions, cell for cell
+    val hz = SparkEntry.queries("q_conversion_hazard")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("t") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("n_conv"),
+          r.getAs[Long]("n_cens"))).toMap
+    val naConv = na.filter(_.getAs[Long]("n_conv") > 0)
+      .map(r => r.getAs[Long]("t") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("n_conv"),
+          r.getAs[Long]("n_cens"))).toMap
+    assert(naConv === hz)
+    // NA must also carry at least the censoring-only offsets (the
+    // observation-end bucket is always one)
+    assert(na.length >= hz.size)
+    // replay the two cumulative curves from the per-row cells
+    var cumNa = 0L
+    var cumVar = 0L
+    var prevRisk = Long.MaxValue
+    na.foreach { r =>
+      val risk = r.getAs[Long]("n_risk")
+      val conv = r.getAs[Long]("n_conv")
+      cumNa += conv * 1000000L / risk
+      cumVar += conv * 1000000000L / (risk * risk)
+      assert(r.getAs[Long]("na_e6") === cumNa)
+      assert(r.getAs[Long]("na_var_e9") === cumVar)
+      assert(risk <= prevRisk, "risk sets must be non-increasing")
+      prevRisk = risk
+    }
+  }
+
+  test("q_fdr_bh: p-values replay from exact moment sums, step-up " +
+      "rejection is downward closed at the BH threshold") {
+    val got = SparkEntry.queries("q_fdr_bh")(spark, sf).collect()
+    assert(got.length >= 10, "expected a real test family")
+    // brute: per (type, ISO week, arm) moments in exact cents
+    val raw = Tables.events(spark, sf)
+      .filter($"value".isNotNull)
+      .select($"event_type", weekofyear($"ts").as("week"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        ($"event_id" % 2 === 0).as("is_a"))
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getBoolean(3))))
+      .groupBy(_._1)
+    val wantP = raw.flatMap { case (k, xs) =>
+      val a = xs.filter(_._2._2).map(_._2._1)
+      val b = xs.filterNot(_._2._2).map(_._2._1)
+      if (a.length < 2 || b.length < 2) None
+      else {
+        val (na, nb) = (a.length.toDouble, b.length.toDouble)
+        val (sa, sb) = (a.sum, b.sum)
+        val (ssa, ssb) = (a.map(x => x * x).sum, b.map(x => x * x).sum)
+        val va = (ssa - sa.toDouble * sa / na) / (na - 1)
+        val vb = (ssb - sb.toDouble * sb / nb) / (nb - 1)
+        val az = math.abs((sa / na - sb / nb) / math.sqrt(va / na + vb / nb))
+        val t = 1.0 / (1.0 + 0.2316419 * az)
+        val phi = math.exp(-az * az / 2.0) * 0.3989422804014327
+        val poly = t * (0.319381530 + t * (-0.356563782 + t *
+          (1.781477937 + t * (-1.821255978 + t * 1.330274429))))
+        Some(k -> math.floor(phi * poly * 2000000.0).toLong)
+      }
+    }
+    val gotP = got.map(r => (r.getAs[String]("event_type"),
+      r.getAs[Int]("week")) -> r.getAs[Long]("p_e6")).toMap
+    assert(gotP === wantP)
+    // BH step-up: k = max rank with p_e6·m ≤ 50000·rank; rejection is
+    // exactly ranks 1..k (downward closed)
+    val m = got.length.toLong
+    val byRank = got.sortBy(_.getAs[Long]("rank"))
+    val k = byRank.filter(r => r.getAs[Long]("p_e6") * m <=
+      50000L * r.getAs[Long]("rank"))
+      .map(_.getAs[Long]("rank")).maxOption.getOrElse(0L)
+    byRank.foreach { r =>
+      assert(r.getAs[Boolean]("rejected") === (r.getAs[Long]("rank") <= k))
+    }
+    // ranks are a permutation of 1..m ordered by p
+    assert(byRank.map(_.getAs[Long]("rank")).toSeq === (1L to m))
+    assert(byRank.map(_.getAs[Long]("p_e6")).toSeq.sliding(2).forall(
+      s => s.length < 2 || s(0) <= s(1)))
+  }
+
+  test("q_changepoint: argmax over all splits of the exact " +
+      "between-segment sum of squares, earliest-day tiebreak") {
+    val got = SparkEntry.queries("q_changepoint")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[java.sql.Date]("split_day").toString,
+          r.getAs[Long]("n_left"), r.getAs[Long]("n_right"),
+          r.getAs[Long]("mean_left_cents"),
+          r.getAs[Long]("mean_right_cents"),
+          r.getAs[Long]("gain_cents2"))).toMap
+    assert(got.size === 5)
+    val daily = Tables.events(spark, sf)
+      .filter($"value".isNotNull)
+      .select($"event_type", to_date($"ts").cast("string").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val want = daily.map { case (ty, xs) =>
+      val byDay = xs.groupBy(_._2).map { case (d, ys) =>
+        d -> ys.map(_._3).sum
+      }.toSeq.sortBy(_._1)
+      val n = byDay.length.toLong
+      val s = byDay.map(_._2).sum
+      val cands = byDay.inits.toSeq.reverse.tail.init.map { prefix =>
+        val k = prefix.length.toLong
+        val sl = prefix.map(_._2).sum
+        val gain = sl.toDouble * sl / k +
+          (s - sl).toDouble * (s - sl) / (n - k) -
+          s.toDouble * s / n
+        (prefix.last._1, k, sl, math.floor(gain).toLong)
+      }
+      // deterministic earliest-day tiebreak: scan in day order
+      val bestGain = cands.map(_._4).max
+      val first = cands.find(_._4 == bestGain).get
+      ty -> ((first._1, first._2, n - first._2, first._3 / first._2,
+        (s - first._3) / (n - first._2), first._4))
+    }
+    want.foreach { case (ty, w) => assert(got(ty) === w, s"type $ty") }
+  }
 }
