@@ -442,6 +442,75 @@ object AdvancedQueries {
         min($"value").as("min_v"), max($"value").as("max_v"))
   }
 
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    * SQL-surface twin of q_window_top_per_group: for every region, the
+    * top-3 customers by account balance among that region's nations,
+    * expressed as `FROM region r, LATERAL (… WHERE n_regionkey =
+    * r.r_regionkey ORDER BY … LIMIT 3)`. Catalyst decorrelates the
+    * lateral into a join + per-group limit, so the N-per-group plan
+    * survives; the outer side here is the 5-row region dim (any plan
+    * is cheap), while at scale the same shape with a large outer
+    * should prefer the window-rank formulation — this entry exists to
+    * pin the LATERAL surface itself. acctbal is emitted untouched
+    * (no arithmetic → parquet-identical doubles in both engines). */
+  private def lateralTopk(s: SparkSession, d: String): DataFrame = {
+    Tables.region(s, d).createOrReplaceTempView("lt_region")
+    Tables.nation(s, d).createOrReplaceTempView("lt_nation")
+    Tables.customer(s, d).createOrReplaceTempView("lt_customer")
+    s.sql("""
+      SELECT r.r_name, t.c_name, t.c_acctbal
+      FROM lt_region r, LATERAL (
+        SELECT c.c_name, c.c_acctbal
+        FROM lt_customer c JOIN lt_nation n
+          ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        ORDER BY c.c_acctbal DESC, c.c_custkey ASC
+        LIMIT 3) t""")
+  }
+
+  /** Recursive CTE (Spark 4's UnionLoop) — iterative SQL without
+    * driver-side loops: expand the user-journey Markov chain from
+    * 'signup' to depth 3, carrying each path's probability as an
+    * exact e6 fixed-point product (w·cnt div tot per hop — integer
+    * both engines; headroom note: w_e6·cnt overflows int64 only past
+    * ~9·10¹² observations of one transition). The recursion walks the
+    * TRANSITION table (≤ |types|² rows after the fact-table rollup),
+    * so each loop step is a tiny join at any corpus size — and the
+    * transition table is GraftCaches-persisted before the loop,
+    * because UnionLoop re-evaluates loop-referenced relations every
+    * iteration (uncached, each hop re-ran the fact-table window). */
+  private def recursivePaths(s: SparkSession, d: String): DataFrame = {
+    // materialize the |types|²-row transition table ONCE (UnionLoop
+    // re-evaluates every relation referenced inside the loop body on
+    // each iteration — an uncached CTE would re-run the fact-table
+    // window rollup per hop: measured 2.6 s → 0.6 s at sf0.1)
+    import s.implicits._
+    val trans = graft.GraftCaches.getOrPersist(s, s"recursive.trans:$d") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val pairs = Tables.events(s, d)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type".as("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = pairs.groupBy($"prev_type")
+        .agg(sum($"cnt").as("tot"))
+      pairs.join(tot, "prev_type")
+    }
+    trans.createOrReplaceTempView("rp_trans")
+    s.sql("""
+      WITH RECURSIVE paths(path, last_type, depth, w_e6) AS (
+        SELECT 'signup', 'signup', CAST(0 AS BIGINT),
+               CAST(1000000 AS BIGINT)
+        UNION ALL
+        SELECT concat(p.path, '>', tr.next_type), tr.next_type,
+               p.depth + 1, p.w_e6 * tr.cnt div tr.tot
+        FROM paths p JOIN rp_trans tr ON tr.prev_type = p.last_type
+        WHERE p.depth < 3)
+      SELECT path, depth, w_e6 FROM paths""")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_unpivot_metrics", unpivotMetrics, Some("""
       WITH u AS (
@@ -699,6 +768,41 @@ object AdvancedQueries {
              reverse(p_name) AS name_rev,
              repeat(p_brand, 2) AS brand_x2,
              CAST(instr(p_type, 'ED') AS BIGINT) AS ed_pos
-      FROM part WHERE p_partkey <= 500"""))
+      FROM part WHERE p_partkey <= 500""")),
+
+    Q("q_lateral_topk", lateralTopk, Some("""
+      SELECT r.r_name, t.c_name, t.c_acctbal
+      FROM region r, LATERAL (
+        SELECT c.c_name, c.c_acctbal
+        FROM customer c JOIN nation n
+          ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        ORDER BY c.c_acctbal DESC, c.c_custkey ASC
+        LIMIT 3) t""")),
+
+    Q("q_recursive_paths", recursivePaths, Some("""
+      WITH RECURSIVE trans AS (
+        WITH seq AS (SELECT user_id, event_type,
+                            lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) AS prev_type
+                     FROM events),
+        pairs AS (SELECT prev_type, event_type AS next_type,
+                         count(*) AS cnt
+                  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        SELECT p.prev_type, p.next_type, p.cnt, t.tot
+        FROM pairs p
+        JOIN (SELECT prev_type, sum(cnt) AS tot
+              FROM pairs GROUP BY 1) t USING (prev_type)),
+      paths(path, last_type, depth, w_e6) AS (
+        SELECT 'signup', 'signup', CAST(0 AS BIGINT),
+               CAST(1000000 AS BIGINT)
+        UNION ALL
+        SELECT concat(p.path, '>', tr.next_type), tr.next_type,
+               p.depth + 1, CAST(p.w_e6 * tr.cnt // tr.tot AS BIGINT)
+        FROM paths p JOIN trans tr ON tr.prev_type = p.last_type
+        WHERE p.depth < 3)
+      SELECT path, CAST(depth AS BIGINT) AS depth,
+             CAST(w_e6 AS BIGINT) AS w_e6
+      FROM paths"""))
   )
 }

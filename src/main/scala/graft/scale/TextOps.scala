@@ -97,6 +97,29 @@ object TextOps {
       size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"))
   }
 
+  /** Reference formulation of [[graft.ext.RepetitionStatsExpr]]'s six
+    * cells — identical values (ScaleSpec parity over the corpus plus
+    * edge rows), interpreted execution; the mode counts are the
+    * O(n·distinct) distinct×filter walk the native kernel replaces
+    * with one hash-map pass. */
+  def repetitionStatsInterpreted(text: Column): Column = {
+    val t = tokens(text)
+    val nTok = size(t)
+    val bigrams = when(nTok < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nTok - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+    val modeOf = (arr: Column) =>
+      coalesce(array_max(transform(array_distinct(arr),
+        d => size(filter(arr, x => x === d)))), lit(0)).cast("long")
+    struct(
+      nTok.cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct_tokens"),
+      modeOf(t).as("max_tok_cnt"),
+      size(bigrams).cast("long").as("n_bigrams"),
+      size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"),
+      modeOf(bigrams).as("max_bi_cnt"))
+  }
+
   /** Reference formulation via split + per-language higher-order
     * filters + a reduceLeft struct chain — identical values (ScaleSpec
     * parity over the corpus plus edge rows), interpreted execution.
@@ -346,6 +369,39 @@ object TextOps {
           $"r_dup_bigrams")
   }
 
+  /** Per-document repetition profile — the Gopher/C4 repetition-signal
+    * family as first-class columns rather than one pass/fail rule:
+    * duplicate-token fraction, MODE token share (the most-repeated
+    * token's frequency), and the bigram twins, each in exact e6
+    * fixed-point (integer div of exact counts — zero float anywhere),
+    * plus a `repetitive` flag at the Gopher-ish 20 % thresholds.
+    * Backed by the single-pass codegen kernel
+    * [[graft.ext.RepetitionStatsExpr]] (two per-row hash-maps; the
+    * interpreted distinct×filter mode count is O(n·distinct) per doc —
+    * the exact shape the round-9 straggler hunt measured at 14+ s).
+    * Scan-stage only: per-doc state, no shuffle, any corpus size. */
+  private def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("rs", graft.ext.RepetitionStatsExpr
+        .repetitionStats($"text"))
+      .select(
+        $"doc_id",
+        $"rs.n_tokens".as("n_tokens"),
+        expr("(rs.n_tokens - rs.n_distinct_tokens) * 1000000" +
+          " div rs.n_tokens").as("dup_tok_e6"),
+        expr("rs.max_tok_cnt * 1000000 div rs.n_tokens")
+          .as("top_tok_e6"),
+        when($"rs.n_bigrams" === 0L, 0L)
+          .otherwise(expr("(rs.n_bigrams - rs.n_distinct_bigrams)" +
+            " * 1000000 div rs.n_bigrams")).as("dup_bi_e6"),
+        when($"rs.n_bigrams" === 0L, 0L)
+          .otherwise(expr("rs.max_bi_cnt * 1000000 div rs.n_bigrams"))
+          .as("top_bi_e6"))
+      .withColumn("repetitive",
+        $"top_tok_e6" > 200000L || $"dup_bi_e6" > 200000L)
+  }
+
   /** Fixed-weight linear quality classifier — the model-based filter
     * stage of a curation pipeline (production quality gates are
     * fastText-style linear models over cheap text features; the
@@ -382,6 +438,79 @@ object TextOps {
         floor(margin * 1000000).as("score_e6"),
         (margin > 0).as("keep"))
       .withColumn("score", $"score_e6".cast("double") / 1000000.0)
+  }
+
+  /** DPO/RLHF-style preference-pair assembly — the contrastive-data
+    * construction step: within every (source, lang) cohort, pair the
+    * highest-scoring document (chosen) with the lowest (rejected)
+    * under the SAME fixed-weight quality margin as
+    * [[qualityClassifier]], with deterministic doc-id tie-breaks.
+    * The whole selection is ONE map-side-combinable aggregate of two
+    * ordered structs — max(struct(score, −id)) / min(struct(score,
+    * id)) — so the shuffle carries |sources×langs| rows, never the
+    * corpus (a per-group window sort would); groups need ≥ 2 docs.
+    * Scores stay in exact floor(margin·1e6) BIGINT units end-to-end. */
+  private def preferencePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nTokD = greatest($"st.n_tokens".cast("double"), lit(1.0))
+    val lenScore = least(length($"text").cast("double") / lit(500.0), lit(1.0))
+    val diversity = $"st.n_distinct_tokens".cast("double") / nTokD
+    val swRatio = $"st.en_sw_hits".cast("double") / nTokD
+    val dupFrac = when($"st.n_bigrams" === 0L, lit(0.0))
+      .otherwise(lit(1.0) - $"st.n_distinct_bigrams".cast("double") /
+        $"st.n_bigrams".cast("double"))
+    val margin = lit(-1.5) + lit(1.0) * lenScore + lit(1.5) * diversity +
+      lit(8.0) * swRatio - lit(4.0) * dupFrac
+    Tables.documents(s, d)
+      .withColumn("st",
+        graft.ext.TextStatsExpr.textStats($"text", langStopwords.head._2))
+      .select($"source", $"lang", $"doc_id",
+        floor(margin * 1000000).as("score_e6"))
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct($"score_e6", (-$"doc_id").as("neg_id"))).as("hi"),
+        min(struct($"score_e6", $"doc_id")).as("lo"))
+      .filter($"n_docs" >= 2)
+      .select($"source", $"lang", $"n_docs",
+        (-$"hi.neg_id").as("chosen_doc"),
+        $"hi.score_e6".as("chosen_e6"),
+        $"lo.doc_id".as("rejected_doc"),
+        $"lo.score_e6".as("rejected_e6"),
+        ($"hi.score_e6" - $"lo.score_e6").as("gap_e6"))
+  }
+
+  /** How many top ranks the vocabulary coverage curve walks. */
+  val VocabCoverageK = 32
+
+  /** Vocabulary coverage curve — the tokenizer-sizing primitive: what
+    * fraction of the token STREAM is covered by the top-k vocabulary,
+    * for every k up to [[VocabCoverageK]] (the OOV-rate-vs-vocab-size
+    * tradeoff [[vocabEncode]] fixes one point of). Scale shape: the
+    * corpus collapses to distinct-token counts (map-side combine),
+    * the curve only needs the TOP-K ranks — a TakeOrdered of the
+    * vocab, not a global sort — and the single-partition cumsum that
+    * follows runs over ≤ K rows at ANY corpus size; the total-token
+    * scalar is a 1-row broadcast cross join. Coverage is exact
+    * integer e6 (cum·10⁶ div total). */
+  private def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val cnts = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = cnts.agg(sum($"cnt").as("total"))
+    val top = cnts.orderBy($"cnt".desc, $"tok".asc)
+      .limit(VocabCoverageK)
+    val running = W.orderBy($"cnt".desc, $"tok".asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    top
+      .withColumn("k", row_number().over(
+        W.orderBy($"cnt".desc, $"tok".asc)).cast("long"))
+      .withColumn("cum_tokens", sum($"cnt").over(running))
+      .crossJoin(total)
+      .select($"k", $"tok", $"cnt", $"cum_tokens",
+        $"total".as("total_tokens"),
+        expr("cum_tokens * 1000000 div total").as("coverage_e6"))
   }
 
   private def qualityClassifierOracle: String = {
@@ -1380,8 +1509,112 @@ object TextOps {
       FROM s GROUP BY 1, 2""")),
 
     Q("q_gopher_rules", gopherRules, Some(gopherOracle)),
+    Q("q_repetition_stats", repetitionStats, Some("""
+      WITH t AS (SELECT doc_id,
+                        string_split_regex(lower(text), '\s+') AS toks
+                 FROM documents),
+      m AS (SELECT doc_id, toks,
+                   [toks[i] || ' ' || toks[i+1]
+                    for i in range(1, len(toks))] AS bis
+            FROM t),
+      tc AS (SELECT doc_id, max(c) AS max_tok
+             FROM (SELECT doc_id, count(*) AS c
+                   FROM (SELECT doc_id, unnest(toks) AS w FROM m)
+                   GROUP BY doc_id, w)
+             GROUP BY 1),
+      bc AS (SELECT doc_id, max(c) AS max_bi
+             FROM (SELECT doc_id, count(*) AS c
+                   FROM (SELECT doc_id, unnest(bis) AS b FROM m)
+                   GROUP BY doc_id, b)
+             GROUP BY 1),
+      base AS (SELECT doc_id,
+                      CAST(len(toks) AS BIGINT) AS n,
+                      CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+                      CAST(len(bis) AS BIGINT) AS nb,
+                      CAST(len(list_distinct(bis)) AS BIGINT) AS nbd
+               FROM m),
+      r AS (SELECT b.doc_id, b.n AS n_tokens,
+                   CAST((b.n - b.nd) * 1000000 // b.n AS BIGINT)
+                     AS dup_tok_e6,
+                   CAST(tc.max_tok * 1000000 // b.n AS BIGINT)
+                     AS top_tok_e6,
+                   CAST(CASE WHEN b.nb = 0 THEN 0
+                        ELSE (b.nb - b.nbd) * 1000000 // b.nb END
+                     AS BIGINT) AS dup_bi_e6,
+                   CAST(CASE WHEN b.nb = 0 THEN 0
+                        ELSE coalesce(bc.max_bi, 0) * 1000000 // b.nb
+                        END AS BIGINT) AS top_bi_e6
+            FROM base b JOIN tc USING (doc_id)
+            LEFT JOIN bc USING (doc_id))
+      SELECT doc_id, n_tokens, dup_tok_e6, top_tok_e6, dup_bi_e6,
+             top_bi_e6,
+             top_tok_e6 > 200000 OR dup_bi_e6 > 200000 AS repetitive
+      FROM r""")),
     Q("q_quality_classifier", qualityClassifier,
       Some(qualityClassifierOracle)),
+    Q("q_preference_pairs", preferencePairs, Some {
+      val enSw = langStopwords.head._2.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH t AS (SELECT doc_id, source, lang, text,
+                        string_split_regex(lower(text), '\\s+') AS toks
+                 FROM documents),
+      m AS (SELECT doc_id, source, lang,
+                   least(length(text) * 1.0 / 500.0, 1.0) AS len_score,
+                   len(list_distinct(toks)) * 1.0 /
+                     greatest(len(toks), 1) AS diversity,
+                   len(list_filter(toks, w -> w IN ($enSw))) * 1.0 /
+                     greatest(len(toks), 1) AS sw_ratio,
+                   [toks[i] || ' ' || toks[i+1]
+                    for i in range(1, len(toks))] AS bigrams
+            FROM t),
+      f AS (SELECT doc_id, source, lang, len_score, diversity, sw_ratio,
+                   CASE WHEN len(bigrams) = 0 THEN 0.0
+                        ELSE 1.0 - len(list_distinct(bigrams)) * 1.0 /
+                             len(bigrams)
+                   END AS dup_frac
+            FROM m),
+      g AS (SELECT doc_id, source, lang,
+                   CAST(floor((-1.5 + 1.0 * len_score + 1.5 * diversity
+                     + 8.0 * sw_ratio - 4.0 * dup_frac) * 1000000)
+                     AS BIGINT) AS score_e6
+            FROM f),
+      r AS (SELECT source, lang, doc_id, score_e6,
+                   row_number() OVER (PARTITION BY source, lang
+                     ORDER BY score_e6 DESC, doc_id ASC) AS rhi,
+                   row_number() OVER (PARTITION BY source, lang
+                     ORDER BY score_e6 ASC, doc_id ASC) AS rlo,
+                   count(*) OVER (PARTITION BY source, lang) AS n_docs
+            FROM g),
+      hi AS (SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+                    doc_id AS chosen_doc, score_e6 AS chosen_e6
+             FROM r WHERE rhi = 1 AND n_docs >= 2),
+      lo AS (SELECT source, lang, doc_id AS rejected_doc,
+                    score_e6 AS rejected_e6
+             FROM r WHERE rlo = 1 AND n_docs >= 2)
+      SELECT hi.source, hi.lang, hi.n_docs, hi.chosen_doc, hi.chosen_e6,
+             lo.rejected_doc, lo.rejected_e6,
+             hi.chosen_e6 - lo.rejected_e6 AS gap_e6
+      FROM hi JOIN lo USING (source, lang)"""
+    }),
+    Q("q_vocab_coverage", vocabCoverage, Some(s"""
+      WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\\s+'))
+                     AS tok
+                   FROM documents),
+      cnts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnts),
+      top AS (SELECT tok, cnt FROM cnts
+              ORDER BY cnt DESC, tok ASC LIMIT $VocabCoverageK),
+      r AS (SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC)
+                     AS BIGINT) AS k,
+                   CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_tokens
+            FROM top)
+      SELECT k, tok, cnt, cum_tokens, total AS total_tokens,
+             CAST(cum_tokens * 1000000 // total AS BIGINT)
+               AS coverage_e6
+      FROM r CROSS JOIN tot""")),
     Q("q_curation_splits", curationSplits, Some(curationSplitsOracle)),
 
     Q("q_weighted_sample", weightedSample, Some("""

@@ -60,4 +60,68 @@ class FunctionsBreadthSpec extends AnyFunSuite {
       .withColumn("id", monotonically_increasing_id())
     assert(ids.select("id").distinct().count() === ids.count())
   }
+
+  test("q_lateral_topk equals the window-rank top-N-per-group " +
+      "formulation") {
+    val got = SparkEntry.queries("q_lateral_topk")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("r_name"), r.getAs[String]("c_name"),
+        r.getAs[Double]("c_acctbal"))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"r_regionkey")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    val want = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf),
+        $"c_nationkey" === $"n_nationkey")
+      .join(Tables.region(spark, sf),
+        $"n_regionkey" === $"r_regionkey")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"r_name", $"c_name", $"c_acctbal")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(got.size === 15, "5 regions x top 3")
+  }
+
+  test("q_recursive_paths equals an iterative driver-side expansion " +
+      "of the transition matrix") {
+    val got = SparkEntry.queries("q_recursive_paths")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("depth"),
+        r.getAs[Long]("w_e6"))).toSet
+    // brute: transition counts from per-user ordered event sequences
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_micros($"ts"), $"event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pairs = evs.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ordered = xs.sortBy(e => (e._3, e._4)).map(_._2)
+      ordered.zip(ordered.tail)
+    }
+    val cnt = pairs.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong
+    }
+    val tot = cnt.groupBy(_._1._1).map { case (p, m) =>
+      p -> m.values.sum
+    }
+    var frontier = Seq(("signup", "signup", 0L, 1000000L))
+    var all = frontier
+    (1 to 3).foreach { _ =>
+      frontier = frontier.flatMap { case (path, last, d, w) =>
+        cnt.collect { case ((p, n), c) if p == last =>
+          (s"$path>$n", n, d + 1, w * c / tot(last))
+        }
+      }
+      all ++= frontier
+    }
+    val want = all.map(x => (x._1, x._3, x._4)).toSet
+    assert(got === want)
+    // every depth-d weight family over one prefix must conserve mass
+    // only approximately (integer div floors) — check bounds instead
+    got.groupBy(t => (t._1.split(">").init.mkString(">"), t._2))
+      .foreach { case (_, xs) =>
+        assert(xs.forall(x => x._3 >= 0L && x._3 <= 1000000L))
+      }
+  }
 }

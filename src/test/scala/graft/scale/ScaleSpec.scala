@@ -331,6 +331,97 @@ class ScaleSpec extends AnyFunSuite {
       q.getLong(2) === 2L && q.getLong(4) === 3L && q.getLong(5) === 3L)
   }
 
+  test("native RepetitionStatsExpr == interpreted mode-count recompute " +
+      "on the whole corpus and on split-quirk edge rows") {
+    def both(df: org.apache.spark.sql.DataFrame) = df
+      .select(graft.ext.RepetitionStatsExpr.repetitionStats($"text")
+        .as("native"),
+        TextOps.repetitionStatsInterpreted($"text").as("interp"))
+    assert(both(Tables.documents(spark, sf))
+      .filter($"native" =!= $"interp").count() === 0)
+    val edges = both(Seq(
+      "", " ", "   ", "  a b  ", "a", "a a a a", "the the of of",
+      "x y x y x y", "的 是 的 是 的", "one one one two")
+      .toDF("text")).collect()
+    edges.foreach(r => assert(r.getStruct(0) === r.getStruct(1),
+      s"native ${r.getStruct(0)} vs interp ${r.getStruct(1)}"))
+    // canonical: "a a a a" -> 4 tokens, 1 distinct, mode 4;
+    // 3 bigrams all "a a", mode 3
+    val q = both(Seq("a a a a").toDF("text")).head().getStruct(0)
+    assert(q.getLong(0) === 4L && q.getLong(1) === 1L &&
+      q.getLong(2) === 4L && q.getLong(3) === 3L &&
+      q.getLong(4) === 1L && q.getLong(5) === 3L)
+    // and the catalog query's flag fires on the degenerate row
+    val flag = SparkEntry.queries("q_repetition_stats")(spark, sf)
+      .collect()
+    flag.foreach { r =>
+      Seq("dup_tok_e6", "top_tok_e6", "dup_bi_e6", "top_bi_e6")
+        .foreach { c =>
+          val v = r.getAs[Long](c)
+          assert(v >= 0L && v <= 1000000L, s"$c out of range: $v")
+        }
+    }
+  }
+
+  test("q_preference_pairs: chosen/rejected scores agree with the " +
+      "quality classifier, tie-breaks deterministic, gap exact") {
+    val pairs = SparkEntry.queries("q_preference_pairs")(spark, sf)
+      .collect()
+    assert(pairs.nonEmpty)
+    val scores = SparkEntry.queries("q_quality_classifier")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_e6"))
+      .toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"lang").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
+    val byGroup = docs.groupBy(_._2)
+    pairs.foreach { r =>
+      val g = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      val members = byGroup(g).map(_._1)
+      assert(members.length === r.getAs[Long]("n_docs"))
+      val chosen = r.getAs[Long]("chosen_doc")
+      val rejected = r.getAs[Long]("rejected_doc")
+      assert(members.contains(chosen) && members.contains(rejected))
+      assert(r.getAs[Long]("chosen_e6") === scores(chosen))
+      assert(r.getAs[Long]("rejected_e6") === scores(rejected))
+      assert(r.getAs[Long]("gap_e6") ===
+        scores(chosen) - scores(rejected))
+      // argmax/argmin with doc-id tie-breaks over the group
+      val best = members.map(m => (scores(m), m))
+        .sortBy(t => (-t._1, t._2)).head._2
+      val worst = members.map(m => (scores(m), m))
+        .sortBy(t => (t._1, t._2)).head._2
+      assert(chosen === best && rejected === worst)
+    }
+    // every group of ≥2 docs produced exactly one pair
+    assert(pairs.length === byGroup.count(_._2.length >= 2))
+  }
+
+  test("q_vocab_coverage: curve monotone, exact cumulative counts, " +
+      "head ranks agree with q_top_tokens") {
+    val curve = SparkEntry.queries("q_vocab_coverage")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("k"))
+    assert(curve.nonEmpty && curve.length <= TextOps.VocabCoverageK)
+    var cum = 0L
+    curve.foreach { r =>
+      cum += r.getAs[Long]("cnt")
+      assert(r.getAs[Long]("cum_tokens") === cum)
+      val cov = r.getAs[Long]("coverage_e6")
+      assert(cov >= 0L && cov <= 1000000L)
+    }
+    // coverage is non-decreasing in k
+    val covs = curve.map(_.getAs[Long]("coverage_e6")).toSeq
+    assert(covs === covs.sorted)
+    // head of the curve == the independently spec'd corpus top-k
+    val top = SparkEntry.queries("q_top_tokens")(spark, sf).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt")))
+    curve.take(top.length).zip(top).foreach { case (c, (tok, cnt)) =>
+      assert(c.getAs[String]("tok") === tok)
+      assert(c.getAs[Long]("cnt") === cnt)
+    }
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val df = Seq(
       ("a b c", "a b c"), ("a b c", "c b a"))
