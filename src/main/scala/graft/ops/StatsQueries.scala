@@ -1145,6 +1145,48 @@ object StatsQueries {
         $"gain_cents2")
   }
 
+  /** Theil–Sen robust trend estimator per event-type daily-revenue
+    * series — the median of all pairwise slopes (breakdown point
+    * ~29 %, vs 0 % for OLS — one corrupted day can't move it), plus
+    * the companion median intercept. The pair fan-out is the
+    * CALENDAR's square, not the data's (days²/2 per type — 435 pairs
+    * for a 30-day window at ANY event volume), generated by a
+    * banded self-join of the daily rollup. Slopes are per-row double
+    * quotients of exact integer cents/day deltas (bit-identical both
+    * engines); the medians are exact interpolated percentiles over
+    * those identical doubles (the q_percentiles precedent), and the
+    * emitted values go through floor(q·10⁴) BIGINT units (float
+    * rule 4). Day index is anchored to a FIXED epoch so the
+    * intercept is replayable without a per-type min-day subquery. */
+  private def theilSen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .filter($"value".isNotNull)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("day_cents"))
+      .withColumn("x", datediff($"day", lit("2024-01-01")).cast("long"))
+    val a = daily.select($"event_type", $"x".as("xa"),
+      $"day_cents".as("ca"))
+    val b = daily.select($"event_type", $"x".as("xb"),
+      $"day_cents".as("cb"))
+    val slopes = a.join(b, Seq("event_type"))
+      .filter($"xa" < $"xb")
+      .withColumn("slope",
+        ($"cb" - $"ca").cast("double") / ($"xb" - $"xa").cast("double"))
+    val med = slopes.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        percentile($"slope", lit(0.5)).as("m"))
+    daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("resid", $"day_cents".cast("double") - $"m" * $"x")
+      .groupBy($"event_type")
+      .agg(max($"n_pairs").as("n_pairs"),
+        floor(max($"m") * 10000.0).cast("long").as("slope_e4"),
+        floor(percentile($"resid", lit(0.5)) * 10000.0).cast("long")
+          .as("intercept_e4"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_outlier_iqr", outlierIqr, Some("""
       WITH f AS (SELECT event_type,
@@ -1927,6 +1969,33 @@ object StatsQueries {
              CAST(s_l // k AS BIGINT) AS mean_left_cents,
              CAST((s - s_l) // (n - k) AS BIGINT) AS mean_right_cents,
              gain_cents2
-      FROM best WHERE rn = 1"""))
+      FROM best WHERE rn = 1""")),
+
+    Q("q_theil_sen", theilSen, Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS day_cents,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2, 4),
+      slopes AS (
+        SELECT a.event_type,
+               CAST(b.day_cents - a.day_cents AS DOUBLE)
+                 / CAST(b.x - a.x AS DOUBLE) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.x < b.x),
+      med AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+               quantile_cont(slope, 0.5) AS m
+        FROM slopes GROUP BY 1)
+      SELECT d.event_type, max(med.n_pairs) AS n_pairs,
+             CAST(floor(max(med.m) * 10000.0) AS BIGINT) AS slope_e4,
+             CAST(floor(quantile_cont(
+               CAST(d.day_cents AS DOUBLE) - med.m * d.x, 0.5)
+               * 10000.0) AS BIGINT) AS intercept_e4
+      FROM daily d JOIN med USING (event_type)
+      GROUP BY 1"""))
   )
 }

@@ -269,4 +269,23 @@ class PlanSpec extends AnyFunSuite {
     // pair-partitioned window — never a per-event shuffle
     assert(shuffles(q("q_rolling_corr")) <= 5)
   }
+
+  test("round-9 second batch keeps its scale shapes") {
+    // repetition profile is ONE scan-stage kernel call: NO shuffle
+    assert(shuffles(q("q_repetition_stats")) === 0)
+    // preference pairs: one map-side-combinable ordered-struct agg —
+    // the shuffle carries |source×lang| rows; NO window sort anywhere
+    val pp = q("q_preference_pairs")
+    assert(shuffles(pp) === 1)
+    assert(initial(pp).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "preference pairs must not plan a per-group window sort")
+    // vocab coverage: vocab rollup + TakeOrdered path + the ≤K-row
+    // cumsum; the corpus itself shuffles once (to distinct tokens)
+    assert(shuffles(q("q_vocab_coverage")) <= 3)
+    // FDR: one segment rollup + O(m)-row windows
+    assert(shuffles(q("q_fdr_bh")) <= 3)
+    // change-point: day rollup + per-type day windows
+    assert(shuffles(q("q_changepoint")) <= 3)
+  }
 }

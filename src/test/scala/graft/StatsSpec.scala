@@ -677,6 +677,47 @@ class StatsSpec extends AnyFunSuite {
       s => s.length < 2 || s(0) <= s(1)))
   }
 
+  test("q_theil_sen: exact pairwise-slope median replay, " +
+      "median slope within the pairwise slope range") {
+    val got = SparkEntry.queries("q_theil_sen")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("slope_e4"),
+          r.getAs[Long]("intercept_e4"))).toMap
+    assert(got.size === 5)
+    val daily = Tables.events(spark, sf)
+      .filter($"value".isNotNull)
+      .select($"event_type", to_date($"ts").cast("string").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val lo = s(pos.toInt)
+      val hi = s(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    daily.foreach { case (ty, xs) =>
+      val byDay = xs.groupBy(_._2).map { case (d, ys) =>
+        (java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse("2024-01-01"),
+          java.time.LocalDate.parse(d)), ys.map(_._3).sum)
+      }.toSeq.sortBy(_._1)
+      val pairs = for {
+        (xa, ca) <- byDay; (xb, cb) <- byDay if xa < xb
+      } yield (cb - ca).toDouble / (xb - xa).toDouble
+      val m = medianOf(pairs)
+      val icept = medianOf(byDay.map { case (x, c) => c.toDouble - m * x })
+      val (nPairs, slopeE4, iceptE4) = got(ty)
+      assert(nPairs === pairs.length.toLong)
+      assert(slopeE4 === math.floor(m * 10000.0).toLong)
+      assert(iceptE4 === math.floor(icept * 10000.0).toLong)
+      // the median slope must sit inside the pairwise slope range
+      assert(m >= pairs.min && m <= pairs.max)
+    }
+  }
+
   test("q_changepoint: argmax over all splits of the exact " +
       "between-segment sum of squares, earliest-day tiebreak") {
     val got = SparkEntry.queries("q_changepoint")(spark, sf).collect()
