@@ -511,6 +511,26 @@ object AdvancedQueries {
       SELECT path, depth, w_e6 FROM paths""")
   }
 
+  /** Explicit GROUPING SETS with grouping() markers — the
+    * mixed-granularity rollup surface between the q_rollup /
+    * q_cube extremes: exactly the (flag,status), (flag), () sets,
+    * with per-column grouping indicators distinguishing real NULLs
+    * from subtotal rows. One shuffle; the expand operator fans each
+    * input row to its |sets| grouping keys map-side, partials
+    * combine before the exchange — same scale shape as rollup. */
+  private def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("gs_lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+             CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+             count(*) AS n,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM gs_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), ())""")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_unpivot_metrics", unpivotMetrics, Some("""
       WITH u AS (
@@ -803,6 +823,16 @@ object AdvancedQueries {
         WHERE p.depth < 3)
       SELECT path, CAST(depth AS BIGINT) AS depth,
              CAST(w_e6 AS BIGINT) AS w_e6
-      FROM paths"""))
+      FROM paths""")),
+
+    Q("q_grouping_sets", groupingSets, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+             CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+             count(*) AS n,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), ())"""))
   )
 }

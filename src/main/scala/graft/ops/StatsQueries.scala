@@ -1187,6 +1187,94 @@ object StatsQueries {
           .as("intercept_e4"))
   }
 
+  /** STL-lite seasonal decomposition of each event-type daily-revenue
+    * series: trend = centered 7-day moving average (interior days
+    * only, so the denominator is the CONSTANT 7 and the detrended
+    * series 7·cents − Σ₇ stays an exact integer), seasonal =
+    * day-of-week mean of that exact detrended series, residual = the
+    * rest. Float discipline: the only doubles are per-row quotients
+    * of exact integers (bit-identical both engines), emitted through
+    * floor(q·10⁴) — floor(double) rather than integer div because
+    * detrended values go NEGATIVE and `div`/`//` truncation
+    * conventions differ across engines there. Shape: one daily
+    * rollup, a 7-row window per type walking CALENDAR DAYS, and a
+    * |types×7|-row seasonal table broadcast back — corpus-size
+    * independent past the first rollup. */
+  private def stlDecompose(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val w7 = W.partitionBy($"event_type").orderBy($"day".asc)
+      .rowsBetween(-3, 3)
+    val daily = Tables.events(s, d)
+      .filter($"value".isNotNull)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("cents"))
+    val interior = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("sum7", sum($"cents").over(w7))
+      .filter($"n7" === 7)
+      .withColumn("detr7", lit(7L) * $"cents" - $"sum7")
+      .withColumn("dow", dayofweek($"day"))
+    val seasonal = interior.groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("k"), sum($"detr7").as("sdet"))
+    interior.join(broadcast(seasonal), Seq("event_type", "dow"))
+      .select($"event_type", $"day", $"cents",
+        expr("sum7 * 10000 div 7").as("trend_e4"),
+        floor($"sdet".cast("double") * 10000.0 /
+          (lit(7.0) * $"k")).cast("long").as("seasonal_e4"),
+        floor(($"detr7".cast("double") / 7.0 -
+          $"sdet".cast("double") / (lit(7.0) * $"k")) * 10000.0)
+          .cast("long").as("resid_e4"))
+  }
+
+  /** Lead–lag cross-correlation finder between the click and purchase
+    * daily-revenue series: Pearson correlation of click(day) vs
+    * purchase(day+L) for every lag L ∈ [−7, +7], with the best lag
+    * flagged (max correlation, ties to the smaller |L| then smaller
+    * L) — the leading-indicator detector that generalizes
+    * [[rollingCorr]]'s contemporaneous view. All five moment sums per
+    * lag are exact integer cents; the one double step casts each
+    * variance to double BEFORE their product (the rolling-corr int64
+    * lesson) and the emit floors corr·10⁶. Shape: the corpus
+    * collapses to two days-cardinality series; the 15-lag fan-out and
+    * the shifted equi-join both act on THAT table, so every post-
+    * rollup stage is calendar-bounded at any event volume. */
+  private def leadLag(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .filter($"value".isNotNull &&
+        $"event_type".isin("click", "purchase"))
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("cents"))
+    val clicks = daily.filter($"event_type" === "click")
+      .select($"day", $"cents".as("x"))
+    val purch = daily.filter($"event_type" === "purchase")
+      .select($"day".as("p_day"), $"cents".as("y"))
+    val lagged = clicks
+      .withColumn("lag", explode(sequence(lit(-7), lit(7))))
+      .join(purch, date_add($"day", $"lag") === $"p_day")
+    val m = lagged.groupBy($"lag")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      .withColumn("vx", ($"n_days" * $"sxx" - $"sx" * $"sx").cast("double"))
+      .withColumn("vy", ($"n_days" * $"syy" - $"sy" * $"sy").cast("double"))
+      .withColumn("corr_e6",
+        floor(($"n_days" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt($"vx" * $"vy") * 1000000.0).cast("long"))
+    val best = W.orderBy($"corr_e6".desc, abs($"lag").asc, $"lag".asc)
+    m.withColumn("rn", row_number().over(best))
+      .select($"lag".cast("long").as("lag"), $"n_days", $"corr_e6",
+        ($"rn" === 1).as("is_best"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_outlier_iqr", outlierIqr, Some("""
       WITH f AS (SELECT event_type,
@@ -1996,6 +2084,80 @@ object StatsQueries {
                CAST(d.day_cents AS DOUBLE) - med.m * d.x, 0.5)
                * 10000.0) AS BIGINT) AS intercept_e4
       FROM daily d JOIN med USING (event_type)
-      GROUP BY 1"""))
+      GROUP BY 1""")),
+
+    Q("q_stl_decompose", stlDecompose, Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2),
+      win AS (
+        SELECT event_type, day, cents,
+               count(*) OVER w7 AS n7,
+               sum(cents) OVER w7 AS sum7
+        FROM daily
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day ASC
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      interior AS (
+        SELECT event_type, day, cents, sum7,
+               7 * cents - sum7 AS detr7,
+               dayofweek(day) + 1 AS dow
+        FROM win WHERE n7 = 7),
+      seas AS (
+        SELECT event_type, dow, count(*) AS k,
+               sum(detr7) AS sdet
+        FROM interior GROUP BY 1, 2)
+      SELECT i.event_type, i.day, i.cents,
+             CAST(i.sum7 * 10000 // 7 AS BIGINT) AS trend_e4,
+             CAST(floor(CAST(s.sdet AS DOUBLE) * 10000.0
+               / (7.0 * s.k)) AS BIGINT) AS seasonal_e4,
+             CAST(floor((CAST(i.detr7 AS DOUBLE) / 7.0
+               - CAST(s.sdet AS DOUBLE) / (7.0 * s.k)) * 10000.0)
+               AS BIGINT) AS resid_e4
+      FROM interior i JOIN seas s
+        ON i.event_type = s.event_type AND i.dow = s.dow""")),
+
+    Q("q_lead_lag", leadLag, Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        WHERE value IS NOT NULL
+          AND event_type IN ('click', 'purchase')
+        GROUP BY 1, 2),
+      c AS (SELECT day, cents AS x FROM daily
+            WHERE event_type = 'click'),
+      p AS (SELECT day AS p_day, cents AS y FROM daily
+            WHERE event_type = 'purchase'),
+      lagged AS (
+        SELECT l.lag, c.x, p.y
+        FROM c CROSS JOIN (SELECT unnest(generate_series(-7, 7))
+                             AS lag) l
+        JOIN p ON c.day + l.lag * INTERVAL 1 DAY = p.p_day),
+      m AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM lagged GROUP BY 1),
+      e AS (
+        SELECT lag, n_days,
+               CAST(floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_days * syy - sy * sy AS DOUBLE))
+                 * 1000000.0) AS BIGINT) AS corr_e6
+        FROM m),
+      r AS (
+        SELECT *, row_number() OVER (
+          ORDER BY corr_e6 DESC, abs(lag) ASC, lag ASC) AS rn
+        FROM e)
+      SELECT CAST(lag AS BIGINT) AS lag, n_days, corr_e6,
+             rn = 1 AS is_best
+      FROM r"""))
   )
 }

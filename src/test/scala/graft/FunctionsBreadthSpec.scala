@@ -61,6 +61,31 @@ class FunctionsBreadthSpec extends AnyFunSuite {
     assert(ids.select("id").distinct().count() === ids.count())
   }
 
+  test("q_grouping_sets: detail, subtotal, and grand-total tiers " +
+      "reconcile exactly") {
+    val rows = SparkEntry.queries("q_grouping_sets")(spark, sf).collect()
+    val detail = rows.filter(r => r.getAs[Long]("g_flag") == 0L &&
+      r.getAs[Long]("g_status") == 0L)
+    val subtotal = rows.filter(r => r.getAs[Long]("g_flag") == 0L &&
+      r.getAs[Long]("g_status") == 1L)
+    val grand = rows.filter(r => r.getAs[Long]("g_flag") == 1L)
+    assert(grand.length === 1)
+    assert(detail.nonEmpty && subtotal.nonEmpty)
+    assert(rows.length === detail.length + subtotal.length + 1)
+    // counts roll up tier by tier
+    val total = Tables.lineitem(spark, sf).count()
+    assert(detail.map(_.getAs[Long]("n")).sum === total)
+    assert(subtotal.map(_.getAs[Long]("n")).sum === total)
+    assert(grand.head.getAs[Long]("n") === total)
+    // each flag subtotal equals the sum of its detail rows
+    subtotal.foreach { st =>
+      val flag = st.getAs[String]("l_returnflag")
+      val mine = detail.filter(_.getAs[String]("l_returnflag") == flag)
+      assert(st.getAs[Long]("n") === mine.map(_.getAs[Long]("n")).sum)
+      assert(st.getAs[String]("l_linestatus") === null)
+    }
+  }
+
   test("q_lateral_topk equals the window-rank top-N-per-group " +
       "formulation") {
     val got = SparkEntry.queries("q_lateral_topk")(spark, sf)

@@ -718,6 +718,86 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_stl_decompose: interior-day additive identity and exact " +
+      "seasonal replay") {
+    val got = SparkEntry.queries("q_stl_decompose")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      // floor()ed components reassemble the exact series within the
+      // two floor errors: cents·10⁴ = trend + seasonal + resid (+ε)
+      val lhs = r.getAs[Long]("cents") * 10000L
+      val rhs = r.getAs[Long]("trend_e4") +
+        r.getAs[Long]("seasonal_e4") + r.getAs[Long]("resid_e4")
+      assert(math.abs(lhs - rhs) <= 3L,
+        s"additive identity broke: $lhs vs $rhs")
+    }
+    // brute seasonal replay for one type: day-of-week means of the
+    // exact detrended series over interior days
+    val daily = Tables.events(spark, sf)
+      .filter($"value".isNotNull && $"event_type" === "purchase")
+      .select(to_date($"ts").cast("string").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val interior = daily.indices.filter(i =>
+      i >= 3 && i + 3 < daily.length).map { i =>
+      val sum7 = (i - 3 to i + 3).map(daily(_)._2).sum
+      (daily(i)._1, daily(i)._2, sum7, 7L * daily(i)._2 - sum7)
+    }
+    val wantTrend = interior.map(x => x._1 -> x._3 * 10000L / 7L).toMap
+    val gotP = got.filter(_.getAs[String]("event_type") == "purchase")
+    assert(gotP.length === interior.length)
+    gotP.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day").toString
+      assert(r.getAs[Long]("trend_e4") === wantTrend(day))
+    }
+  }
+
+  test("q_lead_lag: exact moment replay at every lag, best-lag rule " +
+      "deterministic") {
+    val got = SparkEntry.queries("q_lead_lag")(spark, sf).collect()
+      .map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("corr_e6"),
+          r.getAs[Boolean]("is_best"))).toMap
+    assert(got.size === 15)
+    val daily = Tables.events(spark, sf)
+      .filter($"value".isNotNull)
+      .select($"event_type", to_date($"ts").cast("string").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(x => (x._1, x._2)).map { case (k, xs) =>
+        k -> xs.map(_._3).sum
+      }
+    def series(t: String) = daily.collect {
+      case ((ty, d), c) if ty == t => java.time.LocalDate.parse(d) -> c
+    }.toMap
+    val (cs, ps) = (series("click"), series("purchase"))
+    val want = (-7L to 7L).map { l =>
+      val pairs = cs.toSeq.flatMap { case (d, x) =>
+        ps.get(d.plusDays(l)).map(y => (x, y))
+      }
+      val n = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val corr = (n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble *
+          (n * syy - sy * sy).toDouble)
+      l -> (n, math.floor(corr * 1000000.0).toLong)
+    }.toMap
+    (-7L to 7L).foreach { l =>
+      assert(got(l)._1 === want(l)._1, s"n at lag $l")
+      assert(got(l)._2 === want(l)._2, s"corr at lag $l")
+    }
+    val bestLag = (-7L to 7L).minBy(l =>
+      (-want(l)._2, math.abs(l), l))
+    (-7L to 7L).foreach { l =>
+      assert(got(l)._3 === (l == bestLag), s"is_best at lag $l")
+    }
+  }
+
   test("q_changepoint: argmax over all splits of the exact " +
       "between-segment sum of squares, earliest-day tiebreak") {
     val got = SparkEntry.queries("q_changepoint")(spark, sf).collect()
