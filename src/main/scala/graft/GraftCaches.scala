@@ -56,6 +56,17 @@ object GraftCaches {
       build.persist(StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Get the cached DataFrame for `key`, building once WITHOUT the
+    * extra persist — for frames that already self-materialize (eager
+    * `localCheckpoint`), where an added persist would double-store
+    * the blocks. Release semantics: `release`'s unpersist is a no-op
+    * on these; the checkpoint blocks are freed by the ContextCleaner
+    * once the registry drops the reference. */
+  def getOrBuild(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    sweepStopped()
+    entries.getOrElseUpdate(sessionKey(s, key), build)
+  }
+
   /** Unpersist and forget every cache owned by `s`. */
   def release(s: SparkSession): Unit = {
     val id = uuidOf(s)

@@ -55,7 +55,16 @@ object Dedup {
     * is hash-based; a cross-shingle collision would need ~2³² shingles
     * per doc pair (we have ~5·10²), so set algebra (and therefore
     * Jaccard) matches the string-shingle oracle exactly. */
-  def shingleHashes(text: Column): Column = {
+  def shingleHashes(text: Column): Column =
+    graft.ext.ShingleHashExpr.shingleHashes(text)
+
+  /** Reference formulation of [[graft.ext.ShingleHashExpr]] via
+    * split + transform + xxhash64 + array_distinct — identical values
+    * (ScaleSpec corpus parity; the kernel reuses Spark's own XXH64
+    * with the same seed chaining), interpreted execution: measured
+    * 6.5 s vs ~0.3 s for the kernel on the sf0.1 corpus scan
+    * (SketchProbe2, round 9). */
+  def shingleHashesInterpreted(text: Column): Column = {
     val t = TextOps.tokens(text)
     when(size(t) < 3, array().cast("array<bigint>"))
       .otherwise(array_distinct(
@@ -518,19 +527,28 @@ object Dedup {
     // nodes) would double evaluation work per round: 2^rounds blowup.
     val adjRaw = sym.union(sym.select(col("node")).distinct()
       .select(col("node"), col("node").as("nbr")))
-    // The adjacency is re-read every round — persist it (session
-    // registry) or the whole upstream pair pipeline re-executes
-    // `rounds` times. Persist it PRE-PARTITIONED on the join key:
-    // InMemoryRelation reports its child's outputPartitioning, so
-    // every round's join reads the cached hash layout instead of
-    // re-exchanging the adjacency — `rounds` shuffles gone (and the
-    // label side arrives partitioned on node from the previous
-    // round's aggregate, so the per-round cost drops to ONE exchange:
-    // the min-label groupBy).
+    // The adjacency is re-read every round — materialize it, or the
+    // whole upstream pair pipeline re-executes `rounds` times. Two
+    // layers to that, and BOTH matter:
+    //  1. PRE-PARTITIONED on the join key (repartition before the
+    //     checkpoint): the materialized layout keeps that hash
+    //     partitioning, so every round's join reads it without an
+    //     exchange and the per-round cost is ONE exchange (the
+    //     min-label groupBy).
+    //  2. LINEAGE-TRUNCATED (eager localCheckpoint), not merely
+    //     persisted: an InMemoryRelation still carries its child
+    //     plan, and the analyzer re-walks the full LSH subtree at
+    //     EVERY adjacency reference — the 8-round tree analyzed to
+    //     33 586 plan nodes with 4.2 s of the 7.5 s wall time being
+    //     pure planning (CcProbe, round 9). The checkpointed frame
+    //     plans as a flat scan: measured 7.5 s → 1.0 s at sf0.1.
+    //     Cluster note: localCheckpoint is not fault-tolerant — a
+    //     lost executor forces a job restart; swap for a reliable
+    //     checkpoint dir when running on real clusters.
     val adj = cacheKey match {
-      case Some(k) => graft.GraftCaches.getOrPersist(spark, k)(
-        adjRaw.repartition(col("nbr")))
-      case None => adjRaw.repartition(col("nbr"))
+      case Some(k) => graft.GraftCaches.getOrBuild(spark, k)(
+        adjRaw.repartition(col("nbr")).localCheckpoint())
+      case None => adjRaw.repartition(col("nbr")).localCheckpoint()
     }
     var labels = adj.select(col("node")).distinct()
       .withColumn("label", col("node"))

@@ -771,16 +771,26 @@ object TextOps {
     * vocabulary-sized and joins back BROADCAST, so the token stream
     * crosses the wire once. Top 50 by (count, w1, w2) — a total order,
     * so the output is deterministic. */
-  private def bigramLm(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val t = tokens($"text")
-    val pairs = when(size(t) < 2,
+  /** Reference formulation of [[graft.ext.BigramPairsExpr]] —
+    * identical values (ScaleSpec corpus parity), interpreted
+    * execution: the lambda re-evaluates the outer tokens expression
+    * per element (no CSE inside interpreted HOFs), O(n²) per doc. */
+  def bigramPairsInterpreted(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) < 2,
         array().cast("array<struct<w1:string,w2:string>>"))
       .otherwise(transform(sequence(lit(1), size(t) - 1),
         i => struct(element_at(t, i).as("w1"),
           element_at(t, i + 1).as("w2"))))
+  }
+
+  private def bigramLm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // pair construction via the codegen kernel: the interpreted form
+    // re-tokenized per element — 4.4 s of this query's 4.8 s at sf0.1
     val big = Tables.documents(s, d)
-      .select(explode(pairs).as("p"))
+      .select(explode(graft.ext.BigramPairsExpr.bigramPairs($"text"))
+        .as("p"))
       .select($"p.w1".as("w1"), $"p.w2".as("w2"))
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("cnt"))
     val uni = big.groupBy($"w1").agg(sum($"cnt").as("tot"))
@@ -864,13 +874,9 @@ object TextOps {
     val words = Seq("query", "join", "data")
     val probes = words.flatMap(a => words.map(b => (a, b))).toDF("w1", "w2")
     val t = tokens($"text")
-    val pairCol = when(size(t) < 2,
-        array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(transform(sequence(lit(1), size(t) - 1),
-        i => struct(element_at(t, i).as("w1"),
-          element_at(t, i + 1).as("w2"))))
     val big = Tables.documents(s, d)
-      .select(explode(pairCol).as("p"))
+      .select(explode(graft.ext.BigramPairsExpr.bigramPairs($"text"))
+        .as("p"))
       .select($"p.w1".as("w1"), $"p.w2".as("w2"))
       .filter($"w1".isInCollection(words) && $"w2".isInCollection(words))
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
@@ -1032,12 +1038,7 @@ object TextOps {
   private[graft] def perplexityOn(s: SparkSession, d: String,
       uniBroadcastCap: Long = UnigramBroadcastCap): DataFrame = {
     import s.implicits._
-    val t = tokens($"text")
-    val pairs = when(size(t) < 2,
-        array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(transform(sequence(lit(1), size(t) - 1),
-        i => struct(element_at(t, i).as("w1"),
-          element_at(t, i + 1).as("w2"))))
+    val pairs = graft.ext.BigramPairsExpr.bigramPairs($"text")
     // The doc-bigram table feeds the LM (twice) AND the scoring join;
     // registry-cache it so the token explode runs once per session,
     // not once per downstream branch (broadcast builds don't share
@@ -1085,12 +1086,7 @@ object TextOps {
     * total order, so output is deterministic. */
   private def pmiTerms(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val t = tokens($"text")
-    val pairs = when(size(t) < 2,
-        array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(transform(sequence(lit(1), size(t) - 1),
-        i => struct(element_at(t, i).as("w1"),
-          element_at(t, i + 1).as("w2"))))
+    val pairs = graft.ext.BigramPairsExpr.bigramPairs($"text")
     val docBig = graft.GraftCaches.getOrPersist(s, s"text.doc_bigrams:$d") {
       Tables.documents(s, d)
         .select($"doc_id", explode(pairs).as("p"))
@@ -1230,11 +1226,19 @@ object TextOps {
     * Shape: shingle-df is one partial-agg shuffle on the shingle key,
     * the df join reuses that partitioning, and the per-doc rollup is
     * the only other exchange — no all-pairs anywhere, so it scales
-    * exactly like the MinHash pipeline that shares this explode. */
+    * exactly like the MinHash pipeline that shares this explode.
+    * Keys are the codegen [[graft.ext.ShingleHashExpr]] 64-bit shingle
+    * hashes, not the joined strings: the scan drops from 5.6 s to
+    * sub-second at sf0.1 (the interpreted slice+array_join walk was
+    * the cost) and the df shuffle carries 8-byte keys — at 100 TB
+    * that is the difference between shuffling the corpus text and
+    * shuffling fixed-width hashes. df counts are identical unless
+    * xxhash64 collides (≈ q²/2⁶⁵ — the same no-collision contract the
+    * MinHash/LSH oracle equality already rests on). */
   private def ngramNovelty(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = Tables.documents(s, d)
-      .select($"doc_id", explode(shingles($"text")).as("s"))
+      .select($"doc_id", explode(Dedup.shingleHashes($"text")).as("s"))
     val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
     sh.join(df, "s")
       .groupBy($"doc_id")

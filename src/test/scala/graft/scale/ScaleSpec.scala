@@ -331,6 +331,44 @@ class ScaleSpec extends AnyFunSuite {
       q.getLong(2) === 2L && q.getLong(4) === 3L && q.getLong(5) === 3L)
   }
 
+  test("native ShingleHashExpr == interpreted xxhash64 shingle " +
+      "recompute on the whole corpus and edge rows") {
+    def both(df: org.apache.spark.sql.DataFrame) = df
+      .select(Dedup.shingleHashes($"text").as("native"),
+        Dedup.shingleHashesInterpreted($"text").as("interp"))
+    assert(both(Tables.documents(spark, sf))
+      .filter($"native" =!= $"interp").count() === 0)
+    val edges = both(Seq(
+      "", " ", "a", "a b", "a b c", "a b c d",
+      "x x x x x", "  a b c  ", "the the the the")
+      .toDF("text")).collect()
+    edges.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+      s"native ${r.getSeq[Long](0)} vs interp ${r.getSeq[Long](1)}"))
+    // dedup keeps FIRST occurrence and short docs yield empty sets
+    val q = both(Seq("x x x x x").toDF("text")).head()
+    assert(q.getSeq[Long](0).length === 1)
+    assert(both(Seq("a b").toDF("text")).head().getSeq[Long](0).isEmpty)
+  }
+
+  test("native BigramPairsExpr == interpreted pair recompute on the " +
+      "whole corpus and edge rows") {
+    def both(df: org.apache.spark.sql.DataFrame) = df
+      .select(graft.ext.BigramPairsExpr.bigramPairs($"text").as("native"),
+        TextOps.bigramPairsInterpreted($"text").as("interp"))
+    assert(both(Tables.documents(spark, sf))
+      .filter($"native" =!= $"interp").count() === 0)
+    val edges = both(Seq(
+      "", " ", "a", "a b", "a b c", "  a b  ", "x x x")
+      .toDF("text")).collect()
+    edges.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](0) ===
+        r.getSeq[org.apache.spark.sql.Row](1))
+    }
+    // duplicates preserved in order: "x x x" -> [(x,x), (x,x)]
+    val q = both(Seq("x x x").toDF("text")).head()
+    assert(q.getSeq[org.apache.spark.sql.Row](0).length === 2)
+  }
+
   test("native RepetitionStatsExpr == interpreted mode-count recompute " +
       "on the whole corpus and on split-quirk edge rows") {
     def both(df: org.apache.spark.sql.DataFrame) = df
