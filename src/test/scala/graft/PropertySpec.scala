@@ -330,4 +330,109 @@ class PropertySpec extends AnyFunSuite {
       .map(x => x.getString(0) -> x.getString(1)).toMap
     assert(fwd === model(forward = true))
   }
+
+  /** Generator for pathological text: mixed unicode, repeated
+    * whitespace runs, empties, tabs/newlines — the split-quirk
+    * surface all three scan kernels must replicate. */
+  private val textGen: Gen[String] = Gen.oneOf(
+    Gen.listOf(Gen.oneOf("a", "bb", "的", "é!", "", " ", "\t", "\n",
+      "x y", "THE", "ß"))
+      .map(_.mkString(" ")),
+    Gen.alphaNumStr,
+    Gen.const(""), Gen.const("   "), Gen.const(" a b c "),
+    Gen.const("w w w w w w"))
+
+  test("codegen ShingleHashExpr ≡ interpreted xxhash64 shingles on " +
+      "generated pathological text") {
+    val strs = samples(textGen, 200).distinct
+    val rows = strs.toDF("text").select(
+      scale.Dedup.shingleHashes($"text").as("native"),
+      scale.Dedup.shingleHashesInterpreted($"text").as("model"))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("codegen BigramPairsExpr ≡ interpreted pair transform on " +
+      "generated pathological text") {
+    val strs = samples(textGen, 200).distinct
+    val rows = strs.toDF("text").select(
+      graft.ext.BigramPairsExpr.bigramPairs($"text").as("native"),
+      scale.TextOps.bigramPairsInterpreted($"text").as("model"))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](0) ===
+        r.getSeq[org.apache.spark.sql.Row](1)))
+  }
+
+  test("codegen JaroWinklerExpr ≡ independent driver-side model on " +
+      "generated pairs and the DuckDB-probed edge cases") {
+    // driver-side reference (the python fuzz model from round 9,
+    // itself verified exact against DuckDB on 8 000 random pairs)
+    def jwModel(a: String, b: String): Double = {
+      val (la, lb) = (a.length, b.length)
+      if (la == 0 || lb == 0) return 0.0
+      val window = math.max(0, math.max(la, lb) / 2 - 1)
+      val mA = new Array[Boolean](la)
+      val mB = new Array[Boolean](lb)
+      var m = 0
+      for (i <- 0 until la) {
+        val lo = math.max(0, i - window)
+        val hi = math.min(lb - 1, i + window)
+        var j = lo
+        var done = false
+        while (j <= hi && !done) {
+          if (!mB(j) && a(i) == b(j)) {
+            mA(i) = true; mB(j) = true; m += 1; done = true
+          }
+          j += 1
+        }
+      }
+      if (m == 0) return 0.0
+      var t = 0; var k = 0
+      for (i <- 0 until la if mA(i)) {
+        while (!mB(k)) k += 1
+        if (a(i) != b(k)) t += 1
+        k += 1
+      }
+      val mm = m.toDouble
+      val jaro = (mm / la + mm / lb + (mm - t / 2) / mm) / 3.0
+      if (jaro <= 0.7) return jaro
+      var l = 0
+      while (l < math.min(4, math.min(la, lb)) && a(l) == b(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    }
+    val sGen = Gen.listOf(Gen.oneOf('a', 'b', 'c', 'd', 'e', ' '))
+      .map(_.mkString.take(12))
+    val pairs = samples(Gen.zip(sGen, sGen), 300).distinct ++ Seq(
+      ("martha", "marhta"), ("dixon", "dicksonx"), ("", ""),
+      ("a", ""), ("ab", "ba"), ("aaaaa", "aaaab"),
+      ("abcdefghij", "abcdzzzzzz"), ("jellyfish", "smellyfish"))
+    val got = pairs.toDF("a", "b")
+      .select($"a", $"b",
+        graft.ext.JaroWinklerExpr.jaroWinkler($"a", $"b").as("jw"))
+      .collect()
+    got.foreach { r =>
+      val want = jwModel(r.getString(0), r.getString(1))
+      assert(r.getDouble(2) === want,
+        s"(${r.getString(0)}, ${r.getString(1)})")
+    }
+    // DuckDB-probed absolute anchors
+    val anchor = got.map(r => (r.getString(0), r.getString(1)) ->
+      r.getDouble(2)).toMap
+    assert(math.abs(anchor(("martha", "marhta")) - 0.9611111111111111) < 1e-15)
+    assert(math.abs(anchor(("dixon", "dicksonx")) - 0.8133333333333332) < 1e-15)
+    assert(anchor(("", "")) === 0.0)
+    assert(anchor(("abcdefghij", "abcdzzzzzz")) === 0.6) // no boost ≤ 0.7
+  }
+
+  test("codegen RepetitionStatsExpr ≡ interpreted mode counts on " +
+      "generated pathological text") {
+    val strs = samples(textGen, 200).distinct
+    val rows = strs.toDF("text").select(
+      graft.ext.RepetitionStatsExpr.repetitionStats($"text").as("native"),
+      scale.TextOps.repetitionStatsInterpreted($"text").as("model"))
+      .collect()
+    rows.foreach(r => assert(r.getStruct(0) === r.getStruct(1)))
+  }
 }
