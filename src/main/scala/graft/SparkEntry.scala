@@ -18,6 +18,7 @@ object SparkEntry {
       ops.AdvancedQueries.queries ++
       ops.TemporalJoins.queries ++
       ops.StatsQueries.queries ++
+      ops.InferenceQueries.queries ++
       ops.EvalQueries.queries ++
       ops.FeatureQueries.queries ++
       ops.TypedAndSources.queries ++

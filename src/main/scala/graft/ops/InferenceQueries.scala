@@ -1,0 +1,426 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hypothesis-testing / statistical-inference operators: the decision
+  * layer on top of the drift monitors (q_ks_test, q_psi_drift,
+  * q_mann_whitney) and trend estimators (q_theil_sen, q_lead_lag).
+  * A training-data pipeline uses these to turn "the distributions
+  * look different" into an auditable accept/reject: Welch's t for
+  * mean shifts under unequal variances, Spearman/Kendall for
+  * monotone-trend detection robust to outliers, Kruskal–Wallis for
+  * k-sample location differences without normality, Cramér's V for
+  * association strength between categorical columns.
+  *
+  * Reference analog: the dashboard's comparative panels (ratings by
+  * category / city over time, README.md:16-20) are exactly the
+  * group-comparison questions these tests answer with error control.
+  *
+  * Float discipline (see StatsQueries' header for the full rules):
+  * every cross-row accumulation is an exact BIGINT (cents on the
+  * decimal grid, midranks doubled to stay integral, concordance
+  * counts); doubles appear only per-row on identical integer inputs,
+  * emitted through floor(q·10^k) fixed-point. Where a statistic sums
+  * per-group DOUBLE terms across rows (Kruskal's Σ R²/n, Cramér's
+  * Σ χ²-contribs), the term is floored to fixed-point FIRST and the
+  * sum runs over BIGINTs — "floor-then-sum" — so the accumulation is
+  * order-independent and bit-identical across engines by
+  * construction (a double sum over rows would be partition-order
+  * dependent in Spark).
+  *
+  * 100 TB shapes: Welch/Kruskal/Cramér are one map-side-combinable
+  * groupBy over the fact table collapsing to a handful of rows;
+  * Spearman/Kendall first collapse to per-(type, day) calendar
+  * cardinality, so their windows and pair joins walk days, not
+  * events (the q_eval_auc lesson), and stay flat as event volume
+  * grows — empirically confirmed for this family by the 10× replica
+  * probes (BENCHNOTES round 9).
+  */
+object InferenceQueries {
+
+  /** events → (event_type, cents, is_ref) on the exact cent grid,
+    * the same reference/current split (event_id parity) the KS and
+    * Mann–Whitney monitors use. */
+  private def centsSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        ($"event_id" % 2 === 0).as("is_ref"))
+      .filter($"cents".isNotNull)
+  }
+
+  /** Daily revenue per event type on the exact cent grid — the
+    * calendar-cardinality series the trend tests rank. */
+  private def dailyCents(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("cents"))
+  }
+
+  /** Welch's unequal-variance two-sample t-test per event type —
+    * reference (even event_id) vs current (odd): the parametric
+    * companion to [[StatsQueries]]' Mann–Whitney U. One groupBy
+    * carries all six exact-integer moments (n, Σx, Σx² per side);
+    * the t statistic and Welch–Satterthwaite degrees of freedom are
+    * per-row doubles on those BIGINTs — identical expression trees
+    * in both engines, emitted as floor·1e6 / floor·1e3 fixed-point.
+    * The n·Σx² product is formed in DOUBLE (it overflows int64 at
+    * real volumes); at larger scales the Σx² accumulator itself
+    * moves to decimal(38,0). Shape: one exchange, |types| rows. */
+  private def welchTTest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    centsSplit(s, d)
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"is_ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when($"is_ref", $"cents").otherwise(0L)).as("s_ref"),
+        sum(when($"is_ref", $"cents" * $"cents").otherwise(0L)).as("q_ref"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("n_cur"),
+        sum(when(!$"is_ref", $"cents").otherwise(0L)).as("s_cur"),
+        sum(when(!$"is_ref", $"cents" * $"cents").otherwise(0L)).as("q_cur"))
+      .withColumn("var_ref",
+        ($"n_ref".cast("double") * $"q_ref" -
+          $"s_ref".cast("double") * $"s_ref")
+          / ($"n_ref".cast("double") * ($"n_ref" - 1)))
+      .withColumn("var_cur",
+        ($"n_cur".cast("double") * $"q_cur" -
+          $"s_cur".cast("double") * $"s_cur")
+          / ($"n_cur".cast("double") * ($"n_cur" - 1)))
+      .withColumn("se2", $"var_ref" / $"n_ref" + $"var_cur" / $"n_cur")
+      .select($"event_type", $"n_ref", $"n_cur",
+        expr("s_ref div n_ref").as("mean_ref_cents"),
+        expr("s_cur div n_cur").as("mean_cur_cents"),
+        when($"se2" > 0,
+          floor(($"s_ref".cast("double") / $"n_ref" -
+            $"s_cur".cast("double") / $"n_cur")
+            / sqrt($"se2") * lit(1000000.0))).as("t_e6"),
+        when($"se2" > 0,
+          floor($"se2" * $"se2" /
+            (($"var_ref" / $"n_ref") * ($"var_ref" / $"n_ref")
+              / ($"n_ref" - 1) +
+              ($"var_cur" / $"n_cur") * ($"var_cur" / $"n_cur")
+                / ($"n_cur" - 1)) * lit(1000.0))).as("df_e3"))
+  }
+
+  /** Spearman rank correlation between calendar time and daily
+    * revenue per event type — the rank-based monotone-trend test
+    * (the nonparametric sibling of q_theil_sen's robust slope).
+    * Ranks stay exactly integral by doubling: day ranks are unique
+    * (2·row_number), value ranks use the midrank identity
+    * 2·midrank = 2·rank + g − 1 with g the tie-group size — so all
+    * five Pearson moments over the doubled ranks are exact BIGINTs,
+    * and doubling cancels in the correlation. One double division at
+    * the end, floor·1e6. Shape: windows partition by type over
+    * calendar-cardinality rows — flat in event volume. */
+  private def spearmanTrend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val byDay = W.partitionBy($"event_type").orderBy($"day".asc)
+    val byVal = W.partitionBy($"event_type").orderBy($"cents".asc)
+    val tie = W.partitionBy($"event_type", $"cents")
+    dailyCents(s, d)
+      .select($"event_type",
+        (lit(2L) * row_number().over(byDay)).as("rx2"),
+        (lit(2L) * rank().over(byVal) + count(lit(1)).over(tie) - 1)
+          .as("ry2"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"rx2").as("sx"), sum($"ry2").as("sy"),
+        sum($"rx2" * $"ry2").as("sxy"),
+        sum($"rx2" * $"rx2").as("sxx"),
+        sum($"ry2" * $"ry2").as("syy"))
+      .select($"event_type", $"n_days",
+        when(($"n_days" * $"sxx" - $"sx" * $"sx") > 0 &&
+          ($"n_days" * $"syy" - $"sy" * $"sy") > 0,
+          floor(($"n_days" * $"sxy" - $"sx" * $"sy").cast("double")
+            / sqrt(($"n_days" * $"sxx" - $"sx" * $"sx").cast("double")
+              * ($"n_days" * $"syy" - $"sy" * $"sy").cast("double"))
+            * lit(1000000.0))).as("rho_e6"))
+  }
+
+  /** Kendall's τ-b between calendar time and daily revenue per event
+    * type: exact concordant/discordant/tie counts over all day pairs
+    * — the O(n²) pair fan-out is DAYS², not events² (the q_theil_sen
+    * bound: a year of daily points is ~66k pairs per type at any
+    * event volume). Day ranks have no ties by construction, so
+    * τ-b's denominator is √((n₀−T_y)·n₀). Counts are exact BIGINTs;
+    * one double division, floor·1e6. */
+  private def kendallTau(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dly = dailyCents(s, d)
+    val a = dly.select($"event_type", $"day", $"cents")
+    val b = dly.select($"event_type".as("t2"), $"day".as("day2"),
+      $"cents".as("cents2"))
+    val pairs = a.join(b,
+      $"event_type" === $"t2" && $"day" < $"day2")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"cents2" > $"cents", 1L).otherwise(0L)).as("n_conc"),
+        sum(when($"cents2" < $"cents", 1L).otherwise(0L)).as("n_disc"))
+    val n = dly.groupBy($"event_type").agg(count(lit(1)).as("n_days"))
+    pairs.join(n, "event_type")
+      .select($"event_type", $"n_days", $"n_pairs", $"n_conc", $"n_disc",
+        ($"n_pairs" - $"n_conc" - $"n_disc").as("n_tie_y"),
+        when(($"n_pairs" - ($"n_pairs" - $"n_conc" - $"n_disc")) > 0,
+          floor(($"n_conc" - $"n_disc").cast("double")
+            / sqrt(($"n_pairs" - ($"n_pairs" - $"n_conc" - $"n_disc"))
+              .cast("double") * $"n_pairs")
+            * lit(1000000.0))).as("tau_e6"))
+  }
+
+  /** Kruskal–Wallis H across ALL event types — "does at least one
+    * type's value distribution sit elsewhere?", the k-sample
+    * extension of Mann–Whitney reusing the same midrank machinery,
+    * now ranked GLOBALLY: the cumulative window walks the distinct
+    * cent grid (≤ value-range/0.01 rows at any event volume), never
+    * raw events. Per-type rank sums R2_i = Σ cnt·(2·prev+g+1) are
+    * exact BIGINTs; the Σ R_i²/n_i accumulation floors each term to
+    * an integer first (floor-then-sum — R² exceeds int64 so the
+    * per-term quotient runs in double, identically in both engines),
+    * making the sum order-independent. Emits both the raw H and the
+    * tie-corrected H (tie mass Σ(g³−g) is exact). Single-row out. */
+  private def kruskalWallis(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val cum = W.orderBy($"cents".asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val tc = centsSplit(s, d)
+      .groupBy($"event_type", $"cents")
+      .agg(count(lit(1)).as("cnt"))
+    val grid = tc.groupBy($"cents").agg(sum($"cnt").as("g"))
+      .withColumn("prev", sum($"g").over(cum) - $"g")
+    val ranks = tc.join(grid, "cents")
+      .groupBy($"event_type")
+      .agg(sum($"cnt").as("n_i"),
+        sum($"cnt" * (lit(2L) * $"prev" + $"g" + 1)).as("r2_i"))
+    val ties = grid.agg(
+      sum($"g" * $"g" * $"g" - $"g").as("tie_num"))
+    val h = ranks.agg(
+      sum(floor($"r2_i".cast("double") * $"r2_i" / (lit(4.0) * $"n_i")))
+        .as("h_num"),
+      sum($"n_i").as("n_total"),
+      count(lit(1)).as("k_groups"))
+    h.crossJoin(ties)
+      .select($"n_total", $"k_groups", $"tie_num", $"h_num",
+        floor((lit(12.0) * $"h_num"
+          / ($"n_total".cast("double") * ($"n_total" + 1))
+          - lit(3.0) * ($"n_total" + 1)) * lit(1000000.0)).as("h_e6"),
+        floor((lit(12.0) * $"h_num"
+          / ($"n_total".cast("double") * ($"n_total" + 1))
+          - lit(3.0) * ($"n_total" + 1))
+          / (lit(1.0) - $"tie_num".cast("double")
+            / ($"n_total".cast("double") * $"n_total" * $"n_total"
+              - $"n_total"))
+          * lit(1000000.0)).as("h_corr_e6"))
+  }
+
+  /** Cramér's V between order priority and order status — association
+    * STRENGTH for a categorical×categorical pair, normalizing the χ²
+    * that q_chi_square leaves as per-cell contributions into one
+    * [0,1] effect size. Contingency cells/margins/total come from one
+    * pass (window sums over the |priorities|×|statuses| cell table);
+    * each cell's χ² term is floored to ·1e6 BIGINT before summing
+    * (floor-then-sum, order-independent), then V = √(χ²/(N·(k−1)))
+    * per-row. Shape: one map-side-combinable groupBy, 15-row tail. */
+  private def cramersV(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = Tables.orders(s, d)
+      .groupBy($"o_orderpriority".as("pri"), $"o_orderstatus".as("st"))
+      .agg(count(lit(1)).as("o"))
+      .withColumn("rt", sum($"o").over(W.partitionBy($"pri")))
+      .withColumn("ct", sum($"o").over(W.partitionBy($"st")))
+      .withColumn("n", sum($"o").over(
+        W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    cells
+      .select($"pri", $"st", $"rt", $"ct", $"n",
+        floor(($"o" * $"n" - $"rt" * $"ct").cast("double")
+          * ($"o" * $"n" - $"rt" * $"ct")
+          / ($"n".cast("double") * $"rt" * $"ct")
+          * lit(1000000.0)).as("cell_e6"))
+      .agg(max($"n").as("n"),
+        countDistinct($"pri").as("n_rows"),
+        countDistinct($"st").as("n_cols"),
+        sum($"cell_e6").as("chi2_e6"))
+      .select($"n", $"n_rows", $"n_cols", $"chi2_e6",
+        floor(sqrt(($"chi2_e6".cast("double") / lit(1000000.0))
+          / ($"n".cast("double") * (least($"n_rows", $"n_cols") - 1)))
+          * lit(1000000.0)).as("v_e6"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_welch_ttest", welchTTest, Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents,
+                        event_id % 2 = 0 AS is_ref
+                 FROM events
+                 WHERE value IS NOT NULL),
+      a AS (SELECT event_type,
+                   CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_ref,
+                   CAST(sum(CASE WHEN is_ref THEN cents ELSE 0 END)
+                     AS BIGINT) AS s_ref,
+                   CAST(sum(CASE WHEN is_ref THEN cents * cents ELSE 0
+                            END) AS BIGINT) AS q_ref,
+                   CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END)
+                     AS BIGINT) AS n_cur,
+                   CAST(sum(CASE WHEN is_ref THEN 0 ELSE cents END)
+                     AS BIGINT) AS s_cur,
+                   CAST(sum(CASE WHEN is_ref THEN 0 ELSE cents * cents
+                            END) AS BIGINT) AS q_cur
+            FROM e GROUP BY 1),
+      v AS (SELECT *,
+                   (CAST(n_ref AS DOUBLE) * q_ref
+                      - CAST(s_ref AS DOUBLE) * s_ref)
+                     / (CAST(n_ref AS DOUBLE) * (n_ref - 1)) AS var_ref,
+                   (CAST(n_cur AS DOUBLE) * q_cur
+                      - CAST(s_cur AS DOUBLE) * s_cur)
+                     / (CAST(n_cur AS DOUBLE) * (n_cur - 1)) AS var_cur
+            FROM a),
+      w AS (SELECT *, var_ref / n_ref + var_cur / n_cur AS se2 FROM v)
+      SELECT event_type, n_ref, n_cur,
+             CAST(s_ref // n_ref AS BIGINT) AS mean_ref_cents,
+             CAST(s_cur // n_cur AS BIGINT) AS mean_cur_cents,
+             CASE WHEN se2 > 0 THEN
+               CAST(floor((CAST(s_ref AS DOUBLE) / n_ref
+                           - CAST(s_cur AS DOUBLE) / n_cur)
+                 / sqrt(se2) * 1000000.0) AS BIGINT) END AS t_e6,
+             CASE WHEN se2 > 0 THEN
+               CAST(floor(se2 * se2 /
+                 ((var_ref / n_ref) * (var_ref / n_ref) / (n_ref - 1)
+                  + (var_cur / n_cur) * (var_cur / n_cur) / (n_cur - 1))
+                 * 1000.0) AS BIGINT) END AS df_e3
+      FROM w""")),
+
+    Q("q_spearman_trend", spearmanTrend, Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents
+                 FROM events
+                 WHERE value IS NOT NULL),
+      d AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS cents
+            FROM e GROUP BY 1, 2),
+      r AS (SELECT event_type,
+                   2 * CAST(row_number() OVER (PARTITION BY event_type
+                     ORDER BY day ASC) AS BIGINT) AS rx2,
+                   2 * CAST(rank() OVER (PARTITION BY event_type
+                     ORDER BY cents ASC) AS BIGINT)
+                     + CAST(count(*) OVER (PARTITION BY event_type, cents)
+                       AS BIGINT) - 1 AS ry2
+            FROM d),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(rx2) AS BIGINT) AS sx,
+                   CAST(sum(ry2) AS BIGINT) AS sy,
+                   CAST(sum(rx2 * ry2) AS BIGINT) AS sxy,
+                   CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+                   CAST(sum(ry2 * ry2) AS BIGINT) AS syy
+            FROM r GROUP BY 1)
+      SELECT event_type, n_days,
+             CASE WHEN (n_days * sxx - sx * sx) > 0
+                   AND (n_days * syy - sy * sy) > 0 THEN
+               CAST(floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_days * syy - sy * sy AS DOUBLE))
+                 * 1000000.0) AS BIGINT) END AS rho_e6
+      FROM m""")),
+
+    Q("q_kendall_tau", kendallTau, Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents
+                 FROM events
+                 WHERE value IS NOT NULL),
+      d AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS cents
+            FROM e GROUP BY 1, 2),
+      p AS (SELECT a.event_type,
+                   CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END AS conc,
+                   CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END AS disc
+            FROM d a JOIN d b
+              ON a.event_type = b.event_type AND a.day < b.day),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(conc) AS BIGINT) AS n_conc,
+                   CAST(sum(disc) AS BIGINT) AS n_disc
+            FROM p GROUP BY 1),
+      n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+            FROM d GROUP BY 1)
+      SELECT event_type, n_days, n_pairs, n_conc, n_disc,
+             (n_pairs - n_conc - n_disc) AS n_tie_y,
+             CASE WHEN (n_pairs - (n_pairs - n_conc - n_disc)) > 0 THEN
+               CAST(floor(CAST(n_conc - n_disc AS DOUBLE)
+                 / sqrt(CAST(n_pairs - (n_pairs - n_conc - n_disc)
+                        AS DOUBLE) * n_pairs)
+                 * 1000000.0) AS BIGINT) END AS tau_e6
+      FROM m JOIN n USING (event_type)""")),
+
+    Q("q_kruskal_wallis", kruskalWallis, Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents
+                 FROM events
+                 WHERE value IS NOT NULL),
+      tc AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+             FROM e GROUP BY 1, 2),
+      c AS (SELECT cents, CAST(sum(cnt) AS BIGINT) AS g
+            FROM tc GROUP BY 1),
+      cw AS (SELECT cents, g,
+                    CAST(sum(g) OVER (ORDER BY cents ASC
+                      ROWS UNBOUNDED PRECEDING) - g AS BIGINT) AS prev
+             FROM c),
+      r AS (SELECT tc.event_type, CAST(sum(tc.cnt) AS BIGINT) AS n_i,
+                   CAST(sum(tc.cnt * (2 * cw.prev + cw.g + 1))
+                     AS BIGINT) AS r2_i
+            FROM tc JOIN cw USING (cents) GROUP BY 1),
+      t AS (SELECT CAST(sum(g * g * g - g) AS BIGINT) AS tie_num FROM c),
+      h AS (SELECT CAST(sum(CAST(floor(CAST(r2_i AS DOUBLE) * r2_i
+                     / (4.0 * n_i)) AS BIGINT)) AS BIGINT) AS h_num,
+                   CAST(sum(n_i) AS BIGINT) AS n_total,
+                   CAST(count(*) AS BIGINT) AS k_groups
+            FROM r)
+      SELECT n_total, k_groups, tie_num, h_num,
+             CAST(floor((12.0 * h_num
+               / (CAST(n_total AS DOUBLE) * (n_total + 1))
+               - 3.0 * (n_total + 1)) * 1000000.0) AS BIGINT) AS h_e6,
+             CAST(floor((12.0 * h_num
+               / (CAST(n_total AS DOUBLE) * (n_total + 1))
+               - 3.0 * (n_total + 1))
+               / (1.0 - CAST(tie_num AS DOUBLE)
+                 / (CAST(n_total AS DOUBLE) * n_total * n_total
+                   - n_total))
+               * 1000000.0) AS BIGINT) AS h_corr_e6
+      FROM h CROSS JOIN t""")),
+
+    Q("q_cramers_v", cramersV, Some("""
+      WITH cells AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                            CAST(count(*) AS BIGINT) AS o
+                     FROM orders GROUP BY 1, 2),
+      w AS (SELECT pri, st, o,
+                   CAST(sum(o) OVER (PARTITION BY pri) AS BIGINT) AS rt,
+                   CAST(sum(o) OVER (PARTITION BY st) AS BIGINT) AS ct,
+                   CAST(sum(o) OVER () AS BIGINT) AS n
+            FROM cells),
+      x AS (SELECT n, pri, st,
+                   CAST(floor(CAST(o * n - rt * ct AS DOUBLE)
+                     * (o * n - rt * ct)
+                     / (CAST(n AS DOUBLE) * rt * ct)
+                     * 1000000.0) AS BIGINT) AS cell_e6
+            FROM w),
+      a AS (SELECT CAST(max(n) AS BIGINT) AS n,
+                   CAST(count(DISTINCT pri) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT st) AS BIGINT) AS n_cols,
+                   CAST(sum(cell_e6) AS BIGINT) AS chi2_e6
+            FROM x)
+      SELECT n, n_rows, n_cols, chi2_e6,
+             CAST(floor(sqrt((CAST(chi2_e6 AS DOUBLE) / 1000000.0)
+               / (CAST(n AS DOUBLE) * (least(n_rows, n_cols) - 1)))
+               * 1000000.0) AS BIGINT) AS v_e6
+      FROM a"""))
+  )
+}

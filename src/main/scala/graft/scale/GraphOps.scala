@@ -350,8 +350,137 @@ object GraphOps {
         FROM h$k ORDER BY score_fp DESC, node ASC LIMIT 50)"""
   }
 
+  /** Parts shared by more than this many suppliers are dropped from
+    * the Jaccard candidate join — the df-cap that bounds the per-part
+    * pair fan-out at C(cap,2), exactly the hub-guard LSH banding and
+    * the ER blocker use. Degrees are computed ON the capped graph so
+    * the emitted Jaccard is exact for the graph actually joined. */
+  val JaccardDfCap = 50
+
+  /** Distinct supplier–part incidence pairs — the bipartite edge set
+    * [[edges]] doubles into its undirected form. */
+  private def incidence(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_suppkey".as("sk"), $"l_partkey".as("pk")).distinct()
+  }
+
+  /** Degree assortativity of the bipartite supplier↔part graph: the
+    * Pearson correlation, over edges, between the two endpoint
+    * degrees — do high-degree suppliers connect to popular parts
+    * (assortative, r>0) or to niche ones (disassortative, r<0)? The
+    * structural-mixing summary that tells a sampler whether hub
+    * pruning will disconnect the graph. Degree tables are
+    * NODE-cardinality and join onto the edge list (broadcast under
+    * the [[DefaultBroadcastNodeCap]] argument); all five moment sums
+    * are exact BIGINTs over edges, and only the final correlation
+    * runs in double (n·Σxy exceeds int64, so the cross terms are
+    * formed in double — identical trees both engines), floor·1e6. */
+  private def degreeAssortativity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = incidence(s, d)
+    val ds = li.groupBy($"sk").agg(count(lit(1)).as("dx"))
+    val dp = li.groupBy($"pk").agg(count(lit(1)).as("dy"))
+    li.join(ds, "sk").join(dp, "pk")
+      .agg(count(lit(1)).as("n_edges"),
+        sum($"dx").as("sx"), sum($"dy").as("sy"),
+        sum($"dx" * $"dy").as("sxy"),
+        sum($"dx" * $"dx").as("sxx"),
+        sum($"dy" * $"dy").as("syy"))
+      .select($"n_edges", $"sx", $"sy",
+        when(($"n_edges".cast("double") * $"sxx" -
+          $"sx".cast("double") * $"sx") > 0 &&
+          ($"n_edges".cast("double") * $"syy" -
+            $"sy".cast("double") * $"sy") > 0,
+          floor(($"n_edges".cast("double") * $"sxy" -
+            $"sx".cast("double") * $"sy")
+            / sqrt(($"n_edges".cast("double") * $"sxx" -
+              $"sx".cast("double") * $"sx")
+              * ($"n_edges".cast("double") * $"syy" -
+                $"sy".cast("double") * $"sy"))
+            * lit(1000000.0))).as("assort_e6"))
+  }
+
+  /** Top-20 most similar supplier pairs by Jaccard over their part
+    * sets — node-neighborhood similarity via the co-occurrence join:
+    * candidates are generated ONLY through shared parts (two
+    * suppliers with no common part never meet), and parts above
+    * [[JaccardDfCap]] suppliers are dropped first, bounding the
+    * per-part fan-out at C(cap,2) pairs — the same hub-guard as LSH
+    * banding, so there is no all-pairs path at any scale. The
+    * similarity is the exact rational |A∩B|/(|A|+|B|−|A∩B|) emitted
+    * as integer ppm ((shared·1e6) div union), and the top-20 rides a
+    * TakeOrderedAndProject on the deterministic total order
+    * (jac_ppm desc, supplier ids asc) — no global sort. */
+  private def graphJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = incidence(s, d)
+    val pdeg = li.groupBy($"pk").agg(count(lit(1)).as("pd"))
+    val capped = li.join(pdeg.filter($"pd" <= JaccardDfCap), "pk")
+      .select($"pk", $"sk")
+    val sdeg = capped.groupBy($"sk").agg(count(lit(1)).as("deg"))
+    val pairs = capped.select($"pk", $"sk".as("supp_a"))
+      .join(capped.select($"pk".as("pk2"), $"sk".as("supp_b")),
+        $"pk" === $"pk2" && $"supp_a" < $"supp_b")
+      .groupBy($"supp_a", $"supp_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sdeg.select($"sk".as("supp_a"), $"deg".as("deg_a")), "supp_a")
+      .join(sdeg.select($"sk".as("supp_b"), $"deg".as("deg_b")), "supp_b")
+      .select($"supp_a", $"supp_b", $"shared", $"deg_a", $"deg_b",
+        expr("(shared * 1000000) div (deg_a + deg_b - shared)")
+          .as("jac_ppm"))
+      .orderBy($"jac_ppm".desc, $"supp_a".asc, $"supp_b".asc)
+      .limit(20)
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_pagerank", pagerank, Some(pagerankOracle), headline = true),
+    Q("q_degree_assortativity", degreeAssortativity, Some("""
+      WITH li AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                  FROM lineitem),
+      ds AS (SELECT sk, CAST(count(*) AS BIGINT) AS dx FROM li GROUP BY 1),
+      dp AS (SELECT pk, CAST(count(*) AS BIGINT) AS dy FROM li GROUP BY 1),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(sum(dx) AS BIGINT) AS sx,
+                   CAST(sum(dy) AS BIGINT) AS sy,
+                   CAST(sum(dx * dy) AS BIGINT) AS sxy,
+                   CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                   CAST(sum(dy * dy) AS BIGINT) AS syy
+            FROM li JOIN ds USING (sk) JOIN dp USING (pk))
+      SELECT n_edges, sx, sy,
+             CASE WHEN (CAST(n_edges AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx) > 0
+                   AND (CAST(n_edges AS DOUBLE) * syy
+                        - CAST(sy AS DOUBLE) * sy) > 0 THEN
+               CAST(floor((CAST(n_edges AS DOUBLE) * sxy
+                           - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n_edges AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n_edges AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy))
+                 * 1000000.0) AS BIGINT) END AS assort_e6
+      FROM m""")),
+    Q("q_graph_jaccard", graphJaccard, Some(s"""
+      WITH li AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                  FROM lineitem),
+      pd AS (SELECT pk, count(*) AS pd FROM li GROUP BY 1),
+      ce AS (SELECT li.sk, li.pk FROM li JOIN pd USING (pk)
+             WHERE pd <= $JaccardDfCap),
+      sd AS (SELECT sk, CAST(count(*) AS BIGINT) AS deg
+             FROM ce GROUP BY 1),
+      pr AS (SELECT a.sk AS supp_a, b.sk AS supp_b,
+                    CAST(count(*) AS BIGINT) AS shared
+             FROM ce a JOIN ce b ON a.pk = b.pk AND a.sk < b.sk
+             GROUP BY 1, 2),
+      j AS (SELECT pr.supp_a, pr.supp_b, pr.shared,
+                   da.deg AS deg_a, db.deg AS deg_b,
+                   CAST((pr.shared * 1000000)
+                     // (da.deg + db.deg - pr.shared) AS BIGINT)
+                     AS jac_ppm
+            FROM pr JOIN sd da ON pr.supp_a = da.sk
+                    JOIN sd db ON pr.supp_b = db.sk)
+      SELECT * FROM j
+      ORDER BY jac_ppm DESC, supp_a ASC, supp_b ASC LIMIT 20""")),
     Q("q_hits", hits, Some(hitsOracle)),
     Q("q_triangle_count", triangles, Some("""
       WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk

@@ -1,0 +1,226 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Model checks for the hypothesis-testing operators
+  * (InferenceQueries) and the graph-structure statistics (GraphOps
+  * round-9 additions): each statistic is recomputed brute-force in
+  * plain Scala from the collected base rows and compared
+  * value-for-value against the catalog query — collecting is fine
+  * HERE (tests at sf0.001), never in src/main. */
+class InferenceSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  /** (event_type, cents, is_ref) exactly as the queries derive them —
+    * the cast lives in Spark so the spec replays the STATISTIC, not
+    * the decimal-grid snap (already pinned by the oracle compare). */
+  private lazy val centsRows: Seq[(String, Long, Boolean)] =
+    Tables.events(spark, sf)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        ($"event_id" % 2 === 0).as("is_ref"))
+      .filter($"cents".isNotNull)
+      .as[(String, Long, Boolean)].collect().toSeq
+
+  /** (event_type, day-string, day-total cents). */
+  private lazy val dailyRows: Seq[(String, String, Long)] =
+    Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").cast("string").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day").agg(sum($"cents").as("cents"))
+      .as[(String, String, Long)].collect().toSeq
+
+  test("q_welch_ttest matches a brute-force recompute") {
+    val got = SparkEntry.queries("q_welch_ttest")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val byType = centsRows.groupBy(_._1)
+    assert(got.keySet === byType.keySet)
+    byType.foreach { case (t, rows) =>
+      val ref = rows.filter(_._3).map(_._2)
+      val cur = rows.filterNot(_._3).map(_._2)
+      val (n1, n2) = (ref.size.toLong, cur.size.toLong)
+      val (s1, s2) = (ref.sum, cur.sum)
+      val (q1, q2) = (ref.map(c => c * c).sum, cur.map(c => c * c).sum)
+      val v1 = (n1.toDouble * q1 - s1.toDouble * s1) /
+        (n1.toDouble * (n1 - 1))
+      val v2 = (n2.toDouble * q2 - s2.toDouble * s2) /
+        (n2.toDouble * (n2 - 1))
+      val se2 = v1 / n1 + v2 / n2
+      val tStat = (s1.toDouble / n1 - s2.toDouble / n2) / math.sqrt(se2)
+      val df = se2 * se2 /
+        ((v1 / n1) * (v1 / n1) / (n1 - 1) +
+          (v2 / n2) * (v2 / n2) / (n2 - 1))
+      val r = got(t)
+      assert(r.getAs[Long]("n_ref") === n1)
+      assert(r.getAs[Long]("n_cur") === n2)
+      assert(r.getAs[Long]("mean_ref_cents") === s1 / n1)
+      assert(r.getAs[Long]("mean_cur_cents") === s2 / n2)
+      assert(r.getAs[Long]("t_e6") === math.floor(tStat * 1e6).toLong)
+      assert(r.getAs[Long]("df_e3") === math.floor(df * 1e3).toLong)
+      // Welch df is bounded by min(n1,n2)-1 below and n1+n2-2 above
+      assert(r.getAs[Long]("df_e3") >= (math.min(n1, n2) - 1) * 1000 - 1)
+      assert(r.getAs[Long]("df_e3") <= (n1 + n2 - 2) * 1000)
+    }
+  }
+
+  test("q_spearman_trend matches exact doubled-midrank recompute") {
+    val got = SparkEntry.queries("q_spearman_trend")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    dailyRows.groupBy(_._1).foreach { case (t, rows0) =>
+      val rows = rows0.sortBy(_._2)
+      val n = rows.size.toLong
+      val vals = rows.map(_._3)
+      val rx2 = (1 to rows.size).map(_.toLong * 2)
+      val ry2 = vals.map { v =>
+        val below = vals.count(_ < v).toLong
+        val g = vals.count(_ == v).toLong
+        2 * (below + 1) + g - 1
+      }
+      val (sx, sy) = (rx2.sum, ry2.sum)
+      val sxy = rx2.zip(ry2).map { case (a, b) => a * b }.sum
+      val sxx = rx2.map(a => a * a).sum
+      val syy = ry2.map(a => a * a).sum
+      val num = (n * sxy - sx * sy).toDouble
+      val den = math.sqrt((n * sxx - sx * sx).toDouble *
+        (n * syy - sy * sy).toDouble)
+      val r = got(t)
+      assert(r.getAs[Long]("n_days") === n)
+      assert(r.getAs[Long]("rho_e6") ===
+        math.floor(num / den * 1e6).toLong)
+      assert(math.abs(r.getAs[Long]("rho_e6")) <= 1000000L)
+    }
+  }
+
+  test("q_kendall_tau matches an exact pair-count recompute") {
+    val got = SparkEntry.queries("q_kendall_tau")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    dailyRows.groupBy(_._1).foreach { case (t, rows0) =>
+      val vals = rows0.sortBy(_._2).map(_._3)
+      var (conc, disc, tie) = (0L, 0L, 0L)
+      for (i <- vals.indices; j <- (i + 1) until vals.size) {
+        if (vals(j) > vals(i)) conc += 1
+        else if (vals(j) < vals(i)) disc += 1
+        else tie += 1
+      }
+      val nPairs = conc + disc + tie
+      val tau = (conc - disc).toDouble /
+        math.sqrt((nPairs - tie).toDouble * nPairs)
+      val r = got(t)
+      assert(r.getAs[Long]("n_pairs") === nPairs)
+      assert(r.getAs[Long]("n_conc") === conc)
+      assert(r.getAs[Long]("n_disc") === disc)
+      assert(r.getAs[Long]("n_tie_y") === tie)
+      assert(r.getAs[Long]("tau_e6") === math.floor(tau * 1e6).toLong)
+    }
+  }
+
+  test("q_kruskal_wallis matches exact global-midrank recompute") {
+    val r = SparkEntry.queries("q_kruskal_wallis")(spark, sf).head()
+    val all = centsRows.map(x => (x._1, x._2))
+    val grid = all.map(_._2).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val sorted = grid.keys.toSeq.sorted
+    val prev = sorted.scanLeft(0L)((acc, c) => acc + grid(c))
+      .zip(sorted).map { case (p, c) => c -> p }.toMap
+    val byType = all.groupBy(_._1)
+    val r2 = byType.view.mapValues(_.map { case (_, c) =>
+      2 * prev(c) + grid(c) + 1 }.sum).toMap
+    val nI = byType.view.mapValues(_.size.toLong).toMap
+    val hNum = byType.keys.map(t =>
+      math.floor(r2(t).toDouble * r2(t) / (4.0 * nI(t))).toLong).sum
+    val nTotal = all.size.toLong
+    val tieNum = grid.values.map(g => g * g * g - g).sum
+    val h = 12.0 * hNum / (nTotal.toDouble * (nTotal + 1)) -
+      3.0 * (nTotal + 1)
+    assert(r.getAs[Long]("n_total") === nTotal)
+    assert(r.getAs[Long]("k_groups") === byType.size.toLong)
+    assert(r.getAs[Long]("tie_num") === tieNum)
+    assert(r.getAs[Long]("h_num") === hNum)
+    assert(r.getAs[Long]("h_e6") === math.floor(h * 1e6).toLong)
+    val hCorr = h / (1.0 - tieNum.toDouble /
+      (nTotal.toDouble * nTotal * nTotal - nTotal))
+    assert(r.getAs[Long]("h_corr_e6") === math.floor(hCorr * 1e6).toLong)
+    // tie-corrected H is larger in magnitude whenever ties exist
+    if (tieNum > 0) assert(r.getAs[Long]("h_corr_e6") >=
+      r.getAs[Long]("h_e6"))
+  }
+
+  test("q_cramers_v matches exact contingency recompute, V in [0,1]") {
+    val r = SparkEntry.queries("q_cramers_v")(spark, sf).head()
+    val cells = Tables.orders(spark, sf)
+      .select($"o_orderpriority", $"o_orderstatus")
+      .as[(String, String)].collect().toSeq
+    val n = cells.size.toLong
+    val byCell = cells.groupBy(identity).view.mapValues(_.size.toLong)
+    val rt = cells.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ct = cells.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val chi2e6 = byCell.map { case ((p, st), o) =>
+      val diff = (o * n - rt(p) * ct(st)).toDouble
+      math.floor(diff * (o * n - rt(p) * ct(st)) /
+        (n.toDouble * rt(p) * ct(st)) * 1e6).toLong
+    }.sum
+    assert(r.getAs[Long]("n") === n)
+    assert(r.getAs[Long]("n_rows") === rt.size.toLong)
+    assert(r.getAs[Long]("n_cols") === ct.size.toLong)
+    assert(r.getAs[Long]("chi2_e6") === chi2e6)
+    val k = math.min(rt.size, ct.size).toLong
+    val v = math.sqrt((chi2e6 / 1e6) / (n.toDouble * (k - 1)))
+    assert(r.getAs[Long]("v_e6") === math.floor(v * 1e6).toLong)
+    assert(r.getAs[Long]("v_e6") >= 0L &&
+      r.getAs[Long]("v_e6") <= 1000000L)
+  }
+
+  test("q_degree_assortativity matches exact edge-moment recompute") {
+    val r = SparkEntry.queries("q_degree_assortativity")(spark, sf).head()
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_suppkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val ds = li.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val dp = li.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = li.size.toLong
+    val xs = li.map(e => ds(e._1)); val ys = li.map(e => dp(e._2))
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = li.map(e => ds(e._1) * dp(e._2)).sum
+    val sxx = xs.map(x => x * x).sum
+    val syy = ys.map(y => y * y).sum
+    assert(r.getAs[Long]("n_edges") === n)
+    assert(r.getAs[Long]("sx") === sx)
+    assert(r.getAs[Long]("sy") === sy)
+    val num = n.toDouble * sxy - sx.toDouble * sy
+    val den = math.sqrt((n.toDouble * sxx - sx.toDouble * sx) *
+      (n.toDouble * syy - sy.toDouble * sy))
+    assert(r.getAs[Long]("assort_e6") ===
+      math.floor(num / den * 1e6).toLong)
+    assert(math.abs(r.getAs[Long]("assort_e6")) <= 1000000L)
+  }
+
+  test("q_graph_jaccard matches exact capped-graph recompute") {
+    val got = SparkEntry.queries("q_graph_jaccard")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("supp_a"), r.getAs[Long]("supp_b"),
+        r.getAs[Long]("shared"), r.getAs[Long]("deg_a"),
+        r.getAs[Long]("deg_b"), r.getAs[Long]("jac_ppm"))).toSeq
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_suppkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val pd = li.groupBy(_._2).view.mapValues(_.size).toMap
+    val capped = li.filter(e => pd(e._2) <= scale.GraphOps.JaccardDfCap)
+    val parts = capped.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val sups = parts.keys.toSeq.sorted
+    val allPairs = for {
+      i <- sups.indices; j <- (i + 1) until sups.size
+      a = sups(i); b = sups(j)
+      shared = (parts(a) & parts(b)).size.toLong if shared > 0
+    } yield {
+      val (da, db) = (parts(a).size.toLong, parts(b).size.toLong)
+      (a, b, shared, da, db, shared * 1000000L / (da + db - shared))
+    }
+    val want = allPairs.sortBy(t => (-t._6, t._1, t._2)).take(20)
+    assert(got === want)
+    // every emitted pair genuinely shares a part and jac ≤ 1e6
+    got.foreach(t => assert(t._3 >= 1 && t._6 <= 1000000L))
+  }
+}
