@@ -277,6 +277,44 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(streamed === Array(1L, 2L, 3L))
   }
 
+  test("dedup state eviction: a duplicate id REPLAYED after the " +
+      "watermark expires its state is emitted again (bounded-state " +
+      "contract)") {
+    // dropDuplicatesWithinWatermark trades exactly-once-forever for
+    // bounded state: the id's dedup entry lives only while the
+    // watermark can still admit a duplicate (ts + lateness). This
+    // test pins BOTH sides of that trade: (1) a dup inside the
+    // window is dropped, (2) after the watermark passes ts+lateness
+    // the entry is evicted and a replay of the SAME id re-emits —
+    // the documented divergence from batch dropDuplicates, and the
+    // reason the operator survives 100 TB/day where an unbounded
+    // dedup map OOMs.
+    val in = MemoryStream[Event]
+    val q = dedupedEvents(in.toDF(), lateness = "10 minutes").writeStream
+      .format("memory").queryName("dedup_evict")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 0, 1, "click"))
+      q.processAllAvailable()
+      in.addData(ev(1, 5, 1, "click")) // dup within ts+lateness: dropped
+      q.processAllAvailable()
+      // advance the watermark far beyond id 1's eviction horizon
+      // (ts(0) + 10 min): watermark = 60 − 10 = 50 > 10
+      in.addData(ev(2, 60, 2, "view"))
+      q.processAllAvailable()
+      in.addData(ev(1, 55, 1, "click")) // same id, state evicted → emits
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("dedup_evict").collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"))).sortBy(_._2.getTime)
+    assert(emitted.map(_._1).toSeq === Seq(1L, 1L, 2L),
+      s"expected dup re-admittance after eviction, got: ${emitted.toSeq}")
+    // the admitted replay is the minute-55 one, not the minute-5 dup
+    assert(emitted.filter(_._1 == 1L).map(_._2).toSeq ===
+      Seq(ts(0), ts(55)))
+  }
+
   test("debounce via transformWithState == the oracled batch lag form " +
       "across micro-batch boundaries") {
     val key = "spark.sql.streaming.stateStore.providerClass"
