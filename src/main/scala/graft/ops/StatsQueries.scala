@@ -767,6 +767,110 @@ object StatsQueries {
       .withColumn("ewma_cents", expr("ewma_num div ewma_den"))
   }
 
+  /** How many daily observations the Holt smoother looks back. */
+  val HoltWindow = 8
+
+  /** Holt LINEAR (level + trend) exponential smoothing of daily event
+    * volume with α = 1/2, β = 1/4 — the trend-aware upgrade of
+    * [[ewmaBinary]], chosen so the coupled recursion stays in EXACT
+    * RATIONAL arithmetic: representing (level, trend) at step t as
+    * integers (L, B) over the common denominator D = 8^(t−1), the
+    * updates are the integer recurrences
+    *   L' = 4·(D·x + L + B),  B' = D·x − L + 7·B,  D' = 8·D
+    * (derived from l' = (x + l + b)/2 and b' = (l'−l)/4 + 3b/4), and
+    * the one-step-ahead forecast is the exact rational (L+B)/D. The
+    * fold runs over the ordered [[HoltWindow]]-day frame via a struct
+    * accumulator — Spark `aggregate`, DuckDB `list_reduce` over a
+    * struct-wrapped list, both folding the identical integer
+    * recurrence, so numerator and denominator match bit-for-bit. The
+    * readability forecast_cents divides through floor(double) — the
+    * numerator can exceed 2^53 at extreme day totals, where the
+    * division is still DETERMINISTIC (identical doubles both
+    * engines), just not exact; the emitted num/den pair stays exact
+    * always. Same shape as the EWMA: one daily-rollup exchange, the
+    * window walks calendar days. */
+  private def holtLinear(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val win = W.partitionBy($"event_type").orderBy($"day".asc)
+      .rowsBetween(-(HoltWindow - 1), 0)
+    Tables.events(s, d)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("day_cents"))
+      .withColumn("lastk", collect_list($"day_cents").over(win))
+      .withColumn("st", expr("""
+        aggregate(
+          slice(lastk, 2, size(lastk) - 1),
+          named_struct('l', element_at(lastk, 1), 'b', CAST(0 AS BIGINT),
+                       'd', CAST(1 AS BIGINT)),
+          (acc, x) -> named_struct(
+            'l', 4 * (acc.d * x + acc.l + acc.b),
+            'b', acc.d * x - acc.l + 7 * acc.b,
+            'd', 8 * acc.d))"""))
+      .select($"event_type", $"day", $"day_cents",
+        size($"lastk").cast("long").as("n_window"),
+        ($"st.l" + $"st.b").as("forecast_num"),
+        $"st.d".as("forecast_den"),
+        floor(($"st.l" + $"st.b").cast("double") / $"st.d")
+          .as("forecast_cents"))
+  }
+
+  /** DuckDB replay of [[holtLinear]], generated UNROLLED: DuckDB
+    * 1.0's `list_reduce` with a struct accumulator mis-resolves
+    * accumulator fields from the second step on (probe:
+    * `list_reduce(list_transform([10,20,30], x -> {'a':x,'b':0}),
+    * (acc,e) -> {'a': acc.a+100, 'b': acc.a})` returns b=210 — the
+    * NEW a — where left-fold old-value semantics require 110), so a
+    * coupled two-variable recursion cannot ride a struct fold there.
+    * Instead the k−1 fold steps are emitted as chained CTEs, each
+    * SELECT computing (l', b', d') from the PREVIOUS step's columns
+    * — plain SQL column references with unambiguous old-value
+    * semantics (the unrolled-iteration pattern the PageRank/HITS
+    * oracles established). Rows with fewer than i frame elements
+    * pass through step i unchanged. */
+  private def holtOracle: String = {
+    val steps = (2 to HoltWindow).map { i =>
+      s"""s$i AS (SELECT event_type, day, day_cents, lastk,
+           CASE WHEN len(lastk) >= $i
+                THEN 4 * (d * lastk[$i] + l + b) ELSE l END AS l,
+           CASE WHEN len(lastk) >= $i
+                THEN d * lastk[$i] - l + 7 * b ELSE b END AS b,
+           CASE WHEN len(lastk) >= $i THEN 8 * d ELSE d END AS d
+         FROM s${i - 1})"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents
+                 FROM events
+                 WHERE value IS NOT NULL),
+      dly AS (SELECT event_type, day,
+                     CAST(sum(cents) AS BIGINT) AS day_cents
+              FROM e GROUP BY 1, 2),
+      w AS (SELECT event_type, day, day_cents,
+                   list(day_cents) OVER (PARTITION BY event_type
+                     ORDER BY day ASC
+                     ROWS BETWEEN ${HoltWindow - 1} PRECEDING
+                       AND CURRENT ROW) AS lastk
+            FROM dly),
+      s1 AS (SELECT event_type, day, day_cents, lastk,
+                    CAST(lastk[1] AS BIGINT) AS l,
+                    CAST(0 AS BIGINT) AS b,
+                    CAST(1 AS BIGINT) AS d
+             FROM w),
+      $steps
+      SELECT event_type, day, day_cents,
+             CAST(len(lastk) AS BIGINT) AS n_window,
+             CAST(l + b AS BIGINT) AS forecast_num,
+             CAST(d AS BIGINT) AS forecast_den,
+             CAST(floor(CAST(l + b AS DOUBLE) / d) AS BIGINT)
+               AS forecast_cents
+      FROM s$HoltWindow"""
+  }
+
   /** Rolling window size (days) for [[rollingCorr]]. */
   val RollCorrWindow = 7
 
@@ -1485,6 +1589,8 @@ object StatsQueries {
                // ((CAST(1 AS BIGINT) << len(lastk)) - 1) AS BIGINT)
                AS ewma_cents
       FROM w""")),
+
+    Q("q_holt_linear", holtLinear, Some(holtOracle)),
 
     Q("q_psi_drift", psiDrift, Some("""
       WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx

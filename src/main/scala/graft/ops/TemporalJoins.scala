@@ -235,6 +235,39 @@ object TemporalJoins {
         $"click_id", $"click_ts")
   }
 
+  /** q_multitouch_attribution: LINEAR multi-touch credit — each
+    * purchase's revenue split EQUALLY across every click by the same
+    * user in the preceding hour (the multi-touch generalization of
+    * q_asof_attribution's last-touch and q_range_join_banded's raw
+    * pair table), rolled up by click hour-of-day: "which hours'
+    * clicks drive revenue". Credit stays exact: per-touch share is
+    * the integer (cents·1e6) div n_touch, so the hourly sums are
+    * BIGINT-exact and Σ shares per purchase differs from cents·1e6
+    * only by the division remainder (< n_touch, never invented
+    * revenue). Shape: the pair table comes from the banded equi-join
+    * (never a nested loop), n_touch is a purchase-keyed window over
+    * pairs (bounded by clicks-per-user-hour), and the rollup
+    * collapses map-side to 24 rows. */
+  private def multitouchAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id",
+        $"ts".as("purchase_ts"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    rangeJoin(purchases, clicks, "user_id", "purchase_ts", "click_ts", 3600L)
+      .withColumn("n_touch",
+        count(lit(1)).over(W.partitionBy($"purchase_id")))
+      .select(hour($"click_ts").cast("long").as("click_hour"),
+        expr("(cents * 1000000) div n_touch").as("credit"))
+      .groupBy($"click_hour")
+      .agg(count(lit(1)).as("n_touches"),
+        sum($"credit").as("credit_e6_cents"))
+  }
+
   /** q_asof_forward: for every click, the NEXT purchase at-or-after it
     * by the same user and the wait in µs — the forward mirror of
     * q_asof_attribution (conversion-latency / time-to-next-event
@@ -314,6 +347,27 @@ object TemporalJoins {
        AND p.event_type = 'purchase' AND c.event_type = 'click'
        AND c.ts <= p.ts
        AND c.ts >= p.ts - INTERVAL 1 HOUR""")),
+
+    Q("q_multitouch_attribution", multitouchAttribution, Some("""
+      WITH pr AS (
+        SELECT p.event_id AS purchase_id,
+               CAST(CAST(p.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents,
+               c.ts AS click_ts
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 1 HOUR),
+      n AS (SELECT cents, click_ts,
+                   CAST(count(*) OVER (PARTITION BY purchase_id)
+                     AS BIGINT) AS n_touch
+            FROM pr)
+      SELECT CAST(hour(click_ts) AS BIGINT) AS click_hour,
+             CAST(count(*) AS BIGINT) AS n_touches,
+             CAST(sum((cents * 1000000) // n_touch) AS BIGINT)
+               AS credit_e6_cents
+      FROM n GROUP BY 1""")),
 
     Q("q_asof_forward", asofForward, Some("""
       WITH purch AS (

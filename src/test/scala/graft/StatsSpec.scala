@@ -590,6 +590,45 @@ class StatsSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("q_holt_linear: exact rational (level, trend) fold replay; " +
+      "denominator 8^(n-1), day-one passthrough") {
+    val got = SparkEntry.queries("q_holt_linear")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toString) ->
+        (r.getAs[Long]("n_window"), r.getAs[Long]("forecast_num"),
+          r.getAs[Long]("forecast_den"), r.getAs[Long]("forecast_cents")))
+      .toMap
+    assert(got.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day").agg(sum($"cents").as("day_cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val byType = daily.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(t => t._2 -> t._3)).toMap
+    byType.foreach { case (typ, series) =>
+      series.indices.foreach { i =>
+        val lastK = series.slice(
+          math.max(0, i - ops.StatsQueries.HoltWindow + 1), i + 1)
+          .map(_._2)
+        var (l, b, dd) = (lastK.head, 0L, 1L)
+        lastK.tail.foreach { x =>
+          val (l2, b2) = (4 * (dd * x + l + b), dd * x - l + 7 * b)
+          l = l2; b = b2; dd = 8 * dd
+        }
+        val (nW, num, den, cents) = got((typ, series(i)._1))
+        assert(nW === lastK.size.toLong)
+        assert(num === l + b, s"$typ day $i")
+        assert(den === dd)
+        assert(cents === math.floor((l + b).toDouble / dd).toLong)
+        // day one: no smoothing yet — forecast IS the day total
+        if (i == 0) assert(num === series(i)._2 && den === 1L)
+      }
+    }
+  }
+
   test("q_nelson_aalen: cumulative sums of the hazard cells, keeps " +
       "censoring-only offsets, curve monotone, risk sets decreasing") {
     val na = SparkEntry.queries("q_nelson_aalen")(spark, sf)

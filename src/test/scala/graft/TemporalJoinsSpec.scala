@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{hour, unix_micros}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
@@ -148,6 +149,46 @@ class TemporalJoinsSpec extends AnyFunSuite {
     }
     val shuffles = plan.collect { case e: ShuffleExchangeLike => e }.size
     assert(shuffles === 1, s"expected 1 exchange, got $shuffles:\n$plan")
+  }
+
+  test("q_multitouch_attribution: exact brute recompute; credit is " +
+      "conserved per purchase up to the division remainder") {
+    val got = SparkEntry.queries("q_multitouch_attribution")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("click_hour") ->
+        (r.getAs[Long]("n_touches"), r.getAs[Long]("credit_e6_cents")))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", $"event_id", $"user_id",
+        unix_micros($"ts").as("us"), hour($"ts").cast("long").as("hr"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+    val clicks = ev.filter(_.getAs[String]("event_type") == "click")
+    val purch = ev.filter(_.getAs[String]("event_type") == "purchase")
+    val wUs = 3600L * 1000000L
+    var totalCreditWant = 0L
+    val want = collection.mutable.Map[Long, (Long, Long)]()
+    purch.foreach { p =>
+      val touches = clicks.filter(c =>
+        c.getAs[Long]("user_id") == p.getAs[Long]("user_id") &&
+          c.getAs[Long]("us") <= p.getAs[Long]("us") &&
+          c.getAs[Long]("us") >= p.getAs[Long]("us") - wUs)
+      if (touches.nonEmpty) {
+        val share = p.getAs[Long]("cents") * 1000000L / touches.size
+        // conservation: shares differ from the purchase's credit by
+        // strictly less than one per-touch unit of remainder
+        assert(p.getAs[Long]("cents") * 1000000L -
+          share * touches.size < touches.size)
+        touches.foreach { c =>
+          val h = c.getAs[Long]("hr")
+          val (n0, s0) = want.getOrElse(h, (0L, 0L))
+          want(h) = (n0 + 1, s0 + share)
+          totalCreditWant += share
+        }
+      }
+    }
+    assert(got === want.toMap)
+    assert(got.values.map(_._2).sum === totalCreditWant)
   }
 
   test("q_asof_forward emits one row per click with non-negative waits") {
