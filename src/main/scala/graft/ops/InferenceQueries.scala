@@ -255,6 +255,87 @@ object InferenceQueries {
           * lit(1000000.0)).as("v_e6"))
   }
 
+  /** One-way ANOVA F across event types — the parametric k-sample
+    * companion to [[kruskalWallis]]: is between-group mean spread
+    * large relative to within-group variance? Group moments
+    * (n, Σx, Σx²) are exact BIGINTs from one combinable groupBy;
+    * grand totals ride window sums over the |types|-row table. The
+    * between term n_i(m_i−m)² = (s_i·N − S·n_i)²/(n_i·N²) and within
+    * term q_i − s_i²/n_i are per-group doubles (cross products exceed
+    * int64) floored to e6 BIGINTs and THEN summed — floor-then-sum —
+    * so both sums of squares are order-independent; F is a per-row
+    * double on the floored pair (deterministic by construction,
+    * documented as the floored-inputs F). Single-row out. */
+  private def anovaF(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val g = centsSplit(s, d)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_i"), sum($"cents").as("s_i"),
+        sum($"cents" * $"cents").as("q_i"))
+      .withColumn("n", sum($"n_i").over(all))
+      .withColumn("s", sum($"s_i").over(all))
+      .withColumn("k", count(lit(1)).over(all))
+    g.select($"n", $"k",
+        floor(($"s_i".cast("double") * $"n" - $"s".cast("double") * $"n_i")
+          * ($"s_i".cast("double") * $"n" - $"s".cast("double") * $"n_i")
+          / ($"n_i".cast("double") * $"n" * $"n")).as("ssb_t"),
+        floor($"q_i".cast("double") -
+          $"s_i".cast("double") * $"s_i" / $"n_i").as("ssw_t"))
+      .groupBy($"n", $"k")
+      .agg(sum($"ssb_t").as("ssb_sq"), sum($"ssw_t").as("ssw_sq"))
+      .select($"n".as("n_total"), $"k".as("k_groups"),
+        $"ssb_sq", $"ssw_sq",
+        when($"ssw_sq" > 0,
+          floor(($"ssb_sq".cast("double") / ($"k" - 1))
+            / ($"ssw_sq".cast("double") / ($"n" - $"k"))
+            * lit(1000000.0))).as("f_e6"))
+  }
+
+  /** Brown–Forsythe variance-homogeneity test (Levene with the
+    * MEDIAN center — robust to non-normality): ANOVA on the absolute
+    * deviations from each group's median. Deviations stay exactly
+    * integral by doubling: med2 = 2·median is integral-valued on the
+    * cent grid even for even n (both engines interpolate pos=p·(n−1);
+    * the ·2 product of a half-integral double is exact), so
+    * z = |2·cents − med2| is an exact BIGINT and the ANOVA moments
+    * over z are exact. Same floor-then-sum tail as [[anovaF]].
+    * Shape: one percentile aggregate per group (the q_outlier_iqr
+    * shape — per-group spill, no global sort), broadcast back, one
+    * combinable moment pass. */
+  private def brownForsythe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val base = centsSplit(s, d)
+    val med = base.groupBy($"event_type")
+      .agg((expr("percentile(cents, 0.5D)") * 2).cast("long").as("med2"))
+    val g = base.join(broadcast(med), "event_type")
+      .select($"event_type",
+        abs(lit(2L) * $"cents" - $"med2").as("z"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_i"), sum($"z").as("s_i"),
+        sum($"z" * $"z").as("q_i"))
+      .withColumn("n", sum($"n_i").over(all))
+      .withColumn("s", sum($"s_i").over(all))
+      .withColumn("k", count(lit(1)).over(all))
+    g.select($"n", $"k",
+        floor(($"s_i".cast("double") * $"n" - $"s".cast("double") * $"n_i")
+          * ($"s_i".cast("double") * $"n" - $"s".cast("double") * $"n_i")
+          / ($"n_i".cast("double") * $"n" * $"n")).as("ssb_t"),
+        floor($"q_i".cast("double") -
+          $"s_i".cast("double") * $"s_i" / $"n_i").as("ssw_t"))
+      .groupBy($"n", $"k")
+      .agg(sum($"ssb_t").as("ssb_sq"), sum($"ssw_t").as("ssw_sq"))
+      .select($"n".as("n_total"), $"k".as("k_groups"),
+        $"ssb_sq", $"ssw_sq",
+        when($"ssw_sq" > 0,
+          floor(($"ssb_sq".cast("double") / ($"k" - 1))
+            / ($"ssw_sq".cast("double") / ($"n" - $"k"))
+            * lit(1000000.0))).as("f_e6"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_welch_ttest", welchTTest, Some("""
       WITH e AS (SELECT event_type,
@@ -396,6 +477,79 @@ object InferenceQueries {
                    - n_total))
                * 1000000.0) AS BIGINT) AS h_corr_e6
       FROM h CROSS JOIN t""")),
+
+    Q("q_anova_f", anovaF, Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents
+                 FROM events
+                 WHERE value IS NOT NULL),
+      g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_i,
+                   CAST(sum(cents) AS BIGINT) AS s_i,
+                   CAST(sum(cents * cents) AS BIGINT) AS q_i
+            FROM e GROUP BY 1),
+      w AS (SELECT *, CAST(sum(n_i) OVER () AS BIGINT) AS n,
+                   CAST(sum(s_i) OVER () AS BIGINT) AS s,
+                   CAST(count(*) OVER () AS BIGINT) AS k
+            FROM g),
+      t AS (SELECT n, k,
+                   CAST(floor((CAST(s_i AS DOUBLE) * n
+                               - CAST(s AS DOUBLE) * n_i)
+                     * (CAST(s_i AS DOUBLE) * n - CAST(s AS DOUBLE) * n_i)
+                     / (CAST(n_i AS DOUBLE) * n * n)) AS BIGINT)
+                     AS ssb_t,
+                   CAST(floor(CAST(q_i AS DOUBLE)
+                              - CAST(s_i AS DOUBLE) * s_i / n_i)
+                     AS BIGINT) AS ssw_t
+            FROM w),
+      a AS (SELECT n, k, CAST(sum(ssb_t) AS BIGINT) AS ssb_sq,
+                   CAST(sum(ssw_t) AS BIGINT) AS ssw_sq
+            FROM t GROUP BY 1, 2)
+      SELECT n AS n_total, k AS k_groups, ssb_sq, ssw_sq,
+             CASE WHEN ssw_sq > 0 THEN
+               CAST(floor((CAST(ssb_sq AS DOUBLE) / (k - 1))
+                 / (CAST(ssw_sq AS DOUBLE) / (n - k))
+                 * 1000000.0) AS BIGINT) END AS f_e6
+      FROM a""")),
+
+    Q("q_brown_forsythe", brownForsythe, Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents
+                 FROM events
+                 WHERE value IS NOT NULL),
+      m AS (SELECT event_type,
+                   CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med2
+            FROM e GROUP BY 1),
+      z AS (SELECT e.event_type, abs(2 * e.cents - m.med2) AS z
+            FROM e JOIN m USING (event_type)),
+      g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_i,
+                   CAST(sum(z) AS BIGINT) AS s_i,
+                   CAST(sum(z * z) AS BIGINT) AS q_i
+            FROM z GROUP BY 1),
+      w AS (SELECT *, CAST(sum(n_i) OVER () AS BIGINT) AS n,
+                   CAST(sum(s_i) OVER () AS BIGINT) AS s,
+                   CAST(count(*) OVER () AS BIGINT) AS k
+            FROM g),
+      t AS (SELECT n, k,
+                   CAST(floor((CAST(s_i AS DOUBLE) * n
+                               - CAST(s AS DOUBLE) * n_i)
+                     * (CAST(s_i AS DOUBLE) * n - CAST(s AS DOUBLE) * n_i)
+                     / (CAST(n_i AS DOUBLE) * n * n)) AS BIGINT)
+                     AS ssb_t,
+                   CAST(floor(CAST(q_i AS DOUBLE)
+                              - CAST(s_i AS DOUBLE) * s_i / n_i)
+                     AS BIGINT) AS ssw_t
+            FROM w),
+      a AS (SELECT n, k, CAST(sum(ssb_t) AS BIGINT) AS ssb_sq,
+                   CAST(sum(ssw_t) AS BIGINT) AS ssw_sq
+            FROM t GROUP BY 1, 2)
+      SELECT n AS n_total, k AS k_groups, ssb_sq, ssw_sq,
+             CASE WHEN ssw_sq > 0 THEN
+               CAST(floor((CAST(ssb_sq AS DOUBLE) / (k - 1))
+                 / (CAST(ssw_sq AS DOUBLE) / (n - k))
+                 * 1000000.0) AS BIGINT) END AS f_e6
+      FROM a""")),
 
     Q("q_cramers_v", cramersV, Some("""
       WITH cells AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,

@@ -148,6 +148,56 @@ class InferenceSpec extends AnyFunSuite {
       r.getAs[Long]("h_e6"))
   }
 
+  /** Shared ANOVA tail: floor-then-sum of per-group SSB/SSW terms. */
+  private def anovaTail(groups: Map[String, Seq[Long]])
+      : (Long, Long, Long, Long, Option[Long]) = {
+    val nTotal = groups.values.map(_.size.toLong).sum
+    val sTotal = groups.values.map(_.sum).sum
+    val k = groups.size.toLong
+    val terms = groups.values.map { xs =>
+      val (nI, sI) = (xs.size.toLong, xs.sum)
+      val qI = xs.map(x => x * x).sum
+      val diff = sI.toDouble * nTotal - sTotal.toDouble * nI
+      (math.floor(diff * diff /
+        (nI.toDouble * nTotal * nTotal)).toLong,
+        math.floor(qI.toDouble - sI.toDouble * sI / nI).toLong)
+    }
+    val (ssb, ssw) = (terms.map(_._1).sum, terms.map(_._2).sum)
+    val f = if (ssw > 0) Some(math.floor((ssb.toDouble / (k - 1)) /
+      (ssw.toDouble / (nTotal - k)) * 1e6).toLong) else None
+    (nTotal, k, ssb, ssw, f)
+  }
+
+  test("q_anova_f matches the floor-then-sum brute recompute") {
+    val r = SparkEntry.queries("q_anova_f")(spark, sf).head()
+    val groups = centsRows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val (n, k, ssb, ssw, f) = anovaTail(groups)
+    assert(r.getAs[Long]("n_total") === n)
+    assert(r.getAs[Long]("k_groups") === k)
+    assert(r.getAs[Long]("ssb_sq") === ssb)
+    assert(r.getAs[Long]("ssw_sq") === ssw)
+    assert(Option(r.getAs[Long]("f_e6")) === f)
+    assert(r.getAs[Long]("ssb_sq") >= 0 && r.getAs[Long]("ssw_sq") >= 0)
+  }
+
+  test("q_brown_forsythe matches the median-deviation brute recompute") {
+    val r = SparkEntry.queries("q_brown_forsythe")(spark, sf).head()
+    val groups = centsRows.groupBy(_._1).view.mapValues { rows =>
+      val xs = rows.map(_._2).sorted
+      // pos = 0.5·(n−1) linear interpolation, doubled to stay integral
+      val pos = 0.5 * (xs.size - 1)
+      val (lo, hi) = (xs(pos.toInt), xs(math.ceil(pos).toInt))
+      val med2 = (lo + hi) // 2·median: exact for half-integral medians
+      rows.map(t => math.abs(2 * t._2 - med2))
+    }.toMap
+    val (n, k, ssb, ssw, f) = anovaTail(groups)
+    assert(r.getAs[Long]("n_total") === n)
+    assert(r.getAs[Long]("k_groups") === k)
+    assert(r.getAs[Long]("ssb_sq") === ssb)
+    assert(r.getAs[Long]("ssw_sq") === ssw)
+    assert(Option(r.getAs[Long]("f_e6")) === f)
+  }
+
   test("q_cramers_v matches exact contingency recompute, V in [0,1]") {
     val r = SparkEntry.queries("q_cramers_v")(spark, sf).head()
     val cells = Tables.orders(spark, sf)
