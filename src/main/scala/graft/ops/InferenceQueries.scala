@@ -336,7 +336,204 @@ object InferenceQueries {
             * lit(1000000.0))).as("f_e6"))
   }
 
+  /** Wilson z for the 95 % score interval (two-sided). */
+  val WilsonZ = 1.96
+
+  /** Wilson score interval per event type for the high-value-event
+    * share (value ≥ $100) — the binomial confidence interval that
+    * stays inside [0,1] and behaves at extreme proportions where the
+    * Wald interval collapses (the release-gate statistic for "did
+    * this source's premium share really move?"). Counts (k, n) are
+    * exact from one combinable groupBy; center and half-width are
+    * per-row doubles on those integers (the Welch discipline),
+    * emitted floor·1e6. Shape: one exchange, |types| rows. */
+  private def wilsonCi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val z = WilsonZ
+    val g = Tables.events(s, d)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"cents" >= 10000L, 1L).otherwise(0L)).as("k"))
+      .withColumn("p_hat", $"k".cast("double") / $"n")
+      .withColumn("center",
+        ($"p_hat" + lit(z * z) / (lit(2.0) * $"n"))
+          / (lit(1.0) + lit(z * z) / $"n"))
+      .withColumn("half",
+        lit(z) * sqrt($"p_hat" * (lit(1.0) - $"p_hat") / $"n"
+          + lit(z * z) / (lit(4.0) * $"n" * $"n"))
+          / (lit(1.0) + lit(z * z) / $"n"))
+    g.select($"event_type", $"n", $"k",
+      floor($"p_hat" * lit(1000000.0)).as("p_e6"),
+      floor(($"center" - $"half") * lit(1000000.0)).as("lo_e6"),
+      floor(($"center" + $"half") * lit(1000000.0)).as("hi_e6"))
+  }
+
+  /** Gini coefficient of purchase revenue across users — the
+    * inequality summary ("do 1 % of users drive 90 % of revenue?")
+    * that sizes stratified sampling and loss weighting. Uses the
+    * rank formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx)/(n·Σx) over the
+    * ascending-sorted per-user totals, with the global rank i from
+    * the custom [[graft.ext.GlobalRank]] operator — TeraSort-style
+    * sampled buckets + broadcast offsets, NOT the single-partition
+    * `row_number() OVER (ORDER BY …)` window (the canonical
+    * scale-killer at user cardinality). Everything through num/den is
+    * exact BIGINT; one double division, floor·1e6. Shape: one
+    * combinable per-user rollup, the rank's bucket exchange, then a
+    * scalar aggregate. */
+  private def giniRevenue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables.events(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"user_id").agg(sum($"cents").as("cents"))
+    graft.ext.GlobalRank
+      .withRowNumber(perUser, Seq($"cents", $"user_id"), "i")
+      .agg(count(lit(1)).as("n_users"), sum($"cents").as("total_cents"),
+        sum($"i" * $"cents").as("rank_weighted"))
+      .select($"n_users", $"total_cents",
+        (lit(2L) * $"rank_weighted" - ($"n_users" + 1) * $"total_cents")
+          .as("gini_num"),
+        ($"n_users" * $"total_cents").as("gini_den"))
+      .withColumn("gini_e6",
+        when($"gini_den" > 0,
+          floor($"gini_num".cast("double") / $"gini_den"
+            * lit(1000000.0))))
+  }
+
+  /** Wald–Wolfowitz runs test on the daily revenue delta sign per
+    * event type — "are up-days and down-days randomly interleaved,
+    * or does the series trend/mean-revert?": the randomness
+    * diagnostic read on residuals after q_stl_decompose/q_theil_sen
+    * detrending. Signs, run boundaries (sign ≠ previous sign), and
+    * the (n₊, n₋) counts are exact integers from two lag windows
+    * over the calendar-cardinality daily table; zero-deltas drop
+    * (the standard convention). The normal approximation
+    * z = (R − E[R])/√Var[R] is a per-row double on those integers,
+    * floor·1e6, null-guarded for degenerate one-sided series. */
+  private def runsTest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val byDay = W.partitionBy($"event_type").orderBy($"day".asc)
+    val signs = dailyCents(s, d)
+      .withColumn("prev", lag($"cents", 1).over(byDay))
+      .filter($"prev".isNotNull && $"cents" =!= $"prev")
+      .withColumn("s", when($"cents" > $"prev", 1L).otherwise(-1L))
+      .withColumn("prev_s", lag($"s", 1).over(byDay))
+    signs
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"s" === 1L, 1L).otherwise(0L)).as("n_up"),
+        sum(when($"s" === -1L, 1L).otherwise(0L)).as("n_down"),
+        (sum(when($"prev_s".isNotNull && $"s" =!= $"prev_s", 1L)
+          .otherwise(0L)) + 1L).as("n_runs"))
+      .withColumn("m", lit(2.0) * $"n_up" * $"n_down"
+        / ($"n_up" + $"n_down") + lit(1.0))
+      .withColumn("v", lit(2.0) * $"n_up" * $"n_down"
+        * (lit(2.0) * $"n_up" * $"n_down" - $"n_up" - $"n_down")
+        / (($"n_up" + $"n_down").cast("double")
+          * ($"n_up" + $"n_down")
+          * ($"n_up" + $"n_down" - 1)))
+      .select($"event_type", $"n_up", $"n_down", $"n_runs",
+        when($"n_up" > 0 && $"n_down" > 0 && $"v" > 0,
+          floor(($"n_runs" - $"m") / sqrt($"v") * lit(1000000.0)))
+          .as("z_e6"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_gini_revenue", giniRevenue, Some("""
+      WITH pu AS (SELECT user_id,
+                         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                       AS BIGINT)) AS BIGINT) AS cents
+                  FROM events
+                  WHERE event_type = 'purchase' AND value IS NOT NULL
+                  GROUP BY 1),
+      r AS (SELECT cents,
+                   CAST(row_number() OVER (ORDER BY cents, user_id)
+                     AS BIGINT) AS i
+            FROM pu),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(cents) AS BIGINT) AS total_cents,
+                   CAST(sum(i * cents) AS BIGINT) AS rank_weighted
+            FROM r)
+      SELECT n_users, total_cents,
+             CAST(2 * rank_weighted - (n_users + 1) * total_cents
+               AS BIGINT) AS gini_num,
+             CAST(n_users * total_cents AS BIGINT) AS gini_den,
+             CASE WHEN n_users * total_cents > 0 THEN
+               CAST(floor(CAST(2 * rank_weighted
+                               - (n_users + 1) * total_cents AS DOUBLE)
+                 / (n_users * total_cents) * 1000000.0) AS BIGINT)
+             END AS gini_e6
+      FROM a""")),
+
+    Q("q_runs_test", runsTest, Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents
+                 FROM events
+                 WHERE value IS NOT NULL),
+      d AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS cents
+            FROM e GROUP BY 1, 2),
+      lagd AS (SELECT event_type, day, cents,
+                      lag(cents) OVER (PARTITION BY event_type
+                        ORDER BY day ASC) AS prev
+               FROM d),
+      s AS (SELECT event_type, day,
+                   CASE WHEN cents > prev THEN 1 ELSE -1 END AS s
+            FROM lagd WHERE prev IS NOT NULL AND cents <> prev),
+      s2 AS (SELECT event_type, s,
+                    lag(s) OVER (PARTITION BY event_type
+                      ORDER BY day ASC) AS prev_s
+             FROM s),
+      g AS (SELECT event_type,
+                   CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_up,
+                   CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_down,
+                   CAST(sum(CASE WHEN prev_s IS NOT NULL AND s <> prev_s
+                            THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs
+            FROM s2 GROUP BY 1),
+      mv AS (SELECT *,
+                    2.0 * n_up * n_down / (n_up + n_down) + 1.0 AS m,
+                    2.0 * n_up * n_down
+                      * (2.0 * n_up * n_down - n_up - n_down)
+                      / (CAST(n_up + n_down AS DOUBLE)
+                         * (n_up + n_down) * (n_up + n_down - 1)) AS v
+             FROM g)
+      SELECT event_type, n_up, n_down, n_runs,
+             CASE WHEN n_up > 0 AND n_down > 0 AND v > 0 THEN
+               CAST(floor((n_runs - m) / sqrt(v) * 1000000.0) AS BIGINT)
+             END AS z_e6
+      FROM mv""")),
+
+    Q("q_wilson_ci", wilsonCi, Some(s"""
+      WITH e AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents
+                 FROM events
+                 WHERE value IS NOT NULL),
+      g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN cents >= 10000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS k
+            FROM e GROUP BY 1),
+      w AS (SELECT *, CAST(k AS DOUBLE) / n AS p_hat FROM g),
+      c AS (SELECT *,
+                   (p_hat + ${WilsonZ * WilsonZ} / (2.0 * n))
+                     / (1.0 + ${WilsonZ * WilsonZ} / n) AS center,
+                   $WilsonZ * sqrt(p_hat * (1.0 - p_hat) / n
+                     + ${WilsonZ * WilsonZ} / (4.0 * n * n))
+                     / (1.0 + ${WilsonZ * WilsonZ} / n) AS half
+            FROM w)
+      SELECT event_type, n, k,
+             CAST(floor(p_hat * 1000000.0) AS BIGINT) AS p_e6,
+             CAST(floor((center - half) * 1000000.0) AS BIGINT) AS lo_e6,
+             CAST(floor((center + half) * 1000000.0) AS BIGINT) AS hi_e6
+      FROM c""")),
     Q("q_welch_ttest", welchTTest, Some("""
       WITH e AS (SELECT event_type,
                         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)

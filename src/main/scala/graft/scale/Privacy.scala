@@ -160,7 +160,72 @@ object Privacy {
       .withColumn("anonymous", $"k" >= 5)
   }
 
+  /** ε for the DP histogram release (sensitivity-1 counts → Laplace
+    * scale b = 1/ε = 1). */
+  val DpEpsilon = 1.0
+
+  /** Differentially-private histogram release of event counts per
+    * (event_type, ISO week) — the mechanism a governed pipeline uses
+    * to PUBLISH corpus statistics: each cell's true count gets
+    * Laplace(1/ε) noise (each event lands in exactly one cell, so the
+    * count query has L1 sensitivity 1 and the release is ε-DP per
+    * cell). The noise is SEEDLESS AND DETERMINISTIC, exactly like the
+    * bootstrap's Poisson weights: a Knuth-hash uniform on the 1e-5
+    * grid derived from the cell's rank in (type, week) order, pushed
+    * through the Laplace inverse CDF −sgn(u−½)·ln(1−2|u−½|). The
+    * midpoint offset keeps u in (0,1) so the ln argument is ≥ 1e-5 —
+    * never a log of zero. ln is the only libm call (the q_fdr_bh
+    * precedent: bit-identical across engines on identical doubles),
+    * emitted floor·1e3. True counts ride along for verification; a
+    * real release would drop n_true and u — determinism here is a
+    * TESTING device (replayable by the oracle), a production release
+    * would draw real randomness. Shape: one combinable groupBy to
+    * |types|·|weeks| cells; the rank window runs on that tiny cell
+    * table, never the events. */
+  private def dpHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    Tables.events(s, d)
+      .select($"event_type", weekofyear($"ts").cast("long").as("week"))
+      .groupBy($"event_type", $"week")
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("tid",
+        row_number().over(W.orderBy($"event_type", $"week")).cast("long"))
+      .withColumn("u",
+        ($"tid" * lit(1000003L) * lit(2654435761L))
+          % 4294967296L % 100000L)
+      .withColumn("u01", ($"u".cast("double") + lit(0.5)) / lit(100000.0))
+      .select($"event_type", $"week", $"n_true", $"u",
+        floor(($"n_true" +
+          when($"u01" >= 0.5,
+            -log(lit(1.0) - lit(2.0) * ($"u01" - lit(0.5))) / lit(DpEpsilon))
+            .otherwise(
+              log(lit(1.0) - lit(2.0) * (lit(0.5) - $"u01")) / lit(DpEpsilon)))
+          * lit(1000.0)).as("noisy_e3"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_dp_histogram", dpHistogram, Some("""
+      WITH cells AS (SELECT event_type,
+                            CAST(weekofyear(ts) AS BIGINT) AS week,
+                            CAST(count(*) AS BIGINT) AS n_true
+                     FROM events GROUP BY 1, 2),
+      r AS (SELECT *, CAST(row_number() OVER (ORDER BY event_type, week)
+                        AS BIGINT) AS tid
+            FROM cells),
+      n AS (SELECT *, (tid * 1000003 * 2654435761) % 4294967296
+                        % 100000 AS u
+            FROM r),
+      v AS (SELECT *, (CAST(u AS DOUBLE) + 0.5) / 100000.0 AS u01
+            FROM n)
+      SELECT event_type, week, n_true, CAST(u AS BIGINT) AS u,
+             CAST(floor((n_true +
+               CASE WHEN u01 >= 0.5
+                    THEN -ln(1.0 - 2.0 * (u01 - 0.5)) / 1.0
+                    ELSE ln(1.0 - 2.0 * (0.5 - u01)) / 1.0 END)
+               * 1000.0) AS BIGINT) AS noisy_e3
+      FROM v""")),
+
     Q("q_k_anonymity", kAnonymity, Some("""
       WITH c AS (SELECT c_mktsegment, c_nationkey,
                         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100

@@ -198,6 +198,35 @@ class InferenceSpec extends AnyFunSuite {
     assert(Option(r.getAs[Long]("f_e6")) === f)
   }
 
+  test("q_wilson_ci matches a brute recompute; interval brackets p " +
+      "and stays inside [0,1]") {
+    val rows = SparkEntry.queries("q_wilson_ci")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = centsRows.groupBy(_._1)
+    val z = ops.InferenceQueries.WilsonZ
+    rows.foreach { r =>
+      val xs = byType(r.getAs[String]("event_type")).map(_._2)
+      val n = xs.size.toLong
+      val k = xs.count(_ >= 10000L).toLong
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("k") === k)
+      val pHat = k.toDouble / n
+      val center = (pHat + z * z / (2.0 * n)) / (1.0 + z * z / n)
+      val half = z * math.sqrt(pHat * (1.0 - pHat) / n +
+        z * z / (4.0 * n * n)) / (1.0 + z * z / n)
+      assert(r.getAs[Long]("p_e6") === math.floor(pHat * 1e6).toLong)
+      assert(r.getAs[Long]("lo_e6") ===
+        math.floor((center - half) * 1e6).toLong)
+      assert(r.getAs[Long]("hi_e6") ===
+        math.floor((center + half) * 1e6).toLong)
+      // score interval properties
+      assert(r.getAs[Long]("lo_e6") >= -1L)  // floor can dip 1 ulp unit
+      assert(r.getAs[Long]("hi_e6") <= 1000000L)
+      assert(r.getAs[Long]("lo_e6") <= r.getAs[Long]("p_e6"))
+      assert(r.getAs[Long]("p_e6") <= r.getAs[Long]("hi_e6"))
+    }
+  }
+
   test("q_cramers_v matches exact contingency recompute, V in [0,1]") {
     val r = SparkEntry.queries("q_cramers_v")(spark, sf).head()
     val cells = Tables.orders(spark, sf)
@@ -221,6 +250,88 @@ class InferenceSpec extends AnyFunSuite {
     assert(r.getAs[Long]("v_e6") === math.floor(v * 1e6).toLong)
     assert(r.getAs[Long]("v_e6") >= 0L &&
       r.getAs[Long]("v_e6") <= 1000000L)
+  }
+
+  test("q_gini_revenue matches the exact rank-formula recompute and " +
+      "avoids the single-partition rank window") {
+    val r = SparkEntry.queries("q_gini_revenue")(spark, sf)
+    val row = r.head()
+    val perUser = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"user_id").agg(sum($"cents").as("cents"))
+      .as[(Long, Long)].collect().toSeq
+    val sorted = perUser.sortBy(t => (t._2, t._1)).map(_._2)
+    val n = sorted.size.toLong
+    val total = sorted.sum
+    val rankW = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val num = 2 * rankW - (n + 1) * total
+    assert(row.getAs[Long]("n_users") === n)
+    assert(row.getAs[Long]("total_cents") === total)
+    assert(row.getAs[Long]("gini_num") === num)
+    assert(row.getAs[Long]("gini_den") === n * total)
+    assert(row.getAs[Long]("gini_e6") ===
+      math.floor(num.toDouble / (n * total) * 1e6).toLong)
+    // G ∈ [0, 1) by construction on the ascending sort
+    assert(row.getAs[Long]("gini_e6") >= 0L &&
+      row.getAs[Long]("gini_e6") < 1000000L)
+    // the global rank must NOT come from a single-partition window
+    val plan = r.queryExecution.executedPlan
+    val inner = plan match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    // GlobalRank's offsets path legitimately runs ONE unpartitioned
+    // cumsum — over the #buckets-row COUNT table (an aggregate sits
+    // in its subtree). What must never appear is an unpartitioned
+    // window directly over the user-cardinality data path.
+    val unpartitioned = inner.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    unpartitioned.foreach { w =>
+      val overCounts = w.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate
+          .HashAggregateExec if a.groupingExpressions.nonEmpty => a
+      }.nonEmpty
+      assert(overCounts,
+        s"unpartitioned window over the raw data path: $w")
+    }
+    // and the per-bucket rank window IS partitioned
+    assert(inner.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.nonEmpty => w
+    }.nonEmpty, "expected the bucket-partitioned rank window")
+  }
+
+  test("q_runs_test matches an exact run-count recompute") {
+    val got = SparkEntry.queries("q_runs_test")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    dailyRows.groupBy(_._1).foreach { case (t, rows0) =>
+      val vals = rows0.sortBy(_._2).map(_._3)
+      val signs = vals.zip(vals.tail).collect {
+        case (a, b) if b > a => 1L
+        case (a, b) if b < a => -1L
+      }
+      val nUp = signs.count(_ == 1L).toLong
+      val nDown = signs.count(_ == -1L).toLong
+      val runs = 1L + signs.zip(signs.tail).count(p => p._1 != p._2)
+      val r = got(t)
+      assert(r.getAs[Long]("n_up") === nUp)
+      assert(r.getAs[Long]("n_down") === nDown)
+      assert(r.getAs[Long]("n_runs") === runs)
+      if (nUp > 0 && nDown > 0) {
+        val nn = (nUp + nDown).toDouble
+        val m = 2.0 * nUp * nDown / (nUp + nDown) + 1.0
+        val v = 2.0 * nUp * nDown * (2.0 * nUp * nDown - nUp - nDown) /
+          (nn * (nUp + nDown) * (nUp + nDown - 1))
+        if (v > 0)
+          assert(r.getAs[Long]("z_e6") ===
+            math.floor((runs - m) / math.sqrt(v) * 1e6).toLong)
+      }
+    }
   }
 
   test("q_degree_assortativity matches exact edge-moment recompute") {

@@ -265,6 +265,26 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(weighted - n) < 1e-6 * n)
   }
 
+  test("q_dp_histogram: noise replays the Laplace inverse CDF exactly, " +
+      "counts partition the table, |noise| bounded by b*ln(1e5)") {
+    val rows = SparkEntry.queries("q_dp_histogram")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_true")).sum ===
+      Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val u01 = (r.getAs[Long]("u") + 0.5) / 100000.0
+      val noise = if (u01 >= 0.5) -math.log(1.0 - 2.0 * (u01 - 0.5))
+        else math.log(1.0 - 2.0 * (0.5 - u01))
+      assert(r.getAs[Long]("noisy_e3") ===
+        math.floor((r.getAs[Long]("n_true") + noise) * 1000.0).toLong)
+      // inverse-CDF range: |noise| ≤ b·ln(1e5) on the 1e-5 grid
+      assert(math.abs(noise) <= math.log(100000.0) + 1e-9)
+    }
+    // the uniforms really spread (not all on one side of the median)
+    val signs = rows.map(r => (r.getAs[Long]("u") + 0.5) / 100000.0 >= 0.5)
+    assert(signs.contains(true) && signs.contains(false))
+  }
+
   test("q_k_anonymity: classes partition the table; l bounded by k") {
     val rows = SparkEntry.queries("q_k_anonymity")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("k")).sum ===
