@@ -272,6 +272,35 @@ object PipelineQueries {
         round(sum($"o_totalprice"), 2).as("total"))
   }
 
+  /** q_schema_evolution: the ADD-COLUMN migration read path — two
+    * parquet generations under one root (v=1 without `o_year`, v=2
+    * with it), unified by `mergeSchema=true`: the reader widens every
+    * footer to the union schema and back-fills the missing column
+    * with nulls, which is exactly how a 100 TB lake absorbs schema
+    * drift without rewriting history (per-generation footers are
+    * merged at PLANNING time; the data files are untouched). The
+    * rollup proves both halves: row counts per generation and the
+    * evolved column null-filled precisely for the old generation.
+    * mergeSchema is opt-in because union-ing thousands of footers has
+    * a planning cost — production pins it per-table, as here. */
+  private def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = Tables.scratch(d, "orders_evolve")
+    val base = Tables.orders(s, d)
+    base.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_totalprice")
+      .write.mode("overwrite").parquet(s"$path/v=1")
+    base.filter($"o_orderkey" % 2 =!= 0)
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").cast("long").as("o_year"))
+      .write.mode("overwrite").parquet(s"$path/v=2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy($"v".cast("long").as("v"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"o_year".isNull, 1L).otherwise(0L)).as("n_missing_year"),
+        round(sum($"o_totalprice"), 2).as("total"))
+  }
+
   /** TPC-H Q21-shaped correlated EXISTS / NOT EXISTS ("suppliers who
     * kept the order waiting"): for finished orders, count per supplier
     * the late lineitems where ANOTHER supplier shares the order
@@ -636,6 +665,15 @@ object PipelineQueries {
              round(sum(o_totalprice), 2) AS total
       FROM orders WHERE year(o_orderdate) = 1996
       GROUP BY 1""")),
+
+    Q("q_schema_evolution", schemaEvolution, Some("""
+      SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END
+               AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_missing_year,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY 1""")),
 
     Q("q_exists_waiting", existsWaiting, Some("""
       SELECT s_name, count(*) AS numwait

@@ -227,6 +227,65 @@ object EventStreams {
         OutputMode.Append())
   }
 
+  /** One streaming top-k snapshot row: `seq` is the per-key emission
+    * counter, so a consumer (or the parity spec) can select each
+    * key's LATEST snapshot out of an update-mode sink. */
+  case class TopKEntry(value: Double, event_id: Long)
+  case class TopKState(seq: Long, entries: Seq[TopKEntry])
+  case class TopKRow(event_type: String, seq: Long, rank: Long,
+      event_id: Long, value: Double)
+
+  /** Streaming per-key top-k — the stateful twin of the custom batch
+    * TopKPerKey operator (ext/TopKPerKey.scala): per event type,
+    * maintain the k highest-value events seen so far and re-emit the
+    * full snapshot whenever the key receives rows. State is the
+    * BOUNDED k-entry list per key — O(#keys·k) total, the same
+    * bounded-heap argument that makes the batch operator's
+    * per-partition partial pass safe — so the stream never holds the
+    * corpus. Ties break on (value desc, event_id asc), exactly the
+    * batch operator's total order, which is what makes the parity
+    * assertable. */
+  class TopKProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, Event, TopKRow] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[TopKState] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[TopKState]("topk",
+        org.apache.spark.sql.Encoders.product[TopKState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TopKRow] = {
+      val prev = if (st.exists()) st.get() else TopKState(0L, Nil)
+      val merged = (prev.entries.iterator ++
+        rows.map(e => TopKEntry(e.value, e.event_id))).toIndexedSeq
+        .sortBy(t => (-t.value, t.event_id)).take(k)
+      val next = TopKState(prev.seq + 1, merged)
+      st.update(next)
+      merged.iterator.zipWithIndex.map { case (t, i) =>
+        TopKRow(key, next.seq, (i + 1).toLong, t.event_id, t.value)
+      }
+    }
+  }
+
+  /** Streaming top-k per event type (default k=3); update mode —
+    * each micro-batch re-emits the touched keys' snapshots. */
+  def topKPerType(spark: SparkSession, events: Dataset[Event],
+      k: Int = 3): Dataset[TopKRow] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new TopKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** One CDC change record and the key's materialized fate. */
   case class Change(key: Long, seq: Long, op: String, cents: Long)
   case class KeyFate(key: Long, seq: Long, alive: Boolean, cents: Long)

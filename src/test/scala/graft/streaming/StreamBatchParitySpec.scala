@@ -362,6 +362,60 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming top-k via transformWithState: latest snapshot == " +
+      "batch top-k; state stays k-bounded across micro-batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val all = Seq(
+        ev(1, 0, 1, "click", 5.0), ev(2, 1, 1, "click", 9.0),
+        ev(3, 2, 1, "click", 7.0), ev(4, 3, 1, "click", 9.0),
+        ev(5, 4, 1, "click", 1.0), ev(6, 0, 2, "view", 4.0),
+        ev(7, 1, 2, "view", 2.0))
+      val in = MemoryStream[Event]
+      val q = topKPerType(spark, in.toDS()).writeStream
+        .format("memory").queryName("parity_topk")
+        .outputMode("update").start()
+      try {
+        // split so the k-boundary (9.0 tie and the 7.0 bump) crosses
+        // micro-batches through state
+        in.addData(all.take(3): _*)
+        q.processAllAvailable()
+        in.addData(all.drop(3): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("parity_topk").collect()
+      // per key, the latest snapshot is the max-seq emission
+      val latest = rows.groupBy(_.getAs[String]("event_type"))
+        .view.mapValues { rs =>
+          val maxSeq = rs.map(_.getAs[Long]("seq")).max
+          rs.filter(_.getAs[Long]("seq") == maxSeq)
+            .sortBy(_.getAs[Long]("rank"))
+            .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("event_id"),
+              r.getAs[Double]("value")))
+            .toSeq
+        }.toMap
+      // batch truth: top-3 by (value desc, event_id asc) per type
+      val want = all.groupBy(_.event_type).view.mapValues(
+        _.sortBy(e => (-e.value, e.event_id)).take(3).zipWithIndex
+          .map { case (e, i) => ((i + 1).toLong, e.event_id, e.value) })
+        .toMap
+      assert(latest === want)
+      // tie on 9.0 broke by event_id: id 2 ranks above id 4
+      assert(latest("click").map(_._2) === Seq(2L, 4L, 3L))
+      // every snapshot ever emitted was k-bounded
+      assert(rows.groupBy(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("seq"))).values.forall(_.size <= 3))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("CDC apply: streaming latest-wins state == batch window twin, " +
       "out-of-order old change never overwrites") {
     val changes = Seq(
