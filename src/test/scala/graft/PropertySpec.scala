@@ -435,4 +435,33 @@ class PropertySpec extends AnyFunSuite {
       .collect()
     rows.foreach(r => assert(r.getStruct(0) === r.getStruct(1)))
   }
+
+  test("Holt integer recurrence == exact rational Holt recursion " +
+      "(alpha=1/2, beta=1/4) on random series") {
+    // The q_holt_linear claim: (L, B, D=8^(t-1)) integers satisfy
+    // L/D = level and B/D = trend of the EXACT rational recursion
+    // l' = (x + l + b)/2, b' = (l' - l)/4 + 3b/4. BigDecimal division
+    // by 2 and 4 is exact (finite decimal expansions), so the model
+    // is exact rational arithmetic, not floating point.
+    val seriesGen = for {
+      n <- Gen.choose(1, 8)
+      xs <- Gen.listOfN(n, Gen.choose(-1000000L, 100000000L))
+    } yield xs
+    samples(seriesGen, 300).foreach { xs =>
+      var (l, b, d) = (xs.head, 0L, 1L)
+      xs.tail.foreach { x =>
+        val (l2, b2) = (4 * (d * x + l + b), d * x - l + 7 * b)
+        l = l2; b = b2; d = 8 * d
+      }
+      val two = BigDecimal(2); val four = BigDecimal(4)
+      var lm = BigDecimal(xs.head); var bm = BigDecimal(0)
+      xs.tail.foreach { x =>
+        val lNew = (BigDecimal(x) + lm + bm) / two
+        bm = (lNew - lm) / four + bm * 3 / four
+        lm = lNew
+      }
+      assert(BigDecimal(l) === lm * BigDecimal(d), s"level for $xs")
+      assert(BigDecimal(b) === bm * BigDecimal(d), s"trend for $xs")
+    }
+  }
 }
