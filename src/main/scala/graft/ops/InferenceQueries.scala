@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   * A training-data pipeline uses these to turn "the distributions
   * look different" into an auditable accept/reject: Welch's t for
   * mean shifts under unequal variances, Spearman/Kendall for
-  * monotone-trend detection robust to outliers, Kruskal–Wallis for
-  * k-sample location differences without normality, Cramér's V for
-  * association strength between categorical columns.
+  * monotone-trend detection robust to outliers, Kruskal–Wallis and
+  * one-way ANOVA F for k-sample location differences (rank-based and
+  * parametric), Brown–Forsythe for variance homogeneity, Cramér's V
+  * for association strength between categorical columns, the Wilson
+  * score interval for proportions, the Gini coefficient for
+  * concentration, and the Wald–Wolfowitz runs test for residual
+  * randomness.
   *
   * Reference analog: the dashboard's comparative panels (ratings by
   * category / city over time, README.md:16-20) are exactly the

@@ -17,10 +17,16 @@ object QBench {
     require(runs >= 1, s"runs must be >= 1, got $runs")
     val names = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Scale-probe lever: shuffle.partitions must grow with data
+    // volume (32 is right for sf0.1; a 100× probe wants hundreds so
+    // per-partition sorts/hash-sets fit in memory). Official bench
+    // runs leave this unset — partitions == cpus, the pinned config.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-qbench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
