@@ -340,6 +340,52 @@ object InferenceQueries {
             * lit(1000000.0))).as("f_e6"))
   }
 
+  /** Mood's median test across event types — the most
+    * outlier-robust of the k-sample location tests (only the side of
+    * the GRAND median matters, not magnitude): dichotomize every
+    * value at the global median, then χ² on the k×2 contingency of
+    * (type × above/not-above). The doubled-median trick keeps the
+    * dichotomy exact (med2 = 2·median is integral on the cent grid);
+    * counts and margins are exact BIGINTs, each cell's χ² term is
+    * floored e6 then integer-summed (the Cramér tail). Shape: one
+    * global percentile aggregate (broadcast scalar), one combinable
+    * per-type count pass, |types|×2 cell table. */
+  private def moodMedian(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val base = centsSplit(s, d)
+    val med = base.agg(
+      (expr("percentile(cents, 0.5D)") * 2).cast("long").as("med2"))
+    val counts = base.crossJoin(broadcast(med))
+      .groupBy($"event_type")
+      .agg(sum(when(lit(2L) * $"cents" > $"med2", 1L).otherwise(0L))
+        .as("a"),
+        sum(when(lit(2L) * $"cents" > $"med2", 0L).otherwise(1L))
+          .as("b"))
+      .withColumn("ta", sum($"a").over(
+        W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .withColumn("tb", sum($"b").over(
+        W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .withColumn("n", $"ta" + $"tb")
+    // per-type cell terms for BOTH columns of the k×2 table,
+    // floored e6 then summed
+    counts
+      .select($"event_type", $"a", $"b", $"ta", $"tb", $"n",
+        when($"ta" > 0 && $"tb" > 0,
+          floor(($"a" * $"n" - ($"a" + $"b") * $"ta").cast("double")
+            * ($"a" * $"n" - ($"a" + $"b") * $"ta")
+            / ($"n".cast("double") * ($"a" + $"b") * $"ta")
+            * lit(1000000.0)) +
+            floor(($"b" * $"n" - ($"a" + $"b") * $"tb").cast("double")
+              * ($"b" * $"n" - ($"a" + $"b") * $"tb")
+              / ($"n".cast("double") * ($"a" + $"b") * $"tb")
+              * lit(1000000.0))).as("cell_e6"))
+      .agg(max($"n").as("n_total"),
+        count(lit(1)).as("k_groups"),
+        max($"ta").as("n_above"),
+        sum($"cell_e6").as("chi2_e6"))
+  }
+
   /** Wilson z for the 95 % score interval (two-sided). */
   val WilsonZ = 1.96
 
@@ -514,6 +560,42 @@ object InferenceQueries {
                CAST(floor((n_runs - m) / sqrt(v) * 1000000.0) AS BIGINT)
              END AS z_e6
       FROM mv""")),
+
+    Q("q_mood_median", moodMedian, Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents
+                 FROM events
+                 WHERE value IS NOT NULL),
+      m AS (SELECT CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med2
+            FROM e),
+      g AS (SELECT event_type,
+                   CAST(sum(CASE WHEN 2 * cents > med2 THEN 1 ELSE 0
+                            END) AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN 2 * cents > med2 THEN 0 ELSE 1
+                            END) AS BIGINT) AS b
+            FROM e CROSS JOIN m GROUP BY 1),
+      w AS (SELECT *, CAST(sum(a) OVER () AS BIGINT) AS ta,
+                   CAST(sum(b) OVER () AS BIGINT) AS tb,
+                   CAST(sum(a + b) OVER () AS BIGINT) AS n
+            FROM g),
+      t AS (SELECT n, ta,
+                   CASE WHEN ta > 0 AND tb > 0 THEN
+                     CAST(floor(CAST(a * n - (a + b) * ta AS DOUBLE)
+                       * (a * n - (a + b) * ta)
+                       / (CAST(n AS DOUBLE) * (a + b) * ta)
+                       * 1000000.0) AS BIGINT) +
+                     CAST(floor(CAST(b * n - (a + b) * tb AS DOUBLE)
+                       * (b * n - (a + b) * tb)
+                       / (CAST(n AS DOUBLE) * (a + b) * tb)
+                       * 1000000.0) AS BIGINT)
+                   END AS cell_e6
+            FROM w)
+      SELECT CAST(max(n) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(max(ta) AS BIGINT) AS n_above,
+             CAST(sum(cell_e6) AS BIGINT) AS chi2_e6
+      FROM t""")),
 
     Q("q_wilson_ci", wilsonCi, Some(s"""
       WITH e AS (SELECT event_type,

@@ -198,6 +198,40 @@ class InferenceSpec extends AnyFunSuite {
     assert(Option(r.getAs[Long]("f_e6")) === f)
   }
 
+  test("q_mood_median matches the exact dichotomy recompute") {
+    val r = SparkEntry.queries("q_mood_median")(spark, sf).head()
+    val all = centsRows.map(t => (t._1, t._2))
+    val xs = all.map(_._2).sorted
+    val pos = 0.5 * (xs.size - 1)
+    val med2 = xs(pos.toInt) + xs(math.ceil(pos).toInt)
+    val byType = all.groupBy(_._1)
+    val ab = byType.view.mapValues { rows =>
+      val a = rows.count(t => 2 * t._2 > med2).toLong
+      (a, rows.size.toLong - a)
+    }.toMap
+    val ta = ab.values.map(_._1).sum
+    val tb = ab.values.map(_._2).sum
+    val n = ta + tb
+    val chi2 = ab.values.map { case (a, b) =>
+      val termA = {
+        val d = (a * n - (a + b) * ta).toDouble
+        math.floor(d * (a * n - (a + b) * ta) /
+          (n.toDouble * (a + b) * ta) * 1e6).toLong
+      }
+      val termB = {
+        val d = (b * n - (a + b) * tb).toDouble
+        math.floor(d * (b * n - (a + b) * tb) /
+          (n.toDouble * (a + b) * tb) * 1e6).toLong
+      }
+      termA + termB
+    }.sum
+    assert(r.getAs[Long]("n_total") === n)
+    assert(r.getAs[Long]("k_groups") === byType.size.toLong)
+    assert(r.getAs[Long]("n_above") === ta)
+    assert(r.getAs[Long]("chi2_e6") === chi2)
+    assert(r.getAs[Long]("chi2_e6") >= 0L)
+  }
+
   test("q_wilson_ci matches a brute recompute; interval brackets p " +
       "and stays inside [0,1]") {
     val rows = SparkEntry.queries("q_wilson_ci")(spark, sf).collect()
