@@ -538,6 +538,71 @@ object StatsQueries {
       $"sxy", round(cov / (sqrt(vx) * sqrt(vy)), 6).as("autocorr_lag1"))
   }
 
+  /** Partial autocorrelation (lags 1–3) of the daily revenue series
+    * per event type via the Durbin–Levinson recursion — the AR-order
+    * diagnostic that separates DIRECT lag-k dependence from
+    * correlation inherited through intermediate lags (the companion
+    * q_autocorr/q_feature_lags read before choosing AR features).
+    * Classical ACF about the FULL-series mean: every cross-sum
+    * (Σx, Σx², Σ xₜxₜ₊ₖ and the two alignment partial sums) is an
+    * exact BIGINT from lead-k windows over the calendar-cardinality
+    * table; the covariances, r₁..r₃, and the unrolled φ₂₂/φ₃₃
+    * recursion are per-row doubles written identically in both
+    * engines, floored e6 (Σx² overflows int64 only beyond ~30× this
+    * probe scale — the decimal(38) swap note applies). Lags are
+    * OBSERVATION lags in day order (calendar gaps treated as
+    * adjacent). One daily rollup + one |types|-row tail. */
+  private def pacf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy($"event_type").orderBy($"day".asc)
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+        .as("x"))
+    val led = daily
+      .withColumn("x1", lead($"x", 1).over(w))
+      .withColumn("x2", lead($"x", 2).over(w))
+      .withColumn("x3", lead($"x", 3).over(w))
+    val agg = led.groupBy($"event_type").agg(
+      count(lit(1)).as("n"), sum($"x").as("sxs"),
+      sum($"x" * $"x").as("sxx"),
+      sum($"x" * $"x1").as("sxy1"),
+      sum(when($"x1".isNotNull, $"x")).as("sa1"), sum($"x1").as("sb1"),
+      sum($"x" * $"x2").as("sxy2"),
+      sum(when($"x2".isNotNull, $"x")).as("sa2"), sum($"x2").as("sb2"),
+      sum($"x" * $"x3").as("sxy3"),
+      sum(when($"x3".isNotNull, $"x")).as("sa3"), sum($"x3").as("sb3"))
+      .withColumn("mm", $"sxs".cast("double") / $"n")
+      .withColumn("c0",
+        ($"sxx".cast("double") - $"sxs".cast("double") * $"mm") / $"n")
+      .withColumn("r1", ($"sxy1".cast("double")
+        - $"mm" * ($"sa1" + $"sb1")
+        + ($"n" - 1) * $"mm" * $"mm") / $"n" / $"c0")
+      .withColumn("r2", ($"sxy2".cast("double")
+        - $"mm" * ($"sa2" + $"sb2")
+        + ($"n" - 2) * $"mm" * $"mm") / $"n" / $"c0")
+      .withColumn("r3", ($"sxy3".cast("double")
+        - $"mm" * ($"sa3" + $"sb3")
+        + ($"n" - 3) * $"mm" * $"mm") / $"n" / $"c0")
+      .withColumn("p11", $"r1")
+      .withColumn("den2", lit(1.0) - $"r1" * $"p11")
+      .withColumn("p22", ($"r2" - $"p11" * $"r1") / $"den2")
+      .withColumn("p21", $"p11" - $"p22" * $"p11")
+      .withColumn("den3",
+        lit(1.0) - ($"p21" * $"r1" + $"p22" * $"r2"))
+      .withColumn("p33",
+        ($"r3" - ($"p21" * $"r2" + $"p22" * $"r1")) / $"den3")
+    agg.select($"event_type", $"n".as("n_days"),
+      when($"c0" > 0, floor($"r1" * lit(1000000.0))).as("r1_e6"),
+      when($"c0" > 0, floor($"r2" * lit(1000000.0))).as("r2_e6"),
+      when($"c0" > 0, floor($"r3" * lit(1000000.0))).as("r3_e6"),
+      when($"c0" > 0 && abs($"den2") > 0,
+        floor($"p22" * lit(1000000.0))).as("pacf2_e6"),
+      when($"c0" > 0 && abs($"den2") > 0 && abs($"den3") > 0,
+        floor($"p33" * lit(1000000.0))).as("pacf3_e6"))
+  }
+
   /** Day-of-week seasonality index per metric series — mean of each
     * weekday relative to the series' overall mean, the decomposition
     * diagnostic read before choosing lag features (a strong weekly
@@ -1591,6 +1656,70 @@ object StatsQueries {
       FROM w""")),
 
     Q("q_holt_linear", holtLinear, Some(holtOracle)),
+
+    Q("q_pacf", pacf, Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents
+                 FROM events),
+      d AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS x
+            FROM e GROUP BY 1, 2),
+      l AS (SELECT event_type, x,
+                   lead(x, 1) OVER (PARTITION BY event_type
+                     ORDER BY day ASC) AS x1,
+                   lead(x, 2) OVER (PARTITION BY event_type
+                     ORDER BY day ASC) AS x2,
+                   lead(x, 3) OVER (PARTITION BY event_type
+                     ORDER BY day ASC) AS x3
+            FROM d),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sxs,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(x * x1) AS BIGINT) AS sxy1,
+                   CAST(sum(CASE WHEN x1 IS NOT NULL THEN x END)
+                     AS BIGINT) AS sa1,
+                   CAST(sum(x1) AS BIGINT) AS sb1,
+                   CAST(sum(x * x2) AS BIGINT) AS sxy2,
+                   CAST(sum(CASE WHEN x2 IS NOT NULL THEN x END)
+                     AS BIGINT) AS sa2,
+                   CAST(sum(x2) AS BIGINT) AS sb2,
+                   CAST(sum(x * x3) AS BIGINT) AS sxy3,
+                   CAST(sum(CASE WHEN x3 IS NOT NULL THEN x END)
+                     AS BIGINT) AS sa3,
+                   CAST(sum(x3) AS BIGINT) AS sb3
+            FROM l GROUP BY 1),
+      m AS (SELECT *, CAST(sxs AS DOUBLE) / n AS mm FROM a),
+      c AS (SELECT *,
+                   (CAST(sxx AS DOUBLE) - CAST(sxs AS DOUBLE) * mm)
+                     / n AS c0
+            FROM m),
+      r AS (SELECT *,
+                   (CAST(sxy1 AS DOUBLE) - mm * (sa1 + sb1)
+                     + (n - 1) * mm * mm) / n / c0 AS r1,
+                   (CAST(sxy2 AS DOUBLE) - mm * (sa2 + sb2)
+                     + (n - 2) * mm * mm) / n / c0 AS r2,
+                   (CAST(sxy3 AS DOUBLE) - mm * (sa3 + sb3)
+                     + (n - 3) * mm * mm) / n / c0 AS r3
+            FROM c),
+      p2 AS (SELECT *, r1 AS p11, 1.0 - r1 * r1 AS den2 FROM r),
+      p3 AS (SELECT *, (r2 - p11 * r1) / den2 AS p22 FROM p2),
+      p4 AS (SELECT *, p11 - p22 * p11 AS p21 FROM p3),
+      p5 AS (SELECT *, 1.0 - (p21 * r1 + p22 * r2) AS den3 FROM p4),
+      p6 AS (SELECT *,
+                   (r3 - (p21 * r2 + p22 * r1)) / den3 AS p33
+             FROM p5)
+      SELECT event_type, n AS n_days,
+             CASE WHEN c0 > 0 THEN
+               CAST(floor(r1 * 1000000.0) AS BIGINT) END AS r1_e6,
+             CASE WHEN c0 > 0 THEN
+               CAST(floor(r2 * 1000000.0) AS BIGINT) END AS r2_e6,
+             CASE WHEN c0 > 0 THEN
+               CAST(floor(r3 * 1000000.0) AS BIGINT) END AS r3_e6,
+             CASE WHEN c0 > 0 AND abs(den2) > 0 THEN
+               CAST(floor(p22 * 1000000.0) AS BIGINT) END AS pacf2_e6,
+             CASE WHEN c0 > 0 AND abs(den2) > 0 AND abs(den3) > 0 THEN
+               CAST(floor(p33 * 1000000.0) AS BIGINT) END AS pacf3_e6
+      FROM p6""")),
 
     Q("q_psi_drift", psiDrift, Some("""
       WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx

@@ -649,6 +649,49 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pacf: Durbin-Levinson replay from exact sums; pacf1 == r1; " +
+      "values bounded") {
+    val got = SparkEntry.queries("q_pacf")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+        .as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (t, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      val n = xs.size
+      val mm = xs.sum.toDouble / n
+      val c0 = (xs.map(x => x * x).sum.toDouble -
+        xs.sum.toDouble * mm) / n
+      def rk(k: Int): Double = {
+        val sxy = xs.dropRight(k).zip(xs.drop(k))
+          .map { case (a, b) => a * b }.sum
+        val sa = xs.dropRight(k).sum
+        val sb = xs.drop(k).sum
+        (sxy.toDouble - mm * (sa + sb) + (n - k) * mm * mm) / n / c0
+      }
+      val (r1, r2, r3) = (rk(1), rk(2), rk(3))
+      val p11 = r1
+      val den2 = 1.0 - r1 * p11
+      val p22 = (r2 - p11 * r1) / den2
+      val p21 = p11 - p22 * p11
+      val den3 = 1.0 - (p21 * r1 + p22 * r2)
+      val p33 = (r3 - (p21 * r2 + p22 * r1)) / den3
+      val r = got(t)
+      assert(r.getAs[Long]("n_days") === n.toLong)
+      assert(r.getAs[Long]("r1_e6") === math.floor(r1 * 1e6).toLong)
+      assert(r.getAs[Long]("r2_e6") === math.floor(r2 * 1e6).toLong)
+      assert(r.getAs[Long]("r3_e6") === math.floor(r3 * 1e6).toLong)
+      assert(r.getAs[Long]("pacf2_e6") === math.floor(p22 * 1e6).toLong)
+      assert(r.getAs[Long]("pacf3_e6") === math.floor(p33 * 1e6).toLong)
+      // autocorrelations of a real series stay inside [-1, 1]
+      Seq("r1_e6", "r2_e6", "r3_e6").foreach(c =>
+        assert(math.abs(r.getAs[Long](c)) <= 1000001L))
+    }
+  }
+
   test("q_nelson_aalen: cumulative sums of the hazard cells, keeps " +
       "censoring-only offsets, curve monotone, risk sets decreasing") {
     val na = SparkEntry.queries("q_nelson_aalen")(spark, sf)
