@@ -56,6 +56,108 @@ object Layout {
              min(kb) AS kb_min, max(kb) AS kb_max
       FROM z GROUP BY 1"""
 
+  /** Curve order for the Hilbert key: 10 bits per dimension, matching
+    * [[ZBuckets]] so the two layouts are directly comparable. */
+  val HilbertOrder = 10
+
+  /** df + Hilbert index `hd` of (`xCol`, `yCol`) on the order-`order`
+    * curve — the standard per-bit fold (quadrant digit + rotate), but
+    * UNROLLED into `order` chained projections instead of a loop:
+    * Catalyst fuses them into one whole-stage-codegen stage, so the
+    * "iterative" algorithm runs as straight-line generated code over
+    * the scan, no UDF and no custom Expression needed (tier (a) of
+    * the operator ladder). All arithmetic is integer-exact. */
+  def hilbertIndex(df: DataFrame, xCol: String, yCol: String,
+      order: Int = HilbertOrder): DataFrame = {
+    var cur = df.withColumn("hx", col(xCol))
+      .withColumn("hy", col(yCol)).withColumn("hd", lit(0L))
+    for (i <- (order - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = when(col("hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(col("hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      cur = cur
+        .withColumn("rx", rx).withColumn("ry", ry)
+        .withColumn("hd", col("hd") +
+          lit(s * s) * (lit(3L) * col("rx")).bitwiseXOR(col("ry")))
+        // rotate: if ry==0 (lower half), swap axes, flipping both when
+        // rx==1 — expressed update-style so hx2/hy2 read the PRE-step
+        // hx/hy (each withColumn is its own projection)
+        .withColumn("hx2", when(col("ry") === 0,
+          when(col("rx") === 1, lit(s - 1) - col("hy"))
+            .otherwise(col("hy"))).otherwise(col("hx")))
+        .withColumn("hy2", when(col("ry") === 0,
+          when(col("rx") === 1, lit(s - 1) - col("hx"))
+            .otherwise(col("hx"))).otherwise(col("hy")))
+        .withColumn("hx", col("hx2")).withColumn("hy", col("hy2"))
+        .drop("hx2", "hy2")
+    }
+    cur.drop("rx", "ry", "hx", "hy")
+  }
+
+  /** Hilbert-curve clustering audit — [[zorderLayout]]'s sibling on
+    * the SAME bucketed dimensions, because the Hilbert curve is what
+    * modern clustering implementations moved to after Z-order: every
+    * consecutive pair of cells on the curve is Manhattan-adjacent (no
+    * Z-shape jumps across the space), so equal-width key ranges give
+    * tighter per-file min/max envelopes on both dimensions
+    * (LayoutSpec measures exactly that against the Z-order spans).
+    * Same 64-range rollup shape as the Z-order audit; the DuckDB
+    * oracle replays the per-bit rotate fold as a generated
+    * unrolled-CTE chain (the Holt/PageRank device — SQL column
+    * references give the old-value semantics the rotation needs). */
+  private def hilbertLayout(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ka = pmod($"o_custkey", lit(ZBuckets)).cast("long")
+    val kb = pmod(datediff($"o_orderdate", to_date(lit("1992-01-01"))),
+      lit(ZBuckets)).cast("long")
+    hilbertIndex(
+      Tables.orders(s, d).select($"o_orderkey", ka.as("ka"), kb.as("kb")),
+      "ka", "kb")
+      .withColumn("hrange", shiftright($"hd", 14).cast("long"))
+      .groupBy($"hrange")
+      .agg(count(lit(1)).as("n"),
+        min($"ka").as("ka_min"), max($"ka").as("ka_max"),
+        min($"kb").as("kb_min"), max($"kb").as("kb_max"))
+  }
+
+  private val hilbertOracle: String = {
+    val steps = ((HilbertOrder - 1) to 0 by -1).zipWithIndex.map {
+      case (i, idx) =>
+        val s = 1L << i
+        val prev = if (idx == 0) "k" else s"h$idx"
+        s"""h${idx + 1} AS (
+           SELECT o_orderkey, ka, kb,
+             hd + ${s * s} * xor(
+               3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+               CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END) AS hd,
+             CASE WHEN (hy & $s) = 0 THEN
+               CASE WHEN (hx & $s) > 0 THEN ${s - 1} - hy ELSE hy END
+             ELSE hx END AS hx,
+             CASE WHEN (hy & $s) = 0 THEN
+               CASE WHEN (hx & $s) > 0 THEN ${s - 1} - hx ELSE hx END
+             ELSE hy END AS hy
+           FROM $prev)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH k AS (SELECT o_orderkey,
+                        o_custkey % $ZBuckets AS ka,
+                        date_diff('day', DATE '1992-01-01',
+                                  CAST(o_orderdate AS DATE))
+                          % $ZBuckets AS kb,
+                        o_custkey % $ZBuckets AS hx,
+                        date_diff('day', DATE '1992-01-01',
+                                  CAST(o_orderdate AS DATE))
+                          % $ZBuckets AS hy,
+                        CAST(0 AS BIGINT) AS hd
+                 FROM orders),
+      $steps
+      SELECT hd >> 14 AS hrange,
+             CAST(count(*) AS BIGINT) AS n,
+             min(ka) AS ka_min, max(ka) AS ka_max,
+             min(kb) AS kb_min, max(kb) AS kb_max
+      FROM h$HilbertOrder GROUP BY 1"""
+  }
+
   /** Compaction-bin target size for [[compactionPlan]] (8 KiB demo
     * scale — several bins per partition at every test SF; a production
     * compactor targets 128 MB–1 GB). */
@@ -124,6 +226,7 @@ object Layout {
 
   val queries: Seq[Q] = Seq(
     Q("q_zorder_layout", zorderLayout, Some(zorderOracle)),
+    Q("q_hilbert_layout", hilbertLayout, Some(hilbertOracle)),
 
     Q("q_shard_pack", shardPack, Some(s"""
       WITH w AS (SELECT doc_id,

@@ -59,6 +59,36 @@ class LayoutSpec extends AnyFunSuite {
       s"lexicographic slices should NOT bound the second dim (kb span $lexKb vs z $zKb)")
   }
 
+  test("hilbertIndex: exhaustive order-4 bijection with unit-step " +
+      "adjacency; q_hilbert_layout ranges bound both dims") {
+    // the defining Hilbert property on the full 16×16 grid: every
+    // cell visited exactly once, and CONSECUTIVE indexes are
+    // Manhattan-distance-1 neighbors (z-order jumps, Hilbert never
+    // does — the reason its key ranges give tighter file envelopes)
+    val grid = for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong)
+    val idx = Layout.hilbertIndex(
+      grid.toDF("x", "y"), "x", "y", order = 4)
+      .select($"hd", $"x", $"y")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(idx.map(_._1).toSeq === (0L until 256L))
+    idx.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"non-adjacent step ($x1,$y1)→($x2,$y2)")
+    }
+    // a 2^14-cell sub-curve is confined to a 128×128 quadrant region:
+    // every emitted range spans ≤ 128 cells on BOTH dimensions
+    val rows = graft.SparkEntry.queries("q_hilbert_layout")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n")).sum ===
+      Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ka_max") - r.getAs[Long]("ka_min") <= 127L)
+      assert(r.getAs[Long]("kb_max") - r.getAs[Long]("kb_min") <= 127L)
+    }
+  }
+
   test("dedupSpans: intra-doc, cross-doc, short-doc, and tail semantics") {
     val docs = Seq(
       (1L, "a b c a b c x"),       // chunk 'a b c' repeats in-doc; tail 'x'
