@@ -386,6 +386,39 @@ object InferenceQueries {
         sum($"cell_e6").as("chi2_e6"))
   }
 
+  /** Lorenz curve by revenue decile — [[giniRevenue]]'s companion
+    * that shows WHERE the inequality lives ("the top decile carries
+    * X % of revenue"): users ranked ascending by total purchase
+    * cents, dealt into 10 equal-count deciles via the custom
+    * GlobalRank ntile (no single-partition sort), each decile's
+    * revenue share and cumulative share emitted as exact integer ppm
+    * ((cents·1e6) div total) — no doubles anywhere in this one. */
+  private def lorenzDeciles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"user_id").agg(sum($"cents").as("cents"))
+    val tot = perUser.agg(count(lit(1)).as("n_users"),
+      sum($"cents").as("total_cents"))
+    graft.ext.GlobalRank
+      .withRowNumber(perUser, Seq($"cents", $"user_id"), "i")
+      .crossJoin(broadcast(tot))
+      .withColumn("decile",
+        graft.ext.GlobalRank.ntileFromRn($"i", $"n_users", 10))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_users_d"), sum($"cents").as("cents_d"),
+        max($"total_cents").as("total_cents"))
+      .withColumn("cum_cents", sum($"cents_d").over(
+        W.orderBy($"decile").rowsBetween(W.unboundedPreceding, 0)))
+      .select($"decile", $"n_users_d", $"cents_d",
+        expr("(cents_d * 1000000) div total_cents").as("share_ppm"),
+        expr("(cum_cents * 1000000) div total_cents").as("cum_share_ppm"))
+  }
+
   /** Wilson z for the 95 % score interval (two-sided). */
   val WilsonZ = 1.96
 
@@ -560,6 +593,31 @@ object InferenceQueries {
                CAST(floor((n_runs - m) / sqrt(v) * 1000000.0) AS BIGINT)
              END AS z_e6
       FROM mv""")),
+
+    Q("q_lorenz_deciles", lorenzDeciles, Some("""
+      WITH pu AS (SELECT user_id,
+                         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                       AS BIGINT)) AS BIGINT) AS cents
+                  FROM events
+                  WHERE event_type = 'purchase' AND value IS NOT NULL
+                  GROUP BY 1),
+      t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM pu),
+      r AS (SELECT cents,
+                   CAST(ntile(10) OVER (ORDER BY cents, user_id)
+                     AS BIGINT) AS decile
+            FROM pu),
+      g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users_d,
+                   CAST(sum(cents) AS BIGINT) AS cents_d
+            FROM r GROUP BY 1),
+      c AS (SELECT *, CAST(sum(cents_d) OVER (ORDER BY decile ASC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM g)
+      SELECT decile, n_users_d, cents_d,
+             CAST((cents_d * 1000000) // total_cents AS BIGINT)
+               AS share_ppm,
+             CAST((cum * 1000000) // total_cents AS BIGINT)
+               AS cum_share_ppm
+      FROM c CROSS JOIN t""")),
 
     Q("q_mood_median", moodMedian, Some("""
       WITH e AS (SELECT event_type,

@@ -198,6 +198,42 @@ class InferenceSpec extends AnyFunSuite {
     assert(Option(r.getAs[Long]("f_e6")) === f)
   }
 
+  test("q_lorenz_deciles: convex increasing curve, partitions users " +
+      "and revenue, consistent with the Gini value") {
+    val rows = SparkEntry.queries("q_lorenz_deciles")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq === (1L to 10L))
+    val perUser = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"user_id").agg(sum($"cents").as("cents"))
+      .as[(Long, Long)].collect().toSeq
+    assert(rows.map(_.getAs[Long]("n_users_d")).sum === perUser.size)
+    assert(rows.map(_.getAs[Long]("cents_d")).sum ===
+      perUser.map(_._2).sum)
+    // ascending deal: PER-USER means are non-decreasing (raw decile
+    // shares can dip when n mod 10 deals an early decile one extra
+    // cheap user); exact cross-multiplied compare, no division
+    val means = rows.map(r =>
+      (r.getAs[Long]("cents_d"), r.getAs[Long]("n_users_d")))
+    assert(means.zip(means.tail).forall { case ((c1, n1), (c2, n2)) =>
+      c1 * n2 <= c2 * n1 })
+    val cums = rows.map(_.getAs[Long]("cum_share_ppm"))
+    assert(cums.zip(cums.tail).forall(p => p._1 < p._2))
+    assert(cums.last >= 999990L && cums.last <= 1000000L)
+    // grouping theorem: the decile-trapezoid Gini is a LOWER bound on
+    // the exact per-user Gini (grouping erases within-decile
+    // dispersion; the grouped Lorenz curve dominates the true one)
+    val lorenz = 0.0 +: cums.map(_ / 1e6)
+    val area = lorenz.sliding(2).map(w => (w(0) + w(1)) / 2 * 0.1).sum
+    val giniFromLorenz = 1.0 - 2.0 * area
+    val gini = SparkEntry.queries("q_gini_revenue")(spark, sf)
+      .head().getAs[Long]("gini_e6") / 1e6
+    assert(giniFromLorenz <= gini + 1e-9 && giniFromLorenz >= 0.0 &&
+      gini < 1.0, s"trapezoid $giniFromLorenz vs exact $gini")
+  }
+
   test("q_mood_median matches the exact dichotomy recompute") {
     val r = SparkEntry.queries("q_mood_median")(spark, sf).head()
     val all = centsRows.map(t => (t._1, t._2))
