@@ -280,7 +280,68 @@ object EvalQueries {
       .limit(20)
   }
 
+  /** Decile lift / gains table — the campaign-targeting view of a
+    * scored classifier ("score the corpus, keep the top k %: how much
+    * better than random?"): documents ranked by score DESCENDING into
+    * equal-count deciles (GlobalRank ntile — no single-partition
+    * sort), per decile the positive rate as a LIFT over the base rate
+    * and the cumulative share of all positives captured. Everything
+    * is exact integer ppm — lift = (pos_d·N·1e6) div (n_d·P),
+    * capture = (cum_pos·1e6) div P — zero doubles (the EvalQueries
+    * discipline). Same deterministic score/gold convention as
+    * q_eval_auc (n_chars score, doc_id%3 gold). */
+  private def evalLift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"n_chars".cast("long").as("score"),
+        ($"doc_id" % 3 =!= 0).as("gold"))
+      .withColumn("neg", -$"score")
+    val tot = base.agg(count(lit(1)).as("n_all"),
+      sum(when($"gold", 1L).otherwise(0L)).as("p_all"))
+    graft.ext.GlobalRank
+      .withRowNumber(base, Seq($"neg", $"doc_id"), "i")
+      .crossJoin(broadcast(tot))
+      .withColumn("decile",
+        graft.ext.GlobalRank.ntileFromRn($"i", $"n_all", 10))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_d"),
+        sum(when($"gold", 1L).otherwise(0L)).as("pos_d"),
+        max($"n_all").as("n_all"), max($"p_all").as("p_all"))
+      .withColumn("cum_pos", sum($"pos_d").over(
+        W.orderBy($"decile").rowsBetween(W.unboundedPreceding, 0)))
+      .select($"decile", $"n_d", $"pos_d",
+        expr("(pos_d * n_all * 1000000) div (n_d * p_all)")
+          .as("lift_ppm"),
+        expr("(cum_pos * 1000000) div p_all").as("capture_ppm"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_eval_lift", evalLift, Some("""
+      WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+                        doc_id % 3 <> 0 AS gold
+                 FROM documents),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+                   CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END)
+                     AS BIGINT) AS p_all
+            FROM b),
+      r AS (SELECT gold,
+                   CAST(ntile(10) OVER (ORDER BY score DESC, doc_id ASC)
+                     AS BIGINT) AS decile
+            FROM b),
+      g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_d,
+                   CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END)
+                     AS BIGINT) AS pos_d
+            FROM r GROUP BY 1),
+      c AS (SELECT *, CAST(sum(pos_d) OVER (ORDER BY decile ASC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+            FROM g)
+      SELECT decile, n_d, pos_d,
+             CAST((pos_d * n_all * 1000000) // (n_d * p_all) AS BIGINT)
+               AS lift_ppm,
+             CAST((cum_pos * 1000000) // p_all AS BIGINT)
+               AS capture_ppm
+      FROM c CROSS JOIN t""")),
     Q("q_eval_rrf", rrfFuse, Some("""
       WITH m AS (SELECT l_suppkey,
                         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -164,4 +164,36 @@ class EvalSpec extends AnyFunSuite {
       assert(r === tp.toDouble / nRel && r >= 0.0 && r <= 1.0)
     }
   }
+
+  test("q_eval_lift: deciles partition corpus and positives, capture " +
+      "monotone to 100%, brute decile replay") {
+    val rows = SparkEntry.queries("q_eval_lift")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq === (1L to 10L))
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars".cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    val n = docs.size.toLong
+    val pAll = docs.count(_._1 % 3 != 0).toLong
+    assert(rows.map(_.getAs[Long]("n_d")).sum === n)
+    assert(rows.map(_.getAs[Long]("pos_d")).sum === pAll)
+    // brute replay: sort by (score desc, id asc), SQL-ntile deal
+    val sorted = docs.sortBy(t => (-t._2, t._1))
+    val (q, r) = (n / 10, n % 10)
+    val want = sorted.zipWithIndex.groupBy { case (_, i) =>
+      if (i < r * (q + 1)) i / (q + 1) + 1 else (i - r) / q + 1
+    }.view.mapValues(g =>
+      (g.size.toLong, g.count(_._1._1 % 3 != 0).toLong)).toMap
+    rows.foreach { row =>
+      val d = row.getAs[Long]("decile")
+      assert((row.getAs[Long]("n_d"), row.getAs[Long]("pos_d")) ===
+        want(d.toInt), s"decile $d")
+      assert(row.getAs[Long]("lift_ppm") ===
+        row.getAs[Long]("pos_d") * n * 1000000L /
+          (row.getAs[Long]("n_d") * pAll))
+    }
+    val caps = rows.map(_.getAs[Long]("capture_ppm"))
+    assert(caps.zip(caps.tail).forall(p => p._1 <= p._2))
+    assert(caps.last === 1000000L)
+  }
 }
