@@ -460,7 +460,7 @@ object GraphOps {
                            - CAST(sy AS DOUBLE) * sy))
                  * 1000000.0) AS BIGINT) END AS assort_e6
       FROM m""")),
-    Q("q_graph_jaccard", graphJaccard, Some(s"""
+    Q("q_graph_jaccard", graphJaccard, headline = true, oracle = Some(s"""
       WITH li AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
                   FROM lineitem),
       pd AS (SELECT pk, count(*) AS pd FROM li GROUP BY 1),
