@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RUNTIME-metrics verification — a tier beyond PlanSpec's shape
+  * pins: plans prove a `partial_sum` node EXISTS; these tests prove
+  * the bytes it saved actually stayed off the wire, by measuring
+  * shuffle-write records/bytes through a SparkListener. A regression
+  * that keeps the plan shape but breaks the reduction (e.g. a
+  * high-cardinality key sneaking into a groupBy, or a broadcast
+  * silently degrading to a shuffle join) fails HERE even when every
+  * plan assertion still passes.
+  *
+  * Suites run sequentially in the forked test JVM (no
+  * testForkedParallel), so the listener sees only this spec's jobs;
+  * the listener bus is asynchronous, so readings poll to stability
+  * before asserting.
+  */
+class MetricsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  /** (shuffle-write records, bytes) across all stages of `action`. */
+  private def shuffleOf(action: => Unit): (Long, Long) = {
+    val recs = new java.util.concurrent.atomic.AtomicLong(0)
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onStageCompleted(
+          sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      // the listener bus is async: poll until readings are stable
+      var last = (-1L, -1L)
+      var cur = (recs.get(), bytes.get())
+      var spins = 0
+      while (cur != last && spins < 50) {
+        Thread.sleep(100); last = cur
+        cur = (recs.get(), bytes.get()); spins += 1
+      }
+      cur
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("q_agg_pricing shuffles GROUP partials, not rows: map-side " +
+      "combine measured at the wire") {
+    val inputRows = Tables.lineitem(spark, sf).count()
+    val (recs, _) = shuffleOf {
+      SparkEntry.queries("q_agg_pricing")(spark, sf).collect()
+    }
+    // 4-ish (returnflag, linestatus) groups × at most a few dozen map
+    // tasks of partials — orders of magnitude under the input rows
+    assert(recs > 0, "expected the aggregate to shuffle its partials")
+    assert(recs < inputRows / 10,
+      s"map-side combine broken: $recs shuffle records for " +
+        s"$inputRows input rows")
+    assert(recs <= 512, s"expected ≤ groups×tasks partials, got $recs")
+  }
+
+  test("q_join_mktsegment broadcasts both dims: only aggregate " +
+      "partials cross the wire, never join rows") {
+    val lineitems = Tables.lineitem(spark, sf).count()
+    val (recs, _) = shuffleOf {
+      SparkEntry.queries("q_join_mktsegment")(spark, sf).collect()
+    }
+    // the two dimension joins are broadcast (PlanSpec pins the shape);
+    // HERE we pin the consequence: shuffle traffic is the 5-segment
+    // aggregate's partials, not the joined fact rows
+    assert(recs < lineitems / 10,
+      s"a join side leaked into the shuffle: $recs records")
+    assert(recs <= 512, s"expected ≤ segments×tasks partials, got $recs")
+  }
+
+  test("guard stays honest: a row-preserving repartition DOES " +
+      "shuffle every row") {
+    val n = Tables.orders(spark, sf).count()
+    val (recs, _) = shuffleOf {
+      Tables.orders(spark, sf).repartition(4).count()
+    }
+    // if the measurement machinery under-counted, the two budget
+    // tests above would pass vacuously — prove it counts full volume
+    assert(recs >= n, s"listener undercounts: $recs < $n")
+  }
+}
