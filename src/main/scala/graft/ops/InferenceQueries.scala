@@ -340,6 +340,55 @@ object InferenceQueries {
             * lit(1000000.0))).as("f_e6"))
   }
 
+  /** Two-sample power analysis per event type — the PLANNING half of
+    * [[welchTTest]]: given the observed per-side variances, the
+    * per-group n required to detect a δ = 2 % mean shift at
+    * α = 0.05 / power = 0.80 (z 1.96 / 0.8416), via
+    * n = (s²_ref + s²_cur)·(z_α + z_β)² / δ². Answers "how many more
+    * events must this source log before the drift gate can call a
+    * 2 % move?" — the sizing question asked before waiting on a
+    * verdict. Variances are per-row doubles on the same six exact
+    * BIGINT moments as the t-test; δ is anchored to the pooled mean
+    * (2 % of (s_ref+s_cur)/(n_ref+n_cur), exact integer `div` before
+    * the double tail); emitted as ceil'd whole observations plus the
+    * ratio to the n already on hand (e3 fixed point). */
+  private def powerWelch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val zSum = 1.96 + 0.8416
+    centsSplit(s, d)
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"is_ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when($"is_ref", $"cents").otherwise(0L)).as("s_ref"),
+        sum(when($"is_ref", $"cents" * $"cents").otherwise(0L)).as("q_ref"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("n_cur"),
+        sum(when(!$"is_ref", $"cents").otherwise(0L)).as("s_cur"),
+        sum(when(!$"is_ref", $"cents" * $"cents").otherwise(0L)).as("q_cur"))
+      .withColumn("mean_cents",
+        expr("(s_ref + s_cur) div (n_ref + n_cur)"))
+      .withColumn("delta_cents", expr("(mean_cents * 2) div 100"))
+      .withColumn("var_ref",
+        ($"n_ref".cast("double") * $"q_ref" -
+          $"s_ref".cast("double") * $"s_ref")
+          / ($"n_ref".cast("double") * ($"n_ref" - 1)))
+      .withColumn("var_cur",
+        ($"n_cur".cast("double") * $"q_cur" -
+          $"s_cur".cast("double") * $"s_cur")
+          / ($"n_cur".cast("double") * ($"n_cur" - 1)))
+      .select($"event_type", $"n_ref", $"n_cur", $"mean_cents",
+        $"delta_cents",
+        when($"delta_cents" > 0,
+          ceil(($"var_ref" + $"var_cur") * lit(zSum * zSum)
+            / ($"delta_cents".cast("double") * $"delta_cents")))
+          .as("n_needed"),
+        when($"delta_cents" > 0,
+          floor(ceil(($"var_ref" + $"var_cur") * lit(zSum * zSum)
+            / ($"delta_cents".cast("double") * $"delta_cents"))
+            .cast("double")
+            / (($"n_ref" + $"n_cur").cast("double") / 2)
+            * lit(1000.0))).as("x_current_e3"))
+  }
+
   /** Mood's median test across event types — the most
     * outlier-robust of the k-sample location tests (only the side of
     * the GRAND median matters, not magnitude): dichotomize every
@@ -618,6 +667,55 @@ object InferenceQueries {
              CAST((cum * 1000000) // total_cents AS BIGINT)
                AS cum_share_ppm
       FROM c CROSS JOIN t""")),
+
+    Q("q_power_welch", powerWelch, Some(s"""
+      WITH e AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents,
+                        event_id % 2 = 0 AS is_ref
+                 FROM events
+                 WHERE value IS NOT NULL),
+      a AS (SELECT event_type,
+                   CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_ref,
+                   CAST(sum(CASE WHEN is_ref THEN cents ELSE 0 END)
+                     AS BIGINT) AS s_ref,
+                   CAST(sum(CASE WHEN is_ref THEN cents * cents ELSE 0
+                            END) AS BIGINT) AS q_ref,
+                   CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END)
+                     AS BIGINT) AS n_cur,
+                   CAST(sum(CASE WHEN is_ref THEN 0 ELSE cents END)
+                     AS BIGINT) AS s_cur,
+                   CAST(sum(CASE WHEN is_ref THEN 0 ELSE cents * cents
+                            END) AS BIGINT) AS q_cur
+            FROM e GROUP BY 1),
+      m AS (SELECT *, CAST((s_ref + s_cur) // (n_ref + n_cur)
+                        AS BIGINT) AS mean_cents
+            FROM a),
+      d2 AS (SELECT *, CAST((mean_cents * 2) // 100 AS BIGINT)
+                         AS delta_cents
+             FROM m),
+      v AS (SELECT *,
+                   (CAST(n_ref AS DOUBLE) * q_ref
+                      - CAST(s_ref AS DOUBLE) * s_ref)
+                     / (CAST(n_ref AS DOUBLE) * (n_ref - 1)) AS var_ref,
+                   (CAST(n_cur AS DOUBLE) * q_cur
+                      - CAST(s_cur AS DOUBLE) * s_cur)
+                     / (CAST(n_cur AS DOUBLE) * (n_cur - 1)) AS var_cur
+            FROM d2)
+      SELECT event_type, n_ref, n_cur, mean_cents, delta_cents,
+             CASE WHEN delta_cents > 0 THEN
+               CAST(ceil((var_ref + var_cur) * ${(1.96 + 0.8416) * (1.96 + 0.8416)}
+                 / (CAST(delta_cents AS DOUBLE) * delta_cents))
+                 AS BIGINT) END AS n_needed,
+             CASE WHEN delta_cents > 0 THEN
+               CAST(floor(CAST(CAST(ceil((var_ref + var_cur)
+                   * ${(1.96 + 0.8416) * (1.96 + 0.8416)}
+                   / (CAST(delta_cents AS DOUBLE) * delta_cents))
+                   AS BIGINT) AS DOUBLE)
+                 / (CAST(n_ref + n_cur AS DOUBLE) / 2)
+                 * 1000.0) AS BIGINT) END AS x_current_e3
+      FROM v""")),
 
     Q("q_mood_median", moodMedian, Some("""
       WITH e AS (SELECT event_type,

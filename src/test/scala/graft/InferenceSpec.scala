@@ -234,6 +234,35 @@ class InferenceSpec extends AnyFunSuite {
       gini < 1.0, s"trapezoid $giniFromLorenz vs exact $gini")
   }
 
+  test("q_power_welch matches a brute recompute; bigger detectable " +
+      "effect needs fewer samples") {
+    val got = SparkEntry.queries("q_power_welch")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val zSum = 1.96 + 0.8416
+    centsRows.groupBy(_._1).foreach { case (t, rows) =>
+      val ref = rows.filter(_._3).map(_._2)
+      val cur = rows.filterNot(_._3).map(_._2)
+      val (n1, n2) = (ref.size.toLong, cur.size.toLong)
+      val (s1, s2) = (ref.sum, cur.sum)
+      val mean = (s1 + s2) / (n1 + n2)
+      val delta = mean * 2 / 100
+      val v1 = (n1.toDouble * ref.map(c => c * c).sum -
+        s1.toDouble * s1) / (n1.toDouble * (n1 - 1))
+      val v2 = (n2.toDouble * cur.map(c => c * c).sum -
+        s2.toDouble * s2) / (n2.toDouble * (n2 - 1))
+      val need = math.ceil((v1 + v2) * (zSum * zSum) /
+        (delta.toDouble * delta)).toLong
+      val r = got(t)
+      assert(r.getAs[Long]("mean_cents") === mean)
+      assert(r.getAs[Long]("delta_cents") === delta)
+      assert(r.getAs[Long]("n_needed") === need)
+      assert(r.getAs[Long]("x_current_e3") ===
+        math.floor(need.toDouble / ((n1 + n2).toDouble / 2) * 1e3)
+          .toLong)
+      assert(need > 0)
+    }
+  }
+
   test("q_mood_median matches the exact dichotomy recompute") {
     val r = SparkEntry.queries("q_mood_median")(spark, sf).head()
     val all = centsRows.map(t => (t._1, t._2))
