@@ -468,6 +468,55 @@ object InferenceQueries {
         expr("(cum_cents * 1000000) div total_cents").as("cum_share_ppm"))
   }
 
+  /** SPRT integer boundary: with the symmetric hypotheses
+    * p₀ = 0.45 vs p₁ = 0.55, the per-event log-likelihood-ratio
+    * increments are ±ln(11/9) — equal magnitude — so the cumulative
+    * LLR is S·ln(11/9) with S = Σ(2k−n) an EXACT INTEGER, and Wald's
+    * boundaries ±ln((1−β)/α) = ±ln 19 (α = β = 0.05) become the
+    * integer test |S| ≥ ceil(ln 19 / ln(11/9)) = 15. */
+  val SprtBoundary = 15L
+
+  /** Wald's sequential probability ratio test per event type, replayed
+    * over the daily stream: is the high-value share (cents ≥ $100,
+    * the Wilson convention) running at p₁ = 0.55 rather than
+    * p₀ = 0.45? The sequential gate STOPS at the first day the
+    * evidence crosses a boundary instead of waiting for a fixed-n
+    * verdict — the online counterpart of [[powerWelch]]'s planning.
+    * The symmetric hypothesis pair makes the whole test exact integer
+    * arithmetic (see [[SprtBoundary]]): daily S-increments 2k−n,
+    * cumulative S over calendar windows, first-crossing days via
+    * conditional MIN — no ln in either engine (the boundary constant
+    * is derived once, in the comment). llr_e6 emits S·ln(11/9) for
+    * readability only. */
+  private def sprt(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val cum = W.partitionBy($"event_type").orderBy($"day".asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val lnRatio = math.log(11.0 / 9.0)
+    Tables.events(s, d)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day")
+      .agg((lit(2L) * sum(when($"cents" >= 10000L, 1L).otherwise(0L))
+        - count(lit(1))).as("s_day"))
+      .withColumn("s_cum", sum($"s_day").over(cum))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"s_day").as("s_final"),
+        min(when($"s_cum" >= SprtBoundary, $"day")).as("d_hi"),
+        min(when($"s_cum" <= -SprtBoundary, $"day")).as("d_lo"))
+      .select($"event_type", $"n_days", $"s_final",
+        floor($"s_final".cast("double") * lit(lnRatio) * lit(1000000.0))
+          .as("llr_e6"),
+        when($"d_hi".isNotNull && ($"d_lo".isNull || $"d_hi" <= $"d_lo"),
+          lit("accept_h1"))
+          .when($"d_lo".isNotNull, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"),
+        least($"d_hi", $"d_lo").as("decision_day"))
+  }
+
   /** Wilson z for the 95 % score interval (two-sided). */
   val WilsonZ = 1.96
 
@@ -667,6 +716,42 @@ object InferenceQueries {
              CAST((cum * 1000000) // total_cents AS BIGINT)
                AS cum_share_ppm
       FROM c CROSS JOIN t""")),
+
+    Q("q_sprt", sprt, Some(s"""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents
+                 FROM events
+                 WHERE value IS NOT NULL),
+      dly AS (SELECT event_type, day,
+                     CAST(2 * sum(CASE WHEN cents >= 10000 THEN 1
+                                       ELSE 0 END) - count(*)
+                       AS BIGINT) AS s_day
+              FROM e GROUP BY 1, 2),
+      c AS (SELECT event_type, day, s_day,
+                   CAST(sum(s_day) OVER (PARTITION BY event_type
+                     ORDER BY day ASC ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS s_cum
+            FROM dly),
+      a AS (SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(s_day) AS BIGINT) AS s_final,
+                   min(CASE WHEN s_cum >= $SprtBoundary THEN day END)
+                     AS d_hi,
+                   min(CASE WHEN s_cum <= -$SprtBoundary THEN day END)
+                     AS d_lo
+            FROM c GROUP BY 1)
+      SELECT event_type, n_days, s_final,
+             CAST(floor(CAST(s_final AS DOUBLE)
+               * ${math.log(11.0 / 9.0)} * 1000000.0) AS BIGINT)
+               AS llr_e6,
+             CASE WHEN d_hi IS NOT NULL
+                   AND (d_lo IS NULL OR d_hi <= d_lo)
+                  THEN 'accept_h1'
+                  WHEN d_lo IS NOT NULL THEN 'accept_h0'
+                  ELSE 'continue' END AS decision,
+             least(d_hi, d_lo) AS decision_day
+      FROM a""")),
 
     Q("q_power_welch", powerWelch, Some(s"""
       WITH e AS (SELECT event_type,

@@ -234,6 +234,43 @@ class InferenceSpec extends AnyFunSuite {
       gini < 1.0, s"trapezoid $giniFromLorenz vs exact $gini")
   }
 
+  test("q_sprt matches an exact sequential replay; decision is the " +
+      "FIRST boundary crossing") {
+    val got = SparkEntry.queries("q_sprt")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val b = ops.InferenceQueries.SprtBoundary
+    Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").cast("string").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(String, String, Long)].collect().toSeq
+      .groupBy(_._1).foreach { case (t, rows) =>
+        val daily = rows.groupBy(_._2).view.mapValues { dr =>
+          2L * dr.count(_._3 >= 10000L) - dr.size
+        }.toSeq.sortBy(_._1)
+        var s = 0L
+        var dHi: Option[String] = None
+        var dLo: Option[String] = None
+        daily.foreach { case (day, inc) =>
+          s += inc
+          if (s >= b && dHi.isEmpty) dHi = Some(day)
+          if (s <= -b && dLo.isEmpty) dLo = Some(day)
+        }
+        val decision =
+          if (dHi.isDefined && (dLo.isEmpty || dHi.get <= dLo.get))
+            "accept_h1"
+          else if (dLo.isDefined) "accept_h0" else "continue"
+        val r = got(t)
+        assert(r.getAs[Long]("n_days") === daily.size.toLong)
+        assert(r.getAs[Long]("s_final") === s)
+        assert(r.getAs[String]("decision") === decision, s"type $t")
+        val gotDay = Option(r.getAs[java.sql.Date]("decision_day"))
+          .map(_.toString)
+        assert(gotDay === (dHi.toSeq ++ dLo.toSeq).sorted.headOption)
+        assert(r.getAs[Long]("llr_e6") ===
+          math.floor(s.toDouble * math.log(11.0 / 9.0) * 1e6).toLong)
+      }
+  }
+
   test("q_power_welch matches a brute recompute; bigger detectable " +
       "effect needs fewer samples") {
     val got = SparkEntry.queries("q_power_welch")(spark, sf).collect()

@@ -78,6 +78,31 @@ class MetricsSpec extends AnyFunSuite {
     assert(recs <= 512, s"expected ≤ segments×tasks partials, got $recs")
   }
 
+  test("headline aggregates run spill-free at the test SF") {
+    val spillMem = new java.util.concurrent.atomic.AtomicLong(0)
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onStageCompleted(
+          sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Seq("q_agg_pricing", "q_join_mktsegment", "q_star_join",
+        "q_master_pipeline")
+        .foreach(n => SparkEntry.queries(n)(spark, sf).collect())
+      Thread.sleep(1000) // drain the async bus
+      assert(spillMem.get() === 0L && spillDisk.get() === 0L,
+        s"unexpected spill: mem=${spillMem.get} disk=${spillDisk.get}" +
+          " — partitions no longer fit memory at the test SF")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("guard stays honest: a row-preserving repartition DOES " +
       "shuffle every row") {
     val n = Tables.orders(spark, sf).count()
