@@ -33,6 +33,28 @@ class InferenceSpec extends AnyFunSuite {
       .groupBy($"event_type", $"day").agg(sum($"cents").as("cents"))
       .as[(String, String, Long)].collect().toSeq
 
+  test("floor-then-sum family is bit-identical under a different " +
+      "shuffle partitioning (order-independence holds at the wire)") {
+    // the central determinism claim: per-group double terms are
+    // floored to BIGINT BEFORE summing, so re-partitioning (which
+    // changes double-accumulation order in a naive formulation) must
+    // not move a single cell
+    val names = Seq("q_anova_f", "q_brown_forsythe", "q_kruskal_wallis",
+      "q_cramers_v", "q_mood_median", "q_dp_histogram", "q_gini_revenue")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    def snap(): Map[String, Set[String]] = names.map { n =>
+      n -> SparkEntry.queries(n)(spark, sf).collect()
+        .map(_.toString).toSet
+    }.toMap
+    val base = snap()
+    try {
+      spark.conf.set(key, "7")
+      val odd = snap()
+      names.foreach(n => assert(odd(n) === base(n), s"$n diverged"))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q_welch_ttest matches a brute-force recompute") {
     val got = SparkEntry.queries("q_welch_ttest")(spark, sf).collect()
       .map(r => r.getAs[String]("event_type") -> r).toMap
