@@ -414,10 +414,17 @@ object GraphOps {
     * (jac_ppm desc, supplier ids asc) — no global sort. */
   private def graphJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val li = incidence(s, d)
-    val pdeg = li.groupBy($"pk").agg(count(lit(1)).as("pd"))
-    val capped = li.join(pdeg.filter($"pd" <= JaccardDfCap), "pk")
-      .select($"pk", $"sk")
+    // The capped incidence feeds FOUR subtrees of one plan (both pair
+    // sides and both degree joins): registry-persist it so the
+    // distinct + df-cap runs once per session instead of once per
+    // subtree (the dedup-adjacency pattern; at cluster scale this is
+    // a checkpoint of a |edges|-row slim table).
+    val capped = graft.GraftCaches.getOrPersist(s, s"graph.jaccard_capped:$d") {
+      val li = incidence(s, d)
+      val pdeg = li.groupBy($"pk").agg(count(lit(1)).as("pd"))
+      li.join(pdeg.filter($"pd" <= JaccardDfCap), "pk")
+        .select($"pk", $"sk")
+    }
     val sdeg = capped.groupBy($"sk").agg(count(lit(1)).as("deg"))
     val pairs = capped.select($"pk", $"sk".as("supp_a"))
       .join(capped.select($"pk".as("pk2"), $"sk".as("supp_b")),
