@@ -235,6 +235,46 @@ object TemporalJoins {
         $"click_id", $"click_ts")
   }
 
+  /** q_asof_nearest: NEAREST-event as-of — for every click, the
+    * purchase with the smallest absolute time gap in EITHER
+    * direction, completing the backward/forward pair (the
+    * sensor-alignment / nearest-context-join semantics: "which
+    * purchase does this click most plausibly belong to?"). Composed
+    * from the two existing one-exchange as-ofs plus one click-keyed
+    * equi join of their outputs; ties (equidistant purchases, incl.
+    * gap 0) resolve BACKWARD in both engines. Direction and gap ride
+    * along so consumers can filter asymmetrically. */
+  private def asofNearest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("purchase_id"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id",
+        $"ts".as("click_ts"))
+    val back = asofJoin(clicks, purchases, "user_id", "click_ts", "ts")
+      .select($"click_id", $"user_id", $"click_ts",
+        $"purchase_id".as("prev_id"), $"matched_ts".as("prev_ts"))
+    val fwd = asofJoinForward(clicks, purchases, "user_id", "click_ts", "ts")
+      .select($"click_id", $"purchase_id".as("next_id"),
+        $"matched_ts".as("next_ts"))
+    val pickPrev = $"prev_ts".isNotNull &&
+      ($"next_ts".isNull || $"prev_gap" <= $"next_gap")
+    back.join(fwd, "click_id")
+      .withColumn("prev_gap",
+        unix_micros($"click_ts") - unix_micros($"prev_ts"))
+      .withColumn("next_gap",
+        unix_micros($"next_ts") - unix_micros($"click_ts"))
+      .select($"click_id", $"user_id", $"click_ts",
+        when(pickPrev, $"prev_id").otherwise($"next_id")
+          .as("nearest_purchase_id"),
+        when(pickPrev, $"prev_gap").otherwise($"next_gap")
+          .as("nearest_gap_us"),
+        when($"prev_ts".isNull && $"next_ts".isNull, lit("none"))
+          .when(pickPrev, lit("backward"))
+          .otherwise(lit("forward")).as("direction"))
+  }
+
   /** q_multitouch_attribution: LINEAR multi-touch credit — each
     * purchase's revenue split EQUALLY across every click by the same
     * user in the preceding hour (the multi-touch generalization of
@@ -347,6 +387,42 @@ object TemporalJoins {
        AND p.event_type = 'purchase' AND c.event_type = 'click'
        AND c.ts <= p.ts
        AND c.ts >= p.ts - INTERVAL 1 HOUR""")),
+
+    Q("q_asof_nearest", asofNearest, Some("""
+      WITH purch AS (
+        SELECT user_id, ts, max(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      clicks AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'),
+      b AS (SELECT c.click_id, c.user_id, c.click_ts,
+                   p.purchase_id AS prev_id, p.ts AS prev_ts
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.click_ts >= p.ts),
+      f AS (SELECT c.click_id, p.purchase_id AS next_id, p.ts AS next_ts
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.click_ts <= p.ts),
+      j AS (SELECT b.click_id, b.user_id, b.click_ts,
+                   b.prev_id, b.prev_ts, f.next_id, f.next_ts,
+                   epoch_us(b.click_ts) - epoch_us(b.prev_ts)
+                     AS prev_gap,
+                   epoch_us(f.next_ts) - epoch_us(b.click_ts)
+                     AS next_gap
+            FROM b JOIN f USING (click_id))
+      SELECT click_id, user_id, click_ts,
+             CASE WHEN prev_ts IS NOT NULL
+                   AND (next_ts IS NULL OR prev_gap <= next_gap)
+                  THEN prev_id ELSE next_id END AS nearest_purchase_id,
+             CAST(CASE WHEN prev_ts IS NOT NULL
+                   AND (next_ts IS NULL OR prev_gap <= next_gap)
+                  THEN prev_gap ELSE next_gap END AS BIGINT)
+               AS nearest_gap_us,
+             CASE WHEN prev_ts IS NULL AND next_ts IS NULL THEN 'none'
+                  WHEN prev_ts IS NOT NULL
+                   AND (next_ts IS NULL OR prev_gap <= next_gap)
+                  THEN 'backward'
+                  ELSE 'forward' END AS direction
+      FROM j""")),
 
     Q("q_multitouch_attribution", multitouchAttribution, Some("""
       WITH pr AS (

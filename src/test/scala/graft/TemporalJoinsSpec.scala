@@ -151,6 +151,49 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(shuffles === 1, s"expected 1 exchange, got $shuffles:\n$plan")
   }
 
+  test("q_asof_nearest: brute nearest-purchase replay; gap is |min| " +
+      "of both directions, ties go backward") {
+    val got = SparkEntry.queries("q_asof_nearest")(spark, sf).collect()
+      .map(r => r.getAs[Long]("click_id") ->
+        (Option(r.getAs[java.lang.Long]("nearest_purchase_id"))
+          .map(_.toLong),
+          Option(r.getAs[java.lang.Long]("nearest_gap_us"))
+            .map(_.toLong),
+          r.getAs[String]("direction"))).toMap
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", $"event_id", $"user_id",
+        unix_micros($"ts").as("us")).collect()
+    val purchByUser = ev.filter(_.getAs[String]("event_type") == "purchase")
+      .groupBy(_.getAs[Long]("user_id")).view.mapValues { rows =>
+        // same dedup as the query: one purchase per (user, ts), max id
+        rows.groupBy(_.getAs[Long]("us")).map { case (us, g) =>
+          us -> g.map(_.getAs[Long]("event_id")).max
+        }.toSeq
+      }.toMap
+    val clicks = ev.filter(_.getAs[String]("event_type") == "click")
+    assert(got.size === clicks.length)
+    clicks.foreach { c =>
+      val t = c.getAs[Long]("us")
+      val cands = purchByUser.getOrElse(c.getAs[Long]("user_id"), Nil)
+      val prev = cands.filter(_._1 <= t)
+        .sortBy(_._1).lastOption
+      val next = cands.filter(_._1 >= t)
+        .sortBy(_._1).headOption
+      val want = (prev, next) match {
+        case (None, None) => (None, None, "none")
+        case (Some((pts, pid)), None) =>
+          (Some(pid), Some(t - pts), "backward")
+        case (None, Some((nts, nid))) =>
+          (Some(nid), Some(nts - t), "forward")
+        case (Some((pts, pid)), Some((nts, nid))) =>
+          if (t - pts <= nts - t) (Some(pid), Some(t - pts), "backward")
+          else (Some(nid), Some(nts - t), "forward")
+      }
+      assert(got(c.getAs[Long]("event_id")) === want,
+        s"click ${c.getAs[Long]("event_id")}")
+    }
+  }
+
   test("q_multitouch_attribution: exact brute recompute; credit is " +
       "conserved per purchase up to the division remainder") {
     val got = SparkEntry.queries("q_multitouch_attribution")(spark, sf)
