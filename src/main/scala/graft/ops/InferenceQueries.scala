@@ -101,11 +101,14 @@ object InferenceQueries {
       .select($"event_type", $"n_ref", $"n_cur",
         expr("s_ref div n_ref").as("mean_ref_cents"),
         expr("s_cur div n_cur").as("mean_cur_cents"),
-        when($"se2" > 0,
+        // n > 1 guards: with n_i ≤ 1 the variance divides by
+        // n·(n−1) = 0, and the resulting ±Infinity passes se2 > 0 —
+        // a garbage t/df row instead of the null this emits
+        when($"n_ref" > 1 && $"n_cur" > 1 && $"se2" > 0,
           floor(($"s_ref".cast("double") / $"n_ref" -
             $"s_cur".cast("double") / $"n_cur")
             / sqrt($"se2") * lit(1000000.0))).as("t_e6"),
-        when($"se2" > 0,
+        when($"n_ref" > 1 && $"n_cur" > 1 && $"se2" > 0,
           floor($"se2" * $"se2" /
             (($"var_ref" / $"n_ref") * ($"var_ref" / $"n_ref")
               / ($"n_ref" - 1) +
@@ -245,8 +248,11 @@ object InferenceQueries {
         W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
     cells
       .select($"pri", $"st", $"rt", $"ct", $"n",
-        floor(($"o" * $"n" - $"rt" * $"ct").cast("double")
-          * ($"o" * $"n" - $"rt" * $"ct")
+        // deviation formed entirely in double: o·n (and rt·ct) exceed
+        // int64 once row counts reach ~3e9, where Spark would wrap
+        // silently while the oracle errors — the anovaF SSB discipline
+        floor(($"o".cast("double") * $"n" - $"rt".cast("double") * $"ct")
+          * ($"o".cast("double") * $"n" - $"rt".cast("double") * $"ct")
           / ($"n".cast("double") * $"rt" * $"ct")
           * lit(1000000.0)).as("cell_e6"))
       .agg(max($"n").as("n"),
@@ -377,11 +383,12 @@ object InferenceQueries {
           / ($"n_cur".cast("double") * ($"n_cur" - 1)))
       .select($"event_type", $"n_ref", $"n_cur", $"mean_cents",
         $"delta_cents",
-        when($"delta_cents" > 0,
+        // n > 1 guards: the welchTTest degenerate-side discipline
+        when($"n_ref" > 1 && $"n_cur" > 1 && $"delta_cents" > 0,
           ceil(($"var_ref" + $"var_cur") * lit(zSum * zSum)
             / ($"delta_cents".cast("double") * $"delta_cents")))
           .as("n_needed"),
-        when($"delta_cents" > 0,
+        when($"n_ref" > 1 && $"n_cur" > 1 && $"delta_cents" > 0,
           floor(ceil(($"var_ref" + $"var_cur") * lit(zSum * zSum)
             / ($"delta_cents".cast("double") * $"delta_cents"))
             .cast("double")
@@ -420,13 +427,19 @@ object InferenceQueries {
     // floored e6 then summed
     counts
       .select($"event_type", $"a", $"b", $"ta", $"tb", $"n",
+        // cross products in double throughout (a·n overflows int64 at
+        // ~3e9 rows; Spark wraps, DuckDB errors — the cramersV fix)
         when($"ta" > 0 && $"tb" > 0,
-          floor(($"a" * $"n" - ($"a" + $"b") * $"ta").cast("double")
-            * ($"a" * $"n" - ($"a" + $"b") * $"ta")
+          floor(($"a".cast("double") * $"n"
+            - ($"a" + $"b").cast("double") * $"ta")
+            * ($"a".cast("double") * $"n"
+              - ($"a" + $"b").cast("double") * $"ta")
             / ($"n".cast("double") * ($"a" + $"b") * $"ta")
             * lit(1000000.0)) +
-            floor(($"b" * $"n" - ($"a" + $"b") * $"tb").cast("double")
-              * ($"b" * $"n" - ($"a" + $"b") * $"tb")
+            floor(($"b".cast("double") * $"n"
+              - ($"a" + $"b").cast("double") * $"tb")
+              * ($"b".cast("double") * $"n"
+                - ($"a" + $"b").cast("double") * $"tb")
               / ($"n".cast("double") * ($"a" + $"b") * $"tb")
               * lit(1000000.0))).as("cell_e6"))
       .agg(max($"n").as("n_total"),
@@ -789,11 +802,11 @@ object InferenceQueries {
                      / (CAST(n_cur AS DOUBLE) * (n_cur - 1)) AS var_cur
             FROM d2)
       SELECT event_type, n_ref, n_cur, mean_cents, delta_cents,
-             CASE WHEN delta_cents > 0 THEN
+             CASE WHEN n_ref > 1 AND n_cur > 1 AND delta_cents > 0 THEN
                CAST(ceil((var_ref + var_cur) * ${(1.96 + 0.8416) * (1.96 + 0.8416)}
                  / (CAST(delta_cents AS DOUBLE) * delta_cents))
                  AS BIGINT) END AS n_needed,
-             CASE WHEN delta_cents > 0 THEN
+             CASE WHEN n_ref > 1 AND n_cur > 1 AND delta_cents > 0 THEN
                CAST(floor(CAST(CAST(ceil((var_ref + var_cur)
                    * ${(1.96 + 0.8416) * (1.96 + 0.8416)}
                    / (CAST(delta_cents AS DOUBLE) * delta_cents))
@@ -822,12 +835,16 @@ object InferenceQueries {
             FROM g),
       t AS (SELECT n, ta,
                    CASE WHEN ta > 0 AND tb > 0 THEN
-                     CAST(floor(CAST(a * n - (a + b) * ta AS DOUBLE)
-                       * (a * n - (a + b) * ta)
+                     CAST(floor((CAST(a AS DOUBLE) * n
+                         - CAST(a + b AS DOUBLE) * ta)
+                       * (CAST(a AS DOUBLE) * n
+                          - CAST(a + b AS DOUBLE) * ta)
                        / (CAST(n AS DOUBLE) * (a + b) * ta)
                        * 1000000.0) AS BIGINT) +
-                     CAST(floor(CAST(b * n - (a + b) * tb AS DOUBLE)
-                       * (b * n - (a + b) * tb)
+                     CAST(floor((CAST(b AS DOUBLE) * n
+                         - CAST(a + b AS DOUBLE) * tb)
+                       * (CAST(b AS DOUBLE) * n
+                          - CAST(a + b AS DOUBLE) * tb)
                        / (CAST(n AS DOUBLE) * (a + b) * tb)
                        * 1000000.0) AS BIGINT)
                    END AS cell_e6
@@ -894,11 +911,11 @@ object InferenceQueries {
       SELECT event_type, n_ref, n_cur,
              CAST(s_ref // n_ref AS BIGINT) AS mean_ref_cents,
              CAST(s_cur // n_cur AS BIGINT) AS mean_cur_cents,
-             CASE WHEN se2 > 0 THEN
+             CASE WHEN n_ref > 1 AND n_cur > 1 AND se2 > 0 THEN
                CAST(floor((CAST(s_ref AS DOUBLE) / n_ref
                            - CAST(s_cur AS DOUBLE) / n_cur)
                  / sqrt(se2) * 1000000.0) AS BIGINT) END AS t_e6,
-             CASE WHEN se2 > 0 THEN
+             CASE WHEN n_ref > 1 AND n_cur > 1 AND se2 > 0 THEN
                CAST(floor(se2 * se2 /
                  ((var_ref / n_ref) * (var_ref / n_ref) / (n_ref - 1)
                   + (var_cur / n_cur) * (var_cur / n_cur) / (n_cur - 1))
@@ -1085,8 +1102,9 @@ object InferenceQueries {
                    CAST(sum(o) OVER () AS BIGINT) AS n
             FROM cells),
       x AS (SELECT n, pri, st,
-                   CAST(floor(CAST(o * n - rt * ct AS DOUBLE)
-                     * (o * n - rt * ct)
+                   CAST(floor((CAST(o AS DOUBLE) * n
+                       - CAST(rt AS DOUBLE) * ct)
+                     * (CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct)
                      / (CAST(n AS DOUBLE) * rt * ct)
                      * 1000000.0) AS BIGINT) AS cell_e6
             FROM w),

@@ -556,10 +556,16 @@ object StatsQueries {
     import s.implicits._
     val W = org.apache.spark.sql.expressions.Window
     val w = W.partitionBy($"event_type").orderBy($"day".asc)
+    // cents-not-null BEFORE the rollup (the dailyCents convention): a
+    // day whose events all carry null value would otherwise emit an
+    // x=NULL row that inflates n while contributing nothing to the
+    // sums, skewing the mean/ACF denominators
     val daily = Tables.events(s, d)
-      .groupBy($"event_type", $"ts".cast("date").as("day"))
-      .agg(sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
-        .as("x"))
+      .select($"event_type", $"ts".cast("date").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("x"))
     val led = daily
       .withColumn("x1", lead($"x", 1).over(w))
       .withColumn("x2", lead($"x", 2).over(w))
@@ -949,7 +955,12 @@ object StatsQueries {
     * ordered frame; only the final num/√(vx·vy) runs in double — on
     * integer inputs that are bit-identical in both engines, with each
     * variance cast to double BEFORE the product (vx·vy overflows
-    * int64 at real daily volumes). Shape: one groupBy(type, day)
+    * int64 at real daily volumes), emitted as floor·1e6 BIGINT
+    * (`corr_e6`): floor on bit-identical IEEE doubles is
+    * deterministic, while round-to-6-decimals is engine-divergent at
+    * decimal ties (Spark rounds the shortest decimal rendering,
+    * DuckDB the full binary expansion — the round-9 red row).
+    * Shape: one groupBy(type, day)
     * pre-aggregate (map-side combinable), a day-equi self-join that
     * fans the DAY-cardinality table to its 10 type pairs, then a
     * window PARTITIONED BY PAIR — parallel across pairs, and the
@@ -982,10 +993,10 @@ object StatsQueries {
         ($"n_w" * $"sxy" - $"sx" * $"sy").as("num"),
         ($"n_w" * $"sxx" - $"sx" * $"sx").as("vx"),
         ($"n_w" * $"syy" - $"sy" * $"sy").as("vy"))
-      .withColumn("corr",
+      .withColumn("corr_e6",
         when($"vx" > 0 && $"vy" > 0,
-          round($"num".cast("double") /
-            sqrt($"vx".cast("double") * $"vy".cast("double")), 6)))
+          floor($"num".cast("double") * lit(1000000.0) /
+            sqrt($"vx".cast("double") * $"vy".cast("double")))))
   }
 
   /** Poisson-bootstrap replicate count for [[bootstrapCi]]. */
@@ -1661,7 +1672,7 @@ object StatsQueries {
       WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
                         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
                           AS cents
-                 FROM events),
+                 FROM events WHERE value IS NOT NULL),
       d AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS x
             FROM e GROUP BY 1, 2),
       l AS (SELECT event_type, x,
@@ -2046,9 +2057,10 @@ object StatsQueries {
              CAST(num AS BIGINT) AS num, CAST(vx AS BIGINT) AS vx,
              CAST(vy AS BIGINT) AS vy,
              CASE WHEN vx > 0 AND vy > 0
-                  THEN round(CAST(num AS DOUBLE) /
-                    sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6)
-             END AS corr
+                  THEN CAST(floor(CAST(num AS DOUBLE) * 1000000.0 /
+                    sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)))
+                    AS BIGINT)
+             END AS corr_e6
       FROM m""")),
 
     Q("q_bootstrap_ci", bootstrapCi, Some(s"""

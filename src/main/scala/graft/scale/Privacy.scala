@@ -191,8 +191,14 @@ object Privacy {
       .agg(count(lit(1)).as("n_true"))
       .withColumn("tid",
         row_number().over(W.orderBy($"event_type", $"week")).cast("long"))
+      // overflow-safe mix: reduce mod 2^32 BETWEEN the multiplies and
+      // keep the second multiplier small (MINSTD 48271): the one-shot
+      // tid·1000003·2654435761 wraps int64 at tid ≈ 3476 cells —
+      // Spark (non-ANSI) would wrap silently while the oracle errors.
+      // Max intermediate here is (2^32−1)·48271 ≈ 2.1e14, far inside
+      // int64 at any conceivable cell-table cardinality.
       .withColumn("u",
-        ($"tid" * lit(1000003L) * lit(2654435761L))
+        (($"tid" * lit(1000003L)) % 4294967296L * lit(48271L))
           % 4294967296L % 100000L)
       .withColumn("u01", ($"u".cast("double") + lit(0.5)) / lit(100000.0))
       .select($"event_type", $"week", $"n_true", $"u",
@@ -213,8 +219,8 @@ object Privacy {
       r AS (SELECT *, CAST(row_number() OVER (ORDER BY event_type, week)
                         AS BIGINT) AS tid
             FROM cells),
-      n AS (SELECT *, (tid * 1000003 * 2654435761) % 4294967296
-                        % 100000 AS u
+      n AS (SELECT *, ((tid * 1000003) % 4294967296 * 48271)
+                        % 4294967296 % 100000 AS u
             FROM r),
       v AS (SELECT *, (CAST(u AS DOUBLE) + 0.5) / 100000.0 AS u01
             FROM n)

@@ -20,10 +20,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class MetricsSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf}
 
-  /** (shuffle-write records, bytes) across all stages of `action`. */
-  private def shuffleOf(action: => Unit): (Long, Long) = {
+  /** (shuffle-write records, bytes, tasks) across all stages of
+    * `action`. Task count feeds the record-budget caps: a map-side
+    * combine emits at most |groups| partial rows PER TASK, so the
+    * environment-independent bound is groups × tasks, not a hard
+    * absolute (which broke under legitimate partition-count changes —
+    * the SPARK_GRAFT_SHUFFLE_PARTITIONS lever, larger test SFs). */
+  private def shuffleOf(action: => Unit): (Long, Long, Long) = {
     val recs = new java.util.concurrent.atomic.AtomicLong(0)
     val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val tasks = new java.util.concurrent.atomic.AtomicLong(0)
     val listener = new SparkListener {
       override def onStageCompleted(
           sc: SparkListenerStageCompleted): Unit = {
@@ -32,18 +38,19 @@ class MetricsSpec extends AnyFunSuite {
           recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
           bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
+        tasks.addAndGet(sc.stageInfo.numTasks.toLong)
       }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
       action
       // the listener bus is async: poll until readings are stable
-      var last = (-1L, -1L)
-      var cur = (recs.get(), bytes.get())
+      var last = (-1L, -1L, -1L)
+      var cur = (recs.get(), bytes.get(), tasks.get())
       var spins = 0
       while (cur != last && spins < 50) {
         Thread.sleep(100); last = cur
-        cur = (recs.get(), bytes.get()); spins += 1
+        cur = (recs.get(), bytes.get(), tasks.get()); spins += 1
       }
       cur
     } finally spark.sparkContext.removeSparkListener(listener)
@@ -52,22 +59,23 @@ class MetricsSpec extends AnyFunSuite {
   test("q_agg_pricing shuffles GROUP partials, not rows: map-side " +
       "combine measured at the wire") {
     val inputRows = Tables.lineitem(spark, sf).count()
-    val (recs, _) = shuffleOf {
+    val (recs, _, tasks) = shuffleOf {
       SparkEntry.queries("q_agg_pricing")(spark, sf).collect()
     }
-    // 4-ish (returnflag, linestatus) groups × at most a few dozen map
-    // tasks of partials — orders of magnitude under the input rows
+    // ≤ 8 (returnflag, linestatus) groups of partials per map task —
+    // orders of magnitude under the input rows
     assert(recs > 0, "expected the aggregate to shuffle its partials")
     assert(recs < inputRows / 10,
       s"map-side combine broken: $recs shuffle records for " +
         s"$inputRows input rows")
-    assert(recs <= 512, s"expected ≤ groups×tasks partials, got $recs")
+    assert(recs <= 8L * tasks,
+      s"expected ≤ groups×tasks partials, got $recs over $tasks tasks")
   }
 
   test("q_join_mktsegment broadcasts both dims: only aggregate " +
       "partials cross the wire, never join rows") {
     val lineitems = Tables.lineitem(spark, sf).count()
-    val (recs, _) = shuffleOf {
+    val (recs, _, tasks) = shuffleOf {
       SparkEntry.queries("q_join_mktsegment")(spark, sf).collect()
     }
     // the two dimension joins are broadcast (PlanSpec pins the shape);
@@ -75,7 +83,8 @@ class MetricsSpec extends AnyFunSuite {
     // aggregate's partials, not the joined fact rows
     assert(recs < lineitems / 10,
       s"a join side leaked into the shuffle: $recs records")
-    assert(recs <= 512, s"expected ≤ segments×tasks partials, got $recs")
+    assert(recs <= 8L * tasks,
+      s"expected ≤ segments×tasks partials, got $recs over $tasks tasks")
   }
 
   test("headline aggregates run spill-free at the test SF") {
@@ -106,7 +115,7 @@ class MetricsSpec extends AnyFunSuite {
   test("guard stays honest: a row-preserving repartition DOES " +
       "shuffle every row") {
     val n = Tables.orders(spark, sf).count()
-    val (recs, _) = shuffleOf {
+    val (recs, _, _) = shuffleOf {
       Tables.orders(spark, sf).repartition(4).count()
     }
     // if the measurement machinery under-counted, the two budget

@@ -358,15 +358,19 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
-  test("q_rolling_corr matches a brute windowed-moment recompute and " +
-      "correlations stay in [-1, 1]") {
-    val got = SparkEntry.queries("q_rolling_corr")(spark, sf).collect()
-      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"),
-        r.getAs[java.sql.Date]("day").toString) ->
-        (r.getAs[Long]("n_w"), r.getAs[Long]("num"), r.getAs[Long]("vx"),
-          r.getAs[Long]("vy"),
-          if (r.isNullAt(r.fieldIndex("corr"))) None
-          else Some(r.getAs[Double]("corr")))).toMap
+  test("q_rolling_corr matches a brute windowed-moment recompute, " +
+      "correlations stay in [-1, 1], and the result is partition-" +
+      "count invariant") {
+    def collectCorr(): Map[(String, String, String),
+        (Long, Long, Long, Long, Option[Long])] =
+      SparkEntry.queries("q_rolling_corr")(spark, sf).collect()
+        .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"),
+          r.getAs[java.sql.Date]("day").toString) ->
+          (r.getAs[Long]("n_w"), r.getAs[Long]("num"), r.getAs[Long]("vx"),
+            r.getAs[Long]("vy"),
+            if (r.isNullAt(r.fieldIndex("corr_e6"))) None
+            else Some(r.getAs[Long]("corr_e6")))).toMap
+    val got = collectCorr()
     // all 10 unordered type pairs appear
     assert(got.keys.map(k => (k._1, k._2)).toSet.size === 10)
     // brute: daily totals -> per-pair day-sorted series -> 7-row frames
@@ -394,30 +398,30 @@ class StatsSpec extends AnyFunSuite {
       val (sxx, syy) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum)
       val (num, vx, vy) = (n * sxy - sx * sy, n * sxx - sx * sx,
         n * syy - sy * sy)
-      val corr = if (vx > 0 && vy > 0)
-        Some(num.toDouble / math.sqrt(vx.toDouble * vy.toDouble))
+      // the exact expression tree of the query: (num·1e6)/√(vx·vy),
+      // floored — floor of bit-identical doubles is deterministic
+      val corrE6 = if (vx > 0 && vy > 0)
+        Some(math.floor(num.toDouble * 1000000.0 /
+          math.sqrt(vx.toDouble * vy.toDouble)).toLong)
       else None
-      (ta, tb, day) -> ((n, num, vx, vy, corr))
+      (ta, tb, day) -> ((n, num, vx, vy, corrE6))
     }).toMap
-    // exact integer moments cell-for-cell
-    assert(got.view.mapValues(v => (v._1, v._2, v._3, v._4)).toMap ===
-      want.view.mapValues(v => (v._1, v._2, v._3, v._4)).toMap)
-    // the rounded correlation sits within half an ulp-of-rounding of
-    // the brute ratio (round(·,6) is decimal HALF_UP; rint is not)
-    want.foreach { case (k, (_, _, _, _, wc)) =>
-      val gc = got(k)._5
-      assert(gc.isDefined === wc.isDefined, s"corr nullability at $k")
-      (gc, wc) match {
-        case (Some(g), Some(w)) =>
-          assert(math.abs(g - w) <= 5e-7, s"corr at $k: $g vs $w")
-        case _ => ()
-      }
-    }
+    // exact match cell-for-cell, fixed-point correlation included
+    assert(got === want)
     got.values.foreach { case (nw, _, vx, vy, corr) =>
       assert(nw >= 1 && nw <= ops.StatsQueries.RollCorrWindow)
       assert(vx >= 0 && vy >= 0, "window variance terms are nonnegative")
-      corr.foreach(c => assert(c >= -1.0 && c <= 1.0))
+      corr.foreach(c => assert(c >= -1000000L && c <= 1000000L))
     }
+    // determinism pin (the round-9 red row was boundary-flaky): the
+    // fixed-point result must not depend on physical partitioning
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "7")
+      assert(collectCorr() === got,
+        "corr_e6 changed under a different shuffle-partition count")
+    } finally spark.conf.set(key, saved)
   }
 
   test("q_bootstrap_ci: band brackets the observed mean, replicate " +
