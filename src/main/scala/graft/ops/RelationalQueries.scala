@@ -376,13 +376,27 @@ object RelationalQueries {
   }
 
   /** approx_count_distinct (HLL++): the scalable form of the dashboard
-    * countDistinct KPIs. HLL estimates differ across engines → no SQL
-    * oracle; the spec asserts relative error < 5% vs exact instead. */
+    * countDistinct KPIs — with its error contract made DRIVER-CHECKABLE
+    * (round 10, retiring the catalog's last no-oracle rows): HLL
+    * estimates differ across engines, so the query emits the EXACT
+    * distincts plus within-5%-of-exact flags. The estimate is
+    * deterministic for fixed data and rsd, so the flags are stable
+    * booleans the DuckDB oracle pins as TRUE — an estimator regression
+    * now hash-fails the gate instead of hiding behind a rows-only
+    * check. (The exact countDistinct rides the same pass; at 100 TB a
+    * release build drops it and ships the estimate alone.) */
   private def approxDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, d).agg(
-      approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
-      approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+      countDistinct($"l_orderkey").as("exact_orders"),
+      countDistinct($"l_partkey").as("exact_parts"),
+      approx_count_distinct($"l_orderkey", 0.01).as("est_o"),
+      approx_count_distinct($"l_partkey", 0.01).as("est_p"))
+      .select($"exact_orders", $"exact_parts",
+        (abs($"est_o" - $"exact_orders").cast("double")
+          <= $"exact_orders" * 0.05).as("orders_within_5pct"),
+        (abs($"est_p" - $"exact_parts").cast("double")
+          <= $"exact_parts" * 0.05).as("parts_within_5pct"))
   }
 
   val queries: Seq[Q] = Seq(
@@ -624,6 +638,10 @@ object RelationalQueries {
        FROM customer GROUP BY 2 ORDER BY cnt DESC, c_mktsegment ASC
        LIMIT 1)""")),
 
-    Q("q_approx_distinct", approxDistinct, None)
+    Q("q_approx_distinct", approxDistinct, Some("""
+      SELECT count(DISTINCT l_orderkey) AS exact_orders,
+             count(DISTINCT l_partkey) AS exact_parts,
+             TRUE AS orders_within_5pct, TRUE AS parts_within_5pct
+      FROM lineitem"""))
   )
 }

@@ -2061,7 +2061,11 @@ object StatsQueries {
                     sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)))
                     AS BIGINT)
              END AS corr_e6
-      FROM m""")),
+      FROM m"""),
+      // headline (round 10): the 61-query stats/inference battery had
+      // zero bench representation — this self-join + pair-partitioned
+      // window is its regression canary
+      headline = true),
 
     Q("q_bootstrap_ci", bootstrapCi, Some(s"""
       WITH e AS (SELECT event_type, event_id,

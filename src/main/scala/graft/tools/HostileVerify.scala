@@ -26,7 +26,8 @@ object HostileVerify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        graft.GraftSession.shufflePartitions(sfDir, cpus.toInt))
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.exchange.reuse", "false")
       .config("spark.sql.execution.reuseSubquery", "false")

@@ -17,12 +17,14 @@ object QBench {
     require(runs >= 1, s"runs must be >= 1, got $runs")
     val names = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Scale-probe lever: shuffle.partitions must grow with data
-    // volume (32 is right for sf0.1; a 100× probe wants hundreds so
-    // per-partition sorts/hash-sets fit in memory). Official bench
-    // runs leave this unset — partitions == cpus, the pinned config.
+    // Volume-derived (round 10): shuffle.partitions must grow with
+    // data volume (32 is right for sf0.1; a 100× probe wants hundreds
+    // so per-partition sorts/hash-sets fit in memory). GraftSession
+    // derives it from the input dir's footprint — == cpus at sf0.1,
+    // the pinned official config — and SPARK_GRAFT_SHUFFLE_PARTITIONS
+    // stays available as an explicit pin for controlled probes.
     val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+      graft.GraftSession.shufflePartitions(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-qbench")

@@ -221,6 +221,39 @@ object YelpQueries {
       .withColumn("year", col("year").cast("long"))
   }
 
+  /** Persistent-catalog round-trip — the Glue-Catalog/Athena parity
+    * slice (reference main.tf:28-38: the crawler registers the S3
+    * master in a PERSISTENT catalog that Athena then queries by NAME;
+    * every other SQL entry here uses only session temp views). The
+    * master lands via `saveAsTable` partitioned by year at an external
+    * location, the catalog surface is interrogated through
+    * `spark.catalog` (tableExists + listColumns partition flags — the
+    * crawler's schema-discovery read-back), and the result is computed
+    * THROUGH the metastore path (`spark.table`, not a path read) with
+    * a year predicate the CatalogFileIndex turns into partition
+    * pruning — 2 of 7 year directories scanned (pinned in PlanSpec).
+    * At 100 TB this is the layout+catalog pattern that makes the
+    * dashboard's yearly queries touch 1/Nth of the lake. */
+  private def catalogTable(s: SparkSession, d: String): DataFrame = {
+    val tbl = "graft_master_catalog"
+    master(s, d).drop("text")
+      .write.mode("overwrite")
+      .option("path", Tables.scratch(d, "catalog_master"))
+      .partitionBy("year")
+      .format("parquet")
+      .saveAsTable(tbl)
+    val inCatalog = s.catalog.tableExists(tbl)
+    val partitionedByYear = s.catalog.listColumns(tbl).collect()
+      .exists(c => c.name == "year" && c.isPartition)
+    s.table(tbl)
+      .filter(col("year") >= 1995 && col("year") <= 1996)
+      .groupBy(col("year").cast("long").as("year"))
+      .agg(count(col("review_id")).as("n_reviews"),
+        round(sum(col("stars")), 2).as("sum_stars"))
+      .withColumn("in_catalog", lit(inCatalog))
+      .withColumn("partitioned_by_year", lit(partitionedByYear))
+  }
+
   // ---- catalog entries ----
 
   private def onMaster(f: DataFrame => DataFrame)(
@@ -323,6 +356,19 @@ object YelpQueries {
                             AS DOUBLE)), 4) AS avg_stars
       FROM orders CROSS JOIN (SELECT unnest(range($VolumeAmp)) AS i) t
       GROUP BY 1"""),
-      headline = true)
+      headline = true),
+
+    // the oracle replays the rollup straight off the fixture — the
+    // catalog/table machinery is Spark-side surface whose OUTPUT must
+    // equal the direct computation; TRUE literals pin the two
+    // spark.catalog metadata probes (a false on either hash-fails)
+    Q("q_catalog_table", catalogTable, Some(s"""
+      $masterSql
+      SELECT CAST(year AS BIGINT) AS year,
+             count(review_id) AS n_reviews,
+             round(sum(stars), 2) AS sum_stars,
+             TRUE AS in_catalog, TRUE AS partitioned_by_year
+      FROM master WHERE year BETWEEN 1995 AND 1996
+      GROUP BY 1"""))
   )
 }

