@@ -22,6 +22,7 @@ object SparkEntry {
       ops.EvalQueries.queries ++
       ops.FeatureQueries.queries ++
       ops.TypedAndSources.queries ++
+      ops.SpatialQueries.queries ++
       yelp.YelpQueries.queries ++
       scale.TextOps.queries ++
       scale.Privacy.queries ++

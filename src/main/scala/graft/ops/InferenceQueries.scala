@@ -638,6 +638,163 @@ object InferenceQueries {
           .as("z_e6"))
   }
 
+  /** McNemar's test for PAIRED binary outcomes — "did the same user
+    * purchase in the first semi-month vs the second?": the
+    * within-subject companion to the two-cohort z/t tests (those
+    * compare DIFFERENT users; McNemar conditions on the discordant
+    * pairs of the SAME user, so between-user variance cancels). The
+    * 2×2 concordance table comes from one per-user aggregate (two
+    * MAX-of-indicator bits per user — map-side combinable) collapsed
+    * to four global cells; the statistic (|b−c|−1)²/(b+c) with
+    * continuity correction is pure BIGINT arithmetic to the end —
+    * no float anywhere, engine-identical by construction. Shape:
+    * one user-keyed exchange collapsing to a single row; at 100 TB
+    * the per-user bits combine map-side so the wire carries one row
+    * per user, never per event. */
+  private def mcnemar(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(
+        max(when($"event_type" === "purchase" &&
+          dayofmonth($"ts") <= 15, 1L).otherwise(0L)).as("pa"),
+        max(when($"event_type" === "purchase" &&
+          dayofmonth($"ts") > 15, 1L).otherwise(0L)).as("pb"))
+    per.agg(
+        sum(when($"pa" === 0 && $"pb" === 0, 1L).otherwise(0L)).as("n00"),
+        sum(when($"pa" === 0 && $"pb" === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when($"pa" === 1 && $"pb" === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when($"pa" === 1 && $"pb" === 1, 1L).otherwise(0L)).as("n11"))
+      .select($"n00", $"n01", $"n10", $"n11",
+        when($"n01" + $"n10" > 0,
+          expr("(n10 - n01) * (n10 - n01) * 1000000 div (n10 + n01)"))
+          .as("mcnemar_e6"),
+        when($"n01" + $"n10" > 0,
+          expr("""(abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) * 1000000
+                  div (n10 + n01)""")).as("mcnemar_cc_e6"))
+  }
+
+  /** Cochran's Q — k-treatment generalization of McNemar over the
+    * user×event-type participation matrix (x_ij = 1 iff user i ever
+    * emitted type j): "do the five event types have equal user
+    * penetration, accounting for per-user activity?" Row sums R_i and
+    * column sums C_j each come from one distinct-cell aggregate;
+    * Q = (k−1)(k·ΣC² − N²)/(k·N − ΣR²). The cross products k·ΣC² and
+    * N² are formed in DOUBLE (they exceed int64 once C_j reaches
+    * ~1.4e9 users — the cramersV lesson) on exact BIGINT inputs, so
+    * both engines evaluate the identical IEEE expression; the single
+    * output cell is floor·1e6 fixed-point. Shape: distinct() is one
+    * (user,type)-keyed exchange that combines map-side; everything
+    * after is |users|+k rows. */
+  private def cochranQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pres = Tables.events(s, d)
+      .select($"user_id", $"event_type").distinct()
+    val rAgg = pres.groupBy($"user_id")
+      .agg(count(lit(1)).as("r_i"))
+      .agg(count(lit(1)).as("n_users"), sum($"r_i").as("n_tot"),
+        sum($"r_i" * $"r_i").as("sum_r2"))
+    val cAgg = pres.groupBy($"event_type")
+      .agg(count(lit(1)).as("c_j"))
+      .agg(count(lit(1)).as("k"), sum($"c_j" * $"c_j").as("sum_c2"))
+    rAgg.crossJoin(cAgg)
+      .select($"n_users", $"k", $"n_tot", $"sum_r2", $"sum_c2",
+        when($"k" * $"n_tot" - $"sum_r2" > 0,
+          floor(($"k" - 1).cast("double")
+            * ($"k".cast("double") * $"sum_c2"
+              - $"n_tot".cast("double") * $"n_tot")
+            / ($"k".cast("double") * $"n_tot"
+              - $"sum_r2".cast("double"))
+            * lit(1000000.0)).cast("long")).as("q_e6"))
+  }
+
+  /** Friedman rank test — the BLOCKED k-sample location test the
+    * battery lacked: within each complete calendar day (block), rank
+    * the k event types by daily revenue, then test whether the rank
+    * sums differ (Kruskal–Wallis ranks globally; Friedman ranks
+    * within blocks, removing day-level effects such as weekends).
+    * Midranks use the battery's doubled-midrank convention
+    * (2·midrank = 2·prev + g + 1 from the per-block value grid —
+    * integral even under ties), so rank sums R2_j stay exact BIGINT;
+    * with R_j = R2_j/2 the statistic 12/(nk(k+1))·ΣR_j² − 3n(k+1)
+    * reduces to 3·ΣR2_j²/(nk(k+1)) − 3n(k+1) — all-integer with div.
+    * Kendall's W = χ²/(n(k−1)) tags on as the effect size. Integer
+    * headroom: ΣR2² ≤ k(2kn)² stays under int64 through ~1e6 blocks
+    * (blocks are CALENDAR days — never row-scale). Shape: one
+    * (day,type) rollup, per-day windows over ≤k rows, k-row tail. */
+  private def friedman(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val cell = Tables.events(s, d)
+      .select(to_date($"ts").as("day"), $"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"day", $"event_type")
+      .agg(sum($"cents").as("cents"))
+    val kRow = cell.select($"event_type").distinct()
+      .agg(count(lit(1)).as("k"))
+    val complete = cell
+      .withColumn("m", count(lit(1)).over(W.partitionBy($"day")))
+      .crossJoin(broadcast(kRow))
+      .filter($"m" === $"k")
+    val cum = W.partitionBy($"day").orderBy($"cents".asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val grid = complete.groupBy($"day", $"cents")
+      .agg(count(lit(1)).as("g"))
+      .withColumn("prev", sum($"g").over(cum) - $"g")
+    val perType = complete.join(grid, Seq("day", "cents"))
+      .select($"event_type", (lit(2L) * $"prev" + $"g" + 1).as("rank2"))
+      .groupBy($"event_type")
+      .agg(sum($"rank2").as("r2_j"), count(lit(1)).as("n_blocks"))
+    perType
+      .agg(max($"n_blocks").as("n"), count(lit(1)).as("k"),
+        sum($"r2_j" * $"r2_j").as("sum_r2sq"))
+      .select($"n", $"k", $"sum_r2sq",
+        (expr("3 * sum_r2sq * 1000000 div (n * k * (k + 1))")
+          - lit(3L) * $"n" * ($"k" + 1) * 1000000L).as("chi2_e6"))
+      // greatest(·,0): integer-div flooring can leave chi2_e6 at −1
+      // under exact H0, and negative div diverges across engines
+      // (Spark div truncates toward zero, DuckDB // floors).
+      .withColumn("w_e6", expr("greatest(chi2_e6, 0L) div (n * (k - 1))"))
+  }
+
+  /** Cohen's d / Hedges' g — the EFFECT SIZE the battery's p-values
+    * lack: a significant Welch t on 1e9 rows can reflect a trivially
+    * small shift, so the accept/reject layer needs the standardized
+    * mean difference too. Same exact-integer moment rollup as
+    * [[welchTTest]] (n, Σx, Σx² per arm, one map-side-combinable
+    * groupBy); d = (m̄₁−m̄₂)/s_pooled and the small-sample correction
+    * g = d·(1 − 3/(4(n₁+n₂)−9)) are per-row doubles on those BIGINTs
+    * with the Σx·Σx products formed in DOUBLE (int64-safe at any
+    * scale), emitted floor·1e6. Guards mirror welchTTest: both arms
+    * need n > 1 and positive pooled variance. */
+  private def cohensD(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = centsSplit(s, d)
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"is_ref", 1L).otherwise(0L)).as("n1"),
+        sum(when($"is_ref", $"cents").otherwise(0L)).as("s1"),
+        sum(when($"is_ref", $"cents" * $"cents").otherwise(0L)).as("ss1"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("n2"),
+        sum(when(!$"is_ref", $"cents").otherwise(0L)).as("s2"),
+        sum(when(!$"is_ref", $"cents" * $"cents").otherwise(0L)).as("ss2"))
+      .filter($"n1" > 1 && $"n2" > 1)
+    val sp2 = (($"ss1" - $"s1".cast("double") * $"s1"
+      / $"n1".cast("double"))
+      + ($"ss2" - $"s2".cast("double") * $"s2"
+        / $"n2".cast("double"))) / ($"n1" + $"n2" - 2).cast("double")
+    val dStat = ($"s1".cast("double") / $"n1".cast("double")
+      - $"s2".cast("double") / $"n2".cast("double")) / sqrt(sp2)
+    m.select($"event_type", $"n1", $"n2",
+        when(sp2 > 0, floor(dStat * lit(1000000.0)).cast("long"))
+          .as("d_e6"),
+        when(sp2 > 0, floor(dStat
+          * (lit(1.0) - lit(3.0)
+            / (lit(4.0) * ($"n1" + $"n2") - lit(9.0)))
+          * lit(1000000.0)).cast("long")).as("g_e6"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_gini_revenue", giniRevenue, Some("""
       WITH pu AS (SELECT user_id,
@@ -1117,6 +1274,128 @@ object InferenceQueries {
              CAST(floor(sqrt((CAST(chi2_e6 AS DOUBLE) / 1000000.0)
                / (CAST(n AS DOUBLE) * (least(n_rows, n_cols) - 1)))
                * 1000000.0) AS BIGINT) AS v_e6
-      FROM a"""))
+      FROM a""")),
+
+    Q("q_mcnemar", mcnemar, Some("""
+      WITH per AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' AND day(ts) <= 15
+                        THEN 1 ELSE 0 END) AS pa,
+               max(CASE WHEN event_type = 'purchase' AND day(ts) > 15
+                        THEN 1 ELSE 0 END) AS pb
+        FROM events GROUP BY 1),
+      c AS (
+        SELECT CAST(sum(CASE WHEN pa = 0 AND pb = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n00,
+               CAST(sum(CASE WHEN pa = 0 AND pb = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n01,
+               CAST(sum(CASE WHEN pa = 1 AND pb = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n10,
+               CAST(sum(CASE WHEN pa = 1 AND pb = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n11
+        FROM per)
+      SELECT n00, n01, n10, n11,
+             CASE WHEN n01 + n10 > 0 THEN
+               CAST((n10 - n01) * (n10 - n01) * 1000000 // (n10 + n01)
+                 AS BIGINT) END AS mcnemar_e6,
+             CASE WHEN n01 + n10 > 0 THEN
+               CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) * 1000000
+                 // (n10 + n01) AS BIGINT) END AS mcnemar_cc_e6
+      FROM c""")),
+
+    Q("q_cochran_q", cochranQ, Some("""
+      WITH pres AS (SELECT DISTINCT user_id, event_type FROM events),
+      r AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(r_i) AS BIGINT) AS n_tot,
+                   CAST(sum(r_i * r_i) AS BIGINT) AS sum_r2
+            FROM (SELECT user_id, count(*) AS r_i FROM pres GROUP BY 1)),
+      c AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(c_j * c_j) AS BIGINT) AS sum_c2
+            FROM (SELECT event_type, count(*) AS c_j
+                  FROM pres GROUP BY 1))
+      SELECT n_users, k, n_tot, sum_r2, sum_c2,
+             CASE WHEN k * n_tot - sum_r2 > 0 THEN
+               CAST(floor(CAST(k - 1 AS DOUBLE)
+                 * (CAST(k AS DOUBLE) * sum_c2
+                    - CAST(n_tot AS DOUBLE) * n_tot)
+                 / (CAST(k AS DOUBLE) * n_tot - CAST(sum_r2 AS DOUBLE))
+                 * 1000000.0) AS BIGINT) END AS q_e6
+      FROM r CROSS JOIN c""")),
+
+    Q("q_friedman", friedman, Some("""
+      WITH cell AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2),
+      kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+             FROM cell),
+      fullc AS (SELECT *, count(*) OVER (PARTITION BY day) AS m
+                FROM cell),
+      comp AS (SELECT f.day, f.event_type, f.cents
+               FROM fullc f CROSS JOIN kk WHERE f.m = kk.k),
+      grid AS (SELECT day, cents, CAST(count(*) AS BIGINT) AS g,
+                      CAST(sum(count(*)) OVER (
+                        PARTITION BY day ORDER BY cents ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - count(*) AS BIGINT) AS prev
+               FROM comp GROUP BY day, cents),
+      pt AS (SELECT c.event_type,
+                    CAST(sum(2 * g.prev + g.g + 1) AS BIGINT) AS r2_j,
+                    CAST(count(*) AS BIGINT) AS n_blocks
+             FROM comp c JOIN grid g
+               ON c.day = g.day AND c.cents = g.cents
+             GROUP BY 1),
+      a AS (SELECT CAST(max(n_blocks) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(r2_j * r2_j) AS BIGINT) AS sum_r2sq
+            FROM pt)
+      SELECT n, k, sum_r2sq,
+             CAST(3 * sum_r2sq * 1000000 // (n * k * (k + 1))
+               - 3 * n * (k + 1) * 1000000 AS BIGINT) AS chi2_e6,
+             CAST(greatest(3 * sum_r2sq * 1000000 // (n * k * (k + 1))
+               - 3 * n * (k + 1) * 1000000, 0) // (n * (k - 1))
+               AS BIGINT) AS w_e6
+      FROM a""")),
+
+    Q("q_cohens_d", cohensD, Some("""
+      WITH m AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN event_id % 2 = 0 THEN cents
+                        ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN event_id % 2 = 0 THEN cents * cents
+                        ELSE 0 END) AS BIGINT) AS ss1,
+               CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN event_id % 2 <> 0 THEN cents
+                        ELSE 0 END) AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN event_id % 2 <> 0 THEN cents * cents
+                        ELSE 0 END) AS BIGINT) AS ss2
+        FROM (SELECT event_type, event_id,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+              FROM events WHERE value IS NOT NULL)
+        GROUP BY 1 HAVING n1 > 1 AND n2 > 1),
+      x AS (SELECT event_type, n1, n2,
+                   ((ss1 - CAST(s1 AS DOUBLE) * s1 / CAST(n1 AS DOUBLE))
+                    + (ss2 - CAST(s2 AS DOUBLE) * s2
+                       / CAST(n2 AS DOUBLE)))
+                   / CAST(n1 + n2 - 2 AS DOUBLE) AS sp2,
+                   CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS md
+            FROM m)
+      SELECT event_type, n1, n2,
+             CASE WHEN sp2 > 0 THEN
+               CAST(floor(md / sqrt(sp2) * 1000000.0) AS BIGINT)
+             END AS d_e6,
+             CASE WHEN sp2 > 0 THEN
+               CAST(floor(md / sqrt(sp2)
+                 * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))
+                 * 1000000.0) AS BIGINT)
+             END AS g_e6
+      FROM x"""))
   )
 }

@@ -1,0 +1,188 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spatial / geo operators over synthetic-but-deterministic point
+  * sets: every entity gets a stable position as a pure Knuth-hash
+  * function of its key (the q_hash_split convention — reproducible
+  * across engines, runs, and partitionings), expressed in INTEGER
+  * micro-degrees on a SHIFTED grid (lat' ∈ [0, 180e6), lon' ∈
+  * [0, 360e6) µ°) so every cell assignment is non-negative integer
+  * division — exact and identical in Spark (`div`, truncating) and
+  * DuckDB (`//`, flooring), which only agree on non-negative
+  * operands.
+  *
+  * The operator itself is the classic SCALABLE point-radius join:
+  * 1. bucket both sides into W-µ°-wide grid cells (W = radius, so a
+  *    match can span at most one cell boundary per axis);
+  * 2. explode the SMALL side (POIs) into its 3×3 neighbor stencil —
+  *    9 rows per POI, broadcast — never the big side;
+  * 3. equi-join on the cell key (co-partitioned, no theta-join);
+  * 4. refine with the EXACT planar predicate dx²+dy² ≤ R² in BIGINT
+  *    µ°² (zero float in the join decision — the haversine column is
+  *    decoration, never a filter).
+  * At 100 TB the user side stays put: the stencil explode costs
+  * 9·|POI| broadcast rows, the shuffle is one hash exchange of the
+  * big side by cell key, and skewed cells (urban density) fall out
+  * of AQE skew splitting since the join is a plain equi-join.
+  *
+  * Reference analog: the dashboard's city/state rollups
+  * (README.md:16-20) are point-in-region aggregations; this is the
+  * radius-join generalization a geo-aware pipeline needs.
+  */
+object SpatialQueries {
+
+  /** Deterministic coordinate in [0, range) µ° from a stable key —
+    * Knuth multiplicative hash folded to 32 bits (q_hash_split's
+    * assignment; key·mult stays under int64 through ~3.5e9 keys). */
+  private def coord(key: Column, mult: Long, range: Long): Column =
+    pmod(key * lit(mult), lit(4294967296L)) % lit(range)
+
+  private val LatMult = 2654435761L // Knuth's 2^32/φ
+  private val LonMult = 2246822519L // xxHash PRIME32_2
+  /** Search radius == grid-cell width, in µ° (5° ≈ 550 km at the
+    * equator of the planar model): a radius match crosses at most
+    * one cell boundary per axis, so the 3×3 stencil is exhaustive. */
+  private val R = 5000000L
+
+  /** µ° → radians, materialized ONCE as a Scala double and
+    * interpolated into both engines' expressions as the same literal
+    * (Scala's Double.toString is the shortest round-trip decimal, so
+    * DuckDB parses back the identical bits). Computing it per-engine
+    * (Math.toRadians vs radians()) could differ in the last ulp —
+    * the engines associate x·π/180 differently. */
+  private val RadPerMicroDeg: Double = 1e-6 * math.Pi / 180.0
+
+  private def users(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey").as("user_key"),
+      coord(col("c_custkey"), LatMult, 180000000L).as("u_lat"),
+      coord(col("c_custkey"), LonMult, 360000000L).as("u_lon"))
+
+  private def pois(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).select(
+      col("s_suppkey").as("poi_key"),
+      coord(col("s_suppkey"), LatMult, 180000000L).as("p_lat"),
+      coord(col("s_suppkey"), LonMult, 360000000L).as("p_lon"))
+
+  /** Point-radius join: for each POI, the users within R µ° (planar),
+    * their count, the nearest user (exact argmin on (dist², key)),
+    * and the nearest great-circle distance in 100 m units (haversine
+    * on the shifted grid — the one floating-point column, floored at
+    * a grid coarse enough that libm's 1-ulp sin/cos divergence is
+    * immaterial; the JOIN predicate itself is exact BIGINT). */
+  private def spatialJoin(s: SparkSession, d: String): DataFrame = {
+    val u = users(s, d)
+      .withColumn("cl_lat", expr(s"u_lat div $R"))
+      .withColumn("cl_lon", expr(s"u_lon div $R"))
+    val offsets = array((-1 to 1).map(lit): _*)
+    val stencil = pois(s, d)
+      .withColumn("dl", explode(offsets))
+      .withColumn("dm", explode(offsets))
+      .select(col("poi_key"), col("p_lat"), col("p_lon"),
+        (expr(s"p_lat div $R") + col("dl")).as("cl_lat"),
+        (expr(s"p_lon div $R") + col("dm")).as("cl_lon"))
+    val rad = lit(RadPerMicroDeg)
+    val phi1 = (col("u_lat") - lit(90000000L)) * rad
+    val phi2 = (col("p_lat") - lit(90000000L)) * rad
+    val dphi = (col("p_lat") - col("u_lat")) * rad
+    val dlam = (col("p_lon") - col("u_lon")) * rad
+    val a = sin(dphi / 2) * sin(dphi / 2) +
+      cos(phi1) * cos(phi2) * sin(dlam / 2) * sin(dlam / 2)
+    val havM = lit(2.0 * 6371000.0) * asin(sqrt(a))
+    u.join(broadcast(stencil), Seq("cl_lat", "cl_lon"))
+      .withColumn("dist2",
+        (col("u_lat") - col("p_lat")) * (col("u_lat") - col("p_lat"))
+          + (col("u_lon") - col("p_lon"))
+          * (col("u_lon") - col("p_lon")))
+      .filter(col("dist2") <= lit(R * R))
+      .withColumn("hav_100m", floor(havM / lit(100.0)))
+      .groupBy(col("poi_key"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("dist2")).as("min_dist2"),
+        min(struct(col("dist2"), col("user_key")))
+          .getField("user_key").as("nearest_user"),
+        min(col("hav_100m")).as("min_hav_100m"))
+  }
+
+  private val spatialJoinOracle = s"""
+      WITH u AS (SELECT c_custkey AS user_key,
+                        (c_custkey * $LatMult) % 4294967296
+                          % 180000000 AS u_lat,
+                        (c_custkey * $LonMult) % 4294967296
+                          % 360000000 AS u_lon
+                 FROM customer),
+      p AS (SELECT s_suppkey AS poi_key,
+                   (s_suppkey * $LatMult) % 4294967296
+                     % 180000000 AS p_lat,
+                   (s_suppkey * $LonMult) % 4294967296
+                     % 360000000 AS p_lon
+            FROM supplier),
+      st AS (SELECT poi_key, p_lat, p_lon,
+                    p_lat // $R + dl.x AS cl_lat,
+                    p_lon // $R + dm.x AS cl_lon
+             FROM p
+             CROSS JOIN (VALUES (-1), (0), (1)) AS dl(x)
+             CROSS JOIN (VALUES (-1), (0), (1)) AS dm(x)),
+      j AS (SELECT st.poi_key, u.user_key,
+                   (u.u_lat - st.p_lat) * (u.u_lat - st.p_lat)
+                     + (u.u_lon - st.p_lon) * (u.u_lon - st.p_lon)
+                     AS dist2,
+                   floor(2.0 * 6371000.0 * asin(sqrt(
+                     sin((st.p_lat - u.u_lat) * $RadPerMicroDeg / 2)
+                       * sin((st.p_lat - u.u_lat)
+                             * $RadPerMicroDeg / 2)
+                     + cos((u.u_lat - 90000000) * $RadPerMicroDeg)
+                       * cos((st.p_lat - 90000000)
+                             * $RadPerMicroDeg)
+                       * sin((st.p_lon - u.u_lon)
+                             * $RadPerMicroDeg / 2)
+                       * sin((st.p_lon - u.u_lon)
+                             * $RadPerMicroDeg / 2)))
+                     / 100.0) AS hav_100m
+            FROM u JOIN st ON u.u_lat // $R = st.cl_lat
+                          AND u.u_lon // $R = st.cl_lon
+            WHERE (u.u_lat - st.p_lat) * (u.u_lat - st.p_lat)
+                    + (u.u_lon - st.p_lon) * (u.u_lon - st.p_lon)
+                  <= ${R * R})
+      SELECT poi_key, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(min(dist2) AS BIGINT) AS min_dist2,
+             CAST(min(struct_pack(d := dist2, u := user_key)).u
+               AS BIGINT) AS nearest_user,
+             CAST(min(hav_100m) AS BIGINT) AS min_hav_100m
+      FROM j GROUP BY 1"""
+
+  /** Grid-density rollup — users per occupied cell with the cell's
+    * bounding box: the tile-aggregation primitive (heatmaps, density
+    * sampling). One map-side-combinable groupBy on the exact integer
+    * cell key; never materializes empty cells. */
+  private def gridDensity(s: SparkSession, d: String): DataFrame =
+    users(s, d)
+      .groupBy(expr(s"u_lat div $R").as("cl_lat"),
+        expr(s"u_lon div $R").as("cl_lon"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("u_lat")).as("min_lat"), max(col("u_lat")).as("max_lat"),
+        min(col("u_lon")).as("min_lon"), max(col("u_lon")).as("max_lon"))
+      .filter(col("n_users") >= 2)
+
+  private val gridDensityOracle = s"""
+      WITH u AS (SELECT (c_custkey * $LatMult) % 4294967296
+                          % 180000000 AS u_lat,
+                        (c_custkey * $LonMult) % 4294967296
+                          % 360000000 AS u_lon
+                 FROM customer)
+      SELECT u_lat // $R AS cl_lat, u_lon // $R AS cl_lon,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(min(u_lat) AS BIGINT) AS min_lat,
+             CAST(max(u_lat) AS BIGINT) AS max_lat,
+             CAST(min(u_lon) AS BIGINT) AS min_lon,
+             CAST(max(u_lon) AS BIGINT) AS max_lon
+      FROM u GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+  val queries: Seq[Q] = Seq(
+    Q("q_spatial_join", spatialJoin, Some(spatialJoinOracle)),
+    Q("q_grid_density", gridDensity, Some(gridDensityOracle))
+  )
+}

@@ -609,6 +609,72 @@ object StatsQueries {
         floor($"p33" * lit(1000000.0))).as("pacf3_e6"))
   }
 
+  /** AR(2) forecast via Yule–Walker, per event type — the battery's
+    * first PREDICTIVE emit: q_pacf diagnoses the AR order; this
+    * closes the loop by fitting φ₁, φ₂ from the same exact-integer
+    * autocovariance sums (φ₁ = r₁(1−r₂)/(1−r₁²),
+    * φ₂ = (r₂−r₁²)/(1−r₁²)) and rolling the recursion forward three
+    * days from the last two observed values:
+    * x̂ₜ₊ₕ = μ + φ₁(x̂ₜ₊ₕ₋₁−μ) + φ₂(x̂ₜ₊ₕ₋₂−μ), unrolled so both
+    * engines evaluate the identical expression tree. Float
+    * discipline: the whole chain is +,·,/ on exact BIGINTs — no
+    * libm at all — so the doubles are bit-identical by IEEE
+    * determinism and the floor(·) emits (φ·1e6, forecasts at the
+    * cent grid) are exact. The last-two-values pivot rides the same
+    * lead-window pass as the sums (row_number over the descending
+    * day order), so the series is scanned once. Shape: calendar-
+    * cardinality windows, |types|-row tail — flat in event volume. */
+  private def ar2Forecast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy($"event_type").orderBy($"day".asc)
+    val wDesc = W.partitionBy($"event_type").orderBy($"day".desc)
+    val daily = Tables.events(s, d)
+      .select($"event_type", $"ts".cast("date").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("x"))
+    val led = daily
+      .withColumn("x1", lead($"x", 1).over(w))
+      .withColumn("x2", lead($"x", 2).over(w))
+      .withColumn("rn", row_number().over(wDesc))
+    val agg = led.groupBy($"event_type").agg(
+      count(lit(1)).as("n"), sum($"x").as("sxs"),
+      sum($"x" * $"x").as("sxx"),
+      sum($"x" * $"x1").as("sxy1"),
+      sum(when($"x1".isNotNull, $"x")).as("sa1"), sum($"x1").as("sb1"),
+      sum($"x" * $"x2").as("sxy2"),
+      sum(when($"x2".isNotNull, $"x")).as("sa2"), sum($"x2").as("sb2"),
+      max(when($"rn" === 1, $"x")).as("xn"),
+      max(when($"rn" === 2, $"x")).as("xn1"))
+      .withColumn("mm", $"sxs".cast("double") / $"n")
+      .withColumn("c0",
+        ($"sxx".cast("double") - $"sxs".cast("double") * $"mm") / $"n")
+      .withColumn("r1", ($"sxy1".cast("double")
+        - $"mm" * ($"sa1" + $"sb1")
+        + ($"n" - 1) * $"mm" * $"mm") / $"n" / $"c0")
+      .withColumn("r2", ($"sxy2".cast("double")
+        - $"mm" * ($"sa2" + $"sb2")
+        + ($"n" - 2) * $"mm" * $"mm") / $"n" / $"c0")
+      .withColumn("den", lit(1.0) - $"r1" * $"r1")
+      .withColumn("phi1", $"r1" * (lit(1.0) - $"r2") / $"den")
+      .withColumn("phi2", ($"r2" - $"r1" * $"r1") / $"den")
+      .withColumn("f1", $"mm" + $"phi1" * ($"xn" - $"mm")
+        + $"phi2" * ($"xn1" - $"mm"))
+      .withColumn("f2", $"mm" + $"phi1" * ($"f1" - $"mm")
+        + $"phi2" * ($"xn" - $"mm"))
+      .withColumn("f3", $"mm" + $"phi1" * ($"f2" - $"mm")
+        + $"phi2" * ($"f1" - $"mm"))
+    val ok = $"c0" > 0 && abs($"den") > 0 && $"n" >= 3
+    agg.select($"event_type", $"n".as("n_days"),
+      when(ok, floor($"phi1" * lit(1000000.0))).as("phi1_e6"),
+      when(ok, floor($"phi2" * lit(1000000.0))).as("phi2_e6"),
+      when(ok, floor($"f1")).as("f1_cents"),
+      when(ok, floor($"f2")).as("f2_cents"),
+      when(ok, floor($"f3")).as("f3_cents"))
+  }
+
   /** Day-of-week seasonality index per metric series — mean of each
     * weekday relative to the series' overall mean, the decomposition
     * diagnostic read before choosing lag features (a strong weekly
@@ -1203,6 +1269,139 @@ object StatsQueries {
         $"na_e6", $"na_var_e9")
   }
 
+  /** Per-user conversion day-offsets over the signup→purchase risk
+    * sets shared with [[nelsonAalen]]: (t, converted, user-parity
+    * cohort). Two filtered per-user aggregates plus one broadcast
+    * scalar — the construction every survival query downstream
+    * groups and windows over day offsets, never events. */
+  private def survivalRows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val signup = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("s_ts"))
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"))
+    val perUser = signup.join(purch, Seq("user_id"), "left")
+      .groupBy($"user_id", $"s_ts")
+      .agg(min(when($"p_ts" >= $"s_ts", $"p_ts")).as("c_ts"))
+    val obsEnd = ev.agg(max($"ts").as("end_ts"))
+    perUser.crossJoin(obsEnd)
+      .select(
+        when($"c_ts".isNotNull,
+          datediff($"c_ts".cast("date"), $"s_ts".cast("date")))
+          .otherwise(datediff($"end_ts".cast("date"),
+            $"s_ts".cast("date")))
+          .cast("long").as("t"),
+        $"c_ts".isNotNull.as("converted"),
+        ($"user_id" % 2 === 0).as("is_a"))
+  }
+
+  /** Kaplan–Meier survival curve over the [[nelsonAalen]] risk sets —
+    * the product-limit companion: Ŝ(t) = Π_{tᵢ≤t}(1 − dᵢ/nᵢ), carried
+    * as the LOG-survival ln Ŝ(t) = Σ ln((nᵢ−dᵢ)/nᵢ) so the
+    * accumulation obeys the floor-then-sum discipline (each per-row
+    * ln term is computed on exact BIGINT risk counts, floored to e9
+    * fixed-point, and SUMMED as BIGINT — order-independent; a raw
+    * double product would be partition-order dependent). Greenwood's
+    * variance factor Σ dᵢ/(nᵢ(nᵢ−dᵢ)) is pure integer division —
+    * exact e9 with zero float. A terminal cell with dᵢ = nᵢ drives
+    * Ŝ to exactly 0 (ln → −∞): the term is withheld (NULL — both
+    * engines' SUM skips it) and the `absorbed` flag marks the curve
+    * as exactly zero from that offset on. ln is the one libm call:
+    * a 1-ulp Spark/DuckDB divergence lands on an e9 floor boundary
+    * with probability ~1e-7 per cell — the same accepted exposure as
+    * the corpus' other log-based emits. Shape identical to
+    * nelsonAalen: O(span-days) windows after a day-offset rollup. */
+  private def kaplanMeier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val byT = survivalRows(s, d)
+      .groupBy($"t")
+      .agg(sum(when($"converted", 1L).otherwise(0L)).as("n_conv"),
+        sum(when(!$"converted", 1L).otherwise(0L)).as("n_cens"))
+    val before = W.orderBy($"t".asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val whole = W.orderBy($"t".asc)
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val running = W.orderBy($"t".asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    byT
+      .withColumn("n_risk",
+        sum($"n_conv" + $"n_cens").over(whole) -
+          coalesce(sum($"n_conv" + $"n_cens").over(before), lit(0L)))
+      .withColumn("term_e9",
+        when($"n_conv" < $"n_risk",
+          floor(log(($"n_risk" - $"n_conv").cast("double")
+            / $"n_risk".cast("double")) * lit(1000000000.0))
+            .cast("long")))
+      .withColumn("lns_e9", sum($"term_e9").over(running))
+      .withColumn("gw_e9",
+        sum(when($"n_conv" < $"n_risk",
+          expr("n_conv * 1000000000 div (n_risk * (n_risk - n_conv))")))
+          .over(running))
+      .withColumn("absorbed",
+        max(when($"n_conv" === $"n_risk", 1L).otherwise(0L))
+          .over(running))
+      .select($"t", $"n_risk", $"n_conv", $"n_cens",
+        $"lns_e9", $"gw_e9", $"absorbed")
+  }
+
+  /** Log-rank (Mantel–Cox) test between the user-parity cohorts'
+    * conversion curves — the standard "are these two survival curves
+    * the same?" decision the KM/NA curves feed. At each event offset
+    * with d = d₁+d₂ > 0 conversions and n = n₁+n₂ at risk: cohort A's
+    * observed-minus-expected O₁−E₁ = d₁ − d·n₁/n is EXACT e6 BIGINT
+    * (integer div), and the hypergeometric variance
+    * d·n₁·n₂·(n−d) / (n²(n−1)) is formed in DOUBLE on exact counts
+    * (the 4-way product passes int64 at ~1e5 concurrent at-risk
+    * users; IEEE double products are correctly rounded identically
+    * in both engines) and floored to e6 — then both accumulate
+    * floor-then-sum. χ² = (ΣOE)²/ΣV finishes per-row in double on
+    * the two BIGINTs. Shape: the day-offset rollup carries both
+    * cohorts' four counts in ONE pass (no per-cohort join — the
+    * t-grid is complete by construction); O(span-days) windows. */
+  private def logrank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val byT = survivalRows(s, d)
+      .groupBy($"t")
+      .agg(
+        sum(when($"is_a" && $"converted", 1L).otherwise(0L)).as("d1"),
+        sum(when($"is_a" && !$"converted", 1L).otherwise(0L)).as("c1"),
+        sum(when(!$"is_a" && $"converted", 1L).otherwise(0L)).as("d2"),
+        sum(when(!$"is_a" && !$"converted", 1L).otherwise(0L)).as("c2"))
+    val before = W.orderBy($"t".asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val whole = W.orderBy($"t".asc)
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val risk = byT
+      .withColumn("n1",
+        sum($"d1" + $"c1").over(whole) -
+          coalesce(sum($"d1" + $"c1").over(before), lit(0L)))
+      .withColumn("n2",
+        sum($"d2" + $"c2").over(whole) -
+          coalesce(sum($"d2" + $"c2").over(before), lit(0L)))
+      .withColumn("dd", $"d1" + $"d2")
+      .withColumn("nn", $"n1" + $"n2")
+      .filter($"dd" > 0 && $"nn" > 1)
+    val terms = risk.select(
+      ($"d1" * 1000000L - expr("dd * n1 * 1000000 div nn"))
+        .as("oe_e6"),
+      floor($"dd".cast("double") * $"n1" * $"n2" * ($"nn" - $"dd")
+        / ($"nn".cast("double") * $"nn" * ($"nn" - 1))
+        * lit(1000000.0)).cast("long").as("v_e6"),
+      $"d1")
+    terms
+      .agg(sum($"d1").as("o1"), sum($"oe_e6").as("sum_oe_e6"),
+        sum($"v_e6").as("sum_v_e6"))
+      .select($"o1", $"sum_oe_e6", $"sum_v_e6",
+        when($"sum_v_e6" > 0,
+          floor(($"sum_oe_e6".cast("double") / lit(1000000.0))
+            * ($"sum_oe_e6".cast("double") / lit(1000000.0))
+            / ($"sum_v_e6".cast("double") / lit(1000000.0))
+            * lit(1000000.0)).cast("long")).as("chi2_e6"))
+  }
+
   /** Benjamini–Hochberg step-up FDR control over a family of
     * per-segment Welch z-tests — the multiple-comparisons gate every
     * metrics sweep needs once it tests more than one segment: 5 event
@@ -1732,6 +1931,74 @@ object StatsQueries {
                CAST(floor(p33 * 1000000.0) AS BIGINT) END AS pacf3_e6
       FROM p6""")),
 
+    Q("q_ar2_forecast", ar2Forecast, Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents
+                 FROM events WHERE value IS NOT NULL),
+      d AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS x
+            FROM e GROUP BY 1, 2),
+      l AS (SELECT event_type, x,
+                   lead(x, 1) OVER (PARTITION BY event_type
+                     ORDER BY day ASC) AS x1,
+                   lead(x, 2) OVER (PARTITION BY event_type
+                     ORDER BY day ASC) AS x2,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY day DESC) AS rn
+            FROM d),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sxs,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(x * x1) AS BIGINT) AS sxy1,
+                   CAST(sum(CASE WHEN x1 IS NOT NULL THEN x END)
+                     AS BIGINT) AS sa1,
+                   CAST(sum(x1) AS BIGINT) AS sb1,
+                   CAST(sum(x * x2) AS BIGINT) AS sxy2,
+                   CAST(sum(CASE WHEN x2 IS NOT NULL THEN x END)
+                     AS BIGINT) AS sa2,
+                   CAST(sum(x2) AS BIGINT) AS sb2,
+                   CAST(max(CASE WHEN rn = 1 THEN x END) AS BIGINT)
+                     AS xn,
+                   CAST(max(CASE WHEN rn = 2 THEN x END) AS BIGINT)
+                     AS xn1
+            FROM l GROUP BY 1),
+      m AS (SELECT *, CAST(sxs AS DOUBLE) / n AS mm FROM a),
+      c AS (SELECT *,
+                   (CAST(sxx AS DOUBLE) - CAST(sxs AS DOUBLE) * mm)
+                     / n AS c0
+            FROM m),
+      r AS (SELECT *,
+                   (CAST(sxy1 AS DOUBLE) - mm * (sa1 + sb1)
+                     + (n - 1) * mm * mm) / n / c0 AS r1,
+                   (CAST(sxy2 AS DOUBLE) - mm * (sa2 + sb2)
+                     + (n - 2) * mm * mm) / n / c0 AS r2
+            FROM c),
+      p AS (SELECT *, 1.0 - r1 * r1 AS den FROM r),
+      f0 AS (SELECT *, r1 * (1.0 - r2) / den AS phi1,
+                    (r2 - r1 * r1) / den AS phi2
+             FROM p),
+      f1c AS (SELECT *, mm + phi1 * (xn - mm) + phi2 * (xn1 - mm)
+                      AS f1
+              FROM f0),
+      f2c AS (SELECT *, mm + phi1 * (f1 - mm) + phi2 * (xn - mm)
+                      AS f2
+              FROM f1c),
+      f3c AS (SELECT *, mm + phi1 * (f2 - mm) + phi2 * (f1 - mm)
+                      AS f3
+              FROM f2c)
+      SELECT event_type, n AS n_days,
+             CASE WHEN c0 > 0 AND abs(den) > 0 AND n >= 3 THEN
+               CAST(floor(phi1 * 1000000.0) AS BIGINT) END AS phi1_e6,
+             CASE WHEN c0 > 0 AND abs(den) > 0 AND n >= 3 THEN
+               CAST(floor(phi2 * 1000000.0) AS BIGINT) END AS phi2_e6,
+             CASE WHEN c0 > 0 AND abs(den) > 0 AND n >= 3 THEN
+               CAST(floor(f1) AS BIGINT) END AS f1_cents,
+             CASE WHEN c0 > 0 AND abs(den) > 0 AND n >= 3 THEN
+               CAST(floor(f2) AS BIGINT) END AS f2_cents,
+             CASE WHEN c0 > 0 AND abs(den) > 0 AND n >= 3 THEN
+               CAST(floor(f3) AS BIGINT) END AS f3_cents
+      FROM f3c""")),
+
     Q("q_psi_drift", psiDrift, Some("""
       WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
                  FROM orders),
@@ -2204,6 +2471,126 @@ object StatsQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS na_var_e9
       FROM r""")),
+
+    Q("q_kaplan_meier", kaplanMeier, Some("""
+      WITH su AS (SELECT user_id, min(ts) AS s_ts
+                  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      pu AS (SELECT user_id, ts AS p_ts
+             FROM events WHERE event_type = 'purchase'),
+      per_user AS (SELECT su.user_id, su.s_ts,
+                          min(CASE WHEN pu.p_ts >= su.s_ts
+                                   THEN pu.p_ts END) AS c_ts
+                   FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+                   GROUP BY 1, 2),
+      oe AS (SELECT max(ts) AS end_ts FROM events),
+      rows_t AS (SELECT CASE WHEN c_ts IS NOT NULL
+                             THEN date_diff('day', CAST(s_ts AS DATE),
+                                            CAST(c_ts AS DATE))
+                             ELSE date_diff('day', CAST(s_ts AS DATE),
+                                            CAST(end_ts AS DATE))
+                        END AS t,
+                        c_ts IS NOT NULL AS converted
+                 FROM per_user CROSS JOIN oe),
+      by_t AS (SELECT CAST(t AS BIGINT) AS t,
+                      sum(CASE WHEN converted THEN 1 ELSE 0 END)
+                        AS n_conv,
+                      sum(CASE WHEN converted THEN 0 ELSE 1 END)
+                        AS n_cens
+               FROM rows_t GROUP BY 1),
+      r AS (SELECT t, n_conv, n_cens,
+                   sum(n_conv + n_cens) OVER () -
+                     coalesce(sum(n_conv + n_cens) OVER (
+                       ORDER BY t ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n_risk
+            FROM by_t),
+      terms AS (SELECT t, n_risk, n_conv, n_cens,
+                       CASE WHEN n_conv < n_risk THEN
+                         CAST(floor(ln(CAST(n_risk - n_conv AS DOUBLE)
+                           / CAST(n_risk AS DOUBLE)) * 1000000000.0)
+                           AS BIGINT) END AS term_e9,
+                       CASE WHEN n_conv < n_risk THEN
+                         CAST(n_conv * 1000000000
+                           // (n_risk * (n_risk - n_conv)) AS BIGINT)
+                       END AS gw_term_e9
+                FROM r)
+      SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+             CAST(n_conv AS BIGINT) AS n_conv,
+             CAST(n_cens AS BIGINT) AS n_cens,
+             CAST(sum(term_e9) OVER (ORDER BY t ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS lns_e9,
+             CAST(sum(gw_term_e9) OVER (ORDER BY t ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS gw_e9,
+             CAST(max(CASE WHEN n_conv = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS absorbed
+      FROM terms""")),
+
+    Q("q_logrank_test", logrank, Some("""
+      WITH su AS (SELECT user_id, min(ts) AS s_ts
+                  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      pu AS (SELECT user_id, ts AS p_ts
+             FROM events WHERE event_type = 'purchase'),
+      per_user AS (SELECT su.user_id, su.s_ts,
+                          min(CASE WHEN pu.p_ts >= su.s_ts
+                                   THEN pu.p_ts END) AS c_ts
+                   FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+                   GROUP BY 1, 2),
+      oe AS (SELECT max(ts) AS end_ts FROM events),
+      rows_t AS (SELECT CASE WHEN c_ts IS NOT NULL
+                             THEN date_diff('day', CAST(s_ts AS DATE),
+                                            CAST(c_ts AS DATE))
+                             ELSE date_diff('day', CAST(s_ts AS DATE),
+                                            CAST(end_ts AS DATE))
+                        END AS t,
+                        c_ts IS NOT NULL AS converted,
+                        user_id % 2 = 0 AS is_a
+                 FROM per_user CROSS JOIN oe),
+      by_t AS (SELECT CAST(t AS BIGINT) AS t,
+                      CAST(sum(CASE WHEN is_a AND converted
+                               THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                      CAST(sum(CASE WHEN is_a AND NOT converted
+                               THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                      CAST(sum(CASE WHEN NOT is_a AND converted
+                               THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+                      CAST(sum(CASE WHEN NOT is_a AND NOT converted
+                               THEN 1 ELSE 0 END) AS BIGINT) AS c2
+               FROM rows_t GROUP BY 1),
+      risk AS (SELECT *,
+                      CAST(sum(d1 + c1) OVER () -
+                        coalesce(sum(d1 + c1) OVER (ORDER BY t ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+                      CAST(sum(d2 + c2) OVER () -
+                        coalesce(sum(d2 + c2) OVER (ORDER BY t ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS n2
+               FROM by_t),
+      terms AS (SELECT d1,
+                       CAST(d1 * 1000000
+                         - (d1 + d2) * n1 * 1000000 // (n1 + n2)
+                         AS BIGINT) AS oe_e6,
+                       CAST(floor(CAST(d1 + d2 AS DOUBLE) * n1 * n2
+                         * ((n1 + n2) - (d1 + d2))
+                         / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                            * ((n1 + n2) - 1))
+                         * 1000000.0) AS BIGINT) AS v_e6
+                FROM risk
+                WHERE d1 + d2 > 0 AND n1 + n2 > 1),
+      a AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+                   CAST(sum(oe_e6) AS BIGINT) AS sum_oe_e6,
+                   CAST(sum(v_e6) AS BIGINT) AS sum_v_e6
+            FROM terms)
+      SELECT o1, sum_oe_e6, sum_v_e6,
+             CASE WHEN sum_v_e6 > 0 THEN
+               CAST(floor((CAST(sum_oe_e6 AS DOUBLE) / 1000000.0)
+                 * (CAST(sum_oe_e6 AS DOUBLE) / 1000000.0)
+                 / (CAST(sum_v_e6 AS DOUBLE) / 1000000.0)
+                 * 1000000.0) AS BIGINT) END AS chi2_e6
+      FROM a""")),
 
     Q("q_fdr_bh", fdrBh, Some("""
       WITH seg AS (

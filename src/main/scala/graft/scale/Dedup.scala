@@ -131,6 +131,70 @@ object Dedup {
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
     verifyPairs(ngramCandidates(docShingles(s, d)), docShingles(s, d))
 
+  /** Shingle CONTAINMENT — the asymmetric companion to
+    * [[ngramJaccard]]: c(A→B) = |A∩B|/|A| catches the
+    * "document A is embedded inside the much larger B" duplication
+    * that symmetric Jaccard misses entirely (a 100-shingle doc fully
+    * contained in a 10 000-shingle doc has Jaccard ≈ 0.01 but
+    * containment 1.0 — the quote/boilerplate/concatenated-crawl case
+    * a training-data pipeline must catch). Same df-capped inverted-
+    * index candidates as the Jaccard path; both directions emitted
+    * as EXACT e6 fixed-point (BIGINT intersection · 1e6 div set
+    * size — zero float), kept when either direction ≥ 0.6, flagged
+    * near-subset at ≥ 0.9. Shape identical to q_dedup_ngram_jaccard:
+    * posting shuffle bounded by the df cap, pair join co-partitioned
+    * with candidate generation. */
+  private def containment(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d)
+    val s1 = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    ngramCandidates(sh).join(s1, "d1").join(s2, "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+          .as("i"),
+        size(col("sh1")).cast("long").as("sz1"),
+        size(col("sh2")).cast("long").as("sz2"))
+      .withColumn("cont12_e6", expr("i * 1000000 div sz1"))
+      .withColumn("cont21_e6", expr("i * 1000000 div sz2"))
+      .filter(greatest(col("cont12_e6"), col("cont21_e6"))
+        >= lit(600000L))
+      .withColumn("near_subset",
+        greatest(col("cont12_e6"), col("cont21_e6")) >= lit(900000L))
+  }
+
+  private val containmentOracle = s"""
+      WITH tk AS (SELECT doc_id,
+                         string_split_regex(lower(text), '\\s+') AS toks
+                  FROM documents),
+      sh AS (SELECT doc_id,
+                    unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                          for i in range(1, len(toks)-1)])) AS s
+             FROM tk WHERE len(toks) >= 3),
+      hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > $MaxShingleDf),
+      shc AS (SELECT doc_id, s FROM sh
+              WHERE s NOT IN (SELECT s FROM hot)),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                       CAST(count(*) AS BIGINT) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT c.d1, c.d2, inter.i AS i,
+             s1.sz AS sz1, s2.sz AS sz2,
+             CAST(inter.i * 1000000 // s1.sz AS BIGINT) AS cont12_e6,
+             CAST(inter.i * 1000000 // s2.sz AS BIGINT) AS cont21_e6,
+             greatest(inter.i * 1000000 // s1.sz,
+                      inter.i * 1000000 // s2.sz) >= 900000
+               AS near_subset
+      FROM cand c
+      JOIN inter ON c.d1 = inter.d1 AND c.d2 = inter.d2
+      JOIN sizes s1 ON c.d1 = s1.doc_id
+      JOIN sizes s2 ON c.d2 = s2.doc_id
+      WHERE greatest(inter.i * 1000000 // s1.sz,
+                     inter.i * 1000000 // s2.sz) >= 600000"""
+
   /** Mersenne prime for the 2-universal hash family. */
   private val P = 2147483647L
 
@@ -918,6 +982,7 @@ object Dedup {
             SELECT doc_id, lang, source FROM documents WHERE doc_id < 25) u
       GROUP BY 1, 2, 3 HAVING count(*) > 1""")),
     Q("q_dedup_ngram_jaccard", ngramJaccard, Some(jaccardCappedOracle)),
+    Q("q_dedup_containment", containment, Some(containmentOracle)),
     // Oracled against UNCAPPED exact Jaccard: LSH equality is
     // probabilistic (P(miss | j=0.8) ≈ 5e-8 per pair) and the bucket
     // cap provably cannot bite at gate SF — ScaleSpec asserts the

@@ -40,7 +40,9 @@ class InferenceSpec extends AnyFunSuite {
     // changes double-accumulation order in a naive formulation) must
     // not move a single cell
     val names = Seq("q_anova_f", "q_brown_forsythe", "q_kruskal_wallis",
-      "q_cramers_v", "q_mood_median", "q_dp_histogram", "q_gini_revenue")
+      "q_cramers_v", "q_mood_median", "q_dp_histogram", "q_gini_revenue",
+      "q_mcnemar", "q_cochran_q", "q_friedman", "q_cohens_d",
+      "q_logrank_test", "q_kaplan_meier")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     def snap(): Map[String, Set[String]] = names.map { n =>
@@ -541,5 +543,125 @@ class InferenceSpec extends AnyFunSuite {
     assert(got === want)
     // every emitted pair genuinely shares a part and jac ≤ 1e6
     got.foreach(t => assert(t._3 >= 1 && t._6 <= 1000000L))
+  }
+
+  test("q_mcnemar: 2x2 concordance cells and the corrected statistic " +
+      "replay from a brute per-user pass; cells partition the users") {
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", dayofmonth($"ts").as("dom"))
+      .as[(Long, String, Int)].collect()
+    val cells = ev.groupBy(_._1).values.toSeq.map { rs =>
+      (rs.exists(r => r._2 == "purchase" && r._3 <= 15),
+        rs.exists(r => r._2 == "purchase" && r._3 > 15))
+    }
+    val row = SparkEntry.queries("q_mcnemar")(spark, sf).collect().head
+    val n01 = cells.count(c => !c._1 && c._2).toLong
+    val n10 = cells.count(c => c._1 && !c._2).toLong
+    assert(row.getAs[Long]("n00") ===
+      cells.count(c => !c._1 && !c._2).toLong)
+    assert(row.getAs[Long]("n01") === n01)
+    assert(row.getAs[Long]("n10") === n10)
+    assert(row.getAs[Long]("n11") ===
+      cells.count(c => c._1 && c._2).toLong)
+    assert(row.getAs[Long]("n00") + row.getAs[Long]("n01")
+      + row.getAs[Long]("n10") + row.getAs[Long]("n11")
+      === cells.size.toLong)
+    if (n01 + n10 > 0) {
+      assert(row.getAs[Long]("mcnemar_e6") ===
+        (n10 - n01) * (n10 - n01) * 1000000L / (n10 + n01))
+      val b = (n10 - n01).abs - 1
+      assert(row.getAs[Long]("mcnemar_cc_e6") ===
+        b * b * 1000000L / (n10 + n01))
+    }
+  }
+
+  test("q_cochran_q: statistic replays from the brute participation " +
+      "matrix; row and column sums reconcile") {
+    val pres = Tables.events(spark, sf)
+      .select($"user_id", $"event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    val rSums = pres.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cSums = pres.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val k = cSums.size.toLong
+    val nTot = rSums.values.sum
+    val sumR2 = rSums.values.map(r => r * r).sum
+    val sumC2 = cSums.values.map(c => c * c).sum
+    val row = SparkEntry.queries("q_cochran_q")(spark, sf)
+      .collect().head
+    assert(row.getAs[Long]("n_users") === rSums.size.toLong)
+    assert(row.getAs[Long]("k") === k)
+    assert(row.getAs[Long]("n_tot") === nTot)
+    assert(nTot === cSums.values.sum, "row and column totals agree")
+    assert(row.getAs[Long]("sum_r2") === sumR2)
+    assert(row.getAs[Long]("sum_c2") === sumC2)
+    if (k * nTot - sumR2 > 0) {
+      val q = (k - 1).toDouble * (k.toDouble * sumC2 -
+        nTot.toDouble * nTot) / (k.toDouble * nTot - sumR2.toDouble)
+      assert(row.getAs[Long]("q_e6") === math.floor(q * 1e6).toLong)
+      assert(q >= 0.0, "Cochran's Q is a scaled variance")
+    }
+  }
+
+  test("q_friedman: within-block doubled midranks replay brutally; " +
+      "each complete block's rank2 values sum to k(k+1)") {
+    val cells = dailyRows.map(r => (r._2, r._1, r._3))
+    val byDay = cells.groupBy(_._1)
+    val k = cells.map(_._2).distinct.size
+    val complete = byDay.filter(_._2.size == k)
+    val r2 = scala.collection.mutable.Map.empty[String, Long]
+    complete.values.foreach { rs =>
+      val sorted = rs.sortBy(_._3)
+      rs.foreach { r =>
+        val below = rs.count(_._3 < r._3)
+        val tied = rs.count(_._3 == r._3)
+        val rank2 = 2L * below + tied + 1
+        r2(r._2) = r2.getOrElse(r._2, 0L) + rank2
+      }
+      // doubled midranks of one block always sum to k(k+1)
+      assert(rs.map(r =>
+        2L * rs.count(_._3 < r._3) + rs.count(_._3 == r._3) + 1).sum
+        === k.toLong * (k + 1))
+    }
+    val n = complete.size.toLong
+    val sumR2sq = r2.values.map(v => v * v).sum
+    val row = SparkEntry.queries("q_friedman")(spark, sf)
+      .collect().head
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Long]("k") === k.toLong)
+    assert(row.getAs[Long]("sum_r2sq") === sumR2sq)
+    val chi2 = 3L * sumR2sq * 1000000L / (n * k * (k + 1)) -
+      3L * n * (k + 1) * 1000000L
+    assert(row.getAs[Long]("chi2_e6") === chi2)
+    assert(row.getAs[Long]("w_e6") ===
+      math.max(chi2, 0L) / (n * (k - 1)))
+  }
+
+  test("q_cohens_d: standardized mean difference replays from the " +
+      "exact moments; Hedges' g shrinks toward zero") {
+    val got = SparkEntry.queries("q_cohens_d")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    centsRows.groupBy(_._1).foreach { case (ty, rs) =>
+      val a = rs.filter(_._3).map(_._2)
+      val b = rs.filterNot(_._3).map(_._2)
+      if (a.size > 1 && b.size > 1) {
+        val (n1, n2) = (a.size.toLong, b.size.toLong)
+        val sp2 = ((a.map(x => x * x).sum -
+          a.sum.toDouble * a.sum / n1.toDouble)
+          + (b.map(x => x * x).sum -
+            b.sum.toDouble * b.sum / n2.toDouble)) / (n1 + n2 - 2).toDouble
+        val d = (a.sum.toDouble / n1.toDouble -
+          b.sum.toDouble / n2.toDouble) / math.sqrt(sp2)
+        val row = got(ty)
+        if (sp2 > 0) {
+          assert((row.getAs[Long]("d_e6") -
+            math.floor(d * 1e6).toLong).abs <= 1, s"$ty d")
+          val g = d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))
+          assert((row.getAs[Long]("g_e6") -
+            math.floor(g * 1e6).toLong).abs <= 1, s"$ty g")
+          assert(row.getAs[Long]("g_e6").abs <=
+            row.getAs[Long]("d_e6").abs + 1, s"$ty |g| <= |d|")
+        }
+      }
+    }
   }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model + plan checks for the spatial operators: the grid-stencil
+  * radius join must equal the O(|users|·|POIs|) brute-force answer
+  * (the stencil is a pure optimization — 3×3 is EXHAUSTIVE when the
+  * cell width equals the radius), and its physical plan must be the
+  * broadcast equi-join the 100 TB story depends on, never a
+  * cartesian refine. */
+class SpatialSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  private val LatMult = 2654435761L
+  private val LonMult = 2246822519L
+  private val R = 5000000L
+
+  private def coord(key: Long, mult: Long, range: Long): Long =
+    ((key * mult) % 4294967296L) % range
+
+  private lazy val users: Seq[(Long, Long, Long)] =
+    Tables.customer(spark, sf).select("c_custkey")
+      .collect().map(_.getLong(0)).toSeq
+      .map(k => (k, coord(k, LatMult, 180000000L),
+        coord(k, LonMult, 360000000L)))
+
+  private lazy val pois: Seq[(Long, Long, Long)] =
+    Tables.supplier(spark, sf).select("s_suppkey")
+      .collect().map(_.getLong(0)).toSeq
+      .map(k => (k, coord(k, LatMult, 180000000L),
+        coord(k, LonMult, 360000000L)))
+
+  test("q_spatial_join equals the brute-force all-pairs radius join " +
+      "(the 3x3 stencil loses nothing at cell width == radius)") {
+    val brute = pois.flatMap { case (pk, plat, plon) =>
+      val in = users.flatMap { case (uk, ulat, ulon) =>
+        val d2 = (ulat - plat) * (ulat - plat) +
+          (ulon - plon) * (ulon - plon)
+        if (d2 <= R * R) Some((d2, uk)) else None
+      }
+      if (in.isEmpty) None
+      else Some(pk -> (in.size.toLong, in.map(_._1).min, in.min._2))
+    }.toMap
+    val got = SparkEntry.queries("q_spatial_join")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("poi_key") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("min_dist2"),
+          r.getAs[Long]("nearest_user"))).toMap
+    assert(got === brute)
+  }
+
+  test("q_spatial_join plan: broadcast equi-join on the cell key, " +
+      "no cartesian or nested-loop fallback") {
+    val plan = SparkEntry.queries("q_spatial_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "stencil side must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "radius refine must ride the equi-join, not a cross product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "join must be on the exact cell key, not the theta predicate")
+  }
+
+  test("q_grid_density equals a brute cell rollup and every bounding " +
+      "box sits inside its cell") {
+    val brute = users.groupBy(u => (u._2 / R, u._3 / R))
+      .filter(_._2.size >= 2)
+      .map { case (c, us) =>
+        c -> (us.size.toLong, us.map(_._2).min, us.map(_._2).max,
+          us.map(_._3).min, us.map(_._3).max)
+      }
+    val got = SparkEntry.queries("q_grid_density")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("cl_lat"), r.getAs[Long]("cl_lon")) ->
+        (r.getAs[Long]("n_users"),
+          r.getAs[Long]("min_lat"), r.getAs[Long]("max_lat"),
+          r.getAs[Long]("min_lon"), r.getAs[Long]("max_lon"))).toMap
+    assert(got === brute)
+    got.foreach { case ((clat, clon), (_, lo, hi, lo2, hi2)) =>
+      assert(lo / R === clat && hi / R === clat)
+      assert(lo2 / R === clon && hi2 / R === clon)
+    }
+  }
+}

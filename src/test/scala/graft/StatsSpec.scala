@@ -943,4 +943,144 @@ class StatsSpec extends AnyFunSuite {
     }
     want.foreach { case (ty, w) => assert(got(ty) === w, s"type $ty") }
   }
+
+  test("q_kaplan_meier: ln-survival and Greenwood cells replay from " +
+      "the risk table; curve agrees with q_nelson_aalen's risk sets") {
+    val km = SparkEntry.queries("q_kaplan_meier")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("t"))
+    assert(km.nonEmpty)
+    // identical risk-set construction to NA, row for row
+    val na = SparkEntry.queries("q_nelson_aalen")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("t") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("n_conv"),
+          r.getAs[Long]("n_cens"))).toMap
+    assert(km.map(r => r.getAs[Long]("t") ->
+      (r.getAs[Long]("n_risk"), r.getAs[Long]("n_conv"),
+        r.getAs[Long]("n_cens"))).toMap === na)
+    // replay the two cumulative columns cell by cell
+    var lns = 0L
+    var gw = 0L
+    var absorbed = 0L
+    km.foreach { r =>
+      val risk = r.getAs[Long]("n_risk")
+      val conv = r.getAs[Long]("n_conv")
+      if (conv < risk) {
+        lns += math.floor(math.log(
+          (risk - conv).toDouble / risk) * 1e9).toLong
+        gw += conv * 1000000000L / (risk * (risk - conv))
+      } else absorbed = 1L
+      assert(r.getAs[Long]("lns_e9") === lns)
+      assert(r.getAs[Long]("gw_e9") === gw)
+      assert(r.getAs[Long]("absorbed") === absorbed)
+      // log-survival is non-increasing (survival is a product of
+      // factors <= 1)
+      assert(r.getAs[Long]("lns_e9") <= 0L)
+    }
+  }
+
+  test("q_logrank_test: O-E and variance terms replay from the " +
+      "two-cohort risk table; chi-square from the summed terms") {
+    val row = SparkEntry.queries("q_logrank_test")(spark, sf)
+      .collect().head
+    // rebuild the per-offset two-cohort risk table brutally
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+        $"ts".cast("date").cast("string").as("day"))
+      .as[(Long, String, Long, String)].collect()
+    def dayNum(d: String): Long =
+      java.time.LocalDate.parse(d).toEpochDay
+    val endDay = ev.map(e => dayNum(e._4)).max
+    val byUser = ev.groupBy(_._1)
+    val rows = byUser.toSeq.flatMap { case (uid, rs) =>
+      val signups = rs.filter(_._2 == "signup")
+      if (signups.isEmpty) None
+      else {
+        val sRow = signups.minBy(_._3)
+        val conv = rs.filter(r => r._2 == "purchase" && r._3 >= sRow._3)
+        val t =
+          if (conv.nonEmpty) dayNum(conv.minBy(_._3)._4) - dayNum(sRow._4)
+          else endDay - dayNum(sRow._4)
+        Some((t, conv.nonEmpty, uid % 2 == 0))
+      }
+    }
+    val ts = rows.map(_._1).distinct.sorted
+    var n1 = rows.count(_._3).toLong
+    var n2 = rows.count(!_._3).toLong
+    var sumOe = 0L
+    var sumV = 0L
+    var o1 = 0L
+    ts.foreach { t =>
+      val here = rows.filter(_._1 == t)
+      val d1 = here.count(r => r._3 && r._2).toLong
+      val d2 = here.count(r => !r._3 && r._2).toLong
+      val dd = d1 + d2
+      val nn = n1 + n2
+      if (dd > 0 && nn > 1) {
+        o1 += d1
+        sumOe += d1 * 1000000L - dd * n1 * 1000000L / nn
+        sumV += math.floor(dd.toDouble * n1 * n2 * (nn - dd)
+          / (nn.toDouble * nn * (nn - 1)) * 1e6).toLong
+      }
+      n1 -= here.count(_._3)
+      n2 -= here.count(!_._3)
+    }
+    assert(row.getAs[Long]("o1") === o1)
+    assert(row.getAs[Long]("sum_oe_e6") === sumOe)
+    assert(row.getAs[Long]("sum_v_e6") === sumV)
+    val chi2 = math.floor((sumOe / 1e6) * (sumOe / 1e6)
+      / (sumV / 1e6) * 1e6).toLong
+    assert(row.getAs[Long]("chi2_e6") === chi2)
+  }
+
+  test("q_ar2_forecast: Yule-Walker phis and the 3-step recursion " +
+      "replay from the exact daily sums; stationarity sanity") {
+    val daily = Tables.events(spark, sf)
+      .select($"event_type", $"ts".cast("date").cast("string").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day").agg(sum($"cents").as("x"))
+      .as[(String, String, Long)].collect()
+    val got = SparkEntry.queries("q_ar2_forecast")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    daily.groupBy(_._1).foreach { case (ty, rs) =>
+      val xs = rs.sortBy(_._2).map(_._3)
+      val n = xs.length
+      val mm = xs.sum.toDouble / n
+      val c0 = (xs.map(x => x * x).sum.toDouble - xs.sum.toDouble * mm) / n
+      def r(k: Int): Double = {
+        val sxy = xs.dropRight(k).zip(xs.drop(k)).map(p => p._1 * p._2).sum
+        val sa = xs.dropRight(k).sum
+        val sb = xs.drop(k).sum
+        (sxy.toDouble - mm * (sa + sb) + (n - k) * mm * mm) / n / c0
+      }
+      val (r1, r2) = (r(1), r(2))
+      val den = 1.0 - r1 * r1
+      val phi1 = r1 * (1.0 - r2) / den
+      val phi2 = (r2 - r1 * r1) / den
+      val f1 = mm + phi1 * (xs(n - 1) - mm) + phi2 * (xs(n - 2) - mm)
+      val f2 = mm + phi1 * (f1 - mm) + phi2 * (xs(n - 1) - mm)
+      val f3 = mm + phi1 * (f2 - mm) + phi2 * (f1 - mm)
+      val row = got(ty)
+      // replay tolerance: the brute recompute associates the sums
+      // differently than the engine's aggregate, so compare at the
+      // e6 grid with a 1-unit slack rather than bit-exactly (the
+      // ENGINE-vs-ENGINE exactness is what the DuckDB oracle pins)
+      assert((row.getAs[Long]("phi1_e6") -
+        math.floor(phi1 * 1e6).toLong).abs <= 1, s"$ty phi1")
+      assert((row.getAs[Long]("phi2_e6") -
+        math.floor(phi2 * 1e6).toLong).abs <= 1, s"$ty phi2")
+      assert((row.getAs[Long]("f1_cents") -
+        math.floor(f1).toLong).abs <= 1, s"$ty f1")
+      assert((row.getAs[Long]("f2_cents") -
+        math.floor(f2).toLong).abs <= 1, s"$ty f2")
+      assert((row.getAs[Long]("f3_cents") -
+        math.floor(f3).toLong).abs <= 1, s"$ty f3")
+      // AR(2) stationarity of the fitted pair on real data
+      val (p1, p2) = (row.getAs[Long]("phi1_e6") / 1e6,
+        row.getAs[Long]("phi2_e6") / 1e6)
+      assert(p2 > -1.01 && p2 + p1 < 1.01 && p2 - p1 < 1.01,
+        s"$ty fitted AR(2) outside the stationary triangle")
+    }
+  }
 }

@@ -872,4 +872,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(self === 0L)
     drift.unpersist()
   }
+
+  test("q_dedup_containment: asymmetric cells reconcile with the " +
+      "Jaccard pairs (containment dominates Jaccard; every " +
+      "threshold-passing Jaccard pair reappears)") {
+    val cont = SparkEntry.queries("q_dedup_containment")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        (r.getAs[Long]("i"), r.getAs[Long]("sz1"),
+          r.getAs[Long]("sz2"), r.getAs[Long]("cont12_e6"),
+          r.getAs[Long]("cont21_e6"),
+          r.getAs[Boolean]("near_subset"))).toMap
+    assert(cont.nonEmpty)
+    cont.foreach { case (pair, (i, sz1, sz2, c12, c21, nearSub)) =>
+      // fixed-point cells are the exact integer divisions
+      assert(c12 === i * 1000000L / sz1, s"$pair c12")
+      assert(c21 === i * 1000000L / sz2, s"$pair c21")
+      assert(i <= math.min(sz1, sz2), s"$pair intersection bound")
+      assert(math.max(c12, c21) >= 600000L, s"$pair threshold")
+      assert(nearSub === (math.max(c12, c21) >= 900000L),
+        s"$pair flag")
+      // containment >= Jaccard always: i/sz1 >= i/(sz1+sz2-i)
+      val jacE6 = i * 1000000L / (sz1 + sz2 - i)
+      assert(math.max(c12, c21) >= jacE6, s"$pair dominance")
+    }
+    // every pair the Jaccard query keeps (tau=0.8) must reappear
+    // here: containment >= Jaccard >= 0.8 >= the 0.6 gate
+    val jac = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(jac.subsetOf(cont.keySet),
+      "jaccard-near-dup pairs missing from the containment emit")
+  }
 }
