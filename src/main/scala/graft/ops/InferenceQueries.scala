@@ -795,6 +795,92 @@ object InferenceQueries {
           * lit(1000000.0)).cast("long")).as("g_e6"))
   }
 
+  /** Mutual information between event type and day-of-week — the
+    * INFORMATION-THEORETIC association measure beside Cramér's V
+    * (χ²-based): MI = Σᵢⱼ pᵢⱼ·ln(pᵢⱼ/(pᵢ·pⱼ)) answers "how many nats
+    * does knowing the weekday buy about the event mix" and feeds
+    * feature selection directly. Same one-pass cell/margin windows as
+    * [[cramersV]]; every per-cell and per-margin entropy term is a
+    * double on exact BIGINT counts floored to e9 BEFORE the sum
+    * (floor-then-sum — order-independent), and the normalized
+    * variant NMI = MI/√(H_x·H_y) finishes per-row on the three
+    * BIGINTs. The o·n / rx·ry cross products are formed in DOUBLE
+    * (int64-safe at any scale — the cramersV lesson). ln is libm:
+    * e9-floor boundary exposure ~1e-7 per cell, the corpus'
+    * accepted rate. Shape: one map-side-combinable groupBy,
+    * |types|·7 cells, 1-row tail. */
+  private def mutualInformation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(s, d)
+      .groupBy($"event_type".as("x"),
+        dayofweek($"ts").cast("long").as("y"))
+      .agg(count(lit(1)).as("o"))
+      .withColumn("rx", sum($"o").over(W.partitionBy($"x")))
+      .withColumn("ry", sum($"o").over(W.partitionBy($"y")))
+      .withColumn("n", sum($"o").over(
+        W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    val mi = cells
+      .select(($"o".cast("double") / $"n"
+        * log($"o".cast("double") * $"n"
+          / ($"rx".cast("double") * $"ry"))).as("term"), $"n")
+      .agg(sum(floor($"term" * lit(1000000000.0)).cast("long"))
+        .as("mi_e9"), max($"n").as("n"))
+    val hx = cells.groupBy($"x")
+      .agg(max($"rx").as("rx"), max($"n").as("n"))
+      .agg(sum(floor(-($"rx".cast("double") / $"n")
+        * log($"rx".cast("double") / $"n") * lit(1000000000.0))
+        .cast("long")).as("hx_e9"))
+    val hy = cells.groupBy($"y")
+      .agg(max($"ry").as("ry"), max($"n").as("n"))
+      .agg(sum(floor(-($"ry".cast("double") / $"n")
+        * log($"ry".cast("double") / $"n") * lit(1000000000.0))
+        .cast("long")).as("hy_e9"))
+    mi.crossJoin(hx).crossJoin(hy)
+      .select($"n", $"mi_e9", $"hx_e9", $"hy_e9",
+        when($"hx_e9" > 0 && $"hy_e9" > 0,
+          floor($"mi_e9".cast("double")
+            / sqrt($"hx_e9".cast("double") * $"hy_e9")
+            * lit(1000000.0)).cast("long")).as("nmi_e6"))
+  }
+
+  /** Jensen–Shannon divergence between the reference and current
+    * revenue-band distributions per event type — the BOUNDED,
+    * symmetric drift score beside q_psi_drift (PSI explodes on
+    * empty bins; JS ≤ ln 2 always, the property that makes it the
+    * standard training-data drift gate). Bands are exact integer
+    * cents div 2000 (~$20 buckets); both one-sided KL(p‖m) and
+    * KL(q‖m) accumulate floor-then-sum e9 terms (zero-count cells
+    * contribute exactly zero and are skipped by the when-guard), and
+    * JS = (KL_pm+KL_qm)/2 finishes as floor of a double halving —
+    * exact for any int sum, deterministic even if a floored sum
+    * lands at −1. One groupBy to |types|·|bands| cells, margins by
+    * window, |types|-row tail. */
+  private def jsDivergence(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = centsSplit(s, d)
+      .groupBy($"event_type", expr("cents div 2000").as("band"))
+      .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("a"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("b"))
+      .withColumn("na", sum($"a").over(W.partitionBy($"event_type")))
+      .withColumn("nb", sum($"b").over(W.partitionBy($"event_type")))
+    val p = $"a".cast("double") / $"na"
+    val q = $"b".cast("double") / $"nb"
+    val m = (p + q) / lit(2.0)
+    val terms = cells.select($"event_type", $"na", $"nb",
+      when($"a" > 0, floor(p * log(p / m) * lit(1000000000.0))
+        .cast("long")).otherwise(0L).as("tp_e9"),
+      when($"b" > 0, floor(q * log(q / m) * lit(1000000000.0))
+        .cast("long")).otherwise(0L).as("tq_e9"))
+    terms.groupBy($"event_type")
+      .agg(max($"na").as("n_ref"), max($"nb").as("n_cur"),
+        sum($"tp_e9").as("kl_pm_e9"), sum($"tq_e9").as("kl_qm_e9"))
+      .withColumn("js_e9",
+        floor(($"kl_pm_e9" + $"kl_qm_e9").cast("double") / lit(2.0))
+          .cast("long"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_gini_revenue", giniRevenue, Some("""
       WITH pu AS (SELECT user_id,
@@ -1396,6 +1482,86 @@ object InferenceQueries {
                  * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))
                  * 1000000.0) AS BIGINT)
              END AS g_e6
-      FROM x"""))
+      FROM x""")),
+
+    Q("q_mutual_information", mutualInformation, Some("""
+      WITH cells AS (
+        SELECT event_type AS x,
+               CAST(isodow(CAST(ts AS DATE)) % 7 + 1 AS BIGINT) AS y,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2),
+      w AS (SELECT x, y, o,
+                   CAST(sum(o) OVER (PARTITION BY x) AS BIGINT) AS rx,
+                   CAST(sum(o) OVER (PARTITION BY y) AS BIGINT) AS ry,
+                   CAST(sum(o) OVER () AS BIGINT) AS n
+            FROM cells),
+      mi AS (SELECT CAST(sum(CAST(floor(CAST(o AS DOUBLE) / n
+                      * ln(CAST(o AS DOUBLE) * n
+                           / (CAST(rx AS DOUBLE) * ry))
+                      * 1000000000.0) AS BIGINT)) AS BIGINT) AS mi_e9,
+                    CAST(max(n) AS BIGINT) AS n
+             FROM w),
+      hx AS (SELECT CAST(sum(CAST(floor(-(CAST(rx AS DOUBLE) / n)
+                      * ln(CAST(rx AS DOUBLE) / n)
+                      * 1000000000.0) AS BIGINT)) AS BIGINT) AS hx_e9
+             FROM (SELECT x, max(rx) AS rx, max(n) AS n
+                   FROM w GROUP BY 1)),
+      hy AS (SELECT CAST(sum(CAST(floor(-(CAST(ry AS DOUBLE) / n)
+                      * ln(CAST(ry AS DOUBLE) / n)
+                      * 1000000000.0) AS BIGINT)) AS BIGINT) AS hy_e9
+             FROM (SELECT y, max(ry) AS ry, max(n) AS n
+                   FROM w GROUP BY 1))
+      SELECT n, mi_e9, hx_e9, hy_e9,
+             CASE WHEN hx_e9 > 0 AND hy_e9 > 0 THEN
+               CAST(floor(CAST(mi_e9 AS DOUBLE)
+                 / sqrt(CAST(hx_e9 AS DOUBLE) * hy_e9)
+                 * 1000000.0) AS BIGINT) END AS nmi_e6
+      FROM mi CROSS JOIN hx CROSS JOIN hy""")),
+
+    Q("q_js_divergence", jsDivergence, Some("""
+      WITH base AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents,
+               event_id % 2 = 0 AS is_ref
+        FROM events WHERE value IS NOT NULL),
+      cells AS (
+        SELECT event_type, cents // 2000 AS band,
+               CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                 AS a,
+               CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                 AS b
+        FROM base GROUP BY 1, 2),
+      w AS (SELECT *,
+                   CAST(sum(a) OVER (PARTITION BY event_type)
+                     AS BIGINT) AS na,
+                   CAST(sum(b) OVER (PARTITION BY event_type)
+                     AS BIGINT) AS nb
+            FROM cells),
+      terms AS (
+        SELECT event_type, na, nb,
+               CASE WHEN a > 0 THEN
+                 CAST(floor(CAST(a AS DOUBLE) / na
+                   * ln((CAST(a AS DOUBLE) / na)
+                        / ((CAST(a AS DOUBLE) / na
+                            + CAST(b AS DOUBLE) / nb) / 2.0))
+                   * 1000000000.0) AS BIGINT) ELSE 0 END AS tp_e9,
+               CASE WHEN b > 0 THEN
+                 CAST(floor(CAST(b AS DOUBLE) / nb
+                   * ln((CAST(b AS DOUBLE) / nb)
+                        / ((CAST(a AS DOUBLE) / na
+                            + CAST(b AS DOUBLE) / nb) / 2.0))
+                   * 1000000000.0) AS BIGINT) ELSE 0 END AS tq_e9
+        FROM w),
+      agg AS (SELECT event_type,
+                     CAST(max(na) AS BIGINT) AS n_ref,
+                     CAST(max(nb) AS BIGINT) AS n_cur,
+                     CAST(sum(tp_e9) AS BIGINT) AS kl_pm_e9,
+                     CAST(sum(tq_e9) AS BIGINT) AS kl_qm_e9
+              FROM terms GROUP BY 1)
+      SELECT event_type, n_ref, n_cur, kl_pm_e9, kl_qm_e9,
+             CAST(floor(CAST(kl_pm_e9 + kl_qm_e9 AS DOUBLE) / 2.0)
+               AS BIGINT) AS js_e9
+      FROM agg"""))
   )
 }

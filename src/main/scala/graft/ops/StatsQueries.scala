@@ -170,6 +170,48 @@ object StatsQueries {
       .withColumn("robust_z", $"robust_z_e4".cast("double") / 10000.0)
   }
 
+  /** Winsorization at the exact 5th/95th percentiles per event type —
+    * the CLIPPING companion to q_quantile_filter (which drops tail
+    * rows) and q_robust_scale (which rescales): training pipelines
+    * winsorize reward/score columns so outliers stop dominating
+    * gradients without discarding the rows. Bounds are the k-th
+    * smallest exact cent values (k_lo = max(1, ⌊5n/100⌋),
+    * k_hi = min(n, ⌊95n/100⌋+1) — rank-based, so the bound is
+    * tie-invariant and no float percentile interpolation exists
+    * anywhere); the clipped sum is pure BIGINT. Everything to the
+    * emit is exact integer arithmetic. Shape: one per-type sort
+    * window for the ranks (the price of exact percentiles — at
+    * larger scales swap in the t-digest/approx path), a broadcast of
+    * the |types|-row bounds table back onto the scan, one
+    * map-side-combinable rollup. */
+  private def winsorize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val base = Tables.events(s, d)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+    val ranked = base
+      .withColumn("rn", row_number().over(
+        W.partitionBy($"event_type").orderBy($"cents".asc)))
+      .withColumn("n", count(lit(1)).over(W.partitionBy($"event_type")))
+    val bounds = ranked
+      .groupBy($"event_type")
+      .agg(
+        max(when($"rn" === greatest(lit(1L), expr("5 * n div 100")),
+          $"cents")).as("lo"),
+        max(when($"rn" === least($"n", expr("95 * n div 100 + 1")),
+          $"cents")).as("hi"),
+        max($"n").as("n"))
+    base.join(broadcast(bounds), "event_type")
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"), max($"lo").as("lo"), max($"hi").as("hi"),
+        sum(when($"cents" < $"lo", 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when($"cents" > $"hi", 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(greatest($"lo", least($"hi", $"cents"))).as("wins_sum"))
+      .withColumn("wins_mean_e2", expr("wins_sum * 100 div n"))
+  }
+
   /** Telemetry debounce: drop an event arriving within 5 s of the
     * PREVIOUS event of the same (user, type) — the duplicate-click /
     * retry suppressor. Lag-based (gap to the previous raw event, not
@@ -534,8 +576,12 @@ object StatsQueries {
     val cov = $"sxy" / n - ($"sx" / n) * ($"sy" / n)
     val vx = $"sxx" / n - ($"sx" / n) * ($"sx" / n)
     val vy = $"syy" / n - ($"sy" / n) * ($"sy" / n)
+    // e6-floor, not round(·,6): round-to-decimals on doubles is
+    // engine-divergent at decimal ties (the q_rolling_corr r9 lesson)
     m.select($"event_type", $"n_pairs", $"sx", $"sy", $"sxx", $"syy",
-      $"sxy", round(cov / (sqrt(vx) * sqrt(vy)), 6).as("autocorr_lag1"))
+      $"sxy",
+      floor(cov / (sqrt(vx) * sqrt(vy)) * lit(1000000.0))
+        .as("autocorr_e6"))
   }
 
   /** Partial autocorrelation (lags 1–3) of the daily revenue series
@@ -2177,7 +2223,7 @@ object StatsQueries {
              CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
              CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy,
              CAST(sxy AS BIGINT) AS sxy,
-             round((CAST(sxy AS DOUBLE) / n_pairs
+             CAST(floor((CAST(sxy AS DOUBLE) / n_pairs
                      - (CAST(sx AS DOUBLE) / n_pairs)
                        * (CAST(sy AS DOUBLE) / n_pairs))
                    / (sqrt(CAST(sxx AS DOUBLE) / n_pairs
@@ -2185,8 +2231,9 @@ object StatsQueries {
                              * (CAST(sx AS DOUBLE) / n_pairs))
                       * sqrt(CAST(syy AS DOUBLE) / n_pairs
                              - (CAST(sy AS DOUBLE) / n_pairs)
-                               * (CAST(sy AS DOUBLE) / n_pairs))), 6)
-               AS autocorr_lag1
+                               * (CAST(sy AS DOUBLE) / n_pairs)))
+                   * 1000000.0) AS BIGINT)
+               AS autocorr_e6
       FROM m""")),
 
     Q("q_locf_fill", locfFill, Some("""
@@ -2264,6 +2311,41 @@ object StatsQueries {
       SELECT p.prev_type, p.next_type, CAST(p.cnt AS BIGINT) AS cnt,
              round(p.cnt / t.tot, 4) AS p_next
       FROM pairs p JOIN tot t USING (prev_type)""")),
+
+    Q("q_winsorize", winsorize, Some("""
+      WITH base AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents
+        FROM events WHERE value IS NOT NULL),
+      ranked AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents ASC) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base),
+      bounds AS (
+        SELECT event_type,
+               max(CASE WHEN rn = greatest(1, 5 * n // 100)
+                        THEN cents END) AS lo,
+               max(CASE WHEN rn = least(n, 95 * n // 100 + 1)
+                        THEN cents END) AS hi,
+               max(n) AS n
+        FROM ranked GROUP BY 1)
+      SELECT b.event_type,
+             CAST(max(bo.n) AS BIGINT) AS n,
+             CAST(max(bo.lo) AS BIGINT) AS lo,
+             CAST(max(bo.hi) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN b.cents < bo.lo THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clip_lo,
+             CAST(sum(CASE WHEN b.cents > bo.hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clip_hi,
+             CAST(sum(greatest(bo.lo, least(bo.hi, b.cents)))
+               AS BIGINT) AS wins_sum,
+             CAST(sum(greatest(bo.lo, least(bo.hi, b.cents))) * 100
+               // max(bo.n) AS BIGINT) AS wins_mean_e2
+      FROM base b JOIN bounds bo ON b.event_type = bo.event_type
+      GROUP BY 1""")),
 
     Q("q_robust_scale", robustScale, Some("""
       WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS med

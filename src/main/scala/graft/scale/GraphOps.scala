@@ -440,7 +440,84 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Bounded-round k-core peel on an undirected edge list: each round
+    * recomputes degrees, keeps nodes with deg ≥ k, and drops edges
+    * touching a removed endpoint; `rounds` rounds are UNROLLED into
+    * one DAG (the PageRank fixed-iteration discipline — no driver
+    * loop, no collect). Each round's shrinking edge set is
+    * registry-persisted: it feeds both the next round's degree
+    * aggregate and its edge filter, and without the persist the scan
+    * count doubles per round (the graph-jaccard subtree lesson,
+    * commit 6e0da5d). Per round: one map-side-combinable degree
+    * aggregate (node-cardinality) plus two equi-joins of the edge
+    * list against the kept-node set — at 100 TB the kept set is
+    * node-cardinality and broadcasts; the edge list never shuffles
+    * except by its join key. Public so GraphOpsSpec can drive a
+    * constructed cascade (path graphs need length/2 rounds — the
+    * bounded-round semantics are part of the contract). */
+  def kcoreOn(s: SparkSession, e0: DataFrame, kRow: DataFrame,
+      rounds: Int, cacheKey: String): DataFrame = {
+    var e = e0
+    for (r <- 1 to rounds) {
+      val cur = e
+      e = graft.GraftCaches.getOrPersist(s, s"$cacheKey.round$r") {
+        val keep = cur.groupBy(col("src"))
+          .agg(count(lit(1)).as("deg"))
+          .crossJoin(broadcast(kRow))
+          .filter(col("deg") >= col("k")).select("src")
+        cur.join(keep, "src")
+          .join(keep.withColumnRenamed("src", "dst"), "dst")
+          .select(col("src"), col("dst"))
+      }
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .crossJoin(broadcast(kRow))
+  }
+
+  /** k-core of the supplier↔part graph with a SCALE-ADAPTIVE k =
+    * max(3, mean-degree/2): a fixed literal k is meaningless across
+    * scale factors (the same k that peels nothing at sf0.1 empties
+    * sf0.001 — measured), while half the mean degree peels the
+    * sparse tail at every SF. k stays in the DAG as a broadcast
+    * scalar (never collected). Emits each surviving node with its
+    * in-core degree and the k used. */
+  private def kcore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = graft.GraftCaches.getOrPersist(s, s"graph.kcore.e0:$d") {
+      edges(s, d)
+    }
+    val kRow = e0.agg(greatest(lit(3L),
+      expr("count(*) div count(distinct src) div 2")).as("k"))
+    kcoreOn(s, e0, kRow, Iterations, s"graph.kcore:$d")
+  }
+
+  private val kcoreOracle = s"""
+      WITH li AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                  FROM lineitem),
+      e0 AS (SELECT 's' || sk AS src, 'p' || pk AS dst FROM li
+             UNION ALL
+             SELECT 'p' || pk AS src, 's' || sk AS dst FROM li),
+      kk AS (SELECT greatest(3, count(*) // count(DISTINCT src) // 2)
+               AS k
+             FROM e0),
+      k1 AS (SELECT src FROM e0 CROSS JOIN kk
+             GROUP BY src, kk.k HAVING count(*) >= k),
+      e1 AS (SELECT e.src, e.dst FROM e0 e
+             JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+      k2 AS (SELECT src FROM e1 CROSS JOIN kk
+             GROUP BY src, kk.k HAVING count(*) >= k),
+      e2 AS (SELECT e.src, e.dst FROM e1 e
+             JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
+      k3 AS (SELECT src FROM e2 CROSS JOIN kk
+             GROUP BY src, kk.k HAVING count(*) >= k),
+      e3 AS (SELECT e.src, e.dst FROM e2 e
+             JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src)
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS deg,
+             CAST(max(kk.k) AS BIGINT) AS k
+      FROM e3 CROSS JOIN kk GROUP BY 1"""
+
   val queries: Seq[Q] = Seq(
+    Q("q_kcore", kcore, Some(kcoreOracle)),
     Q("q_pagerank", pagerank, Some(pagerankOracle), headline = true),
     Q("q_degree_assortativity", degreeAssortativity, Some("""
       WITH li AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk

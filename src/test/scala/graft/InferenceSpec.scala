@@ -664,4 +664,69 @@ class InferenceSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_mutual_information: brute recompute from the contingency " +
+      "table; information inequalities hold") {
+    val cellRows = Tables.events(spark, sf)
+      .select($"event_type", dayofweek($"ts").cast("long").as("y"))
+      .as[(String, Long)].collect()
+    val n = cellRows.length.toDouble
+    val cells = cellRows.groupBy(identity).view.mapValues(_.size).toMap
+    val rx = cellRows.groupBy(_._1).view.mapValues(_.size).toMap
+    val ry = cellRows.groupBy(_._2).view.mapValues(_.size).toMap
+    val miE9 = cells.map { case ((x, y), o) =>
+      math.floor(o / n * math.log(o * n / (rx(x).toDouble * ry(y)))
+        * 1e9).toLong
+    }.sum
+    def hE9(m: Map[_, Int]): Long = m.values.map(c =>
+      math.floor(-(c / n) * math.log(c / n) * 1e9).toLong).sum
+    val row = SparkEntry.queries("q_mutual_information")(spark, sf)
+      .collect().head
+    assert(row.getAs[Long]("n") === cellRows.length.toLong)
+    assert(row.getAs[Long]("mi_e9") === miE9)
+    assert(row.getAs[Long]("hx_e9") === hE9(rx))
+    assert(row.getAs[Long]("hy_e9") === hE9(ry))
+    // 0 <= MI <= min(Hx, Hy) up to floor dust
+    val dust = cells.size.toLong + 1
+    assert(row.getAs[Long]("mi_e9") >= -dust)
+    assert(row.getAs[Long]("mi_e9") <=
+      math.min(row.getAs[Long]("hx_e9"), row.getAs[Long]("hy_e9")) + dust)
+    val nmi = row.getAs[Long]("nmi_e6")
+    assert(nmi >= -1 && nmi <= 1000001L)
+  }
+
+  test("q_js_divergence: brute recompute per type; JS bounded by " +
+      "ln 2 and symmetric in its one-sided parts") {
+    val rows = centsRows.map(r => (r._1, r._2 / 2000, r._3))
+    val got = SparkEntry.queries("q_js_divergence")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    rows.groupBy(_._1).foreach { case (ty, rs) =>
+      val na = rs.count(_._3).toDouble
+      val nb = rs.count(!_._3).toDouble
+      val bands = rs.map(_._2).distinct
+      var klP = 0L
+      var klQ = 0L
+      bands.foreach { band =>
+        val a = rs.count(r => r._2 == band && r._3)
+        val b = rs.count(r => r._2 == band && !r._3)
+        val p = a / na
+        val q = b / nb
+        val m = (p + q) / 2.0
+        if (a > 0) klP += math.floor(p * math.log(p / m) * 1e9).toLong
+        if (b > 0) klQ += math.floor(q * math.log(q / m) * 1e9).toLong
+      }
+      val row = got(ty)
+      assert(row.getAs[Long]("n_ref") === na.toLong, s"$ty n_ref")
+      assert(row.getAs[Long]("n_cur") === nb.toLong, s"$ty n_cur")
+      assert(row.getAs[Long]("kl_pm_e9") === klP, s"$ty kl_pm")
+      assert(row.getAs[Long]("kl_qm_e9") === klQ, s"$ty kl_qm")
+      assert(row.getAs[Long]("js_e9") ===
+        math.floor((klP + klQ).toDouble / 2.0).toLong, s"$ty js")
+      // JS in [0, ln 2] up to per-band floor dust
+      val dust = bands.size.toLong + 1
+      assert(row.getAs[Long]("js_e9") >= -dust, s"$ty js lower")
+      assert(row.getAs[Long]("js_e9") <= 693147181L + dust,
+        s"$ty js upper")
+    }
+  }
 }

@@ -220,7 +220,7 @@ class StatsSpec extends AnyFunSuite {
       .groupBy($"event_type").agg(corr($"x", $"x_prev").as("r"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     rows.foreach { r =>
-      val ac = r.getAs[Double]("autocorr_lag1")
+      val ac = r.getAs[Long]("autocorr_e6") / 1e6
       assert(ac >= -1.0 && ac <= 1.0)
       assert(math.abs(ac - ref(r.getAs[String]("event_type"))) < 1e-4,
         s"moment autocorr diverges from corr() for ${r.getString(0)}")
@@ -1081,6 +1081,36 @@ class StatsSpec extends AnyFunSuite {
         row.getAs[Long]("phi2_e6") / 1e6)
       assert(p2 > -1.01 && p2 + p1 < 1.01 && p2 - p1 < 1.01,
         s"$ty fitted AR(2) outside the stationary triangle")
+    }
+  }
+
+  test("q_winsorize: rank bounds and clipped sum replay from a brute " +
+      "sort; clipping never moves an interior value") {
+    val base = Tables.events(spark, sf)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .as[(String, Long)].collect()
+    val got = SparkEntry.queries("q_winsorize")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    base.groupBy(_._1).foreach { case (ty, rs) =>
+      val xs = rs.map(_._2).sorted
+      val n = xs.length.toLong
+      val lo = xs((math.max(1L, 5 * n / 100) - 1).toInt)
+      val hi = xs((math.min(n, 95 * n / 100 + 1) - 1).toInt)
+      val row = got(ty)
+      assert(row.getAs[Long]("n") === n, s"$ty n")
+      assert(row.getAs[Long]("lo") === lo, s"$ty lo")
+      assert(row.getAs[Long]("hi") === hi, s"$ty hi")
+      assert(row.getAs[Long]("n_clip_lo") === xs.count(_ < lo).toLong)
+      assert(row.getAs[Long]("n_clip_hi") === xs.count(_ > hi).toLong)
+      val winsSum = xs.map(x => math.max(lo, math.min(hi, x))).sum
+      assert(row.getAs[Long]("wins_sum") === winsSum, s"$ty sum")
+      assert(row.getAs[Long]("wins_mean_e2") === winsSum * 100 / n)
+      // clipping is interior-preserving and bounded
+      assert(lo <= hi, s"$ty bounds ordered")
+      assert(row.getAs[Long]("n_clip_lo") + row.getAs[Long]("n_clip_hi")
+        <= n / 5, s"$ty clips at most ~10% plus ties")
     }
   }
 }

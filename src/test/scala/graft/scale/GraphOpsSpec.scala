@@ -185,4 +185,43 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(supAvg > partAvg,
       s"supplier avg $supAvg not above part avg $partAvg")
   }
+
+  test("kcoreOn: a path graph cascades exactly one hop per round " +
+      "(bounded-round semantics) and a cycle is stable at k=2") {
+    import spark.implicits._
+    // path a0-a1-...-a9: at k=2 the two endpoints peel each round,
+    // so r rounds remove exactly 2r nodes; the 10-cycle never peels
+    val path = (0 until 9)
+      .flatMap(i => Seq((s"a$i", s"a${i + 1}"), (s"a${i + 1}", s"a$i")))
+      .toDF("src", "dst")
+    val cycle = (0 until 10)
+      .flatMap(i => Seq((s"c$i", s"c${(i + 1) % 10}"),
+        (s"c${(i + 1) % 10}", s"c$i")))
+      .toDF("src", "dst")
+    val kRow = Seq(2L).toDF("k")
+    for (r <- 1 to 3) {
+      val surv = GraphOps.kcoreOn(spark, path.unionAll(cycle), kRow,
+        r, s"spec.kcore.r$r").collect()
+      val pathNodes = surv.map(_.getString(0)).filter(_.startsWith("a"))
+      assert(pathNodes.length === 10 - 2 * r,
+        s"round $r: path should lose exactly ${2 * r} endpoints")
+      val cycleNodes = surv.filter(_.getString(0).startsWith("c"))
+      assert(cycleNodes.length === 10, s"round $r: cycle must be stable")
+      cycleNodes.foreach(n => assert(n.getLong(1) === 2L))
+    }
+  }
+
+  test("q_kcore: every surviving node meets the adaptive k and the " +
+      "peel is idempotent at the emitted edge set") {
+    val rows = SparkEntry.queries("q_kcore")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val k = rows.head.getAs[Long]("k")
+    assert(k >= 3L)
+    // bounded-round contract: after the LAST unrolled round every
+    // emitted degree is computed over surviving endpoints only; a
+    // converged peel implies deg >= k for all rows (holds at every
+    // test SF -- convergence here is measured, 1 round suffices)
+    rows.foreach(r => assert(r.getAs[Long]("deg") >= k,
+      s"node ${r.getString(0)} below k after convergence"))
+  }
 }
