@@ -881,6 +881,43 @@ object InferenceQueries {
           .cast("long"))
   }
 
+  /** Exact 1-D Wasserstein-1 (earth mover) distance between the
+    * reference and current revenue distributions per event type —
+    * the drift metric with UNITS (cents of probability mass moved),
+    * complementing JS (bounded, unitless) and PSI (bin-dependent):
+    * W₁ = ∫|F_ref − F_cur| dx over the EXACT cent value grid, no
+    * binning anywhere. Everything is BIGINT: cumulative counts from
+    * one cents-grid window, the integrand |A·nb − B·na|·gap as exact
+    * cross products, one integer division at the end (w1_e2, units
+    * of 1e-2 cents). Integer headroom: the summed numerator is
+    * na·nb·W₁ ≈ n²·(typical shift) — past ~1e7 rows/arm swap the
+    * accumulator to decimal(38,0) (the corpus' standard widen note).
+    * Shape: map-side-combinable (type, cents) rollup, windows over
+    * the value-grid cardinality, |types|-row tail. */
+  private def wassersteinDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy($"event_type").orderBy($"cents".asc)
+    val cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val grid = centsSplit(s, d)
+      .groupBy($"event_type", $"cents")
+      .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("a"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("b"))
+      .withColumn("cum_a", sum($"a").over(cum))
+      .withColumn("cum_b", sum($"b").over(cum))
+      .withColumn("gap", lead($"cents", 1).over(w) - $"cents")
+      .withColumn("na", sum($"a").over(W.partitionBy($"event_type")))
+      .withColumn("nb", sum($"b").over(W.partitionBy($"event_type")))
+    grid
+      .filter($"gap".isNotNull)
+      .groupBy($"event_type")
+      .agg(max($"na").as("n_ref"), max($"nb").as("n_cur"),
+        (count(lit(1)) + 1).as("m_support"),
+        sum(abs($"cum_a" * $"nb" - $"cum_b" * $"na") * $"gap")
+          .as("w1_num"))
+      .withColumn("w1_e2", expr("w1_num * 100 div (n_ref * n_cur)"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_gini_revenue", giniRevenue, Some("""
       WITH pu AS (SELECT user_id,
@@ -1562,6 +1599,46 @@ object InferenceQueries {
       SELECT event_type, n_ref, n_cur, kl_pm_e9, kl_qm_e9,
              CAST(floor(CAST(kl_pm_e9 + kl_qm_e9 AS DOUBLE) / 2.0)
                AS BIGINT) AS js_e9
-      FROM agg"""))
+      FROM agg""")),
+
+    Q("q_wasserstein_drift", wassersteinDrift, Some("""
+      WITH base AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents,
+               event_id % 2 = 0 AS is_ref
+        FROM events WHERE value IS NOT NULL),
+      grid AS (
+        SELECT event_type, cents,
+               CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                 AS a,
+               CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                 AS b
+        FROM base GROUP BY 1, 2),
+      w AS (SELECT *,
+                   CAST(sum(a) OVER (PARTITION BY event_type
+                     ORDER BY cents ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_a,
+                   CAST(sum(b) OVER (PARTITION BY event_type
+                     ORDER BY cents ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_b,
+                   lead(cents, 1) OVER (PARTITION BY event_type
+                     ORDER BY cents ASC) - cents AS gap,
+                   CAST(sum(a) OVER (PARTITION BY event_type)
+                     AS BIGINT) AS na,
+                   CAST(sum(b) OVER (PARTITION BY event_type)
+                     AS BIGINT) AS nb
+            FROM grid)
+      SELECT event_type,
+             CAST(max(na) AS BIGINT) AS n_ref,
+             CAST(max(nb) AS BIGINT) AS n_cur,
+             CAST(count(*) + 1 AS BIGINT) AS m_support,
+             CAST(sum(abs(cum_a * nb - cum_b * na) * gap) AS BIGINT)
+               AS w1_num,
+             CAST(sum(abs(cum_a * nb - cum_b * na) * gap) * 100
+               // (max(na) * max(nb)) AS BIGINT) AS w1_e2
+      FROM w WHERE gap IS NOT NULL GROUP BY 1"""))
   )
 }

@@ -224,7 +224,57 @@ object Layout {
         min($"n_tok").as("min_tok"), max($"n_tok").as("max_tok"))
   }
 
+  /** Length-curriculum ordering — the TRAINING-ORDER primitive: short
+    * documents first (length deciles from an exact global rank),
+    * deterministically shuffled WITHIN each decile (Knuth hash of
+    * doc_id — reproducible across runs/partitionings, unlike rand()),
+    * with each document's 1-based epoch position and the running
+    * character budget at that position (the "how far into the epoch
+    * does bucket k start" planner input). Both the rank and the
+    * prefix sum ride [[graft.ext.GlobalRank]] — range-partitioned
+    * two-phase ranking, NO single-partition window sort anywhere, so
+    * the total order costs one range exchange at any scale. Decile
+    * boundaries are ntile-exact (bit-identical to SQL ntile(10)). */
+  private def curriculumOrder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"n_chars",
+        pmod($"doc_id" * lit(2654435761L), lit(4294967296L)).as("shuf"))
+    val nRow = docs.agg(count(lit(1)).as("n_docs"))
+    // plain ascending columns: GlobalRank projects sort.head for its
+    // range sampling, so a bare SortOrder would not be selectable
+    val ranked = graft.ext.GlobalRank
+      .withRowNumber(docs, Seq($"n_chars", $"doc_id"), "len_rn")
+      .crossJoin(broadcast(nRow))
+      .withColumn("decile",
+        graft.ext.GlobalRank.ntileFromRn($"len_rn", $"n_docs", 10))
+    val order = Seq($"decile", $"shuf", $"doc_id")
+    val pos = graft.ext.GlobalRank
+      .withRowNumber(ranked, order, "epoch_pos")
+    graft.ext.GlobalRank
+      .withPrefixSum(pos, order, $"n_chars", "cum_chars")
+      .select($"doc_id", $"n_chars", $"decile", $"epoch_pos",
+        $"cum_chars")
+  }
+
+  private val curriculumOracle = """
+      WITH docs AS (SELECT doc_id, n_chars,
+                           (doc_id * 2654435761) % 4294967296 AS shuf
+                    FROM documents),
+      ranked AS (SELECT *,
+                        CAST(ntile(10) OVER (ORDER BY n_chars, doc_id)
+                          AS BIGINT) AS decile
+                 FROM docs)
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, decile,
+             CAST(row_number() OVER (ORDER BY decile, shuf, doc_id)
+               AS BIGINT) AS epoch_pos,
+             CAST(sum(n_chars) OVER (ORDER BY decile, shuf, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_chars
+      FROM ranked"""
+
   val queries: Seq[Q] = Seq(
+    Q("q_curriculum_order", curriculumOrder, Some(curriculumOracle)),
     Q("q_zorder_layout", zorderLayout, Some(zorderOracle)),
     Q("q_hilbert_layout", hilbertLayout, Some(hilbertOracle)),
 

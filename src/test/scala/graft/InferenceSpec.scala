@@ -729,4 +729,34 @@ class InferenceSpec extends AnyFunSuite {
         s"$ty js upper")
     }
   }
+
+  test("q_wasserstein_drift: exact integral replays from the brute " +
+      "CDF walk; metric properties hold") {
+    val got = SparkEntry.queries("q_wasserstein_drift")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    centsRows.groupBy(_._1).foreach { case (ty, rs) =>
+      val grid = rs.map(_._2).distinct.sorted
+      val na = rs.count(_._3).toLong
+      val nb = rs.count(!_._3).toLong
+      var cumA = 0L
+      var cumB = 0L
+      var num = 0L
+      grid.dropRight(1).zip(grid.drop(1)).foreach { case (v, next) =>
+        cumA += rs.count(r => r._2 == v && r._3)
+        cumB += rs.count(r => r._2 == v && !r._3)
+        num += (cumA * nb - cumB * na).abs * (next - v)
+      }
+      val row = got(ty)
+      assert(row.getAs[Long]("n_ref") === na, s"$ty n_ref")
+      assert(row.getAs[Long]("n_cur") === nb, s"$ty n_cur")
+      assert(row.getAs[Long]("m_support") === grid.length.toLong)
+      assert(row.getAs[Long]("w1_num") === num, s"$ty num")
+      assert(row.getAs[Long]("w1_e2") === num * 100 / (na * nb))
+      // identity of indiscernibles direction: distance nonneg and
+      // bounded by the support range (total mass moved <= range)
+      assert(row.getAs[Long]("w1_e2") >= 0)
+      assert(row.getAs[Long]("w1_e2") <=
+        (grid.last - grid.head) * 100, s"$ty bound")
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft.scale
 
-import graft.{SparkTestSession, Tables}
+import graft.{SparkEntry, SparkTestSession, Tables}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -157,5 +157,37 @@ class LayoutSpec extends AnyFunSuite {
     val maxDoc = shards.map(_.getAs[Long]("max_tok")).max
     assert(toks.max - toks.min <= maxDoc,
       s"imbalance ${toks.max - toks.min} exceeds heaviest doc $maxDoc")
+  }
+
+  test("q_curriculum_order: epoch positions are a permutation, " +
+      "deciles are monotone along the order, the running budget " +
+      "telescopes, and short documents lead") {
+    val rows = SparkEntry.queries("q_curriculum_order")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("epoch_pos"))
+    val n = rows.length
+    assert(n > 0)
+    assert(rows.map(_.getAs[Long]("epoch_pos")).toSeq ===
+      (1L to n.toLong).toSeq, "positions must be 1..n exactly")
+    // deciles never decrease along the epoch (curriculum invariant)
+    val decs = rows.map(_.getAs[Long]("decile"))
+    decs.sliding(2).foreach(p =>
+      assert(p(0) <= p(1), "decile order violated"))
+    assert(decs.head === 1L && decs.last === 10L)
+    // the running budget telescopes exactly
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("n_chars")
+      assert(r.getAs[Long]("cum_chars") === cum)
+    }
+    // curriculum property: first decile strictly shorter on average
+    // than the last
+    val first = rows.filter(_.getAs[Long]("decile") === 1L)
+    val last = rows.filter(_.getAs[Long]("decile") === 10L)
+    assert(first.map(_.getAs[Long]("n_chars")).sum * last.length <
+      last.map(_.getAs[Long]("n_chars")).sum * first.length)
+    // within-decile order is the Knuth shuffle, not insertion order:
+    // doc_ids inside decile 1 must not be sorted ascending
+    val ids1 = first.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids1 !== ids1.sorted, "in-bucket shuffle missing")
   }
 }
