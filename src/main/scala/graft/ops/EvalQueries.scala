@@ -316,7 +316,103 @@ object EvalQueries {
         expr("(cum_pos * 1000000) div p_all").as("capture_ppm"))
   }
 
+  /** Trained naive-Bayes classifier + held-out confusion matrix —
+    * the LEARNING counterpart to q_quality_classifier's fixed
+    * weights: the model (class priors, Laplace-smoothed weekday and
+    * revenue-band likelihoods) is FIT inside the engine from the
+    * even-event_id half and evaluated on the odd half, end to end in
+    * one DAG. The model tables are class-cardinality and BROADCAST;
+    * scoring is test × |classes| via one cross join of a 5-row dim
+    * (the broadcast-scalar fan pattern) plus two broadcast left
+    * joins; the argmax is an exact struct-min with a class-name tie
+    * break. Determinism: scores are identical expression trees on
+    * exact BIGINT counts; an argmax flip would need two classes'
+    * log-scores within ~1 ulp, which at count scales ≤ 1e12 forces
+    * the underlying rationals EQUAL — and exact ties fall to the
+    * name tie-break in both engines. Shape: two map-side-combinable
+    * count rollups (model), one broadcast-joined scan (scoring), one
+    * |classes|² confusion rollup. */
+  private def naiveBayes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, d)
+      .select($"event_type".as("cls"),
+        dayofweek($"ts").cast("long").as("w"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        ($"event_id" % 2 === 0).as("is_train"))
+      .filter($"cents".isNotNull)
+      .withColumn("b", expr("cents div 5000"))
+    val train = rows.filter($"is_train")
+    val test = rows.filter(!$"is_train")
+      .select($"cls".as("actual"), $"w", $"b")
+    val nTrain = train.agg(count(lit(1)).as("n_train"),
+      countDistinct($"cls").as("k_cls"),
+      countDistinct($"b").as("k_b"))
+    val prior = train.groupBy($"cls").agg(count(lit(1)).as("n_c"))
+    val likW = train.groupBy($"cls", $"w").agg(count(lit(1)).as("n_cw"))
+    val likB = train.groupBy($"cls", $"b").agg(count(lit(1)).as("n_cb"))
+    val score = log(($"n_c" + lit(1.0)) / ($"n_train" + $"k_cls")) +
+      log((coalesce($"n_cw", lit(0L)) + lit(1.0)) / ($"n_c" + lit(7.0))) +
+      log((coalesce($"n_cb", lit(0L)) + lit(1.0)) / ($"n_c" + $"k_b"))
+    // collapse identical test rows to distinct feature cells first:
+    // scoring cost becomes |cells|·|classes|, independent of test
+    // volume after the map-side-combinable rollup
+    test.groupBy($"actual", $"w", $"b")
+      .agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(prior))
+      .join(broadcast(likW), Seq("cls", "w"), "left")
+      .join(broadcast(likB), Seq("cls", "b"), "left")
+      .crossJoin(broadcast(nTrain))
+      .withColumn("sc", score)
+      .groupBy($"actual", $"w", $"b", $"n_rows")
+      .agg(min(struct((-$"sc").as("ns"), $"cls")).getField("cls")
+        .as("predicted"))
+      .groupBy($"actual", $"predicted")
+      .agg(sum($"n_rows").as("n"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_naive_bayes", naiveBayes, Some("""
+      WITH rows0 AS (
+        SELECT event_type AS cls,
+               CAST(isodow(CAST(ts AS DATE)) % 7 + 1 AS BIGINT) AS w,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 // 5000 AS b,
+               event_id % 2 = 0 AS is_train
+        FROM events WHERE value IS NOT NULL),
+      train AS (SELECT * FROM rows0 WHERE is_train),
+      test AS (SELECT cls AS actual, w, b
+               FROM rows0 WHERE NOT is_train),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS n_train,
+                    CAST(count(DISTINCT cls) AS BIGINT) AS k_cls,
+                    CAST(count(DISTINCT b) AS BIGINT) AS k_b
+             FROM train),
+      prior AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_c
+                FROM train GROUP BY 1),
+      likw AS (SELECT cls, w, CAST(count(*) AS BIGINT) AS n_cw
+               FROM train GROUP BY 1, 2),
+      likb AS (SELECT cls, b, CAST(count(*) AS BIGINT) AS n_cb
+               FROM train GROUP BY 1, 2),
+      cells AS (SELECT actual, w, b,
+                       CAST(count(*) AS BIGINT) AS n_rows
+                FROM test GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT c.actual, c.w, c.b, c.n_rows, p.cls,
+               ln((p.n_c + 1.0) / (nt.n_train + nt.k_cls))
+               + ln((coalesce(lw.n_cw, 0) + 1.0) / (p.n_c + 7.0))
+               + ln((coalesce(lb.n_cb, 0) + 1.0) / (p.n_c + nt.k_b))
+                 AS sc
+        FROM cells c
+        CROSS JOIN prior p
+        LEFT JOIN likw lw ON lw.cls = p.cls AND lw.w = c.w
+        LEFT JOIN likb lb ON lb.cls = p.cls AND lb.b = c.b
+        CROSS JOIN nt),
+      pred AS (SELECT actual, w, b, n_rows,
+                      min(struct_pack(ns := -sc, c := cls)).c
+                        AS predicted
+               FROM scored GROUP BY 1, 2, 3, 4)
+      SELECT actual, predicted, CAST(sum(n_rows) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2""")),
+
     Q("q_eval_lift", evalLift, Some("""
       WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
                         doc_id % 3 <> 0 AS gold

@@ -196,4 +196,42 @@ class EvalSpec extends AnyFunSuite {
     assert(caps.zip(caps.tail).forall(p => p._1 <= p._2))
     assert(caps.last === 1000000L)
   }
+
+  test("q_naive_bayes: confusion matrix replays from a brute Scala " +
+      "fit; totals partition the held-out rows") {
+    import spark.implicits._
+    val rows = Tables.events(spark, sf)
+      .select($"event_type", dayofweek($"ts").cast("long").as("w"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        ($"event_id" % 2 === 0).as("is_train"))
+      .filter($"cents".isNotNull)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2, r._3 / 5000, r._4))
+    val train = rows.filter(_._4)
+    val test = rows.filterNot(_._4)
+    val nTrain = train.length.toDouble
+    val classes = train.map(_._1).distinct.sorted
+    val kB = train.map(_._3).distinct.length.toDouble
+    val nC = train.groupBy(_._1).view.mapValues(_.size).toMap
+    val nCW = train.groupBy(r => (r._1, r._2)).view.mapValues(_.size).toMap
+    val nCB = train.groupBy(r => (r._1, r._3)).view.mapValues(_.size).toMap
+    def predict(w: Long, b: Long): String =
+      classes.map { c =>
+        val s = math.log((nC(c) + 1.0) / (nTrain + classes.length)) +
+          math.log((nCW.getOrElse((c, w), 0) + 1.0) / (nC(c) + 7.0)) +
+          math.log((nCB.getOrElse((c, b), 0) + 1.0) / (nC(c) + kB))
+        (-s, c)
+      }.min._2
+    val brute = test.groupBy(r => (r._1, predict(r._2, r._3)))
+      .view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("q_naive_bayes")(spark, sf).collect()
+      .map(r => (r.getAs[String]("actual"),
+        r.getAs[String]("predicted")) -> r.getAs[Long]("n")).toMap
+    assert(got === brute)
+    assert(got.values.sum === test.length.toLong,
+      "confusion cells must partition the held-out set")
+    got.keys.foreach { case (_, p) =>
+      assert(classes.contains(p), "prediction outside train classes")
+    }
+  }
 }
