@@ -170,6 +170,99 @@ object StatsQueries {
       .withColumn("robust_z", $"robust_z_e4".cast("double") / 10000.0)
   }
 
+  /** Logistic regression by two unrolled IRLS (Newton) steps —
+    * P(purchase | spend), the GLM companion to [[groupOls]] and the
+    * second FIT-IN-ENGINE model beside q_naive_bayes: β starts at
+    * (0,0), so step 1's working weights are the constant 1/4 and its
+    * sums are EXACT (counts, Σx, Σx² on the spend grid scaled to
+    * x = cents/1e4 to keep e9 fixed-point in int64); step 2
+    * recomputes μᵢ = σ(β₀+β₁xᵢ) per row and accumulates the five
+    * Newton sums (Σw, Σwx, Σwx², Σ(y−μ), Σ(y−μ)x) as floor-then-sum
+    * e9 BIGINTs — order-independent across partitions, the corpus'
+    * accumulation discipline — then solves the 2×2 system per-row in
+    * double. exp() is libm: a 1-ulp divergence flips one e9-floored
+    * term with p ≈ 1e-7/row; a single flipped unit moves β by ~1e-13
+    * relative, invisible at the e6 emit. The held-out mean log-loss
+    * (odd event_ids; the model trains on even) rides the same pass.
+    * Shape: two map-side-combinable aggregates over the scan, scalar
+    * tails — one broadcast of a 1-row β table between them. */
+  private def logisticIrls(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, d)
+      .select((($"event_type" === "purchase").cast("long")).as("y"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        ($"event_id" % 2 === 0).as("is_train"))
+      .filter($"cents".isNotNull)
+      .withColumn("x", $"cents".cast("double") / lit(10000.0))
+    val train = rows.filter($"is_train")
+    // step 1 from beta = 0: mu = 1/2, w = 1/4 exactly -> Newton sums
+    // are exact integers on the cent grid (no float accumulation)
+    val it1 = train.agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+        sum($"cents").as("sx_c"), sum($"cents" * $"cents").as("sxx_c"),
+        sum($"y" * $"cents").as("sxy_c"))
+      .select($"n", $"sy",
+        ($"sx_c".cast("double") / lit(10000.0)).as("sx"),
+        ($"sxx_c".cast("double") / lit(100000000.0)).as("sxx"),
+        ($"sxy_c".cast("double") / lit(10000.0)).as("sxy"))
+      .select($"n", $"sx", $"sxx",
+        ($"sy" - $"n" / lit(2.0)).as("g0"),
+        ($"sxy" - $"sx" / lit(2.0)).as("g1"))
+      .select($"n", $"sx", $"sxx", $"g0", $"g1",
+        ($"n" / lit(4.0) * ($"sxx" / lit(4.0))
+          - ($"sx" / lit(4.0)) * ($"sx" / lit(4.0))).as("det"))
+      .select(
+        (($"sxx" / lit(4.0)) * $"g0" - ($"sx" / lit(4.0)) * $"g1")
+          .divide($"det").as("b0"),
+        (($"n" / lit(4.0)) * $"g1" - ($"sx" / lit(4.0)) * $"g0")
+          .divide($"det").as("b1"))
+    // step 2: per-row sigmoid terms on the broadcast beta, each
+    // floored to e9 BEFORE the sum
+    val eta = $"b0" + $"b1" * $"x"
+    val mu = lit(1.0) / (lit(1.0) + exp(-eta))
+    val wgt = mu * (lit(1.0) - mu)
+    val it2 = train.crossJoin(broadcast(it1))
+      .select(
+        floor(wgt * lit(1000000000.0)).cast("long").as("tw"),
+        floor(wgt * $"x" * lit(1000000000.0)).cast("long").as("twx"),
+        floor(wgt * $"x" * $"x" * lit(1000000000.0)).cast("long")
+          .as("twxx"),
+        floor(($"y" - mu) * lit(1000000000.0)).cast("long").as("tg0"),
+        floor(($"y" - mu) * $"x" * lit(1000000000.0)).cast("long")
+          .as("tg1"),
+        $"b0", $"b1")
+      .groupBy($"b0", $"b1")
+      .agg(sum($"tw").as("sw"), sum($"twx").as("swx"),
+        sum($"twxx").as("swxx"), sum($"tg0").as("sg0"),
+        sum($"tg1").as("sg1"), count(lit(1)).as("n_train"))
+    val det2 = ($"sw".cast("double") * $"swxx"
+      - $"swx".cast("double") * $"swx") / lit(1e18)
+    val g0d = $"sg0".cast("double") / lit(1e9)
+    val g1d = $"sg1".cast("double") / lit(1e9)
+    val beta = it2.select($"n_train", $"b0", $"b1",
+        ($"b0" + ($"swxx".cast("double") / lit(1e9) * g0d
+          - $"swx".cast("double") / lit(1e9) * g1d).divide(det2))
+          .as("beta0"),
+        ($"b1" + ($"sw".cast("double") / lit(1e9) * g1d
+          - $"swx".cast("double") / lit(1e9) * g0d).divide(det2))
+          .as("beta1"))
+    // held-out mean log-loss at the fitted beta (floor-then-sum e9)
+    val etaT = $"beta0" + $"beta1" * $"x"
+    val ll = $"y".cast("double") * etaT - log(lit(1.0) + exp(etaT))
+    rows.filter(!$"is_train").crossJoin(broadcast(beta))
+      .select($"n_train", $"beta0", $"beta1",
+        floor(ll * lit(1000000000.0)).cast("long").as("tll"))
+      .groupBy($"n_train", $"beta0", $"beta1")
+      .agg(count(lit(1)).as("n_test"), sum($"tll").as("sll"))
+      .select($"n_train", $"n_test",
+        floor($"beta0" * lit(1000000.0)).cast("long").as("beta0_e6"),
+        floor($"beta1" * lit(1000000.0)).cast("long").as("beta1_e6"),
+        // sll <= 0 by construction; negate BEFORE the integer
+        // division so both engines divide non-negative operands
+        // (Spark div truncates, DuckDB // floors — they only agree
+        // on non-negatives)
+        expr("(-sll) div n_test").as("neg_mean_ll_e9"))
+  }
+
   /** Winsorization at the exact 5th/95th percentiles per event type —
     * the CLIPPING companion to q_quantile_filter (which drops tail
     * rows) and q_robust_scale (which rescales): training pipelines
@@ -2311,6 +2404,93 @@ object StatsQueries {
       SELECT p.prev_type, p.next_type, CAST(p.cnt AS BIGINT) AS cnt,
              round(p.cnt / t.tot, 4) AS p_next
       FROM pairs p JOIN tot t USING (prev_type)""")),
+
+    Q("q_logistic_irls", logisticIrls, Some("""
+      WITH rows0 AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                 AS y,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents,
+               event_id % 2 = 0 AS is_train
+        FROM events WHERE value IS NOT NULL),
+      rx AS (SELECT y, cents, CAST(cents AS DOUBLE) / 10000.0 AS x,
+                    is_train
+             FROM rows0),
+      it1a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(cents) AS BIGINT) AS sx_c,
+                      CAST(sum(cents * cents) AS BIGINT) AS sxx_c,
+                      CAST(sum(y * cents) AS BIGINT) AS sxy_c
+               FROM rx WHERE is_train),
+      it1b AS (SELECT n, sy,
+                      CAST(sx_c AS DOUBLE) / 10000.0 AS sx,
+                      CAST(sxx_c AS DOUBLE) / 100000000.0 AS sxx,
+                      CAST(sxy_c AS DOUBLE) / 10000.0 AS sxy
+               FROM it1a),
+      it1c AS (SELECT n, sx, sxx,
+                      sy - n / 2.0 AS g0,
+                      sxy - sx / 2.0 AS g1
+               FROM it1b),
+      it1d AS (SELECT n, sx, sxx, g0, g1,
+                      n / 4.0 * (sxx / 4.0)
+                        - (sx / 4.0) * (sx / 4.0) AS det
+               FROM it1c),
+      it1f AS (SELECT
+                 ((sxx / 4.0) * g0 - (sx / 4.0) * g1) / det AS b0,
+                 ((n / 4.0) * g1 - (sx / 4.0) * g0) / det AS b1
+               FROM it1d),
+      m2 AS (SELECT r.y, r.x, i.b0, i.b1,
+                    1.0 / (1.0 + exp(-(i.b0 + i.b1 * r.x))) AS mu
+             FROM rx r CROSS JOIN it1f i WHERE r.is_train),
+      t2 AS (SELECT b0, b1,
+                    CAST(floor(mu * (1.0 - mu) * 1000000000.0)
+                      AS BIGINT) AS tw,
+                    CAST(floor(mu * (1.0 - mu) * x * 1000000000.0)
+                      AS BIGINT) AS twx,
+                    CAST(floor(mu * (1.0 - mu) * x * x
+                      * 1000000000.0) AS BIGINT) AS twxx,
+                    CAST(floor((y - mu) * 1000000000.0) AS BIGINT)
+                      AS tg0,
+                    CAST(floor((y - mu) * x * 1000000000.0)
+                      AS BIGINT) AS tg1
+             FROM m2),
+      a2 AS (SELECT b0, b1,
+                    CAST(sum(tw) AS BIGINT) AS sw,
+                    CAST(sum(twx) AS BIGINT) AS swx,
+                    CAST(sum(twxx) AS BIGINT) AS swxx,
+                    CAST(sum(tg0) AS BIGINT) AS sg0,
+                    CAST(sum(tg1) AS BIGINT) AS sg1,
+                    CAST(count(*) AS BIGINT) AS n_train
+             FROM t2 GROUP BY 1, 2),
+      beta AS (SELECT n_train, b0, b1,
+                      b0 + (CAST(swxx AS DOUBLE) / 1e9
+                              * (CAST(sg0 AS DOUBLE) / 1e9)
+                            - CAST(swx AS DOUBLE) / 1e9
+                              * (CAST(sg1 AS DOUBLE) / 1e9))
+                        / ((CAST(sw AS DOUBLE) * swxx
+                            - CAST(swx AS DOUBLE) * swx) / 1e18)
+                        AS beta0,
+                      b1 + (CAST(sw AS DOUBLE) / 1e9
+                              * (CAST(sg1 AS DOUBLE) / 1e9)
+                            - CAST(swx AS DOUBLE) / 1e9
+                              * (CAST(sg0 AS DOUBLE) / 1e9))
+                        / ((CAST(sw AS DOUBLE) * swxx
+                            - CAST(swx AS DOUBLE) * swx) / 1e18)
+                        AS beta1
+               FROM a2),
+      tl AS (SELECT b.n_train, b.beta0, b.beta1,
+                    CAST(floor((CAST(r.y AS DOUBLE)
+                        * (b.beta0 + b.beta1 * r.x)
+                      - ln(1.0 + exp(b.beta0 + b.beta1 * r.x)))
+                      * 1000000000.0) AS BIGINT) AS tll
+             FROM rx r CROSS JOIN beta b WHERE NOT r.is_train)
+      SELECT n_train, CAST(count(*) AS BIGINT) AS n_test,
+             CAST(floor(beta0 * 1000000.0) AS BIGINT) AS beta0_e6,
+             CAST(floor(beta1 * 1000000.0) AS BIGINT) AS beta1_e6,
+             CAST((-CAST(sum(tll) AS BIGINT))
+               // CAST(count(*) AS BIGINT) AS BIGINT)
+               AS neg_mean_ll_e9
+      FROM tl GROUP BY n_train, beta0, beta1""")),
 
     Q("q_winsorize", winsorize, Some("""
       WITH base AS (
