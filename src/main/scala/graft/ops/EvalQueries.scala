@@ -370,7 +370,141 @@ object EvalQueries {
       .agg(sum($"n_rows").as("n"))
   }
 
+  /** 5-fold cross-validation of the naive-Bayes model — the
+    * model-selection primitive on top of [[naiveBayes]]'s single
+    * split, built on the COMPLEMENT-COUNTS trick: fold f's training
+    * counts are (total − fold_f) for every model table, so all five
+    * models come from ONE pass over the data (two count rollups:
+    * per-key totals and per-(key, fold) cells) instead of five
+    * re-trains — the shape that matters at 100 TB, where "fit 5
+    * models" must not mean "scan 5 times". Fold assignment is the
+    * Knuth hash of event_id (deterministic, partition-independent);
+    * smoothing uses the GLOBAL class/band cardinalities (documented
+    * choice — per-fold vocabularies would make the smoothing
+    * constant data-dependent per fold). Scoring collapses test rows
+    * to distinct (fold, actual, w, b) cells first; every model
+    * table is fold/class-cardinality and broadcasts. Emits per-fold
+    * accuracy as exact integers. */
+  private def crossvalNb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, d)
+      .select($"event_type".as("cls"),
+        dayofweek($"ts").cast("long").as("w"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (pmod($"event_id" * lit(2654435761L), lit(4294967296L)) % 5)
+          .as("fold"))
+      .filter($"cents".isNotNull)
+      .withColumn("b", expr("cents div 5000"))
+    val nTot = rows.agg(count(lit(1)).as("n_all"),
+      countDistinct($"cls").as("k_cls"),
+      countDistinct($"b").as("k_b"))
+    val nFold = rows.groupBy($"fold").agg(count(lit(1)).as("n_f"))
+    val priorT = rows.groupBy($"cls").agg(count(lit(1)).as("n_c"))
+    val priorF = rows.groupBy($"cls", $"fold")
+      .agg(count(lit(1)).as("n_c_f"))
+    val likwT = rows.groupBy($"cls", $"w").agg(count(lit(1)).as("n_cw"))
+    val likwF = rows.groupBy($"cls", $"w", $"fold")
+      .agg(count(lit(1)).as("n_cw_f"))
+    val likbT = rows.groupBy($"cls", $"b").agg(count(lit(1)).as("n_cb"))
+    val likbF = rows.groupBy($"cls", $"b", $"fold")
+      .agg(count(lit(1)).as("n_cb_f"))
+    val cells = rows.select($"cls".as("actual"), $"w", $"b", $"fold")
+      .groupBy($"fold", $"actual", $"w", $"b")
+      .agg(count(lit(1)).as("n_rows"))
+    val trC = $"n_c" - coalesce($"n_c_f", lit(0L))
+    val score =
+      log((trC + lit(1.0)) /
+        ($"n_all" - $"n_f" + $"k_cls")) +
+      log((coalesce($"n_cw", lit(0L)) - coalesce($"n_cw_f", lit(0L))
+        + lit(1.0)) / (trC + lit(7.0))) +
+      log((coalesce($"n_cb", lit(0L)) - coalesce($"n_cb_f", lit(0L))
+        + lit(1.0)) / (trC + $"k_b"))
+    cells
+      .crossJoin(broadcast(priorT))
+      .join(broadcast(priorF), Seq("cls", "fold"), "left")
+      .join(broadcast(likwT), Seq("cls", "w"), "left")
+      .join(broadcast(likwF), Seq("cls", "w", "fold"), "left")
+      .join(broadcast(likbT), Seq("cls", "b"), "left")
+      .join(broadcast(likbF), Seq("cls", "b", "fold"), "left")
+      .crossJoin(broadcast(nTot))
+      .join(broadcast(nFold), Seq("fold"))
+      .withColumn("sc", score)
+      .groupBy($"fold", $"actual", $"w", $"b", $"n_rows")
+      .agg(min(struct((-$"sc").as("ns"), $"cls")).getField("cls")
+        .as("predicted"))
+      .groupBy($"fold")
+      .agg(sum($"n_rows").as("n_rows"),
+        sum(when($"actual" === $"predicted", $"n_rows")
+          .otherwise(0L)).as("n_correct"))
+      .withColumn("acc_e6", expr("n_correct * 1000000 div n_rows"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_crossval_nb", crossvalNb, Some("""
+      WITH rows0 AS (
+        SELECT event_type AS cls,
+               CAST(isodow(CAST(ts AS DATE)) % 7 + 1 AS BIGINT) AS w,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 // 5000 AS b,
+               (event_id * 2654435761) % 4294967296 % 5 AS fold
+        FROM events WHERE value IS NOT NULL),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+                    CAST(count(DISTINCT cls) AS BIGINT) AS k_cls,
+                    CAST(count(DISTINCT b) AS BIGINT) AS k_b
+             FROM rows0),
+      nf AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_f
+             FROM rows0 GROUP BY 1),
+      pt AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_c
+             FROM rows0 GROUP BY 1),
+      pf AS (SELECT cls, fold, CAST(count(*) AS BIGINT) AS n_c_f
+             FROM rows0 GROUP BY 1, 2),
+      lwt AS (SELECT cls, w, CAST(count(*) AS BIGINT) AS n_cw
+              FROM rows0 GROUP BY 1, 2),
+      lwf AS (SELECT cls, w, fold, CAST(count(*) AS BIGINT) AS n_cw_f
+              FROM rows0 GROUP BY 1, 2, 3),
+      lbt AS (SELECT cls, b, CAST(count(*) AS BIGINT) AS n_cb
+              FROM rows0 GROUP BY 1, 2),
+      lbf AS (SELECT cls, b, fold, CAST(count(*) AS BIGINT) AS n_cb_f
+              FROM rows0 GROUP BY 1, 2, 3),
+      cells AS (SELECT fold, cls AS actual, w, b,
+                       CAST(count(*) AS BIGINT) AS n_rows
+                FROM rows0 GROUP BY 1, 2, 3, 4),
+      scored AS (
+        SELECT c.fold, c.actual, c.w, c.b, c.n_rows, pt.cls,
+               ln((pt.n_c - coalesce(pf.n_c_f, 0) + 1.0)
+                  / (nt.n_all - nf.n_f + nt.k_cls))
+               + ln((coalesce(lwt.n_cw, 0) - coalesce(lwf.n_cw_f, 0)
+                     + 1.0)
+                    / (pt.n_c - coalesce(pf.n_c_f, 0) + 7.0))
+               + ln((coalesce(lbt.n_cb, 0) - coalesce(lbf.n_cb_f, 0)
+                     + 1.0)
+                    / (pt.n_c - coalesce(pf.n_c_f, 0) + nt.k_b))
+                 AS sc
+        FROM cells c
+        CROSS JOIN pt
+        LEFT JOIN pf ON pf.cls = pt.cls AND pf.fold = c.fold
+        LEFT JOIN lwt ON lwt.cls = pt.cls AND lwt.w = c.w
+        LEFT JOIN lwf ON lwf.cls = pt.cls AND lwf.w = c.w
+                     AND lwf.fold = c.fold
+        LEFT JOIN lbt ON lbt.cls = pt.cls AND lbt.b = c.b
+        LEFT JOIN lbf ON lbf.cls = pt.cls AND lbf.b = c.b
+                     AND lbf.fold = c.fold
+        CROSS JOIN nt
+        JOIN nf ON nf.fold = c.fold),
+      pred AS (SELECT fold, actual, w, b, n_rows,
+                      min(struct_pack(ns := -sc, c := cls)).c
+                        AS predicted
+               FROM scored GROUP BY 1, 2, 3, 4, 5),
+      agg AS (SELECT fold,
+                     CAST(sum(n_rows) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN actual = predicted
+                              THEN n_rows ELSE 0 END) AS BIGINT)
+                       AS n_correct
+              FROM pred GROUP BY 1)
+      SELECT CAST(fold AS BIGINT) AS fold, n_rows, n_correct,
+             CAST(n_correct * 1000000 // n_rows AS BIGINT) AS acc_e6
+      FROM agg""")),
+
     Q("q_naive_bayes", naiveBayes, Some("""
       WITH rows0 AS (
         SELECT event_type AS cls,

@@ -234,4 +234,51 @@ class EvalSpec extends AnyFunSuite {
       assert(classes.contains(p), "prediction outside train classes")
     }
   }
+
+  test("q_crossval_nb: the complement-counts trick equals a naive " +
+      "5x retrain, fold for fold") {
+    import spark.implicits._
+    val rows = Tables.events(spark, sf)
+      .select($"event_type", dayofweek($"ts").cast("long").as("w"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (pmod($"event_id" * lit(2654435761L), lit(4294967296L)) % 5)
+          .as("fold"))
+      .filter($"cents".isNotNull)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3 / 5000, r._4))
+    val kCls = rows.map(_._1).distinct.length
+    val kB = rows.map(_._3).distinct.length.toDouble
+    val classes = rows.map(_._1).distinct.sorted
+    val got = SparkEntry.queries("q_crossval_nb")(spark, sf).collect()
+      .map(r => r.getAs[Long]("fold") -> r).toMap
+    assert(got.keySet === (0L until 5L).toSet)
+    assert(got.values.map(_.getAs[Long]("n_rows")).sum ===
+      rows.length.toLong, "folds must partition the rows")
+    (0L until 5L).foreach { f =>
+      // the NAIVE way: train on everything outside the fold
+      val train = rows.filterNot(_._4 == f)
+      val test = rows.filter(_._4 == f)
+      val nTrain = train.length.toDouble
+      val nC = train.groupBy(_._1).view.mapValues(_.size).toMap
+      val nCW = train.groupBy(r => (r._1, r._2)).view
+        .mapValues(_.size).toMap
+      val nCB = train.groupBy(r => (r._1, r._3)).view
+        .mapValues(_.size).toMap
+      def predict(w: Long, b: Long): String =
+        classes.map { c =>
+          val nc = nC.getOrElse(c, 0)
+          val sc = math.log((nc + 1.0) / (nTrain + kCls)) +
+            math.log((nCW.getOrElse((c, w), 0) + 1.0) / (nc + 7.0)) +
+            math.log((nCB.getOrElse((c, b), 0) + 1.0) / (nc + kB))
+          (-sc, c)
+        }.min._2
+      val correct = test.count(r => predict(r._2, r._3) == r._1).toLong
+      val row = got(f)
+      assert(row.getAs[Long]("n_rows") === test.length.toLong,
+        s"fold $f size")
+      assert(row.getAs[Long]("n_correct") === correct, s"fold $f")
+      assert(row.getAs[Long]("acc_e6") ===
+        correct * 1000000L / test.length, s"fold $f acc")
+    }
+  }
 }
