@@ -182,7 +182,8 @@ object SpatialQueries {
       FROM u GROUP BY 1, 2 HAVING count(*) >= 2"""
 
   val queries: Seq[Q] = Seq(
-    Q("q_spatial_join", spatialJoin, Some(spatialJoinOracle)),
+    Q("q_spatial_join", spatialJoin, Some(spatialJoinOracle),
+      headline = true),
     Q("q_grid_density", gridDensity, Some(gridDensityOracle))
   )
 }
