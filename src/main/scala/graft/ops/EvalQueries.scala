@@ -439,7 +439,134 @@ object EvalQueries {
       .withColumn("acc_e6", expr("n_correct * 1000000 div n_rows"))
   }
 
+  /** One-pass learning curve — held-out naive-Bayes accuracy as a
+    * function of training-set size, the "how much data do we need"
+    * planner every data-acquisition decision rests on: event_ids
+    * hash into 10 deterministic bands; band 9 is the fixed held-out
+    * set and the nine nested training sets are bands < f for
+    * f = 1..9. The CUMULATIVE-counts trick (the prefix analog of
+    * [[crossvalNb]]'s complement trick) builds all nine models from
+    * the SAME per-(key, band) count cells: the data is scanned once
+    * for the cell rollups, and the ×9 expansion happens on the tiny
+    * class-cardinality tables, never the fact table. Accuracy per
+    * threshold in exact integers — a regression in the curve's shape
+    * (non-monotone tail, collapsed small-data end) hash-fails the
+    * driver gate. */
+  private def learningCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, d)
+      .select($"event_type".as("cls"),
+        dayofweek($"ts").cast("long").as("w"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (pmod($"event_id" * lit(2654435761L), lit(4294967296L)) % 10)
+          .as("band10"))
+      .filter($"cents".isNotNull)
+      .withColumn("b", expr("cents div 5000"))
+    val fdim = (1L to 9L).toDF("f")
+    val kDims = rows.agg(countDistinct($"cls").as("k_cls"),
+      countDistinct($"b").as("k_b"))
+    val tr = rows.filter($"band10" < 9)
+    def perF(counts: DataFrame, keys: Seq[String], out: String) =
+      counts.crossJoin(fdim).filter($"band10" < $"f")
+        .groupBy(($"f" +: keys.map(col)): _*)
+        .agg(sum($"cnt").as(out))
+    val priorF = perF(tr.groupBy($"cls", $"band10")
+      .agg(count(lit(1)).as("cnt")), Seq("cls"), "n_c")
+    val likwF = perF(tr.groupBy($"cls", $"w", $"band10")
+      .agg(count(lit(1)).as("cnt")), Seq("cls", "w"), "n_cw")
+    val likbF = perF(tr.groupBy($"cls", $"b", $"band10")
+      .agg(count(lit(1)).as("cnt")), Seq("cls", "b"), "n_cb")
+    val ntrF = perF(tr.groupBy($"band10")
+      .agg(count(lit(1)).as("cnt")), Seq.empty, "n_train")
+    val cells = rows.filter($"band10" === 9)
+      .groupBy($"cls".as("actual"), $"w", $"b")
+      .agg(count(lit(1)).as("n_rows"))
+    val score =
+      log(($"n_c" + lit(1.0)) / ($"n_train" + $"k_cls")) +
+      log((coalesce($"n_cw", lit(0L)) + lit(1.0)) / ($"n_c" + lit(7.0))) +
+      log((coalesce($"n_cb", lit(0L)) + lit(1.0)) / ($"n_c" + $"k_b"))
+    cells
+      .crossJoin(broadcast(priorF))
+      .join(broadcast(likwF), Seq("f", "cls", "w"), "left")
+      .join(broadcast(likbF), Seq("f", "cls", "b"), "left")
+      .join(broadcast(ntrF), Seq("f"))
+      .crossJoin(broadcast(kDims))
+      .withColumn("sc", score)
+      .groupBy($"f", $"actual", $"w", $"b", $"n_rows")
+      .agg(min(struct((-$"sc").as("ns"), $"cls")).getField("cls")
+        .as("predicted"), max($"n_train").as("n_train"))
+      .groupBy($"f")
+      .agg(max($"n_train").as("n_train"),
+        sum($"n_rows").as("n_test"),
+        sum(when($"actual" === $"predicted", $"n_rows")
+          .otherwise(0L)).as("n_correct"))
+      .withColumn("acc_e6", expr("n_correct * 1000000 div n_test"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_learning_curve", learningCurve, Some("""
+      WITH rows0 AS (
+        SELECT event_type AS cls,
+               CAST(isodow(CAST(ts AS DATE)) % 7 + 1 AS BIGINT) AS w,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 // 5000 AS b,
+               (event_id * 2654435761) % 4294967296 % 10 AS band10
+        FROM events WHERE value IS NOT NULL),
+      fdim AS (SELECT CAST(x AS BIGINT) AS f
+               FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8),
+                            (9)) v(x)),
+      kd AS (SELECT CAST(count(DISTINCT cls) AS BIGINT) AS k_cls,
+                    CAST(count(DISTINCT b) AS BIGINT) AS k_b
+             FROM rows0),
+      tr AS (SELECT * FROM rows0 WHERE band10 < 9),
+      pf AS (SELECT f, cls, CAST(sum(cnt) AS BIGINT) AS n_c
+             FROM (SELECT cls, band10, count(*) AS cnt
+                   FROM tr GROUP BY 1, 2) c
+             CROSS JOIN fdim WHERE c.band10 < f GROUP BY 1, 2),
+      lwf AS (SELECT f, cls, w, CAST(sum(cnt) AS BIGINT) AS n_cw
+              FROM (SELECT cls, w, band10, count(*) AS cnt
+                    FROM tr GROUP BY 1, 2, 3) c
+              CROSS JOIN fdim WHERE c.band10 < f GROUP BY 1, 2, 3),
+      lbf AS (SELECT f, cls, b, CAST(sum(cnt) AS BIGINT) AS n_cb
+              FROM (SELECT cls, b, band10, count(*) AS cnt
+                    FROM tr GROUP BY 1, 2, 3) c
+              CROSS JOIN fdim WHERE c.band10 < f GROUP BY 1, 2, 3),
+      ntf AS (SELECT f, CAST(sum(cnt) AS BIGINT) AS n_train
+              FROM (SELECT band10, count(*) AS cnt
+                    FROM tr GROUP BY 1) c
+              CROSS JOIN fdim WHERE c.band10 < f GROUP BY 1),
+      cells AS (SELECT cls AS actual, w, b,
+                       CAST(count(*) AS BIGINT) AS n_rows
+                FROM rows0 WHERE band10 = 9 GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT p.f, c.actual, c.w, c.b, c.n_rows, p.cls, nt.n_train,
+               ln((p.n_c + 1.0) / (nt.n_train + kd.k_cls))
+               + ln((coalesce(lw.n_cw, 0) + 1.0) / (p.n_c + 7.0))
+               + ln((coalesce(lb.n_cb, 0) + 1.0) / (p.n_c + kd.k_b))
+                 AS sc
+        FROM cells c
+        CROSS JOIN pf p
+        LEFT JOIN lwf lw ON lw.f = p.f AND lw.cls = p.cls
+                        AND lw.w = c.w
+        LEFT JOIN lbf lb ON lb.f = p.f AND lb.cls = p.cls
+                        AND lb.b = c.b
+        JOIN ntf nt ON nt.f = p.f
+        CROSS JOIN kd),
+      pred AS (SELECT f, actual, w, b, n_rows,
+                      min(struct_pack(ns := -sc, c := cls)).c
+                        AS predicted,
+                      max(n_train) AS n_train
+               FROM scored GROUP BY 1, 2, 3, 4, 5),
+      agg AS (SELECT f, CAST(max(n_train) AS BIGINT) AS n_train,
+                     CAST(sum(n_rows) AS BIGINT) AS n_test,
+                     CAST(sum(CASE WHEN actual = predicted
+                              THEN n_rows ELSE 0 END) AS BIGINT)
+                       AS n_correct
+              FROM pred GROUP BY 1)
+      SELECT f, n_train, n_test, n_correct,
+             CAST(n_correct * 1000000 // n_test AS BIGINT) AS acc_e6
+      FROM agg""")),
+
     Q("q_crossval_nb", crossvalNb, Some("""
       WITH rows0 AS (
         SELECT event_type AS cls,

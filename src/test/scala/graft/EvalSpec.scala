@@ -281,4 +281,52 @@ class EvalSpec extends AnyFunSuite {
         correct * 1000000L / test.length, s"fold $f acc")
     }
   }
+
+  test("q_learning_curve: cumulative-counts models equal naive " +
+      "per-threshold retrains; curve is well-formed") {
+    import spark.implicits._
+    val rows = Tables.events(spark, sf)
+      .select($"event_type", dayofweek($"ts").cast("long").as("w"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (pmod($"event_id" * lit(2654435761L), lit(4294967296L)) % 10)
+          .as("band"))
+      .filter($"cents".isNotNull)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3 / 5000, r._4))
+    val kCls = rows.map(_._1).distinct.length
+    val kB = rows.map(_._3).distinct.length.toDouble
+    val test = rows.filter(_._4 == 9)
+    val got = SparkEntry.queries("q_learning_curve")(spark, sf)
+      .collect().map(r => r.getAs[Long]("f") -> r).toMap
+    assert(got.keySet === (1L to 9L).toSet)
+    (1L to 9L).foreach { f =>
+      val train = rows.filter(_._4 < f)
+      val classes = train.map(_._1).distinct.sorted
+      val nTrain = train.length.toDouble
+      val nC = train.groupBy(_._1).view.mapValues(_.size).toMap
+      val nCW = train.groupBy(r => (r._1, r._2)).view
+        .mapValues(_.size).toMap
+      val nCB = train.groupBy(r => (r._1, r._3)).view
+        .mapValues(_.size).toMap
+      def predict(w: Long, b: Long): String =
+        classes.map { c =>
+          val nc = nC(c)
+          val sc = math.log((nc + 1.0) / (nTrain + kCls)) +
+            math.log((nCW.getOrElse((c, w), 0) + 1.0) / (nc + 7.0)) +
+            math.log((nCB.getOrElse((c, b), 0) + 1.0) / (nc + kB))
+          (-sc, c)
+        }.min._2
+      val correct = test.count(r => predict(r._2, r._3) == r._1).toLong
+      val row = got(f)
+      assert(row.getAs[Long]("n_train") === train.length.toLong,
+        s"f=$f train size")
+      assert(row.getAs[Long]("n_test") === test.length.toLong)
+      assert(row.getAs[Long]("n_correct") === correct, s"f=$f")
+      assert(row.getAs[Long]("acc_e6") ===
+        correct * 1000000L / test.length)
+    }
+    // nested training sets: n_train strictly increases with f
+    (1L until 9L).foreach(f => assert(
+      got(f).getAs[Long]("n_train") < got(f + 1).getAs[Long]("n_train")))
+  }
 }
