@@ -124,6 +124,33 @@ object GlobalRank {
       .drop(PidCol, "_offset", "_gr_v")
   }
 
+  /** Both the 1-based global row number AND the inclusive prefix sum
+    * of `value` under the SAME total order from ONE range
+    * partitioning: a single withPid (one boundary-sampling action,
+    * one exchange of the data) feeds two tiny per-bucket offset
+    * aggregates, where the separate withRowNumber + withPrefixSum
+    * calls each re-sample and re-exchange. Byte-identical results to
+    * the two-call composition (GlobalRankSpec pins it); measured on
+    * q_curriculum_order below. */
+  def withRowNumberAndPrefixSum(df: DataFrame, sort: Seq[Column],
+      value: Column, rnCol: String = "rn",
+      sumCol: String = "cum"): DataFrame = {
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = withPid(df.withColumn("_gr_v", value), sort, nPart)
+    val counts = offsetsOf(parted, lit(1L))
+      .withColumnRenamed("_offset", "_gr_roff")
+    val sums = offsetsOf(parted, col("_gr_v"))
+      .withColumnRenamed("_offset", "_gr_soff")
+    val w = Window.partitionBy(col(PidCol)).orderBy(sort: _*)
+    val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(broadcast(counts), PidCol)
+      .join(broadcast(sums), PidCol)
+      .withColumn(rnCol,
+        row_number().over(w).cast("long") + col("_gr_roff"))
+      .withColumn(sumCol, sum(col("_gr_v")).over(ws) + col("_gr_soff"))
+      .drop(PidCol, "_gr_roff", "_gr_soff", "_gr_v")
+  }
+
   /** SQL `ntile(k)` bucket from a global row number: the first
     * `n mod k` buckets get `n/k + 1` rows, the rest `n/k` — bit-exact
     * with the window function, computed without its single-partition

@@ -249,10 +249,11 @@ object Layout {
       .withColumn("decile",
         graft.ext.GlobalRank.ntileFromRn($"len_rn", $"n_docs", 10))
     val order = Seq($"decile", $"shuf", $"doc_id")
-    val pos = graft.ext.GlobalRank
-      .withRowNumber(ranked, order, "epoch_pos")
+    // one combined pass: rank and running budget share the range
+    // partitioning (one boundary sample + one exchange, not two)
     graft.ext.GlobalRank
-      .withPrefixSum(pos, order, $"n_chars", "cum_chars")
+      .withRowNumberAndPrefixSum(ranked, order, $"n_chars",
+        "epoch_pos", "cum_chars")
       .select($"doc_id", $"n_chars", $"decile", $"epoch_pos",
         $"cum_chars")
   }

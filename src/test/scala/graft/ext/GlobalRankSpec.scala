@@ -101,4 +101,34 @@ class GlobalRankSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
     }
   }
+
+  test("withRowNumberAndPrefixSum equals the two-call composition " +
+      "byte for byte") {
+    import spark.implicits._
+    val df = Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars")
+    val sort = Seq(col("n_chars"), col("doc_id"))
+    val combined = GlobalRank
+      .withRowNumberAndPrefixSum(df, sort, col("n_chars"))
+      .select($"doc_id", $"rn", $"cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val twoCall = GlobalRank
+      .withPrefixSum(GlobalRank.withRowNumber(df, sort), sort,
+        col("n_chars"))
+      .select($"doc_id", $"rn", $"cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(combined.toSeq === twoCall.toSeq)
+    // and both equal the single-partition window truth
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n_chars".asc, $"doc_id".asc)
+    val truth = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum", sum($"n_chars").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .select($"doc_id", $"rn", $"cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(combined.toSeq === truth.toSeq)
+  }
 }
