@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** RUNTIME-metrics verification — a tier beyond PlanSpec's shape
@@ -121,5 +122,46 @@ class MetricsSpec extends AnyFunSuite {
     // if the measurement machinery under-counted, the two budget
     // tests above would pass vacuously — prove it counts full volume
     assert(recs >= n, s"listener undercounts: $recs < $n")
+  }
+
+  test("q_naive_bayes: model tables broadcast — only count partials " +
+      "cross the wire, never the test x classes scoring fan") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf).count()
+    val (recs, _, tasks) = shuffleOf {
+      SparkEntry.queries("q_naive_bayes")(spark, sf).collect()
+    }
+    // shuffle content: the model/cell count rollups' partials
+    // (each bounded by its group cardinality per task) and the
+    // confusion rollup — never events x 5 scored rows
+    assert(recs > 0, "expected the count rollups to shuffle partials")
+    assert(recs < events,
+      s"scoring fan leaked into the shuffle: $recs records for " +
+        s"$events events")
+    val cellBound = Tables.events(spark, sf)
+      .select($"event_type", dayofweek($"ts").cast("long"),
+        (($"value".cast("decimal(18,2)") * 100).cast("long")
+          / lit(5000)).cast("long"))
+      .distinct().count() * 4 + 64
+    assert(recs <= cellBound * tasks,
+      s"expected <= cells x tasks partials, got $recs over $tasks " +
+        s"tasks (cell bound $cellBound)")
+  }
+
+  test("q_spatial_join: the POI stencil broadcasts — shuffle carries " +
+      "per-POI aggregate partials, never the cell-join fan") {
+    val users = Tables.customer(spark, sf).count()
+    val pois = Tables.supplier(spark, sf).count()
+    val (recs, _, tasks) = shuffleOf {
+      SparkEntry.queries("q_spatial_join")(spark, sf).collect()
+    }
+    assert(recs > 0, "expected the per-POI aggregate to shuffle")
+    // the refined-join fan is users-scale; only |POI|-bounded
+    // aggregate partials may cross
+    assert(recs < users,
+      s"join fan leaked into the shuffle: $recs records for " +
+        s"$users users")
+    assert(recs <= pois * tasks,
+      s"expected <= pois x tasks partials, got $recs over $tasks tasks")
   }
 }
