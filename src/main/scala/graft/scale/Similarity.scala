@@ -895,7 +895,96 @@ object Similarity {
       HAVING max(na) * max(nb) > 0"""
   }
 
+  /** Embedding covariance / correlation matrix — the PCA-and-
+    * whitening prep every representation pipeline runs before
+    * deciding "are my dimensions redundant" (a near-singular
+    * covariance means wasted embedding width): all 64·65/2 upper-
+    * triangle cells of cov(Xᵢ, Xⱼ) over the corpus, plus the Pearson
+    * correlation per cell. Float discipline: each float component is
+    * snapped ONCE to the e6 integer grid (floor(x·1e6) — float→
+    * double cast and the multiply are IEEE-identical in both
+    * engines), and every cross-moment (Σx̃ᵢ, Σx̃ᵢx̃ⱼ, Σx̃ᵢ²) is then an
+    * EXACT BIGINT — no double ever accumulates across rows. The
+    * covariance/correlation finish per-cell in double on those
+    * BIGINTs, floored e9/e6. Integer headroom: Σx̃ᵢx̃ⱼ ≈ 2.8e11 per
+    * vector pair-cell, int64-safe through ~3e7 vectors (then the
+    * moment columns widen to decimal(38,0)). Shape: one component
+    * explode (64 rows/vec), a self-join on vec_id fanning to the
+    * upper triangle, and a map-side-combinable (i,j) rollup to
+    * exactly 2080 cells — the shuffle carries cell partials, never
+    * the fan. */
+  private def embedCovariance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val comp = Tables.embeddings(s, d)
+      .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"vec_id", $"dim",
+        floor($"x".cast("double") * lit(1000000.0)).cast("long")
+          .as("xf"))
+    val a = comp.select($"vec_id", $"dim".as("i"), $"xf".as("xi"))
+    val b = comp.select($"vec_id", $"dim".as("j"), $"xf".as("xj"))
+    val cells = a.join(b, Seq("vec_id")).filter($"i" <= $"j")
+      .groupBy($"i", $"j")
+      .agg(count(lit(1)).as("n"), sum($"xi").as("sx"),
+        sum($"xj").as("sy"), sum($"xi" * $"xj").as("sxy"),
+        sum($"xi" * $"xi").as("sxx"), sum($"xj" * $"xj").as("syy"))
+    val n = $"n".cast("double")
+    val cov = ($"sxy" / n - ($"sx" / n) * ($"sy" / n))
+    val vx = $"sxx" / n - ($"sx" / n) * ($"sx" / n)
+    val vy = $"syy" / n - ($"sy" / n) * ($"sy" / n)
+    cells.select($"i".cast("long").as("i"), $"j".cast("long").as("j"),
+      $"n",
+      floor(cov / lit(1.0e12) * lit(1.0e9)).cast("long").as("cov_e9"),
+      when($"i" === $"j", lit(1000000L))
+        .otherwise(when(vx > 0 && vy > 0,
+          floor(cov / sqrt(vx * vy) * lit(1000000.0)).cast("long")))
+        .as("corr_e6"))
+  }
+
+  private val embedCovarianceOracle = """
+      WITH comp AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                 * 1000000.0) AS BIGINT) AS xf
+        FROM embeddings),
+      cells AS (
+        SELECT a.dim AS i, b.dim AS j,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a.xf) AS BIGINT) AS sx,
+               CAST(sum(b.xf) AS BIGINT) AS sy,
+               CAST(sum(a.xf * b.xf) AS BIGINT) AS sxy,
+               CAST(sum(a.xf * a.xf) AS BIGINT) AS sxx,
+               CAST(sum(b.xf * b.xf) AS BIGINT) AS syy
+        FROM comp a JOIN comp b
+          ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2)
+      SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n,
+             CAST(floor((CAST(sxy AS DOUBLE) / n
+                 - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+               / 1.0e12 * 1.0e9) AS BIGINT) AS cov_e9,
+             CASE WHEN i = j THEN 1000000
+                  WHEN CAST(sxx AS DOUBLE) / n
+                       - (CAST(sx AS DOUBLE) / n)
+                         * (CAST(sx AS DOUBLE) / n) > 0
+                   AND CAST(syy AS DOUBLE) / n
+                       - (CAST(sy AS DOUBLE) / n)
+                         * (CAST(sy AS DOUBLE) / n) > 0 THEN
+               CAST(floor((CAST(sxy AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n)
+                     * (CAST(sy AS DOUBLE) / n))
+                 / sqrt((CAST(sxx AS DOUBLE) / n
+                     - (CAST(sx AS DOUBLE) / n)
+                       * (CAST(sx AS DOUBLE) / n))
+                   * (CAST(syy AS DOUBLE) / n
+                     - (CAST(sy AS DOUBLE) / n)
+                       * (CAST(sy AS DOUBLE) / n)))
+                 * 1000000.0) AS BIGINT)
+             END AS corr_e6
+      FROM cells"""
+
   val queries: Seq[Q] = Seq(
+    Q("q_embed_covariance", embedCovariance,
+      Some(embedCovarianceOracle)),
     Q("q_ann_recall", annRecall, Some(annRecallOracle)),
     Q("q_embed_project", embedProject, Some(jlOracle)),
     Q("q_semdedup", semDedup, Some(semDedupOracle)),

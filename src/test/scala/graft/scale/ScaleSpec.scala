@@ -904,4 +904,45 @@ class ScaleSpec extends AnyFunSuite {
     assert(jac.subsetOf(cont.keySet),
       "jaccard-near-dup pairs missing from the containment emit")
   }
+
+  test("q_embed_covariance: cells replay from a brute e6-grid pass; " +
+      "correlation bounds and diagonal identity hold") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val n = vecs.length.toLong
+    val dims = vecs.head._2.length
+    val xf = vecs.map(_._2.map(x =>
+      math.floor(x.toDouble * 1e6).toLong))
+    val got = SparkEntry.queries("q_embed_covariance")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r).toMap
+    assert(got.size === dims * (dims + 1) / 2)
+    // spot-replay a diagonal and two off-diagonal cells exactly
+    Seq((0, 0), (0, 1), (3, 17)).foreach { case (i, j) =>
+      val sx = xf.map(_(i)).sum
+      val sy = xf.map(_(j)).sum
+      val sxy = xf.map(v => v(i) * v(j)).sum
+      val sxx = xf.map(v => v(i) * v(i)).sum
+      val syy = xf.map(v => v(j) * v(j)).sum
+      val nd = n.toDouble
+      val cov = sxy / nd - (sx / nd) * (sy / nd)
+      val row = got((i.toLong, j.toLong))
+      assert(row.getAs[Long]("n") === n)
+      assert(row.getAs[Long]("cov_e9") ===
+        math.floor(cov / 1.0e12 * 1.0e9).toLong, s"cell ($i,$j)")
+      if (i == j) assert(row.getAs[Long]("corr_e6") === 1000000L)
+      else {
+        val vx = sxx / nd - (sx / nd) * (sx / nd)
+        val vy = syy / nd - (sy / nd) * (sy / nd)
+        assert(row.getAs[Long]("corr_e6") ===
+          math.floor(cov / math.sqrt(vx * vy) * 1e6).toLong)
+      }
+    }
+    got.foreach { case ((i, j), r) =>
+      val c = r.getAs[Long]("corr_e6")
+      assert(c >= -1000001L && c <= 1000000L, s"corr out of range $i,$j")
+      if (i == j) assert(c === 1000000L)
+    }
+  }
 }
