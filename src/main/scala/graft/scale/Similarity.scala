@@ -982,7 +982,128 @@ object Similarity {
              END AS corr_e6
       FROM cells"""
 
+  /** Covariance cells as (i, j, c-double) for the FULL symmetric
+    * matrix (upper triangle mirrored), shared by [[embedCovariance]]'s
+    * consumers via the registry. The doubles are per-cell functions
+    * of exact BIGINT moments — identical in any engine. */
+  private def covMatrix(s: SparkSession, d: String): DataFrame =
+    graft.GraftCaches.getOrPersist(s, s"sim.covmatrix:$d") {
+      import s.implicits._
+      val comp = Tables.embeddings(s, d)
+        .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+        .select($"vec_id", $"dim",
+          floor($"x".cast("double") * lit(1000000.0)).cast("long")
+            .as("xf"))
+      val a = comp.select($"vec_id", $"dim".as("i"), $"xf".as("xi"))
+      val b = comp.select($"vec_id", $"dim".as("j"), $"xf".as("xj"))
+      val tri = a.join(b, Seq("vec_id")).filter($"i" <= $"j")
+        .groupBy($"i", $"j")
+        .agg(count(lit(1)).as("n"), sum($"xi").as("sx"),
+          sum($"xj").as("sy"), sum($"xi" * $"xj").as("sxy"))
+        .select($"i".cast("long").as("i"), $"j".cast("long").as("j"),
+          (($"sxy" / $"n".cast("double")
+            - ($"sx" / $"n".cast("double"))
+              * ($"sy" / $"n".cast("double"))) / lit(1.0e12)).as("c"))
+      tri.unionAll(tri.filter($"i" < $"j")
+        .select($"j".as("i"), $"i".as("j"), $"c"))
+    }
+
+  /** Top principal component of the embedding covariance by THREE
+    * unrolled power iterations — the "is my embedding width wasted"
+    * answer [[embedCovariance]] sets up: v₀ = 1/8 (exactly 0.125 —
+    * 1/√64 is a power of two, representable), then each round is one
+    * matvec + renormalize in the catalog's fixed-point discipline:
+    * matvec terms floor(c·vⱼ·1e9) are summed as exact BIGINTs
+    * (order-independent — a double matvec would be partition-order
+    * dependent), the norm is floor(√ΣW²) on an exact BIGINT (sqrt is
+    * correctly-rounded IEEE, identical everywhere), and the
+    * renormalized component is sign(w)·(|w|·1e9 div norm) — magnitude
+    * and sign separated because integer division of NEGATIVES
+    * diverges across engines (Spark truncates, DuckDB floors). The
+    * final Rayleigh-style eigenvalue is the norm of one more matvec
+    * (‖Cv‖ with ‖v‖≈1). Everything after the covariance rollup is
+    * O(dims²) = 4096 rows; iterations are unrolled into one DAG with
+    * the matrix registry-persisted. */
+  private def pcaPower(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = covMatrix(s, d)
+    def matvec(v: DataFrame): DataFrame =
+      m.join(v, "j").groupBy($"i")
+        .agg(sum(floor($"c" * $"v" * lit(1.0e9)).cast("long")).as("w"))
+    def renorm(w: DataFrame): DataFrame = {
+      val nrm = w.agg(floor(sqrt(sum($"w" * $"w").cast("double")))
+        .cast("long").as("nrm"))
+      w.crossJoin(broadcast(nrm))
+        .select($"i".as("j"),
+          (when($"w" < 0, -1L).otherwise(1L)
+            * expr("abs(w) * 1000000000 div nrm")).as("v_e9"))
+        .withColumn("v", $"v_e9".cast("double") / lit(1.0e9))
+    }
+    var v = m.select($"j").distinct()
+      .withColumn("v", lit(0.125))
+      .withColumn("v_e9", lit(125000000L))
+    for (_ <- 1 to 3) v = renorm(matvec(v))
+    val last = matvec(v)
+    val eig = last.agg(floor(sqrt(sum($"w" * $"w").cast("double")))
+      .cast("long").as("eigval_e9"))
+    v.crossJoin(broadcast(eig))
+      .select($"j".as("dim"), $"v_e9", $"eigval_e9")
+  }
+
+  private val pcaPowerOracle = {
+    val covCte = """
+      comp AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                 * 1000000.0) AS BIGINT) AS xf
+        FROM embeddings),
+      tri AS (
+        SELECT CAST(a.dim AS BIGINT) AS i, CAST(b.dim AS BIGINT) AS j,
+               (CAST(sum(a.xf * b.xf) AS DOUBLE) / count(*)
+                - (CAST(sum(a.xf) AS DOUBLE) / count(*))
+                  * (CAST(sum(b.xf) AS DOUBLE) / count(*))) / 1.0e12
+                 AS c
+        FROM comp a JOIN comp b
+          ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2),
+      m AS (SELECT i, j, c FROM tri
+            UNION ALL
+            SELECT j AS i, i AS j, c FROM tri WHERE i < j)"""
+    def step(vin: String, wout: String, vout: String) = s"""
+      $wout AS (SELECT m.i,
+                       CAST(sum(CAST(floor(m.c * v.v * 1.0e9)
+                         AS BIGINT)) AS BIGINT) AS w
+                FROM m JOIN $vin v ON m.j = v.j GROUP BY 1),
+      ${wout}n AS (SELECT CAST(floor(sqrt(CAST(sum(w * w) AS DOUBLE)))
+                     AS BIGINT) AS nrm
+                   FROM $wout),
+      $vout AS (SELECT i AS j,
+                       (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                         * (abs(w) * 1000000000 // nrm) AS v_e9,
+                       CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                         * (abs(w) * 1000000000 // nrm) AS DOUBLE)
+                         / 1.0e9 AS v
+                FROM $wout CROSS JOIN ${wout}n)"""
+    s"""
+      WITH $covCte,
+      v0 AS (SELECT DISTINCT j, 0.125 AS v FROM m),
+      ${step("v0", "w1", "v1")},
+      ${step("v1", "w2", "v2")},
+      ${step("v2", "w3", "v3")},
+      w4 AS (SELECT m.i,
+                    CAST(sum(CAST(floor(m.c * v.v * 1.0e9) AS BIGINT))
+                      AS BIGINT) AS w
+             FROM m JOIN v3 v ON m.j = v.j GROUP BY 1),
+      eig AS (SELECT CAST(floor(sqrt(CAST(sum(w * w) AS DOUBLE)))
+                AS BIGINT) AS eigval_e9
+              FROM w4)
+      SELECT v3.j AS dim, CAST(v3.v_e9 AS BIGINT) AS v_e9, eig.eigval_e9
+      FROM v3 CROSS JOIN eig"""
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_pca_power", pcaPower, Some(pcaPowerOracle)),
     Q("q_embed_covariance", embedCovariance,
       Some(embedCovarianceOracle)),
     Q("q_ann_recall", annRecall, Some(annRecallOracle)),

@@ -945,4 +945,52 @@ class ScaleSpec extends AnyFunSuite {
       if (i == j) assert(c === 1000000L)
     }
   }
+
+  test("q_pca_power: the three fixed-point power iterations replay " +
+      "brutally; the emitted vector is unit-norm") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"embedding").as[Seq[Float]].collect()
+      .map(_.map(x => math.floor(x.toDouble * 1e6).toLong))
+    val n = vecs.length
+    val dims = vecs.head.length
+    // exact covariance doubles from BIGINT moments
+    val c = Array.ofDim[Double](dims, dims)
+    for (i <- 0 until dims; j <- 0 until dims) {
+      val sx = vecs.map(_(i)).sum
+      val sy = vecs.map(_(j)).sum
+      val sxy = vecs.map(v => v(i) * v(j)).sum
+      c(i)(j) = (sxy / n.toDouble -
+        (sx / n.toDouble) * (sy / n.toDouble)) / 1.0e12
+    }
+    var v = Array.fill(dims)(0.125)
+    var vE9 = Array.fill(dims)(125000000L)
+    for (_ <- 1 to 3) {
+      val w = (0 until dims).map(i =>
+        (0 until dims).map(j =>
+          math.floor(c(i)(j) * v(j) * 1e9).toLong).sum).toArray
+      val nrm = math.floor(math.sqrt(
+        w.map(x => (x * x).toDouble).sum)).toLong
+      vE9 = w.map(x =>
+        (if (x < 0) -1L else 1L) * (math.abs(x) * 1000000000L / nrm))
+      v = vE9.map(_.toDouble / 1.0e9)
+    }
+    val w4 = (0 until dims).map(i =>
+      (0 until dims).map(j =>
+        math.floor(c(i)(j) * v(j) * 1e9).toLong).sum).toArray
+    val eig = math.floor(math.sqrt(
+      w4.map(x => (x * x).toDouble).sum)).toLong
+    val got = SparkEntry.queries("q_pca_power")(spark, sf).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        (r.getAs[Long]("v_e9"), r.getAs[Long]("eigval_e9"))).toMap
+    assert(got.size === dims)
+    (0 until dims).foreach { d2 =>
+      assert(got(d2.toLong)._1 === vE9(d2), s"component $d2")
+      assert(got(d2.toLong)._2 === eig, s"eigval at $d2")
+    }
+    // renormalized vector has unit norm up to the e9 grid
+    val norm2 = vE9.map(x => (x.toDouble / 1e9) *
+      (x.toDouble / 1e9)).sum
+    assert(math.abs(norm2 - 1.0) < 1e-3, s"norm2 $norm2")
+    assert(eig > 0L, "leading eigenvalue of a covariance is positive")
+  }
 }
