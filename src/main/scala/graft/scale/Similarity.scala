@@ -1113,8 +1113,59 @@ object Similarity {
       FROM v3 CROSS JOIN eig"""
   }
 
+  /** Variance explained by the top principal component —
+    * λ₁ / trace(C), the single number that answers "how much of the
+    * embedding's energy lives in one direction" (≈1/dims ⇒ healthy
+    * isotropy; ≫1/dims ⇒ anisotropic collapse, the classic failure
+    * mode of contrastive embeddings). Trace is floor-then-sum e9
+    * over the diagonal cells; λ₁ comes from [[pcaPower]] (whose
+    * per-round vectors are registry-persisted, so this costs one
+    * extra aggregate); the ratio is one positive integer division. */
+  private def pcaExplained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val trace = covMatrix(s, d).filter($"i" === $"j")
+      .agg(sum(floor($"c" * lit(1.0e9)).cast("long")).as("trace_e9"),
+        count(lit(1)).as("dims"))
+    val eig = pcaPower(s, d).agg(max($"eigval_e9").as("eigval_e9"))
+    val nv = Tables.embeddings(s, d).agg(count(lit(1)).as("n_vecs"))
+    nv.crossJoin(trace).crossJoin(eig)
+      .withColumn("explained_e6",
+        expr("eigval_e9 * 1000000 div trace_e9"))
+  }
+
+  private val pcaExplainedOracle = s"""
+      SELECT n.n_vecs, t.dims, t.trace_e9, e.eigval_e9,
+             CAST(e.eigval_e9 * 1000000 // t.trace_e9 AS BIGINT)
+               AS explained_e6
+      FROM (SELECT CAST(count(*) AS BIGINT) AS n_vecs
+            FROM embeddings) n
+      CROSS JOIN (
+        WITH comp AS (
+          SELECT vec_id,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                   * 1000000.0) AS BIGINT) AS xf
+          FROM embeddings),
+        tri AS (
+          SELECT CAST(a.dim AS BIGINT) AS i,
+                 CAST(b.dim AS BIGINT) AS j,
+                 (CAST(sum(a.xf * b.xf) AS DOUBLE) / count(*)
+                  - (CAST(sum(a.xf) AS DOUBLE) / count(*))
+                    * (CAST(sum(b.xf) AS DOUBLE) / count(*)))
+                   / 1.0e12 AS c
+          FROM comp a JOIN comp b
+            ON a.vec_id = b.vec_id AND a.dim <= b.dim
+          GROUP BY 1, 2)
+        SELECT CAST(sum(CAST(floor(c * 1.0e9) AS BIGINT)) AS BIGINT)
+                 AS trace_e9,
+               CAST(count(*) AS BIGINT) AS dims
+        FROM tri WHERE i = j) t
+      CROSS JOIN (SELECT CAST(max(eigval_e9) AS BIGINT) AS eigval_e9
+                  FROM ($pcaPowerOracle)) e"""
+
   val queries: Seq[Q] = Seq(
     Q("q_pca_power", pcaPower, Some(pcaPowerOracle)),
+    Q("q_pca_explained", pcaExplained, Some(pcaExplainedOracle)),
     Q("q_embed_covariance", embedCovariance,
       Some(embedCovarianceOracle)),
     Q("q_ann_recall", annRecall, Some(annRecallOracle)),

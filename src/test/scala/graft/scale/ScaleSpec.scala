@@ -993,4 +993,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(math.abs(norm2 - 1.0) < 1e-3, s"norm2 $norm2")
     assert(eig > 0L, "leading eigenvalue of a covariance is positive")
   }
+
+  test("q_pca_explained: ratio reconciles with q_pca_power and " +
+      "q_embed_covariance; Rayleigh bound holds") {
+    val row = SparkEntry.queries("q_pca_explained")(spark, sf)
+      .collect().head
+    val eig = SparkEntry.queries("q_pca_power")(spark, sf)
+      .collect().head.getAs[Long]("eigval_e9")
+    assert(row.getAs[Long]("eigval_e9") === eig)
+    // trace reconciles with the covariance diagonal (e9 floor per
+    // cell vs the covariance query's independent e9 floor)
+    val diag = SparkEntry.queries("q_embed_covariance")(spark, sf)
+      .collect().filter(r => r.getAs[Long]("i") == r.getAs[Long]("j"))
+    assert(row.getAs[Long]("dims") === diag.length.toLong)
+    val traceFromCov = diag.map(_.getAs[Long]("cov_e9")).sum
+    assert((row.getAs[Long]("trace_e9") - traceFromCov).abs
+      <= diag.length.toLong, "trace vs diagonal within floor dust")
+    val exp = row.getAs[Long]("explained_e6")
+    assert(exp === eig * 1000000L / row.getAs[Long]("trace_e9"))
+    // lambda_1 <= trace, and the power estimate cannot exceed it;
+    // it also must beat the isotropic floor 1/dims (any matrix's
+    // top eigenvalue is at least the average eigenvalue)
+    assert(exp <= 1000000L)
+    assert(exp >= 1000000L / row.getAs[Long]("dims") - 1000L,
+      "top eigenvalue below the trace average")
+  }
 }
