@@ -1463,7 +1463,98 @@ object TextOps {
         expr("((n_padded - n_tokens) * 10000) div n_padded"))
   }
 
+  /** DSIR-style importance-resampling weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document for "how target-like is it" with two bag-of-
+    * hashed-bigrams unigram models — target = the `lang='en'` slice,
+    * raw = the whole corpus — and emit the per-document log importance
+    * weight  log w(d) = Σ_b c_d[b]·(ln p_tgt[b] − ln p_raw[b])  with
+    * add-one smoothing over [[DsirBuckets]] hashed buckets. This is
+    * the selection score a pretraining pipeline samples against (via
+    * Gumbel-top-k or the q_mixture_sample keep-rate pattern) to tilt
+    * a 100 TB crawl toward a curated target domain.
+    *
+    * Shape at scale — the whole point of DSIR's hashed features: both
+    * "models" are fixed-width bucket tables (B rows, independent of
+    * corpus size), so the scoring join is a B-row BROADCAST into the
+    * doc-bucket aggregate; the only corpus-sized shuffles are the two
+    * map-side-combining counts on (doc_id, bucket) and (bucket). The
+    * doc-bucket table is registry-cached — raw stats, target stats,
+    * and scoring all read one materialization of the explode. Float
+    * discipline: each bucket's two ln's (rationals of exact integers)
+    * are rounded to the 1e-6 grid and subtracted in DECIMAL, so the
+    * per-doc sum is order-independent (the q_perplexity pattern). */
+  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b = DsirBuckets
+    val pairs = graft.ext.BigramPairsExpr.bigramPairs($"text")
+    val docB = graft.GraftCaches.getOrPersist(s, s"text.dsir_docb:$d") {
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", explode(pairs).as("p"))
+        .select($"doc_id", $"lang",
+          pmod(polyHash(concat($"p.w1", lit(" "), $"p.w2"), 31L),
+            lit(b.toLong)).as("bucket"))
+        .groupBy($"doc_id", $"lang", $"bucket")
+        .agg(count(lit(1)).as("c"))
+    }
+    val raw = docB.groupBy($"bucket").agg(sum($"c").as("c_r"))
+    val tgt = docB.filter($"lang" === "en")
+      .groupBy($"bucket").agg(sum($"c").as("c_t"))
+    val stats = raw.join(tgt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_t"))
+    val tots = stats.agg(sum($"c_r").as("n_r"), sum($"c_t").as("n_t"))
+    val lnTgt = round(log(($"c_t" + 1).cast("double") / ($"n_t" + b)), 6)
+      .cast("decimal(18,6)")
+    val lnRaw = round(log(($"c_r" + 1).cast("double") / ($"n_r" + b)), 6)
+      .cast("decimal(18,6)")
+    val lr = stats.crossJoin(broadcast(tots))
+      .select($"bucket", (lnTgt - lnRaw).as("lr"))
+    docB.join(broadcast(lr), "bucket")
+      .select($"doc_id", $"lang", $"c", ($"lr" * $"c").as("term"))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"c").as("n_feats"),
+        // the term sum is exact at 6 dp, so ×1e6 is an integer —
+        // emitted as-is (a final round-to-4 landed on .5 ties and
+        // diverged across engines; the q_rolling_corr lesson)
+        (sum($"term") * lit(1000000)).cast("long").as("logw_e6"))
+  }
+
+  /** Hashed-feature width for [[dsirWeights]] — fixed regardless of
+    * corpus size (that independence is DSIR's scalability claim; the
+    * paper uses 10⁴, shrunk here so sf0.001 still populates every
+    * bucket). */
+  val DsirBuckets = 128
+
   val queries: Seq[Q] = Seq(
+    Q("q_dsir", dsirWeights, Some(s"""
+      WITH tk AS (SELECT doc_id, lang,
+                         string_split_regex(lower(text), '\\s+') AS toks
+                  FROM documents),
+      pairs AS (SELECT doc_id, lang,
+                       unnest([toks[i] || ' ' || toks[i+1]
+                               for i in range(1, len(toks))]) AS bg
+                FROM tk WHERE len(toks) >= 2),
+      db AS (SELECT doc_id, lang,
+                    ${polyHashSql("bg", 31L)} % $DsirBuckets AS bucket,
+                    count(*) AS c
+             FROM pairs GROUP BY 1, 2, 3),
+      raw AS (SELECT bucket, sum(c) AS c_r FROM db GROUP BY 1),
+      tgt AS (SELECT bucket, sum(c) AS c_t FROM db
+              WHERE lang = 'en' GROUP BY 1),
+      st AS (SELECT r.bucket, r.c_r, coalesce(t.c_t, 0) AS c_t
+             FROM raw r LEFT JOIN tgt t USING (bucket)),
+      tot AS (SELECT sum(c_r) AS n_r, sum(c_t) AS n_t FROM st),
+      lr AS (SELECT bucket,
+                    CAST(round(ln((c_t + 1) * 1.0 / (n_t + $DsirBuckets)),
+                               6) AS DECIMAL(18,6))
+                  - CAST(round(ln((c_r + 1) * 1.0 / (n_r + $DsirBuckets)),
+                               6) AS DECIMAL(18,6)) AS lr
+             FROM st, tot)
+      SELECT db.doc_id, db.lang, CAST(sum(db.c) AS BIGINT) AS n_feats,
+             CAST(sum(lr.lr * db.c) * 1000000 AS BIGINT) AS logw_e6
+      FROM db JOIN lr USING (bucket)
+      GROUP BY 1, 2""")),
+
     Q("q_text_token_count", tokenCount, Some("""
       SELECT doc_id,
              CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)

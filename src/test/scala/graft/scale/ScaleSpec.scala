@@ -1018,4 +1018,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(exp >= 1000000L / row.getAs[Long]("dims") - 1000L,
       "top eigenvalue below the trace average")
   }
+
+  test("q_dsir: target slice scores higher on average; n_feats " +
+      "reconciles with the corpus bigram volume") {
+    val rows = SparkEntry.queries("q_dsir")(spark, sf).collect()
+    val (en, other) = rows.partition(_.getAs[String]("lang") == "en")
+    assert(en.nonEmpty && other.nonEmpty)
+    def mean(rs: Array[org.apache.spark.sql.Row]): Double =
+      rs.map(_.getAs[Long]("logw_e6")).sum.toDouble / rs.length
+    // the importance weight is log p_tgt - log p_raw; the slice that
+    // DEFINES the target must look more target-like than the rest
+    assert(mean(en) > mean(other),
+      s"en mean ${mean(en)} !> other mean ${mean(other)}")
+    // every doc with >=2 tokens contributes len-1 bigram features
+    val expectFeats = Tables.documents(spark, sf)
+      .select(greatest(size(TextOps.tokens($"text")) - 1, lit(0))
+        .cast("long").as("nf"))
+      .agg(sum($"nf")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_feats")).sum === expectFeats)
+  }
 }
