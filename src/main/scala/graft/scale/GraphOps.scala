@@ -160,6 +160,92 @@ object GraphOps {
       FROM r$Iterations"""
   }
 
+  /** Rounds of synchronous label propagation for [[labelPropagationOn]]
+    * — LPA does not converge in general on bipartite graphs (it
+    * oscillates), so like q_pagerank the operator's contract is "the
+    * deterministic state after k rounds". */
+  val LpaIterations = 2
+
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007, "Near linear time algorithm to detect community
+    * structures in large-scale networks") over ANY undirected edge
+    * list with columns (src, dst), both directions materialized:
+    * every node seeds with its own id, then for k synchronous rounds
+    * adopts the MOST FREQUENT label among its neighbors, ties broken
+    * by SMALLEST label — a total order, so the unrolled plan is fully
+    * deterministic. The curation use: communities over a doc-
+    * similarity or co-purchase graph are the unit for cluster-level
+    * dedup and source-trust scoring.
+    *
+    * Scale shape per round: the label table is NODE-cardinality and
+    * joins the edge list BROADCAST below `broadcastNodeCap` (shuffled
+    * hash above — both paths bit-identical, integer/string ops only);
+    * neighbor votes groupBy(dst, label) collapse map-side; the
+    * per-node argmax is min(struct(-count, label)) — a PARTIAL-
+    * aggregable min, so it also collapses map-side instead of
+    * windowing the vote table. Edges never move (the 100 TB side);
+    * the two shuffles per round carry ≤ Σ deg(v) vote rows bounded by
+    * the edge count, collapsing toward node cardinality. */
+  def labelPropagationOn(edgeList: DataFrame,
+      iterations: Int = LpaIterations,
+      cacheKey: Option[String] = None,
+      broadcastNodeCap: Long = DefaultBroadcastNodeCap): DataFrame = {
+    def nodesOf = edgeList.select(col("src").as("node")).distinct()
+    val nodes = cacheKey match {
+      case Some(k) => graft.GraftCaches.getOrPersist(
+        edgeList.sparkSession, s"$k.nodes")(nodesOf)
+      case None => nodesOf
+    }
+    val bcast = nodes.count() <= broadcastNodeCap
+    var lab = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iterations) {
+      val l = lab.select(col("node").as("src"), col("label"))
+      val joined =
+        if (bcast) edgeList.join(broadcast(l), "src")
+        else edgeList.join(l.hint("shuffle_hash"), "src")
+      lab = joined.groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("lb")))
+          .as("m"))
+        .select(col("dst").as("node"), col("m.lb").as("label"))
+    }
+    lab
+  }
+
+  private def labelProp(s: SparkSession, d: String): DataFrame = {
+    val e = graft.GraftCaches.getOrPersist(s, s"graph.lpa_edges:$d") {
+      edges(s, d)
+    }
+    labelPropagationOn(e, LpaIterations, Some(s"graph.lpa:$d"))
+  }
+
+  /** Unrolled DuckDB replay of [[labelProp]] — the window argmax with
+    * (c DESC, label ASC) is value-identical to min(struct(-c, label)). */
+  private def labelPropOracle: String = {
+    val base = s"""
+      WITH li AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                  FROM lineitem),
+      edges AS (SELECT 's' || sk AS src, 'p' || pk AS dst FROM li
+                UNION ALL
+                SELECT 'p' || pk, 's' || sk FROM li),
+      l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    val iters = (1 to LpaIterations).map { i =>
+      s""",
+      v$i AS (SELECT e.dst, l.label, count(*) AS c
+              FROM edges e JOIN l${i - 1} l ON e.src = l.node
+              GROUP BY 1, 2),
+      l$i AS (SELECT dst AS node, label
+              FROM (SELECT dst, label,
+                           row_number() OVER (
+                             PARTITION BY dst
+                             ORDER BY c DESC, label ASC) AS rn
+                    FROM v$i)
+              WHERE rn = 1)"""
+    }.mkString
+    s"$base$iters\n      SELECT node, label FROM l$LpaIterations"
+  }
+
   /** Triangle counting over the supplier co-occurrence graph (an edge
     * links two suppliers iff they appear in the same order) — the
     * clustering/community primitive of graph analytics. Edges are
@@ -519,6 +605,7 @@ object GraphOps {
   val queries: Seq[Q] = Seq(
     Q("q_kcore", kcore, Some(kcoreOracle)),
     Q("q_pagerank", pagerank, Some(pagerankOracle), headline = true),
+    Q("q_label_prop", labelProp, Some(labelPropOracle)),
     Q("q_degree_assortativity", degreeAssortativity, Some("""
       WITH li AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
                   FROM lineitem),

@@ -1163,7 +1163,89 @@ object Similarity {
       CROSS JOIN (SELECT CAST(max(eigval_e9) AS BIGINT) AS eigval_e9
                   FROM ($pcaPowerOracle)) e"""
 
+  /** Output dimensionality of [[randomProjection]] — 64 → 16, the 4×
+    * compression JL tolerates at ε ≈ √(ln n / k). */
+  val JlOutDims = 16
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003,
+    * "Database-friendly random projections": a ±1 sign matrix is a
+    * JL transform) — project every 64-dim embedding to
+    * [[JlOutDims]] dims with a deterministic sign matrix
+    * sign(i,j) = ±1 from the top bit of Knuth-multiplicative
+    * hash((i·k+j)·2654435761 mod 2³²), and audit the isometry:
+    * ratio_e4 ≈ 10⁴·‖Px‖²/(k·‖x‖²), which JL concentrates near 10⁴.
+    * This is the dimensionality-reduction prefilter for ANN at
+    * 100 TB — distance computations shrink 4× while rank order is
+    * approximately preserved; the ratio column is the per-vector
+    * audit a pipeline alerts on.
+    *
+    * Shape at scale: completely SCAN-LOCAL — components snap to the
+    * e6 grid per row, the 16 projections and both squared norms are
+    * per-row integer folds (no shuffle, no join, embarrassingly
+    * parallel over input splits). All arithmetic is exact BIGINT:
+    * |xf| ≤ 1e6 ⇒ |proj| ≤ 6.4e7 ⇒ Σ₁₆ proj² ≤ 6.6e16, within
+    * int64; the ratio is a positive-operand integer division
+    * (denominator pre-scaled to keep every product under 2⁶³). */
+  private def randomProjection(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = JlOutDims
+    val xf = transform($"embedding",
+      x => floor(x.cast("double") * lit(1.0e6)).cast("long"))
+    def signedAt(i: Column, j: Column): Column = {
+      val x = element_at($"xf", (i + 1).cast("int"))
+      when(pmod((i * k + j) * lit(2654435761L), lit(4294967296L))
+        < lit(2147483648L), x).otherwise(-x)
+    }
+    Tables.embeddings(s, d)
+      .select($"vec_id", xf.as("xf"))
+      .select($"vec_id",
+        aggregate($"xf", lit(0L), (a, x) => a + x * x)
+          .as("orig_n2_e12"),
+        transform(sequence(lit(0L), lit(k - 1L)),
+          j => aggregate(sequence(lit(0L), size($"xf").cast("long") - 1L),
+            lit(0L), (a, i) => a + signedAt(i, j))).as("proj"))
+      .select($"vec_id", $"orig_n2_e12",
+        aggregate($"proj", lit(0L), (a, p) => a + p * p)
+          .as("proj_n2_e12"))
+      .withColumn("ratio_e4", expr(
+        s"""CASE WHEN orig_n2_e12 * $k >= 10000
+            THEN proj_n2_e12 div ((orig_n2_e12 * $k) div 10000)
+            END"""))
+  }
+
+  private val randomProjectionOracle = s"""
+      WITH comp AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                 * 1000000.0) AS BIGINT) AS xf
+        FROM embeddings),
+      p AS (SELECT c.vec_id, j.j,
+                   CAST(sum(CASE WHEN (c.i * $JlOutDims + j.j)
+                                      * 2654435761 % 4294967296
+                                      < 2147483648
+                                 THEN c.xf ELSE -c.xf END) AS BIGINT)
+                     AS pr
+            FROM comp c
+            CROSS JOIN (SELECT unnest(range($JlOutDims)) AS j) j
+            GROUP BY 1, 2),
+      n2 AS (SELECT vec_id, CAST(sum(xf * xf) AS BIGINT)
+                      AS orig_n2_e12
+             FROM comp GROUP BY 1),
+      pn AS (SELECT vec_id, CAST(sum(pr * pr) AS BIGINT)
+                      AS proj_n2_e12
+             FROM p GROUP BY 1)
+      SELECT n2.vec_id, n2.orig_n2_e12, pn.proj_n2_e12,
+             CASE WHEN n2.orig_n2_e12 * $JlOutDims >= 10000
+                  THEN CAST(pn.proj_n2_e12
+                         // ((n2.orig_n2_e12 * $JlOutDims) // 10000)
+                         AS BIGINT)
+             END AS ratio_e4
+      FROM n2 JOIN pn USING (vec_id)"""
+
   val queries: Seq[Q] = Seq(
+    Q("q_random_projection", randomProjection,
+      Some(randomProjectionOracle)),
     Q("q_pca_power", pcaPower, Some(pcaPowerOracle)),
     Q("q_pca_explained", pcaExplained, Some(pcaExplainedOracle)),
     Q("q_embed_covariance", embedCovariance,

@@ -224,4 +224,36 @@ class GraphOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("deg") >= k,
       s"node ${r.getString(0)} below k after convergence"))
   }
+
+  test("labelPropagationOn: star-graph 2-round replay by hand; " +
+      "shuffle fallback is bit-identical") {
+    import spark.implicits._
+    // undirected star 10-(11,12,13): round 1 the hub sees three
+    // singleton labels (tie -> smallest = 11) and every leaf sees
+    // {10}; round 2 the hub's neighbors all carry 10 and the leaves'
+    // hub carries 11 — the classic bipartite oscillation, pinned as
+    // deterministic k-round state
+    val leaves = Seq("11", "12", "13")
+    val edges = leaves.flatMap(l => Seq(("10", l), (l, "10")))
+      .toDF("src", "dst")
+    val got = GraphOps.labelPropagationOn(edges, iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("10" -> "10", "11" -> "11", "12" -> "11",
+      "13" -> "11"))
+    // catalog-graph equality of the two join strategies
+    val cat = SparkEntry.queries("q_label_prop")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val li = graft.Tables.lineitem(spark, sf)
+      .select($"l_suppkey".as("sk"), $"l_partkey".as("pk")).distinct()
+    val e2 = li.select(concat(lit("s"), $"sk").as("src"),
+        concat(lit("p"), $"pk").as("dst"))
+      .unionAll(li.select(concat(lit("p"), $"pk").as("src"),
+        concat(lit("s"), $"sk").as("dst")))
+    val viaShuffle = GraphOps.labelPropagationOn(e2,
+        broadcastNodeCap = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaShuffle === cat)
+    // every assigned label is itself a node of the graph
+    assert(cat.values.toSet.subsetOf(cat.keySet))
+  }
 }

@@ -1019,6 +1019,28 @@ class ScaleSpec extends AnyFunSuite {
       "top eigenvalue below the trace average")
   }
 
+  test("q_random_projection: plan is shuffle-free (scan-local) and " +
+      "the JL isometry ratio concentrates at 1e4") {
+    val df = SparkEntry.queries("q_random_projection")(spark, sf)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, "random projection must not shuffle")
+    val rows = df.collect()
+    assert(rows.length ===
+      Tables.embeddings(spark, sf).count().toInt)
+    val ratios = rows.map { r =>
+      assert(!r.isNullAt(r.fieldIndex("ratio_e4")),
+        "nonzero vectors must get a ratio")
+      r.getAs[Long]("ratio_e4")
+    }
+    // E[‖Px‖²/(k‖x‖²)] = 1 exactly for ±1 signs; with n≥500 vectors
+    // the sample mean of a χ²₁₆/16-shaped ratio sits within ±10%
+    val mean = ratios.sum.toDouble / ratios.length
+    assert(mean > 9000 && mean < 11000, s"JL mean ratio_e4 off: $mean")
+    ratios.foreach(r => assert(r >= 0L))
+  }
+
   test("q_dsir: target slice scores higher on average; n_feats " +
       "reconciles with the corpus bigram volume") {
     val rows = SparkEntry.queries("q_dsir")(spark, sf).collect()
