@@ -1525,8 +1525,42 @@ object TextOps {
     * bucket). */
   val DsirBuckets = 128
 
-  val queries: Seq[Q] = Seq(
-    Q("q_dsir", dsirWeights, Some(s"""
+  /** Documents to keep in [[dsirSelect]]'s Gumbel-top-k. */
+  val DsirSelectK = 50
+
+  /** The resampling step that makes [[dsirWeights]] actionable:
+    * Gumbel-top-k selection (Vieira 2014 / Kool et al. 2019,
+    * "Stochastic Beams and Where to Find Them") draws K documents
+    * WITHOUT replacement with probability ∝ exp(log w) by ranking on
+    * key = log w + Gumbel(0,1) and keeping the top K. The Gumbel
+    * noise is deterministic — −ln(−ln(u)) of the same Knuth-hash
+    * uniform as q_hash_split/q_mixture_sample — so the draw is
+    * partition-independent and rerun-stable, and it snaps to the
+    * 1e-6 grid so the ranking key is an exact BIGINT.
+    *
+    * Shape at scale: the per-doc key is scan-stage arithmetic on top
+    * of the DSIR scoring plan (which shares the registry-cached
+    * doc-bucket table); the global top-K runs as TakeOrderedAndProject
+    * — per-partition heaps of K rows, no global sort shuffle. (K
+    * here is the training-subset budget; at a real 100 TB selection
+    * K is huge, and the same key ranks via the q_curriculum_order
+    * GlobalRank path instead — semantics identical, so the small-K
+    * operator is the oracled one.) Tie-break doc_id ASC makes the
+    * cut deterministic even at equal keys. */
+  private def dsirSelect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val u = (pmod($"doc_id" * lit(2654435761L), lit(4294967296L))
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val g = round(-log(-log(u)), 6).cast("decimal(18,6)")
+    dsirWeights(s, d)
+      .withColumn("gumbel_e6", (g * 1000000).cast("long"))
+      .withColumn("key_e6", $"logw_e6" + $"gumbel_e6")
+      .orderBy($"key_e6".desc, $"doc_id".asc)
+      .limit(DsirSelectK)
+      .select($"doc_id", $"lang", $"logw_e6", $"gumbel_e6", $"key_e6")
+  }
+
+  private def dsirOracleBase: String = s"""
       WITH tk AS (SELECT doc_id, lang,
                          string_split_regex(lower(text), '\\s+') AS toks
                   FROM documents),
@@ -1553,7 +1587,24 @@ object TextOps {
       SELECT db.doc_id, db.lang, CAST(sum(db.c) AS BIGINT) AS n_feats,
              CAST(sum(lr.lr * db.c) * 1000000 AS BIGINT) AS logw_e6
       FROM db JOIN lr USING (bucket)
-      GROUP BY 1, 2""")),
+      GROUP BY 1, 2"""
+
+  val queries: Seq[Q] = Seq(
+    Q("q_dsir", dsirWeights, Some(dsirOracleBase)),
+
+    Q("q_dsir_select", dsirSelect, Some(s"""
+      WITH base AS ($dsirOracleBase),
+      g AS (SELECT doc_id, lang, logw_e6,
+                   CAST(round(-ln(-ln(
+                     ((doc_id * 2654435761) % 4294967296 + 0.5)
+                       / 4294967296.0)), 6) AS DECIMAL(18,6)) AS gd
+            FROM base)
+      SELECT doc_id, lang, logw_e6,
+             CAST(gd * 1000000 AS BIGINT) AS gumbel_e6,
+             CAST(logw_e6 + gd * 1000000 AS BIGINT) AS key_e6
+      FROM g
+      ORDER BY key_e6 DESC, doc_id ASC
+      LIMIT $DsirSelectK""")),
 
     Q("q_text_token_count", tokenCount, Some("""
       SELECT doc_id,

@@ -1019,6 +1019,36 @@ class ScaleSpec extends AnyFunSuite {
       "top eigenvalue below the trace average")
   }
 
+  test("q_dsir_select: top-k runs as TakeOrderedAndProject and " +
+      "matches a brute re-rank of the full weight table") {
+    val df = SparkEntry.queries("q_dsir_select")(spark, sf)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val top = plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(top.nonEmpty, "global top-k must not be a full sort")
+    val got = df.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("key_e6")))
+    assert(got.length === TextOps.DsirSelectK)
+    // brute replay: Gumbel-key every doc from q_dsir and rank on the
+    // driver with the same (key DESC, doc_id ASC) order
+    val all = SparkEntry.queries("q_dsir")(spark, sf).collect().map { r =>
+      val id = r.getAs[Long]("doc_id")
+      val u = ((id * 2654435761L) % 4294967296L + 0.5) / 4294967296.0
+      val g = BigDecimal(-math.log(-math.log(u)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val key = r.getAs[Long]("logw_e6") + (g * 1000000).toLongExact
+      (id, key)
+    }
+    val want = all.sortBy { case (id, k) => (-k, id) }
+      .take(TextOps.DsirSelectK)
+    assert(got.sortBy(_._1).toSeq === want.sortBy(_._1).toSeq)
+  }
+
   test("q_random_projection: plan is shuffle-free (scan-local) and " +
       "the JL isometry ratio concentrates at 1e4") {
     val df = SparkEntry.queries("q_random_projection")(spark, sf)
