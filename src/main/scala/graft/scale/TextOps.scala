@@ -900,6 +900,64 @@ object TextOps {
           .otherwise(expr("(2 * c2 * 1000000000L) div (5 * n_tokens)")))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * smoothing KenLM ships, i.e. what a real pretraining perplexity
+    * filter runs) over the q_stupid_backoff probe grid:
+    *   p_KN(w2|w1) = max(c12 − D, 0)/c1
+    *               + D·N1+(w1·)/c1 · N1+(·w2)/N1+(··)
+    * with absolute discount D = 3/4 — chosen EXACTLY so every term is
+    * a rational of integers: term1 = max(4·c12−3, 0)/(4·c1) and the
+    * continuation probability Pcont(w2) = N1+(·w2)/N1+(··). Scores
+    * land on the 1e-9 grid via positive-operand integer divisions
+    * only (two-step for term2 so no product exceeds int64:
+    * pcont_e9 first, then (3·n1w1·pcont_e9) div (4·c1)) — bit-exact
+    * in both engines, no doubles anywhere.
+    *
+    * Shape at scale (the q_bm25/q_stupid_backoff probe-filter trick):
+    * the corpus bigram table comes from the registry-cached doc-bigram
+    * aggregate shared with q_perplexity/q_pmi_terms; the c1/N1+(w1·)
+    * and N1+(·w2) rollups are PROBE-FILTERED before aggregation so
+    * only probe-relevant counts shuffle; N1+(··) is one broadcast
+    * scalar. Everything joins back onto the 9-row grid broadcast. */
+  private def kneserNey(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Seq("query", "join", "data")
+    val probes = words.flatMap(a => words.map(b => (a, b))).toDF("w1", "w2")
+    val pairs = graft.ext.BigramPairsExpr.bigramPairs($"text")
+    val docBig = graft.GraftCaches.getOrPersist(s, s"text.doc_bigrams:$d") {
+      Tables.documents(s, d)
+        .select($"doc_id", explode(pairs).as("p"))
+        .groupBy($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val big = docBig.groupBy($"w1", $"w2").agg(sum($"cnt").as("c12"))
+    val left = big.filter($"w1".isInCollection(words))
+      .groupBy($"w1")
+      .agg(sum($"c12").as("c1"), count(lit(1)).as("n1w1"))
+    val right = big.filter($"w2".isInCollection(words))
+      .groupBy($"w2").agg(count(lit(1)).as("n1w2"))
+    val nt = big.agg(count(lit(1)).as("n_types"))
+    probes
+      .join(big.filter($"w1".isInCollection(words)
+        && $"w2".isInCollection(words)), Seq("w1", "w2"), "left")
+      .join(left, Seq("w1"), "left")
+      .join(right, Seq("w2"), "left")
+      .crossJoin(broadcast(nt))
+      .select($"w1", $"w2",
+        coalesce($"c12", lit(0L)).as("c12"),
+        coalesce($"c1", lit(0L)).as("c1"),
+        coalesce($"n1w1", lit(0L)).as("n1w1"),
+        coalesce($"n1w2", lit(0L)).as("n1w2"),
+        $"n_types")
+      .withColumn("pcont_e9",
+        expr("(n1w2 * 1000000000L) div n_types"))
+      .withColumn("score_e9", expr("""
+        CASE WHEN c1 > 0
+             THEN (greatest(4 * c12 - 3, 0L) * 1000000000L) div (4 * c1)
+                + (3 * n1w1 * pcont_e9) div (4 * c1)
+        END"""))
+  }
+
   /** Data-mixing weights: per-language sampling weight that would
     * rebalance the corpus to a uniform language mixture —
     * weight(l) = target_share / actual_share. The shape every
@@ -1920,6 +1978,49 @@ object TextOps {
              CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
                AS tokens_kept
       FROM k GROUP BY 1""")),
+
+    Q("q_kneser_ney", kneserNey, Some("""
+      WITH tk AS (SELECT string_split_regex(lower(text), '\s+') AS toks
+                  FROM documents),
+      pairs AS (SELECT unnest([struct_pack(w1 := toks[i], w2 := toks[i+1])
+                              for i in range(1, len(toks))]) AS p
+                FROM tk WHERE len(toks) >= 2),
+      big AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12
+              FROM pairs GROUP BY 1, 2),
+      nt AS (SELECT count(*) AS n_types FROM big),
+      l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                   count(*) AS n1w1
+            FROM big WHERE w1 IN ('query', 'join', 'data') GROUP BY 1),
+      r AS (SELECT w2, count(*) AS n1w2
+            FROM big WHERE w2 IN ('query', 'join', 'data') GROUP BY 1),
+      probes AS (SELECT a.w1, b.w2
+                 FROM (SELECT unnest(['query', 'join', 'data']) AS w1) a
+                 CROSS JOIN
+                      (SELECT unnest(['query', 'join', 'data']) AS w2) b),
+      j AS (SELECT pr.w1, pr.w2,
+                   coalesce(b.c12, 0) AS c12,
+                   coalesce(l.c1, 0) AS c1,
+                   coalesce(l.n1w1, 0) AS n1w1,
+                   coalesce(r.n1w2, 0) AS n1w2,
+                   nt.n_types
+            FROM probes pr
+            LEFT JOIN big b ON pr.w1 = b.w1 AND pr.w2 = b.w2
+            LEFT JOIN l ON pr.w1 = l.w1
+            LEFT JOIN r ON pr.w2 = r.w2
+            CROSS JOIN nt)
+      SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, c1,
+             CAST(n1w1 AS BIGINT) AS n1w1,
+             CAST(n1w2 AS BIGINT) AS n1w2,
+             CAST(n_types AS BIGINT) AS n_types,
+             CAST(n1w2 * 1000000000 // n_types AS BIGINT) AS pcont_e9,
+             CASE WHEN c1 > 0
+                  THEN CAST((greatest(4 * c12 - 3, 0) * 1000000000)
+                              // (4 * c1)
+                          + (3 * n1w1
+                               * (n1w2 * 1000000000 // n_types))
+                              // (4 * c1) AS BIGINT)
+             END AS score_e9
+      FROM j""")),
 
     Q("q_stupid_backoff", stupidBackoff, Some("""
       WITH tk AS (SELECT string_split_regex(lower(text), '\s+') AS toks

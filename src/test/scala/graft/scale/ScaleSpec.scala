@@ -1019,6 +1019,33 @@ class ScaleSpec extends AnyFunSuite {
       "top eigenvalue below the trace average")
   }
 
+  test("q_kneser_ney: scores rebuild from the emitted counts; " +
+      "probability mass and discount structure hold") {
+    val rows = SparkEntry.queries("q_kneser_ney")(spark, sf).collect()
+    assert(rows.length === 9)
+    rows.foreach { r =>
+      val (c12, c1) = (r.getAs[Long]("c12"), r.getAs[Long]("c1"))
+      val (n1w1, n1w2) = (r.getAs[Long]("n1w1"), r.getAs[Long]("n1w2"))
+      val nTypes = r.getAs[Long]("n_types")
+      val pcont = n1w2 * 1000000000L / nTypes
+      assert(r.getAs[Long]("pcont_e9") === pcont)
+      if (c1 > 0) {
+        val want = math.max(4 * c12 - 3, 0L) * 1000000000L / (4 * c1) +
+          3 * n1w1 * pcont / (4 * c1)
+        val got = r.getAs[Long]("score_e9")
+        assert(got === want, s"score mismatch at ${r.getString(0)}->" +
+          s"${r.getString(1)}")
+        // a probability: within [0, 1e9] (integer-truncation dust
+        // keeps it strictly under)
+        assert(got >= 0L && got <= 1000000000L)
+        // backoff mass is strictly positive whenever the context was
+        // seen (n1w1 >= 1 by construction of c1 > 0)
+        if (c12 == 0) assert(got > 0L,
+          "unseen bigram in a seen context must get backoff mass")
+      } else assert(r.isNullAt(r.fieldIndex("score_e9")))
+    }
+  }
+
   test("q_dsir_select: top-k runs as TakeOrderedAndProject and " +
       "matches a brute re-rank of the full weight table") {
     val df = SparkEntry.queries("q_dsir_select")(spark, sf)
