@@ -222,6 +222,105 @@ object Similarity {
     lloydRefine(e, ivfCentroidsOf(e), KmeansIters)
   }
 
+  /** Oversampling factor ℓ for [[kmeansParInit]] — 2³ exactly, so
+    * ℓ·d² stays an EXACT double (power-of-two scale) and the keep
+    * comparison is bit-identical across engines. */
+  val KmppOversample = 8
+
+  /** k-means‖ initialization (Bahmani et al. 2012, "Scalable
+    * k-means++"): one oversampling round of the distributed seeding
+    * that replaces k sequential k-means++ passes — seed with the
+    * min-id vector c₀, compute every vector's D²(v) = ‖v − c₀‖²,
+    * then keep v with probability min(1, ℓ·D²(v)/φ) where
+    * φ = Σ D²; finally weight each kept candidate by the number of
+    * corpus vectors nearest to it (the weights that feed the final
+    * small weighted clustering — here, [[lloydRefine]]). The draw is
+    * the deterministic Knuth-hash uniform (partition-independent,
+    * rerun-stable), so candidates are reproducible across engines.
+    *
+    * Shape at scale — the algorithm's raison d'être: the corpus is
+    * scanned, never shuffled. c₀ and φ are broadcast scalars; the
+    * candidate set (~ℓ rows/round) broadcasts into the assignment
+    * scan whose argmin is a map-side-collapsing min(struct); the only
+    * shuffle carries one row per candidate. Distances are EXACT
+    * BIGINT on the e6 component grid (|xf| ≤ 1e6 ⇒ d² ≤ 64·4e12,
+    * far under int64); the keep test compares two exactly-computed
+    * doubles (a dyadic-rational u against ℓ·d²/φ, ℓ a power of two,
+    * both operands correctly rounded the same way under IEEE 754 in
+    * both engines). */
+  private def kmeansParInit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val xf = transform($"embedding",
+      x => floor(x.cast("double") * lit(1.0e6)).cast("long"))
+    val emb = graft.GraftCaches.getOrPersist(s, s"ann.kmpp_xf:$d") {
+      Tables.embeddings(s, d).select($"vec_id", xf.as("xf"))
+    }
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    val c0 = emb.orderBy($"vec_id".asc).limit(1)
+      .select($"vec_id".as("c0_id"), $"xf".as("c0xf"))
+    val dists = emb.crossJoin(broadcast(c0))
+      .select($"vec_id", $"c0_id", d2($"xf", $"c0xf").as("d2_e12"))
+    val phi = dists.agg(sum($"d2_e12").as("phi"))
+    val u = (pmod($"vec_id" * lit(2654435761L), lit(4294967296L))
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val cands = dists.crossJoin(broadcast(phi))
+      .filter($"vec_id" === $"c0_id" ||
+        u < lit(KmppOversample.toDouble) * $"d2_e12".cast("double")
+          / $"phi".cast("double"))
+      .select($"vec_id".as("cid"), $"d2_e12")
+    val candVecs = cands
+      .join(emb.select($"vec_id".as("cid"), $"xf".as("cxf")), "cid")
+      .select($"cid", $"cxf")
+    val counts = emb.crossJoin(broadcast(candVecs))
+      .select($"vec_id", $"cid", d2($"xf", $"cxf").as("dd"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"dd".as("dd"), $"cid".as("cid"))).as("m"))
+      .groupBy($"m.cid".as("cid"))
+      .agg(count(lit(1)).as("n_assigned"))
+    cands.join(counts, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_assigned"))
+      .select($"cid".as("vec_id"), $"d2_e12", $"n_assigned")
+  }
+
+  private val kmeansParInitOracle = s"""
+      WITH comp AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                 * 1000000.0) AS BIGINT) AS xf
+        FROM embeddings),
+      c0 AS (SELECT min(vec_id) AS c0_id FROM embeddings),
+      c0v AS (SELECT i, xf FROM comp, c0 WHERE vec_id = c0_id),
+      d2 AS (SELECT c.vec_id,
+                    CAST(sum((c.xf - v.xf) * (c.xf - v.xf)) AS BIGINT)
+                      AS d2_e12
+             FROM comp c JOIN c0v v USING (i) GROUP BY 1),
+      phi AS (SELECT CAST(sum(d2_e12) AS BIGINT) AS phi FROM d2),
+      cand AS (SELECT d2.vec_id AS cid, d2.d2_e12
+               FROM d2, phi, c0
+               WHERE d2.vec_id = c0_id
+                  OR ((d2.vec_id * 2654435761) % 4294967296 + 0.5)
+                       / 4294967296.0
+                     < $KmppOversample.0 * CAST(d2_e12 AS DOUBLE)
+                       / CAST(phi AS DOUBLE)),
+      dist AS (SELECT e.vec_id, k.vec_id AS cid,
+                      CAST(sum((e.xf - k.xf) * (e.xf - k.xf)) AS BIGINT)
+                        AS dd
+               FROM comp e JOIN comp k ON e.i = k.i
+               WHERE k.vec_id IN (SELECT cid FROM cand)
+               GROUP BY 1, 2),
+      asg AS (SELECT cid, count(*) AS n_assigned
+              FROM (SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dd ASC, cid ASC) AS rn
+                    FROM dist) t
+              WHERE rn = 1 GROUP BY 1)
+      SELECT c.cid AS vec_id, c.d2_e12,
+             coalesce(a.n_assigned, 0) AS n_assigned
+      FROM cand c LEFT JOIN asg a ON c.cid = a.cid"""
+
   private def kmeansOracle: String = {
     val seeds = (0 until IvfCentroids)
       .map(i => NumQueries + 7L * i + 3L).mkString(", ")
@@ -1281,6 +1380,7 @@ object Similarity {
     Q("q_ann_lsh", annLsh, Some(lshOracle)),
     Q("q_ann_ivf", annIvf, Some(ivfOracle)),
     Q("q_kmeans_refine", kmeansRefine, Some(kmeansOracle)),
+    Q("q_kmeanspp_init", kmeansParInit, Some(kmeansParInitOracle)),
     Q("q_negative_sample", negativeSample, Some(s"""
       WITH e AS (SELECT vec_id, label FROM embeddings),
       a AS (SELECT vec_id AS anchor_id, label AS anchor_label

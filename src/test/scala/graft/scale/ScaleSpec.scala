@@ -1019,6 +1019,44 @@ class ScaleSpec extends AnyFunSuite {
       "top eigenvalue below the trace average")
   }
 
+  test("q_kmeanspp_init: seed invariants — c0 kept at distance 0, " +
+      "assignment is a partition of the corpus, keep rule replays") {
+    val rows = SparkEntry.queries("q_kmeanspp_init")(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    val c0 = Tables.embeddings(spark, sf).agg(min($"vec_id")).head()
+      .getLong(0)
+    val byId = rows.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(byId.contains(c0), "seed c0 must always be a candidate")
+    assert(byId(c0).getAs[Long]("d2_e12") === 0L)
+    // every corpus vector lands on exactly one candidate
+    assert(rows.map(_.getAs[Long]("n_assigned")).sum === n)
+    // oversampling at l=8 concentrates near l+1 candidates
+    assert(rows.length >= 3 && rows.length <= 40,
+      s"implausible candidate count ${rows.length}")
+    // keep rule replay: every non-seed candidate's Knuth uniform is
+    // below l*d2/phi (phi = sum of ALL d2, recomputed brute)
+    val allD2 = SparkEntry.queries("q_kmeanspp_init")(spark, sf)
+    val phi = {
+      import org.apache.spark.sql.Row
+      val e = Tables.embeddings(spark, sf)
+        .select($"vec_id", $"embedding").collect()
+      val c0v = e.find(_.getLong(0) == c0).get
+        .getAs[scala.collection.Seq[Float]](1)
+        .map(x => math.floor(x.toDouble * 1e6).toLong)
+      e.map { r =>
+        val v = r.getAs[scala.collection.Seq[Float]](1)
+          .map(x => math.floor(x.toDouble * 1e6).toLong)
+        v.zip(c0v).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+    }
+    rows.filter(_.getAs[Long]("vec_id") != c0).foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val u = ((id * 2654435761L) % 4294967296L + 0.5) / 4294967296.0
+      val rhs = 8.0 * r.getAs[Long]("d2_e12").toDouble / phi.toDouble
+      assert(u < rhs, s"candidate $id fails its own keep rule")
+    }
+  }
+
   test("q_kneser_ney: scores rebuild from the emitted counts; " +
       "probability mass and discount structure hold") {
     val rows = SparkEntry.queries("q_kneser_ney")(spark, sf).collect()
