@@ -264,7 +264,84 @@ object Privacy {
           * lit(1000.0)).as("noisy_e3"))
   }
 
+  /** Local-differential-privacy frequency estimation by randomized
+    * response (Warner 1965; the direct-encoding baseline behind
+    * RAPPOR/Apple-style LDP telemetry): each event reports its TRUE
+    * event_type with p = 3/4, otherwise a pseudo-uniform draw from
+    * the k-type domain; the server never sees raw rows and debiases
+    * observed counts with the exact-rational estimator
+    *   n̂_t = (4k·n_obs − n) / (3k)            [p = 3/4 exactly]
+    * clipped at 0 (counts are non-negative, and the clip also keeps
+    * the integer division positive-operand — Spark `div` truncates
+    * while DuckDB `//` floors on negatives, the q_dp_histogram
+    * lesson). Both "coins" are the overflow-safe two-step hash mixes
+    * from q_dp_histogram, so the whole mechanism replays bit-exactly
+    * in the oracle: keep iff (id·2654435761 mod 2³²) < 3·2³⁰ (P =
+    * 3/4 exactly on the 2³² lattice), alternative type by MINSTD
+    * remix mod k.
+    *
+    * Shape at scale: the type domain is a DIM-cardinality table
+    * (event vocabulary, independent of corpus size) — its global
+    * row_number index and both joins are broadcast; the perturbation
+    * is scan-stage arithmetic; n_obs / n_true collapse map-side to k
+    * rows each. Nothing corpus-sized ever shuffles. */
+  private def randomizedResponse(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val types = Tables.events(s, d).select($"event_type").distinct()
+      .withColumn("idx",
+        (row_number().over(W.orderBy($"event_type")) - 1).cast("long"))
+    val kdf = types.agg(count(lit(1)).as("k"))
+    val ndf = Tables.events(s, d).agg(count(lit(1)).as("n"))
+    val rep = Tables.events(s, d).select($"event_id", $"event_type")
+      .crossJoin(broadcast(kdf))
+      .withColumn("keep",
+        ($"event_id" * lit(2654435761L)) % 4294967296L < 3221225472L)
+      .withColumn("alt_idx",
+        (($"event_id" * lit(1000003L)) % 4294967296L * lit(48271L))
+          % 4294967296L % $"k")
+      .join(broadcast(types.select($"idx".as("alt_idx"),
+        $"event_type".as("alt_type"))), Seq("alt_idx"))
+      .select(when($"keep", $"event_type").otherwise($"alt_type")
+        .as("event_type"))
+    val obs = rep.groupBy($"event_type").agg(count(lit(1)).as("n_obs"))
+    Tables.events(s, d).groupBy($"event_type")
+      .agg(count(lit(1)).as("n_true"))
+      .join(obs, Seq("event_type"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(ndf))
+      .crossJoin(broadcast(kdf))
+      .withColumn("n_hat_e3",
+        expr("(greatest(4 * k * n_obs - n, 0L) * 1000) div (3 * k)"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_randomized_response", randomizedResponse, Some("""
+      WITH types AS (SELECT event_type,
+                            CAST(row_number() OVER (ORDER BY event_type)
+                              - 1 AS BIGINT) AS idx
+                     FROM (SELECT DISTINCT event_type FROM events)),
+      kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+      ev AS (SELECT e.event_id, e.event_type,
+                    (e.event_id * 2654435761) % 4294967296
+                      < 3221225472 AS keep,
+                    ((e.event_id * 1000003) % 4294967296 * 48271)
+                      % 4294967296 % kk.k AS alt_idx
+             FROM events e, kk),
+      rep AS (SELECT CASE WHEN ev.keep THEN ev.event_type
+                          ELSE t.event_type END AS event_type
+              FROM ev JOIN types t ON ev.alt_idx = t.idx),
+      obs AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs
+              FROM rep GROUP BY 1),
+      tru AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+              FROM events GROUP BY 1)
+      SELECT tru.event_type, tru.n_true,
+             coalesce(obs.n_obs, 0) AS n_obs, nn.n, kk.k,
+             CAST(greatest(4 * kk.k * coalesce(obs.n_obs, 0) - nn.n, 0)
+                    * 1000 // (3 * kk.k) AS BIGINT) AS n_hat_e3
+      FROM tru LEFT JOIN obs USING (event_type), nn, kk""")),
+
     Q("q_dp_histogram", dpHistogram, Some("""
       WITH cells AS (SELECT event_type,
                             CAST(weekofyear(ts) AS BIGINT) AS week,

@@ -1019,6 +1019,30 @@ class ScaleSpec extends AnyFunSuite {
       "top eigenvalue below the trace average")
   }
 
+  test("q_randomized_response: reports are conserved, the debiased " +
+      "estimate tracks truth within sampling noise") {
+    val rows = SparkEntry.queries("q_randomized_response")(spark, sf)
+      .collect()
+    val n = rows.head.getAs[Long]("n")
+    val k = rows.head.getAs[Long]("k")
+    assert(rows.length === k.toInt)
+    // every perturbed report lands on exactly one domain type
+    assert(rows.map(_.getAs[Long]("n_obs")).sum === n)
+    assert(rows.map(_.getAs[Long]("n_true")).sum === n)
+    rows.foreach { r =>
+      // estimator identity from the emitted counts
+      val want = math.max(4 * k * r.getAs[Long]("n_obs") - n, 0L) *
+        1000L / (3 * k)
+      assert(r.getAs[Long]("n_hat_e3") === want)
+      // unbiasedness within noise: sd of n_obs is < sqrt(n), and the
+      // debias multiplies by 4k/3k < 2 — 10*sqrt(n) is a >6-sigma band
+      val err = math.abs(r.getAs[Long]("n_hat_e3") / 1000.0 -
+        r.getAs[Long]("n_true"))
+      assert(err <= 10 * math.sqrt(n.toDouble),
+        s"${r.getString(0)}: estimate off by $err")
+    }
+  }
+
   test("q_kmeanspp_init: seed invariants — c0 kept at distance 0, " +
       "assignment is a partition of the corpus, keep rule replays") {
     val rows = SparkEntry.queries("q_kmeanspp_init")(spark, sf).collect()
