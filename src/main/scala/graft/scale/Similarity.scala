@@ -284,6 +284,96 @@ object Similarity {
       .select($"cid".as("vec_id"), $"d2_e12", $"n_assigned")
   }
 
+  /** k-center greedy selection (Gonzalez 1985 farthest-point
+    * traversal, the 2-approximation for metric k-center) — the
+    * COVERAGE-based diversity selector that complements
+    * [[kmeansParInit]]'s density-based sampling: seed with the min-id
+    * vector, then twice pick the vector FARTHEST from the selected
+    * set (argmax of min-distance, tie → smallest id). The emitted
+    * radius of pick i is the k-center objective after i−1 centers —
+    * the certificate a curation pipeline uses to bound "no document
+    * is farther than r from a selected exemplar". Deterministic,
+    * exact e6-grid BIGINT distances end to end.
+    *
+    * Shape at scale: each unrolled round is one BROADCAST of a single
+    * center vector into the corpus scan (update dmin = least(dmin,
+    * d²)) plus one map-side-collapsing max(struct) argmax — the
+    * corpus never shuffles, and the per-round min-distance table is
+    * registry-persisted so round r+1 reads a materialization instead
+    * of replaying rounds 1..r (the q_pca_power lesson). */
+  private def kcenterGreedy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val xf = transform($"embedding",
+      x => floor(x.cast("double") * lit(1.0e6)).cast("long"))
+    val emb = graft.GraftCaches.getOrPersist(s, s"ann.kmpp_xf:$d") {
+      Tables.embeddings(s, d).select($"vec_id", xf.as("xf"))
+    }
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    def argmax(dists: DataFrame): DataFrame = dists
+      .agg(max(struct($"dmin".as("dmin"), (-$"vec_id").as("nid")))
+        .as("m"))
+      .select((-$"m.nid").as("cid"), $"m.dmin".as("radius"))
+    def vecOf(c: DataFrame): DataFrame = c
+      .join(emb, c("cid") === emb("vec_id"))
+      .select($"cid", $"xf".as("cxf"), $"radius")
+    val c0 = emb.orderBy($"vec_id".asc).limit(1)
+      .select($"vec_id".as("cid"), $"xf".as("cxf"))
+    val d1 = graft.GraftCaches.getOrPersist(s, s"ann.kcenter_d1:$d") {
+      emb.crossJoin(broadcast(c0))
+        .select($"vec_id", $"xf", d2($"xf", $"cxf").as("dmin"))
+    }
+    val c1 = vecOf(argmax(d1))
+    val dist2 = graft.GraftCaches.getOrPersist(s, s"ann.kcenter_d2:$d") {
+      d1.crossJoin(broadcast(c1.select($"cxf".as("c1xf"))))
+        .select($"vec_id", $"xf",
+          least($"dmin", d2($"xf", $"c1xf")).as("dmin"))
+    }
+    val c2 = vecOf(argmax(dist2))
+    c0.select(lit(1L).as("sel_rank"), $"cid".as("vec_id"),
+        lit(null).cast("long").as("radius_e12"))
+      .unionAll(c1.select(lit(2L).as("sel_rank"), $"cid".as("vec_id"),
+        $"radius".as("radius_e12")))
+      .unionAll(c2.select(lit(3L).as("sel_rank"), $"cid".as("vec_id"),
+        $"radius".as("radius_e12")))
+  }
+
+  private val kcenterGreedyOracle = s"""
+      WITH comp AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                 * 1000000.0) AS BIGINT) AS xf
+        FROM embeddings),
+      c0 AS (SELECT min(vec_id) AS cid FROM embeddings),
+      d1 AS (SELECT c.vec_id,
+                    CAST(sum((c.xf - v.xf) * (c.xf - v.xf)) AS BIGINT)
+                      AS dmin
+             FROM comp c
+             JOIN (SELECT i, xf FROM comp, c0 WHERE vec_id = cid) v
+               USING (i)
+             GROUP BY 1),
+      c1 AS (SELECT vec_id AS cid, dmin AS radius FROM d1
+             ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+      d2 AS (SELECT d1.vec_id, least(d1.dmin, n.dd) AS dmin
+             FROM d1 JOIN (
+               SELECT e.vec_id,
+                      CAST(sum((e.xf - k.xf) * (e.xf - k.xf)) AS BIGINT)
+                        AS dd
+               FROM comp e
+               JOIN (SELECT i, xf FROM comp, c1 WHERE vec_id = cid) k
+                 USING (i)
+               GROUP BY 1) n USING (vec_id)),
+      c2 AS (SELECT vec_id AS cid, dmin AS radius FROM d2
+             ORDER BY dmin DESC, vec_id ASC LIMIT 1)
+      SELECT CAST(1 AS BIGINT) AS sel_rank, cid AS vec_id,
+             CAST(NULL AS BIGINT) AS radius_e12 FROM c0
+      UNION ALL
+      SELECT 2, cid, CAST(radius AS BIGINT) FROM c1
+      UNION ALL
+      SELECT 3, cid, CAST(radius AS BIGINT) FROM c2"""
+
   private val kmeansParInitOracle = s"""
       WITH comp AS (
         SELECT vec_id,
@@ -1381,6 +1471,7 @@ object Similarity {
     Q("q_ann_ivf", annIvf, Some(ivfOracle)),
     Q("q_kmeans_refine", kmeansRefine, Some(kmeansOracle)),
     Q("q_kmeanspp_init", kmeansParInit, Some(kmeansParInitOracle)),
+    Q("q_kcenter_greedy", kcenterGreedy, Some(kcenterGreedyOracle)),
     Q("q_negative_sample", negativeSample, Some(s"""
       WITH e AS (SELECT vec_id, label FROM embeddings),
       a AS (SELECT vec_id AS anchor_id, label AS anchor_label

@@ -1019,6 +1019,32 @@ class ScaleSpec extends AnyFunSuite {
       "top eigenvalue below the trace average")
   }
 
+  test("q_kcenter_greedy: Gonzalez invariants — radii non-increasing, " +
+      "centers distinct, first radius is the true farthest point") {
+    val rows = SparkEntry.queries("q_kcenter_greedy")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("sel_rank"))
+    assert(rows.map(_.getAs[Long]("sel_rank")).toSeq === Seq(1L, 2L, 3L))
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length === 3, "centers must be distinct")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("radius_e12")))
+    val (r1, r2) = (rows(1).getAs[Long]("radius_e12"),
+      rows(2).getAs[Long]("radius_e12"))
+    // covering a set with MORE centers can only shrink the radius
+    assert(r2 <= r1 && r2 > 0L)
+    // brute check of round 1: r1 is the max e6-grid distance from c0
+    val e = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1)
+          .map(x => math.floor(x.toDouble * 1e6).toLong).toArray).toMap
+    val c0 = e(ids(0))
+    val brute = e.map { case (id, v) =>
+      (v.zip(c0).map { case (a, b) => (a - b) * (a - b) }.sum, id)
+    }
+    val (bd, bid) = brute.maxBy { case (dd, id) => (dd, -id) }
+    assert(bd === r1 && bid === ids(1),
+      s"round-1 argmax mismatch: got (${ids(1)}, $r1), brute ($bid, $bd)")
+  }
+
   test("q_randomized_response: reports are conserved, the debiased " +
       "estimate tracks truth within sampling noise") {
     val rows = SparkEntry.queries("q_randomized_response")(spark, sf)
