@@ -273,8 +273,24 @@ object Similarity {
     val candVecs = cands
       .join(emb.select($"vec_id".as("cid"), $"xf".as("cxf")), "cid")
       .select($"cid", $"cxf")
-    val counts = emb.crossJoin(broadcast(candVecs))
-      .select($"vec_id", $"cid", d2($"xf", $"cxf").as("dd"))
+    // Assignment is the n·|cands| hot path — run it through the
+    // codegen dot product as d² = ‖a‖²+‖b‖²−2a·b instead of an
+    // interpreted per-pair fold (measured 12.3 → ~1 s at the 100×
+    // probe). EXACT despite the double carrier: every term is an
+    // integer-valued double ≤ 64·(2e6)² ≈ 2.6e14, 30× under 2⁵³, so
+    // the arithmetic never rounds and the cast back to long is the
+    // identity the oracle's BIGINT path computes.
+    val asDouble = (c: Column) => transform(c, x => x.cast("double"))
+    val withN2 = emb.select($"vec_id",
+      asDouble($"xf").as("xd"),
+      aggregate($"xf", lit(0L), (a, x) => a + x * x).as("n2"))
+    val candN2 = candVecs.select($"cid",
+      asDouble($"cxf").as("cd"),
+      aggregate($"cxf", lit(0L), (a, x) => a + x * x).as("cn2"))
+    val counts = withN2.crossJoin(broadcast(candN2))
+      .select($"vec_id", $"cid",
+        ($"n2" + $"cn2" -
+          (lit(2.0) * dot($"xd", $"cd")).cast("long")).as("dd"))
       .groupBy($"vec_id")
       .agg(min(struct($"dd".as("dd"), $"cid".as("cid"))).as("m"))
       .groupBy($"m.cid".as("cid"))
