@@ -151,6 +151,37 @@ object GlobalRank {
       .drop(PidCol, "_gr_roff", "_gr_soff", "_gr_v")
   }
 
+  /** EXCLUSIVE distributed prefix max of `value` under the total
+    * order `sort` — for each row, max(value) over all rows STRICTLY
+    * before it in the order (null when none precede) — equals
+    * `max(value) OVER (ORDER BY sort ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)` without its single-partition sort.
+    * The dominance test of 2-D Pareto skylines (a point is dominated
+    * iff an earlier-sorted point already achieved its value) and of
+    * running-record/high-water-mark audits. Same shape as
+    * [[withPrefixSum]]: range partition once, per-bucket maxes
+    * broadcast as exclusive running offsets, local window inside each
+    * bucket; `greatest` merges the two (it ignores nulls, so the
+    * first row of a bucket inherits the offset and the globally first
+    * rows stay null). */
+  def withPrefixMax(df: DataFrame, sort: Seq[Column], value: Column,
+      maxCol: String = "pmax"): DataFrame = {
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = withPid(df.withColumn("_gr_v", value), sort, nPart)
+    val offsets = parted.groupBy(col(PidCol))
+      .agg(max(col("_gr_v")).as("_pm"))
+      .withColumn("_offmax",
+        max(col("_pm")).over(Window.orderBy(col(PidCol))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col(PidCol), col("_offmax"))
+    val w = Window.partitionBy(col(PidCol)).orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted.join(broadcast(offsets), PidCol)
+      .withColumn(maxCol,
+        greatest(max(col("_gr_v")).over(w), col("_offmax")))
+      .drop(PidCol, "_offmax", "_gr_v")
+  }
+
   /** SQL `ntile(k)` bucket from a global row number: the first
     * `n mod k` buckets get `n/k + 1` rows, the rest `n/k` — bit-exact
     * with the window function, computed without its single-partition

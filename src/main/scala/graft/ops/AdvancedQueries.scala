@@ -531,7 +531,60 @@ object AdvancedQueries {
                               (l_returnflag), ())""")
   }
 
+  /** 2-D Pareto skyline (Börzsönyi et al. 2001, "The Skyline
+    * Operator") over part: the price/size frontier — every part for
+    * which no other part is both cheaper-or-equal AND
+    * larger-or-equal with at least one strict. The naive dominance
+    * test is an O(n²) inequality self-join (a
+    * BroadcastNestedLoopJoin — unplannable at scale); in 2-D the
+    * skyline reduces EXACTLY to a running high-water mark: group to
+    * price levels, walk levels in price order, keep a level iff its
+    * best size beats the EXCLUSIVE prefix max of all cheaper levels
+    * (then keep the points achieving their level's best — equal-size
+    * ties are mutually non-dominating). The prefix max runs through
+    * [[graft.ext.GlobalRank.withPrefixMax]] — range partition +
+    * broadcast per-bucket high-water offsets, never a
+    * single-partition sort — so the whole operator is two map-side-
+    * collapsing aggregates, one ranged exchange of the LEVEL table
+    * (≤ |distinct prices|), and a frontier join back (frontier
+    * cardinality is O(distinct-price-levels) worst case, tiny in
+    * practice; AQE broadcasts it). */
+  private def skylinePareto(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.part(s, d).select($"p_partkey",
+      ($"p_retailprice".cast("decimal(12,2)") * 100).cast("long")
+        .as("price_cents"),
+      $"p_size".cast("long").as("size"))
+    val lvl = pts.groupBy($"price_cents").agg(max($"size").as("best_size"))
+    val sky = graft.ext.GlobalRank
+      .withPrefixMax(lvl, Seq(col("price_cents")), col("best_size"))
+      .filter($"pmax".isNull || $"best_size" > $"pmax")
+      .select($"price_cents", $"best_size")
+    pts.join(sky, Seq("price_cents"))
+      .filter($"size" === $"best_size")
+      .select($"p_partkey", $"price_cents", $"size")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_skyline_pareto", skylinePareto, Some("""
+      WITH pts AS (SELECT p_partkey,
+                          CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT) AS price_cents,
+                          CAST(p_size AS BIGINT) AS size
+                   FROM part),
+      lvl AS (SELECT price_cents, max(size) AS best_size
+              FROM pts GROUP BY 1),
+      r AS (SELECT price_cents, best_size,
+                   max(best_size) OVER (ORDER BY price_cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS pmax
+            FROM lvl),
+      sky AS (SELECT price_cents, best_size FROM r
+              WHERE pmax IS NULL OR best_size > pmax)
+      SELECT p.p_partkey, p.price_cents, p.size
+      FROM pts p JOIN sky s
+        ON p.price_cents = s.price_cents AND p.size = s.best_size""")),
+
     Q("q_unpivot_metrics", unpivotMetrics, Some("""
       WITH u AS (
         SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS value

@@ -149,4 +149,22 @@ class FunctionsBreadthSpec extends AnyFunSuite {
         assert(xs.forall(x => x._3 >= 0L && x._3 <= 1000000L))
       }
   }
+
+  test("q_skyline_pareto equals the brute-force O(n^2) dominance scan") {
+    val sky = SparkEntry.queries("q_skyline_pareto")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val pts = graft.Tables.part(spark, sf).select($"p_partkey",
+        ($"p_retailprice".cast("decimal(12,2)") * 100).cast("long"),
+        $"p_size".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = pts.filter { case (_, price, size) =>
+      !pts.exists { case (_, p2, s2) =>
+        p2 <= price && s2 >= size && (p2 < price || s2 > size)
+      }
+    }.toSet
+    assert(sky === brute,
+      s"skyline mismatch: extra=${sky -- brute} missing=${brute -- sky}")
+    assert(sky.nonEmpty)
+  }
 }

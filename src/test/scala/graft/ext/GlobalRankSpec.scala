@@ -58,6 +58,24 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(viaRank.count() === base.count())
   }
 
+  test("withPrefixMax equals the single-partition exclusive window max") {
+    val base = Tables.orders(spark, sf)
+      .select($"o_orderkey", ($"o_orderkey" * 31 % 997).as("v"))
+    val viaWindow = base
+      .withColumn("pm_w", max($"v")
+        .over(Window.orderBy($"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select($"o_orderkey", $"pm_w")
+    val viaRank = GlobalRank
+      .withPrefixMax(base, Seq($"o_orderkey"), $"v")
+      .select($"o_orderkey", $"pmax")
+    val diff = viaRank.join(viaWindow, "o_orderkey")
+      .filter(!($"pmax" <=> $"pm_w")).count()
+    assert(diff === 0, "distributed prefix max diverges from window")
+    // exactly one row (the global minimum key) has no predecessor
+    assert(viaRank.filter($"pmax".isNull).count() === 1)
+  }
+
   test("no single-partition exchange in the GlobalRank plan") {
     val plan = GlobalRank
       .withRowNumber(input, Seq($"c_acctbal", $"c_custkey"))
