@@ -2,6 +2,7 @@ package graft.scale
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` / `embeddings`:
@@ -130,6 +131,76 @@ object Dedup {
     * MinHash path below replaces it. */
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
     verifyPairs(ngramCandidates(docShingles(s, d)), docShingles(s, d))
+
+  /** Prefix-filtering candidates (Chaudhuri/Ganti/Kaushik 2006; the
+    * AllPairs/PPJoin family) — the EXACT alternative to both the df
+    * cap (which trades recall) and MinHash (which trades certainty):
+    * order every document's shingles by GLOBAL rarity (df asc, then
+    * shingle — any order works as long as it is one total order for
+    * the whole corpus), and index only each doc's first
+    * |x| − ⌈t·|x|⌉ + 1 shingles. Two sets with Jaccard ≥ t must
+    * overlap within these prefixes (pigeonhole on the ⌈t·|x|⌉
+    * matches required), so candidate generation is COMPLETE while
+    * the posting self-join moves only ~(1−t) of the index — and the
+    * rarest-first order makes those prefix tokens precisely the
+    * low-df ones, so the per-token join fan is smallest-possible.
+    * t = 4/5 exactly ⇒ prefix length is pure integer arithmetic:
+    * sz − (4·sz + 4) div 5 + 1.
+    *
+    * Engine note: Spark orders hashed shingles, the oracle orders the
+    * string forms — DIFFERENT prefixes, same verified output, because
+    * completeness holds under any per-engine total order and the
+    * exact-Jaccard verification is order-independent. */
+  def prefixFilterCandidates(sh: DataFrame): DataFrame = {
+    val posting = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = posting.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("shingle").asc)
+    val prefix = posting.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+      .select(col("doc_id"), col("shingle"))
+    prefix.as("a").join(prefix.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  private def prefixFilterJaccard(s: SparkSession, d: String): DataFrame =
+    verifyPairs(prefixFilterCandidates(docShingles(s, d)),
+      docShingles(s, d))
+
+  private val prefixFilterOracle = s"""
+      WITH tk AS (SELECT doc_id,
+                         string_split_regex(lower(text), '\\s+') AS toks
+                  FROM documents),
+      sh AS (SELECT doc_id,
+                    unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                          for i in range(1, len(toks)-1)])) AS s
+             FROM tk WHERE len(toks) >= 3),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+      pfx AS (SELECT doc_id, s FROM (
+                SELECT sh.doc_id, sh.s, sizes.sz,
+                       row_number() OVER (PARTITION BY sh.doc_id
+                         ORDER BY dfreq.df ASC, sh.s ASC) AS rk
+                FROM sh JOIN dfreq USING (s) JOIN sizes USING (doc_id)) t
+              WHERE rk <= sz - (4 * sz + 4) // 5 + 1),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM pfx a JOIN pfx b
+                 ON a.s = b.s AND a.doc_id < b.doc_id),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT c.d1, c.d2,
+             round(i * 1.0 / (s1.sz + s2.sz - i), 4) AS jaccard
+      FROM cand c
+      JOIN inter ON c.d1 = inter.d1 AND c.d2 = inter.d2
+      JOIN sizes s1 ON c.d1 = s1.doc_id
+      JOIN sizes s2 ON c.d2 = s2.doc_id
+      WHERE i * 1.0 / (s1.sz + s2.sz - i) >= $JaccardThreshold"""
 
   /** Shingle CONTAINMENT — the asymmetric companion to
     * [[ngramJaccard]]: c(A→B) = |A∩B|/|A| catches the
@@ -982,6 +1053,8 @@ object Dedup {
             SELECT doc_id, lang, source FROM documents WHERE doc_id < 25) u
       GROUP BY 1, 2, 3 HAVING count(*) > 1""")),
     Q("q_dedup_ngram_jaccard", ngramJaccard, Some(jaccardCappedOracle)),
+    Q("q_dedup_prefix_filter", prefixFilterJaccard,
+      Some(prefixFilterOracle)),
     Q("q_dedup_containment", containment, Some(containmentOracle)),
     // Oracled against UNCAPPED exact Jaccard: LSH equality is
     // probabilistic (P(miss | j=0.8) ≈ 5e-8 per pair) and the bucket

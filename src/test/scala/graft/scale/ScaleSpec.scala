@@ -1019,6 +1019,30 @@ class ScaleSpec extends AnyFunSuite {
       "top eigenvalue below the trace average")
   }
 
+  test("q_dedup_prefix_filter: equals the brute all-pairs Jaccard " +
+      "join (completeness, no cap loss) and contains the df-capped set") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaPrefix = pairSet(
+      SparkEntry.queries("q_dedup_prefix_filter")(spark, sf))
+    // brute ground truth: every doc pair, exact Jaccard on shingle sets
+    val sh = Tables.documents(spark, sf)
+      .select($"doc_id", Dedup.shingleHashes($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val brute = pairSet(sh.select($"doc_id".as("d1"), $"sh".as("sh1"))
+      .crossJoin(sh.select($"doc_id".as("d2"), $"sh".as("sh2")))
+      .filter($"d1" < $"d2")
+      .filter(size(array_intersect($"sh1", $"sh2")).cast("double") /
+        size(array_union($"sh1", $"sh2")).cast("double") >= 0.8)
+      .select($"d1", $"d2"))
+    assert(viaPrefix === brute,
+      s"extra=${viaPrefix -- brute} missing=${brute -- viaPrefix}")
+    // the df-capped inverted index can only LOSE pairs vs prefix filter
+    val viaCap = pairSet(
+      SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf))
+    assert(viaCap.subsetOf(viaPrefix))
+  }
+
   test("q_kcenter_greedy: Gonzalez invariants — radii non-increasing, " +
       "centers distinct, first radius is the true farthest point") {
     val rows = SparkEntry.queries("q_kcenter_greedy")(spark, sf)
