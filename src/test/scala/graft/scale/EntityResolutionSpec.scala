@@ -167,4 +167,43 @@ class EntityResolutionSpec extends AnyFunSuite {
     // a recall/cost tradeoff — pin a floor, not the exact value
     assert(recall >= 0.6, s"same-entity recall collapsed: $recall")
   }
+
+  test("q_fellegi_sunter: weights rebuild from emitted counts, " +
+      "edit-agreement dominates, match mass is conserved") {
+    val rows = SparkEntry.queries("q_fellegi_sunter")(spark, sf)
+      .collect()
+    val nEnts = Tables.part(spark, sf).select($"p_name").distinct()
+      .count()
+    // every same-entity pair is within 1 edit AND shares the block
+    // key, so match mass is exactly 3 pairs per entity, all landing
+    // on g_edit=TRUE patterns
+    assert(rows.map(_.getAs[Long]("n_match")).sum === 3 * nEnts)
+    rows.filter(!_.getAs[Boolean]("g_edit"))
+      .foreach(r => assert(r.getAs[Long]("n_match") === 0L))
+    val (agree, disagree) = rows.partition(_.getAs[Boolean]("g_edit"))
+    assert(agree.nonEmpty && disagree.nonEmpty)
+    assert(agree.map(_.getAs[Long]("weight_e6")).min >
+      disagree.map(_.getAs[Long]("weight_e6")).max,
+      "edit agreement must dominate the log-likelihood ratio")
+    // identity replay of the naive-Bayes weight from the counts
+    val tm = rows.map(_.getAs[Long]("n_match")).sum
+    val tu = rows.map(_.getAs[Long]("n_nonmatch")).sum
+    def fieldAgg(flag: org.apache.spark.sql.Row => Boolean) = (
+      rows.filter(flag).map(_.getAs[Long]("n_match")).sum,
+      rows.filter(flag).map(_.getAs[Long]("n_nonmatch")).sum)
+    val fs = Map(
+      "g_edit" -> fieldAgg(_.getAs[Boolean]("g_edit")),
+      "g_tokens" -> fieldAgg(_.getAs[Boolean]("g_tokens")),
+      "g_len" -> fieldAgg(_.getAs[Boolean]("g_len")))
+    def lnp(num: Long, den: Long) =
+      BigDecimal(math.log((num + 1).toDouble / (den + 2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    rows.foreach { r =>
+      val w = fs.map { case (f, (m, u)) =>
+        if (r.getAs[Boolean](f)) lnp(m, tm) - lnp(u, tu)
+        else lnp(tm - m, tm) - lnp(tu - u, tu)
+      }.sum
+      assert((w * 1000000).toLongExact === r.getAs[Long]("weight_e6"))
+    }
+  }
 }
