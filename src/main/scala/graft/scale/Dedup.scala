@@ -161,9 +161,15 @@ object Dedup {
     val prefix = posting.join(dfreq, "shingle")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("sz"), col("shingle"))
+    // PPJoin length filter, also exact: jaccard >= 4/5 forces
+    // 4·|x| <= 5·|y| and 4·|y| <= 5·|x| — prunes the cross-size fan
+    // inside each prefix-token group before the distinct (measured
+    // 24.8 s -> 16.3 s at the 100x probe; see BENCHNOTES)
     prefix.as("a").join(prefix.as("b"), "shingle")
-      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        col("a.sz") * 4 <= col("b.sz") * 5 &&
+        col("b.sz") * 4 <= col("a.sz") * 5)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
   }
@@ -188,9 +194,12 @@ object Dedup {
                          ORDER BY dfreq.df ASC, sh.s ASC) AS rk
                 FROM sh JOIN dfreq USING (s) JOIN sizes USING (doc_id)) t
               WHERE rk <= sz - (4 * sz + 4) // 5 + 1),
+      pfs AS (SELECT p.doc_id, p.s, z.sz
+              FROM pfx p JOIN sizes z USING (doc_id)),
       cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-               FROM pfx a JOIN pfx b
-                 ON a.s = b.s AND a.doc_id < b.doc_id),
+               FROM pfs a JOIN pfs b
+                 ON a.s = b.s AND a.doc_id < b.doc_id
+                AND a.sz * 4 <= b.sz * 5 AND b.sz * 4 <= a.sz * 5),
       inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
