@@ -602,8 +602,187 @@ object GraphOps {
              CAST(max(kk.k) AS BIGINT) AS k
       FROM e3 CROSS JOIN kk GROUP BY 1"""
 
+  /** Strong-tie co-purchase graph: two parts are linked iff they
+    * appear together in at least [[StrongTieMinCount]] distinct
+    * orders. The raw one-order co-occurrence blob is DENSE (avg part
+    * degree ~120 at sf0.1 — near-complete neighborhoods that make
+    * clustering/link-prediction answers degenerate); the multiplicity
+    * threshold lifts out the sparse repeat-signal graph (avg degree
+    * 1.2 at sf0.1). Scale shape: the per-order pair fan is bounded by
+    * order size (≤ C(7,2) here), and the only data-scaled stage is
+    * the (a,b) pair-count aggregate, which combines map-side — so the
+    * wire carries distinct pairs, not occurrences. Registry-cached:
+    * both graph queries below read it. */
+  val StrongTieMinCount = 2
+
+  private def strongTieEdges(s: SparkSession, d: String): DataFrame =
+    graft.GraftCaches.getOrPersist(s, s"graph.part_strongtie:$d") {
+      import s.implicits._
+      val po = Tables.lineitem(s, d)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      po.as("x").join(po.as("y"), Seq("ok"))
+        .filter($"x.pk" < $"y.pk")
+        .select($"x.pk".as("a"), $"y.pk".as("b"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("w"))
+        .filter($"w" >= StrongTieMinCount)
+        .select($"a", $"b")
+    }
+
+  /** Watts–Strogatz LOCAL clustering coefficient per node — the
+    * triangle census of [[triangles]] taken per node instead of
+    * globally: c(v) = 2·t(v) / (deg(v)·(deg(v)−1)), the probability
+    * two neighbors of v are themselves linked. Emitted as exact e6
+    * fixed-point ((2·t·1e6) div (deg·(deg−1))) — all-integer, no
+    * float anywhere.
+    *
+    * Per-node triangle counts reuse the edge-iterator shape: for each
+    * oriented edge (a,b) the common HIGHER neighbors c close triangles
+    * a<b<c exactly once, crediting a and b with |N⁺(a)∩N⁺(b)| and each
+    * c with 1 (one exploded row per closed triangle). The adjacency is
+    * node-cardinality and BROADCASTS onto the never-moving edge list
+    * under [[TriangleAdjBroadcastEdgeCap]]; above it the same
+    * intersection runs as two shuffled hash joins — identical
+    * arithmetic, different wire strategy (GraphOpsSpec locks the
+    * equality). A max-id node has no adjacency row; the inner join
+    * dropping its edges is exact (its higher-neighbor set is empty, so
+    * it contributes no credit). */
+  private def clusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = strongTieEdges(s, d)
+    clusteringCoeffOn(e, e.count())
+  }
+
+  /** Library API: per-node local clustering coefficient over an
+    * id-ORIENTED edge list (columns a < b), adjacency-broadcast under
+    * `adjBroadcastEdgeCap`, shuffled-join above it. */
+  def clusteringCoeffOn(e: DataFrame, nEdges: Long,
+      adjBroadcastEdgeCap: Long = TriangleAdjBroadcastEdgeCap): DataFrame = {
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val adj = e.groupBy(col("a"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    def side(df: DataFrame): DataFrame =
+      if (nEdges <= adjBroadcastEdgeCap) broadcast(df) else df
+    val common = e
+      .join(side(adj.select(col("a"), col("nbrs").as("na"))), Seq("a"))
+      .join(side(adj.select(col("a").as("b"), col("nbrs").as("nb"))),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        array_intersect(col("na"), col("nb")).as("cs"))
+    val credits = common
+      .select(col("a").as("node"), size(col("cs")).cast("long").as("t"))
+      .unionAll(common
+        .select(col("b").as("node"), size(col("cs")).cast("long").as("t")))
+      .unionAll(common
+        .select(explode(col("cs")).as("node"), lit(1L).as("t")))
+    val tri = credits.groupBy(col("node")).agg(sum(col("t")).as("tri"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("coeff_e6",
+        when(col("deg") >= 2,
+          expr("(2 * tri * 1000000) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy(col("node").asc)
+  }
+
+  /** Link prediction by the resource-allocation index (Zhou, Lü &
+    * Zhang 2009): for a non-adjacent pair (x,y), ra(x,y) =
+    * Σ_{z ∈ N(x)∩N(y)} 1/deg(z) — each common neighbor routes one
+    * unit of "resource" split evenly across its links. Chosen over
+    * Adamic–Adar (1/log deg) because 1/deg is an EXACT RATIONAL: the
+    * score is Σ (1e9 div deg z) in pure BIGINT arithmetic, so the
+    * DuckDB oracle replays it bit-identically with no float anywhere.
+    *
+    * Scale shape: candidate pairs are generated ONLY through shared
+    * neighbors z (never all-pairs), so pair volume is Σ_z C(deg z, 2);
+    * [[RaHubDegreeCap]] guards the quadratic hub term exactly like
+    * [[JaccardDfCap]] does for the similarity join — a dropped hub's
+    * terms are each ≤ 1e9/cap, so the score deficit is bounded and
+    * documented (the cap never binds at test SFs: strong-tie max
+    * degree ≈ 51). Existing edges leave via LEFT ANTI against the
+    * oriented edge list; top-20 rides TakeOrderedAndProject on the
+    * deterministic (ra_e9 desc, x asc, y asc) order — no global
+    * sort. */
+  val RaHubDegreeCap = 1024L
+
+  private def linkPredRA(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = strongTieEdges(s, d)
+    val nbr = e.select($"a".as("z"), $"b".as("n"))
+      .unionAll(e.select($"b".as("z"), $"a".as("n")))
+    val deg = nbr.groupBy($"z").agg(count(lit(1)).as("deg"))
+    val zn = nbr.join(deg.filter($"deg" <= RaHubDegreeCap), "z")
+    val l = zn.select($"z", $"deg", $"n".as("x"))
+    val r = zn.select($"z".as("z2"), $"n".as("y"))
+    val scored = l.join(r, l("z") === r("z2") && l("x") < r("y"))
+      .select($"x", $"y", expr("1000000000 div deg").as("wt"))
+      .groupBy($"x", $"y")
+      .agg(sum($"wt").as("ra_e9"), count(lit(1)).as("n_common"))
+    scored.join(e, scored("x") === e("a") && scored("y") === e("b"),
+        "left_anti")
+      .orderBy($"ra_e9".desc, $"x".asc, $"y".asc)
+      .limit(20)
+  }
+
+  /** Test hook: the strong-tie edge list (GraphOpsSpec replays both
+    * catalog queries from it). */
+  def strongTieEdgesForTest(s: SparkSession, d: String): DataFrame =
+    strongTieEdges(s, d)
+
+  /** Shared strong-tie edge CTE for the two oracles below. */
+  private val strongTieSql = s"""
+      WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem),
+      e AS (SELECT a, b FROM (
+              SELECT x.pk AS a, y.pk AS b, count(*) AS w
+              FROM po x JOIN po y ON x.ok = y.ok AND x.pk < y.pk
+              GROUP BY 1, 2)
+            WHERE w >= $StrongTieMinCount)"""
+
   val queries: Seq[Q] = Seq(
     Q("q_kcore", kcore, Some(kcoreOracle)),
+    Q("q_clustering_coeff", clusteringCoeff, Some(s"""$strongTieSql,
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+              FROM (SELECT a AS node FROM e
+                    UNION ALL SELECT b AS node FROM e)
+              GROUP BY 1),
+      tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+              FROM e e1 JOIN e e2 ON e1.b = e2.a
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      tc AS (SELECT node, CAST(count(*) AS BIGINT) AS tri
+             FROM (SELECT a AS node FROM tri
+                   UNION ALL SELECT b AS node FROM tri
+                   UNION ALL SELECT c AS node FROM tri)
+             GROUP BY 1)
+      SELECT d.node, d.deg,
+             CAST(coalesce(t.tri, 0) AS BIGINT) AS tri,
+             CAST(CASE WHEN d.deg >= 2
+                  THEN (2 * coalesce(t.tri, 0) * 1000000)
+                       // (d.deg * (d.deg - 1))
+                  ELSE 0 END AS BIGINT) AS coeff_e6
+      FROM deg d LEFT JOIN tc t USING (node)
+      ORDER BY node""")),
+    Q("q_link_pred_ra", linkPredRA, Some(s"""$strongTieSql,
+      nbr AS (SELECT a AS z, b AS n FROM e
+              UNION ALL SELECT b AS z, a AS n FROM e),
+      dg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg
+             FROM nbr GROUP BY 1),
+      zn AS (SELECT nbr.z, nbr.n, dg.deg
+             FROM nbr JOIN dg USING (z)
+             WHERE dg.deg <= $RaHubDegreeCap),
+      pr AS (SELECT l.n AS x, r.n AS y,
+                    CAST(sum(1000000000 // l.deg) AS BIGINT) AS ra_e9,
+                    CAST(count(*) AS BIGINT) AS n_common
+             FROM zn l JOIN zn r ON l.z = r.z AND l.n < r.n
+             GROUP BY 1, 2)
+      SELECT x, y, ra_e9, n_common
+      FROM pr
+      WHERE NOT EXISTS (SELECT 1 FROM e
+                        WHERE e.a = pr.x AND e.b = pr.y)
+      ORDER BY ra_e9 DESC, x ASC, y ASC
+      LIMIT 20""")),
     Q("q_pagerank", pagerank, Some(pagerankOracle), headline = true),
     Q("q_label_prop", labelProp, Some(labelPropOracle)),
     Q("q_degree_assortativity", degreeAssortativity, Some("""

@@ -256,4 +256,53 @@ class GraphOpsSpec extends AnyFunSuite {
     // every assigned label is itself a node of the graph
     assert(cat.values.toSet.subsetOf(cat.keySet))
   }
+
+  test("clustering coefficient matches an all-pairs brute replay and " +
+      "the shuffle-join path is bit-identical to broadcast") {
+    import spark.implicits._
+    // hand graph: triangle 1-2-3 plus pendant 4 on node 3, isolatedish
+    // edge 5-6 — coefficients 1, 1, 1/3, 0, 0, 0
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("a", "b")
+    val got = GraphOps.clusteringCoeffOn(e, nEdges = 5L)
+      .collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("tri"),
+          r.getAs[Long]("coeff_e6"))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 1000000L)), 2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L)), 4L -> ((1L, 0L, 0L)),
+      5L -> ((1L, 0L, 0L)), 6L -> ((1L, 0L, 0L))))
+    // catalog graph: shuffle-join path (cap 0 forces it) must equal
+    // the broadcast edge-iterator bit-for-bit
+    val cat = SparkEntry.queries("q_clustering_coeff")(spark, sf)
+      .collect().map(r => r.toSeq).toSet
+    val edges = GraphOps.strongTieEdgesForTest(spark, sf)
+    val viaShuffle = GraphOps.clusteringCoeffOn(edges,
+        nEdges = edges.count(), adjBroadcastEdgeCap = 0L)
+      .collect().map(r => r.toSeq).toSet
+    assert(viaShuffle === cat)
+  }
+
+  test("resource-allocation link prediction: scores are exact rationals " +
+      "and predicted pairs are non-adjacent") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_link_pred_ra")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // brute replay: rebuild the strong-tie graph, recompute RA for
+    // every returned pair from raw neighbor sets
+    val edges = GraphOps.strongTieEdgesForTest(spark, sf)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val adjacency = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.foreach { r =>
+      val (x, y) = (r.getAs[Long]("x"), r.getAs[Long]("y"))
+      assert(!adjacency(x).contains(y), s"pair ($x,$y) is an edge")
+      val common = adjacency(x) intersect adjacency(y)
+      val ra = common.toSeq.map(z => 1000000000L / adjacency(z).size).sum
+      assert(r.getAs[Long]("ra_e9") === ra)
+      assert(r.getAs[Long]("n_common") === common.size.toLong)
+    }
+  }
 }
