@@ -124,6 +124,90 @@ object Similarity {
         $"vec_id".as("neighbor_id"), round($"cosine", 4).as("cosine"))
   }
 
+  /** Multi-probe LSH (Lv et al. 2007): each query probes its exact
+    * band bucket PLUS the [[SimRowsPerBand]] buckets at Hamming
+    * distance 1 (one sign-bit flip) — the vectors most likely to have
+    * landed just across a hyperplane. Recall is strictly ⊇ single-
+    * probe LSH at the SAME number of hash tables: the scale lever is
+    * that probing 5 buckets per band costs only a 5× wider (still
+    * tiny, query-cardinality) broadcast probe list, where the
+    * alternative — more bands — would re-index and re-shuffle the
+    * whole CORPUS. The bucket perturbation is pure integer XOR, so
+    * the oracle replays candidates exactly. */
+  val MultiProbeMasks: Seq[Int] = 0 +: (0 until SimRowsPerBand).map(1 << _)
+
+  private def annMultiprobe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = corpus(s, d)
+    val buckets = graft.GraftCaches.getOrPersist(s, s"ann.band_buckets:$d") {
+      bandBuckets(e)
+    }
+    val qIds = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val qBuckets = buckets.join(
+        broadcast(qIds.select($"query_id")),
+        $"vec_id" === $"query_id")
+      .select($"query_id", $"band", $"bucket")
+    val flips = array(MultiProbeMasks.map(m =>
+      col("bucket").bitwiseXOR(lit(m))): _*)
+    val probed = qBuckets
+      .select($"query_id", $"band", explode(flips).as("bucket"))
+    val candidates = buckets.join(broadcast(probed), Seq("band", "bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id").distinct()
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    candidates
+      .join(e, "vec_id")
+      .join(broadcast(qIds), "query_id")
+      .withColumn("cosine", dot($"v", $"qv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"rank".cast("long").as("rank"),
+        $"vec_id".as("neighbor_id"), round($"cosine", 4).as("cosine"))
+  }
+
+  /** The multi-probe oracle is the LSH oracle with the query bucket
+    * list expanded by the XOR perturbation masks. */
+  private def multiprobeOracle: String = {
+    val sigExpr = hyperplanes.zipWithIndex.map { case (h, i) =>
+      s"(CASE WHEN list_dot_product(v, ${h.mkString("[", ", ", "]")}) >= 0" +
+        s" THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n               + ")
+    val masks = MultiProbeMasks.mkString("[", ", ", "]")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      sig AS (SELECT vec_id,
+               $sigExpr AS sig
+              FROM e),
+      buckets AS (SELECT vec_id, band,
+                         (sig // CAST(power(${1 << SimRowsPerBand}, band)
+                                      AS BIGINT))
+                           % ${1 << SimRowsPerBand} AS bucket
+                  FROM sig
+                  CROSS JOIN (SELECT unnest(range($SimBands)) AS band) b),
+      qb AS (SELECT vec_id AS query_id, band, bucket
+             FROM buckets WHERE vec_id < $NumQueries),
+      pb AS (SELECT query_id, band, xor(bucket, m) AS bucket
+             FROM qb CROSS JOIN (SELECT unnest($masks) AS m)),
+      cand AS (SELECT DISTINCT pb.query_id, bk.vec_id
+               FROM buckets bk
+               JOIN pb ON bk.band = pb.band AND bk.bucket = pb.bucket
+               WHERE bk.vec_id <> pb.query_id),
+      ranked AS (SELECT c.query_id, c.vec_id,
+                        list_dot_product(ev.v, eq.v) AS cosine,
+                        row_number() OVER (PARTITION BY c.query_id
+                          ORDER BY list_dot_product(ev.v, eq.v) DESC,
+                                   c.vec_id ASC) AS rank
+                 FROM cand c
+                 JOIN e ev ON c.vec_id = ev.vec_id
+                 JOIN e eq ON c.query_id = eq.vec_id)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank,
+             vec_id AS neighbor_id, round(cosine, 4) AS cosine
+      FROM ranked WHERE rank <= $TopK"""
+  }
+
   val IvfCentroids = 16
   val IvfProbes = 4
 
@@ -1484,6 +1568,7 @@ object Similarity {
     Q("q_embed_quantize", embedQuantize, Some(quantizeOracle)),
     Q("q_embed_drift", embedDrift, Some(embedDriftOracle)),
     Q("q_ann_lsh", annLsh, Some(lshOracle)),
+    Q("q_ann_multiprobe", annMultiprobe, Some(multiprobeOracle)),
     Q("q_ann_ivf", annIvf, Some(ivfOracle)),
     Q("q_kmeans_refine", kmeansRefine, Some(kmeansOracle)),
     Q("q_kmeanspp_init", kmeansParInit, Some(kmeansParInitOracle)),

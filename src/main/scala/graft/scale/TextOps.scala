@@ -635,6 +635,41 @@ object TextOps {
       .select($"lang", $"doc_id", round($"score", 8).as("score"))
   }
 
+  /** Equal-allocation STRATIFIED sample: every language contributes
+    * exactly m documents, where m is the size of the smallest stratum
+    * — the "balance the languages before training" downsampling move
+    * (the complement of q_class_weights, which reweights instead of
+    * resampling). Membership is deterministic: within each stratum
+    * keep the m smallest Knuth-hash values (ties broken by doc_id), a
+    * pure function of the stable ids — reruns, executor counts, and
+    * partitionings all produce the SAME sample, and the per-stratum
+    * quota is met EXACTLY, not in expectation like rate-based
+    * Bernoulli sampling. Selection routes through TopKPerKey (bounded
+    * per-partition heaps, partial+final), so the skewed big stratum
+    * never globally sorts and only per-partition survivors cross the
+    * shuffle. The m scalar is one count over the tiny per-lang count
+    * table. Output is the per-stratum audit row: quota met
+    * (n_sampled == m for every lang) plus an id checksum that pins
+    * exact membership against the oracle's window replay. */
+  private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_total"))
+    val m = counts.agg(min($"n_total")).head().getLong(0)
+    val scored = docs.select($"lang", $"doc_id", $"n_chars",
+      pmod($"doc_id" * lit(2654435761L), lit(4294967296L)).as("h"))
+    val sampled = graft.ext.TopKPerKey.topK(scored, Seq("lang"),
+      Seq(("h", true), ("doc_id", true)), m.toInt)
+    sampled.groupBy($"lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum($"doc_id").as("id_checksum"),
+        sum($"n_chars").as("chars_sampled"))
+      .join(counts, "lang")
+      .select($"lang", $"n_total", $"n_sampled", $"id_checksum",
+        $"chars_sampled")
+      .orderBy($"lang".asc)
+  }
+
   /** TF-IDF top terms per document — the classic salient-term extract
     * (here: top 3 by tf·ln(N/df), restricted to doc_id < 100 to bound
     * the output). Shape at scale: token stream collapses map-side into
@@ -1712,6 +1747,24 @@ object TextOps {
              CAST(sum(n_chars) AS BIGINT) AS chars
       FROM s GROUP BY 1, 2""")),
 
+    Q("q_stratified_sample", stratifiedSample, Some("""
+      WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total
+                 FROM documents GROUP BY 1),
+      mm AS (SELECT min(n_total) AS m FROM c),
+      r AS (SELECT lang, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY (doc_id * 2654435761) % 4294967296 ASC,
+                              doc_id ASC) AS rk
+            FROM documents),
+      s AS (SELECT lang, doc_id, n_chars
+            FROM r, mm WHERE r.rk <= mm.m)
+      SELECT c.lang, c.n_total,
+             CAST(count(*) AS BIGINT) AS n_sampled,
+             CAST(sum(s.doc_id) AS BIGINT) AS id_checksum,
+             CAST(sum(s.n_chars) AS BIGINT) AS chars_sampled
+      FROM s JOIN c USING (lang)
+      GROUP BY 1, 2
+      ORDER BY c.lang""")),
     Q("q_gopher_rules", gopherRules, Some(gopherOracle)),
     Q("q_repetition_stats", repetitionStats, Some("""
       WITH t AS (SELECT doc_id,

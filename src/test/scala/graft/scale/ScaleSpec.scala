@@ -101,6 +101,50 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN multi-probe recall dominates single-probe LSH at equal tables") {
+    val brute = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q_ann_lsh")(spark, sf)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mp = SparkEntry.queries("q_ann_multiprobe")(spark, sf)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshRecall = (brute intersect lsh).size.toDouble / brute.size
+    val mpRecall = (brute intersect mp).size.toDouble / brute.size
+    // the probe set strictly contains the exact buckets, so the
+    // candidate set — and hence the true-hit count — can only grow
+    assert(mpRecall >= lshRecall,
+      s"multi-probe recall $mpRecall below single-probe $lshRecall")
+    // per-query bound: still <= k rows each
+    SparkEntry.queries("q_ann_multiprobe")(spark, sf)
+      .groupBy($"query_id").agg(count(lit(1)).as("n")).collect()
+      .foreach(r => assert(r.getLong(1) <= Similarity.TopK))
+  }
+
+  test("stratified sample hits every quota exactly with the m smallest " +
+      "hashes per stratum") {
+    val rows = SparkEntry.queries("q_stratified_sample")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val m = rows.map(_.getAs[Long]("n_total")).min
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") === m, s"quota missed: $r")
+    }
+    // brute membership replay for the smallest and largest stratum
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"lang", $"doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val expect = docs(lang).map(_._2)
+        .sortBy(id => ((id * 2654435761L) % 4294967296L, id))
+        .take(m.toInt)
+      assert(r.getAs[Long]("id_checksum") === expect.sum)
+    }
+  }
+
   test("ANN IVF probes a subset yet recovers useful recall, deterministically") {
     val brute = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
       .select($"query_id", $"neighbor_id").collect()
