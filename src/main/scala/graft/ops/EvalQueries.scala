@@ -244,6 +244,52 @@ object EvalQueries {
           (lit(100) * $"n")).as("gap"))
   }
 
+  /** Isotonic (monotone) calibration — the PAVA fit computed through
+    * its minimax characterization: over score bins i (the same
+    * 100-value pseudo-score domain as [[calibration]]),
+    * iso(i) = max_{j≤i} min_{k≥i} rate(j..k), which equals the
+    * pool-adjacent-violators solution exactly (Barlow et al. 1972,
+    * §1.2). Chosen over replaying the sequential PAVA loop because
+    * minimax is pure dataflow — two joins + two aggregates — with no
+    * driver-side iteration, and every term is the floor-e6 integer
+    * rate of an interval read off prefix sums, so both engines agree
+    * bit-for-bit (the estimator is defined AS the minimax over
+    * floored interval rates).
+    *
+    * Scale shape: the only data-scaled stage is the 100-group
+    * map-side-combining aggregate; prefix sums, the O(bins²) interval
+    * table, and the O(bins³→171k-row) minimax all run on the BOUNDED
+    * bin table, so a 100× corpus changes nothing after the first
+    * aggregate. The single-partition window is the documented-OK
+    * dim-bounded shape (≤ 100 rows — the rrfFuse precedent). */
+  private def isotonicCalibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".asc)
+    val pref = Tables.documents(s, d)
+      .select(($"n_chars" % 100).as("score"),
+        ($"doc_id" % 3 =!= 0).as("gold"))
+      .groupBy($"score")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"gold", 1L).otherwise(0L)).as("pos"))
+      .select($"score", $"n", $"pos",
+        row_number().over(w).cast("long").as("rn"),
+        (sum($"n").over(w) - $"n").as("cn_prev"),
+        (sum($"pos").over(w) - $"pos").as("cpos_prev"))
+    val pairs = pref.as("x").join(pref.as("y"), $"x.rn" <= $"y.rn")
+      .select($"x.rn".as("j"), $"y.rn".as("k"),
+        expr("""((y.cpos_prev + y.pos - x.cpos_prev) * 1000000)
+                div (y.cn_prev + y.n - x.cn_prev)""").as("rate_e6"))
+    val mji = pairs
+      .join(pref.select($"rn".as("i")), $"j" <= $"i" && $"i" <= $"k")
+      .groupBy($"i", $"j").agg(min($"rate_e6").as("mj"))
+    val iso = mji.groupBy($"i").agg(max($"mj").as("iso_e6"))
+    pref.join(iso, pref("rn") === iso("i"))
+      .select($"score", $"n", $"pos",
+        expr("(pos * 1000000) div n").as("rate_e6"), $"iso_e6")
+      .orderBy($"score".asc)
+  }
+
   /** Reciprocal-rank fusion (RRF) of two independent rankers — the
     * standard way a retrieval stack ensembles lexical and semantic
     * rankings (score = Σ 1/(k + rankᵣ), k = 60 per the original
@@ -851,6 +897,39 @@ object EvalQueries {
              CAST(100 * n_pos - sum_p100 AS DOUBLE) / (100 * n) AS gap
       FROM b""")),
 
+    Q("q_isotonic_calibration", isotonicCalibration, Some("""
+      WITH p AS (SELECT n_chars % 100 AS score,
+                        doc_id % 3 <> 0 AS gold
+                 FROM documents),
+      b AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT)
+                     AS pos
+            FROM p GROUP BY 1),
+      pref AS (SELECT score, n, pos,
+                      CAST(row_number() OVER (ORDER BY score) AS BIGINT)
+                        AS rn,
+                      CAST(sum(n) OVER (ORDER BY score) - n AS BIGINT)
+                        AS cn_prev,
+                      CAST(sum(pos) OVER (ORDER BY score) - pos
+                        AS BIGINT) AS cpos_prev
+               FROM b),
+      pairs AS (SELECT x.rn AS j, y.rn AS k,
+                       CAST(((y.cpos_prev + y.pos - x.cpos_prev)
+                              * 1000000)
+                            // (y.cn_prev + y.n - x.cn_prev) AS BIGINT)
+                         AS rate_e6
+                FROM pref x JOIN pref y ON x.rn <= y.rn),
+      mji AS (SELECT i.rn AS i, pairs.j, min(pairs.rate_e6) AS mj
+              FROM pairs JOIN pref i
+                ON pairs.j <= i.rn AND i.rn <= pairs.k
+              GROUP BY 1, 2),
+      iso AS (SELECT i, CAST(max(mj) AS BIGINT) AS iso_e6
+              FROM mji GROUP BY 1)
+      SELECT pref.score, pref.n, pref.pos,
+             CAST((pref.pos * 1000000) // pref.n AS BIGINT) AS rate_e6,
+             iso.iso_e6
+      FROM pref JOIN iso ON pref.rn = iso.i
+      ORDER BY pref.score""")),
     Q("q_eval_pr_at_k", prAtK, Some("""
       WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, event_id,
                         CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END

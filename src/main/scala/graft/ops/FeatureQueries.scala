@@ -163,7 +163,70 @@ object FeatureQueries {
         ($"n_total".cast("double") / ($"k_classes" * $"n")).as("weight"))
   }
 
+  /** Quantile normalization across groups (Bolstad et al. 2003 — the
+    * cross-sample distribution aligner): each source's n_chars
+    * distribution is summarized at 21 exact order statistics
+    * (p = 0..20 vigintiles, rank = (n_s−1)·p div 20 + 1), and the
+    * reference distribution is the per-p mean across sources (exact
+    * e6 integer). Mapping a source's value at quantile p to ref(p)
+    * removes between-source distribution shift while preserving each
+    * source's internal ranks.
+    *
+    * The scale move: order statistics WITHOUT sorting the data. The
+    * value domain is bounded, so the data-scaled stage is one
+    * map-side-combining (source, value) count; ranks come from a
+    * cumulative sum over that value-domain-bounded table and the
+    * order statistic is "min value whose cumulative count reaches the
+    * rank" — a 105-row broadcast-grid probe. A per-source global sort
+    * (the textbook formulation) would shuffle the corpus into as few
+    * partitions as there are sources; this never moves row-level
+    * data at all. */
+  private def quantileNormalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, d)
+      .groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_chars".asc)
+    val cum = counts.withColumn("cum", sum($"c").over(w))
+    val totals = counts.groupBy($"source").agg(sum($"c").as("n_s"))
+    val grid = totals
+      .crossJoin(broadcast((0 to 20).toDF("p")))
+      .select($"source", $"p".cast("long").as("p"),
+        (expr("((n_s - 1) * p) div 20") + 1).as("rk"))
+    val vals = grid.join(cum, Seq("source"))
+      .filter($"cum" >= $"rk")
+      .groupBy($"source", $"p").agg(min($"n_chars").as("value"))
+    val ref = vals.groupBy($"p")
+      .agg(sum($"value").as("sv"), count(lit(1)).as("ns"))
+      .select($"p", expr("(sv * 1000000) div ns").as("ref_e6"))
+    vals.join(ref, "p")
+      .select($"source", $"p", $"value", $"ref_e6")
+      .orderBy($"source".asc, $"p".asc)
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_quantile_normalize", quantileNormalize, Some("""
+      WITH c AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+                 FROM documents GROUP BY 1, 2),
+      cum AS (SELECT source, n_chars,
+                     sum(c) OVER (PARTITION BY source
+                                  ORDER BY n_chars) AS cum
+              FROM c),
+      tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+              FROM c GROUP BY 1),
+      grid AS (SELECT source, CAST(p AS BIGINT) AS p,
+                      ((n_s - 1) * p) // 20 + 1 AS rk
+               FROM tot CROSS JOIN (SELECT unnest(range(0, 21)) AS p)),
+      v AS (SELECT g.source, g.p, min(cum.n_chars) AS value
+            FROM grid g JOIN cum ON g.source = cum.source
+                                AND cum.cum >= g.rk
+            GROUP BY 1, 2),
+      r AS (SELECT p, CAST((sum(value) * 1000000) // count(*) AS BIGINT)
+                        AS ref_e6
+            FROM v GROUP BY 1)
+      SELECT v.source, v.p, v.value, r.ref_e6
+      FROM v JOIN r USING (p)
+      ORDER BY v.source, v.p""")),
     Q("q_class_weights", classWeights, Some("""
       WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
       t AS (SELECT sum(n) AS n_total, count(*) AS k_classes FROM c)

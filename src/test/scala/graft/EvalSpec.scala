@@ -97,6 +97,39 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("isotonic calibration equals exact-rational PAVA floored to e6 " +
+      "and is monotone") {
+    val rows = SparkEntry.queries("q_isotonic_calibration")(spark, sf)
+      .orderBy($"score".asc).collect()
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("iso_e6") <= b.getAs[Long]("iso_e6"),
+          s"fit not monotone at ${b.getAs[Long]("score")}")
+      case _ =>
+    }
+    // classic sequential PAVA over exact rationals (pool while the
+    // previous block's rate >= the incoming rate; rational compare by
+    // cross-multiplication), floored to e6 only at the end — must
+    // equal the catalog's minimax-over-floored-rates fit because
+    // floor is monotone and so commutes with both max and min
+    val blocks = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int)] // (pooled pos, pooled n, bins pooled)
+    rows.foreach { r =>
+      var p = r.getAs[Long]("pos"); var n = r.getAs[Long]("n"); var c = 1
+      while (blocks.nonEmpty &&
+          blocks.last._1 * n >= p * blocks.last._2) {
+        val (p0, n0, c0) = blocks.remove(blocks.size - 1)
+        p += p0; n += n0; c += c0
+      }
+      blocks += ((p, n, c))
+    }
+    val expect = blocks.toSeq.flatMap { case (p, n, c) =>
+      Seq.fill(c)(p * 1000000L / n)
+    }
+    assert(rows.map(_.getAs[Long]("iso_e6")).toSeq === expect)
+  }
+
   test("calibration bins cover deciles; cells and gap are consistent") {
     val rows = SparkEntry.queries("q_eval_calibration")(spark, sf)
       .collect()

@@ -79,4 +79,29 @@ class FeatureSpec extends AnyFunSuite {
     val bad = df.filter($"loo" < 0.0 || $"loo" > 1.0).count()
     assert(bad === 0L)
   }
+
+  test("quantile normalization recovers exact per-source order " +
+      "statistics and a floored-mean reference") {
+    val rows = SparkEntry.queries("q_quantile_normalize")(spark, sf)
+      .collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"source", $"n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val sorted = docs(src).map(_._2).sorted
+      assert(rs.length === 21, s"$src grid incomplete")
+      rs.foreach { r =>
+        val p = r.getAs[Long]("p").toInt
+        val idx = ((sorted.length - 1).toLong * p / 20).toInt
+        assert(r.getAs[Long]("value") === sorted(idx),
+          s"$src p=$p order statistic mismatch")
+      }
+    }
+    rows.groupBy(_.getAs[Long]("p")).foreach { case (p, rs) =>
+      val vals = rs.map(_.getAs[Long]("value"))
+      val want = vals.sum * 1000000L / vals.length
+      assert(rs.map(_.getAs[Long]("ref_e6")).toSet === Set(want),
+        s"p=$p reference mean mismatch")
+    }
+  }
 }

@@ -123,6 +123,42 @@ class ScaleSpec extends AnyFunSuite {
       .foreach(r => assert(r.getLong(1) <= Similarity.TopK))
   }
 
+  test("winnowing fingerprints match a per-document brute replay") {
+    val got = SparkEntry.queries("q_winnow_fingerprints")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_windows"),
+          r.getAs[Long]("n_fp"), r.getAs[Long]("density_e6"))))
+      .toMap
+    def ph(s0: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < s0.length) {
+        val cp = s0.codePointAt(i)
+        acc = (acc * 31L + cp) % 2147483647L
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    var checked = 0
+    graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect().foreach { r =>
+        val toks = r.getAs[String]("text").toLowerCase.split("\\s+")
+        if (toks.length >= TextOps.WinnowK) {
+          val hs = toks.sliding(TextOps.WinnowK)
+            .map(g => ph(g.mkString(" "))).toArray
+          val nW = math.max(hs.length - (TextOps.WinnowW - 1), 0)
+          val fp = if (hs.length >= TextOps.WinnowW)
+            hs.sliding(TextOps.WinnowW).map(_.min).toSet.size
+          else 0
+          val dens = if (nW > 0) fp.toLong * 1000000L / nW else 0L
+          assert(got(r.getAs[Long]("doc_id")) ===
+            ((hs.length.toLong, nW.toLong, fp.toLong, dens)))
+          checked += 1
+        }
+      }
+    assert(checked > 0 && checked === got.size)
+  }
+
   test("stratified sample hits every quota exactly with the m smallest " +
       "hashes per stratum") {
     val rows = SparkEntry.queries("q_stratified_sample")(spark, sf)
