@@ -635,6 +635,93 @@ object TextOps {
       .select($"lang", $"doc_id", round($"score", 8).as("score"))
   }
 
+  /** Greedy maximum-coverage selection (the submodular curation
+    * primitive — Nemhauser/Wolsey/Fisher 1978 gives the (1−1/e)
+    * guarantee): pick [[MaxCoverRounds]] documents that together
+    * cover the most distinct 3-gram shingles, one greedy argmax per
+    * round. The "assemble a small probe corpus with maximal content
+    * coverage" move — the set-cover complement of q_kcenter_greedy's
+    * geometric diversity. (The universe is SHINGLES, not unigrams:
+    * this corpus draws from a ~31-word pool, so unigram coverage
+    * saturates after one pick; the shingle space is 100k+.)
+    *
+    * Fixed-round unrolled dataflow, zero driver-side data pulls: each
+    * round is gain-count (map-side combinable groupBy over the
+    * UNCOVERED posting) → 1-row argmax via TakeOrderedAndProject
+    * (deterministic tie-break gain desc, doc_id asc) → the picked
+    * doc's ≤vocab-sized token set broadcasts into a LEFT ANTI that
+    * shrinks the posting. Rounds registry-persist the shrinking
+    * posting so round r doesn't re-derive rounds 1..r−1 (the
+    * kmeans/kcenter per-round pattern). Shingles stay STRINGS here —
+    * cross-engine identical with no hash-collision caveat — and
+    * coverage counts are exact, so the DuckDB oracle replays all
+    * rounds verbatim. covered_total is the running sum of gains
+    * (each gain counts only NEWLY covered shingles). */
+  val MaxCoverRounds = 5
+
+  private def maxCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val posting = graft.GraftCaches.getOrPersist(s, s"text.sh_posting:$d") {
+      Tables.documents(s, d)
+        .select($"doc_id", split(lower($"text"), "\\s+").as("toks"))
+        .filter(size($"toks") >= 3)
+        .select($"doc_id", explode(array_distinct(
+          expr("transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', slice(toks, i, 3)))"))).as("tok"))
+    }
+    var uncovered = posting
+    val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to MaxCoverRounds) {
+      val pick = graft.GraftCaches.getOrPersist(s, s"text.maxcov.k$r:$d") {
+        uncovered.groupBy($"doc_id").agg(count(lit(1)).as("gain"))
+          .orderBy($"gain".desc, $"doc_id".asc).limit(1)
+          .select(lit(r.toLong).as("round"), $"doc_id", $"gain")
+      }
+      picks += pick
+      val covTok = posting
+        .join(broadcast(pick.select($"doc_id")), "doc_id")
+        .select($"tok").distinct()
+      uncovered = graft.GraftCaches.getOrPersist(s,
+        s"text.maxcov.u$r:$d") {
+        uncovered.join(broadcast(covTok), Seq("tok"), "left_anti")
+      }
+    }
+    val w = Window.orderBy($"round".asc)
+    picks.reduce(_ unionAll _)
+      .withColumn("covered_total", sum($"gain").over(w))
+      .orderBy($"round".asc)
+  }
+
+  /** Leave-one-source-out ablation — first-order data valuation for
+    * mixture curation: for each source, how does the corpus-level
+    * quality rate move if the source is dropped? delta_e6 > 0 means
+    * removal IMPROVES the corpus (the source dilutes quality);
+    * < 0 means the source carries quality. Exact integers throughout
+    * (the LOO rate needs only the per-source cells subtracted from
+    * the corpus totals — no second pass over the data), so the whole
+    * ablation table costs ONE map-side-combining aggregate at any
+    * scale. Quality gate: n_chars ≥ [[AblationMinChars]] (the
+    * length-floor proxy; swap in any boolean gate). */
+  val AblationMinChars = 300L
+
+  private def sourceAblation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.documents(s, d)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_chars" >= AblationMinChars, 1L).otherwise(0L))
+          .as("n_pass"))
+    val tot = cells.agg(sum($"n_docs").as("nn"), sum($"n_pass").as("pp"))
+    cells.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"n_pass",
+        expr("(pp * 1000000) div nn").as("rate_all_e6"),
+        when($"nn" > $"n_docs",
+          expr("((pp - n_pass) * 1000000) div (nn - n_docs)"))
+          .otherwise(lit(null).cast("long")).as("rate_loo_e6"))
+      .withColumn("delta_e6", $"rate_loo_e6" - $"rate_all_e6")
+      .orderBy($"source".asc)
+  }
+
   /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
     * the MOSS algorithm): hash every [[WinnowK]]-token gram, slide a
     * [[WinnowW]]-gram window over the hash stream, and keep the
@@ -1783,6 +1870,61 @@ object TextOps {
              CAST(sum(n_chars) AS BIGINT) AS chars
       FROM s GROUP BY 1, 2""")),
 
+    Q("q_max_coverage", maxCoverage, Some {
+      val base = """
+      WITH t AS (SELECT doc_id,
+                        string_split_regex(lower(text), '\s+') AS toks
+                 FROM documents),
+      p AS (SELECT doc_id,
+                   unnest(list_distinct(
+                     [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      for i in range(1, len(toks) - 1)])) AS tok
+            FROM t WHERE len(toks) >= 3),
+      g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+             FROM p GROUP BY 1),
+      k1 AS (SELECT CAST(1 AS BIGINT) AS round, doc_id, gain
+             FROM g1 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+      u1 AS (SELECT p.doc_id, p.tok FROM p
+             ANTI JOIN (SELECT DISTINCT tok FROM p
+                        JOIN k1 USING (doc_id)) c USING (tok))"""
+      val rounds = (2 to MaxCoverRounds).map { r =>
+        s""",
+      g$r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+             FROM u${r - 1} GROUP BY 1),
+      k$r AS (SELECT CAST($r AS BIGINT) AS round, doc_id, gain
+             FROM g$r ORDER BY gain DESC, doc_id ASC LIMIT 1),
+      u$r AS (SELECT u.doc_id, u.tok FROM u${r - 1} u
+             ANTI JOIN (SELECT DISTINCT tok FROM p
+                        JOIN k$r USING (doc_id)) c USING (tok))"""
+      }.mkString
+      val union = (1 to MaxCoverRounds).map(r => s"SELECT * FROM k$r")
+        .mkString("\n      UNION ALL ")
+      s"""$base$rounds
+      SELECT round, doc_id, gain,
+             CAST(sum(gain) OVER (ORDER BY round) AS BIGINT)
+               AS covered_total
+      FROM ($union)
+      ORDER BY round"""
+    }),
+    Q("q_source_ablation", sourceAblation, Some(s"""
+      WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(CASE WHEN n_chars >= $AblationMinChars
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+                 FROM documents GROUP BY 1),
+      t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+                   CAST(sum(n_pass) AS BIGINT) AS pp
+            FROM c)
+      SELECT source, n_docs, n_pass,
+             CAST((pp * 1000000) // nn AS BIGINT) AS rate_all_e6,
+             CAST(CASE WHEN nn > n_docs
+                  THEN ((pp - n_pass) * 1000000) // (nn - n_docs)
+                  ELSE NULL END AS BIGINT) AS rate_loo_e6,
+             CAST(CASE WHEN nn > n_docs
+                  THEN ((pp - n_pass) * 1000000) // (nn - n_docs)
+                       - (pp * 1000000) // nn
+                  ELSE NULL END AS BIGINT) AS delta_e6
+      FROM c, t
+      ORDER BY source""")),
     Q("q_winnow_fingerprints", winnowFingerprints, Some(s"""
       WITH t AS (SELECT doc_id,
                         string_split_regex(lower(text), '\\s+') AS toks

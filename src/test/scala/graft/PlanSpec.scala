@@ -46,6 +46,23 @@ class PlanSpec extends AnyFunSuite {
       "shipdate range not pushed to parquet")
   }
 
+  test("q_winnow_fingerprints: fingerprint selection is scan-local " +
+      "(only the output sort exchanges)") {
+    // the fused WinnowStatsExpr kernel keeps gram hashing + window
+    // minima inside the scan; the single range exchange is the
+    // deterministic ORDER BY of the one-row-per-doc RESULT, never the
+    // corpus-cardinality gram stream
+    assert(shuffles(q("q_winnow_fingerprints")) <= 1)
+    val plan = initial(q("q_winnow_fingerprints")).toString
+    assert(plan.contains("winnow_stats"), "kernel not in the plan")
+  }
+
+  test("q_clustering_coeff: adjacency joins broadcast under the edge " +
+      "cap (edges never re-shuffle for the intersection)") {
+    assert(broadcasts(q("q_clustering_coeff")) >= 2,
+      "higher-neighbor adjacency not broadcast onto the edge list")
+  }
+
   test("q_join_mktsegment: customer dim broadcast, facts shuffle once each") {
     val df = q("q_join_mktsegment")
     assert(broadcasts(df) >= 1, "customer should broadcast")

@@ -123,6 +123,50 @@ class ScaleSpec extends AnyFunSuite {
       .foreach(r => assert(r.getLong(1) <= Similarity.TopK))
   }
 
+  test("greedy max-coverage matches a driver-side brute replay and its " +
+      "gains are non-increasing") {
+    val rows = SparkEntry.queries("q_max_coverage")(spark, sf)
+      .orderBy($"round".asc).collect()
+    assert(rows.length === TextOps.MaxCoverRounds)
+    val gains = rows.map(_.getAs[Long]("gain"))
+    gains.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b, "greedy gains must be non-increasing")
+    }
+    assert(rows.map(_.getAs[Long]("covered_total")).toSeq ===
+      gains.scanLeft(0L)(_ + _).tail.toSeq)
+    // brute replay of the greedy loop from raw text
+    val docSh = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect().flatMap { r =>
+        val toks = r.getAs[String]("text").toLowerCase.split("\\s+")
+        if (toks.length < 3) None
+        else Some(r.getAs[Long]("doc_id") ->
+          toks.sliding(3).map(_.mkString(" ")).toSet)
+      }.toMap
+    var covered = Set.empty[String]
+    rows.foreach { r =>
+      val best = docSh.keys.toSeq
+        .map(id => (id, (docSh(id) diff covered).size.toLong))
+        .minBy { case (id, g) => (-g, id) }
+      assert((r.getAs[Long]("doc_id"), r.getAs[Long]("gain")) === best)
+      covered = covered union docSh(best._1)
+    }
+  }
+
+  test("source ablation cells reconstruct both rates exactly") {
+    val rows = SparkEntry.queries("q_source_ablation")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val nn = rows.map(_.getAs[Long]("n_docs")).sum
+    val pp = rows.map(_.getAs[Long]("n_pass")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rate_all_e6") === pp * 1000000L / nn)
+      val loo = (pp - r.getAs[Long]("n_pass")) * 1000000L /
+        (nn - r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("rate_loo_e6") === loo)
+      assert(r.getAs[Long]("delta_e6") === loo - pp * 1000000L / nn)
+    }
+  }
+
   test("winnowing fingerprints match a per-document brute replay") {
     val got = SparkEntry.queries("q_winnow_fingerprints")(spark, sf)
       .collect()
