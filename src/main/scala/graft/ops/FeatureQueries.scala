@@ -204,7 +204,71 @@ object FeatureQueries {
       .orderBy($"source".asc, $"p".asc)
   }
 
+  /** Weight-of-evidence / information-value scorecard (the
+    * credit-risk feature screen, Siddiqi 2006): per category,
+    * WOE = ln((pos/POS)/(neg/NEG)) measures directional evidence and
+    * IV = Σ (pos/POS − neg/NEG)·WOE summarizes total predictive
+    * power (rule of thumb: IV < 0.02 useless, > 0.5 suspicious).
+    * Uses the corpus's standard pseudo-label (doc_id % 3 ≠ 0, the
+    * calibration/AUC convention) over language categories. Float
+    * discipline: cells and margins are exact BIGINTs from ONE
+    * map-side-combining aggregate; each ln term forms its cross
+    * products in double (int64-safe at any scale — the cramersV
+    * lesson) and floors to e6/e9 BEFORE the IV sum (floor-then-sum).
+    * Zero-cell categories emit null WOE (undefined evidence) and
+    * contribute nothing to IV, mirrored exactly in the oracle. */
+  private def woeIv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.documents(s, d)
+      .select($"lang", ($"doc_id" % 3 =!= 0).as("gold"))
+      .groupBy($"lang")
+      .agg(sum(when($"gold", 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!$"gold", 1L).otherwise(0L)).as("n_neg"))
+    val tot = cells.agg(sum($"n_pos").as("tp"), sum($"n_neg").as("tn"))
+    val lr = log(($"n_pos".cast("double") * $"tn")
+      / ($"n_neg".cast("double") * $"tp"))
+    val terms = cells.crossJoin(broadcast(tot))
+      .select($"lang", $"n_pos", $"n_neg",
+        when($"n_pos" > 0 && $"n_neg" > 0,
+          floor(lr * lit(1e6)).cast("long")).as("woe_e6"),
+        when($"n_pos" > 0 && $"n_neg" > 0,
+          floor(($"n_pos".cast("double") / $"tp"
+            - $"n_neg".cast("double") / $"tn") * lr * lit(1e9))
+            .cast("long")).as("iv_term_e9"))
+    terms
+      .crossJoin(broadcast(terms.agg(sum($"iv_term_e9").as("iv_e9"))))
+      .orderBy($"lang".asc)
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_woe_iv", woeIv, Some("""
+      WITH cells AS (SELECT lang,
+                 CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pos,
+                 CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_neg
+            FROM documents GROUP BY 1),
+      t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+                   CAST(sum(n_neg) AS BIGINT) AS tn
+            FROM cells),
+      terms AS (SELECT lang, n_pos, n_neg,
+                       CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+                            THEN floor(ln((CAST(n_pos AS DOUBLE) * tn)
+                                 / (CAST(n_neg AS DOUBLE) * tp)) * 1e6)
+                            ELSE NULL END AS BIGINT) AS woe_e6,
+                       CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+                            THEN floor((CAST(n_pos AS DOUBLE) / tp
+                                  - CAST(n_neg AS DOUBLE) / tn)
+                                 * ln((CAST(n_pos AS DOUBLE) * tn)
+                                   / (CAST(n_neg AS DOUBLE) * tp))
+                                 * 1e9)
+                            ELSE NULL END AS BIGINT) AS iv_term_e9
+                FROM cells, t)
+      SELECT lang, n_pos, n_neg, woe_e6, iv_term_e9,
+             (SELECT CAST(sum(iv_term_e9) AS BIGINT) FROM terms)
+               AS iv_e9
+      FROM terms
+      ORDER BY lang""")),
     Q("q_quantile_normalize", quantileNormalize, Some("""
       WITH c AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
                  FROM documents GROUP BY 1, 2),

@@ -871,6 +871,86 @@ object TextOps {
         ($"score_units" / lit(1000000.0)).as("score"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    * 2001) — the language-modeling counterpart to [[bm25]]:
+    * ln P(q|d) = Σ_t ln((tf + μ·cf_t/C) / (|d| + μ)). Implemented in
+    * the DECOMPOSED form that makes it posting-driven at scale,
+    *
+    *   Σ_t ln(μ·cf_t/C)  −  |q|·ln(|d|+μ)  +  Σ_{tf>0} ln(1 + tf·C/(μ·cf_t))
+    *
+    * — a query-constant scalar, a per-doc length penalty, and a
+    * sparse correction over MATCHING postings only, so docs that
+    * contain no query term are scored from the length table alone
+    * and the corpus-wide token stream is touched exactly once (the
+    * same trick production QL rankers use). Every ln term is a
+    * double over exact BIGINT counts, floored to e9 BEFORE summing
+    * (floor-then-sum), with cross products formed in double (the
+    * cramersV int64 lesson); the double trees are written identically
+    * in the oracle. μ = [[QlMu]]. */
+  val QlMu = 100L
+
+  private def queryLikelihood(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qTerms = Seq("query", "join", "data")
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+    val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val c = dl.agg(sum($"dl").as("cc"))
+    val cf = tok.filter($"token".isInCollection(qTerms))
+      .groupBy($"token").agg(count(lit(1)).as("cf"))
+    val bg = cf.crossJoin(broadcast(c))
+      .agg(sum(floor(log(lit(QlMu.toDouble) * $"cf" / $"cc")
+        * lit(1e9)).cast("long")).as("bg_e9"),
+        count(lit(1)).as("qn"))
+    val matched = tok.filter($"token".isInCollection(qTerms))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .join(broadcast(cf), "token")
+      .crossJoin(broadcast(c))
+      .groupBy($"doc_id")
+      .agg(sum(floor(log(lit(1.0) + $"tf".cast("double") * $"cc"
+          / (lit(QlMu.toDouble) * $"cf")) * lit(1e9)).cast("long"))
+          .as("match_e9"),
+        count(lit(1)).as("n_match"))
+    dl.join(matched, Seq("doc_id"), "left")
+      .crossJoin(broadcast(bg))
+      .select($"doc_id", $"dl",
+        coalesce($"n_match", lit(0L)).as("n_match"),
+        ($"bg_e9"
+          - $"qn" * floor(log(($"dl" + lit(QlMu)).cast("double"))
+            * lit(1e9)).cast("long")
+          + coalesce($"match_e9", lit(0L))).as("score_e9"))
+      .orderBy($"score_e9".desc, $"doc_id".asc)
+      .limit(20)
+  }
+
+  /** Gini–Simpson diversity per source: 1 − Σ (nᵢ/N)², the
+    * probability two tokens drawn without replacement differ — the
+    * ecology-standard evenness score beside Shannon entropy
+    * (q_token_entropy), and the quick "is this source a repetition
+    * farm" gate. Σ c² is a sum of INTEGER-VALUED doubles (each c²
+    * exactly representable and additions of exact integers in double
+    * are rounding-free below 2⁵³), so the floor-e6 is deterministic;
+    * the products are formed in double rather than int64 so the 100 TB
+    * row counts the module targets can't overflow (the cramersV
+    * lesson). One (source, token) map-side-combining aggregate, then
+    * a source-cardinality rollup. */
+  private def simpsonDiversity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source", explode(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum($"c".cast("double") * $"c").as("s2"))
+      .select($"source", $"n_tokens", $"n_distinct",
+        floor((lit(1.0) - $"s2"
+          / ($"n_tokens".cast("double") * $"n_tokens")) * lit(1e6))
+          .cast("long").as("simpson_e6"))
+      .orderBy($"source".asc)
+  }
+
   /** BPE tokenizer induction, first merge round: the frequency of
     * every adjacent symbol pair, weighted by word frequency — the
     * statistic whose argmax IS the first BPE merge rule. The critical
@@ -2144,6 +2224,61 @@ object TextOps {
              score_units / 1000000.0 AS score
       FROM agg ORDER BY score_units DESC, doc_id ASC LIMIT 20""")),
 
+    Q("q_query_likelihood", queryLikelihood, Some(s"""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS token
+        FROM documents),
+      tok2 AS (SELECT * FROM tok WHERE token <> ''),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             FROM tok2 GROUP BY 1),
+      c AS (SELECT CAST(sum(dl) AS BIGINT) AS cc FROM dl),
+      cf AS (SELECT token, CAST(count(*) AS BIGINT) AS cf FROM tok2
+             WHERE token IN ('query', 'join', 'data') GROUP BY 1),
+      bg AS (SELECT CAST(sum(CAST(floor(
+                      ln(${QlMu}.0 * cf / cc) * 1e9) AS BIGINT))
+                      AS BIGINT) AS bg_e9,
+                    CAST(count(*) AS BIGINT) AS qn
+             FROM cf CROSS JOIN c),
+      tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+             FROM tok2
+             WHERE token IN ('query', 'join', 'data') GROUP BY 1, 2),
+      m AS (SELECT doc_id,
+                   CAST(sum(CAST(floor(
+                     ln(1.0 + CAST(tf AS DOUBLE) * cc
+                        / (${QlMu}.0 * cf)) * 1e9) AS BIGINT))
+                     AS BIGINT) AS match_e9,
+                   CAST(count(*) AS BIGINT) AS n_match
+            FROM tf JOIN cf USING (token) CROSS JOIN c
+            GROUP BY 1),
+      scored AS (SELECT dl.doc_id, dl.dl,
+                        coalesce(m.n_match, 0) AS n_match,
+                        bg.bg_e9
+                          - bg.qn * CAST(floor(
+                              ln(CAST(dl.dl + $QlMu AS DOUBLE)) * 1e9)
+                              AS BIGINT)
+                          + coalesce(m.match_e9, 0) AS score_e9
+                 FROM dl LEFT JOIN m USING (doc_id) CROSS JOIN bg)
+      SELECT doc_id, dl, CAST(n_match AS BIGINT) AS n_match,
+             CAST(score_e9 AS BIGINT) AS score_e9
+      FROM scored
+      ORDER BY score_e9 DESC, doc_id ASC LIMIT 20""")),
+    Q("q_simpson_diversity", simpsonDiversity, Some("""
+      WITH tok AS (
+        SELECT source,
+               unnest(string_split_regex(lower(text), '\s+')) AS token
+        FROM documents),
+      c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+            FROM tok WHERE token <> '' GROUP BY 1, 2),
+      agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     sum(CAST(c AS DOUBLE) * c) AS s2
+              FROM c GROUP BY 1)
+      SELECT source, n_tokens, n_distinct,
+             CAST(floor((1.0 - s2
+               / (CAST(n_tokens AS DOUBLE) * n_tokens)) * 1e6)
+               AS BIGINT) AS simpson_e6
+      FROM agg ORDER BY source""")),
     Q("q_bpe_merges", bpeMerges, Some("""
       WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+'))
                      AS w
