@@ -244,6 +244,66 @@ object EvalQueries {
           (lit(100) * $"n")).as("gap"))
   }
 
+  /** Rank-biased overlap (Webber/Moffat/Zobel 2010) between the two
+    * supplier rankings the RRF query fuses (exact-integer revenue vs
+    * quantity): RBO(p) = (1−p)·Σ_d p^(d−1)·|S₁..d ∩ T₁..d|/d — the
+    * top-weighted ranking-similarity measure that, unlike Kendall/
+    * Spearman (q_kendall_tau, q_spearman_trend), handles top-k lists
+    * and weights agreement at the head. Emitted as the per-depth
+    * curve with a running rbo_e9.
+    *
+    * Exactness move: prefix-intersection sizes come from
+    * X_d = |{items : max(rank₁, rank₂) ≤ d}| — one count per item,
+    * no pairwise list comparison — and the geometric weights
+    * (1−p)·p^(d−1) are evaluated ONCE in Scala and interpolated as
+    * the SAME e9 integer literals into both engines (the shared-
+    * double-constant discipline), so no libm pow runs at query time
+    * anywhere and every term is pure BIGINT: (w_d·X_d) div d,
+    * floor-then-sum. The depth grid is bounded ([[RboK]] rows);
+    * the data-scaled stage is the supplier aggregate. */
+  val RboK = 50
+  val RboP = 0.9
+  val RboWeightsE9: Seq[Long] = (1 to RboK)
+    .map(dd => math.floor((1.0 - RboP) * math.pow(RboP, dd - 1) * 1e9)
+      .toLong)
+
+  private def rankBiasedOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val metrics = Tables.lineitem(s, d)
+      .groupBy($"l_suppkey")
+      .agg(
+        sum(($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long")
+          * (lit(100L) - ($"l_discount".cast("decimal(4,2)") * 100)
+            .cast("long"))).as("rev_units"),
+        sum(($"l_quantity".cast("decimal(18,2)") * 100).cast("long"))
+          .as("qty_cents"))
+    val m = metrics
+      .withColumn("r1", row_number()
+        .over(W.orderBy($"rev_units".desc, $"l_suppkey".asc)).cast("long"))
+      .withColumn("r2", row_number()
+        .over(W.orderBy($"qty_cents".desc, $"l_suppkey".asc)).cast("long"))
+      .select(greatest($"r1", $"r2").as("mx"))
+      .groupBy($"mx").agg(count(lit(1)).as("c"))
+    val grid = (1 to RboK).map(_.toLong).toDF("d")
+    // X_d = Σ_{m≤d} c(m) as an EQUI-join at m=d plus a running sum
+    // over the bounded depth grid — no non-equi band join anywhere
+    // (PlanAuditSpec audits the whole catalog for nested-loop joins)
+    val xd = grid.join(m, grid("d") === m("mx"), "left_outer")
+      .select($"d", coalesce($"c", lit(0L)).as("c0"))
+      .withColumn("x_d", sum($"c0").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"d".asc)))
+    xd.select($"d", $"x_d",
+        expr("(x_d * 1000000) div d").as("a_e6"),
+        (element_at(typedLit(RboWeightsE9), $"d".cast("int"))
+          * $"x_d").as("num"))
+      .withColumn("term_e9", expr("num div d"))
+      .withColumn("rbo_e9", sum($"term_e9").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"d".asc)))
+      .select($"d", $"x_d", $"a_e6", $"rbo_e9")
+      .orderBy($"d".asc)
+  }
+
   /** Isotonic (monotone) calibration — the PAVA fit computed through
     * its minimax characterization: over score bins i (the same
     * 100-value pseudo-score domain as [[calibration]]),
@@ -897,6 +957,41 @@ object EvalQueries {
              CAST(100 * n_pos - sum_p100 AS DOUBLE) / (100 * n) AS gap
       FROM b""")),
 
+    Q("q_rbo", rankBiasedOverlap, Some {
+      val w = RboWeightsE9.mkString("[", ", ", "]")
+      s"""
+      WITH m AS (SELECT l_suppkey,
+                        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                      * 100 AS BIGINT)
+                          * (100 - CAST(CAST(l_discount AS DECIMAL(4,2))
+                                        * 100 AS BIGINT))) AS BIGINT)
+                          AS rev_units,
+                        CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                                      * 100 AS BIGINT)) AS BIGINT)
+                          AS qty_cents
+                 FROM lineitem GROUP BY 1),
+      r AS (SELECT greatest(
+                     CAST(row_number() OVER (ORDER BY rev_units DESC,
+                       l_suppkey ASC) AS BIGINT),
+                     CAST(row_number() OVER (ORDER BY qty_cents DESC,
+                       l_suppkey ASC) AS BIGINT)) AS mx
+            FROM m),
+      cnt AS (SELECT mx, CAST(count(*) AS BIGINT) AS c
+              FROM r GROUP BY 1),
+      grid AS (SELECT CAST(unnest(range(1, ${RboK + 1})) AS BIGINT)
+                 AS d),
+      xd AS (SELECT grid.d,
+                    CAST(coalesce(sum(cnt.c), 0) AS BIGINT) AS x_d
+             FROM grid LEFT JOIN cnt ON cnt.mx <= grid.d
+             GROUP BY 1),
+      t AS (SELECT d, x_d,
+                   CAST((x_d * 1000000) // d AS BIGINT) AS a_e6,
+                   CAST(($w[d] * x_d) // d AS BIGINT) AS term_e9
+            FROM xd)
+      SELECT d, x_d, a_e6,
+             CAST(sum(term_e9) OVER (ORDER BY d) AS BIGINT) AS rbo_e9
+      FROM t ORDER BY d"""
+    }),
     Q("q_isotonic_calibration", isotonicCalibration, Some("""
       WITH p AS (SELECT n_chars % 100 AS score,
                         doc_id % 3 <> 0 AS gold

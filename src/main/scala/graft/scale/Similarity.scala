@@ -783,6 +783,40 @@ object Similarity {
       .agg(count(lit(1)).as("votes"))
   }
 
+  /** ColBERT-style MaxSim late interaction (Khattab & Zaharia 2020):
+    * a MULTI-VECTOR query scores a multi-vector document as
+    * Σ_{q ∈ Q} max_{v ∈ D} q·v — each query token independently finds
+    * its best-matching document token, so fine-grained matches
+    * survive pooling. Here Q = the [[NumQueries]] query vectors and
+    * the "documents" are the label groups (the corpus's natural
+    * multi-vector sets).
+    *
+    * Scale shape: the query side is a handful of vectors and
+    * BROADCASTS into the corpus scan; dot products run through the
+    * codegen [[dot]] kernel; the per-(doc, query-token) max collapses
+    * map-side, so the wire carries |docs|·|Q| partial maxima — never
+    * vectors. Float discipline: max of doubles is rounding-free, so
+    * floor-e6 AFTER the max and BEFORE the cross-token sum makes the
+    * final score an exact BIGINT sum (floor-then-sum). */
+  private def maxSim(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = corpus(s, d)
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_vec"), $"v".as("qv"))
+    Tables.embeddings(s, d)
+      .filter($"vec_id" >= NumQueries)
+      .select($"vec_id", $"label".cast("long").as("label"),
+        $"embedding".cast("array<double>").as("v"))
+      .crossJoin(broadcast(q))
+      .select($"label", $"query_vec", dot($"v", $"qv").as("sim"))
+      .groupBy($"label", $"query_vec")
+      .agg(floor(max($"sim") * lit(1e6)).cast("long").as("best_e6"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_qtokens"),
+        sum($"best_e6").as("maxsim_e6"))
+      .orderBy($"label".asc)
+  }
+
   /** Per-label centroids as distributed element-wise vector math:
     * posexplode → (label, dim) partial averages — one shuffle of
     * |labels|·dim partial sums, never the vectors themselves. Flat
@@ -1590,6 +1624,21 @@ object Similarity {
       FROM r WHERE rn <= $TopK""")),
     Q("q_ann_pq", annPq, Some(pqOracle)),
     Q("q_embed_neardup_lsh", embedNearDupLsh, Some(nearDupLshOracle)),
+    Q("q_maxsim", maxSim, Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                        CAST(label AS BIGINT) AS label
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_vec, v AS qv FROM e
+            WHERE vec_id < $NumQueries),
+      best AS (SELECT e.label, q.query_vec,
+                      CAST(floor(max(list_dot_product(e.v, q.qv)) * 1e6)
+                        AS BIGINT) AS best_e6
+               FROM e CROSS JOIN q
+               WHERE e.vec_id >= $NumQueries
+               GROUP BY 1, 2)
+      SELECT label, CAST(count(*) AS BIGINT) AS n_qtokens,
+             CAST(sum(best_e6) AS BIGINT) AS maxsim_e6
+      FROM best GROUP BY 1 ORDER BY label""")),
     Q("q_knn_labels", knnLabels, Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings),

@@ -97,6 +97,46 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("RBO curve: prefix intersections and cumulative score are " +
+      "monotone, bounded, and match a brute list replay") {
+    val rows = SparkEntry.queries("q_rbo")(spark, sf)
+      .orderBy($"d".asc).collect()
+    assert(rows.length === ops.EvalQueries.RboK)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("x_d") <= b.getAs[Long]("x_d"))
+      assert(a.getAs[Long]("rbo_e9") <= b.getAs[Long]("rbo_e9"))
+    case _ => }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("x_d") <= r.getAs[Long]("d"))
+      assert(r.getAs[Long]("a_e6") <= 1000000L)
+    }
+    assert(rows.last.getAs[Long]("rbo_e9") <= 1000000000L)
+    // brute replay: build both rankings from the exact metric units
+    // and count prefix intersections directly
+    val m = SparkEntry.queries("q_eval_rrf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("l_suppkey"), r.getAs[Long]("rank_rev"),
+        r.getAs[Long]("rank_qty")))
+    // rrf output is top-20 only; recompute mx from full ranks instead
+    import graft.Tables
+    val li = Tables.lineitem(spark, sf)
+      .groupBy($"l_suppkey")
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") * 100)
+        .cast("long") * (lit(100L) - ($"l_discount".cast("decimal(4,2)")
+        * 100).cast("long"))).as("rev"),
+        sum(($"l_quantity".cast("decimal(18,2)") * 100).cast("long"))
+          .as("qty"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byRev = li.sortBy(t => (-t._2, t._1)).map(_._1)
+    val byQty = li.sortBy(t => (-t._3, t._1)).map(_._1)
+    rows.take(20).foreach { r =>
+      val dd = r.getAs[Long]("d").toInt
+      val x = byRev.take(dd).toSet.intersect(byQty.take(dd).toSet).size
+      assert(r.getAs[Long]("x_d") === x.toLong, s"X_$dd mismatch")
+    }
+    assert(m.nonEmpty) // rrf and rbo read the same ranking universe
+  }
+
   test("isotonic calibration equals exact-rational PAVA floored to e6 " +
       "and is monotone") {
     val rows = SparkEntry.queries("q_isotonic_calibration")(spark, sf)

@@ -34,9 +34,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sketch_union",     // per-group sketch table (|groups| rows)
     "q_ann_bruteforce",   // 10-row broadcast query set vs corpus
     "q_knn_labels",       // rides q_ann_bruteforce's query set
-    "q_ann_recall"        // recall gate re-plans the brute truth subtree
+    "q_ann_recall",       // recall gate re-plans the brute truth subtree
                           // twice (semi-join probe + n_true agg) — both
                           // are the same bounded 10-row broadcast loop
+    "q_isotonic_calibration" // PAVA-minimax interval/grid joins are
+                          // triangular over the ≤100-row SCORE-BIN table
+                          // (data-independent cardinality); the corpus
+                          // collapses to those bins in one equi aggregate
+                          // before any nested loop runs
   )
 
   private def offenders(p: SparkPlan): Seq[String] = {

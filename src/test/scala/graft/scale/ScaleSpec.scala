@@ -123,6 +123,29 @@ class ScaleSpec extends AnyFunSuite {
       .foreach(r => assert(r.getLong(1) <= Similarity.TopK))
   }
 
+  test("MaxSim late interaction matches a per-label brute replay") {
+    val got = SparkEntry.queries("q_maxsim")(spark, sf).collect()
+      .map(r => r.getAs[Long]("label") ->
+        ((r.getAs[Long]("n_qtokens"), r.getAs[Long]("maxsim_e6"))))
+      .toMap
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>"),
+        $"label".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    val qs = vecs.filter(_._1 < Similarity.NumQueries)
+    val docs = vecs.filter(_._1 >= Similarity.NumQueries).groupBy(_._3)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    docs.foreach { case (label, dv) =>
+      val expect = qs.map { case (_, qv, _) =>
+        math.floor(dv.map(v => dot(v._2, qv)).max * 1e6).toLong
+      }.sum
+      assert(got(label) === ((qs.length.toLong, expect)),
+        s"label $label maxsim mismatch")
+    }
+    assert(got.keySet === docs.keySet)
+  }
+
   test("greedy max-coverage matches a driver-side brute replay and its " +
       "gains are non-increasing") {
     val rows = SparkEntry.queries("q_max_coverage")(spark, sf)
