@@ -743,7 +743,8 @@ object GraphOps {
 
   val queries: Seq[Q] = Seq(
     Q("q_kcore", kcore, Some(kcoreOracle)),
-    Q("q_clustering_coeff", clusteringCoeff, Some(s"""$strongTieSql,
+    Q("q_clustering_coeff", clusteringCoeff, headline = true,
+      oracle = Some(s"""$strongTieSql,
       deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
               FROM (SELECT a AS node FROM e
                     UNION ALL SELECT b AS node FROM e)

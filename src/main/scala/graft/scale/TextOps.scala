@@ -2005,7 +2005,8 @@ object TextOps {
                   ELSE NULL END AS BIGINT) AS delta_e6
       FROM c, t
       ORDER BY source""")),
-    Q("q_winnow_fingerprints", winnowFingerprints, Some(s"""
+    Q("q_winnow_fingerprints", winnowFingerprints, headline = true,
+      oracle = Some(s"""
       WITH t AS (SELECT doc_id,
                         string_split_regex(lower(text), '\\s+') AS toks
                  FROM documents),
