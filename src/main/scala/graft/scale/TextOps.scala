@@ -924,6 +924,51 @@ object TextOps {
       .limit(20)
   }
 
+  /** Zipf slope of the corpus token distribution: OLS of ln(freq) on
+    * ln(rank) — natural text sits near −1; a synthetic or
+    * template-heavy corpus (like this one's flat ~31-word pool)
+    * shows a much shallower slope, which is exactly what makes the
+    * statistic a data-quality gate. Float discipline for the FOUR
+    * OLS moment sums: every per-rank term (ln r, ln f, ln r·ln f,
+    * ln²r) floors to e9 BEFORE summation (floor-then-sum — double
+    * sums of irrational logs would be partition-order-dependent),
+    * and the closed-form slope/intercept then finish on the integer
+    * sums in one deterministic double tree per engine. The token
+    * count collapses map-side; ranks come from one window over the
+    * vocabulary-cardinality table. */
+  private def zipfSlope(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token").agg(count(lit(1)).as("f"))
+      .withColumn("r", row_number()
+        .over(W.orderBy($"f".desc, $"token".asc)).cast("long"))
+    val x = log($"r".cast("double"))
+    val y = log($"f".cast("double"))
+    val sums = freq.agg(
+      count(lit(1)).as("v"),
+      sum($"f").as("n_tokens"),
+      sum(floor(x * lit(1e9)).cast("long")).as("sx"),
+      sum(floor(y * lit(1e9)).cast("long")).as("sy"),
+      sum(floor(x * y * lit(1e9)).cast("long")).as("sxy"),
+      sum(floor(x * x * lit(1e9)).cast("long")).as("sxx"))
+    // slope = (V·Σxy − Σx·Σy) / (V·Σxx − Σx²) on the e9 integer sums
+    // (numerator and denominator both carry one 1e9 factor, cleared)
+    sums
+      .withColumn("slope_d",
+        ($"v".cast("double") * $"sxy"
+          - $"sx".cast("double") * $"sy" / lit(1e9))
+          / ($"v".cast("double") * $"sxx"
+            - $"sx".cast("double") * $"sx" / lit(1e9)))
+      .select($"v", $"n_tokens",
+        floor($"slope_d" * lit(1e6)).cast("long").as("slope_e6"),
+        floor(($"sy".cast("double") - $"slope_d" * $"sx")
+          / $"v" / lit(1e9) * lit(1e6)).cast("long")
+          .as("intercept_e6"))
+  }
+
   /** Gini–Simpson diversity per source: 1 − Σ (nᵢ/N)², the
     * probability two tokens drawn without replacement differ — the
     * ecology-standard evenness score beside Shannon entropy
@@ -2264,6 +2309,41 @@ object TextOps {
              CAST(score_e9 AS BIGINT) AS score_e9
       FROM scored
       ORDER BY score_e9 DESC, doc_id ASC LIMIT 20""")),
+    Q("q_zipf_slope", zipfSlope, Some("""
+      WITH tok AS (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        FROM documents),
+      f AS (SELECT token, CAST(count(*) AS BIGINT) AS f
+            FROM tok WHERE token <> '' GROUP BY 1),
+      r AS (SELECT f,
+                   CAST(row_number() OVER (ORDER BY f DESC, token ASC)
+                     AS BIGINT) AS r
+            FROM f),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                   CAST(sum(f) AS BIGINT) AS n_tokens,
+                   CAST(sum(CAST(floor(ln(CAST(r AS DOUBLE)) * 1e9)
+                     AS BIGINT)) AS BIGINT) AS sx,
+                   CAST(sum(CAST(floor(ln(CAST(f AS DOUBLE)) * 1e9)
+                     AS BIGINT)) AS BIGINT) AS sy,
+                   CAST(sum(CAST(floor(ln(CAST(r AS DOUBLE))
+                     * ln(CAST(f AS DOUBLE)) * 1e9) AS BIGINT))
+                     AS BIGINT) AS sxy,
+                   CAST(sum(CAST(floor(ln(CAST(r AS DOUBLE))
+                     * ln(CAST(r AS DOUBLE)) * 1e9) AS BIGINT))
+                     AS BIGINT) AS sxx
+            FROM r),
+      d AS (SELECT v, n_tokens,
+                   (CAST(v AS DOUBLE) * sxy
+                     - CAST(sx AS DOUBLE) * sy / 1e9)
+                   / (CAST(v AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx / 1e9) AS slope_d,
+                   sx, sy
+            FROM s)
+      SELECT v, n_tokens,
+             CAST(floor(slope_d * 1e6) AS BIGINT) AS slope_e6,
+             CAST(floor((CAST(sy AS DOUBLE) - slope_d * sx)
+               / v / 1e9 * 1e6) AS BIGINT) AS intercept_e6
+      FROM d""")),
     Q("q_simpson_diversity", simpsonDiversity, Some("""
       WITH tok AS (
         SELECT source,

@@ -123,6 +123,34 @@ class ScaleSpec extends AnyFunSuite {
       .foreach(r => assert(r.getLong(1) <= Similarity.TopK))
   }
 
+  test("Zipf slope matches a driver-side floor-then-sum OLS replay") {
+    val row = SparkEntry.queries("q_zipf_slope")(spark, sf).head()
+    val toks = graft.Tables.documents(spark, sf)
+      .select($"text").collect()
+      .flatMap(_.getString(0).toLowerCase.split("\\s+"))
+      .filter(_.nonEmpty)
+    val freq = toks.groupBy(identity).map { case (t, a) =>
+      t -> a.length.toLong
+    }.toSeq.sortBy { case (t, f) => (-f, t) }
+    assert(row.getAs[Long]("v") === freq.length.toLong)
+    assert(row.getAs[Long]("n_tokens") === toks.length.toLong)
+    def e9(x: Double): Long = math.floor(x * 1e9).toLong
+    val xs = freq.indices.map(i => math.log((i + 1).toDouble))
+    val ys = freq.map(f => math.log(f._2.toDouble))
+    val (v, sx, sy) = (freq.length.toDouble,
+      xs.map(e9).sum, ys.map(e9).sum)
+    val sxy = xs.zip(ys).map { case (a, b) => e9(a * b) }.sum
+    val sxx = xs.map(a => e9(a * a)).sum
+    val slope = (v * sxy - sx.toDouble * sy / 1e9) /
+      (v * sxx - sx.toDouble * sx / 1e9)
+    assert(row.getAs[Long]("slope_e6") ===
+      math.floor(slope * 1e6).toLong)
+    assert(row.getAs[Long]("slope_e6") < 0L,
+      "rank-frequency slope must be negative")
+    assert(row.getAs[Long]("intercept_e6") ===
+      math.floor((sy.toDouble - slope * sx) / v / 1e9 * 1e6).toLong)
+  }
+
   test("MaxSim late interaction matches a per-label brute replay") {
     val got = SparkEntry.queries("q_maxsim")(spark, sf).collect()
       .map(r => r.getAs[Long]("label") ->
