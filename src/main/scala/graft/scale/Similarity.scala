@@ -1008,6 +1008,66 @@ object Similarity {
       FROM a LEFT JOIN dup USING (vec_id) WHERE dup.vec_id IS NULL"""
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch /
+    * ANCE-style step): for each anchor, the top-k most SIMILAR
+    * vectors carrying a DIFFERENT label — the negatives that actually
+    * move a contrastive loss, where q_negative_sample's uniform draws
+    * are easy negatives. Anchors broadcast into the corpus scan (the
+    * annBrute shape); the label inequality prunes before the window,
+    * and per-anchor top-k is the one bounded window shuffle. At full
+    * corpus-as-anchors scale this composes with the IVF cells
+    * (mine within probed cells) exactly like [[semDedup]] bounds its
+    * pair stage. */
+  private def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"),
+        $"label".cast("long").as("label"))
+    val anchors = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("anchor_id"), $"v".as("av"),
+        $"label".as("anchor_label"))
+    val w = Window.partitionBy($"anchor_id")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    e.join(broadcast(anchors), $"label" =!= $"anchor_label")
+      .withColumn("cosine", dot($"v", $"av"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"anchor_id", $"anchor_label",
+        $"rank".cast("long").as("rank"), $"vec_id".as("negative_id"),
+        $"label".as("neg_label"), round($"cosine", 4).as("cosine"))
+  }
+
+  /** Intra-cluster label purity — the mislabeled-data screen
+    * (confident-learning-lite): embeddings are assigned to their IVF
+    * cell (broadcast centroids, corpus never shuffles) and each
+    * cell reports its majority label and the count of members
+    * disagreeing with it; low-purity cells are where labels and
+    * geometry contradict and review effort should go. Counts are
+    * exact BIGINTs from one map-side-combining (cell, label)
+    * aggregate; the majority pick ties to the SMALLER label via
+    * max(struct(n, -label)). Cell table is |cells|-bounded at any
+    * corpus size. */
+  private def labelPurity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = graft.GraftCaches.getOrPersist(s, s"ann.corpus:$d")(corpus(s, d))
+    val cells = ivfAssign(e, ivfCentroidsOf(e))
+      .join(Tables.embeddings(s, d)
+        .select($"vec_id", $"label".cast("long").as("label")), "vec_id")
+    val counts = cells.groupBy($"cell", $"label")
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy($"cell")
+      .agg(sum($"n").as("n_members"),
+        count(lit(1)).as("n_labels"),
+        max(struct($"n", (-$"label").as("neg"))).as("best"))
+      .select($"cell", $"n_members", $"n_labels",
+        (-$"best.neg").as("majority_label"),
+        $"best.n".as("n_majority"),
+        ($"n_members" - $"best.n").as("n_flagged"))
+      .withColumn("purity_e6",
+        expr("(n_majority * 1000000) div n_members"))
+      .orderBy($"cell".asc)
+  }
+
   /** 8 fixed-seed Johnson-Lindenstrauss projection directions (same
     * LCG family as [[hyperplanes]], independent seed). */
   lazy val jlPlanes: Seq[Seq[Double]] = {
@@ -1576,6 +1636,57 @@ object Similarity {
     Q("q_ann_recall", annRecall, Some(annRecallOracle)),
     Q("q_embed_project", embedProject, Some(jlOracle)),
     Q("q_semdedup", semDedup, Some(semDedupOracle)),
+    Q("q_hard_negatives", hardNegatives, Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                        CAST(label AS BIGINT) AS label
+                 FROM embeddings),
+      a AS (SELECT vec_id AS anchor_id, v AS av,
+                   label AS anchor_label
+            FROM e WHERE vec_id < $NumQueries),
+      r AS (SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
+                   list_dot_product(e.v, a.av) AS cosine,
+                   row_number() OVER (PARTITION BY a.anchor_id
+                     ORDER BY list_dot_product(e.v, a.av) DESC,
+                              e.vec_id ASC) AS rank
+            FROM e JOIN a ON e.label <> a.anchor_label)
+      SELECT anchor_id, anchor_label, CAST(rank AS BIGINT) AS rank,
+             vec_id AS negative_id, label AS neg_label,
+             round(cosine, 4) AS cosine
+      FROM r WHERE rank <= $TopK""")),
+    Q("q_label_purity", labelPurity, Some {
+      val seeds = (0 until IvfCentroids)
+        .map(i => NumQueries + 7L * i + 3L).mkString(", ")
+      s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                        CAST(label AS BIGINT) AS label
+                 FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e
+            WHERE vec_id IN ($seeds)),
+      asg AS (SELECT vec_id, label, cid AS cell FROM (
+                SELECT ev.vec_id, ev.label, c.cid,
+                       row_number() OVER (PARTITION BY ev.vec_id
+                         ORDER BY list_dot_product(ev.v, c.cv) DESC,
+                                  c.cid DESC) AS rn
+                FROM e ev CROSS JOIN c) t WHERE rn = 1),
+      cnt AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS n
+              FROM asg GROUP BY 1, 2),
+      best AS (SELECT cell, label AS majority_label, n AS n_majority
+               FROM (SELECT cell, label, n,
+                            row_number() OVER (PARTITION BY cell
+                              ORDER BY n DESC, label ASC) AS rn
+                     FROM cnt) t WHERE rn = 1),
+      agg AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_members,
+                     CAST(count(*) AS BIGINT) AS n_labels
+              FROM cnt GROUP BY 1)
+      SELECT agg.cell, agg.n_members, agg.n_labels,
+             best.majority_label, best.n_majority,
+             CAST(agg.n_members - best.n_majority AS BIGINT)
+               AS n_flagged,
+             CAST((best.n_majority * 1000000) // agg.n_members
+               AS BIGINT) AS purity_e6
+      FROM agg JOIN best USING (cell)
+      ORDER BY agg.cell"""
+    }),
     Q("q_embed_centroids", embedCentroids, Some("""
       WITH e AS (SELECT label,
                         generate_subscripts(embedding, 1) - 1 AS pos,

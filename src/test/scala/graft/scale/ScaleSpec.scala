@@ -123,6 +123,45 @@ class ScaleSpec extends AnyFunSuite {
       .foreach(r => assert(r.getLong(1) <= Similarity.TopK))
   }
 
+  test("hard negatives are cross-label and match a brute top-k replay") {
+    val rows = SparkEntry.queries("q_hard_negatives")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("neg_label") !==
+      r.getAs[Long]("anchor_label")))
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>"),
+        $"label".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    rows.groupBy(_.getAs[Long]("anchor_id")).foreach { case (aid, rs) =>
+      val (_, av, alabel) = vecs.find(_._1 == aid).get
+      val want = vecs.filter(_._3 != alabel)
+        .map(v => (v._1, dot(v._2, av)))
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.TopK).map(_._1).toSeq
+      val got = rs.sortBy(_.getAs[Long]("rank"))
+        .map(_.getAs[Long]("negative_id")).toSeq
+      assert(got === want, s"anchor $aid top-k mismatch")
+    }
+  }
+
+  test("label purity cells partition the corpus and flag counts are " +
+      "consistent") {
+    val rows = SparkEntry.queries("q_label_purity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum === total)
+    rows.foreach { r =>
+      val (n, maj, flagged) = (r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_majority"), r.getAs[Long]("n_flagged"))
+      assert(maj + flagged === n)
+      assert(r.getAs[Long]("purity_e6") === maj * 1000000L / n)
+      assert(maj >= (n + r.getAs[Long]("n_labels") - 1)
+        / r.getAs[Long]("n_labels"), "majority below ceiling(n/k)")
+    }
+  }
+
   test("Zipf slope matches a driver-side floor-then-sum OLS replay") {
     val row = SparkEntry.queries("q_zipf_slope")(spark, sf).head()
     val toks = graft.Tables.documents(spark, sf)
