@@ -609,6 +609,96 @@ object EvalQueries {
       .withColumn("acc_e6", expr("n_correct * 1000000 div n_test"))
   }
 
+  /** Brier score per language — the PROBABILISTIC companion to
+    * [[confusion]]: where the confusion matrix judges the thresholded
+    * label, Brier judges the raw probability (mean squared error of
+    * p against the 0/1 outcome), so an over-confident classifier pays
+    * even when its argmax is right. The "probability" is a
+    * deterministic length ramp snapped to a 1e-3 grid
+    * (p_e3 = min(n_chars·1000 div 400, 1000) — integer division, so
+    * both engines agree bit-for-bit), and each row's squared error
+    * (p_e3 − y_e3)² ≤ 1e6 is an exact BIGINT: the per-language sum
+    * stays inside int64 up to ~9e12 rows, far past 100 TB of
+    * documents. One map-side-combinable aggregate; the only double is
+    * the final single divide. */
+  private def brierScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"lang",
+        least(expr("n_chars * 1000 div 400"), lit(1000L)).as("p_e3"),
+        when($"doc_id" % 3 =!= 0, 1000L).otherwise(0L).as("y_e3"))
+      .withColumn("sq_e6", ($"p_e3" - $"y_e3") * ($"p_e3" - $"y_e3"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum($"sq_e6").as("sum_sq_e6"),
+        sum(when($"y_e3" === 1000L, 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("brier_e6", expr("sum_sq_e6 div n"))
+      .withColumn("brier",
+        $"sum_sq_e6".cast("double") / $"n" / 1000000.0)
+  }
+
+  /** Matthews correlation coefficient — the single-number confusion
+    * summary that stays honest under class imbalance (accuracy and F1
+    * both inflate when one class dominates; MCC is the Pearson
+    * correlation of the 2×2 table and is 0 for any constant
+    * classifier). Same one-pass four-counter aggregate as
+    * [[confusion]] but with an independent predictor (a token-count
+    * gate) so the two queries don't pin the same cells. The χ²-style
+    * cross products tp·tn, fp·fn and the four marginals are formed in
+    * DOUBLE (the cramersV discipline: int64 products wrap silently
+    * past ~3e9 rows while DuckDB raises), left-associated identically
+    * in both engines, and the final value is emitted as floor·1e6
+    * BIGINT — floor on bit-identical IEEE doubles is deterministic. */
+  private def matthewsCorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val judged = Tables.documents(s, d).select(
+      (size(split($"text", "\\s+")) >= 20).as("pred"),
+      ($"doc_id" % 3 =!= 0).as("gold"))
+    judged.agg(
+      sum(when($"pred" && $"gold", 1L).otherwise(0L)).as("tp"),
+      sum(when($"pred" && !$"gold", 1L).otherwise(0L)).as("fp"),
+      sum(when(!$"pred" && $"gold", 1L).otherwise(0L)).as("fn"),
+      sum(when(!$"pred" && !$"gold", 1L).otherwise(0L)).as("tn"))
+      .select($"tp", $"fp", $"fn", $"tn",
+        floor(($"tp".cast("double") * $"tn" -
+            $"fp".cast("double") * $"fn") * lit(1000000.0) /
+          sqrt(($"tp" + $"fp").cast("double") * ($"tp" + $"fn") *
+            ($"tn" + $"fp") * ($"tn" + $"fn"))).as("mcc_e6"))
+  }
+
+  /** Per-class F-beta sweep (F0.5 / F1 / F2) — the multi-class
+    * extension of [[confusion]]'s binary F1: a 3-class deterministic
+    * pair (pred = n_chars mod 3, gold = doc_id mod 3) reduces to a
+    * 9-cell contingency table in ONE map-side-combinable aggregate,
+    * and every per-class count (tp on the diagonal, fp/fn from the
+    * marginals) is algebra over those 9 rows — three tiny joins on a
+    * 3-row key, never a second pass over the data. The β² weights
+    * 1/4, 1, 4 clear to the integer forms 5tp/(5tp+fn+4fp),
+    * 2tp/(2tp+fp+fn), 5tp/(5tp+4fn+fp): each score is ONE exact
+    * integer division on BIGINTs (e6 grid), so the result is
+    * bit-deterministic at any scale. */
+  private def fbetaPerClass(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.documents(s, d)
+      .select(($"n_chars" % 3).as("pred_c"), ($"doc_id" % 3).as("gold_c"))
+      .groupBy($"pred_c", $"gold_c").agg(count(lit(1)).as("cnt"))
+    val predTot = cells.groupBy($"pred_c".as("cls"))
+      .agg(sum($"cnt").as("n_pred"))
+    val goldTot = cells.groupBy($"gold_c".as("cls"))
+      .agg(sum($"cnt").as("n_gold"))
+    val diag = cells.filter($"pred_c" === $"gold_c")
+      .select($"pred_c".as("cls"), $"cnt".as("tp"))
+    predTot.join(goldTot, Seq("cls")).join(diag, Seq("cls"))
+      .select($"cls", $"tp",
+        ($"n_pred" - $"tp").as("fp"), ($"n_gold" - $"tp").as("fn"))
+      .withColumn("f05_e6",
+        expr("tp * 5 * 1000000 div (5 * tp + fn + 4 * fp)"))
+      .withColumn("f1_e6",
+        expr("tp * 2 * 1000000 div (2 * tp + fp + fn)"))
+      .withColumn("f2_e6",
+        expr("tp * 5 * 1000000 div (5 * tp + 4 * fn + fp)"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_learning_curve", learningCurve, Some("""
       WITH rows0 AS (
@@ -1046,6 +1136,69 @@ object EvalQueries {
              CAST(sum(tp) AS DOUBLE) / (count(*) * 10)
                AS precision_at_10,
              CAST(sum(tp) AS DOUBLE) / sum(day_rel) AS recall_at_10
-      FROM q GROUP BY 1"""))
+      FROM q GROUP BY 1""")),
+
+    Q("q_brier_score", brierScore, Some("""
+      WITH p AS (SELECT lang,
+                        least(n_chars * 1000 // 400, 1000) AS p_e3,
+                        CASE WHEN doc_id % 3 <> 0 THEN 1000 ELSE 0 END
+                          AS y_e3
+                 FROM documents)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((p_e3 - y_e3) * (p_e3 - y_e3)) AS BIGINT)
+               AS sum_sq_e6,
+             CAST(sum(CASE WHEN y_e3 = 1000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pos,
+             CAST(sum((p_e3 - y_e3) * (p_e3 - y_e3)) // count(*)
+               AS BIGINT) AS brier_e6,
+             CAST(sum((p_e3 - y_e3) * (p_e3 - y_e3)) AS DOUBLE)
+               / count(*) / 1000000.0 AS brier
+      FROM p GROUP BY 1""")),
+
+    Q("q_matthews_corr", matthewsCorr, Some("""
+      WITH j AS (SELECT len(string_split_regex(text, '\s+')) >= 20
+                          AS pred,
+                        doc_id % 3 <> 0 AS gold
+                 FROM documents),
+      c AS (SELECT
+              CAST(sum(CASE WHEN pred AND gold THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+              CAST(sum(CASE WHEN pred AND NOT gold THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+              CAST(sum(CASE WHEN NOT pred AND gold THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+              CAST(sum(CASE WHEN NOT pred AND NOT gold THEN 1 ELSE 0
+                END) AS BIGINT) AS tn
+            FROM j)
+      SELECT tp, fp, fn, tn,
+             CAST(floor((CAST(tp AS DOUBLE) * tn
+                         - CAST(fp AS DOUBLE) * fn) * 1000000.0
+               / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                      * (tn + fp) * (tn + fn))) AS BIGINT) AS mcc_e6
+      FROM c""")),
+
+    Q("q_fbeta_per_class", fbetaPerClass, Some("""
+      WITH cells AS (SELECT n_chars % 3 AS pred_c, doc_id % 3 AS gold_c,
+                            count(*) AS cnt
+                     FROM documents GROUP BY 1, 2),
+      pt AS (SELECT pred_c AS cls, sum(cnt) AS n_pred
+             FROM cells GROUP BY 1),
+      gt AS (SELECT gold_c AS cls, sum(cnt) AS n_gold
+             FROM cells GROUP BY 1),
+      dg AS (SELECT pred_c AS cls, cnt AS tp
+             FROM cells WHERE pred_c = gold_c),
+      c AS (SELECT pt.cls AS cls, tp, n_pred - tp AS fp,
+                   n_gold - tp AS fn
+            FROM pt JOIN gt ON pt.cls = gt.cls
+                    JOIN dg ON pt.cls = dg.cls)
+      SELECT CAST(cls AS BIGINT) AS cls, CAST(tp AS BIGINT) AS tp,
+             CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+             CAST(tp * 5 * 1000000 // (5 * tp + fn + 4 * fp)
+               AS BIGINT) AS f05_e6,
+             CAST(tp * 2 * 1000000 // (2 * tp + fp + fn)
+               AS BIGINT) AS f1_e6,
+             CAST(tp * 5 * 1000000 // (5 * tp + 4 * fn + fp)
+               AS BIGINT) AS f2_e6
+      FROM c"""))
   )
 }

@@ -402,4 +402,68 @@ class EvalSpec extends AnyFunSuite {
     (1L until 9L).foreach(f => assert(
       got(f).getAs[Long]("n_train") < got(f + 1).getAs[Long]("n_train")))
   }
+
+  test("q_brier_score: per-language rows partition the corpus; the " +
+    "integer grid bounds the score in [0, 1]") {
+    val rows = SparkEntry.queries("q_brier_score")(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === n)
+    rows.foreach { r =>
+      val brier = r.getAs[Double]("brier")
+      assert(brier >= 0.0 && brier <= 1.0)
+      assert(r.getAs[Long]("brier_e6") ===
+        r.getAs[Long]("sum_sq_e6") / r.getAs[Long]("n"))
+      // the squared-error sum can never exceed the all-wrong corpus
+      assert(r.getAs[Long]("sum_sq_e6") <= r.getAs[Long]("n") * 1000000L)
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n"))
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("q_matthews_corr: cells partition the corpus and mcc_e6 replays " +
+    "from the cells, invariant to partition count") {
+    val r = SparkEntry.queries("q_matthews_corr")(spark, sf).head()
+    val (tp, fp, fn, tn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+    assert(tp + fp + fn + tn === Tables.documents(spark, sf).count())
+    val expect = math.floor((tp.toDouble * tn - fp.toDouble * fn) * 1e6 /
+      math.sqrt((tp + fp).toDouble * (tp + fn) * (tn + fp) * (tn + fn)))
+      .toLong
+    assert(r.getAs[Long]("mcc_e6") === expect)
+    assert(math.abs(r.getAs[Long]("mcc_e6")) <= 1000000L)
+    // partition-count invariance of the floored double
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", 7)
+    assert(SparkEntry.queries("q_matthews_corr")(alt, sf)
+      .head().getAs[Long]("mcc_e6") === expect)
+  }
+
+  test("q_fbeta_per_class: marginals reconcile with the raw 3x3 table " +
+    "and F-beta ordering follows the precision/recall gap") {
+    val rows = SparkEntry.queries("q_fbeta_per_class")(spark, sf)
+      .collect().map(r => r.getAs[Long]("cls") -> r).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L))
+    val docs = Tables.documents(spark, sf)
+      .select(($"n_chars" % 3).as("p"), ($"doc_id" % 3).as("g"))
+      .groupBy($"p", $"g").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (c, r) =>
+      val tp = docs.getOrElse((c, c), 0L)
+      val fp = docs.collect { case ((p, g), n) if p == c && g != c => n }.sum
+      val fn = docs.collect { case ((p, g), n) if g == c && p != c => n }.sum
+      assert(r.getAs[Long]("tp") === tp)
+      assert(r.getAs[Long]("fp") === fp)
+      assert(r.getAs[Long]("fn") === fn)
+      assert(r.getAs[Long]("f1_e6") === tp * 2 * 1000000L /
+        (2 * tp + fp + fn))
+      // beta weights recall: recall<precision (fn>fp) => F2 <= F1 <= F0.5
+      if (fn > fp) {
+        assert(r.getAs[Long]("f2_e6") <= r.getAs[Long]("f1_e6") + 1)
+        assert(r.getAs[Long]("f1_e6") <= r.getAs[Long]("f05_e6") + 1)
+      } else if (fp > fn) {
+        assert(r.getAs[Long]("f05_e6") <= r.getAs[Long]("f1_e6") + 1)
+        assert(r.getAs[Long]("f1_e6") <= r.getAs[Long]("f2_e6") + 1)
+      }
+    }
+  }
 }
