@@ -918,6 +918,88 @@ object InferenceQueries {
       .withColumn("w1_e2", expr("w1_num * 100 div (n_ref * n_cur)"))
   }
 
+  /** Per-type mean-centered daily series on a deterministic 1e-4 grid:
+    * each day's deviation from the series mean, scaled by the series
+    * RANGE and floored to integer ten-thousandths. The deviation is
+    * carried as the exact BIGINT n·x − Σx (clears the mean's division)
+    * and the scale as the exact BIGINT n·(max − min), so the only
+    * float op is ONE correctly-rounded divide before the floor —
+    * bit-identical in both engines — and every downstream moment sum
+    * runs on small exact integers (|z| ≤ 1e4 ⇒ Σz⁴ fits int64 past
+    * 9e5 days/series). Series with < 8 days or zero range are
+    * excluded: no variance to normalize by. Shape: the daily rollup is
+    * map-side combinable; the |types|-row totals broadcast back. */
+  private def zGridDaily(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = dailyCents(s, d)
+    val tot = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sc"),
+        min($"cents").as("mn"), max($"cents").as("mx"))
+      .filter($"n" >= 8 && $"mx" > $"mn")
+    daily.join(broadcast(tot), Seq("event_type"))
+      .withColumn("z_e4",
+        floor(($"n" * $"cents" - $"sc").cast("double") * lit(10000.0) /
+          ($"n" * ($"mx" - $"mn"))))
+  }
+
+  /** Jarque–Bera normality test per daily-revenue series — the
+    * moment-based screen (skewness² + excess-kurtosis²) a metrics
+    * pipeline runs before trusting any Gaussian-assuming monitor
+    * (3σ anomaly rules, Welch tests). Works on the [[zGridDaily]]
+    * integer grid, so the 2nd/3rd/4th central-moment sums are exact
+    * BIGINTs in ONE map-side-combinable aggregate (scale cancels in
+    * both skew and kurtosis — the grid's range normalization drops
+    * out). The three emitted statistics are short identical double
+    * expressions over those exact integers, floored to fixed-point:
+    * skew = √n·m3/(m2·√m2), kurt = n·m4/m2², JB = n/6·(S² + (K−3)²/4).
+    * Shape: daily rollup + |types|-row aggregate — two exchanges. */
+  private def jarqueBera(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    zGridDaily(s, d)
+      .groupBy($"event_type")
+      .agg(max($"n").as("n_days"),
+        sum($"z_e4" * $"z_e4").as("m2"),
+        sum($"z_e4" * $"z_e4" * $"z_e4").as("m3"),
+        sum($"z_e4" * $"z_e4" * $"z_e4" * $"z_e4").as("m4"))
+      .withColumn("sk",
+        sqrt($"n_days".cast("double")) * $"m3" /
+          ($"m2" * sqrt($"m2".cast("double"))))
+      .withColumn("kt",
+        $"n_days".cast("double") * $"m4" /
+          ($"m2".cast("double") * $"m2"))
+      .select($"event_type", $"n_days", $"m2", $"m3", $"m4",
+        floor($"sk" * lit(1000000.0)).as("skew_e6"),
+        floor($"kt" * lit(1000000.0)).as("kurt_e6"),
+        floor($"n_days".cast("double") / lit(6.0) *
+          ($"sk" * $"sk" +
+            ($"kt" - lit(3.0)) * ($"kt" - lit(3.0)) / lit(4.0)) *
+          lit(1000.0)).as("jb_e3"))
+  }
+
+  /** Durbin–Watson statistic per daily-revenue series — the
+    * first-order autocorrelation screen on the mean-centered series
+    * (DW ≈ 2(1−ρ₁): ≈2 means independent residuals, →0 positive,
+    * →4 negative autocorrelation) that decides whether [[groupOls]]'s
+    * iid-error assumption holds before anyone trusts its slopes. On
+    * the [[zGridDaily]] integer grid the statistic needs NO doubles at
+    * all: Σ(z_t − z_{t−1})² and Σz_t² are exact BIGINT sums (range
+    * normalization cancels), and dw_e6 is one exact integer division.
+    * Shape: ONE window shuffle on the series key for the lag, then a
+    * |types|-row aggregate — the frame walks days, not events. */
+  private def durbinWatson(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day".asc)
+    zGridDaily(s, d)
+      .withColumn("dz", $"z_e4" - lag($"z_e4", 1).over(w))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"z_e4" * $"z_e4").as("sum_z2"),
+        sum($"dz" * $"dz").as("sum_dz2"))
+      .filter($"sum_z2" > 0)
+      .withColumn("dw_e6", expr("sum_dz2 * 1000000 div sum_z2"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_gini_revenue", giniRevenue, Some("""
       WITH pu AS (SELECT user_id,
@@ -1639,6 +1721,71 @@ object InferenceQueries {
                AS w1_num,
              CAST(sum(abs(cum_a * nb - cum_b * na) * gap) * 100
                // (max(na) * max(nb)) AS BIGINT) AS w1_e2
-      FROM w WHERE gap IS NOT NULL GROUP BY 1"""))
+      FROM w WHERE gap IS NOT NULL GROUP BY 1""")),
+
+    Q("q_jarque_bera", jarqueBera, Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      daily AS (SELECT event_type, day,
+                       CAST(sum(cents) AS BIGINT) AS cents
+                FROM e GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS sc,
+                     min(cents) AS mn, max(cents) AS mx
+              FROM daily GROUP BY 1
+              HAVING count(*) >= 8 AND max(cents) > min(cents)),
+      z AS (SELECT daily.event_type AS event_type, n,
+                   CAST(floor(CAST(n * cents - sc AS DOUBLE) * 10000.0
+                     / (n * (mx - mn))) AS BIGINT) AS z_e4
+            FROM daily JOIN tot ON daily.event_type = tot.event_type),
+      m AS (SELECT event_type, max(n) AS n_days,
+                   CAST(sum(z_e4 * z_e4) AS BIGINT) AS m2,
+                   CAST(sum(z_e4 * z_e4 * z_e4) AS BIGINT) AS m3,
+                   CAST(sum(z_e4 * z_e4 * z_e4 * z_e4) AS BIGINT) AS m4
+            FROM z GROUP BY 1),
+      sk AS (SELECT *,
+                    sqrt(CAST(n_days AS DOUBLE)) * m3
+                      / (m2 * sqrt(CAST(m2 AS DOUBLE))) AS sk,
+                    CAST(n_days AS DOUBLE) * m4
+                      / (CAST(m2 AS DOUBLE) * m2) AS kt
+             FROM m)
+      SELECT event_type, n_days, m2, m3, m4,
+             CAST(floor(sk * 1000000.0) AS BIGINT) AS skew_e6,
+             CAST(floor(kt * 1000000.0) AS BIGINT) AS kurt_e6,
+             CAST(floor(CAST(n_days AS DOUBLE) / 6.0
+               * (sk * sk + (kt - 3.0) * (kt - 3.0) / 4.0)
+               * 1000.0) AS BIGINT) AS jb_e3
+      FROM sk""")),
+
+    Q("q_durbin_watson", durbinWatson, Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      daily AS (SELECT event_type, day,
+                       CAST(sum(cents) AS BIGINT) AS cents
+                FROM e GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS sc,
+                     min(cents) AS mn, max(cents) AS mx
+              FROM daily GROUP BY 1
+              HAVING count(*) >= 8 AND max(cents) > min(cents)),
+      z AS (SELECT daily.event_type AS event_type, day,
+                   CAST(floor(CAST(n * cents - sc AS DOUBLE) * 10000.0
+                     / (n * (mx - mn))) AS BIGINT) AS z_e4
+            FROM daily JOIN tot ON daily.event_type = tot.event_type),
+      lagd AS (SELECT event_type, z_e4,
+                      z_e4 - lag(z_e4) OVER (PARTITION BY event_type
+                        ORDER BY day ASC) AS dz
+               FROM z),
+      agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(z_e4 * z_e4) AS BIGINT) AS sum_z2,
+                     CAST(sum(dz * dz) AS BIGINT) AS sum_dz2
+              FROM lagd GROUP BY 1)
+      SELECT event_type, n_days, sum_z2, sum_dz2,
+             CAST(sum_dz2 * 1000000 // sum_z2 AS BIGINT) AS dw_e6
+      FROM agg WHERE sum_z2 > 0"""))
   )
 }

@@ -580,6 +580,43 @@ object StatsQueries {
         ($"sy" / $"n").as("mean_cents"))
   }
 
+  /** Ridge-regularized grouped trend — [[groupOls]] with an L2 penalty
+    * on the slope, the regression a pipeline reaches for when short or
+    * noisy series make raw OLS slopes jumpy: the closed form is
+    * slope_λ = Sxy_c / (Sxx_c + λ) with the intercept unpenalized, so
+    * no iteration and the same five exact-integer moments as OLS. The
+    * penalty is expressed as a FRACTION of Sxx_c (λ = 0 %, 10 %, 50 %)
+    * — scale-free, and it makes the shrinkage path an exact integer
+    * computation: every slope is ONE integer division, carried through
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) because
+    * Sxy_c·1e6 overflows int64 at real event volumes. Monotone
+    * shrinkage toward zero is pinned by StatsSpec. One map-side
+    * combinable aggregate, |types| rows out. */
+  private def ridgeTrend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val day = datediff($"ts".cast("date"), lit("2024-01-01").cast("date"))
+      .cast("long")
+    Tables.events(s, d)
+      .select($"event_type", day.as("x"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("y"))
+      .filter($"y".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"))
+      .select($"event_type", $"n",
+        ($"n" * $"sxy" - $"sx" * $"sy").as("sxy_c"),
+        ($"n" * $"sxx" - $"sx" * $"sx").as("sxx_c"))
+      .withColumn("slope0_e6", expr(
+        "CAST(CAST(sxy_c AS DECIMAL(38,0)) * 1000000 div sxx_c AS BIGINT)"))
+      .withColumn("slope10_e6", expr(
+        "CAST(CAST(sxy_c AS DECIMAL(38,0)) * 1000000" +
+          " div (sxx_c + sxx_c div 10) AS BIGINT)"))
+      .withColumn("slope50_e6", expr(
+        "CAST(CAST(sxy_c AS DECIMAL(38,0)) * 1000000" +
+          " div (sxx_c + sxx_c div 2) AS BIGINT)"))
+  }
+
   /** Rolling anomaly detection — flag events whose value exceeds 3
     * rolling standard deviations over the trailing 50 events of the
     * same type (the streaming-shaped drift/outlier monitor a metrics
@@ -2208,6 +2245,29 @@ object StatsQueries {
                AS slope_cents_per_day,
              sy / n AS mean_cents
       FROM m""")),
+
+    Q("q_ridge_trend", ridgeTrend, Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(datediff('day', DATE '2024-01-01',
+                          CAST(ts AS DATE)) AS BIGINT) AS x,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS y
+                 FROM events WHERE value IS NOT NULL),
+      m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM e GROUP BY 1),
+      c AS (SELECT event_type, n,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS sxy_c,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS sxx_c
+            FROM m)
+      SELECT event_type, n, sxy_c, sxx_c,
+             CAST(CAST(sxy_c AS HUGEINT) * 1000000 // sxx_c
+               AS BIGINT) AS slope0_e6,
+             CAST(CAST(sxy_c AS HUGEINT) * 1000000
+               // (sxx_c + sxx_c // 10) AS BIGINT) AS slope10_e6,
+             CAST(CAST(sxy_c AS HUGEINT) * 1000000
+               // (sxx_c + sxx_c // 2) AS BIGINT) AS slope50_e6
+      FROM c""")),
 
     Q("q_rolling_anomaly", rollingAnomaly, Some("""
       WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us, ts,

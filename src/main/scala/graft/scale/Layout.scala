@@ -274,8 +274,98 @@ object Layout {
                AS BIGINT) AS cum_chars
       FROM ranked"""
 
+  /** Zone-map pruning simulator — measures what per-file min/max
+    * statistics (parquet row-group zone maps / Delta file stats) buy
+    * a date-range predicate under two physical layouts: the NATURAL
+    * write order (files cut by order key — dates scattered, so every
+    * file's [min,max] straddles the predicate and nothing prunes) and
+    * a DATE-CLUSTERED layout (weekly files, what partitioning or
+    * Z-ordering by ship date produces — only the predicate's ~13
+    * weeks survive). Per layout one map-side aggregate profiles each
+    * file to (rows, min, max, matching rows); a file is skipped iff
+    * max < lo or min > hi — exactly the reader-side arithmetic of
+    * Spark's parquet row-group pruning at 100 TB — and the scan
+    * amplification rows_scanned/rows_matched quantifies the layout's
+    * pruning power. All counts exact BIGINTs; the file-profile tables
+    * are bounded by file count, not row count. */
+  private def zoneMapSkip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val epoch = lit("1970-01-01").cast("date")
+    val lo = datediff(lit("1996-01-01").cast("date"), epoch).cast("long")
+    val hi = datediff(lit("1996-03-31").cast("date"), epoch).cast("long")
+    val rows = Tables.lineitem(s, d)
+      .select($"l_orderkey",
+        datediff($"l_shipdate".cast("date"), epoch).cast("long")
+          .as("ship_day"))
+    def profile(layout: String, fid: org.apache.spark.sql.Column) =
+      rows
+        .groupBy(fid.as("fid"))
+        .agg(count(lit(1)).as("n"), min($"ship_day").as("mn"),
+          max($"ship_day").as("mx"),
+          sum(when($"ship_day".between(lo, hi), 1L).otherwise(0L))
+            .as("matched"))
+        .withColumn("skipped", $"mx" < lo || $"mn" > hi)
+        .agg(count(lit(1)).as("n_files"),
+          sum(when($"skipped", 1L).otherwise(0L)).as("n_skipped"),
+          sum($"n").as("rows_total"),
+          sum(when(!$"skipped", $"n").otherwise(0L)).as("rows_scanned"),
+          sum($"matched").as("rows_matched"))
+        .withColumn("layout", lit(layout))
+        .withColumn("amp_e3",
+          when($"rows_matched" > 0,
+            expr("rows_scanned * 1000 div rows_matched")))
+    profile("natural", expr("l_orderkey div 4096"))
+      .unionByName(profile("date_weekly", expr("ship_day div 7")))
+  }
+
+  private val zoneMapOracle = """
+      WITH rows0 AS (SELECT l_orderkey,
+                            CAST(datediff('day', DATE '1970-01-01',
+                              CAST(l_shipdate AS DATE)) AS BIGINT)
+                              AS ship_day
+                     FROM lineitem),
+      bounds AS (SELECT
+                   CAST(datediff('day', DATE '1970-01-01',
+                     DATE '1996-01-01') AS BIGINT) AS lo,
+                   CAST(datediff('day', DATE '1970-01-01',
+                     DATE '1996-03-31') AS BIGINT) AS hi),
+      nat AS (SELECT l_orderkey // 4096 AS fid,
+                     count(*) AS n, min(ship_day) AS mn,
+                     max(ship_day) AS mx,
+                     sum(CASE WHEN ship_day BETWEEN lo AND hi
+                         THEN 1 ELSE 0 END) AS matched
+              FROM rows0, bounds GROUP BY 1, lo, hi),
+      wk AS (SELECT ship_day // 7 AS fid,
+                    count(*) AS n, min(ship_day) AS mn,
+                    max(ship_day) AS mx,
+                    sum(CASE WHEN ship_day BETWEEN lo AND hi
+                        THEN 1 ELSE 0 END) AS matched
+             FROM rows0, bounds GROUP BY 1, lo, hi),
+      pn AS (SELECT 'natural' AS layout, n, matched,
+                    (mx < lo OR mn > hi) AS skipped
+             FROM nat, bounds),
+      pw AS (SELECT 'date_weekly' AS layout, n, matched,
+                    (mx < lo OR mn > hi) AS skipped
+             FROM wk, bounds),
+      u AS (SELECT * FROM pn UNION ALL SELECT * FROM pw),
+      agg AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+                     CAST(sum(CASE WHEN skipped THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_skipped,
+                     CAST(sum(n) AS BIGINT) AS rows_total,
+                     CAST(sum(CASE WHEN NOT skipped THEN n ELSE 0 END)
+                       AS BIGINT) AS rows_scanned,
+                     CAST(sum(matched) AS BIGINT) AS rows_matched
+              FROM u GROUP BY 1)
+      SELECT layout, n_files, n_skipped, rows_total, rows_scanned,
+             rows_matched,
+             CASE WHEN rows_matched > 0
+               THEN CAST(rows_scanned * 1000 // rows_matched AS BIGINT)
+             END AS amp_e3
+      FROM agg"""
+
   val queries: Seq[Q] = Seq(
     Q("q_curriculum_order", curriculumOrder, Some(curriculumOracle)),
+    Q("q_zone_map_skip", zoneMapSkip, Some(zoneMapOracle)),
     Q("q_zorder_layout", zorderLayout, Some(zorderOracle)),
     Q("q_hilbert_layout", hilbertLayout, Some(hilbertOracle)),
 

@@ -1260,6 +1260,42 @@ object TextOps {
           .as("weight"))
   }
 
+  /** Temperature-based sampling weights per (source, language) — the
+    * multilingual-pretraining rebalance (XLM-R / mT5 style): sampling
+    * probability ∝ p^α flattens the corpus distribution so
+    * low-resource slices are seen more often without fully leveling
+    * them (α = 1 keeps natural proportions, α = 0 is uniform —
+    * [[mixtureWeights]]' target). α is fixed at 1/2 because p^(1/2)
+    * is sqrt — the ONE power IEEE 754 requires correctly rounded, so
+    * unlike exp(α·ln p) the weight is bit-identical in every engine;
+    * the normalizing T^α cancels in the ratio and never needs
+    * computing. Token counts are exact BIGINTs from one
+    * map-side-combinable aggregate; per-group sqrt floors to an e3
+    * grid BEFORE the integer normalization so the group sum is
+    * order-independent; p/q shares and the boost q/p are exact
+    * integer divisions (ppm / e3 grids), the token total carried
+    * through DECIMAL(38,0)/HUGEINT because toks·1e6 overflows int64
+    * at real corpus sizes. |sources×langs| rows out. */
+  private def alphaSampling(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bySrc = Tables.documents(s, d)
+      .select($"source", $"lang",
+        size(split($"text", "\\s+")).cast("long").as("toks"))
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("toks"))
+      .withColumn("w_e3",
+        floor(sqrt($"toks".cast("double")) * lit(1000.0)))
+    val tot = bySrc.agg(sum($"toks").as("tot_toks"),
+      sum($"w_e3").as("tot_w_e3"))
+    bySrc.crossJoin(broadcast(tot))
+      .select($"source", $"lang", $"n_docs", $"toks", $"w_e3",
+        expr("CAST(CAST(toks AS DECIMAL(38,0)) * 1000000" +
+          " div tot_toks AS BIGINT)").as("p_ppm"),
+        expr("w_e3 * 1000000 div tot_w_e3").as("q_ppm"))
+      .withColumn("boost_e3",
+        when($"p_ppm" > 0, expr("q_ppm * 1000 div p_ppm")))
+  }
+
   /** C4-style text normalization — the cleaning projection every
     * corpus pass starts with: lowercase, strip non-alphanumerics,
     * collapse whitespace runs, trim. Scan-local expressions (no
@@ -2556,6 +2592,29 @@ object TextOps {
              round(n * 1.0 / tot_n, 4) AS actual_share,
              round((1.0 / n_langs) / (n * 1.0 / tot_n), 4) AS weight
       FROM by_lang, tot""")),
+
+    Q("q_alpha_sampling", alphaSampling, Some("""
+      WITH b AS (SELECT source, lang,
+                        CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(len(string_split_regex(text, '\s+')))
+                          AS BIGINT) AS toks
+                 FROM documents GROUP BY 1, 2),
+      w AS (SELECT *, CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1000.0)
+                        AS BIGINT) AS w_e3
+            FROM b),
+      t AS (SELECT CAST(sum(toks) AS BIGINT) AS tot_toks,
+                   CAST(sum(w_e3) AS BIGINT) AS tot_w_e3
+            FROM w)
+      SELECT source, lang, n_docs, toks, w_e3,
+             CAST(CAST(toks AS HUGEINT) * 1000000 // tot_toks
+               AS BIGINT) AS p_ppm,
+             CAST(w_e3 * 1000000 // tot_w_e3 AS BIGINT) AS q_ppm,
+             CASE WHEN CAST(toks AS HUGEINT) * 1000000 // tot_toks > 0
+               THEN CAST((w_e3 * 1000000 // tot_w_e3) * 1000
+                 // (CAST(toks AS HUGEINT) * 1000000 // tot_toks)
+                 AS BIGINT)
+             END AS boost_e3
+      FROM w, t""")),
 
     Q("q_text_normalize", textNormalize, Some("""
       SELECT doc_id,

@@ -759,4 +759,70 @@ class InferenceSpec extends AnyFunSuite {
         (grid.last - grid.head) * 100, s"$ty bound")
     }
   }
+
+  /** Brute z_e4 grid exactly as zGridDaily derives it. */
+  private def zGrid(xs: Seq[Long]): Seq[Long] = {
+    val n = xs.length.toLong
+    val (mn, mx, sc) = (xs.min, xs.max, xs.sum)
+    xs.map(x => math.floor((n * x - sc).toDouble * 10000.0 /
+      (n * (mx - mn))).toLong)
+  }
+
+  test("q_jarque_bera: moment sums replay from a brute z-grid walk; " +
+    "Pearson's kurtosis-skewness inequality holds") {
+    val got = SparkEntry.queries("q_jarque_bera")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    var checked = 0
+    dailyRows.groupBy(_._1).foreach { case (ty, rs) =>
+      val xs = rs.map(_._3)
+      val n = xs.length.toLong
+      if (n >= 8 && xs.max > xs.min) {
+        val z = zGrid(xs)
+        val m2 = z.map(v => v * v).sum
+        val m3 = z.map(v => v * v * v).sum
+        val m4 = z.map(v => v * v * v * v).sum
+        val row = got(ty)
+        assert(row.getAs[Long]("n_days") === n, s"$ty n")
+        assert(row.getAs[Long]("m2") === m2, s"$ty m2")
+        assert(row.getAs[Long]("m3") === m3, s"$ty m3")
+        assert(row.getAs[Long]("m4") === m4, s"$ty m4")
+        val sk = math.sqrt(n.toDouble) * m3 / (m2 * math.sqrt(m2.toDouble))
+        val kt = n.toDouble * m4 / (m2.toDouble * m2)
+        assert(row.getAs[Long]("skew_e6") ===
+          math.floor(sk * 1000000.0).toLong, s"$ty skew")
+        assert(row.getAs[Long]("kurt_e6") ===
+          math.floor(kt * 1000000.0).toLong, s"$ty kurt")
+        assert(row.getAs[Long]("jb_e3") >= 0L, s"$ty jb nonneg")
+        // Pearson: kurtosis >= skewness^2 + 1 for any distribution
+        assert(kt >= sk * sk + 1.0 - 1e-9, s"$ty pearson")
+        checked += 1
+      }
+    }
+    assert(checked > 0 && got.size === checked)
+  }
+
+  test("q_durbin_watson: statistic replays from the ordered z-grid " +
+    "walk and sits in [0, 4]") {
+    val got = SparkEntry.queries("q_durbin_watson")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    dailyRows.groupBy(_._1).foreach { case (ty, rs) =>
+      val xs = rs.sortBy(_._2).map(_._3) // ISO day strings sort by time
+      val n = xs.length.toLong
+      if (n >= 8 && xs.max > xs.min) {
+        val z = zGrid(xs)
+        val z2 = z.map(v => v * v).sum
+        val dz2 = z.drop(1).zip(z)
+          .map { case (cur, prev) => (cur - prev) * (cur - prev) }.sum
+        val row = got(ty)
+        assert(row.getAs[Long]("n_days") === n, s"$ty n")
+        assert(row.getAs[Long]("sum_z2") === z2, s"$ty z2")
+        assert(row.getAs[Long]("sum_dz2") === dz2, s"$ty dz2")
+        val dw = dz2 * 1000000L / z2
+        assert(row.getAs[Long]("dw_e6") === dw, s"$ty dw")
+        // (a-b)^2 <= 2a^2 + 2b^2 summed over the chain bounds DW by 4
+        assert(dw >= 0L && dw <= 4000000L, s"$ty range")
+      }
+    }
+    assert(got.nonEmpty)
+  }
 }

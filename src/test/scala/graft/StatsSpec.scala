@@ -1218,4 +1218,37 @@ class StatsSpec extends AnyFunSuite {
     // group's t by construction of the normalization)
     assert(got.nonEmpty)
   }
+
+  test("q_ridge_trend: moments replay from a brute pass and the " +
+    "shrinkage path is monotone toward zero") {
+    val events = Tables.events(spark, sf)
+      .select($"event_type",
+        datediff($"ts".cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("y"))
+      .filter($"y".isNotNull)
+      .as[(String, Long, Long)].collect().toSeq
+    val got = SparkEntry.queries("q_ridge_trend")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    events.groupBy(_._1).foreach { case (ty, rs) =>
+      val n = rs.length.toLong
+      val sx = rs.map(_._2).sum
+      val sy = rs.map(_._3).sum
+      val sxy = rs.map(r => r._2 * r._3).sum
+      val sxx = rs.map(r => r._2 * r._2).sum
+      val (num, den) = (n * sxy - sx * sy, n * sxx - sx * sx)
+      val row = got(ty)
+      assert(row.getAs[Long]("sxy_c") === num, s"$ty num")
+      assert(row.getAs[Long]("sxx_c") === den, s"$ty den")
+      val s0 = row.getAs[Long]("slope0_e6")
+      val s10 = row.getAs[Long]("slope10_e6")
+      val s50 = row.getAs[Long]("slope50_e6")
+      assert(s0 === BigInt(num) * 1000000 / den, s"$ty s0")
+      assert(s10 === BigInt(num) * 1000000 / (den + den / 10), s"$ty s10")
+      assert(s50 === BigInt(num) * 1000000 / (den + den / 2), s"$ty s50")
+      // larger penalty never grows the slope magnitude
+      assert(s50.abs <= s10.abs && s10.abs <= s0.abs, s"$ty monotone")
+    }
+    assert(got.nonEmpty)
+  }
 }

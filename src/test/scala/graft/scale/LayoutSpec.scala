@@ -190,4 +190,46 @@ class LayoutSpec extends AnyFunSuite {
     val ids1 = first.map(_.getAs[Long]("doc_id")).toSeq
     assert(ids1 !== ids1.sorted, "in-bucket shuffle missing")
   }
+
+  test("q_zone_map_skip: accounting reconciles with a brute file walk " +
+      "and date clustering strictly reduces the scan") {
+    val rows = SparkEntry.queries("q_zone_map_skip")(spark, sf)
+      .collect().map(r => r.getAs[String]("layout") -> r).toMap
+    assert(rows.keySet === Set("natural", "date_weekly"))
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey",
+        datediff($"l_shipdate".cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("ship_day"))
+      .as[(Long, Long)].collect().toSeq
+    val lo = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi = java.time.LocalDate.of(1996, 3, 31).toEpochDay
+    def brute(fid: ((Long, Long)) => Long) = {
+      val files = li.groupBy(fid).values.toSeq
+      val skipped = files.filter(f =>
+        f.map(_._2).max < lo || f.map(_._2).min > hi)
+      val scanned = files.filter(f =>
+        !(f.map(_._2).max < lo || f.map(_._2).min > hi))
+      (files.size.toLong, skipped.size.toLong,
+        scanned.map(_.size.toLong).sum,
+        li.count(r => r._2 >= lo && r._2 <= hi).toLong)
+    }
+    Seq("natural" -> ((r: (Long, Long)) => r._1 / 4096),
+      "date_weekly" -> ((r: (Long, Long)) => r._2 / 7))
+      .foreach { case (name, fid) =>
+        val (nf, nskip, scanned, matched) = brute(fid)
+        val row = rows(name)
+        assert(row.getAs[Long]("n_files") === nf, s"$name files")
+        assert(row.getAs[Long]("n_skipped") === nskip, s"$name skip")
+        assert(row.getAs[Long]("rows_total") === li.size.toLong)
+        assert(row.getAs[Long]("rows_scanned") === scanned, s"$name scan")
+        assert(row.getAs[Long]("rows_matched") === matched, s"$name match")
+        // zone maps are sound: every matching row is in a scanned file
+        assert(scanned >= matched, s"$name soundness")
+      }
+    // the layout contrast the operator exists to demonstrate
+    assert(rows("date_weekly").getAs[Long]("rows_scanned") <
+      rows("natural").getAs[Long]("rows_scanned"))
+    assert(rows("date_weekly").getAs[Long]("amp_e3") <
+      rows("natural").getAs[Long]("amp_e3"))
+  }
 }

@@ -1442,4 +1442,30 @@ class ScaleSpec extends AnyFunSuite {
       .agg(sum($"nf")).head().getLong(0)
     assert(rows.map(_.getAs[Long]("n_feats")).sum === expectFeats)
   }
+
+  test("q_alpha_sampling: weights replay from sqrt(toks); shares " +
+      "normalize to 1e6 up to floor dust; sampling flattens ratios") {
+    val rows = SparkEntry.queries("q_alpha_sampling")(spark, sf).collect()
+    assert(rows.length > 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("w_e3") ===
+        math.floor(math.sqrt(r.getAs[Long]("toks").toDouble) * 1000.0)
+          .toLong)
+    }
+    val dust = rows.length.toLong
+    Seq("p_ppm", "q_ppm").foreach { c =>
+      val tot = rows.map(_.getAs[Long](c)).sum
+      assert(tot <= 1000000L && tot >= 1000000L - dust, s"$c sums to $tot")
+    }
+    // temperature < 1 flattens: the largest/smallest share ratio
+    // strictly shrinks from p to q
+    val maxP = rows.maxBy(_.getAs[Long]("p_ppm"))
+    val minP = rows.minBy(_.getAs[Long]("p_ppm"))
+    assert(maxP.getAs[Long]("q_ppm") * minP.getAs[Long]("p_ppm") <
+      maxP.getAs[Long]("p_ppm") * minP.getAs[Long]("q_ppm"),
+      "q ratio must shrink vs p ratio")
+    // boost is >= 1 for the rarest slice, <= 1 for the biggest
+    assert(minP.getAs[Long]("boost_e3") >= 1000L)
+    assert(maxP.getAs[Long]("boost_e3") <= 1000L)
+  }
 }
