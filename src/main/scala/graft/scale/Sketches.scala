@@ -196,7 +196,77 @@ object Sketches {
         $"n_exact")
   }
 
+  /** Count-Min row-multiplier constants (pairwise-independent-ish
+    * Lehmer multipliers) and table width for [[countMinTable]]. */
+  private val CmtA = Seq(1000003L, 48271L, 69621L, 40692L)
+  private val CmtP = 2147483647L
+  private val CmtW = 256L
+
+  /** Count-Min point estimates, REPLAYED cell by cell — the companion
+    * to q_heavy_hitters that opens the sketch box: where that query
+    * treats the CMS as a black-box [[Aggregator]] and oracles only the
+    * exact survivor counts, this one builds the whole d=4 × w=256
+    * table in plain relational algebra (explode 4 integer Lehmer
+    * hashes per event, ONE map-side-combinable groupBy → 1024 cells —
+    * the table stays 1024 rows at ANY event volume, the textbook
+    * mergeable-sketch property) so DuckDB reproduces every cell and
+    * the estimates are pinned bit-for-bit, not bounds-only. The probe
+    * side takes the 10 heaviest users exactly (TakeOrderedAndProject —
+    * no global window), broadcasts their 40 (row, bucket) probes into
+    * the tiny cell table, and emits est = min over rows beside the
+    * exact count: overcount ≥ 0 (CMS never undercounts) and the
+    * ε = 2/w Markov bound land as deterministic flag columns the
+    * oracle must match. */
+  private def countMinTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def h(i: Int, u: org.apache.spark.sql.Column) =
+      pmod(pmod((u + 1L) * CmtA(i), lit(CmtP)), lit(CmtW))
+    def hashes(u: org.apache.spark.sql.Column) =
+      posexplode(array(CmtA.indices.map(i => h(i, u)): _*))
+        .as(Seq("row_i", "bucket"))
+    val ev = Tables.events(s, d).select($"user_id")
+    val cells = ev.select(hashes($"user_id"))
+      .groupBy($"row_i", $"bucket").agg(count(lit(1)).as("cnt"))
+    val tot = ev.agg(count(lit(1)).as("n_total"))
+    val top = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy($"exact_cnt".desc, $"user_id".asc).limit(10)
+    top.select($"user_id", $"exact_cnt", hashes($"user_id"))
+      .join(broadcast(cells), Seq("row_i", "bucket"))
+      .groupBy($"user_id", $"exact_cnt")
+      .agg(min($"cnt").as("est_cnt"))
+      .crossJoin(broadcast(tot))
+      .select($"user_id", $"exact_cnt", $"est_cnt", $"n_total",
+        ($"est_cnt" - $"exact_cnt").as("overcount"),
+        (($"est_cnt" - $"exact_cnt") * CmtW <= $"n_total" * 2L)
+          .as("within_bound"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_count_min_table", countMinTable, Some("""
+      WITH a(i, m) AS (VALUES (0, 1000003), (1, 48271), (2, 69621),
+                              (3, 40692)),
+      ev AS (SELECT user_id FROM events),
+      cells AS (SELECT i AS row_i,
+                       ((user_id + 1) * m % 2147483647) % 256
+                         AS bucket,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM ev, a GROUP BY 1, 2),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ev),
+      top AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+              FROM ev GROUP BY 1
+              ORDER BY exact_cnt DESC, user_id ASC LIMIT 10),
+      th AS (SELECT user_id, exact_cnt, i AS row_i,
+                    ((user_id + 1) * m % 2147483647) % 256 AS bucket
+             FROM top, a),
+      probes AS (SELECT user_id, exact_cnt,
+                        CAST(min(cnt) AS BIGINT) AS est_cnt
+                 FROM th JOIN cells USING (row_i, bucket)
+                 GROUP BY 1, 2)
+      SELECT user_id, exact_cnt, est_cnt, n_total,
+             CAST(est_cnt - exact_cnt AS BIGINT) AS overcount,
+             (est_cnt - exact_cnt) * 256 <= n_total * 2
+               AS within_bound
+      FROM probes, tot""")),
     Q("q_approx_distinct_kmv", kmvDistinct, Some(s"""
       WITH h AS (SELECT DISTINCT
                    ((${TextOps.polyHashSql("CAST(o_custkey AS VARCHAR)", 31L)})

@@ -1296,6 +1296,39 @@ object TextOps {
         when($"p_ppm" > 0, expr("q_ppm * 1000 div p_ppm")))
   }
 
+  /** Flesch readability rollup per (lang, source) — the classic
+    * surface-form readability pair (Flesch Reading Ease + the
+    * Flesch–Kincaid grade) computed corpus-side as a data-quality
+    * facet: word counts from the whitespace split, sentences from
+    * punctuation runs (floored at 1 per document so unpunctuated docs
+    * count as one long sentence, the honest worst case), syllables by
+    * the standard vowel-group proxy ([aeiouy]+ runs — deterministic,
+    * language-blind, and what every fast readability library ships).
+    * All three counts are per-row regexp_count integers summed in ONE
+    * map-side-combinable aggregate; the two formulas are short
+    * identical double expressions over the exact group sums
+    * (micro-averaged: ratios of sums, not means of ratios), floored
+    * to e3. |langs×sources| rows out at any corpus size. */
+  private def readability(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"lang", $"source",
+        size(split($"text", "\\s+")).cast("long").as("w"),
+        greatest(expr("regexp_count(text, '[.!?]+')").cast("long"),
+          lit(1L)).as("sents"),
+        expr("regexp_count(lower(text), '[aeiouy]+')").cast("long")
+          .as("syl"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"w").as("words"),
+        sum($"sents").as("sents"), sum($"syl").as("syllables"))
+      .withColumn("fre_e3", floor((lit(206.835)
+        - lit(1.015) * $"words" / $"sents"
+        - lit(84.6) * $"syllables" / $"words") * lit(1000.0)))
+      .withColumn("fk_grade_e3", floor((lit(0.39) * $"words" / $"sents"
+        + lit(11.8) * $"syllables" / $"words" - lit(15.59))
+        * lit(1000.0)))
+  }
+
   /** C4-style text normalization — the cleaning projection every
     * corpus pass starts with: lowercase, strip non-alphanumerics,
     * collapse whitespace runs, trim. Scan-local expressions (no
@@ -2615,6 +2648,29 @@ object TextOps {
                  AS BIGINT)
              END AS boost_e3
       FROM w, t""")),
+
+    Q("q_readability", readability, Some("""
+      WITH p AS (SELECT lang, source,
+                        CAST(len(string_split_regex(text, '\s+'))
+                          AS BIGINT) AS w,
+                        CAST(greatest(len(regexp_extract_all(text,
+                          '[.!?]+')), 1) AS BIGINT) AS sents,
+                        CAST(len(regexp_extract_all(lower(text),
+                          '[aeiouy]+')) AS BIGINT) AS syl
+                 FROM documents),
+      a AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(w) AS BIGINT) AS words,
+                   CAST(sum(sents) AS BIGINT) AS sents,
+                   CAST(sum(syl) AS BIGINT) AS syllables
+            FROM p GROUP BY 1, 2)
+      SELECT lang, source, n_docs, words, sents, syllables,
+             CAST(floor((206.835 - 1.015 * CAST(words AS DOUBLE) / sents
+               - 84.6 * CAST(syllables AS DOUBLE) / words) * 1000.0)
+               AS BIGINT) AS fre_e3,
+             CAST(floor((0.39 * CAST(words AS DOUBLE) / sents
+               + 11.8 * CAST(syllables AS DOUBLE) / words - 15.59)
+               * 1000.0) AS BIGINT) AS fk_grade_e3
+      FROM a""")),
 
     Q("q_text_normalize", textNormalize, Some("""
       SELECT doc_id,

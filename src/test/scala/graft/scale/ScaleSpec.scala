@@ -1468,4 +1468,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(minP.getAs[Long]("boost_e3") >= 1000L)
     assert(maxP.getAs[Long]("boost_e3") <= 1000L)
   }
+
+  test("q_readability: counts replay from per-doc regex walks and " +
+      "both formulas recompute from the group sums") {
+    val rows = SparkEntry.queries("q_readability")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"source", $"text")
+      .as[(String, String, String)].collect()
+    val groups = docs.groupBy(d => (d._1, d._2))
+    assert(rows.length === groups.size)
+    rows.foreach { r =>
+      val g = groups((r.getAs[String]("lang"), r.getAs[String]("source")))
+      // limit -1 matches Spark's split (trailing empties retained)
+      val words = g.map(_._3.split("\\s+", -1).length.toLong).sum
+      val sents = g.map(d =>
+        math.max("[.!?]+".r.findAllIn(d._3).length, 1).toLong).sum
+      val syl = g.map(d =>
+        "[aeiouy]+".r.findAllIn(d._3.toLowerCase).length.toLong).sum
+      assert(r.getAs[Long]("n_docs") === g.length.toLong)
+      assert(r.getAs[Long]("words") === words)
+      assert(r.getAs[Long]("sents") === sents)
+      assert(r.getAs[Long]("syllables") === syl)
+      assert(r.getAs[Long]("fre_e3") === math.floor((206.835
+        - 1.015 * words / sents - 84.6 * syl / words) * 1000.0).toLong)
+      assert(r.getAs[Long]("fk_grade_e3") === math.floor((0.39 * words
+        / sents + 11.8 * syl / words - 15.59) * 1000.0).toLong)
+    }
+  }
 }

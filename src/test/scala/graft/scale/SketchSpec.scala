@@ -109,4 +109,33 @@ class SketchSpec extends AnyFunSuite {
     // partial layout differs; merged table must not
     assert(a.head().getSeq[Long](0) === b.head().getSeq[Long](0))
   }
+
+  test("q_count_min_table: estimates replay from a brute 4x256 table, " +
+      "never undercount, and honor the epsilon bound flag") {
+    val rows = graft.SparkEntry.queries("q_count_min_table")(
+      SparkTestSession.spark, sf).collect()
+    assert(rows.length === 10)
+    val users = Tables.events(SparkTestSession.spark, sf)
+      .select($"user_id").as[Long].collect()
+    val as = Seq(1000003L, 48271L, 69621L, 40692L)
+    val cells = scala.collection.mutable.Map
+      .empty[(Int, Long), Long].withDefaultValue(0L)
+    users.foreach(u => as.indices.foreach(i =>
+      cells((i, (u + 1) * as(i) % 2147483647L % 256L)) += 1L))
+    val exact = users.groupBy(identity).view.mapValues(_.length.toLong)
+    val expectTop = exact.toSeq.sortBy { case (u, c) => (-c, u) }.take(10)
+    assert(rows.map(r => r.getAs[Long]("user_id") ->
+      r.getAs[Long]("exact_cnt")).sortBy(p => (-p._2, p._1)).toSeq
+      === expectTop)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val est = as.indices
+        .map(i => cells((i, (u + 1) * as(i) % 2147483647L % 256L))).min
+      assert(r.getAs[Long]("est_cnt") === est, s"user $u est")
+      assert(r.getAs[Long]("overcount") >= 0L, s"user $u CMS undercounted")
+      assert(r.getAs[Long]("n_total") === users.length.toLong)
+      assert(r.getAs[Boolean]("within_bound") ===
+        (r.getAs[Long]("overcount") * 256L <= users.length.toLong * 2L))
+    }
+  }
 }
