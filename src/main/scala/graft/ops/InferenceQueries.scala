@@ -942,6 +942,47 @@ object InferenceQueries {
           ($"n" * ($"mx" - $"mn"))))
   }
 
+  /** Grubbs-style maximum-studentized-deviation screen per
+    * daily-revenue series — "is the single most extreme day a
+    * statistical outlier, and which day is it": the monitoring
+    * question behind every incident-review dashboard. The deviation
+    * rides the exact BIGINT d = n·x − Σx (no mean division), and the
+    * squared studentized statistic clears to ONE exact rational:
+    * G² = (x−x̄)²/s² = d² / (n·Σx² − (Σx)²) — numerator and
+    * denominator both exact, the ppm emit carried through
+    * DECIMAL(38,0)/HUGEINT because d² wraps int64 at real daily
+    * volumes. The 3σ flag is the same algebra cross-multiplied
+    * (d² > 9·(nΣx²−S²)), so the whole test is float-free. The peak
+    * day is an argmax via min(struct(−|d|, day)) — map-side
+    * combinable, deterministic smaller-day tie-break. Shape: daily
+    * rollup, |types|-row totals broadcast back, one argmax aggregate. */
+  private def grubbsOutlier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = dailyCents(s, d)
+    // Σx² (and everything touching it) rides DECIMAL(38,0): n·Σx²
+    // exceeds int64 already at sf0.1 daily volumes (365·(1.7e7¢)²).
+    val tot = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sc"),
+        sum($"cents".cast("decimal(38,0)") * $"cents").as("sq"))
+      .withColumn("var_n2",
+        $"n" * $"sq" - $"sc".cast("decimal(38,0)") * $"sc")
+      .filter($"n" >= 8 && $"var_n2" > 0)
+    daily.join(broadcast(tot), Seq("event_type"))
+      .withColumn("adev", abs($"n" * $"cents" - $"sc"))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n_days"), max($"var_n2").as("var_n2"),
+        min(struct((-$"adev").as("na"), $"day")).as("pk"))
+      .select($"event_type", $"n_days", $"var_n2",
+        $"pk.day".as("peak_day"), (-$"pk.na").as("peak_adev"))
+      .withColumn("g2_ppm",
+        expr("CAST(CAST(peak_adev AS DECIMAL(38,0)) * peak_adev" +
+          " * 1000000 div var_n2 AS BIGINT)"))
+      .withColumn("beyond_3sigma",
+        expr("CAST(peak_adev AS DECIMAL(38,0)) * peak_adev" +
+          " > var_n2 * 9"))
+      .drop("var_n2")
+  }
+
   /** Jarque–Bera normality test per daily-revenue series — the
     * moment-based screen (skewness² + excess-kurtosis²) a metrics
     * pipeline runs before trusting any Gaussian-assuming monitor
@@ -1786,6 +1827,37 @@ object InferenceQueries {
               FROM lagd GROUP BY 1)
       SELECT event_type, n_days, sum_z2, sum_dz2,
              CAST(sum_dz2 * 1000000 // sum_z2 AS BIGINT) AS dw_e6
-      FROM agg WHERE sum_z2 > 0"""))
+      FROM agg WHERE sum_z2 > 0""")),
+
+    Q("q_grubbs_outlier", grubbsOutlier, Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      daily AS (SELECT event_type, day,
+                       CAST(sum(cents) AS BIGINT) AS cents
+                FROM e GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS sc,
+                     sum(CAST(cents AS HUGEINT) * cents) AS sq
+              FROM daily GROUP BY 1),
+      tv AS (SELECT *, n * sq - CAST(sc AS HUGEINT) * sc AS var_n2
+             FROM tot
+             WHERE n >= 8 AND n * sq > CAST(sc AS HUGEINT) * sc),
+      dev AS (SELECT daily.event_type AS event_type, day, n, var_n2,
+                     abs(n * cents - sc) AS adev
+              FROM daily JOIN tv ON daily.event_type = tv.event_type),
+      pk AS (SELECT event_type, n AS n_days, var_n2, day,
+                    CAST(adev AS BIGINT) AS peak_adev
+             FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                     ORDER BY adev DESC, day ASC) AS rn
+                   FROM dev)
+             WHERE rn = 1)
+      SELECT event_type, n_days, day AS peak_day, peak_adev,
+             CAST(CAST(peak_adev AS HUGEINT) * peak_adev * 1000000
+               // var_n2 AS BIGINT) AS g2_ppm,
+             CAST(peak_adev AS HUGEINT) * peak_adev
+               > var_n2 * 9 AS beyond_3sigma
+      FROM pk"""))
   )
 }

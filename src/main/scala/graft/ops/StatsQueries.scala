@@ -1830,6 +1830,176 @@ object StatsQueries {
         ($"rn" === 1).as("is_best"))
   }
 
+  /** Partial correlation of daily revenue and daily event count,
+    * CONTROLLING for day-of-week — the confound-aware dependence
+    * measure: raw corr(revenue, volume) is inflated by their shared
+    * weekly seasonality, and the partial r_xy·z = (r_xy − r_xz·r_yz)
+    * / √((1−r_xz²)(1−r_yz²)) subtracts exactly the part both series
+    * owe to the weekday. All nine moment sums land in ONE map-side
+    * combinable aggregate over the daily grain; second moments ride
+    * DECIMAL(38,0) (Σx² wraps int64 at real daily volumes — the
+    * grubbs lesson), covariances are formed in double (welch
+    * discipline) and the three r's plus the partial are identical
+    * short double expressions floored to e6. |types| rows out. */
+  private def partialCorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("x"), count(lit(1)).as("y"))
+      .withColumn("z", dayofweek($"day").cast("long"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val m = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"z").as("sz"),
+        sum(dec($"x") * $"y").as("sxy"), sum(dec($"x") * $"z").as("sxz"),
+        sum($"y" * $"z").as("syz"), sum(dec($"x") * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"), sum($"z" * $"z").as("szz"))
+      .filter($"n" >= 8)
+    def cv(sab: org.apache.spark.sql.Column, sa: org.apache.spark.sql.Column,
+        sb: org.apache.spark.sql.Column) =
+      $"n".cast("double") * sab.cast("double") -
+        sa.cast("double") * sb.cast("double")
+    m.withColumn("rxy", cv($"sxy", $"sx", $"sy") /
+        sqrt(cv($"sxx", $"sx", $"sx") * cv($"syy", $"sy", $"sy")))
+      .withColumn("rxz", cv($"sxz", $"sx", $"sz") /
+        sqrt(cv($"sxx", $"sx", $"sx") * cv($"szz", $"sz", $"sz")))
+      .withColumn("ryz", cv($"syz", $"sy", $"sz") /
+        sqrt(cv($"syy", $"sy", $"sy") * cv($"szz", $"sz", $"sz")))
+      .select($"event_type", $"n".as("n_days"),
+        floor($"rxy" * lit(1000000.0)).as("rxy_e6"),
+        floor($"rxz" * lit(1000000.0)).as("rxz_e6"),
+        floor($"ryz" * lit(1000000.0)).as("ryz_e6"),
+        floor(($"rxy" - $"rxz" * $"ryz") /
+          sqrt((lit(1.0) - $"rxz" * $"rxz") *
+            (lit(1.0) - $"ryz" * $"ryz")) * lit(1000000.0))
+          .as("pcorr_e6"))
+  }
+
+  /** Daily z-grid with a per-series day index — the shared input of
+    * [[saxSymbols]] and [[matrixProfile]]: [[graft.ops.InferenceQueries]]'
+    * zGridDaily convention (exact n·x−Σx deviations over n·range, one
+    * double divide, floor to 1e-4 ints) plus rn = 1-based day rank
+    * within the series. The row_number window walks DAYS, not events
+    * — calendar-bounded at any corpus size. */
+  private def zDailyIndexed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("cents"))
+    val tot = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sc"),
+        min($"cents").as("mn"), max($"cents").as("mx"))
+      .filter($"n" >= 8 && $"mx" > $"mn")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day".asc)
+    daily.join(broadcast(tot), Seq("event_type"))
+      .withColumn("z_e4",
+        floor(($"n" * $"cents" - $"sc").cast("double") * lit(10000.0) /
+          ($"n" * ($"mx" - $"mn"))))
+      .withColumn("rn", row_number().over(w).cast("long"))
+  }
+
+  /** SAX symbolization (Piecewise Aggregate Approximation + Gaussian
+    * breakpoints) — the standard time-series-to-string compressor:
+    * each series collapses to one symbol per 7-day segment, the
+    * alphabet {a,b,c,d} cut at the N(0,1) quartiles ±0.6745, after
+    * which motif search / anomaly grep run on STRINGS. On the
+    * [[zDailyIndexed]] grid the segment mean never needs computing:
+    * the breakpoint test Σz/cnt < b is cross-multiplied to
+    * Σz < b·cnt, so the whole symbolization is exact integer algebra
+    * on the e4 grid (breakpoints ±6745). One map-side segment rollup;
+    * |types|·|segments| rows — calendar-bounded at any volume. */
+  private def saxSymbols(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    zDailyIndexed(s, d)
+      .withColumn("seg", expr("(rn - 1) div 7"))
+      .groupBy($"event_type", $"seg")
+      .agg(count(lit(1)).as("n_days"), sum($"z_e4").as("sum_z_e4"))
+      .withColumn("symbol",
+        when($"sum_z_e4" < lit(-6745L) * $"n_days", "a")
+          .when($"sum_z_e4" < 0L, "b")
+          .when($"sum_z_e4" < lit(6745L) * $"n_days", "c")
+          .otherwise("d"))
+  }
+
+  /** Subsequence length and exclusion radius for [[matrixProfile]]. */
+  val MpWindow = 7
+  val MpExclusion = 4
+
+  /** Exact matrix profile over the daily series — THE time-series
+    * motif/discord primitive (Yeh et al.'s all-pairs subsequence
+    * search): for every 7-day window, the squared distance to its
+    * NEAREST non-trivial match (|i−j| ≥ 4 exclusion zone) in the same
+    * series. A small profile value = a repeated motif; the largest
+    * value = the series' unique discord (anomaly). Naively O(n²) in
+    * the series length — but n here is the DAY count, so the pair
+    * table is calendar-bounded (~66k pairs/series-year) and CONSTANT
+    * in event volume: the only data-sized work is the daily rollup.
+    * Distances are exact BIGINT sums over the e4 z-grid via a
+    * (pair × 7 offsets) equi-join — no arrays, no UDFs, and the same
+    * formulation replays verbatim in the oracle. Argmin ties resolve
+    * to the smaller match index. */
+  private def matrixProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val z = graft.GraftCaches.getOrPersist(s, s"stats.zdaily:$d") {
+      zDailyIndexed(s, d)
+    }
+    val starts = z.filter($"rn" + (MpWindow - 1) <= $"n")
+      .select($"event_type", $"rn", $"day")
+    val pairs = starts.select($"event_type", $"rn".as("i"))
+      .join(starts.select($"event_type", $"rn".as("j")),
+        Seq("event_type"))
+      .filter($"j" >= $"i" + MpExclusion)
+    val zi = z.select($"event_type", $"rn".as("pi"), $"z_e4".as("vi"))
+    val zj = z.select($"event_type", $"rn".as("pj"), $"z_e4".as("vj"))
+    val d2 = pairs
+      .withColumn("k", explode(sequence(lit(0L), lit(MpWindow - 1L))))
+      .withColumn("pi", $"i" + $"k").withColumn("pj", $"j" + $"k")
+      .join(zi, Seq("event_type", "pi"))
+      .join(zj, Seq("event_type", "pj"))
+      .groupBy($"event_type", $"i", $"j")
+      .agg(sum(($"vi" - $"vj") * ($"vi" - $"vj")).as("d2"))
+    val both = d2.select($"event_type", $"i", $"j", $"d2")
+      .unionAll(d2.select($"event_type", $"j".as("i"), $"i".as("j"),
+        $"d2"))
+    both.groupBy($"event_type", $"i")
+      .agg(min(struct($"d2", $"j")).as("m"))
+      .join(starts.select($"event_type", $"rn".as("i"), $"day"),
+        Seq("event_type", "i"))
+      .select($"event_type", $"i", $"day",
+        $"m.d2".as("mp_d2"), $"m.j".as("mp_j"))
+  }
+
+  /** Shared daily z-grid CTE prefix (ends defining `z` with columns
+    * event_type, day, n, z_e4, rn) for the SAX / matrix-profile
+    * oracles — mirrors [[zDailyIndexed]]. */
+  private val ZDailyCtes = """
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      daily AS (SELECT event_type, day,
+                       CAST(sum(cents) AS BIGINT) AS cents
+                FROM e GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS sc,
+                     min(cents) AS mn, max(cents) AS mx
+              FROM daily GROUP BY 1
+              HAVING count(*) >= 8 AND max(cents) > min(cents)),
+      z AS (SELECT daily.event_type AS event_type, day, n,
+                   CAST(floor(CAST(n * cents - sc AS DOUBLE) * 10000.0
+                     / (n * (mx - mn))) AS BIGINT) AS z_e4,
+                   CAST(row_number() OVER (
+                     PARTITION BY daily.event_type
+                     ORDER BY day ASC) AS BIGINT) AS rn
+            FROM daily JOIN tot ON daily.event_type = tot.event_type)"""
+
   val queries: Seq[Q] = Seq(
     Q("q_outlier_iqr", outlierIqr, Some("""
       WITH f AS (SELECT event_type,
@@ -3118,6 +3288,105 @@ object StatsQueries {
         FROM e)
       SELECT CAST(lag AS BIGINT) AS lag, n_days, corr_e6,
              rn = 1 AS is_best
-      FROM r"""))
+      FROM r""")),
+
+    Q("q_partial_corr", partialCorr, Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      daily AS (SELECT event_type, day,
+                       CAST(sum(cents) AS BIGINT) AS x,
+                       CAST(count(*) AS BIGINT) AS y
+                FROM e GROUP BY 1, 2),
+      dz AS (SELECT *, CAST(isodow(day) % 7 + 1 AS BIGINT) AS z
+             FROM daily),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(z) AS BIGINT) AS sz,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * z) AS sxz,
+                   CAST(sum(y * z) AS BIGINT) AS syz,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(z * z) AS BIGINT) AS szz
+            FROM dz GROUP BY 1 HAVING count(*) >= 8),
+      r AS (SELECT event_type, n,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     AS rxy,
+                   (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+                     AS rxz,
+                   (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+                     AS ryz
+            FROM m)
+      SELECT event_type, n AS n_days,
+             CAST(floor(rxy * 1000000.0) AS BIGINT) AS rxy_e6,
+             CAST(floor(rxz * 1000000.0) AS BIGINT) AS rxz_e6,
+             CAST(floor(ryz * 1000000.0) AS BIGINT) AS ryz_e6,
+             CAST(floor((rxy - rxz * ryz)
+               / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+               * 1000000.0) AS BIGINT) AS pcorr_e6
+      FROM r""")),
+
+    Q("q_sax_symbols", saxSymbols, Some(s"""
+      $ZDailyCtes
+      SELECT event_type, seg, n_days, sum_z_e4,
+             CASE WHEN sum_z_e4 < -6745 * n_days THEN 'a'
+                  WHEN sum_z_e4 < 0 THEN 'b'
+                  WHEN sum_z_e4 < 6745 * n_days THEN 'c'
+                  ELSE 'd' END AS symbol
+      FROM (SELECT event_type, CAST((rn - 1) // 7 AS BIGINT) AS seg,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(z_e4) AS BIGINT) AS sum_z_e4
+            FROM z GROUP BY 1, 2)""")),
+
+    Q("q_matrix_profile", matrixProfile, Some(s"""
+      $ZDailyCtes,
+      st AS (SELECT event_type, rn, day FROM z WHERE rn + 6 <= n),
+      pairs AS (SELECT a.event_type AS event_type, a.rn AS i,
+                       b.rn AS j
+                FROM st a JOIN st b ON a.event_type = b.event_type
+                  AND b.rn >= a.rn + 4),
+      pk AS (SELECT p.event_type AS event_type, i, j,
+                    i + r.range AS pi, j + r.range AS pj
+             FROM pairs p CROSS JOIN range(0, 7) r),
+      d2 AS (SELECT pk.event_type AS event_type, i, j,
+                    CAST(sum((zi.z_e4 - zj.z_e4)
+                      * (zi.z_e4 - zj.z_e4)) AS BIGINT) AS d2
+             FROM pk
+             JOIN z zi ON zi.event_type = pk.event_type
+               AND zi.rn = pk.pi
+             JOIN z zj ON zj.event_type = pk.event_type
+               AND zj.rn = pk.pj
+             GROUP BY 1, 2, 3),
+      u AS (SELECT event_type, i, j, d2 FROM d2
+            UNION ALL
+            SELECT event_type, j AS i, i AS j, d2 FROM d2),
+      mp AS (SELECT event_type, i, j AS mp_j, d2 AS mp_d2,
+                    row_number() OVER (PARTITION BY event_type, i
+                      ORDER BY d2 ASC, j ASC) AS rk
+             FROM u)
+      SELECT mp.event_type AS event_type, mp.i AS i, st.day AS day,
+             mp_d2, mp_j
+      FROM mp JOIN st ON st.event_type = mp.event_type
+        AND st.rn = mp.i
+      WHERE rk = 1"""))
   )
+
 }

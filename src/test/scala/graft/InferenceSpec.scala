@@ -801,6 +801,37 @@ class InferenceSpec extends AnyFunSuite {
     assert(checked > 0 && got.size === checked)
   }
 
+  test("q_grubbs_outlier: peak day and statistic replay from a brute " +
+    "walk; the 3-sigma flag is the same algebra cross-multiplied") {
+    val got = SparkEntry.queries("q_grubbs_outlier")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    var checked = 0
+    dailyRows.groupBy(_._1).foreach { case (ty, rs) =>
+      val xs = rs.map(_._3)
+      val n = xs.length.toLong
+      val sc = xs.sum
+      val varN2 = xs.map(x => BigInt(x) * x).sum * n - BigInt(sc) * sc
+      if (n >= 8 && varN2 > 0) {
+        val peak = rs.map(r => (r._2, (n * r._3 - sc).abs))
+          .sortBy { case (day, adev) => (-adev, day) }.head
+        val row = got(ty)
+        assert(row.getAs[Long]("n_days") === n, s"$ty n")
+        assert(row.getAs[java.sql.Date]("peak_day").toString === peak._1,
+          s"$ty day")
+        assert(row.getAs[Long]("peak_adev") === peak._2, s"$ty adev")
+        assert(row.getAs[Long]("g2_ppm") ===
+          (BigInt(peak._2) * peak._2 * 1000000 / varN2).toLong, s"$ty g2")
+        assert(row.getAs[Boolean]("beyond_3sigma") ===
+          (BigInt(peak._2) * peak._2 > varN2 * 9), s"$ty 3sigma")
+        // G^2 <= (n-1)^2/n * 1e6 ppm (max possible studentized dev)
+        assert(row.getAs[Long]("g2_ppm") <=
+          (n - 1) * (n - 1) * 1000000L / n, s"$ty bound")
+        checked += 1
+      }
+    }
+    assert(checked > 0 && got.size === checked)
+  }
+
   test("q_durbin_watson: statistic replays from the ordered z-grid " +
     "walk and sits in [0, 4]") {
     val got = SparkEntry.queries("q_durbin_watson")(spark, sf)

@@ -1251,4 +1251,130 @@ class StatsSpec extends AnyFunSuite {
     }
     assert(got.nonEmpty)
   }
+
+  /** (type, day, day_cents, day_count) rollup shared by the new
+    * time-series pins. */
+  private lazy val dailyXY: Seq[(String, String, Long, Long)] =
+    Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").cast("string").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("x"), count(lit(1)).as("y"))
+      .as[(String, String, Long, Long)].collect().toSeq
+
+  test("q_partial_corr: all three r's and the partial replay from " +
+    "brute moments; every coefficient sits in [-1, 1]") {
+    val got = SparkEntry.queries("q_partial_corr")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    dailyXY.groupBy(_._1).filter(_._2.length >= 8).foreach {
+      case (ty, rs) =>
+        val n = rs.length.toDouble
+        val x = rs.map(_._3.toDouble)
+        val y = rs.map(_._4.toDouble)
+        val z = rs.map { r =>
+          val d = java.time.LocalDate.parse(r._2)
+          (d.getDayOfWeek.getValue % 7 + 1).toDouble // Sunday=1 grid
+        }
+        def r2(a: Seq[Double], b: Seq[Double]): Double = {
+          val (sa, sb) = (a.sum, b.sum)
+          val sab = a.zip(b).map(p => p._1 * p._2).sum
+          val (saa, sbb) = (a.map(v => v * v).sum, b.map(v => v * v).sum)
+          (n * sab - sa * sb) /
+            math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+        }
+        val (rxy, rxz, ryz) = (r2(x, y), r2(x, z), r2(y, z))
+        val row = got(ty)
+        // brute doubles accumulate in a different order than the
+        // engine's exact-integer moments, so compare to 1 ulp of e6
+        assert((row.getAs[Long]("rxy_e6") -
+          math.floor(rxy * 1e6).toLong).abs <= 1, s"$ty rxy")
+        assert((row.getAs[Long]("rxz_e6") -
+          math.floor(rxz * 1e6).toLong).abs <= 1, s"$ty rxz")
+        assert((row.getAs[Long]("ryz_e6") -
+          math.floor(ryz * 1e6).toLong).abs <= 1, s"$ty ryz")
+        val pc = (rxy - rxz * ryz) /
+          math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+        assert((row.getAs[Long]("pcorr_e6") -
+          math.floor(pc * 1e6).toLong).abs <= 1, s"$ty pcorr")
+        Seq("rxy_e6", "rxz_e6", "ryz_e6", "pcorr_e6").foreach(c =>
+          assert(row.getAs[Long](c).abs <= 1000000L, s"$ty $c range"))
+    }
+    assert(got.nonEmpty)
+  }
+
+  /** Brute z_e4 with 1-based day rank, as zDailyIndexed derives it. */
+  private def zIndexed(rs: Seq[(String, String, Long, Long)])
+      : Seq[(Long, Long)] = {
+    val xs = rs.sortBy(_._2).map(_._3)
+    val n = xs.length.toLong
+    val (mn, mx, sc) = (xs.min, xs.max, xs.sum)
+    xs.zipWithIndex.map { case (x, i) =>
+      (i + 1L, math.floor((n * x - sc).toDouble * 10000.0 /
+        (n * (mx - mn))).toLong)
+    }
+  }
+
+  test("q_sax_symbols: segments and symbols replay from the brute " +
+    "z-grid; breakpoints are the Gaussian quartiles") {
+    val got = SparkEntry.queries("q_sax_symbols")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("seg")) -> r)
+      .toMap
+    var checked = 0
+    dailyXY.groupBy(_._1).foreach { case (ty, rs) =>
+      val xs = rs.map(_._3)
+      if (xs.length >= 8 && xs.max > xs.min) {
+        zIndexed(rs).groupBy { case (rn, _) => (rn - 1) / 7 }.foreach {
+          case (seg, zs) =>
+            val sum = zs.map(_._2).sum
+            val cnt = zs.length.toLong
+            val row = got((ty, seg))
+            assert(row.getAs[Long]("n_days") === cnt, s"$ty/$seg n")
+            assert(row.getAs[Long]("sum_z_e4") === sum, s"$ty/$seg sum")
+            val expect = if (sum < -6745 * cnt) "a"
+              else if (sum < 0) "b"
+              else if (sum < 6745 * cnt) "c" else "d"
+            assert(row.getAs[String]("symbol") === expect, s"$ty/$seg sym")
+            checked += 1
+        }
+      }
+    }
+    assert(checked > 0 && got.size === checked)
+  }
+
+  test("q_matrix_profile: profile equals a brute all-pairs scan with " +
+    "the exclusion zone; discord and motif are identifiable") {
+    val got = SparkEntry.queries("q_matrix_profile")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("i")) -> r)
+      .toMap
+    var checked = 0
+    dailyXY.groupBy(_._1).foreach { case (ty, rs) =>
+      val xs = rs.map(_._3)
+      if (xs.length >= 8 && xs.max > xs.min) {
+        val z = zIndexed(rs).map(_._2).toArray
+        val n = z.length
+        val starts = 0 until (n - 6)
+        if (starts.size > 4) {
+          starts.foreach { i =>
+            val cands = starts.filter(j => (j - i).abs >= 4)
+            if (cands.nonEmpty) {
+              val best = cands.map { j =>
+                val d2 = (0 until 7).map { k =>
+                  val dd = z(i + k) - z(j + k); dd * dd
+                }.sum
+                (d2, j + 1L)
+              }.min
+              val row = got((ty, i + 1L))
+              assert(row.getAs[Long]("mp_d2") === best._1, s"$ty/$i d2")
+              assert(row.getAs[Long]("mp_j") === best._2, s"$ty/$i j")
+              checked += 1
+            }
+          }
+        }
+      }
+    }
+    assert(checked > 0 && got.size === checked)
+  }
 }
