@@ -942,6 +942,56 @@ object InferenceQueries {
           ($"n" * ($"mx" - $"mn"))))
   }
 
+  /** Split-conformal prediction interval per event type — the
+    * distribution-free uncertainty wrapper: fit a (trivially simple)
+    * predictor on a TRAIN split, take the ceil(0.9·(n+1))-th smallest
+    * absolute residual on a disjoint CALIBRATION split as the
+    * interval half-width q̂, and the conformal guarantee says a fresh
+    * point lands inside ±q̂ with probability ≥ 90 % — verified here
+    * on a third TEST split, all three splits deterministic by
+    * event_id mod 4 (train {0,1}, calibrate {2}, test {3}). Float-
+    * free throughout: the predictor is the train mean as the exact
+    * rational S/n, residuals ride the cross-multiplied |n·x − S|
+    * grid, the order statistic is a row_number pick, and coverage is
+    * an exact integer comparison + one ppm division. Shape: one
+    * grouped pass for the fit, one bounded window on the calibration
+    * slice, map-side counting on test. */
+  private def conformalInterval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select($"event_type", $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        ($"event_id" % 4).as("split"))
+      .filter($"cents".isNotNull)
+    val fit = ev.filter($"split" <= 1).groupBy($"event_type")
+      .agg(count(lit(1)).as("n_tr"), sum($"cents").as("s_tr"))
+    val cal = ev.filter($"split" === 2)
+      .join(broadcast(fit), Seq("event_type"))
+      .withColumn("r", abs($"n_tr" * $"cents" - $"s_tr"))
+    val calN = cal.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_cal"))
+      .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
+    val qh = cal
+      .withColumn("rk", row_number().over(W.partitionBy($"event_type")
+        .orderBy($"r".asc, $"event_id".asc)))
+      .join(broadcast(calN), Seq("event_type"))
+      .filter($"rk" === $"k")
+      .select($"event_type", $"n_cal", $"k", $"r".as("qhat_scaled"))
+    ev.filter($"split" === 3)
+      .join(broadcast(fit), Seq("event_type"))
+      .join(broadcast(qh), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(max($"n_tr").as("n_train"), max($"n_cal").as("n_cal"),
+        max($"qhat_scaled").as("qhat_scaled"),
+        max(expr("qhat_scaled div n_tr")).as("qhat_cents"),
+        count(lit(1)).as("n_test"),
+        sum(when(abs($"n_tr" * $"cents" - $"s_tr") <= $"qhat_scaled",
+          1L).otherwise(0L)).as("n_covered"))
+      .withColumn("coverage_ppm",
+        expr("n_covered * 1000000 div n_test"))
+  }
+
   /** Grubbs-style maximum-studentized-deviation screen per
     * daily-revenue series — "is the single most extreme day a
     * statistical outlier, and which day is it": the monitoring
@@ -1858,6 +1908,51 @@ object InferenceQueries {
                // var_n2 AS BIGINT) AS g2_ppm,
              CAST(peak_adev AS HUGEINT) * peak_adev
                > var_n2 * 9 AS beyond_3sigma
-      FROM pk"""))
+      FROM pk""")),
+
+    Q("q_conformal_interval", conformalInterval, Some("""
+      WITH ev AS (SELECT event_type, event_id,
+                         CAST(CAST(value AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS cents,
+                         event_id % 4 AS split
+                  FROM events WHERE value IS NOT NULL),
+      fit AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_tr,
+                     CAST(sum(cents) AS BIGINT) AS s_tr
+              FROM ev WHERE split <= 1 GROUP BY 1),
+      cal AS (SELECT ev.event_type AS event_type, event_id,
+                     abs(n_tr * cents - s_tr) AS r
+              FROM ev JOIN fit ON ev.event_type = fit.event_type
+              WHERE split = 2),
+      cn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+                    (9 * (count(*) + 1) + 9) // 10 AS k
+             FROM cal GROUP BY 1),
+      qh AS (SELECT c.event_type AS event_type, n_cal,
+                    CAST(r AS BIGINT) AS qhat_scaled
+             FROM (SELECT *, row_number() OVER (
+                     PARTITION BY event_type
+                     ORDER BY r ASC, event_id ASC) AS rk
+                   FROM cal) c
+             JOIN cn ON c.event_type = cn.event_type AND c.rk = cn.k),
+      t AS (SELECT ev.event_type AS event_type, n_tr, s_tr, n_cal,
+                   qhat_scaled, cents
+            FROM ev JOIN fit ON ev.event_type = fit.event_type
+                    JOIN qh ON ev.event_type = qh.event_type
+            WHERE split = 3),
+      agg AS (SELECT event_type,
+                     CAST(max(n_tr) AS BIGINT) AS n_train,
+                     CAST(max(n_cal) AS BIGINT) AS n_cal,
+                     CAST(max(qhat_scaled) AS BIGINT) AS qhat_scaled,
+                     CAST(max(qhat_scaled // n_tr) AS BIGINT)
+                       AS qhat_cents,
+                     CAST(count(*) AS BIGINT) AS n_test,
+                     CAST(sum(CASE WHEN abs(n_tr * cents - s_tr)
+                         <= qhat_scaled THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_covered
+              FROM t GROUP BY 1)
+      SELECT event_type, n_train, n_cal, qhat_scaled, qhat_cents,
+             n_test, n_covered,
+             CAST(n_covered * 1000000 // n_test AS BIGINT)
+               AS coverage_ppm
+      FROM agg"""))
   )
 }

@@ -315,7 +315,90 @@ object Privacy {
         expr("(greatest(4 * k * n_obs - n, 0L) * 1000) div (3 * k)"))
   }
 
+  /** Per-event clamp bound (cents) for [[dpMean]] — the contribution
+    * cap that fixes the Laplace sensitivity. */
+  val DpClampCents = 50000L
+
+  /** Differentially-private per-type mean — the canonical DP release
+    * after [[dpHistogram]]'s counts: each event's contribution clamps
+    * to [0, C] (C = 500.00 — the sensitivity bound DP needs), the
+    * clamped SUM gets Laplace(C/ε) noise, the COUNT gets Laplace(1/ε),
+    * and the released mean is their ratio (the standard
+    * noisy-sum/noisy-count estimator). Noise is the same seedless
+    * replayable mechanism as the histogram: a per-row overflow-safe
+    * integer mix → u01 on the 1e-5 grid → inverse-CDF Laplace, with
+    * tid offsets 2·t−1 / 2·t giving the two draws independent
+    * uniforms. Exact-integer clamp + sums; the only doubles are the
+    * two noise terms and the final ratio, floored to e3. |types| rows
+    * from one map-side-combinable pass. */
+  private def dpMean(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    def lap(u01: org.apache.spark.sql.Column, scale: Double) =
+      when(u01 >= 0.5,
+        -log(lit(1.0) - lit(2.0) * (u01 - lit(0.5))) * lit(scale))
+        .otherwise(
+          log(lit(1.0) - lit(2.0) * (lit(0.5) - u01)) * lit(scale))
+    def u01(tid: org.apache.spark.sql.Column) =
+      ((tid * lit(1000003L)) % 4294967296L * lit(48271L))
+        .%(4294967296L).%(100000L).cast("double")
+        .+(lit(0.5))./(lit(100000.0))
+    Tables.events(s, d)
+      .select($"event_type",
+        least(greatest(($"value".cast("decimal(18,2)") * 100)
+          .cast("long"), lit(0L)), lit(DpClampCents)).as("clamped"))
+      .filter($"clamped".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_true"), sum($"clamped").as("sum_true"))
+      .withColumn("tid",
+        row_number().over(W.orderBy($"event_type")).cast("long"))
+      .select($"event_type", $"n_true", $"sum_true",
+        floor(($"sum_true" +
+          lap(u01($"tid" * 2 - 1), DpClampCents / DpEpsilon))
+          * lit(1000.0)).as("noisy_sum_e3"),
+        floor(($"n_true" + lap(u01($"tid" * 2), 1.0 / DpEpsilon))
+          * lit(1000.0)).as("noisy_n_e3"))
+      .filter($"noisy_n_e3" > 0)
+      .withColumn("dp_mean_e3",
+        expr("noisy_sum_e3 * 1000 div noisy_n_e3"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_dp_mean", dpMean, Some("""
+      WITH cl AS (SELECT event_type,
+                         least(greatest(CAST(CAST(value AS DECIMAL(18,2))
+                           * 100 AS BIGINT), 0), 50000) AS clamped
+                  FROM events WHERE value IS NOT NULL),
+      g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true,
+                   CAST(sum(clamped) AS BIGINT) AS sum_true
+            FROM cl GROUP BY 1),
+      r AS (SELECT *, CAST(row_number() OVER (ORDER BY event_type)
+                        AS BIGINT) AS tid
+            FROM g),
+      u AS (SELECT *,
+                   (CAST(((tid * 2 - 1) * 1000003) % 4294967296
+                     * 48271 % 4294967296 % 100000 AS DOUBLE) + 0.5)
+                     / 100000.0 AS u1,
+                   (CAST((tid * 2 * 1000003) % 4294967296
+                     * 48271 % 4294967296 % 100000 AS DOUBLE) + 0.5)
+                     / 100000.0 AS u2
+            FROM r),
+      n AS (SELECT event_type, n_true, sum_true,
+                   CAST(floor((sum_true +
+                     CASE WHEN u1 >= 0.5
+                       THEN -ln(1.0 - 2.0 * (u1 - 0.5)) * 50000.0
+                       ELSE ln(1.0 - 2.0 * (0.5 - u1)) * 50000.0 END)
+                     * 1000.0) AS BIGINT) AS noisy_sum_e3,
+                   CAST(floor((n_true +
+                     CASE WHEN u2 >= 0.5
+                       THEN -ln(1.0 - 2.0 * (u2 - 0.5)) * 1.0
+                       ELSE ln(1.0 - 2.0 * (0.5 - u2)) * 1.0 END)
+                     * 1000.0) AS BIGINT) AS noisy_n_e3
+            FROM u)
+      SELECT event_type, n_true, sum_true, noisy_sum_e3, noisy_n_e3,
+             CAST(noisy_sum_e3 * 1000 // noisy_n_e3 AS BIGINT)
+               AS dp_mean_e3
+      FROM n WHERE noisy_n_e3 > 0""")),
     Q("q_randomized_response", randomizedResponse, Some("""
       WITH types AS (SELECT event_type,
                             CAST(row_number() OVER (ORDER BY event_type)

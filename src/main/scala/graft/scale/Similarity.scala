@@ -1068,6 +1068,90 @@ object Similarity {
       .orderBy($"cell".asc)
   }
 
+  /** Mutual-nearest-neighbor pairs with margin scoring — the
+    * bitext-mining / cross-corpus alignment primitive (the
+    * Artetxe–Schwenk ratio margin): a pair survives only if each side
+    * is the OTHER's top-1 neighbor, and the margin normalizes the
+    * pair's cosine by both sides' top-4 neighborhood density so hubs
+    * (vectors close to everything) stop winning. Pairs are generated
+    * INSIDE IVF cells only (the [[semDedup]] bucketing, registry-
+    * cached) — never all-pairs — and the per-side top-k window walks
+    * cell-bounded candidate lists. Float discipline: each pair's
+    * cosine floors to an e6 int BEFORE the top-4 sum (sums of raw
+    * doubles are partition-order-dependent), and the margin clears to
+    * ONE exact integer division via the common denominator
+    * c·2·nx·ny / (sx·ny + sy·nx). Mutuality is a self-join of the
+    * |vectors|-row top-1 table on the reversed key. */
+  private def mutualNnMargin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = graft.GraftCaches.getOrPersist(s, s"ann.corpus:$d")(corpus(s, d))
+    val lists = graft.GraftCaches.getOrPersist(s, s"ann.semcells:$d") {
+      ivfAssign(e, ivfCentroidsOf(e)).join(e, "vec_id")
+    }
+    val pairs = lists.as("a").join(lists.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
+        floor(dot(col("a.v"), col("b.v")) * lit(1000000.0)).as("c_e6"))
+    val w = Window.partitionBy($"x").orderBy($"c_e6".desc, $"y".asc)
+    val ranked = pairs.withColumn("rnk", row_number().over(w))
+    val top1 = ranked.filter($"rnk" === 1)
+    val denom = ranked.filter($"rnk" <= 4)
+      .groupBy($"x")
+      .agg(sum($"c_e6").as("s4"), count(lit(1)).as("n4"))
+    top1.as("f").join(top1.as("g"),
+        col("f.x") === col("g.y") && col("f.y") === col("g.x") &&
+          col("f.x") < col("g.x"))
+      .select(col("f.x").as("x"), col("f.y").as("y"),
+        col("f.c_e6").as("c_e6"))
+      .join(denom.select($"x", $"s4".as("sx"), $"n4".as("nx")), "x")
+      .join(denom.select($"x".as("y"), $"s4".as("sy"), $"n4".as("ny")),
+        "y")
+      // a zero denominator would null in Spark but ERROR in DuckDB
+      .filter($"sx" * $"ny" + $"sy" * $"nx" =!= 0L)
+      .select($"x", $"y", $"c_e6", $"nx", $"ny",
+        expr("c_e6 * 2 * nx * ny * 1000000" +
+          " div (sx * ny + sy * nx)").as("margin_e6"))
+  }
+
+  private def mutualNnOracle: String = {
+    val seeds = (0 until IvfCentroids)
+      .map(i => NumQueries + 7L * i + 3L).mkString(", ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e
+            WHERE vec_id IN ($seeds)),
+      a AS (SELECT vec_id, v, cid AS cell FROM (
+              SELECT ev.vec_id, ev.v, c.cid,
+                     row_number() OVER (PARTITION BY ev.vec_id
+                       ORDER BY list_dot_product(ev.v, c.cv) DESC,
+                                c.cid DESC) AS rn
+              FROM e ev CROSS JOIN c) t WHERE rn = 1),
+      p AS (SELECT x.vec_id AS x, y.vec_id AS y,
+                   CAST(floor(list_dot_product(x.v, y.v) * 1000000.0)
+                     AS BIGINT) AS c_e6
+            FROM a x JOIN a y
+              ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY x
+                        ORDER BY c_e6 DESC, y ASC) AS rnk
+            FROM p),
+      t1 AS (SELECT x, y, c_e6 FROM r WHERE rnk = 1),
+      dn AS (SELECT x, CAST(sum(c_e6) AS BIGINT) AS s4,
+                    CAST(count(*) AS BIGINT) AS n4
+             FROM r WHERE rnk <= 4 GROUP BY 1),
+      m AS (SELECT f.x AS x, f.y AS y, f.c_e6 AS c_e6
+            FROM t1 f JOIN t1 g
+              ON f.x = g.y AND f.y = g.x AND f.x < g.x)
+      SELECT m.x, m.y, m.c_e6, dx.n4 AS nx, dy.n4 AS ny,
+             CAST(m.c_e6 * 2 * dx.n4 * dy.n4 * 1000000
+               // (dx.s4 * dy.n4 + dy.s4 * dx.n4) AS BIGINT)
+               AS margin_e6
+      FROM m JOIN dn dx ON dx.x = m.x
+             JOIN dn dy ON dy.x = m.y
+      WHERE dx.s4 * dy.n4 + dy.s4 * dx.n4 <> 0"""
+  }
+
   /** 8 fixed-seed Johnson-Lindenstrauss projection directions (same
     * LCG family as [[hyperplanes]], independent seed). */
   lazy val jlPlanes: Seq[Seq[Double]] = {
@@ -1636,6 +1720,7 @@ object Similarity {
     Q("q_ann_recall", annRecall, Some(annRecallOracle)),
     Q("q_embed_project", embedProject, Some(jlOracle)),
     Q("q_semdedup", semDedup, Some(semDedupOracle)),
+    Q("q_mutual_nn_margin", mutualNnMargin, Some(mutualNnOracle)),
     Q("q_hard_negatives", hardNegatives, Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                         CAST(label AS BIGINT) AS label

@@ -768,6 +768,43 @@ class InferenceSpec extends AnyFunSuite {
       (n * (mx - mn))).toLong)
   }
 
+  test("q_conformal_interval: q-hat replays as the exact order " +
+    "statistic and test coverage honors the 90% guarantee shape") {
+    val got = SparkEntry.queries("q_conformal_interval")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .as[(String, Long, Long)].collect().toSeq
+    ev.groupBy(_._1).foreach { case (ty, rs) =>
+      val train = rs.filter(r => r._2 % 4 <= 1)
+      val calib = rs.filter(r => r._2 % 4 == 2)
+      val test = rs.filter(r => r._2 % 4 == 3)
+      val (nTr, sTr) = (train.length.toLong, train.map(_._3).sum)
+      val resid = calib
+        .map(r => ((nTr * r._3 - sTr).abs, r._2)).sorted
+      val k = (9 * (calib.length + 1) + 9) / 10
+      val qhat = resid(k - 1)._1
+      val covered = test.count(r => (nTr * r._3 - sTr).abs <= qhat)
+      val row = got(ty)
+      assert(row.getAs[Long]("n_train") === nTr, s"$ty train")
+      assert(row.getAs[Long]("n_cal") === calib.length.toLong)
+      assert(row.getAs[Long]("qhat_scaled") === qhat, s"$ty qhat")
+      assert(row.getAs[Long]("qhat_cents") === qhat / nTr)
+      assert(row.getAs[Long]("n_test") === test.length.toLong)
+      assert(row.getAs[Long]("n_covered") === covered.toLong)
+      assert(row.getAs[Long]("coverage_ppm") ===
+        covered.toLong * 1000000L / test.length)
+      // marginal validity: coverage concentrates near >= 90%; allow
+      // finite-sample binomial slack of ~3/sqrt(n_test)
+      val slack = (3000000.0 / math.sqrt(test.length.toDouble)).toLong
+      assert(row.getAs[Long]("coverage_ppm") >= 900000L - slack,
+        s"$ty coverage")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("q_jarque_bera: moment sums replay from a brute z-grid walk; " +
     "Pearson's kurtosis-skewness inequality holds") {
     val got = SparkEntry.queries("q_jarque_bera")(spark, sf)

@@ -1303,6 +1303,33 @@ class StatsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_dp_mean: noise replays the seedless Laplace mechanism and " +
+    "the clamp bounds the true sum") {
+    val rows = SparkEntry.queries("q_dp_mean")(spark, sf)
+      .collect().sortBy(_.getAs[String]("event_type"))
+    assert(rows.nonEmpty)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val tid = i + 1L
+      def u01(t: Long): Double =
+        (((t * 1000003L) % 4294967296L * 48271L % 4294967296L
+          % 100000L).toDouble + 0.5) / 100000.0
+      def lap(u: Double, scale: Double): Double =
+        if (u >= 0.5) -math.log(1.0 - 2.0 * (u - 0.5)) * scale
+        else math.log(1.0 - 2.0 * (0.5 - u)) * scale
+      val nTrue = r.getAs[Long]("n_true")
+      val sumTrue = r.getAs[Long]("sum_true")
+      assert(sumTrue <= nTrue * 50000L, "clamp violated")
+      assert(r.getAs[Long]("noisy_sum_e3") ===
+        math.floor((sumTrue + lap(u01(tid * 2 - 1), 50000.0)) * 1000.0)
+          .toLong, s"row $i sum")
+      assert(r.getAs[Long]("noisy_n_e3") ===
+        math.floor((nTrue + lap(u01(tid * 2), 1.0)) * 1000.0).toLong,
+        s"row $i n")
+      assert(r.getAs[Long]("dp_mean_e3") ===
+        r.getAs[Long]("noisy_sum_e3") * 1000L / r.getAs[Long]("noisy_n_e3"))
+    }
+  }
+
   /** Brute z_e4 with 1-based day rank, as zDailyIndexed derives it. */
   private def zIndexed(rs: Seq[(String, String, Long, Long)])
       : Seq[(Long, Long)] = {

@@ -1469,6 +1469,46 @@ class ScaleSpec extends AnyFunSuite {
     assert(maxP.getAs[Long]("boost_e3") <= 1000L)
   }
 
+  test("q_mutual_nn_margin: pairs are mutually top-1 within their IVF " +
+    "cell and the margin replays from the integer grid") {
+    val rows = SparkEntry.queries("q_mutual_nn_margin")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // brute in-cell replay on the Spark-computed cell assignment
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cells = Similarity
+      .ivfAssign(e, Similarity.ivfCentroidsOf(e)).join(e, "vec_id")
+      .select($"vec_id", $"cell", $"v")
+      .as[(Long, Long, Seq[Double])].collect().toSeq
+    val byCell = cells.groupBy(_._2)
+    def dotL(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+    val ranked = byCell.values.flatMap { vs =>
+      vs.flatMap { x =>
+        vs.filter(_._1 != x._1)
+          .map(y => (x._1, y._1,
+            math.floor(dotL(x._3, y._3) * 1000000.0).toLong))
+          .sortBy(p => (-p._3, p._2))
+          .zipWithIndex.map { case (p, i) => (p, i + 1) }
+      }
+    }.toSeq
+    val top1 = ranked.filter(_._2 == 1).map(_._1)
+      .map(p => p._1 -> (p._2, p._3)).toMap
+    val dn = ranked.filter(_._2 <= 4).map(_._1).groupBy(_._1)
+      .map { case (x, ps) => x -> (ps.map(_._3).sum, ps.length.toLong) }
+    val expect = top1.collect {
+      case (x, (y, c)) if x < y && top1.get(y).exists(_._1 == x) =>
+        val (sx, nx) = dn(x); val (sy, ny) = dn(y)
+        (x, y, c, nx, ny,
+          c * 2 * nx * ny * 1000000L / (sx * ny + sy * nx))
+    }.toSet
+    val gotSet = rows.map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"),
+      r.getAs[Long]("c_e6"), r.getAs[Long]("nx"), r.getAs[Long]("ny"),
+      r.getAs[Long]("margin_e6"))).toSet
+    assert(gotSet === expect)
+  }
+
   test("q_readability: counts replay from per-doc regex walks and " +
       "both formulas recompute from the group sums") {
     val rows = SparkEntry.queries("q_readability")(spark, sf).collect()
