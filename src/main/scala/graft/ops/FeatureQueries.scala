@@ -240,7 +240,84 @@ object FeatureQueries {
       .orderBy($"lang".asc)
   }
 
+  /** CUPED variance reduction per event type — the experimentation
+    * workhorse (Deng et al.): adjust each unit's metric by a
+    * pre-period covariate, Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X),
+    * and the metric's variance drops by exactly corr²(X,Y) — often
+    * 30-50 % smaller confidence intervals for free. Here each USER's
+    * even-epoch-day spend is the covariate and odd-day spend the
+    * metric (a deterministic within-unit split that keeps the oracle
+    * replayable; in production X is the pre-experiment window). One
+    * (type,user) rollup with conditional sums, then |types|-row
+    * moments: all five sums exact, second moments on DECIMAL(38,0)/
+    * HUGEINT, θ and the variance-reduction ratio formed in double and
+    * floored (θ_e6, var_red_ppm = 1e6·cov²/(vx·vy)). */
+  private def cuped(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val users = Tables.events(s, d)
+      .select($"event_type", $"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (datediff($"ts".cast("date"), lit("1970-01-01").cast("date"))
+          % 2 === 0).as("pre"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"user_id")
+      .agg(sum(when($"pre", $"cents").otherwise(0L)).as("x"),
+        sum(when(!$"pre", $"cents").otherwise(0L)).as("y"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    users.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum(dec($"x") * $"y").as("sxy"),
+        sum(dec($"x") * $"x").as("sxx"), sum(dec($"y") * $"y").as("syy"))
+      .withColumn("cov",
+        $"n_users".cast("double") * $"sxy".cast("double") -
+          $"sx".cast("double") * $"sy".cast("double"))
+      .withColumn("vx",
+        $"n_users".cast("double") * $"sxx".cast("double") -
+          $"sx".cast("double") * $"sx".cast("double"))
+      .withColumn("vy",
+        $"n_users".cast("double") * $"syy".cast("double") -
+          $"sy".cast("double") * $"sy".cast("double"))
+      .filter($"vx" > 0.0 && $"vy" > 0.0)
+      .select($"event_type", $"n_users", $"sx", $"sy",
+        floor($"cov" * lit(1000000.0) / $"vx").as("theta_e6"),
+        floor($"cov" * $"cov" * lit(1000000.0) / ($"vx" * $"vy"))
+          .as("var_red_ppm"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_cuped", cuped, Some("""
+      WITH e AS (SELECT event_type, user_id,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents,
+                        datediff('day', DATE '1970-01-01',
+                          CAST(ts AS DATE)) % 2 = 0 AS pre
+                 FROM events WHERE value IS NOT NULL),
+      u AS (SELECT event_type, user_id,
+                   CAST(sum(CASE WHEN pre THEN cents ELSE 0 END)
+                     AS BIGINT) AS x,
+                   CAST(sum(CASE WHEN NOT pre THEN cents ELSE 0 END)
+                     AS BIGINT) AS y
+            FROM e GROUP BY 1, 2),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM u GROUP BY 1),
+      c AS (SELECT *,
+                   CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+                   CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+                   CAST(n_users AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+            FROM m)
+      SELECT event_type, n_users, sx, sy,
+             CAST(floor(cov * 1000000.0 / vx) AS BIGINT) AS theta_e6,
+             CAST(floor(cov * cov * 1000000.0 / (vx * vy)) AS BIGINT)
+               AS var_red_ppm
+      FROM c WHERE vx > 0.0 AND vy > 0.0""")),
     Q("q_woe_iv", woeIv, Some("""
       WITH cells AS (SELECT lang,
                  CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)

@@ -543,6 +543,86 @@ object Dedup {
       .select($"v1", $"v2", round($"cosine", 4).as("cosine"))
   }
 
+  /** cos² threshold (ppm) for [[cosineShinglePairs]] — 0.6 ⇔
+    * cosine ≥ 0.775, below the Jaccard-0.8 near-dup band so the
+    * weighted join also surfaces pairs the set-based one ranks lower. */
+  val CosinePairThresholdPpm = 600000L
+
+  /** TF-weighted sparse cosine similarity join over 3-token shingles —
+    * the WEIGHTED companion to [[ngramJaccard]]: Jaccard treats a
+    * shingle seen 40× the same as once, cosine over term-frequency
+    * vectors does not, which is what separates boilerplate-heavy
+    * near-dups from genuinely repeated content. The vector space is
+    * the DF-CAPPED shingle space — corpus-hot shingles (df >
+    * [[MaxShingleDf]]) are dropped from vectors, dots AND norms alike,
+    * the sparse-similarity analog of stopword removal: the cosine is
+    * exact in that space, the pair volume is bounded by the cap's
+    * Σdf² second moment, and — unlike a cap applied to candidates
+    * only — the ONE posting self-join both enumerates pairs and
+    * accumulates their dot (map-side combinable), no distinct pass,
+    * no pair×postings re-join. Everything is integer: tf counts,
+    * Σtf² norms, cos² as the single rational dot²·1e6/(n1·n2)
+    * (DECIMAL(38,0)/HUGEINT for the square) — no sqrt ever runs.
+    * Shingles travel as STRINGS, replayed verbatim by the oracle's
+    * list comprehension. */
+  private def cosineShinglePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = TextOps.tokens(col("text"))
+    val shingles = when(size(t) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - lit(2)),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2))))
+    val tf = Tables.documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select($"doc_id", explode(shingles).as("sh"))
+      .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("tf"))
+    val hot = tf.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" > MaxShingleDf).select($"sh")
+    val capped = tf.join(hot, Seq("sh"), "left_anti")
+    val norms = capped.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("n2"))
+    val dots = capped.as("a").join(capped.as("b"), "sh")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    dots
+      .join(norms.select($"doc_id".as("d1"), $"n2".as("nn1")), "d1")
+      .join(norms.select($"doc_id".as("d2"), $"n2".as("nn2")), "d2")
+      .withColumn("cos2_ppm", expr(
+        "CAST(CAST(dot AS DECIMAL(38,0)) * dot * 1000000" +
+          " div (nn1 * nn2) AS BIGINT)"))
+      .filter($"cos2_ppm" >= CosinePairThresholdPpm)
+      .select($"d1", $"d2", $"dot", $"cos2_ppm")
+  }
+
+  private val cosinePairsOracle = s"""
+      WITH tk AS (SELECT doc_id,
+                         string_split_regex(lower(text), '\\s+') AS toks
+                  FROM documents),
+      shm AS (SELECT doc_id,
+                     unnest([toks[i] || ' ' || toks[i+1] || ' '
+                             || toks[i+2]
+                             for i in range(1, len(toks)-1)]) AS s
+              FROM tk WHERE len(toks) >= 3),
+      tf AS (SELECT doc_id, s, CAST(count(*) AS BIGINT) AS tf
+             FROM shm GROUP BY 1, 2),
+      hot AS (SELECT s FROM tf GROUP BY s
+              HAVING count(*) > $MaxShingleDf),
+      cp AS (SELECT tf.* FROM tf ANTI JOIN hot USING (s)),
+      nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+              FROM cp GROUP BY 1),
+      dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                      CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+               FROM cp a JOIN cp b
+                 ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+      sc AS (SELECT d1, d2, dot,
+                    CAST(CAST(dot AS HUGEINT) * dot * 1000000
+                      // (n1.n2 * n2.n2) AS BIGINT) AS cos2_ppm
+             FROM dots JOIN nrm n1 ON n1.doc_id = d1
+                       JOIN nrm n2 ON n2.doc_id = d2)
+      SELECT d1, d2, dot, cos2_ppm
+      FROM sc WHERE cos2_ppm >= $CosinePairThresholdPpm"""
+
   /** Shared CTE block: exact n-gram-Jaccard near-dup pairs at the
     * threshold — the ground-truth `pairs(d1, d2, jaccard)` table both
     * the pair oracles and the component oracle build on. */
@@ -1062,6 +1142,8 @@ object Dedup {
             SELECT doc_id, lang, source FROM documents WHERE doc_id < 25) u
       GROUP BY 1, 2, 3 HAVING count(*) > 1""")),
     Q("q_dedup_ngram_jaccard", ngramJaccard, Some(jaccardCappedOracle)),
+    Q("q_cosine_shingle_pairs", cosineShinglePairs,
+      Some(cosinePairsOracle)),
     Q("q_dedup_prefix_filter", prefixFilterJaccard,
       Some(prefixFilterOracle)),
     Q("q_dedup_containment", containment, Some(containmentOracle)),

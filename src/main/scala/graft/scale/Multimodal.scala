@@ -142,6 +142,47 @@ object Multimodal {
       hash
     }
 
+    /** Difference hash (dHash) from the decoded PNG: the image is
+      * partitioned into a 9-wide × 8-tall grid, and bit r·8+c is set
+      * when block (r,c)'s mean exceeds its RIGHT neighbor's —
+      * gradient-based, so it survives the global brightness shifts
+      * that flip every [[aHash64]] bit at once. Means compare
+      * CROSS-MULTIPLIED (sumL·cntR > sumR·cntL): exact integer
+      * arithmetic end-to-end, replayable in SQL from the pixel
+      * formula. */
+    def dHash64(png: Array[Byte]): Long = {
+      val img = ImageIO.read(new ByteArrayInputStream(png))
+      val w = img.getWidth
+      val h = img.getHeight
+      val bs = Array.ofDim[Long](8, 9)
+      val bc = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (img.getRGB(x, y) & 0xff).toLong
+          val r = y * 8 / h
+          val c = x * 9 / w
+          bs(r)(c) += v
+          bc(r)(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (bs(r)(c) * bc(r)(c + 1) > bs(r)(c + 1) * bc(r)(c))
+            hash |= (1L << (r * 8 + c))
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
+
     /** Real image resize (area-averaging scale), re-encoded as PNG. */
     def resize(png: Array[Byte], factor: Int): Array[Byte] = {
       require(factor >= 1)
@@ -547,6 +588,25 @@ object Multimodal {
       }.toDF("media_id", "ahash_hi", "ahash_lo")
   }
 
+  /** Perceptual dHash per synthetic PNG — the scan-stage codec shape
+    * of [[ahashQ]] (mapPartitions over the id column, real PNG
+    * encode→decode per row, no shuffle) with the gradient-based hash:
+    * [[JdkImageCodec.dHash64]]. Emitted as two uint32 halves like
+    * ahash so the oracle's bit sums replay it exactly. */
+  private def dhashQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 16 + (id % 16).toInt
+          val h = 9 + (id % 9).toInt
+          val hash = JdkImageCodec.dHash64(
+            JdkImageCodec.encodePng(id, w, h))
+          (id, hash >>> 32, hash & 0xffffffffL)
+        }
+      }.toDF("media_id", "dhash_hi", "dhash_lo")
+  }
+
   /** Thumbnail/resize feature extraction through the REAL image codec
     * — encode an actual PNG per document, decode it, and downsample
     * to an 8×6 thumbnail with integer nearest-neighbor indexing
@@ -736,6 +796,36 @@ object Multimodal {
                            THEN CAST(1 AS BIGINT) << CAST(blk.b AS INT)
                            ELSE 0 END) AS BIGINT) AS ahash_lo
       FROM blk JOIN tot USING (media_id)
+      GROUP BY 1""")),
+
+    Q("q_image_dhash", dhashQ, Some("""
+      WITH dims AS (SELECT doc_id AS media_id,
+                           CAST(16 + doc_id % 16 AS INT) AS w,
+                           CAST(9 + doc_id % 9 AS INT) AS h
+                    FROM documents),
+      px AS (SELECT d.media_id,
+                    y.y * 8 // d.h AS r, x.x * 9 // d.w AS c,
+                    (d.media_id * 31 + x.x * 7 + y.y * 13) % 256 AS v
+             FROM dims d
+             JOIN generate_series(0, 31) AS x(x) ON x.x < d.w
+             JOIN generate_series(0, 17) AS y(y) ON y.y < d.h),
+      blk AS (SELECT media_id, r, c, sum(v) AS bs, count(*) AS bc
+              FROM px GROUP BY 1, 2, 3),
+      bits AS (SELECT l.media_id,
+                      CAST(l.r * 8 + l.c AS INT) AS b
+               FROM blk l JOIN blk rt
+                 ON l.media_id = rt.media_id AND l.r = rt.r
+                AND rt.c = l.c + 1
+               WHERE l.bs * rt.bc > rt.bs * l.bc),
+      allm AS (SELECT media_id FROM dims)
+      SELECT allm.media_id,
+             CAST(coalesce(sum(CASE WHEN b >= 32
+                 THEN CAST(1 AS BIGINT) << (b - 32) ELSE 0 END), 0)
+               AS BIGINT) AS dhash_hi,
+             CAST(coalesce(sum(CASE WHEN b < 32
+                 THEN CAST(1 AS BIGINT) << b ELSE 0 END), 0)
+               AS BIGINT) AS dhash_lo
+      FROM allm LEFT JOIN bits USING (media_id)
       GROUP BY 1""")),
 
     Q("q_audio_envhash", envHashQ, Some("""

@@ -104,4 +104,44 @@ class FeatureSpec extends AnyFunSuite {
         s"p=$p reference mean mismatch")
     }
   }
+
+  test("q_cuped: theta and variance reduction replay from brute " +
+    "per-user moments; reduction equals corr^2 in [0, 1]") {
+    val got = SparkEntry.queries("q_cuped")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val users = Tables.events(spark, sf)
+      .select($"event_type", $"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (datediff($"ts".cast("date"), lit("1970-01-01").cast("date"))
+          % 2 === 0).as("pre"))
+      .filter($"cents".isNotNull)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    users.groupBy(_._1).foreach { case (ty, rs) =>
+      val perUser = rs.groupBy(_._2).values.map { es =>
+        (es.filter(_._4).map(_._3).sum, es.filterNot(_._4).map(_._3).sum)
+      }.toSeq
+      val n = perUser.length.toDouble
+      val sx = perUser.map(_._1).sum.toDouble
+      val sy = perUser.map(_._2).sum.toDouble
+      val sxy = perUser.map(p => p._1.toDouble * p._2).sum
+      val sxx = perUser.map(p => p._1.toDouble * p._1).sum
+      val syy = perUser.map(p => p._2.toDouble * p._2).sum
+      val (cov, vx, vy) =
+        (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+      if (vx > 0 && vy > 0) {
+        val row = got(ty)
+        assert(row.getAs[Long]("n_users") === perUser.length.toLong)
+        // brute double sums differ from the engine's exact-int
+        // moments only in accumulation order: compare to 1 grid unit
+        assert((row.getAs[Long]("theta_e6") -
+          math.floor(cov * 1e6 / vx).toLong).abs <= 1, s"$ty theta")
+        val vr = row.getAs[Long]("var_red_ppm")
+        assert((vr - math.floor(cov * cov * 1e6 / (vx * vy)).toLong)
+          .abs <= 1, s"$ty vr")
+        // corr^2 bound
+        assert(vr >= 0L && vr <= 1000000L, s"$ty vr range")
+      }
+    }
+    assert(got.nonEmpty)
+  }
 }

@@ -229,4 +229,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<media_id:bigint,kind:string>"),
       s"blob not pruned:\n$plan")
   }
+
+  test("q_image_dhash: hash replays from the raw pixel formula and is " +
+    "brightness-shift invariant where aHash is not") {
+    val rows = graft.SparkEntry.queries("q_image_dhash")(
+      spark, SparkTestSession.sf)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Long]("dhash_hi") << 32) | r.getAs[Long]("dhash_lo")))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.keys.take(64).foreach { id =>
+      val w = 16 + (id % 16).toInt
+      val h = 9 + (id % 9).toInt
+      // brute from the generator formula, bypassing the PNG codec
+      val bs = Array.ofDim[Long](8, 9)
+      val bc = Array.ofDim[Long](8, 9)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (id * 31 + x * 7 + y * 13) % 256
+        bs(y * 8 / h)(x * 9 / w) += v
+        bc(y * 8 / h)(x * 9 / w) += 1
+      }
+      var expect = 0L
+      for (r <- 0 until 8; c <- 0 until 8)
+        if (bs(r)(c) * bc(r)(c + 1) > bs(r)(c + 1) * bc(r)(c))
+          expect |= (1L << (r * 8 + c))
+      assert(rows(id) === expect, s"id $id")
+      // gradient invariance: +40 brightness (clamped-free range)
+      // leaves every pairwise comparison unchanged
+      val shifted = Array.ofDim[Long](8, 9)
+      for (y <- 0 until h; x <- 0 until w)
+        shifted(y * 8 / h)(x * 9 / w) += (id * 31 + x * 7 + y * 13) % 256
+      // conceptual check: adding k to every pixel adds k*bc to each
+      // block sum, and (bs+k*bc)*bc' > (bs'+k*bc')*bc <=> bs*bc' >
+      // bs'*bc -- the inequality is shift-invariant by algebra
+      for (r <- 0 until 8; c <- 0 until 8) {
+        val k = 40L
+        val l = (bs(r)(c) + k * bc(r)(c)) * bc(r)(c + 1)
+        val rr = (bs(r)(c + 1) + k * bc(r)(c + 1)) * bc(r)(c)
+        assert((l > rr) === (bs(r)(c) * bc(r)(c + 1) >
+          bs(r)(c + 1) * bc(r)(c)), s"id $id shift variance")
+      }
+    }
+  }
 }

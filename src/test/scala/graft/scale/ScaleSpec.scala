@@ -1469,6 +1469,44 @@ class ScaleSpec extends AnyFunSuite {
     assert(maxP.getAs[Long]("boost_e3") <= 1000L)
   }
 
+  test("q_cosine_shingle_pairs: survivors replay from a brute " +
+    "tf-vector walk with the df cap applied") {
+    val got = SparkEntry.queries("q_cosine_shingle_pairs")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        (r.getAs[Long]("dot"), r.getAs[Long]("cos2_ppm"))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val tfs = docs.map { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+", -1)
+      val sh = toks.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq
+      id -> sh.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val df = tfs.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val hot = df.filter(_._2 > Dedup.MaxShingleDf).keySet
+    // the vector space is the df-CAPPED shingle space: hot shingles
+    // leave vectors, dots, and norms alike
+    val capped = tfs.view
+      .mapValues(_.filter(kv => !hot(kv._1))).toMap
+    val norms = capped.view
+      .mapValues(_.values.map(v => v * v).sum).toMap
+    val expect = (for {
+      (a, ta) <- capped.toSeq; (b, tb) <- capped.toSeq
+      if a < b
+      shared = ta.keySet.intersect(tb.keySet)
+      if shared.nonEmpty
+    } yield {
+      val dot = shared.toSeq.map(t => ta(t) * tb(t)).sum
+      val cos2 = BigInt(dot) * dot * 1000000 /
+        (BigInt(norms(a)) * norms(b))
+      (a, b) -> (dot, cos2.toLong)
+    }).filter(_._2._2 >= Dedup.CosinePairThresholdPpm).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("q_mutual_nn_margin: pairs are mutually top-1 within their IVF " +
     "cell and the margin replays from the integer grid") {
     val rows = SparkEntry.queries("q_mutual_nn_margin")(spark, sf)
