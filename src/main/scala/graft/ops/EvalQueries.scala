@@ -609,6 +609,74 @@ object EvalQueries {
       .withColumn("acc_e6", expr("n_correct * 1000000 div n_test"))
   }
 
+  /** Best single-threshold split (depth-1 regression stump) of `yCol`
+    * on ordered feature `feat`, per event type: bins aggregate
+    * map-side, prefix sums over the ≤31-bin window give every split's
+    * left/right moments in one pass, and the variance-reduction score
+    * (S_L·n − S·n_L)²/(n_L·n_R) picks the argmax (score formed in
+    * double from exact sums — the welch discipline; ties to the
+    * smaller split). Leaf values are FLOORED integer means: the <1¢
+    * quantization is the price of bit-determinism in the boosting
+    * residuals. */
+  private def bestStump(data: DataFrame, feat: String, yCol: String)
+      : DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("event_type")).orderBy(col("bin").asc)
+    data.groupBy(col("event_type"), col(feat).as("bin"))
+      .agg(count(lit(1)).as("nb"), sum(col(yCol)).as("sb"))
+      .withColumn("n_l", sum(col("nb")).over(w))
+      .withColumn("s_l", sum(col("sb")).over(w))
+      .withColumn("n",
+        sum(col("nb")).over(W.partitionBy(col("event_type"))))
+      .withColumn("s",
+        sum(col("sb")).over(W.partitionBy(col("event_type"))))
+      .filter(col("n_l") < col("n"))
+      .withColumn("score", {
+        val num = col("s_l").cast("double") * col("n") -
+          col("s").cast("double") * col("n_l")
+        num * num / (col("n_l").cast("double") * (col("n") - col("n_l")))
+      })
+      .withColumn("rn", row_number().over(W
+        .partitionBy(col("event_type"))
+        .orderBy(col("score").desc, col("bin").asc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("bin").as("split"),
+        col("n_l"), (col("n") - col("n_l")).as("n_r"),
+        expr("s_l div n_l").as("mean_l"),
+        expr("(s - s_l) div (n - n_l)").as("mean_r"),
+        floor(col("score")).as("score_e0"))
+  }
+
+  /** Two rounds of gradient boosting with depth-1 stumps — the GBDT
+    * training loop re-expressed as dataflow: round 1 fits revenue
+    * cents on hour-of-day, round 2 fits the ROUND-1 RESIDUALS on
+    * day-of-week, exactly the stagewise residual-fitting that grows a
+    * boosted ensemble (each round is [[bestStump]]'s one-pass split
+    * search). Because leaf values floor to integer cents, residuals
+    * stay exact BIGINTs and the whole two-model ensemble is
+    * bit-deterministic — no learning-rate float chain. Per round the
+    * work is one map-side bin aggregate + a ≤31-row window per
+    * series: at 100 TB only the bin rollups scan data. Output: one
+    * row per (type, round) with the chosen split, leaf means, and
+    * the variance-reduction score. */
+  private def stumpBoost(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, d)
+      .select($"event_type", hour($"ts").cast("long").as("f1"),
+        dayofweek($"ts").cast("long").as("f2"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("y"))
+      .filter($"y".isNotNull)
+    val r1 = bestStump(rows, "f1", "y")
+    val resid = rows.join(broadcast(r1), Seq("event_type"))
+      .withColumn("r", $"y" -
+        when($"f1" <= $"split", $"mean_l").otherwise($"mean_r"))
+      .select($"event_type", $"f2", $"r")
+    val r2 = bestStump(resid, "f2", "r")
+    r1.withColumn("round", lit(1L)).withColumn("feature", lit("hour"))
+      .unionByName(r2.withColumn("round", lit(2L))
+        .withColumn("feature", lit("dow")))
+  }
+
   /** Brier score per language — the PROBABILISTIC companion to
     * [[confusion]]: where the confusion matrix judges the thresholded
     * label, Brier judges the raw probability (mean squared error of
@@ -1199,6 +1267,80 @@ object EvalQueries {
                AS BIGINT) AS f1_e6,
              CAST(tp * 5 * 1000000 // (5 * tp + 4 * fn + fp)
                AS BIGINT) AS f2_e6
-      FROM c"""))
+      FROM c""")),
+
+    Q("q_stump_boost", stumpBoost, Some("""
+      WITH rows0 AS (SELECT event_type,
+                            CAST(hour(ts) AS BIGINT) AS f1,
+                            CAST(isodow(CAST(ts AS DATE)) % 7 + 1
+                              AS BIGINT) AS f2,
+                            CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT) AS y
+                     FROM events WHERE value IS NOT NULL),
+      b1 AS (SELECT event_type, f1 AS bin, count(*) AS nb,
+                    sum(y) AS sb
+             FROM rows0 GROUP BY 1, 2),
+      c1 AS (SELECT *,
+                    sum(nb) OVER (PARTITION BY event_type
+                      ORDER BY bin) AS n_l,
+                    sum(sb) OVER (PARTITION BY event_type
+                      ORDER BY bin) AS s_l,
+                    sum(nb) OVER (PARTITION BY event_type) AS n,
+                    sum(sb) OVER (PARTITION BY event_type) AS s
+             FROM b1),
+      d1 AS (SELECT *,
+                    (CAST(s_l AS DOUBLE) * n - CAST(s AS DOUBLE) * n_l)
+                    * (CAST(s_l AS DOUBLE) * n - CAST(s AS DOUBLE) * n_l)
+                    / (CAST(n_l AS DOUBLE) * (n - n_l)) AS score
+             FROM c1 WHERE n_l < n),
+      s1 AS (SELECT event_type, bin AS split,
+                    CAST(n_l AS BIGINT) AS n_l,
+                    CAST(n - n_l AS BIGINT) AS n_r,
+                    CAST(s_l // n_l AS BIGINT) AS mean_l,
+                    CAST((s - s_l) // (n - n_l) AS BIGINT) AS mean_r,
+                    CAST(floor(score) AS BIGINT) AS score_e0
+             FROM (SELECT *, row_number() OVER (
+                     PARTITION BY event_type
+                     ORDER BY score DESC, bin ASC) AS rn
+                   FROM d1)
+             WHERE rn = 1),
+      resid AS (SELECT r.event_type AS event_type, r.f2,
+                       r.y - CASE WHEN r.f1 <= s1.split THEN s1.mean_l
+                                  ELSE s1.mean_r END AS r
+                FROM rows0 r JOIN s1 ON r.event_type = s1.event_type),
+      b2 AS (SELECT event_type, f2 AS bin, count(*) AS nb,
+                    sum(r) AS sb
+             FROM resid GROUP BY 1, 2),
+      c2 AS (SELECT *,
+                    sum(nb) OVER (PARTITION BY event_type
+                      ORDER BY bin) AS n_l,
+                    sum(sb) OVER (PARTITION BY event_type
+                      ORDER BY bin) AS s_l,
+                    sum(nb) OVER (PARTITION BY event_type) AS n,
+                    sum(sb) OVER (PARTITION BY event_type) AS s
+             FROM b2),
+      d2 AS (SELECT *,
+                    (CAST(s_l AS DOUBLE) * n - CAST(s AS DOUBLE) * n_l)
+                    * (CAST(s_l AS DOUBLE) * n - CAST(s AS DOUBLE) * n_l)
+                    / (CAST(n_l AS DOUBLE) * (n - n_l)) AS score
+             FROM c2 WHERE n_l < n),
+      s2 AS (SELECT event_type, bin AS split,
+                    CAST(n_l AS BIGINT) AS n_l,
+                    CAST(n - n_l AS BIGINT) AS n_r,
+                    CAST(s_l // n_l AS BIGINT) AS mean_l,
+                    CAST((s - s_l) // (n - n_l) AS BIGINT) AS mean_r,
+                    CAST(floor(score) AS BIGINT) AS score_e0
+             FROM (SELECT *, row_number() OVER (
+                     PARTITION BY event_type
+                     ORDER BY score DESC, bin ASC) AS rn
+                   FROM d2)
+             WHERE rn = 1)
+      SELECT event_type, split, n_l, n_r, mean_l, mean_r, score_e0,
+             CAST(1 AS BIGINT) AS round, 'hour' AS feature
+      FROM s1
+      UNION ALL
+      SELECT event_type, split, n_l, n_r, mean_l, mean_r, score_e0,
+             CAST(2 AS BIGINT) AS round, 'dow' AS feature
+      FROM s2"""))
   )
 }

@@ -942,6 +942,86 @@ object InferenceQueries {
           ($"n" * ($"mx" - $"mn"))))
   }
 
+  /** Kernel two-sample drift via MOMENT CLOSURE — MMD² with the
+    * degree-2 polynomial kernel k(x,y) = (1 + xy/c)², which expands
+    * so every pair expectation collapses to moments:
+    * MMD² = 2(μ_r − μ_c)²/c + (q_r − q_c)²/c² with μ = Σx/n and
+    * q = Σx²/n — the kernel test WITHOUT the O(n²) pair join that
+    * makes Gaussian-kernel MMD intractable at 100 TB. Detects both
+    * mean and spread drift in one number (KS/W1 complement). The
+    * scale c is the squared global reference mean, so the statistic
+    * is dimensionless. Exact moments (Σx² on DECIMAL(38,0)/HUGEINT);
+    * the closed form is a short identical double tree floored to e9.
+    * One map-side aggregate, |types| rows. */
+  private def mmdDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = centsSplit(s, d)
+      .groupBy($"event_type")
+      .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("n_r"),
+        sum(when($"is_ref", $"cents").otherwise(0L)).as("s_r"),
+        sum(when($"is_ref", $"cents".cast("decimal(38,0)") * $"cents")
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q_r"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("n_c"),
+        sum(when(!$"is_ref", $"cents").otherwise(0L)).as("s_c"),
+        sum(when(!$"is_ref", $"cents".cast("decimal(38,0)") * $"cents")
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q_c"))
+      .filter($"n_r" > 0 && $"n_c" > 0 && $"s_r" > 0)
+    m.withColumn("mu_r", $"s_r".cast("double") / $"n_r")
+      .withColumn("mu_c", $"s_c".cast("double") / $"n_c")
+      .withColumn("qq_r", $"q_r".cast("double") / $"n_r")
+      .withColumn("qq_c", $"q_c".cast("double") / $"n_c")
+      .withColumn("c_scale", $"mu_r" * $"mu_r")
+      .select($"event_type", $"n_r", $"n_c", $"s_r", $"s_c",
+        floor((lit(2.0) * ($"mu_r" - $"mu_c") * ($"mu_r" - $"mu_c")
+          / $"c_scale"
+          + ($"qq_r" - $"qq_c") * ($"qq_r" - $"qq_c")
+          / ($"c_scale" * $"c_scale")) * lit(1000000000.0))
+          .as("mmd2_e9"))
+  }
+
+  /** Energy-distance drift — the two-sample test with FULL
+    * distributional sensitivity (mean, spread, shape) that still
+    * avoids the O(n²) pair join: every pairwise-|x−y| expectation is
+    * an exact prefix-sum integral over the merged value grid
+    * (Σ|a−b| = Σ_intervals gap·#straddling-pairs — the wasserstein
+    * machinery, applied three times). D = 2E|X−Y| − E|X−X'| −
+    * E|Y−Y'| ≥ 0 with equality iff the distributions match. All
+    * three integrals are exact BIGINTs; the common-denominator emit
+    * e_num = 2·SXY·n_r·n_c·... rides HUGEINT/DECIMAL(38,0) (it wraps
+    * int64 at real volumes). Shape: one groupBy on the (type, value)
+    * grid, one cumulative window over DISTINCT VALUES (not rows),
+    * one |types|-row rollup. */
+  private def energyDistance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy($"event_type").orderBy($"cents".asc)
+    val cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val grid = centsSplit(s, d)
+      .groupBy($"event_type", $"cents")
+      .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("a"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("b"))
+      .withColumn("cum_a", sum($"a").over(cum))
+      .withColumn("cum_b", sum($"b").over(cum))
+      .withColumn("gap", lead($"cents", 1).over(w) - $"cents")
+      .withColumn("na", sum($"a").over(W.partitionBy($"event_type")))
+      .withColumn("nb", sum($"b").over(W.partitionBy($"event_type")))
+    grid.filter($"gap".isNotNull)
+      .groupBy($"event_type")
+      .agg(max($"na").as("n_r"), max($"nb").as("n_c"),
+        sum($"gap" * ($"cum_a" * ($"nb" - $"cum_b")
+          + $"cum_b" * ($"na" - $"cum_a"))).as("sxy"),
+        sum($"gap" * ($"cum_a" * ($"na" - $"cum_a"))).as("sxx"),
+        sum($"gap" * ($"cum_b" * ($"nb" - $"cum_b"))).as("syy"))
+      .withColumn("e_num", expr(
+        "2 * CAST(sxy AS DECIMAL(38,0)) * n_r * n_c" +
+          " - 2 * CAST(sxx AS DECIMAL(38,0)) * n_c * n_c" +
+          " - 2 * CAST(syy AS DECIMAL(38,0)) * n_r * n_r"))
+      .select($"event_type", $"n_r", $"n_c", $"sxy", $"sxx", $"syy",
+        expr("CAST(CAST(e_num AS DECIMAL(38,0)) * 100 div" +
+          " (CAST(n_r AS DECIMAL(38,0)) * n_r * n_c * n_c)" +
+          " AS BIGINT)").as("energy_e2"))
+  }
+
   /** Split-conformal prediction interval per event type — the
     * distribution-free uncertainty wrapper: fit a (trivially simple)
     * predictor on a TRAIN split, take the ceil(0.9·(n+1))-th smallest
@@ -1953,6 +2033,81 @@ object InferenceQueries {
              n_test, n_covered,
              CAST(n_covered * 1000000 // n_test AS BIGINT)
                AS coverage_ppm
+      FROM agg""")),
+
+    Q("q_mmd_drift", mmdDrift, Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents,
+                        event_id % 2 = 0 AS is_ref
+                 FROM events WHERE value IS NOT NULL),
+      m AS (SELECT event_type,
+                   CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_r,
+                   CAST(sum(CASE WHEN is_ref THEN cents ELSE 0 END)
+                     AS BIGINT) AS s_r,
+                   sum(CASE WHEN is_ref
+                       THEN CAST(cents AS HUGEINT) * cents
+                       ELSE 0 END) AS q_r,
+                   CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_c,
+                   CAST(sum(CASE WHEN NOT is_ref THEN cents ELSE 0 END)
+                     AS BIGINT) AS s_c,
+                   sum(CASE WHEN NOT is_ref
+                       THEN CAST(cents AS HUGEINT) * cents
+                       ELSE 0 END) AS q_c
+            FROM e GROUP BY 1),
+      c AS (SELECT *,
+                   CAST(s_r AS DOUBLE) / n_r AS mu_r,
+                   CAST(s_c AS DOUBLE) / n_c AS mu_c,
+                   CAST(q_r AS DOUBLE) / n_r AS qq_r,
+                   CAST(q_c AS DOUBLE) / n_c AS qq_c
+            FROM m WHERE n_r > 0 AND n_c > 0 AND s_r > 0),
+      s AS (SELECT *, mu_r * mu_r AS c_scale FROM c)
+      SELECT event_type, n_r, n_c, s_r, s_c,
+             CAST(floor((2.0 * (mu_r - mu_c) * (mu_r - mu_c) / c_scale
+               + (qq_r - qq_c) * (qq_r - qq_c) / (c_scale * c_scale))
+               * 1000000000.0) AS BIGINT) AS mmd2_e9
+      FROM s""")),
+
+    Q("q_energy_distance", energyDistance, Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents,
+                        event_id % 2 = 0 AS is_ref
+                 FROM events WHERE value IS NOT NULL),
+      grid AS (SELECT event_type, cents,
+                      sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS a,
+                      sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS b
+               FROM e GROUP BY 1, 2),
+      w AS (SELECT *,
+                   sum(a) OVER (PARTITION BY event_type
+                     ORDER BY cents ASC ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS cum_a,
+                   sum(b) OVER (PARTITION BY event_type
+                     ORDER BY cents ASC ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS cum_b,
+                   lead(cents) OVER (PARTITION BY event_type
+                     ORDER BY cents ASC) - cents AS gap,
+                   sum(a) OVER (PARTITION BY event_type) AS na,
+                   sum(b) OVER (PARTITION BY event_type) AS nb
+            FROM grid),
+      agg AS (SELECT event_type,
+                     CAST(max(na) AS BIGINT) AS n_r,
+                     CAST(max(nb) AS BIGINT) AS n_c,
+                     CAST(sum(gap * (cum_a * (nb - cum_b)
+                       + cum_b * (na - cum_a))) AS BIGINT) AS sxy,
+                     CAST(sum(gap * (cum_a * (na - cum_a)))
+                       AS BIGINT) AS sxx,
+                     CAST(sum(gap * (cum_b * (nb - cum_b)))
+                       AS BIGINT) AS syy
+              FROM w WHERE gap IS NOT NULL GROUP BY 1)
+      SELECT event_type, n_r, n_c, sxy, sxx, syy,
+             CAST((2 * CAST(sxy AS HUGEINT) * n_r * n_c
+                   - 2 * CAST(sxx AS HUGEINT) * n_c * n_c
+                   - 2 * CAST(syy AS HUGEINT) * n_r * n_r) * 100
+               // (CAST(n_r AS HUGEINT) * n_r * n_c * n_c) AS BIGINT)
+               AS energy_e2
       FROM agg"""))
   )
 }

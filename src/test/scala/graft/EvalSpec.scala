@@ -403,6 +403,66 @@ class EvalSpec extends AnyFunSuite {
       got(f).getAs[Long]("n_train") < got(f + 1).getAs[Long]("n_train")))
   }
 
+  test("q_stump_boost: both rounds replay from a brute split search " +
+    "and the round-2 residuals reconcile with round 1's leaves") {
+    val rows = SparkEntry.queries("q_stump_boost")(spark, sf).collect()
+    val data = Tables.events(spark, sf)
+      .select($"event_type", hour($"ts").cast("long").as("f1"),
+        dayofweek($"ts").cast("long").as("f2"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("y"))
+      .filter($"y".isNotNull)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    def brute(pts: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+      val bins = pts.groupBy(_._1).view
+        .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+      val order = bins.keys.toSeq.sorted
+      val (n, stot) = (pts.size.toLong, pts.map(_._2).sum)
+      var (nl, sl) = (0L, 0L)
+      order.dropRight(1).map { b =>
+        nl += bins(b)._1; sl += bins(b)._2
+        val num = sl.toDouble * n - stot.toDouble * nl
+        (num * num / (nl.toDouble * (n - nl)), b, nl, sl)
+      }.maxBy(t => (t._1, -t._2)) match {
+        case (sc, b, nl2, sl2) =>
+          (b, nl2, n - nl2, sl2 / nl2, math.floor(sc).toLong)
+      }
+    }
+    data.groupBy(_._1).foreach { case (ty, rs) =>
+      val r1 = rows.find(r => r.getAs[String]("event_type") == ty &&
+        r.getAs[Long]("round") == 1L).get
+      val (sp1, nl1, nr1, ml1, sc1) = brute(rs.map(r => (r._2, r._4)))
+      assert(r1.getAs[Long]("split") === sp1, s"$ty r1 split")
+      assert(r1.getAs[Long]("n_l") === nl1)
+      assert(r1.getAs[Long]("n_r") === nr1)
+      assert(r1.getAs[Long]("mean_l") === ml1)
+      assert(r1.getAs[Long]("score_e0") === sc1)
+      // round 2 on the floored-leaf residuals
+      val (mL, mR) = (r1.getAs[Long]("mean_l"), r1.getAs[Long]("mean_r"))
+      val resid = rs.map(r =>
+        (r._3, r._4 - (if (r._2 <= sp1) mL else mR)))
+      val r2 = rows.find(r => r.getAs[String]("event_type") == ty &&
+        r.getAs[Long]("round") == 2L).get
+      val bins2 = resid.groupBy(_._1).view
+        .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+      val order2 = bins2.keys.toSeq.sorted
+      val (n2, s2tot) = (resid.size.toLong, resid.map(_._2).sum)
+      var (nl, sl) = (0L, 0L)
+      val best2 = order2.dropRight(1).map { b =>
+        nl += bins2(b)._1; sl += bins2(b)._2
+        val num = sl.toDouble * n2 - s2tot.toDouble * nl
+        (num * num / (nl.toDouble * (n2 - nl)), b, nl, sl)
+      }.maxBy(t => (t._1, -t._2))
+      assert(r2.getAs[Long]("split") === best2._2, s"$ty r2 split")
+      // residual means truncate toward zero like Spark div
+      assert(r2.getAs[Long]("mean_l") === best2._4 / best2._3)
+      // boosting property: a fitted round-1 leaves strictly less
+      // variance to explain; scores are nonneg by construction
+      assert(r1.getAs[Long]("score_e0") >= 0L)
+      assert(r2.getAs[Long]("score_e0") >= 0L)
+    }
+    assert(rows.length === data.map(_._1).distinct.size * 2)
+  }
+
   test("q_brier_score: per-language rows partition the corpus; the " +
     "integer grid bounds the score in [0, 1]") {
     val rows = SparkEntry.queries("q_brier_score")(spark, sf).collect()

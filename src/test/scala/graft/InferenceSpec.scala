@@ -768,6 +768,58 @@ class InferenceSpec extends AnyFunSuite {
       (n * (mx - mn))).toLong)
   }
 
+  test("q_mmd_drift: closed form replays from brute moments and the " +
+    "statistic is nonnegative") {
+    val got = SparkEntry.queries("q_mmd_drift")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    centsRows.groupBy(_._1).foreach { case (ty, rs) =>
+      val ref = rs.filter(_._3).map(_._2)
+      val cur = rs.filterNot(_._3).map(_._2)
+      if (ref.nonEmpty && cur.nonEmpty && ref.sum > 0) {
+        val muR = ref.sum.toDouble / ref.length
+        val muC = cur.sum.toDouble / cur.length
+        val qqR = ref.map(x => BigInt(x) * x).sum.toDouble / ref.length
+        val qqC = cur.map(x => BigInt(x) * x).sum.toDouble / cur.length
+        val c = muR * muR
+        val mmd2 = 2.0 * (muR - muC) * (muR - muC) / c +
+          (qqR - qqC) * (qqR - qqC) / (c * c)
+        val row = got(ty)
+        // brute accumulates doubles in a different order: 1-unit slack
+        assert((row.getAs[Long]("mmd2_e9") -
+          math.floor(mmd2 * 1e9).toLong).abs <= 1, s"$ty mmd")
+        assert(row.getAs[Long]("mmd2_e9") >= 0L, s"$ty nonneg")
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("q_energy_distance: prefix-sum integrals equal the brute " +
+    "pairwise sums; the distance is nonnegative") {
+    val got = SparkEntry.queries("q_energy_distance")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    centsRows.groupBy(_._1).foreach { case (ty, rs) =>
+      val ref = rs.filter(_._3).map(_._2)
+      val cur = rs.filterNot(_._3).map(_._2)
+      val sxy = (for (a <- ref; b <- cur) yield (a - b).abs).sum
+      val sxx = (for (i <- ref.indices; j <- i + 1 until ref.length)
+        yield (ref(i) - ref(j)).abs).sum
+      val syy = (for (i <- cur.indices; j <- i + 1 until cur.length)
+        yield (cur(i) - cur(j)).abs).sum
+      val row = got(ty)
+      assert(row.getAs[Long]("sxy") === sxy, s"$ty sxy")
+      assert(row.getAs[Long]("sxx") === sxx, s"$ty sxx")
+      assert(row.getAs[Long]("syy") === syy, s"$ty syy")
+      val (na, nb) = (BigInt(ref.length), BigInt(cur.length))
+      val eNum = 2 * BigInt(sxy) * na * nb - 2 * BigInt(sxx) * nb * nb -
+        2 * BigInt(syy) * na * na
+      assert(row.getAs[Long]("energy_e2") ===
+        (eNum * 100 / (na * na * nb * nb)).toLong, s"$ty e")
+      // energy distance >= 0, with floor dust on the e2 grid
+      assert(row.getAs[Long]("energy_e2") >= -1L, s"$ty nonneg")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("q_conformal_interval: q-hat replays as the exact order " +
     "statistic and test coverage honors the 90% guarantee shape") {
     val got = SparkEntry.queries("q_conformal_interval")(spark, sf)
