@@ -181,7 +181,164 @@ object SpatialQueries {
              CAST(max(u_lon) AS BIGINT) AS max_lon
       FROM u GROUP BY 1, 2 HAVING count(*) >= 2"""
 
+  /** DBSCAN neighborhood radius (µ°) and core threshold (neighbor
+    * count INCLUDING self, the textbook convention). */
+  private val DbEps = 10000000L
+  private val DbMinPts = 10L
+
+  /** DBSCAN point classification (core / border / noise) — the
+    * density-clustering primitive, distributed the way every scalable
+    * DBSCAN is: bucket points into eps-wide cells, explode the 3×3
+    * stencil on ONE side, equi-join on the cell key (co-partitioned —
+    * with both sides big nothing broadcasts; the stencil fan-out is a
+    * fixed 9×), refine with the exact BIGINT circle predicate. A
+    * point is CORE when its eps-ball holds ≥ minPts points (self
+    * included), BORDER when non-core but inside some core's ball,
+    * NOISE otherwise — the classification IS the expensive half of
+    * DBSCAN (clusters then grow by the connected components of
+    * core-core pairs, the q_dedup_components machinery). Neighbor
+    * counts are map-side-combinable; the border test is one semi-ish
+    * join of the pair list against the core set. */
+  private def dbscanCore(s: SparkSession, d: String): DataFrame = {
+    val pts = users(s, d)
+      .withColumn("cl_lat", expr(s"u_lat div $DbEps"))
+      .withColumn("cl_lon", expr(s"u_lon div $DbEps"))
+    val offsets = array((-1 to 1).map(lit): _*)
+    val stencil = users(s, d).select(col("user_key").as("nb_key"),
+        col("u_lat").as("n_lat"), col("u_lon").as("n_lon"))
+      .withColumn("dl", explode(offsets))
+      .withColumn("dm", explode(offsets))
+      .select(col("nb_key"), col("n_lat"), col("n_lon"),
+        (expr(s"n_lat div $DbEps") + col("dl")).as("cl_lat"),
+        (expr(s"n_lon div $DbEps") + col("dm")).as("cl_lon"))
+    val neigh = pts.join(stencil, Seq("cl_lat", "cl_lon"))
+      .filter((col("u_lat") - col("n_lat"))
+        * (col("u_lat") - col("n_lat"))
+        + (col("u_lon") - col("n_lon"))
+        * (col("u_lon") - col("n_lon")) <= lit(DbEps * DbEps))
+      .select(col("user_key"), col("nb_key"))
+    val counts = neigh.groupBy(col("user_key"))
+      .agg(count(lit(1)).as("n_neighbors"))
+      .withColumn("is_core", col("n_neighbors") >= DbMinPts)
+    val nearCore = neigh
+      .join(counts.filter(col("is_core"))
+        .select(col("user_key").as("nb_key")), Seq("nb_key"),
+        "left_semi")
+      .select(col("user_key")).distinct()
+      .withColumn("near_core", lit(true))
+    counts.join(nearCore, Seq("user_key"), "left")
+      .select(col("user_key"), col("n_neighbors"), col("is_core"),
+        when(col("is_core"), "core")
+          .when(col("near_core"), "border")
+          .otherwise("noise").as("role"))
+  }
+
+  private val dbscanOracle = s"""
+      WITH u AS (SELECT c_custkey AS user_key,
+                        (c_custkey * $LatMult) % 4294967296
+                          % 180000000 AS u_lat,
+                        (c_custkey * $LonMult) % 4294967296
+                          % 360000000 AS u_lon
+                 FROM customer),
+      st AS (SELECT user_key AS nb_key, u_lat AS n_lat,
+                    u_lon AS n_lon,
+                    u_lat // $DbEps + dl.x AS cl_lat,
+                    u_lon // $DbEps + dm.x AS cl_lon
+             FROM u
+             CROSS JOIN (VALUES (-1), (0), (1)) AS dl(x)
+             CROSS JOIN (VALUES (-1), (0), (1)) AS dm(x)),
+      neigh AS (SELECT u.user_key, st.nb_key
+                FROM u JOIN st ON u.u_lat // $DbEps = st.cl_lat
+                              AND u.u_lon // $DbEps = st.cl_lon
+                WHERE (u.u_lat - st.n_lat) * (u.u_lat - st.n_lat)
+                        + (u.u_lon - st.n_lon) * (u.u_lon - st.n_lon)
+                      <= ${DbEps * DbEps}),
+      counts AS (SELECT user_key,
+                        CAST(count(*) AS BIGINT) AS n_neighbors,
+                        count(*) >= $DbMinPts AS is_core
+                 FROM neigh GROUP BY 1),
+      nearcore AS (SELECT DISTINCT n.user_key
+                   FROM neigh n JOIN counts c
+                     ON n.nb_key = c.user_key AND c.is_core)
+      SELECT counts.user_key, n_neighbors, is_core,
+             CASE WHEN is_core THEN 'core'
+                  WHEN nearcore.user_key IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS role
+      FROM counts LEFT JOIN nearcore USING (user_key)"""
+
+  /** Radius-bounded spatial k-nearest-neighbors: the top-3 POIs within
+    * R of each user by exact integer distance (ties to the smaller
+    * POI key) — the "nearest stores" / geo-enrichment join. Same
+    * stencil machinery as [[spatialJoin]] but grouped on the USER
+    * side with a bounded rank window; users with no POI inside R drop
+    * out (radius-bounded kNN — the unbounded variant needs expanding
+    * ring search, which at this density the 3×3 stencil already
+    * covers). POI stencil broadcasts (small side 9×); the user table
+    * never shuffles before the window on its own key. */
+  private def spatialKnn(s: SparkSession, d: String): DataFrame = {
+    val u = users(s, d)
+      .withColumn("cl_lat", expr(s"u_lat div $R"))
+      .withColumn("cl_lon", expr(s"u_lon div $R"))
+    val offsets = array((-1 to 1).map(lit): _*)
+    val stencil = pois(s, d)
+      .withColumn("dl", explode(offsets))
+      .withColumn("dm", explode(offsets))
+      .select(col("poi_key"), col("p_lat"), col("p_lon"),
+        (expr(s"p_lat div $R") + col("dl")).as("cl_lat"),
+        (expr(s"p_lon div $R") + col("dm")).as("cl_lon"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_key"))
+      .orderBy(col("dist2").asc, col("poi_key").asc)
+    u.join(broadcast(stencil), Seq("cl_lat", "cl_lon"))
+      .withColumn("dist2",
+        (col("u_lat") - col("p_lat")) * (col("u_lat") - col("p_lat"))
+          + (col("u_lon") - col("p_lon"))
+          * (col("u_lon") - col("p_lon")))
+      .filter(col("dist2") <= lit(R * R))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("user_key"), col("rank"), col("poi_key"),
+        col("dist2"))
+  }
+
+  private val spatialKnnOracle = s"""
+      WITH u AS (SELECT c_custkey AS user_key,
+                        (c_custkey * $LatMult) % 4294967296
+                          % 180000000 AS u_lat,
+                        (c_custkey * $LonMult) % 4294967296
+                          % 360000000 AS u_lon
+                 FROM customer),
+      p AS (SELECT s_suppkey AS poi_key,
+                   (s_suppkey * $LatMult) % 4294967296
+                     % 180000000 AS p_lat,
+                   (s_suppkey * $LonMult) % 4294967296
+                     % 360000000 AS p_lon
+            FROM supplier),
+      st AS (SELECT poi_key, p_lat, p_lon,
+                    p_lat // $R + dl.x AS cl_lat,
+                    p_lon // $R + dm.x AS cl_lon
+             FROM p
+             CROSS JOIN (VALUES (-1), (0), (1)) AS dl(x)
+             CROSS JOIN (VALUES (-1), (0), (1)) AS dm(x)),
+      j AS (SELECT u.user_key, st.poi_key,
+                   (u.u_lat - st.p_lat) * (u.u_lat - st.p_lat)
+                     + (u.u_lon - st.p_lon) * (u.u_lon - st.p_lon)
+                     AS dist2
+            FROM u JOIN st ON u.u_lat // $R = st.cl_lat
+                          AND u.u_lon // $R = st.cl_lon
+            WHERE (u.u_lat - st.p_lat) * (u.u_lat - st.p_lat)
+                    + (u.u_lon - st.p_lon) * (u.u_lon - st.p_lon)
+                  <= ${R * R}),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_key
+                        ORDER BY dist2 ASC, poi_key ASC) AS BIGINT)
+                        AS rank
+            FROM j)
+      SELECT user_key, rank, poi_key, CAST(dist2 AS BIGINT) AS dist2
+      FROM r WHERE rank <= 3"""
+
   val queries: Seq[Q] = Seq(
+    Q("q_dbscan_core", dbscanCore, Some(dbscanOracle)),
+    Q("q_spatial_knn", spatialKnn, Some(spatialKnnOracle)),
     Q("q_spatial_join", spatialJoin, Some(spatialJoinOracle),
       headline = true),
     Q("q_grid_density", gridDensity, Some(gridDensityOracle))

@@ -81,4 +81,47 @@ class SpatialSpec extends AnyFunSuite {
       assert(lo2 / R === clon && hi2 / R === clon)
     }
   }
+
+  test("q_dbscan_core: roles equal a brute all-pairs DBSCAN " +
+      "classification (stencil loses nothing at cell width == eps)") {
+    val eps = 10000000L
+    val got = SparkEntry.queries("q_dbscan_core")(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_key") ->
+        (r.getAs[Long]("n_neighbors"), r.getAs[String]("role"))).toMap
+    def close(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean = {
+      val (dx, dy) = (a._2 - b._2, a._3 - b._3)
+      dx * dx + dy * dy <= eps * eps
+    }
+    val counts = users.map(u =>
+      u._1 -> users.count(v => close(u, v)).toLong).toMap
+    val cores = counts.filter(_._2 >= 10L).keySet
+    users.foreach { u =>
+      val (n, role) = got(u._1)
+      assert(n === counts(u._1), s"user ${u._1} count")
+      val expect =
+        if (cores(u._1)) "core"
+        else if (users.exists(v => cores(v._1) && close(u, v))) "border"
+        else "noise"
+      assert(role === expect, s"user ${u._1} role")
+    }
+    assert(got.size === users.size)
+  }
+
+  test("q_spatial_knn: ranks equal the brute radius-bounded kNN with " +
+      "deterministic tie-breaks") {
+    val got = SparkEntry.queries("q_spatial_knn")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("user_key"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("poi_key"), r.getAs[Long]("dist2"))).toMap
+    val expect = users.flatMap { case (uk, ulat, ulon) =>
+      pois.flatMap { case (pk, plat, plon) =>
+        val (dx, dy) = (ulat - plat, ulon - plon)
+        val d2 = dx * dx + dy * dy
+        if (d2 <= R * R) Some((pk, d2)) else None
+      }.sortBy { case (pk, d2) => (d2, pk) }.take(3).zipWithIndex
+        .map { case ((pk, d2), i) => (uk, i + 1L) -> (pk, d2) }
+    }.toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
 }
