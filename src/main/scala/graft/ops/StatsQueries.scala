@@ -3356,7 +3356,7 @@ object StatsQueries {
                    CAST(sum(z_e4) AS BIGINT) AS sum_z_e4
             FROM z GROUP BY 1, 2)""")),
 
-    Q("q_matrix_profile", matrixProfile, Some(s"""
+    Q("q_matrix_profile", matrixProfile, headline = true, oracle = Some(s"""
       $ZDailyCtes,
       st AS (SELECT event_type, rn, day FROM z WHERE rn + 6 <= n),
       pairs AS (SELECT a.event_type AS event_type, a.rn AS i,

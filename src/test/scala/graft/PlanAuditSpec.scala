@@ -34,6 +34,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sketch_union",     // per-group sketch table (|groups| rows)
     "q_ann_bruteforce",   // 10-row broadcast query set vs corpus
     "q_knn_labels",       // rides q_ann_bruteforce's query set
+    "q_hard_negatives",   // 10-row anchor set broadcast vs corpus with
+                          // a label-inequality loop predicate — the
+                          // q_ann_bruteforce shape with a filter
     "q_ann_recall",       // recall gate re-plans the brute truth subtree
                           // twice (semi-join probe + n_true agg) — both
                           // are the same bounded 10-row broadcast loop
