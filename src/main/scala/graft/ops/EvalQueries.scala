@@ -609,6 +609,41 @@ object EvalQueries {
       .withColumn("acc_e6", expr("n_correct * 1000000 div n_test"))
   }
 
+  /** COEC position-bias correction (clicks over expected clicks) —
+    * the ranking-eval normalizer: raw CTR punishes whatever ranks low
+    * because position drives clicks, so each impression is credited
+    * against the GLOBAL click prior of its position and a series'
+    * quality is clicks / Σ prior(position) — COEC > 1 means the
+    * series out-performs its positions. Impressions are the per-(type,
+    * day) top-10 by value (one bounded rank window); the position
+    * prior is a 10-row broadcast; expected clicks are exact because
+    * priors land on a ppm integer grid before the sum. */
+  private def positionBias(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type", $"day")
+      .orderBy($"cents".desc, $"event_id".asc)
+    val imps = Tables.events(s, d)
+      .select($"event_type", to_date($"ts").as("day"), $"event_id",
+        ($"user_id" % 3 === 0).as("clicked"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter($"pos" <= 10)
+    val prior = imps.groupBy($"pos")
+      .agg(count(lit(1)).as("n_p"),
+        sum(when($"clicked", 1L).otherwise(0L)).as("c_p"))
+      .withColumn("prior_ppm", expr("c_p * 1000000 div n_p"))
+      .select($"pos", $"prior_ppm")
+    imps.join(broadcast(prior), Seq("pos"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_imps"),
+        sum(when($"clicked", 1L).otherwise(0L)).as("clicks"),
+        sum($"prior_ppm").as("expected_ppm"))
+      .withColumn("coec_e3",
+        expr("clicks * 1000000000 div expected_ppm"))
+  }
+
   /** Best single-threshold split (depth-1 regression stump) of `yCol`
     * on ordered feature `feat`, per event type: bins aggregate
     * map-side, prefix sums over the ≤31-bin window give every split's
@@ -1341,6 +1376,32 @@ object EvalQueries {
       UNION ALL
       SELECT event_type, split, n_l, n_r, mean_l, mean_r, score_e0,
              CAST(2 AS BIGINT) AS round, 'dow' AS feature
-      FROM s2"""))
+      FROM s2""")),
+
+    Q("q_position_bias", positionBias, Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, event_id,
+                        user_id % 3 = 0 AS clicked,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      imps AS (SELECT * FROM (
+                 SELECT event_type, day, event_id, clicked,
+                        CAST(row_number() OVER (
+                          PARTITION BY event_type, day
+                          ORDER BY cents DESC, event_id ASC)
+                          AS BIGINT) AS pos
+                 FROM e) r WHERE pos <= 10),
+      prior AS (SELECT pos,
+                       CAST(sum(CASE WHEN clicked THEN 1 ELSE 0 END)
+                         * 1000000 // count(*) AS BIGINT) AS prior_ppm
+                FROM imps GROUP BY 1)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_imps,
+             CAST(sum(CASE WHEN clicked THEN 1 ELSE 0 END) AS BIGINT)
+               AS clicks,
+             CAST(sum(prior_ppm) AS BIGINT) AS expected_ppm,
+             CAST(sum(CASE WHEN clicked THEN 1 ELSE 0 END)
+               * 1000000000 // sum(prior_ppm) AS BIGINT) AS coec_e3
+      FROM imps JOIN prior USING (pos)
+      GROUP BY 1"""))
   )
 }

@@ -240,6 +240,29 @@ object FeatureQueries {
       .orderBy($"lang".asc)
   }
 
+  /** Sample-ratio-mismatch guardrail — the FIRST check every
+    * experimentation platform runs before reading any metric: if the
+    * 50/50 assignment hash didn't actually split 50/50, the
+    * experiment is corrupted (bucketing bug, bot filtering one arm,
+    * logging loss) and all downstream stats are invalid. The 1-df χ²
+    * against the expected equal split clears to the exact integer
+    * form (n_a − n_b)²·1000 / (n_a + n_b), compared against the
+    * 0.001-significance critical value 10.828 in cross-multiplied
+    * integer form — platforms alarm SRM at 0.001, not 0.05, because
+    * it runs on every experiment every day. Per event_type, one
+    * map-side counting aggregate. */
+  private def srmCheck(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type", ($"user_id" % 2 === 0).as("arm_a"))
+      .groupBy($"event_type")
+      .agg(sum(when($"arm_a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(!$"arm_a", 1L).otherwise(0L)).as("n_b"))
+      .withColumn("chi2_e3", expr(
+        "(n_a - n_b) * (n_a - n_b) * 1000 div (n_a + n_b)"))
+      .withColumn("srm_alarm", $"chi2_e3" > 10828L)
+  }
+
   /** CUPED variance reduction per event type — the experimentation
     * workhorse (Deng et al.): adjust each unit's metric by a
     * pre-period covariate, Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X),
@@ -285,6 +308,19 @@ object FeatureQueries {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q_srm_check", srmCheck, Some("""
+      WITH a AS (SELECT event_type,
+                        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1
+                          ELSE 0 END) AS BIGINT) AS n_a,
+                        CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1
+                          ELSE 0 END) AS BIGINT) AS n_b
+                 FROM events GROUP BY 1)
+      SELECT event_type, n_a, n_b,
+             CAST((n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b)
+               AS BIGINT) AS chi2_e3,
+             (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) > 10828
+               AS srm_alarm
+      FROM a""")),
     Q("q_cuped", cuped, Some("""
       WITH e AS (SELECT event_type, user_id,
                         CAST(CAST(value AS DECIMAL(18,2)) * 100

@@ -1878,6 +1878,40 @@ object StatsQueries {
           .as("pcorr_e6"))
   }
 
+  /** Seasonal-naive MASE — the forecast-evaluation yardstick (scale-
+    * free, Hyndman–Koehler): the seasonal-naive forecast x̂_t = x_{t−7}
+    * scored relative to the 1-step naive x̂_t = x_{t−1} on the SAME
+    * series. Ratio < 1 = weekly seasonality carries real signal (the
+    * lag-7 copy beats the lag-1 copy); > 1 = the "seasonality" is
+    * noise. Both MAEs are exact integer |error| sums over the daily
+    * grain (one lag window per series), and the relative form
+    * e7·n1 / (e1·n7) is ONE integer division on the e6 grid — no
+    * float anywhere. The complement to [[holtLinear]]/q_ar2_forecast:
+    * those FIT forecasts, this scores which baseline to beat. */
+  private def seasonalMase(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day".asc)
+    Tables.events(s, d)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("cents"))
+      .withColumn("e1", abs($"cents" - lag($"cents", 1).over(w)))
+      .withColumn("e7", abs($"cents" - lag($"cents", 7).over(w)))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when($"e1".isNotNull, 1L).otherwise(0L)).as("n1"),
+        sum($"e1").as("sum_e1"),
+        sum(when($"e7".isNotNull, 1L).otherwise(0L)).as("n7"),
+        sum($"e7").as("sum_e7"))
+      .filter($"n7" > 0 && $"sum_e1" > 0)
+      .withColumn("mase_e6", expr(
+        "CAST(CAST(sum_e7 AS DECIMAL(38,0)) * n1 * 1000000" +
+          " div (CAST(sum_e1 AS DECIMAL(38,0)) * n7) AS BIGINT)"))
+  }
+
   /** Daily z-grid with a per-series day index — the shared input of
     * [[saxSymbols]] and [[matrixProfile]]: [[graft.ops.InferenceQueries]]'
     * zGridDaily convention (exact n·x−Σx deviations over n·range, one
@@ -3289,6 +3323,35 @@ object StatsQueries {
       SELECT CAST(lag AS BIGINT) AS lag, n_days, corr_e6,
              rn = 1 AS is_best
       FROM r""")),
+
+    Q("q_seasonal_mase", seasonalMase, Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      daily AS (SELECT event_type, day,
+                       CAST(sum(cents) AS BIGINT) AS cents
+                FROM e GROUP BY 1, 2),
+      lagd AS (SELECT event_type,
+                      abs(cents - lag(cents, 1) OVER (
+                        PARTITION BY event_type ORDER BY day ASC))
+                        AS e1,
+                      abs(cents - lag(cents, 7) OVER (
+                        PARTITION BY event_type ORDER BY day ASC))
+                        AS e7
+               FROM daily),
+      agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(CASE WHEN e1 IS NOT NULL THEN 1 ELSE 0
+                       END) AS BIGINT) AS n1,
+                     CAST(sum(e1) AS BIGINT) AS sum_e1,
+                     CAST(sum(CASE WHEN e7 IS NOT NULL THEN 1 ELSE 0
+                       END) AS BIGINT) AS n7,
+                     CAST(sum(e7) AS BIGINT) AS sum_e7
+              FROM lagd GROUP BY 1)
+      SELECT event_type, n_days, n1, sum_e1, n7, sum_e7,
+             CAST(CAST(sum_e7 AS HUGEINT) * n1 * 1000000
+               // (CAST(sum_e1 AS HUGEINT) * n7) AS BIGINT) AS mase_e6
+      FROM agg WHERE n7 > 0 AND sum_e1 > 0""")),
 
     Q("q_partial_corr", partialCorr, Some("""
       WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -403,6 +403,41 @@ class EvalSpec extends AnyFunSuite {
       got(f).getAs[Long]("n_train") < got(f + 1).getAs[Long]("n_train")))
   }
 
+  test("q_position_bias: COEC replays from the brute position table " +
+    "and the corpus-wide COEC is 1 up to floor dust") {
+    val rows = SparkEntry.queries("q_position_bias")(spark, sf).collect()
+    val imps = Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").as("day"), $"event_id",
+        ($"user_id" % 3 === 0).as("clicked"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .as[(String, java.sql.Date, Long, Boolean, Long)].collect().toSeq
+      .groupBy(r => (r._1, r._2)).values.flatMap { day =>
+        day.sortBy(r => (-r._5, r._3)).take(10).zipWithIndex
+          .map { case (r, i) => (r._1, i + 1L, r._4) }
+      }.toSeq
+    val prior = imps.groupBy(_._2).map { case (p, xs) =>
+      p -> xs.count(_._3).toLong * 1000000L / xs.size
+    }
+    rows.foreach { r =>
+      val ty = r.getAs[String]("event_type")
+      val mine = imps.filter(_._1 == ty)
+      val clicks = mine.count(_._3).toLong
+      val expected = mine.map(x => prior(x._2)).sum
+      assert(r.getAs[Long]("n_imps") === mine.size.toLong, s"$ty imps")
+      assert(r.getAs[Long]("clicks") === clicks, s"$ty clicks")
+      assert(r.getAs[Long]("expected_ppm") === expected, s"$ty exp")
+      assert(r.getAs[Long]("coec_e3") ===
+        clicks * 1000000000L / expected, s"$ty coec")
+    }
+    // identity: summed over everything, clicks == expected clicks
+    // (each prior floors at most 1 ppm per impression)
+    val totClicks = rows.map(_.getAs[Long]("clicks")).sum * 1000000L
+    val totExp = rows.map(_.getAs[Long]("expected_ppm")).sum
+    val dust = rows.map(_.getAs[Long]("n_imps")).sum
+    assert((totClicks - totExp).abs <= dust, "global COEC != 1")
+  }
+
   test("q_stump_boost: both rounds replay from a brute split search " +
     "and the round-2 residuals reconcile with round 1's leaves") {
     val rows = SparkEntry.queries("q_stump_boost")(spark, sf).collect()

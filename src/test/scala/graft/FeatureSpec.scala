@@ -105,6 +105,25 @@ class FeatureSpec extends AnyFunSuite {
     }
   }
 
+  test("q_srm_check: counts partition each series and the chi-square " +
+    "alarm replays exactly") {
+    val rows = SparkEntry.queries("q_srm_check")(spark, sf).collect()
+    val counts = Tables.events(spark, sf)
+      .select($"event_type", ($"user_id" % 2 === 0).as("a"))
+      .as[(String, Boolean)].collect().toSeq.groupBy(_._1)
+    rows.foreach { r =>
+      val ty = r.getAs[String]("event_type")
+      val (na, nb) = (counts(ty).count(_._2).toLong,
+        counts(ty).count(!_._2).toLong)
+      assert(r.getAs[Long]("n_a") === na)
+      assert(r.getAs[Long]("n_b") === nb)
+      val chi2 = (na - nb) * (na - nb) * 1000L / (na + nb)
+      assert(r.getAs[Long]("chi2_e3") === chi2)
+      assert(r.getAs[Boolean]("srm_alarm") === (chi2 > 10828L))
+    }
+    assert(rows.length === counts.size)
+  }
+
   test("q_cuped: theta and variance reduction replay from brute " +
     "per-user moments; reduction equals corr^2 in [0, 1]") {
     val got = SparkEntry.queries("q_cuped")(spark, sf)

@@ -1303,6 +1303,29 @@ class StatsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_seasonal_mase: error sums replay from the ordered daily " +
+    "walk and the ratio clears to the exact rational") {
+    val got = SparkEntry.queries("q_seasonal_mase")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    dailyXY.groupBy(_._1).foreach { case (ty, rs) =>
+      val xs = rs.sortBy(_._2).map(_._3)
+      val e1 = xs.drop(1).zip(xs).map { case (c, p) => (c - p).abs }
+      val e7 = xs.drop(7).zip(xs).map { case (c, p) => (c - p).abs }
+      if (e7.nonEmpty && e1.sum > 0) {
+        val row = got(ty)
+        assert(row.getAs[Long]("n_days") === xs.length.toLong)
+        assert(row.getAs[Long]("n1") === e1.length.toLong)
+        assert(row.getAs[Long]("sum_e1") === e1.sum)
+        assert(row.getAs[Long]("n7") === e7.length.toLong)
+        assert(row.getAs[Long]("sum_e7") === e7.sum)
+        assert(row.getAs[Long]("mase_e6") ===
+          (BigInt(e7.sum) * e1.length * 1000000 /
+            (BigInt(e1.sum) * e7.length)).toLong)
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
   test("q_dp_mean: noise replays the seedless Laplace mechanism and " +
     "the clamp bounds the true sum") {
     val rows = SparkEntry.queries("q_dp_mean")(spark, sf)
