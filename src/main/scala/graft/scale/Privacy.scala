@@ -363,7 +363,51 @@ object Privacy {
         expr("noisy_sum_e3 * 1000 div noisy_n_e3"))
   }
 
+  /** Right-to-erasure (GDPR Art. 17) audit — the delete-and-prove
+    * pass: subjects with deletion requests (a deterministic id set
+    * standing in for the request table) are anti-joined out of the
+    * event log, and the audit row per series carries before/after/
+    * erased counts plus a `clean` flag recomputed FROM THE SURVIVING
+    * ROWS (not inferred from the delete) — the evidence a DPO actually
+    * asks for. At 100 TB the request table is the small side: it
+    * broadcasts into the anti-join and the log is rewritten in one
+    * embarrassing-parallel pass; counts are map-side-combinable. */
+  private def erasureAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val requests = ev.select($"user_id").distinct()
+      .filter($"user_id" % 97 === 0)
+    val after = ev.join(broadcast(requests), Seq("user_id"), "left_anti")
+    val before = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_before"),
+        countDistinct(when($"user_id" % 97 === 0, $"user_id"))
+          .as("n_subjects"))
+    val post = after.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_after"),
+        sum(when($"user_id" % 97 === 0, 1L).otherwise(0L))
+          .as("n_leaked"))
+    before.join(post, Seq("event_type"))
+      .withColumn("n_erased", $"n_before" - $"n_after")
+      .withColumn("clean", $"n_leaked" === 0L)
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_erasure_audit", erasureAudit, Some("""
+      WITH before AS (SELECT event_type,
+                             CAST(count(*) AS BIGINT) AS n_before,
+                             CAST(count(DISTINCT CASE
+                               WHEN user_id % 97 = 0 THEN user_id END)
+                               AS BIGINT) AS n_subjects
+                      FROM events GROUP BY 1),
+      after AS (SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n_after,
+                       CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_leaked
+                FROM events WHERE user_id % 97 <> 0 GROUP BY 1)
+      SELECT event_type, n_before, n_subjects, n_after, n_leaked,
+             CAST(n_before - n_after AS BIGINT) AS n_erased,
+             n_leaked = 0 AS clean
+      FROM before JOIN after USING (event_type)""")),
     Q("q_dp_mean", dpMean, Some("""
       WITH cl AS (SELECT event_type,
                          least(greatest(CAST(CAST(value AS DECIMAL(18,2))

@@ -1303,6 +1303,29 @@ class StatsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_erasure_audit: accounting reconciles with a brute delete " +
+    "and the surviving log truly contains no requested subject") {
+    val rows = SparkEntry.queries("q_erasure_audit")(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", $"user_id").as[(String, Long)]
+      .collect().toSeq
+    val byType = ev.groupBy(_._1)
+    rows.foreach { r =>
+      val ty = r.getAs[String]("event_type")
+      val all = byType(ty)
+      val erased = all.filter(_._2 % 97 == 0)
+      assert(r.getAs[Long]("n_before") === all.size.toLong)
+      assert(r.getAs[Long]("n_subjects") ===
+        erased.map(_._2).distinct.size.toLong)
+      assert(r.getAs[Long]("n_erased") === erased.size.toLong)
+      assert(r.getAs[Long]("n_after") ===
+        (all.size - erased.size).toLong)
+      assert(r.getAs[Long]("n_leaked") === 0L)
+      assert(r.getAs[Boolean]("clean"))
+    }
+    assert(rows.length === byType.size)
+  }
+
   test("q_seasonal_mase: error sums replay from the ordered daily " +
     "walk and the ratio clears to the exact rational") {
     val got = SparkEntry.queries("q_seasonal_mase")(spark, sf)

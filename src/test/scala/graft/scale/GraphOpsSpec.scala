@@ -348,4 +348,33 @@ class GraphOpsSpec extends AnyFunSuite {
     val qPpm = rows.head.getAs[Long]("q_ppm")
     assert(qPpm >= -1000000L && qPpm <= 1000000L)
   }
+
+  test("q_bfs_hops: distances equal a brute frontier walk and satisfy " +
+      "the BFS edge inequality") {
+    val got = SparkEntry.queries("q_bfs_hops")(spark, sf)
+      .collect().map(r => r.getAs[String]("node") ->
+        r.getAs[Long]("dist")).toMap
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, sf)
+      .select($"l_suppkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val adj = li.flatMap { case (sk, pk) =>
+      Seq(s"s$sk" -> s"p$pk", s"p$pk" -> s"s$sk") }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seeds = Set("s0", "s1", "s2").filter(adj.contains)
+    assert(seeds.nonEmpty)
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (i <- 1 to GraphOps.BfsRounds) {
+      val next = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> i.toLong)
+      frontier = next
+    }
+    assert(got === dist)
+    // edge inequality: a node at dist d < rounds forces neighbors <= d+1
+    got.foreach { case (u, du) =>
+      if (du < GraphOps.BfsRounds)
+        adj(u).foreach(v => assert(got(v) <= du + 1, s"$u->$v"))
+    }
+  }
 }
