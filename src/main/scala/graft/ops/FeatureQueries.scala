@@ -240,6 +240,53 @@ object FeatureQueries {
       .orderBy($"lang".asc)
   }
 
+  /** Delta-method CI for a RATIO metric (revenue per event, per
+    * user-unit) — the experimentation stat everyone gets wrong by
+    * treating Σx/Σy as a mean: units are users, the metric is a ratio
+    * of two per-user sums, and its variance needs the delta method
+    * Var(R̂) = (σx² − 2Rσxy + R²σy²)/((n−1)·(Σy)²)·(n−1)n/(n(n−1)) —
+    * cleared here to se = √((vx − 2R·vxy + R²·vy)/(n−1)) / Σy with
+    * vx = nΣx²−(Σx)² etc. All six moments exact in ONE per-user
+    * rollup (second moments DECIMAL(38,0)/HUGEINT); R, se and the
+    * ±1.96·se Wald band are short identical double trees floored to
+    * e6/e9. Guarded on a positive quadratic form (fp dust near a
+    * deterministic x∝y relation would otherwise NaN the sqrt —
+    * engine-divergent: Spark nulls, DuckDB errors). */
+  private def deltaMethodRatio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val perUser = Tables.events(s, d)
+      .select($"event_type", $"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"user_id")
+      .agg(sum($"cents").as("x"), count(lit(1)).as("y"))
+    perUser.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum(dec($"x") * $"x").as("sxx"),
+        sum(dec($"x") * $"y").as("sxy"), sum($"y" * $"y").as("syy"))
+      .filter($"n" > 1 && $"sy" > 0)
+      .withColumn("r", $"sx".cast("double") / $"sy")
+      .withColumn("vx", $"n".cast("double") * $"sxx".cast("double") -
+        $"sx".cast("double") * $"sx".cast("double"))
+      .withColumn("vxy", $"n".cast("double") * $"sxy".cast("double") -
+        $"sx".cast("double") * $"sy".cast("double"))
+      .withColumn("vy", $"n".cast("double") * $"syy".cast("double") -
+        $"sy".cast("double") * $"sy".cast("double"))
+      .withColumn("qf",
+        $"vx" - lit(2.0) * $"r" * $"vxy" + $"r" * $"r" * $"vy")
+      .filter($"qf" > 0.0)
+      .withColumn("se",
+        sqrt($"qf" / ($"n".cast("double") - lit(1.0))) / $"sy")
+      .select($"event_type", $"n", $"sx", $"sy",
+        floor($"r" * lit(1000000.0)).as("r_e6"),
+        floor($"se" * lit(1000000000.0)).as("se_e9"),
+        floor(($"r" - lit(1.96) * $"se") * lit(1000000.0))
+          .as("ci_lo_e6"),
+        floor(($"r" + lit(1.96) * $"se") * lit(1000000.0))
+          .as("ci_hi_e6"))
+  }
+
   /** Sample-ratio-mismatch guardrail — the FIRST check every
     * experimentation platform runs before reading any metric: if the
     * 50/50 assignment hash didn't actually split 50/50, the
@@ -308,6 +355,43 @@ object FeatureQueries {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q_delta_method_ratio", deltaMethodRatio, Some("""
+      WITH e AS (SELECT event_type, user_id,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      u AS (SELECT event_type, user_id,
+                   CAST(sum(cents) AS BIGINT) AS x,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM e GROUP BY 1, 2),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM u GROUP BY 1),
+      c AS (SELECT *,
+                   CAST(sx AS DOUBLE) / sy AS r,
+                   CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+                   CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS vxy,
+                   CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+            FROM m WHERE n > 1 AND sy > 0),
+      q AS (SELECT *, vx - 2.0 * r * vxy + r * r * vy AS qf FROM c),
+      f AS (SELECT *,
+                   sqrt(qf / (CAST(n AS DOUBLE) - 1.0)) / sy AS se
+            FROM q WHERE qf > 0.0)
+      SELECT event_type, n, sx, sy,
+             CAST(floor(r * 1000000.0) AS BIGINT) AS r_e6,
+             CAST(floor(se * 1000000000.0) AS BIGINT) AS se_e9,
+             CAST(floor((r - 1.96 * se) * 1000000.0) AS BIGINT)
+               AS ci_lo_e6,
+             CAST(floor((r + 1.96 * se) * 1000000.0) AS BIGINT)
+               AS ci_hi_e6
+      FROM f""")),
     Q("q_srm_check", srmCheck, Some("""
       WITH a AS (SELECT event_type,
                         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1

@@ -942,6 +942,60 @@ object InferenceQueries {
           ($"n" * ($"mx" - $"mn"))))
   }
 
+  /** Paired t-test per event type — each USER is their own control:
+    * the pre/post difference d_u = (odd-day spend) − (even-day spend)
+    * cancels all between-user variance, which is why paired designs
+    * need far fewer units than [[welchTTest]]'s independent samples.
+    * One (type,user) rollup builds the differences as exact integer
+    * cents; n, Σd, Σd² (DECIMAL(38,0)/HUGEINT) feed the closed form
+    * t = d̄ / (s_d/√n) = Σd·√(n−1) / √(n·Σd² − (Σd)²), emitted as
+    * floor·e6 beside the exact integer moments. Guarded on n > 1 and
+    * positive variance (the welch lesson). */
+  private def pairedTTest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val diffs = Tables.events(s, d)
+      .select($"event_type", $"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (datediff($"ts".cast("date"), lit("1970-01-01").cast("date"))
+          % 2 === 0).as("pre"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"user_id")
+      .agg((sum(when(!$"pre", $"cents").otherwise(0L)) -
+        sum(when($"pre", $"cents").otherwise(0L))).as("dd"))
+    diffs.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"dd").as("sd"),
+        sum($"dd".cast("decimal(38,0)") * $"dd").as("sdd"))
+      .withColumn("var_n2",
+        $"n" * $"sdd" - $"sd".cast("decimal(38,0)") * $"sd")
+      .filter($"n" > 1 && $"var_n2" > 0)
+      .select($"event_type", $"n", $"sd",
+        floor($"sd".cast("double") *
+          sqrt(($"n" - 1).cast("double")) /
+          sqrt($"var_n2".cast("double")) * lit(1000000.0)).as("t_e6"))
+  }
+
+  /** Overdispersion (variance-to-mean) index of the daily event
+    * counts — the Poisson sanity check run before anyone models
+    * arrivals: for a Poisson process D = s²/m = 1; D ≫ 1 means
+    * burstiness/clumping (retries, bots, campaigns) and every
+    * Poisson-assuming alert threshold is wrong. Clears to ONE exact
+    * rational D = (nΣy² − (Σy)²) / ((n−1)·Σy) on the daily-count
+    * grain — no float anywhere, int64 everywhere (counts are small). */
+  private def overdispersion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"y").as("sy"),
+        sum($"y" * $"y").as("syy"))
+      .filter($"n_days" > 1 && $"sy" > 0)
+      .withColumn("disp_num", $"n_days" * $"syy" - $"sy" * $"sy")
+      .withColumn("disp_e3", expr(
+        "disp_num * 1000 div ((n_days - 1) * sy)"))
+      .withColumn("overdispersed", $"disp_e3" > 1000L)
+  }
+
   /** Kernel two-sample drift via MOMENT CLOSURE — MMD² with the
     * degree-2 polynomial kernel k(x,y) = (1 + xy/c)², which expands
     * so every pair expectation collapses to moments:
@@ -2034,6 +2088,47 @@ object InferenceQueries {
              CAST(n_covered * 1000000 // n_test AS BIGINT)
                AS coverage_ppm
       FROM agg""")),
+
+    Q("q_paired_ttest", pairedTTest, Some("""
+      WITH e AS (SELECT event_type, user_id,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents,
+                        datediff('day', DATE '1970-01-01',
+                          CAST(ts AS DATE)) % 2 = 0 AS pre
+                 FROM events WHERE value IS NOT NULL),
+      u AS (SELECT event_type, user_id,
+                   CAST(sum(CASE WHEN NOT pre THEN cents ELSE 0 END)
+                     - sum(CASE WHEN pre THEN cents ELSE 0 END)
+                     AS BIGINT) AS dd
+            FROM e GROUP BY 1, 2),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(dd) AS BIGINT) AS sd,
+                   sum(CAST(dd AS HUGEINT) * dd) AS sdd
+            FROM u GROUP BY 1),
+      v AS (SELECT *, n * sdd - CAST(sd AS HUGEINT) * sd AS var_n2
+            FROM m WHERE n > 1)
+      SELECT event_type, n, sd,
+             CAST(floor(CAST(sd AS DOUBLE)
+               * sqrt(CAST(n - 1 AS DOUBLE))
+               / sqrt(CAST(var_n2 AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS t_e6
+      FROM v WHERE var_n2 > 0""")),
+
+    Q("q_overdispersion", overdispersion, Some("""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(count(*) AS BIGINT) AS y
+                     FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM daily GROUP BY 1)
+      SELECT event_type, n_days, sy, syy,
+             CAST(n_days * syy - sy * sy AS BIGINT) AS disp_num,
+             CAST((n_days * syy - sy * sy) * 1000
+               // ((n_days - 1) * sy) AS BIGINT) AS disp_e3,
+             (n_days * syy - sy * sy) * 1000 // ((n_days - 1) * sy)
+               > 1000 AS overdispersed
+      FROM m WHERE n_days > 1 AND sy > 0""")),
 
     Q("q_mmd_drift", mmdDrift, Some("""
       WITH e AS (SELECT event_type,

@@ -105,6 +105,43 @@ class FeatureSpec extends AnyFunSuite {
     }
   }
 
+  test("q_delta_method_ratio: ratio, SE, and Wald band replay from " +
+    "brute per-user moments; the band brackets the ratio") {
+    val got = SparkEntry.queries("q_delta_method_ratio")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val perUser = Tables.events(spark, sf)
+      .select($"event_type", $"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"user_id")
+      .agg(sum($"cents").as("x"), count(lit(1)).as("y"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    perUser.groupBy(_._1).foreach { case (ty, rs) =>
+      val n = rs.length.toDouble
+      val sx = rs.map(_._3).sum.toDouble
+      val sy = rs.map(_._4).sum.toDouble
+      val sxx = rs.map(r => r._3.toDouble * r._3).sum
+      val sxy = rs.map(r => r._3.toDouble * r._4).sum
+      val syy = rs.map(r => r._4.toDouble * r._4).sum
+      val r0 = sx / sy
+      val (vx, vxy, vy) =
+        (n * sxx - sx * sx, n * sxy - sx * sy, n * syy - sy * sy)
+      val qf = vx - 2.0 * r0 * vxy + r0 * r0 * vy
+      if (rs.length > 1 && qf > 0) {
+        val se = math.sqrt(qf / (n - 1.0)) / sy
+        val row = got(ty)
+        // brute doubles accumulate in a different order: 1-unit slack
+        assert((row.getAs[Long]("r_e6") -
+          math.floor(r0 * 1e6).toLong).abs <= 1, s"$ty r")
+        assert((row.getAs[Long]("se_e9") -
+          math.floor(se * 1e9).toLong).abs <= 1, s"$ty se")
+        assert(row.getAs[Long]("ci_lo_e6") <= row.getAs[Long]("r_e6"))
+        assert(row.getAs[Long]("ci_hi_e6") >= row.getAs[Long]("r_e6"))
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
   test("q_srm_check: counts partition each series and the chi-square " +
     "alarm replays exactly") {
     val rows = SparkEntry.queries("q_srm_check")(spark, sf).collect()

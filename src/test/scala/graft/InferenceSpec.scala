@@ -768,6 +768,61 @@ class InferenceSpec extends AnyFunSuite {
       (n * (mx - mn))).toLong)
   }
 
+  test("q_paired_ttest: statistic replays from brute per-user " +
+    "differences") {
+    val got = SparkEntry.queries("q_paired_ttest")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", $"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (datediff($"ts".cast("date"), lit("1970-01-01").cast("date"))
+          % 2 === 0).as("pre"))
+      .filter($"cents".isNotNull)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    ev.groupBy(_._1).foreach { case (ty, rs) =>
+      val dd = rs.groupBy(_._2).values.map(es =>
+        es.filterNot(_._4).map(_._3).sum - es.filter(_._4).map(_._3).sum)
+        .toSeq
+      val n = dd.length.toLong
+      val sd = dd.sum
+      val varN2 = BigInt(n) * dd.map(v => BigInt(v) * v).sum -
+        BigInt(sd) * sd
+      if (n > 1 && varN2 > 0) {
+        val row = got(ty)
+        assert(row.getAs[Long]("n") === n)
+        assert(row.getAs[Long]("sd") === sd)
+        assert(row.getAs[Long]("t_e6") === math.floor(sd.toDouble *
+          math.sqrt((n - 1).toDouble) /
+          math.sqrt(varN2.toDouble) * 1e6).toLong, s"$ty t")
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("q_overdispersion: the exact rational replays and the Poisson " +
+    "flag matches") {
+    val got = SparkEntry.queries("q_overdispersion")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .as[(String, java.sql.Date, Long)].collect().toSeq
+    daily.groupBy(_._1).foreach { case (ty, rs) =>
+      val ys = rs.map(_._3)
+      val (n, sy, syy) = (ys.length.toLong, ys.sum,
+        ys.map(y => y * y).sum)
+      if (n > 1 && sy > 0) {
+        val row = got(ty)
+        val num = n * syy - sy * sy
+        assert(row.getAs[Long]("disp_num") === num, s"$ty num")
+        val d = num * 1000L / ((n - 1) * sy)
+        assert(row.getAs[Long]("disp_e3") === d, s"$ty d")
+        assert(row.getAs[Boolean]("overdispersed") === (d > 1000L))
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
   test("q_mmd_drift: closed form replays from brute moments and the " +
     "statistic is nonnegative") {
     val got = SparkEntry.queries("q_mmd_drift")(spark, sf)
