@@ -372,6 +372,190 @@ object StatsQueries {
         round($"cnt" / $"tot", 4).as("p_next"))
   }
 
+  /** Fixed-point rounds for [[markovAttribution]] — the emitted
+    * statistic is the exact k-step conversion probability (geometric
+    * convergence makes 8 rounds ≈ the stationary value; defining the
+    * statistic AT k keeps it bit-exact rather than approximately
+    * converged). */
+  val MkIters = 8
+
+  /** Markov-chain (removal-effect) channel attribution — the
+    * data-driven attribution model that replaces heuristic splits:
+    * user journeys become a first-order chain over channel states
+    * (start → {view,click,signup,error}* → conv|null, absorbing at
+    * the FIRST purchase), the chain's start→conv probability is a
+    * fixed point, and a channel's credit is its REMOVAL EFFECT — how
+    * much conversion probability disappears when every edge into the
+    * channel is redirected to null (done for free here: dropping
+    * b=c rows while keeping the original n_a denominators IS that
+    * redirect). Per-conversion heuristics (even-split = the Shapley
+    * value of both the OR- and AND-game) can't see path structure;
+    * removal effect can. Mechanics: the transition table is a
+    * ≤|states|²-row aggregate (map-side; journeys shuffle once on
+    * user_id for the lag), and the 5 fixed points (full + 4
+    * removals) run as [[MkIters]] unrolled integer rounds on the e9
+    * grid — P_i(a) = Σ_b n_ab·P_{i−1}(b) div n_a, exact integer ops
+    * joining 36-row tables, the PageRank idiom. Output: per channel,
+    * full/removed k-step conv probability, effect, normalized share. */
+  private def markovAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val fp = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(min(struct($"ts", $"event_id")).as("fp"))
+    val pre = ev.filter($"event_type" =!= "purchase")
+      .join(fp, Seq("user_id"), "left")
+      .filter($"fp".isNull || struct($"ts", $"event_id") < $"fp")
+      .withColumn("converted", $"fp".isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val seqd = pre
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    val trans = seqd.filter($"nxt".isNotNull)
+      .select($"event_type".as("a"), $"nxt".as("b"))
+      .unionByName(seqd.filter($"nxt".isNull)
+        .select($"event_type".as("a"),
+          when($"converted", "conv").otherwise("null").as("b")))
+      .unionByName(seqd.filter($"rn" === 1)
+        .select(lit("start").as("a"), $"event_type".as("b")))
+      .unionByName(fp
+        .join(pre.select($"user_id").distinct(), Seq("user_id"),
+          "left_anti")
+        .select(lit("start").as("a"), lit("conv").as("b")))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
+    val t = graft.GraftCaches.getOrPersist(s, s"stats.markov_t:$d") {
+      trans.join(
+        broadcast(trans.groupBy($"a").agg(sum($"n_ab").as("n_a"))),
+        "a")
+    }
+    // The transition table is bounded by |states|² ≤ 36 rows at ANY
+    // corpus size, so the 5 × MkIters fixed points run DRIVER-SIDE on
+    // the collected table (the q_heavy_hitters bounded-collect
+    // contract — this is a fixed-size model, not data). A first
+    // formulation ran them as 40 unrolled tiny-table joins: 21.8 s of
+    // sequential micro-shuffles for 36 rows. Pure-integer Scala is
+    // bit-identical to the SQL replay.
+    val edges = t.select($"a", $"b", $"n_ab", $"n_a")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    def pconv(removed: Option[String]): Long = {
+      val tt = edges.filter(e => !removed.contains(e._2))
+      var p = Map("conv" -> 1000000000L, "null" -> 0L)
+        .withDefaultValue(0L)
+      for (_ <- 1 to MkIters) {
+        val step = tt.groupBy(_._1).map { case (a, es) =>
+          a -> es.map(e => e._3 * p(e._2)).sum / es.head._4
+        }
+        p = (step ++ Map("conv" -> 1000000000L, "null" -> 0L))
+          .withDefaultValue(0L)
+      }
+      p("start")
+    }
+    val full = pconv(None)
+    val rows = Seq("view", "click", "signup", "error").map { c =>
+      val rem = pconv(Some(c))
+      (c, full, rem, math.max(full - rem, 0L))
+    }
+    val tot = rows.map(_._4).sum
+    rows.map { case (c, f, r, e) =>
+      (c, f, r, e, if (tot > 0) Some(e * 1000000L / tot) else None)
+    }.toDF("channel", "p_full_e9", "p_removed_e9", "effect_e9",
+      "share_ppm")
+  }
+
+  /** Unrolled DuckDB replay of [[markovAttribution]] — the journey
+    * CTEs plus [[MkIters]] integer fixed-point rounds for each of the
+    * 5 chain variants (full + 4 removals), generated the pagerank way. */
+  private def markovOracle: String = {
+    def variant(tag: String, filter: String): String = {
+      val head = s""",
+      t_$tag AS (SELECT * FROM t$filter),
+      p_${tag}_0 AS (SELECT DISTINCT a AS state,
+                            CAST(0 AS BIGINT) AS p_e9
+                     FROM t_$tag
+                     UNION ALL SELECT state, p_e9 FROM absorbers)"""
+      val steps = (1 to MkIters).map { i =>
+        s""",
+      p_${tag}_$i AS (SELECT a AS state,
+                             CAST(sum(n_ab * p.p_e9) // max(n_a)
+                               AS BIGINT) AS p_e9
+                      FROM t_$tag e
+                      JOIN p_${tag}_${i - 1} p ON e.b = p.state
+                      GROUP BY 1
+                      UNION ALL SELECT state, p_e9 FROM absorbers)"""
+      }.mkString
+      head + steps
+    }
+    val channels = Seq("view", "click", "signup", "error")
+    val variants = variant("full", "") +
+      channels.map(c => variant(c, s" WHERE b <> '$c'")).mkString
+    val removalRows = channels.map(c =>
+      s"""SELECT '$c' AS channel,
+                 (SELECT p_e9 FROM p_${c}_$MkIters
+                  WHERE state = 'start') AS p_removed_e9""")
+      .mkString("\n        UNION ALL\n        ")
+    s"""
+      WITH ev AS (SELECT user_id, ts, event_id, event_type
+                  FROM events),
+      fp AS (SELECT user_id,
+                    min(struct_pack(t := ts, e := event_id)) AS fp
+             FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+      pre AS (SELECT ev.user_id, ev.ts, ev.event_id, ev.event_type,
+                     fp.fp IS NOT NULL AS converted
+              FROM ev LEFT JOIN fp USING (user_id)
+              WHERE ev.event_type <> 'purchase'
+                AND (fp.fp IS NULL
+                     OR struct_pack(t := ts, e := event_id) < fp.fp)),
+      seqd AS (SELECT *,
+                      lead(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS nxt,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS rn
+               FROM pre),
+      edges0 AS (
+        SELECT event_type AS a, nxt AS b
+        FROM seqd WHERE nxt IS NOT NULL
+        UNION ALL
+        SELECT event_type AS a,
+               CASE WHEN converted THEN 'conv' ELSE 'null' END AS b
+        FROM seqd WHERE nxt IS NULL
+        UNION ALL
+        SELECT 'start' AS a, event_type AS b FROM seqd WHERE rn = 1
+        UNION ALL
+        SELECT 'start' AS a, 'conv' AS b
+        FROM fp ANTI JOIN (SELECT DISTINCT user_id FROM pre) p
+          USING (user_id)),
+      trans AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+                FROM edges0 GROUP BY 1, 2),
+      t AS (SELECT trans.a, trans.b, trans.n_ab, tot.n_a
+            FROM trans
+            JOIN (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
+                  FROM trans GROUP BY 1) tot USING (a)),
+      absorbers AS (SELECT 'conv' AS state,
+                           CAST(1000000000 AS BIGINT) AS p_e9
+                    UNION ALL
+                    SELECT 'null', CAST(0 AS BIGINT))$variants,
+      removals AS (
+        $removalRows),
+      fullp AS (SELECT p_e9 AS p_full_e9 FROM p_full_$MkIters
+                WHERE state = 'start'),
+      eff AS (SELECT channel, p_full_e9, p_removed_e9,
+                     greatest(p_full_e9 - p_removed_e9, 0)
+                       AS effect_e9
+              FROM removals, fullp),
+      tot2 AS (SELECT CAST(sum(effect_e9) AS BIGINT) AS tot_eff
+               FROM eff)
+      SELECT channel, p_full_e9, p_removed_e9,
+             CAST(effect_e9 AS BIGINT) AS effect_e9,
+             CASE WHEN tot_eff > 0
+               THEN CAST(effect_e9 * 1000000 // tot_eff AS BIGINT)
+             END AS share_ppm
+      FROM eff, tot2"""
+  }
+
   /** Benford first-digit screen — the fraud/synthetic-data smell test:
     * the first significant digit of organic amounts follows
     * p(d) = log10(1+1/d). The digit is extracted via BIGINT→string
@@ -3323,6 +3507,8 @@ object StatsQueries {
       SELECT CAST(lag AS BIGINT) AS lag, n_days, corr_e6,
              rn = 1 AS is_best
       FROM r""")),
+
+    Q("q_markov_attribution", markovAttribution, Some(markovOracle)),
 
     Q("q_seasonal_mase", seasonalMase, Some("""
       WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -1303,6 +1303,61 @@ class StatsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_markov_attribution: fixed points replay from a brute " +
+    "integer chain walk and removal never helps") {
+    val got = SparkEntry.queries("q_markov_attribution")(spark, sf)
+      .collect().map(r => r.getAs[String]("channel") -> r).toMap
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect().toSeq
+    // brute journeys: absorb at the first purchase per user
+    val trans = scala.collection.mutable.Map
+      .empty[(String, String), Long].withDefaultValue(0L)
+    ev.groupBy(_._1).foreach { case (_, es) =>
+      val sorted = es.sortBy(e =>
+        (e._2.toInstant.getEpochSecond, e._2.getNanos, e._3))
+      val fpIdx = sorted.indexWhere(_._4 == "purchase")
+      val pre = (if (fpIdx >= 0) sorted.take(fpIdx) else sorted)
+        .map(_._4)
+      val term = if (fpIdx >= 0) "conv" else "null"
+      val path = ("start" +: pre) :+ term
+      path.zip(path.drop(1)).foreach(p => trans(p) += 1L)
+    }
+    val nA = trans.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    def pconv(removed: Option[String]): Long = {
+      val tt = trans.filter { case ((_, b), _) =>
+        !removed.contains(b) }
+      var p = Map("conv" -> 1000000000L, "null" -> 0L)
+        .withDefaultValue(0L)
+      for (_ <- 1 to ops.StatsQueries.MkIters) {
+        val step = tt.toSeq.groupBy(_._1._1).map { case (a, es) =>
+          a -> es.map { case ((_, b), n) => n * p(b) }.sum / nA(a)
+        }
+        p = (step ++ Map("conv" -> 1000000000L, "null" -> 0L))
+          .withDefaultValue(0L)
+      }
+      p("start")
+    }
+    val full = pconv(None)
+    val effects = Seq("view", "click", "signup", "error").map { c =>
+      val row = got(c)
+      assert(row.getAs[Long]("p_full_e9") === full, s"$c full")
+      val rem = pconv(Some(c))
+      assert(row.getAs[Long]("p_removed_e9") === rem, s"$c removed")
+      val eff = math.max(full - rem, 0L)
+      assert(row.getAs[Long]("effect_e9") === eff, s"$c effect")
+      // removing a channel can only lose conversion probability
+      assert(rem <= full, s"$c monotone")
+      c -> eff
+    }
+    val tot = effects.map(_._2).sum
+    effects.foreach { case (c, eff) =>
+      assert(got(c).getAs[Long]("share_ppm") ===
+        eff * 1000000L / tot, s"$c share")
+    }
+  }
+
   test("q_erasure_audit: accounting reconciles with a brute delete " +
     "and the surviving log truly contains no requested subject") {
     val rows = SparkEntry.queries("q_erasure_audit")(spark, sf).collect()
