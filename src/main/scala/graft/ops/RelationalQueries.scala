@@ -283,6 +283,32 @@ object RelationalQueries {
     c.except(p)
   }
 
+  /** Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL) — the
+    * multiplicity-preserving variants [[setExcept]]'s DISTINCT forms
+    * cannot express: "how many MORE of each (flag, status) line does
+    * the even-order half carry than the odd half" is an EXCEPT ALL
+    * question (reconciliation diffs, CDC audits), and INTERSECT ALL
+    * is the matched volume. Spark plans both as aggregate+generate
+    * (count per key, replicate the surplus) — no row-by-row
+    * comparison — so the shuffle carries key counts, not rows. The
+    * two results roll up to counted form (tagged, unioned) so the
+    * output is |keys|-bounded while still pinning multiplicities. */
+  private def setOpsAll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def half(par: Int) = Tables.lineitem(s, d)
+      .filter($"l_orderkey" % 2 === par)
+      .select($"l_returnflag", $"l_linestatus")
+    val a = half(0)
+    val b = half(1)
+    a.exceptAll(b).groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+      .unionByName(
+        a.intersectAll(b).groupBy($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("intersect_all")))
+  }
+
   /** ROLLUP hierarchy totals (region → nation → grand total). */
   private def rollupRegionNation(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -575,6 +601,21 @@ object RelationalQueries {
       SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
       EXCEPT
       SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""")),
+
+    Q("q_set_ops_all", setOpsAll, Some("""
+      WITH a AS (SELECT l_returnflag, l_linestatus FROM lineitem
+                 WHERE l_orderkey % 2 = 0),
+      b AS (SELECT l_returnflag, l_linestatus FROM lineitem
+            WHERE l_orderkey % 2 <> 0),
+      ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+      ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS BIGINT) AS n, 'except_all' AS op
+      FROM ea GROUP BY 1, 2
+      UNION ALL
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS BIGINT) AS n, 'intersect_all' AS op
+      FROM ia GROUP BY 1, 2""")),
 
     Q("q_rollup", rollupRegionNation, Some("""
       SELECT r_name, n_name, count(*) AS cnt,

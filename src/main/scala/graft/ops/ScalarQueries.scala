@@ -326,7 +326,61 @@ object ScalarQueries {
       .select(date_format($"day", "yyyy-MM-dd").as("day"), $"wau")
   }
 
+  /** ANSI-safe `try_*` function surface — the error-absorbing scalar
+    * family (try_divide / try_cast / try_element_at) that keeps a
+    * 100 TB batch job alive when one row divides by zero or carries a
+    * malformed value: the failure becomes a NULL the pipeline can
+    * count and quarantine instead of a task-killing exception (the
+    * row-level cousin of q_json_quarantine's file-level policy). The
+    * rollup counts each absorber's null volume per divisor class and
+    * pins min/max of the safe ratio — bag-of-nulls accounting is
+    * exact integers; no double ever sums. */
+  private def tryFuncs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        ($"o_custkey" % 5).as("div5"))
+      .withColumn("safe_ratio", expr("try_divide(cents, div5)"))
+      .withColumn("prio_num",
+        expr("try_cast(o_orderpriority AS INT)"))
+      .withColumn("oob", expr(
+        "try_element_at(array(10L, 20L, 30L), CAST(div5 AS INT) + 2)"))
+      .groupBy($"div5")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"safe_ratio".isNull, 1L).otherwise(0L))
+          .as("n_div_null"),
+        sum(when($"prio_num".isNull, 1L).otherwise(0L))
+          .as("n_prio_null"),
+        sum(when($"oob".isNull, 1L).otherwise(0L)).as("n_oob_null"),
+        round(min($"safe_ratio"), 4).as("min_ratio"),
+        round(max($"safe_ratio"), 4).as("max_ratio"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_try_funcs", tryFuncs, Some("""
+      WITH o AS (SELECT o_orderkey, o_orderpriority,
+                        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents,
+                        o_custkey % 5 AS div5
+                 FROM orders),
+      t AS (SELECT *,
+                   cents / nullif(div5, 0) AS safe_ratio,
+                   TRY_CAST(o_orderpriority AS INT) AS prio_num,
+                   ([10, 20, 30])[div5 + 2] AS oob
+            FROM o)
+      SELECT CAST(div5 AS BIGINT) AS div5,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN safe_ratio IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_div_null,
+             CAST(sum(CASE WHEN prio_num IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_prio_null,
+             CAST(sum(CASE WHEN oob IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_oob_null,
+             round(min(safe_ratio), 4) AS min_ratio,
+             round(max(safe_ratio), 4) AS max_ratio
+      FROM t GROUP BY 1""")),
     Q("q_rolling_active", rollingActive, Some("""
       WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS a_day, user_id
                   FROM events),

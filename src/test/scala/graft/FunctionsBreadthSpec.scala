@@ -167,4 +167,46 @@ class FunctionsBreadthSpec extends AnyFunSuite {
       s"skyline mismatch: extra=${sky -- brute} missing=${brute -- sky}")
     assert(sky.nonEmpty)
   }
+
+  test("q_set_ops_all: bag semantics equal the multiset identities " +
+    "max(a-b,0) and min(a,b)") {
+    val rows = SparkEntry.queries("q_set_ops_all")(spark, sf).collect()
+      .map(r => (r.getAs[String]("op"), r.getAs[String]("l_returnflag"),
+        r.getAs[String]("l_linestatus")) -> r.getAs[Long]("n")).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_returnflag", $"l_linestatus")
+      .as[(Long, String, String)].collect().toSeq
+    val a = li.filter(_._1 % 2 == 0).groupBy(r => (r._2, r._3))
+      .view.mapValues(_.size.toLong).toMap.withDefaultValue(0L)
+    val b = li.filter(_._1 % 2 != 0).groupBy(r => (r._2, r._3))
+      .view.mapValues(_.size.toLong).toMap.withDefaultValue(0L)
+    val keys = a.keySet ++ b.keySet
+    keys.foreach { case (f, st) =>
+      val ex = math.max(a((f, st)) - b((f, st)), 0L)
+      val in = math.min(a((f, st)), b((f, st)))
+      assert(rows.getOrElse(("except_all", f, st), 0L) === ex,
+        s"$f/$st except")
+      assert(rows.getOrElse(("intersect_all", f, st), 0L) === in,
+        s"$f/$st intersect")
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("q_try_funcs: null accounting follows each absorber's failure " +
+    "rule exactly") {
+    val rows = SparkEntry.queries("q_try_funcs")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("div5")).toSet === Set(0L, 1L, 2L, 3L, 4L))
+    rows.foreach { r =>
+      val (d, n) = (r.getAs[Long]("div5"), r.getAs[Long]("n"))
+      // try_divide: null exactly when the divisor class is 0
+      assert(r.getAs[Long]("n_div_null") === (if (d == 0) n else 0L))
+      // try_cast: every '1-URGENT'-style priority fails the INT cast
+      assert(r.getAs[Long]("n_prio_null") === n)
+      // try_element_at on a 3-long array: index d+2 in [2,6] misses
+      // for d >= 2
+      assert(r.getAs[Long]("n_oob_null") === (if (d >= 2) n else 0L))
+      if (d > 0) assert(r.getAs[Double]("min_ratio") <=
+        r.getAs[Double]("max_ratio"))
+    }
+  }
 }
