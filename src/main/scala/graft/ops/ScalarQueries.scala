@@ -305,6 +305,44 @@ object ScalarQueries {
         $"week_n", $"n_users")
   }
 
+  /** Cohort LTV triangle — [[cohortRetention]]'s revenue twin: per
+    * signup-week cohort, PURCHASE revenue by cohort age plus the
+    * running cumulative (the LTV curve growth teams read payback
+    * periods off). Same shape as retention: one broadcast-joinable
+    * cohort table keyed by user, a map-side (cohort, age) rollup, and
+    * ONE window per cohort whose frame walks AGES (≤ weeks-of-history
+    * rows), never purchases. Cents exact; cum via BIGINT window sum;
+    * ltv_per_user_e2 is one integer division against the cohort size. */
+  private def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val cohort = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).cast("date").as("c_week"))
+    val sizes = cohort.groupBy($"c_week")
+      .agg(count(lit(1)).as("cohort_users"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_week").orderBy($"week_n".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    ev.filter($"event_type" === "purchase")
+      .select($"user_id",
+        date_trunc("week", $"ts").cast("date").as("a_week"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .join(cohort, "user_id")
+      .filter($"a_week" >= $"c_week")
+      .groupBy($"c_week",
+        (datediff($"a_week", $"c_week") / 7).cast("long").as("week_n"))
+      .agg(count(lit(1)).as("n_purchases"), sum($"cents").as("cents"))
+      .withColumn("cum_cents", sum($"cents").over(w))
+      .join(broadcast(sizes), "c_week")
+      .select(date_format($"c_week", "yyyy-MM-dd").as("cohort_week"),
+        $"week_n", $"n_purchases", $"cents", $"cum_cents",
+        $"cohort_users",
+        expr("cum_cents div cohort_users").as("ltv_per_user_cents"))
+  }
+
   /** Rolling 7-day active users per day — the WAU curve. COUNT
     * DISTINCT over a sliding window can't ride a window frame (frames
     * don't dedup), so: dedup to (day, user) once, band-join the tiny
@@ -406,6 +444,39 @@ object ScalarQueries {
       FROM act a JOIN cohort c ON a.user_id = c.user_id
       WHERE a.a_week >= c.c_week
       GROUP BY 1, 2""")),
+
+    Q("q_cohort_ltv", cohortLtv, Some("""
+      WITH cohort AS (SELECT user_id,
+                             CAST(date_trunc('week', min(ts)) AS DATE)
+                               AS c_week
+                      FROM events WHERE event_type = 'signup'
+                      GROUP BY 1),
+      sizes AS (SELECT c_week, CAST(count(*) AS BIGINT)
+                  AS cohort_users
+                FROM cohort GROUP BY 1),
+      p AS (SELECT c.c_week,
+                   CAST((CAST(date_trunc('week', e.ts) AS DATE)
+                     - c.c_week) // 7 AS BIGINT) AS week_n,
+                   CAST(CAST(e.value AS DECIMAL(18,2)) * 100
+                     AS BIGINT) AS cents
+            FROM events e JOIN cohort c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+              AND CAST(date_trunc('week', e.ts) AS DATE) >= c.c_week),
+      g AS (SELECT c_week, week_n,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(sum(cents) AS BIGINT) AS cents
+            FROM p GROUP BY 1, 2),
+      cum AS (SELECT *,
+                     CAST(sum(cents) OVER (PARTITION BY c_week
+                       ORDER BY week_n ASC ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS cum_cents
+              FROM g)
+      SELECT strftime(cum.c_week, '%Y-%m-%d') AS cohort_week, week_n,
+             n_purchases, cents, cum_cents, cohort_users,
+             CAST(cum_cents // cohort_users AS BIGINT)
+               AS ltv_per_user_cents
+      FROM cum JOIN sizes ON cum.c_week = sizes.c_week""")),
 
     Q("q_event_funnel", eventFunnel, Some("""
       WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

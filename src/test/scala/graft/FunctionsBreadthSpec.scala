@@ -192,6 +192,25 @@ class FunctionsBreadthSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("q_cohort_ltv: the cumulative curve telescopes per cohort and " +
+    "is monotone non-decreasing (revenue never un-happens)") {
+    val rows = SparkEntry.queries("q_cohort_ltv")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("cohort_week")).foreach {
+      case (cw, rs) =>
+        val sorted = rs.sortBy(_.getAs[Long]("week_n"))
+        var cum = 0L
+        sorted.foreach { r =>
+          cum += r.getAs[Long]("cents")
+          assert(r.getAs[Long]("cum_cents") === cum, s"$cw telescoping")
+          assert(r.getAs[Long]("ltv_per_user_cents") ===
+            cum / r.getAs[Long]("cohort_users"), s"$cw ltv")
+        }
+        // cohort size is constant within a cohort
+        assert(rs.map(_.getAs[Long]("cohort_users")).toSet.size === 1)
+    }
+  }
+
   test("q_try_funcs: null accounting follows each absorber's failure " +
     "rule exactly") {
     val rows = SparkEntry.queries("q_try_funcs")(spark, sf).collect()
