@@ -556,6 +556,36 @@ object StatsQueries {
       FROM eff, tot2"""
   }
 
+  /** Weighted median (lower weighted median: smallest value whose
+    * cumulative weight reaches half the total) of line price weighted
+    * by QUANTITY, per return flag — the robust center that answers
+    * "the price of the median UNIT SHIPPED", which the unweighted
+    * median (price of the median line) systematically misses when
+    * cheap lines carry big quantities. Cross-multiplied selection
+    * (2·cumw ≥ totw — no halving division), exact integer cents and
+    * weights; the cumulative window walks DISTINCT price points per
+    * flag after a map-side (flag, price) pre-aggregate, not rows. */
+  private def weightedMedian(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy($"l_returnflag").orderBy($"cents".asc)
+    val cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    Tables.lineitem(s, d)
+      .select($"l_returnflag",
+        ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        $"l_quantity".cast("long").as("qty"))
+      .groupBy($"l_returnflag", $"cents")
+      .agg(sum($"qty").as("wt"))
+      .withColumn("cumw", sum($"wt").over(cum))
+      .withColumn("totw", sum($"wt").over(W.partitionBy($"l_returnflag")))
+      .filter($"cumw" * 2 >= $"totw")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"l_returnflag", $"totw".as("total_qty"),
+        $"cents".as("wmedian_cents"), $"cumw".as("cum_at_median"))
+  }
+
   /** Benford first-digit screen — the fraud/synthetic-data smell test:
     * the first significant digit of organic amounts follows
     * p(d) = log10(1+1/d). The digit is extracted via BIGINT→string
@@ -3509,6 +3539,29 @@ object StatsQueries {
       FROM r""")),
 
     Q("q_markov_attribution", markovAttribution, Some(markovOracle)),
+
+    Q("q_weighted_median", weightedMedian, Some("""
+      WITH p AS (SELECT l_returnflag,
+                        CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * 100 AS BIGINT) AS cents,
+                        CAST(l_quantity AS BIGINT) AS qty
+                 FROM lineitem),
+      g AS (SELECT l_returnflag, cents,
+                   CAST(sum(qty) AS BIGINT) AS wt
+            FROM p GROUP BY 1, 2),
+      c AS (SELECT *,
+                   CAST(sum(wt) OVER (PARTITION BY l_returnflag
+                     ORDER BY cents ASC ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+                   CAST(sum(wt) OVER (PARTITION BY l_returnflag)
+                     AS BIGINT) AS totw
+            FROM g),
+      f AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY cents ASC) AS rn
+            FROM c WHERE cumw * 2 >= totw)
+      SELECT l_returnflag, totw AS total_qty,
+             cents AS wmedian_cents, cumw AS cum_at_median
+      FROM f WHERE rn = 1""")),
 
     Q("q_seasonal_mase", seasonalMase, Some("""
       WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -1303,6 +1303,35 @@ class StatsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_weighted_median: the pick equals a brute cumulative-weight " +
+    "walk and majorizes half the quantity on both sides") {
+    val got = SparkEntry.queries("q_weighted_median")(spark, sf)
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_returnflag",
+        ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"),
+        $"l_quantity".cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+    li.groupBy(_._1).foreach { case (f, rs) =>
+      val tot = rs.map(_._3).sum
+      val byPrice = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val (med, cumAt) = byPrice.collectFirst {
+        case (c, w) if { cum += w; cum * 2 >= tot } => (c, cum)
+      }.get
+      val row = got(f)
+      assert(row.getAs[Long]("total_qty") === tot, s"$f tot")
+      assert(row.getAs[Long]("wmedian_cents") === med, s"$f median")
+      assert(row.getAs[Long]("cum_at_median") === cumAt, s"$f cum")
+      // weighted-median property: at least half the quantity on each
+      // side (<= med and >= med)
+      assert(rs.filter(_._2 <= med).map(_._3).sum * 2 >= tot, s"$f low")
+      assert(rs.filter(_._2 >= med).map(_._3).sum * 2 >= tot, s"$f high")
+    }
+    assert(got.size === li.map(_._1).distinct.size)
+  }
+
   test("q_markov_attribution: fixed points replay from a brute " +
     "integer chain walk and removal never helps") {
     val got = SparkEntry.queries("q_markov_attribution")(spark, sf)
