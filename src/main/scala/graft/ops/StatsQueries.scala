@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distribution-statistics operators: IQR outlier screening,
@@ -1408,15 +1408,14 @@ object StatsQueries {
     * [[corrMoments]] (global, between columns of one row) with a
     * time-LOCAL statistic between two SERIES. All five moment sums
     * (Σx, Σy, Σxy, Σx², Σy²) are exact integer cents over the
-    * ordered frame; only the final num/√(vx·vy) runs in double — on
-    * integer inputs that are bit-identical in both engines, with each
-    * variance cast to double BEFORE the product (vx·vy overflows
-    * int64 at real daily volumes), emitted as floor·1e6 BIGINT
-    * (`corr_e6`): floor on bit-identical IEEE doubles is
-    * deterministic, while round-to-6-decimals is engine-divergent at
-    * decimal ties (Spark rounds the shortest decimal rendering,
-    * DuckDB the full binary expansion — the round-9 red row).
-    * Shape: one groupBy(type, day)
+    * ordered frame; the correlation is emitted as `corr_e3` =
+    * ⌊num·10³/√(vx·vy)⌋ computed EXACTLY by
+    * [[exactFloorE3Corr]] — a double-derived candidate corrected
+    * with integer comparisons, because collinear windows put the
+    * quotient exactly ON the floor grid where any purely-floating
+    * pipeline is one ULP from flipping (the round-9 AND round-10
+    * red row; `num`/`vx`/`vy` stay in the output so full precision
+    * is recoverable downstream). Shape: one groupBy(type, day)
     * pre-aggregate (map-side combinable), a day-equi self-join that
     * fans the DAY-cardinality table to its 10 type pairs, then a
     * window PARTITIONED BY PAIR — parallel across pairs, and the
@@ -1449,10 +1448,40 @@ object StatsQueries {
         ($"n_w" * $"sxy" - $"sx" * $"sy").as("num"),
         ($"n_w" * $"sxx" - $"sx" * $"sx").as("vx"),
         ($"n_w" * $"syy" - $"sy" * $"sy").as("vy"))
-      .withColumn("corr_e6",
-        when($"vx" > 0 && $"vy" > 0,
-          floor($"num".cast("double") * lit(1000000.0) /
-            sqrt($"vx".cast("double") * $"vy".cast("double")))))
+      .withColumn("corr_e3",
+        when($"vx" > 0 && $"vy" > 0, exactFloorE3Corr))
+  }
+
+  /** Exact ⌊num·10³/√(vx·vy)⌋ — engine-independent by construction.
+    * A double gives the CANDIDATE k (always within ±1 of the true
+    * floor: the quotient is ≤10³ in magnitude so a few ULPs of
+    * pipeline rounding are ≪1); the candidate is then CORRECTED with
+    * pure integer comparisons: for p = vx·vy > 0, m ≤ num·10³/√p ⟺
+    * sign-split m²·p vs num²·10⁶, both exact in decimal(38,0)
+    * (≤1.3e33 / 1.3e32 at sf0.1 — 5 decimal digits of headroom; the
+    * oracle uses HUGEINT). This kills the round-9/round-10 red row
+    * for good: every window whose points are collinear (all n_w=2
+    * frames, for one) has |corr| EXACTLY 1, the quotient lands
+    * exactly ON the floor grid, and there a 1-ULP disagreement
+    * between two IEEE pipelines flips ⌊·⌋ by one — no grid or
+    * rounding convention fixes a tie that the data genuinely
+    * produces, only exact arithmetic does. */
+  private def exactFloorE3Corr: Column = {
+    val dec = "decimal(38,0)"
+    val p = col("vx").cast(dec) * col("vy").cast(dec)
+    val a2 = col("num").cast(dec) * col("num").cast(dec) *
+      lit(1000000L).cast(dec)
+    // m ≤ num·10³/√p, decided exactly in integers
+    def leq(m: Column): Column = {
+      val m2p = m.cast(dec) * m.cast(dec) * p
+      when(col("num") >= 0 && m <= 0, lit(true))
+        .when(col("num") < 0 && m >= 0, lit(false))
+        .when(col("num") >= 0, m2p <= a2) // both sides positive
+        .otherwise(m2p >= a2)             // both sides negative
+    }
+    val kd = floor(col("num").cast("double") * lit(1000.0) /
+      sqrt(col("vx").cast("double") * col("vy").cast("double")))
+    when(leq(kd + 1), kd + 1).when(leq(kd), kd).otherwise(kd - 1)
   }
 
   /** Poisson-bootstrap replicate count for [[bootstrapCi]]. */
@@ -3056,19 +3085,43 @@ object StatsQueries {
                            ROWS BETWEEN ${RollCorrWindow - 1} PRECEDING
                              AND CURRENT ROW)),
       m AS (SELECT type_a, type_b, day, x, y, n_w,
-                   n_w * sxy - sx * sy AS num,
-                   n_w * sxx - sx * sx AS vx,
-                   n_w * syy - sy * sy AS vy
-            FROM w)
-      SELECT type_a, type_b, day, x, y, n_w,
-             CAST(num AS BIGINT) AS num, CAST(vx AS BIGINT) AS vx,
-             CAST(vy AS BIGINT) AS vy,
-             CASE WHEN vx > 0 AND vy > 0
-                  THEN CAST(floor(CAST(num AS DOUBLE) * 1000000.0 /
-                    sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)))
-                    AS BIGINT)
-             END AS corr_e6
-      FROM m"""),
+                   CAST(n_w * sxy - sx * sy AS BIGINT) AS num,
+                   CAST(n_w * sxx - sx * sx AS BIGINT) AS vx,
+                   CAST(n_w * syy - sy * sy AS BIGINT) AS vy
+            FROM w),
+      -- exact-floor machinery: kd is the double CANDIDATE (within
+      -- +-1 of truth); p and a2 are the exact HUGEINT comparands
+      c AS (SELECT *,
+                   CASE WHEN vx > 0 AND vy > 0 THEN
+                     CAST(floor(CAST(num AS DOUBLE) * 1000.0 /
+                       sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)))
+                       AS BIGINT) END AS kd,
+                   CAST(vx AS HUGEINT) * CAST(vy AS HUGEINT) AS p,
+                   CAST(num AS HUGEINT) * CAST(num AS HUGEINT)
+                     * 1000000 AS a2
+            FROM m)
+      SELECT type_a, type_b, day, x, y, n_w, num, vx, vy,
+             CASE WHEN vx > 0 AND vy > 0 THEN CAST(
+               CASE WHEN (CASE WHEN num >= 0 AND kd + 1 <= 0 THEN TRUE
+                               WHEN num < 0 AND kd + 1 >= 0 THEN FALSE
+                               WHEN num >= 0 THEN
+                                 CAST(kd + 1 AS HUGEINT)
+                                   * CAST(kd + 1 AS HUGEINT) * p <= a2
+                               ELSE CAST(kd + 1 AS HUGEINT)
+                                 * CAST(kd + 1 AS HUGEINT) * p >= a2
+                          END) THEN kd + 1
+                    WHEN (CASE WHEN num >= 0 AND kd <= 0 THEN TRUE
+                               WHEN num < 0 AND kd >= 0 THEN FALSE
+                               WHEN num >= 0 THEN
+                                 CAST(kd AS HUGEINT)
+                                   * CAST(kd AS HUGEINT) * p <= a2
+                               ELSE CAST(kd AS HUGEINT)
+                                 * CAST(kd AS HUGEINT) * p >= a2
+                          END) THEN kd
+                    ELSE kd - 1
+               END AS BIGINT)
+             END AS corr_e3
+      FROM c"""),
       // headline (round 10): the 61-query stats/inference battery had
       // zero bench representation — this self-join + pair-partitioned
       // window is its regression canary

@@ -368,8 +368,8 @@ class StatsSpec extends AnyFunSuite {
           r.getAs[java.sql.Date]("day").toString) ->
           (r.getAs[Long]("n_w"), r.getAs[Long]("num"), r.getAs[Long]("vx"),
             r.getAs[Long]("vy"),
-            if (r.isNullAt(r.fieldIndex("corr_e6"))) None
-            else Some(r.getAs[Long]("corr_e6")))).toMap
+            if (r.isNullAt(r.fieldIndex("corr_e3"))) None
+            else Some(r.getAs[Long]("corr_e3")))).toMap
     val got = collectCorr()
     // all 10 unordered type pairs appear
     assert(got.keys.map(k => (k._1, k._2)).toSet.size === 10)
@@ -398,21 +398,35 @@ class StatsSpec extends AnyFunSuite {
       val (sxx, syy) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum)
       val (num, vx, vy) = (n * sxy - sx * sy, n * sxx - sx * sx,
         n * syy - sy * sy)
-      // the exact expression tree of the query: (num·1e6)/√(vx·vy),
-      // floored — floor of bit-identical doubles is deterministic
-      val corrE6 = if (vx > 0 && vy > 0)
-        Some(math.floor(num.toDouble * 1000000.0 /
-          math.sqrt(vx.toDouble * vy.toDouble)).toLong)
-      else None
-      (ta, tb, day) -> ((n, num, vx, vy, corrE6))
+      // INDEPENDENT exact floor: linear scan for the unique integer k
+      // in [-1000, 1000] with k <= num*1e3/sqrt(vx*vy) < k+1, decided
+      // purely in BigInt (no doubles anywhere — the stronger oracle
+      // than replaying the query's candidate+correction tree)
+      val corrE3 = if (vx > 0 && vy > 0) {
+        val p = BigInt(vx) * BigInt(vy)
+        val a2 = BigInt(num) * BigInt(num) * 1000000
+        def leq(m: Long): Boolean =
+          if (num >= 0 && m <= 0) true
+          else if (num < 0 && m >= 0) false
+          else if (num >= 0) BigInt(m) * BigInt(m) * p <= a2
+          else BigInt(m) * BigInt(m) * p >= a2
+        Some((-1000L to 1000L).takeWhile(leq).last)
+      } else None
+      (ta, tb, day) -> ((n, num, vx, vy, corrE3))
     }).toMap
     // exact match cell-for-cell, fixed-point correlation included
     assert(got === want)
     got.values.foreach { case (nw, _, vx, vy, corr) =>
       assert(nw >= 1 && nw <= ops.StatsQueries.RollCorrWindow)
       assert(vx >= 0 && vy >= 0, "window variance terms are nonnegative")
-      corr.foreach(c => assert(c >= -1000000L && c <= 1000000L))
+      corr.foreach(c => assert(c >= -1000L && c <= 1000L))
     }
+    // |corr| = 1 windows exist in the data (every pair's 2-point
+    // frame is collinear) — the exact-tie rows that flipped the
+    // round-9/round-10 floating floor MUST be pinned at the grid edge
+    assert(want.values.exists { case (_, num, vx, vy, c) =>
+      c.contains(1000L) || c.contains(-1000L) },
+      "expected at least one exactly-collinear window")
     // determinism pin (the round-9 red row was boundary-flaky): the
     // fixed-point result must not depend on physical partitioning
     val key = "spark.sql.shuffle.partitions"
@@ -420,7 +434,7 @@ class StatsSpec extends AnyFunSuite {
     try {
       spark.conf.set(key, "7")
       assert(collectCorr() === got,
-        "corr_e6 changed under a different shuffle-partition count")
+        "corr_e3 changed under a different shuffle-partition count")
     } finally spark.conf.set(key, saved)
   }
 
