@@ -722,6 +722,54 @@ object TextOps {
       .orderBy($"source".asc)
   }
 
+  /** Common denominator for exact Shapley credit: lcm(1..20), enough
+    * for the 20 document sources (spec-asserted). */
+  val ShapleyLcm = 232792560L
+
+  /** Exact Shapley data valuation of the distinct-shingle COVERAGE
+    * game (Ghorbani/Zou's "Data Shapley" idea specialized to the one
+    * characteristic function that collapses closed-form): with
+    * v(S) = |shingles covered by sources in S|, the Shapley value of
+    * source i is Σ over shingles it contains of 1/|owners(shingle)| —
+    * the marginal-over-all-orderings sum telescopes because coverage
+    * is a union of per-shingle unanimity games. That turns an
+    * exponential 2^n subset sweep into ONE owner-count join: distinct
+    * (shingle, source) pairs → per-shingle owner count → per-source
+    * Σ lcm/owners, all exact BIGINTs in units of 1/[[ShapleyLcm]]
+    * (lcm(1..20) so every 1/|T| division is exact — no floats, no
+    * floor loss). The efficiency axiom Σᵢ φᵢ = v(all) becomes the
+    * wire-checkable identity Σ credit_lcm = lcm · n_shingles
+    * (ScaleSpec pins it). Unlike [[sourceAblation]] (first-order LOO)
+    * this is the FULL cooperative value: a shingle triplicated across
+    * sources pays each owner a third, so near-duplicate-heavy sources
+    * are priced down even when no single removal moves the corpus.
+    * Scale: distinct pair extraction is map-side combinable, the
+    * owner-count join co-partitions on shingle, and the final rollup
+    * is |sources| rows — one shuffle family, linear at any volume. */
+  private def shapleyCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = tokens(col("text"))
+    val shingles = when(size(t) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - lit(2)),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2))))
+    val owners = Tables.documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select($"source", explode(shingles).as("sh"))
+      .distinct()
+    val sizes = owners.groupBy($"sh")
+      .agg(count(lit(1)).as("n_owners"))
+    owners.join(sizes, "sh")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_covered"),
+        sum(when($"n_owners" === 1L, 1L).otherwise(0L))
+          .as("n_exclusive"),
+        sum(expr(s"$ShapleyLcm div n_owners")).as("credit_lcm"))
+      .withColumn("shapley_milli",
+        expr(s"(credit_lcm * 1000) div $ShapleyLcm"))
+      .orderBy($"source".asc)
+  }
+
   /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
     * the MOSS algorithm): hash every [[WinnowK]]-token gram, slide a
     * [[WinnowW]]-gram window over the hash stream, and keep the
@@ -2118,6 +2166,27 @@ object TextOps {
                        - (pp * 1000000) // nn
                   ELSE NULL END AS BIGINT) AS delta_e6
       FROM c, t
+      ORDER BY source""")),
+    Q("q_shapley_coverage", shapleyCoverage, Some(s"""
+      WITH tk AS (SELECT source,
+                         string_split_regex(lower(text), '\\s+') AS toks
+                  FROM documents),
+      owners AS (SELECT DISTINCT source,
+                        unnest([toks[i] || ' ' || toks[i+1] || ' '
+                                || toks[i+2]
+                                for i in range(1, len(toks) - 1)]) AS sh
+                 FROM tk WHERE len(toks) >= 3),
+      sizes AS (SELECT sh, CAST(count(*) AS BIGINT) AS n_owners
+                FROM owners GROUP BY 1)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_covered,
+             CAST(sum(CASE WHEN n_owners = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_exclusive,
+             CAST(sum($ShapleyLcm // n_owners) AS BIGINT) AS credit_lcm,
+             CAST((CAST(sum($ShapleyLcm // n_owners) AS HUGEINT) * 1000)
+               // $ShapleyLcm AS BIGINT) AS shapley_milli
+      FROM owners JOIN sizes USING (sh)
+      GROUP BY source
       ORDER BY source""")),
     Q("q_winnow_fingerprints", winnowFingerprints, headline = true,
       oracle = Some(s"""

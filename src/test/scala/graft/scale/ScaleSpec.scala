@@ -257,6 +257,49 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("shapley coverage: brute owner-set replay, efficiency axiom, " +
+      "and dominance over exclusive count") {
+    val rows = SparkEntry.queries("q_shapley_coverage")(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_covered"), r.getAs[Long]("n_exclusive"),
+          r.getAs[Long]("credit_lcm"), r.getAs[Long]("shapley_milli"))))
+      .toMap
+    assert(rows.nonEmpty)
+    val L = TextOps.ShapleyLcm
+    // brute: per-shingle owner sets from raw text
+    val owners = scala.collection.mutable.Map.empty[String, Set[String]]
+    Tables.documents(spark, sf).select($"source", $"text").collect()
+      .foreach { r =>
+        val toks = r.getAs[String]("text").toLowerCase.split("\\s+")
+        if (toks.length >= 3) toks.sliding(3).map(_.mkString(" "))
+          .foreach { sh =>
+            owners(sh) = owners.getOrElse(sh, Set.empty) + r.getString(0)
+          }
+      }
+    // lcm(1..20) really divides every owner-set size
+    assert(owners.valuesIterator.forall(t => L % t.size == 0))
+    val want = owners.toSeq.flatMap { case (_, t) =>
+      t.toSeq.map(src => src -> t.size)
+    }.groupBy(_._1).map { case (src, ts) =>
+      src -> ((ts.size.toLong,
+        ts.count(_._2 == 1).toLong,
+        ts.map(t => L / t._2).sum))
+    }
+    assert(rows.keySet === want.keySet)
+    want.foreach { case (src, (cov, excl, credit)) =>
+      val (gCov, gExcl, gCredit, gMilli) = rows(src)
+      assert((gCov, gExcl, gCredit) === ((cov, excl, credit)), src)
+      assert(gMilli === credit * 1000L / L)
+      // a source's value is at least its exclusive shingles and at
+      // most everything it touches
+      assert(gCredit >= gExcl * L && gCredit <= gCov * L)
+    }
+    // efficiency axiom of the Shapley value, exact at the wire:
+    // credits over all sources sum to lcm * |distinct shingles|
+    assert(rows.values.map(_._3).sum === L * owners.size)
+  }
+
   test("winnowing fingerprints match a per-document brute replay") {
     val got = SparkEntry.queries("q_winnow_fingerprints")(spark, sf)
       .collect()
