@@ -214,6 +214,59 @@ object Privacy {
       .select($"seg", $"nk", $"n_g", $"t_e6", $"close")
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the attribute-
+    * disclosure check BETWEEN [[kAnonymity]] (group size only) and
+    * [[tCloseness]] (full distribution distance): per quasi-identifier
+    * group, how VARIED are the sensitive values? Three graded tests on
+    * the same per-group frequency profile, each in the strongest
+    * arithmetic it admits:
+    *   - distinct l-diversity: #values ≥ 3 (exact count);
+    *   - recursive (2,3)-diversity: r₁ < 2·(r₃+…) with frequencies
+    *     ranked desc — float-FREE, the cross-multiplied form of "the
+    *     modal value doesn't dominate the tail";
+    *   - entropy l-diversity: H ≥ ln 3, decomposed as
+    *     n·ln n − Σ cᵥ·ln cᵥ ≥ n·ln 3 with every log term floored e9
+    *     per DISTINCT VALUE before summing (order-independent, the
+    *     q_query_likelihood discipline) and the threshold compared as
+    *     cross-multiplied integers.
+    * Shape: one combinable (group, value) rollup; rank windows run on
+    * the bounded group×value profile, never the raw rows. */
+  private def lDiversity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val vals = Tables.customer(s, d)
+      .select($"c_mktsegment".as("seg"), $"c_nationkey".as("nk"),
+        (($"c_acctbal".cast("decimal(12,2)") * 100).cast("long")
+          + 100000L).as("shifted"))
+      .withColumn("band", expr("shifted div 100000"))
+      .groupBy($"seg", $"nk", $"band", ($"shifted" - 100000L).as("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val rk = W.partitionBy($"seg", $"nk", $"band")
+      .orderBy($"cnt".desc, $"cents".asc)
+    vals
+      .withColumn("r", row_number().over(rk))
+      .withColumn("clnc_e9",
+        floor($"cnt".cast("double") * log($"cnt".cast("double"))
+          * lit(1e9)).cast("long"))
+      .groupBy($"seg", $"nk", $"band")
+      .agg(sum($"cnt").as("n"),
+        count(lit(1)).as("l_distinct"),
+        max(when($"r" === 1, $"cnt")).as("r1"),
+        coalesce(sum(when($"r" >= 3, $"cnt")), lit(0L)).as("tail3"),
+        sum($"clnc_e9").as("sum_clnc_e9"))
+      .withColumn("recursive_23_ok", $"r1" < lit(2L) * $"tail3")
+      .withColumn("n_lnn_e9",
+        floor($"n".cast("double") * log($"n".cast("double")) * lit(1e9))
+          .cast("long"))
+      // H ≥ ln3 ⟺ n·lnn − Σc·lnc ≥ n·ln3, all on the e9 grid
+      .withColumn("entropy_l3_ok",
+        $"n_lnn_e9" - $"sum_clnc_e9" >=
+          $"n" * floor(log(lit(3.0)) * lit(1e9)).cast("long"))
+      .select($"seg", $"nk", $"band", $"n", $"l_distinct", $"r1",
+        $"tail3", $"recursive_23_ok", $"sum_clnc_e9", $"n_lnn_e9",
+        $"entropy_l3_ok")
+  }
+
   /** ε for the DP histogram release (sensitivity-1 counts → Laplace
     * scale b = 1/ε = 1). */
   val DpEpsilon = 1.0
@@ -548,6 +601,43 @@ object Privacy {
              CAST(emd_num * 1000000 // emd_den AS BIGINT) AS t_e6,
              emd_num * 1000000 // emd_den <= 200000 AS close
       FROM agg""")),
+
+    Q("q_l_diversity", lDiversity, Some("""
+      WITH base AS (
+        SELECT c_mktsegment AS seg, c_nationkey AS nk,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 + 100000 AS shifted
+        FROM customer),
+      vals AS (SELECT seg, nk, shifted // 100000 AS band,
+                      shifted - 100000 AS cents,
+                      CAST(count(*) AS BIGINT) AS cnt
+               FROM base GROUP BY 1, 2, 3, 4),
+      rk AS (SELECT *,
+                    row_number() OVER (PARTITION BY seg, nk, band
+                      ORDER BY cnt DESC, cents ASC) AS r,
+                    CAST(floor(CAST(cnt AS DOUBLE)
+                      * ln(CAST(cnt AS DOUBLE)) * 1e9) AS BIGINT)
+                      AS clnc_e9
+             FROM vals),
+      g AS (SELECT seg, nk, band,
+                   CAST(sum(cnt) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS l_distinct,
+                   CAST(max(CASE WHEN r = 1 THEN cnt END) AS BIGINT)
+                     AS r1,
+                   CAST(coalesce(sum(CASE WHEN r >= 3 THEN cnt END), 0)
+                     AS BIGINT) AS tail3,
+                   CAST(sum(clnc_e9) AS BIGINT) AS sum_clnc_e9
+            FROM rk GROUP BY 1, 2, 3)
+      SELECT seg, nk, band, n, l_distinct, r1, tail3,
+             r1 < 2 * tail3 AS recursive_23_ok,
+             sum_clnc_e9,
+             CAST(floor(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) * 1e9)
+               AS BIGINT) AS n_lnn_e9,
+             CAST(floor(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) * 1e9)
+               AS BIGINT) - sum_clnc_e9
+               >= n * CAST(floor(ln(3.0) * 1e9) AS BIGINT)
+               AS entropy_l3_ok
+      FROM g""")),
 
     Q("q_url_dedup", urlDedup, Some("""
       WITH p AS (SELECT doc_id,

@@ -1233,6 +1233,51 @@ class StatsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_l_diversity: frequency profiles replay from a brute pass " +
+      "and the three diversity grades are consistent") {
+    val base = Tables.customer(spark, sf)
+      .select($"c_mktsegment", $"c_nationkey",
+        ($"c_acctbal".cast("decimal(12,2)") * 100).cast("long")
+          .as("cents"))
+      .as[(String, Long, Long)].collect()
+    val got = SparkEntry.queries("q_l_diversity")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("seg"), r.getAs[Long]("nk"),
+        r.getAs[Long]("band")) -> r).toMap
+    val brute = base.groupBy(r =>
+      (r._1, r._2, (r._3 + 100000L) / 100000L))
+    assert(got.keySet === brute.keySet)
+    brute.foreach { case (g, rs) =>
+      val counts = rs.groupBy(_._3).view.mapValues(_.length.toLong)
+        .toMap
+      val ranked = counts.toSeq.sortBy { case (v, c) => (-c, v) }
+      val row = got(g)
+      assert(row.getAs[Long]("n") === rs.length.toLong, s"$g n")
+      assert(row.getAs[Long]("l_distinct") === counts.size.toLong)
+      assert(row.getAs[Long]("r1") === ranked.head._2, s"$g r1")
+      val tail3 = ranked.drop(2).map(_._2).sum
+      assert(row.getAs[Long]("tail3") === tail3, s"$g tail")
+      assert(row.getAs[Boolean]("recursive_23_ok") ===
+        (ranked.head._2 < 2L * tail3), s"$g rec")
+      val clnc = counts.valuesIterator
+        .map(c => math.floor(c.toDouble * math.log(c.toDouble) * 1e9)
+          .toLong).sum
+      assert(row.getAs[Long]("sum_clnc_e9") === clnc, s"$g clnc")
+      val n = rs.length.toLong
+      val nlnn = math.floor(n.toDouble * math.log(n.toDouble) * 1e9)
+        .toLong
+      assert(row.getAs[Long]("n_lnn_e9") === nlnn, s"$g nlnn")
+      assert(row.getAs[Boolean]("entropy_l3_ok") ===
+        (nlnn - clnc >= n * math.floor(math.log(3.0) * 1e9).toLong))
+      // grade consistency: entropy or recursive diversity at l=3
+      // implies at least 3 distinct values
+      if (row.getAs[Boolean]("entropy_l3_ok"))
+        assert(row.getAs[Long]("l_distinct") >= 3L, s"$g entropy=>l3")
+      if (row.getAs[Boolean]("recursive_23_ok"))
+        assert(row.getAs[Long]("l_distinct") >= 3L, s"$g rec=>l3")
+    }
+  }
+
   test("q_ridge_trend: moments replay from a brute pass and the " +
     "shrinkage path is monotone toward zero") {
     val events = Tables.events(spark, sf)
