@@ -343,6 +343,51 @@ object TextOps {
     * token-count band, mean-word-length band, minimum English-stopword
     * evidence, and duplicate-bigram ceiling (repetition detector).
     * All pure scan-stage expressions; `keep` is the conjunction. */
+  /** Code-vs-prose detector — the pretraining-mix router that decides
+    * whether a document goes to the code bucket (C4/RedPajama-style
+    * curation keeps them separate because code skews every prose
+    * quality heuristic). Since the corpus is synthetic prose, a
+    * deterministic doc_id-keyed augmentation (the q_url_dedup
+    * pattern) plants code-shaped suffixes on 2 of every 5 docs so the
+    * decision boundary is actually exercised end-to-end. Four
+    * integer-exact features — bracket/brace density, operator
+    * density, snake_case tokens, keyword hits — each voted through a
+    * CROSS-MULTIPLIED threshold (n_brace·100 ≥ n_chars, never a
+    * float ratio); is_code = ≥3 of 4 votes. Everything is per-row
+    * regexp_count arithmetic inside the scan: zero shuffles, linear
+    * at any corpus size, and the oracle replays the augmentation and
+    * every count verbatim. */
+  private def codeDetect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val aug = when($"doc_id" % 5 === 0,
+        concat($"text", lit(" def calc_"), $"doc_id",
+          lit("(x): return x + "), $"doc_id" % 7,
+          lit("; arr[i] = arr[i] * 2; { emit(x); }")))
+      .when($"doc_id" % 5 === 1,
+        concat($"text", lit(" total_sum = total_sum + 1; if "),
+          lit("(total_sum == "), $"doc_id" % 13,
+          lit(") { flush_buffer(); } else { skip_row(); }")))
+      .otherwise($"text")
+    Tables.documents(s, d)
+      .select($"doc_id", aug.as("t2"))
+      .select($"doc_id",
+        length($"t2").cast("long").as("n_chars2"),
+        regexp_count($"t2", lit("[{}()\\[\\]]")).cast("long")
+          .as("n_brace"),
+        regexp_count($"t2", lit("[;=<>+*/]")).cast("long").as("n_op"),
+        regexp_count($"t2", lit("[a-z]+_[a-z]+")).cast("long")
+          .as("n_snake"),
+        regexp_count($"t2",
+          lit("\\bdef\\b|\\breturn\\b|\\bif\\b|\\belse\\b"))
+          .cast("long").as("n_kw"))
+      .withColumn("score",
+        when($"n_brace" * 100L >= $"n_chars2", 1L).otherwise(0L) +
+          when($"n_op" * 50L >= $"n_chars2", 1L).otherwise(0L) +
+          when($"n_snake" >= 2L, 1L).otherwise(0L) +
+          when($"n_kw" >= 2L, 1L).otherwise(0L))
+      .withColumn("is_code", $"score" >= 3L)
+  }
+
   private def gopherRules(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // all rule inputs come from the single-pass codegen kernel
@@ -2234,6 +2279,42 @@ object TextOps {
       GROUP BY 1, 2
       ORDER BY c.lang""")),
     Q("q_gopher_rules", gopherRules, Some(gopherOracle)),
+    Q("q_code_detect", codeDetect, Some("""
+      WITH a AS (SELECT doc_id,
+                        CASE WHEN doc_id % 5 = 0 THEN
+                          text || ' def calc_' || doc_id
+                               || '(x): return x + ' || doc_id % 7
+                               || '; arr[i] = arr[i] * 2; { emit(x); }'
+                        WHEN doc_id % 5 = 1 THEN
+                          text || ' total_sum = total_sum + 1; if '
+                               || '(total_sum == ' || doc_id % 13
+                               || ') { flush_buffer(); } '
+                               || 'else { skip_row(); }'
+                        ELSE text END AS t2
+                 FROM documents),
+      f AS (SELECT doc_id,
+                   CAST(len(t2) AS BIGINT) AS n_chars2,
+                   CAST(len(regexp_extract_all(t2, '[{}()\[\]]'))
+                     AS BIGINT) AS n_brace,
+                   CAST(len(regexp_extract_all(t2, '[;=<>+*/]'))
+                     AS BIGINT) AS n_op,
+                   CAST(len(regexp_extract_all(t2, '[a-z]+_[a-z]+'))
+                     AS BIGINT) AS n_snake,
+                   CAST(len(regexp_extract_all(t2,
+                     '\bdef\b|\breturn\b|\bif\b|\belse\b'))
+                     AS BIGINT) AS n_kw
+            FROM a)
+      SELECT *,
+             CAST(CASE WHEN n_brace * 100 >= n_chars2 THEN 1 ELSE 0 END
+               + CASE WHEN n_op * 50 >= n_chars2 THEN 1 ELSE 0 END
+               + CASE WHEN n_snake >= 2 THEN 1 ELSE 0 END
+               + CASE WHEN n_kw >= 2 THEN 1 ELSE 0 END AS BIGINT)
+               AS score,
+             CASE WHEN n_brace * 100 >= n_chars2 THEN 1 ELSE 0 END
+               + CASE WHEN n_op * 50 >= n_chars2 THEN 1 ELSE 0 END
+               + CASE WHEN n_snake >= 2 THEN 1 ELSE 0 END
+               + CASE WHEN n_kw >= 2 THEN 1 ELSE 0 END >= 3 AS is_code
+      FROM f""")),
     Q("q_repetition_stats", repetitionStats, Some("""
       WITH t AS (SELECT doc_id,
                         string_split_regex(lower(text), '\s+') AS toks

@@ -257,6 +257,51 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("code detect: planted-truth precision is exact, keyword vote " +
+      "always fires on planted docs, and features replay per row") {
+    val rows = SparkEntry.queries("q_code_detect")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val planted = id % 5 == 0 || id % 5 == 1
+      // precision = 1: nothing unplanted may classify as code
+      if (r.getAs[Boolean]("is_code")) assert(planted, s"fp at $id")
+      // every planted suffix carries >= 2 keywords
+      if (planted) assert(r.getAs[Long]("n_kw") >= 2L, s"kw at $id")
+      // replay the augmentation + all four counts for this row
+      val t2 =
+        if (id % 5 == 0)
+          texts(id) + s" def calc_$id(x): return x + ${id % 7}" +
+            "; arr[i] = arr[i] * 2; { emit(x); }"
+        else if (id % 5 == 1)
+          texts(id) + s" total_sum = total_sum + 1; if " +
+            s"(total_sum == ${id % 13}) { flush_buffer(); } " +
+            "else { skip_row(); }"
+        else texts(id)
+      def cnt(p: String): Long =
+        p.r.findAllMatchIn(t2).size.toLong
+      assert(r.getAs[Long]("n_chars2") === t2.length.toLong)
+      assert(r.getAs[Long]("n_brace") === cnt("[{}()\\[\\]]"), s"b $id")
+      assert(r.getAs[Long]("n_op") === cnt("[;=<>+*/]"), s"o $id")
+      assert(r.getAs[Long]("n_snake") === cnt("[a-z]+_[a-z]+"), s"s $id")
+      assert(r.getAs[Long]("n_kw") ===
+        cnt("\\bdef\\b|\\breturn\\b|\\bif\\b|\\belse\\b"), s"k $id")
+      val score = (if (r.getAs[Long]("n_brace") * 100 >=
+          r.getAs[Long]("n_chars2")) 1L else 0L) +
+        (if (r.getAs[Long]("n_op") * 50 >=
+          r.getAs[Long]("n_chars2")) 1L else 0L) +
+        (if (r.getAs[Long]("n_snake") >= 2) 1L else 0L) +
+        (if (r.getAs[Long]("n_kw") >= 2) 1L else 0L)
+      assert(r.getAs[Long]("score") === score, s"score $id")
+      assert(r.getAs[Boolean]("is_code") === (score >= 3), s"cls $id")
+    }
+    // the boundary is exercised from both sides
+    assert(rows.count(_.getAs[Boolean]("is_code")) > 0)
+    assert(rows.count(r => !r.getAs[Boolean]("is_code")) > 0)
+  }
+
   test("shapley coverage: brute owner-set replay, efficiency axiom, " +
       "and dominance over exclusive count") {
     val rows = SparkEntry.queries("q_shapley_coverage")(spark, sf)
