@@ -1225,6 +1225,52 @@ object InferenceQueries {
       .withColumn("dw_e6", expr("sum_dz2 * 1000000 div sum_z2"))
   }
 
+  /** Dickey–Fuller unit-root screen per event type — does the daily
+    * series mean-revert (stationary) or random-walk? The OTHER half
+    * of the stationarity toolbox next to [[durbinWatson]]
+    * (residual autocorrelation) and q_changepoint (level shifts):
+    * forecasting models (q_holt_linear, q_ar2_forecast) are only
+    * valid on stationary inputs, so a pipeline gates on this test.
+    * On the shared [[zGridDaily]] e4 grid the regression
+    * Δz_t = β·z_{t−1} + ε is float-FREE end to end: β̂ and its t²
+    * are single exact rationals of the three moment sums
+    * (t² = (n−1)·sxd² / (sxx·sdd − sxd²), the cross-multiplied form
+    * of β̂²/se²), so no engine can disagree. The grid is mean-shifted
+    * by construction, making this the demeaned (drift) variant —
+    * reject the unit root at 5 % when t ≤ −2.86, tested as
+    * sxd < 0 ∧ t²_e6 ≥ 8 179 600 in integers. Shape: the daily
+    * rollup, one lag window per type partition, one combinable
+    * aggregate — series length is calendar-bounded at any volume. */
+  private def adfTest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day".asc)
+    zGridDaily(s, d)
+      .withColumn("xlag", lag($"z_e4", 1).over(w))
+      .withColumn("dz", $"z_e4" - $"xlag")
+      .filter($"xlag".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_diffs"),
+        sum($"xlag" * $"dz").as("sxd"),
+        sum($"xlag" * $"xlag").as("sxx"),
+        sum($"dz" * $"dz").as("sdd"))
+      .filter($"sxx" > 0)
+      .withColumn("beta_ppm",
+        expr("CAST(CAST(sxd AS DECIMAL(38,0)) * 1000000 div sxx" +
+          " AS BIGINT)"))
+      .withColumn("t2_den", expr(
+        "CAST(CAST(sxx AS DECIMAL(38,0)) * sdd" +
+          " - CAST(sxd AS DECIMAL(38,0)) * sxd AS DECIMAL(38,0))"))
+      .filter($"t2_den" > 0)
+      .withColumn("t2_e6", expr(
+        "CAST((n_diffs - 1) * CAST(sxd AS DECIMAL(38,0)) * sxd" +
+          " * 1000000 div t2_den AS BIGINT)"))
+      .withColumn("stationary_5pct",
+        $"sxd" < 0 && $"t2_e6" >= 8179600L)
+      .select($"event_type", $"n_diffs", $"sxd", $"sxx", $"sdd",
+        $"beta_ppm", $"t2_e6", $"stationary_5pct")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_gini_revenue", giniRevenue, Some("""
       WITH pu AS (SELECT user_id,
@@ -2012,6 +2058,46 @@ object InferenceQueries {
       SELECT event_type, n_days, sum_z2, sum_dz2,
              CAST(sum_dz2 * 1000000 // sum_z2 AS BIGINT) AS dw_e6
       FROM agg WHERE sum_z2 > 0""")),
+
+    Q("q_adf_test", adfTest, Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      daily AS (SELECT event_type, day,
+                       CAST(sum(cents) AS BIGINT) AS cents
+                FROM e GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS sc,
+                     min(cents) AS mn, max(cents) AS mx
+              FROM daily GROUP BY 1
+              HAVING count(*) >= 8 AND max(cents) > min(cents)),
+      z AS (SELECT daily.event_type AS event_type, day,
+                   CAST(floor(CAST(n * cents - sc AS DOUBLE) * 10000.0
+                     / (n * (mx - mn))) AS BIGINT) AS z_e4
+            FROM daily JOIN tot ON daily.event_type = tot.event_type),
+      lagd AS (SELECT event_type, z_e4,
+                      lag(z_e4) OVER (PARTITION BY event_type
+                        ORDER BY day ASC) AS xlag
+               FROM z),
+      agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_diffs,
+                     CAST(sum(xlag * (z_e4 - xlag)) AS BIGINT) AS sxd,
+                     CAST(sum(xlag * xlag) AS BIGINT) AS sxx,
+                     CAST(sum((z_e4 - xlag) * (z_e4 - xlag)) AS BIGINT)
+                       AS sdd
+              FROM lagd WHERE xlag IS NOT NULL GROUP BY 1),
+      t AS (SELECT *,
+                   CAST(sxx AS HUGEINT) * sdd
+                     - CAST(sxd AS HUGEINT) * sxd AS t2_den
+            FROM agg WHERE sxx > 0)
+      SELECT event_type, n_diffs, sxd, sxx, sdd,
+             CAST(CAST(sxd AS HUGEINT) * 1000000 // sxx AS BIGINT)
+               AS beta_ppm,
+             CAST((n_diffs - 1) * CAST(sxd AS HUGEINT) * sxd * 1000000
+               // t2_den AS BIGINT) AS t2_e6,
+             sxd < 0 AND (n_diffs - 1) * CAST(sxd AS HUGEINT) * sxd
+               * 1000000 // t2_den >= 8179600 AS stationary_5pct
+      FROM t WHERE t2_den > 0""")),
 
     Q("q_grubbs_outlier", grubbsOutlier, Some("""
       WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -976,6 +976,46 @@ class InferenceSpec extends AnyFunSuite {
     assert(checked > 0 && got.size === checked)
   }
 
+  test("q_adf_test: moments replay from the ordered z-grid walk, " +
+    "t2 is the exact rational, and the AR coefficient is stable") {
+    val got = SparkEntry.queries("q_adf_test")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    dailyRows.groupBy(_._1).foreach { case (ty, rs) =>
+      val xs = rs.sortBy(_._2).map(_._3)
+      val n = xs.length.toLong
+      if (n >= 8 && xs.max > xs.min) {
+        val z = zGrid(xs)
+        val pairs = z.drop(1).zip(z) // (current, lag)
+        val sxd = pairs.map { case (c, p) => p * (c - p) }.sum
+        val sxx = pairs.map { case (_, p) => p * p }.sum
+        val sdd = pairs.map { case (c, p) => (c - p) * (c - p) }.sum
+        if (sxx > 0) {
+          val row = got(ty)
+          assert(row.getAs[Long]("n_diffs") === n - 1, s"$ty n")
+          assert(row.getAs[Long]("sxd") === sxd, s"$ty sxd")
+          assert(row.getAs[Long]("sxx") === sxx, s"$ty sxx")
+          assert(row.getAs[Long]("sdd") === sdd, s"$ty sdd")
+          assert(row.getAs[Long]("beta_ppm") ===
+            (BigInt(sxd) * 1000000 / sxx).toLong, s"$ty beta")
+          val den = BigInt(sxx) * sdd - BigInt(sxd) * sxd
+          if (den > 0) {
+            val t2 = BigInt(n - 2) * sxd * sxd * 1000000 / den
+            assert(row.getAs[Long]("t2_e6") === t2.toLong, s"$ty t2")
+            assert(row.getAs[Boolean]("stationary_5pct") ===
+              (sxd < 0 && t2 >= 8179600), s"$ty flag")
+          }
+          // Cauchy-Schwarz puts beta-hat of any real series in
+          // [-2, 0] only for mean-reverting data; pin the weaker
+          // regression identity instead: |sxd| <= sqrt(sxx*sdd)
+          assert(BigInt(sxd) * sxd <= BigInt(sxx) * sdd, s"$ty cs")
+        }
+      }
+    }
+    assert(got.nonEmpty)
+    // the synthetic i.i.d. daily sums must mean-revert decisively
+    assert(got.values.forall(_.getAs[Boolean]("stationary_5pct")))
+  }
+
   test("q_durbin_watson: statistic replays from the ordered z-grid " +
     "walk and sits in [0, 4]") {
     val got = SparkEntry.queries("q_durbin_watson")(spark, sf)
