@@ -1271,6 +1271,74 @@ object InferenceQueries {
         $"beta_ppm", $"t2_e6", $"stationary_5pct")
   }
 
+  /** Granger-causality screen (lag 1) between every ORDERED pair of
+    * event-type daily series — does yesterday's series A improve
+    * today's prediction of series B beyond B's own yesterday? The
+    * cross-series counterpart of q_lead_lag (which only correlates):
+    * Granger compares nested regressions, restricted
+    * y_t = a + b·y_{t−1} against unrestricted + c·x_{t−1}, via
+    * F = (n−3)·(RSS_r − RSS_u)/RSS_u. On the [[zGridDaily]] e4 grid
+    * all nine moment sums are exact BIGINTs; the centered forms
+    * (A = nΣx²−(Σx)² …) stay exact, and only the final F assembles
+    * in double from those bit-identical integers (the q_partial_corr
+    * discipline — exact-rational F needs ~1e44 and overflows any
+    * engine's decimal). RSS identities: RSS_r ∝ (YA−D²)/A,
+    * RSS_u ∝ (Y·det−D²B+2DEC−E²A)/det with det = AB−C². Flag at the
+    * F(1,25) 5 % point 4.24, floored e3 in both engines. Shape: the
+    * tiny per-type z table self-joins on day into ≤ |types|² pairs —
+    * all windows and joins run on calendar-bounded rows. */
+  private def grangerLag1(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day".asc)
+    val z = zGridDaily(s, d)
+      .withColumn("zlag", lag($"z_e4", 1).over(w))
+      .filter($"zlag".isNotNull)
+      .select($"event_type", $"day", $"z_e4", $"zlag")
+    val bSide = z.select($"event_type".as("type_b"), $"day",
+      $"z_e4".as("y"), $"zlag".as("x"))
+    val aSide = z.select($"event_type".as("type_a"), $"day",
+      $"zlag".as("wv"))
+    val m = bSide.join(aSide, Seq("day"))
+      .filter($"type_a" =!= $"type_b")
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n"),
+        sum($"y").as("sy"), sum($"x").as("sx"), sum($"wv").as("sw"),
+        sum($"y" * $"y").as("syy"), sum($"x" * $"x").as("sxx"),
+        sum($"wv" * $"wv").as("sww"), sum($"x" * $"y").as("sxy"),
+        sum($"wv" * $"y").as("swy"), sum($"x" * $"wv").as("sxw"))
+    val cc = m.select($"type_a", $"type_b", $"n",
+      ($"n" * $"sxx" - $"sx" * $"sx").as("a_c"),
+      ($"n" * $"sww" - $"sw" * $"sw").as("b_c"),
+      ($"n" * $"sxw" - $"sx" * $"sw").as("c_c"),
+      ($"n" * $"sxy" - $"sx" * $"sy").as("d_c"),
+      ($"n" * $"swy" - $"sw" * $"sy").as("e_c"),
+      ($"n" * $"syy" - $"sy" * $"sy").as("y_c"))
+    // centered moments are exact longs (~1e12 tops); their PRODUCTS
+    // overflow int64, so the determinant gate runs in decimal(38,0)
+    // (exact) and the F assembly in double (deterministic on
+    // bit-identical integer inputs, q_partial_corr discipline)
+    val detDec = expr("CAST(a_c AS DECIMAL(38,0)) * b_c" +
+      " - CAST(c_c AS DECIMAL(38,0)) * c_c")
+    val detD = $"a_c".cast("double") * $"b_c" -
+      $"c_c".cast("double") * $"c_c"
+    val rssR = ($"y_c".cast("double") * $"a_c" -
+      $"d_c".cast("double") * $"d_c") / $"a_c".cast("double")
+    val rssU = ($"y_c".cast("double") * detD
+      - $"d_c".cast("double") * $"d_c" * $"b_c"
+      + lit(2.0) * $"d_c" * $"e_c" * $"c_c"
+      - $"e_c".cast("double") * $"e_c" * $"a_c") / detD
+    cc.filter($"n" > 3 && $"a_c" > 0 && detDec > 0)
+      .withColumn("f_e3",
+        when(rssU > 0,
+          floor(($"n" - 3).cast("double") * (rssR - rssU) / rssU
+            * lit(1000.0))))
+      .withColumn("granger_5pct",
+        $"f_e3".isNotNull && $"f_e3" >= 4240L)
+      .select($"type_a", $"type_b", $"n", $"a_c", $"b_c", $"c_c",
+        $"d_c", $"e_c", $"y_c", $"f_e3", $"granger_5pct")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_gini_revenue", giniRevenue, Some("""
       WITH pu AS (SELECT user_id,
@@ -2098,6 +2166,80 @@ object InferenceQueries {
              sxd < 0 AND (n_diffs - 1) * CAST(sxd AS HUGEINT) * sxd
                * 1000000 // t2_den >= 8179600 AS stationary_5pct
       FROM t WHERE t2_den > 0""")),
+
+    Q("q_granger_lag1", grangerLag1, Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      daily AS (SELECT event_type, day,
+                       CAST(sum(cents) AS BIGINT) AS cents
+                FROM e GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS sc,
+                     min(cents) AS mn, max(cents) AS mx
+              FROM daily GROUP BY 1
+              HAVING count(*) >= 8 AND max(cents) > min(cents)),
+      z AS (SELECT daily.event_type AS event_type, day,
+                   CAST(floor(CAST(n * cents - sc AS DOUBLE) * 10000.0
+                     / (n * (mx - mn))) AS BIGINT) AS z_e4
+            FROM daily JOIN tot ON daily.event_type = tot.event_type),
+      lagd AS (SELECT event_type, day, z_e4,
+                      lag(z_e4) OVER (PARTITION BY event_type
+                        ORDER BY day ASC) AS zlag
+               FROM z),
+      lz AS (SELECT * FROM lagd WHERE zlag IS NOT NULL),
+      pair AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                      b.z_e4 AS y, b.zlag AS x, a.zlag AS wv
+               FROM lz b JOIN lz a ON a.day = b.day
+               WHERE a.event_type <> b.event_type),
+      m AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(wv) AS BIGINT) AS sw,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(wv * wv) AS BIGINT) AS sww,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(wv * y) AS BIGINT) AS swy,
+                   CAST(sum(x * wv) AS BIGINT) AS sxw
+            FROM pair GROUP BY 1, 2),
+      c AS (SELECT type_a, type_b, n,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS a_c,
+                   CAST(n * sww - sw * sw AS BIGINT) AS b_c,
+                   CAST(n * sxw - sx * sw AS BIGINT) AS c_c,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS d_c,
+                   CAST(n * swy - sw * sy AS BIGINT) AS e_c,
+                   CAST(n * syy - sy * sy AS BIGINT) AS y_c
+            FROM m),
+      f AS (SELECT *,
+                   (CAST(y_c AS DOUBLE) * a_c
+                    - CAST(d_c AS DOUBLE) * d_c)
+                     / CAST(a_c AS DOUBLE) AS rss_r,
+                   (CAST(y_c AS DOUBLE)
+                      * (CAST(a_c AS DOUBLE) * b_c
+                         - CAST(c_c AS DOUBLE) * c_c)
+                    - CAST(d_c AS DOUBLE) * d_c * b_c
+                    + 2.0 * d_c * e_c * c_c
+                    - CAST(e_c AS DOUBLE) * e_c * a_c)
+                     / (CAST(a_c AS DOUBLE) * b_c
+                        - CAST(c_c AS DOUBLE) * c_c) AS rss_u
+            FROM c
+            WHERE n > 3 AND a_c > 0
+              AND CAST(a_c AS HUGEINT) * b_c
+                  - CAST(c_c AS HUGEINT) * c_c > 0)
+      SELECT type_a, type_b, n, a_c, b_c, c_c, d_c, e_c, y_c,
+             CASE WHEN rss_u > 0 THEN
+               CAST(floor(CAST(n - 3 AS DOUBLE) * (rss_r - rss_u)
+                 / rss_u * 1000.0) AS BIGINT) END AS f_e3,
+             CASE WHEN rss_u > 0 THEN
+               CAST(floor(CAST(n - 3 AS DOUBLE) * (rss_r - rss_u)
+                 / rss_u * 1000.0) AS BIGINT) END IS NOT NULL
+             AND CASE WHEN rss_u > 0 THEN
+               CAST(floor(CAST(n - 3 AS DOUBLE) * (rss_r - rss_u)
+                 / rss_u * 1000.0) AS BIGINT) END >= 4240
+               AS granger_5pct
+      FROM f""")),
 
     Q("q_grubbs_outlier", grubbsOutlier, Some("""
       WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -1016,6 +1016,69 @@ class InferenceSpec extends AnyFunSuite {
     assert(got.values.forall(_.getAs[Boolean]("stationary_5pct")))
   }
 
+  test("q_granger_lag1: centered moments replay from the aligned " +
+    "z-grid pair walk, F matches the nested-RSS identity, and RSS " +
+    "never increases when a regressor is added") {
+    val got = SparkEntry.queries("q_granger_lag1")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("type_a"),
+        r.getAs[String]("type_b")) -> r).toMap
+    assert(got.nonEmpty)
+    // rebuild per-type (day -> (z, zlag)) walks
+    val series = dailyRows.groupBy(_._1).flatMap { case (ty, rs) =>
+      val ordered = rs.sortBy(_._2)
+      val xs = ordered.map(_._3)
+      if (xs.length >= 8 && xs.max > xs.min) {
+        val z = zGrid(xs)
+        Some(ty -> ordered.map(_._2).zip(z).drop(0).sliding(2)
+          .collect { case Seq((_, p), (day, c)) => day -> ((c, p)) }
+          .toMap)
+      } else None
+    }
+    val types = series.keys.toSeq.sorted
+    for (ta <- types; tb <- types if ta != tb) {
+      val days = series(ta).keySet intersect series(tb).keySet
+      val rows = days.toSeq.sorted.map { day =>
+        val (y, x) = series(tb)(day)
+        val (_, wv) = series(ta)(day)
+        (y, x, wv)
+      }
+      val n = rows.length.toLong
+      if (n > 3) {
+        val (sy, sx, sw) = (rows.map(_._1).sum, rows.map(_._2).sum,
+          rows.map(_._3).sum)
+        val a = n * rows.map(r => r._2 * r._2).sum - sx * sx
+        val b = n * rows.map(r => r._3 * r._3).sum - sw * sw
+        val cv = n * rows.map(r => r._2 * r._3).sum - sx * sw
+        val dv = n * rows.map(r => r._1 * r._2).sum - sx * sy
+        val ev = n * rows.map(r => r._1 * r._3).sum - sw * sy
+        val yv = n * rows.map(r => r._1 * r._1).sum - sy * sy
+        val det = BigInt(a) * b - BigInt(cv) * cv
+        if (a > 0 && det > 0) {
+          val row = got((ta, tb))
+          assert(row.getAs[Long]("n") === n, s"$ta->$tb n")
+          assert((row.getAs[Long]("a_c"), row.getAs[Long]("b_c"),
+            row.getAs[Long]("c_c"), row.getAs[Long]("d_c"),
+            row.getAs[Long]("e_c"), row.getAs[Long]("y_c")) ===
+            ((a, b, cv, dv, ev, yv)), s"$ta->$tb moments")
+          val detD = a.toDouble * b - cv.toDouble * cv
+          val rssR = (yv.toDouble * a - dv.toDouble * dv) / a.toDouble
+          val rssU = (yv.toDouble * detD - dv.toDouble * dv * b
+            + 2.0 * dv * ev * cv - ev.toDouble * ev * a) / detD
+          if (rssU > 0) {
+            val f = math.floor((n - 3).toDouble * (rssR - rssU) /
+              rssU * 1000.0).toLong
+            assert(row.getAs[Long]("f_e3") === f, s"$ta->$tb f")
+            assert(row.getAs[Boolean]("granger_5pct") === (f >= 4240L))
+            // adding a regressor can only shrink RSS => F >= 0 up to
+            // the floor's -1 grid step
+            assert(f >= -1L, s"$ta->$tb rss monotonicity")
+          }
+        }
+      }
+    }
+  }
+
   test("q_durbin_watson: statistic replays from the ordered z-grid " +
     "walk and sits in [0, 4]") {
     val got = SparkEntry.queries("q_durbin_watson")(spark, sf)
