@@ -282,6 +282,54 @@ object ScalarQueries {
     }.reduce(_.unionByName(_))
   }
 
+  /** Conversion deadline (µs) for [[windowFunnel]]: 24 hours. */
+  val FunnelWindowUs = 86400000000L
+
+  /** Time-BOUNDED funnel (ClickHouse windowFunnel semantics) — the
+    * deadline-aware upgrade of [[eventFunnel]], which only orders
+    * steps: here view→click→purchase must ALL land within
+    * [[FunnelWindowUs]] of the anchoring view, and a user's level is
+    * the best over EVERY view anchor, not just the earliest (a user
+    * whose first view went stale but who converted off a later view
+    * still counts — the unbounded funnel can't express that).
+    * Timestamps compare as epoch-µs BIGINTs (no interval/timezone
+    * arithmetic to diverge on). Greedy-min per step is exact for
+    * level counting: taking the EARLIEST qualifying click maximizes
+    * the residual deadline for the purchase. Shape: per-user equi
+    * joins (shuffle keyed on user, map-side combinable min per
+    * anchor); per-user event counts bound the anchor×step fan, the
+    * same contract as q_sessionize. */
+  private def windowFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val anchors = ev.filter($"event_type" === "view")
+      .select($"user_id", $"us".as("v_us"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"us".as("c_us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"us".as("p_us"))
+    // conditional-min keeps anchors whose user HAS later-step events
+    // but none qualifying (they stay at the lower level; a
+    // join-then-filter would silently drop them)
+    val c = anchors.join(clicks, Seq("user_id"), "left")
+      .groupBy($"user_id", $"v_us")
+      .agg(min(when(
+        $"c_us" > $"v_us" && $"c_us" <= $"v_us" + FunnelWindowUs,
+        $"c_us")).as("c_us"))
+    val p = c.join(purchases, Seq("user_id"), "left")
+      .groupBy($"user_id", $"v_us", $"c_us")
+      .agg(min(when($"c_us".isNotNull &&
+        $"p_us" > $"c_us" && $"p_us" <= $"v_us" + FunnelWindowUs,
+        $"p_us")).as("p_us"))
+    p.select($"user_id",
+        (lit(1L) + when($"c_us".isNotNull, 1L).otherwise(0L)
+          + when($"p_us".isNotNull, 1L).otherwise(0L)).as("level"))
+      .groupBy($"user_id").agg(max($"level").as("best_level"))
+      .groupBy($"best_level")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Weekly cohort retention: users grouped by signup week, counted as
     * retained in each later week they have ANY event. Both sides are
     * user-level pre-aggregates before the join — the events table never
@@ -492,6 +540,36 @@ object ScalarQueries {
       SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM s2
       UNION ALL
       SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM s3""")),
+    Q("q_window_funnel", windowFunnel, Some(s"""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                  FROM events),
+      anchors AS (SELECT user_id, us AS v_us FROM ev
+                  WHERE event_type = 'view'),
+      clicks AS (SELECT user_id, us AS c_us FROM ev
+                 WHERE event_type = 'click'),
+      purchases AS (SELECT user_id, us AS p_us FROM ev
+                    WHERE event_type = 'purchase'),
+      c AS (SELECT a.user_id, a.v_us,
+                   min(CASE WHEN k.c_us > a.v_us
+                            AND k.c_us <= a.v_us + $FunnelWindowUs
+                            THEN k.c_us END) AS c_us
+            FROM anchors a LEFT JOIN clicks k ON k.user_id = a.user_id
+            GROUP BY 1, 2),
+      p AS (SELECT c.user_id, c.v_us, c.c_us,
+                   min(CASE WHEN c.c_us IS NOT NULL
+                            AND q.p_us > c.c_us
+                            AND q.p_us <= c.v_us + $FunnelWindowUs
+                            THEN q.p_us END) AS p_us
+            FROM c LEFT JOIN purchases q ON q.user_id = c.user_id
+            GROUP BY 1, 2, 3),
+      lvl AS (SELECT user_id,
+                     max(1 + CASE WHEN c_us IS NOT NULL THEN 1 ELSE 0 END
+                           + CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END)
+                       AS best_level
+              FROM p GROUP BY 1)
+      SELECT CAST(best_level AS BIGINT) AS best_level,
+             count(*) AS n_users
+      FROM lvl GROUP BY 1""")),
     Q("q_sessionize", sessionize, Some("""
       WITH flagged AS (
         SELECT user_id, ts, value,

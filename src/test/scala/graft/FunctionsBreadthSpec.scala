@@ -11,6 +11,50 @@ class FunctionsBreadthSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf}
   import spark.implicits._
 
+  test("window funnel: per-user brute anchor scan replays the level " +
+      "histogram and the deadline only ever lowers the unbounded level") {
+    val T = ops.ScalarQueries.FunnelWindowUs
+    val got = SparkEntry.queries("q_window_funnel")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("best_level") -> r.getAs[Long]("n_users"))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .as[(Long, String, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    val brute = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    var viewers = 0
+    byUser.foreach { case (_, rows) =>
+      val views = rows.filter(_._2 == "view").map(_._3)
+      if (views.nonEmpty) {
+        viewers += 1
+        val clicks = rows.filter(_._2 == "click").map(_._3).sorted
+        val purch = rows.filter(_._2 == "purchase").map(_._3).sorted
+        val best = views.map { v =>
+          clicks.find(c => c > v && c <= v + T) match {
+            case None => 1L
+            case Some(c) =>
+              if (purch.exists(p => p > c && p <= v + T)) 3L else 2L
+          }
+        }.max
+        brute(best) += 1L
+      }
+    }
+    assert(got === brute.toMap)
+    // every viewer lands in exactly one level bucket
+    assert(got.values.sum === viewers.toLong)
+    // unbounded dominance: a windowed view<c<=p chain implies the
+    // order-only funnel also reaches stage 3 (its greedy-min anchors
+    // only widen what follows), so the deadline can only LOWER counts
+    val unbounded = SparkEntry.queries("q_event_funnel")(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users"))
+      .toMap
+    assert(got.getOrElse(3L, 0L) <= unbounded("3_purchase_after_click"))
+    assert(got.values.sum === unbounded("1_view"))
+  }
+
   test("map functions: create/keys/values/concat/element_at") {
     val df = Tables.nation(spark, sf)
       .select($"n_name", $"n_regionkey",
