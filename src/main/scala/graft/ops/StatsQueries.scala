@@ -1484,6 +1484,65 @@ object StatsQueries {
     when(leq(kd + 1), kd + 1).when(leq(kd), kd).otherwise(kd - 1)
   }
 
+  /** Mahalanobis outlier screen over the per-user (spend, activity)
+    * plane — the MULTIVARIATE upgrade of q_outlier_iqr (per-column
+    * fences miss points that are unremarkable on each axis but
+    * jointly impossible, e.g. huge spend with two events). Both
+    * features first snap to the shared e4 z-grid (bounded at any
+    * volume), then the 2×2 covariance inverts in CLOSED FORM and the
+    * whole quadratic d² = (dx,dy)·Σ⁻¹·(dx,dy)ᵀ reduces to the single
+    * exact rational Q/det with Q = B·dxn² − 2C·dxn·dyn + A·dyn² over
+    * the n-scaled centered moments (population covariance, so the n
+    * powers cancel exactly; every term fits DECIMAL(38,0)/HUGEINT at
+    * the grid bound). Emitted as md2_e3 = Q·1000 div det plus the
+    * χ²₂(0.999) flag md2_e3 ≥ 13816 — integers end to end, no
+    * sqrt, no engine can diverge. Shape: one user rollup, one
+    * broadcast 1-row moment table, one scan over users. */
+  private def mahalanobis2d(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val users = Tables.events(s, d)
+      .select($"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"user_id")
+      .agg(coalesce(sum($"cents"), lit(0L)).as("spend"),
+        count(lit(1)).as("n_ev"))
+    val tot = users.agg(count(lit(1)).as("n"),
+      sum($"spend").as("ssp"), min($"spend").as("mnsp"),
+      max($"spend").as("mxsp"),
+      sum($"n_ev").as("sev"), min($"n_ev").as("mnev"),
+      max($"n_ev").as("mxev"))
+    val z = users.crossJoin(broadcast(tot))
+      .filter($"mxsp" > $"mnsp" && $"mxev" > $"mnev")
+      .select($"user_id",
+        floor(($"n" * $"spend" - $"ssp").cast("double") * lit(10000.0) /
+          ($"n" * ($"mxsp" - $"mnsp"))).as("zx"),
+        floor(($"n" * $"n_ev" - $"sev").cast("double") * lit(10000.0) /
+          ($"n" * ($"mxev" - $"mnev"))).as("zy"))
+    val m = z.agg(count(lit(1)).as("n"),
+      sum($"zx").as("sx"), sum($"zy").as("sy"),
+      sum($"zx" * $"zx").as("sxx"), sum($"zy" * $"zy").as("syy"),
+      sum($"zx" * $"zy").as("sxy"))
+    z.crossJoin(broadcast(m))
+      .select($"user_id", $"zx", $"zy",
+        ($"n" * $"sxx" - $"sx" * $"sx").as("a_c"),
+        ($"n" * $"syy" - $"sy" * $"sy").as("b_c"),
+        ($"n" * $"sxy" - $"sx" * $"sy").as("c_c"),
+        ($"n" * $"zx" - $"sx").as("dxn"),
+        ($"n" * $"zy" - $"sy").as("dyn"))
+      .withColumn("det", expr(
+        "CAST(a_c AS DECIMAL(38,0)) * b_c" +
+          " - CAST(c_c AS DECIMAL(38,0)) * c_c"))
+      .filter($"det" > 0)
+      .withColumn("q_num", expr(
+        "CAST(b_c AS DECIMAL(38,0)) * dxn * dxn" +
+          " - 2 * CAST(c_c AS DECIMAL(38,0)) * dxn * dyn" +
+          " + CAST(a_c AS DECIMAL(38,0)) * dyn * dyn"))
+      .withColumn("md2_e3",
+        expr("CAST(q_num * 1000 div det AS BIGINT)"))
+      .withColumn("outlier", $"md2_e3" >= 13816L)
+      .select($"user_id", $"zx", $"zy", $"md2_e3", $"outlier")
+  }
+
   /** Poisson-bootstrap replicate count for [[bootstrapCi]]. */
   val BootstrapReplicates = 32
 
@@ -2278,6 +2337,51 @@ object StatsQueries {
             FROM daily JOIN tot ON daily.event_type = tot.event_type)"""
 
   val queries: Seq[Q] = Seq(
+    Q("q_mahalanobis_2d", mahalanobis2d, Some("""
+      WITH u AS (SELECT user_id,
+                        CAST(coalesce(sum(CAST(CAST(value AS
+                          DECIMAL(18,2)) * 100 AS BIGINT)), 0)
+                          AS BIGINT) AS spend,
+                        CAST(count(*) AS BIGINT) AS n_ev
+                 FROM events GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(spend) AS BIGINT) AS ssp,
+                     min(spend) AS mnsp, max(spend) AS mxsp,
+                     CAST(sum(n_ev) AS BIGINT) AS sev,
+                     min(n_ev) AS mnev, max(n_ev) AS mxev
+              FROM u),
+      z AS (SELECT user_id,
+                   CAST(floor(CAST(n * spend - ssp AS DOUBLE) * 10000.0
+                     / (n * (mxsp - mnsp))) AS BIGINT) AS zx,
+                   CAST(floor(CAST(n * n_ev - sev AS DOUBLE) * 10000.0
+                     / (n * (mxev - mnev))) AS BIGINT) AS zy
+            FROM u, tot WHERE mxsp > mnsp AND mxev > mnev),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(zx) AS BIGINT) AS sx,
+                   CAST(sum(zy) AS BIGINT) AS sy,
+                   CAST(sum(zx * zx) AS BIGINT) AS sxx,
+                   CAST(sum(zy * zy) AS BIGINT) AS syy,
+                   CAST(sum(zx * zy) AS BIGINT) AS sxy
+            FROM z),
+      c AS (SELECT user_id, zx, zy,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS a_c,
+                   CAST(n * syy - sy * sy AS BIGINT) AS b_c,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS c_c,
+                   CAST(n * zx - sx AS BIGINT) AS dxn,
+                   CAST(n * zy - sy AS BIGINT) AS dyn
+            FROM z, m),
+      q AS (SELECT user_id, zx, zy,
+                   CAST(a_c AS HUGEINT) * b_c
+                     - CAST(c_c AS HUGEINT) * c_c AS det,
+                   CAST(b_c AS HUGEINT) * dxn * dxn
+                     - 2 * CAST(c_c AS HUGEINT) * dxn * dyn
+                     + CAST(a_c AS HUGEINT) * dyn * dyn AS q_num
+            FROM c)
+      SELECT user_id, zx, zy,
+             CAST(q_num * 1000 // det AS BIGINT) AS md2_e3,
+             q_num * 1000 // det >= 13816 AS outlier
+      FROM q WHERE det > 0""")),
+
     Q("q_outlier_iqr", outlierIqr, Some("""
       WITH f AS (SELECT event_type,
                         quantile_cont(value, 0.25) AS q1,

@@ -1278,6 +1278,40 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mahalanobis_2d: quadratic form replays in BigInt and the " +
+      "trace identity holds (mean d2 = dimension, exactly)") {
+    val got = SparkEntry.queries("q_mahalanobis_2d")(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(got.nonEmpty)
+    val zs = got.values.map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("zx"),
+        r.getAs[Long]("zy"))).toSeq
+    val n = zs.length.toLong
+    val (sx, sy) = (zs.map(_._2).sum, zs.map(_._3).sum)
+    val a = n * zs.map(z => z._2 * z._2).sum - sx * sx
+    val b = n * zs.map(z => z._3 * z._3).sum - sy * sy
+    val c = n * zs.map(z => z._2 * z._3).sum - sx * sy
+    val det = BigInt(a) * b - BigInt(c) * c
+    assert(det > 0)
+    var sumQ = BigInt(0)
+    zs.foreach { case (uid, zx, zy) =>
+      val (dxn, dyn) = (n * zx - sx, n * zy - sy)
+      val q = BigInt(b) * dxn * dxn - BigInt(c) * 2 * dxn * dyn +
+        BigInt(a) * dyn * dyn
+      sumQ += q
+      val md2 = q * 1000 / det
+      assert(got(uid).getAs[Long]("md2_e3") === md2.toLong, s"u$uid")
+      assert(got(uid).getAs[Boolean]("outlier") === (md2 >= 13816))
+      assert(md2 >= 0, s"u$uid psd")
+    }
+    // trace identity for the population-covariance form:
+    // sum over points of Q_i equals 2n * det, exactly
+    assert(sumQ === BigInt(2) * n * det)
+    // so the e3 mean sits within one floor step of 2000
+    val meanE3 = got.values.map(_.getAs[Long]("md2_e3")).sum / n
+    assert(meanE3 >= 1999L && meanE3 <= 2000L)
+  }
+
   test("q_ridge_trend: moments replay from a brute pass and the " +
     "shrinkage path is monotone toward zero") {
     val events = Tables.events(spark, sf)
