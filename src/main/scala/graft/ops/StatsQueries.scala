@@ -1543,6 +1543,72 @@ object StatsQueries {
       .select($"user_id", $"zx", $"zy", $"md2_e3", $"outlier")
   }
 
+  /** Generalized-Pareto tail fit via probability-weighted moments
+    * (Hosking/Wallis 1987) — the peaks-over-threshold model behind
+    * tail-latency SLAs and loss-severity curves: how heavy is the
+    * tail ABOVE the 90th percentile, per event type? PWM beats ML
+    * here because both estimators collapse to EXACT RATIONALS of two
+    * order-statistic sums: with exceedances y₍ᵢ₎ sorted ascending,
+    * S = Σy and M = Σ(i−1)·y₍ᵢ₎, the PWM a₁ = E[Y·(1−F)] satisfies
+    * n(n−1)·a₁ = S(n−1) − M, giving
+    * ξ = 2 − S(n−1)/(2M − S(n−1)) and
+    * σ = 2S(S(n−1) − M)/(n(2M − S(n−1))) —
+    * emitted as single integer divisions over DECIMAL(38,0)/HUGEINT,
+    * no libm anywhere. The rank weights (i−1) are TIE-INVARIANT
+    * (equal values commute under any tiebreak), so row_number with
+    * an id tiebreak is deterministic AND order-canonical. The
+    * threshold is the exact ⌈0.9n⌉-th order statistic, never an
+    * interpolated percentile. ξ > 0 ⇒ heavy (Pareto-like) tail;
+    * ξ < 0 ⇒ bounded. Shape: two rank windows per type partition
+    * (events-cardinality but per-series parallel), one combinable
+    * aggregate. */
+  private def gpdTail(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select($"event_type", $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+    val byVal = W.partitionBy($"event_type")
+      .orderBy($"cents".asc, $"event_id".asc)
+    val ranked = ev
+      .withColumn("r", row_number().over(byVal).cast("long"))
+      .withColumn("n_tot", count(lit(1))
+        .over(W.partitionBy($"event_type")))
+    // ceil(0.9n) in integers: double 0.9 rounds ABOVE 9/10, so
+    // ceil(0.9*10.0) is 10, not 9 — (9n+9) div 10 is the exact form
+    val thresh = ranked
+      .filter($"r" === expr("(9 * n_tot + 9) div 10"))
+      .select($"event_type", $"cents".as("u_cents"))
+    val exc = ev.join(broadcast(thresh), "event_type")
+      .filter($"cents" > $"u_cents")
+      .select($"event_type", $"event_id", $"u_cents",
+        ($"cents" - $"u_cents").as("y"))
+      .withColumn("i", row_number().over(W.partitionBy($"event_type")
+        .orderBy($"y".asc, $"event_id".asc)).cast("long"))
+    exc.groupBy($"event_type")
+      .agg(max($"u_cents").as("u_cents"),
+        count(lit(1)).as("n_exceed"),
+        sum($"y").as("s_sum"),
+        sum(($"i" - 1L) * $"y").as("m_weighted"))
+      .filter($"n_exceed" >= 8)
+      .withColumn("den", expr(
+        "2 * CAST(m_weighted AS DECIMAL(38,0))" +
+          " - CAST(s_sum AS DECIMAL(38,0)) * (n_exceed - 1)"))
+      .filter($"den" =!= 0)
+      .withColumn("xi_e6", expr(
+        "2000000 - CAST(CAST(s_sum AS DECIMAL(38,0)) * (n_exceed - 1)" +
+          " * 1000000 div den AS BIGINT)"))
+      .withColumn("sigma_e3", expr(
+        "CAST(2 * CAST(s_sum AS DECIMAL(38,0))" +
+          " * (CAST(s_sum AS DECIMAL(38,0)) * (n_exceed - 1)" +
+          "    - m_weighted) * 1000" +
+          " div (n_exceed * den) AS BIGINT)"))
+      .withColumn("heavy_tail", $"xi_e6" > 0)
+      .select($"event_type", $"u_cents", $"n_exceed", $"s_sum",
+        $"m_weighted", $"xi_e6", $"sigma_e3", $"heavy_tail")
+  }
+
   /** Poisson-bootstrap replicate count for [[bootstrapCi]]. */
   val BootstrapReplicates = 32
 
@@ -2381,6 +2447,47 @@ object StatsQueries {
              CAST(q_num * 1000 // det AS BIGINT) AS md2_e3,
              q_num * 1000 // det >= 13816 AS outlier
       FROM q WHERE det > 0""")),
+
+    Q("q_gpd_tail", gpdTail, Some("""
+      WITH ev AS (SELECT event_type, event_id,
+                         CAST(CAST(value AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS cents
+                  FROM events WHERE value IS NOT NULL),
+      ranked AS (SELECT *,
+                        CAST(row_number() OVER (PARTITION BY event_type
+                          ORDER BY cents ASC, event_id ASC) AS BIGINT)
+                          AS r,
+                        CAST(count(*) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS n_tot
+                 FROM ev),
+      thresh AS (SELECT event_type, cents AS u_cents FROM ranked
+                 WHERE r = (9 * n_tot + 9) // 10),
+      exc AS (SELECT ev.event_type, ev.event_id, t.u_cents,
+                     ev.cents - t.u_cents AS y
+              FROM ev JOIN thresh t ON ev.event_type = t.event_type
+              WHERE ev.cents > t.u_cents),
+      idx AS (SELECT *,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                       ORDER BY y ASC, event_id ASC) AS BIGINT) AS i
+              FROM exc),
+      m AS (SELECT event_type, max(u_cents) AS u_cents,
+                   CAST(count(*) AS BIGINT) AS n_exceed,
+                   CAST(sum(y) AS BIGINT) AS s_sum,
+                   CAST(sum((i - 1) * y) AS BIGINT) AS m_weighted
+            FROM idx GROUP BY 1 HAVING count(*) >= 8),
+      dd AS (SELECT *,
+                    2 * CAST(m_weighted AS HUGEINT)
+                      - CAST(s_sum AS HUGEINT) * (n_exceed - 1) AS den
+             FROM m)
+      SELECT event_type, u_cents, n_exceed, s_sum, m_weighted,
+             2000000 - CAST(CAST(s_sum AS HUGEINT) * (n_exceed - 1)
+               * 1000000 // den AS BIGINT) AS xi_e6,
+             CAST(2 * CAST(s_sum AS HUGEINT)
+               * (CAST(s_sum AS HUGEINT) * (n_exceed - 1) - m_weighted)
+               * 1000 // (n_exceed * den) AS BIGINT) AS sigma_e3,
+             2000000 - CAST(s_sum AS HUGEINT) * (n_exceed - 1)
+               * 1000000 // den > 0 AS heavy_tail
+      FROM dd WHERE den <> 0""")),
 
     Q("q_outlier_iqr", outlierIqr, Some("""
       WITH f AS (SELECT event_type,

@@ -1278,6 +1278,50 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_gpd_tail: PWM estimators replay from a brute sorted pass, " +
+      "and an exactly-uniform ladder gives xi = -1 exactly") {
+    val got = SparkEntry.queries("q_gpd_tail")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .as[(String, Long, Long)].collect()
+    ev.groupBy(_._1).foreach { case (ty, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._2))
+      val u = sorted(((9 * sorted.length + 9) / 10 - 1).toInt)._3
+      val ys = sorted.map(_._3).filter(_ > u).map(_ - u).sorted
+      val n = ys.length.toLong
+      if (n >= 8) {
+        val s = ys.sum
+        val m = ys.zipWithIndex.map { case (y, i) => i.toLong * y }.sum
+        val den = BigInt(2) * m - BigInt(s) * (n - 1)
+        if (den != 0) {
+          val row = got(ty)
+          assert(row.getAs[Long]("u_cents") === u, s"$ty u")
+          assert(row.getAs[Long]("n_exceed") === n, s"$ty n")
+          assert(row.getAs[Long]("s_sum") === s, s"$ty s")
+          assert(row.getAs[Long]("m_weighted") === m, s"$ty m")
+          val xi = 2000000L - (BigInt(s) * (n - 1) * 1000000 / den)
+          assert(row.getAs[Long]("xi_e6") === xi.toLong, s"$ty xi")
+          val sig = BigInt(2) * s * (BigInt(s) * (n - 1) - m) * 1000 /
+            (n * den)
+          assert(row.getAs[Long]("sigma_e3") === sig.toLong, s"$ty sig")
+          assert(row.getAs[Boolean]("heavy_tail") === (xi > 0))
+        }
+      }
+    }
+    // closed-form identity: the exact ladder y_i = i (a discrete
+    // uniform, the ideally bounded tail) has S(n-1)/(2M - S(n-1)) = 3
+    // for every n, so xi = 2 - 3 = -1 with NO rounding
+    for (n <- Seq(8L, 50L, 1000L)) {
+      val s = n * (n + 1) / 2
+      val m = (1L to n).map(i => (i - 1) * i).sum
+      assert(BigInt(s) * (n - 1) === BigInt(3) * (2 * m - s * (n - 1)))
+    }
+  }
+
   test("q_mahalanobis_2d: quadratic form replays in BigInt and the " +
       "trace identity holds (mean d2 = dimension, exactly)") {
     val got = SparkEntry.queries("q_mahalanobis_2d")(spark, sf)
