@@ -767,6 +767,102 @@ object TextOps {
       .orderBy($"source".asc)
   }
 
+  /** Keywords kept by [[textrank]]. */
+  val TextRankK = 10
+
+  /** TextRank keyword extraction (Mihalcea/Tarau 2004) — WEIGHTED
+    * PageRank on the token co-occurrence graph instead of tf-idf
+    * counting: a word matters if it neighbors words that matter,
+    * with edge weight = adjacency count so strong collocations pull
+    * harder (the unweighted variant is degenerate on a dense small
+    * vocabulary — every node ties; weights are what discriminate).
+    * Same fixed-point-integer discipline as
+    * [[GraphOps.pagerankOn]]: ranks live on the ppt grid, each
+    * contribution is rank·w div strength (exact), teleport 0.15,
+    * damping 85/100, [[GraphOps.Iterations]] unrolled rounds replayed
+    * CTE-for-CTE by the oracle. Output: top-[[TextRankK]] keywords
+    * with deterministic (rank_fp desc, token asc) order. Scale: the
+    * weighted edge build is one combinable bigram rollup; the rank
+    * loop runs on the VOCABULARY graph, bounded by distinct bigrams,
+    * not corpus rows. */
+  private def textrank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fp = GraphOps.FpOne
+    val t = tokens(lower($"text"))
+    val bi = Tables.documents(s, d)
+      .select(explode(when(size(t) < 2, array().cast(
+        "array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(1), size(t) - lit(1)),
+          i => struct(element_at(t, i).as("w1"),
+            element_at(t, i + 1).as("w2"))))).as("p"))
+      .select($"p.w1", $"p.w2")
+      .filter($"w1" =!= $"w2")
+    val edges = graft.GraftCaches.getOrPersist(s, s"textrank.edges:$d") {
+      bi.select($"w1".as("src"), $"w2".as("dst"))
+        .union(bi.select($"w2".as("src"), $"w1".as("dst")))
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+    }
+    val strength = graft.GraftCaches.getOrPersist(s,
+      s"textrank.strength:$d") {
+      edges.groupBy($"src").agg(sum($"w").as("stw"))
+    }
+    val adj = edges.join(strength, "src")
+    val nNodes = strength.count()
+    val teleport = fp / 100 * 15 / nNodes
+    var rank = strength.select($"src".as("node"),
+      lit(fp / nNodes).as("rank_fp"))
+    for (_ <- 1 to GraphOps.Iterations) {
+      val r = rank.withColumnRenamed("node", "src")
+      rank = adj.join(broadcast(r), "src")
+        .select($"dst".as("node"), expr("rank_fp * w div stw").as("c"))
+        .groupBy($"node").agg(sum($"c").as("sc"))
+        .select($"node",
+          (lit(teleport) + expr("(85 * sc) div 100")).as("rank_fp"))
+    }
+    rank
+      .orderBy($"rank_fp".desc, $"node".asc)
+      .limit(TextRankK)
+      .select($"node".as("keyword"), $"rank_fp",
+        ($"rank_fp".cast("double") / lit(fp.toDouble)).as("rank"))
+  }
+
+  /** Unrolled DuckDB replay of [[textrank]] — same bigram edges, same
+    * fixed-point rounds as GraphOps.pagerankOracle. */
+  private def textrankOracle: String = {
+    val fp = GraphOps.FpOne
+    val teleport = fp / 100 * 15
+    val base = s"""
+      WITH tk AS (SELECT string_split_regex(lower(text), '\\s+') AS toks
+                  FROM documents),
+      ix AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM tk
+             WHERE len(toks) >= 2),
+      bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM ix
+             WHERE toks[i] <> toks[i + 1]),
+      dir AS (SELECT w1 AS src, w2 AS dst FROM bi
+              UNION ALL SELECT w2, w1 FROM bi),
+      edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+                FROM dir GROUP BY 1, 2),
+      st AS (SELECT src, CAST(sum(w) AS BIGINT) AS stw
+             FROM edges GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM st),
+      r0 AS (SELECT src AS node, $fp // n AS rank_fp FROM st, nn)"""
+    val iters = (1 to GraphOps.Iterations).map { i =>
+      s""",
+      c$i AS (SELECT e.dst AS node, r.rank_fp * e.w // s.stw AS c
+              FROM edges e
+              JOIN r${i - 1} r ON e.src = r.node
+              JOIN st s ON e.src = s.src),
+      r$i AS (SELECT node,
+                     $teleport // nn.n + (85 * sum(c)) // 100 AS rank_fp
+              FROM c$i, nn GROUP BY node, nn.n)"""
+    }.mkString
+    s"""$base$iters
+      SELECT node AS keyword, CAST(rank_fp AS BIGINT) AS rank_fp,
+             CAST(rank_fp AS DOUBLE) / $fp AS rank
+      FROM r${GraphOps.Iterations}
+      ORDER BY rank_fp DESC, node ASC LIMIT $TextRankK"""
+  }
+
   /** Common denominator for exact Shapley credit: lcm(1..20), enough
     * for the 20 document sources (spec-asserted). */
   val ShapleyLcm = 232792560L
@@ -2212,6 +2308,7 @@ object TextOps {
                   ELSE NULL END AS BIGINT) AS delta_e6
       FROM c, t
       ORDER BY source""")),
+    Q("q_textrank", textrank, Some(textrankOracle)),
     Q("q_shapley_coverage", shapleyCoverage, Some(s"""
       WITH tk AS (SELECT source,
                          string_split_regex(lower(text), '\\s+') AS toks

@@ -302,6 +302,48 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows.count(r => !r.getAs[Boolean]("is_code")) > 0)
   }
 
+  test("textrank: weighted fixed-point rounds replay brute-force and " +
+      "the kept keywords dominate every dropped node") {
+    val fp = GraphOps.FpOne
+    val got = SparkEntry.queries("q_textrank")(spark, sf).collect()
+      .map(r => (r.getAs[String]("keyword"), r.getAs[Long]("rank_fp")))
+    assert(got.length === TextOps.TextRankK)
+    // brute: weighted adjacency from raw text
+    val w = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    Tables.documents(spark, sf).select($"text").as[String].collect()
+      .foreach { text =>
+        val toks = text.toLowerCase.split("\\s+")
+        toks.sliding(2).foreach {
+          case Array(x, y) if x != y =>
+            w((x, y)) += 1L; w((y, x)) += 1L
+          case _ =>
+        }
+      }
+    val strength = w.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val n = strength.size.toLong
+    val teleport = fp / 100 * 15 / n
+    var rank = strength.keys.map(_ -> fp / n).toMap
+    for (_ <- 1 to GraphOps.Iterations) {
+      val contrib = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      w.foreach { case ((u, v), wt) =>
+        contrib(v) += rank(u) * wt / strength(u)
+      }
+      rank = rank.keys.map(k =>
+        k -> (teleport + 85L * contrib(k) / 100L)).toMap
+    }
+    val want = rank.toSeq.sortBy { case (k, r) => (-r, k) }
+      .take(TextOps.TextRankK)
+    assert(got.toSeq === want)
+    // every kept rank beats (or ties with) every dropped rank
+    val dropped = rank.toSeq.sortBy { case (k, r) => (-r, k) }
+      .drop(TextOps.TextRankK)
+    if (dropped.nonEmpty)
+      assert(got.map(_._2).min >= dropped.map(_._2).max)
+  }
+
   test("shapley coverage: brute owner-set replay, efficiency axiom, " +
       "and dominance over exclusive count") {
     val rows = SparkEntry.queries("q_shapley_coverage")(spark, sf)
