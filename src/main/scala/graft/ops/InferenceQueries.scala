@@ -1167,6 +1167,121 @@ object InferenceQueries {
       .drop("var_n2")
   }
 
+  /** Rounds of the generalized ESD sweep ([[esdOutliers]]). */
+  val EsdRounds = 3
+
+  /** Generalized ESD outlier sweep (Rosner 1983) — the iterative
+    * upgrade of [[grubbsOutlier]], which can only name ONE outlier
+    * and suffers masking: two spikes shield each other because both
+    * inflate the variance. ESD removes the current peak and RETESTS
+    * on the shrunken sample, [[EsdRounds]] unrolled rounds; the
+    * number of outliers is max{i : round i significant} even when an
+    * intermediate round dips below the bar (Rosner's rule — that is
+    * the whole point of running past the first failure). Each round
+    * reuses the Grubbs exact-integer form: peak deviation
+    * |n·x − S| and variance n·Σx² − S² in DECIMAL(38,0)/HUGEINT,
+    * significance as adev² > 9·var_n2 (the 3σ convention the Grubbs
+    * row pinned), moments updated by SUBTRACTION of the removed row
+    * — exact, no recomputation drift. Shape: the calendar-bounded
+    * daily table aggregates once per round; each round is one
+    * combinable rollup + one argmin-struct peak pick, all tiny. */
+  private def esdOutliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily0 = graft.GraftCaches.getOrPersist(s, s"inf.esd.daily:$d") {
+      dailyCents(s, d)
+    }
+    var remaining = daily0
+    val rounds = (1 to EsdRounds).map { r =>
+      val tot = remaining.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sc"),
+          sum($"cents".cast("decimal(38,0)") * $"cents").as("sq"))
+        .withColumn("var_n2",
+          $"n" * $"sq" - $"sc".cast("decimal(38,0)") * $"sc")
+        .filter($"n" >= 8 && $"var_n2" > 0)
+      val peak = remaining.join(broadcast(tot), Seq("event_type"))
+        .withColumn("adev", abs($"n" * $"cents" - $"sc"))
+        .groupBy($"event_type")
+        .agg(max($"n").as("n_eff"), max($"var_n2").as("var_n2"),
+          min(struct((-$"adev").as("na"), $"day")).as("pk"))
+        .select($"event_type", lit(r.toLong).as("round"), $"n_eff",
+          $"var_n2", $"pk.day".as("peak_day"), (-$"pk.na").as("peak_adev"))
+        .withColumn("g2_ppm",
+          expr("CAST(CAST(peak_adev AS DECIMAL(38,0)) * peak_adev" +
+            " * 1000000 div var_n2 AS BIGINT)"))
+        .withColumn("significant",
+          expr("CAST(peak_adev AS DECIMAL(38,0)) * peak_adev" +
+            " > var_n2 * 9"))
+      val peakCached = graft.GraftCaches.getOrPersist(s,
+        s"inf.esd.r$r:$d")(peak)
+      remaining = remaining.join(
+        broadcast(peakCached.select($"event_type",
+          $"peak_day".as("day"))),
+        Seq("event_type", "day"), "left_anti")
+      peakCached
+    }
+    val all = rounds.reduce(_ unionByName _)
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type")
+    all
+      .withColumn("k_esd", coalesce(
+        max(when($"significant", $"round")).over(W), lit(0L)))
+      .select($"event_type", $"round", $"peak_day", $"peak_adev",
+        $"n_eff", $"g2_ppm", $"significant", $"k_esd")
+  }
+
+  /** Unrolled DuckDB replay of [[esdOutliers]]: per round, a moment
+    * rollup over the not-yet-removed days, the (adev desc, day asc)
+    * peak, and the exact-integer significance test. */
+  private def esdOracle: String = {
+    val base = """
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      d1 AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS cents
+             FROM e GROUP BY 1, 2)"""
+    val rounds = (1 to EsdRounds).map { r =>
+      s""",
+      t$r AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS sc,
+                     sum(CAST(cents AS HUGEINT) * cents) AS sq
+              FROM d$r GROUP BY 1
+              HAVING count(*) >= 8
+                 AND count(*) * sum(CAST(cents AS HUGEINT) * cents)
+                     - CAST(sum(cents) AS HUGEINT) * sum(cents) > 0),
+      a$r AS (SELECT d.event_type, d.day,
+                     abs(t.n * d.cents - t.sc) AS adev, t.n,
+                     t.n * t.sq - CAST(t.sc AS HUGEINT) * t.sc
+                       AS var_n2,
+                     row_number() OVER (PARTITION BY d.event_type
+                       ORDER BY abs(t.n * d.cents - t.sc) DESC,
+                                d.day ASC) AS rn
+              FROM d$r d JOIN t$r t ON d.event_type = t.event_type),
+      p$r AS (SELECT event_type, CAST($r AS BIGINT) AS round,
+                     n AS n_eff, day AS peak_day,
+                     CAST(adev AS BIGINT) AS peak_adev, var_n2,
+                     CAST(CAST(adev AS HUGEINT) * adev * 1000000
+                       // var_n2 AS BIGINT) AS g2_ppm,
+                     CAST(adev AS HUGEINT) * adev > var_n2 * 9
+                       AS significant
+              FROM a$r WHERE rn = 1),
+      d${r + 1} AS (SELECT d.* FROM d$r d
+                    LEFT JOIN p$r p ON p.event_type = d.event_type
+                                   AND p.peak_day = d.day
+                    WHERE p.event_type IS NULL)"""
+    }.mkString
+    val union = (1 to EsdRounds).map(r =>
+      s"SELECT event_type, round, peak_day, peak_adev, n_eff, g2_ppm," +
+        s" significant FROM p$r").mkString(" UNION ALL ")
+    s"""$base$rounds,
+      allr AS ($union)
+      SELECT event_type, round, peak_day, peak_adev, n_eff, g2_ppm,
+             significant,
+             coalesce(max(CASE WHEN significant THEN round END)
+               OVER (PARTITION BY event_type), 0) AS k_esd
+      FROM allr"""
+  }
+
   /** Jarque–Bera normality test per daily-revenue series — the
     * moment-based screen (skewness² + excess-kurtosis²) a metrics
     * pipeline runs before trusting any Gaussian-assuming monitor
@@ -2240,6 +2355,8 @@ object InferenceQueries {
                  / rss_u * 1000.0) AS BIGINT) END >= 4240
                AS granger_5pct
       FROM f""")),
+
+    Q("q_esd_outliers", esdOutliers, Some(esdOracle)),
 
     Q("q_grubbs_outlier", grubbsOutlier, Some("""
       WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,

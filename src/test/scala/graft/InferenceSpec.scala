@@ -1079,6 +1079,52 @@ class InferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("q_esd_outliers: rounds replay brute-force with subtracted " +
+    "moments, peaks are distinct days, and k_esd follows Rosner's rule") {
+    val got = SparkEntry.queries("q_esd_outliers")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("round"))
+        -> r).toMap
+    assert(got.nonEmpty)
+    dailyRows.groupBy(_._1).foreach { case (ty, rs0) =>
+      var rs = rs0.map(t => t._2 -> t._3).sortBy(_._1)
+      var flags = Vector.empty[Boolean]
+      (1 to ops.InferenceQueries.EsdRounds).foreach { round =>
+        val n = rs.length.toLong
+        val sc = rs.map(_._2).sum
+        val sq = rs.map(t => BigInt(t._2) * t._2).sum
+        val varN2 = BigInt(n) * sq - BigInt(sc) * sc
+        if (n >= 8 && varN2 > 0) {
+          val peak = rs.map { case (day, c) =>
+            (day, (BigInt(n) * c - sc).abs)
+          }.maxBy { case (day, a) => (a, ReverseDay(day)) }
+          val row = got((ty, round.toLong))
+          assert(row.getAs[Long]("n_eff") === n, s"$ty r$round n")
+          assert(row.getAs[java.sql.Date]("peak_day").toString ===
+            peak._1, s"$ty r$round day")
+          assert(BigInt(row.getAs[Long]("peak_adev")) === peak._2)
+          assert(row.getAs[Long]("g2_ppm") ===
+            (peak._2 * peak._2 * 1000000 / varN2).toLong)
+          val sig = peak._2 * peak._2 > varN2 * 9
+          assert(row.getAs[Boolean]("significant") === sig)
+          flags :+= sig
+          rs = rs.filterNot(_._1 == peak._1)
+        }
+      }
+      // Rosner: k = LAST significant round, not the first failure
+      val k = flags.lastIndexWhere(identity) + 1
+      (1 to flags.length).foreach { round =>
+        assert(got((ty, round.toLong)).getAs[Long]("k_esd") ===
+          k.toLong, s"$ty k")
+      }
+    }
+  }
+
+  /** Orders day strings DESCENDING so maxBy picks the EARLIEST day on
+    * adev ties (the query's min-struct tiebreak). */
+  private def ReverseDay(day: String): String =
+    day.map(c => (255 - c.toInt).toChar)
+
   test("q_durbin_watson: statistic replays from the ordered z-grid " +
     "walk and sits in [0, 4]") {
     val got = SparkEntry.queries("q_durbin_watson")(spark, sf)
