@@ -328,7 +328,74 @@ object TemporalJoins {
           .as("wait_us"))
   }
 
+  /** Bitemporal snapshot audit — the two-axis time query a warehouse
+    * with late-arriving corrections needs and none of the one-axis
+    * operators here (as-of = valid time only, SCD2 = transaction time
+    * only) can answer: "what did we BELIEVE at transaction time T_tx
+    * about each user's state valid at T_v, and how does it differ
+    * from what we know now?" Valid time = event ts; transaction time
+    * = event_id (the ingestion-order proxy, monotone). Both cutoffs
+    * derive deterministically as integer midpoints of the observed
+    * ranges. The per-user belief is the (valid-ts, tx) argmax under
+    * each knowledge horizon — one min-struct aggregate per horizon,
+    * no window over raw events — and `revised` marks users whose
+    * believed state CHANGED once post-T_tx arrivals landed: the
+    * late-data audit that decides whether a snapshot can be served
+    * from cache. Shape: one scan, two combinable argmax rollups on
+    * user, one broadcast 1-row cutoff table. */
+  private def bitemporalSnapshot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val recs = Tables.events(s, d)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val cuts = recs.agg(min($"us").as("mn_us"), max($"us").as("mx_us"),
+        min($"event_id").as("mn_id"), max($"event_id").as("mx_id"))
+      .select(expr("(mn_us + mx_us) div 2").as("v_cut"),
+        expr("(mn_id + mx_id) div 2").as("tx_cut"))
+    val valid = recs.crossJoin(broadcast(cuts)).filter($"us" <= $"v_cut")
+    val full = valid.groupBy($"user_id")
+      .agg(min(struct((-$"us").as("nu"), (-$"event_id").as("ni"),
+        $"cents")).as("pk"))
+      .select($"user_id", $"pk.cents".as("believed_full_cents"))
+    val atTx = valid.filter($"event_id" <= $"tx_cut")
+      .groupBy($"user_id")
+      .agg(min(struct((-$"us").as("nu"), (-$"event_id").as("ni"),
+        $"cents")).as("pk"))
+      .select($"user_id", $"pk.cents".as("believed_tx_cents"))
+    full.join(atTx, Seq("user_id"), "left")
+      .withColumn("revised",
+        $"believed_tx_cents".isNull ||
+          $"believed_tx_cents" =!= $"believed_full_cents")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_bitemporal_snapshot", bitemporalSnapshot, Some("""
+      WITH recs AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT) AS cents
+                    FROM events
+                    WHERE event_type = 'purchase'
+                      AND value IS NOT NULL),
+      cuts AS (SELECT (min(us) + max(us)) // 2 AS v_cut,
+                      (min(event_id) + max(event_id)) // 2 AS tx_cut
+               FROM recs),
+      valid AS (SELECT r.* FROM recs r, cuts WHERE r.us <= cuts.v_cut),
+      fullk AS (SELECT user_id, cents AS believed_full_cents
+                FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY us DESC, event_id DESC) AS rn
+                      FROM valid) WHERE rn = 1),
+      attx AS (SELECT user_id, cents AS believed_tx_cents
+               FROM (SELECT v.*, row_number() OVER (PARTITION BY user_id
+                       ORDER BY us DESC, event_id DESC) AS rn
+                     FROM valid v, cuts WHERE v.event_id <= cuts.tx_cut)
+               WHERE rn = 1)
+      SELECT f.user_id, f.believed_full_cents, a.believed_tx_cents,
+             a.believed_tx_cents IS NULL
+               OR a.believed_tx_cents <> f.believed_full_cents
+               AS revised
+      FROM fullk f LEFT JOIN attx a ON f.user_id = a.user_id""")),
+
     Q("q_asof_attribution", asofAttribution, Some("""
       WITH clicks AS (
         SELECT user_id, ts, max(event_id) AS click_id

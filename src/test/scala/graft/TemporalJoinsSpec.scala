@@ -17,6 +17,44 @@ class TemporalJoinsSpec extends AnyFunSuite {
 
   private def ts(s: Long) = new Timestamp(s * 1000L)
 
+  test("q_bitemporal_snapshot: per-user beliefs replay brute-force " +
+      "and a tx-visible argmax record forces revised = false") {
+    val got = SparkEntry.queries("q_bitemporal_snapshot")(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(got.nonEmpty)
+    val recs = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)].collect()
+    val vCut = (recs.map(_._2).min + recs.map(_._2).max) / 2
+    val txCut = (recs.map(_._3).min + recs.map(_._3).max) / 2
+    val valid = recs.filter(_._2 <= vCut)
+    val byUser = valid.groupBy(_._1)
+    assert(got.keySet === byUser.keySet)
+    byUser.foreach { case (u, rs) =>
+      val full = rs.maxBy(r => (r._2, r._3))
+      val txRs = rs.filter(_._3 <= txCut)
+      val row = got(u)
+      assert(row.getAs[Long]("believed_full_cents") === full._4, s"u$u")
+      if (txRs.isEmpty) {
+        assert(row.isNullAt(row.fieldIndex("believed_tx_cents")), s"u$u")
+        assert(row.getAs[Boolean]("revised"), s"u$u null-revised")
+      } else {
+        val tx = txRs.maxBy(r => (r._2, r._3))
+        assert(row.getAs[Long]("believed_tx_cents") === tx._4, s"u$u tx")
+        assert(row.getAs[Boolean]("revised") === (tx._4 != full._4))
+        // knowledge monotonicity: if the full argmax was already
+        // visible at tx time, the beliefs coincide
+        if (full._3 <= txCut)
+          assert(!row.getAs[Boolean]("revised"), s"u$u monotone")
+      }
+    }
+    // the audit finds SOME late revisions in this data (non-vacuous)
+    assert(got.values.exists(_.getAs[Boolean]("revised")))
+    assert(got.values.exists(r => !r.getAs[Boolean]("revised")))
+  }
+
   // (key, ts, tag)
   private def lhs = Seq(
     (1L, ts(100), "p1"), (1L, ts(200), "p2"), (1L, ts(50), "p0"),
