@@ -1449,38 +1449,37 @@ object StatsQueries {
         ($"n_w" * $"sxx" - $"sx" * $"sx").as("vx"),
         ($"n_w" * $"syy" - $"sy" * $"sy").as("vy"))
       .withColumn("corr_e3",
-        when($"vx" > 0 && $"vy" > 0, exactFloorE3Corr))
+        when($"vx" > 0 && $"vy" > 0, exactFloorDivSqrt($"num",
+          $"vx".cast("decimal(38,0)") * $"vy", 1000L)))
   }
 
-  /** Exact ⌊num·10³/√(vx·vy)⌋ — engine-independent by construction.
+  /** Exact ⌊num·scale/√p⌋ — engine-independent by construction.
     * A double gives the CANDIDATE k (always within ±1 of the true
-    * floor: the quotient is ≤10³ in magnitude so a few ULPs of
-    * pipeline rounding are ≪1); the candidate is then CORRECTED with
-    * pure integer comparisons: for p = vx·vy > 0, m ≤ num·10³/√p ⟺
-    * sign-split m²·p vs num²·10⁶, both exact in decimal(38,0)
-    * (≤1.3e33 / 1.3e32 at sf0.1 — 5 decimal digits of headroom; the
-    * oracle uses HUGEINT). This kills the round-9/round-10 red row
-    * for good: every window whose points are collinear (all n_w=2
-    * frames, for one) has |corr| EXACTLY 1, the quotient lands
-    * exactly ON the floor grid, and there a 1-ULP disagreement
-    * between two IEEE pipelines flips ⌊·⌋ by one — no grid or
-    * rounding convention fixes a tie that the data genuinely
-    * produces, only exact arithmetic does. */
-  private def exactFloorE3Corr: Column = {
+    * floor: a few ULPs of pipeline rounding are ≪1 grid cell); the
+    * candidate is then CORRECTED with pure integer comparisons:
+    * for p > 0, m ≤ num·scale/√p ⟺ sign-split m²·p vs num²·scale²,
+    * both exact in decimal(38,0) (the oracle side uses HUGEINT; the
+    * caller is responsible for num²·scale² and k²·p fitting 38
+    * digits). This kills the round-9/round-10 red row for good:
+    * whenever the TRUE quotient lands exactly ON the floor grid
+    * (e.g. |corr| = 1 on collinear windows, or R/S over a
+    * perfect-square variance), a 1-ULP disagreement between two IEEE
+    * pipelines flips a plain ⌊·⌋ by one — no grid or rounding
+    * convention fixes a tie the data genuinely produces, only exact
+    * arithmetic does. */
+  def exactFloorDivSqrt(num: Column, p: Column, scale: Long): Column = {
     val dec = "decimal(38,0)"
-    val p = col("vx").cast(dec) * col("vy").cast(dec)
-    val a2 = col("num").cast(dec) * col("num").cast(dec) *
-      lit(1000000L).cast(dec)
-    // m ≤ num·10³/√p, decided exactly in integers
+    val a2 = num.cast(dec) * num.cast(dec) * lit(scale * scale)
+    // m ≤ num·scale/√p, decided exactly in integers
     def leq(m: Column): Column = {
-      val m2p = m.cast(dec) * m.cast(dec) * p
-      when(col("num") >= 0 && m <= 0, lit(true))
-        .when(col("num") < 0 && m >= 0, lit(false))
-        .when(col("num") >= 0, m2p <= a2) // both sides positive
-        .otherwise(m2p >= a2)             // both sides negative
+      val m2p = m.cast(dec) * m.cast(dec) * p.cast(dec)
+      when(num >= 0 && m <= 0, lit(true))
+        .when(num < 0 && m >= 0, lit(false))
+        .when(num >= 0, m2p <= a2) // both sides positive
+        .otherwise(m2p >= a2)      // both sides negative
     }
-    val kd = floor(col("num").cast("double") * lit(1000.0) /
-      sqrt(col("vx").cast("double") * col("vy").cast("double")))
+    val kd = floor(num.cast("double") * lit(scale.toDouble) /
+      sqrt(p.cast("double")))
     when(leq(kd + 1), kd + 1).when(leq(kd), kd).otherwise(kd - 1)
   }
 
@@ -1607,6 +1606,159 @@ object StatsQueries {
       .withColumn("heavy_tail", $"xi_e6" > 0)
       .select($"event_type", $"u_cents", $"n_exceed", $"s_sum",
         $"m_weighted", $"xi_e6", $"sigma_e3", $"heavy_tail")
+  }
+
+  /** Block sizes for the [[hurstRs]] rescaled-range ladder — dyadic so
+    * the log-log regression collapses to one closed-form difference. */
+  val HurstBlocks = Seq(4L, 8L, 16L)
+
+  /** Hurst exponent via rescaled-range (R/S) analysis per event-type
+    * daily series — the long-memory detector: H ≈ 0.5 means diffusive
+    * (independent increments), H > 0.5 trending/persistent, H < 0.5
+    * mean-reverting; the number a capacity planner checks before
+    * trusting √t-scaling of aggregated load. Per dyadic block size
+    * m ∈ [[HurstBlocks]]: full blocks of m consecutive days, per-block
+    * cumulative demeaned deviations dev_j = m·Σ_{i≤j}x_i − j·S_block
+    * (EXACT integers — the m-scaling clears the mean's denominator),
+    * R_num = max dev − min dev, S²·m² = m·Σx² − S² (exact), and the
+    * rescaled range R/S = R_num/√(m·Σx²−S²) lands on the e6 grid via
+    * [[exactFloorDivSqrt]] — the tie-proof floor, because a
+    * perfect-square block variance puts the quotient exactly ON the
+    * grid. With the dyadic ladder the log-log slope collapses to
+    * H = log₂(R̄S₁₆/R̄S₄)/2: ONE ln over one rational of exact
+    * integers (block-count cross-multiplied), floored e6 — the whole
+    * statistic touches libm exactly once. Shape: per-type rank
+    * window on the calendar-bounded daily table, one combinable
+    * rollup per block size. */
+  private def hurstRs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = graft.GraftCaches.getOrPersist(s, s"stats.hurst:$d") {
+      dailyCentsLocal(s, d)
+        .withColumn("rn", row_number().over(W.partitionBy($"event_type")
+          .orderBy($"day".asc)).cast("long"))
+    }
+    val out = HurstBlocks.map(m => perBlock(s, daily, m)).reduce(
+      _ unionByName _)
+    val piv = out.groupBy($"event_type")
+      .pivot("m", HurstBlocks.map(_.toString))
+      .agg(first($"sum_rs_e6").as("rs"), first($"n_blocks").as("nb"))
+    piv.filter($"4_rs".isNotNull && $"8_rs".isNotNull &&
+        $"16_rs".isNotNull && $"4_rs" > 0 && $"16_rs" > 0)
+      .select($"event_type",
+        $"4_rs".as("rs4_sum"), $"4_nb".as("n4"),
+        $"8_rs".as("rs8_sum"), $"8_nb".as("n8"),
+        $"16_rs".as("rs16_sum"), $"16_nb".as("n16"))
+      .withColumn("h_e6",
+        floor(log(($"rs16_sum" * $"n4").cast("double") /
+            ($"rs4_sum" * $"n16").cast("double")) /
+          lit(2.0 * math.log(2.0)) * lit(1000000.0)).cast("long"))
+  }
+
+  /** One block-size level of [[hurstRs]]: full m-day blocks → exact
+    * integer R and S² forms → tie-proof e6 rescaled range. */
+  private def perBlock(s: SparkSession, daily: DataFrame,
+      m: Long): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val wBlk = W.partitionBy($"event_type", $"blk")
+    val cum = wBlk.orderBy($"rn".asc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    daily
+      .withColumn("blk", expr(s"(rn - 1) div $m"))
+      .withColumn("j", ($"rn" - 1) % m + 1)
+      .withColumn("cs", sum($"cents").over(cum))
+      .withColumn("sb", sum($"cents").over(wBlk))
+      .withColumn("dev", lit(m) * $"cs" - $"j" * $"sb")
+      .groupBy($"event_type", $"blk")
+      .agg(count(lit(1)).as("cnt"), max($"sb").as("sbv"),
+        sum($"cents".cast("decimal(38,0)") * $"cents").as("qb"),
+        max($"dev").as("mxd"), min($"dev").as("mnd"))
+      .filter($"cnt" === m)
+      .withColumn("s2n", expr(s"$m * qb - CAST(sbv AS DECIMAL(38,0))" +
+        " * sbv"))
+      .filter($"s2n" > 0)
+      .withColumn("rs_e6",
+        exactFloorDivSqrt($"mxd" - $"mnd", $"s2n", 1000000L))
+      .groupBy($"event_type")
+      .agg(sum($"rs_e6").as("sum_rs_e6"), count(lit(1)).as("n_blocks"))
+      .withColumn("m", lit(m.toString))
+  }
+
+  /** DuckDB replay of [[hurstRs]] — per block size the exact block
+    * moments, the corrected tie-proof floor, and the closed-form
+    * dyadic slope with the identical double divisor literal. */
+  private def hurstOracle: String = {
+    val levels = HurstBlocks.map { m =>
+      s"""
+      b$m AS (SELECT event_type, (rn - 1) // $m AS blk,
+                     (rn - 1) % $m + 1 AS j, cents,
+                     sum(cents) OVER (PARTITION BY event_type,
+                       (rn - 1) // $m ORDER BY rn) AS cs,
+                     sum(cents) OVER (PARTITION BY event_type,
+                       (rn - 1) // $m) AS sb
+              FROM rnd),
+      g$m AS (SELECT event_type, blk, count(*) AS cnt,
+                     CAST(max(sb) AS BIGINT) AS sbv,
+                     sum(CAST(cents AS HUGEINT) * cents) AS qb,
+                     CAST(max($m * cs - j * sb) AS BIGINT) AS mxd,
+                     CAST(min($m * cs - j * sb) AS BIGINT) AS mnd
+              FROM b$m GROUP BY 1, 2 HAVING count(*) = $m),
+      s$m AS (SELECT event_type, mxd - mnd AS num,
+                     $m * qb - CAST(sbv AS HUGEINT) * sbv AS s2n
+              FROM g$m
+              WHERE $m * qb - CAST(sbv AS HUGEINT) * sbv > 0),
+      k$m AS (SELECT event_type, num, s2n,
+                     CAST(floor(CAST(num AS DOUBLE) * 1000000.0 /
+                       sqrt(CAST(s2n AS DOUBLE))) AS BIGINT) AS kd
+              FROM s$m),
+      r$m AS (SELECT event_type,
+                     CASE WHEN CAST(kd + 1 AS HUGEINT) * (kd + 1) * s2n
+                            <= CAST(num AS HUGEINT) * num
+                               * 1000000000000 THEN kd + 1
+                          WHEN kd <= 0 OR CAST(kd AS HUGEINT) * kd * s2n
+                            <= CAST(num AS HUGEINT) * num
+                               * 1000000000000 THEN kd
+                          ELSE kd - 1 END AS rs_e6
+              FROM k$m),
+      a$m AS (SELECT event_type, CAST(sum(rs_e6) AS BIGINT) AS sum_rs,
+                     CAST(count(*) AS BIGINT) AS nb
+              FROM r$m GROUP BY 1)"""
+    }.mkString(",")
+    val div = 2.0 * math.log(2.0)
+    s"""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      d1 AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS cents
+             FROM e GROUP BY 1, 2),
+      rnd AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                ORDER BY day ASC) AS BIGINT) AS rn
+              FROM d1),$levels
+      SELECT a4.event_type,
+             a4.sum_rs AS rs4_sum, a4.nb AS n4,
+             a8.sum_rs AS rs8_sum, a8.nb AS n8,
+             a16.sum_rs AS rs16_sum, a16.nb AS n16,
+             CAST(floor(ln(CAST(a16.sum_rs * a4.nb AS DOUBLE) /
+               CAST(a4.sum_rs * a16.nb AS DOUBLE)) / $div * 1000000.0)
+               AS BIGINT) AS h_e6
+      FROM a4 JOIN a8 ON a4.event_type = a8.event_type
+              JOIN a16 ON a4.event_type = a16.event_type
+      WHERE a4.sum_rs > 0 AND a16.sum_rs > 0"""
+  }
+
+  /** Daily revenue cents per (event_type, day) — the shared series
+    * base for [[hurstRs]] (twin of InferenceQueries.dailyCents,
+    * private there). */
+  private def dailyCentsLocal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("cents"))
   }
 
   /** Poisson-bootstrap replicate count for [[bootstrapCi]]. */
@@ -2447,6 +2599,8 @@ object StatsQueries {
              CAST(q_num * 1000 // det AS BIGINT) AS md2_e3,
              q_num * 1000 // det >= 13816 AS outlier
       FROM q WHERE det > 0""")),
+
+    Q("q_hurst_rs", hurstRs, Some(hurstOracle)),
 
     Q("q_gpd_tail", gpdTail, Some("""
       WITH ev AS (SELECT event_type, event_id,

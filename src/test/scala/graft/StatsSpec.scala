@@ -1278,6 +1278,64 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_hurst_rs: block moments and tie-proof rescaled ranges " +
+      "replay exactly, and the dyadic slope matches") {
+    val got = SparkEntry.queries("q_hurst_rs")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.nonEmpty)
+    def exactRs(num: Long, s2n: BigInt): Long = {
+      def leq(m: Long): Boolean =
+        if (m <= 0) true
+        else BigInt(m) * m * s2n <= BigInt(num) * num * BigInt(10).pow(12)
+      var k = math.floor(num.toDouble * 1e6 /
+        math.sqrt(s2n.toDouble)).toLong
+      if (leq(k + 1)) k += 1 else if (!leq(k)) k -= 1
+      k
+    }
+    dailyRowsStats.groupBy(_._1).foreach { case (ty, rs) =>
+      val xs = rs.sortBy(_._2).map(_._3)
+      val levels = Seq(4, 8, 16).map { m =>
+        val blocks = xs.grouped(m).filter(_.length == m).toSeq
+        val rsVals = blocks.flatMap { b =>
+          val sb = b.sum
+          val qb = b.map(x => BigInt(x) * x).sum
+          val s2n = BigInt(m) * qb - BigInt(sb) * sb
+          if (s2n > 0) {
+            val devs = b.scanLeft(0L)(_ + _).drop(1).zipWithIndex
+              .map { case (cs, i) => m * cs - (i + 1).toLong * sb }
+            Some(exactRs(devs.max - devs.min, s2n))
+          } else None
+        }
+        m -> ((rsVals.sum, rsVals.length.toLong))
+      }.toMap
+      val (rs4, n4) = levels(4); val (rs8, n8) = levels(8)
+      val (rs16, n16) = levels(16)
+      if (n4 > 0 && n8 > 0 && n16 > 0 && rs4 > 0 && rs16 > 0) {
+        val row = got(ty)
+        assert((row.getAs[Long]("rs4_sum"), row.getAs[Long]("n4")) ===
+          ((rs4, n4)), s"$ty m4")
+        assert((row.getAs[Long]("rs8_sum"), row.getAs[Long]("n8")) ===
+          ((rs8, n8)), s"$ty m8")
+        assert((row.getAs[Long]("rs16_sum"), row.getAs[Long]("n16")) ===
+          ((rs16, n16)), s"$ty m16")
+        val h = math.floor(math.log((rs16 * n4).toDouble /
+          (rs4 * n16).toDouble) / (2.0 * math.log(2.0)) * 1e6).toLong
+        assert(row.getAs[Long]("h_e6") === h, s"$ty h")
+      }
+    }
+  }
+
+  /** (event_type, dayString, dailyCents) rows for the Hurst replay. */
+  private lazy val dailyRowsStats: Seq[(String, String, Long)] =
+    Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day").agg(sum($"cents").as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .toSeq
+
   test("q_gpd_tail: PWM estimators replay from a brute sorted pass, " +
       "and an exactly-uniform ladder gives xi = -1 exactly") {
     val got = SparkEntry.queries("q_gpd_tail")(spark, sf)
