@@ -58,6 +58,91 @@ object RelationalQueries {
           .as("revenue"))
   }
 
+  /** TPC-H Q5-shaped regional supplier volume — the classic 6-table
+    * join: revenue per nation where the CUSTOMER and the SUPPLIER sit
+    * in the same nation of one region, for one order year. The join
+    * tree is the 100 TB shape this engine optimizes for: lineitem
+    * (fact) shuffles ONCE on orderkey against orders; customer,
+    * supplier, nation, region are all broadcast dims, and the
+    * same-nation constraint rides the supplier join as a composite
+    * key instead of a post-filter. Revenue uses the exact-cents
+    * discipline — price·(100−disc%) as BIGINT e4-dollar units — so
+    * the rollup hashes identically in any engine (the
+    * round(sum(double)) idiom of the older Q3 row is kept there for
+    * contrast, but every NEW money rollup is integer). */
+  private def regionalVolume(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey",
+      (($"l_extendedprice".cast("decimal(12,2)") * 100).cast("long") *
+        (lit(100L) - ($"l_discount".cast("decimal(3,2)") * 100)
+          .cast("long"))).as("rev_e4"))
+    val ord = Tables.orders(s, d)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("date") &&
+        $"o_orderdate" < lit("1997-01-01").cast("date"))
+      .select($"o_orderkey", $"o_custkey")
+    val cust = Tables.customer(s, d)
+      .select($"c_custkey", $"c_nationkey".cast("long").as("c_nk"))
+    val supp = Tables.supplier(s, d)
+      .select($"s_suppkey", $"s_nationkey".cast("long").as("s_nk"))
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)
+        .filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey".cast("long").as("nk"), $"n_name")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp),
+        $"l_suppkey" === $"s_suppkey" && $"s_nk" === $"c_nk")
+      .join(broadcast(asiaNations), $"s_nk" === $"nk")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_items"), sum($"rev_e4").as("revenue_e4"))
+  }
+
+  /** TPC-H Q8-shaped market share — of all PROMO-part revenue sold
+    * into the ASIA market (customer's region), what fraction came
+    * from NATION_2 suppliers, per order year? The numerator/
+    * denominator are both exact e4-dollar BIGINTs from one pass
+    * (conditional aggregation, no second scan), and the share is ONE
+    * integer division to ppm. Same fact-shuffles-once,
+    * dims-broadcast shape as [[regionalVolume]], plus the part dim
+    * pre-filtered BEFORE the join so partition pruning and the
+    * broadcast build stay small. */
+  private def marketShare(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey",
+      $"l_partkey",
+      (($"l_extendedprice".cast("decimal(12,2)") * 100).cast("long") *
+        (lit(100L) - ($"l_discount".cast("decimal(3,2)") * 100)
+          .cast("long"))).as("rev_e4"))
+    val promo = Tables.part(s, d).filter($"p_type" === "PROMO")
+      .select($"p_partkey")
+    val ord = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey",
+        year($"o_orderdate").cast("long").as("o_year"))
+    val asiaCust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    li.join(broadcast(promo), $"l_partkey" === $"p_partkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(asiaCust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"o_year")
+      .agg(sum($"rev_e4").as("total_e4"),
+        coalesce(sum(when($"supp_nation" === "NATION_2", $"rev_e4")),
+          lit(0L)).as("nation_e4"))
+      .withColumn("share_ppm", expr("nation_e4 * 1000000 div total_e4"))
+  }
+
   /** Star-schema dim chain: both dims broadcast → zero shuffles before
     * the final small aggregation. */
   private def joinBroadcastDims(s: SparkSession, d: String): DataFrame = {
@@ -445,6 +530,60 @@ object RelationalQueries {
         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         AND l_discount BETWEEN 0.04 AND 0.07
         AND l_quantity < 24"""), headline = true),
+
+    Q("q_regional_volume", regionalVolume, headline = true,
+      oracle = Some("""
+      WITH li AS (SELECT l_orderkey, l_suppkey,
+                         CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * 100 AS BIGINT)
+                         * (100 - CAST(CAST(l_discount AS DECIMAL(3,2))
+                           * 100 AS BIGINT)) AS rev_e4
+                  FROM lineitem),
+      ord AS (SELECT o_orderkey, o_custkey FROM orders
+              WHERE o_orderdate >= DATE '1996-01-01'
+                AND o_orderdate < DATE '1997-01-01'),
+      asia AS (SELECT n_nationkey AS nk, n_name
+               FROM nation JOIN region ON n_regionkey = r_regionkey
+               WHERE r_name = 'ASIA')
+      SELECT n_name, count(*) AS n_items,
+             CAST(sum(rev_e4) AS BIGINT) AS revenue_e4
+      FROM li
+      JOIN ord ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+                   AND s_nationkey = c_nationkey
+      JOIN asia ON s_nationkey = nk
+      GROUP BY 1""")),
+
+    Q("q_market_share", marketShare, Some("""
+      WITH li AS (SELECT l_orderkey, l_suppkey, l_partkey,
+                         CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * 100 AS BIGINT)
+                         * (100 - CAST(CAST(l_discount AS DECIMAL(3,2))
+                           * 100 AS BIGINT)) AS rev_e4
+                  FROM lineitem),
+      promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+      asia_cust AS (SELECT c_custkey FROM customer
+                    JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+                    WHERE r_name = 'ASIA'),
+      supp AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+               JOIN nation ON s_nationkey = n_nationkey),
+      base AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                      rev_e4, supp_nation
+               FROM li
+               JOIN promo ON l_partkey = p_partkey
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN asia_cust ON o_custkey = c_custkey
+               JOIN supp ON l_suppkey = s_suppkey),
+      g AS (SELECT o_year, CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+                   CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_2'
+                     THEN rev_e4 END), 0) AS BIGINT) AS nation_e4
+            FROM base GROUP BY 1)
+      SELECT o_year, total_e4, nation_e4,
+             CAST(nation_e4 * 1000000 // total_e4 AS BIGINT)
+               AS share_ppm
+      FROM g""")),
 
     Q("q_join_mktsegment", joinMktsegment, Some("""
       SELECT c_mktsegment, count(*) AS cnt,

@@ -282,6 +282,49 @@ object ScalarQueries {
     }.reduce(_.unionByName(_))
   }
 
+  /** RFM segmentation — the classic CRM rollup: per purchasing user,
+    * Recency (days since last purchase, anchored at the corpus max
+    * day so the statistic is reproducible), Frequency (purchase
+    * count), Monetary (exact cents), each quintile-scored 1–5 with a
+    * deterministic (metric, user_id) total order so ntile can never
+    * tie-split differently, then a CASE segment taxonomy (the
+    * insertion-order-sensitive chain, mirrored verbatim in the
+    * oracle like the super-category precedent). Integers end to end.
+    * Scale note: the three ntiles are GLOBAL rank windows — at
+    * billions of users the distributed [[graft.ext.GlobalRank]]
+    * machinery (q_ntile_bins) replaces the single-partition sort;
+    * the quintile CONTRACT is unchanged. */
+  private def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val p = Tables.events(s, d)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select($"user_id", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val anchor = p.agg(max($"day").as("anchor"))
+    val rfm = p.crossJoin(broadcast(anchor))
+      .groupBy($"user_id")
+      .agg(datediff(first($"anchor"), max($"day")).cast("long")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum($"cents").as("monetary_cents"))
+    rfm
+      .withColumn("r_score", ntile(5).over(
+        W.orderBy($"recency_days".desc, $"user_id".asc)).cast("long"))
+      .withColumn("f_score", ntile(5).over(
+        W.orderBy($"frequency".asc, $"user_id".asc)).cast("long"))
+      .withColumn("m_score", ntile(5).over(
+        W.orderBy($"monetary_cents".asc, $"user_id".asc)).cast("long"))
+      .withColumn("segment",
+        when($"r_score" >= 4 && $"f_score" >= 4 && $"m_score" >= 4,
+          "champion")
+          .when($"f_score" >= 4, "loyal")
+          .when($"m_score" >= 4, "big_spender")
+          .when($"r_score" <= 2 && $"f_score" >= 3, "at_risk")
+          .when($"r_score" <= 2, "hibernating")
+          .otherwise("regular"))
+  }
+
   /** Conversion deadline (µs) for [[windowFunnel]]: 24 hours. */
   val FunnelWindowUs = 86400000000L
 
@@ -540,6 +583,37 @@ object ScalarQueries {
       SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM s2
       UNION ALL
       SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM s3""")),
+    Q("q_rfm_segments", rfmSegments, Some("""
+      WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events
+                 WHERE event_type = 'purchase' AND value IS NOT NULL),
+      anchor AS (SELECT max(day) AS anchor FROM p),
+      rfm AS (SELECT user_id,
+                     CAST(date_diff('day', max(day), max(anchor))
+                       AS BIGINT) AS recency_days,
+                     CAST(count(*) AS BIGINT) AS frequency,
+                     CAST(sum(cents) AS BIGINT) AS monetary_cents
+              FROM p, anchor GROUP BY 1),
+      scored AS (SELECT *,
+                   CAST(ntile(5) OVER (ORDER BY recency_days DESC,
+                     user_id ASC) AS BIGINT) AS r_score,
+                   CAST(ntile(5) OVER (ORDER BY frequency ASC,
+                     user_id ASC) AS BIGINT) AS f_score,
+                   CAST(ntile(5) OVER (ORDER BY monetary_cents ASC,
+                     user_id ASC) AS BIGINT) AS m_score
+                 FROM rfm)
+      SELECT *,
+             CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                    THEN 'champion'
+                  WHEN f_score >= 4 THEN 'loyal'
+                  WHEN m_score >= 4 THEN 'big_spender'
+                  WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                  WHEN r_score <= 2 THEN 'hibernating'
+                  ELSE 'regular' END AS segment
+      FROM scored""")),
+
     Q("q_window_funnel", windowFunnel, Some(s"""
       WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
                   FROM events),

@@ -55,6 +55,39 @@ class FunctionsBreadthSpec extends AnyFunSuite {
     assert(got.values.sum === unbounded("1_view"))
   }
 
+  test("rfm segments: quintiles are balanced and monotone in the " +
+      "underlying metric, and the taxonomy CASE replays") {
+    val rows = SparkEntry.queries("q_rfm_segments")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    // each ntile bucket within 1 of n/5
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val sizes = rows.groupBy(_.getAs[Long](c)).view
+        .mapValues(_.length).toMap
+      assert(sizes.keySet === (1L to 5L).toSet, c)
+      assert(sizes.values.max - sizes.values.min <= 1, c)
+    }
+    // monotone: a higher r_score never means a STALER user
+    val byR = rows.groupBy(_.getAs[Long]("r_score")).view
+      .mapValues(_.map(_.getAs[Long]("recency_days"))).toMap
+    for (k <- 1L to 4L)
+      assert(byR(k).min >= byR(k + 1).max,
+        s"recency ordering broken between ntile $k and ${k + 1}")
+    // taxonomy replay
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getAs[Long]("r_score"),
+        r.getAs[Long]("f_score"), r.getAs[Long]("m_score"))
+      val want =
+        if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (fs >= 4) "loyal"
+        else if (ms >= 4) "big_spender"
+        else if (rs <= 2 && fs >= 3) "at_risk"
+        else if (rs <= 2) "hibernating"
+        else "regular"
+      assert(r.getAs[String]("segment") === want)
+    }
+  }
+
   test("map functions: create/keys/values/concat/element_at") {
     val df = Tables.nation(spark, sf)
       .select($"n_name", $"n_regionkey",

@@ -287,6 +287,19 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(q("q_rolling_corr")) <= 5)
   }
 
+  test("Q5/Q8 join trees: the fact shuffles once, every dim broadcasts") {
+    // regional volume: exchanges only for lineitem+orders (orderkey)
+    // and the final nation rollup; customer/supplier/nation/region
+    // must ALL ride broadcast builds
+    val q5 = q("q_regional_volume")
+    assert(shuffles(q5) <= 3, "fact-side exchanges only")
+    assert(broadcasts(q5) >= 3, "dims must broadcast")
+    // market share: part pre-filter keeps the promo build broadcast
+    val q8 = q("q_market_share")
+    assert(shuffles(q8) <= 3, "fact-side exchanges only")
+    assert(broadcasts(q8) >= 3, "dims must broadcast")
+  }
+
   test("round-9 second batch keeps its scale shapes") {
     // repetition profile is ONE scan-stage kernel call: NO shuffle
     assert(shuffles(q("q_repetition_stats")) === 0)
