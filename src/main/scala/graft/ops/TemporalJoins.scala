@@ -369,6 +369,46 @@ object TemporalJoins {
           $"believed_tx_cents" =!= $"believed_full_cents")
   }
 
+  /** Shapley multi-touch attribution — the game-theoretic middle
+    * ground between the heuristic linear split
+    * ([[multitouchAttribution]]) and the model-based Markov removal
+    * effect (q_markov_attribution): each conversion's credit is the
+    * Shapley value of the PRESENCE game over the distinct channels
+    * touched before the first purchase, which for a unanimity-style
+    * coverage game collapses closed-form to 1/|touched set| per
+    * channel (the q_shapley_coverage collapse, applied to journeys).
+    * Position-agnostic by construction — a channel is paid for being
+    * in the winning coalition, not for being first or last. With ≤ 4
+    * non-purchase channels the credits are EXACT twelfths
+    * (lcm(1..4) = 12): credit_12 = Σ 12/|set|, and
+    * Σ_channels credit_12 = 12·conversions is the efficiency axiom
+    * the spec pins at the wire. Shape: one first-purchase rollup, one
+    * distinct (user, channel) pre-conversion set, one owner-count
+    * join — all combinable, linear at any event volume. */
+  private def shapleyAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_type", $"ts")
+    val conv = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"ts").as("conv_ts"))
+    val touched = ev.filter($"event_type" =!= "purchase")
+      .join(conv, "user_id")
+      .filter($"ts" <= $"conv_ts")
+      .select($"user_id", $"event_type").distinct()
+    val setSizes = touched.groupBy($"user_id")
+      .agg(count(lit(1)).as("set_size"))
+    val tot = setSizes.agg(count(lit(1)).as("n_conv"))
+    touched.join(setSizes, "user_id")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_journeys"),
+        sum(when($"set_size" === 1L, 1L).otherwise(0L))
+          .as("n_exclusive"),
+        sum(expr("12 div set_size")).as("credit_12"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_ppm",
+        expr("credit_12 * 1000000 div (12 * n_conv)"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_bitemporal_snapshot", bitemporalSnapshot, Some("""
       WITH recs AS (SELECT user_id, epoch_us(ts) AS us, event_id,
@@ -395,6 +435,27 @@ object TemporalJoins {
                OR a.believed_tx_cents <> f.believed_full_cents
                AS revised
       FROM fullk f LEFT JOIN attx a ON f.user_id = a.user_id""")),
+
+    Q("q_shapley_attribution", shapleyAttribution, Some("""
+      WITH conv AS (SELECT user_id, min(ts) AS conv_ts FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1),
+      touched AS (SELECT DISTINCT e.user_id, e.event_type
+                  FROM events e JOIN conv c ON e.user_id = c.user_id
+                  WHERE e.event_type <> 'purchase'
+                    AND e.ts <= c.conv_ts),
+      sizes AS (SELECT user_id, CAST(count(*) AS BIGINT) AS set_size
+                FROM touched GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_conv FROM sizes)
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_journeys,
+             CAST(sum(CASE WHEN set_size = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_exclusive,
+             CAST(sum(12 // set_size) AS BIGINT) AS credit_12,
+             CAST(max(n_conv) AS BIGINT) AS n_conv,
+             CAST(sum(12 // set_size) * 1000000 // (12 * max(n_conv))
+               AS BIGINT) AS share_ppm
+      FROM touched JOIN sizes USING (user_id), tot
+      GROUP BY 1""")),
 
     Q("q_asof_attribution", asofAttribution, Some("""
       WITH clicks AS (

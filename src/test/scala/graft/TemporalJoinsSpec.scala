@@ -17,6 +17,39 @@ class TemporalJoinsSpec extends AnyFunSuite {
 
   private def ts(s: Long) = new Timestamp(s * 1000L)
 
+  test("q_shapley_attribution: journey sets replay brute-force and " +
+      "the efficiency axiom distributes exactly 12 per conversion") {
+    val got = SparkEntry.queries("q_shapley_attribution")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_micros($"ts"))
+      .as[(Long, String, Long)].collect()
+    val convTs = ev.filter(_._2 == "purchase").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val sets = ev.filter(r => r._2 != "purchase" &&
+        convTs.get(r._1).exists(r._3 <= _))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nConv = sets.size.toLong
+    val want = sets.values.toSeq.flatMap(s => s.map(_ -> s.size))
+      .groupBy(_._1).map { case (ch, xs) =>
+        ch -> ((xs.size.toLong, xs.count(_._2 == 1).toLong,
+          xs.map(12L / _._2).sum))
+      }
+    assert(got.keySet === want.keySet)
+    want.foreach { case (ch, (nj, excl, credit)) =>
+      val r = got(ch)
+      assert(r.getAs[Long]("n_journeys") === nj, ch)
+      assert(r.getAs[Long]("n_exclusive") === excl, ch)
+      assert(r.getAs[Long]("credit_12") === credit, ch)
+      assert(r.getAs[Long]("n_conv") === nConv, ch)
+      assert(r.getAs[Long]("share_ppm") ===
+        credit * 1000000L / (12L * nConv), ch)
+    }
+    // efficiency: every conversion hands out exactly 12 credit units
+    assert(want.values.map(_._3).sum === 12L * nConv)
+  }
+
   test("q_bitemporal_snapshot: per-user beliefs replay brute-force " +
       "and a tx-visible argmax record forces revised = false") {
     val got = SparkEntry.queries("q_bitemporal_snapshot")(spark, sf)
