@@ -289,6 +289,84 @@ object AdvancedQueries {
     * width from broadcast min/max stats, one scan + one aggregate —
     * never a sort. Same broadcast-1-row-stats shape as featureScale,
     * so the big side stays embarrassingly parallel. */
+  /** Week-over-week growth report — the universal BI sheet: weekly
+    * revenue per event type with the previous week's value, absolute
+    * delta, and growth in ppm (one truncating integer division —
+    * both engines truncate toward zero, so negative growth is safe).
+    * Exact cents end to end; the lag window runs on the tiny
+    * (type, week) rollup, never events. */
+  private def wowGrowth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"week".asc)
+    Tables.events(s, d)
+      .filter($"value".isNotNull)
+      .select($"event_type",
+        date_trunc("week", $"ts").cast("date").as("week"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"event_type", $"week")
+      .agg(sum($"cents").as("cents"))
+      .withColumn("prev_cents", lag($"cents", 1).over(W))
+      .withColumn("delta_cents", $"cents" - $"prev_cents")
+      .withColumn("growth_ppm",
+        when($"prev_cents" > 0,
+          expr("delta_cents * 1000000 div prev_cents")))
+  }
+
+  /** ABC (Pareto) classification of parts by revenue — the 80/15/5
+    * inventory rule: rank parts by exact e4-dollar revenue, walk the
+    * cumulative share, and class A ends where the running total
+    * crosses 80 % (B at 95 %) — both thresholds CROSS-MULTIPLIED
+    * (cum·100 ≤ 80·total), never a float share. Deterministic
+    * (revenue desc, partkey asc) total order; the rank window runs on
+    * the |parts| rollup. The classic scale demo that cumulative
+    * analytics needs ONE pre-aggregate, not a sorted fact table. */
+  private def abcAnalysis(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+      .orderBy($"revenue_e4".desc, $"l_partkey".asc)
+    val byPart = Tables.lineitem(s, d)
+      .select($"l_partkey",
+        (($"l_extendedprice".cast("decimal(12,2)") * 100).cast("long") *
+          (lit(100L) - ($"l_discount".cast("decimal(3,2)") * 100)
+            .cast("long"))).as("rev_e4"))
+      .groupBy($"l_partkey")
+      .agg(sum($"rev_e4").as("revenue_e4"))
+    val tot = byPart.agg(sum($"revenue_e4").as("total_e4"))
+    byPart.crossJoin(broadcast(tot))
+      .withColumn("rnk", row_number().over(W).cast("long"))
+      .withColumn("cum_e4", sum($"revenue_e4").over(
+        W.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .withColumn("abc_class",
+        when($"cum_e4" * 100L <= $"total_e4" * 80L, "A")
+          .when($"cum_e4" * 100L <= $"total_e4" * 95L, "B")
+          .otherwise("C"))
+      .select($"l_partkey", $"revenue_e4", $"rnk", $"cum_e4",
+        $"abc_class")
+  }
+
+  /** Equi-depth histogram of order totals — the ANALYZE-TABLE
+    * statistic a cost-based optimizer actually stores (equi-WIDTH,
+    * q_histogram, starves on skew; equi-depth bounds every bucket's
+    * selectivity error): 8 buckets of equal row count via ntile over
+    * the deterministic (cents, orderkey) total order, then per-bucket
+    * lo/hi/rows/ndv — exact integers only. */
+  private def equidepthStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+      .orderBy($"cents".asc, $"o_orderkey".asc)
+    Tables.orders(s, d)
+      .select($"o_orderkey",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .withColumn("bucket", ntile(8).over(W).cast("long"))
+      .groupBy($"bucket")
+      .agg(min($"cents").as("lo_cents"), max($"cents").as("hi_cents"),
+        count(lit(1)).as("n_rows"),
+        countDistinct($"cents").as("ndv"))
+  }
+
   private def histogram(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val nb = 20
@@ -623,6 +701,58 @@ object AdvancedQueries {
              round(cume_dist() OVER
                (ORDER BY c_acctbal, c_custkey), 6) AS cdf
       FROM customer""")),
+
+    Q("q_wow_growth", wowGrowth, Some("""
+      WITH w AS (SELECT event_type,
+                        CAST(date_trunc('week', ts) AS DATE) AS week,
+                        CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      l AS (SELECT *, lag(cents) OVER (PARTITION BY event_type
+              ORDER BY week ASC) AS prev_cents
+            FROM w)
+      SELECT event_type, week, cents, prev_cents,
+             cents - prev_cents AS delta_cents,
+             CASE WHEN prev_cents > 0 THEN
+               CAST((cents - prev_cents) * 1000000 // prev_cents
+                 AS BIGINT) END AS growth_ppm
+      FROM l""")),
+
+    Q("q_abc_analysis", abcAnalysis, Some("""
+      WITH bp AS (SELECT l_partkey,
+                         CAST(sum(CAST(CAST(l_extendedprice AS
+                           DECIMAL(12,2)) * 100 AS BIGINT)
+                           * (100 - CAST(CAST(l_discount AS
+                             DECIMAL(3,2)) * 100 AS BIGINT)))
+                           AS BIGINT) AS revenue_e4
+                  FROM lineitem GROUP BY 1),
+      tot AS (SELECT CAST(sum(revenue_e4) AS BIGINT) AS total_e4
+              FROM bp),
+      r AS (SELECT *,
+                   CAST(row_number() OVER (ORDER BY revenue_e4 DESC,
+                     l_partkey ASC) AS BIGINT) AS rnk,
+                   CAST(sum(revenue_e4) OVER (ORDER BY revenue_e4 DESC,
+                     l_partkey ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_e4
+            FROM bp, tot)
+      SELECT l_partkey, revenue_e4, rnk, cum_e4,
+             CASE WHEN cum_e4 * 100 <= total_e4 * 80 THEN 'A'
+                  WHEN cum_e4 * 100 <= total_e4 * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM r""")),
+
+    Q("q_equidepth_stats", equidepthStats, Some("""
+      WITH c AS (SELECT o_orderkey,
+                        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM orders),
+      b AS (SELECT *, CAST(ntile(8) OVER (ORDER BY cents ASC,
+              o_orderkey ASC) AS BIGINT) AS bucket
+            FROM c)
+      SELECT bucket, min(cents) AS lo_cents, max(cents) AS hi_cents,
+             count(*) AS n_rows,
+             CAST(count(DISTINCT cents) AS BIGINT) AS ndv
+      FROM b GROUP BY 1""")),
 
     Q("q_histogram", histogram, Some("""
       WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx

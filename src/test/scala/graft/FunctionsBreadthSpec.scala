@@ -88,6 +88,51 @@ class FunctionsBreadthSpec extends AnyFunSuite {
     }
   }
 
+  test("BI trio: ABC classes are rank-monotone, equi-depth buckets " +
+      "balance and order, WoW deltas reconcile") {
+    // ABC: the class walk never goes backwards and A ends at 80%
+    val abc = SparkEntry.queries("q_abc_analysis")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("rnk"))
+    assert(abc.nonEmpty)
+    val order = Map("A" -> 0, "B" -> 1, "C" -> 2)
+    abc.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(order(a.getAs[String]("abc_class")) <=
+          order(b.getAs[String]("abc_class")))
+        assert(a.getAs[Long]("revenue_e4") >= b.getAs[Long]("revenue_e4"))
+      case _ =>
+    }
+    val total = abc.map(_.getAs[Long]("revenue_e4")).sum
+    val aRev = abc.filter(_.getAs[String]("abc_class") == "A")
+      .map(_.getAs[Long]("revenue_e4")).sum
+    assert(BigInt(aRev) * 100 <= BigInt(total) * 80)
+    // equi-depth: sizes within 1, ranges ascending and disjoint-ish
+    val ed = SparkEntry.queries("q_equidepth_stats")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("bucket"))
+    assert(ed.map(_.getAs[Long]("bucket")).toSeq === (1L to 8L))
+    val sizes = ed.map(_.getAs[Long]("n_rows"))
+    assert(sizes.max - sizes.min <= 1)
+    ed.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi_cents") <= b.getAs[Long]("lo_cents"))
+      case _ =>
+    }
+    ed.foreach(r => assert(r.getAs[Long]("ndv") <=
+      r.getAs[Long]("n_rows")))
+    // WoW: delta reconciles and growth sign matches delta sign
+    val wow = SparkEntry.queries("q_wow_growth")(spark, sf).collect()
+    assert(wow.nonEmpty)
+    wow.filter(r => !r.isNullAt(r.fieldIndex("prev_cents"))).foreach {
+      r =>
+        assert(r.getAs[Long]("delta_cents") ===
+          r.getAs[Long]("cents") - r.getAs[Long]("prev_cents"))
+        if (r.getAs[Long]("prev_cents") > 0)
+          assert(r.getAs[Long]("growth_ppm").signum ===
+            r.getAs[Long]("delta_cents").signum ||
+            r.getAs[Long]("growth_ppm") == 0L)
+    }
+  }
+
   test("map functions: create/keys/values/concat/element_at") {
     val df = Tables.nation(spark, sf)
       .select($"n_name", $"n_regionkey",
