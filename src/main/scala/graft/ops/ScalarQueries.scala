@@ -325,6 +325,56 @@ object ScalarQueries {
           .otherwise("regular"))
   }
 
+  /** Daily OHLC bars — the candlestick rollup every metrics store
+    * serves: per (event_type, day), open = value of the FIRST event,
+    * close = the LAST, high/low = extremes, volume = count, all in
+    * exact cents. First/last resolve through ordered-struct min/max
+    * with the event_id tiebreak (the argmax idiom — never first()/
+    * last(), whose result depends on partition arrival order). One
+    * map-side-combinable aggregate; no window, no sort. */
+  private def dailyOhlc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"value".isNotNull)
+      .select($"event_type", to_date($"ts").as("day"),
+        unix_micros($"ts").as("us"), $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"event_type", $"day")
+      .agg(
+        min(struct($"us", $"event_id", $"cents")).getField("cents")
+          .as("open_cents"),
+        max($"cents").as("high_cents"),
+        min($"cents").as("low_cents"),
+        max(struct($"us", $"event_id", $"cents")).getField("cents")
+          .as("close_cents"),
+        count(lit(1)).as("volume"))
+  }
+
+  /** User activity streaks — the gaps-and-islands rollup behind
+    * "7-day streak" product mechanics: per user, consecutive active
+    * CALENDAR days group into islands via the classic day − rank
+    * anchor (consecutive days share an anchor; any gap shifts it),
+    * then per user the longest streak, the island count, and the
+    * total active days. Distinct from q_sessionize (event-time gaps)
+    * and q_rolling_active (calendar windows): islands are exact
+    * runs. Shape: per-user day-distinct rollup, one rank window on
+    * (user, day) — calendar-bounded rows per user at any volume. */
+  private def userStreaks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"day".asc)
+    Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .withColumn("rn", row_number().over(W))
+      .withColumn("anchor", date_sub($"day", $"rn"))
+      .groupBy($"user_id", $"anchor")
+      .agg(count(lit(1)).as("streak_len"))
+      .groupBy($"user_id")
+      .agg(max($"streak_len").as("longest_streak"),
+        count(lit(1)).as("n_islands"),
+        sum($"streak_len").as("active_days"))
+  }
+
   /** Conversion deadline (µs) for [[windowFunnel]]: 24 hours. */
   val FunnelWindowUs = 86400000000L
 
@@ -583,6 +633,43 @@ object ScalarQueries {
       SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM s2
       UNION ALL
       SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM s3""")),
+    Q("q_daily_ohlc", dailyOhlc, Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        epoch_us(ts) AS us, event_id,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      r AS (SELECT *,
+                   row_number() OVER (PARTITION BY event_type, day
+                     ORDER BY us ASC, event_id ASC, cents ASC) AS rf,
+                   row_number() OVER (PARTITION BY event_type, day
+                     ORDER BY us DESC, event_id DESC, cents DESC) AS rl
+            FROM e)
+      SELECT event_type, day,
+             CAST(max(CASE WHEN rf = 1 THEN cents END) AS BIGINT)
+               AS open_cents,
+             max(cents) AS high_cents,
+             min(cents) AS low_cents,
+             CAST(max(CASE WHEN rl = 1 THEN cents END) AS BIGINT)
+               AS close_cents,
+             count(*) AS volume
+      FROM r GROUP BY 1, 2""")),
+
+    Q("q_user_streaks", userStreaks, Some("""
+      WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                  FROM events),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY day ASC) AS rn
+             FROM du),
+      isl AS (SELECT user_id, day - CAST(rn AS INTEGER) AS anchor,
+                     count(*) AS streak_len
+              FROM rk GROUP BY 1, 2)
+      SELECT user_id,
+             CAST(max(streak_len) AS BIGINT) AS longest_streak,
+             count(*) AS n_islands,
+             CAST(sum(streak_len) AS BIGINT) AS active_days
+      FROM isl GROUP BY 1""")),
+
     Q("q_rfm_segments", rfmSegments, Some("""
       WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day,
                         CAST(CAST(value AS DECIMAL(18,2)) * 100

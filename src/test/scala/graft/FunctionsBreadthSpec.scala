@@ -133,6 +133,54 @@ class FunctionsBreadthSpec extends AnyFunSuite {
     }
   }
 
+  test("OHLC bars and user streaks replay brute-force with their " +
+      "structural invariants") {
+    // OHLC: low <= open/close <= high; brute first/last per group
+    val bars = SparkEntry.queries("q_daily_ohlc")(spark, sf).collect()
+    assert(bars.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .filter($"value".isNotNull)
+      .select($"event_type", to_date($"ts").cast("string"),
+        unix_micros($"ts"), $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, String, Long, Long, Long)].collect()
+    val byBar = ev.groupBy(r => (r._1, r._2))
+    bars.foreach { b =>
+      val key = (b.getAs[String]("event_type"),
+        b.getAs[java.sql.Date]("day").toString)
+      val rs = byBar(key)
+      val open = rs.minBy(r => (r._3, r._4))._5
+      val close = rs.maxBy(r => (r._3, r._4))._5
+      assert(b.getAs[Long]("open_cents") === open, s"$key open")
+      assert(b.getAs[Long]("close_cents") === close, s"$key close")
+      assert(b.getAs[Long]("high_cents") === rs.map(_._5).max)
+      assert(b.getAs[Long]("low_cents") === rs.map(_._5).min)
+      assert(b.getAs[Long]("volume") === rs.length.toLong)
+      assert(b.getAs[Long]("low_cents") <= b.getAs[Long]("open_cents"))
+      assert(b.getAs[Long]("open_cents") <= b.getAs[Long]("high_cents"))
+    }
+    // streaks: islands replay from consecutive-day runs
+    val got = SparkEntry.queries("q_user_streaks")(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    val byUser = Tables.events(spark, sf)
+      .select($"user_id", datediff(to_date($"ts"),
+        lit("1970-01-01").cast("date")).cast("long"))
+      .distinct().as[(Long, Long)].collect().groupBy(_._1)
+    assert(got.keySet === byUser.keySet)
+    byUser.foreach { case (u, rs) =>
+      val days = rs.map(_._2).sorted
+      val runs = scala.collection.mutable.ListBuffer.empty[Long]
+      days.zipWithIndex.foreach { case (d0, i) =>
+        if (i > 0 && days(i - 1) == d0 - 1) runs(runs.length - 1) += 1
+        else runs += 1L
+      }
+      val row = got(u)
+      assert(row.getAs[Long]("active_days") === days.length.toLong)
+      assert(row.getAs[Long]("longest_streak") === runs.max, s"u$u")
+      assert(row.getAs[Long]("n_islands") === runs.length.toLong)
+    }
+  }
+
   test("map functions: create/keys/values/concat/element_at") {
     val df = Tables.nation(spark, sf)
       .select($"n_name", $"n_regionkey",
