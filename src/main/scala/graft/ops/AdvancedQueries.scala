@@ -289,6 +289,43 @@ object AdvancedQueries {
     * width from broadcast min/max stats, one scan + one aggregate —
     * never a sort. Same broadcast-1-row-stats shape as featureScale,
     * so the big side stays embarrassingly parallel. */
+  /** Item-CF recommendation serving — the query that turns
+    * q_assoc_rules' co-occurrence model into per-customer top-3
+    * suggestions: score(candidate) = Σ over the customer's owned
+    * parts of pair support with the candidate, owned parts excluded
+    * by an anti-join, ties broken (score desc, partkey asc). All
+    * scores are exact integer co-occurrence counts — no cosine
+    * normalization noise — and every stage is a bounded rollup:
+    * owned sets via orders⋈lineitem, the pair model via the df-style
+    * self-join on orders, candidate scoring via owned⋈pairs
+    * (shuffle keyed on part, map-side combinable into (customer,
+    * candidate)). The rank window runs per customer on candidate
+    * rows, never on facts. */
+  private def recommendTopN(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c").orderBy($"score".desc, $"cand".asc)
+    val owned = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_partkey".as("p")).distinct()
+    val op = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val pairs = op.as("x").join(op.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") =!= col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("sup_ab"))
+    val scored = owned.join(pairs, $"p" === $"a")
+      .groupBy($"c", $"b".as("cand"))
+      .agg(sum($"sup_ab").as("score"))
+    scored.join(owned.select($"c", $"p".as("cand")),
+        Seq("c", "cand"), "left_anti")
+      .withColumn("rnk", row_number().over(W).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"c".as("c_custkey"), $"cand".as("p_partkey"),
+        $"score", $"rnk")
+  }
+
   /** Week-over-week growth report — the universal BI sheet: weekly
     * revenue per event type with the previous week's value, absolute
     * delta, and growth in ppm (one truncating integer division —
@@ -701,6 +738,29 @@ object AdvancedQueries {
              round(cume_dist() OVER
                (ORDER BY c_acctbal, c_custkey), 6) AS cdf
       FROM customer""")),
+
+    Q("q_recommend_topn", recommendTopN, Some("""
+      WITH owned AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                     FROM orders JOIN lineitem
+                       ON o_orderkey = l_orderkey),
+      op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+      pairs AS (SELECT x.pk AS a, y.pk AS b,
+                       CAST(count(*) AS BIGINT) AS sup_ab
+                FROM op x JOIN op y ON x.ok = y.ok AND x.pk <> y.pk
+                GROUP BY 1, 2),
+      scored AS (SELECT o.c, p.b AS cand,
+                        CAST(sum(p.sup_ab) AS BIGINT) AS score
+                 FROM owned o JOIN pairs p ON o.p = p.a
+                 GROUP BY 1, 2),
+      fresh AS (SELECT s.* FROM scored s
+                LEFT JOIN owned w ON w.c = s.c AND w.p = s.cand
+                WHERE w.c IS NULL),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY c
+               ORDER BY score DESC, cand ASC) AS BIGINT) AS rnk
+             FROM fresh)
+      SELECT c AS c_custkey, cand AS p_partkey, score, rnk
+      FROM rk WHERE rnk <= 3""")),
 
     Q("q_wow_growth", wowGrowth, Some("""
       WITH w AS (SELECT event_type,

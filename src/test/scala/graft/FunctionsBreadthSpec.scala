@@ -181,6 +181,48 @@ class FunctionsBreadthSpec extends AnyFunSuite {
     }
   }
 
+  test("recommendations: never an owned item, per-customer rank is " +
+      "dense and score-ordered, and a brute rescore agrees") {
+    val rows = SparkEntry.queries("q_recommend_topn")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val owned = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, sf)
+        .select($"l_orderkey", $"l_partkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val orderParts = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().groupBy(_._1).values
+      .map(_.map(_._2).toSet).toSeq
+    val pairSup = scala.collection.mutable
+      .Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    orderParts.foreach { ps =>
+      for (a <- ps; b <- ps if a != b) pairSup((a, b)) += 1L
+    }
+    val byCust = rows.groupBy(_.getAs[Long]("c_custkey"))
+    byCust.foreach { case (c, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ===
+        (1L to sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("score") > b.getAs[Long]("score") ||
+            (a.getAs[Long]("score") == b.getAs[Long]("score") &&
+              a.getAs[Long]("p_partkey") < b.getAs[Long]("p_partkey")))
+        case _ =>
+      }
+      sorted.foreach { r =>
+        val cand = r.getAs[Long]("p_partkey")
+        assert(!owned(c).contains(cand), s"c$c owns $cand")
+        val score = owned(c).toSeq.map(p => pairSup((p, cand))).sum
+        assert(r.getAs[Long]("score") === score, s"c$c cand $cand")
+      }
+    }
+  }
+
   test("map functions: create/keys/values/concat/element_at") {
     val df = Tables.nation(spark, sf)
       .select($"n_name", $"n_regionkey",
