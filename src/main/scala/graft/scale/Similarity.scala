@@ -75,6 +75,47 @@ object Similarity {
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  /** Dimensions kept by the [[matryoshkaEval]] truncation. */
+  val MatDim = 16
+
+  /** Matryoshka truncation eval (Kusupati et al. 2022) — the
+    * embedding-infra question MRL training poses: if we rank by only
+    * the first [[MatDim]] of 64 dimensions (4× cheaper dot products,
+    * 4× smaller index), how much of the full-dimension top-k do we
+    * keep? Both rankings use COSINE (truncation changes norms, so
+    * renormalization is load-bearing, not optional); recall@k is the
+    * per-query overlap of the two top-[[TopK]] sets as an exact
+    * integer. Shape: same broadcast-query scan as [[annBrute]] twice
+    * over one corpus pass each, overlap via an inner join of two
+    * k-row-per-query sets. */
+  private def matryoshkaEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = corpus(s, d)
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    def cosOf(v: org.apache.spark.sql.Column,
+        qv: org.apache.spark.sql.Column) =
+      dot(v, qv) / (sqrt(dot(v, v)) * sqrt(dot(qv, qv)))
+    val base = e.join(broadcast(q), $"vec_id" =!= $"query_id")
+    val full = base.withColumn("cosine", cosOf($"v", $"qv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK).select($"query_id", $"vec_id")
+    val trunc = base
+      .withColumn("cosine",
+        cosOf(slice($"v", 1, MatDim), slice($"qv", 1, MatDim)))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK).select($"query_id", $"vec_id")
+    full.join(trunc, Seq("query_id", "vec_id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("n_overlap"))
+      .join(q.select($"query_id"), Seq("query_id"), "right")
+      .select($"query_id",
+        coalesce($"n_overlap", lit(0L)).as("n_overlap"))
+      .withColumn("recall_pct",
+        expr(s"n_overlap * 100 div $TopK"))
+  }
+
   /** Exact brute-force top-k: query side is tiny → broadcast; corpus
     * is scanned once with no shuffle before the per-query top-k. */
   private def annBrute(s: SparkSession, d: String): DataFrame = {
@@ -1780,6 +1821,42 @@ object Similarity {
       SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
              round(avg(v), 6) AS centroid
       FROM e GROUP BY 1, 2""")),
+    Q("q_matryoshka_eval", matryoshkaEval, Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id < $NumQueries),
+      base AS (SELECT q.query_id, e.vec_id, e.v, q.qv
+               FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      fullr AS (SELECT query_id, vec_id FROM (
+                  SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY list_dot_product(v, qv)
+                             / (sqrt(list_dot_product(v, v))
+                                * sqrt(list_dot_product(qv, qv))) DESC,
+                           vec_id ASC) AS rank
+                  FROM base) WHERE rank <= $TopK),
+      truncr AS (SELECT query_id, vec_id FROM (
+                   SELECT query_id, vec_id,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_dot_product(v[1:$MatDim],
+                                qv[1:$MatDim])
+                              / (sqrt(list_dot_product(v[1:$MatDim],
+                                  v[1:$MatDim]))
+                                 * sqrt(list_dot_product(qv[1:$MatDim],
+                                     qv[1:$MatDim]))) DESC,
+                            vec_id ASC) AS rank
+                   FROM base) WHERE rank <= $TopK),
+      ov AS (SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+             FROM fullr f JOIN truncr t
+               ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+             GROUP BY 1)
+      SELECT q.query_id,
+             CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+             CAST(coalesce(ov.n_overlap, 0) * 100 // $TopK AS BIGINT)
+               AS recall_pct
+      FROM q LEFT JOIN ov ON q.query_id = ov.query_id""")),
+
     Q("q_ann_bruteforce", annBrute, Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings),

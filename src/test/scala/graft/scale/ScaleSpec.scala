@@ -302,6 +302,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows.count(r => !r.getAs[Boolean]("is_code")) > 0)
   }
 
+  test("matryoshka eval: overlap replays brute-force and an untruncated " +
+      "ranking has recall exactly 100") {
+    val got = SparkEntry.queries("q_matryoshka_eval")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_overlap"), r.getAs[Long]("recall_pct"))))
+      .toMap
+    assert(got.size === Similarity.NumQueries)
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d0 = a.zip(b).map { case (x, y) => x * y }.sum
+      d0 / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    def topk(qid: Long, dims: Int): Set[Long] =
+      vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (id, cos(v.take(dims), vecs(qid).take(dims)))
+        }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.TopK).map(_._1).toSet
+    (0L until Similarity.NumQueries.toLong).foreach { qid =>
+      val full = topk(qid, 64)
+      val trunc = topk(qid, Similarity.MatDim)
+      val overlap = (full intersect trunc).size.toLong
+      assert(got(qid)._1 === overlap, s"q$qid overlap")
+      assert(got(qid)._2 === overlap * 100L / Similarity.TopK)
+      // identity: no truncation => identical ranking => full recall
+      assert((full intersect topk(qid, 64)).size === Similarity.TopK)
+    }
+  }
+
   test("textrank: weighted fixed-point rounds replay brute-force and " +
       "the kept keywords dominate every dropped node") {
     val fp = GraphOps.FpOne
