@@ -197,11 +197,16 @@ class FunctionsBreadthSpec extends AnyFunSuite {
       .select($"l_orderkey", $"l_partkey").distinct()
       .as[(Long, Long)].collect().groupBy(_._1).values
       .map(_.map(_._2).toSet).toSeq
-    val pairSup = scala.collection.mutable
+    val rawSup = scala.collection.mutable
       .Map.empty[(Long, Long), Long].withDefaultValue(0L)
     orderParts.foreach { ps =>
-      for (a <- ps; b <- ps if a != b) pairSup((a, b)) += 1L
+      for (a <- ps; b <- ps if a != b) rawSup((a, b)) += 1L
     }
+    // replay the neighbor-model truncation (top-cap per item)
+    val cap = ops.AdvancedQueries.RecNeighborCap
+    val pairSup = rawSup.toSeq.groupBy(_._1._1).values.flatMap { xs =>
+      xs.sortBy { case ((_, b), sup) => (-sup, b) }.take(cap)
+    }.toMap.withDefaultValue(0L)
     val byCust = rows.groupBy(_.getAs[Long]("c_custkey"))
     byCust.foreach { case (c, rs) =>
       val sorted = rs.sortBy(_.getAs[Long]("rnk"))
