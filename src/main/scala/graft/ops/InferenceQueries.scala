@@ -1282,6 +1282,68 @@ object InferenceQueries {
       FROM allr"""
   }
 
+  /** Difference-in-differences — the workhorse quasi-experimental
+    * estimator the A/B family (q_ab_test through q_cuped) cannot
+    * replace when assignment isn't randomized: treatment = odd
+    * user_id, post = the second half of the observed day range
+    * (integer midpoint cutoff), outcome = purchase cents. The 2×2
+    * cell means collapse to ONE exact rational over the common
+    * denominator n₁n₂n₃n₄ —
+    * DiD = S_tp/n_tp − S_tr/n_tr − S_cp/n_cp + S_cr/n_cr — emitted
+    * as a single integer division to micro-cents (numerator ≈
+    * Σ·n³ ≤ ~1e30 in DECIMAL(38,0)/HUGEINT). The parallel-trends
+    * DIAGNOSTIC rides along: the same contrast computed on a fake
+    * cutoff INSIDE the pre period must be ~0 for the design to be
+    * credible. Shape: one conditional aggregate over events — four
+    * cells and eight moments in a single map-side-combinable pass. */
+  private def diffInDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.events(s, d)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select(($"user_id" % 2 === 1).as("treated"),
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("long").as("dayn"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val cuts = base.agg(
+        expr("(min(dayn) + max(dayn)) div 2").as("cut"),
+        expr("(3 * min(dayn) + max(dayn)) div 4").as("fake_cut"))
+    // real contrast: post vs pre around `cut`; placebo contrast runs
+    // ENTIRELY inside the pre period (fake post = (fake_cut, cut],
+    // fake pre = <= fake_cut) — parallel trends predicts ~0 there
+    def cells(post: org.apache.spark.sql.Column, pre: org.apache.spark.sql.Column) = Seq(
+      ("tp", $"treated" && post), ("tr", $"treated" && pre),
+      ("cp", !$"treated" && post), ("cr", !$"treated" && pre))
+    val real = cells($"dayn" > $"cut", $"dayn" <= $"cut")
+    val fake = cells($"dayn" > $"fake_cut" && $"dayn" <= $"cut",
+      $"dayn" <= $"fake_cut")
+    val aggs = real.flatMap { case (tag, c) => Seq(
+        sum(when(c, $"cents").otherwise(0L)).as(s"s_$tag"),
+        sum(when(c, 1L).otherwise(0L)).as(s"n_$tag"))
+      } ++ fake.flatMap { case (tag, c) => Seq(
+        sum(when(c, $"cents").otherwise(0L)).as(s"fs_$tag"),
+        sum(when(c, 1L).otherwise(0L)).as(s"fn_$tag"))
+      }
+    val m = base.crossJoin(broadcast(cuts))
+      .agg(aggs.head, aggs.tail: _*)
+    def didExpr(p: String): String = {
+      val (s0, n0) = (s"${p}s_", s"${p}n_")
+      s"""CAST((CAST(${s0}tp AS DECIMAL(38,0)) * ${n0}tr * ${n0}cp * ${n0}cr
+           - CAST(${s0}tr AS DECIMAL(38,0)) * ${n0}tp * ${n0}cp * ${n0}cr
+           - CAST(${s0}cp AS DECIMAL(38,0)) * ${n0}tp * ${n0}tr * ${n0}cr
+           + CAST(${s0}cr AS DECIMAL(38,0)) * ${n0}tp * ${n0}tr * ${n0}cp)
+          * 1000000
+          div (CAST(${n0}tp AS DECIMAL(38,0)) * ${n0}tr * ${n0}cp
+               * ${n0}cr) AS BIGINT)"""
+    }
+    m.filter($"n_tp" > 0 && $"n_tr" > 0 && $"n_cp" > 0 && $"n_cr" > 0 &&
+        $"fn_tp" > 0 && $"fn_tr" > 0 && $"fn_cp" > 0 && $"fn_cr" > 0)
+      .withColumn("did_microcents", expr(didExpr("")))
+      .withColumn("placebo_microcents", expr(didExpr("f")))
+      .select($"n_tp", $"n_tr", $"n_cp", $"n_cr",
+        $"s_tp", $"s_tr", $"s_cp", $"s_cr",
+        $"did_microcents", $"placebo_microcents")
+  }
+
   /** Jarque–Bera normality test per daily-revenue series — the
     * moment-based screen (skewness² + excess-kurtosis²) a metrics
     * pipeline runs before trusting any Gaussian-assuming monitor
@@ -2357,6 +2419,58 @@ object InferenceQueries {
       FROM f""")),
 
     Q("q_esd_outliers", esdOutliers, Some(esdOracle)),
+
+    Q("q_did", diffInDiff, Some("""
+      WITH base AS (SELECT user_id % 2 = 1 AS treated,
+                           date_diff('day', DATE '1970-01-01',
+                             CAST(ts AS DATE)) AS dayn,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT) AS cents
+                    FROM events
+                    WHERE event_type = 'purchase'
+                      AND value IS NOT NULL),
+      cuts AS (SELECT (min(dayn) + max(dayn)) // 2 AS cut,
+                      (3 * min(dayn) + max(dayn)) // 4 AS fake_cut
+               FROM base),
+      m AS (SELECT
+              sum(CASE WHEN treated AND dayn > cut THEN cents ELSE 0 END) AS s_tp,
+              sum(CASE WHEN treated AND dayn > cut THEN 1 ELSE 0 END) AS n_tp,
+              sum(CASE WHEN treated AND dayn <= cut THEN cents ELSE 0 END) AS s_tr,
+              sum(CASE WHEN treated AND dayn <= cut THEN 1 ELSE 0 END) AS n_tr,
+              sum(CASE WHEN NOT treated AND dayn > cut THEN cents ELSE 0 END) AS s_cp,
+              sum(CASE WHEN NOT treated AND dayn > cut THEN 1 ELSE 0 END) AS n_cp,
+              sum(CASE WHEN NOT treated AND dayn <= cut THEN cents ELSE 0 END) AS s_cr,
+              sum(CASE WHEN NOT treated AND dayn <= cut THEN 1 ELSE 0 END) AS n_cr,
+              sum(CASE WHEN treated AND dayn > fake_cut AND dayn <= cut THEN cents ELSE 0 END) AS fs_tp,
+              sum(CASE WHEN treated AND dayn > fake_cut AND dayn <= cut THEN 1 ELSE 0 END) AS fn_tp,
+              sum(CASE WHEN treated AND dayn <= fake_cut THEN cents ELSE 0 END) AS fs_tr,
+              sum(CASE WHEN treated AND dayn <= fake_cut THEN 1 ELSE 0 END) AS fn_tr,
+              sum(CASE WHEN NOT treated AND dayn > fake_cut AND dayn <= cut THEN cents ELSE 0 END) AS fs_cp,
+              sum(CASE WHEN NOT treated AND dayn > fake_cut AND dayn <= cut THEN 1 ELSE 0 END) AS fn_cp,
+              sum(CASE WHEN NOT treated AND dayn <= fake_cut THEN cents ELSE 0 END) AS fs_cr,
+              sum(CASE WHEN NOT treated AND dayn <= fake_cut THEN 1 ELSE 0 END) AS fn_cr
+            FROM base, cuts)
+      SELECT CAST(n_tp AS BIGINT) AS n_tp, CAST(n_tr AS BIGINT) AS n_tr,
+             CAST(n_cp AS BIGINT) AS n_cp, CAST(n_cr AS BIGINT) AS n_cr,
+             CAST(s_tp AS BIGINT) AS s_tp, CAST(s_tr AS BIGINT) AS s_tr,
+             CAST(s_cp AS BIGINT) AS s_cp, CAST(s_cr AS BIGINT) AS s_cr,
+             CAST((CAST(s_tp AS HUGEINT) * n_tr * n_cp * n_cr
+                 - CAST(s_tr AS HUGEINT) * n_tp * n_cp * n_cr
+                 - CAST(s_cp AS HUGEINT) * n_tp * n_tr * n_cr
+                 + CAST(s_cr AS HUGEINT) * n_tp * n_tr * n_cp)
+               * 1000000
+               // (CAST(n_tp AS HUGEINT) * n_tr * n_cp * n_cr)
+               AS BIGINT) AS did_microcents,
+             CAST((CAST(fs_tp AS HUGEINT) * fn_tr * fn_cp * fn_cr
+                 - CAST(fs_tr AS HUGEINT) * fn_tp * fn_cp * fn_cr
+                 - CAST(fs_cp AS HUGEINT) * fn_tp * fn_tr * fn_cr
+                 + CAST(fs_cr AS HUGEINT) * fn_tp * fn_tr * fn_cp)
+               * 1000000
+               // (CAST(fn_tp AS HUGEINT) * fn_tr * fn_cp * fn_cr)
+               AS BIGINT) AS placebo_microcents
+      FROM m
+      WHERE n_tp > 0 AND n_tr > 0 AND n_cp > 0 AND n_cr > 0
+        AND fn_tp > 0 AND fn_tr > 0 AND fn_cp > 0 AND fn_cr > 0""")),
 
     Q("q_grubbs_outlier", grubbsOutlier, Some("""
       WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -1125,6 +1125,49 @@ class InferenceSpec extends AnyFunSuite {
   private def ReverseDay(day: String): String =
     day.map(c => (255 - c.toInt).toChar)
 
+  test("q_did: all sixteen cell moments and both contrasts replay " +
+    "in exact BigInt rationals") {
+    val rows = SparkEntry.queries("q_did")(spark, sf).collect()
+    assert(rows.length === 1)
+    val row = rows.head
+    val base = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select(($"user_id" % 2 === 1),
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("long"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Boolean, Long, Long)].collect()
+    val (mn, mx) = (base.map(_._2).min, base.map(_._2).max)
+    val cut = (mn + mx) / 2
+    val fakeCut = (3 * mn + mx) / 4
+    def cell(t: Boolean, lo: Long, hi: Long) = {
+      val rs = base.filter(r => r._1 == t && r._2 > lo && r._2 <= hi)
+      (rs.map(_._3).sum, rs.length.toLong)
+    }
+    def did(cs: Seq[(Long, Long)]): Long = {
+      val Seq((stp, ntp), (str0, ntr), (scp, ncp), (scr, ncr)) = cs
+      ((BigInt(stp) * ntr * ncp * ncr - BigInt(str0) * ntp * ncp * ncr
+        - BigInt(scp) * ntp * ntr * ncr + BigInt(scr) * ntp * ntr * ncp)
+        * 1000000 /
+        (BigInt(ntp) * ntr * ncp * ncr)).toLong
+    }
+    val realCells = Seq(cell(true, cut, Long.MaxValue),
+      cell(true, Long.MinValue, cut), cell(false, cut, Long.MaxValue),
+      cell(false, Long.MinValue, cut))
+    val fakeCells = Seq(cell(true, fakeCut, cut),
+      cell(true, Long.MinValue, fakeCut), cell(false, fakeCut, cut),
+      cell(false, Long.MinValue, fakeCut))
+    assert((row.getAs[Long]("s_tp"), row.getAs[Long]("n_tp")) ===
+      realCells.head)
+    assert((row.getAs[Long]("s_cr"), row.getAs[Long]("n_cr")) ===
+      realCells(3))
+    assert(row.getAs[Long]("did_microcents") === did(realCells))
+    assert(row.getAs[Long]("placebo_microcents") === did(fakeCells))
+    // the placebo window partitions the pre period exactly
+    assert(fakeCells.map(_._2).sum === realCells(1)._2 +
+      realCells(3)._2)
+  }
+
   test("q_durbin_watson: statistic replays from the ordered z-grid " +
     "walk and sits in [0, 4]") {
     val got = SparkEntry.queries("q_durbin_watson")(spark, sf)
