@@ -1608,6 +1608,59 @@ object StatsQueries {
         $"m_weighted", $"xi_e6", $"sigma_e3", $"heavy_tail")
   }
 
+  /** Theil-T inequality with within/between decomposition — what
+    * q_gini_revenue cannot do: Theil is the inequality measure that
+    * DECOMPOSES additively by group (nations here, over supplier
+    * revenue), separating "suppliers unequal inside their nation"
+    * from "nations unequal among themselves" — the first question a
+    * marketplace-concentration review asks. Per nation the exact
+    * integer moments are n_g, rev_g, and S_g = Σ⌊x·ln x/10³⌋ over
+    * supplier revenues x (floor-then-sum per SUPPLIER, order-
+    * independent). The grid is deliberately COARSE — x·ln x ≈ 3e14
+    * at sf0.1, where libm's 1-ULP ln disagreement between JVM and
+    * DuckDB is ~0.1 absolute, so a fine grid flips floors (measured:
+    * the e-3 grid hash-failed with ±2 in the sum); dividing by 10³
+    * puts the flip margin ~6 orders away while costing 3e-9 relative
+    * precision on T; T_g and the between/within terms are short
+    * identical double trees over those BIGINTs, floored e6:
+    * T_g = ΣxLnx/rev_g − ln(rev_g/n_g), weight w_g = rev_g/rev,
+    * between = Σ w_g·ln((rev_g/n_g)/(rev/n)). The spec recomputes
+    * the UNFLOORED identity T = Σw_g·T_g + T_between to float
+    * precision and bounds the floored columns against it. Shape: a
+    * supplier rollup, a nation rollup, one broadcast totals row. */
+  private def theilDecomposition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bySupp = Tables.lineitem(s, d)
+      .select($"l_suppkey",
+        (($"l_extendedprice".cast("decimal(12,2)") * 100).cast("long") *
+          (lit(100L) - ($"l_discount".cast("decimal(3,2)") * 100)
+            .cast("long"))).as("rev_e4"))
+      .groupBy($"l_suppkey")
+      .agg(sum($"rev_e4").as("x"))
+      .filter($"x" > 0)
+      .join(broadcast(Tables.supplier(s, d)
+        .select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+    val byNation = bySupp.groupBy($"s_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_g"), sum($"x").as("rev_g"),
+        sum(floor($"x".cast("double") * log($"x".cast("double"))
+          / lit(1e3)).cast("long")).as("sxlnx_m3"))
+    val tot = byNation.agg(sum($"n_g").as("n_all"),
+      sum($"rev_g").as("rev_all"))
+    byNation.crossJoin(broadcast(tot))
+      .withColumn("t_within_e6",
+        floor(($"sxlnx_m3".cast("double") * lit(1e3) / $"rev_g"
+          - log($"rev_g".cast("double") / $"n_g")) * lit(1e6))
+          .cast("long"))
+      .withColumn("between_term_e6",
+        floor($"rev_g".cast("double") / $"rev_all"
+          * log(($"rev_g".cast("double") / $"n_g") /
+            ($"rev_all".cast("double") / $"n_all")) * lit(1e6))
+          .cast("long"))
+      .select($"nationkey", $"n_g", $"rev_g", $"sxlnx_m3",
+        $"t_within_e6", $"between_term_e6")
+  }
+
   /** Block sizes for the [[hurstRs]] rescaled-range ladder — dyadic so
     * the log-log regression collapses to one closed-form difference. */
   val HurstBlocks = Seq(4L, 8L, 16L)
@@ -2601,6 +2654,36 @@ object StatsQueries {
       FROM q WHERE det > 0""")),
 
     Q("q_hurst_rs", hurstRs, Some(hurstOracle)),
+
+    Q("q_theil_decomposition", theilDecomposition, Some("""
+      WITH sx AS (SELECT l_suppkey,
+                         CAST(sum(CAST(CAST(l_extendedprice AS
+                           DECIMAL(12,2)) * 100 AS BIGINT)
+                           * (100 - CAST(CAST(l_discount AS
+                             DECIMAL(3,2)) * 100 AS BIGINT)))
+                           AS BIGINT) AS x
+                  FROM lineitem GROUP BY 1),
+      sj AS (SELECT s_nationkey AS nationkey, x FROM sx
+             JOIN supplier ON l_suppkey = s_suppkey
+             WHERE x > 0),
+      g AS (SELECT nationkey, CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum(x) AS BIGINT) AS rev_g,
+                   CAST(sum(CAST(floor(CAST(x AS DOUBLE)
+                     * ln(CAST(x AS DOUBLE)) / 1e3) AS BIGINT))
+                     AS BIGINT) AS sxlnx_m3
+            FROM sj GROUP BY 1),
+      t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_all,
+                   CAST(sum(rev_g) AS BIGINT) AS rev_all
+            FROM g)
+      SELECT nationkey, n_g, rev_g, sxlnx_m3,
+             CAST(floor((CAST(sxlnx_m3 AS DOUBLE) * 1e3
+               / rev_g - ln(CAST(rev_g AS DOUBLE) / n_g)) * 1e6)
+               AS BIGINT) AS t_within_e6,
+             CAST(floor(CAST(rev_g AS DOUBLE) / rev_all
+               * ln((CAST(rev_g AS DOUBLE) / n_g)
+                    / (CAST(rev_all AS DOUBLE) / n_all)) * 1e6)
+               AS BIGINT) AS between_term_e6
+      FROM g, t""")),
 
     Q("q_gpd_tail", gpdTail, Some("""
       WITH ev AS (SELECT event_type, event_id,

@@ -1336,6 +1336,57 @@ class StatsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
       .toSeq
 
+  test("q_theil_decomposition: group moments replay, T_g >= 0, and " +
+      "the within/between decomposition reconstructs total Theil") {
+    val got = SparkEntry.queries("q_theil_decomposition")(spark, sf)
+      .collect().map(r => r.getAs[Long]("nationkey") -> r).toMap
+    assert(got.nonEmpty)
+    val xs = Tables.lineitem(spark, sf)
+      .select($"l_suppkey",
+        (($"l_extendedprice".cast("decimal(12,2)") * 100).cast("long") *
+          (lit(100L) - ($"l_discount".cast("decimal(3,2)") * 100)
+            .cast("long"))).as("rev"))
+      .groupBy($"l_suppkey").agg(sum($"rev").as("x"))
+      .filter($"x" > 0)
+      .join(Tables.supplier(spark, sf),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_nationkey".cast("long"), $"x")
+      .as[(Long, Long)].collect()
+    val byN = xs.groupBy(_._1)
+    assert(got.keySet === byN.keySet)
+    val (nAll, revAll) = (xs.length.toLong, xs.map(_._2).sum)
+    var reconstructed = 0.0
+    byN.foreach { case (nk, rs) =>
+      val (nG, revG) = (rs.length.toLong, rs.map(_._2).sum)
+      val sM3 = rs.map(r => math.floor(r._2.toDouble *
+        math.log(r._2.toDouble) / 1e3).toLong).sum
+      val row = got(nk)
+      assert(row.getAs[Long]("n_g") === nG, s"n$nk")
+      assert(row.getAs[Long]("rev_g") === revG, s"n$nk rev")
+      assert(row.getAs[Long]("sxlnx_m3") === sM3, s"n$nk s")
+      val tW = sM3.toDouble * 1e3 / revG -
+        math.log(revG.toDouble / nG)
+      assert(row.getAs[Long]("t_within_e6") ===
+        math.floor(tW * 1e6).toLong, s"n$nk tw")
+      // Theil within a group is a KL divergence: nonnegative up to
+      // the coarse-grid slack (one e-3 grid step per supplier)
+      assert(tW >= -1e-5, s"n$nk nonneg")
+      val between = revG.toDouble / revAll *
+        math.log((revG.toDouble / nG) / (revAll.toDouble / nAll))
+      assert(row.getAs[Long]("between_term_e6") ===
+        math.floor(between * 1e6).toLong, s"n$nk bt")
+      reconstructed += revG.toDouble / revAll * tW + between
+    }
+    // decomposition identity (unfloored): sum of weighted withins +
+    // between terms equals the global Theil over all suppliers
+    val totalTheil = xs.map { case (_, x) =>
+      x.toDouble / revAll *
+        math.log(x.toDouble / (revAll.toDouble / nAll))
+    }.sum
+    assert(math.abs(reconstructed - totalTheil) < 1e-4,
+      s"decomposition: $reconstructed vs $totalTheil")
+  }
+
   test("q_gpd_tail: PWM estimators replay from a brute sorted pass, " +
       "and an exactly-uniform ladder gives xi = -1 exactly") {
     val got = SparkEntry.queries("q_gpd_tail")(spark, sf)
