@@ -540,7 +540,45 @@ object PipelineQueries {
     ).reduce(_ unionAll _)
   }
 
+  /** Cross-engine table checksum — the reconciliation primitive a
+    * migration (or a nightly copy job) runs on BOTH systems to prove
+    * two tables are identical without moving either: each row
+    * canonicalizes to a pipe-joined string (decimals pinned to 2
+    * places, dates to ISO — the formatting IS the contract), hashes
+    * through the portable polynomial kernel
+    * ([[graft.ext.PolyHashExpr]], replayed verbatim by DuckDB), and
+    * the checksum is the SUM of row hashes — order-independent, so
+    * partitioning and sort order never matter. Grouped by return
+    * flag so a mismatch localizes to a slice instead of a bare "the
+    * tables differ". One combinable aggregate; at any scale the
+    * shuffle carries |groups| rows. */
+  private def tableChecksum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rowStr = concat_ws("|",
+      $"l_orderkey", $"l_linenumber",
+      $"l_quantity".cast("decimal(12,2)"),
+      $"l_extendedprice".cast("decimal(12,2)"),
+      $"l_returnflag", $"l_shipdate".cast("date"))
+    Tables.lineitem(s, d)
+      .select($"l_returnflag",
+        graft.ext.PolyHashExpr.polyHash(rowStr, 31L).as("h"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_table_checksum", tableChecksum, Some(s"""
+      WITH r AS (SELECT l_returnflag,
+                        ${graft.scale.TextOps.polyHashSql(
+                          "l_orderkey || '|' || l_linenumber || '|' " +
+                          "|| CAST(l_quantity AS DECIMAL(12,2)) || '|' " +
+                          "|| CAST(l_extendedprice AS DECIMAL(12,2)) " +
+                          "|| '|' || l_returnflag || '|' " +
+                          "|| CAST(l_shipdate AS DATE)", 31L)} AS h
+                 FROM lineitem)
+      SELECT l_returnflag, count(*) AS n_rows,
+             CAST(sum(h) AS BIGINT) AS checksum
+      FROM r GROUP BY 1""")),
     Q("q_pk_audit", pkAudit, Some(
       Seq(("region", "r_regionkey"), ("nation", "n_nationkey"),
         ("customer", "c_custkey"), ("supplier", "s_suppkey"),

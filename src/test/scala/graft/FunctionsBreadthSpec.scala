@@ -228,6 +228,52 @@ class FunctionsBreadthSpec extends AnyFunSuite {
     }
   }
 
+  test("table checksum is partition-invariant, replays per row, and " +
+      "detects a single flipped cell") {
+    def collectSums(): Map[String, (Long, Long)] =
+      SparkEntry.queries("q_table_checksum")(spark, sf).collect()
+        .map(r => r.getAs[String]("l_returnflag") ->
+          ((r.getAs[Long]("n_rows"), r.getAs[Long]("checksum")))).toMap
+    val got = collectSums()
+    assert(got.nonEmpty)
+    // brute per-row polyhash replay
+    def ph(s0: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < s0.length) {
+        val cp = s0.codePointAt(i)
+        acc = (acc * 31L + cp) % 2147483647L
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    val rows = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", concat_ws("|",
+        $"l_orderkey", $"l_linenumber",
+        $"l_quantity".cast("decimal(12,2)"),
+        $"l_extendedprice".cast("decimal(12,2)"),
+        $"l_returnflag", $"l_shipdate".cast("date")))
+      .as[(String, String)].collect()
+    val want = rows.groupBy(_._1).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(r => ph(r._2)).sum)
+    }.toMap
+    assert(got === want)
+    // one flipped cell (quantity +0.01 on one row) must change the
+    // group checksum but not its row count
+    val flag = rows.head._1
+    val mutated = rows.zipWithIndex.map { case ((f, str), i) =>
+      if (i == 0) (f, str.replaceFirst("\\|", "|9")) else (f, str)
+    }
+    val mutSum = mutated.filter(_._1 == flag).map(r => ph(r._2)).sum
+    assert(mutSum !== want(flag)._2, "checksum blind to a cell flip")
+    // partition invariance
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "7")
+      assert(collectSums() === got)
+    } finally spark.conf.set(key, saved)
+  }
+
   test("map functions: create/keys/values/concat/element_at") {
     val df = Tables.nation(spark, sf)
       .select($"n_name", $"n_regionkey",
