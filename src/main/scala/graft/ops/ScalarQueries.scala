@@ -375,6 +375,55 @@ object ScalarQueries {
         sum($"streak_len").as("active_days"))
   }
 
+  /** Duplicate-charge detector — the first fraud/billing rule every
+    * payments pipeline ships: pairs of purchases by the SAME user at
+    * the SAME whole-dollar amount within 24 hours (exact-cents
+    * equality is vacuous on continuous amounts — the dollar band is
+    * the practical dedupe key). A self-join banded by (user, dollar)
+    * keys — so the shuffle carries candidate groups, never a
+    * time-range cross product — then the µs-integer window test;
+    * pair order pinned (earlier id first). Each pair is emitted once
+    * with its gap for triage. */
+  private def doubleCharge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.events(s, d)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("dollars", expr("cents div 100"))
+    p.as("a").join(p.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.dollars") === col("b.dollars") &&
+          col("a.event_id") < col("b.event_id"))
+      .filter(abs(col("a.us") - col("b.us")) <= 86400000000L)
+      .select(col("a.user_id").as("user_id"),
+        col("a.event_id").as("first_id"),
+        col("b.event_id").as("second_id"),
+        col("a.cents").as("cents"),
+        abs(col("a.us") - col("b.us")).as("gap_us"))
+  }
+
+  /** Velocity flags — the rate-limit rule: users whose purchase count
+    * inside ANY trailing 1-hour window reaches 3. A RANGE window over
+    * epoch-µs per user (events within the window are counted by
+    * VALUE distance, not row count — the point of range frames), max
+    * over the series, flag at the threshold. Exact integers; the
+    * window partitions per user. */
+  private def velocityFlags(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us".asc)
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("us"))
+      .withColumn("in_hour", count(lit(1)).over(W))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        max($"in_hour").as("max_per_hour"))
+      .withColumn("flagged", $"max_per_hour" >= 3L)
+  }
+
   /** Conversion deadline (µs) for [[windowFunnel]]: 24 hours. */
   val FunnelWindowUs = 86400000000L
 
@@ -633,6 +682,32 @@ object ScalarQueries {
       SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM s2
       UNION ALL
       SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM s3""")),
+    Q("q_double_charge", doubleCharge, Some("""
+      WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events
+                 WHERE event_type = 'purchase' AND value IS NOT NULL)
+      SELECT a.user_id, a.event_id AS first_id, b.event_id AS second_id,
+             a.cents, abs(a.us - b.us) AS gap_us
+      FROM p a JOIN p b
+        ON a.user_id = b.user_id AND a.cents // 100 = b.cents // 100
+       AND a.event_id < b.event_id
+      WHERE abs(a.us - b.us) <= 86400000000""")),
+
+    Q("q_velocity_flags", velocityFlags, Some("""
+      WITH p AS (SELECT user_id, epoch_us(ts) AS us FROM events
+                 WHERE event_type = 'purchase'),
+      w AS (SELECT user_id,
+                   count(*) OVER (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 3600000000 PRECEDING
+                       AND CURRENT ROW) AS in_hour
+            FROM p)
+      SELECT user_id, count(*) AS n_purchases,
+             CAST(max(in_hour) AS BIGINT) AS max_per_hour,
+             max(in_hour) >= 3 AS flagged
+      FROM w GROUP BY 1""")),
+
     Q("q_daily_ohlc", dailyOhlc, Some("""
       WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
                         epoch_us(ts) AS us, event_id,

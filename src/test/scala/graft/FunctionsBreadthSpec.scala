@@ -274,6 +274,43 @@ class FunctionsBreadthSpec extends AnyFunSuite {
     } finally spark.conf.set(key, saved)
   }
 
+  test("fraud rules: double-charge pairs and velocity flags replay " +
+      "brute-force") {
+    val purchases = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select($"user_id", $"event_id", unix_micros($"ts"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    // double charge: same user, same dollar, within 24h
+    val got = SparkEntry.queries("q_double_charge")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("first_id"), r.getAs[Long]("second_id")))
+      .toSet
+    val want = (for {
+      a <- purchases; b <- purchases
+      if a._1 == b._1 && a._4 / 100 == b._4 / 100 &&
+        a._2 < b._2 && math.abs(a._3 - b._3) <= 86400000000L
+    } yield (a._2, b._2)).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "rule must not be vacuous on this data")
+    // velocity: max trailing-hour count per user
+    val vf = SparkEntry.queries("q_velocity_flags")(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    val all = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    assert(vf.keySet === all.keySet)
+    all.foreach { case (u, rs) =>
+      val ts = rs.map(_._2).sorted
+      val maxHour = ts.map(t =>
+        ts.count(x => x >= t - 3600000000L && x <= t).toLong).max
+      assert(vf(u).getAs[Long]("n_purchases") === ts.length.toLong)
+      assert(vf(u).getAs[Long]("max_per_hour") === maxHour, s"u$u")
+      assert(vf(u).getAs[Boolean]("flagged") === (maxHour >= 3L))
+    }
+  }
+
   test("map functions: create/keys/values/concat/element_at") {
     val df = Tables.nation(spark, sf)
       .select($"n_name", $"n_regionkey",
