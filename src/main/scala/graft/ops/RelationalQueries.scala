@@ -143,6 +143,34 @@ object RelationalQueries {
       .withColumn("share_ppm", expr("nation_e4 * 1000000 div total_e4"))
   }
 
+  /** Revenue waterfall — the finance decomposition every P&L sheet
+    * wants from the fact table: gross → discount → net → tax →
+    * charged, per return flag, ALL as exact integer identities on the
+    * e6-dollar grid (price_cents·(100−d%)·(100+t%)): gross −
+    * discount = net and net + tax = charged hold EXACTLY, cell by
+    * cell, because every term is the same integers regrouped — the
+    * spec pins both identities at the wire. One map-side-combinable
+    * aggregate; the waterfall of a 100 TB fact table is a |flags|-row
+    * result. */
+  private def revenueWaterfall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pc = ($"l_extendedprice".cast("decimal(12,2)") * 100)
+      .cast("long")
+    val dPct = ($"l_discount".cast("decimal(3,2)") * 100).cast("long")
+    val tPct = ($"l_tax".cast("decimal(3,2)") * 100).cast("long")
+    Tables.lineitem(s, d)
+      .select($"l_returnflag", pc.as("pc"), dPct.as("dp"),
+        tPct.as("tp"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"pc" * 100L * 100L).as("gross_e6"),
+        sum($"pc" * $"dp" * 100L).as("discount_e6"),
+        sum($"pc" * (lit(100L) - $"dp") * 100L).as("net_e6"),
+        sum($"pc" * (lit(100L) - $"dp") * $"tp").as("tax_e6"),
+        sum($"pc" * (lit(100L) - $"dp") * (lit(100L) + $"tp"))
+          .as("charged_e6"))
+  }
+
   /** Star-schema dim chain: both dims broadcast → zero shuffles before
     * the final small aggregation. */
   private def joinBroadcastDims(s: SparkSession, d: String): DataFrame = {
@@ -530,6 +558,24 @@ object RelationalQueries {
         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         AND l_discount BETWEEN 0.04 AND 0.07
         AND l_quantity < 24"""), headline = true),
+
+    Q("q_revenue_waterfall", revenueWaterfall, Some("""
+      WITH li AS (SELECT l_returnflag,
+                         CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * 100 AS BIGINT) AS pc,
+                         CAST(CAST(l_discount AS DECIMAL(3,2)) * 100
+                           AS BIGINT) AS dp,
+                         CAST(CAST(l_tax AS DECIMAL(3,2)) * 100
+                           AS BIGINT) AS tp
+                  FROM lineitem)
+      SELECT l_returnflag, count(*) AS n_items,
+             CAST(sum(pc * 100 * 100) AS BIGINT) AS gross_e6,
+             CAST(sum(pc * dp * 100) AS BIGINT) AS discount_e6,
+             CAST(sum(pc * (100 - dp) * 100) AS BIGINT) AS net_e6,
+             CAST(sum(pc * (100 - dp) * tp) AS BIGINT) AS tax_e6,
+             CAST(sum(pc * (100 - dp) * (100 + tp)) AS BIGINT)
+               AS charged_e6
+      FROM li GROUP BY 1""")),
 
     Q("q_regional_volume", regionalVolume, headline = true,
       oracle = Some("""

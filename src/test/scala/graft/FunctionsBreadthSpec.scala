@@ -311,6 +311,21 @@ class FunctionsBreadthSpec extends AnyFunSuite {
     }
   }
 
+  test("revenue waterfall: gross - discount = net and net + tax = " +
+      "charged hold exactly, cell by cell") {
+    val rows = SparkEntry.queries("q_revenue_waterfall")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (g, disc, net, tax, ch) = (r.getAs[Long]("gross_e6"),
+        r.getAs[Long]("discount_e6"), r.getAs[Long]("net_e6"),
+        r.getAs[Long]("tax_e6"), r.getAs[Long]("charged_e6"))
+      assert(g - disc === net, r.getAs[String]("l_returnflag"))
+      assert(net + tax === ch, r.getAs[String]("l_returnflag"))
+      assert(disc >= 0 && tax >= 0 && net > 0)
+    }
+  }
+
   test("map functions: create/keys/values/concat/element_at") {
     val df = Tables.nation(spark, sf)
       .select($"n_name", $"n_regionkey",
