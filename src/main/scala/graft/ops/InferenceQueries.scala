@@ -1344,6 +1344,51 @@ object InferenceQueries {
         $"did_microcents", $"placebo_microcents")
   }
 
+  /** Zero-inflation screen per (event_type, user) daily counts — the
+    * count-model diagnostic PAIRED with q_overdispersion: a Poisson
+    * fit can fail two ways, variance (overdispersion) and mass at
+    * zero (zero inflation), and each points at a different model
+    * (NB vs ZIP). Per event type over the (user × observed-day-range)
+    * grid: observed zero cells vs the Poisson expectation
+    * n·e^(−λ), λ = events/cells — λ and the observed count are exact
+    * rationals/integers; e^(−λ) is the statistic's one libm call,
+    * applied to a ~unit-magnitude argument and floored e6 (flip
+    * margin ~1e-10, the safe grid regime). zi_ratio_ppm > 1e6 means
+    * more zeros than Poisson explains. Shape: one (type, user)
+    * rollup + one per-type aggregate; the day grid is arithmetic
+    * (max−min+1), never materialized. */
+  private def zeroInflation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.events(s, d)
+      .select($"event_type", $"user_id",
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("long").as("dayn"))
+    val perUser = base.groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        countDistinct($"dayn").as("active_days"))
+    val span = base.groupBy($"event_type")
+      .agg((max($"dayn") - min($"dayn") + 1L).as("n_days"))
+    val users = base.select($"user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    perUser.groupBy($"event_type")
+      .agg(sum($"n_ev").as("total_events"),
+        sum($"active_days").as("nonzero_cells"),
+        count(lit(1)).as("users_seen"))
+      .join(broadcast(span), "event_type")
+      .crossJoin(broadcast(users))
+      .withColumn("n_cells", $"n_users" * $"n_days")
+      .withColumn("zero_cells", $"n_cells" - $"nonzero_cells")
+      // λ = total_events / n_cells; expected zeros = n_cells·e^(−λ)
+      .withColumn("expected_zero_e6",
+        floor($"n_cells" * exp(-($"total_events".cast("double") /
+          $"n_cells")) * lit(1e6)).cast("long"))
+      .withColumn("zi_ratio_ppm",
+        when($"expected_zero_e6" > 0,
+          expr("zero_cells * 1000000000000 div expected_zero_e6")))
+      .select($"event_type", $"n_cells", $"zero_cells",
+        $"total_events", $"expected_zero_e6", $"zi_ratio_ppm")
+  }
+
   /** Jarque–Bera normality test per daily-revenue series — the
     * moment-based screen (skewness² + excess-kurtosis²) a metrics
     * pipeline runs before trusting any Gaussian-assuming monitor
@@ -2419,6 +2464,40 @@ object InferenceQueries {
       FROM f""")),
 
     Q("q_esd_outliers", esdOutliers, Some(esdOracle)),
+
+    Q("q_zero_inflation", zeroInflation, Some("""
+      WITH base AS (SELECT event_type, user_id,
+                           date_diff('day', DATE '1970-01-01',
+                             CAST(ts AS DATE)) AS dayn
+                    FROM events),
+      pu AS (SELECT event_type, user_id,
+                    CAST(count(*) AS BIGINT) AS n_ev,
+                    CAST(count(DISTINCT dayn) AS BIGINT) AS active_days
+             FROM base GROUP BY 1, 2),
+      span AS (SELECT event_type,
+                      CAST(max(dayn) - min(dayn) + 1 AS BIGINT)
+                        AS n_days
+               FROM base GROUP BY 1),
+      u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM base),
+      g AS (SELECT pu.event_type,
+                   CAST(sum(n_ev) AS BIGINT) AS total_events,
+                   CAST(sum(active_days) AS BIGINT) AS nonzero_cells
+            FROM pu GROUP BY 1),
+      j AS (SELECT g.event_type, total_events, nonzero_cells,
+                   n_users * n_days AS n_cells
+            FROM g JOIN span ON g.event_type = span.event_type, u),
+      e AS (SELECT *, n_cells - nonzero_cells AS zero_cells,
+                   CAST(floor(n_cells * exp(-(CAST(total_events
+                     AS DOUBLE) / n_cells)) * 1e6) AS BIGINT)
+                     AS expected_zero_e6
+            FROM j)
+      SELECT event_type, n_cells, zero_cells, total_events,
+             expected_zero_e6,
+             CASE WHEN expected_zero_e6 > 0 THEN
+               CAST(zero_cells * 1000000000000 // expected_zero_e6
+                 AS BIGINT) END AS zi_ratio_ppm
+      FROM e""")),
 
     Q("q_did", diffInDiff, Some("""
       WITH base AS (SELECT user_id % 2 = 1 AS treated,

@@ -1168,6 +1168,36 @@ class InferenceSpec extends AnyFunSuite {
       realCells(3)._2)
   }
 
+  test("q_zero_inflation: cells replay brute-force and the Poisson " +
+    "expectation matches the closed form") {
+    val got = SparkEntry.queries("q_zero_inflation")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.nonEmpty)
+    val base = Tables.events(spark, sf)
+      .select($"event_type", $"user_id",
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("long"))
+      .as[(String, Long, Long)].collect()
+    val nUsers = base.map(_._2).distinct.length.toLong
+    base.groupBy(_._1).foreach { case (ty, rs) =>
+      val nDays = rs.map(_._3).max - rs.map(_._3).min + 1
+      val nCells = nUsers * nDays
+      val nonzero = rs.map(r => (r._2, r._3)).distinct.length.toLong
+      val total = rs.length.toLong
+      val row = got(ty)
+      assert(row.getAs[Long]("n_cells") === nCells, ty)
+      assert(row.getAs[Long]("zero_cells") === nCells - nonzero, ty)
+      assert(row.getAs[Long]("total_events") === total, ty)
+      val expZero = math.floor(nCells *
+        math.exp(-(total.toDouble / nCells)) * 1e6).toLong
+      assert(row.getAs[Long]("expected_zero_e6") === expZero, ty)
+      if (expZero > 0)
+        assert(row.getAs[Long]("zi_ratio_ppm") ===
+          BigInt(nCells - nonzero) * 1000000000000L / expZero, ty)
+      assert(row.getAs[Long]("zero_cells") >= 0, ty)
+    }
+  }
+
   test("q_durbin_watson: statistic replays from the ordered z-grid " +
     "walk and sits in [0, 4]") {
     val got = SparkEntry.queries("q_durbin_watson")(spark, sf)
