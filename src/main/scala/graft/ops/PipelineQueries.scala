@@ -566,7 +566,75 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum"))
   }
 
+  /** Shard counts compared by [[rendezvousShards]]. */
+  val ShardsBefore = 8
+  val ShardsAfter = 9
+
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * consistent-hashing answer to "add a shard without reshuffling
+    * the world": each user goes to argmax over shards of
+    * h(user, shard), so growing [[ShardsBefore]] → [[ShardsAfter]]
+    * remaps ONLY the users whose new shard wins — in expectation
+    * 1/[[ShardsAfter]] of keys, vs (N−1)/N for mod-N sharding. The
+    * weight is the portable polynomial hash of "user:shard" (exact
+    * integers, DuckDB-replayable); the (weight, shard) argmax is
+    * ENCODED into one BIGINT — w·16 + (15−shard), hash < 2³¹ so the
+    * low bits are free — because struct-valued greatest is not
+    * portable; ties break to the lower shard id deterministically.
+    * Output: per before-shard, the key count and
+    * how many remap — the elasticity audit a storage migration runs
+    * before committing to a topology change; the spec pins the
+    * remap fraction against both the 1/N expectation and the mod-N
+    * strawman. One scan, a 2×[[ShardsAfter]]-term argmax per row,
+    * one combinable rollup. */
+  private def rendezvousShards(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // The raw polynomial hash is AFFINE in the shard id (the shard
+    // digit contributes a constant step), so across shards the
+    // weights form an arithmetic progression mod p and the winner is
+    // CONSTANT per key-length class (measured: every user landed on
+    // the max shard). SQUARING mod p destroys the progression —
+    // quadratic residues scatter — and both engines compute it in
+    // exact int64 (h < 2^31 so h^2 < 2^62).
+    def weight(shard: Int) = pmod(
+      graft.ext.PolyHashExpr.polyHash(
+        concat(lit(s"s$shard:"), $"user_id".cast("string")), 31L) *
+        graft.ext.PolyHashExpr.polyHash(
+          concat(lit(s"s$shard:"), $"user_id".cast("string")), 31L),
+      lit(2147483647L))
+    def winner(n: Int) = lit(15L) - pmod(greatest(
+      (0 until n).map(i => weight(i) * 16L + (15L - i)): _*), lit(16L))
+    val users = Tables.events(s, d).select($"user_id").distinct()
+    users
+      .withColumn("shard_before", winner(ShardsBefore))
+      .withColumn("shard_after", winner(ShardsAfter))
+      .groupBy($"shard_before")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when($"shard_before" =!= $"shard_after", 1L).otherwise(0L))
+          .as("n_remapped"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_rendezvous_shards", rendezvousShards, Some {
+      def w(shard: Int) = {
+        val h = graft.scale.TextOps.polyHashSql(
+          s"'s$shard:' || user_id", 31L)
+        s"(($h) * ($h)) % 2147483647"
+      }
+      def best(n: Int) = (0 until n).map(i =>
+        s"(${w(i)}) * 16 + ${15 - i}")
+        .mkString("15 - greatest(", ", ", ") % 16")
+      s"""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      a AS (SELECT user_id,
+                   ${best(ShardsBefore)} AS shard_before,
+                   ${best(ShardsAfter)} AS shard_after
+            FROM u)
+      SELECT shard_before, count(*) AS n_keys,
+             CAST(sum(CASE WHEN shard_before <> shard_after
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_remapped
+      FROM a GROUP BY 1"""
+    }),
     Q("q_table_checksum", tableChecksum, Some(s"""
       WITH r AS (SELECT l_returnflag,
                         ${graft.scale.TextOps.polyHashSql(

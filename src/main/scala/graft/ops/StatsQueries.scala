@@ -1661,6 +1661,51 @@ object StatsQueries {
         $"t_within_e6", $"between_term_e6")
   }
 
+  /** Post-stratification adjustment — the Simpson's-paradox guard for
+    * period-over-period KPIs: the raw current-period mean moves when
+    * the SEGMENT MIX moves, even if every segment is flat, so the
+    * adjusted mean re-weights current per-segment means by the
+    * REFERENCE period's composition: adj = Σ (n_ref_g/n_ref)·(S_g/n_g).
+    * Periods split on the integer midpoint day; segments are market
+    * segments via the customer dim on purchases... here user_id % 5
+    * cohorts (events carry no dim). All cell moments are exact; the
+    * adjusted mean assembles in double from those integers (per-
+    * segment denominators differ, so no common-denominator rational
+    * exists below ~n⁵) and floors e2-cents. Output carries raw vs
+    * adjusted so the composition effect = raw − adjusted is the
+    * actionable number. */
+  private def postStratified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.events(s, d)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select(($"user_id" % 5).as("seg"),
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("long").as("dayn"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val cut = base.agg(expr("(min(dayn) + max(dayn)) div 2").as("cut"))
+    val cells = base.crossJoin(broadcast(cut))
+      .groupBy($"seg")
+      .agg(sum(when($"dayn" <= $"cut", 1L).otherwise(0L)).as("n_ref"),
+        sum(when($"dayn" > $"cut", 1L).otherwise(0L)).as("n_cur"),
+        sum(when($"dayn" > $"cut", $"cents").otherwise(0L)).as("s_cur"))
+      .filter($"n_ref" > 0 && $"n_cur" > 0)
+    val tot = cells.agg(sum($"n_ref").as("nr_all"),
+      sum($"n_cur").as("nc_all"), sum($"s_cur").as("sc_all"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("term_e2",
+        floor($"n_ref".cast("double") / $"nr_all" *
+          ($"s_cur".cast("double") / $"n_cur") * lit(100.0))
+          .cast("long"))
+      .groupBy($"nr_all", $"nc_all", $"sc_all")
+      .agg(count(lit(1)).as("n_segments"),
+        sum($"term_e2").as("adjusted_mean_e2"))
+      .withColumn("raw_mean_e2",
+        expr("CAST(sc_all AS DECIMAL(38,0)) * 100 div nc_all"))
+      .withColumn("mix_effect_e2", $"raw_mean_e2" - $"adjusted_mean_e2")
+      .select($"n_segments", $"nr_all", $"nc_all", $"sc_all",
+        $"raw_mean_e2", $"adjusted_mean_e2", $"mix_effect_e2")
+  }
+
   /** Block sizes for the [[hurstRs]] rescaled-range ladder — dyadic so
     * the log-log regression collapses to one closed-form difference. */
   val HurstBlocks = Seq(4L, 8L, 16L)
@@ -2654,6 +2699,44 @@ object StatsQueries {
       FROM q WHERE det > 0""")),
 
     Q("q_hurst_rs", hurstRs, Some(hurstOracle)),
+
+    Q("q_post_stratified", postStratified, Some("""
+      WITH base AS (SELECT user_id % 5 AS seg,
+                           date_diff('day', DATE '1970-01-01',
+                             CAST(ts AS DATE)) AS dayn,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT) AS cents
+                    FROM events
+                    WHERE event_type = 'purchase'
+                      AND value IS NOT NULL),
+      cut AS (SELECT (min(dayn) + max(dayn)) // 2 AS cut FROM base),
+      cells AS (SELECT seg,
+                       CAST(sum(CASE WHEN dayn <= cut THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_ref,
+                       CAST(sum(CASE WHEN dayn > cut THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_cur,
+                       CAST(sum(CASE WHEN dayn > cut THEN cents
+                                ELSE 0 END) AS BIGINT) AS s_cur
+                FROM base, cut GROUP BY 1
+                HAVING sum(CASE WHEN dayn <= cut THEN 1 ELSE 0 END) > 0
+                   AND sum(CASE WHEN dayn > cut THEN 1 ELSE 0 END) > 0),
+      tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nr_all,
+                     CAST(sum(n_cur) AS BIGINT) AS nc_all,
+                     CAST(sum(s_cur) AS BIGINT) AS sc_all
+              FROM cells),
+      terms AS (SELECT nr_all, nc_all, sc_all,
+                       CAST(floor(CAST(n_ref AS DOUBLE) / nr_all
+                         * (CAST(s_cur AS DOUBLE) / n_cur) * 100.0)
+                         AS BIGINT) AS term_e2
+                FROM cells, tot)
+      SELECT CAST(count(*) AS BIGINT) AS n_segments, nr_all, nc_all,
+             sc_all,
+             CAST(CAST(sc_all AS HUGEINT) * 100 // nc_all AS BIGINT)
+               AS raw_mean_e2,
+             CAST(sum(term_e2) AS BIGINT) AS adjusted_mean_e2,
+             CAST(CAST(sc_all AS HUGEINT) * 100 // nc_all AS BIGINT)
+               - CAST(sum(term_e2) AS BIGINT) AS mix_effect_e2
+      FROM terms GROUP BY 2, 3, 4""")),
 
     Q("q_theil_decomposition", theilDecomposition, Some("""
       WITH sx AS (SELECT l_suppkey,

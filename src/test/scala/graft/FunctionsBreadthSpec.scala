@@ -326,6 +326,78 @@ class FunctionsBreadthSpec extends AnyFunSuite {
     }
   }
 
+  test("rendezvous shards: assignments replay brute-force and growing " +
+      "8 -> 9 remaps about 1/9 of keys, far below the mod-N strawman") {
+    val P = 2147483647L
+    def ph(s0: String): Long = {
+      var acc = 0L
+      s0.foreach(c => acc = (acc * 31L + c.toLong) % P)
+      acc
+    }
+    def winner(u: Long, n: Int): Long = {
+      val best = (0 until n).map { i =>
+        val h = ph(s"s$i:$u")
+        (BigInt(h) * h % P).toLong * 16L + (15L - i)
+      }.max
+      15L - best % 16L
+    }
+    val users = Tables.events(spark, sf).select($"user_id").distinct()
+      .as[Long].collect()
+    val gotRows = SparkEntry.queries("q_rendezvous_shards")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("shard_before") ->
+        ((r.getAs[Long]("n_keys"), r.getAs[Long]("n_remapped")))).toMap
+    val brute = users.map(u => (winner(u, 8), winner(u, 9)))
+    val want = brute.groupBy(_._1).view.mapValues(rs =>
+      (rs.length.toLong, rs.count(r => r._1 != r._2).toLong)).toMap
+    assert(gotRows === want)
+    val total = users.length.toLong
+    val remapped = gotRows.values.map(_._2).sum
+    // rendezvous property: ~1/9 of keys move (binomial slack), while
+    // mod-N resharding would move (N-1)/N of them
+    assert(remapped * 9 > total / 2 && remapped * 9 < total * 2,
+      s"remap $remapped of $total is not ~1/9")
+    val modRemap = users.count(u => u % 8 != u % 9).toLong
+    assert(remapped < modRemap / 3,
+      "rendezvous must beat mod-N resharding decisively")
+  }
+
+  test("post-stratification: cells replay and the mix effect is the " +
+      "exact raw-minus-adjusted difference") {
+    val rows = SparkEntry.queries("q_post_stratified")(spark, sf)
+      .collect()
+    assert(rows.length === 1)
+    val row = rows.head
+    assert(row.getAs[Long]("mix_effect_e2") ===
+      row.getAs[Long]("raw_mean_e2") - row.getAs[Long]("adjusted_mean_e2"))
+    val base = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select(($"user_id" % 5),
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("long"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val cut = (base.map(_._2).min + base.map(_._2).max) / 2
+    val cells = base.groupBy(_._1).view.mapValues { rs =>
+      (rs.count(_._2 <= cut).toLong,
+        rs.count(_._2 > cut).toLong,
+        rs.filter(_._2 > cut).map(_._3).sum)
+    }.filter { case (_, (nr, nc, _)) => nr > 0 && nc > 0 }.toMap
+    val nrAll = cells.values.map(_._1).sum
+    val ncAll = cells.values.map(_._2).sum
+    val scAll = cells.values.map(_._3).sum
+    assert(row.getAs[Long]("n_segments") === cells.size.toLong)
+    assert((row.getAs[Long]("nr_all"), row.getAs[Long]("nc_all"),
+      row.getAs[Long]("sc_all")) === ((nrAll, ncAll, scAll)))
+    val adj = cells.values.map { case (nr, nc, sc) =>
+      math.floor(nr.toDouble / nrAll * (sc.toDouble / nc) * 100.0)
+        .toLong
+    }.sum
+    assert(row.getAs[Long]("adjusted_mean_e2") === adj)
+    assert(row.getAs[Long]("raw_mean_e2") ===
+      (BigInt(scAll) * 100 / ncAll).toLong)
+  }
+
   test("map functions: create/keys/values/concat/element_at") {
     val df = Tables.nation(spark, sf)
       .select($"n_name", $"n_regionkey",
