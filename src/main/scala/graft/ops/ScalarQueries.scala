@@ -424,6 +424,54 @@ object ScalarQueries {
       .withColumn("flagged", $"max_per_hour" >= 3L)
   }
 
+  /** Median time-to-convert per funnel step — the latency companion
+    * of [[eventFunnel]] (which only counts): per user the earliest
+    * ordered chain view→click→purchase gives step gaps in exact
+    * epoch-µs; each step's LOWER MEDIAN is the exact order statistic
+    * at rank ⌈n/2⌉ over a deterministic (gap, user) total order —
+    * never an interpolated percentile, so the cell is
+    * engine-identical by construction. Output also carries p90 (rank
+    * ⌈9n/10⌉, the same integer-ceiling discipline as q_gpd_tail).
+    * Shape: three per-user min rollups, a rank window on the
+    * |users|-row gap table. */
+  private def funnelLatency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+      .filter($"us" >= $"t1")
+      .groupBy($"user_id").agg(min($"us").as("t2"), min($"t1").as("t1"))
+    val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+      .filter($"us" >= $"t2")
+      .groupBy($"user_id")
+      .agg(min($"us").as("t3"), min($"t1").as("t1"), min($"t2").as("t2"))
+    val gaps = s3.select($"user_id",
+        ($"t2" - $"t1").as("view_to_click_us"),
+        ($"t3" - $"t2").as("click_to_buy_us"))
+    def stats(col0: String, tag: String) = {
+      val w = W.orderBy($"gap".asc, $"user_id".asc)
+      gaps.select(org.apache.spark.sql.functions.col(col0).as("gap"),
+          $"user_id")
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          W.partitionBy()))
+        .filter($"r" === expr("(n + 1) div 2") ||
+          $"r" === expr("(9 * n + 9) div 10"))
+        .groupBy($"n")
+        .agg(min(when($"r" === expr("(n + 1) div 2"), $"gap"))
+            .as("median_us"),
+          min(when($"r" === expr("(9 * n + 9) div 10"), $"gap"))
+            .as("p90_us"))
+        .select(lit(tag).as("step"), $"n".as("n_converted"),
+          $"median_us", $"p90_us")
+    }
+    stats("view_to_click_us", "1_view_to_click")
+      .unionByName(stats("click_to_buy_us", "2_click_to_buy"))
+  }
+
   /** Conversion deadline (µs) for [[windowFunnel]]: 24 hours. */
   val FunnelWindowUs = 86400000000L
 
@@ -682,6 +730,45 @@ object ScalarQueries {
       SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM s2
       UNION ALL
       SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM s3""")),
+    Q("q_funnel_latency", funnelLatency, Some("""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                  FROM events),
+      s1 AS (SELECT user_id, min(us) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.us) AS t2, min(s1.t1) AS t1
+             FROM ev e JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.us >= s1.t1
+             GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.us) AS t3, min(s2.t1) AS t1,
+                    min(s2.t2) AS t2
+             FROM ev e JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.us >= s2.t2
+             GROUP BY 1),
+      gaps AS (SELECT user_id, t2 - t1 AS g1, t3 - t2 AS g2 FROM s3),
+      r1 AS (SELECT g1 AS gap, user_id,
+                    CAST(row_number() OVER (ORDER BY g1 ASC,
+                      user_id ASC) AS BIGINT) AS r,
+                    CAST(count(*) OVER () AS BIGINT) AS n
+             FROM gaps),
+      r2 AS (SELECT g2 AS gap, user_id,
+                    CAST(row_number() OVER (ORDER BY g2 ASC,
+                      user_id ASC) AS BIGINT) AS r,
+                    CAST(count(*) OVER () AS BIGINT) AS n
+             FROM gaps),
+      a1 AS (SELECT '1_view_to_click' AS step, n AS n_converted,
+                    min(CASE WHEN r = (n + 1) // 2 THEN gap END)
+                      AS median_us,
+                    min(CASE WHEN r = (9 * n + 9) // 10 THEN gap END)
+                      AS p90_us
+             FROM r1 WHERE r = (n + 1) // 2 OR r = (9 * n + 9) // 10
+             GROUP BY 2),
+      a2 AS (SELECT '2_click_to_buy', n,
+                    min(CASE WHEN r = (n + 1) // 2 THEN gap END),
+                    min(CASE WHEN r = (9 * n + 9) // 10 THEN gap END)
+             FROM r2 WHERE r = (n + 1) // 2 OR r = (9 * n + 9) // 10
+             GROUP BY 2)
+      SELECT * FROM a1 UNION ALL SELECT * FROM a2""")),
+
     Q("q_double_charge", doubleCharge, Some("""
       WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us,
                         CAST(CAST(value AS DECIMAL(18,2)) * 100

@@ -398,6 +398,44 @@ class FunctionsBreadthSpec extends AnyFunSuite {
       (BigInt(scAll) * 100 / ncAll).toLong)
   }
 
+  test("funnel latency: exact order-statistic median/p90 replay from " +
+      "the brute chain walk and median never exceeds p90") {
+    val got = SparkEntry.queries("q_funnel_latency")(spark, sf)
+      .collect().map(r => r.getAs[String]("step") -> r).toMap
+    assert(got.size === 2)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_micros($"ts"))
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    val gaps = ev.toSeq.flatMap { case (u, rs) =>
+      val views = rs.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val t1 = views.min
+        val clicks = rs.filter(r => r._2 == "click" && r._3 >= t1)
+          .map(_._3)
+        if (clicks.isEmpty) None
+        else {
+          val t2 = clicks.min
+          val buys = rs.filter(r => r._2 == "purchase" && r._3 >= t2)
+            .map(_._3)
+          if (buys.isEmpty) None else Some((u, t2 - t1, buys.min - t2))
+        }
+      }
+    }
+    def pick(xs: Seq[(Long, Long)], rank: Long): Long =
+      xs.sortBy { case (u, g) => (g, u) }.apply((rank - 1).toInt)._2
+    val n = gaps.length.toLong
+    Seq(("1_view_to_click", gaps.map(g => (g._1, g._2))),
+      ("2_click_to_buy", gaps.map(g => (g._1, g._3)))).foreach {
+      case (step, xs) =>
+        val row = got(step)
+        assert(row.getAs[Long]("n_converted") === n, step)
+        assert(row.getAs[Long]("median_us") === pick(xs, (n + 1) / 2))
+        assert(row.getAs[Long]("p90_us") === pick(xs, (9 * n + 9) / 10))
+        assert(row.getAs[Long]("median_us") <= row.getAs[Long]("p90_us"))
+    }
+  }
+
   test("map functions: create/keys/values/concat/element_at") {
     val df = Tables.nation(spark, sf)
       .select($"n_name", $"n_regionkey",
