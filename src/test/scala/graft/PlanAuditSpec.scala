@@ -40,6 +40,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_ann_recall",       // recall gate re-plans the brute truth subtree
                           // twice (semi-join probe + n_true agg) — both
                           // are the same bounded 10-row broadcast loop
+    "q_matryoshka_eval",  // full- and truncated-dim rankings both ride
+                          // the q_ann_bruteforce 10-row broadcast
+                          // query loop over one corpus scan each
     "q_isotonic_calibration" // PAVA-minimax interval/grid joins are
                           // triangular over the ≤100-row SCORE-BIN table
                           // (data-independent cardinality); the corpus
