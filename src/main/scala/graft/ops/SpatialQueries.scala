@@ -336,7 +336,74 @@ object SpatialQueries {
       SELECT user_key, rank, poi_key, CAST(dist2 AS BIGINT) AS dist2
       FROM r WHERE rank <= 3"""
 
+  /** Geohash bits per axis (6 base32 chars = 30 bits: 15 lon odd-
+    * interleaved with 15 lat). */
+  private val GeoBits = 15
+
+  /** Geohash encoding in PURE integer arithmetic — the standard
+    * spatial bucketing key (the string whose shared prefixes nest
+    * boxes), computed with zero loops and zero floats so both engines
+    * emit identical strings: quantize each axis to [[GeoBits]] bits
+    * by exact integer division of the shifted µ° grid, interleave
+    * with 30 unrolled div/mod/shift terms (lon takes the even bit
+    * positions from the top, per the geohash spec), then base32 via
+    * six substring picks from the geohash alphabet. Output carries
+    * the 4-char prefix too — prefix truncation IS the coarser cell,
+    * the property that makes geohash a range-scannable index key.
+    * Shape: per-row expressions inside the scan; the rollup groups by
+    * the prefix. */
+  private def geohashCells(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // quantized axis value in [0, 2^15)
+    val latQ = expr(s"(u_lat * ${1L << GeoBits}) div 180000000")
+    val lonQ = expr(s"(u_lon * ${1L << GeoBits}) div 360000000")
+    // interleave: bit k of lon -> position 2k+1, lat -> 2k (msb-first
+    // pairing means lon owns the highest bit)
+    val code = (0 until GeoBits).map { k =>
+      expr(s"((lonq div ${1L << k}) % 2) * ${1L << (2 * k + 1)}" +
+        s" + ((latq div ${1L << k}) % 2) * ${1L << (2 * k)}")
+    }.reduce(_ + _)
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val chars = (0 until 6).map { i =>
+      expr(s"substring('$alphabet', " +
+        s"CAST((code div ${1L << (5 * (5 - i))}) % 32 AS INT) + 1, 1)")
+    }
+    users(s, d)
+      .withColumn("latq", latQ).withColumn("lonq", lonQ)
+      .withColumn("code", code)
+      .withColumn("geohash6", concat(chars: _*))
+      .withColumn("cell4", substring($"geohash6", 1, 4))
+      .select($"user_key", $"u_lat", $"u_lon", $"code", $"geohash6",
+        $"cell4")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_geohash_cells", geohashCells, Some {
+      val latQ = s"(u_lat * ${1L << GeoBits}) // 180000000"
+      val lonQ = s"(u_lon * ${1L << GeoBits}) // 360000000"
+      val code = (0 until GeoBits).map { k =>
+        s"((lonq // ${1L << k}) % 2) * ${1L << (2 * k + 1)}" +
+          s" + ((latq // ${1L << k}) % 2) * ${1L << (2 * k)}"
+      }.mkString(" + ")
+      val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+      val chars = (0 until 6).map { i =>
+        s"substring('$alphabet', " +
+          s"CAST((code // ${1L << (5 * (5 - i))}) % 32 AS INT) + 1, 1)"
+      }.mkString(" || ")
+      s"""
+      WITH u AS (SELECT c_custkey AS user_key,
+                        (c_custkey * $LatMult) % 4294967296
+                          % 180000000 AS u_lat,
+                        (c_custkey * $LonMult) % 4294967296
+                          % 360000000 AS u_lon
+                 FROM customer),
+      q AS (SELECT *, $latQ AS latq, $lonQ AS lonq FROM u),
+      c AS (SELECT *, $code AS code FROM q)
+      SELECT user_key, u_lat, u_lon, CAST(code AS BIGINT) AS code,
+             $chars AS geohash6,
+             substring($chars, 1, 4) AS cell4
+      FROM c"""
+    }),
     Q("q_dbscan_core", dbscanCore, Some(dbscanOracle)),
     Q("q_spatial_knn", spatialKnn, Some(spatialKnnOracle)),
     Q("q_spatial_join", spatialJoin, Some(spatialJoinOracle),

@@ -18,6 +18,49 @@ class SpatialSpec extends AnyFunSuite {
   private def coord(key: Long, mult: Long, range: Long): Long =
     ((key * mult) % 4294967296L) % range
 
+  test("q_geohash_cells matches an INDEPENDENT textbook subdivision " +
+      "encoder and equal hashes mean equal quantized cells") {
+    val got = SparkEntry.queries("q_geohash_cells")(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_key") -> r).toMap
+    assert(got.nonEmpty)
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    // textbook geohash: interval halving, lon first, 30 bits
+    def std(lat: Double, lon: Double): String = {
+      var (la0, la1, lo0, lo1) = (-90.0, 90.0, -180.0, 180.0)
+      val bits = (0 until 30).map { i =>
+        if (i % 2 == 0) {
+          val mid = (lo0 + lo1) / 2
+          if (lon >= mid) { lo0 = mid; 1 } else { lo1 = mid; 0 }
+        } else {
+          val mid = (la0 + la1) / 2
+          if (lat >= mid) { la0 = mid; 1 } else { la1 = mid; 0 }
+        }
+      }
+      (0 until 6).map { c =>
+        alphabet(bits.slice(c * 5, c * 5 + 5)
+          .foldLeft(0)((a, b) => a * 2 + b))
+      }.mkString
+    }
+    got.foreach { case (k, r) =>
+      val uLat = coord(k, LatMult, 180000000L)
+      val uLon = coord(k, LonMult, 360000000L)
+      assert(r.getAs[String]("geohash6") ===
+        std(uLat / 1e6 - 90.0, uLon / 1e6 - 180.0), s"key $k")
+      assert(r.getAs[String]("cell4") ===
+        r.getAs[String]("geohash6").take(4))
+    }
+    // 30 bits = the full 15-bit quantization of both axes: equal
+    // geohash6 iff equal (latq, lonq)
+    val byHash = got.values.groupBy(_.getAs[String]("geohash6"))
+    byHash.values.foreach { rs =>
+      val cells = rs.map { r =>
+        (r.getAs[Long]("u_lat") * 32768L / 180000000L,
+          r.getAs[Long]("u_lon") * 32768L / 360000000L)
+      }.toSet
+      assert(cells.size === 1)
+    }
+  }
+
   private lazy val users: Seq[(Long, Long, Long)] =
     Tables.customer(spark, sf).select("c_custkey")
       .collect().map(_.getLong(0)).toSeq
