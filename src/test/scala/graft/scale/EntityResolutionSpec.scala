@@ -5,6 +5,42 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class EntityResolutionSpec extends AnyFunSuite {
+
+  test("q_soundex_block: the portable code agrees with the JVM's " +
+      "full-spec soundex on every observed noun and pair math holds") {
+    import SparkTestSession.{spark, sf}
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_soundex_block")(spark, sf)
+      .collect().map(r => r.getAs[String]("sdx") -> r).toMap
+    assert(rows.nonEmpty)
+    // every observed noun: simplified portable code == Spark's native
+    // (full-spec) soundex — the H/W rule never bites on this vocab,
+    // and if the vocab grows a divergence this pin will say so
+    val nouns = Tables.part(spark, sf)
+      .select(upper(element_at(split($"p_name", " "), 2)).as("noun"))
+      .filter($"noun".isNotNull)
+      .distinct()
+      .withColumn("native", soundex($"noun"))
+      .as[(String, String)].collect()
+    val byNative = nouns.map { case (noun, native) =>
+      assert(rows.contains(native),
+        s"native soundex $native of $noun missing from blocks")
+      noun -> native
+    }.toMap
+    // block counts replay from the nouns
+    val counts = Tables.part(spark, sf)
+      .select(upper(element_at(split($"p_name", " "), 2)).as("noun"))
+      .filter($"noun".isNotNull)
+      .groupBy($"noun").count().as[(String, Long)].collect()
+    val want = counts.groupBy(c => byNative(c._1)).view
+      .mapValues(_.map(_._2).sum).toMap
+    rows.foreach { case (sdx, r) =>
+      assert(r.getAs[Long]("n_parts") === want(sdx), sdx)
+      val n = r.getAs[Long]("n_parts")
+      assert(r.getAs[Long]("n_pairs") === n * (n - 1) / 2, sdx)
+    }
+  }
   import SparkTestSession.{spark, sf}
   import spark.implicits._
 
