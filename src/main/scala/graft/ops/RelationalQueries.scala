@@ -171,6 +171,63 @@ object RelationalQueries {
           .as("charged_e6"))
   }
 
+  /** Price indices (Laspeyres / Paasche / Fisher) — the economics
+    * rollup behind "did prices move or did the basket move": per part
+    * matched across the two shipdate halves, period price
+    * p_t = revenue_t/qty_t, and
+    * L = Σp₁q₀/Σp₀q₀, P = Σp₁q₁/Σp₀q₁. The algebra collapses the
+    * denominators exactly (p₀q₀ = rev₀, p₁q₁ = rev₁) and each cross
+    * term floors as ONE exact integer division per part
+    * (rev₁·q₀·10³ div q₁ — floor-then-sum, order-independent), so
+    * both index ratios are single DECIMAL divisions to ppm. Fisher is
+    * ⌊√(L_ppm·P_ppm)⌋ — sqrt of an exact sub-2⁵³ integer is
+    * correctly rounded in every IEEE engine, so no correction is
+    * needed, and the geometric-mean bound min(L,P) ≤ F ≤ max(L,P) is
+    * the spec's wire pin. Shape: one part×period rollup, one matched
+    * self-alignment, two scalar sums. */
+  private def priceIndices(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, d)
+      .select($"l_partkey",
+        ($"l_extendedprice".cast("decimal(12,2)") * 100).cast("long")
+          .as("cents"),
+        $"l_quantity".cast("decimal(12,2)").cast("long").as("qty"),
+        datediff(to_date($"l_shipdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("us"))
+    val cut = base.agg(expr("(min(us) + max(us)) div 2").as("cut"))
+    val cells = base.crossJoin(broadcast(cut))
+      .groupBy($"l_partkey")
+      .agg(sum(when($"us" <= $"cut", $"cents").otherwise(0L)).as("s0"),
+        sum(when($"us" <= $"cut", $"qty").otherwise(0L)).as("q0"),
+        sum(when($"us" > $"cut", $"cents").otherwise(0L)).as("s1"),
+        sum(when($"us" > $"cut", $"qty").otherwise(0L)).as("q1"))
+      .filter($"q0" > 0 && $"q1" > 0)
+    cells
+      .select(
+        count(lit(1)).as("n_matched_parts"),
+        sum($"s0").as("rev0"), sum($"s1").as("rev1"),
+        // Σ p1·q0 and Σ p0·q1, each term one exact integer division;
+        // the SUM rides decimal(38) — 2e14-scale terms over 2e5 parts
+        // pass int64 already at sf1
+        sum(expr("CAST(s1 * q0 * 1000 div q1 AS DECIMAL(38,0))"))
+          .as("l_num_e3"),
+        sum(expr("CAST(s0 * q1 * 1000 div q0 AS DECIMAL(38,0))"))
+          .as("p_den_e3"))
+      .withColumn("laspeyres_ppm", expr(
+        "CAST(CAST(l_num_e3 AS DECIMAL(38,0)) * 1000000" +
+          " div (CAST(rev0 AS DECIMAL(38,0)) * 1000) AS BIGINT)"))
+      .withColumn("paasche_ppm", expr(
+        "CAST(CAST(rev1 AS DECIMAL(38,0)) * 1000000 * 1000" +
+          " div CAST(p_den_e3 AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("fisher_ppm",
+        floor(sqrt(($"laspeyres_ppm" * $"paasche_ppm").cast("double")))
+          .cast("long"))
+      .select($"n_matched_parts", $"rev0", $"rev1",
+        $"l_num_e3".cast("long").as("l_num_e3"),
+        $"p_den_e3".cast("long").as("p_den_e3"),
+        $"laspeyres_ppm", $"paasche_ppm", $"fisher_ppm")
+  }
+
   /** Star-schema dim chain: both dims broadcast → zero shuffles before
     * the final small aggregation. */
   private def joinBroadcastDims(s: SparkSession, d: String): DataFrame = {
@@ -558,6 +615,51 @@ object RelationalQueries {
         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         AND l_discount BETWEEN 0.04 AND 0.07
         AND l_quantity < 24"""), headline = true),
+
+    Q("q_price_indices", priceIndices, Some("""
+      WITH base AS (SELECT l_partkey,
+                           CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * 100 AS BIGINT) AS cents,
+                           CAST(CAST(l_quantity AS DECIMAL(12,2))
+                             AS BIGINT) AS qty,
+                           date_diff('day', DATE '1970-01-01',
+                             CAST(l_shipdate AS DATE)) AS us
+                    FROM lineitem),
+      cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM base),
+      cells AS (SELECT l_partkey,
+                       CAST(sum(CASE WHEN us <= cut THEN cents
+                                ELSE 0 END) AS BIGINT) AS s0,
+                       CAST(sum(CASE WHEN us <= cut THEN qty
+                                ELSE 0 END) AS BIGINT) AS q0,
+                       CAST(sum(CASE WHEN us > cut THEN cents
+                                ELSE 0 END) AS BIGINT) AS s1,
+                       CAST(sum(CASE WHEN us > cut THEN qty
+                                ELSE 0 END) AS BIGINT) AS q1
+                FROM base, cut GROUP BY 1
+                HAVING sum(CASE WHEN us <= cut THEN qty ELSE 0 END) > 0
+                   AND sum(CASE WHEN us > cut THEN qty ELSE 0 END) > 0),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n_matched_parts,
+                   CAST(sum(s0) AS BIGINT) AS rev0,
+                   CAST(sum(s1) AS BIGINT) AS rev1,
+                   CAST(sum(s1 * q0 * 1000 // q1) AS HUGEINT)
+                     AS l_num_e3,
+                   CAST(sum(s0 * q1 * 1000 // q0) AS HUGEINT)
+                     AS p_den_e3
+            FROM cells),
+      r AS (SELECT *,
+                   CAST(l_num_e3 * 1000000
+                     // (CAST(rev0 AS HUGEINT) * 1000) AS BIGINT)
+                     AS laspeyres_ppm,
+                   CAST(CAST(rev1 AS HUGEINT) * 1000000 * 1000
+                     // p_den_e3 AS BIGINT) AS paasche_ppm
+            FROM m)
+      SELECT n_matched_parts, rev0, rev1,
+             CAST(l_num_e3 AS BIGINT) AS l_num_e3,
+             CAST(p_den_e3 AS BIGINT) AS p_den_e3,
+             laspeyres_ppm, paasche_ppm,
+             CAST(floor(sqrt(CAST(laspeyres_ppm * paasche_ppm
+               AS DOUBLE))) AS BIGINT) AS fisher_ppm
+      FROM r""")),
 
     Q("q_revenue_waterfall", revenueWaterfall, Some("""
       WITH li AS (SELECT l_returnflag,

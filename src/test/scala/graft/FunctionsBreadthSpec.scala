@@ -436,6 +436,49 @@ class FunctionsBreadthSpec extends AnyFunSuite {
     }
   }
 
+  test("price indices: terms replay brute-force and Fisher sits " +
+      "between Laspeyres and Paasche (geometric-mean bound)") {
+    val rows = SparkEntry.queries("q_price_indices")(spark, sf)
+      .collect()
+    assert(rows.length === 1)
+    val row = rows.head
+    val base = Tables.lineitem(spark, sf)
+      .select($"l_partkey",
+        ($"l_extendedprice".cast("decimal(12,2)") * 100).cast("long"),
+        $"l_quantity".cast("decimal(12,2)").cast("long"),
+        datediff(to_date($"l_shipdate"), lit("1970-01-01").cast("date"))
+          .cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    val cut = (base.map(_._4).min + base.map(_._4).max) / 2
+    val cells = base.groupBy(_._1).view.mapValues { rs =>
+      val (h0, h1) = rs.partition(_._4 <= cut)
+      (h0.map(_._2).sum, h0.map(_._3).sum,
+        h1.map(_._2).sum, h1.map(_._3).sum)
+    }.filter { case (_, (_, q0, _, q1)) => q0 > 0 && q1 > 0 }.toMap
+    assert(row.getAs[Long]("n_matched_parts") === cells.size.toLong)
+    val rev0 = cells.values.map(_._1).sum
+    val rev1 = cells.values.map(_._3).sum
+    val lNum = cells.values.map { case (_, q0, s1, q1) =>
+      s1 * q0 * 1000L / q1
+    }.sum
+    val pDen = cells.values.map { case (s0, q0, _, q1) =>
+      s0 * q1 * 1000L / q0
+    }.sum
+    assert((row.getAs[Long]("rev0"), row.getAs[Long]("rev1")) ===
+      ((rev0, rev1)))
+    assert(row.getAs[Long]("l_num_e3") === lNum)
+    assert(row.getAs[Long]("p_den_e3") === pDen)
+    val l = BigInt(lNum) * 1000000 / (BigInt(rev0) * 1000)
+    val p = BigInt(rev1) * 1000000 * 1000 / pDen
+    assert(row.getAs[Long]("laspeyres_ppm") === l.toLong)
+    assert(row.getAs[Long]("paasche_ppm") === p.toLong)
+    val f = row.getAs[Long]("fisher_ppm")
+    assert(f === math.floor(
+      math.sqrt((l * p).toDouble)).toLong)
+    assert(f >= math.min(l.toLong, p.toLong) &&
+      f <= math.max(l.toLong, p.toLong), "geometric-mean bound")
+  }
+
   test("map functions: create/keys/values/concat/element_at") {
     val df = Tables.nation(spark, sf)
       .select($"n_name", $"n_regionkey",
