@@ -472,6 +472,64 @@ object ScalarQueries {
       .unionByName(stats("click_to_buy_us", "2_click_to_buy"))
   }
 
+  /** Seasonal percentile envelope — the "normal range" band an
+    * on-call dashboard draws: per (event_type, day-of-week), the
+    * exact p25/p50/p75 order statistics of daily revenue at
+    * integer-ceiling ranks over a deterministic (cents, day) total
+    * order (the q_gpd_tail/q_funnel_latency discipline — never an
+    * interpolated percentile). Today's value outside its weekday
+    * band is the alert. Shape: daily rollup, one rank window per
+    * (type, dow) partition over calendar-bounded rows. */
+  private def weekdayEnvelope(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type", $"dow")
+      .orderBy($"cents".asc, $"day".asc)
+    Tables.events(s, d)
+      .filter($"value".isNotNull)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("cents"))
+      .withColumn("dow", dayofweek($"day").cast("long"))
+      .withColumn("r", row_number().over(W).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type", $"dow")))
+      .filter($"r" === expr("(n + 3) div 4") ||
+        $"r" === expr("(n + 1) div 2") ||
+        $"r" === expr("(3 * n + 3) div 4"))
+      .groupBy($"event_type", $"dow")
+      .agg(max($"n").as("n_days"),
+        min(when($"r" === expr("(n + 3) div 4"), $"cents")).as("p25"),
+        min(when($"r" === expr("(n + 1) div 2"), $"cents")).as("p50"),
+        min(when($"r" === expr("(3 * n + 3) div 4"), $"cents"))
+          .as("p75"))
+  }
+
+  /** New-vs-returning growth accounting — the weekly purchaser mix
+    * every growth review opens with: a purchaser is NEW in the week
+    * of their first-ever purchase and RETURNING in any later active
+    * week. One first-purchase rollup + one distinct (user, week)
+    * activity table, both combinable; exact counts. */
+  private def newVsReturning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.events(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        date_trunc("week", $"ts").cast("date").as("week"))
+    val first = p.groupBy($"user_id").agg(min($"week").as("first_week"))
+    p.distinct().join(first, "user_id")
+      .groupBy($"week")
+      .agg(
+        sum(when($"week" === $"first_week", 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when($"week" =!= $"first_week", 1L).otherwise(0L))
+          .as("n_returning"))
+      .withColumn("returning_ppm", expr(
+        "n_returning * 1000000 div (n_new + n_returning)"))
+  }
+
   /** Conversion deadline (µs) for [[windowFunnel]]: 24 hours. */
   val FunnelWindowUs = 86400000000L
 
@@ -730,6 +788,48 @@ object ScalarQueries {
       SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM s2
       UNION ALL
       SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM s3""")),
+    Q("q_weekday_envelope", weekdayEnvelope, Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      daily AS (SELECT event_type, day,
+                       CAST(sum(cents) AS BIGINT) AS cents
+                FROM e GROUP BY 1, 2),
+      dw AS (SELECT *, CAST(dayofweek(day) + 1 AS BIGINT) AS dow
+             FROM daily),
+      r AS (SELECT *,
+                   CAST(row_number() OVER (PARTITION BY event_type, dow
+                     ORDER BY cents ASC, day ASC) AS BIGINT) AS r,
+                   CAST(count(*) OVER (PARTITION BY event_type, dow)
+                     AS BIGINT) AS n
+            FROM dw)
+      SELECT event_type, dow, max(n) AS n_days,
+             min(CASE WHEN r = (n + 3) // 4 THEN cents END) AS p25,
+             min(CASE WHEN r = (n + 1) // 2 THEN cents END) AS p50,
+             min(CASE WHEN r = (3 * n + 3) // 4 THEN cents END) AS p75
+      FROM r
+      WHERE r = (n + 3) // 4 OR r = (n + 1) // 2
+         OR r = (3 * n + 3) // 4
+      GROUP BY 1, 2""")),
+
+    Q("q_new_vs_returning", newVsReturning, Some("""
+      WITH p AS (SELECT user_id,
+                        CAST(date_trunc('week', ts) AS DATE) AS week
+                 FROM events WHERE event_type = 'purchase'),
+      first AS (SELECT user_id, min(week) AS first_week FROM p
+                GROUP BY 1),
+      a AS (SELECT DISTINCT p.user_id, p.week FROM p)
+      SELECT week,
+             CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN week <> first_week THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_returning,
+             CAST(sum(CASE WHEN week <> first_week THEN 1 ELSE 0 END)
+               * 1000000 // count(*) AS BIGINT) AS returning_ppm
+      FROM a JOIN first ON a.user_id = first.user_id
+      GROUP BY 1""")),
+
     Q("q_funnel_latency", funnelLatency, Some("""
       WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
                   FROM events),

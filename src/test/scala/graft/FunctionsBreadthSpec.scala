@@ -479,6 +479,56 @@ class FunctionsBreadthSpec extends AnyFunSuite {
       f <= math.max(l.toLong, p.toLong), "geometric-mean bound")
   }
 
+  test("weekday envelope and new-vs-returning replay brute-force " +
+      "with their ordering invariants") {
+    // envelope: p25 <= p50 <= p75 and exact order-statistic replay
+    val env = SparkEntry.queries("q_weekday_envelope")(spark, sf)
+      .collect()
+    assert(env.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .filter($"value".isNotNull)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy($"event_type", $"day").agg(sum($"c").as("c"))
+      .withColumn("dow", dayofweek($"day").cast("long"))
+      .select($"event_type", $"dow", $"day".cast("string"), $"c")
+      .as[(String, Long, String, Long)].collect()
+    env.foreach { r =>
+      val key = (r.getAs[String]("event_type"), r.getAs[Long]("dow"))
+      val xs = daily.filter(x => (x._1, x._2) == key)
+        .sortBy(x => (x._4, x._3)).map(_._4)
+      val n = xs.length.toLong
+      assert(r.getAs[Long]("n_days") === n, key)
+      assert(r.getAs[Long]("p25") === xs(((n + 3) / 4 - 1).toInt))
+      assert(r.getAs[Long]("p50") === xs(((n + 1) / 2 - 1).toInt))
+      assert(r.getAs[Long]("p75") === xs(((3 * n + 3) / 4 - 1).toInt))
+      assert(r.getAs[Long]("p25") <= r.getAs[Long]("p50"))
+      assert(r.getAs[Long]("p50") <= r.getAs[Long]("p75"))
+    }
+    // new vs returning: weekly mix replay; the first observed week is
+    // all-new and sums telescope to the purchaser count
+    val nvr = SparkEntry.queries("q_new_vs_returning")(spark, sf)
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("week").toString ->
+        ((r.getAs[Long]("n_new"), r.getAs[Long]("n_returning"))))
+      .toMap
+    val pw = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        date_trunc("week", $"ts").cast("date").cast("string"))
+      .distinct().as[(Long, String)].collect()
+    val firstW = pw.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = pw.groupBy(_._2).map { case (w, rs) =>
+      w -> ((rs.count(r => firstW(r._1) == w).toLong,
+        rs.count(r => firstW(r._1) != w).toLong))
+    }
+    assert(nvr === want)
+    val weeks = nvr.keys.toSeq.sorted
+    assert(nvr(weeks.head)._2 === 0L, "first week cannot have returners")
+    assert(nvr.values.map(_._1).sum === firstW.size.toLong,
+      "every purchaser is new exactly once")
+  }
+
   test("map functions: create/keys/values/concat/element_at") {
     val df = Tables.nation(spark, sf)
       .select($"n_name", $"n_regionkey",
