@@ -228,6 +228,42 @@ object RelationalQueries {
         $"laspeyres_ppm", $"paasche_ppm", $"fisher_ppm")
   }
 
+  /** Supplier return-rate outlier screen — the marketplace quality
+    * rule: which suppliers get returned MORE THAN CHANCE allows,
+    * against the corpus base rate? Per supplier the one-proportion
+    * z-test runs ENTIRELY in integers by cross-multiplication:
+    * z² = (r·N − R·n)²/(n·R·(N−R)) ≥ 3.84 (5 %) ⟺
+    * 100·(r·N − R·n)² ≥ 384·n·R·(N−R), every product in
+    * DECIMAL(38,0)/HUGEINT, where
+    * (r, n) are the supplier's returned/total items and (R, N) the
+    * corpus totals. Signed: flagged only when the rate is HIGH
+    * (r·N > R·n). Emits rate ppm, excess ppm, and the exact
+    * comparands so the spec can replay the algebra. One combinable
+    * rollup + one broadcast totals row. */
+  private def returnRateOutliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, d)
+      .select($"l_suppkey",
+        when($"l_returnflag" === "R", 1L).otherwise(0L).as("ret"))
+    val cells = base.groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n"), sum($"ret").as("r"))
+    val tot = cells.agg(sum($"n").as("nn"), sum($"r").as("rr"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("rate_ppm", expr("r * 1000000 div n"))
+      .withColumn("excess_ppm",
+        expr("r * 1000000 div n - rr * 1000000 div nn"))
+      // z² = (rN−Rn)² / (n·R·(N−R)) ≥ 3.84, cross-multiplied ×100
+      .withColumn("z2_num", expr(
+        "CAST((r * nn - rr * n) AS DECIMAL(38,0))" +
+          " * (r * nn - rr * n) * 100"))
+      .withColumn("z2_den", expr(
+        "CAST(n AS DECIMAL(38,0)) * rr * (nn - rr)"))
+      .withColumn("high_outlier",
+        $"r" * $"nn" > $"rr" * $"n" && expr("z2_num >= 384 * z2_den"))
+      .select($"l_suppkey", $"n", $"r", $"rate_ppm", $"excess_ppm",
+        $"high_outlier")
+  }
+
   /** Star-schema dim chain: both dims broadcast → zero shuffles before
     * the final small aggregation. */
   private def joinBroadcastDims(s: SparkSession, d: String): DataFrame = {
@@ -615,6 +651,25 @@ object RelationalQueries {
         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         AND l_discount BETWEEN 0.04 AND 0.07
         AND l_quantity < 24"""), headline = true),
+
+    Q("q_return_rate_outliers", returnRateOutliers, Some("""
+      WITH c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(CASE WHEN l_returnflag = 'R'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS r
+                 FROM lineitem GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(r) AS BIGINT) AS rr
+            FROM c)
+      SELECT l_suppkey, n, r,
+             CAST(r * 1000000 // n AS BIGINT) AS rate_ppm,
+             CAST(r * 1000000 // n - rr * 1000000 // nn AS BIGINT)
+               AS excess_ppm,
+             r * nn > rr * n
+               AND CAST((r * nn - rr * n) AS HUGEINT)
+                   * (r * nn - rr * n) * 100
+                   >= 384 * (CAST(n AS HUGEINT) * rr * (nn - rr))
+               AS high_outlier
+      FROM c, t""")),
 
     Q("q_price_indices", priceIndices, Some("""
       WITH base AS (SELECT l_partkey,

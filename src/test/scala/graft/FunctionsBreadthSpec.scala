@@ -529,6 +529,38 @@ class FunctionsBreadthSpec extends AnyFunSuite {
       "every purchaser is new exactly once")
   }
 
+  test("return-rate outliers: the cross-multiplied z-squared replays " +
+      "in BigInt and the flag rate sits near the one-sided null rate") {
+    val rows = SparkEntry.queries("q_return_rate_outliers")(spark, sf)
+      .collect().map(r => r.getAs[Long]("l_suppkey") -> r).toMap
+    assert(rows.nonEmpty)
+    val cells = Tables.lineitem(spark, sf)
+      .select($"l_suppkey",
+        when($"l_returnflag" === "R", 1L).otherwise(0L))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toMap
+    val nn = cells.values.map(_._1).sum
+    val rr = cells.values.map(_._2).sum
+    assert(rows.keySet === cells.keySet)
+    var flagged = 0
+    cells.foreach { case (k, (n, r)) =>
+      val row = rows(k)
+      assert((row.getAs[Long]("n"), row.getAs[Long]("r")) === ((n, r)))
+      assert(row.getAs[Long]("rate_ppm") === r * 1000000L / n)
+      assert(row.getAs[Long]("excess_ppm") ===
+        r * 1000000L / n - rr * 1000000L / nn)
+      val diff = BigInt(r) * nn - BigInt(rr) * n
+      val want = diff > 0 &&
+        diff * diff * 100 >= BigInt(384) * n * rr * (nn - rr)
+      assert(row.getAs[Boolean]("high_outlier") === want, s"s$k")
+      if (want) flagged += 1
+    }
+    // random return flags => flag share near the 2.5% one-sided null
+    // rate, and certainly nowhere near the 50% a broken contrast gives
+    assert(flagged.toDouble / cells.size < 0.10,
+      s"flag rate ${flagged.toDouble / cells.size} too high for null data")
+  }
+
   test("map functions: create/keys/values/concat/element_at") {
     val df = Tables.nation(spark, sf)
       .select($"n_name", $"n_regionkey",
