@@ -1382,9 +1382,13 @@ object InferenceQueries {
       .withColumn("expected_zero_e6",
         floor($"n_cells" * exp(-($"total_events".cast("double") /
           $"n_cells")) * lit(1e6)).cast("long"))
+      // zero_cells scales with n_users·n_days: widen to decimal(38,0)
+      // BEFORE the e12 multiply (ADVICE r11 — int64 wraps silently
+      // past ~9.2e6 cells where the HUGEINT oracle stays exact)
       .withColumn("zi_ratio_ppm",
         when($"expected_zero_e6" > 0,
-          expr("zero_cells * 1000000000000 div expected_zero_e6")))
+          expr("cast(zero_cells as decimal(38,0)) * 1000000000000" +
+            " div expected_zero_e6")))
       .select($"event_type", $"n_cells", $"zero_cells",
         $"total_events", $"expected_zero_e6", $"zi_ratio_ppm")
   }
@@ -2495,8 +2499,8 @@ object InferenceQueries {
       SELECT event_type, n_cells, zero_cells, total_events,
              expected_zero_e6,
              CASE WHEN expected_zero_e6 > 0 THEN
-               CAST(zero_cells * 1000000000000 // expected_zero_e6
-                 AS BIGINT) END AS zi_ratio_ppm
+               CAST(CAST(zero_cells AS HUGEINT) * 1000000000000
+                 // expected_zero_e6 AS BIGINT) END AS zi_ratio_ppm
       FROM e""")),
 
     Q("q_did", diffInDiff, Some("""

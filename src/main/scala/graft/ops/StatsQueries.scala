@@ -1401,27 +1401,26 @@ object StatsQueries {
   /** Rolling window size (days) for [[rollingCorr]]. */
   val RollCorrWindow = 7
 
-  /** Rolling inter-series correlation — the co-movement monitor
-    * between every PAIR of event-type daily-revenue series: a 7-day
-    * rolling Pearson correlation per (type_a, type_b) pair, the
-    * leading-indicator / decoupling detector that complements
-    * [[corrMoments]] (global, between columns of one row) with a
-    * time-LOCAL statistic between two SERIES. All five moment sums
-    * (Σx, Σy, Σxy, Σx², Σy²) are exact integer cents over the
-    * ordered frame; the correlation is emitted as `corr_e3` =
-    * ⌊num·10³/√(vx·vy)⌋ computed EXACTLY by
-    * [[exactFloorE3Corr]] — a double-derived candidate corrected
-    * with integer comparisons, because collinear windows put the
-    * quotient exactly ON the floor grid where any purely-floating
-    * pipeline is one ULP from flipping (the round-9 AND round-10
-    * red row; `num`/`vx`/`vy` stay in the output so full precision
-    * is recoverable downstream). Shape: one groupBy(type, day)
-    * pre-aggregate (map-side combinable), a day-equi self-join that
-    * fans the DAY-cardinality table to its 10 type pairs, then a
-    * window PARTITIONED BY PAIR — parallel across pairs, and the
-    * frame walks days, not events (the q_eval_auc lesson), so the
-    * window input is ~365 rows per pair-year at ANY event volume. */
-  private def rollingCorr(s: SparkSession, d: String): DataFrame = {
+  /** Descending bit ladder for the integer binary search in
+    * [[rollingCorr]]: 2¹¹ = 2048 covers the whole |corr_e3| range
+    * [0, 1000] (Cauchy–Schwarz bounds |num·10³/√(vx·vy)| at 1000, so
+    * the greedy descent can never climb past 1000 — every probe above
+    * it fails its integer comparison). */
+  private val CorrSearchBits =
+    Seq(1024L, 512L, 256L, 128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L)
+
+  /** Shared moments pipeline for [[rollingCorr]] and its bisection
+    * twin q_rolling_moments: per-(type_a, type_b) 7-day rolling
+    * integer moment sums over the daily-cents series, through the
+    * centered combinations num = n·Σxy − Σx·Σy, vx, vy. All exact
+    * BIGINT cents — no floating point anywhere. Shape: one
+    * groupBy(type, day) pre-aggregate (map-side combinable), a
+    * day-equi self-join that fans the DAY-cardinality table to its
+    * 10 type pairs, then a window PARTITIONED BY PAIR — parallel
+    * across pairs, and the frame walks days, not events (the
+    * q_eval_auc lesson), so the window input is ~365 rows per
+    * pair-year at ANY event volume. */
+  private def rollingMoments(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val W = org.apache.spark.sql.expressions.Window
     val win = W.partitionBy($"type_a", $"type_b").orderBy($"day".asc)
@@ -1448,9 +1447,55 @@ object StatsQueries {
         ($"n_w" * $"sxy" - $"sx" * $"sy").as("num"),
         ($"n_w" * $"sxx" - $"sx" * $"sx").as("vx"),
         ($"n_w" * $"syy" - $"sy" * $"sy").as("vy"))
+  }
+
+  /** Rolling inter-series correlation — the co-movement monitor
+    * between every PAIR of event-type daily-revenue series: a 7-day
+    * rolling Pearson correlation per (type_a, type_b) pair, the
+    * leading-indicator / decoupling detector that complements
+    * [[corrMoments]] (global, between columns of one row) with a
+    * time-LOCAL statistic between two SERIES. Moments come from
+    * [[rollingMoments]] (exact BIGINT cents); `corr_e3` =
+    * ⌊num·10³/√(vx·vy)⌋ is then computed with NO sqrt, NO floor and
+    * NO double on either engine: an 11-step unrolled greedy bit
+    * descent finds k = ⌊|num|·10³/√p⌋ (each step one integer
+    * comparison (t+b)²·p ≤ num²·10⁶, exact in decimal(38,0) /
+    * HUGEINT), and the negative side uses the identity
+    * ⌊−q⌋ = −k when q = k exactly (k²·p = num²·10⁶), else −(k+1).
+    * Degenerate windows (n_w = 1 or zero variance) emit the sentinel
+    * −2000 with `corr_defined` = 0 instead of NULL, so the measure
+    * column is non-nullable end to end — no engine, version, or
+    * dataframe dtype coercion (int64-with-nulls → float64) can
+    * perturb the comparison. Comparand bound: |m| ≤ 2047 so
+    * m²·p ≤ 4.2e6·p; exact while p = vx·vy < ~2.4e31 (sf ≤ 1 by a
+    * wide margin; num²·10⁶ ≤ p·10⁶ by Cauchy–Schwarz). */
+  private def rollingCorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val base = rollingMoments(s, d)
+      .withColumn("pp", $"vx".cast(dec) * $"vy".cast(dec))
+      .withColumn("a2",
+        abs($"num").cast(dec) * abs($"num").cast(dec) * lit(1000000L))
+    // greedy bit descent: after the fold, t = max{m ≥ 0 : m²·pp ≤ a2}
+    // = ⌊|num|·10³/√pp⌋ (each withColumn is its own Project;
+    // CollapseProject keeps the non-cheap CASE producers un-inlined,
+    // so plan size stays linear in the 11 steps)
+    val searched = CorrSearchBits.foldLeft(base.withColumn("t", lit(0L))) {
+      (df, b) =>
+        df.withColumn("t",
+          when(($"t" + b).cast(dec) * ($"t" + b).cast(dec) * $"pp" <= $"a2",
+            $"t" + b).otherwise($"t"))
+    }
+    searched
+      .withColumn("corr_defined",
+        when($"vx" > 0 && $"vy" > 0, 1L).otherwise(0L))
       .withColumn("corr_e3",
-        when($"vx" > 0 && $"vy" > 0, exactFloorDivSqrt($"num",
-          $"vx".cast("decimal(38,0)") * $"vy", 1000L)))
+        when($"corr_defined" === 0, lit(-2000L))
+          .when($"num" >= 0, $"t")
+          .when($"t".cast(dec) * $"t".cast(dec) * $"pp" === $"a2", -$"t")
+          .otherwise(-($"t" + 1)))
+      .select($"type_a", $"type_b", $"day", $"x", $"y", $"n_w",
+        $"num", $"vx", $"vy", $"corr_defined", $"corr_e3")
   }
 
   /** Exact ⌊num·scale/√p⌋ — engine-independent by construction.
@@ -3528,7 +3573,13 @@ object StatsQueries {
              CAST((-CAST(sum(tll) AS BIGINT))
                // CAST(count(*) AS BIGINT) AS BIGINT)
                AS neg_mean_ll_e9
-      FROM tl GROUP BY n_train, beta0, beta1""")),
+      FROM tl GROUP BY n_train, beta0, beta1"""),
+      // headline (round 12, VERDICT r11 #5): second bench
+      // representative for the fit-in-engine tier — two unrolled
+      // Newton steps as scan-aggregates; a plan regression in the
+      // model-fitting queries should be caught by BENCH, not only
+      // by the oracle
+      headline = true),
 
     Q("q_winsorize", winsorize, Some("""
       WITH base AS (
@@ -3594,7 +3645,18 @@ object StatsQueries {
              round(CAST(sum(term) AS DOUBLE), 4) AS decayed_total
       FROM t GROUP BY 1""")),
 
-    Q("q_rolling_corr", rollingCorr, Some(s"""
+    Q("q_rolling_corr", rollingCorr, Some {
+      // 11 unrolled binary-search steps, HUGEINT end to end — the
+      // oracle replays the Spark bit descent literally, one CTE per
+      // bit, so there is no sqrt/floor/double ANYWHERE to diverge
+      val cols = "type_a, type_b, day, x, y, n_w, num, vx, vy, pp, a2"
+      val steps = CorrSearchBits.zipWithIndex.map { case (b, i) =>
+        val prev = if (i == 0) "c" else s"s$i"
+        s"""s${i + 1} AS (SELECT $cols,
+           CASE WHEN (t + $b) * (t + $b) * pp <= a2
+                THEN t + $b ELSE t END AS t FROM $prev)"""
+      }.mkString(",\n      ")
+      s"""
       WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
                             sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
                               AS BIGINT)) AS day_cents
@@ -3620,43 +3682,58 @@ object StatsQueries {
                    CAST(n_w * sxx - sx * sx AS BIGINT) AS vx,
                    CAST(n_w * syy - sy * sy AS BIGINT) AS vy
             FROM w),
-      -- exact-floor machinery: kd is the double CANDIDATE (within
-      -- +-1 of truth); p and a2 are the exact HUGEINT comparands
-      c AS (SELECT *,
-                   CASE WHEN vx > 0 AND vy > 0 THEN
-                     CAST(floor(CAST(num AS DOUBLE) * 1000.0 /
-                       sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)))
-                       AS BIGINT) END AS kd,
-                   CAST(vx AS HUGEINT) * CAST(vy AS HUGEINT) AS p,
-                   CAST(num AS HUGEINT) * CAST(num AS HUGEINT)
-                     * 1000000 AS a2
-            FROM m)
+      c AS (SELECT type_a, type_b, day, x, y, n_w, num, vx, vy,
+                   CAST(vx AS HUGEINT) * CAST(vy AS HUGEINT) AS pp,
+                   CAST(abs(num) AS HUGEINT) * CAST(abs(num) AS HUGEINT)
+                     * 1000000 AS a2,
+                   CAST(0 AS HUGEINT) AS t
+            FROM m),
+      $steps
       SELECT type_a, type_b, day, x, y, n_w, num, vx, vy,
-             CASE WHEN vx > 0 AND vy > 0 THEN CAST(
-               CASE WHEN (CASE WHEN num >= 0 AND kd + 1 <= 0 THEN TRUE
-                               WHEN num < 0 AND kd + 1 >= 0 THEN FALSE
-                               WHEN num >= 0 THEN
-                                 CAST(kd + 1 AS HUGEINT)
-                                   * CAST(kd + 1 AS HUGEINT) * p <= a2
-                               ELSE CAST(kd + 1 AS HUGEINT)
-                                 * CAST(kd + 1 AS HUGEINT) * p >= a2
-                          END) THEN kd + 1
-                    WHEN (CASE WHEN num >= 0 AND kd <= 0 THEN TRUE
-                               WHEN num < 0 AND kd >= 0 THEN FALSE
-                               WHEN num >= 0 THEN
-                                 CAST(kd AS HUGEINT)
-                                   * CAST(kd AS HUGEINT) * p <= a2
-                               ELSE CAST(kd AS HUGEINT)
-                                 * CAST(kd AS HUGEINT) * p >= a2
-                          END) THEN kd
-                    ELSE kd - 1
-               END AS BIGINT)
-             END AS corr_e3
-      FROM c"""),
+             CAST(CASE WHEN vx > 0 AND vy > 0 THEN 1 ELSE 0 END
+               AS BIGINT) AS corr_defined,
+             CAST(CASE WHEN NOT (vx > 0 AND vy > 0) THEN -2000
+                       WHEN num >= 0 THEN t
+                       WHEN t * t * pp = a2 THEN -t
+                       ELSE -(t + 1) END AS BIGINT) AS corr_e3
+      FROM s${CorrSearchBits.size}"""
+    },
       // headline (round 10): the 61-query stats/inference battery had
       // zero bench representation — this self-join + pair-partitioned
       // window is its regression canary
       headline = true),
+
+    // bisection twin (VERDICT r11 #1): identical pipeline through
+    // num/vx/vy with the correlation step OMITTED — if the driver's
+    // gate ever reds q_rolling_corr again, this row localizes the
+    // divergence (twin green => the corr_e3 step or its dtype
+    // handling; twin red => upstream cents cast / window)
+    Q("q_rolling_moments", rollingMoments, Some(s"""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) AS day_cents
+                     FROM events WHERE value IS NOT NULL
+                     GROUP BY 1, 2),
+      pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       a.day, a.day_cents AS x, b.day_cents AS y
+                FROM daily a JOIN daily b ON a.day = b.day
+                WHERE a.event_type < b.event_type),
+      w AS (SELECT type_a, type_b, day, x, y,
+                   count(*) OVER win AS n_w,
+                   sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+                   sum(x * y) OVER win AS sxy,
+                   sum(x * x) OVER win AS sxx,
+                   sum(y * y) OVER win AS syy
+            FROM pairs
+            WINDOW win AS (PARTITION BY type_a, type_b
+                           ORDER BY day ASC
+                           ROWS BETWEEN ${RollCorrWindow - 1} PRECEDING
+                             AND CURRENT ROW))
+      SELECT type_a, type_b, day, x, y, n_w,
+             CAST(n_w * sxy - sx * sy AS BIGINT) AS num,
+             CAST(n_w * sxx - sx * sx AS BIGINT) AS vx,
+             CAST(n_w * syy - sy * sy AS BIGINT) AS vy
+      FROM w""")),
 
     Q("q_bootstrap_ci", bootstrapCi, Some(s"""
       WITH e AS (SELECT event_type, event_id,

@@ -785,7 +785,19 @@ object TextOps {
     * weighted edge build is one combinable bigram rollup; the rank
     * loop runs on the VOCABULARY graph, bounded by distinct bigrams,
     * not corpus rows. */
-  private def textrank(s: SparkSession, d: String): DataFrame = {
+  private def textrank(s: SparkSession, d: String): DataFrame =
+    textrankWith(s, d, GraphOps.DefaultBroadcastNodeCap)
+
+  /** [[textrank]] with an explicit broadcast cap — the rank table is
+    * VOCABULARY-cardinality, which at 100 TB of noisy web text is
+    * tens of millions of distinct tokens, so the per-iteration
+    * broadcast is gated exactly like [[GraphOps.pagerankOn]]
+    * (VERDICT r11 #3): at or below the cap each round broadcasts the
+    * rank table; above it the join falls back to shuffle_hash on the
+    * already-co-partitioned `src` key. TextOpsSpec pins both paths
+    * identical. */
+  private[graft] def textrankWith(s: SparkSession, d: String,
+      broadcastNodeCap: Long): DataFrame = {
     import s.implicits._
     val fp = GraphOps.FpOne
     val t = tokens(lower($"text"))
@@ -808,12 +820,16 @@ object TextOps {
     }
     val adj = edges.join(strength, "src")
     val nNodes = strength.count()
+    val broadcastRanks = nNodes <= broadcastNodeCap
     val teleport = fp / 100 * 15 / nNodes
     var rank = strength.select($"src".as("node"),
       lit(fp / nNodes).as("rank_fp"))
     for (_ <- 1 to GraphOps.Iterations) {
       val r = rank.withColumnRenamed("node", "src")
-      rank = adj.join(broadcast(r), "src")
+      val joined =
+        if (broadcastRanks) adj.join(broadcast(r), "src")
+        else adj.join(r.hint("shuffle_hash"), "src")
+      rank = joined
         .select($"dst".as("node"), expr("rank_fp * w div stw").as("c"))
         .groupBy($"node").agg(sum($"c").as("sc"))
         .select($"node",
@@ -906,8 +922,13 @@ object TextOps {
         sum(when($"n_owners" === 1L, 1L).otherwise(0L))
           .as("n_exclusive"),
         sum(expr(s"$ShapleyLcm div n_owners")).as("credit_lcm"))
+      // credit_lcm ≈ lcm·n_shingles grows with the corpus: widen to
+      // decimal(38,0) before the ×1000 like the HUGEINT oracle does
+      // (ADVICE r11 — Long wraps silently past ~4e7 covered shingles
+      // per source where the oracle stays exact)
       .withColumn("shapley_milli",
-        expr(s"(credit_lcm * 1000) div $ShapleyLcm"))
+        expr(s"cast(credit_lcm as decimal(38,0)) * 1000" +
+          s" div $ShapleyLcm"))
       .orderBy($"source".asc)
   }
 

@@ -362,15 +362,19 @@ class StatsSpec extends AnyFunSuite {
       "correlations stay in [-1, 1], and the result is partition-" +
       "count invariant") {
     def collectCorr(): Map[(String, String, String),
-        (Long, Long, Long, Long, Option[Long])] =
+        (Long, Long, Long, Long, Long, Long)] =
       SparkEntry.queries("q_rolling_corr")(spark, sf).collect()
         .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"),
           r.getAs[java.sql.Date]("day").toString) ->
           (r.getAs[Long]("n_w"), r.getAs[Long]("num"), r.getAs[Long]("vx"),
-            r.getAs[Long]("vy"),
-            if (r.isNullAt(r.fieldIndex("corr_e3"))) None
-            else Some(r.getAs[Long]("corr_e3")))).toMap
+            r.getAs[Long]("vy"), r.getAs[Long]("corr_defined"),
+            r.getAs[Long]("corr_e3"))).toMap
     val got = collectCorr()
+    // the measure column is NON-nullable by construction (r12: the
+    // degenerate windows carry the -2000 sentinel, never NULL)
+    assert(!SparkEntry.queries("q_rolling_corr")(spark, sf)
+      .schema("corr_e3").nullable,
+      "corr_e3 must be non-nullable (sentinel, not NULL)")
     // all 10 unordered type pairs appear
     assert(got.keys.map(k => (k._1, k._2)).toSet.size === 10)
     // brute: daily totals -> per-pair day-sorted series -> 7-row frames
@@ -401,8 +405,8 @@ class StatsSpec extends AnyFunSuite {
       // INDEPENDENT exact floor: linear scan for the unique integer k
       // in [-1000, 1000] with k <= num*1e3/sqrt(vx*vy) < k+1, decided
       // purely in BigInt (no doubles anywhere — the stronger oracle
-      // than replaying the query's candidate+correction tree)
-      val corrE3 = if (vx > 0 && vy > 0) {
+      // than replaying the query's bit-descent tree)
+      val (defined, corrE3) = if (vx > 0 && vy > 0) {
         val p = BigInt(vx) * BigInt(vy)
         val a2 = BigInt(num) * BigInt(num) * 1000000
         def leq(m: Long): Boolean =
@@ -410,23 +414,34 @@ class StatsSpec extends AnyFunSuite {
           else if (num < 0 && m >= 0) false
           else if (num >= 0) BigInt(m) * BigInt(m) * p <= a2
           else BigInt(m) * BigInt(m) * p >= a2
-        Some((-1000L to 1000L).takeWhile(leq).last)
-      } else None
-      (ta, tb, day) -> ((n, num, vx, vy, corrE3))
+        (1L, (-1000L to 1000L).takeWhile(leq).last)
+      } else (0L, -2000L)
+      (ta, tb, day) -> ((n, num, vx, vy, defined, corrE3))
     }).toMap
     // exact match cell-for-cell, fixed-point correlation included
     assert(got === want)
-    got.values.foreach { case (nw, _, vx, vy, corr) =>
+    got.values.foreach { case (nw, _, vx, vy, defined, corr) =>
       assert(nw >= 1 && nw <= ops.StatsQueries.RollCorrWindow)
       assert(vx >= 0 && vy >= 0, "window variance terms are nonnegative")
-      corr.foreach(c => assert(c >= -1000L && c <= 1000L))
+      if (defined == 1L) assert(corr >= -1000L && corr <= 1000L)
+      else assert(corr === -2000L, "undefined rows carry the sentinel")
     }
     // |corr| = 1 windows exist in the data (every pair's 2-point
     // frame is collinear) — the exact-tie rows that flipped the
     // round-9/round-10 floating floor MUST be pinned at the grid edge
-    assert(want.values.exists { case (_, num, vx, vy, c) =>
-      c.contains(1000L) || c.contains(-1000L) },
+    assert(want.values.exists { case (_, _, _, _, d, c) =>
+      d == 1L && (c == 1000L || c == -1000L) },
       "expected at least one exactly-collinear window")
+    // the moments twin is the corr pipeline truncated before the
+    // search: cell-identical through num/vx/vy
+    val twin = SparkEntry.queries("q_rolling_moments")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"),
+        r.getAs[java.sql.Date]("day").toString) ->
+        (r.getAs[Long]("n_w"), r.getAs[Long]("num"), r.getAs[Long]("vx"),
+          r.getAs[Long]("vy"))).toMap
+    assert(twin === got.map { case (k, v) =>
+      k -> ((v._1, v._2, v._3, v._4)) })
     // determinism pin (the round-9 red row was boundary-flaky): the
     // fixed-point result must not depend on physical partitioning
     val key = "spark.sql.shuffle.partitions"

@@ -44,6 +44,37 @@ class EntityResolutionSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf}
   import spark.implicits._
 
+  test("soundexSql squeezes EVERY same-class digit run, not just the " +
+      "first (ADVICE r11: DuckDB regexp_replace is non-global without " +
+      "'g'; the Spark rendering must be all-runs)") {
+    // BABBITT: translate → 1011033; two squeezable runs of different
+    // classes (11 and 33). PEPPERPOPPER: two runs of the SAME class
+    // (PP twice) — the case a first-match-only replace gets wrong.
+    val words = Seq("BABBITT", "PEPPERPOPPER", "MISSISSIPPI", "TATTOO")
+    // pure-Scala reference with explicit global squeeze
+    def ref(w: String): String = {
+      val classes = "01230120022455012623010202"
+      val digits = w.map(c => classes(c - 'A'))
+      val squeezed = digits.foldLeft("") { (acc, d) =>
+        if (acc.nonEmpty && acc.last == d) acc else acc + d
+      }
+      val tail = squeezed.drop(1).filter(_ != '0')
+      w.head.toString + (tail + "000").take(3)
+    }
+    val got = spark.sql(
+      words.map(w => s"SELECT '$w' AS w, " +
+        EntityResolution.soundexSql(s"'$w'") + " AS sdx")
+        .mkString(" UNION ALL "))
+      .as[(String, String)].collect().toMap
+    words.foreach(w => assert(got(w) === ref(w), w))
+    // and the DuckDB rendering differs ONLY by the 'g' flag
+    val s3 = EntityResolution.soundexSql("noun")
+    val s4 = EntityResolution.soundexSql("noun", global = true)
+    assert(s4.replace(", 'g')", ")") === s3)
+    assert(s4.sliding(5).count(_ == ", 'g'") === 7,
+      "every one of the 7 per-digit squeezes carries the flag")
+  }
+
   test("fuzzy join recovers every corrupted name at distance 1") {
     val dict = Tables.part(spark, sf).select($"p_name").distinct()
     val nDict = dict.count()

@@ -378,6 +378,25 @@ class ScaleSpec extends AnyFunSuite {
       assert(got.map(_._2).min >= dropped.map(_._2).max)
   }
 
+  test("textrank: the shuffle_hash fallback above the broadcast node " +
+      "cap is result-identical and really drops the rank-table " +
+      "broadcast (VERDICT r11 #3)") {
+    val viaBroadcast = SparkEntry.queries("q_textrank")(spark, sf)
+      .collect().toSeq
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val viaShuffle = TextOps.textrankWith(spark, sf,
+        broadcastNodeCap = 0L)
+      val bhj = viaShuffle.queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(bhj.isEmpty, "cap=0 path still broadcasts the rank table")
+      assert(viaShuffle.collect().toSeq === viaBroadcast)
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
   test("shapley coverage: brute owner-set replay, efficiency axiom, " +
       "and dominance over exclusive count") {
     val rows = SparkEntry.queries("q_shapley_coverage")(spark, sf)
