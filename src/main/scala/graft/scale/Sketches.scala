@@ -241,6 +241,150 @@ object Sketches {
           .as("within_bound"))
   }
 
+  /** Cutoff splitting the order history into the two key sets whose
+    * overlap [[thetaIntersect]] estimates. */
+  val ThetaPivot = "1998-01-01"
+
+  /** Theta-sketch set intersection (Dasgupta et al., "Theta-Sketch
+    * Framework", 2016): estimate |A ∩ B| for two key sets from their
+    * KMV sketches alone — A = customers ordering before [[ThetaPivot]],
+    * B = customers ordering after. Each side keeps its [[KmvK]]
+    * smallest distinct key hashes; θ = min(vk_A, vk_B) is the shared
+    * sampling threshold, and est = |{h ∈ A∩B sketch samples : h < θ}|
+    * · P / θ. Fully deterministic (same double-Lehmer spread as
+    * [[kmvDistinct]]), so the DuckDB oracle replays the estimate
+    * bit-for-bit, and the exact |A ∩ B| companion rides along — at
+    * 100 TB the two sketches are each a 256-value TakeOrdered over a
+    * per-key rollup (one shuffle on the key, constant bytes to the
+    * driver side of the plan), while the exact overlap the sketch
+    * replaces would need the full key sets co-shuffled every time
+    * two corpus snapshots are compared. */
+  private def thetaIntersect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val P = 2147483647L
+    val pivot = lit(ThetaPivot).cast("timestamp")
+    val flags = Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(max(when($"o_orderdate" < pivot, 1L).otherwise(0L)).as("pre"),
+        max(when($"o_orderdate" >= pivot, 1L).otherwise(0L)).as("post"))
+    val raw = graft.ext.PolyHashExpr.polyHash(
+      $"o_custkey".cast("string"), 31L)
+    val hv = pmod(pmod(raw * 48271L, lit(P)) * 48271L, lit(P))
+    val hashed = flags.withColumn("hv", hv)
+    def sketch(side: String) = hashed.filter(col(side) === 1L)
+      .select($"hv").distinct().orderBy($"hv".asc).limit(KmvK)
+    val a = sketch("pre")
+    val b = sketch("post")
+    val aStats = a.agg(count(lit(1)).as("k_a"), max($"hv").as("vk_a"))
+    val bStats = b.agg(count(lit(1)).as("k_b"), max($"hv").as("vk_b"))
+    val nCommon = a.join(b, "hv")
+      .crossJoin(broadcast(aStats)).crossJoin(broadcast(bStats))
+      .agg(coalesce(sum(when($"hv" < least($"vk_a", $"vk_b"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_common"))
+    val exact = flags.agg(
+      sum(when($"pre" === 1L && $"post" === 1L, 1L).otherwise(0L))
+        .as("n_exact_inter"))
+    aStats.crossJoin(bStats).crossJoin(nCommon).crossJoin(exact)
+      .select($"k_a", $"vk_a", $"k_b", $"vk_b", $"n_common",
+        least($"vk_a", $"vk_b").as("theta"),
+        round($"n_common".cast("double") * P /
+          least($"vk_a", $"vk_b"), 1).as("est_inter"),
+        $"n_exact_inter")
+  }
+
+  /** Row-sampling rate denominator for [[sampleAggCi]] and key-
+    * sampling rate for [[selfJoinSizeEst]] (1 in 16). */
+  val SampleMod = 16L
+
+  /** Approximate-query-processing aggregate with a deterministic
+    * hash sample + Horvitz–Thompson estimate + error certificate:
+    * per returnflag, sample lineitem rows whose Lehmer-hashed row key
+    * falls in 1/[[SampleMod]] of the hash space, scale the sampled
+    * cents sum by [[SampleMod]], and emit the EXACT sum beside it
+    * with err_ppm and a 3σ certificate — (est−exact)² ≤
+    * 9·(mod−1)·Σx², the Bernoulli-sampling variance bound decided
+    * entirely in decimal(38,0)/HUGEINT (no sqrt, no doubles). The
+    * sample predicate is a pure function of the row key, so the
+    * "sample" is reproducible across engines, runs, and partitions —
+    * the property that lets a 100 TB deployment cache the 1/16th
+    * physical sample as its own table and answer exploratory
+    * aggregates 16× cheaper with a certified error. Shape: ONE scan,
+    * one combinable groupBy — the exact companion shares the pass. */
+  private def sampleAggCi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val P = 2147483647L
+    val cents = ($"l_extendedprice".cast("decimal(18,2)") * 100)
+      .cast("long")
+    // TWO Lehmer steps before the mod-16 cut: row keys are
+    // orderkey·8+linenumber with linenumber ∈ 1..7, and one step of
+    // (k+1)·48271 mod P walks the mod-16 residue by a FIXED −1 per
+    // slot (48271 ≡ 15, 8·48271 ≡ 8 mod 16), so the skipped slot-0
+    // and short orders bias which residues exist (measured 4.7 %
+    // rate at a nominal 6.25 % and a 22 % estimate bias). The second
+    // multiply spreads the already-randomized value, killing the
+    // residue structure (measured rate 6.27 %).
+    val rowKey = $"l_orderkey" * 8L + $"l_linenumber"
+    val sampled = pmod(pmod(pmod((rowKey + 1L) * 48271L, lit(P))
+      * 69621L, lit(P)), lit(SampleMod)) === 0L
+    Tables.lineitem(s, d)
+      .select($"l_returnflag", cents.as("cents"), sampled.as("in_sample"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"in_sample", 1L).otherwise(0L)).as("n_sample"),
+        sum($"cents").as("exact_cents"),
+        sum(when($"in_sample", $"cents").otherwise(0L)).as("samp_cents"),
+        sum($"cents".cast(dec) * $"cents").as("ssq"))
+      .withColumn("est_cents", $"samp_cents" * SampleMod)
+      .withColumn("err_ppm", expr(
+        "cast(case when exact_cents = 0 then -1 else" +
+          " cast(abs(est_cents - exact_cents) as decimal(38,0))" +
+          " * 1000000 div cast(exact_cents as decimal(38,0))" +
+          " end as bigint)"))
+      .withColumn("within_3sigma", expr(
+        "cast(est_cents - exact_cents as decimal(38,0))" +
+          " * (est_cents - exact_cents)" +
+          s" <= ssq * ${9L * (SampleMod - 1L)}"))
+      .select($"l_returnflag", $"n_total", $"n_sample", $"exact_cents",
+        $"est_cents", $"err_ppm", $"within_3sigma")
+  }
+
+  /** Self-join size (second frequency moment F₂ = Σ_k c_k²) of
+    * lineitem's part key, estimated from a 1/[[SampleMod]]
+    * DETERMINISTIC key sample — the quantity a cost-based optimizer
+    * needs before committing to a join strategy on a possibly-skewed
+    * key, and the classic streaming F₂ target (Alon–Matias–Szegedy
+    * 1996; this is the key-sample estimator, not the random-sign
+    * sketch, so it replays exactly). Sampling KEYS (not rows) keeps
+    * the estimator unbiased for Σc²: each sampled key contributes its
+    * full squared count, scaled by the inverse inclusion rate. One
+    * groupBy(partkey) + one tiny aggregate; est and exact share the
+    * same per-key rollup, so the exact companion is free at any
+    * scale. */
+  private def selfJoinSizeEst(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val P = 2147483647L
+    val keySampled = pmod(pmod(($"l_partkey" + 1L) * 48271L, lit(P)),
+      lit(SampleMod)) === 0L
+    Tables.lineitem(s, d)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+      .withColumn("in_sample", keySampled)
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when($"in_sample", 1L).otherwise(0L)).as("n_sample_keys"),
+        sum($"cnt".cast(dec) * $"cnt").cast("long").as("exact_f2"),
+        (sum(when($"in_sample", $"cnt".cast(dec) * $"cnt")
+          .otherwise(lit(0L).cast(dec))) * SampleMod)
+          .cast("long").as("est_f2"))
+      .withColumn("err_ppm", expr(
+        "cast(case when exact_f2 = 0 then -1 else" +
+          " cast(abs(est_f2 - exact_f2) as decimal(38,0))" +
+          " * 1000000 div cast(exact_f2 as decimal(38,0))" +
+          " end as bigint)"))
+      .select($"n_keys", $"n_sample_keys", $"exact_f2", $"est_f2",
+        $"err_ppm")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_count_min_table", countMinTable, Some("""
       WITH a(i, m) AS (VALUES (0, 1000003), (1, 48271), (2, 69621),
@@ -298,6 +442,89 @@ object Sketches {
       SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
       FROM orders
       GROUP BY 1
-      HAVING count(*) >= $HeavyThreshold"""))
+      HAVING count(*) >= $HeavyThreshold""")),
+
+    Q("q_sketch_intersect", thetaIntersect, Some(s"""
+      WITH flags AS (SELECT o_custkey,
+                       max(CASE WHEN o_orderdate < TIMESTAMP '$ThetaPivot'
+                           THEN 1 ELSE 0 END) AS pre,
+                       max(CASE WHEN o_orderdate >= TIMESTAMP '$ThetaPivot'
+                           THEN 1 ELSE 0 END) AS post
+                     FROM orders GROUP BY 1),
+      h AS (SELECT pre, post,
+              ((${TextOps.polyHashSql("CAST(o_custkey AS VARCHAR)", 31L)})
+               * 48271 % 2147483647) * 48271 % 2147483647 AS hv
+            FROM flags),
+      ad AS (SELECT DISTINCT hv FROM h WHERE pre = 1),
+      a AS (SELECT hv FROM ad ORDER BY hv ASC LIMIT $KmvK),
+      bd AS (SELECT DISTINCT hv FROM h WHERE post = 1),
+      b AS (SELECT hv FROM bd ORDER BY hv ASC LIMIT $KmvK),
+      sa AS (SELECT CAST(count(*) AS BIGINT) AS k_a, max(hv) AS vk_a
+             FROM a),
+      sb AS (SELECT CAST(count(*) AS BIGINT) AS k_b, max(hv) AS vk_b
+             FROM b),
+      nc AS (SELECT CAST(coalesce(sum(CASE WHEN hv < least(vk_a, vk_b)
+                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_common
+             FROM (SELECT a.hv FROM a JOIN b USING (hv)) t, sa, sb),
+      ex AS (SELECT CAST(sum(CASE WHEN pre = 1 AND post = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_inter
+             FROM flags)
+      SELECT k_a, vk_a, k_b, vk_b, n_common,
+             least(vk_a, vk_b) AS theta,
+             round(n_common * 1.0 * 2147483647 / least(vk_a, vk_b), 1)
+               AS est_inter,
+             n_exact_inter
+      FROM sa, sb, nc, ex""")),
+
+    Q("q_sample_agg_ci", sampleAggCi, Some(s"""
+      WITH li AS (SELECT l_returnflag,
+                    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) AS cents,
+                    ((l_orderkey * 8 + l_linenumber + 1) * 48271
+                      % 2147483647) * 69621 % 2147483647
+                      % $SampleMod = 0 AS in_sample
+                  FROM lineitem),
+      g AS (SELECT l_returnflag,
+              CAST(count(*) AS BIGINT) AS n_total,
+              CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sample,
+              CAST(sum(cents) AS BIGINT) AS exact_cents,
+              CAST(sum(CASE WHEN in_sample THEN cents ELSE 0 END)
+                AS BIGINT) AS samp_cents,
+              sum(CAST(cents AS HUGEINT) * cents) AS ssq
+            FROM li GROUP BY 1)
+      SELECT l_returnflag, n_total, n_sample, exact_cents,
+             CAST(samp_cents * $SampleMod AS BIGINT) AS est_cents,
+             CAST(CASE WHEN exact_cents = 0 THEN -1 ELSE
+               CAST(abs(samp_cents * $SampleMod - exact_cents)
+                 AS HUGEINT) * 1000000 // CAST(exact_cents AS HUGEINT)
+               END AS BIGINT) AS err_ppm,
+             CAST(samp_cents * $SampleMod - exact_cents AS HUGEINT)
+               * (samp_cents * $SampleMod - exact_cents)
+               <= ssq * ${9L * (SampleMod - 1L)} AS within_3sigma
+      FROM g""")),
+
+    Q("q_join_size_estimate", selfJoinSizeEst, Some(s"""
+      WITH c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+                 FROM lineitem GROUP BY 1),
+      s AS (SELECT cnt,
+              ((l_partkey + 1) * 48271 % 2147483647) % $SampleMod = 0
+                AS in_sample
+            FROM c),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sample_keys,
+              CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS BIGINT)
+                AS exact_f2,
+              CAST(coalesce(sum(CASE WHEN in_sample THEN
+                CAST(cnt AS HUGEINT) * cnt END), 0) * $SampleMod
+                AS BIGINT) AS est_f2
+            FROM s)
+      SELECT n_keys, n_sample_keys, exact_f2, est_f2,
+             CAST(CASE WHEN exact_f2 = 0 THEN -1 ELSE
+               CAST(abs(est_f2 - exact_f2) AS HUGEINT) * 1000000
+                 // CAST(exact_f2 AS HUGEINT)
+               END AS BIGINT) AS err_ppm
+      FROM g"""))
   )
 }

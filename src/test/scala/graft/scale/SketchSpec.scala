@@ -138,4 +138,114 @@ class SketchSpec extends AnyFunSuite {
         (r.getAs[Long]("overcount") * 256L <= users.length.toLong * 2L))
     }
   }
+
+  /** The shared double-Lehmer spread (KMV / theta family). */
+  private def lehmer2(x: Long): Long = {
+    val P = 2147483647L
+    (x % P) * 48271L % P * 48271L % P
+  }
+
+  test("q_sketch_intersect: theta intersection replays brute-force " +
+      "and the estimate brackets the exact overlap") {
+    val row = graft.SparkEntry.queries("q_sketch_intersect")(spark, sf)
+      .head()
+    // brute: per-custkey pre/post flags + the portable poly hash
+    val pivot = java.sql.Timestamp.valueOf(
+      Sketches.ThetaPivot + " 00:00:00")
+    val flags = orders
+      .select($"o_custkey", ($"o_orderdate" < lit(pivot)).as("pre"),
+        ($"o_orderdate" >= lit(pivot)).as("post"))
+      .groupBy($"o_custkey")
+      .agg(max($"pre").as("pre"), max($"post").as("post"))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    def polyHash(sv: String): Long =
+      sv.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 2147483647L)
+    def sketchOf(keys: Seq[Long]): Seq[Long] =
+      keys.map(k => lehmer2(polyHash(k.toString)))
+        .distinct.sorted.take(Sketches.KmvK)
+    val skA = sketchOf(flags.filter(_._2).map(_._1))
+    val skB = sketchOf(flags.filter(_._3).map(_._1))
+    val theta = math.min(skA.max, skB.max)
+    val nCommon = (skA.toSet intersect skB.toSet).count(_ < theta)
+    val exact = flags.count(f => f._2 && f._3).toLong
+    assert(row.getAs[Long]("k_a") === skA.length.toLong)
+    assert(row.getAs[Long]("k_b") === skB.length.toLong)
+    assert(row.getAs[Long]("vk_a") === skA.max)
+    assert(row.getAs[Long]("vk_b") === skB.max)
+    assert(row.getAs[Long]("theta") === theta)
+    assert(row.getAs[Long]("n_common") === nCommon.toLong)
+    assert(row.getAs[Long]("n_exact_inter") === exact)
+    // estimate within the 3/sqrt(n_common) theta error band
+    val est = row.getAs[Double]("est_inter")
+    val bound = 3.0 / math.sqrt(nCommon.toDouble)
+    assert(math.abs(est - exact) / exact <= bound,
+      s"theta estimate $est vs exact $exact outside ±${bound * 100}%")
+  }
+
+  test("q_sample_agg_ci: the hash sample is reproducible, near-rate, " +
+      "and every group's 3-sigma certificate holds") {
+    val rows = graft.SparkEntry.queries("q_sample_agg_ci")(spark, sf)
+      .collect()
+    assert(rows.length === 3) // A / N / R
+    val P = 2147483647L
+    val brute = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+        ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .collect()
+      .map { r =>
+        val rk = r.getLong(1) * 8L + r.getInt(2)
+        val in = (rk + 1) * 48271L % P * 69621L % P % Sketches.SampleMod == 0
+        (r.getString(0), r.getLong(3), in)
+      }
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val g = brute.filter(_._1 == flag)
+      val samp = g.filter(_._3)
+      assert(r.getAs[Long]("n_total") === g.length.toLong)
+      assert(r.getAs[Long]("n_sample") === samp.length.toLong)
+      assert(r.getAs[Long]("exact_cents") === g.map(_._2).sum)
+      assert(r.getAs[Long]("est_cents") ===
+        samp.map(_._2).sum * Sketches.SampleMod)
+      // sampling rate within +-30% of nominal 1/16
+      val rate = samp.length.toDouble / g.length
+      assert(math.abs(rate * Sketches.SampleMod - 1.0) <= 0.3,
+        s"$flag sample rate $rate far from 1/${Sketches.SampleMod}")
+      // err_ppm replays and the variance certificate holds here
+      val est = BigInt(r.getAs[Long]("est_cents"))
+      val exact = BigInt(r.getAs[Long]("exact_cents"))
+      assert(BigInt(r.getAs[Long]("err_ppm")) ===
+        (est - exact).abs * 1000000 / exact)
+      val ssq = g.map(x => BigInt(x._2) * BigInt(x._2)).sum
+      val hold = (est - exact) * (est - exact) <=
+        ssq * (9L * (Sketches.SampleMod - 1L))
+      assert(r.getAs[Boolean]("within_3sigma") === hold)
+      assert(hold, s"$flag estimate missed its own 3-sigma band")
+    }
+  }
+
+  test("q_join_size_estimate: F2 replays brute-force and the key-" +
+      "sampled estimate stays inside a loose band") {
+    val row = graft.SparkEntry.queries("q_join_size_estimate")(spark, sf)
+      .head()
+    val P = 2147483647L
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exactF2 = counts.map(c => BigInt(c._2) * BigInt(c._2)).sum
+    val sampled = counts.filter { case (k, _) =>
+      (k + 1) * 48271L % P % Sketches.SampleMod == 0 }
+    val estF2 = sampled.map(c => BigInt(c._2) * BigInt(c._2)).sum *
+      Sketches.SampleMod
+    assert(row.getAs[Long]("n_keys") === counts.length.toLong)
+    assert(row.getAs[Long]("n_sample_keys") === sampled.length.toLong)
+    assert(BigInt(row.getAs[Long]("exact_f2")) === exactF2)
+    assert(BigInt(row.getAs[Long]("est_f2")) === estF2)
+    assert(BigInt(row.getAs[Long]("err_ppm")) ===
+      (estF2 - exactF2).abs * 1000000 / exactF2)
+    // with ~n/16 sampled keys the estimator sits well inside 25%
+    assert((estF2 - exactF2).abs * 4 <= exactF2,
+      "F2 estimate off by more than 25% — sampling is broken")
+  }
 }
