@@ -1565,6 +1565,121 @@ object InferenceQueries {
         $"d_c", $"e_c", $"y_c", $"f_e3", $"granger_5pct")
   }
 
+  /** Instrumental-variable (Wald) estimator — the causal battery's
+    * answer to ENDOGENOUS exposure, completing q_did (parallel
+    * trends) and q_cuped (variance reduction): when per-user purchase
+    * COUNT is self-selected, its naive regression on spend is
+    * confounded, but with the user-parity instrument z = user_id % 2
+    * (as-good-as-random, the same assignment q_did/q_ab_test use) the
+    * Wald ratio (ȳ₁−ȳ₀)/(x̄₁−x̄₀) = cents-per-purchase identifies the
+    * causal rate (Angrist–Imbens–Rubin 1996). Cross-multiplying the
+    * two mean contrasts gives EXACT integers — num = sy₁n₀ − sy₀n₁,
+    * den = sx₁n₀ − sx₀n₁ — and wald_e6 = sign·(|num|·10⁶ div |den|),
+    * the sign-split keeping the truncating division identical on both
+    * engines even for negative contrasts (Spark div vs DuckDB //
+    * may disagree on negative operands across versions). The
+    * intent-to-treat numerator and first-stage denominator ride along
+    * for weak-instrument screening. Shape: one per-user rollup, one
+    * 2-row aggregate — map-side combinable at any volume. */
+  private def ivWald(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pu = Tables.events(s, d)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("x"),
+        sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+          .as("y"))
+      .select(($"user_id" % 2).cast("long").as("z"), $"x", $"y")
+    pu.agg(
+        sum(when($"z" === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when($"z" === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when($"z" === 1L, $"x").otherwise(0L)).as("sx1"),
+        sum(when($"z" === 0L, $"x").otherwise(0L)).as("sx0"),
+        sum(when($"z" === 1L, $"y").otherwise(0L)).as("sy1"),
+        sum(when($"z" === 0L, $"y").otherwise(0L)).as("sy0"))
+      .filter($"n0" > 0 && $"n1" > 0)
+      .withColumn("num", expr(
+        "cast(sy1 as decimal(38,0)) * n0 - cast(sy0 as decimal(38,0)) * n1"))
+      .withColumn("den", expr(
+        "cast(sx1 as decimal(38,0)) * n0 - cast(sx0 as decimal(38,0)) * n1"))
+      .filter($"den" =!= 0)
+      .select($"n0", $"n1", $"sx0", $"sx1", $"sy0", $"sy1",
+        $"num".cast("long").as("itt_num"),
+        $"den".cast("long").as("fs_den"),
+        expr("""cast(case when (num >= 0) = (den >= 0)
+                 then abs(num) * 1000000 div abs(den)
+                 else -(abs(num) * 1000000 div abs(den)) end
+               as bigint)""").as("wald_e6"))
+  }
+
+  /** Half-bandwidth (days on each side of the cutoff) for
+    * [[rddSharp]]. */
+  val RddBandwidth = 60L
+
+  /** Sharp regression discontinuity — the causal design for CUTOFF
+    * rules (Thistlethwaite–Campbell 1960; Imbens–Lemieux 2008): fit a
+    * separate OLS line to daily purchase revenue on each side of the
+    * date-range midpoint within ±[[RddBandwidth]] days, and read the
+    * treatment effect as the gap between the two intercepts AT the
+    * cutoff. Every regression quantity is a closed-form rational of
+    * integer moments over x = day − cutoff (|x| ≤ 60, so nΣx²−(Σx)²
+    * and ΣyΣx²−ΣxΣxy stay ≪ 10³⁸ even at 100× revenue): per side,
+    * slope_e6 = (nΣxy−ΣxΣy)·10⁶/D and intercept ŷ(0) = A/D with
+    * D = nΣx²−(Σx)², A = ΣyΣx²−ΣxΣxy; the effect A_r/D_r − A_l/D_l
+    * cross-multiplies to the single exact fraction
+    * (A_r·D_l − A_l·D_r)/(D_r·D_l) before the ONE sign-split
+    * truncating division (both engines identical — same discipline
+    * as [[ivWald]]). Shape: daily rollup (map-side combinable), one
+    * broadcast 1-row cutoff, one 2-row side aggregate — day-bounded
+    * at any event volume, the q_eval_auc lesson. */
+  private def rddSharp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select(datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("long").as("dayn"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"dayn").agg(sum($"cents").as("y"))
+    val cut = daily.agg(expr("(min(dayn) + max(dayn)) div 2").as("cut"))
+    val sides = daily.crossJoin(broadcast(cut))
+      .withColumn("x", $"dayn" - $"cut")
+      .filter($"x" >= -RddBandwidth && $"x" <= RddBandwidth)
+      .withColumn("side", when($"x" < 0, lit("l")).otherwise(lit("r")))
+    val m = sides.groupBy($"side")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"))
+      .withColumn("dd", expr(
+        "cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx"))
+      .withColumn("aa", expr(
+        "cast(sy as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sxy"))
+      .withColumn("sn", expr(
+        "cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy"))
+      .filter($"dd" > 0)
+    def sgnDiv(num: String, den: String, k: Long) = expr(
+      s"""cast(case when ($num >= 0) = ($den >= 0)
+           then abs($num) * $k div abs($den)
+           else -(abs($num) * $k div abs($den)) end as bigint)""")
+    val persSide = m.select($"side", $"n", $"sx", $"sy", $"sxy", $"sxx",
+      sgnDiv("sn", "dd", 1000000L).as("slope_e6"),
+      sgnDiv("aa", "dd", 1000L).as("intercept_e3"),
+      $"aa", $"dd")
+    val l = persSide.filter($"side" === "l")
+      .select($"n".as("n_l"), $"slope_e6".as("slope_l_e6"),
+        $"intercept_e3".as("intercept_l_e3"),
+        $"aa".as("aa_l"), $"dd".as("dd_l"))
+    val r = persSide.filter($"side" === "r")
+      .select($"n".as("n_r"), $"slope_e6".as("slope_r_e6"),
+        $"intercept_e3".as("intercept_r_e3"),
+        $"aa".as("aa_r"), $"dd".as("dd_r"))
+    l.crossJoin(broadcast(r))
+      .withColumn("en", expr("aa_r * dd_l - aa_l * dd_r"))
+      .withColumn("ed", expr("dd_r * dd_l"))
+      .select($"n_l", $"n_r", $"slope_l_e6", $"slope_r_e6",
+        $"intercept_l_e3", $"intercept_r_e3",
+        sgnDiv("en", "ed", 1000L).as("effect_e3"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_gini_revenue", giniRevenue, Some("""
       WITH pu AS (SELECT user_id,
@@ -2554,6 +2669,99 @@ object InferenceQueries {
       FROM m
       WHERE n_tp > 0 AND n_tr > 0 AND n_cp > 0 AND n_cr > 0
         AND fn_tp > 0 AND fn_tr > 0 AND fn_cp > 0 AND fn_cr > 0""")),
+
+    Q("q_iv_wald", ivWald, Some("""
+      WITH pu AS (SELECT user_id % 2 AS z,
+                         CAST(count(*) AS BIGINT) AS x,
+                         CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+                           * 100 AS BIGINT)) AS BIGINT) AS y
+                  FROM events
+                  WHERE event_type = 'purchase' AND value IS NOT NULL
+                  GROUP BY user_id),
+      m AS (SELECT
+              CAST(sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n1,
+              CAST(sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n0,
+              CAST(sum(CASE WHEN z = 1 THEN x ELSE 0 END) AS BIGINT)
+                AS sx1,
+              CAST(sum(CASE WHEN z = 0 THEN x ELSE 0 END) AS BIGINT)
+                AS sx0,
+              CAST(sum(CASE WHEN z = 1 THEN y ELSE 0 END) AS BIGINT)
+                AS sy1,
+              CAST(sum(CASE WHEN z = 0 THEN y ELSE 0 END) AS BIGINT)
+                AS sy0
+            FROM pu),
+      c AS (SELECT *,
+              CAST(sy1 AS HUGEINT) * n0 - CAST(sy0 AS HUGEINT) * n1
+                AS num,
+              CAST(sx1 AS HUGEINT) * n0 - CAST(sx0 AS HUGEINT) * n1
+                AS den
+            FROM m WHERE n0 > 0 AND n1 > 0)
+      SELECT n0, n1, sx0, sx1, sy0, sy1,
+             CAST(num AS BIGINT) AS itt_num,
+             CAST(den AS BIGINT) AS fs_den,
+             CAST(CASE WHEN (num >= 0) = (den >= 0)
+                    THEN abs(num) * 1000000 // abs(den)
+                    ELSE -(abs(num) * 1000000 // abs(den)) END
+               AS BIGINT) AS wald_e6
+      FROM c WHERE den <> 0""")),
+
+    Q("q_rdd_sharp", rddSharp, Some(s"""
+      WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) AS dayn,
+                            CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+                              * 100 AS BIGINT)) AS BIGINT) AS y
+                     FROM events
+                     WHERE event_type = 'purchase'
+                       AND value IS NOT NULL
+                     GROUP BY 1),
+      cut AS (SELECT (min(dayn) + max(dayn)) // 2 AS cut FROM daily),
+      sides AS (SELECT dayn - cut AS x, y,
+                       CASE WHEN dayn - cut < 0 THEN 'l' ELSE 'r' END
+                         AS side
+                FROM daily, cut
+                WHERE dayn - cut BETWEEN -$RddBandwidth
+                  AND $RddBandwidth),
+      m AS (SELECT side, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM sides GROUP BY 1),
+      e AS (SELECT side, n, sx, sy, sxy, sxx,
+                   CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                     AS dd,
+                   CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy
+                     AS aa,
+                   CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                     AS sn
+            FROM m
+            WHERE CAST(n AS HUGEINT) * sxx
+                  - CAST(sx AS HUGEINT) * sx > 0),
+      p AS (SELECT side, n, aa, dd,
+                   CASE WHEN (sn >= 0) = (dd >= 0)
+                     THEN abs(sn) * 1000000 // abs(dd)
+                     ELSE -(abs(sn) * 1000000 // abs(dd)) END
+                     AS slope_e6,
+                   CASE WHEN (aa >= 0) = (dd >= 0)
+                     THEN abs(aa) * 1000 // abs(dd)
+                     ELSE -(abs(aa) * 1000 // abs(dd)) END
+                     AS intercept_e3
+            FROM e)
+      SELECT l.n AS n_l, r.n AS n_r,
+             CAST(l.slope_e6 AS BIGINT) AS slope_l_e6,
+             CAST(r.slope_e6 AS BIGINT) AS slope_r_e6,
+             CAST(l.intercept_e3 AS BIGINT) AS intercept_l_e3,
+             CAST(r.intercept_e3 AS BIGINT) AS intercept_r_e3,
+             CAST(CASE WHEN (r.aa * l.dd - l.aa * r.dd >= 0)
+                         = (r.dd * l.dd >= 0)
+                    THEN abs(r.aa * l.dd - l.aa * r.dd) * 1000
+                      // abs(r.dd * l.dd)
+                    ELSE -(abs(r.aa * l.dd - l.aa * r.dd) * 1000
+                      // abs(r.dd * l.dd)) END AS BIGINT) AS effect_e3
+      FROM (SELECT * FROM p WHERE side = 'l') l,
+           (SELECT * FROM p WHERE side = 'r') r""")),
 
     Q("q_grubbs_outlier", grubbsOutlier, Some("""
       WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,

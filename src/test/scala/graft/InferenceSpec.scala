@@ -1222,4 +1222,83 @@ class InferenceSpec extends AnyFunSuite {
     }
     assert(got.nonEmpty)
   }
+
+  test("q_iv_wald: moments, contrasts, and the sign-split ratio " +
+      "replay brute-force; Wald = ITT/first-stage exactly") {
+    val row = SparkEntry.queries("q_iv_wald")(spark, sf).head()
+    val perUser = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("x"),
+        sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+          .as("y"))
+      .collect().map(r => (r.getLong(0) % 2, r.getLong(1), r.getLong(2)))
+    val (g1, g0) = perUser.partition(_._1 == 1L)
+    assert(row.getAs[Long]("n1") === g1.length.toLong)
+    assert(row.getAs[Long]("n0") === g0.length.toLong)
+    assert(row.getAs[Long]("sx1") === g1.map(_._2).sum)
+    assert(row.getAs[Long]("sx0") === g0.map(_._2).sum)
+    assert(row.getAs[Long]("sy1") === g1.map(_._3).sum)
+    assert(row.getAs[Long]("sy0") === g0.map(_._3).sum)
+    val num = BigInt(g1.map(_._3).sum) * g0.length -
+      BigInt(g0.map(_._3).sum) * g1.length
+    val den = BigInt(g1.map(_._2).sum) * g0.length -
+      BigInt(g0.map(_._2).sum) * g1.length
+    assert(BigInt(row.getAs[Long]("itt_num")) === num)
+    assert(BigInt(row.getAs[Long]("fs_den")) === den)
+    // sign-split truncating division (matches both engines)
+    val mag = num.abs * 1000000 / den.abs
+    val want = if (num.signum * den.signum >= 0) mag else -mag
+    assert(BigInt(row.getAs[Long]("wald_e6")) === want)
+  }
+
+  test("q_rdd_sharp: per-side OLS moments and the intercept gap " +
+      "replay brute-force in exact rationals") {
+    val row = SparkEntry.queries("q_rdd_sharp")(spark, sf).head()
+    val daily = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select(datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("long").as("dayn"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"dayn").agg(sum($"cents").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cut = (daily.map(_._1).min + daily.map(_._1).max) / 2
+    val h = ops.InferenceQueries.RddBandwidth
+    def fit(side: Seq[(Long, Long)]): (Long, BigInt, BigInt, BigInt) = {
+      val n = side.length.toLong
+      val sx = side.map(_._1).sum
+      val sy = side.map(_._2).sum
+      val sxy = side.map(p => p._1 * p._2).sum
+      val sxx = side.map(p => p._1 * p._1).sum
+      val dd = BigInt(n) * sxx - BigInt(sx) * sx
+      val aa = BigInt(sy) * sxx - BigInt(sx) * sxy
+      val sn = BigInt(n) * sxy - BigInt(sx) * sy
+      (n, dd, aa, sn)
+    }
+    def sgnDiv(num: BigInt, den: BigInt, k: Long): BigInt = {
+      val mag = num.abs * k / den.abs
+      if (num.signum * den.signum >= 0) mag else -mag
+    }
+    val xs = daily.map { case (d, y) => (d - cut, y) }
+      .filter(p => p._1 >= -h && p._1 <= h)
+    val (nl, ddl, aal, snl) = fit(xs.filter(_._1 < 0).toSeq)
+    val (nr, ddr, aar, snr) = fit(xs.filter(_._1 >= 0).toSeq)
+    assert(row.getAs[Long]("n_l") === nl)
+    assert(row.getAs[Long]("n_r") === nr)
+    assert(BigInt(row.getAs[Long]("slope_l_e6")) ===
+      sgnDiv(snl, ddl, 1000000L))
+    assert(BigInt(row.getAs[Long]("slope_r_e6")) ===
+      sgnDiv(snr, ddr, 1000000L))
+    assert(BigInt(row.getAs[Long]("intercept_l_e3")) ===
+      sgnDiv(aal, ddl, 1000L))
+    assert(BigInt(row.getAs[Long]("intercept_r_e3")) ===
+      sgnDiv(aar, ddr, 1000L))
+    assert(BigInt(row.getAs[Long]("effect_e3")) ===
+      sgnDiv(aar * ddl - aal * ddr, ddr * ddl, 1000L))
+    // consistency: the exact-rational effect sits within 1e-3 grid
+    // slack of the difference of the two rounded intercepts
+    val approx = row.getAs[Long]("intercept_r_e3") -
+      row.getAs[Long]("intercept_l_e3")
+    assert((row.getAs[Long]("effect_e3") - approx).abs <= 2L)
+  }
 }
