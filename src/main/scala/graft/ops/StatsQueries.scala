@@ -1260,6 +1260,119 @@ object StatsQueries {
         (lit(2L) * $"n_ref" * $"n_cur").as("u2_den"))
   }
 
+  /** Two-sample Cramér–von Mises drift test per event type — the
+    * INTEGRATED-square companion completing the ECDF-drift family:
+    * [[ksTest]] reacts to the single worst gap, [[mannWhitney]] to
+    * stochastic dominance, CvM to accumulated distributional distance
+    * (many small gaps a KS sup-norm ignores). Same reference/current
+    * event-id-parity split, same cents-grid snap. Evaluating
+    * T = (mn/N²)·Σ over all N pooled points of (F_m − G_n)² at each
+    * DISTINCT value weighted by its pooled multiplicity g makes the
+    * statistic tie-exact and fully integral: with the same scaled gap
+    * D = cum_r·n_cur − cum_c·n_ref the KS query uses,
+    * T = Σ g·D² / (N²·m·n) — emitted as the exact pair
+    * (cvm_num = Σ g·D² in decimal(38,0)/HUGEINT, cvm_den = N²·m·n)
+    * plus the e6 fixed-point quotient and the asymptotic 5 % flag
+    * (critical value 0.461, Anderson 1962). All comparands
+    * nonnegative, so the truncating division is engine-identical.
+    * Shape: identical to KS — per-(type,value) pre-aggregate, one
+    * cumulative window over DISTINCT values, a |types|-row rollup. */
+  private def cvmTest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val running = W.partitionBy($"event_type").orderBy($"cents".asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val whole = W.partitionBy($"event_type")
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    Tables.events(s, d)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        ($"event_id" % 2 === 0).as("is_ref"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"cents")
+      .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("r"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("c"))
+      .select($"event_type", ($"r" + $"c").as("g"),
+        sum($"r").over(running).as("cum_r"),
+        sum($"c").over(running).as("cum_c"),
+        sum($"r").over(whole).as("n_ref"),
+        sum($"c").over(whole).as("n_cur"))
+      .groupBy($"event_type")
+      .agg(max($"n_ref").as("n_ref"), max($"n_cur").as("n_cur"),
+        sum(expr("cast(g as decimal(38,0))" +
+          " * (cum_r * n_cur - cum_c * n_ref)" +
+          " * (cum_r * n_cur - cum_c * n_ref)")).as("num_dec"))
+      .filter($"n_ref" > 0 && $"n_cur" > 0)
+      // num and den individually exceed int64 already at sf0.1 —
+      // only the bounded e6 quotient is emitted (the spec replays
+      // the internals in BigInt; N²mn bounds T at 1 so the quotient
+      // caps at 1e6·N/4-ish, always a comfortable BIGINT)
+      .withColumn("den_dec", expr(
+        "cast(n_ref + n_cur as decimal(38,0)) * (n_ref + n_cur)" +
+          " * n_ref * n_cur"))
+      .select($"event_type", $"n_ref", $"n_cur",
+        expr("cast(num_dec * 1000000 div den_dec as bigint)")
+          .as("cvm_e6"))
+      .withColumn("drift_5pct", $"cvm_e6" >= 461000L)
+  }
+
+  /** Quantile-positions (percent) [[qte]] reads the effect at. */
+  val QtePercents = Seq(25L, 50L, 75L)
+
+  /** Quantile treatment effects — the DISTRIBUTIONAL view the mean
+    * contrasts (q_ab_test, q_did, q_iv_wald) cannot give: a treatment
+    * can leave the mean still while compressing the tails, and QTE at
+    * p25/p50/p75 is where that shows (Koenker–Bassett quantile
+    * regression's two-sample special case). Quantiles are EXACT
+    * type-1 order statistics, selected without any per-group global
+    * sort: purchases pre-aggregate to the (treated, cents) GRID, a
+    * cumulative window walks the DISTINCT values of each arm, and the
+    * p-quantile is min{v : 100·cum(v) ≥ p·n} — integer comparisons
+    * only, no interpolation to diverge. Output: one row per p with
+    * both arm quantiles and their gap. Shape: one map-side-combinable
+    * rollup + a 2-partition window over the value grid (bounded by
+    * the cents grid, not row count). */
+  private def qte(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val running = W.partitionBy($"treated").orderBy($"cents".asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val whole = W.partitionBy($"treated")
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val arms = Tables.events(s, d)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select(($"user_id" % 2 === 1).as("treated"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"treated", $"cents")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"treated", $"cents",
+        sum($"cnt").over(running).as("cum"),
+        sum($"cnt").over(whole).as("n"))
+    val qs = QtePercents.map { p =>
+      min(when($"cum" * 100L >= lit(p) * $"n", $"cents")).as(s"q$p")
+    }
+    val aggCols = max($"n").as("n") +: qs
+    val byArm = arms.groupBy($"treated")
+      .agg(aggCols.head, aggCols.tail: _*)
+    val t = byArm.filter($"treated")
+      .select($"n".as("n_treated") +: QtePercents.map(p =>
+        col(s"q$p").as(s"q${p}_treated")): _*)
+    val c = byArm.filter(!$"treated")
+      .select($"n".as("n_control") +: QtePercents.map(p =>
+        col(s"q$p").as(s"q${p}_control")): _*)
+    val wide = t.crossJoin(broadcast(c))
+    // one row per quantile position: (p, treated, control, qte)
+    val rows = QtePercents.map { p =>
+      struct(lit(p).as("p"), col(s"q${p}_treated").as("q_treated"),
+        col(s"q${p}_control").as("q_control"),
+        (col(s"q${p}_treated") - col(s"q${p}_control")).as("qte_cents"))
+    }
+    wide.select($"n_treated", $"n_control",
+        explode(array(rows: _*)).as("qrow"))
+      .select($"qrow.p", $"n_treated", $"n_control",
+        $"qrow.q_treated", $"qrow.q_control", $"qrow.qte_cents")
+  }
+
   /** How many daily observations the binary-decay EWMA looks back. */
   val EwmaWindow = 16
 
@@ -3037,6 +3150,85 @@ object StatsQueries {
              CAST(w2_ref - n_ref * (n_ref + 1) AS BIGINT) AS u2_ref,
              CAST(2 * n_ref * n_cur AS BIGINT) AS u2_den
       FROM agg""")),
+
+    Q("q_cvm_test", cvmTest, Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents,
+                        event_id % 2 = 0 AS is_ref
+                 FROM events WHERE value IS NOT NULL),
+      g AS (SELECT event_type, cents,
+                   CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                     AS BIGINT) AS r,
+                   CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c
+            FROM e GROUP BY 1, 2),
+      w AS (SELECT event_type, r + c AS gg,
+                   sum(r) OVER win AS cum_r,
+                   sum(c) OVER win AS cum_c,
+                   sum(r) OVER (PARTITION BY event_type) AS n_ref,
+                   sum(c) OVER (PARTITION BY event_type) AS n_cur
+            FROM g
+            WINDOW win AS (PARTITION BY event_type ORDER BY cents ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)),
+      a AS (SELECT event_type,
+                   CAST(max(n_ref) AS BIGINT) AS n_ref,
+                   CAST(max(n_cur) AS BIGINT) AS n_cur,
+                   sum(CAST(gg AS HUGEINT)
+                       * (cum_r * n_cur - cum_c * n_ref)
+                       * (cum_r * n_cur - cum_c * n_ref)) AS num
+            FROM w GROUP BY 1),
+      b AS (SELECT event_type, n_ref, n_cur,
+                   CAST(num * 1000000
+                     // (CAST(n_ref + n_cur AS HUGEINT)
+                        * (n_ref + n_cur) * n_ref * n_cur)
+                     AS BIGINT) AS cvm_e6
+            FROM a WHERE n_ref > 0 AND n_cur > 0)
+      SELECT event_type, n_ref, n_cur, cvm_e6,
+             cvm_e6 >= 461000 AS drift_5pct
+      FROM b""")),
+
+    Q("q_qte", qte, Some("""
+      WITH pu AS (SELECT user_id % 2 = 1 AS treated,
+                         CAST(CAST(value AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS cents
+                  FROM events
+                  WHERE event_type = 'purchase' AND value IS NOT NULL),
+      g AS (SELECT treated, cents, CAST(count(*) AS BIGINT) AS cnt
+            FROM pu GROUP BY 1, 2),
+      w AS (SELECT treated, cents,
+                   sum(cnt) OVER (PARTITION BY treated
+                     ORDER BY cents ASC ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS cum,
+                   sum(cnt) OVER (PARTITION BY treated) AS n
+            FROM g),
+      q AS (SELECT treated, CAST(max(n) AS BIGINT) AS n,
+                   CAST(min(CASE WHEN cum * 100 >= 25 * n THEN cents
+                     END) AS BIGINT) AS q25,
+                   CAST(min(CASE WHEN cum * 100 >= 50 * n THEN cents
+                     END) AS BIGINT) AS q50,
+                   CAST(min(CASE WHEN cum * 100 >= 75 * n THEN cents
+                     END) AS BIGINT) AS q75
+            FROM w GROUP BY 1),
+      t AS (SELECT n AS n_treated, q25 AS q25_t, q50 AS q50_t,
+                   q75 AS q75_t
+            FROM q WHERE treated),
+      c AS (SELECT n AS n_control, q25 AS q25_c, q50 AS q50_c,
+                   q75 AS q75_c
+            FROM q WHERE NOT treated)
+      SELECT CAST(25 AS BIGINT) AS p, n_treated, n_control,
+             q25_t AS q_treated, q25_c AS q_control,
+             CAST(q25_t - q25_c AS BIGINT) AS qte_cents
+      FROM t, c
+      UNION ALL
+      SELECT CAST(50 AS BIGINT), n_treated, n_control, q50_t, q50_c,
+             CAST(q50_t - q50_c AS BIGINT)
+      FROM t, c
+      UNION ALL
+      SELECT CAST(75 AS BIGINT), n_treated, n_control, q75_t, q75_c,
+             CAST(q75_t - q75_c AS BIGINT)
+      FROM t, c""")),
 
     Q("q_ewma_binary", ewmaBinary, Some(s"""
       WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,

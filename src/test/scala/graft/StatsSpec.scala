@@ -329,6 +329,73 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_cvm_test matches an exact tie-aware Cramér–von Mises " +
+      "recompute per type and caps at the theoretical maximum") {
+    val got = SparkEntry.queries("q_cvm_test")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Long]("cvm_e6"), r.getAs[Boolean]("drift_5pct"))))
+      .toMap
+    val raw = Tables.events(spark, sf)
+      .select($"event_type", ($"value".cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"), ($"event_id" % 2 === 0).as("is_ref"))
+      .filter($"cents".isNotNull)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val want = raw.groupBy(_._1).collect {
+      case (typ, rows)
+          if rows.exists(_._3) && rows.exists(!_._3) =>
+        val ref = rows.filter(_._3).map(_._2)
+        val cur = rows.filterNot(_._3).map(_._2)
+        val (m, n) = (BigInt(ref.length), BigInt(cur.length))
+        val num = rows.map(_._2).distinct.map { t =>
+          val g = BigInt(rows.count(_._2 == t))
+          val d = BigInt(ref.count(_ <= t)) * n -
+            BigInt(cur.count(_ <= t)) * m
+          g * d * d
+        }.sum
+        val den = (m + n) * (m + n) * m * n
+        val e6 = num * 1000000 / den
+        typ -> ((m.toLong, n.toLong, e6.toLong, e6 >= 461000))
+    }
+    assert(got === want)
+    // T <= mn/N <= N/4 by construction; e6 stays under that cap
+    got.foreach { case (typ, (m, n, e6, _)) =>
+      assert(e6 >= 0L && e6 <= (m * n * 1000000L) / (m + n), typ)
+    }
+  }
+
+  test("q_qte: arm quantiles are exact type-1 order statistics and " +
+      "the gaps replay from a brute sort") {
+    val rows = SparkEntry.queries("q_qte")(spark, sf).collect()
+      .map(r => r.getAs[Long]("p") ->
+        ((r.getAs[Long]("n_treated"), r.getAs[Long]("n_control"),
+          r.getAs[Long]("q_treated"), r.getAs[Long]("q_control"),
+          r.getAs[Long]("qte_cents")))).toMap
+    assert(rows.keySet === Set(25L, 50L, 75L))
+    val raw = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select(($"user_id" % 2 === 1).as("treated"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(Boolean, Long)].collect()
+    val t = raw.filter(_._1).map(_._2).sorted
+    val c = raw.filterNot(_._1).map(_._2).sorted
+    def q1(xs: Array[Long], p: Long): Long = {
+      // min v with 100·|{x <= v}| >= p·n == order stat at ceil(pn/100)
+      val k = ((p * xs.length + 99) / 100).toInt
+      xs(k - 1)
+    }
+    rows.foreach { case (p, (nt, nc, qt, qc, gap)) =>
+      assert(nt === t.length.toLong && nc === c.length.toLong)
+      assert(qt === q1(t, p), s"p$p treated")
+      assert(qc === q1(c, p), s"p$p control")
+      assert(gap === qt - qc)
+    }
+    // monotone: higher p never gives a smaller quantile
+    assert(rows(25L)._3 <= rows(50L)._3 && rows(50L)._3 <= rows(75L)._3)
+    assert(rows(25L)._4 <= rows(50L)._4 && rows(50L)._4 <= rows(75L)._4)
+  }
+
   test("q_mann_whitney matches an exact midrank recompute and the " +
       "U_ref + U_cur identity") {
     val got = SparkEntry.queries("q_mann_whitney")(spark, sf).collect()
