@@ -513,6 +513,75 @@ object PipelineQueries {
         $"max_price".cast("double").as("max_price"))
   }
 
+  /** Incremental JOIN-view maintenance — the delta-join algebra
+    * (Blakeley/Larson/Tompa 1986; the same signed-multiplicity rule
+    * DBSP/Materialize generalize) that [[incrementalRollup]]'s
+    * single-table decomposition cannot express: when a materialized
+    * join view J = A ⋈ B receives fact inserts ΔA AND dimension
+    * updates ΔB (delete+insert as −1/+1 signed rows), the exact
+    * maintenance is J += ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — every term joins a
+    * SMALL delta against one stored side, so the maintenance cost is
+    * ∝ |Δ|·fan, never a full re-join (at 100 TB, A⋈ΔB is a
+    * broadcast-pruned scan keyed by ΔB's key set; a deployment with
+    * a key index pays only the matching rows). The Spark side runs
+    * the INCREMENTAL path and then CHECKS itself against the full
+    * recompute on the post-update state — matches_full is computed,
+    * not assumed, so a broken delta algebra hash-fails the oracle
+    * (which runs only the full recompute and pins TRUE). Split:
+    * fact inserts = orderkey % 10 == 0; dim updates = custkey % 7
+    * == 0 moving to segment 'UPDATED'. */
+  private def ivmJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select($"o_orderkey", $"o_custkey",
+      ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+    val aOld = o.filter($"o_orderkey" % 10 =!= 0)
+      .select($"o_custkey", $"cents")
+    val dA = o.filter($"o_orderkey" % 10 === 0)
+      .select($"o_custkey", $"cents")
+    val c = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+    val changed = c.filter($"c_custkey" % 7 === 0)
+    // signed dim delta: retract the old segment row, assert the new
+    val dB = changed.select($"c_custkey", $"c_mktsegment",
+        lit(-1L).as("sgn"))
+      .unionByName(changed.select($"c_custkey",
+        lit("UPDATED").as("c_mktsegment"), lit(1L).as("sgn")))
+    def rollup(df: DataFrame) = df.groupBy($"c_mktsegment")
+      .agg(sum($"w").as("n"), sum($"wc").as("wc"))
+    val jOld = rollup(aOld
+      .join(c.hint("broadcast"), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", lit(1L).as("w"), $"cents".as("wc")))
+    val d1 = rollup(dA
+      .join(c.hint("broadcast"), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", lit(1L).as("w"), $"cents".as("wc")))
+    val d2 = rollup(aOld
+      .join(broadcast(dB), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"sgn".as("w"),
+        ($"sgn" * $"cents").as("wc")))
+    val d3 = rollup(dA
+      .join(broadcast(dB), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"sgn".as("w"),
+        ($"sgn" * $"cents").as("wc")))
+    val maintained = jOld.unionByName(d1).unionByName(d2)
+      .unionByName(d3)
+      .groupBy($"c_mktsegment")
+      .agg(sum($"n").as("n_orders"), sum($"wc").as("revenue_cents"))
+      .filter($"n_orders" > 0)
+    // self-check: the incremental result must equal the full re-join
+    // over the post-update state (computed, not assumed)
+    val bNew = c.select($"c_custkey",
+      when($"c_custkey" % 7 === 0, lit("UPDATED"))
+        .otherwise($"c_mktsegment").as("c_mktsegment"))
+    val full = o.select($"o_custkey", $"cents")
+      .join(bNew.hint("broadcast"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("f_n"), sum($"cents").as("f_cents"))
+    maintained.join(full, Seq("c_mktsegment"), "full_outer")
+      .select($"c_mktsegment", $"n_orders", $"revenue_cents",
+        ($"n_orders" <=> $"f_n" && $"revenue_cents" <=> $"f_cents")
+          .as("matches_full"))
+  }
+
   /** Primary-key uniqueness audit — q_fk_audit's companion: per
     * table, row count vs distinct-key count and the number of
     * violated key values. One map-side-combinable aggregate per
@@ -673,6 +742,26 @@ object PipelineQueries {
              CAST(min(p) AS DOUBLE) AS min_price,
              CAST(max(p) AS DOUBLE) AS max_price
       FROM g GROUP BY 1""")),
+
+    // oracle = FULL recompute over the post-update state with the
+    // flag pinned TRUE: if the Spark side's delta algebra drops or
+    // double-counts anything, its computed matches_full (or the
+    // maintained counts themselves) hash-fail
+    Q("q_ivm_join", ivmJoin, Some("""
+      WITH b_new AS (SELECT c_custkey,
+                            CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED'
+                                 ELSE c_mktsegment END AS c_mktsegment
+                     FROM customer),
+      o AS (SELECT o_custkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT) AS cents
+            FROM orders)
+      SELECT c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents,
+             TRUE AS matches_full
+      FROM o JOIN b_new ON o_custkey = c_custkey
+      GROUP BY 1""")),
 
     Q("q_fk_audit", fkAudit, Some("""
       SELECT 'lineitem->orders' AS edge, count(*) AS n_rows,

@@ -272,4 +272,41 @@ class StorageSpec extends AnyFunSuite {
     // the groupBy reuses the repartition's hash distribution
     assert(shuffleCount(agg) === 1)
   }
+
+  test("q_ivm_join: the signed delta-join maintenance equals a brute " +
+      "full re-join, the self-check flag is TRUE everywhere, and " +
+      "every delta term is actually exercised") {
+    val rows = SparkEntry.queries("q_ivm_join")(spark, sf).collect()
+      .map(r => r.getAs[String]("c_mktsegment") ->
+        ((r.getAs[Long]("n_orders"), r.getAs[Long]("revenue_cents"),
+          r.getAs[Boolean]("matches_full")))).toMap
+    assert(rows.contains("UPDATED"), "dim update produced no segment")
+    rows.foreach { case (seg, (_, _, ok)) =>
+      assert(ok, s"$seg: incremental != full recompute")
+    }
+    // brute full re-join over the post-update state
+    val custSeg = Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_mktsegment").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.getLong(0) % 7 == 0) "UPDATED" else r.getString(1)))
+      .toMap
+    val want = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .collect()
+      .flatMap { r =>
+        custSeg.get(r.getLong(1)).map(seg =>
+          (seg, r.getLong(2), r.getLong(0)))
+      }
+    val bySeg = want.groupBy(_._1).view.mapValues(g =>
+      (g.length.toLong, g.map(_._2).sum)).toMap
+    assert(rows.view.mapValues(v => (v._1, v._2)).toMap === bySeg)
+    // the cross term dA x dB must be non-empty here, or this spec
+    // wouldn't catch an algebra that forgets it
+    val crossReal = Tables.orders(spark, sf)
+      .filter($"o_orderkey" % 10 === 0 && $"o_custkey" % 7 === 0)
+      .count()
+    assert(crossReal > 0, "delta-fact x delta-dim cross term is empty")
+  }
 }
