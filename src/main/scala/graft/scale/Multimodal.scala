@@ -607,6 +607,68 @@ object Multimodal {
       }.toDF("media_id", "dhash_hi", "dhash_lo")
   }
 
+  /** Bucket cap for one (band, value) posting list in
+    * [[imageNearDup]] — degenerate band values (e.g. an all-zero
+    * 16-bit band from flat images) otherwise fan O(w²) candidate
+    * pairs; dropping over-cap buckets costs only recall on pairs
+    * whose EVERY clean band is degenerate, the quantified loss the
+    * dedup family's caps all take. */
+  val ImgBandCap = 100L
+
+  /** Hamming threshold for a confirmed image near-duplicate. 4 bands
+    * × 16 bits with max 3 mismatched bits pigeonhole-guarantee at
+    * least one untouched band, so banding loses NO pair under this
+    * threshold (modulo the bucket cap). */
+  val ImgHamMax = 3L
+
+  /** Image near-duplicate pairs — the DEDUP step the per-image
+    * hashes ([[ahashQ]]/[[dhashQ]]) exist to feed, closing the
+    * multimodal pipeline the same way q_dedup_simhash_pairs closes
+    * the text one: band each 64-bit dHash into 4×16-bit keys,
+    * bucket-join only within (band, value) postings (never all
+    * pairs), cap hot buckets at [[ImgBandCap]], and confirm
+    * candidates with the exact Hamming distance ≤ [[ImgHamMax]].
+    * The pigeonhole banding is recall-complete at this threshold;
+    * shuffle volume is images × 4 band keys, and the candidate join
+    * is bounded by cap² per bucket. The hash table comes from the
+    * real PNG codec once (registry-cached — the banding, counting,
+    * and confirm passes share one materialization). */
+  private def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = graft.GraftCaches.getOrPersist(s, s"multimodal.dhash:$d") {
+      dhashQ(s, d)
+    }
+    val bands = h.select($"media_id",
+      posexplode(array(
+        expr("dhash_lo & 65535"),
+        expr("shiftright(dhash_lo, 16) & 65535"),
+        expr("dhash_hi & 65535"),
+        expr("shiftright(dhash_hi, 16) & 65535")))
+        .as(Seq("band_i", "bv")))
+    val counts = bands.groupBy($"band_i", $"bv")
+      .agg(count(lit(1)).as("bn"))
+    val capped = bands.join(counts, Seq("band_i", "bv"))
+      .filter($"bn" <= ImgBandCap)
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.band_i") === col("b.band_i") &&
+          col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"),
+        col("b.media_id").as("id_b"))
+      .distinct()
+    cand
+      .join(h.select($"media_id".as("id_a"), $"dhash_hi".as("hi_a"),
+        $"dhash_lo".as("lo_a")), "id_a")
+      .join(h.select($"media_id".as("id_b"), $"dhash_hi".as("hi_b"),
+        $"dhash_lo".as("lo_b")), "id_b")
+      // Spark SQL ^ is bitwise xor (DuckDB's is power — its oracle
+      // uses xor())
+      .select($"id_a", $"id_b",
+        expr("cast(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)" +
+          " as bigint)").as("hamming"))
+      .filter($"hamming" <= ImgHamMax)
+  }
+
   /** Thumbnail/resize feature extraction through the REAL image codec
     * — encode an actual PNG per document, decode it, and downsample
     * to an 8×6 thumbnail with integer nearest-neighbor indexing
@@ -827,6 +889,60 @@ object Multimodal {
                AS BIGINT) AS dhash_lo
       FROM allm LEFT JOIN bits USING (media_id)
       GROUP BY 1""")),
+
+    Q("q_image_neardup", imageNearDup, Some(s"""
+      WITH dims AS (SELECT doc_id AS media_id,
+                           CAST(16 + doc_id % 16 AS INT) AS w,
+                           CAST(9 + doc_id % 9 AS INT) AS h
+                    FROM documents),
+      px AS (SELECT d.media_id,
+                    y.y * 8 // d.h AS r, x.x * 9 // d.w AS c,
+                    (d.media_id * 31 + x.x * 7 + y.y * 13) % 256 AS v
+             FROM dims d
+             JOIN generate_series(0, 31) AS x(x) ON x.x < d.w
+             JOIN generate_series(0, 17) AS y(y) ON y.y < d.h),
+      blk AS (SELECT media_id, r, c, sum(v) AS bs, count(*) AS bc
+              FROM px GROUP BY 1, 2, 3),
+      bits AS (SELECT l.media_id,
+                      CAST(l.r * 8 + l.c AS INT) AS b
+               FROM blk l JOIN blk rt
+                 ON l.media_id = rt.media_id AND l.r = rt.r
+                AND rt.c = l.c + 1
+               WHERE l.bs * rt.bc > rt.bs * l.bc),
+      allm AS (SELECT media_id FROM dims),
+      hsh AS (SELECT allm.media_id,
+                     CAST(coalesce(sum(CASE WHEN b >= 32
+                         THEN CAST(1 AS BIGINT) << (b - 32) ELSE 0 END),
+                       0) AS BIGINT) AS hi,
+                     CAST(coalesce(sum(CASE WHEN b < 32
+                         THEN CAST(1 AS BIGINT) << b ELSE 0 END), 0)
+                       AS BIGINT) AS lo
+              FROM allm LEFT JOIN bits USING (media_id)
+              GROUP BY 1),
+      bands AS (SELECT media_id, i AS band_i,
+                       CASE i WHEN 0 THEN lo & 65535
+                              WHEN 1 THEN (lo >> 16) & 65535
+                              WHEN 2 THEN hi & 65535
+                              ELSE (hi >> 16) & 65535 END AS bv
+                FROM hsh, generate_series(0, 3) s(i)),
+      capped AS (SELECT media_id, band_i, bv FROM (
+                   SELECT *, count(*) OVER (PARTITION BY band_i, bv)
+                     AS bn
+                   FROM bands) t
+                 WHERE bn <= $ImgBandCap),
+      cand AS (SELECT DISTINCT a.media_id AS id_a,
+                               b.media_id AS id_b
+               FROM capped a JOIN capped b
+                 ON a.band_i = b.band_i AND a.bv = b.bv
+                AND a.media_id < b.media_id),
+      pairs AS (SELECT id_a, id_b,
+                       bit_count(xor(ha.hi, hb.hi))
+                         + bit_count(xor(ha.lo, hb.lo)) AS hamming
+                FROM cand
+                JOIN hsh ha ON ha.media_id = id_a
+                JOIN hsh hb ON hb.media_id = id_b)
+      SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+      FROM pairs WHERE hamming <= $ImgHamMax""")),
 
     Q("q_audio_envhash", envHashQ, Some("""
       WITH clips AS (SELECT doc_id AS media_id, 100 + doc_id % 50 AS n

@@ -271,4 +271,54 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_image_neardup: pairs replay from a brute banded scan, " +
+      "banding is recall-complete at the Hamming threshold, and " +
+      "every emitted pair is a genuine near-dup") {
+    import graft.SparkEntry
+    val sf = SparkTestSession.sf
+    val got = SparkEntry.queries("q_image_neardup")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    // brute: dHash every doc through the same codec
+    val hashes = graft.Tables
+      .documents(spark, sf).select($"doc_id").as[Long].collect()
+      .map { id =>
+        val w = 16 + (id % 16).toInt
+        val h = 9 + (id % 9).toInt
+        id -> Multimodal.JdkImageCodec.dHash64(
+          Multimodal.JdkImageCodec.encodePng(id, w, h))
+      }.toMap
+    def bandsOf(h: Long): Seq[(Int, Long)] =
+      (0 to 3).map(i => i -> ((h >>> (16 * i)) & 0xffffL))
+    val postings = hashes.toSeq.flatMap { case (id, h) =>
+      bandsOf(h).map { case (i, v) => (i, v) -> id }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val want = postings.valuesIterator
+      .filter(_.size <= Multimodal.ImgBandCap)
+      .flatMap(ids => for {
+        a <- ids; b <- ids if a < b
+      } yield (a, b)).toSet
+      .flatMap { p: (Long, Long) =>
+        val ham = java.lang.Long.bitCount(hashes(p._1) ^ hashes(p._2))
+        if (ham <= Multimodal.ImgHamMax) Some(p -> ham.toLong) else None
+      }.toMap
+    assert(got === want)
+    assert(got.nonEmpty, "no near-dup pairs on this data — spec inert")
+    // recall-completeness of the pigeonhole banding (cap aside):
+    // every all-pairs near-dup whose bands are all under cap is found
+    val underCap = postings.filter(_._2.size <= Multimodal.ImgBandCap)
+      .values.flatten.toSet
+    for {
+      (a, ha) <- hashes; (b, hb) <- hashes
+      if a < b && underCap(a) && underCap(b)
+      ham = java.lang.Long.bitCount(ha ^ hb)
+      if ham <= Multimodal.ImgHamMax
+    } assert(got.contains((a, b)) ||
+        // pair survives only via a SHARED under-cap band
+        !bandsOf(ha).zip(bandsOf(hb)).exists { case ((i, va), (_, vb)) =>
+          va == vb && postings((i, va)).size <= Multimodal.ImgBandCap },
+      s"missed near-dup ($a,$b) at hamming $ham")
+  }
 }
