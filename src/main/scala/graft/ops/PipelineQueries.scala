@@ -272,6 +272,37 @@ object PipelineQueries {
         round(sum($"o_totalprice"), 2).as("total"))
   }
 
+  /** Dynamic partition pruning — the RUNTIME companion to
+    * [[partitionedRoundtrip]]'s static pruning: the year partitions
+    * the fact scan may skip are known only after the dim side
+    * evaluates (its filter is on an AGGREGATED measure — min price
+    * per year — which no static constraint propagation can rewrite
+    * into the partition key), so Catalyst inserts a
+    * dynamicpruningexpression into the scan's PartitionFilters and
+    * reuses the broadcast dim to evaluate it before the fact files
+    * are listed. At 100 TB this is the difference between scanning
+    * every date partition and touching only the qualifying ones when
+    * the qualifying set is data-driven (dimension attributes,
+    * not literals). StorageSpec pins the dynamicpruning expression
+    * in the plan. */
+  private def dppJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = Tables.scratch(d, "orders_dpp")
+    Tables.orders(s, d)
+      .withColumn("o_year", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    val fact = s.read.parquet(path)
+    val dim = Tables.orders(s, d)
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg((min($"o_totalprice".cast("decimal(18,2)")) * 100)
+        .cast("long").as("mn_cents"))
+      .filter($"mn_cents" % 3 === 0)
+    fact.join(broadcast(dim), "o_year")
+      .groupBy($"o_year".cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("total"))
+  }
+
   /** q_schema_evolution: the ADD-COLUMN migration read path — two
     * parquet generations under one root (v=1 without `o_year`, v=2
     * with it), unified by `mergeSchema=true`: the reader widens every
@@ -929,6 +960,21 @@ object PipelineQueries {
       SELECT c_mktsegment, count(*) AS cnt,
              round(sum(o_totalprice), 2) AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1""")),
+
+    Q("q_dpp_join", dppJoin, Some("""
+      WITH dim AS (SELECT year(o_orderdate) AS o_year,
+                          CAST(min(CAST(o_totalprice
+                            AS DECIMAL(18,2))) * 100 AS BIGINT)
+                            AS mn_cents
+                   FROM orders GROUP BY 1)
+      SELECT CAST(f.o_year AS BIGINT) AS o_year,
+             count(*) AS n_orders,
+             round(sum(f.o_totalprice), 2) AS total
+      FROM (SELECT year(o_orderdate) AS o_year, o_totalprice
+            FROM orders) f
+      JOIN dim ON f.o_year = dim.o_year
+      WHERE mn_cents % 3 = 0
       GROUP BY 1""")),
 
     Q("q_master_pipeline", masterPipeline, Some("""

@@ -1123,7 +1123,73 @@ object Dedup {
                / ((n_docs * (n_docs - 1)) // 2) AS candidate_frac
       FROM agg"""
 
+  /** Tokens per non-overlapping chunk in [[chunkDedup]]. */
+  val ChunkLen = 8
+
+  /** Sub-document exact dedup at CHUNK granularity with a
+    * first-occurrence retention policy — the C4 rule ("remove all
+    * but one of any repeated three-sentence span") adapted to the
+    * corpus's unpunctuated text: documents split into non-overlapping
+    * [[ChunkLen]]-token chunks, each repeated chunk keeps ONLY its
+    * (doc_id, idx)-minimal occurrence, and the per-document ledger
+    * reports how many chunks survive. Distinct from q_dedup_exact
+    * (whole-doc) and q_dedup_spans (winnow-sampled fingerprints):
+    * this is the RETENTION side — which doc keeps which span, the
+    * bookkeeping an actual corpus rewrite needs. Shape: explode to
+    * chunks (scan-local), ONE groupBy(chunk) for the global
+    * first-occurrence (min struct — map-side combinable), one
+    * co-partitioned join back, one per-doc rollup. No all-pairs
+    * anything; shuffle ∝ corpus chunks. */
+  private def chunkDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = split($"text", "\\s+")
+    val nChunks = (size(t) + lit(ChunkLen - 1)) / lit(ChunkLen)
+    val chunks = Tables.documents(s, d)
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0), nChunks.cast("int") - 1),
+        i => concat_ws(" ", slice(t, i * ChunkLen + 1, lit(ChunkLen)))))
+        .as(Seq("idx", "chunk")))
+    val first = chunks.groupBy($"chunk")
+      .agg(min(struct($"doc_id", $"idx")).as("keep"),
+        count(lit(1)).as("n_occ"))
+    chunks.join(first, "chunk")
+      .select($"doc_id",
+        ($"keep.doc_id" === $"doc_id" && $"keep.idx" === $"idx")
+          .as("kept"),
+        ($"n_occ" > 1L).as("dup"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"dup", 1L).otherwise(0L)).as("n_in_dup_class"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_chunk_dedup", chunkDedup, Some(s"""
+      WITH tk AS (SELECT doc_id,
+                         string_split_regex(text, '\\s+') AS toks
+                  FROM documents),
+      ix AS (SELECT doc_id,
+                    unnest(range(0, (len(toks) + ${ChunkLen - 1})
+                      // $ChunkLen)) AS idx,
+                    toks
+             FROM tk),
+      ch AS (SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+                    array_to_string(toks[idx * $ChunkLen + 1 :
+                      idx * $ChunkLen + $ChunkLen], ' ') AS chunk
+             FROM ix),
+      rk AS (SELECT doc_id, idx, chunk,
+                    row_number() OVER (PARTITION BY chunk
+                      ORDER BY doc_id ASC, idx ASC) AS rn,
+                    count(*) OVER (PARTITION BY chunk) AS n_occ
+             FROM ch)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_in_dup_class
+      FROM rk GROUP BY 1""")),
+
     Q("q_dedup_funnel", dedupFunnel, Some(dedupFunnelOracle)),
     Q("q_dedup_spans", dedupSpansQ, Some(dedupSpansOracle),
       headline = true),

@@ -309,4 +309,30 @@ class StorageSpec extends AnyFunSuite {
       .count()
     assert(crossReal > 0, "delta-fact x delta-dim cross term is empty")
   }
+
+  test("q_dpp_join: the fact scan carries a DYNAMIC partition " +
+      "pruning filter (the dim filter is aggregate-derived, so " +
+      "static pruning cannot apply) and the result replays brute") {
+    val df = SparkEntry.queries("q_dpp_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "no dynamicpruningexpression in the fact scan")
+    // brute replay: qualifying years from min-price-cents % 3
+    val byYear = Tables.orders(spark, sf)
+      .select(year($"o_orderdate").as("y"),
+        $"o_totalprice".cast("decimal(18,2)").as("p"))
+      .collect().map(r => (r.getInt(0),
+        r.getDecimal(1).movePointRight(2).longValueExact()))
+      .groupBy(_._1)
+    val want = byYear.collect {
+      case (y, rows) if rows.map(_._2).min % 3 == 0 =>
+        y.toLong -> rows.length.toLong
+    }
+    val got = df.collect()
+      .map(r => r.getAs[Long]("o_year") -> r.getAs[Long]("n_orders"))
+      .toMap
+    assert(got === want)
+    assert(got.nonEmpty && got.size < byYear.size,
+      "filter must prune SOME but not all years for the pin to bite")
+  }
 }
