@@ -1751,7 +1751,86 @@ object Similarity {
              END AS ratio_e4
       FROM n2 JOIN pn USING (vec_id)"""
 
+  /** Number of medoid anchors [[silhouette]] clusters against. */
+  val SilhouetteK = 8
+
+  /** Medoid-based simplified silhouette — the clustering-QUALITY
+    * metric the kmeans family (q_kmeanspp_init seeding,
+    * q_kmeans_refine Lloyd steps) lacked: how well-separated are the
+    * clusters, per cluster. Uses the simplified (centroid-form)
+    * silhouette of Hruschka et al. with MEDOID anchors (the
+    * [[SilhouetteK]] min-id vectors — data points, so every distance
+    * is on the exact e6 component grid) and SQUARED distances:
+    * s = (b₂ − a₂)/b₂ with a₂ = d² to the assigned (nearest) anchor
+    * and b₂ the second-nearest, so 0 ≤ s ≤ 1 and the whole statistic
+    * is integer-exact — no sqrt, no float, emitted e6. Shape: anchors
+    * broadcast into the corpus scan (K rows), per-vector
+    * nearest/second-nearest via ONE window over the K-row
+    * per-vector group (shuffle ∝ corpus·K — the IVF assignment
+    * shape), then a K-row rollup. */
+  private def silhouette(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val xf = transform($"embedding",
+      x => floor(x.cast("double") * lit(1.0e6)).cast("long"))
+    val emb = Tables.embeddings(s, d).select($"vec_id", xf.as("xf"))
+    val anchors = emb.filter($"vec_id" < SilhouetteK)
+      .select($"vec_id".as("mid"), $"xf".as("mxf"))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    val ranked = emb.crossJoin(broadcast(anchors))
+      .select($"vec_id", $"mid", d2($"xf", $"mxf").as("dd"))
+      .withColumn("rn", row_number().over(
+        W.partitionBy($"vec_id").orderBy($"dd".asc, $"mid".asc)))
+      .filter($"rn" <= 2)
+    val a = ranked.filter($"rn" === 1)
+      .select($"vec_id", $"mid".as("cluster_id"), $"dd".as("a2"))
+    val b = ranked.filter($"rn" === 2)
+      .select($"vec_id", $"dd".as("b2"))
+    a.join(b, "vec_id")
+      // anchors sit at distance 0 from themselves (a2 = 0, s = 1);
+      // b2 = 0 would mean two identical anchors — degenerate, s := 0
+      .select($"cluster_id",
+        when($"b2" > 0, expr("(b2 - a2) * 1000000 div b2"))
+          .otherwise(0L).as("s_e6"))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"s_e6").as("sum_s_e6"))
+      .withColumn("mean_s_e6", expr("sum_s_e6 div n_vecs"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_silhouette", silhouette, Some(s"""
+      WITH emb AS (SELECT vec_id,
+                          list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1e6)
+                              AS BIGINT)) AS xf
+                   FROM embeddings),
+      anchors AS (SELECT vec_id AS mid, xf AS mxf FROM emb
+                  WHERE vec_id < $SilhouetteK),
+      dist AS (SELECT e.vec_id, a.mid,
+                      list_sum(list_transform(
+                        list_zip(e.xf, a.mxf),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dd
+               FROM emb e CROSS JOIN anchors a),
+      rk AS (SELECT vec_id, mid, dd,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY dd ASC, mid ASC) AS rn
+             FROM dist),
+      ab AS (SELECT a.vec_id, a.mid AS cluster_id,
+                    a.dd AS a2, b.dd AS b2
+             FROM (SELECT * FROM rk WHERE rn = 1) a
+             JOIN (SELECT * FROM rk WHERE rn = 2) b USING (vec_id)),
+      sil AS (SELECT cluster_id,
+                     CASE WHEN b2 > 0 THEN (b2 - a2) * 1000000 // b2
+                          ELSE 0 END AS s_e6
+              FROM ab)
+      SELECT cluster_id,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(s_e6) AS BIGINT) AS sum_s_e6,
+             CAST(sum(s_e6) // count(*) AS BIGINT) AS mean_s_e6
+      FROM sil GROUP BY 1""")),
     Q("q_random_projection", randomProjection,
       Some(randomProjectionOracle)),
     Q("q_pca_power", pcaPower, Some(pcaPowerOracle)),

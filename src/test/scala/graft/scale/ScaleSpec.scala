@@ -378,6 +378,37 @@ class ScaleSpec extends AnyFunSuite {
       assert(got.map(_._2).min >= dropped.map(_._2).max)
   }
 
+  test("q_silhouette: per-cluster scores replay a brute medoid scan, " +
+      "scores stay in [0, 1e6], and counts cover the corpus") {
+    val got = SparkEntry.queries("q_silhouette")(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("sum_s_e6"),
+          r.getAs[Long]("mean_s_e6")))).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * 1e6).toLong).toArray)
+    val anchors = vecs.filter(_._1 < Similarity.SilhouetteK).sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val want = vecs.map { case (_, v) =>
+      val byD = anchors.map { case (mid, m) => (d2(v, m), mid) }.sorted
+      val (a2, cid) = byD(0)
+      val b2 = byD(1)._1
+      cid -> (if (b2 > 0) (b2 - a2) * 1000000L / b2 else 0L)
+    }.groupBy(_._1).map { case (cid, ss) =>
+      cid -> ((ss.length.toLong, ss.map(_._2).sum,
+        ss.map(_._2).sum / ss.length))
+    }
+    assert(got === want)
+    assert(got.values.map(_._1).sum === vecs.length.toLong)
+    got.values.foreach { case (n, sum, mean) =>
+      assert(mean >= 0L && mean <= 1000000L)
+      assert(sum >= 0L && sum <= n * 1000000L)
+    }
+  }
+
   test("q_chunk_dedup: the per-doc retention ledger replays a brute " +
       "first-occurrence scan and the global invariants hold") {
     val got = SparkEntry.queries("q_chunk_dedup")(spark, sf).collect()
