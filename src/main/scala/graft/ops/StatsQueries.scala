@@ -1373,6 +1373,54 @@ object StatsQueries {
         $"qrow.q_treated", $"qrow.q_control", $"qrow.qte_cents")
   }
 
+  /** Tail probability denominator for [[varCvar]] (1/20 = 5 %). */
+  val VarTailDen = 20L
+
+  /** Historical Value-at-Risk and Conditional VaR (expected
+    * shortfall) of day-over-day revenue changes per event type — the
+    * tail-risk pair a revenue monitor reads beside
+    * [[rollingAnomaly]]'s z-scores: VaR₅ is the exact type-1
+    * 5th-percentile of the
+    * daily delta distribution (the k-th smallest delta with
+    * k = ⌈n/20⌉ — an order statistic, never interpolated), and
+    * CVaR₅ = mean of the k deltas at or below it, emitted as the
+    * exact pair (tail sum, k) plus the sign-split truncating
+    * quotient (engine-identical for the usually-negative tail).
+    * Deltas are exact BIGINT cents from a lag window that walks
+    * DAYS, not events, and ranks come from a per-type window over
+    * the day-bounded delta series — the q_eval_auc shape, so the
+    * window input stays ~365 rows per type-year at any event
+    * volume. */
+  private def varCvar(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val byDay = W.partitionBy($"event_type").orderBy($"day".asc)
+    val daily = Tables.events(s, d)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("day_cents"))
+      .withColumn("delta",
+        $"day_cents" - lag($"day_cents", 1).over(byDay))
+      .filter($"delta".isNotNull)
+    val ranked = daily
+      .withColumn("rn", row_number().over(
+        W.partitionBy($"event_type").orderBy($"delta".asc, $"day".asc)))
+      .withColumn("n", count(lit(1)).over(
+        W.partitionBy($"event_type")))
+      .withColumn("k", expr(s"(n + ${VarTailDen - 1}) div $VarTailDen"))
+    ranked.filter($"rn" <= $"k")
+      .groupBy($"event_type")
+      .agg(max($"n").as("n_days"), max($"k").as("k_tail"),
+        max(when($"rn" === $"k", $"delta")).as("var_cents"),
+        sum($"delta").as("tail_sum_cents"))
+      .withColumn("cvar_cents", expr(
+        """cast(case when tail_sum_cents >= 0
+             then tail_sum_cents div k_tail
+             else -((-tail_sum_cents) div k_tail) end as bigint)"""))
+  }
+
   /** How many daily observations the binary-decay EWMA looks back. */
   val EwmaWindow = 16
 
@@ -3229,6 +3277,42 @@ object StatsQueries {
       SELECT CAST(75 AS BIGINT), n_treated, n_control, q75_t, q75_c,
              CAST(q75_t - q75_c AS BIGINT)
       FROM t, c""")),
+
+    Q("q_var_cvar", varCvar, Some(s"""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+                              * 100 AS BIGINT)) AS BIGINT) AS day_cents
+                     FROM events WHERE value IS NOT NULL
+                     GROUP BY 1, 2),
+      dl AS (SELECT event_type, day,
+                    day_cents - lag(day_cents) OVER (
+                      PARTITION BY event_type ORDER BY day ASC)
+                      AS delta
+             FROM daily),
+      dd AS (SELECT event_type, day, delta FROM dl
+             WHERE delta IS NOT NULL),
+      rk AS (SELECT event_type, delta,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY delta ASC, day ASC) AS rn,
+                    count(*) OVER (PARTITION BY event_type) AS n
+             FROM dd),
+      kk AS (SELECT event_type, delta, rn,
+                    CAST(n AS BIGINT) AS n,
+                    (n + ${VarTailDen - 1}) // $VarTailDen AS k
+             FROM rk),
+      t AS (SELECT event_type,
+                   CAST(max(n) AS BIGINT) AS n_days,
+                   CAST(max(k) AS BIGINT) AS k_tail,
+                   CAST(max(CASE WHEN rn = k THEN delta END)
+                     AS BIGINT) AS var_cents,
+                   CAST(sum(delta) AS BIGINT) AS tail_sum_cents
+            FROM kk WHERE rn <= k GROUP BY 1)
+      SELECT event_type, n_days, k_tail, var_cents, tail_sum_cents,
+             CAST(CASE WHEN tail_sum_cents >= 0
+                    THEN tail_sum_cents // k_tail
+                    ELSE -((-tail_sum_cents) // k_tail) END
+               AS BIGINT) AS cvar_cents
+      FROM t""")),
 
     Q("q_ewma_binary", ewmaBinary, Some(s"""
       WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -329,6 +329,38 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_var_cvar: the 5% tail order statistics replay from a brute " +
+      "day-delta sort and CVaR never exceeds VaR") {
+    val got = SparkEntry.queries("q_var_cvar")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("k_tail"),
+          r.getAs[Long]("var_cents"), r.getAs[Long]("tail_sum_cents"),
+          r.getAs[Long]("cvar_cents")))).toMap
+    val daily = Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day").agg(sum($"cents").as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val want = daily.groupBy(_._1).collect {
+      case (typ, rows) if rows.length >= 2 =>
+        val deltas = rows.sortBy(_._2).map(_._3)
+          .sliding(2).map(p => p(1) - p(0)).toArray.sorted
+        val n = deltas.length.toLong
+        val k = ((n + ops.StatsQueries.VarTailDen - 1) /
+          ops.StatsQueries.VarTailDen).toInt
+        val tail = deltas.take(k)
+        val ts = tail.sum
+        val cvar = if (ts >= 0) ts / k else -((-ts) / k)
+        typ -> ((n, k.toLong, deltas(k - 1), ts, cvar))
+    }
+    assert(got === want)
+    got.values.foreach { case (_, _, varC, _, cvarC) =>
+      assert(cvarC <= varC, "expected shortfall must be <= VaR")
+    }
+  }
+
   test("q_cvm_test matches an exact tie-aware Cramér–von Mises " +
       "recompute per type and caps at the theoretical maximum") {
     val got = SparkEntry.queries("q_cvm_test")(spark, sf).collect()
