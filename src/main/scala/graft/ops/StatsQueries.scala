@@ -1373,6 +1373,41 @@ object StatsQueries {
         $"qrow.q_treated", $"qrow.q_control", $"qrow.qte_cents")
   }
 
+  /** Dynamic-time-warping distance between every PAIR of event-type
+    * daily-revenue series — the alignment-tolerant companion to
+    * [[rollingCorr]]: Pearson tracks same-day co-movement, DTW
+    * ([[graft.ext.DtwExpr]], Sakoe–Chiba 1978) still matches series
+    * whose shapes agree but LAG (a promo that hits clicks on Monday
+    * and purchases on Wednesday scores far on correlation, near on
+    * DTW). Series are exact day-cents arrays ordered by day
+    * (array_sort on (day, cents) structs — deterministic), the DP
+    * runs all-integer inside the codegen expression, and the DuckDB
+    * oracle replays the identical recurrence with a recursive CTE
+    * over rows + a list_reduce fold within each row. Shape: one
+    * day rollup, a |types|²-row broadcast pair fan, then O(n·m)
+    * integer work per pair INSIDE the scan — no shuffle beyond the
+    * rollup, and the arrays are day-bounded at any event volume. */
+  private def dtwDistance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val series = Tables.events(s, d)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("day_cents"))
+      .groupBy($"event_type")
+      .agg(transform(
+        array_sort(collect_list(struct($"day", $"day_cents"))),
+        p => p.getField("day_cents")).as("v"))
+    val a = series.select($"event_type".as("type_a"), $"v".as("x"))
+    val b = series.select($"event_type".as("type_b"), $"v".as("y"))
+    a.join(broadcast(b), $"type_a" < $"type_b")
+      .select($"type_a", $"type_b",
+        size($"x").cast("long").as("n_a"),
+        size($"y").cast("long").as("n_b"),
+        graft.ext.DtwExpr.dtw($"x", $"y").as("dtw_cents"))
+  }
+
   /** Tail probability denominator for [[varCvar]] (1/20 = 5 %). */
   val VarTailDen = 20L
 
@@ -3277,6 +3312,50 @@ object StatsQueries {
       SELECT CAST(75 AS BIGINT), n_treated, n_control, q75_t, q75_c,
              CAST(q75_t - q75_c AS BIGINT)
       FROM t, c""")),
+
+    Q("q_dtw_distance", dtwDistance, Some(s"""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+                              * 100 AS BIGINT)) AS BIGINT) AS day_cents
+                     FROM events WHERE value IS NOT NULL
+                     GROUP BY 1, 2),
+      series AS (SELECT event_type,
+                        list(day_cents ORDER BY day ASC) AS v
+                 FROM daily GROUP BY 1),
+      pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       a.v AS x, b.v AS y
+                FROM series a JOIN series b
+                  ON a.event_type < b.event_type),
+      dp AS (
+        -- row-by-row DTW: `row` holds D(i, 0..m); the left-to-right
+        -- in-row dependency folds via list_reduce with a LIST
+        -- accumulator (acc = the row built so far, elements = [j])
+        WITH RECURSIVE rec AS (
+          SELECT type_a, type_b, x, y, 0 AS i,
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, len(y)),
+                     j -> CAST(${graft.ext.DtwExpr.Inf} AS BIGINT)))
+                   AS row
+          FROM pairs
+          UNION ALL
+          SELECT type_a, type_b, x, y, i + 1,
+                 list_reduce(
+                   list_prepend(
+                     [CAST(${graft.ext.DtwExpr.Inf} AS BIGINT)],
+                     list_transform(generate_series(1, len(y)),
+                       j -> [CAST(j AS BIGINT)])),
+                   (acc, xj) -> list_append(acc,
+                     abs(x[i + 1] - y[xj[1]])
+                     + least(row[xj[1] + 1], acc[len(acc)],
+                             row[xj[1]])))
+          FROM rec WHERE i < len(x))
+        SELECT type_a, type_b, x, y, row FROM rec
+        WHERE i = len(x))
+      SELECT type_a, type_b,
+             CAST(len(x) AS BIGINT) AS n_a,
+             CAST(len(y) AS BIGINT) AS n_b,
+             CAST(row[len(y) + 1] AS BIGINT) AS dtw_cents
+      FROM dp""")),
 
     Q("q_var_cvar", varCvar, Some(s"""
       WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -329,6 +329,55 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dtw_distance: the codegen DP replays a brute Scala DTW, " +
+      "and the kernel satisfies the metric sanity properties") {
+    val got = SparkEntry.queries("q_dtw_distance")(spark, sf).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("dtw_cents")))).toMap
+    assert(got.size === 10) // C(5,2) type pairs
+    def dtwRef(x: Array[Long], y: Array[Long]): Long = {
+      val Inf = graft.ext.DtwExpr.Inf
+      val prev = Array.fill(y.length + 1)(Inf)
+      prev(0) = 0L
+      for (i <- 1 to x.length) {
+        val curr = Array.fill(y.length + 1)(Inf)
+        for (j <- 1 to y.length) {
+          val cost = math.abs(x(i - 1) - y(j - 1))
+          curr(j) = cost +
+            math.min(prev(j), math.min(curr(j - 1), prev(j - 1)))
+        }
+        Array.copy(curr, 0, prev, 0, y.length + 1)
+      }
+      prev(y.length)
+    }
+    val series = Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"day").agg(sum($"cents").as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    got.foreach { case ((ta, tb), (na, nb, dtw)) =>
+      assert(na === series(ta).length.toLong)
+      assert(nb === series(tb).length.toLong)
+      assert(dtw === dtwRef(series(ta), series(tb)), s"$ta/$tb")
+      // symmetry and identity of the kernel itself
+      assert(dtw === dtwRef(series(tb), series(ta)))
+      assert(dtwRef(series(ta), series(ta)) === 0L)
+    }
+    // interpreted eval matches codegen (the DataFrame path) on a
+    // small frame where both are forced
+    val df = Seq((Seq(1L, 5L, 9L), Seq(1L, 9L)))
+      .toDF("x", "y")
+    val viaExpr = df.select(
+      graft.ext.DtwExpr.dtw($"x", $"y").as("d")).head().getLong(0)
+    assert(viaExpr === dtwRef(Array(1L, 5L, 9L), Array(1L, 9L)))
+    assert(viaExpr === 4L) // |5-1| or |5-9| is the only off-path cost
+  }
+
   test("q_var_cvar: the 5% tail order statistics replay from a brute " +
       "day-delta sort and CVaR never exceeds VaR") {
     val got = SparkEntry.queries("q_var_cvar")(spark, sf).collect()
