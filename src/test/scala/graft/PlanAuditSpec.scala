@@ -43,11 +43,16 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_matryoshka_eval",  // full- and truncated-dim rankings both ride
                           // the q_ann_bruteforce 10-row broadcast
                           // query loop over one corpus scan each
-    "q_isotonic_calibration" // PAVA-minimax interval/grid joins are
+    "q_isotonic_calibration", // PAVA-minimax interval/grid joins are
                           // triangular over the ≤100-row SCORE-BIN table
                           // (data-independent cardinality); the corpus
                           // collapses to those bins in one equi aggregate
                           // before any nested loop runs
+    "q_dtw_distance"      // C(|event_types|,2) = 10-row pair fan: both
+                          // sides are the |types|-row day-series table
+                          // (events collapse to day arrays in one equi
+                          // aggregate first); the DP kernel then runs
+                          // scan-local inside DtwExpr
   )
 
   private def offenders(p: SparkPlan): Seq[String] = {
