@@ -1408,6 +1408,50 @@ object StatsQueries {
         graft.ext.DtwExpr.dtw($"x", $"y").as("dtw_cents"))
   }
 
+  /** Distribution-free median confidence interval per event type —
+    * the UNCERTAINTY companion q_percentiles lacks: the classic
+    * order-statistic CI (binomial/sign-test inversion, normal-
+    * approximated ranks l = ⌊(n − 1.96√n)/2⌋, u = n + 1 − l) needs
+    * NO distributional assumption, just the exact order statistics
+    * at two computed ranks. Ranks use the statistic's one libm call
+    * (√n on an exact integer — both engines correctly round the
+    * same double, and the ⌊·⌋ sits ~√n/2 away from the nearest
+    * integer flip for any realistic n); the median and both CI
+    * endpoints are then exact type-1 order statistics selected by
+    * cumulative counts over the cents grid — the q_qte machinery,
+    * no per-type global sort, no interpolation. */
+  private def medianCi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val running = W.partitionBy($"event_type").orderBy($"cents".asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val whole = W.partitionBy($"event_type")
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    Tables.events(s, d)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"cents")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"event_type", $"cents",
+        sum($"cnt").over(running).as("cum"),
+        sum($"cnt").over(whole).as("n"))
+      .withColumn("med_rank", expr("(n + 1) div 2"))
+      .withColumn("lo_rank", greatest(lit(1L),
+        floor(($"n".cast("double") - lit(1.96) *
+          sqrt($"n".cast("double"))) / lit(2.0)).cast("long")))
+      .withColumn("hi_rank",
+        least($"n", $"n" + 1L - $"lo_rank"))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"),
+        max($"med_rank").as("med_rank"),
+        max($"lo_rank").as("lo_rank"),
+        max($"hi_rank").as("hi_rank"),
+        min(when($"cum" >= $"med_rank", $"cents")).as("median_cents"),
+        min(when($"cum" >= $"lo_rank", $"cents")).as("ci_lo_cents"),
+        min(when($"cum" >= $"hi_rank", $"cents")).as("ci_hi_cents"))
+  }
+
   /** Tail probability denominator for [[varCvar]] (1/20 = 5 %). */
   val VarTailDen = 20L
 
@@ -3312,6 +3356,40 @@ object StatsQueries {
       SELECT CAST(75 AS BIGINT), n_treated, n_control, q75_t, q75_c,
              CAST(q75_t - q75_c AS BIGINT)
       FROM t, c""")),
+
+    Q("q_median_ci", medianCi, Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      g AS (SELECT event_type, cents,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM e GROUP BY 1, 2),
+      w AS (SELECT event_type, cents,
+                   sum(cnt) OVER (PARTITION BY event_type
+                     ORDER BY cents ASC ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS cum,
+                   sum(cnt) OVER (PARTITION BY event_type) AS n
+            FROM g),
+      r AS (SELECT event_type, cents, cum, n,
+                   (n + 1) // 2 AS med_rank,
+                   greatest(1, CAST(floor((CAST(n AS DOUBLE)
+                     - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+                     AS BIGINT)) AS lo_rank
+            FROM w),
+      r2 AS (SELECT *, least(n, n + 1 - lo_rank) AS hi_rank FROM r)
+      SELECT event_type,
+             CAST(max(n) AS BIGINT) AS n,
+             CAST(max(med_rank) AS BIGINT) AS med_rank,
+             CAST(max(lo_rank) AS BIGINT) AS lo_rank,
+             CAST(max(hi_rank) AS BIGINT) AS hi_rank,
+             CAST(min(CASE WHEN cum >= med_rank THEN cents END)
+               AS BIGINT) AS median_cents,
+             CAST(min(CASE WHEN cum >= lo_rank THEN cents END)
+               AS BIGINT) AS ci_lo_cents,
+             CAST(min(CASE WHEN cum >= hi_rank THEN cents END)
+               AS BIGINT) AS ci_hi_cents
+      FROM r2 GROUP BY 1""")),
 
     Q("q_dtw_distance", dtwDistance, Some(s"""
       WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

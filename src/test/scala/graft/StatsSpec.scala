@@ -329,6 +329,39 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_median_ci: median and CI endpoints are exact order " +
+      "statistics at the sign-test ranks, and the interval brackets " +
+      "the median") {
+    val got = SparkEntry.queries("q_median_ci")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("med_rank"),
+          r.getAs[Long]("lo_rank"), r.getAs[Long]("hi_rank"),
+          r.getAs[Long]("median_cents"), r.getAs[Long]("ci_lo_cents"),
+          r.getAs[Long]("ci_hi_cents")))).toMap
+    val raw = Tables.events(spark, sf)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .as[(String, Long)].collect()
+    val want = raw.groupBy(_._1).map { case (typ, rows) =>
+      val xs = rows.map(_._2).sorted
+      val n = xs.length.toLong
+      val med = (n + 1) / 2
+      val lo = math.max(1L,
+        math.floor((n.toDouble - 1.96 * math.sqrt(n.toDouble)) / 2.0)
+          .toLong)
+      val hi = math.min(n, n + 1 - lo)
+      typ -> ((n, med, lo, hi, xs((med - 1).toInt), xs((lo - 1).toInt),
+        xs((hi - 1).toInt)))
+    }
+    assert(got === want)
+    got.values.foreach { case (_, _, lo, hi, med, cl, ch) =>
+      assert(lo <= hi)
+      assert(cl <= med && med <= ch,
+        "CI must bracket the point estimate")
+    }
+  }
+
   test("q_dtw_distance: the codegen DP replays a brute Scala DTW, " +
       "and the kernel satisfies the metric sanity properties") {
     val got = SparkEntry.queries("q_dtw_distance")(spark, sf).collect()
