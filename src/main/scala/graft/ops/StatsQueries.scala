@@ -4122,7 +4122,9 @@ object StatsQueries {
                    CAST(0 AS HUGEINT) AS t
             FROM m),
       $steps
-      SELECT type_a, type_b, day, x, y, n_w, num, vx, vy,
+      SELECT type_a, type_b, day,
+             CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, n_w,
+             num, vx, vy,
              CAST(CASE WHEN vx > 0 AND vy > 0 THEN 1 ELSE 0 END
                AS BIGINT) AS corr_defined,
              CAST(CASE WHEN NOT (vx > 0 AND vy > 0) THEN -2000
@@ -4162,7 +4164,8 @@ object StatsQueries {
                            ORDER BY day ASC
                            ROWS BETWEEN ${RollCorrWindow - 1} PRECEDING
                              AND CURRENT ROW))
-      SELECT type_a, type_b, day, x, y, n_w,
+      SELECT type_a, type_b, day,
+             CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, n_w,
              CAST(n_w * sxy - sx * sy AS BIGINT) AS num,
              CAST(n_w * sxx - sx * sx AS BIGINT) AS vx,
              CAST(n_w * syy - sy * sy AS BIGINT) AS vy
