@@ -21,7 +21,19 @@ import java.nio.file.{Files, Paths}
   * exit — a silently-zero bench entry must never read as a pass.
   */
 object Bench {
+  /** 1-minute system load average, so each BENCH artifact is
+    * self-adjudicating against box-load noise (round 12's official
+    * total was +14 % purely from a loaded machine and the artifact
+    * carried no evidence either way — VERDICT r12 #4).
+    */
+  private def loadAvg(): Double = {
+    val v = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    if (v.isNaN) -1.0 else v
+  }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // volume-derived (== cpus at sf0.1; grows with the input so a
@@ -77,8 +89,9 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + jstr(v.take(300)) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val loadEnd = loadAvg()
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"runs":2,"agg":"min","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"runs":2,"agg":"min","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"sf":"$sfDir"}"""
     println(line)
     try {
       Files.createDirectories(Paths.get("target"))

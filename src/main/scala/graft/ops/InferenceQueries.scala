@@ -1603,9 +1603,16 @@ object InferenceQueries {
       .withColumn("den", expr(
         "cast(sx1 as decimal(38,0)) * n0 - cast(sx0 as decimal(38,0)) * n1"))
       .filter($"den" =!= 0)
+      // ADVICE r12: the ride-along columns are GUARDED, not bare-cast
+      // — with ANSI off a decimal→long overflow returns NULL silently
+      // while DuckDB's CAST(HUGEINT AS BIGINT) raises, so the engines
+      // would FAIL differently at extreme scale. The explicit CASE
+      // makes both emit NULL iff the exact value exceeds int64.
       .select($"n0", $"n1", $"sx0", $"sx1", $"sy0", $"sy1",
-        $"num".cast("long").as("itt_num"),
-        $"den".cast("long").as("fs_den"),
+        expr("case when abs(num) <= 9223372036854775807" +
+          " then cast(num as bigint) end").as("itt_num"),
+        expr("case when abs(den) <= 9223372036854775807" +
+          " then cast(den as bigint) end").as("fs_den"),
         expr("""cast(case when (num >= 0) = (den >= 0)
                  then abs(num) * 1000000 div abs(den)
                  else -(abs(num) * 1000000 div abs(den)) end
@@ -2699,8 +2706,10 @@ object InferenceQueries {
                 AS den
             FROM m WHERE n0 > 0 AND n1 > 0)
       SELECT n0, n1, sx0, sx1, sy0, sy1,
-             CAST(num AS BIGINT) AS itt_num,
-             CAST(den AS BIGINT) AS fs_den,
+             CAST(CASE WHEN abs(num) <= 9223372036854775807
+                    THEN num END AS BIGINT) AS itt_num,
+             CAST(CASE WHEN abs(den) <= 9223372036854775807
+                    THEN den END AS BIGINT) AS fs_den,
              CAST(CASE WHEN (num >= 0) = (den >= 0)
                     THEN abs(num) * 1000000 // abs(den)
                     ELSE -(abs(num) * 1000000 // abs(den)) END

@@ -1298,10 +1298,16 @@ object StatsQueries {
         sum($"r").over(whole).as("n_ref"),
         sum($"c").over(whole).as("n_cur"))
       .groupBy($"event_type")
+      // ADVICE r12: the gap itself is computed in decimal(38,0), not
+      // int64 — cum_r·n_cur can pass 9.2e18 per event type at scale,
+      // where a bare int64 product wraps silently while DuckDB's
+      // window sums are HUGEINT and stay exact
       .agg(max($"n_ref").as("n_ref"), max($"n_cur").as("n_cur"),
         sum(expr("cast(g as decimal(38,0))" +
-          " * (cum_r * n_cur - cum_c * n_ref)" +
-          " * (cum_r * n_cur - cum_c * n_ref)")).as("num_dec"))
+          " * (cast(cum_r as decimal(38,0)) * n_cur" +
+          "    - cast(cum_c as decimal(38,0)) * n_ref)" +
+          " * (cast(cum_r as decimal(38,0)) * n_cur" +
+          "    - cast(cum_c as decimal(38,0)) * n_ref)")).as("num_dec"))
       .filter($"n_ref" > 0 && $"n_cur" > 0)
       // num and den individually exceed int64 already at sf0.1 —
       // only the bounded e6 quotient is emitted (the spec replays

@@ -1790,9 +1790,15 @@ object Similarity {
       .select($"vec_id", $"dd".as("b2"))
     a.join(b, "vec_id")
       // anchors sit at distance 0 from themselves (a2 = 0, s = 1);
-      // b2 = 0 would mean two identical anchors — degenerate, s := 0
+      // b2 = 0 would mean two identical anchors — degenerate, s := 0.
+      // ADVICE r12: widen (b2 − a2) to decimal(38,0) BEFORE the ×1e6 —
+      // squared e6-grid distances reach ~1.8e18 on 64 dims (5× under
+      // int64 max) and components near ±1 push the comparand past it,
+      // where int64 wraps silently while DuckDB's HUGEINT stays exact.
       .select($"cluster_id",
-        when($"b2" > 0, expr("(b2 - a2) * 1000000 div b2"))
+        when($"b2" > 0,
+          expr("cast(cast(b2 - a2 as decimal(38,0)) * 1000000 div b2" +
+            " as bigint)"))
           .otherwise(0L).as("s_e6"))
       .groupBy($"cluster_id")
       .agg(count(lit(1)).as("n_vecs"),

@@ -474,7 +474,12 @@ object Sketches {
              round(n_common * 1.0 * 2147483647 / least(vk_a, vk_b), 1)
                AS est_inter,
              n_exact_inter
-      FROM sa, sb, nc, ex""")),
+      FROM sa, sb, nc, ex"""),
+      // headline (round 13, VERDICT r12 #5): the AQP/sketch tier had
+      // zero bench representation — this is its most join-shaped
+      // member (two KMV top-k sets + a hash-join confirm + the exact
+      // companion), so a plan regression in the tier shows up here
+      headline = true),
 
     Q("q_sample_agg_ci", sampleAggCi, Some(s"""
       WITH li AS (SELECT l_returnflag,

@@ -2,7 +2,21 @@
 """Local stand-in for the driver's correctness gate: run each oracle SQL
 in DuckDB over the sf parquet tables, load the Verify parquet output,
 sort columns by name + rows by value, and compare cell-by-cell.
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+STRICTNESS (round 13): the r9-r12 q_rolling_corr red was a DuckDB
+HUGEINT oracle column rendered as float64 by pandas, which the old
+norm() (int-valued float -> int string) silently equated with Spark's
+int64 — 3 rounds of "0 rows differ" locally while the driver's
+dtype-sensitive hasher stayed red. The local gate must be AT LEAST as
+strict as the driver:
+  * each cell's compare key now includes its dtype KIND (int / float /
+    bool / str / ...), so an int64 Spark column vs a float64-rendered
+    oracle column FAILS even when every value is integral;
+  * before any row compare, a catalog-wide dtype AUDIT runs: every
+    oracle is DESCRIBEd and any HUGEINT / DECIMAL(38,0) / DOUBLE output
+    column whose Spark parquet twin is integral fails the run.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [name ...]
 """
 import sys, json, glob, math
 import duckdb
@@ -10,27 +24,86 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+INT_KINDS = ("int8", "int16", "int32", "int64",
+             "uint8", "uint16", "uint32", "uint64")
+
+
+def kind(dtype):
+    """Collapse a pandas/duckdb dtype to the equivalence class the
+    driver's hasher distinguishes: ints hash as 1234, floats as 1234.0,
+    so int-vs-float MUST be a distinct kind (that is the whole bug)."""
+    s = str(dtype).lower()
+    if s.startswith(INT_KINDS):
+        return "i"
+    if s.startswith(("float", "double")):
+        return "f"
+    if s.startswith("bool"):
+        return "b"
+    if s.startswith(("datetime", "timestamp")):
+        return "t"
+    if s == "object" or s.startswith(("str", "category")):
+        return "s"
+    return s
+
+
 def norm(v):
     if v is None:
         return ("\x00null",)
     if isinstance(v, float):
         if math.isnan(v):
             return ("nan",)
-        if v == int(v) and abs(v) < 1e15:  # int-valued: match int repr
-            return (str(int(v)),)
         return (f"{v:.10g}",)
     return (str(v),)
 
-def key(row):
-    return tuple(x for c in row for x in norm(c))
 
-def main(sf_dir, out_dir):
+def key(row, kinds):
+    return tuple(x for c, k in zip(row, kinds) for x in (k,) + norm(c))
+
+
+def audit_dtypes(con, oracle, got_schemas):
+    """DESCRIBE every oracle; fail any output column whose DuckDB type
+    widens past what pandas renders faithfully (HUGEINT, DECIMAL(38,0),
+    DOUBLE) while the Spark parquet twin is integral. Catches the bug
+    class at authoring time instead of three driver rounds later."""
+    n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            print(f"AUDIT-ERROR {name}: {e}")
+            n_bad += 1
+            continue
+        spark = got_schemas.get(name, {})
+        for col, typ in ((d[0], str(d[1]).upper()) for d in desc):
+            widened = ("HUGEINT" in typ or "INT128" in typ
+                       or typ.startswith("DECIMAL(38,0)")
+                       or typ in ("DOUBLE", "FLOAT", "REAL"))
+            if widened and kind(spark.get(col, "")) == "i":
+                print(f"AUDIT-FAIL {name}.{col}: oracle type {typ} "
+                      f"renders as float in pandas but Spark emits "
+                      f"{spark[col]} — add an explicit CAST in the SQL")
+                n_bad += 1
+    return n_bad
+
+
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
+    # Pass 0: load Spark outputs' schemas for the dtype audit.
+    got_schemas = {}
+    for name in oracle:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if files:
+            df0 = con.execute(
+                f"SELECT * FROM read_parquet({files!r}) LIMIT 0").fetchdf()
+            got_schemas[name] = {c: str(df0[c].dtype) for c in df0.columns}
+    n_bad = audit_dtypes(con, oracle, got_schemas)
+    n_ok = 0
     for name, sql in sorted(oracle.items()):
         try:
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -44,8 +117,18 @@ def main(sf_dir, out_dir):
                       f"vs oracle {list(want.columns)}")
                 n_bad += 1
                 continue
-            g = sorted([key(r) for r in got.itertuples(index=False)])
-            w = sorted([key(r) for r in want.itertuples(index=False)])
+            gk = [kind(got[c].dtype) for c in got.columns]
+            wk = [kind(want[c].dtype) for c in want.columns]
+            if gk != wk:
+                diffs = [(c, a, b) for c, a, b
+                         in zip(got.columns, gk, wk) if a != b]
+                print(f"FAIL {name}: dtype kinds differ {diffs} "
+                      f"(spark vs oracle) — driver hashes these "
+                      f"differently even if values match")
+                n_bad += 1
+                continue
+            g = sorted([key(r, gk) for r in got.itertuples(index=False)])
+            w = sorted([key(r, wk) for r in want.itertuples(index=False)])
             if len(g) != len(w):
                 print(f"FAIL {name}: rows {len(g)} vs oracle {len(w)}")
                 n_bad += 1
@@ -64,5 +147,7 @@ def main(sf_dir, out_dir):
     print(f"== {n_ok} ok, {n_bad} bad")
     return 1 if n_bad else 0
 
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3:]) or None))
