@@ -19,6 +19,7 @@ object SparkEntry {
       ops.TemporalJoins.queries ++
       ops.StatsQueries.queries ++
       ops.InferenceQueries.queries ++
+      ops.AgreementQueries.queries ++
       ops.EvalQueries.queries ++
       ops.FeatureQueries.queries ++
       ops.TypedAndSources.queries ++

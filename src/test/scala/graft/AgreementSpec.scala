@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force BigInt replays + invariants for the agreement /
+  * stratified-association / uplift battery (AgreementQueries). Every
+  * replay recomputes the statistic from the raw day/stratum/user grid
+  * with arbitrary-precision integers — any grid snap, overflow, or
+  * division-convention drift in the distributed path fails here. */
+class AgreementSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  /** The shared daily-cents grid, replayed locally. */
+  private lazy val daily: Map[(String, java.sql.Date), Long] =
+    Tables.events(spark, sf)
+      .filter($"value".isNotNull)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy($"event_type", $"day").agg(sum($"c").as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1)) -> r.getLong(2)).toMap
+
+  test("q_icc_agreement: BigInt replay of the exact ICC fraction") {
+    val r = SparkEntry.queries("q_icc_agreement")(spark, sf).head()
+    val k = ops.AgreementQueries.IccRaters.toInt
+    val byDay = daily.groupBy(_._1._2).filter(_._2.size == k)
+    val n = BigInt(byDay.size)
+    assert(r.getAs[Long]("n_days") === byDay.size.toLong)
+    val sis = byDay.values.map(m => BigInt(m.values.sum)).toSeq
+    val s = sis.sum
+    val a = sis.map(x => x * x).sum
+    val t = byDay.values.flatMap(_.values)
+      .map(x => BigInt(x) * BigInt(x)).sum
+    val num = (n * a - s * s) * (k - 1) - (BigInt(k) * t - a) * (n - 1)
+    val den = BigInt(k - 1) * ((n * a - s * s) +
+      (BigInt(k) * t - a) * (n - 1))
+    val expect =
+      if (den <= 0) BigInt(-2000000)
+      else if (num >= 0) num * 1000000 / den
+      else -((-num) * 1000000 / den)
+    assert(r.getAs[Long]("icc_e6") === expect.toLong)
+    if (r.getAs[Long]("icc_defined") == 1L) {
+      val icc = r.getAs[Long]("icc_e6")
+      // one-way ICC is bounded below by -1/(k-1), above by 1
+      assert(icc <= 1000000L && icc >= -1000000L / (k - 1) - 1)
+    }
+  }
+
+  test("q_bland_altman: BigInt replay of moments, limits, outside count") {
+    val r = SparkEntry.queries("q_bland_altman")(spark, sf).head()
+    val (ma, mb) = ops.AgreementQueries.BaPair
+    val ds = daily.collect { case ((t, day), v) if t == ma => day -> v }
+      .toSeq.flatMap { case (day, x) =>
+        daily.get((mb, day)).map(y => x / 100 - y / 100)
+      }.map(BigInt(_))
+    val n = BigInt(ds.size)
+    val sd1 = ds.sum
+    val sdd = ds.map(x => x * x).sum
+    val vv = n * sdd - sd1 * sd1
+    assert(r.getAs[Long]("n_days") === ds.size.toLong)
+    assert(r.getAs[Long]("sum_d") === sd1.toLong)
+    val meanE2 =
+      if (sd1 >= 0) sd1 * 100 / n else -((-sd1) * 100 / n)
+    assert(r.getAs[Long]("mean_d_e2") === meanE2.toLong)
+    assert(r.getAs[Long]("halfwidth2_e4") ===
+      (BigInt(38416) * vv / (n * (n - 1))).toLong)
+    val outside = ds.count(d =>
+      (n * d - sd1) * (n * d - sd1) * 10000 * (n - 1) > 38416 * vv * n)
+    assert(r.getAs[Long]("n_outside") === outside.toLong)
+    // the 1.96-sd band contains ~95% of normal data; even on
+    // arbitrary data Chebyshev bounds outside/n by 1/1.96² ≈ 26%
+    assert(outside * 4 <= ds.size,
+      s"outside=$outside of n=${ds.size} — band is misplaced")
+  }
+
+  test("q_mantel_haenszel: BigInt replay of scaled MH sums and CMH") {
+    val r = SparkEntry.queries("q_mantel_haenszel")(spark, sf).head()
+    val cells = Tables.events(spark, sf)
+      .select(dayofweek($"ts").cast("long").as("w"),
+        ($"user_id" % 2 === 1).as("e"),
+        ($"event_type" === "purchase").as("s"))
+      .collect()
+      .groupBy(_.getLong(0)).map { case (_, rows) =>
+        def cnt(e: Boolean, s: Boolean) = BigInt(rows.count(r =>
+          r.getBoolean(1) == e && r.getBoolean(2) == s))
+        (cnt(true, true), cnt(true, false), cnt(false, true),
+          cnt(false, false))
+      }.filter { case (a, b, c, d) => a + b + c + d > 1 }
+    assert(r.getAs[Long]("n_strata") === cells.size.toLong)
+    val (rs, ss, es, vs, as_) = cells.foldLeft(
+      (BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0))) {
+      case ((rAcc, sAcc, eAcc, vAcc, aAcc), (a, b, c, d)) =>
+        val n = a + b + c + d
+        (rAcc + a * d * 1000000 / n,
+          sAcc + b * c * 1000000 / n,
+          eAcc + (a + b) * (a + c) * 1000000 / n,
+          vAcc + (a + b) * (c + d) * (a + c) * (b + d) *
+            BigInt("1000000000000") / (n * n * (n - 1)),
+          aAcc + a)
+    }
+    assert(r.getAs[Long]("sum_a") === as_.toLong)
+    assert(r.getAs[Long]("sum_r") === rs.toLong)
+    assert(r.getAs[Long]("sum_s") === ss.toLong)
+    val orE6 = if (ss > 0) rs * 1000000 / ss else BigInt(-1)
+    assert(r.getAs[Long]("or_e6") === orE6.toLong)
+    val chi = if (vs > 0) {
+      val diff = as_ * 1000000 - es
+      diff * diff * 10000 / (vs * 1000000)
+    } else BigInt(-1)
+    assert(r.getAs[Long]("chi2_e4") === chi.toLong)
+    assert(r.getAs[Boolean]("assoc_5pct") === (chi >= 38415))
+  }
+
+  test("q_turning_points: replay T and the exact z² fraction per type") {
+    val rows = SparkEntry.queries("q_turning_points")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tpe = r.getAs[String]("event_type")
+      val xs = daily.collect { case ((t, day), v) if t == tpe =>
+        day.toLocalDate.toEpochDay -> v
+      }.toSeq.sortBy(_._1).map(_._2)
+      val t = (1 until xs.size - 1).count(i =>
+        (xs(i) > xs(i - 1) && xs(i) > xs(i + 1)) ||
+          (xs(i) < xs(i - 1) && xs(i) < xs(i + 1)))
+      assert(r.getAs[Long]("n_days") === xs.size.toLong)
+      assert(r.getAs[Long]("n_turning") === t.toLong)
+      val m = BigInt(3 * t - 2 * xs.size + 4)
+      val mag = m * m * 100000 / (16 * xs.size - 29)
+      val z2 = if (m >= 0) mag else -mag
+      assert(r.getAs[Long]("z2_e4") === z2.toLong)
+      assert(r.getAs[Boolean]("nonrandom_5pct") === (mag >= 38416))
+    }
+  }
+
+  test("q_cross_corr_lags: lag-0 agrees with corr(); all lags bounded") {
+    val rows = SparkEntry.queries("q_cross_corr_lags")(spark, sf)
+      .collect()
+    assert(rows.length === ops.AgreementQueries.CcfLags.size)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("ccf_e3")
+      assert(c == -2000L || (c >= -1000L && c <= 1000L),
+        s"ccf_e3 out of range: $c")
+      // moments identity: vx, vy ≥ 0 and num² ≤ vx·vy (Cauchy–Schwarz)
+      val (num, vx, vy) = (BigInt(r.getAs[Long]("num")),
+        BigInt(r.getAs[Long]("vx")), BigInt(r.getAs[Long]("vy")))
+      assert(vx >= 0 && vy >= 0 && num * num <= vx * vy)
+    }
+    val lag0 = rows.find(_.getAs[Long]("lag_days") == 0L).get
+    if (lag0.getAs[Long]("ccf_e3") != -2000L) {
+      val (a, b) = ops.AgreementQueries.CcfPair
+      val expect = Tables.events(spark, sf)
+        .filter($"value".isNotNull)
+        .select($"event_type", to_date($"ts").as("day"),
+          ($"value".cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .groupBy($"day", $"event_type")
+        .agg(expr("sum(c) div 100").as("v"))
+        .groupBy($"day")
+        .agg(max(when($"event_type" === a, $"v")).as("x"),
+          max(when($"event_type" === b, $"v")).as("y"))
+        .filter($"x".isNotNull && $"y".isNotNull)
+        .agg(corr($"x", $"y")).head().getDouble(0)
+      assert(math.abs(lag0.getAs[Long]("ccf_e3") / 1000.0 - expect)
+        < 2e-3, s"lag-0 ccf vs corr(): ${lag0.getAs[Long]("ccf_e3")}" +
+        s" vs $expect")
+    }
+  }
+
+  test("q_qini_curve: deciles partition users, prefixes monotone, " +
+    "qini replays") {
+    val rows = SparkEntry.queries("q_qini_curve")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.length === 10)
+    val nUsers = Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    val last = rows.last
+    assert(last.getAs[Long]("cum_nt") + last.getAs[Long]("cum_nc")
+      === nUsers)
+    rows.sliding(2).foreach {
+      case Array(p, c) =>
+        Seq("cum_nt", "cum_nc", "cum_yt", "cum_yc").foreach { col =>
+          assert(p.getAs[Long](col) <= c.getAs[Long](col),
+            s"$col not monotone")
+        }
+      case _ =>
+    }
+    rows.foreach { r =>
+      val (nt, nc, yt, yc) = (r.getAs[Long]("cum_nt"),
+        r.getAs[Long]("cum_nc"), r.getAs[Long]("cum_yt"),
+        r.getAs[Long]("cum_yc"))
+      assert(yt <= nt && yc <= nc)
+      val expect = if (nc > 0)
+        (BigInt(yt) * 100 - BigInt(yc) * nt * 100 / nc).toLong
+      else -1L
+      assert(r.getAs[Long]("qini_e2") === expect)
+    }
+  }
+}
