@@ -357,6 +357,69 @@ object GraphOps {
     s"$base$rounds\n      SELECT node, dist FROM d$BfsRounds"
   }
 
+  /** Per-seed labeled BFS + harmonic closeness centrality — the
+    * "who sits most central" companion [[bfsHops]]'s min-merged
+    * blast radius cannot answer (min-merge loses WHICH seed reached a
+    * node). Distances are tracked per (seed, node) through the same
+    * [[BfsRounds]] unrolled synchronous rounds (shuffle per round
+    * ≤ |seeds|·|nodes| after map-side min-combine — a 3× constant on
+    * the bfs shape, never the edge table moving); harmonic closeness
+    * H(s) = Σ_{v≠s} 1/d(s,v) truncates per term to the e6 grid
+    * (1e6 div d — exact integers, engine-identical), the standard
+    * bounded-horizon estimator (Boldi & Vigna 2014): unreached nodes
+    * contribute 0, so no ∞ sentinel rows exist anywhere. */
+  private def closeness(s: SparkSession, d: String): DataFrame = {
+    val e = graft.GraftCaches.getOrPersist(s, s"graph.lpa_edges:$d") {
+      edges(s, d)
+    }
+    var dist = e.select(col("src").as("seed")).distinct()
+      .filter(col("seed").isin("s0", "s1", "s2"))
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+    for (i <- 1 to BfsRounds) {
+      val prev = dist
+      dist = graft.GraftCaches.getOrPersist(s, s"graph.clos$i:$d") {
+        prev.unionByName(
+          e.join(prev.withColumnRenamed("node", "src"), "src")
+            .select(col("seed"), col("dst").as("node"),
+              (col("dist") + 1L).as("dist")))
+          .groupBy(col("seed"), col("node"))
+          .agg(min(col("dist")).as("dist"))
+      }
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("dist")).as("sum_dist"),
+        sum(expr("1000000 div dist")).as("harmonic_e6"))
+  }
+
+  private def closenessOracle: String = {
+    val base = s"""
+      WITH li AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                  FROM lineitem),
+      edges AS (SELECT 's' || sk AS src, 'p' || pk AS dst FROM li
+                UNION ALL
+                SELECT 'p' || pk, 's' || sk FROM li),
+      d0 AS (SELECT DISTINCT src AS seed, src AS node,
+                    CAST(0 AS BIGINT) AS dist
+             FROM edges WHERE src IN ('s0', 's1', 's2'))"""
+    val rounds = (1 to BfsRounds).map { i =>
+      s""",
+      d$i AS (SELECT seed, node, CAST(min(dist) AS BIGINT) AS dist
+              FROM (
+                SELECT seed, node, dist FROM d${i - 1}
+                UNION ALL
+                SELECT l.seed, e.dst AS node, l.dist + 1 AS dist
+                FROM edges e JOIN d${i - 1} l ON e.src = l.node)
+              GROUP BY 1, 2)"""
+    }.mkString
+    s"""$base$rounds
+      SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+             CAST(sum(dist) AS BIGINT) AS sum_dist,
+             CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_e6
+      FROM d$BfsRounds WHERE dist > 0 GROUP BY 1"""
+  }
+
   private def modularityOracle: String =
     s"""$labelPropOracleCtes,
       ann AS (SELECT e.src, e.dst, ls.label AS src_lab,
@@ -922,6 +985,7 @@ object GraphOps {
     Q("q_label_prop", labelProp, Some(labelPropOracle)),
     Q("q_modularity", modularity, Some(modularityOracle)),
     Q("q_bfs_hops", bfsHops, Some(bfsOracle)),
+    Q("q_graph_closeness", closeness, Some(closenessOracle)),
     Q("q_degree_assortativity", degreeAssortativity, Some("""
       WITH li AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
                   FROM lineitem),

@@ -479,10 +479,13 @@ object Multimodal {
       stride: Int = 64): DataFrame = {
     val nFrames = floor((length(col("media")) - lit(8)).cast("double") /
       lit(stride)).cast("int")
-    media.select(col("media_id"),
+    // generator INLINE with the blob column — the original
+    // explode-then-self-join shape shuffled the payload twice and
+    // measured 21× at the 100× probe (round 13); one Generate node
+    // over the scan is the linear plan
+    media.select(col("media_id"), col("media"),
         explode(sequence(lit(0), greatest(nFrames - 1, lit(0))))
           .as("frame_idx"))
-      .join(media.select(col("media_id"), col("media")), "media_id")
       .select(col("media_id"), col("frame_idx"),
         substring_index_binary(col("media"), col("frame_idx"),
           frameLen, stride).as("frame"))
@@ -528,6 +531,48 @@ object Multimodal {
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"),
         sum(length(col("frame")).cast("long")).as("frame_bytes"))
+
+  /** Shot-boundary luma-delta threshold for [[videoShotsQ]]. */
+  val ShotThreshold = 100L
+
+  /** Payload bytes per media in the shot-detection stream — long
+    * enough that most documents yield SEVERAL frames (the 64-byte
+    * [[framesQ]] payload always yields exactly one). */
+  val ShotPayload = 512
+
+  /** Shot-boundary detection over the sampled frame stream — the
+    * video-curation step after frame sampling (dedup wants one
+    * keyframe per shot, not per frame): a boundary is a frame whose
+    * "luma" (deterministic stand-in: byte sum of the frame slice —
+    * the real decoder is stubbed like resize(), the Spark plumbing is
+    * the tested part) jumps more than [[ShotThreshold]] from the
+    * previous frame; shots = boundaries + 1. Frames come from the
+    * same native substring slicing as [[sampleFrames]] (stride 64,
+    * frame 32) over a [[ShotPayload]]-byte payload. Shape: scan-local
+    * frame explode (∝ corpus bytes / stride), per-media window
+    * bounded by frames-per-media, one rollup — linear end to end. */
+  private def videoShotsQ(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val media = Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      concat(unhex(lit("0000000000000000")),
+        substring(col("text"), 1, ShotPayload).cast("binary"))
+        .as("media"))
+    sampleFrames(media)
+      .select(col("media_id"), col("frame_idx"),
+        expr("aggregate(split(cast(frame as string), ''), 0L," +
+          " (acc, c) -> acc + ascii(c))").as("luma"))
+      .withColumn("prev", lag(col("luma"), 1).over(W))
+      .withColumn("boundary",
+        when(col("prev").isNotNull &&
+          abs(col("luma") - col("prev")) > ShotThreshold, 1L)
+          .otherwise(0L))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("boundary")).as("n_boundaries"),
+        (sum(col("boundary")) + 1L).as("n_shots"))
+  }
 
   /** Real-codec round trip, driver-oracled: encode an actual PNG per
     * document (pixels from the generator formula), parse the IHDR
@@ -1048,6 +1093,34 @@ object Multimodal {
              CAST(CASE WHEN payload // 64 = 0 THEN least(payload, 32)
                        ELSE (payload // 64) * 32 END AS BIGINT)
                AS frame_bytes
-      FROM m"""))
+      FROM m""")),
+
+    Q("q_video_shots", videoShotsQ, Some(s"""
+      WITH m AS (SELECT doc_id AS media_id,
+                        substring(text, 1, $ShotPayload) AS t
+                 FROM documents),
+      f AS (SELECT media_id, t,
+                   unnest(range(0,
+                     greatest(CAST(length(t) // 64 AS BIGINT) - 1, 0)
+                       + 1)) AS frame_idx
+            FROM m),
+      l AS (SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(coalesce(list_sum(list_transform(
+                     string_split(substring(t, 1 + frame_idx * 64, 32),
+                       ''), c -> ord(c))), 0) AS BIGINT) AS luma
+            FROM f),
+      w AS (SELECT media_id, frame_idx, luma,
+                   lag(luma) OVER (PARTITION BY media_id
+                                   ORDER BY frame_idx) AS prev
+            FROM l),
+      b AS (SELECT media_id,
+                   CASE WHEN prev IS NOT NULL
+                          AND abs(luma - prev) > $ShotThreshold
+                        THEN 1 ELSE 0 END AS boundary
+            FROM w)
+      SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(boundary) AS BIGINT) AS n_boundaries,
+             CAST(sum(boundary) + 1 AS BIGINT) AS n_shots
+      FROM b GROUP BY 1"""))
   )
 }

@@ -2209,6 +2209,64 @@ object TextOps {
       FROM db JOIN lr USING (bucket)
       GROUP BY 1, 2"""
 
+  /** The deny-list of [[toxicityBlocklist]] and the leet-fold map —
+    * stand-in policy terms chosen from the corpus vocabulary (the
+    * OPERATOR is the deliverable: a real deployment swaps the list).
+    * Leet map: the standard digit/symbol→letter folds, applied BEFORE
+    * matching so obfuscated spellings ("sl0w", "b1g") still hit. */
+  val ToxTerms: Seq[String] = Seq("slow", "crash", "big")
+  val LeetFrom = "013457@$"
+  val LeetTo = "oieastas"
+
+  /** Content-safety deny-list filter — the moderation gate every
+    * training-data pipeline runs before tokenization (the C4/Gopher
+    * pipelines both document a blocklist pass): normalize
+    * (lowercase + leet-fold via one `translate`), then count
+    * SUBSTRING occurrences of each deny-term (the X5 substring-
+    * containment convention from the super-category CASE) via the
+    * exact (len − len(replace))/len(term) identity — no regex, no
+    * tokenization dependency, codegen-friendly. Emits per-doc hit
+    * totals, distinct-term hits, and the flag (any hit). Shape: pure
+    * scan-local map over the corpus — zero shuffles beyond the sink;
+    * the 100 TB shape is the scan itself. */
+  private def toxicityBlocklist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hitsLit = ToxTerms.map { t =>
+      expr(s"cast((length(translate(lower(text), '$LeetFrom', '$LeetTo'))" +
+        s" - length(replace(translate(lower(text), '$LeetFrom'," +
+        s" '$LeetTo'), '$t', ''))) div ${t.length} as bigint)")
+    }
+    Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        hitsLit.reduce(_ + _).as("tox_hits"),
+        hitsLit.map(h => when(h > 0, 1L).otherwise(0L))
+          .reduce(_ + _).as("n_terms_hit"))
+      .withColumn("flagged", $"tox_hits" > 0)
+  }
+
+  /** Hapax-legomena profile per source: vocabulary size, tokens,
+    * hapax count (words occurring EXACTLY once within the source),
+    * hapax share of vocabulary and type-token ratio, both e6 fixed
+    * point. The vocabulary-concentration lens [[vocabGrowth]]'s
+    * Heaps-curve checkpoints don't give: a source whose hapax share
+    * collapses is templated/duplicated text even when its vocab size
+    * looks healthy. Shape: one (source, word) rollup — the same
+    * single shuffle as the vocab queries — then a \|sources\|-row
+    * aggregate. */
+  private def hapaxProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("vocab"),
+        sum($"c").as("n_tokens"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select($"source", $"vocab", $"n_tokens", $"n_hapax",
+        expr("n_hapax * 1000000 div vocab").as("hapax_share_e6"),
+        expr("vocab * 1000000 div n_tokens").as("ttr_e6"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_dsir", dsirWeights, Some(dsirOracleBase)),
 
@@ -3223,6 +3281,41 @@ object TextOps {
              CAST(sum(padded) AS BIGINT) AS n_padded,
              CAST((sum(padded) - sum(nt)) * 10000 // sum(padded)
                AS BIGINT) AS waste_e4
-      FROM p GROUP BY 1"""))
+      FROM p GROUP BY 1""")),
+
+    Q("q_toxicity_blocklist", toxicityBlocklist, Some(s"""
+      WITH n AS (SELECT doc_id, source,
+                        translate(lower(text), '$LeetFrom', '$LeetTo')
+                          AS t
+                 FROM documents)
+      SELECT doc_id, source,
+             CAST(${ToxTerms.map(t =>
+               s"(length(t) - length(replace(t, '$t', ''))) // ${t.length}")
+               .mkString(" + ")} AS BIGINT) AS tox_hits,
+             CAST(${ToxTerms.map(t =>
+               s"CASE WHEN length(t) > length(replace(t, '$t', ''))" +
+                 s" THEN 1 ELSE 0 END").mkString(" + ")} AS BIGINT)
+               AS n_terms_hit,
+             ${ToxTerms.map(t =>
+               s"(length(t) - length(replace(t, '$t', ''))) // ${t.length}")
+               .mkString(" + ")} > 0 AS flagged
+      FROM n""")),
+
+    Q("q_hapax_ratio", hapaxProfile, Some("""
+      WITH tok AS (SELECT source,
+                          unnest(string_split_regex(lower(text), '\s+'))
+                            AS w
+                   FROM documents),
+      wc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+      g AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_hapax
+            FROM wc GROUP BY 1)
+      SELECT source, vocab, n_tokens, n_hapax,
+             CAST(n_hapax * 1000000 // vocab AS BIGINT)
+               AS hapax_share_e6,
+             CAST(vocab * 1000000 // n_tokens AS BIGINT) AS ttr_e6
+      FROM g"""))
   )
 }

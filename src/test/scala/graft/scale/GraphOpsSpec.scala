@@ -377,4 +377,46 @@ class GraphOpsSpec extends AnyFunSuite {
         adj(u).foreach(v => assert(got(v) <= du + 1, s"$u->$v"))
     }
   }
+
+  test("q_graph_closeness: per-seed harmonic sums equal a brute " +
+      "labeled BFS; min-merge over seeds reproduces q_bfs_hops") {
+    val rows = SparkEntry.queries("q_graph_closeness")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, sf)
+      .select($"l_suppkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val adj = li.flatMap { case (sk, pk) =>
+      Seq(s"s$sk" -> s"p$pk", s"p$pk" -> s"s$sk") }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val allDists = Set("s0", "s1", "s2").filter(adj.contains).map {
+      seed =>
+        var dist = Map(seed -> 0L)
+        var frontier = Set(seed)
+        for (i <- 1 to GraphOps.BfsRounds) {
+          val next = frontier.flatMap(adj(_)).filterNot(dist.contains)
+          dist = dist ++ next.map(_ -> i.toLong)
+          frontier = next
+        }
+        seed -> dist
+    }.toMap
+    assert(rows.length === allDists.size)
+    rows.foreach { r =>
+      val seed = r.getAs[String]("seed")
+      val ds = allDists(seed).values.filter(_ > 0)
+      assert(r.getAs[Long]("n_reached") === ds.size.toLong)
+      assert(r.getAs[Long]("sum_dist") === ds.sum)
+      assert(r.getAs[Long]("harmonic_e6") ===
+        ds.map(1000000L / _).sum)
+    }
+    // cross-operator identity: min over seeds of the labeled
+    // distances == the multi-source q_bfs_hops table
+    val merged = allDists.values.flatten
+      .groupBy(_._1).map { case (n, ds) => n -> ds.map(_._2).min }
+    val bfs = SparkEntry.queries("q_bfs_hops")(spark, sf)
+      .collect().map(r => r.getAs[String]("node") ->
+        r.getAs[Long]("dist")).toMap
+    assert(merged === bfs)
+  }
 }

@@ -321,4 +321,33 @@ class MultimodalSpec extends AnyFunSuite {
           va == vb && postings((i, va)).size <= Multimodal.ImgBandCap },
       s"missed near-dup ($a,$b) at hamming $ham")
   }
+
+  test("q_video_shots: luma deltas replay from the raw text payload; " +
+      "shots = boundaries + 1; frame counts match the stride rule") {
+    val sf = SparkTestSession.sf
+    val rows = graft.SparkEntry.queries("q_video_shots")(spark, sf)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("n_boundaries"),
+          r.getAs[Long]("n_shots"))).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+    assert(docs.length === rows.size)
+    docs.foreach { d =>
+      val t = d.getString(1).take(Multimodal.ShotPayload)
+      val nFrames = math.max(t.length / 64, 1)
+      val lumas = (0 until nFrames).map { i =>
+        t.slice(i * 64, i * 64 + 32).map(_.toLong).sum
+      }
+      val boundaries = lumas.sliding(2).count {
+        case Seq(a, b) => math.abs(b - a) > Multimodal.ShotThreshold
+        case _ => false
+      }.toLong
+      val (gf, gb, gs) = rows(d.getLong(0))
+      assert(gf === nFrames.toLong, s"media ${d.getLong(0)} frames")
+      assert(gb === boundaries, s"media ${d.getLong(0)} boundaries")
+      assert(gs === boundaries + 1)
+    }
+    // non-vacuity: multi-shot media exist on this corpus
+    assert(rows.values.exists(_._3 > 1))
+  }
 }

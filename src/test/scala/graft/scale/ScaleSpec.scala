@@ -1816,4 +1816,84 @@ class ScaleSpec extends AnyFunSuite {
         / sents + 11.8 * syl / words - 15.59) * 1000.0).toLong)
     }
   }
+
+  test("q_toxicity_blocklist: hits equal a JVM substring count over " +
+      "the leet-normalized text; flag iff any hit") {
+    val rows = SparkEntry.queries("q_toxicity_blocklist")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("tox_hits"), r.getAs[Long]("n_terms_hit"),
+          r.getAs[Boolean]("flagged"))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+    assert(docs.length === rows.size)
+    def leet(s: String): String = {
+      val from = TextOps.LeetFrom
+      val to = TextOps.LeetTo
+      s.toLowerCase.map(c =>
+        { val i = from.indexOf(c); if (i >= 0) to(i) else c })
+    }
+    def occurrences(hay: String, needle: String): Long = {
+      var i = hay.indexOf(needle); var n = 0L
+      while (i >= 0) { n += 1; i = hay.indexOf(needle, i + 1) }
+      n
+    }
+    // overlapping vs len-normalized counting: the (len - len(replace))
+    // identity counts NON-overlapping occurrences, same as replace
+    def nonOverlap(hay: String, needle: String): Long =
+      (hay.length - hay.replace(needle, "").length) / needle.length
+    docs.foreach { r =>
+      val norm = leet(r.getString(1))
+      val hits = TextOps.ToxTerms.map(t => nonOverlap(norm, t))
+      val (gh, gt, gf) = rows(r.getLong(0))
+      assert(gh === hits.sum, s"doc ${r.getLong(0)}")
+      assert(gt === hits.count(_ > 0).toLong)
+      assert(gf === (hits.sum > 0))
+    }
+    // non-vacuity: both flag values occur on this corpus
+    assert(rows.values.exists(_._3) && rows.values.exists(!_._3))
+  }
+
+  test("q_toxicity_blocklist: leet obfuscation folds onto the terms") {
+    // constructed strings: the operator must hit "sl0w"/"b1g"/"cra5h"
+    val df = spark.createDataFrame(Seq(
+      (1L, "sl0w ride", "s"), (2L, "the b1g one", "s"),
+      (3L, "cr45h course", "s"), (4L, "clean text", "s")))
+      .toDF("doc_id", "text", "source")
+    df.createOrReplaceTempView("tox_probe")
+    val norm = s"translate(lower(text), '${TextOps.LeetFrom}', " +
+      s"'${TextOps.LeetTo}')"
+    val hits = TextOps.ToxTerms.map(t =>
+      s"cast((length($norm) - length(replace($norm, '$t', '')))" +
+        s" div ${t.length} as bigint)").mkString(" + ")
+    val got = spark.sql(
+      s"SELECT doc_id, $hits AS h FROM tox_probe ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("q_hapax_ratio: BigInt replay per source + identities") {
+    val rows = SparkEntry.queries("q_hapax_ratio")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text").collect()
+    val bySource = docs.groupBy(_.getString(0)).map { case (src, rs) =>
+      val counts = rs.flatMap(_.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      src -> counts
+    }
+    assert(rows.length === bySource.size)
+    rows.foreach { r =>
+      val c = bySource(r.getAs[String]("source"))
+      val vocab = c.size.toLong
+      val toks = c.values.sum
+      val hapax = c.values.count(_ == 1L).toLong
+      assert(r.getAs[Long]("vocab") === vocab)
+      assert(r.getAs[Long]("n_tokens") === toks)
+      assert(r.getAs[Long]("n_hapax") === hapax)
+      assert(r.getAs[Long]("hapax_share_e6") === hapax * 1000000L / vocab)
+      assert(r.getAs[Long]("ttr_e6") === vocab * 1000000L / toks)
+      assert(hapax <= vocab && vocab <= toks)
+    }
+  }
 }
