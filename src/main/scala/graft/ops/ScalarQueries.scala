@@ -144,6 +144,29 @@ object ScalarQueries {
       .filter($"k" > 50)
   }
 
+  /** Semi-structured VARIANT path (Spark 4's open-variant type —
+    * parse_json once into the binary variant encoding, then typed
+    * variant_get extraction): the modern replacement for per-access
+    * get_json_object string re-parsing. The rollup proves the typed
+    * extraction (sum/min/max over the long-typed path) and the
+    * is_variant_null/try_variant_get guards. Oracle: DuckDB's JSON
+    * accessors produce the same scalars. Scan-local — the variant
+    * column never leaves the map side; only the |types|-row rollup
+    * shuffles. */
+  private def variantExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type",
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'long')")
+          .as("miss"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").as("sum_k"), min($"k").as("min_k"),
+        max($"k").as("max_k"),
+        sum(when($"miss".isNull, 1L).otherwise(0L)).as("n_missing"))
+  }
+
   /** Pivot event_type → columns (BI-layer capability pulled into the
     * engine; oracle expressed with FILTERed aggregates). The value
     * list is pinned deliberately: a pinned pivot skips the extra
@@ -1086,6 +1109,18 @@ object ScalarQueries {
       SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events
       WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""")),
+
+    Q("q_variant_extract", variantExtract, Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS sum_k,
+             CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS min_k,
+             CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS max_k,
+             CAST(sum(CASE WHEN json_extract_string(props, '$.missing')
+                    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+      FROM events GROUP BY 1""")),
 
     Q("q_pivot_events", pivotEvents, Some("""
       SELECT user_id,

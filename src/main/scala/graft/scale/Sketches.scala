@@ -385,7 +385,72 @@ object Sketches {
         $"err_ppm")
   }
 
+  /** Capture–recapture (Chapman) population estimate from the two
+    * calendar-half "captures" of the user base — the cardinality
+    * ESTIMATION tier's closed-form companion: HLL/KMV estimate a set
+    * you scanned; capture–recapture estimates the population you
+    * HAVEN'T fully seen (how many users exist, given two overlapping
+    * sightings — equivalently, a dedup corpus's true size from two
+    * crawl snapshots). Split at the date-range midpoint (the rddSharp
+    * cut): n1/n2 users active per half, m in both;
+    * Chapman N̂ = (n1+1)(n2+1)/(m+1) − 1 (bias-corrected
+    * Lincoln–Petersen, finite for m = 0) and its variance, both exact
+    * integer truncating divisions. Shape: one user×half rollup
+    * (map-side combinable), one 1-row aggregate — any volume. */
+  private def captureRecapture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val act = Tables.events(s, d)
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("long").as("dayn"))
+    val cut = act.agg(expr("(min(dayn) + max(dayn)) div 2").as("cut"))
+    act.crossJoin(broadcast(cut))
+      .groupBy($"user_id")
+      .agg(max(when($"dayn" <= $"cut", 1L).otherwise(0L)).as("in1"),
+        max(when($"dayn" > $"cut", 1L).otherwise(0L)).as("in2"))
+      .agg(sum($"in1").as("n1"), sum($"in2").as("n2"),
+        sum($"in1" * $"in2").as("m"),
+        count(lit(1)).as("n_observed"))
+      .select($"n1", $"n2", $"m", $"n_observed",
+        expr(s"cast(cast(n1 + 1 as $dec) * (n2 + 1) div (m + 1) - 1" +
+          " as bigint)").as("chapman_n"),
+        when($"m" > 0,
+          expr(s"cast(cast(n1 as $dec) * n2 div m as bigint)"))
+          .otherwise(lit(-1L)).as("lincoln_n"),
+        expr(s"cast(cast(n1 + 1 as $dec) * (n2 + 1) * (n1 - m)" +
+          s" * (n2 - m) div (cast(m + 1 as $dec) * (m + 1) * (m + 2))" +
+          " as bigint)").as("chapman_var"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_capture_recapture", captureRecapture, Some("""
+      WITH act AS (SELECT user_id,
+                          CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                            AS BIGINT) AS dayn
+                   FROM events),
+      cut AS (SELECT (min(dayn) + max(dayn)) // 2 AS cut FROM act),
+      u AS (SELECT user_id,
+                   max(CASE WHEN dayn <= cut THEN 1 ELSE 0 END) AS in1,
+                   max(CASE WHEN dayn > cut THEN 1 ELSE 0 END) AS in2
+            FROM act, cut GROUP BY 1),
+      g AS (SELECT CAST(sum(in1) AS HUGEINT) AS n1,
+                   CAST(sum(in2) AS HUGEINT) AS n2,
+                   CAST(sum(in1 * in2) AS HUGEINT) AS m,
+                   CAST(count(*) AS BIGINT) AS n_observed
+            FROM u)
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(m AS BIGINT) AS m, n_observed,
+             CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT)
+               AS chapman_n,
+             CAST(CASE WHEN m > 0 THEN n1 * n2 // m ELSE -1 END
+               AS BIGINT) AS lincoln_n,
+             CAST((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+               // ((m + 1) * (m + 1) * (m + 2)) AS BIGINT)
+               AS chapman_var
+      FROM g"""),
+      ),
+
     Q("q_count_min_table", countMinTable, Some("""
       WITH a(i, m) AS (VALUES (0, 1000003), (1, 48271), (2, 69621),
                               (3, 40692)),

@@ -2267,6 +2267,72 @@ object TextOps {
         expr("vocab * 1000000 div n_tokens").as("ttr_e6"))
   }
 
+  /** Number of (smallest) count-classes emitted by [[goodTuring]]. */
+  val GtClasses = 10L
+
+  /** Good–Turing frequency re-estimation over the corpus unigram
+    * counts (Good 1953) — the SMOOTHING view the LM battery lacked:
+    * [[kneserNey]] discounts with a fixed D, Good–Turing derives the
+    * adjusted count r* = (r+1)·N_{r+1}/N_r from the frequency-of-
+    * frequencies table itself, and N_1/N is Good's estimate of the
+    * UNSEEN mass (the probability the next token is a new word).
+    * Exact: N_r are integers, r* emits as one e6 truncating division
+    * (0 when N_{r+1} = 0 — the classic sparse-tail gap the smoothed
+    * variants interpolate; emitting the raw gap keeps the oracle
+    * exact). Emits the [[GtClasses]] SMALLEST observed count-classes
+    * (the tail GT actually re-estimates) — an absolute r ≤ 10 cut is
+    * vocabulary-dependent and empty on dense corpora. Shape: word
+    * rollup → count histogram (≤ |distinct counts| ≲ √tokens rows) →
+    * rank + self-join on r+1 over that tiny table. */
+  private def goodTuring(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val fof = counts.groupBy($"c").agg(count(lit(1)).as("n_r"))
+    val tot = counts.agg(sum($"c").as("n_tokens"),
+      sum(when($"c" === 1, 1L).otherwise(0L)).as("f1"))
+    fof.withColumn("rk", row_number().over(W.orderBy($"c".asc)))
+      .filter($"rk" <= GtClasses).drop("rk")
+      .join(fof.select(($"c" - 1).as("c"), $"n_r".as("n_r_next")),
+        Seq("c"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"c".as("r"), $"n_r",
+        coalesce($"n_r_next", lit(0L)).as("n_r_next"),
+        expr("(r + 1) * coalesce(n_r_next, 0) * 1000000 div n_r")
+          .as("r_star_e6"),
+        expr("f1 * 1000000 div n_tokens").as("p_unseen_e6"))
+  }
+
+  /** Chao1 species-richness estimator per source (Chao 1984) — "how
+    * big is this source's TRUE vocabulary?", the capture–recapture
+    * question [[hapaxProfile]]'s observed counts can't answer. With
+    * V observed words, F1 singletons, F2 doubletons:
+    * Chao1 = V + F1²/(2F2) (bias-corrected V + F1(F1−1)/2 when
+    * F2 = 0), plus Good's sample-coverage estimate
+    * C = 1 − F1/N. Both emitted as exact e2/e6 truncating divisions
+    * of integer terms. Shape: the [[hapaxProfile]] rollup plus one
+    * extra conditional count — same single shuffle. */
+  private def chao1Richness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("vocab"),
+        sum($"c").as("n_tokens"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when($"c" === 2, 1L).otherwise(0L)).as("f2"))
+      .select($"source", $"vocab", $"n_tokens", $"f1", $"f2",
+        when($"f2" > 0,
+          expr("vocab * 100 + f1 * f1 * 100 div (2 * f2)"))
+          .otherwise(expr("vocab * 100 + f1 * (f1 - 1) * 100 div 2"))
+          .as("chao1_e2"),
+        expr("(n_tokens - f1) * 1000000 div n_tokens")
+          .as("coverage_e6"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_dsir", dsirWeights, Some(dsirOracleBase)),
 
@@ -3316,6 +3382,55 @@ object TextOps {
              CAST(n_hapax * 1000000 // vocab AS BIGINT)
                AS hapax_share_e6,
              CAST(vocab * 1000000 // n_tokens AS BIGINT) AS ttr_e6
+      FROM g""")),
+
+    Q("q_good_turing", goodTuring, Some(s"""
+      WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\\s+'))
+                     AS w
+                   FROM documents),
+      wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+             FROM tok GROUP BY 1),
+      fof AS (SELECT c, CAST(count(*) AS BIGINT) AS n_r
+              FROM wc GROUP BY 1),
+      low AS (SELECT c, n_r,
+                     row_number() OVER (ORDER BY c ASC) AS rk
+              FROM fof),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS f1
+              FROM wc)
+      SELECT f.c AS r, f.n_r,
+             CAST(coalesce(nx.n_r, 0) AS BIGINT) AS n_r_next,
+             CAST((f.c + 1) * coalesce(nx.n_r, 0) * 1000000 // f.n_r
+               AS BIGINT) AS r_star_e6,
+             CAST(t.f1 * 1000000 // t.n_tokens AS BIGINT)
+               AS p_unseen_e6
+      FROM low f
+      LEFT JOIN fof nx ON nx.c = f.c + 1
+      CROSS JOIN tot t
+      WHERE f.rk <= $GtClasses""")),
+
+    Q("q_chao1_richness", chao1Richness, Some("""
+      WITH tok AS (SELECT source,
+                          unnest(string_split_regex(lower(text), '\s+'))
+                            AS w
+                   FROM documents),
+      wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+             FROM tok GROUP BY 1, 2),
+      g AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS f1,
+                   CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS f2
+            FROM wc GROUP BY 1)
+      SELECT source, vocab, n_tokens, f1, f2,
+             CAST(CASE WHEN f2 > 0
+                    THEN vocab * 100 + f1 * f1 * 100 // (2 * f2)
+                    ELSE vocab * 100 + f1 * (f1 - 1) * 100 // 2
+                  END AS BIGINT) AS chao1_e2,
+             CAST((n_tokens - f1) * 1000000 // n_tokens AS BIGINT)
+               AS coverage_e6
       FROM g"""))
   )
 }

@@ -778,4 +778,29 @@ class FunctionsBreadthSpec extends AnyFunSuite {
         r.getAs[Double]("max_ratio"))
     }
   }
+
+  test("q_variant_extract: variant_get agrees with get_json_object " +
+      "row-for-row; missing-path guard counts every row") {
+    val rows = SparkEntry.queries("q_variant_extract")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    import spark.implicits._
+    val want = Tables.events(spark, sf)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    rows.foreach { r =>
+      val (n, sk, mn, mx) = want(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("sum_k") === sk)
+      assert(r.getAs[Long]("min_k") === mn)
+      assert(r.getAs[Long]("max_k") === mx)
+      // '$.missing' resolves to variant-null on every row
+      assert(r.getAs[Long]("n_missing") === n)
+    }
+  }
 }

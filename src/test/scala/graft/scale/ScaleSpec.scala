@@ -1896,4 +1896,60 @@ class ScaleSpec extends AnyFunSuite {
       assert(hapax <= vocab && vocab <= toks)
     }
   }
+
+  test("q_good_turing: frequency-of-frequencies replay; GT identity " +
+      "sum(r*·N_r) over emitted classes stays within total mass") {
+    val rows = SparkEntry.queries("q_good_turing")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("r"))
+    assert(rows.nonEmpty && rows.length <= TextOps.GtClasses)
+    val counts: Seq[Long] = Tables.documents(spark, sf)
+      .select($"text").collect().toSeq
+      .flatMap(_.getString(0).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty))
+      .groupBy(identity).map { case (_, ws) => ws.length.toLong }.toSeq
+    val fof: Map[Long, Long] = counts.groupBy(identity)
+      .map { case (c, cs) => c -> cs.size.toLong }
+    val lowest = fof.keys.toSeq.sorted.take(TextOps.GtClasses.toInt)
+    assert(rows.map(_.getAs[Long]("r")).toSeq === lowest)
+    val nTokens = counts.sum
+    val f1 = fof.getOrElse(1L, 0L)
+    rows.foreach { r =>
+      val rr = r.getAs[Long]("r")
+      val nxt: Long = fof.getOrElse(rr + 1, 0L)
+      assert(r.getAs[Long]("n_r") === fof(rr))
+      assert(r.getAs[Long]("n_r_next") === nxt)
+      assert(r.getAs[Long]("r_star_e6") ===
+        (BigInt(rr + 1) * BigInt(nxt) * BigInt(1000000)
+          / BigInt(fof(rr))).toLong)
+      assert(r.getAs[Long]("p_unseen_e6") === f1 * 1000000L / nTokens)
+    }
+  }
+
+  test("q_chao1_richness: Chao1 >= observed vocab; replay per source") {
+    val rows = SparkEntry.queries("q_chao1_richness")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text").collect()
+    val bySource = docs.groupBy(_.getString(0)).map { case (src, rs) =>
+      src -> rs.flatMap(_.getString(1).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty))
+        .groupBy(identity).map { case (_, ws) => ws.length.toLong }
+    }
+    rows.foreach { r =>
+      val c = bySource(r.getAs[String]("source"))
+      val (v, f1, f2) = (c.size.toLong,
+        c.count(_ == 1L).toLong, c.count(_ == 2L).toLong)
+      assert(r.getAs[Long]("vocab") === v)
+      assert(r.getAs[Long]("f1") === f1)
+      assert(r.getAs[Long]("f2") === f2)
+      val chao = if (f2 > 0) v * 100 + f1 * f1 * 100 / (2 * f2)
+        else v * 100 + f1 * (f1 - 1) * 100 / 2
+      assert(r.getAs[Long]("chao1_e2") === chao)
+      // the estimator never goes below the observed richness
+      assert(r.getAs[Long]("chao1_e2") >= v * 100)
+      val n = c.sum
+      assert(r.getAs[Long]("coverage_e6") === (n - f1) * 1000000L / n)
+    }
+  }
 }

@@ -248,4 +248,33 @@ class SketchSpec extends AnyFunSuite {
     assert((estF2 - exactF2).abs * 4 <= exactF2,
       "F2 estimate off by more than 25% — sampling is broken")
   }
+
+  test("q_capture_recapture: Chapman/Lincoln replay from the raw " +
+      "half-calendar captures; estimator brackets the observed union") {
+    val r = graft.SparkEntry.queries("q_capture_recapture")(
+      spark, SparkTestSession.sf).head()
+    import spark.implicits._
+    val act = graft.Tables.events(spark, SparkTestSession.sf)
+      .select($"user_id", to_date($"ts").as("day")).collect()
+      .map(x => x.getLong(0) -> x.getDate(1).toLocalDate.toEpochDay)
+    val (mn, mx) = (act.map(_._2).min, act.map(_._2).max)
+    val cut = Math.floorDiv(mn + mx, 2)
+    val in1 = act.filter(_._2 <= cut).map(_._1).toSet
+    val in2 = act.filter(_._2 > cut).map(_._1).toSet
+    val (n1, n2, m) = (BigInt(in1.size), BigInt(in2.size),
+      BigInt((in1 & in2).size))
+    assert(r.getAs[Long]("n1") === n1.toLong)
+    assert(r.getAs[Long]("n2") === n2.toLong)
+    assert(r.getAs[Long]("m") === m.toLong)
+    assert(r.getAs[Long]("n_observed") === (in1 | in2).size.toLong)
+    val chapman = ((n1 + 1) * (n2 + 1) / (m + 1) - 1).toLong
+    assert(r.getAs[Long]("chapman_n") === chapman)
+    if (m > 0)
+      assert(r.getAs[Long]("lincoln_n") === (n1 * n2 / m).toLong)
+    assert(r.getAs[Long]("chapman_var") ===
+      ((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+        / ((m + 1) * (m + 1) * (m + 2))).toLong)
+    // the population estimate can never undershoot what was SEEN
+    assert(chapman >= (in1 | in2).size.toLong - 1)
+  }
 }
