@@ -318,6 +318,95 @@ object AgreementQueries {
           .otherwise(lit(-1L)))
   }
 
+  /** Critical q²·10³ for the studentized range at k = 5, df → ∞,
+    * α = 5 % (q ≈ 3.858 → q² ≈ 14.885; Harter 1960 tables). */
+  val TukeyQ2E3 = 14885L
+
+  /** Tukey HSD post-hoc pairwise comparisons — the step AFTER
+    * q_anova_f rejects: WHICH event-type means differ? Every
+    * ingredient snaps to an INTENSIVE (volume-independent) grid
+    * first — mean_e2 = ⌊100·sᵢ/nᵢ⌋ per group and
+    * msw = ⌊SSW/(N−k)⌋ with SSW = Σ⌊(nᵢΣxᵢ² − sᵢ²)/nᵢ⌋ (all
+    * operands nonnegative, so the truncations are engine-identical) —
+    * then the squared studentized-range statistic is the exact
+    * rational q² = 2·diff_e2²·nᵢnⱼ / (10⁴·msw·(nᵢ+nⱼ)). The
+    * intensive snap is what makes the decimal(38,0) bound
+    * volume-proof: means and MSW stay O(1) as rows grow, only the
+    * n-terms scale (the extensive cross-multiplied form overflowed 38
+    * digits at the 100× probe — caught and replaced at add time).
+    * Flag q² ≥ [[TukeyQ2E3]]. Shape: one per-type moment rollup
+    * (k rows), a k×k self-join on the broadcast k-row table. */
+  private def tukeyHsd(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val g = Tables.events(s, d)
+      .filter($"value".isNotNull)
+      .select($"event_type", cents($"value").as("c"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"c").as("s"),
+        sum(expr(s"cast(c as $dec) * c")).as("q"))
+      .withColumn("mean_e2",
+        expr(s"cast(cast(s as $dec) * 100 div n as bigint)"))
+      .withColumn("ssw_g",
+        expr(s"(cast(n as $dec) * q - cast(s as $dec) * s) div n"))
+    val tot = g.agg(sum($"n").as("nn"), count(lit(1)).as("k"),
+      sum($"ssw_g").as("ssw"))
+      .withColumn("msw", expr("cast(ssw div (nn - k) as bigint)"))
+    val a = g.select($"event_type".as("type_a"), $"n".as("na"),
+      $"mean_e2".as("ma"))
+    val b = g.select($"event_type".as("type_b"), $"n".as("nb"),
+      $"mean_e2".as("mb"))
+    a.join(b, $"type_a" < $"type_b")
+      .crossJoin(broadcast(tot))
+      .filter($"msw" > 0 && $"nn" > $"k")
+      .select($"type_a", $"type_b", $"na", $"nb",
+        ($"ma" - $"mb").as("mean_diff_e2"),
+        expr(s"cast(2 * cast(ma - mb as $dec) * (ma - mb)" +
+          s" * na * nb * 1000 div (cast(10000 as $dec) * msw" +
+          s" * (na + nb)) as bigint)").as("q2_e3"))
+      .withColumn("differ_5pct", $"q2_e3" >= TukeyQ2E3)
+  }
+
+  /** Cronbach's alpha internal-consistency coefficient — do the
+    * event-type "items" measure one underlying daily activity trait?
+    * The reliability twin of [[iccAgreement]] (Cronbach 1951):
+    * α = k/(k−1) · (1 − Σᵢvᵢ / v_tot) over the balanced day×item
+    * grid, where every variance is the n²-scaled integer
+    * v_n = n·Σx² − (Σx)² — the common n² cancels in the ratio, so
+    * one sign-split e6 division emits α exactly. Shape: the ICC
+    * rollup plus one per-item moment aggregate — day-grid bounded. */
+  private def cronbachAlpha(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val daily = dailyCents(s, d)
+    val balanced = daily.groupBy($"day")
+      .agg(count(lit(1)).as("kk"), sum($"day_cents").as("tot"))
+      .filter($"kk" === IccRaters)
+    val itemVar = daily.join(balanced.select($"day"), "day")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"day_cents").as("s"),
+        sum(expr(s"cast(day_cents as $dec) * day_cents")).as("q"))
+      .agg(sum(expr(s"cast(n as $dec) * q - cast(s as $dec) * s"))
+        .as("sum_item_var"), count(lit(1)).as("k"))
+    val totVar = balanced
+      .agg(count(lit(1)).as("n"), sum($"tot").as("s"),
+        sum(expr(s"cast(tot as $dec) * tot")).as("q"))
+      .select($"n",
+        expr(s"cast(n as $dec) * q - cast(s as $dec) * s").as("v_tot"))
+    itemVar.crossJoin(broadcast(totVar))
+      .select($"n".as("n_days"), $"k".as("k_items"),
+        when($"v_tot" > 0, expr(
+          "cast(sum_item_var * 1000000 div v_tot as bigint)"))
+          .otherwise(lit(-1L)).as("var_ratio_e6"),
+        when($"v_tot" > 0, expr(
+          """cast(case when v_tot - sum_item_var >= 0
+               then k * (v_tot - sum_item_var) * 1000000
+                    div ((k - 1) * v_tot)
+               else -(k * (sum_item_var - v_tot) * 1000000
+                    div ((k - 1) * v_tot)) end as bigint)"""))
+          .otherwise(lit(-2000000L)).as("alpha_e6"))
+  }
+
   /** Shared oracle CTE: daily cents per event type. */
   private val DailySql: String =
     """daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
@@ -530,6 +619,68 @@ object AgreementQueries {
              CAST(CASE WHEN cum_nc > 0 THEN cum_yt * 100
                     - CAST(cum_yc AS HUGEINT) * cum_nt * 100 // cum_nc
                   ELSE -1 END AS BIGINT) AS qini_e2
-      FROM c"""))
+      FROM c""")),
+
+    Q("q_tukey_hsd", tukeyHsd, Some(s"""
+      WITH g AS (SELECT event_type,
+                        CAST(count(*) AS HUGEINT) AS n,
+                        CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS HUGEINT) AS s,
+                        sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS HUGEINT)
+                          * CAST(CAST(value AS DECIMAL(18,2)) * 100
+                            AS BIGINT)) AS q
+                 FROM events WHERE value IS NOT NULL GROUP BY 1),
+      g2 AS (SELECT *, s * 100 // n AS mean_e2,
+                    (n * q - s * s) // n AS ssw_g
+             FROM g),
+      tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nn,
+                     CAST(count(*) AS HUGEINT) AS k,
+                     sum(ssw_g) AS ssw
+              FROM g2),
+      tm AS (SELECT nn, k, ssw // (nn - k) AS msw FROM tot)
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb,
+             CAST(a.mean_e2 - b.mean_e2 AS BIGINT) AS mean_diff_e2,
+             CAST(2 * (a.mean_e2 - b.mean_e2) * (a.mean_e2 - b.mean_e2)
+               * a.n * b.n * 1000
+               // (10000 * t.msw * (a.n + b.n)) AS BIGINT) AS q2_e3,
+             2 * (a.mean_e2 - b.mean_e2) * (a.mean_e2 - b.mean_e2)
+               * a.n * b.n * 1000
+               // (10000 * t.msw * (a.n + b.n)) >= $TukeyQ2E3
+               AS differ_5pct
+      FROM g2 a JOIN g2 b ON a.event_type < b.event_type, tm t
+      WHERE t.msw > 0 AND t.nn > t.k""")),
+
+    Q("q_cronbach_alpha", cronbachAlpha, Some(s"""
+      WITH $DailySql,
+      bal AS (SELECT day, CAST(sum(day_cents) AS HUGEINT) AS tot
+              FROM daily GROUP BY 1 HAVING count(*) = $IccRaters),
+      iv AS (SELECT CAST(sum(nv) AS HUGEINT) AS sum_item_var,
+                    CAST(count(*) AS HUGEINT) AS k
+             FROM (SELECT d.event_type,
+                          CAST(count(*) AS HUGEINT)
+                            * sum(CAST(d.day_cents AS HUGEINT)
+                                  * d.day_cents)
+                          - CAST(sum(d.day_cents) AS HUGEINT)
+                            * sum(d.day_cents) AS nv
+                   FROM daily d JOIN bal USING (day)
+                   GROUP BY 1)),
+      tv AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(count(*) AS HUGEINT) * sum(tot * tot)
+                      - sum(tot) * sum(tot) AS v_tot
+             FROM bal)
+      SELECT tv.n AS n_days, CAST(iv.k AS BIGINT) AS k_items,
+             CAST(CASE WHEN v_tot > 0
+                    THEN sum_item_var * 1000000 // v_tot
+                    ELSE -1 END AS BIGINT) AS var_ratio_e6,
+             CAST(CASE WHEN v_tot <= 0 THEN -2000000
+                       WHEN v_tot - sum_item_var >= 0
+                       THEN k * (v_tot - sum_item_var) * 1000000
+                            // ((k - 1) * v_tot)
+                       ELSE -(k * (sum_item_var - v_tot) * 1000000
+                            // ((k - 1) * v_tot)) END AS BIGINT)
+               AS alpha_e6
+      FROM iv, tv"""))
   )
 }

@@ -197,4 +197,69 @@ class AgreementSpec extends AnyFunSuite {
       assert(r.getAs[Long]("qini_e2") === expect)
     }
   }
+
+  test("q_tukey_hsd: exact rational replay of all pairwise q2; " +
+    "symmetry with the ANOVA within-groups term") {
+    val rows = SparkEntry.queries("q_tukey_hsd")(spark, sf).collect()
+    val cents = Tables.events(spark, sf)
+      .filter($"value".isNotNull)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(r => BigInt(r.getLong(1))) }
+    val k = BigInt(cents.size)
+    val nn = cents.values.map(v => BigInt(v.size)).sum
+    val ssw = cents.values.map { v =>
+      val n = BigInt(v.size)
+      (n * v.map(x => x * x).sum - v.sum * v.sum) / n
+    }.sum
+    val msw = ssw / (nn - k)
+    assert(msw > 0)
+    assert(rows.length === (cents.size * (cents.size - 1)) / 2)
+    rows.foreach { r =>
+      val (ta, tb) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      assert(ta < tb)
+      val (va, vb) = (cents(ta), cents(tb))
+      val (na, nb) = (BigInt(va.size), BigInt(vb.size))
+      val diff = va.sum * 100 / na - vb.sum * 100 / nb
+      assert(r.getAs[Long]("mean_diff_e2") === diff.toLong)
+      val q2 = 2 * diff * diff * na * nb * 1000 /
+        (BigInt(10000) * msw * (na + nb))
+      assert(r.getAs[Long]("q2_e3") === q2.toLong)
+      assert(r.getAs[Boolean]("differ_5pct") ===
+        (q2 >= ops.AgreementQueries.TukeyQ2E3))
+      assert(q2 >= 0)
+    }
+  }
+
+  test("q_cronbach_alpha: exact alpha replay; bounded above by 1") {
+    val r = SparkEntry.queries("q_cronbach_alpha")(spark, sf).head()
+    val k = ops.AgreementQueries.IccRaters.toInt
+    val byDay = daily.groupBy(_._1._2).filter(_._2.size == k)
+    val n = BigInt(byDay.size)
+    def varN(xs: Iterable[BigInt]): BigInt = {
+      val s = xs.sum
+      BigInt(xs.size) * xs.map(x => x * x).sum - s * s
+    }
+    val types = byDay.values.head.keys.map(_._1).toSeq.sorted
+    val sumItemVar = types.map { t =>
+      varN(byDay.values.map(m =>
+        BigInt(m.collectFirst { case ((tt, _), v) if tt == t => v }.get)))
+    }.sum
+    val vTot = varN(byDay.values.map(m => BigInt(m.values.sum)))
+    assert(r.getAs[Long]("n_days") === byDay.size.toLong)
+    assert(r.getAs[Long]("k_items") === k.toLong)
+    val expect =
+      if (vTot <= 0) BigInt(-2000000)
+      else if (vTot - sumItemVar >= 0)
+        BigInt(k) * (vTot - sumItemVar) * 1000000 / ((k - 1) * vTot)
+      else -(BigInt(k) * (sumItemVar - vTot) * 1000000 / ((k - 1) * vTot))
+    assert(r.getAs[Long]("alpha_e6") === expect.toLong)
+    // alpha <= 1 always (item variances are nonnegative)
+    assert(r.getAs[Long]("alpha_e6") <= 1000000L ||
+      r.getAs[Long]("alpha_e6") === -2000000L)
+    if (vTot > 0)
+      assert(r.getAs[Long]("var_ratio_e6") ===
+        (sumItemVar * 1000000 / vTot).toLong)
+  }
 }
