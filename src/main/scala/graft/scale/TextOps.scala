@@ -2333,6 +2333,42 @@ object TextOps {
           .as("coverage_e6"))
   }
 
+  /** Token cap for [[rougeL]] — bounds each pair's DP at 64² cells
+    * regardless of document length (the operator contract; the oracle
+    * and spec replay the same slice). */
+  val RougeTokenCap = 64
+
+  /** ROUGE-L between neighboring documents — the summary/overlap
+    * EVAL metric (Lin 2004) the n-gram views can't give: Jaccard and
+    * containment score unordered token SETS, ROUGE-L scores the
+    * longest common SUBSEQUENCE, so reordered boilerplate stops
+    * counting as overlap. Pairs are (doc, doc+1); tokens polyhash to
+    * longs (cross-engine, the sketch-key convention) and cap at
+    * [[RougeTokenCap]]. The LCS kernel is the codegen
+    * [[graft.ext.LcsExpr]] (two rolling buffers inside whole-stage
+    * codegen — the [[graft.ext.DtwExpr]] tier-(b) case); with
+    * LCS-based precision AND recall, F1 collapses to the single exact
+    * division 2·LCS·10⁶ div (n_a + n_b). Shape: one equi self-join on
+    * doc_id+1 (1:1, shuffle ∝ corpus), DP scan-local per pair. */
+  private def rougeL(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = slice(
+      transform(tokens(col("text")), t => polyHash(t, 31L)),
+      1, RougeTokenCap)
+    val base = Tables.documents(s, d)
+      .select($"doc_id", toks.as("toks"))
+    val a = base.select($"doc_id".as("doc_a"), $"toks".as("ta"))
+    val b = base.select(($"doc_id" - 1).as("doc_a"),
+      $"doc_id".as("doc_b"), $"toks".as("tb"))
+    a.join(b, "doc_a")
+      .select($"doc_a", $"doc_b",
+        size($"ta").cast("long").as("n_a"),
+        size($"tb").cast("long").as("n_b"),
+        graft.ext.LcsExpr.lcs($"ta", $"tb").as("lcs_len"))
+      .withColumn("rouge_l_f_e6",
+        expr("2 * lcs_len * 1000000 div (n_a + n_b)"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_dsir", dsirWeights, Some(dsirOracleBase)),
 
@@ -3431,6 +3467,47 @@ object TextOps {
                   END AS BIGINT) AS chao1_e2,
              CAST((n_tokens - f1) * 1000000 // n_tokens AS BIGINT)
                AS coverage_e6
-      FROM g"""))
+      FROM g""")),
+
+    Q("q_rouge_l", rougeL, Some(s"""
+      WITH tk AS (SELECT doc_id,
+                         list_transform(
+                           string_split_regex(lower(text), '\\s+'),
+                           t -> ${polyHashSql("t", 31L)}
+                         )[1:$RougeTokenCap] AS toks
+                  FROM documents),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.toks AS x, b.toks AS y
+                FROM tk a JOIN tk b ON b.doc_id = a.doc_id + 1),
+      dp AS (
+        -- row-by-row LCS: `row` holds L(i, 0..m); the left-to-right
+        -- in-row dependency folds via list_reduce with a LIST
+        -- accumulator (the DTW-oracle pattern)
+        WITH RECURSIVE rec AS (
+          SELECT doc_a, doc_b, x, y, 0 AS i,
+                 list_transform(generate_series(0, len(y)),
+                   j -> CAST(0 AS BIGINT)) AS row
+          FROM pairs
+          UNION ALL
+          SELECT doc_a, doc_b, x, y, i + 1,
+                 list_reduce(
+                   list_prepend([CAST(0 AS BIGINT)],
+                     list_transform(generate_series(1, len(y)),
+                       j -> [CAST(j AS BIGINT)])),
+                   (acc, xj) -> list_append(acc,
+                     CASE WHEN x[i + 1] = y[xj[1]]
+                          THEN row[xj[1]] + 1
+                          ELSE greatest(acc[len(acc)],
+                                        row[xj[1] + 1]) END))
+          FROM rec WHERE i < len(x))
+        SELECT doc_a, doc_b, x, y, row FROM rec
+        WHERE i = len(x))
+      SELECT doc_a, doc_b,
+             CAST(len(x) AS BIGINT) AS n_a,
+             CAST(len(y) AS BIGINT) AS n_b,
+             CAST(row[len(y) + 1] AS BIGINT) AS lcs_len,
+             CAST(2 * row[len(y) + 1] * 1000000 // (len(x) + len(y))
+               AS BIGINT) AS rouge_l_f_e6
+      FROM dp"""))
   )
 }

@@ -1952,4 +1952,48 @@ class ScaleSpec extends AnyFunSuite {
       assert(r.getAs[Long]("coverage_e6") === (n - f1) * 1000000L / n)
     }
   }
+
+  test("q_rouge_l: LcsExpr equals a JVM LCS replay pair-for-pair; " +
+      "F1 identities hold") {
+    val rows = SparkEntry.queries("q_rouge_l")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def lcsLen(x: Seq[Long], y: Seq[Long]): Long = {
+      val prev = Array.fill(y.size + 1)(0L)
+      val curr = Array.fill(y.size + 1)(0L)
+      for (i <- 1 to x.size) {
+        for (j <- 1 to y.size) {
+          curr(j) = if (x(i - 1) == y(j - 1)) prev(j - 1) + 1
+            else math.max(curr(j - 1), prev(j))
+        }
+        Array.copy(curr, 0, prev, 0, y.size + 1)
+      }
+      prev(y.size)
+    }
+    def hash(w: String): Long = {
+      var acc = 0L
+      w.foreach(c => acc = (acc * 31 + c.toLong) % 2147483647L)
+      acc
+    }
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty).toSeq
+        .map(hash).take(TextOps.RougeTokenCap)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(b === a + 1)
+      val (x, y) = (toks(a), toks(b))
+      val want = lcsLen(x, y)
+      assert(r.getAs[Long]("n_a") === x.size.toLong)
+      assert(r.getAs[Long]("n_b") === y.size.toLong)
+      assert(r.getAs[Long]("lcs_len") === want)
+      assert(want <= math.min(x.size, y.size))
+      assert(r.getAs[Long]("rouge_l_f_e6") ===
+        2 * want * 1000000L / (x.size + y.size))
+      assert(r.getAs[Long]("rouge_l_f_e6") <= 1000000L)
+    }
+    // LCS of a sequence with itself is its length (F1 = 1e6)
+    val x = Seq(3L, 1L, 4L, 1L, 5L)
+    assert(lcsLen(x, x) === 5L)
+  }
 }
