@@ -1090,6 +1090,62 @@ object StatsQueries {
           ($"n_days" * $"sum_all")).as("seasonal_index"))
   }
 
+  /** Page–Hinkley alarm multiplier: flag when the PH statistic
+    * exceeds [[PhLambdaMeans]] × the series' mean daily value. */
+  val PhLambdaMeans = 5L
+
+  /** Page–Hinkley sequential drift test per metric series (Page 1954;
+    * Hinkley 1971) — the ONLINE companion of [[cusumDrift]]: CUSUM
+    * locates the best single level-shift in hindsight against the
+    * GLOBAL mean; Page–Hinkley accumulates deviations from the
+    * RUNNING mean, so its statistic is computable as the stream
+    * arrives and alarms at first crossing. Per day i,
+    * devᵢ = xᵢ − x̄ᵢ floors to e6 via the sign-split exact division
+    * (xᵢ·i − cumᵢ)/i; the PH statistic is
+    * max_t (m_t − min_{s≤t} m_s) over the running sum m of those
+    * deviations. Alarm day = the first day achieving the max gap;
+    * flag when PH > [[PhLambdaMeans]]·mean (cross-multiplied exact).
+    * Shape: day-grid windows per type (the rolling_corr shape), one
+    * |types|-row rollup. */
+  private def pageHinkley(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val ord = W.partitionBy($"event_type").orderBy($"day".asc)
+    val run = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val whole = W.partitionBy($"event_type")
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val dec = "decimal(38,0)"
+    Tables.events(s, d)
+      .filter($"value".isNotNull)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("x"))
+      .groupBy($"event_type", $"day").agg(sum($"x").as("x"))
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum($"x").over(run))
+      .withColumn("dev_e6", expr(
+        s"""case when cast(x as $dec) * i - cum >= 0
+             then cast((cast(x as $dec) * i - cum) * 1000000 div i
+                  as bigint)
+             else -cast((cum - cast(x as $dec) * i) * 1000000 div i
+                  as bigint) end"""))
+      .withColumn("m", sum($"dev_e6").over(run))
+      .withColumn("rmin", min($"m").over(run))
+      .withColumn("gap", $"m" - $"rmin")
+      .withColumn("maxgap", max($"gap").over(whole))
+      .withColumn("n_days", count(lit(1)).over(whole))
+      .withColumn("sum_all", max($"cum").over(whole))
+      .filter($"gap" === $"maxgap")
+      .groupBy($"event_type")
+      .agg(max($"n_days").as("n_days"),
+        max($"maxgap").as("ph_max_e6"),
+        min($"day").as("alarm_day"),
+        max($"sum_all").as("sum_all"))
+      .select($"event_type", $"n_days", $"ph_max_e6", $"alarm_day",
+        (expr(s"cast(ph_max_e6 as $dec) * n_days") >
+          expr(s"cast(sum_all as $dec) * ${PhLambdaMeans} * 1000000"))
+          .as("drift_flag"))
+  }
+
   /** CUSUM changepoint locator per metric series — the first-order
     * drift detector that complements q_psi_drift's distributional one:
     * the day maximizing |Σ_{t≤day}(x_t − mean)| is the most likely
@@ -3786,6 +3842,54 @@ object StatsQueries {
              CAST(sum_cents * n_all AS DOUBLE) / (n_days * sum_all)
                AS seasonal_index
       FROM dw JOIN t ON dw.event_type = t.event_type""")),
+
+    Q("q_page_hinkley", pageHinkley, Some(s"""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) AS x
+                     FROM events WHERE value IS NOT NULL
+                     GROUP BY 1, 2),
+      w1 AS (SELECT event_type, day, x,
+                    CAST(row_number() OVER win AS BIGINT) AS i,
+                    sum(x) OVER win AS cum
+             FROM daily
+             WINDOW win AS (PARTITION BY event_type ORDER BY day ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)),
+      w2 AS (SELECT *,
+                    CASE WHEN CAST(x AS HUGEINT) * i - cum >= 0
+                      THEN CAST((CAST(x AS HUGEINT) * i - cum)
+                        * 1000000 // i AS BIGINT)
+                      ELSE -CAST((cum - CAST(x AS HUGEINT) * i)
+                        * 1000000 // i AS BIGINT) END AS dev_e6
+             FROM w1),
+      w3 AS (SELECT *, sum(dev_e6) OVER win AS m
+             FROM w2
+             WINDOW win AS (PARTITION BY event_type ORDER BY day ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)),
+      w4 AS (SELECT *, m - min(m) OVER win AS gap
+             FROM w3
+             WINDOW win AS (PARTITION BY event_type ORDER BY day ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)),
+      w5 AS (SELECT *,
+                    max(gap) OVER wt AS maxgap,
+                    count(*) OVER wt AS n_days,
+                    max(cum) OVER wt AS sum_all
+             FROM w4
+             WINDOW wt AS (PARTITION BY event_type)),
+      g AS (SELECT event_type,
+                   CAST(max(n_days) AS BIGINT) AS n_days,
+                   CAST(max(maxgap) AS BIGINT) AS ph_max_e6,
+                   min(day) AS alarm_day,
+                   CAST(max(sum_all) AS BIGINT) AS sum_all
+            FROM w5 WHERE gap = maxgap GROUP BY 1)
+      SELECT event_type, n_days, ph_max_e6, alarm_day,
+             CAST(ph_max_e6 AS HUGEINT) * n_days
+               > CAST(sum_all AS HUGEINT) * $PhLambdaMeans * 1000000
+               AS drift_flag
+      FROM g""")),
 
     Q("q_cusum_drift", cusumDrift, Some("""
       WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

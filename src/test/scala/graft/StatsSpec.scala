@@ -1976,4 +1976,46 @@ class StatsSpec extends AnyFunSuite {
     }
     assert(checked > 0 && got.size === checked)
   }
+
+  test("q_page_hinkley: BigInt replay of the running-mean deviation " +
+      "stream, max-gap statistic, and first alarm day") {
+    val rows = SparkEntry.queries("q_page_hinkley")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .filter($"value".isNotNull)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("x"))
+      .groupBy($"event_type", $"day").agg(sum($"x").as("x"))
+      .collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val tpe = r.getAs[String]("event_type")
+      val series = daily(tpe)
+        .map(x => x.getDate(1).toLocalDate.toEpochDay ->
+          BigInt(x.getLong(2)))
+        .sortBy(_._1)
+      var cum = BigInt(0); var m = BigInt(0); var rmin = BigInt(0)
+      var maxGap = BigInt(-1); var alarmDay = 0L
+      series.zipWithIndex.foreach { case ((day, x), idx) =>
+        val i = BigInt(idx + 1)
+        cum += x
+        val d = x * i - cum
+        val dev = if (d >= 0) d * 1000000 / i else -((-d) * 1000000 / i)
+        m += dev
+        if (m < rmin) rmin = m
+        val gap = m - rmin
+        if (gap > maxGap) { maxGap = gap; alarmDay = day }
+      }
+      assert(r.getAs[Long]("n_days") === series.size.toLong)
+      assert(r.getAs[Long]("ph_max_e6") === maxGap.toLong)
+      assert(r.getAs[java.sql.Date]("alarm_day").toLocalDate.toEpochDay
+        === alarmDay)
+      val sumAll = series.map(_._2).sum
+      assert(r.getAs[Boolean]("drift_flag") ===
+        (maxGap * series.size >
+          sumAll * ops.StatsQueries.PhLambdaMeans * 1000000))
+      // the gap statistic is nonnegative by construction
+      assert(maxGap >= 0)
+    }
+  }
 }
