@@ -48,11 +48,16 @@ class PlanAuditSpec extends AnyFunSuite {
                           // (data-independent cardinality); the corpus
                           // collapses to those bins in one equi aggregate
                           // before any nested loop runs
-    "q_dtw_distance"      // C(|event_types|,2) = 10-row pair fan: both
+    "q_dtw_distance",     // C(|event_types|,2) = 10-row pair fan: both
                           // sides are the |types|-row day-series table
                           // (events collapse to day arrays in one equi
                           // aggregate first); the DP kernel then runs
                           // scan-local inside DtwExpr
+    "q_tukey_hsd"         // the same C(|types|,2) pair fan over the
+                          // k-row per-type MOMENT table (events
+                          // collapse in one equi aggregate first);
+                          // type_a < type_b is the triangular-pair
+                          // predicate, data-independent cardinality
   )
 
   private def offenders(p: SparkPlan): Seq[String] = {
