@@ -407,6 +407,116 @@ object AgreementQueries {
           .otherwise(lit(-2000000L)).as("alpha_e6"))
   }
 
+  /** Rating categories for [[fleissKappa]] (terciles). */
+  val FleissCats = 3L
+
+  /** Fleiss' kappa multi-rater categorical agreement (Fleiss 1971) —
+    * the CATEGORICAL multi-rater member completing the agreement
+    * battery (q_eval_kappa is two-rater Cohen, [[iccAgreement]] and
+    * [[cronbachAlpha]] are continuous): each event type "rates" each
+    * day low/med/high by the day's RANK within that type's own daily
+    * series (exact tercile via the ntile row-count rule — bit-exact,
+    * no value thresholds to tie). With A = Σᵢⱼ nᵢⱼ² and the category
+    * column sums cⱼ, κ reduces over common denominators to the exact
+    * fraction κ = (A·D₂ − B·D₁) / (D₁·(D₂ − B)) with B = Σⱼcⱼ²,
+    * D₁ = nk(k−1), D₂ = (nk)² — one sign-split e6 division. Shape:
+    * day-grid windows per type, a (day, category) rollup, a 1-row
+    * aggregate. */
+  private def fleissKappa(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val byType = W.partitionBy($"event_type")
+      .orderBy($"day_cents".asc, $"day".asc)
+    val daily = dailyCents(s, d)
+    val balanced = daily.groupBy($"day")
+      .agg(count(lit(1)).as("kk")).filter($"kk" === IccRaters)
+      .select($"day")
+    val rated = daily.join(balanced, "day")
+      .withColumn("rn", row_number().over(byType).cast("long"))
+      .withColumn("nd", count(lit(1)).over(
+        W.partitionBy($"event_type")
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .withColumn("cat", expr(s"(rn - 1) * $FleissCats div nd"))
+    val cells = rated.groupBy($"day", $"cat")
+      .agg(count(lit(1)).as("nij"))
+    val m = cells.agg(
+      sum(expr("cast(nij as decimal(38,0)) * nij")).as("a"),
+      sum($"nij").as("nk"),
+      countDistinct($"day").as("n"))
+    val cats = cells.groupBy($"cat").agg(sum($"nij").as("cj"))
+      .agg(sum(expr("cast(cj as decimal(38,0)) * cj")).as("b"))
+    m.crossJoin(broadcast(cats))
+      .select($"n".as("n_subjects"), lit(IccRaters).as("k_raters"),
+        expr(s"""cast(case
+            when cast(nk as decimal(38,0)) * nk - b <= 0 then -2000000
+            when (a - n * $IccRaters) * cast(nk as decimal(38,0)) * nk
+                 - b * (nk * ($IccRaters - 1)) >= 0
+            then ((a - n * $IccRaters) * cast(nk as decimal(38,0)) * nk
+                  - b * (nk * ($IccRaters - 1))) * 1000000
+                 div ((cast(nk as decimal(38,0)) * ($IccRaters - 1))
+                      * (cast(nk as decimal(38,0)) * nk - b))
+            else -((b * (nk * ($IccRaters - 1))
+                    - (a - n * $IccRaters)
+                      * cast(nk as decimal(38,0)) * nk) * 1000000
+                 div ((cast(nk as decimal(38,0)) * ($IccRaters - 1))
+                      * (cast(nk as decimal(38,0)) * nk - b)))
+          end as bigint)""").as("kappa_e6"))
+  }
+
+  /** Max lag of [[ljungBox]]; χ²₇ 5 % critical = 14.067 → e3. */
+  val LbLags = 7
+  val LbCritE3 = 14067L
+
+  /** Ljung–Box portmanteau whiteness test per metric series (Ljung &
+    * Box 1978) — the TEST over the autocorrelations q_autocorr only
+    * reports: Q = n(n+2)·Σ_{k≤h} ρ̂ₖ²/(n−k) against χ²_h. Exactness:
+    * centering clears through z_t = n·x_t − S (exact integers), each
+    * ρ̂ₖ = Σ z_t z_{t+k} / Σ z_t² snaps once to the e4 grid
+    * (sign-split), and Q accumulates the per-lag ⌊ρ²_e8/(n−k)⌋ floors
+    * — every step a truncating division of nonneg/sign-split integers
+    * in decimal(38,0), identical on both engines (the documented e4/e8
+    * grid is the statistic's contract). Shape: day-grid windows with
+    * [[LbLags]] lead columns, one |types|-row rollup. */
+  private def ljungBox(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val ord = W.partitionBy($"event_type").orderBy($"day".asc)
+    val whole = W.partitionBy($"event_type")
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val dec = "decimal(38,0)"
+    val base = dailyCents(s, d)
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("s", sum($"day_cents").over(whole))
+      .withColumn("z", expr(s"cast(n as $dec) * day_cents - s"))
+    val withLeads = (1 to LbLags).foldLeft(base) { (df, k) =>
+      df.withColumn(s"z$k", lead($"z", k).over(ord))
+    }
+    val aggCols = Seq(sum(expr(s"z * z")).as("den")) ++
+      (1 to LbLags).map(k => sum(expr(s"z * z$k")).as(s"num$k"))
+    val agg = withLeads.groupBy($"event_type")
+      .agg(max($"n").as("n"), aggCols: _*)
+      .filter($"den" > 0 && $"n" > LbLags)
+    val rhoTerms = (1 to LbLags).map { k =>
+      s"""(case when num$k >= 0 then num$k * 10000 div den
+               else -((-num$k) * 10000 div den) end)"""
+    }
+    val qSum = (1 to LbLags).map { k =>
+      val r = s"rho${k}_e4"
+      s"(cast($r as $dec) * $r div (n - $k))"
+    }.mkString(" + ")
+    val withRho = (1 to LbLags).foldLeft(agg) { (df, k) =>
+      df.withColumn(s"rho${k}_e4",
+        expr(s"cast(${rhoTerms(k - 1)} as bigint)"))
+    }
+    withRho
+      .withColumn("q_e3", expr(
+        s"cast(cast(n as $dec) * (n + 2) * ($qSum) * 1000" +
+          s" div 100000000 as bigint)"))
+      .select(($"event_type" +: $"n".as("n_days") +:
+        (1 to LbLags).map(k => col(s"rho${k}_e4")) :+
+        $"q_e3" :+ ($"q_e3" >= LbCritE3).as("nonwhite_5pct")): _*)
+  }
+
   /** Shared oracle CTE: daily cents per event type. */
   private val DailySql: String =
     """daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
@@ -620,6 +730,85 @@ object AgreementQueries {
                     - CAST(cum_yc AS HUGEINT) * cum_nt * 100 // cum_nc
                   ELSE -1 END AS BIGINT) AS qini_e2
       FROM c""")),
+
+    Q("q_fleiss_kappa", fleissKappa, Some(s"""
+      WITH $DailySql,
+      bal AS (SELECT day FROM daily
+              GROUP BY 1 HAVING count(*) = $IccRaters),
+      rated AS (SELECT d.event_type, d.day,
+                       row_number() OVER (PARTITION BY d.event_type
+                         ORDER BY d.day_cents ASC, d.day ASC) AS rn,
+                       count(*) OVER (PARTITION BY d.event_type)
+                         AS nd
+                FROM daily d JOIN bal USING (day)),
+      cells AS (SELECT day, (rn - 1) * $FleissCats // nd AS cat,
+                       CAST(count(*) AS HUGEINT) AS nij
+                FROM rated GROUP BY 1, 2),
+      m AS (SELECT sum(nij * nij) AS a,
+                   CAST(sum(nij) AS HUGEINT) AS nk,
+                   CAST(count(DISTINCT day) AS HUGEINT) AS n
+            FROM cells),
+      c AS (SELECT sum(cj * cj) AS b
+            FROM (SELECT cat, CAST(sum(nij) AS HUGEINT) AS cj
+                  FROM cells GROUP BY 1))
+      SELECT CAST(n AS BIGINT) AS n_subjects,
+             CAST($IccRaters AS BIGINT) AS k_raters,
+             CAST(CASE WHEN nk * nk - b <= 0 THEN -2000000
+               WHEN (a - n * $IccRaters) * nk * nk
+                    - b * (nk * ($IccRaters - 1)) >= 0
+               THEN ((a - n * $IccRaters) * nk * nk
+                     - b * (nk * ($IccRaters - 1))) * 1000000
+                    // ((nk * ($IccRaters - 1)) * (nk * nk - b))
+               ELSE -((b * (nk * ($IccRaters - 1))
+                       - (a - n * $IccRaters) * nk * nk) * 1000000
+                    // ((nk * ($IccRaters - 1)) * (nk * nk - b)))
+               END AS BIGINT) AS kappa_e6
+      FROM m, c""")),
+
+    Q("q_ljung_box", ljungBox, Some {
+      val leads = (1 to LbLags)
+        .map(k => s"lead(z, $k) OVER win AS z$k").mkString(",\n             ")
+      val nums = (1 to LbLags)
+        .map(k => s"sum(z * z$k) AS num$k").mkString(",\n             ")
+      val rhos = (1 to LbLags).map(k =>
+        s"""CASE WHEN num$k >= 0 THEN num$k * 10000 // den
+               ELSE -((-num$k) * 10000 // den) END AS rho${k}_e4""")
+        .mkString(",\n             ")
+      val qsum = (1 to LbLags)
+        .map(k => s"(CAST(rho${k}_e4 AS HUGEINT) * rho${k}_e4 // (n - $k))")
+        .mkString(" + ")
+      val rhoCols = (1 to LbLags)
+        .map(k => s"CAST(rho${k}_e4 AS BIGINT) AS rho${k}_e4")
+        .mkString(",\n             ")
+      s"""
+      WITH $DailySql,
+      w AS (SELECT event_type, day, day_cents,
+                   CAST(count(*) OVER wt AS HUGEINT) AS n,
+                   sum(day_cents) OVER wt AS s
+            FROM daily WINDOW wt AS (PARTITION BY event_type)),
+      z AS (SELECT event_type, day, n,
+                   n * day_cents - s AS z
+            FROM w),
+      l AS (SELECT event_type, day, n, z,
+             $leads
+            FROM z
+            WINDOW win AS (PARTITION BY event_type ORDER BY day ASC)),
+      g AS (SELECT event_type, max(n) AS n,
+                   sum(z * z) AS den,
+             $nums
+            FROM l GROUP BY 1
+            HAVING sum(z * z) > 0 AND max(n) > $LbLags),
+      r AS (SELECT event_type, n, den,
+             $rhos
+            FROM g)
+      SELECT event_type, CAST(n AS BIGINT) AS n_days,
+             $rhoCols,
+             CAST(n * (n + 2) * ($qsum) * 1000 // 100000000 AS BIGINT)
+               AS q_e3,
+             n * (n + 2) * ($qsum) * 1000 // 100000000 >= $LbCritE3
+               AS nonwhite_5pct
+      FROM r"""
+    }),
 
     Q("q_tukey_hsd", tukeyHsd, Some(s"""
       WITH g AS (SELECT event_type,

@@ -262,4 +262,75 @@ class AgreementSpec extends AnyFunSuite {
       assert(r.getAs[Long]("var_ratio_e6") ===
         (sumItemVar * 1000000 / vTot).toLong)
   }
+
+  test("q_fleiss_kappa: exact replay from tercile-rank ratings") {
+    val r = SparkEntry.queries("q_fleiss_kappa")(spark, sf).head()
+    val k = ops.AgreementQueries.IccRaters.toInt
+    val cats = ops.AgreementQueries.FleissCats
+    val byDay = daily.groupBy(_._1._2).filter(_._2.size == k)
+    val days = byDay.keySet
+    // per type: rank its balanced days by (cents, day), tercile them
+    val ratings = daily.toSeq
+      .filter { case ((_, day), _) => days(day) }
+      .groupBy(_._1._1).toSeq.flatMap { case (_, xs) =>
+        val nd = xs.size
+        xs.sortBy { case ((_, day), v) => (v, day.toLocalDate.toEpochDay) }
+          .zipWithIndex.map { case (((_, day), _), i) =>
+            day -> (i.toLong * cats / nd)
+          }
+      }
+    val cells = ratings.groupBy(identity).map { case ((day, cat), g) =>
+      (day, cat) -> BigInt(g.size)
+    }
+    val a = cells.values.map(x => x * x).sum
+    val nk = cells.values.sum
+    val n = BigInt(days.size)
+    val b = cells.groupBy(_._1._2).values
+      .map(g => g.values.sum).map(c => c * c).sum
+    assert(r.getAs[Long]("n_subjects") === days.size.toLong)
+    val d2mb = nk * nk - b
+    val expect =
+      if (d2mb <= 0) BigInt(-2000000)
+      else {
+        val num = (a - n * k) * nk * nk - b * (nk * (k - 1))
+        val den = (nk * (k - 1)) * d2mb
+        if (num >= 0) num * 1000000 / den
+        else -((-num) * 1000000 / den)
+      }
+    assert(r.getAs[Long]("kappa_e6") === expect.toLong)
+    assert(r.getAs[Long]("kappa_e6") <= 1000000L)
+  }
+
+  test("q_ljung_box: exact replay of rho grid and Q statistic") {
+    val rows = SparkEntry.queries("q_ljung_box")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val h = ops.AgreementQueries.LbLags
+    rows.foreach { r =>
+      val tpe = r.getAs[String]("event_type")
+      val xs = daily.collect { case ((t, day), v) if t == tpe =>
+        day.toLocalDate.toEpochDay -> BigInt(v)
+      }.toSeq.sortBy(_._1).map(_._2)
+      val n = BigInt(xs.size)
+      val s = xs.sum
+      val z = xs.map(x => n * x - s)
+      val den = z.map(v => v * v).sum
+      assert(den > 0 && n > h)
+      val rhos = (1 to h).map { kk =>
+        val num = (0 until xs.size - kk)
+          .map(i => z(i) * z(i + kk)).sum
+        if (num >= 0) num * 10000 / den else -((-num) * 10000 / den)
+      }
+      (1 to h).foreach { kk =>
+        assert(r.getAs[Long](s"rho${kk}_e4") === rhos(kk - 1).toLong)
+        assert(rhos(kk - 1).abs <= 10000)
+      }
+      val qsum = (1 to h).map(kk =>
+        rhos(kk - 1) * rhos(kk - 1) / (n - kk)).sum
+      val q = n * (n + 2) * qsum * 1000 / 100000000
+      assert(r.getAs[Long]("q_e3") === q.toLong)
+      assert(r.getAs[Boolean]("nonwhite_5pct") ===
+        (q >= ops.AgreementQueries.LbCritE3))
+      assert(q >= 0)
+    }
+  }
 }
