@@ -377,7 +377,98 @@ object SpatialQueries {
         $"cell4")
   }
 
+  /** Cell width (µ°) of the [[spatialAutocorr]] lattice — 10°, so
+    * the grid is a FIXED 18×36 = 648 cells at any data volume. */
+  private val AcWidth = 10000000L
+
+  /** Spatial autocorrelation — Moran's I (1950) and Geary's C (1954)
+    * over the fixed 10° cell lattice, with rook adjacency (lat/lon
+    * ±1 cell, no wraparound) and x = customers-per-cell: do dense
+    * cells cluster next to dense cells? Exactness: center through
+    * z_c = n·x_c − S (exact ints — the common n factor cancels in
+    * both ratios), weights are 0/1, so
+    * I = n·Σ_{ij} zᵢzⱼ / (W·Σz²) and
+    * C = (n−1)·Σ_{ij}(zᵢ−zⱼ)² / (2W·2n... — both emit as ONE
+    * sign-split e6 division of decimal(38,0) integers (the C
+    * numerator (zᵢ−zⱼ)² and denominator 2·Σz² carry the same n²).
+    * The clustered flag compares I against its null expectation
+    * −1/(n−1) fully cross-multiplied. Shape: one cell rollup (the
+    * grid_density shuffle), a 4-stencil equi self-join over the
+    * ≤648-row cell table, a 1-row aggregate — data-volume-free after
+    * the first rollup. */
+  private def spatialAutocorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val cells = users(s, d)
+      .select(expr(s"u_lat div $AcWidth").as("cla"),
+        expr(s"u_lon div $AcWidth").as("clo"))
+      .groupBy($"cla", $"clo").agg(count(lit(1)).as("x"))
+    val tot = cells.agg(count(lit(1)).as("n"), sum($"x").as("s"))
+    val z = cells.crossJoin(broadcast(tot))
+      .select($"cla", $"clo", $"n",
+        expr(s"cast(n as $dec) * x - s").as("z"))
+    val stencil = s.createDataFrame(
+      Seq((1L, 0L), (-1L, 0L), (0L, 1L), (0L, -1L))).toDF("dla", "dlo")
+    val pairs = z.crossJoin(broadcast(stencil))
+      .select($"cla", $"clo", $"z",
+        ($"cla" + $"dla").as("nla"), ($"clo" + $"dlo").as("nlo"))
+      .join(z.select($"cla".as("nla"), $"clo".as("nlo"),
+        $"z".as("zn")), Seq("nla", "nlo"))
+    val pm = pairs.agg(count(lit(1)).as("w"),
+      sum(expr(s"cast(z as $dec) * zn")).as("szz"),
+      sum(expr(s"cast(z - zn as $dec) * (z - zn)")).as("sdd"))
+    val zm = z.agg(max($"n").as("n"),
+      sum(expr(s"cast(z as $dec) * z")).as("sz2"))
+    pm.crossJoin(broadcast(zm))
+      .filter($"sz2" > 0 && $"w" > 0 && $"n" > 1)
+      .select($"n".as("n_cells"), $"w".as("w_pairs"),
+        expr(s"""cast(case when szz >= 0
+            then cast(n as $dec) * szz * 1000000 div (w * sz2)
+            else -(cast(n as $dec) * (-szz) * 1000000 div (w * sz2))
+          end as bigint)""").as("morans_i_e6"),
+        expr(s"cast((n - 1) * sdd * 1000000" +
+          s" div (cast(2 as $dec) * w * sz2) as bigint)")
+          .as("gearys_c_e6"),
+        // I > E[I] = −1/(n−1) ⟺ n·Σzz·(n−1) > −W·Σz², exact
+        (expr(s"cast(n as $dec) * szz * (n - 1)") >
+          expr(s"-(cast(w as $dec) * sz2)")).as("clustered"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_spatial_autocorr", spatialAutocorr, Some(s"""
+      WITH u AS (SELECT (c_custkey * $LatMult) % 4294967296
+                          % 180000000 AS u_lat,
+                        (c_custkey * $LonMult) % 4294967296
+                          % 360000000 AS u_lon
+                 FROM customer),
+      cells AS (SELECT u_lat // $AcWidth AS cla,
+                       u_lon // $AcWidth AS clo,
+                       CAST(count(*) AS HUGEINT) AS x
+                FROM u GROUP BY 1, 2),
+      tot AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS s
+              FROM cells),
+      z AS (SELECT cla, clo, n, n * x - s AS z FROM cells, tot),
+      st(dla, dlo) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+      pairs AS (SELECT a.z AS z, b.z AS zn
+                FROM z a CROSS JOIN st
+                JOIN z b ON b.cla = a.cla + st.dla
+                       AND b.clo = a.clo + st.dlo),
+      pm AS (SELECT CAST(count(*) AS HUGEINT) AS w,
+                    sum(z * zn) AS szz,
+                    sum((z - zn) * (z - zn)) AS sdd
+             FROM pairs),
+      zm AS (SELECT max(n) AS n, sum(z * z) AS sz2 FROM z)
+      SELECT CAST(n AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_pairs,
+             CAST(CASE WHEN szz >= 0
+                    THEN n * szz * 1000000 // (w * sz2)
+                    ELSE -(n * (-szz) * 1000000 // (w * sz2))
+                  END AS BIGINT) AS morans_i_e6,
+             CAST((n - 1) * sdd * 1000000 // (2 * w * sz2) AS BIGINT)
+               AS gearys_c_e6,
+             n * szz * (n - 1) > -(w * sz2) AS clustered
+      FROM pm, zm
+      WHERE sz2 > 0 AND w > 0 AND n > 1""")),
     Q("q_geohash_cells", geohashCells, Some {
       val latQ = s"(u_lat * ${1L << GeoBits}) // 180000000"
       val lonQ = s"(u_lon * ${1L << GeoBits}) // 360000000"

@@ -167,4 +167,42 @@ class SpatialSpec extends AnyFunSuite {
     assert(got === expect)
     assert(got.nonEmpty)
   }
+
+  test("q_spatial_autocorr: BigInt replay of Moran and Geary over " +
+      "the rook lattice; C >= 0; pair symmetry") {
+    val r = SparkEntry.queries("q_spatial_autocorr")(spark, sf).head()
+    import spark.implicits._
+    val cells = Tables.customer(spark, sf).select($"c_custkey")
+      .as[Long].collect()
+      .map { k =>
+        val lat = ((k * 2654435761L) % 4294967296L) % 180000000L
+        val lon = ((k * 2246822519L) % 4294967296L) % 360000000L
+        (lat / 10000000L, lon / 10000000L)
+      }
+      .groupBy(identity).map { case (c, g) => c -> BigInt(g.size) }
+    val n = BigInt(cells.size)
+    val s = cells.values.sum
+    val z = cells.map { case (c, x) => c -> (n * x - s) }
+    val pairs = for {
+      ((la, lo), zi) <- z.toSeq
+      (dla, dlo) <- Seq((1L, 0L), (-1L, 0L), (0L, 1L), (0L, -1L))
+      zj <- z.get((la + dla, lo + dlo))
+    } yield (zi, zj)
+    val w = BigInt(pairs.size)
+    val szz = pairs.map { case (a, b) => a * b }.sum
+    val sdd = pairs.map { case (a, b) => (a - b) * (a - b) }.sum
+    val sz2 = z.values.map(v => v * v).sum
+    assert(r.getAs[Long]("n_cells") === n.toLong)
+    assert(r.getAs[Long]("w_pairs") === w.toLong)
+    // rook adjacency is symmetric: every pair appears twice
+    assert(w % 2 === 0)
+    val moran = if (szz >= 0) n * szz * 1000000 / (w * sz2)
+      else -(n * (-szz) * 1000000 / (w * sz2))
+    assert(r.getAs[Long]("morans_i_e6") === moran.toLong)
+    val geary = (n - 1) * sdd * 1000000 / (2 * w * sz2)
+    assert(r.getAs[Long]("gearys_c_e6") === geary.toLong)
+    assert(geary >= 0)
+    assert(r.getAs[Boolean]("clustered") ===
+      (n * szz * (n - 1) > -(w * sz2)))
+  }
 }
