@@ -740,6 +740,62 @@ object EvalQueries {
         $"sum_sq_e6".cast("double") / $"n" / 1000000.0)
   }
 
+  /** Murphy (1973) decomposition of the Brier score per language —
+    * WHY is a forecaster bad: reliability (calibration error of each
+    * forecast bin), resolution (how far bin outcomes spread from the
+    * base rate; larger is better), uncertainty (the outcome's own
+    * variance, the no-skill floor). Same forecast/outcome pair as
+    * [[brierScore]]; forecasts bin by decile (p_e3 div 100). Each
+    * component clears its bin denominators exactly:
+    * REL/N = Σ_b ⌊(Σp − 10³·posᵦ)²/nᵦ⌋ / N,
+    * RES/N = Σ_b ⌊10⁶·(posᵦN − Pnᵦ)²/(nᵦN²)⌋ / N,
+    * UNC = 10⁶·P(N−P)/N² — truncating divisions of nonnegative
+    * decimal(38,0) integers (the per-bin floor grid is the operator
+    * contract). With CONTINUOUS forecasts binned by decile the
+    * three-term identity BS = REL − RES + UNC picks up the
+    * within-bin variance/covariance terms (Stephenson et al. 2008's
+    * generalized decomposition); decomp_gap_e6 rides along as exactly
+    * that term — the spec replays it to the flooring grid, so a
+    * drifting gap fails the suite. Shape: one (lang, bin) rollup —
+    * ≤ |langs|·11 rows — then a |langs|-row rollup. */
+  private def brierDecomposition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val bins = Tables.documents(s, d)
+      .select($"lang",
+        least(expr("n_chars * 1000 div 400"), lit(1000L)).as("p_e3"),
+        when($"doc_id" % 3 =!= 0, 1000L).otherwise(0L).as("y_e3"))
+      .withColumn("bin", expr("p_e3 div 100"))
+      .groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("nb"), sum($"p_e3").as("sp"),
+        sum(when($"y_e3" === 1000L, 1L).otherwise(0L)).as("pos"),
+        sum(($"p_e3" - $"y_e3") * ($"p_e3" - $"y_e3")).as("sq"))
+    val tot = bins.groupBy($"lang")
+      .agg(sum($"nb").as("n"), sum($"pos").as("p"),
+        sum($"sq").as("sum_sq"))
+    bins.join(tot, "lang")
+      .select($"lang", $"n", $"p", $"sum_sq",
+        expr(s"cast((cast(sp as $dec) - 1000 * pos)" +
+          s" * (cast(sp as $dec) - 1000 * pos) div nb as $dec)")
+          .as("rel_b"),
+        expr(s"cast(1000000 as $dec)" +
+          s" * (cast(pos as $dec) * n - cast(p as $dec) * nb)" +
+          s" * (cast(pos as $dec) * n - cast(p as $dec) * nb)" +
+          s" div (cast(nb as $dec) * n * n)").as("res_b"))
+      .groupBy($"lang")
+      .agg(max($"n").as("n"), max($"p").as("n_pos"),
+        max($"sum_sq").as("sum_sq"),
+        sum($"rel_b").as("rel_sum"), sum($"res_b").as("res_sum"))
+      .select($"lang", $"n", $"n_pos",
+        expr("cast(sum_sq div n as bigint)").as("brier_e6"),
+        expr(s"cast(rel_sum div n as bigint)").as("rel_e6"),
+        expr(s"cast(res_sum div n as bigint)").as("res_e6"),
+        expr(s"cast(cast(1000000 as $dec) * n_pos * (n - n_pos)" +
+          s" div (cast(n as $dec) * n) as bigint)").as("unc_e6"))
+      .withColumn("decomp_gap_e6",
+        $"brier_e6" - ($"rel_e6" - $"res_e6" + $"unc_e6"))
+  }
+
   /** Matthews correlation coefficient — the single-number confusion
     * summary that stays honest under class imbalance (accuracy and F1
     * both inflate when one class dominates; MCC is the Pearson
@@ -1240,6 +1296,46 @@ object EvalQueries {
                AS precision_at_10,
              CAST(sum(tp) AS DOUBLE) / sum(day_rel) AS recall_at_10
       FROM q GROUP BY 1""")),
+
+    Q("q_brier_decomposition", brierDecomposition, Some("""
+      WITH p AS (SELECT lang,
+                        least(n_chars * 1000 // 400, 1000) AS p_e3,
+                        CASE WHEN doc_id % 3 <> 0 THEN 1000 ELSE 0 END
+                          AS y_e3
+                 FROM documents),
+      b AS (SELECT lang, p_e3 // 100 AS bin,
+                   CAST(count(*) AS HUGEINT) AS nb,
+                   CAST(sum(p_e3) AS HUGEINT) AS sp,
+                   CAST(sum(CASE WHEN y_e3 = 1000 THEN 1 ELSE 0 END)
+                     AS HUGEINT) AS pos,
+                   CAST(sum((p_e3 - y_e3) * (p_e3 - y_e3)) AS HUGEINT)
+                     AS sq
+            FROM p GROUP BY 1, 2),
+      t AS (SELECT lang, CAST(sum(nb) AS HUGEINT) AS n,
+                   CAST(sum(pos) AS HUGEINT) AS pp,
+                   CAST(sum(sq) AS HUGEINT) AS sum_sq
+            FROM b GROUP BY 1),
+      c AS (SELECT b.lang, t.n, t.pp, t.sum_sq,
+                   (sp - 1000 * pos) * (sp - 1000 * pos) // nb AS rel_b,
+                   1000000 * (pos * n - pp * nb) * (pos * n - pp * nb)
+                     // (nb * n * n) AS res_b
+            FROM b JOIN t USING (lang)),
+      g AS (SELECT lang, max(n) AS n, max(pp) AS n_pos,
+                   max(sum_sq) AS sum_sq,
+                   sum(rel_b) AS rel_sum, sum(res_b) AS res_sum
+            FROM c GROUP BY 1)
+      SELECT lang, CAST(n AS BIGINT) AS n,
+             CAST(n_pos AS BIGINT) AS n_pos,
+             CAST(sum_sq // n AS BIGINT) AS brier_e6,
+             CAST(rel_sum // n AS BIGINT) AS rel_e6,
+             CAST(res_sum // n AS BIGINT) AS res_e6,
+             CAST(1000000 * n_pos * (n - n_pos) // (n * n) AS BIGINT)
+               AS unc_e6,
+             CAST(sum_sq // n
+               - (rel_sum // n - res_sum // n
+                  + 1000000 * n_pos * (n - n_pos) // (n * n))
+               AS BIGINT) AS decomp_gap_e6
+      FROM g""")),
 
     Q("q_brier_score", brierScore, Some("""
       WITH p AS (SELECT lang,

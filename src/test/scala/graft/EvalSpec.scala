@@ -561,4 +561,66 @@ class EvalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_brier_decomposition: BigInt replay; identity gap bounded " +
+      "by the per-bin floor grid; resolution <= uncertainty") {
+    val rows = SparkEntry.queries("q_brier_decomposition")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"n_chars", $"doc_id").collect()
+      .map { r =>
+        val p = math.min(r.getLong(1) * 1000 / 400, 1000L)
+        (r.getString(0), p / 100,
+          p, if (r.getLong(2) % 3 != 0) 1000L else 0L)
+      }
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val mine = docs.filter(_._1 == lang)
+      val n = BigInt(mine.length)
+      val pp = BigInt(mine.count(_._4 == 1000L))
+      val sumSq = mine.map(d =>
+        BigInt(d._3 - d._4) * (d._3 - d._4)).sum
+      assert(r.getAs[Long]("n") === n.toLong)
+      assert(r.getAs[Long]("n_pos") === pp.toLong)
+      assert(r.getAs[Long]("brier_e6") === (sumSq / n).toLong)
+      val bins = mine.groupBy(_._2).values
+      val relSum = bins.map { b =>
+        val nb = BigInt(b.length)
+        val d = b.map(x => BigInt(x._3)).sum -
+          1000 * b.count(_._4 == 1000L)
+        d * d / nb
+      }.sum
+      val resSum = bins.map { b =>
+        val nb = BigInt(b.length)
+        val pos = BigInt(b.count(_._4 == 1000L))
+        BigInt(1000000) * (pos * n - pp * nb) * (pos * n - pp * nb) /
+          (nb * n * n)
+      }.sum
+      assert(r.getAs[Long]("rel_e6") === (relSum / n).toLong)
+      assert(r.getAs[Long]("res_e6") === (resSum / n).toLong)
+      val unc = BigInt(1000000) * pp * (n - pp) / (n * n)
+      assert(r.getAs[Long]("unc_e6") === unc.toLong)
+      // generalized Murphy identity (Stephenson et al. 2008): with
+      // continuous forecasts binned by decile,
+      // BS − (REL − RES + UNC) = within-bin variance − 2·covariance;
+      // replay that term exactly and allow only the flooring grid
+      // (≤ #bins + 4 floored emissions) around it
+      val wbTerm = bins.map { b =>
+        val nb = BigInt(b.length)
+        val sf2 = b.map(x => BigInt(x._3) * x._3).sum
+        val sfv = b.map(x => BigInt(x._3)).sum
+        val sfy = b.map(x => BigInt(x._3) * x._4).sum
+        val sy = b.map(x => BigInt(x._4)).sum
+        (nb * sf2 - sfv * sfv - 2 * (nb * sfy - sfv * sy)) / nb
+      }.sum / n
+      assert(math.abs(r.getAs[Long]("decomp_gap_e6") -
+        wbTerm.toLong) <= 15L,
+        s"identity gap drifted from the within-bin term for $lang: " +
+          s"${r.getAs[Long]("decomp_gap_e6")} vs $wbTerm")
+      // resolution can never exceed uncertainty (law of total variance)
+      assert(r.getAs[Long]("res_e6") <= r.getAs[Long]("unc_e6") + 1)
+    }
+  }
 }
