@@ -1618,6 +1618,106 @@ object StatsQueries {
     * engines), just not exact; the emitted num/den pair stays exact
     * always. Same shape as the EWMA: one daily-rollup exchange, the
     * window walks calendar days. */
+  /** Croston EWMA denominator: α = 1/[[CrostonAlphaInv]]. */
+  val CrostonAlphaInv = 8L
+
+  /** Croston's method (1972) per customer — the forecaster for
+    * INTERMITTENT series that [[holtLinear]]/q_ar2_forecast (built
+    * for dense daily series) mis-handle: most customers order on a
+    * few scattered days, so Croston smooths the order SIZES and the
+    * INTER-ORDER intervals separately and forecasts their ratio as a
+    * demand rate. All integer: sizes/gaps live on the e3 grid, both
+    * EWMAs use α = 1/8 with the sign-split truncating step
+    * z' = z + (v·10³ − z) div 8 (engine-identical), the fold runs
+    * inside ONE `aggregate` over the customer's ordered order array
+    * — state and elements both encoded as `array<long>` ([z, p,
+    * last_day, i] / [day, cents, 0, 0]) so Spark's lambda and
+    * DuckDB's list_reduce unify on the same type (the DTW-oracle
+    * encoding). Customers need ≥ 3 orders (one real EWMA step on the
+    * gap). Shape: one per-customer rollup, folds scan-local and
+    * bounded by per-customer order count. */
+  private def croston(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = CrostonAlphaInv
+    val upd = // sign-split EWMA step on the e3 grid
+      (cur: String, tgt: String) =>
+        s"""case when $tgt - $cur >= 0
+             then $cur + ($tgt - $cur) div $a
+             else $cur - (($cur - $tgt) div $a) end"""
+    val orders = Tables.orders(s, d)
+      .select($"o_custkey",
+        array(
+          datediff(to_date($"o_orderdate"),
+            lit("1970-01-01").cast("date")).cast("long"),
+          ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"),
+          lit(0L), lit(0L)).as("o"))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sort_array(collect_list($"o")).as("os"))
+      .filter($"n_orders" >= 3)
+    orders.select($"o_custkey", $"n_orders",
+      expr(s"""aggregate(os,
+          array(0L, 0L, -1L, 0L),
+          (acc, o) -> array(
+            case when element_at(acc, 4) = 0
+                 then element_at(o, 2) * 1000
+                 else ${upd("element_at(acc, 1)",
+                            "element_at(o, 2) * 1000")} end,
+            case when element_at(acc, 4) = 0 then 0L
+                 when element_at(acc, 4) = 1
+                 then (element_at(o, 1) - element_at(acc, 3)) * 1000
+                 else ${upd("element_at(acc, 2)",
+                   "(element_at(o, 1) - element_at(acc, 3)) * 1000")}
+                 end,
+            element_at(o, 1),
+            element_at(acc, 4) + 1))""").as("st"))
+      .select($"o_custkey", $"n_orders",
+        expr("element_at(st, 1)").as("z_e3"),
+        expr("element_at(st, 2)").as("p_e3"))
+      .withColumn("croston_rate_e3",
+        when($"p_e3" > 0, expr("z_e3 * 1000 div p_e3"))
+          .otherwise(lit(-1L)))
+  }
+
+  private def crostonOracle: String = {
+    val a = CrostonAlphaInv
+    def upd(cur: String, tgt: String): String =
+      s"""CASE WHEN $tgt - $cur >= 0
+           THEN $cur + ($tgt - $cur) // $a
+           ELSE $cur - (($cur - $tgt) // $a) END"""
+    s"""
+      WITH o AS (SELECT o_custkey,
+                        [CAST(o_orderdate AS DATE) - DATE '1970-01-01',
+                         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT),
+                         0, 0] AS o
+                 FROM orders),
+      g AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                   list_sort(list(o)) AS os
+            FROM o GROUP BY 1 HAVING count(*) >= 3),
+      f AS (SELECT o_custkey, n_orders,
+              list_reduce(
+                list_prepend(
+                  [CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(-1 AS BIGINT), CAST(0 AS BIGINT)], os),
+                (acc, o) -> [
+                  CASE WHEN acc[4] = 0 THEN o[2] * 1000
+                       ELSE ${upd("acc[1]", "o[2] * 1000")} END,
+                  CASE WHEN acc[4] = 0 THEN 0
+                       WHEN acc[4] = 1 THEN (o[1] - acc[3]) * 1000
+                       ELSE ${upd("acc[2]",
+                         "(o[1] - acc[3]) * 1000")} END,
+                  o[1],
+                  acc[4] + 1]) AS st
+            FROM g)
+      SELECT o_custkey, n_orders,
+             CAST(st[1] AS BIGINT) AS z_e3,
+             CAST(st[2] AS BIGINT) AS p_e3,
+             CAST(CASE WHEN st[2] > 0 THEN st[1] * 1000 // st[2]
+                       ELSE -1 END AS BIGINT) AS croston_rate_e3
+      FROM f"""
+  }
+
   private def holtLinear(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val W = org.apache.spark.sql.expressions.Window
@@ -3559,6 +3659,7 @@ object StatsQueries {
                AS ewma_cents
       FROM w""")),
 
+    Q("q_croston", croston, Some(crostonOracle)),
     Q("q_holt_linear", holtLinear, Some(holtOracle)),
 
     Q("q_pacf", pacf, Some("""

@@ -2018,4 +2018,39 @@ class StatsSpec extends AnyFunSuite {
       assert(maxGap >= 0)
     }
   }
+
+  test("q_croston: JVM fold replay of both EWMAs; rate identity") {
+    val rows = SparkEntry.queries("q_croston")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val a = ops.StatsQueries.CrostonAlphaInv
+    def step(cur: Long, tgt: Long): Long =
+      if (tgt - cur >= 0) cur + (tgt - cur) / a
+      else cur - ((cur - tgt) / a)
+    val orders = Tables.orders(spark, sf)
+      .select($"o_custkey",
+        datediff(to_date($"o_orderdate"),
+          lit("1970-01-01").cast("date")).cast("long").as("d"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")
+          .as("c"))
+      .collect().groupBy(_.getLong(0))
+    rows.foreach { r =>
+      val os = orders(r.getAs[Long]("o_custkey"))
+        .map(x => (x.getLong(1), x.getLong(2))).sorted
+      assert(os.size >= 3)
+      assert(r.getAs[Long]("n_orders") === os.size.toLong)
+      var z = 0L; var p = 0L; var last = -1L; var i = 0L
+      os.foreach { case (d, c) =>
+        z = if (i == 0) c * 1000 else step(z, c * 1000)
+        p = if (i == 0) 0L
+        else if (i == 1) (d - last) * 1000
+        else step(p, (d - last) * 1000)
+        last = d; i += 1
+      }
+      assert(r.getAs[Long]("z_e3") === z)
+      assert(r.getAs[Long]("p_e3") === p)
+      val rate = if (p > 0) z * 1000 / p else -1L
+      assert(r.getAs[Long]("croston_rate_e3") === rate)
+      assert(z > 0) // sizes are positive, so the size EWMA stays positive
+    }
+  }
 }
