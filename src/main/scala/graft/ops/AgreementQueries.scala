@@ -517,6 +517,43 @@ object AgreementQueries {
         $"q_e3" :+ ($"q_e3" >= LbCritE3).as("nonwhite_5pct")): _*)
   }
 
+  /** Hodges–Lehmann robust location estimator per metric series
+    * (Hodges & Lehmann 1963) — the point estimate that goes with
+    * q_median_ci's distribution-free interval and q_theil_sen's
+    * robust slope: the median of all Walsh averages (xᵢ+xⱼ)/2 over
+    * i ≤ j, ~29 % more efficient than the plain median under
+    * normality while keeping a 29 % breakdown point. Exactness:
+    * Walsh SUMS xᵢ+xⱼ stay integer (the estimator is emitted in
+    * HALF-cents — no /2 anywhere), the median is the exact type-1
+    * order statistic at rank ⌈m/2⌉ picked by a cumulative count over
+    * the sorted sums — no interpolation. Shape: day-grid triangular
+    * self-join per type (C(|days|,2)+|days| pairs — calendar-bounded
+    * at any volume), one rank window, a |types|-row rollup. */
+  private def hodgesLehmann(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = dailyCents(s, d)
+      .select($"event_type",
+        datediff($"day", lit("1970-01-01").cast("date"))
+          .cast("long").as("dayn"),
+        $"day_cents".as("x"))
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        $"a.event_type" === $"b.event_type" &&
+          $"a.dayn" <= $"b.dayn")
+      .select($"a.event_type".as("event_type"),
+        ($"a.x" + $"b.x").as("w"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(
+        W.partitionBy($"event_type").orderBy($"w".asc)))
+      .withColumn("m", count(lit(1)).over(
+        W.partitionBy($"event_type")
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    ranked.filter($"rn" === expr("(m + 1) div 2"))
+      .select($"event_type", $"m".as("n_walsh"),
+        $"w".as("hl_half_cents"))
+  }
+
   /** Shared oracle CTE: daily cents per event type. */
   private val DailySql: String =
     """daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
@@ -730,6 +767,25 @@ object AgreementQueries {
                     - CAST(cum_yc AS HUGEINT) * cum_nt * 100 // cum_nc
                   ELSE -1 END AS BIGINT) AS qini_e2
       FROM c""")),
+
+    Q("q_hodges_lehmann", hodgesLehmann, Some(s"""
+      WITH $DailySql,
+      dd AS (SELECT event_type,
+                    CAST(day - DATE '1970-01-01' AS BIGINT) AS dayn,
+                    day_cents AS x
+             FROM daily),
+      pairs AS (SELECT a.event_type, a.x + b.x AS w
+                FROM dd a JOIN dd b
+                  ON a.event_type = b.event_type
+                 AND a.dayn <= b.dayn),
+      r AS (SELECT event_type, w,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY w ASC) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS m
+            FROM pairs)
+      SELECT event_type, CAST(m AS BIGINT) AS n_walsh,
+             CAST(w AS BIGINT) AS hl_half_cents
+      FROM r WHERE rn = (m + 1) // 2""")),
 
     Q("q_fleiss_kappa", fleissKappa, Some(s"""
       WITH $DailySql,

@@ -1618,6 +1618,62 @@ object StatsQueries {
     * engines), just not exact; the emitted num/den pair stays exact
     * always. Same shape as the EWMA: one daily-rollup exchange, the
     * window walks calendar days. */
+  /** OLS influence diagnostics per (type, day) — the regression
+    * HEALTH view q_ridge_trend/q_group_ols lack: WHICH days drive the
+    * daily-revenue-on-time fit? Per type, leverage
+    * hᵢ = 1/n + (xᵢ−x̄)²/Σ(x−x̄)² clears its denominators exactly via
+    * the n-scaled zᵢ = n·xᵢ − Σx:
+    * h_e6 = 10⁶·(Σz² + n·zᵢ²) div (n·Σz²); the residual clears the
+    * slope/intercept fractions to the single exact numerator
+    * Eᵢ = n·B_d·yᵢ − Sy·B_d + B_n·Sx − n·B_n·xᵢ over n·B_d
+    * (B_n = nΣxy − SxSy, B_d = nΣx² − Sx²), emitted e2. Both flags
+    * are FULLY cross-multiplied integer comparisons: high leverage
+    * hᵢ > 2p/n = 4/n ⟺ n·zᵢ² > 3Σz², outlier |eᵢ| > 2s ⟺
+    * (n−2)·Eᵢ² > 4·ΣEⱼ² (s² = SSE/(n−2), the common (nB_d)² cancels).
+    * Shape: day-grid windows per type — calendar-bounded. */
+  private def olsInfluence(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val whole = W.partitionBy($"event_type")
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val dec = "decimal(38,0)"
+    Tables.events(s, d)
+      .filter($"value".isNotNull)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("y"))
+      .groupBy($"event_type", $"day").agg(sum($"y").as("y"))
+      .withColumn("x",
+        datediff($"day", lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("sx", sum($"x").over(whole))
+      .withColumn("sy", sum($"y").over(whole))
+      .withColumn("sxx", sum($"x" * $"x").over(whole))
+      .withColumn("sxy", sum(expr(s"cast(x as $dec) * y")).over(whole))
+      .filter($"n" > 2)
+      .withColumn("z", expr(s"cast(n as $dec) * x - sx"))
+      .withColumn("sz2", sum(expr("z * z")).over(whole))
+      .withColumn("bn",
+        expr(s"cast(n as $dec) * sxy - cast(sx as $dec) * sy"))
+      .withColumn("bd",
+        expr(s"cast(n as $dec) * sxx - cast(sx as $dec) * sx"))
+      .filter($"bd" > 0 && $"sz2" > 0)
+      .withColumn("ei", expr(
+        s"cast(n as $dec) * bd * y - cast(sy as $dec) * bd" +
+          s" + bn * sx - cast(n as $dec) * bn * x"))
+      .withColumn("se2", sum(expr("ei * ei")).over(whole))
+      .select($"event_type", $"day",
+        expr(s"cast(1000000 * (sz2 + cast(n as $dec) * z * z)" +
+          s" div (cast(n as $dec) * sz2) as bigint)").as("leverage_e6"),
+        expr(s"""cast(case when ei >= 0
+            then ei * 100 div (cast(n as $dec) * bd)
+            else -((-ei) * 100 div (cast(n as $dec) * bd)) end
+          as bigint)""").as("resid_e2"),
+        (expr(s"cast(n as $dec) * z * z") > expr("3 * sz2"))
+          .as("high_leverage"),
+        (expr(s"(cast(n as $dec) - 2) * ei * ei") > expr("4 * se2"))
+          .as("outlier"))
+  }
+
   /** Croston EWMA denominator: α = 1/[[CrostonAlphaInv]]. */
   val CrostonAlphaInv = 8L
 
@@ -3658,6 +3714,45 @@ object StatsQueries {
                // ((CAST(1 AS BIGINT) << len(lastk)) - 1) AS BIGINT)
                AS ewma_cents
       FROM w""")),
+
+    Q("q_ols_influence", olsInfluence, Some("""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) AS y
+                     FROM events WHERE value IS NOT NULL
+                     GROUP BY 1, 2),
+      w AS (SELECT event_type, day, y,
+                   CAST(day - DATE '1970-01-01' AS HUGEINT) AS x,
+                   CAST(count(*) OVER wt AS HUGEINT) AS n,
+                   CAST(sum(day - DATE '1970-01-01') OVER wt
+                     AS HUGEINT) AS sx,
+                   sum(y) OVER wt AS sy,
+                   sum(CAST(day - DATE '1970-01-01' AS HUGEINT)
+                       * (day - DATE '1970-01-01')) OVER wt AS sxx,
+                   sum(CAST(day - DATE '1970-01-01' AS HUGEINT) * y)
+                     OVER wt AS sxy
+            FROM daily
+            WINDOW wt AS (PARTITION BY event_type)),
+      z AS (SELECT *, n * x - sx AS z,
+                   n * sxy - sx * sy AS bn,
+                   n * sxx - sx * sx AS bd
+            FROM w WHERE n > 2),
+      z2 AS (SELECT *, sum(z * z) OVER wt AS sz2
+             FROM z WINDOW wt AS (PARTITION BY event_type)),
+      e AS (SELECT *,
+                   n * bd * y - sy * bd + bn * sx - n * bn * x AS ei
+            FROM z2 WHERE bd > 0 AND sz2 > 0),
+      e2 AS (SELECT *, sum(ei * ei) OVER wt AS se2
+             FROM e WINDOW wt AS (PARTITION BY event_type))
+      SELECT event_type, day,
+             CAST(1000000 * (sz2 + n * z * z) // (n * sz2) AS BIGINT)
+               AS leverage_e6,
+             CAST(CASE WHEN ei >= 0 THEN ei * 100 // (n * bd)
+                       ELSE -((-ei) * 100 // (n * bd)) END AS BIGINT)
+               AS resid_e2,
+             n * z * z > 3 * sz2 AS high_leverage,
+             (n - 2) * ei * ei > 4 * se2 AS outlier
+      FROM e2""")),
 
     Q("q_croston", croston, Some(crostonOracle)),
     Q("q_holt_linear", holtLinear, Some(holtOracle)),

@@ -333,4 +333,24 @@ class AgreementSpec extends AnyFunSuite {
       assert(q >= 0)
     }
   }
+
+  test("q_hodges_lehmann: exact Walsh-average median replay; " +
+      "bracketed by the series min/max sums") {
+    val rows = SparkEntry.queries("q_hodges_lehmann")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tpe = r.getAs[String]("event_type")
+      val xs = daily.collect { case ((t, day), v) if t == tpe =>
+        day.toLocalDate.toEpochDay -> v
+      }.toSeq.sortBy(_._1).map(_._2)
+      val walsh = (for {
+        i <- xs.indices; j <- i until xs.size
+      } yield xs(i) + xs(j)).sorted
+      assert(r.getAs[Long]("n_walsh") === walsh.size.toLong)
+      val want = walsh((walsh.size + 1) / 2 - 1)
+      assert(r.getAs[Long]("hl_half_cents") === want)
+      assert(want >= 2 * xs.min && want <= 2 * xs.max)
+    }
+  }
 }

@@ -2053,4 +2053,60 @@ class StatsSpec extends AnyFunSuite {
       assert(z > 0) // sizes are positive, so the size EWMA stays positive
     }
   }
+
+  test("q_ols_influence: BigInt replay of leverage, residual, flags; " +
+      "leverage identities") {
+    val rows = SparkEntry.queries("q_ols_influence")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .filter($"value".isNotNull)
+      .select($"event_type", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("y"))
+      .groupBy($"event_type", $"day").agg(sum($"y").as("y"))
+      .collect().groupBy(_.getString(0))
+    val byType = daily.map { case (t, rs) =>
+      t -> rs.map(x => BigInt(x.getDate(1).toLocalDate.toEpochDay) ->
+        BigInt(x.getLong(2))).sortBy(_._1)
+    }
+    rows.groupBy(_.getAs[String]("event_type")).foreach {
+      case (tpe, rws) =>
+        val pts = byType(tpe)
+        val n = BigInt(pts.size)
+        val sx = pts.map(_._1).sum
+        val sy = pts.map(_._2).sum
+        val sxx = pts.map(p => p._1 * p._1).sum
+        val sxy = pts.map(p => p._1 * p._2).sum
+        val bn = n * sxy - sx * sy
+        val bd = n * sxx - sx * sx
+        val zs = pts.map(p => n * p._1 - sx)
+        val sz2 = zs.map(z => z * z).sum
+        val eis = pts.map { case (x, y) =>
+          n * bd * y - sy * bd + bn * sx - n * bn * x }
+        val se2 = eis.map(e => e * e).sum
+        // residuals of an OLS fit sum to ~0 (exactly 0 in the reals;
+        // here the common denominator is shared so the sum IS 0)
+        assert(eis.sum === BigInt(0))
+        val lev = rws.map(r => BigInt(r.getAs[Long]("leverage_e6"))).sum
+        // sum of leverages = p = 2 exactly in the reals; e6 floors
+        // put the emitted sum within n cells of 2e6
+        assert((lev - 2000000).abs <= n, s"leverage sum $lev")
+        rws.foreach { r =>
+          val x = BigInt(r.getAs[java.sql.Date]("day")
+            .toLocalDate.toEpochDay)
+          val i = pts.indexWhere(_._1 == x)
+          val z = zs(i)
+          assert(r.getAs[Long]("leverage_e6") ===
+            (BigInt(1000000) * (sz2 + n * z * z) / (n * sz2)).toLong)
+          val ei = eis(i)
+          val want = if (ei >= 0) ei * 100 / (n * bd)
+            else -((-ei) * 100 / (n * bd))
+          assert(r.getAs[Long]("resid_e2") === want.toLong)
+          assert(r.getAs[Boolean]("high_leverage") ===
+            (n * z * z > 3 * sz2))
+          assert(r.getAs[Boolean]("outlier") ===
+            ((n - 2) * ei * ei > 4 * se2))
+        }
+    }
+  }
 }

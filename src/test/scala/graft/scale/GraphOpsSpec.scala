@@ -419,4 +419,34 @@ class GraphOpsSpec extends AnyFunSuite {
         r.getAs[Long]("dist")).toMap
     assert(merged === bfs)
   }
+
+  test("q_rich_club: exact replay over the degree table; phi " +
+      "monotonicity sanity") {
+    val rows = SparkEntry.queries("q_rich_club")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.length === GraphOps.RichClubKs.size)
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, sf)
+      .select($"l_suppkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val dS = li.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val dP = li.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val nk = dS.values.count(_ > k) + dP.values.count(_ > k)
+      val ek = li.count { case (s0, p0) => dS(s0) > k && dP(p0) > k }
+      assert(r.getAs[Long]("n_k") === nk.toLong)
+      assert(r.getAs[Long]("e_k") === ek.toLong)
+      val phi = if (nk >= 2)
+        2L * ek * 1000000L / (nk.toLong * (nk - 1)) else -1L
+      assert(r.getAs[Long]("phi_e6") === phi)
+    }
+    // counts shrink as the threshold rises
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_k") >= b.getAs[Long]("n_k"))
+        assert(a.getAs[Long]("e_k") >= b.getAs[Long]("e_k"))
+      case _ =>
+    }
+  }
 }
