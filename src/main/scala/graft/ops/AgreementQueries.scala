@@ -554,6 +554,63 @@ object AgreementQueries {
         $"w".as("hl_half_cents"))
   }
 
+  /** TOST margin: ±[[TostMarginPct]] % of the pooled mean. */
+  val TostMarginPct = 5L
+
+  /** Two one-sided tests (TOST) for mean EQUIVALENCE (Schuirmann
+    * 1987) — the inferential inverse of q_welch_ttest: failing to
+    * find a difference is not evidence of equivalence; TOST declares
+    * two arms equivalent only when BOTH one-sided z-tests reject at
+    * the ±δ margin (δ = [[TostMarginPct]] % of the pooled mean).
+    * Intensive grid throughout (the Tukey lesson): per-arm means
+    * snap e2, sample variances e0, se²·10⁴ from two truncating
+    * divisions — all O(1) in volume — and both rejections are the
+    * FULLY cross-multiplied integer comparisons
+    * (Δ_e2 ± δ_e2)²·10⁶ > 2706025·se²_e4 (z²₀.₀₅ = 1.645² as the
+    * exact rational 2706025/10⁶) with the sign guards one-sided
+    * tests need. Shape: one 2-row conditional aggregate. */
+  private def tostEquivalence(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val (ta, tb) = BaPair
+    Tables.events(s, d)
+      .filter($"value".isNotNull &&
+        ($"event_type" === ta || $"event_type" === tb))
+      .select(($"event_type" === ta).as("isa"),
+        cents($"value").as("c"))
+      .agg(sum(when($"isa", 1L).otherwise(0L)).as("n1"),
+        sum(when(!$"isa", 1L).otherwise(0L)).as("n2"),
+        sum(when($"isa", $"c").otherwise(0L)).as("s1"),
+        sum(when(!$"isa", $"c").otherwise(0L)).as("s2"),
+        sum(when($"isa", expr(s"cast(c as $dec) * c"))
+          .otherwise(lit(0))).as("q1"),
+        sum(when(!$"isa", expr(s"cast(c as $dec) * c"))
+          .otherwise(lit(0))).as("q2"))
+      .filter($"n1" > 1 && $"n2" > 1)
+      .select($"n1", $"n2",
+        expr(s"cast(cast(s1 as $dec) * 100 div n1" +
+          s" - cast(s2 as $dec) * 100 div n2 as bigint)").as("diff_e2"),
+        expr(s"cast($TostMarginPct * (cast(s1 as $dec) + s2)" +
+          s" div (n1 + n2) as bigint)").as("delta_e2"),
+        expr(s"""cast(
+            ((cast(n1 as $dec) * q1 - cast(s1 as $dec) * s1)
+              div (cast(n1 as $dec) * (n1 - 1))) * 10000 div n1
+          + ((cast(n2 as $dec) * q2 - cast(s2 as $dec) * s2)
+              div (cast(n2 as $dec) * (n2 - 1))) * 10000 div n2
+          as bigint)""").as("se2_e4"))
+      .withColumn("lower_reject", // (Δ+δ) > 0 and (Δ+δ)² > z²·se²
+        $"diff_e2" + $"delta_e2" > 0 &&
+          expr("cast(diff_e2 + delta_e2 as decimal(38,0))" +
+            " * (diff_e2 + delta_e2) * 1000000") >
+          expr("cast(2706025 as decimal(38,0)) * se2_e4"))
+      .withColumn("upper_reject", // (δ−Δ) > 0 and (δ−Δ)² > z²·se²
+        $"delta_e2" - $"diff_e2" > 0 &&
+          expr("cast(delta_e2 - diff_e2 as decimal(38,0))" +
+            " * (delta_e2 - diff_e2) * 1000000") >
+          expr("cast(2706025 as decimal(38,0)) * se2_e4"))
+      .withColumn("equivalent_5pct", $"lower_reject" && $"upper_reject")
+  }
+
   /** Shared oracle CTE: daily cents per event type. */
   private val DailySql: String =
     """daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
@@ -767,6 +824,59 @@ object AgreementQueries {
                     - CAST(cum_yc AS HUGEINT) * cum_nt * 100 // cum_nc
                   ELSE -1 END AS BIGINT) AS qini_e2
       FROM c""")),
+
+    Q("q_tost_equivalence", tostEquivalence, Some(s"""
+      WITH e AS (SELECT event_type = '${BaPair._1}' AS isa,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS c
+                 FROM events
+                 WHERE value IS NOT NULL
+                   AND event_type IN ('${BaPair._1}', '${BaPair._2}')),
+      m AS (SELECT
+              CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS HUGEINT)
+                AS n1,
+              CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS HUGEINT)
+                AS n2,
+              CAST(sum(CASE WHEN isa THEN c ELSE 0 END) AS HUGEINT)
+                AS s1,
+              CAST(sum(CASE WHEN NOT isa THEN c ELSE 0 END) AS HUGEINT)
+                AS s2,
+              sum(CASE WHEN isa THEN CAST(c AS HUGEINT) * c ELSE 0 END)
+                AS q1,
+              sum(CASE WHEN NOT isa THEN CAST(c AS HUGEINT) * c
+                  ELSE 0 END) AS q2
+            FROM e),
+      g AS (SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                   CAST(s1 * 100 // n1 - s2 * 100 // n2 AS BIGINT)
+                     AS diff_e2,
+                   CAST($TostMarginPct * (s1 + s2) // (n1 + n2)
+                     AS BIGINT) AS delta_e2,
+                   CAST(((n1 * q1 - s1 * s1) // (n1 * (n1 - 1)))
+                          * 10000 // n1
+                      + ((n2 * q2 - s2 * s2) // (n2 * (n2 - 1)))
+                          * 10000 // n2 AS BIGINT) AS se2_e4
+            FROM m WHERE n1 > 1 AND n2 > 1)
+      SELECT n1, n2, diff_e2, delta_e2, se2_e4,
+             diff_e2 + delta_e2 > 0
+               AND CAST(diff_e2 + delta_e2 AS HUGEINT)
+                   * (diff_e2 + delta_e2) * 1000000
+                   > CAST(2706025 AS HUGEINT) * se2_e4
+               AS lower_reject,
+             delta_e2 - diff_e2 > 0
+               AND CAST(delta_e2 - diff_e2 AS HUGEINT)
+                   * (delta_e2 - diff_e2) * 1000000
+                   > CAST(2706025 AS HUGEINT) * se2_e4
+               AS upper_reject,
+             (diff_e2 + delta_e2 > 0
+               AND CAST(diff_e2 + delta_e2 AS HUGEINT)
+                   * (diff_e2 + delta_e2) * 1000000
+                   > CAST(2706025 AS HUGEINT) * se2_e4)
+             AND (delta_e2 - diff_e2 > 0
+               AND CAST(delta_e2 - diff_e2 AS HUGEINT)
+                   * (delta_e2 - diff_e2) * 1000000
+                   > CAST(2706025 AS HUGEINT) * se2_e4)
+               AS equivalent_5pct
+      FROM g""")),
 
     Q("q_hodges_lehmann", hodgesLehmann, Some(s"""
       WITH $DailySql,

@@ -353,4 +353,41 @@ class AgreementSpec extends AnyFunSuite {
       assert(want >= 2 * xs.min && want <= 2 * xs.max)
     }
   }
+
+  test("q_tost_equivalence: BigInt replay on the intensive grid; " +
+      "equivalence = both one-sided rejections") {
+    val r = SparkEntry.queries("q_tost_equivalence")(spark, sf).head()
+    val (ta, tb) = ops.AgreementQueries.BaPair
+    val cs = Tables.events(spark, sf)
+      .filter($"value".isNotNull &&
+        ($"event_type" === ta || $"event_type" === tb))
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().map(x => x.getString(0) -> BigInt(x.getLong(1)))
+    val a = cs.filter(_._1 == ta).map(_._2)
+    val b = cs.filter(_._1 == tb).map(_._2)
+    val (n1, n2) = (BigInt(a.length), BigInt(b.length))
+    val (s1, s2) = (a.sum, b.sum)
+    val (q1, q2) = (a.map(x => x * x).sum, b.map(x => x * x).sum)
+    val diff = s1 * 100 / n1 - s2 * 100 / n2
+    val delta = ops.AgreementQueries.TostMarginPct * (s1 + s2) /
+      (n1 + n2)
+    val se2 = ((n1 * q1 - s1 * s1) / (n1 * (n1 - 1))) * 10000 / n1 +
+      ((n2 * q2 - s2 * s2) / (n2 * (n2 - 1))) * 10000 / n2
+    assert(r.getAs[Long]("n1") === n1.toLong)
+    assert(r.getAs[Long]("n2") === n2.toLong)
+    assert(r.getAs[Long]("diff_e2") === diff.toLong)
+    assert(r.getAs[Long]("delta_e2") === delta.toLong)
+    assert(r.getAs[Long]("se2_e4") === se2.toLong)
+    val z2 = BigInt(2706025)
+    val lo = diff + delta > 0 &&
+      (diff + delta) * (diff + delta) * 1000000 > z2 * se2
+    val hi = delta - diff > 0 &&
+      (delta - diff) * (delta - diff) * 1000000 > z2 * se2
+    assert(r.getAs[Boolean]("lower_reject") === lo)
+    assert(r.getAs[Boolean]("upper_reject") === hi)
+    assert(r.getAs[Boolean]("equivalent_5pct") === (lo && hi))
+    // equivalence within delta requires |diff| < delta
+    if (r.getAs[Boolean]("equivalent_5pct")) assert(diff.abs < delta)
+  }
 }
