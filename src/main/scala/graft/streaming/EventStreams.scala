@@ -286,6 +286,74 @@ object EventStreams {
         OutputMode.Update())
   }
 
+  /** One pre-aggregated day of a metric series (the q_page_hinkley
+    * daily-cents grid) and the detector's per-batch alarm snapshot. */
+  case class DailyPoint(event_type: String, dayn: Long, cents: Long)
+  case class PhAlarm(event_type: String, n_days: Long, ph_max_e6: Long,
+      alarm_dayn: Long, drift_flag: Boolean)
+  case class PhSt(i: Long, cum: Long, m: Long, rmin: Long,
+      maxgap: Long, alarmDayn: Long)
+
+  /** Streaming Page–Hinkley — the ONLINE form q_page_hinkley's batch
+    * windows replay in hindsight, as a stateful processor: per metric
+    * series the state is the six-long tuple (day count, running sum,
+    * deviation cumsum m, running min of m, max gap, alarm day) —
+    * O(#series), not O(#days) — and each day folds in with EXACTLY
+    * the batch query's integer arithmetic (devᵢ = (xᵢ·i − cumᵢ)·10⁶/i
+    * with JVM division, which IS the sign-split truncation). Rows
+    * inside a micro-batch fold in day order; cross-batch parity holds
+    * when days arrive in order per key (the debounce caveat — beyond
+    * that is the watermark's business). Every touched key re-emits
+    * its alarm snapshot per batch (update mode). */
+  class PageHinkleyProcessor(lambdaMeans: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, DailyPoint, PhAlarm] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[PhSt] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[PhSt]("ph",
+        org.apache.spark.sql.Encoders.product[PhSt],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[DailyPoint],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[PhAlarm] = {
+      var s = if (st.exists()) st.get() else PhSt(0L, 0L, 0L, 0L, -1L, 0L)
+      rows.toIndexedSeq.sortBy(_.dayn).foreach { p =>
+        val i = s.i + 1
+        val cum = s.cum + p.cents
+        val dev = (p.cents * i - cum) * 1000000L / i
+        val m = s.m + dev
+        val rmin = math.min(s.rmin, m)
+        val gap = m - rmin
+        val (maxgap, alarm) =
+          if (gap > s.maxgap) (gap, p.dayn) else (s.maxgap, s.alarmDayn)
+        s = PhSt(i, cum, m, rmin, maxgap, alarm)
+      }
+      st.update(s)
+      Iterator(PhAlarm(key, s.i, s.maxgap, s.alarmDayn,
+        s.maxgap * s.i > lambdaMeans * s.cum * 1000000L))
+    }
+  }
+
+  /** Streaming drift alarms over a pre-aggregated daily stream;
+    * λ defaults to the batch q_page_hinkley's 5× mean-day rule. */
+  def pageHinkleyAlarms(spark: SparkSession,
+      points: Dataset[DailyPoint],
+      lambdaMeans: Long = graft.ops.StatsQueries.PhLambdaMeans)
+      : Dataset[PhAlarm] = {
+    import spark.implicits._
+    points
+      .groupByKey(_.event_type)
+      .transformWithState(new PageHinkleyProcessor(lambdaMeans),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** One CDC change record and the key's materialized fate. */
   case class Change(key: Long, seq: Long, op: String, cents: Long)
   case class KeyFate(key: Long, seq: Long, alive: Boolean, cents: Long)

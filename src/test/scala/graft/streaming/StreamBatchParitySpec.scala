@@ -535,4 +535,60 @@ class StreamBatchParitySpec extends AnyFunSuite {
     // and the two beyond-band rows are nowhere in the output
     assert(!streamed.exists(t => t._3 == 4.0 || t._3 == 16.0))
   }
+
+  test("streaming Page-Hinkley via transformWithState == the oracled " +
+      "batch q_page_hinkley across micro-batch boundaries") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val sf = SparkTestSession.sf
+      // the exact daily grid the batch query folds, in day order
+      val grid = graft.Tables.events(spark, sf)
+        .filter($"value".isNotNull)
+        .select($"event_type", to_date($"ts").as("day"),
+          ($"value".cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .groupBy($"event_type", $"day").agg(sum($"c").as("cents"))
+        .select($"event_type",
+          datediff($"day", lit("1970-01-01").cast("date"))
+            .cast("long").as("dayn"),
+          $"cents")
+        .as[DailyPoint].collect().sortBy(p => (p.dayn, p.event_type))
+      // three chunks split on day boundaries: state must carry the
+      // fold across micro-batches
+      val cut1 = grid(grid.length / 3).dayn
+      val cut2 = grid(2 * grid.length / 3).dayn
+      val chunks = Seq(grid.filter(_.dayn <= cut1),
+        grid.filter(p => p.dayn > cut1 && p.dayn <= cut2),
+        grid.filter(_.dayn > cut2))
+      val in = MemoryStream[DailyPoint]
+      val q = pageHinkleyAlarms(spark, in.toDS()).writeStream
+        .format("memory").queryName("parity_ph")
+        .outputMode("update").start()
+      try {
+        chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      // update mode re-emits per batch: keep each key's final snapshot
+      val streamed = spark.table("parity_ph").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4)))
+        .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }
+        .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+      val batch = graft.SparkEntry.queries("q_page_hinkley")(spark, sf)
+        .collect().map { r =>
+          r.getAs[String]("event_type") -> (
+            r.getAs[Long]("n_days"), r.getAs[Long]("ph_max_e6"),
+            r.getAs[java.sql.Date]("alarm_day").toLocalDate.toEpochDay,
+            r.getAs[Boolean]("drift_flag"))
+        }.toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
