@@ -1090,6 +1090,49 @@ object StatsQueries {
           ($"n_days" * $"sum_all")).as("seasonal_index"))
   }
 
+  /** Bhattacharyya coefficient + Hellinger distance between the
+    * weekday revenue profiles of two event types — the bounded-metric
+    * member completing the drift-distance family (PSI diverges on
+    * empty cells, JS needs logs, Wasserstein needs an order; Hellinger
+    * is a PROPER METRIC on [0,1] with none of those needs). Shares
+    * snap to the intensive e6 grid (p_e6 = cents_w·10⁶ div N — O(1)
+    * in volume, the Tukey discipline), each √(p_e6·q_e6) term is the
+    * exact integer floor ⌊√w⌋ via the double-candidate + integer-
+    * correction rule (w ≤ 10¹² always, so every comparand is tiny),
+    * BC_e6 = Σ terms over the ≤7 weekday cells, and H²_e6 = 10⁶ − BC
+    * (exact in these units; the share-grid flooring is the operator
+    * contract). Shape: one dow rollup — 7 cells at any volume. */
+  private def bhattacharyya(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (ta, tb) = ("click", "purchase")
+    val cells = Tables.events(s, d)
+      .filter($"value".isNotNull &&
+        ($"event_type" === ta || $"event_type" === tb))
+      .select(dayofweek($"ts").cast("long").as("dow"),
+        ($"event_type" === ta).as("isa"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy($"dow")
+      .agg(sum(when($"isa", $"c").otherwise(0L)).as("cw"),
+        sum(when(!$"isa", $"c").otherwise(0L)).as("dw"))
+    val tot = cells.agg(sum($"cw").as("n"), sum($"dw").as("m"))
+    val terms = cells.crossJoin(broadcast(tot))
+      .filter($"n" > 0 && $"m" > 0)
+      .select($"dow",
+        expr("cast(cast(cw as decimal(38,0)) * 1000000 div n" +
+          " as bigint)").as("p_e6"),
+        expr("cast(cast(dw as decimal(38,0)) * 1000000 div m" +
+          " as bigint)").as("q_e6"))
+      .withColumn("w", $"p_e6" * $"q_e6")
+      .withColumn("kd", floor(sqrt($"w".cast("double"))).cast("long"))
+      .withColumn("term",
+        when(($"kd" + 1) * ($"kd" + 1) <= $"w", $"kd" + 1)
+          .when($"kd" * $"kd" <= $"w", $"kd")
+          .otherwise($"kd" - 1))
+    terms.agg(count(lit(1)).as("n_cells"),
+      sum($"term").as("bc_e6"))
+      .withColumn("hellinger2_e6", lit(1000000L) - $"bc_e6")
+  }
+
   /** Page–Hinkley alarm multiplier: flag when the PH statistic
     * exceeds [[PhLambdaMeans]] × the series' mean daily value. */
   val PhLambdaMeans = 5L
@@ -4038,6 +4081,37 @@ object StatsQueries {
              CAST(sum_cents * n_all AS DOUBLE) / (n_days * sum_all)
                AS seasonal_index
       FROM dw JOIN t ON dw.event_type = t.event_type""")),
+
+    Q("q_bhattacharyya", bhattacharyya, Some("""
+      WITH cells AS (SELECT dayofweek(ts) AS dow,
+              CAST(sum(CASE WHEN event_type = 'click'
+                THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                ELSE 0 END) AS HUGEINT) AS cw,
+              CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                ELSE 0 END) AS HUGEINT) AS dw
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('click', 'purchase')
+            GROUP BY 1),
+      tot AS (SELECT sum(cw) AS n, sum(dw) AS m FROM cells),
+      sh AS (SELECT dow,
+                    CAST(cw * 1000000 // n AS BIGINT) AS p_e6,
+                    CAST(dw * 1000000 // m AS BIGINT) AS q_e6
+             FROM cells, tot WHERE n > 0 AND m > 0),
+      t AS (SELECT dow, p_e6 * q_e6 AS w,
+                   CAST(floor(sqrt(CAST(p_e6 * q_e6 AS DOUBLE)))
+                     AS BIGINT) AS kd
+            FROM sh),
+      r AS (SELECT dow,
+                   CASE WHEN (kd + 1) * (kd + 1) <= w THEN kd + 1
+                        WHEN kd * kd <= w THEN kd
+                        ELSE kd - 1 END AS term
+            FROM t)
+      SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(term) AS BIGINT) AS bc_e6,
+             CAST(1000000 - sum(term) AS BIGINT) AS hellinger2_e6
+      FROM r""")),
 
     Q("q_page_hinkley", pageHinkley, Some(s"""
       WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

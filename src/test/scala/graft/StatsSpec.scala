@@ -2109,4 +2109,38 @@ class StatsSpec extends AnyFunSuite {
         }
     }
   }
+
+  test("q_bhattacharyya: BigInt replay of share grid and isqrt terms; " +
+      "BC bounds") {
+    val r = SparkEntry.queries("q_bhattacharyya")(spark, sf).head()
+    val cs = Tables.events(spark, sf)
+      .filter($"value".isNotNull &&
+        ($"event_type" === "click" || $"event_type" === "purchase"))
+      .select(dayofweek($"ts").cast("long").as("w"), $"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect()
+    val byDow = cs.groupBy(_.getLong(0)).map { case (w, rs) =>
+      w -> (BigInt(rs.filter(_.getString(1) == "click")
+          .map(_.getLong(2)).sum),
+        BigInt(rs.filter(_.getString(1) == "purchase")
+          .map(_.getLong(2)).sum))
+    }
+    val n = byDow.values.map(_._1).sum
+    val m = byDow.values.map(_._2).sum
+    def isqrt(w: BigInt): BigInt = {
+      val kd = BigInt(math.sqrt(w.toDouble).toLong)
+      if ((kd + 1) * (kd + 1) <= w) kd + 1
+      else if (kd * kd <= w) kd else kd - 1
+    }
+    val terms = byDow.values.map { case (cw, dw) =>
+      isqrt((cw * 1000000 / n) * (dw * 1000000 / m))
+    }
+    assert(r.getAs[Long]("n_cells") === byDow.size.toLong)
+    assert(r.getAs[Long]("bc_e6") === terms.sum.toLong)
+    assert(r.getAs[Long]("hellinger2_e6") ===
+      1000000L - terms.sum.toLong)
+    // Cauchy-Schwarz: BC <= 1 (grid flooring only pushes it DOWN)
+    assert(r.getAs[Long]("bc_e6") <= 1000000L)
+    assert(r.getAs[Long]("bc_e6") >= 0L)
+  }
 }
