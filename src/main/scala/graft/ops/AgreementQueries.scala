@@ -234,7 +234,9 @@ object AgreementQueries {
     * nonnegative, engine-identical; the coarser grid keeps
     * num²·10⁶ inside decimal(38,0) through ~100× current volume,
     * documented like rddSharp's bound). Exact centered moments
-    * num/vx/vy ride along; ccf_e3 is the tie-proof
+    * num/vx/vy fold in decimal(38,0)/HUGEINT on both engines and ride
+    * along through the |x| ≤ int64-max guarded cast (NULL beyond —
+    * never a silent wrap); ccf_e3 is the tie-proof
     * [[StatsQueries.exactFloorDivSqrt]] floor of num·10³/√(vx·vy),
     * sentinel −2000 when either variance is zero. Shape: day-grid
     * rollup → 7-row lag fan (broadcast) → equi-join on shifted day
@@ -252,20 +254,34 @@ object AgreementQueries {
       .select($"dayn".as("dayn_b"), $"v".as("y"))
     val lags = s.createDataFrame(
       CcfLags.map(Tuple1(_))).toDF("lag_days")
+    // Centered moments in decimal(38,0) end to end (sums, per-row
+    // products, and the n·sxy − sx·sy forms): bare Long here wraps
+    // silently past ~100× volume where the HUGEINT oracle raises —
+    // the moments go out through the same |x| ≤ int64-max guarded
+    // cast as itt_num/fs_den, so both engines emit NULL identically.
     val m = a.crossJoin(broadcast(lags))
       .join(b, $"dayn_b" === $"dayn" + $"lag_days")
       .groupBy($"lag_days")
-      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
-        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
-        sum($"y" * $"y").as("syy"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(x as decimal(38,0))")).as("sx"),
+        sum(expr("cast(y as decimal(38,0))")).as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
       .select($"lag_days", $"n".as("n_days"),
-        ($"n" * $"sxy" - $"sx" * $"sy").as("num"),
-        ($"n" * $"sxx" - $"sx" * $"sx").as("vx"),
-        ($"n" * $"syy" - $"sy" * $"sy").as("vy"))
-    m.select($"lag_days", $"n_days", $"num", $"vx", $"vy",
+        expr("cast(n as decimal(38,0)) * sxy - sx * sy").as("num"),
+        expr("cast(n as decimal(38,0)) * sxx - sx * sx").as("vx"),
+        expr("cast(n as decimal(38,0)) * syy - sy * sy").as("vy"))
+    m.select($"lag_days", $"n_days",
+      expr("case when abs(num) <= 9223372036854775807" +
+        " then cast(num as bigint) end").as("num"),
+      expr("case when abs(vx) <= 9223372036854775807" +
+        " then cast(vx as bigint) end").as("vx"),
+      expr("case when abs(vy) <= 9223372036854775807" +
+        " then cast(vy as bigint) end").as("vy"),
       when($"vx" > 0 && $"vy" > 0,
         StatsQueries.exactFloorDivSqrt($"num",
-          expr("cast(vx as decimal(38,0)) * vy"), 1000L).cast("long"))
+          $"vx" * $"vy", 1000L).cast("long"))
         .otherwise(lit(-2000L)).as("ccf_e3"))
   }
 
@@ -752,26 +768,32 @@ object AgreementQueries {
             FROM a CROSS JOIN lags l
             JOIN b ON b.dayn = a.dayn + l.lag_days),
       m AS (SELECT lag_days, CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(x) AS BIGINT) AS sx,
-                   CAST(sum(y) AS BIGINT) AS sy,
-                   CAST(sum(x * y) AS BIGINT) AS sxy,
-                   CAST(sum(x * x) AS BIGINT) AS sxx,
-                   CAST(sum(y * y) AS BIGINT) AS syy
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
             FROM p GROUP BY 1),
       c AS (SELECT lag_days, n,
-                   CAST(n * sxy - sx * sy AS BIGINT) AS num,
-                   CAST(n * sxx - sx * sx AS BIGINT) AS vx,
-                   CAST(n * syy - sy * sy AS BIGINT) AS vy
+                   CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+                   CAST(n AS HUGEINT) * sxx - sx * sx AS vx,
+                   CAST(n AS HUGEINT) * syy - sy * sy AS vy
             FROM m),
       k AS (SELECT lag_days, n, num, vx, vy,
-                   CAST(vx AS HUGEINT) * vy AS pp,
+                   vx * vy AS pp,
                    CASE WHEN vx > 0 AND vy > 0 THEN
                      CAST(floor(CAST(num AS DOUBLE) * 1000.0 /
                        sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)))
                        AS BIGINT)
                    ELSE 0 END AS kd
             FROM c)
-      SELECT lag_days, n AS n_days, num, vx, vy,
+      SELECT lag_days, n AS n_days,
+             CAST(CASE WHEN abs(num) <= 9223372036854775807
+                  THEN num END AS BIGINT) AS num,
+             CAST(CASE WHEN abs(vx) <= 9223372036854775807
+                  THEN vx END AS BIGINT) AS vx,
+             CAST(CASE WHEN abs(vy) <= 9223372036854775807
+                  THEN vy END AS BIGINT) AS vy,
              CAST(CASE WHEN vx <= 0 OR vy <= 0 THEN -2000
                WHEN (CASE WHEN num >= 0 AND kd + 1 <= 0 THEN TRUE
                           WHEN num < 0 AND kd + 1 >= 0 THEN FALSE

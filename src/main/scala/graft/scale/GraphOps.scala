@@ -1047,13 +1047,15 @@ object GraphOps {
                 FROM li JOIN ds USING (sk) JOIN dp USING (pk)
                 CROSS JOIN ks
                 WHERE sdeg > k AND pdeg > k GROUP BY 1)
-      SELECT n.k, n.n_k, CAST(coalesce(e.e_k, 0) AS BIGINT) AS e_k,
-             CAST(CASE WHEN n.n_k >= 2
+      SELECT ks.k, CAST(coalesce(n.n_k, 0) AS BIGINT) AS n_k,
+             CAST(coalesce(e.e_k, 0) AS BIGINT) AS e_k,
+             CAST(CASE WHEN coalesce(n.n_k, 0) >= 2
                     THEN 2 * CAST(coalesce(e.e_k, 0) AS HUGEINT)
                          * 1000000
                          // (CAST(n.n_k AS HUGEINT) * (n.n_k - 1))
                     ELSE -1 END AS BIGINT) AS phi_e6
-      FROM nodes n LEFT JOIN edges e USING (k)""")),
+      FROM ks LEFT JOIN nodes n USING (k)
+              LEFT JOIN edges e USING (k)""")),
     Q("q_degree_assortativity", degreeAssortativity, Some("""
       WITH li AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
                   FROM lineitem),

@@ -561,8 +561,14 @@ object Multimodal {
         .as("media"))
     sampleFrames(media)
       .select(col("media_id"), col("frame_idx"),
-        expr("aggregate(split(cast(frame as string), ''), 0L," +
-          " (acc, c) -> acc + ascii(c))").as("luma"))
+        // luma = sum of the frame's BYTES (hex-pair decode), not of
+        // UTF-8-decoded codepoints: byte slicing can split a
+        // multibyte character mid-frame, and only byte arithmetic
+        // stays engine-identical on non-ASCII corpora
+        expr("case when octet_length(frame) = 0 then 0L else" +
+          " aggregate(sequence(1, octet_length(frame)), 0L," +
+          " (acc, i) -> acc + cast(conv(substring(hex(frame)," +
+          " 2 * i - 1, 2), 16, 10) as bigint)) end").as("luma"))
       .withColumn("prev", lag(col("luma"), 1).over(W))
       .withColumn("boundary",
         when(col("prev").isNotNull &&
@@ -1097,18 +1103,26 @@ object Multimodal {
 
     Q("q_video_shots", videoShotsQ, Some(s"""
       WITH m AS (SELECT doc_id AS media_id,
-                        substring(text, 1, $ShotPayload) AS t
+                        hex(encode(substring(text, 1, $ShotPayload)))
+                          AS hx
                  FROM documents),
-      f AS (SELECT media_id, t,
+      f AS (SELECT media_id, hx,
                    unnest(range(0,
-                     greatest(CAST(length(t) // 64 AS BIGINT) - 1, 0)
-                       + 1)) AS frame_idx
+                     greatest(CAST((length(hx) // 2) // 64 AS BIGINT)
+                       - 1, 0) + 1)) AS frame_idx
             FROM m),
-      l AS (SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      fh AS (SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                    substring(hx, 1 + frame_idx * 128, 64) AS h
+             FROM f),
+      l AS (SELECT media_id, frame_idx,
                    CAST(coalesce(list_sum(list_transform(
-                     string_split(substring(t, 1 + frame_idx * 64, 32),
-                       ''), c -> ord(c))), 0) AS BIGINT) AS luma
-            FROM f),
+                     range(0, CAST(length(h) // 2 AS BIGINT)),
+                     i -> (strpos('0123456789ABCDEF',
+                             substring(h, 1 + 2 * i, 1)) - 1) * 16
+                          + strpos('0123456789ABCDEF',
+                             substring(h, 2 + 2 * i, 1)) - 1)), 0)
+                     AS BIGINT) AS luma
+            FROM fh),
       w AS (SELECT media_id, frame_idx, luma,
                    lag(luma) OVER (PARTITION BY media_id
                                    ORDER BY frame_idx) AS prev

@@ -291,16 +291,20 @@ object EventStreams {
   case class DailyPoint(event_type: String, dayn: Long, cents: Long)
   case class PhAlarm(event_type: String, n_days: Long, ph_max_e6: Long,
       alarm_dayn: Long, drift_flag: Boolean)
-  case class PhSt(i: Long, cum: Long, m: Long, rmin: Long,
-      maxgap: Long, alarmDayn: Long)
+  /** Cumulative fields are decimal strings (arbitrary-precision):
+    * the batch twin folds in decimal(38,0)/HUGEINT, so the stream's
+    * running sums must not wrap where the batch would not. */
+  case class PhSt(i: Long, cum: String, m: String, rmin: String,
+      maxgap: String, alarmDayn: Long)
 
   /** Streaming Page–Hinkley — the ONLINE form q_page_hinkley's batch
     * windows replay in hindsight, as a stateful processor: per metric
-    * series the state is the six-long tuple (day count, running sum,
+    * series the state is the six-field tuple (day count, running sum,
     * deviation cumsum m, running min of m, max gap, alarm day) —
     * O(#series), not O(#days) — and each day folds in with EXACTLY
     * the batch query's integer arithmetic (devᵢ = (xᵢ·i − cumᵢ)·10⁶/i
-    * with JVM division, which IS the sign-split truncation). Rows
+    * in BigInt, whose toward-zero division IS the sign-split
+    * truncation and whose width matches the batch decimal(38,0)). Rows
     * inside a micro-batch fold in day order; cross-batch parity holds
     * when days arrive in order per key (the debounce caveat — beyond
     * that is the watermark's business). Every touched key re-emits
@@ -322,21 +326,34 @@ object EventStreams {
         key: String, rows: Iterator[DailyPoint],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[PhAlarm] = {
-      var s = if (st.exists()) st.get() else PhSt(0L, 0L, 0L, 0L, -1L, 0L)
+      val s0 = if (st.exists()) st.get()
+        else PhSt(0L, "0", "0", "0", "-1", 0L)
+      // All dev/cumsum/flag arithmetic in BigInt: the batch twin runs
+      // in decimal(38,0), and BigInt division truncates toward zero
+      // exactly like DuckDB's // on HUGEINT and JVM integer division.
+      var i = s0.i
+      var cum = BigInt(s0.cum)
+      var m = BigInt(s0.m)
+      var rmin = BigInt(s0.rmin)
+      var maxgap = BigInt(s0.maxgap)
+      var alarmDayn = s0.alarmDayn
       rows.toIndexedSeq.sortBy(_.dayn).foreach { p =>
-        val i = s.i + 1
-        val cum = s.cum + p.cents
-        val dev = (p.cents * i - cum) * 1000000L / i
-        val m = s.m + dev
-        val rmin = math.min(s.rmin, m)
+        i += 1
+        cum += p.cents
+        val dev = (BigInt(p.cents) * i - cum) * 1000000 / i
+        m += dev
+        if (m < rmin) rmin = m
         val gap = m - rmin
-        val (maxgap, alarm) =
-          if (gap > s.maxgap) (gap, p.dayn) else (s.maxgap, s.alarmDayn)
-        s = PhSt(i, cum, m, rmin, maxgap, alarm)
+        if (gap > maxgap) { maxgap = gap; alarmDayn = p.dayn }
       }
-      st.update(s)
-      Iterator(PhAlarm(key, s.i, s.maxgap, s.alarmDayn,
-        s.maxgap * s.i > lambdaMeans * s.cum * 1000000L))
+      st.update(PhSt(i, cum.toString, m.toString, rmin.toString,
+        maxgap.toString, alarmDayn))
+      // Emission guard: the batch oracle CASTs HUGEINT to BIGINT and
+      // DuckDB raises on overflow — fail loudly here too, never wrap.
+      require(maxgap.isValidLong,
+        s"page-hinkley ph_max_e6 overflows int64 for key=$key: $maxgap")
+      Iterator(PhAlarm(key, i, maxgap.toLong, alarmDayn,
+        maxgap * i > BigInt(lambdaMeans) * cum * 1000000))
     }
   }
 
