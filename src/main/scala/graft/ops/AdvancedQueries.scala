@@ -372,8 +372,6 @@ object AdvancedQueries {
     * analytics needs ONE pre-aggregate, not a sorted fact table. */
   private def abcAnalysis(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val W = org.apache.spark.sql.expressions.Window
-      .orderBy($"revenue_e4".desc, $"l_partkey".asc)
     val byPart = Tables.lineitem(s, d)
       .select($"l_partkey",
         (($"l_extendedprice".cast("decimal(12,2)") * 100).cast("long") *
@@ -382,11 +380,17 @@ object AdvancedQueries {
       .groupBy($"l_partkey")
       .agg(sum($"rev_e4").as("revenue_e4"))
     val tot = byPart.agg(sum($"revenue_e4").as("total_e4"))
-    byPart.crossJoin(broadcast(tot))
-      .withColumn("rnk", row_number().over(W).cast("long"))
-      .withColumn("cum_e4", sum($"revenue_e4").over(
-        W.rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)))
+    // rank + running revenue share over ALL parts: distributed
+    // rank/prefix-sum from ONE range partitioning (desc key as a
+    // negated asc key — the qiniCurve trick keeps GlobalRank's
+    // range-partition fast path), never a single-task sort
+    graft.ext.GlobalRank
+      .withRowNumberAndPrefixSum(
+        byPart.withColumn("negrev", -$"revenue_e4"),
+        Seq($"negrev", $"l_partkey"), $"revenue_e4",
+        rnCol = "rnk", sumCol = "cum_e4")
+      .drop("negrev")
+      .crossJoin(broadcast(tot))
       .withColumn("abc_class",
         when($"cum_e4" * 100L <= $"total_e4" * 80L, "A")
           .when($"cum_e4" * 100L <= $"total_e4" * 95L, "B")
@@ -403,13 +407,20 @@ object AdvancedQueries {
     * lo/hi/rows/ndv — exact integers only. */
   private def equidepthStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val W = org.apache.spark.sql.expressions.Window
-      .orderBy($"cents".asc, $"o_orderkey".asc)
-    Tables.orders(s, d)
+    // ntile(8) over ALL orders is an unpartitioned window (one-task
+    // sort of the whole table) — ride the distributed GlobalRank +
+    // ntileFromRn shape instead, bit-exact to SQL ntile (the
+    // q_ntile_bins precedent).
+    val base = Tables.orders(s, d)
       .select($"o_orderkey",
         ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
-      .withColumn("bucket", ntile(8).over(W).cast("long"))
+    val n = base.agg(count(lit(1)).as("n_tot"))
+    graft.ext.GlobalRank
+      .withRowNumber(base, Seq($"cents", $"o_orderkey"))
+      .crossJoin(broadcast(n))
+      .select($"cents",
+        graft.ext.GlobalRank.ntileFromRn($"rn", $"n_tot", 8).as("bucket"))
       .groupBy($"bucket")
       .agg(min($"cents").as("lo_cents"), max($"cents").as("hi_cents"),
         count(lit(1)).as("n_rows"),

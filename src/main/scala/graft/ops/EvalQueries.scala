@@ -269,7 +269,6 @@ object EvalQueries {
 
   private def rankBiasedOverlap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val W = org.apache.spark.sql.expressions.Window
     val metrics = Tables.lineitem(s, d)
       .groupBy($"l_suppkey")
       .agg(
@@ -278,11 +277,15 @@ object EvalQueries {
             .cast("long"))).as("rev_units"),
         sum(($"l_quantity".cast("decimal(18,2)") * 100).cast("long"))
           .as("qty_cents"))
-    val m = metrics
-      .withColumn("r1", row_number()
-        .over(W.orderBy($"rev_units".desc, $"l_suppkey".asc)).cast("long"))
-      .withColumn("r2", row_number()
-        .over(W.orderBy($"qty_cents".desc, $"l_suppkey".asc)).cast("long"))
+    // same distributed double-ranking as rrfFuse (the depth-grid
+    // windows below stay global — they walk the RboK-row grid)
+    val G = graft.ext.GlobalRank
+    val m = G.withRowNumber(
+        G.withRowNumber(
+          metrics.withColumn("negrev", -$"rev_units")
+            .withColumn("negqty", -$"qty_cents"),
+          Seq($"negrev", $"l_suppkey"), "r1"),
+        Seq($"negqty", $"l_suppkey"), "r2")
       .select(greatest($"r1", $"r2").as("mx"))
       .groupBy($"mx").agg(count(lit(1)).as("c"))
     val grid = (1 to RboK).map(_.toLong).toDF("d")
@@ -365,7 +368,6 @@ object EvalQueries {
     * ranking, swap in GlobalRank.withRowNumber. */
   private def rrfFuse(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val W = org.apache.spark.sql.expressions.Window
     val metrics = Tables.lineitem(s, d)
       .groupBy($"l_suppkey")
       .agg(
@@ -374,11 +376,16 @@ object EvalQueries {
             .cast("long"))).as("rev_units"),
         sum(($"l_quantity".cast("decimal(18,2)") * 100).cast("long"))
           .as("qty_cents"))
-    metrics
-      .withColumn("rank_rev", row_number()
-        .over(W.orderBy($"rev_units".desc, $"l_suppkey".asc)).cast("long"))
-      .withColumn("rank_qty", row_number()
-        .over(W.orderBy($"qty_cents".desc, $"l_suppkey".asc)).cast("long"))
+    // Two global rankings over ALL suppliers: distributed GlobalRank
+    // (desc keys negated for the range-partition fast path) instead
+    // of two unpartitioned single-task-sort windows.
+    val G = graft.ext.GlobalRank
+    G.withRowNumber(
+        G.withRowNumber(
+          metrics.withColumn("negrev", -$"rev_units")
+            .withColumn("negqty", -$"qty_cents"),
+          Seq($"negrev", $"l_suppkey"), "rank_rev"),
+        Seq($"negqty", $"l_suppkey"), "rank_qty")
       .select($"l_suppkey", $"rank_rev", $"rank_qty",
         (expr("1000000L div (60 + rank_rev)") +
           expr("1000000L div (60 + rank_qty)")).as("rrf_e6"))

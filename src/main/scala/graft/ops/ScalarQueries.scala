@@ -319,7 +319,6 @@ object ScalarQueries {
     * the quintile CONTRACT is unchanged. */
   private def rfmSegments(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val W = org.apache.spark.sql.expressions.Window
     val p = Tables.events(s, d)
       .filter($"event_type" === "purchase" && $"value".isNotNull)
       .select($"user_id", to_date($"ts").as("day"),
@@ -331,13 +330,25 @@ object ScalarQueries {
           .as("recency_days"),
         count(lit(1)).as("frequency"),
         sum($"cents").as("monetary_cents"))
-    rfm
-      .withColumn("r_score", ntile(5).over(
-        W.orderBy($"recency_days".desc, $"user_id".asc)).cast("long"))
-      .withColumn("f_score", ntile(5).over(
-        W.orderBy($"frequency".asc, $"user_id".asc)).cast("long"))
-      .withColumn("m_score", ntile(5).over(
-        W.orderBy($"monetary_cents".asc, $"user_id".asc)).cast("long"))
+    // Three ntile(5)s over ALL purchasing users were three
+    // unpartitioned windows (single-task sorts) — each now rides the
+    // distributed GlobalRank + ntileFromRn shape (bit-exact to SQL
+    // ntile; desc key negated for the range-partition fast path).
+    val n = rfm.agg(count(lit(1)).as("n_users"))
+    val G = graft.ext.GlobalRank
+    def scoreOf(df: DataFrame, key: org.apache.spark.sql.Column,
+        out: String): DataFrame =
+      G.withRowNumber(df, Seq(key, $"user_id"), "_rn")
+        .withColumn(out, G.ntileFromRn($"_rn", $"n_users", 5))
+        .drop("_rn")
+    val scored0 = rfm.crossJoin(broadcast(n))
+      .withColumn("negrec", -$"recency_days")
+    val scored = scoreOf(scoreOf(scoreOf(scored0,
+        $"negrec", "r_score"),
+        $"frequency", "f_score"),
+        $"monetary_cents", "m_score")
+      .drop("negrec", "n_users")
+    scored
       .withColumn("segment",
         when($"r_score" >= 4 && $"f_score" >= 4 && $"m_score" >= 4,
           "champion")
@@ -459,7 +470,6 @@ object ScalarQueries {
     * |users|-row gap table. */
   private def funnelLatency(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val W = org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d)
       .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
     val s1 = ev.filter($"event_type" === "view")
@@ -474,13 +484,17 @@ object ScalarQueries {
     val gaps = s3.select($"user_id",
         ($"t2" - $"t1").as("view_to_click_us"),
         ($"t3" - $"t2").as("click_to_buy_us"))
+    // rank + total count over ALL converted users: distributed
+    // GlobalRank row number plus a broadcast scalar count — the
+    // original unpartitioned row_number/count windows single-task
+    // sorted (and single-task held) the whole gap table
     def stats(col0: String, tag: String) = {
-      val w = W.orderBy($"gap".asc, $"user_id".asc)
-      gaps.select(org.apache.spark.sql.functions.col(col0).as("gap"),
-          $"user_id")
-        .withColumn("r", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(
-          W.partitionBy()))
+      val one = gaps.select(
+        org.apache.spark.sql.functions.col(col0).as("gap"), $"user_id")
+      val tot = one.agg(count(lit(1)).as("n"))
+      graft.ext.GlobalRank
+        .withRowNumber(one, Seq($"gap", $"user_id"), "r")
+        .crossJoin(broadcast(tot))
         .filter($"r" === expr("(n + 1) div 2") ||
           $"r" === expr("(9 * n + 9) div 10"))
         .groupBy($"n")

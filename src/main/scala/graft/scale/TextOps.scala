@@ -1148,13 +1148,17 @@ object TextOps {
     * vocabulary-cardinality table. */
   private def zipfSlope(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val W = org.apache.spark.sql.expressions.Window
-    val freq = Tables.documents(s, d)
-      .select(explode(tokens($"text")).as("token"))
-      .filter($"token" =!= "")
-      .groupBy($"token").agg(count(lit(1)).as("f"))
-      .withColumn("r", row_number()
-        .over(W.orderBy($"f".desc, $"token".asc)).cast("long"))
+    // global frequency rank over the FULL vocabulary (Heaps-sublinear
+    // but unbounded): distributed GlobalRank with the desc key
+    // negated — not an unpartitioned single-task-sort window
+    val freq = graft.ext.GlobalRank.withRowNumber(
+        Tables.documents(s, d)
+          .select(explode(tokens($"text")).as("token"))
+          .filter($"token" =!= "")
+          .groupBy($"token").agg(count(lit(1)).as("f"))
+          .withColumn("negf", -$"f"),
+        Seq($"negf", $"token"), "r")
+      .drop("negf")
     val x = log($"r".cast("double"))
     val y = log($"f".cast("double"))
     val sums = freq.agg(

@@ -3,17 +3,22 @@ package graft
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.catalyst.plans.{Cross, LeftAnti, LeftSemi}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Catalog-wide plan audit: NO query may silently degenerate into an
-  * all-pairs plan. A CartesianProduct or a non-Cross
-  * BroadcastNestedLoopJoin is the physical signature of a join that
-  * lost its equi-keys — the #1 way a correct-at-sf0.01 query dies at
-  * 100 TB. Whitelist = the queries whose all-pairs shape is the POINT
-  * (documented ground-truth tiers and the literal cross-join demo);
-  * Cross-typed BNLJ with a 1-row broadcast side is the standard
-  * broadcast-scalar pattern and is allowed everywhere.
+  * all-pairs plan OR an unpartitioned window over an unbounded child.
+  * A CartesianProduct or a non-Cross BroadcastNestedLoopJoin is the
+  * physical signature of a join that lost its equi-keys; an
+  * unpartitioned WindowExec is Spark moving EVERY row to one task —
+  * the two classic ways a correct-at-sf0.01 query dies at 100 TB.
+  * Whitelists = the queries whose all-pairs shape is the POINT
+  * (documented ground-truth tiers and the literal cross-join demo)
+  * and the global windows whose frame is bounded by construction,
+  * each with its cardinality argument; Cross-typed BNLJ with a 1-row
+  * broadcast side is the standard broadcast-scalar pattern and is
+  * allowed everywhere. Discovery tooling: graft.tools.WindowCensus.
   */
 class PlanAuditSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf}
@@ -60,6 +65,70 @@ class PlanAuditSpec extends AnyFunSuite {
                           // predicate, data-independent cardinality
   )
 
+  /** Queries whose unpartitioned WindowExec walks a BOUNDED frame —
+    * a child whose cardinality is data-volume-independent (a value
+    * grid, a k-row rollup, a top-K limit) rather than a row- or
+    * entity-scaled table. Every entry carries its cardinality
+    * argument; anything not listed here must plan NO global window
+    * (the entity-scaled ones were rewritten onto GlobalRank in round
+    * 14: q_equidepth_stats, q_abc_analysis, q_rfm_segments,
+    * q_funnel_latency, q_eval_rrf, q_rbo's rankings, q_zipf_slope).
+    * GlobalRank's own `_gr_pid`-ordered offsets window (≤ shuffle
+    * partitions rows, documented at GlobalRank.offsetsOf) is
+    * recognized structurally, not listed. */
+  private val boundedGlobalWindow: Map[String, String] = Map(
+    "q_skew_profile" -> "cum share over the top-20 LIMIT frame",
+    "q_psi_drift" -> "PSI total over the fixed bin grid",
+    "q_conversion_hazard" -> "distinct event-day risk grid (calendar)",
+    "q_nelson_aalen" -> "distinct event-day risk grid (calendar)",
+    "q_kaplan_meier" -> "distinct event-day risk grid (calendar)",
+    "q_logrank_test" -> "distinct event-day risk grid (calendar)",
+    "q_fdr_bh" -> "|event_types|x|weeks| hypothesis grid",
+    "q_lead_lag" -> "|lags|-row correlation fan",
+    "q_lorenz_deciles" -> "10-row decile rollup",
+    "q_qini_curve" -> "10-row decile rollup",
+    "q_eval_lift" -> "10-row decile rollup",
+    "q_mood_median" -> "k-group contingency rollup (|event_types|)",
+    "q_kruskal_wallis" ->
+      "distinct cents-value grid (walks values, not rows)",
+    "q_anova_f" -> "k-row per-type moment table (|event_types|)",
+    "q_brown_forsythe" -> "k-row per-type moment table (|event_types|)",
+    "q_cramers_v" -> "|priority|x|status| contingency cells",
+    "q_mutual_information" -> "|event_types|x7 contingency cells",
+    "q_rbo" -> "RboK-row depth grid (rankings ride GlobalRank)",
+    "q_isotonic_calibration" -> "<=100-row score-bin PAVA frame",
+    "q_max_coverage" -> "k greedy-round rows",
+    "q_vocab_coverage" -> "top-K LIMIT vocabulary frame",
+    "q_vocab_encode" -> "top-K LIMIT vocabulary frame",
+    "q_good_turing" -> "count-of-counts frame (distinct frequencies)",
+    "q_dp_mean" -> "|event_types|-row rollup",
+    "q_randomized_response" -> "|event_types|-row rollup",
+    "q_dp_histogram" -> "|event_types|x|weeks| grid",
+    "q_modularity" -> "per-community rollup (2 communities)",
+    "q_ann_pq" -> "PQ codebook frame (k=16 centroids)"
+  )
+
+  /** Unpartitioned WindowExec nodes, minus GlobalRank's bounded
+    * `_gr_pid` offsets window (prefix sum over the per-bucket
+    * aggregate, <= shuffle-partition rows by construction). An
+    * order-less global window (`x OVER ()`) is just as
+    * single-partition as an ordered one, so it is NOT exempt. */
+  private def globalWindows(p: SparkPlan): Seq[String] = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    inner.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+          !(w.orderSpec.nonEmpty && w.orderSpec.forall(
+            _.child.references.forall(_.name == GlobalRankPidCol))) =>
+        val ord = w.orderSpec.map(o =>
+          o.child.references.map(_.name).mkString("+")).mkString(",")
+        s"global WindowExec(orderBy=[$ord])"
+    }
+  }
+  private val GlobalRankPidCol = "_gr_pid"
+
   private def offenders(p: SparkPlan): Seq[String] = {
     val inner = p match {
       case a: AdaptiveSparkPlanExec => a.initialPlan
@@ -77,11 +146,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  for (q <- SparkEntry.catalog
-      if !allPairsByDesign(q.name) && !boundedBroadcastLoop(q.name)) {
-    test(s"${q.name} plans no cartesian / non-cross nested loop") {
-      val bad = offenders(q.run(spark, sf).queryExecution.executedPlan)
-      assert(bad.isEmpty, bad.mkString("; "))
+  for (q <- SparkEntry.catalog) {
+    test(s"${q.name} plans no cartesian / nested loop / global window") {
+      val plan = q.run(spark, sf).queryExecution.executedPlan
+      if (!allPairsByDesign(q.name) && !boundedBroadcastLoop(q.name)) {
+        val bad = offenders(plan)
+        assert(bad.isEmpty, bad.mkString("; "))
+      }
+      if (!boundedGlobalWindow.contains(q.name)) {
+        val gw = globalWindows(plan)
+        assert(gw.isEmpty,
+          s"unpartitioned window over an unaudited frame — rewrite " +
+            s"onto GlobalRank or whitelist with a cardinality " +
+            s"argument: ${gw.mkString("; ")}")
+      }
     }
   }
 
@@ -95,5 +173,14 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(stale.isEmpty,
       s"no longer plan a flagged join — remove from whitelist: $stale")
+  }
+
+  test("the bounded-global-window whitelist is still exercised") {
+    val stale = boundedGlobalWindow.keySet.filterNot { name =>
+      globalWindows(SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan).nonEmpty
+    }
+    assert(stale.isEmpty,
+      s"no longer plan a global window — remove from whitelist: $stale")
   }
 }
