@@ -2309,6 +2309,123 @@ object TextOps {
         expr("f1 * 1000000 div n_tokens").as("p_unseen_e6"))
   }
 
+  /** Merge rounds learned by [[bpeTrain]]. */
+  val BpeMerges = 8
+  /** End-of-word marker symbol (Sennrich et al. 2016, arXiv
+    * 1508.07909: the marker makes merges word-internal and lets the
+    * learned vocab distinguish suffixes from prefixes). */
+  val BpeEow = "</w>"
+
+  /** REAL distributed BPE merge-pair training (Sennrich et al. 2016)
+    * — not the [[bpeTokens]] pre-tokenizer stand-in: words split to
+    * character symbols plus [[BpeEow]], then [[BpeMerges]] unrolled
+    * rounds each (1) count adjacent symbol pairs weighted by word
+    * frequency, (2) take the global argmax pair (ties broken
+    * lexicographically — a total order, so training is fully
+    * deterministic), and (3) splice that pair left-to-right
+    * non-overlapping in every word via an aggregate() fold (after a
+    * merge the new symbol becomes the fold's last element, which is
+    * exactly the non-overlap rule). Output: the k learned merge
+    * rules with their pair counts — the tokenizer-training artifact.
+    *
+    * Scale shape: the ONLY corpus-sized pass is the initial word
+    * count; everything after runs on the |vocab| word-frequency
+    * table (Heaps-sublinear). Per round: one pair explode bounded by
+    * total vocab characters, a map-side-combined pair aggregate, a
+    * TakeOrderedAndProject argmax (never a global sort), and a
+    * broadcast-1-row merge projection. Round tables LOCALCHECKPOINT
+    * (lineage truncation, not just persist): each is read twice
+    * (pair count + next merge), so the unrolled DAG re-expands 2^k
+    * times otherwise — and at k = 8 even RENDERING the shared tree
+    * (InMemoryRelation prints its cached plan per reference) is
+    * exponential and OOMs the driver. On a real cluster the same
+    * slot is a reliable checkpoint dir — the standard iterative-
+    * algorithm discipline. */
+  /** The per-word merge splice of [[bpeTrain]] as a SQL expression
+    * over columns (syms, l, r): a fold whose accumulator's LAST
+    * element is compared against l, so a just-merged symbol cannot
+    * immediately re-merge — exactly greedy left-to-right
+    * non-overlapping replacement (ScaleSpec pins the a,a,a parity
+    * case). */
+  val BpeMergeFoldSql: String =
+    "aggregate(slice(syms, 2, size(syms) - 1), slice(syms, 1, 1)," +
+      " (acc, x) -> if(element_at(acc, -1) = l AND x = r," +
+      " concat(slice(acc, 1, size(acc) - 1), array(concat(l, r)))," +
+      " concat(acc, array(x))))"
+
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mergeFold = BpeMergeFoldSql
+    var words = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select(concat(split($"w", ""), array(lit(BpeEow))).as("syms"),
+        $"cnt")
+      .localCheckpoint()
+    val rounds = (1 to BpeMerges).map { i =>
+      val prev = words
+      val best = prev.select(explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " j -> struct(element_at(syms, j) as l," +
+            " element_at(syms, j + 1) as r))")).as("p"), $"cnt")
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"cnt").as("pc"))
+        .orderBy($"pc".desc, $"l".asc, $"r".asc).limit(1)
+        .localCheckpoint()
+      if (i < BpeMerges)
+        words = prev.crossJoin(broadcast(best))
+          .select(expr(mergeFold).as("syms"), $"cnt")
+          .localCheckpoint()
+      best.select(lit(i.toLong).as("round"), $"l".as("left_sym"),
+        $"r".as("right_sym"), $"pc".as("pair_count"))
+    }
+    rounds.reduce(_ unionByName _)
+  }
+
+  /** Chained-CTE DuckDB replay of [[bpeTrain]] (the labelPropOracle
+    * unrolled-rounds discipline): per round, a struct unnest over the
+    * adjacent-pair index range + the same totally-ordered argmax + a
+    * list_reduce fold whose space-joined string accumulator gates the
+    * identical left-to-right non-overlapping splice (the accumulator's
+    * LAST symbol is compared, so a just-merged symbol can't re-merge —
+    * same rule as the Spark aggregate() fold). Safe because document
+    * tokens are [a-z]+ (regexp_replace's replacement carries no escape
+    * metacharacters). */
+  private def bpeTrainOracle: String = {
+    val eos = "$" // RE2 end anchor, kept out of the interpolation
+    val base = s"""
+      WITH toks AS (SELECT lower(unnest(string_split_regex(text,
+                      '\\s+'))) AS w
+                    FROM documents),
+      w0 AS (SELECT list_append(string_split(w, ''), '$BpeEow') AS syms,
+                    CAST(count(*) AS BIGINT) AS cnt
+             FROM toks WHERE w <> '' GROUP BY w)"""
+    val rounds = (1 to BpeMerges).map { i =>
+      s""",
+      p$i AS (SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS pc
+              FROM (SELECT unnest(list_transform(range(1, len(syms)),
+                        j -> struct_pack(l := syms[j], r := syms[j+1])))
+                      AS p, cnt
+                    FROM w${i - 1}) GROUP BY 1, 2),
+      b$i AS (SELECT l, r, pc FROM p$i
+              ORDER BY pc DESC, l ASC, r ASC LIMIT 1)""" +
+        (if (i < BpeMerges) s""",
+      w$i AS (SELECT string_split(list_reduce(syms, (acc, x) ->
+                CASE WHEN regexp_extract(acc, '[^ ]*$eos') = b.l
+                          AND x = b.r
+                     THEN regexp_replace(acc, '[^ ]*$eos', b.l || b.r)
+                     ELSE acc || ' ' || x END), ' ') AS syms, cnt
+              FROM w${i - 1} CROSS JOIN b$i AS b)"""
+        else "")
+    }.mkString
+    val sel = (1 to BpeMerges).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, l AS left_sym,
+             r AS right_sym, pc AS pair_count FROM b$i""")
+      .mkString("\n      UNION ALL\n      ")
+    s"$base$rounds\n      $sel"
+  }
+
   /** Chao1 species-richness estimator per source (Chao 1984) — "how
     * big is this source's TRUE vocabulary?", the capture–recapture
     * question [[hapaxProfile]]'s observed counts can't answer. With
@@ -3423,6 +3540,8 @@ object TextOps {
                AS hapax_share_e6,
              CAST(vocab * 1000000 // n_tokens AS BIGINT) AS ttr_e6
       FROM g""")),
+
+    Q("q_bpe_train", bpeTrain, Some(bpeTrainOracle)),
 
     Q("q_good_turing", goodTuring, Some(s"""
       WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\\s+'))

@@ -8,6 +8,58 @@ class ScaleSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf}
   import spark.implicits._
 
+  test("BPE merge fold is greedy left-to-right non-overlapping") {
+    def fold(syms: Seq[String], l: String, r: String): Seq[String] =
+      spark.sql(s"SELECT ${TextOps.BpeMergeFoldSql} AS m FROM VALUES" +
+          s" (array(${syms.map("'" + _ + "'").mkString(",")})," +
+          s" '$l', '$r') AS t(syms, l, r)")
+        .head().getSeq[String](0)
+    // run of 4: two merges; run of 3: merge + leftover (the parity
+    // case a naive global regex replace gets wrong)
+    assert(fold(Seq("a", "a", "a", "a", "w"), "a", "a") ===
+      Seq("aa", "aa", "w"))
+    assert(fold(Seq("a", "a", "a", "w"), "a", "a") ===
+      Seq("aa", "a", "w"))
+    // a just-merged symbol does not re-merge with the next r
+    assert(fold(Seq("a", "b", "b", "w"), "a", "b") ===
+      Seq("ab", "b", "w"))
+    // no occurrence → identity
+    assert(fold(Seq("x", "y", "w"), "a", "b") === Seq("x", "y", "w"))
+  }
+
+  test("BPE training replays a driver-side Sennrich merge loop exactly") {
+    val wc = Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens($"text")).as("w"))
+      .filter($"w" =!= "").groupBy($"w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect()
+    var words: Map[Vector[String], Long] = wc.toSeq.groupMapReduce(
+      p => p._1.split("").toVector :+ TextOps.BpeEow)(_._2)(_ + _)
+    val merges = Vector.newBuilder[(String, String, Long)]
+    for (_ <- 1 to TextOps.BpeMerges) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        pc(k) = pc.getOrElse(k, 0L) + c
+      }
+      val ((l, r), n) = pc.minBy { case ((l, r), n) => (-n, l, r) }
+      merges += ((l, r, n))
+      words = words.toSeq.groupMapReduce { case (syms, _) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }(_._2)(_ + _)
+    }
+    val got = SparkEntry.queries("q_bpe_train")(spark, sf)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toVector
+    assert(got === merges.result())
+  }
+
   test("codegen dot product matches the interpreted higher-order form exactly") {
     val e = Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
