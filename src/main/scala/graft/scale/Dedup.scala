@@ -1163,7 +1163,115 @@ object Dedup {
         sum(when($"dup", 1L).otherwise(0L)).as("n_in_dup_class"))
   }
 
+  /** Anchor gram length (tokens) for [[substringDedupOn]] — the same
+    * granularity as [[ChunkLen]], but slid at stride 1. */
+  val AnchorTokens = 8
+  /** Global occurrence cap per anchor gram: grams seen more often are
+    * stopword-ish runs and are dropped before the self-join, bounding
+    * candidate pairs per gram at cap² (the JaccardDfCap discipline). */
+  val AnchorDfCap = 8L
+  /** Minimum duplicated-run length (tokens) worth reporting. */
+  val MinDupRun = 12L
+  /** Deterministic output cap of [[substringDedupOn]]. */
+  val SubstringTopK = 50
+
+  /** UNALIGNED exact-substring dedup (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better"
+    * suffix-array case, arXiv 2107.06499, re-expressed relationally):
+    * [[chunkDedup]]'s fixed-stride chunks are blind to duplicates
+    * offset by < [[ChunkLen]] tokens across documents — here every
+    * k-token window at EVERY position is an anchor (stride 1, the
+    * distributed stand-in for suffix-array adjacency), rare anchors
+    * self-join on the exact gram, and matches extend to MAXIMAL
+    * duplicated runs along each (doc_a, doc_b, pa − pb) diagonal via
+    * gaps-and-islands (consecutive pa ⇒ common substring of
+    * matches + k − 1 tokens). A mid-run anchor over the df cap splits
+    * the reported run in two — a deterministic, engine-identical
+    * approximation, conservative in the safe direction.
+    *
+    * Scale shape: anchors ∝ corpus tokens (scan-local explode); ONE
+    * map-side-combined gram df aggregate; the self-join is an
+    * equi-join on the gram with ≤ cap² pairs per gram BY
+    * CONSTRUCTION; the islands window partitions by (pair, diagonal);
+    * final output is a TakeOrderedAndProject top-k. At 100 TB the
+    * gram key would carry a 64-bit poly hash instead of the string —
+    * same plan, smaller shuffle ([[graft.ext.PolyHashExpr]]). */
+  def substringDedupOn(docs: DataFrame, k: Int = AnchorTokens,
+      dfCap: Long = AnchorDfCap, minRun: Long = MinDupRun,
+      topK: Int = SubstringTopK): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val anchors = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t) - ${k - 1})," +
+          s" j -> struct(cast(j as bigint) as pos," +
+          s" array_join(slice(t, j, $k), ' ') as g))")).as("a"))
+      .select(col("doc_id"), col("a.pos").as("pos"), col("a.g").as("g"))
+    val rare = anchors.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap && col("df") >= 2)
+      .select(col("g"))
+    val kept = anchors.join(rare, "g")
+    val m = kept.select(col("g"), col("doc_id").as("doc_a"),
+        col("pos").as("pa"))
+      .join(kept.select(col("g"), col("doc_id").as("doc_b"),
+        col("pos").as("pb")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val w = W.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (count(lit(1)) + lit((k - 1).toLong)).as("run_tokens"))
+      .filter(col("run_tokens") >= minRun)
+      .select(col("doc_a"), col("doc_b"), col("a_start"),
+        col("b_start"), col("run_tokens"))
+      .orderBy(col("run_tokens").desc, col("doc_a"), col("doc_b"),
+        col("a_start"), col("b_start"))
+      .limit(topK)
+  }
+
+  private def substringDedupQ(s: SparkSession, d: String): DataFrame =
+    substringDedupOn(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+
   val queries: Seq[Q] = Seq(
+    Q("q_dedup_substring", substringDedupQ, Some(s"""
+      WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+                  FROM documents),
+      an AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+               SELECT doc_id,
+                      unnest(list_transform(
+                        range(1, len(t) - ${AnchorTokens - 2}),
+                        j -> struct_pack(pos := CAST(j AS BIGINT),
+                          g := array_to_string(
+                            t[j:j+${AnchorTokens - 1}], ' ')))) AS u
+               FROM tk WHERE len(t) >= $AnchorTokens)),
+      rare AS (SELECT g FROM an GROUP BY g
+               HAVING count(*) <= $AnchorDfCap AND count(*) >= 2),
+      kept AS (SELECT an.* FROM an JOIN rare USING (g)),
+      m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+            FROM kept a JOIN kept b
+              ON a.g = b.g AND a.doc_id < b.doc_id),
+      i AS (SELECT doc_a, doc_b, diag, pa, pb,
+                   pa - row_number() OVER (PARTITION BY doc_a, doc_b,
+                     diag ORDER BY pa) AS grp
+            FROM m),
+      r AS (SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS a_start,
+                   CAST(min(pb) AS BIGINT) AS b_start,
+                   CAST(count(*) + ${AnchorTokens - 1} AS BIGINT)
+                     AS run_tokens
+            FROM i GROUP BY doc_a, doc_b, diag, grp)
+      SELECT doc_a, doc_b, a_start, b_start, run_tokens
+      FROM r WHERE run_tokens >= $MinDupRun
+      ORDER BY run_tokens DESC, doc_a ASC, doc_b ASC, a_start ASC,
+               b_start ASC
+      LIMIT $SubstringTopK""")),
+
     Q("q_chunk_dedup", chunkDedup, Some(s"""
       WITH tk AS (SELECT doc_id,
                          string_split_regex(text, '\\s+') AS toks

@@ -8,6 +8,34 @@ class ScaleSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf}
   import spark.implicits._
 
+  test("substring dedup catches an UNALIGNED planted duplicate the " +
+      "fixed-stride chunk path provably misses") {
+    // doc 2 repeats doc 1's 40-token body shifted by 3 tokens — less
+    // than the 8-token chunk stride, so no chunk boundary aligns
+    val body = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      (2L, "x1 x2 x3 " + body),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // the chunk path sees NO shared chunk between docs 1 and 2
+    val t = split($"text", "\\s+")
+    val nChunks = (size(t) + lit(Dedup.ChunkLen - 1)) / lit(Dedup.ChunkLen)
+    val chunks = docs.select($"doc_id", explode(transform(
+        sequence(lit(0), nChunks.cast("int") - 1),
+        i => concat_ws(" ", slice(t, i * Dedup.ChunkLen + 1,
+          lit(Dedup.ChunkLen))))).as("chunk"))
+    val sharedChunks = chunks.groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("nd")).filter($"nd" > 1).count()
+    assert(sharedChunks === 0L)
+    // the anchor path reports the full 40-token run at the right spot
+    val runs = Dedup.substringDedupOn(docs).collect()
+    assert(runs.length === 1)
+    val r = runs.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((1L, 2L, 1L, 4L, 40L)))
+  }
+
   test("BPE merge fold is greedy left-to-right non-overlapping") {
     def fold(syms: Seq[String], l: String, r: String): Seq[String] =
       spark.sql(s"SELECT ${TextOps.BpeMergeFoldSql} AS m FROM VALUES" +
