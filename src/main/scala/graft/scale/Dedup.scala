@@ -1272,7 +1272,7 @@ object Dedup {
                b_start ASC
       LIMIT $SubstringTopK""")),
 
-    Q("q_chunk_dedup", chunkDedup, Some(s"""
+    Q("q_chunk_dedup", chunkDedup, headline = true, oracle = Some(s"""
       WITH tk AS (SELECT doc_id,
                          string_split_regex(text, '\\s+') AS toks
                   FROM documents),

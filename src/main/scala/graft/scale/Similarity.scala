@@ -1981,7 +1981,8 @@ object Similarity {
              vec_id AS negative_id, CAST(label AS BIGINT) AS neg_label
       FROM r WHERE rn <= $TopK""")),
     Q("q_ann_pq", annPq, Some(pqOracle)),
-    Q("q_embed_neardup_lsh", embedNearDupLsh, Some(nearDupLshOracle)),
+    Q("q_embed_neardup_lsh", embedNearDupLsh, Some(nearDupLshOracle),
+      headline = true),
     Q("q_maxsim", maxSim, Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                         CAST(label AS BIGINT) AS label
