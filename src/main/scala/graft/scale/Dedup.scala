@@ -1198,7 +1198,17 @@ object Dedup {
     * same plan, smaller shuffle ([[graft.ext.PolyHashExpr]]). */
   def substringDedupOn(docs: DataFrame, k: Int = AnchorTokens,
       dfCap: Long = AnchorDfCap, minRun: Long = MinDupRun,
-      topK: Int = SubstringTopK): DataFrame = {
+      topK: Int = SubstringTopK): DataFrame =
+    substringRunsOn(docs, k, dfCap, minRun)
+      .orderBy(col("run_tokens").desc, col("doc_a"), col("doc_b"),
+        col("a_start"), col("b_start"))
+      .limit(topK)
+
+  /** ALL maximal cross-document duplicated runs ≥ minRun (the
+    * un-limited form [[substringDedupOn]] tops and
+    * [[substringLedger]] accounts). */
+  def substringRunsOn(docs: DataFrame, k: Int = AnchorTokens,
+      dfCap: Long = AnchorDfCap, minRun: Long = MinDupRun): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val anchors = docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
@@ -1229,17 +1239,67 @@ object Dedup {
       .filter(col("run_tokens") >= minRun)
       .select(col("doc_a"), col("doc_b"), col("a_start"),
         col("b_start"), col("run_tokens"))
-      .orderBy(col("run_tokens").desc, col("doc_a"), col("doc_b"),
-        col("a_start"), col("b_start"))
-      .limit(topK)
   }
 
   private def substringDedupQ(s: SparkSession, d: String): DataFrame =
     substringDedupOn(
       Tables.documents(s, d).select(col("doc_id"), col("text")))
 
-  val queries: Seq[Q] = Seq(
-    Q("q_dedup_substring", substringDedupQ, Some(s"""
+  /** Per-document duplicate-coverage LEDGER over the UNALIGNED runs —
+    * the removal-side bookkeeping ([[chunkDedup]]'s ledger at
+    * substring granularity): every run covers the half-open token
+    * interval [start, start + run) on BOTH participating documents;
+    * per document the distinct intervals union via sort-by-start +
+    * exclusive running max of the end (touching intervals merge, a
+    * gap opens an island), and the ledger reports covered tokens,
+    * span count, and coverage ppm — exactly what a corpus rewrite
+    * needs to size the cut. Shape: the runs subtree (anchor-bounded)
+    * plus per-document windows and one rollup; every window is
+    * partitioned by doc_id. */
+  private def substringLedger(s: SparkSession, d: String): DataFrame =
+    substringLedger0(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** [[substringLedger]] over an arbitrary (doc_id, text) frame —
+    * public for the overlap-union spec. */
+  def substringLedger0(docs: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val runs = substringRunsOn(docs)
+    val iv = runs.select(col("doc_a").as("doc_id"),
+        col("a_start").as("st"),
+        (col("a_start") + col("run_tokens")).as("en"))
+      .unionAll(runs.select(col("doc_b").as("doc_id"),
+        col("b_start").as("st"),
+        (col("b_start") + col("run_tokens")).as("en")))
+      .distinct()
+    val w1 = W.partitionBy(col("doc_id")).orderBy(col("st"), col("en"))
+    val cov = iv
+      .withColumn("pm", max(col("en")).over(
+        w1.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pm").isNull || col("st") > col("pm"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w1.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ien") - col("ist")).as("dup_tokens"),
+        count(lit(1)).as("n_spans"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        expr("coalesce(dup_tokens, 0) * 1000000 div n_tokens")
+          .as("dup_ppm"))
+  }
+
+  /** Shared chained CTEs producing the maximal-run table `r` (the
+    * DuckDB replay of [[substringRunsOn]]), reused by the
+    * q_dedup_substring and q_dedup_substring_ledger oracles. */
+  private def substringRunCtes: String = s"""
       WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t
                   FROM documents),
       an AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
@@ -1265,12 +1325,50 @@ object Dedup {
                    CAST(min(pb) AS BIGINT) AS b_start,
                    CAST(count(*) + ${AnchorTokens - 1} AS BIGINT)
                      AS run_tokens
-            FROM i GROUP BY doc_a, doc_b, diag, grp)
+            FROM i GROUP BY doc_a, doc_b, diag, grp
+            HAVING count(*) + ${AnchorTokens - 1} >= $MinDupRun)"""
+
+  val queries: Seq[Q] = Seq(
+    Q("q_dedup_substring", substringDedupQ, Some(s"""$substringRunCtes
       SELECT doc_a, doc_b, a_start, b_start, run_tokens
-      FROM r WHERE run_tokens >= $MinDupRun
+      FROM r
       ORDER BY run_tokens DESC, doc_a ASC, doc_b ASC, a_start ASC,
                b_start ASC
       LIMIT $SubstringTopK""")),
+
+    Q("q_dedup_substring_ledger", substringLedger, Some(s"""$substringRunCtes,
+      iv AS (SELECT DISTINCT doc_id, st, en FROM (
+               SELECT doc_a AS doc_id, a_start AS st,
+                      a_start + run_tokens AS en FROM r
+               UNION ALL
+               SELECT doc_b, b_start, b_start + run_tokens FROM r)),
+      pw AS (SELECT doc_id, st, en,
+                    max(en) OVER (PARTITION BY doc_id
+                                  ORDER BY st, en
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pm
+             FROM iv),
+      isl AS (SELECT doc_id, st, en,
+                     sum(CASE WHEN pm IS NULL OR st > pm THEN 1
+                         ELSE 0 END) OVER (PARTITION BY doc_id
+                                           ORDER BY st, en) AS island
+              FROM pw),
+      g AS (SELECT doc_id, island, min(st) AS ist, max(en) AS ien
+            FROM isl GROUP BY 1, 2),
+      cov AS (SELECT doc_id, CAST(sum(ien - ist) AS BIGINT)
+                       AS dup_tokens,
+                     CAST(count(*) AS BIGINT) AS n_spans
+              FROM g GROUP BY 1),
+      nt AS (SELECT doc_id,
+                    CAST(len(string_split_regex(text, '\\s+'))
+                      AS BIGINT) AS n_tokens
+             FROM documents)
+      SELECT nt.doc_id, nt.n_tokens,
+             CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             CAST(coalesce(cov.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(coalesce(cov.dup_tokens, 0) * 1000000 // nt.n_tokens
+               AS BIGINT) AS dup_ppm
+      FROM nt LEFT JOIN cov USING (doc_id)""")),
 
     Q("q_chunk_dedup", chunkDedup, headline = true, oracle = Some(s"""
       WITH tk AS (SELECT doc_id,

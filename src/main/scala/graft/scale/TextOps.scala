@@ -2353,34 +2353,76 @@ object TextOps {
       " concat(slice(acc, 1, size(acc) - 1), array(concat(l, r)))," +
       " concat(acc, array(x))))"
 
+  /** The shared training chain: (final symbolized vocabulary after
+    * all [[BpeMerges]] rounds — still keyed by the surface word — and
+    * the per-round winning pairs). Session-cached per round via
+    * [[graft.GraftCaches.getOrBuild]] (the checkpointed frames
+    * self-materialize; an added persist would double-store), so
+    * q_bpe_train and q_bpe_encode run ONE training chain per
+    * session. */
+  private def bpeTables(s: SparkSession, d: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    import s.implicits._
+    var words = graft.GraftCaches.getOrBuild(s, s"text.bpe_w0:$d") {
+      Tables.documents(s, d)
+        .select(explode(tokens($"text")).as("w"))
+        .filter($"w" =!= "")
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .select($"w",
+          concat(split($"w", ""), array(lit(BpeEow))).as("syms"),
+          $"cnt")
+        .localCheckpoint()
+    }
+    val bests = (1 to BpeMerges).map { i =>
+      val prev = words
+      val best = graft.GraftCaches.getOrBuild(s, s"text.bpe_b$i:$d") {
+        prev.select(explode(expr(
+            "transform(sequence(1, size(syms) - 1)," +
+              " j -> struct(element_at(syms, j) as l," +
+              " element_at(syms, j + 1) as r))")).as("p"), $"cnt")
+          .groupBy($"p.l".as("l"), $"p.r".as("r"))
+          .agg(sum($"cnt").as("pc"))
+          .orderBy($"pc".desc, $"l".asc, $"r".asc).limit(1)
+          .localCheckpoint()
+      }
+      words = graft.GraftCaches.getOrBuild(s, s"text.bpe_w$i:$d") {
+        prev.crossJoin(broadcast(best))
+          .select($"w", expr(BpeMergeFoldSql).as("syms"), $"cnt")
+          .localCheckpoint()
+      }
+      best
+    }
+    (words, bests)
+  }
+
   private def bpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val mergeFold = BpeMergeFoldSql
-    var words = Tables.documents(s, d)
-      .select(explode(tokens($"text")).as("w"))
-      .filter($"w" =!= "")
-      .groupBy($"w").agg(count(lit(1)).as("cnt"))
-      .select(concat(split($"w", ""), array(lit(BpeEow))).as("syms"),
-        $"cnt")
-      .localCheckpoint()
-    val rounds = (1 to BpeMerges).map { i =>
-      val prev = words
-      val best = prev.select(explode(expr(
-          "transform(sequence(1, size(syms) - 1)," +
-            " j -> struct(element_at(syms, j) as l," +
-            " element_at(syms, j + 1) as r))")).as("p"), $"cnt")
-        .groupBy($"p.l".as("l"), $"p.r".as("r"))
-        .agg(sum($"cnt").as("pc"))
-        .orderBy($"pc".desc, $"l".asc, $"r".asc).limit(1)
-        .localCheckpoint()
-      if (i < BpeMerges)
-        words = prev.crossJoin(broadcast(best))
-          .select(expr(mergeFold).as("syms"), $"cnt")
-          .localCheckpoint()
-      best.select(lit(i.toLong).as("round"), $"l".as("left_sym"),
+    bpeTables(s, d)._2.zipWithIndex.map { case (best, i0) =>
+      best.select(lit((i0 + 1).toLong).as("round"), $"l".as("left_sym"),
         $"r".as("right_sym"), $"pc".as("pair_count"))
-    }
-    rounds.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+  }
+
+  /** APPLY the trained tokenizer (the train→encode composition a real
+    * pipeline runs): every document's whitespace words join the
+    * trained vocabulary's subword counts, giving per-document token
+    * counts under the learned BPE and the fertility (subwords per
+    * word, e3) — the capacity-planning number tokenizer changes move.
+    * The join is a broadcast of the Heaps-sublinear vocabulary; the
+    * corpus never shuffles (per-doc rollup collapses map-side). */
+  private def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = bpeTables(s, d)._1
+      .select($"w", size($"syms").cast("long").as("n_subwords"))
+    Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("w"))
+      .filter($"w" =!= "")
+      .join(broadcast(vocab), "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_subwords").as("n_tokens"))
+      .select($"doc_id", $"n_words", $"n_tokens",
+        expr("n_tokens * 1000 div n_words").as("fertility_e3"))
   }
 
   /** Chained-CTE DuckDB replay of [[bpeTrain]] (the labelPropOracle
@@ -2392,13 +2434,16 @@ object TextOps {
     * same rule as the Spark aggregate() fold). Safe because document
     * tokens are [a-z]+ (regexp_replace's replacement carries no escape
     * metacharacters). */
-  private def bpeTrainOracle: String = {
+  /** Shared chained CTEs through the full training run (w0…b_k, w_k),
+    * word identity retained so the encode oracle can join back. */
+  private def bpeOracleCtes: String = {
     val eos = "$" // RE2 end anchor, kept out of the interpolation
     val base = s"""
       WITH toks AS (SELECT lower(unnest(string_split_regex(text,
                       '\\s+'))) AS w
                     FROM documents),
-      w0 AS (SELECT list_append(string_split(w, ''), '$BpeEow') AS syms,
+      w0 AS (SELECT w,
+                    list_append(string_split(w, ''), '$BpeEow') AS syms,
                     CAST(count(*) AS BIGINT) AS cnt
              FROM toks WHERE w <> '' GROUP BY w)"""
     val rounds = (1 to BpeMerges).map { i =>
@@ -2409,22 +2454,38 @@ object TextOps {
                       AS p, cnt
                     FROM w${i - 1}) GROUP BY 1, 2),
       b$i AS (SELECT l, r, pc FROM p$i
-              ORDER BY pc DESC, l ASC, r ASC LIMIT 1)""" +
-        (if (i < BpeMerges) s""",
-      w$i AS (SELECT string_split(list_reduce(syms, (acc, x) ->
+              ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+      w$i AS (SELECT w, string_split(list_reduce(syms, (acc, x) ->
                 CASE WHEN regexp_extract(acc, '[^ ]*$eos') = b.l
                           AND x = b.r
                      THEN regexp_replace(acc, '[^ ]*$eos', b.l || b.r)
                      ELSE acc || ' ' || x END), ' ') AS syms, cnt
               FROM w${i - 1} CROSS JOIN b$i AS b)"""
-        else "")
     }.mkString
+    s"$base$rounds"
+  }
+
+  private def bpeTrainOracle: String = {
     val sel = (1 to BpeMerges).map(i =>
       s"""SELECT CAST($i AS BIGINT) AS round, l AS left_sym,
              r AS right_sym, pc AS pair_count FROM b$i""")
       .mkString("\n      UNION ALL\n      ")
-    s"$base$rounds\n      $sel"
+    s"$bpeOracleCtes\n      $sel"
   }
+
+  private def bpeEncodeOracle: String = s"""$bpeOracleCtes,
+      vocab AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_subwords
+                FROM w$BpeMerges),
+      dt AS (SELECT doc_id,
+                    lower(unnest(string_split_regex(text, '\\s+'))) AS w
+             FROM documents),
+      j AS (SELECT doc_id, n_subwords
+            FROM dt JOIN vocab USING (w) WHERE w <> '')
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(n_subwords) AS BIGINT) AS n_tokens,
+             CAST(sum(n_subwords) * 1000 // count(*) AS BIGINT)
+               AS fertility_e3
+      FROM j GROUP BY 1"""
 
   /** Chao1 species-richness estimator per source (Chao 1984) — "how
     * big is this source's TRUE vocabulary?", the capture–recapture
@@ -3542,6 +3603,7 @@ object TextOps {
       FROM g""")),
 
     Q("q_bpe_train", bpeTrain, Some(bpeTrainOracle)),
+    Q("q_bpe_encode", bpeEncode, Some(bpeEncodeOracle)),
 
     Q("q_good_turing", goodTuring, Some(s"""
       WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\\s+'))

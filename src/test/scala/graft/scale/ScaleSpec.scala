@@ -36,6 +36,27 @@ class ScaleSpec extends AnyFunSuite {
       r.getLong(4)) === ((1L, 2L, 1L, 4L, 40L)))
   }
 
+  test("substring ledger unions overlapping intervals per document") {
+    // doc 1's body appears in doc 2 AND doc 3 at overlapping but
+    // different offsets: doc 1's covered intervals [1,40) from the
+    // doc-2 run and [11,50) from the doc-3 run must union to ONE
+    // 49-token span, not 79 double-counted tokens
+    val w = (1 to 50).map(i => s"w$i").mkString(" ")
+    def words(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, w), // 50 tokens
+      (2L, words(1, 39)), // matches doc 1 tokens 1..39
+      (3L, words(11, 49)) // matches doc 1 tokens 11..49
+    ).toDF("doc_id", "text")
+    val led = Dedup.substringLedger0(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: union of [1,40) and [11,50) = [1,50) → 49 tokens, 1 span
+    assert(led(1L) === ((50L, 49L, 1L)))
+    assert(led(2L) === ((39L, 39L, 1L)))
+    assert(led(3L) === ((39L, 39L, 1L)))
+  }
+
   test("BPE merge fold is greedy left-to-right non-overlapping") {
     def fold(syms: Seq[String], l: String, r: String): Seq[String] =
       spark.sql(s"SELECT ${TextOps.BpeMergeFoldSql} AS m FROM VALUES" +
