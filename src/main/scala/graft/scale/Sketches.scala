@@ -178,6 +178,34 @@ object Sketches {
     * generator, every intermediate < 2⁴⁷ so both engines stay exact)
     * spread the field; measured estimate error ≈ 1.5 % at K=256,
     * inside the 1/√K ≈ 6 % theory bound (spec-asserted). */
+  /** The KEYED form of [[kmvDistinct]] — per event type — and the
+    * batch twin of the streaming
+    * [[graft.streaming.EventStreams.KmvProcessor]] (StreamBatchParity
+    * pins bit-equality). The per-type k-smallest-distinct-hash pass
+    * rides the custom TopKPerKey operator (bounded-heap partial pass;
+    * never a per-type sort of all hashes); same scrambled poly hash,
+    * same (k−1)·P/vk estimator, exact countDistinct alongside. */
+  private def kmvByType(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val P = 2147483647L
+    val raw = graft.ext.PolyHashExpr.polyHash(
+      $"user_id".cast("string"), 31L)
+    val h = pmod(pmod(raw * 48271L, lit(P)) * 48271L, lit(P))
+    val hv = Tables.events(s, d)
+      .select($"event_type", h.as("hv")).distinct()
+    val topk = graft.ext.TopKPerKey.topK(hv, Seq("event_type"),
+      Seq(("hv", true)), KmvK)
+    val exact = Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_exact"))
+    topk.groupBy($"event_type")
+      .agg(count(lit(1)).as("k"), max($"hv").as("vk"))
+      .join(exact, "event_type")
+      .select($"event_type", $"k", $"vk",
+        round(($"k" - 1).cast("double") * P / $"vk", 1).as("est"),
+        $"n_exact")
+  }
+
   private def kmvDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val P = 2147483647L
@@ -476,6 +504,28 @@ object Sketches {
              (est_cnt - exact_cnt) * 256 <= n_total * 2
                AS within_bound
       FROM probes, tot""")),
+    Q("q_kmv_by_type", kmvByType, Some(s"""
+      WITH h AS (SELECT DISTINCT event_type,
+                   ((${TextOps.polyHashSql("CAST(user_id AS VARCHAR)", 31L)})
+                    * 48271 % 2147483647) * 48271 % 2147483647
+                     AS hv
+                 FROM events),
+      topk AS (SELECT event_type, hv FROM (
+                 SELECT event_type, hv,
+                        row_number() OVER (PARTITION BY event_type
+                                           ORDER BY hv ASC) AS rn
+                 FROM h) WHERE rn <= $KmvK),
+      agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+                     max(hv) AS vk
+              FROM topk GROUP BY 1),
+      ex AS (SELECT event_type,
+                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+             FROM events GROUP BY 1)
+      SELECT agg.event_type, k, vk,
+             round((k - 1) * 1.0 * 2147483647 / vk, 1) AS est,
+             n_exact
+      FROM agg JOIN ex USING (event_type)""")),
+
     Q("q_approx_distinct_kmv", kmvDistinct, Some(s"""
       WITH h AS (SELECT DISTINCT
                    ((${TextOps.polyHashSql("CAST(o_custkey AS VARCHAR)", 31L)})

@@ -286,6 +286,81 @@ object EventStreams {
         OutputMode.Update())
   }
 
+  /** One streaming KMV snapshot row: `seq` is the per-key emission
+    * counter (latest wins in an update-mode sink). */
+  case class KmvSnapshot(event_type: String, seq: Long, k: Long,
+      vk: Long, est: Double)
+  case class KmvSt(seq: Long, hashes: Seq[Long])
+
+  /** The exact scrambled hash of the batch q_kmv_by_type
+    * (PolyHashExpr base-31 codepoint fold + two Lehmer steps mod
+    * 2³¹−1) in plain JVM form, so stream and batch hash
+    * bit-identically. */
+  def kmvHash(s: String): Long = {
+    val P = 2147483647L
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % P
+      i += Character.charCount(cp)
+    }
+    (acc * 48271L % P) * 48271L % P
+  }
+
+  /** Streaming KMV distinct-user estimator — the bounded-state twin
+    * of the batch q_kmv_by_type: per event type the state is the k
+    * smallest DISTINCT scrambled user hashes — O(#types·k), never
+    * O(#users), the whole point of KMV as STREAM state — and every
+    * touched key re-emits its (k, vk, est) snapshot per batch.
+    * est = (k−1)·P/vk with the batch query's exact double arithmetic
+    * and Spark round(·,1) HALF_UP semantics, so StreamBatchParity can
+    * assert bit-equality, not approximate closeness. The sketch is
+    * also mergeable (union + re-min-k), which is why cross-batch
+    * folding is exact regardless of how rows split into batches. */
+  class KmvProcessor(kCap: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, Event, KmvSnapshot] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[KmvSt] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[KmvSt]("kmv",
+        org.apache.spark.sql.Encoders.product[KmvSt],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[KmvSnapshot] = {
+      val prev = if (st.exists()) st.get() else KmvSt(0L, Nil)
+      val merged = (prev.hashes.iterator ++
+          rows.map(e => kmvHash(e.user_id.toString)))
+        .toSeq.distinct.sorted.take(kCap)
+      st.update(KmvSt(prev.seq + 1, merged))
+      val k = merged.size.toLong
+      val vk = merged.last
+      val est = java.math.BigDecimal
+        .valueOf((k - 1).toDouble * 2147483647L / vk)
+        .setScale(1, java.math.RoundingMode.HALF_UP).doubleValue()
+      Iterator(KmvSnapshot(key, prev.seq + 1, k, vk, est))
+    }
+  }
+
+  /** Streaming per-type KMV snapshots; k defaults to the batch
+    * sketch's [[graft.scale.Sketches.KmvK]]. */
+  def kmvByType(spark: SparkSession, events: Dataset[Event],
+      kCap: Int = graft.scale.Sketches.KmvK): Dataset[KmvSnapshot] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new KmvProcessor(kCap),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** One pre-aggregated day of a metric series (the q_page_hinkley
     * daily-cents grid) and the detector's per-batch alarm snapshot. */
   case class DailyPoint(event_type: String, dayn: Long, cents: Long)

@@ -536,6 +536,49 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(!streamed.exists(t => t._3 == 4.0 || t._3 == 16.0))
   }
 
+  test("streaming KMV via transformWithState == the oracled batch " +
+      "q_kmv_by_type across micro-batch boundaries") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val sf = SparkTestSession.sf
+      val evs = graft.Tables.events(spark, sf)
+        .select($"event_id", $"ts", $"user_id", $"event_type",
+          coalesce($"value", lit(0.0)).as("value"))
+        .as[Event].collect()
+      // three arbitrary chunks: the KMV sketch is mergeable, so the
+      // split must not matter
+      val chunks = evs.grouped((evs.length + 2) / 3).toSeq
+      val in = MemoryStream[Event]
+      val q = kmvByType(spark, in.toDS()).writeStream
+        .format("memory").queryName("parity_kmv")
+        .outputMode("update").start()
+      try {
+        chunks.foreach { c => in.addData(c.toSeq: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val streamed = spark.table("parity_kmv").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+        .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }
+        .map(t => t._1 -> (t._3, t._4, t._5)).toMap
+      val batch = graft.SparkEntry.queries("q_kmv_by_type")(spark, sf)
+        .collect().map { r =>
+          r.getAs[String]("event_type") -> (
+            r.getAs[Long]("k"), r.getAs[Long]("vk"),
+            r.getAs[Double]("est"))
+        }.toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming Page-Hinkley via transformWithState == the oracled " +
       "batch q_page_hinkley across micro-batch boundaries") {
     val key = "spark.sql.streaming.stateStore.providerClass"
