@@ -174,6 +174,66 @@ object Layout {
     * Emits the per-bin work orders (file count, bytes, id range) a
     * compactor would execute. Integer bytes and an integer `div` keep
     * the plan hash-exact across engines. */
+  /** Lakehouse DELETION VECTORS — DELETE/MERGE without file rewrite,
+    * the Delta/Iceberg position-delete mechanic a 100 TB table lives
+    * on (rewriting a 1 GB file to delete 3 rows is how merge jobs
+    * die). Rows address as (file_id, pos); deleted positions fold
+    * into ONE bitmap blob per file (bit pos%8 of byte pos/8 — built
+    * natively: per-byte bit_or, dense byte grid, hex assembly, no
+    * JVM closure), and the READ path re-applies the vector with
+    * native expressions only: broadcast the per-file bitmaps, slice
+    * one byte with substring-on-binary, test the bit with
+    * shiftright/&. The oracle recomputes visibility from the delete
+    * PREDICATE — so the whole bitmap encode→decode roundtrip must be
+    * bit-perfect for the hash to match, and the per-file bitmap size
+    * is pinned too. DV size is bounded by max-position/8 per FILE
+    * (file row counts are bounded by the writer — ~128 KB per 1 M-row
+    * file), so the broadcast is manifest-sized, never data-sized. */
+  private def deletionVectors(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d).select(
+      ($"o_orderkey" % 16).as("file_id"),
+      expr("o_orderkey div 16").as("pos"),
+      $"o_orderkey",
+      ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+    // the DELETE: a deterministic predicate standing in for a MERGE's
+    // matched-set (the oracle replays it directly)
+    val dels = base.filter($"o_orderkey" % 97 < 3)
+    val bytes = dels
+      .select($"file_id", expr("pos div 8").as("byte_idx"),
+        expr("cast(shiftleft(1, cast(pos % 8 as int)) as int)")
+          .as("bit"))
+      .groupBy($"file_id", $"byte_idx")
+      .agg(expr("bit_or(bit)").as("byte_val"))
+    val extent = bytes.groupBy($"file_id")
+      .agg(max($"byte_idx").as("max_byte"))
+    val dv = extent
+      .select($"file_id",
+        explode(expr("sequence(0L, max_byte)")).as("byte_idx"))
+      .join(bytes, Seq("file_id", "byte_idx"), "left")
+      .groupBy($"file_id")
+      .agg(expr("unhex(concat_ws('', transform(array_sort(" +
+        "collect_list(struct(byte_idx, coalesce(byte_val, 0) as bv)))," +
+        " x -> lpad(hex(x.bv), 2, '0'))))").as("dv"))
+    base.join(broadcast(dv), Seq("file_id"), "left")
+      // positions past the vector's extent slice an empty byte
+      // (conv('') = NULL) — they are simply not deleted
+      .withColumn("del", coalesce(
+        when($"dv".isNull, lit(false)).otherwise(
+          expr("(cast(conv(hex(substring(dv, cast(pos div 8 as int)" +
+            " + 1, 1)), 16, 10) as int) >> cast(pos % 8 as int)) & 1")
+            === 1),
+        lit(false)))
+      .groupBy($"file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"del", 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(!$"del", 1L).otherwise(0L)).as("n_visible"),
+        sum(when(!$"del", $"cents").otherwise(0L)).as("visible_cents"),
+        coalesce(max(octet_length($"dv")), lit(0)).cast("long")
+          .as("dv_bytes"))
+  }
+
   private def compactionPlan(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
@@ -388,6 +448,29 @@ object Layout {
              CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
              min(n_tok) AS min_tok, max(n_tok) AS max_tok
       FROM a GROUP BY 1""")),
+
+    Q("q_deletion_vectors", deletionVectors, Some("""
+      WITH base AS (SELECT o_orderkey % 16 AS file_id,
+                           o_orderkey // 16 AS pos,
+                           o_orderkey,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT) AS cents,
+                           (o_orderkey % 97 < 3) AS del
+                    FROM orders),
+      ext AS (SELECT file_id,
+                     CAST(max(pos // 8) + 1 AS BIGINT) AS dv_bytes
+              FROM base WHERE del GROUP BY 1)
+      SELECT b.file_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deleted,
+             CAST(sum(CASE WHEN del THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_visible,
+             CAST(sum(CASE WHEN del THEN 0 ELSE cents END) AS BIGINT)
+               AS visible_cents,
+             CAST(coalesce(e.dv_bytes, 0) AS BIGINT) AS dv_bytes
+      FROM base b LEFT JOIN ext e USING (file_id)
+      GROUP BY b.file_id, e.dv_bytes""")),
 
     Q("q_compaction_plan", compactionPlan, Some(s"""
       WITH f AS (SELECT lang, doc_id,
