@@ -234,6 +234,83 @@ object Layout {
           .as("dv_bytes"))
   }
 
+  /** Bloom filter bits per file for [[bloomSkipIndex]] (256-byte
+    * blobs — a production file index carries ~1 MB per 1 M-row
+    * file). */
+  val BloomBits = 2048
+  /** Pinned probe keys: present and absent custkeys — deterministic,
+    * replayed literally by the oracle. */
+  val BloomProbes: Seq[Long] = Seq(1L, 7L, 42L, 123456789L, 999999937L)
+
+  /** Per-FILE BLOOM SKIP INDEX — the other half of file-level data
+    * skipping ([[zoneMapSkip]] prunes by range; point lookups on a
+    * high-cardinality key need a membership index): each file's
+    * custkeys fold into a [[BloomBits]]-bit blob (two scrambled
+    * poly-hash probes per key, built with the same native per-byte
+    * bit_or + dense-grid + hex assembly as the deletion vectors), and
+    * the read path answers "which files can contain key k" by slicing
+    * two bytes out of each broadcast blob — manifest-sized work, zero
+    * data touched. The oracle recomputes BOTH sides from first
+    * principles: the candidate set by replaying the bloom arithmetic
+    * (so the blob roundtrip is bit-pinned) and the TRUE file set from
+    * the data — and `n_missed` (true files outside the candidate set)
+    * is pinned to 0, the no-false-negative guarantee that makes
+    * skipping sound. */
+  private def bloomSkipIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val P = 2147483647L
+    def g1Of(c: org.apache.spark.sql.Column) = pmod(
+      graft.ext.PolyHashExpr.polyHash(c.cast("string"), 31L) * 48271L,
+      lit(P))
+    val base = Tables.orders(s, d).select(
+      ($"o_orderkey" % 16).as("file_id"), $"o_custkey")
+    val g1 = g1Of($"o_custkey")
+    val g2 = pmod(g1 * 48271L, lit(P))
+    val bits = base
+      .select($"file_id", explode(array(g1 % BloomBits,
+        g2 % BloomBits)).as("bit"))
+      .distinct()
+    val bytes = bits
+      .select($"file_id", expr("bit div 8").as("byte_idx"),
+        expr("cast(shiftleft(1, cast(bit % 8 as int)) as int)")
+          .as("bitv"))
+      .groupBy($"file_id", $"byte_idx")
+      .agg(expr("bit_or(bitv)").as("byte_val"))
+    val grid = s.range(16).toDF("file_id")
+      .select($"file_id",
+        explode(expr(s"sequence(0L, ${BloomBits / 8 - 1}L)"))
+          .as("byte_idx"))
+    val bloom = grid.join(bytes, Seq("file_id", "byte_idx"), "left")
+      .groupBy($"file_id")
+      .agg(expr("unhex(concat_ws('', transform(array_sort(" +
+        "collect_list(struct(byte_idx, coalesce(byte_val, 0) as bv)))," +
+        " x -> lpad(hex(x.bv), 2, '0'))))").as("bloom"))
+    val probes = s.createDataFrame(BloomProbes.map(Tuple1(_)))
+      .toDF("probe_key")
+      .select($"probe_key", (g1Of($"probe_key") % BloomBits).as("pb1"),
+        (pmod(g1Of($"probe_key") * 48271L, lit(P)) % BloomBits)
+          .as("pb2"))
+    def bitSet(bit: String) =
+      expr(s"(cast(conv(hex(substring(bloom, cast($bit div 8 as int)" +
+        s" + 1, 1)), 16, 10) as int) >> cast($bit % 8 as int)) & 1 = 1")
+    val cand = probes.crossJoin(broadcast(bloom))
+      .withColumn("hit", bitSet("pb1") && bitSet("pb2"))
+    val truth = base.join(
+        broadcast(probes.select($"probe_key")),
+        $"o_custkey" === $"probe_key")
+      .select($"probe_key", $"file_id").distinct()
+      .withColumn("has_key", lit(true))
+    cand.join(truth, Seq("probe_key", "file_id"), "left")
+      .groupBy($"probe_key")
+      .agg(sum(when($"hit", 1L).otherwise(0L)).as("n_candidate_files"),
+        sum(when($"has_key".isNotNull, 1L).otherwise(0L))
+          .as("n_true_files"),
+        (lit(16L) - sum(when($"hit", 1L).otherwise(0L)))
+          .as("n_skipped"),
+        sum(when($"has_key".isNotNull && !$"hit", 1L).otherwise(0L))
+          .as("n_missed"))
+  }
+
   private def compactionPlan(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
@@ -448,6 +525,52 @@ object Layout {
              CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
              min(n_tok) AS min_tok, max(n_tok) AS max_tok
       FROM a GROUP BY 1""")),
+
+    Q("q_bloom_skip_index", bloomSkipIndex, Some(s"""
+      WITH base AS (SELECT o_orderkey % 16 AS file_id, o_custkey
+                    FROM orders),
+      h AS (SELECT file_id, o_custkey,
+                   (${TextOps.polyHashSql("CAST(o_custkey AS VARCHAR)", 31L)})
+                     * 48271 % 2147483647 AS g1
+            FROM base),
+      hh AS (SELECT file_id, g1 % $BloomBits AS b1,
+                    (g1 * 48271 % 2147483647) % $BloomBits AS b2
+             FROM h),
+      bits AS (SELECT DISTINCT file_id, b FROM (
+                 SELECT file_id, b1 AS b FROM hh
+                 UNION ALL SELECT file_id, b2 FROM hh)),
+      probes(probe_key) AS (VALUES ${BloomProbes.map(p =>
+        s"(CAST($p AS BIGINT))").mkString(", ")}),
+      ph AS (SELECT probe_key,
+                    (${TextOps.polyHashSql("CAST(probe_key AS VARCHAR)", 31L)})
+                      * 48271 % 2147483647 AS g1
+             FROM probes),
+      pb AS (SELECT probe_key, g1 % $BloomBits AS pb1,
+                    (g1 * 48271 % 2147483647) % $BloomBits AS pb2
+             FROM ph),
+      files AS (SELECT unnest(range(0, 16)) AS file_id),
+      cand AS (SELECT p.probe_key, f.file_id,
+                      EXISTS(SELECT 1 FROM bits b
+                             WHERE b.file_id = f.file_id
+                               AND b.b = p.pb1)
+                      AND EXISTS(SELECT 1 FROM bits b
+                                 WHERE b.file_id = f.file_id
+                                   AND b.b = p.pb2) AS hit
+               FROM pb p CROSS JOIN files f),
+      truth AS (SELECT DISTINCT probe_key, file_id
+                FROM base JOIN probes ON o_custkey = probe_key)
+      SELECT c.probe_key,
+             CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_candidate_files,
+             CAST(count(t.file_id) AS BIGINT) AS n_true_files,
+             CAST(16 - sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_skipped,
+             CAST(sum(CASE WHEN t.file_id IS NOT NULL AND NOT hit
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+      FROM cand c
+      LEFT JOIN truth t ON t.probe_key = c.probe_key
+                        AND t.file_id = c.file_id
+      GROUP BY 1""")),
 
     Q("q_deletion_vectors", deletionVectors, Some("""
       WITH base AS (SELECT o_orderkey % 16 AS file_id,
