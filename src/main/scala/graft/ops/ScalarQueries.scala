@@ -366,6 +366,38 @@ object ScalarQueries {
     * with the event_id tiebreak (the argmax idiom — never first()/
     * last(), whose result depends on partition arrival order). One
     * map-side-combinable aggregate; no window, no sort. */
+  /** Time-WEIGHTED average value per series (TWAP) — the sampling-
+    * rate-proof mean [[dailyOhlc]]'s volume-weighted family lacks: a
+    * burst of identical readings must not move it. Each observation
+    * holds from its timestamp to the NEXT one (one lead window per
+    * type, ties broken on event_id — total order, deterministic);
+    * twap_cents = Σ centsᵢ·gapᵢ div span, folded in decimal(38,0)
+    * (cents × µs-gap products pass int64 at ~1e19 µs·cents — wraps a
+    * year-long series of large values, the cross-corr lesson), and
+    * the output quotient provably fits BIGINT (it is a weighted mean
+    * of cents). Shape: one partitioned lead window + one rollup per
+    * type; sentinel −1 for a zero-length span. */
+  private def twapByType(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"us".asc, $"event_id".asc)
+    Tables.events(s, d)
+      .filter($"value".isNotNull)
+      .select($"event_type", unix_micros($"ts").as("us"), $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("nxt", lead($"us", 1).over(W))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (max($"us") - min($"us")).as("span_us"),
+        sum(when($"nxt".isNotNull,
+          expr("cast(cents as decimal(38,0)) * (nxt - us)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("num"))
+      .select($"event_type", $"n_events", $"span_us",
+        when($"span_us" > 0,
+          expr("cast(num div span_us as bigint)"))
+          .otherwise(lit(-1L)).as("twap_cents"))
+  }
+
   private def dailyOhlc(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.events(s, d)
@@ -931,6 +963,27 @@ object ScalarQueries {
              CAST(max(in_hour) AS BIGINT) AS max_per_hour,
              max(in_hour) >= 3 AS flagged
       FROM w GROUP BY 1""")),
+
+    Q("q_twap", twapByType, Some("""
+      WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      l AS (SELECT event_type, us, cents,
+                   lead(us) OVER (PARTITION BY event_type
+                                  ORDER BY us ASC, event_id ASC) AS nxt
+            FROM e),
+      a AS (SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(us) - min(us) AS BIGINT) AS span_us,
+                   sum(CASE WHEN nxt IS NOT NULL
+                       THEN CAST(cents AS HUGEINT) * (nxt - us)
+                       ELSE 0 END) AS num
+            FROM l GROUP BY 1)
+      SELECT event_type, n_events, span_us,
+             CAST(CASE WHEN span_us > 0 THEN num // span_us
+                  ELSE -1 END AS BIGINT) AS twap_cents
+      FROM a""")),
 
     Q("q_daily_ohlc", dailyOhlc, Some("""
       WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
