@@ -311,6 +311,57 @@ object Layout {
           .as("n_missed"))
   }
 
+  /** Column ENCODING ADVISOR — the parquet-tuning pass behind layout
+    * decisions (a 100 TB table's scan cost is mostly decode cost:
+    * dictionary + RLE on a low-NDV column is a 10–60× size cliff):
+    * for four representative lineitem columns, one pass computes rows,
+    * exact NDV, and the intra-order RLE run count (value-change flags
+    * from lag windows PARTITIONED by l_orderkey ordered by
+    * l_linenumber — the writer's natural clustering; never a global
+    * window), then models plain 64-bit vs dictionary cost
+    * (rows·ceil(log2 ndv) + ndv·64, the bit width computed EXACTLY as
+    * length(bin(ndv−1)) on both engines) and emits the advice. Shape:
+    * one window pass + one 1-row aggregate, unpivoted to a 4-row
+    * result with stack(). */
+  private def encodingAdvisor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("l_returnflag", "l_linestatus", "l_quantity",
+      "l_partkey")
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
+    // order on every profiled column too, so rows that still tie are
+    // IDENTICAL w.r.t. every run counter — a deterministic metric
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_orderkey").orderBy($"l_linenumber".asc,
+        $"l_returnflag".asc, $"l_linestatus".asc, $"l_quantity".asc,
+        $"l_partkey".asc)
+    val flagged = cols.foldLeft(Tables.lineitem(s, d)
+        .select(($"l_quantity".cast("decimal(18,2)") * 100)
+          .cast("long").as("l_quantity"),
+          $"l_orderkey", $"l_linenumber", $"l_returnflag",
+          $"l_linestatus", $"l_partkey")) { (df, c) =>
+      df.withColumn(s"chg_$c",
+        when(lag(col(c), 1).over(W).isNull ||
+          lag(col(c), 1).over(W) =!= col(c), 1L).otherwise(0L))
+    }
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      cols.flatMap(c => Seq(
+        countDistinct(col(c)).as(s"ndv_$c"),
+        sum(col(s"chg_$c")).as(s"runs_$c")))
+    val one = flagged.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c => s"'$c', ndv_$c, runs_$c").mkString(", ")
+    one.select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stacked) as (column_name, ndv, n_runs)"))
+      .withColumn("dict_bits",
+        expr("case when ndv <= 1 then 0L" +
+          " else cast(length(bin(ndv - 1)) as bigint) end"))
+      .select($"column_name", $"n_rows", $"ndv", $"n_runs",
+        (lit(64L) * $"n_rows").as("bits_plain"),
+        ($"dict_bits" * $"n_rows" + $"ndv" * 64L).as("bits_dict"),
+        expr("n_runs * 1000000 div n_rows").as("run_ppm"),
+        when($"dict_bits" * $"n_rows" + $"ndv" * 64L <
+          lit(64L) * $"n_rows", "dict").otherwise("plain").as("advice"))
+  }
+
   private def compactionPlan(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
@@ -525,6 +576,56 @@ object Layout {
              CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
              min(n_tok) AS min_tok, max(n_tok) AS max_tok
       FROM a GROUP BY 1""")),
+
+    Q("q_encoding_advisor", encodingAdvisor, Some("""
+      WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                        l_linestatus, l_partkey,
+                        CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS l_quantity
+                 FROM lineitem),
+      f AS (SELECT *,
+        CASE WHEN lag(l_returnflag) OVER w IS DISTINCT FROM
+          l_returnflag THEN 1 ELSE 0 END AS chg_l_returnflag,
+        CASE WHEN lag(l_linestatus) OVER w IS DISTINCT FROM
+          l_linestatus THEN 1 ELSE 0 END AS chg_l_linestatus,
+        CASE WHEN lag(l_quantity) OVER w IS DISTINCT FROM
+          l_quantity THEN 1 ELSE 0 END AS chg_l_quantity,
+        CASE WHEN lag(l_partkey) OVER w IS DISTINCT FROM
+          l_partkey THEN 1 ELSE 0 END AS chg_l_partkey
+        FROM b
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber ASC, l_returnflag ASC,
+                              l_linestatus ASC, l_quantity ASC,
+                              l_partkey ASC)),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(DISTINCT l_returnflag) AS BIGINT) AS ndv_rf,
+        CAST(sum(chg_l_returnflag) AS BIGINT) AS runs_rf,
+        CAST(count(DISTINCT l_linestatus) AS BIGINT) AS ndv_sm,
+        CAST(sum(chg_l_linestatus) AS BIGINT) AS runs_sm,
+        CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv_q,
+        CAST(sum(chg_l_quantity) AS BIGINT) AS runs_q,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_pk,
+        CAST(sum(chg_l_partkey) AS BIGINT) AS runs_pk
+        FROM f),
+      u AS (SELECT n_rows, 'l_returnflag' AS column_name,
+                   ndv_rf AS ndv, runs_rf AS n_runs FROM agg
+            UNION ALL SELECT n_rows, 'l_linestatus', ndv_sm, runs_sm
+            FROM agg
+            UNION ALL SELECT n_rows, 'l_quantity', ndv_q, runs_q
+            FROM agg
+            UNION ALL SELECT n_rows, 'l_partkey', ndv_pk, runs_pk
+            FROM agg),
+      m AS (SELECT *, CASE WHEN ndv <= 1 THEN 0
+                      ELSE CAST(length(bin(ndv - 1)) AS BIGINT) END
+                        AS dict_bits
+            FROM u)
+      SELECT column_name, n_rows, ndv, n_runs,
+             CAST(64 * n_rows AS BIGINT) AS bits_plain,
+             CAST(dict_bits * n_rows + ndv * 64 AS BIGINT) AS bits_dict,
+             CAST(n_runs * 1000000 // n_rows AS BIGINT) AS run_ppm,
+             CASE WHEN dict_bits * n_rows + ndv * 64 < 64 * n_rows
+                  THEN 'dict' ELSE 'plain' END AS advice
+      FROM m""")),
 
     Q("q_bloom_skip_index", bloomSkipIndex, Some(s"""
       WITH base AS (SELECT o_orderkey % 16 AS file_id, o_custkey
