@@ -366,6 +366,39 @@ object ScalarQueries {
     * with the event_id tiebreak (the argmax idiom — never first()/
     * last(), whose result depends on partition arrival order). One
     * map-side-combinable aggregate; no window, no sort. */
+  /** Peak concurrency by sweep line — "how many users were active AT
+    * ONCE", the capacity question per-bucket counts can't answer
+    * (two users in the same hour may never overlap): each (user, day)
+    * activity interval [min_ts, max_ts] emits +1 at its start and −1
+    * just after its end, deltas collapse per distinct microsecond
+    * (map-side combinable), and the running concurrency is a
+    * DISTRIBUTED prefix sum over the distinct-timestamp grid via
+    * [[graft.ext.GlobalRank.withPrefixSum]] — a genuinely row-scaled
+    * frame that would otherwise be exactly the unpartitioned-window
+    * scale-killer PlanAuditSpec bans. Peak per day is then one
+    * bounded rollup. Exact integers end to end. */
+  private def concurrencyPeak(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iv = Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day"),
+        unix_micros($"ts").as("us"))
+      .groupBy($"user_id", $"day")
+      .agg(min($"us").as("lo"), max($"us").as("hi"))
+    val deltas = iv.select($"lo".as("us"), lit(1L).as("delta"))
+      .unionAll(iv.select(($"hi" + 1L).as("us"), lit(-1L).as("delta")))
+      .groupBy($"us").agg(sum($"delta").as("delta"))
+    val running = graft.ext.GlobalRank
+      .withPrefixSum(deltas, Seq($"us"), $"delta", "conc")
+    val starts = iv.groupBy($"day")
+      .agg(count(lit(1)).as("n_intervals"))
+    running
+      .select(to_date(timestamp_micros($"us")).as("day"), $"conc")
+      .groupBy($"day").agg(max($"conc").as("peak_concurrent"))
+      .join(starts, Seq("day"), "right")
+      .select($"day", coalesce($"peak_concurrent", lit(0L))
+        .as("peak_concurrent"), $"n_intervals")
+  }
+
   /** Time-WEIGHTED average value per series (TWAP) — the sampling-
     * rate-proof mean [[dailyOhlc]]'s volume-weighted family lacks: a
     * burst of identical readings must not move it. Each observation
@@ -963,6 +996,27 @@ object ScalarQueries {
              CAST(max(in_hour) AS BIGINT) AS max_per_hour,
              max(in_hour) >= 3 AS flagged
       FROM w GROUP BY 1""")),
+
+    Q("q_concurrency_peak", concurrencyPeak, Some("""
+      WITH iv AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                         min(epoch_us(ts)) AS lo,
+                         max(epoch_us(ts)) AS hi
+                  FROM events GROUP BY 1, 2),
+      dl AS (SELECT us, CAST(sum(delta) AS BIGINT) AS delta FROM (
+               SELECT lo AS us, 1 AS delta FROM iv
+               UNION ALL SELECT hi + 1, -1 FROM iv) GROUP BY 1),
+      run AS (SELECT us, sum(delta) OVER (ORDER BY us) AS conc
+              FROM dl),
+      pk AS (SELECT CAST(make_timestamp(us) AS DATE) AS day,
+                    CAST(max(conc) AS BIGINT) AS peak_concurrent
+             FROM run GROUP BY 1),
+      st AS (SELECT day, CAST(count(*) AS BIGINT) AS n_intervals
+             FROM iv GROUP BY 1)
+      SELECT st.day,
+             CAST(coalesce(pk.peak_concurrent, 0) AS BIGINT)
+               AS peak_concurrent,
+             st.n_intervals
+      FROM st LEFT JOIN pk USING (day)""")),
 
     Q("q_twap", twapByType, Some("""
       WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id,
