@@ -1292,6 +1292,47 @@ object StatsQueries {
     * collapses ties BEFORE the cumulative window (the window walks
     * distinct values, not rows — the q_eval_auc lesson), then a
     * |types|-row rollup. Two exchanges total at any scale. */
+  /** Two-sample KUIPER test — [[ksTest]]'s circular-sensitive
+    * sibling: V = D⁺ + D⁻ (max ECDF excess in EACH direction) instead
+    * of max |D|, which catches a distribution that has shifted
+    * probability out of the middle into BOTH tails — a change whose
+    * positive and negative deviations can each stay under the KS
+    * radar while their sum does not. Same distinct-cents grid, same
+    * integer cross-multiplied ECDFs; the e6 statistic folds in
+    * decimal(38,0)/HUGEINT (num·10⁶ wraps int64 past ~100×). */
+  private def kuiperTest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val running = W.partitionBy($"event_type").orderBy($"cents".asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val whole = W.partitionBy($"event_type")
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    Tables.events(s, d)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        ($"event_id" % 2 === 0).as("is_ref"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"cents")
+      .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("r"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("c"))
+      .select($"event_type",
+        sum($"r").over(running).as("cum_r"),
+        sum($"c").over(running).as("cum_c"),
+        sum($"r").over(whole).as("n_ref"),
+        sum($"c").over(whole).as("n_cur"))
+      .groupBy($"event_type")
+      .agg(max($"n_ref").as("n_ref"), max($"n_cur").as("n_cur"),
+        greatest(max($"cum_r" * $"n_cur" - $"cum_c" * $"n_ref"),
+          lit(0L)).as("dplus_num"),
+        greatest(max($"cum_c" * $"n_ref" - $"cum_r" * $"n_cur"),
+          lit(0L)).as("dminus_num"))
+      .select($"event_type", $"n_ref", $"n_cur",
+        $"dplus_num", $"dminus_num",
+        expr("cast(cast(dplus_num + dminus_num as decimal(38,0))" +
+          " * 1000000 div (cast(n_ref as decimal(38,0)) * n_cur)" +
+          " as bigint)").as("v_e6"))
+  }
+
   private def ksTest(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val W = org.apache.spark.sql.expressions.Window
@@ -3478,6 +3519,43 @@ object StatsQueries {
                AS total_cents_after_fill
       FROM base b JOIN m ON b.event_type = m.event_type
       GROUP BY 1""")),
+
+    Q("q_kuiper_test", kuiperTest, Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents,
+                        event_id % 2 = 0 AS is_ref
+                 FROM events
+                 WHERE value IS NOT NULL),
+      g AS (SELECT event_type, cents,
+                   CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                     AS BIGINT) AS r,
+                   CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c
+            FROM e GROUP BY 1, 2),
+      cum AS (SELECT event_type,
+                     CAST(sum(r) OVER (PARTITION BY event_type
+                       ORDER BY cents ASC ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cum_r,
+                     CAST(sum(c) OVER (PARTITION BY event_type
+                       ORDER BY cents ASC ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cum_c,
+                     CAST(sum(r) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS n_ref,
+                     CAST(sum(c) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS n_cur
+              FROM g),
+      a AS (SELECT event_type, max(n_ref) AS n_ref,
+                   max(n_cur) AS n_cur,
+                   CAST(greatest(max(cum_r * n_cur - cum_c * n_ref), 0)
+                     AS BIGINT) AS dplus_num,
+                   CAST(greatest(max(cum_c * n_ref - cum_r * n_cur), 0)
+                     AS BIGINT) AS dminus_num
+            FROM cum GROUP BY 1)
+      SELECT event_type, n_ref, n_cur, dplus_num, dminus_num,
+             CAST(CAST(dplus_num + dminus_num AS HUGEINT) * 1000000
+               // (CAST(n_ref AS HUGEINT) * n_cur) AS BIGINT) AS v_e6
+      FROM a""")),
 
     Q("q_ks_test", ksTest, Some("""
       WITH e AS (SELECT event_type,

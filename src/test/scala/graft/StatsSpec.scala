@@ -9,6 +9,40 @@ class StatsSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf}
   import spark.implicits._
 
+  test("q_kuiper_test: driver-side ECDF replay, and V dominates KS") {
+    val evs = Tables.events(spark, sf)
+      .filter($"value".isNotNull)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        ($"event_id" % 2 === 0).as("is_ref"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val expected = evs.groupBy(_._1).map { case (t, rows) =>
+      val nR = rows.count(_._3).toLong
+      val nC = rows.size - nR
+      var cumR = 0L; var cumC = 0L
+      var dp = 0L; var dm = 0L
+      rows.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (_, g) =>
+        cumR += g.count(_._3); cumC += g.count(!_._3)
+        dp = math.max(dp, cumR * nC - cumC * nR)
+        dm = math.max(dm, cumC * nR - cumR * nC)
+      }
+      t -> (nR, nC, dp, dm,
+        (BigInt(dp + dm) * 1000000 / (BigInt(nR) * nC)).toLong)
+    }
+    val ks = SparkEntry.queries("q_ks_test")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("ks_num")).toMap
+    val got = SparkEntry.queries("q_kuiper_test")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getString(0)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) === expected(t))
+      // V num = D+ + D- >= max(D+, D-) = KS num, always
+      assert(r.getLong(3) + r.getLong(4) >= ks(t))
+    }
+  }
+
   test("q_outlier_iqr: fences ordered, pct in [0,1], counts partition the table") {
     val rows = SparkEntry.queries("q_outlier_iqr")(spark, sf).collect()
     assert(rows.nonEmpty)
