@@ -673,14 +673,13 @@ object Multimodal {
         .as("media"))
     sampleFrames(media)
       .select(col("media_id"), col("frame_idx"),
-        // luma = sum of the frame's BYTES (hex-pair decode), not of
-        // UTF-8-decoded codepoints: byte slicing can split a
-        // multibyte character mid-frame, and only byte arithmetic
-        // stays engine-identical on non-ASCII corpora
-        expr("case when octet_length(frame) = 0 then 0L else" +
-          " aggregate(sequence(1, octet_length(frame)), 0L," +
-          " (acc, i) -> acc + cast(conv(substring(hex(frame)," +
-          " 2 * i - 1, 2), 16, 10) as bigint)) end").as("luma"))
+        // luma = sum of the frame's BYTES, not of UTF-8-decoded
+        // codepoints: byte slicing can split a multibyte character
+        // mid-frame, and only byte arithmetic stays engine-identical
+        // on non-ASCII corpora. Fused codegen kernel (the interpreted
+        // aggregate-over-hex-pairs form materialized the hex string
+        // per frame; PropertySpec pins byte-for-byte parity).
+        graft.ext.ByteSumExpr.byteSum(col("frame")).as("luma"))
       .withColumn("prev", lag(col("luma"), 1).over(W))
       .withColumn("boundary",
         when(col("prev").isNotNull &&

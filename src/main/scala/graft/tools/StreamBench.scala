@@ -69,6 +69,20 @@ object StreamBench {
       } finally q.stop()
     }
 
+    // ---- KMV distinct sketch (transformWithState) ----
+    locally {
+      val warm = MemoryStream[Event]
+      val wq = EventStreams.kmvByType(spark, warm.toDS())
+        .writeStream.format("noop").outputMode("update").start()
+      warm.addData(events(0, 1000): _*); wq.processAllAvailable(); wq.stop()
+      val in = MemoryStream[Event]
+      val q = EventStreams.kmvByType(spark, in.toDS())
+        .writeStream.format("noop").outputMode("update").start()
+      try run("kmv_tws", n) { (b, rows) =>
+        in.addData(events(b, rows): _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+
     // ---- CDC apply (flatMapGroupsWithState) ----
     locally {
       val warm = MemoryStream[Change]

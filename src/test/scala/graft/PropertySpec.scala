@@ -113,6 +113,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("codegen ByteSumExpr ≡ interpreted hex-pair fold and a JVM " +
+      "model (incl. unicode, empty, high bytes)") {
+    val gen = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.listOf(Gen.oneOf('a', 'Z', '9', ' ', '的', 'é', 'ß', '!'))
+        .map(_.mkString),
+      Gen.const(""), Gen.const("ÿ"))
+    val strs = samples(gen, 200).distinct
+    val rows = strs.toDF("s")
+      .select($"s", graft.ext.ByteSumExpr.byteSum($"s".cast("binary"))
+        .as("native"),
+        expr("case when octet_length(cast(s as binary)) = 0 then 0L" +
+          " else aggregate(sequence(1, octet_length(cast(s as binary))), 0L," +
+          " (acc, i) -> acc + cast(conv(substring(hex(cast(s as binary))," +
+          " 2 * i - 1, 2), 16, 10) as bigint)) end").as("interp"))
+      .collect()
+    rows.foreach { r =>
+      val model = r.getString(0).getBytes("UTF-8")
+        .map(b => (b & 0xff).toLong).sum
+      assert(r.getLong(1) === model, s"native vs model: '${r.getString(0)}'")
+      assert(r.getLong(1) === r.getLong(2), s"native vs interp")
+    }
+  }
+
   test("fingerprint: equal token streams collide, model-computed") {
     val tok = Gen.listOfN(5, Gen.oneOf("a", "bb", "ccc", "dd", "e"))
     val pairs = samples(Gen.zip(tok, tok), 50)
