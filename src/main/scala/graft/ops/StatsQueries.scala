@@ -1292,6 +1292,70 @@ object StatsQueries {
     * collapses ties BEFORE the cumulative window (the window walks
     * distinct values, not rows — the q_eval_auc lesson), then a
     * |types|-row rollup. Two exchanges total at any scale. */
+  /** Two-sample ANDERSON–DARLING (the tie-adjusted A²akN of Scholz &
+    * Stephens 1987, k = 2) — the tail-weighted member of the
+    * [[ksTest]] family: its 1/(F(1−F)) weight makes it the most
+    * powerful of the ECDF tests against tail departures, where KS's
+    * max-deviation saturates. Everything stays integer on the
+    * distinct-cents grid by clearing the midrank halves: with
+    * Q = 2B_a = 2·cum − l and P_i = N·(2·cum_i − l_i) − n_i·Q, the
+    * j-th inner term (l/N)·(N·M_a − n_i·B_a)²/(B_a(N−B_a) − Nl/4)
+    * equals l·P²/D with D = Q(2N−Q) − N·l exactly. Terms have
+    * DIFFERENT denominators, so the statistic is emitted as the
+    * PER-TERM exact floor sum (each term e6·(N−1)·l·P² div
+    * (N²·n_i·D) in decimal(38,0)/HUGEINT — deterministic and
+    * engine-identical by construction; the documented discrete
+    * variant, like the per-term floors of zipfSlope). Numerator
+    * magnitude bounds the headroom at ~30× current volume (10×
+    * probed); D = 0 only when one grid value carries ALL mass —
+    * guarded. Shape: identical to ksTest — one distinct-value grid,
+    * partitioned running windows, one rollup. */
+  private def andersonDarling(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val running = W.partitionBy($"event_type").orderBy($"cents".asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val whole = W.partitionBy($"event_type")
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    Tables.events(s, d)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        ($"event_id" % 2 === 0).as("is_ref"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"cents")
+      .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("r"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("c"))
+      .select($"event_type", $"r", $"c",
+        sum($"r").over(running).as("cum_r"),
+        sum($"c").over(running).as("cum_c"),
+        sum($"r").over(whole).as("n_ref"),
+        sum($"c").over(whole).as("n_cur"))
+      .withColumn("l", $"r" + $"c")
+      .withColumn("nn", $"n_ref" + $"n_cur")
+      .withColumn("q", lit(2L) * ($"cum_r" + $"cum_c") - $"l")
+      .withColumn("dden",
+        expr("cast(q as decimal(38,0)) * (2 * nn - q)" +
+          " - cast(nn as decimal(38,0)) * l"))
+      .withColumn("p_ref",
+        expr("cast(nn as decimal(38,0)) * (2 * cum_r - r)" +
+          " - cast(n_ref as decimal(38,0)) * q"))
+      .withColumn("p_cur",
+        expr("cast(nn as decimal(38,0)) * (2 * cum_c - c)" +
+          " - cast(n_cur as decimal(38,0)) * q"))
+      .withColumn("t_ref", when($"dden" > 0, expr(
+        "cast(1000000 as decimal(38,0)) * (nn - 1) * l * p_ref * p_ref" +
+          " div (cast(nn as decimal(38,0)) * nn * n_ref * dden)"))
+        .otherwise(lit(0L)))
+      .withColumn("t_cur", when($"dden" > 0, expr(
+        "cast(1000000 as decimal(38,0)) * (nn - 1) * l * p_cur * p_cur" +
+          " div (cast(nn as decimal(38,0)) * nn * n_cur * dden)"))
+        .otherwise(lit(0L)))
+      .groupBy($"event_type")
+      .agg(max($"n_ref").as("n_ref"), max($"n_cur").as("n_cur"),
+        count(lit(1)).as("n_grid"),
+        sum($"t_ref" + $"t_cur").cast("long").as("a2akn_e6"))
+  }
+
   /** Two-sample KUIPER test — [[ksTest]]'s circular-sensitive
     * sibling: V = D⁺ + D⁻ (max ECDF excess in EACH direction) instead
     * of max |D|, which catches a distribution that has shifted
@@ -3519,6 +3583,61 @@ object StatsQueries {
                AS total_cents_after_fill
       FROM base b JOIN m ON b.event_type = m.event_type
       GROUP BY 1""")),
+
+    Q("q_anderson_darling", andersonDarling, Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents,
+                        event_id % 2 = 0 AS is_ref
+                 FROM events
+                 WHERE value IS NOT NULL),
+      g AS (SELECT event_type, cents,
+                   CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                     AS BIGINT) AS r,
+                   CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c
+            FROM e GROUP BY 1, 2),
+      cum AS (SELECT event_type, r, c,
+                     CAST(sum(r) OVER (PARTITION BY event_type
+                       ORDER BY cents ASC ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cum_r,
+                     CAST(sum(c) OVER (PARTITION BY event_type
+                       ORDER BY cents ASC ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cum_c,
+                     CAST(sum(r) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS n_ref,
+                     CAST(sum(c) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS n_cur
+              FROM g),
+      t AS (SELECT event_type, n_ref, n_cur,
+                   r + c AS l, n_ref + n_cur AS nn,
+                   2 * (cum_r + cum_c) - (r + c) AS q,
+                   CAST(nn AS HUGEINT) * (2 * cum_r - r)
+                     - CAST(n_ref AS HUGEINT)
+                       * (2 * (cum_r + cum_c) - (r + c)) AS p_ref,
+                   CAST(nn AS HUGEINT) * (2 * cum_c - c)
+                     - CAST(n_cur AS HUGEINT)
+                       * (2 * (cum_r + cum_c) - (r + c)) AS p_cur,
+                   CAST(2 * (cum_r + cum_c) - (r + c) AS HUGEINT)
+                     * (2 * nn - (2 * (cum_r + cum_c) - (r + c)))
+                     - CAST(nn AS HUGEINT) * (r + c) AS dden
+            FROM (SELECT *, n_ref + n_cur AS nn FROM cum)),
+      s AS (SELECT event_type, n_ref, n_cur,
+                   CASE WHEN dden > 0 THEN
+                     CAST(1000000 AS HUGEINT) * (nn - 1) * l
+                       * p_ref * p_ref
+                     // (CAST(nn AS HUGEINT) * nn * n_ref * dden)
+                   ELSE 0 END
+                   + CASE WHEN dden > 0 THEN
+                     CAST(1000000 AS HUGEINT) * (nn - 1) * l
+                       * p_cur * p_cur
+                     // (CAST(nn AS HUGEINT) * nn * n_cur * dden)
+                   ELSE 0 END AS term
+            FROM t)
+      SELECT event_type, n_ref, n_cur,
+             CAST(count(*) AS BIGINT) AS n_grid,
+             CAST(sum(term) AS BIGINT) AS a2akn_e6
+      FROM s GROUP BY 1, 2, 3""")),
 
     Q("q_kuiper_test", kuiperTest, Some("""
       WITH e AS (SELECT event_type,

@@ -9,6 +9,47 @@ class StatsSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf}
   import spark.implicits._
 
+  test("q_anderson_darling: driver-side BigInt midrank replay") {
+    val evs = Tables.events(spark, sf)
+      .filter($"value".isNotNull)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        ($"event_id" % 2 === 0).as("is_ref"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val expected = evs.groupBy(_._1).map { case (t, rows) =>
+      val nR = rows.count(_._3).toLong
+      val nC = rows.size - nR
+      val n = nR + nC
+      var cumR = 0L; var cumC = 0L
+      var a2 = BigInt(0); var grid = 0L
+      rows.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (_, g) =>
+        val r = g.count(_._3).toLong; val c = g.size - r
+        cumR += r; cumC += c
+        val l = r + c
+        val q = 2 * (cumR + cumC) - l
+        val dden = BigInt(q) * (2 * n - q) - BigInt(n) * l
+        if (dden > 0) {
+          val pR = BigInt(n) * (2 * cumR - r) - BigInt(nR) * q
+          val pC = BigInt(n) * (2 * cumC - c) - BigInt(nC) * q
+          a2 += BigInt(1000000) * (n - 1) * l * pR * pR /
+            (BigInt(n) * n * nR * dden)
+          a2 += BigInt(1000000) * (n - 1) * l * pC * pC /
+            (BigInt(n) * n * nC * dden)
+        }
+        grid += 1
+      }
+      t -> (nR, nC, grid, a2.toLong)
+    }
+    val got = SparkEntry.queries("q_anderson_darling")(spark, sf)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        === expected(r.getString(0)))
+    }
+  }
+
   test("q_kuiper_test: driver-side ECDF replay, and V dominates KS") {
     val evs = Tables.events(spark, sf)
       .filter($"value".isNotNull)
