@@ -1639,6 +1639,65 @@ object InferenceQueries {
     * as [[ivWald]]). Shape: daily rollup (map-side combinable), one
     * broadcast 1-row cutoff, one 2-row side aggregate — day-bounded
     * at any event volume, the q_eval_auc lesson. */
+  /** Caliper (e3 propensity units) for [[psmAtt]]. */
+  val PsmCaliper = 50L
+
+  /** Propensity-score MATCHING ATT (Rosenbaum & Rubin 1983) — the
+    * missing member of the causal tier (DiD compares cohorts over
+    * time, CUPED adjusts variance, RDD needs a threshold; matching is
+    * the workhorse when treatment is merely CORRELATED with observed
+    * activity): each user's deterministic propensity snaps to the e3
+    * grid (≤1001 buckets — a bounded, data-volume-independent frame),
+    * controls collapse per bucket to (count, exact e2 mean outcome),
+    * every treated bucket finds its NEAREST control bucket over the
+    * bounded bucket×bucket cross (broadcast, ≤1001² pairs by
+    * construction, ties to the smaller bucket via struct-min), a
+    * [[PsmCaliper]] caps the match distance, and
+    * ATT_e2 = Σ(outcome·100 − matched control mean_e2) div #matched —
+    * exact integers end to end (the per-bucket control mean is an
+    * exact floor, shared by every treated user matched there). Shape:
+    * one user rollup, two bounded-bucket aggregates, one broadcast
+    * join back; the corpus never shuffles twice. */
+  private def psmAtt(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val users = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L))
+          .as("n_click"),
+        coalesce(sum(when($"event_type" === "purchase",
+          ($"value".cast("decimal(18,2)") * 100).cast("long"))),
+          lit(0L)).as("out_cents"))
+      .withColumn("score_e3",
+        expr("(1000 * n_click) div (n_ev + 1)"))
+      .withColumn("treated", $"user_id" % 2 === 1)
+    val controls = users.filter(!$"treated")
+      .groupBy($"score_e3".as("cb"))
+      .agg(count(lit(1)).as("c_cnt"), sum($"out_cents").as("c_sum"))
+      .withColumn("c_mean_e2", expr("(c_sum * 100) div c_cnt"))
+    val nearest = users.filter($"treated").select($"score_e3").distinct()
+      .crossJoin(broadcast(controls.select($"cb", $"c_mean_e2")))
+      .withColumn("dist", abs($"score_e3" - $"cb"))
+      .groupBy($"score_e3")
+      .agg(min(struct($"dist", $"cb", $"c_mean_e2")).as("m"))
+      .select($"score_e3", $"m.dist".as("dist"),
+        $"m.c_mean_e2".as("c_mean_e2"))
+    val t = users.filter($"treated")
+      .join(broadcast(nearest), Seq("score_e3"), "left")
+      .withColumn("matched",
+        $"dist".isNotNull && $"dist" <= PsmCaliper)
+    val nCtl = users.filter(!$"treated")
+      .agg(count(lit(1)).as("n_controls"))
+    t.agg(count(lit(1)).as("n_treated"),
+        sum(when($"matched", 1L).otherwise(0L)).as("n_matched"),
+        sum(when($"matched", $"out_cents" * 100L - $"c_mean_e2")
+          .otherwise(0L)).as("att_num"))
+      .crossJoin(broadcast(nCtl))
+      .select($"n_treated", $"n_matched", $"n_controls",
+        when($"n_matched" > 0, expr("att_num div n_matched"))
+          .otherwise(lit(null).cast("long")).as("att_e2"))
+  }
+
   private def rddSharp(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val daily = Tables.events(s, d)
@@ -2715,6 +2774,54 @@ object InferenceQueries {
                     ELSE -(abs(num) * 1000000 // abs(den)) END
                AS BIGINT) AS wald_e6
       FROM c WHERE den <> 0""")),
+
+    Q("q_psm_att", psmAtt, Some(s"""
+      WITH u AS (SELECT user_id,
+                        CAST(count(*) AS BIGINT) AS n_ev,
+                        CAST(sum(CASE WHEN event_type = 'click'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                        CAST(coalesce(sum(CASE WHEN event_type =
+                          'purchase' THEN CAST(CAST(value AS
+                          DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+                          AS BIGINT) AS out_cents
+                 FROM events GROUP BY 1),
+      s AS (SELECT *, (1000 * n_click) // (n_ev + 1) AS score_e3,
+                   user_id % 2 = 1 AS treated
+            FROM u),
+      ctl AS (SELECT score_e3 AS cb,
+                     CAST(count(*) AS BIGINT) AS c_cnt,
+                     CAST(sum(out_cents) AS BIGINT) AS c_sum
+              FROM s WHERE NOT treated GROUP BY 1),
+      cm AS (SELECT cb, CAST((c_sum * 100) // c_cnt AS BIGINT)
+                          AS c_mean_e2
+             FROM ctl),
+      tb AS (SELECT DISTINCT score_e3 FROM s WHERE treated),
+      near AS (SELECT score_e3, dist, c_mean_e2 FROM (
+                 SELECT tb.score_e3, abs(tb.score_e3 - cm.cb) AS dist,
+                        cm.cb, cm.c_mean_e2,
+                        row_number() OVER (PARTITION BY tb.score_e3
+                          ORDER BY abs(tb.score_e3 - cm.cb) ASC,
+                                   cm.cb ASC) AS rn
+                 FROM tb CROSS JOIN cm)
+               WHERE rn = 1),
+      t AS (SELECT s.out_cents, near.dist, near.c_mean_e2,
+                   near.dist IS NOT NULL
+                     AND near.dist <= $PsmCaliper AS matched
+            FROM s LEFT JOIN near USING (score_e3)
+            WHERE s.treated),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n_treated,
+                     CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_matched,
+                     CAST(sum(CASE WHEN matched
+                       THEN out_cents * 100 - c_mean_e2 ELSE 0 END)
+                       AS BIGINT) AS att_num
+              FROM t),
+      nc AS (SELECT CAST(count(*) AS BIGINT) AS n_controls
+             FROM s WHERE NOT treated)
+      SELECT n_treated, n_matched, n_controls,
+             CAST(CASE WHEN n_matched > 0 THEN att_num // n_matched
+                  END AS BIGINT) AS att_e2
+      FROM agg, nc""")),
 
     Q("q_rdd_sharp", rddSharp, Some(s"""
       WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
