@@ -2510,6 +2510,49 @@ object StatsQueries {
       .agg(sum($"cents").as("cents"))
   }
 
+  /** MANN–KENDALL trend test (Mann 1945, Kendall 1975) with the tie
+    * correction — the standard nonparametric "is this series
+    * monotonically drifting" answer ([[theilSen]] gives the slope;
+    * this gives the SIGNIFICANCE): S = Σ_{i<j} sgn(cⱼ − cᵢ) over the
+    * daily grid, Var(S)·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) exact,
+    * and (the turningPoints device) the z-score ships as the EXACT
+    * rational z² with S's sign: z2_e6 = 18·10⁶·(S∓1)² div VarS18,
+    * flag |z| ≥ 1.96 ⟺ magnitude ≥ 3 841 600. No sqrt anywhere.
+    * Shape: day-grid rollup, then a CALENDAR-BOUNDED pair fan (the
+    * i<j self-join carries the event-type equi key, ≤ |days|² rows
+    * per type at ANY volume) and a tie rollup on the distinct-cents
+    * frame. */
+  private def mannKendall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = dailyCentsLocal(s, d)
+    val a = daily.select($"event_type", $"day".as("d1"),
+      $"cents".as("c1"))
+    val b = daily.select($"event_type".as("et2"), $"day".as("d2"),
+      $"cents".as("c2"))
+    val sTab = a.join(b, $"event_type" === $"et2" && $"d1" < $"d2")
+      .groupBy($"event_type")
+      .agg(sum(signum($"c2" - $"c1").cast("long")).as("s_stat"))
+    val ties = daily.groupBy($"event_type", $"cents")
+      .agg(count(lit(1)).as("t"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_values"),
+        sum($"t").as("n_days"),
+        sum($"t" * ($"t" - 1) * (lit(2L) * $"t" + 5)).as("tie_term"))
+    sTab.join(ties, "event_type")
+      .withColumn("var_s_18",
+        $"n_days" * ($"n_days" - 1) * (lit(2L) * $"n_days" + 5)
+          - $"tie_term")
+      .withColumn("mag", expr(
+        "case when var_s_18 > 0 then" +
+          " cast(18000000 * cast(abs(s_stat) - 1 as decimal(38,0))" +
+          " * (abs(s_stat) - 1) div var_s_18 as bigint)" +
+          " else 0L end"))
+      .select($"event_type", $"n_days", $"s_stat", $"var_s_18",
+        when($"s_stat" === 0, lit(0L))
+          .when($"s_stat" > 0, $"mag").otherwise(-$"mag").as("z2_e6"),
+        ($"s_stat" =!= 0 && $"mag" >= 3841600L).as("trend_5pct"))
+  }
+
   /** Poisson-bootstrap replicate count for [[bootstrapCi]]. */
   val BootstrapReplicates = 32
 
@@ -3583,6 +3626,45 @@ object StatsQueries {
                AS total_cents_after_fill
       FROM base b JOIN m ON b.event_type = m.event_type
       GROUP BY 1""")),
+
+    Q("q_mann_kendall", mannKendall, Some("""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+                              * 100 AS BIGINT)) AS BIGINT) AS cents
+                     FROM events WHERE value IS NOT NULL
+                     GROUP BY 1, 2),
+      st AS (SELECT a.event_type,
+                    CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                             WHEN b.cents < a.cents THEN -1
+                             ELSE 0 END) AS BIGINT) AS s_stat
+             FROM daily a JOIN daily b
+               ON a.event_type = b.event_type AND a.day < b.day
+             GROUP BY 1),
+      tg AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS t
+             FROM daily GROUP BY 1, 2),
+      ties AS (SELECT event_type,
+                      CAST(count(*) AS BIGINT) AS n_values,
+                      CAST(sum(t) AS BIGINT) AS n_days,
+                      CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                        AS tie_term
+               FROM tg GROUP BY 1),
+      m AS (SELECT st.event_type, s_stat, n_days,
+                   n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+                     AS var_s_18
+            FROM st JOIN ties USING (event_type)),
+      z AS (SELECT *, CASE WHEN var_s_18 > 0 THEN
+                        CAST(CAST(18000000 AS HUGEINT)
+                          * (abs(s_stat) - 1) * (abs(s_stat) - 1)
+                          // var_s_18 AS BIGINT)
+                      ELSE 0 END AS mag
+            FROM m)
+      SELECT event_type, n_days, s_stat,
+             CAST(var_s_18 AS BIGINT) AS var_s_18,
+             CAST(CASE WHEN s_stat = 0 THEN 0
+                  WHEN s_stat > 0 THEN mag ELSE -mag END AS BIGINT)
+               AS z2_e6,
+             s_stat <> 0 AND mag >= 3841600 AS trend_5pct
+      FROM z""")),
 
     Q("q_anderson_darling", andersonDarling, Some("""
       WITH e AS (SELECT event_type,
