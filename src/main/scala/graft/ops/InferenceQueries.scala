@@ -236,6 +236,38 @@ object InferenceQueries {
     * each cell's χ² term is floored to ·1e6 BIGINT before summing
     * (floor-then-sum, order-independent), then V = √(χ²/(N·(k−1)))
     * per-row. Shape: one map-side-combinable groupBy, 15-row tail. */
+  /** ADJUSTED standardized residuals per contingency cell (Haberman
+    * 1973) — the drill-down [[cramersV]]/chi² can't give: WHICH cells
+    * drive the dependence. z = (O−E)/√(E(1−rt/N)(1−ct/N)) ships as
+    * the sign-carried EXACT rational z² (the turningPoints device):
+    * z2_e4 = (O·N − rt·ct)²·N·10⁴ div (rt·ct·(N−rt)·(N−ct)) in
+    * decimal(38,0)/HUGEINT (the N³ powers cancel exactly, and the
+    * extensive products stay inside decimal(38,0) through ~10⁷×
+    * volume), flag |z| ≥ 1.96 ⟺ magnitude ≥ 38416. The marginal
+    * windows walk the bounded |priority|×|status| cell frame — the
+    * cramersV whitelist argument. */
+  private def crosstabStdres(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority".as("pri"), $"o_orderstatus".as("st"))
+      .agg(count(lit(1)).as("o"))
+      .withColumn("rt", sum($"o").over(W.partitionBy($"pri")))
+      .withColumn("ct", sum($"o").over(W.partitionBy($"st")))
+      .withColumn("n", sum($"o").over(
+        W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .withColumn("dev",
+        expr("cast(o as decimal(38,0)) * n" +
+          " - cast(rt as decimal(38,0)) * ct"))
+      .withColumn("mag", expr(
+        "case when rt < n and ct < n then" +
+          " cast(dev * dev * n * 10000 div (cast(rt as decimal(38,0))" +
+          " * ct * (n - rt) * (n - ct)) as bigint) else 0L end"))
+      .select($"pri", $"st", $"o", $"rt", $"ct", $"n",
+        when($"dev" >= 0, $"mag").otherwise(-$"mag").as("z2_e4"),
+        ($"mag" >= 38416L).as("sig_5pct"))
+  }
+
   private def cramersV(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val W = org.apache.spark.sql.expressions.Window
@@ -2774,6 +2806,37 @@ object InferenceQueries {
                     ELSE -(abs(num) * 1000000 // abs(den)) END
                AS BIGINT) AS wald_e6
       FROM c WHERE den <> 0""")),
+
+    Q("q_crosstab_stdres", crosstabStdres, Some("""
+      WITH cells AS (SELECT o_orderpriority AS pri,
+                            o_orderstatus AS st,
+                            CAST(count(*) AS BIGINT) AS o
+                     FROM orders GROUP BY 1, 2),
+      m AS (SELECT pri, st, o,
+                   CAST(sum(o) OVER (PARTITION BY pri) AS BIGINT)
+                     AS rt,
+                   CAST(sum(o) OVER (PARTITION BY st) AS BIGINT)
+                     AS ct,
+                   CAST(sum(o) OVER () AS BIGINT) AS n
+            FROM cells),
+      z AS (SELECT *,
+                   CAST(o AS HUGEINT) * n
+                     - CAST(rt AS HUGEINT) * ct AS dev,
+                   CASE WHEN rt < n AND ct < n THEN
+                     CAST((CAST(o AS HUGEINT) * n
+                           - CAST(rt AS HUGEINT) * ct)
+                       * (CAST(o AS HUGEINT) * n
+                          - CAST(rt AS HUGEINT) * ct)
+                       * n * 10000
+                       // (CAST(rt AS HUGEINT) * ct * (n - rt)
+                          * (n - ct)) AS BIGINT)
+                   ELSE 0 END AS mag
+            FROM m)
+      SELECT pri, st, o, rt, ct, n,
+             CAST(CASE WHEN dev >= 0 THEN mag ELSE -mag END AS BIGINT)
+               AS z2_e4,
+             mag >= 38416 AS sig_5pct
+      FROM z""")),
 
     Q("q_psm_att", psmAtt, Some(s"""
       WITH u AS (SELECT user_id,

@@ -94,6 +94,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_anova_f" -> "k-row per-type moment table (|event_types|)",
     "q_brown_forsythe" -> "k-row per-type moment table (|event_types|)",
     "q_cramers_v" -> "|priority|x|status| contingency cells",
+    "q_crosstab_stdres" -> "|priority|x|status| contingency cells",
     "q_mutual_information" -> "|event_types|x7 contingency cells",
     "q_rbo" -> "RboK-row depth grid (rankings ride GlobalRank)",
     "q_isotonic_calibration" -> "<=100-row score-bin PAVA frame",
