@@ -16,40 +16,88 @@ import java.nio.file.{Files, Paths}
   * on every query and inverted one comparison). AQE stays on, shuffle
   * partitions match local core count.
   *
+  * == Contamination gate (VERDICT r14 #1) ==
+  * Round 14's committed artifact ran on a box whose load climbed to
+  * 11.6 mid-sweep and every query inflated ~22 % with zero code
+  * changes. The r13-era gate only checked `loadavg_start`, so load
+  * arriving MID-run still poisoned the stamped number. Loadavg alone
+  * cannot close that hole: our own local[32] sweep legitimately drives
+  * the 1-minute loadavg past 10 (r13's clean run ended at 11.55; r14's
+  * poisoned one at 11.64 — indistinguishable). The discriminating
+  * signal is CPU-time accounting: during each timed pass we read
+  * `/proc/stat` (whole-box busy jiffies) and `/proc/self/stat`
+  * (this JVM's utime+stime, all threads — Spark local mode is a single
+  * JVM, so "self" IS the engine). external_cores =
+  * (boxBusyΔ − selfΔ) / USER_HZ / wallSeconds — the average number of
+  * cores someone ELSE burned while our clock ran. An idle box shows
+  * ≲0.3 (kernel threads, sbt parent heartbeat); the r14 contamination
+  * pattern (a 15-min verify sweep draining in another JVM) shows
+  * several. When any timed pass exceeds [[ExtCoresGate]] — or the
+  * pre-sweep loadavg exceeds [[IdleLoadGate]] — the WHOLE sweep is
+  * discarded, we sleep, and re-run, up to [[MaxSweeps]] attempts.
+  * Every attempt's loadavg samples and external-core readings are
+  * stamped into the JSON (`sweeps` array + `kept` index) so the
+  * artifact is self-adjudicating even when all attempts were dirty
+  * (then: min-total attempt kept, `clean:false`).
+  *
   * Failures are NOT swallowed: a query that errors is timed to its
   * failure point, reported in an "errors" map, and forces a non-zero
   * exit — a silently-zero bench entry must never read as a pass.
   */
 object Bench {
-  /** 1-minute system load average, so each BENCH artifact is
-    * self-adjudicating against box-load noise (round 12's official
-    * total was +14 % purely from a loaded machine and the artifact
-    * carried no evidence either way — VERDICT r12 #4).
-    */
+  /** 1-minute system load average (pre-sweep gate + evidence). */
   private def loadAvg(): Double = {
     val v = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     if (v.isNaN) -1.0 else v
   }
 
-  /** Self-adjudication upgrade (VERDICT r13 #6): recording loadavg
-    * made a loaded box visible after the fact; gating on it removes
-    * the recurring outlier-adjudication work. One retry only — a box
-    * that stays loaded is reported as-is, flagged by idle_gated plus
-    * the recorded loadavg. */
-  private val IdleLoadGate = 2.0
-  private val IdleRetryMs = 90000L
+  /** Whole-box busy jiffies from /proc/stat line 1:
+    * user+nice+system+irq+softirq+steal (idle+iowait excluded).
+    * -1 when unreadable (non-Linux) — gating then degrades to the
+    * loadavg_start check only. */
+  private def boxBusyJiffies(): Long = try {
+    val line = Files.readAllLines(Paths.get("/proc/stat")).get(0)
+    val f = line.trim.split("\\s+")
+    // cpu user nice system idle iowait irq softirq steal ...
+    f(1).toLong + f(2).toLong + f(3).toLong + f(6).toLong + f(7).toLong +
+      (if (f.length > 8) f(8).toLong else 0L)
+  } catch { case _: Throwable => -1L }
+
+  /** This process's utime+stime jiffies (/proc/self/stat fields 14,15,
+    * 1-based; sums all threads — the whole local-mode engine). */
+  private def selfBusyJiffies(): Long = try {
+    val s = Files.readString(Paths.get("/proc/self/stat"))
+    // comm (field 2) may contain spaces/parens — split after the ')'.
+    val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
+    // rest(0) is field 3 (state); utime=field 14 → rest(11), stime → rest(12)
+    rest(11).toLong + rest(12).toLong
+  } catch { case _: Throwable => -1L }
+
+  /** Linux USER_HZ: 100 on every mainstream kernel/ABI this runs on
+    * (x86-64, aarch64); only used to convert jiffies → cores, and both
+    * numerator terms share the unit so a wrong constant would scale,
+    * not invert, the gate. */
+  private val UserHz = 100.0
+
+  private val IdleLoadGate = 2.0   // pre-sweep 1-min loadavg bound
+  private val ExtCoresGate = 1.5   // avg non-self cores during a timed pass
+  private val MaxSweeps    = 3     // bounded retries (1 + 2)
+  private val RetrySleepMs = 120000L // our own loadavg must decay too
+
+  private case class Pass(total: Double, ext: Double,
+                          times: Map[String, Double])
+  private case class Sweep(loadStart: Double, loadMid: Double,
+                           loadEnd: Double, p1: Pass, p2: Pass) {
+    def total: Double = // per-query min across the two passes
+      p1.times.map { case (n, t) => math.min(t, p2.times(n)) }.sum
+    def clean: Boolean =
+      loadStart <= IdleLoadGate &&
+        (p1.ext < 0 || p1.ext <= ExtCoresGate) &&
+        (p2.ext < 0 || p2.ext <= ExtCoresGate)
+  }
 
   def main(args: Array[String]): Unit = {
-    val loadStart0 = loadAvg()
-    val idleGated = loadStart0 > IdleLoadGate
-    if (idleGated) {
-      System.err.println(
-        f"[bench] loadavg $loadStart0%.2f > $IdleLoadGate%.1f — " +
-          s"sleeping ${IdleRetryMs / 1000} s for an idle box")
-      Thread.sleep(IdleRetryMs)
-    }
-    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // volume-derived (== cpus at sf0.1; grows with the input so a
@@ -67,12 +115,28 @@ object Bench {
 
     val qs = SparkEntry.headline
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    qs.foreach { q => // warm-up: plan + run once, discard timing
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        errors.getOrElseUpdate(q.name, s"warmup: ${e.getClass.getSimpleName}: ${e.getMessage}")
-      }
+
+    def runAll(timed: Boolean): Pass = {
+      val wall0 = System.nanoTime()
+      val box0 = boxBusyJiffies(); val self0 = selfBusyJiffies()
+      val times = qs.map { q =>
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          val tag = if (timed) "" else "warmup: "
+          errors.put(q.name,
+            s"$tag${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+        q.name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+      val wallS = (System.nanoTime() - wall0) / 1e9
+      val box1 = boxBusyJiffies(); val self1 = selfBusyJiffies()
+      val ext =
+        if (box0 < 0 || self0 < 0 || box1 < 0 || self1 < 0 || wallS <= 0) -1.0
+        else math.max(0.0, (box1 - box0 - (self1 - self0)) / UserHz / wallS)
+      Pass(times.values.sum, ext, times)
     }
+
     // NOTE (round 8): a System.gc() before each query's clock was
     // tried here to reclaim prior queries' broadcast/shuffle state —
     // it trimmed the heavy tail (~0.2 s on q_yelp_master_volume) but
@@ -80,18 +144,44 @@ object Bench {
     // broadcast/codegen state the back-to-back passes otherwise
     // reuse): idle-box totals 26.1 s with GC vs 23.5 s without.
     // Reverted; see BENCHNOTES Round 8.
-    def timedPass(): Seq[(String, Double)] = qs.map { q =>
-      val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        errors.put(q.name, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    def sweep(): Sweep = {
+      val la0 = loadAvg()
+      runAll(timed = false) // warm-up: plan + run once, discard timing
+      val laMid = loadAvg()
+      val p1 = runAll(timed = true)
+      val p2 = runAll(timed = true)
+      Sweep(la0, laMid, loadAvg(), p1, p2)
+    }
+
+    val sweeps = scala.collection.mutable.ArrayBuffer.empty[Sweep]
+    var attempt = 0
+    var done = false
+    while (!done && attempt < MaxSweeps) {
+      attempt += 1
+      // Pre-sweep idle wait: a retry must also let OUR OWN previous
+      // sweep's loadavg decay (1-min average halves every ~42 s).
+      var waits = 0
+      while (loadAvg() > IdleLoadGate && waits < 3) {
+        System.err.println(f"[bench] loadavg ${loadAvg()}%.2f > " +
+          f"$IdleLoadGate%.1f — sleeping ${RetrySleepMs / 1000} s (wait ${waits + 1}/3)")
+        Thread.sleep(RetrySleepMs); waits += 1
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val s = sweep()
+      sweeps += s
+      if (s.clean) done = true
+      else System.err.println(f"[bench] sweep $attempt dirty " +
+        f"(loadStart ${s.loadStart}%.2f, ext ${s.p1.ext}%.2f/${s.p2.ext}%.2f" +
+        f" cores) — ${if (attempt < MaxSweeps) "retrying" else "out of retries"}")
     }
-    val pass1 = timedPass().toMap
-    val results = timedPass().map { case (n, t2) =>
-      n -> math.min(pass1(n), t2)
+    val keptIdx = sweeps.indexWhere(_.clean) match {
+      case -1 => sweeps.zipWithIndex.minBy(_._1.total)._2 // least-dirty
+      case i  => i
     }
+    val kept = sweeps(keptIdx)
+    val results = qs.map { q =>
+      q.name -> math.min(kept.p1.times(q.name), kept.p2.times(q.name))
+    }
+
     val qJson = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -104,10 +194,14 @@ object Bench {
     val errJson = errors
       .map { case (k, v) => jstr(k) + ":" + jstr(v.take(300)) }
       .mkString("{", ",", "}")
+    val sweepsJson = sweeps.map { s =>
+      f"""{"loadavg":[${s.loadStart}%.2f,${s.loadMid}%.2f,${s.loadEnd}%.2f],""" +
+        f""""ext_cores":[${s.p1.ext}%.2f,${s.p2.ext}%.2f],""" +
+        f""""pass_totals":[${s.p1.total}%.3f,${s.p2.total}%.3f],"clean":${s.clean}}"""
+    }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val loadEnd = loadAvg()
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"runs":2,"agg":"min","idle_gated":$idleGated,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"runs":2,"agg":"min","sweeps":$sweepsJson,"kept":$keptIdx,"clean":${kept.clean},"ext_gate":$ExtCoresGate%.1f,"idle_gated":${sweeps.length > 1},"loadavg_start":${kept.loadStart}%.2f,"loadavg_end":${kept.loadEnd}%.2f,"sf":"$sfDir"}"""
     println(line)
     try {
       Files.createDirectories(Paths.get("target"))

@@ -241,9 +241,17 @@ object InferenceQueries {
     * drive the dependence. z = (O−E)/√(E(1−rt/N)(1−ct/N)) ships as
     * the sign-carried EXACT rational z² (the turningPoints device):
     * z2_e4 = (O·N − rt·ct)²·N·10⁴ div (rt·ct·(N−rt)·(N−ct)) in
-    * decimal(38,0)/HUGEINT (the N³ powers cancel exactly, and the
-    * extensive products stay inside decimal(38,0) through ~10⁷×
-    * volume), flag |z| ≥ 1.96 ⟺ magnitude ≥ 38416. The marginal
+    * decimal(38,0)/HUGEINT (the N³ powers cancel exactly; headroom:
+    * dev²·N·10⁴ ≤ 10³⁸ holds through ~10⁷× volume ASSUMING the
+    * observed near-independent margins where dev ≲ N^(3/2) — in the
+    * worst case dev ≈ N²/4 (one dominant cell in a 2×2 with balanced
+    * margins) the bound is dev²·N·10⁴ ≈ N⁵·6e2, which crosses
+    * decimal(38,0)/HUGEINT near N ≈ 10⁷ (only ~70× this table) with
+    * engine-divergent overflow behavior — at that margin skew this
+    * form needs the
+    * common-factor reduction (divide dev by gcd with the denominator)
+    * before squaring; ADVICE r14 #4), flag |z| ≥ 1.96 ⟺ magnitude
+    * ≥ 38416. The marginal
     * windows walk the bounded |priority|×|status| cell frame — the
     * cramersV whitelist argument. */
   private def crosstabStdres(s: SparkSession, d: String): DataFrame = {

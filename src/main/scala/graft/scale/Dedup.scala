@@ -1334,7 +1334,12 @@ object Dedup {
       FROM r
       ORDER BY run_tokens DESC, doc_a ASC, doc_b ASC, a_start ASC,
                b_start ASC
-      LIMIT $SubstringTopK""")),
+      LIMIT $SubstringTopK"""),
+      // headline (round 15, VERDICT r14 #4): the heaviest LLM-tier
+      // operator added in r14 (df-capped anchor self-join + islands
+      // windows) — an AnchorDfCap or window-plan regression must show
+      // up in the bench, as it did for q_chunk_dedup in r13
+      headline = true),
 
     Q("q_dedup_substring_ledger", substringLedger, Some(s"""$substringRunCtes,
       iv AS (SELECT DISTINCT doc_id, st, en FROM (

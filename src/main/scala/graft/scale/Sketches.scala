@@ -202,7 +202,12 @@ object Sketches {
       .agg(count(lit(1)).as("k"), max($"hv").as("vk"))
       .join(exact, "event_type")
       .select($"event_type", $"k", $"vk",
-        round(($"k" - 1).cast("double") * P / $"vk", 1).as("est"),
+        // vk==0 (hash 0 is the only retained value) would be 0/0 = NaN
+        // here but a raised division-by-zero in DuckDB — pin est=0.0
+        // on all sides (matches the streaming twin's guard).
+        when($"vk" === 0L, lit(0.0))
+          .otherwise(round(($"k" - 1).cast("double") * P / $"vk", 1))
+          .as("est"),
         $"n_exact")
   }
 
@@ -220,7 +225,9 @@ object Sketches {
     topK.agg(count(lit(1)).as("k"), max($"hv").as("vk"))
       .crossJoin(exact)
       .select($"k", $"vk",
-        round(($"k" - 1).cast("double") * P / $"vk", 1).as("est"),
+        when($"vk" === 0L, lit(0.0)) // same guard as kmvByType
+          .otherwise(round(($"k" - 1).cast("double") * P / $"vk", 1))
+          .as("est"),
         $"n_exact")
   }
 
@@ -315,8 +322,11 @@ object Sketches {
     aStats.crossJoin(bStats).crossJoin(nCommon).crossJoin(exact)
       .select($"k_a", $"vk_a", $"k_b", $"vk_b", $"n_common",
         least($"vk_a", $"vk_b").as("theta"),
-        round($"n_common".cast("double") * P /
-          least($"vk_a", $"vk_b"), 1).as("est_inter"),
+        // theta==0 ⇒ n_common==0 (no hv < 0), so the ratio is 0/0 —
+        // same reachable-hash-0 guard as the KMV estimators.
+        when(least($"vk_a", $"vk_b") === 0L, lit(0.0))
+          .otherwise(round($"n_common".cast("double") * P /
+            least($"vk_a", $"vk_b"), 1)).as("est_inter"),
         $"n_exact_inter")
   }
 
@@ -522,7 +532,9 @@ object Sketches {
                     CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
              FROM events GROUP BY 1)
       SELECT agg.event_type, k, vk,
-             round((k - 1) * 1.0 * 2147483647 / vk, 1) AS est,
+             CASE WHEN vk = 0 THEN 0.0
+                  ELSE round((k - 1) * 1.0 * 2147483647 / vk, 1)
+             END AS est,
              n_exact
       FROM agg JOIN ex USING (event_type)""")),
 
@@ -539,7 +551,9 @@ object Sketches {
       ex AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
              FROM orders)
       SELECT k, vk,
-             round((k - 1) * 1.0 * 2147483647 / vk, 1) AS est,
+             CASE WHEN vk = 0 THEN 0.0
+                  ELSE round((k - 1) * 1.0 * 2147483647 / vk, 1)
+             END AS est,
              n_exact
       FROM agg, ex""")),
 
@@ -586,8 +600,10 @@ object Sketches {
              FROM flags)
       SELECT k_a, vk_a, k_b, vk_b, n_common,
              least(vk_a, vk_b) AS theta,
-             round(n_common * 1.0 * 2147483647 / least(vk_a, vk_b), 1)
-               AS est_inter,
+             CASE WHEN least(vk_a, vk_b) = 0 THEN 0.0
+                  ELSE round(n_common * 1.0 * 2147483647
+                             / least(vk_a, vk_b), 1)
+             END AS est_inter,
              n_exact_inter
       FROM sa, sb, nc, ex"""),
       // headline (round 13, VERDICT r12 #5): the AQP/sketch tier had

@@ -34,12 +34,17 @@ object StreamBench {
       spark.sqlContext
 
     def run(tag: String, total: Int)(feed: (Int, Int) => Unit): Unit = {
+      // rows/s numerator = rows actually fed: total/batches floors, so
+      // when batches ∤ total the loop delivers batches*(total/batches)
+      // rows, not `total` — using `total` overstated throughput.
+      val perBatch = total / batches
+      val fed = batches.toLong * perBatch
       val t0 = System.nanoTime()
       var i = 0
-      while (i < batches) { feed(i, total / batches); i += 1 }
+      while (i < batches) { feed(i, perBatch); i += 1 }
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[streambench] $tag: $total rows / $batches batches " +
-        f"in $secs%.2f s = ${total / secs}%.0f rows/s")
+      println(f"[streambench] $tag: $fed rows / $batches batches " +
+        f"in $secs%.2f s = ${fed / secs}%.0f rows/s")
     }
 
     def events(batch: Int, rows: Int): Seq[Event] =

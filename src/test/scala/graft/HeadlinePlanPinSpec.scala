@@ -1,0 +1,95 @@
+package graft
+
+import graft.ext.PlanStats
+import graft.ext.PlanStats.Counts
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins each headliner's plan STRUCTURE — shuffle-exchange count,
+  * broadcast-exchange count, source-scan count — at the test config
+  * (sf0.001, 4 shuffle partitions, AQE on; counts taken on the
+  * pre-adaptive plan, subqueries included). VERDICT r14 #2: wall-time
+  * regression detection is noise-limited (r14's bench artifact showed
+  * a phantom 22 % load regression on an untouched tree); structural
+  * regression detection is deterministic — an extra Exchange lands
+  * here as a red test on the very commit that introduced it.
+  *
+  * The pins assert EQUALITY, not just an upper bound: a shrink is a
+  * (welcome) plan improvement that must be re-pinned consciously so
+  * the table stays the truth. Regenerate with:
+  *   sbt "runMain graft.tools.PlanCensus"
+  * and paste — the tool prints this exact syntax under this exact
+  * session config.
+  */
+class HeadlinePlanPinSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  /** (shuffles, broadcasts, scans) per headliner — PlanCensus output. */
+  private val pinned: Map[String, Counts] = Map(
+    "q_agg_pricing" -> Counts(1, 0, 1),
+    "q_filter_revenue" -> Counts(1, 0, 1),
+    "q_regional_volume" -> Counts(1, 5, 6),
+    "q_join_mktsegment" -> Counts(1, 2, 3),
+    "q_upsert_scd2" -> Counts(2, 0, 1),
+    "q_star_join" -> Counts(1, 5, 6),
+    "q_window_top_per_group" -> Counts(1, 0, 1),
+    "q_window_running" -> Counts(1, 0, 1),
+    "q_topk_custom" -> Counts(1, 0, 1),
+    "q_sessionize" -> Counts(1, 0, 1),
+    "q_super_category" -> Counts(1, 0, 1),
+    "q_master_pipeline" -> Counts(1, 2, 3),
+    "q_window_range" -> Counts(1, 0, 1),
+    "q_asof_attribution" -> Counts(2, 0, 2),
+    "q_asof_forward" -> Counts(2, 0, 2),
+    "q_logistic_irls" -> Counts(3, 2, 3),
+    "q_rolling_corr" -> Counts(3, 1, 2),
+    "q_matrix_profile" -> Counts(3, 7, 9),
+    "q_spatial_join" -> Counts(1, 1, 2),
+    "q_yelp_master_volume" -> Counts(4, 2, 3),
+    "q_winnow_fingerprints" -> Counts(1, 0, 1),
+    "q_perplexity" -> Counts(4, 3, 4),
+    "q_chunk_dedup" -> Counts(2, 1, 2),
+    "q_dedup_substring" -> Counts(3, 3, 4),
+    "q_dedup_spans" -> Counts(2, 2, 3),
+    "q_dedup_minhash_lsh" -> Counts(3, 5, 6),
+    "q_er_cluster" -> Counts(14, 0, 8),
+    "q_clustering_coeff" -> Counts(9, 7, 11),
+    "q_pagerank" -> Counts(3, 3, 4),
+    "q_graph_jaccard" -> Counts(3, 3, 4),
+    "q_ann_bruteforce" -> Counts(1, 1, 2),
+    "q_embed_neardup_lsh" -> Counts(1, 3, 4),
+    "q_bloom_prejoin" -> Counts(1, 2, 3),
+    "q_sketch_intersect" -> Counts(14, 6, 7)
+  )
+
+  test("every headliner is pinned and no pin is stale") {
+    val names = SparkEntry.headline.map(_.name).toSet
+    assert(names === pinned.keySet,
+      s"headliner set changed — re-run PlanCensus; " +
+        s"unpinned=${names -- pinned.keySet}, " +
+        s"stale=${pinned.keySet -- names}")
+  }
+
+  for (q <- SparkEntry.headline) {
+    test(s"${q.name} plan structure matches its pin") {
+      val got = PlanStats.of(q.run(spark, sf))
+      val want = pinned(q.name)
+      assert(got === want,
+        s"${q.name}: plan structure drifted — pinned $want, got $got " +
+          s"(shuffles, broadcasts, scans). A GROWTH is a regression " +
+          s"(find the new Exchange before it costs the bench); a " +
+          s"shrink is an improvement — re-pin via PlanCensus and say " +
+          s"why in the commit.")
+    }
+  }
+
+  test("the gate fires on a deliberately regressed plan (stays honest)") {
+    // take the simplest headliner and inject one extra shuffle — the
+    // counter must see EXACTLY one more exchange than the pin
+    val q = SparkEntry.queries("q_agg_pricing")
+    val regressed = q(spark, sf).repartition(3)
+    val got = PlanStats.of(regressed)
+    val want = pinned("q_agg_pricing")
+    assert(got.shuffles === want.shuffles + 1,
+      s"probe expected ${want.shuffles + 1} shuffles, got $got")
+  }
+}

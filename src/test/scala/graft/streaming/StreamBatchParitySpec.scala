@@ -558,9 +558,16 @@ class StreamBatchParitySpec extends AnyFunSuite {
       try {
         chunks.foreach { c => in.addData(c.toSeq: _*); q.processAllAvailable() }
       } finally q.stop()
-      val streamed = spark.table("parity_kmv").collect()
+      val allSnapshots = spark.table("parity_kmv").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getDouble(4)))
+      // the state bound IS the operator's contract (VERDICT r14 #7):
+      // every intermediate snapshot — not just the final one — must
+      // carry k ≤ kCap, i.e. the carried state re-enters each fold
+      // already capped
+      assert(allSnapshots.forall(_._3 <= graft.scale.Sketches.KmvK),
+        s"KMV snapshot exceeded kCap: ${allSnapshots.filter(_._3 > graft.scale.Sketches.KmvK).toSeq}")
+      val streamed = allSnapshots
         .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }
         .map(t => t._1 -> (t._3, t._4, t._5)).toMap
       val batch = graft.SparkEntry.queries("q_kmv_by_type")(spark, sf)

@@ -60,7 +60,7 @@ def key(row, kinds):
     return tuple(x for c, k in zip(row, kinds) for x in (k,) + norm(c))
 
 
-def audit_dtypes(con, oracle, got_schemas):
+def audit_dtypes(con, oracle, got_schemas, got_sqltypes=None):
     """DESCRIBE every oracle; fail any output column whose DuckDB type
     the driver's hasher would distinguish from the Spark parquet twin:
       * widened numerics (HUGEINT / DECIMAL(38,0) / DOUBLE) against an
@@ -70,7 +70,14 @@ def audit_dtypes(con, oracle, got_schemas):
         string twin) — '42' vs 42 hash differently;
       * TIMESTAMP WITH TIME ZONE against a tz-naive twin (and the
         reverse) — both collapse to kind 't' in the row compare, so
-        only this audit can see the tz flag.
+        only this audit can see the tz flag;
+      * DATE against a TIMESTAMP twin (VERDICT r14 #8) — this gate
+        loads Spark's parquet THROUGH DuckDB, whose fetchdf renders
+        both as datetime64[us] (a midnight timestamp equals the date),
+        while the driver reads the parquet natively and hashes date32
+        vs timestamp differently — so the only local witness is the
+        SQL-level type pair (got_sqltypes = DESCRIBE of the Spark
+        parquet), not the pandas dtype.
     Catches the bug class at authoring time instead of three driver
     rounds later."""
     n_bad = 0
@@ -113,6 +120,20 @@ def audit_dtypes(con, oracle, got_schemas):
                           f"mismatch — oracle {typ} vs Spark {sdt}; "
                           f"the hasher renders the tz flag")
                     n_bad += 1
+            stype = (got_sqltypes or {}).get(name, {}).get(col, "").upper()
+            if stype:
+                s_date = stype == "DATE"
+                o_date = typ == "DATE"
+                s_ts = "TIMESTAMP" in stype
+                o_ts = "TIMESTAMP" in typ
+                if (s_date and o_ts) or (s_ts and o_date):
+                    print(f"AUDIT-FAIL {name}.{col}: DATE-vs-TIMESTAMP "
+                          f"kind pair — Spark parquet {stype} vs oracle "
+                          f"{typ}; identical here via DuckDB's "
+                          f"datetime64 render but the driver hashes "
+                          f"date32 and timestamp differently — CAST "
+                          f"one side")
+                    n_bad += 1
     return n_bad
 
 
@@ -127,7 +148,15 @@ def selftest():
         "probe_int_vs_str": {"c": "object"},
         "probe_tz": {"t": "datetime64[us]"},
         "probe_ntz": {"t": "datetime64[us, UTC]"},
-        "probe_clean": {"c": "int64", "t": "datetime64[us]"},
+        "probe_date_vs_ts": {"d": "datetime64[us]"},
+        "probe_clean": {"c": "int64", "t": "datetime64[us]",
+                        "d": "datetime64[us]"},
+    }
+    got_sqltypes = {
+        # Spark wrote date32; the oracle (below) says TIMESTAMP — the
+        # datetime64 pandas dtype is identical, only this catches it.
+        "probe_date_vs_ts": {"d": "DATE"},
+        "probe_clean": {"c": "BIGINT", "t": "TIMESTAMP", "d": "DATE"},
     }
     oracle = {
         "probe_hugeint": "SELECT sum(x) AS c FROM (VALUES (1), (2)) v(x)",
@@ -135,13 +164,15 @@ def selftest():
         "probe_int_vs_str": "SELECT 42 AS c",
         "probe_tz": "SELECT TIMESTAMPTZ '2020-01-01 00:00:00+00' AS t",
         "probe_ntz": "SELECT TIMESTAMP '2020-01-01 00:00:00' AS t",
+        "probe_date_vs_ts": "SELECT TIMESTAMP '2020-01-01 00:00:00' AS d",
         "probe_clean":
             "SELECT CAST(1 AS BIGINT) AS c, "
-            "TIMESTAMP '2020-01-01 00:00:00' AS t",
+            "TIMESTAMP '2020-01-01 00:00:00' AS t, "
+            "DATE '2020-01-01' AS d",
     }
-    n_bad = audit_dtypes(con, oracle, got_schemas)
-    assert n_bad == 5, f"expected exactly 5 audit fires, got {n_bad}"
-    print("== selftest ok: all 5 mistyped probes fired, clean probe "
+    n_bad = audit_dtypes(con, oracle, got_schemas, got_sqltypes)
+    assert n_bad == 6, f"expected exactly 6 audit fires, got {n_bad}"
+    print("== selftest ok: all 6 mistyped probes fired, clean probe "
           "passed")
     return 0
 
@@ -154,15 +185,21 @@ def main(sf_dir, out_dir, only=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
         oracle = {k: v for k, v in oracle.items() if k in only}
-    # Pass 0: load Spark outputs' schemas for the dtype audit.
+    # Pass 0: load Spark outputs' schemas for the dtype audit — both
+    # the pandas dtypes (kind audit) and the SQL-level DESCRIBE types
+    # (DATE-vs-TIMESTAMP audit, invisible at the pandas layer).
     got_schemas = {}
+    got_sqltypes = {}
     for name in oracle:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if files:
             df0 = con.execute(
                 f"SELECT * FROM read_parquet({files!r}) LIMIT 0").fetchdf()
             got_schemas[name] = {c: str(df0[c].dtype) for c in df0.columns}
-    n_bad = audit_dtypes(con, oracle, got_schemas)
+            desc = con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()
+            got_sqltypes[name] = {d[0]: str(d[1]).upper() for d in desc}
+    n_bad = audit_dtypes(con, oracle, got_schemas, got_sqltypes)
     n_ok = 0
     for name, sql in sorted(oracle.items()):
         try:
