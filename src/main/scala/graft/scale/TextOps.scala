@@ -2376,10 +2376,7 @@ object TextOps {
     val bests = (1 to BpeMerges).map { i =>
       val prev = words
       val best = graft.GraftCaches.getOrBuild(s, s"text.bpe_b$i:$d") {
-        prev.select(explode(expr(
-            "transform(sequence(1, size(syms) - 1)," +
-              " j -> struct(element_at(syms, j) as l," +
-              " element_at(syms, j + 1) as r))")).as("p"), $"cnt")
+        prev.select(explode(expr(BpePairsSql)).as("p"), $"cnt")
           .groupBy($"p.l".as("l"), $"p.r".as("r"))
           .agg(sum($"cnt").as("pc"))
           .orderBy($"pc".desc, $"l".asc, $"r".asc).limit(1)
@@ -2463,6 +2460,229 @@ object TextOps {
               FROM w${i - 1} CROSS JOIN b$i AS b)"""
     }.mkString
     s"$base$rounds"
+  }
+
+  /** Merges per batched round, rounds, and candidate-pool bound for
+    * [[bpeTrainBatch]] (VERDICT r14 #3). 6 rounds × up to 4 merges =
+    * 24 merges in 6 Spark rounds, where the sequential trainer needs
+    * 24 — a 4× round cut, and the cut is what scales: one-winner-
+    * per-round is O(V) sequential jobs, unusable at the ~32 k merges
+    * a production tokenizer learns. */
+  val BpeBatchM = 4
+  val BpeBatchRounds = 6
+  /** Top-of-the-pair-count candidate pool each round's selection fold
+    * walks (a TakeOrderedAndProject bound — the fold never sees more
+    * than this many pairs, so selection is O(C·M) per round). */
+  val BpeBatchC = 32
+
+  /** Adjacent-pair struct explode shared by the sequential and batch
+    * trainers. The size guard matters once enough merges are learned
+    * that a whole word collapses to ONE symbol (the batch trainer's
+    * 24 merges reach this on the fixture): Spark's
+    * sequence(1, 0) is DESCENDING [1, 0], not empty, so the unguarded
+    * transform would index past a 1-element array. */
+  private val BpePairsSql: String =
+    "if(size(syms) < 2, array()," +
+      " transform(sequence(1, size(syms) - 1)," +
+      " j -> struct(element_at(syms, j) as l," +
+      " element_at(syms, j + 1) as r)))"
+
+  /** Greedy batch selection over `cands` (array<struct<npc,l,r>>,
+    * sorted ascending = pair count DESC, l, r — the sequential
+    * trainer's exact total order): take up to [[BpeBatchM]] pairs,
+    * SKIPPING any that interacts with an already-selected rule. Two
+    * rules may be applied in the same pass iff the application is
+    * order-independent, which needs more care than "no shared
+    * symbol" (that is both too strong and too weak):
+    *   - y.r = x.l or y.l = x.r (chaining: one rule consumes a token
+    *     the other matches — "a b c" under (a,b),(b,c) depends on
+    *     order) — EXCLUDED;
+    *   - a rule whose symbol IS another's concatenation (x matches
+    *     tokens y creates, or vice versa) — EXCLUDED, both ways,
+    *     plus equal concatenations;
+    *   - same-side sharing (y.l = x.l or y.r = x.r) is SAFE: one
+    *     token instance has one right neighbor, so the two rules'
+    *     match sites are disjoint — e.g. (e,r) and (e,</w>) co-merge
+    *     exactly as they would sequentially (ScaleSpec pins this).
+    * First candidate always selects (it is the round's argmax — the
+    * same pair the sequential trainer would take). */
+  val BpeBatchSelectSql: String =
+    s"""aggregate(cands,
+       cast(array() as array<struct<l:string,r:string,pc:bigint>>),
+       (acc, x) -> if(size(acc) >= $BpeBatchM, acc,
+         if(exists(acc, y -> y.r = x.l or y.l = x.r
+             or concat(y.l, y.r) = x.l or concat(y.l, y.r) = x.r
+             or concat(x.l, x.r) = y.l or concat(x.l, x.r) = y.r
+             or concat(x.l, x.r) = concat(y.l, y.r)), acc,
+           concat(acc, array(named_struct(
+             'l', x.l, 'r', x.r, 'pc', -x.npc))))))"""
+
+  /** Multi-rule variant of [[BpeMergeFoldSql]]: one greedy
+    * left-to-right pass applying ALL of the round's rules (columns:
+    * syms, rules array<struct<l,r>>). At most one rule matches any
+    * (last, x) — rules are keyed by their (l, r) pair — and because
+    * co-selected rules are non-interacting (see
+    * [[BpeBatchSelectSql]]) the single simultaneous pass produces
+    * exactly what applying the rules one-per-pass in rank order
+    * would (ScaleSpec replays that equivalence on the fixture). */
+  val BpeBatchFoldSql: String =
+    "aggregate(slice(syms, 2, size(syms) - 1), slice(syms, 1, 1)," +
+      " (acc, x) -> if(exists(rules, rr -> element_at(acc, -1) = rr.l" +
+      " and x = rr.r)," +
+      " concat(slice(acc, 1, size(acc) - 1)," +
+      " array(concat(element_at(acc, -1), x)))," +
+      " concat(acc, array(x))))"
+
+  /** BATCHED BPE training (VERDICT r14 #3): per round, ONE pair-count
+    * aggregate selects up to [[BpeBatchM]] mutually non-interacting
+    * merge rules (top-[[BpeBatchC]] candidates collapse to a single
+    * sorted array; the selection fold walks it — no driver collect,
+    * no per-winner job), then ONE broadcast applies all of them in a
+    * single greedy pass. Round 1's selection provably coincides with
+    * the sequential chain's first selections as long as they are
+    * mutually non-interacting — on the fixture, batch round 1 ==
+    * q_bpe_train merges 1–4 and the post-round-1 vocabulary equals
+    * the sequential chain's post-round-4 vocabulary exactly
+    * (ScaleSpec asserts both); later rounds may diverge from
+    * sequential order where a created pair outranks a base pair —
+    * the standard batched-BPE semantics, replayed exactly by the
+    * chained-CTE DuckDB oracle. Scale: rounds shrink ~M×, and each
+    * round is the same corpus-independent |vocab|-table work as the
+    * sequential trainer. */
+  private def bpeBatchTables(s: SparkSession, d: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    import s.implicits._
+    var words = graft.GraftCaches.getOrBuild(s, s"text.bpeb_w0:$d") {
+      Tables.documents(s, d)
+        .select(explode(tokens($"text")).as("w"))
+        .filter($"w" =!= "")
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .select($"w",
+          concat(split($"w", ""), array(lit(BpeEow))).as("syms"),
+          $"cnt")
+        .localCheckpoint()
+    }
+    val sels = (1 to BpeBatchRounds).map { i =>
+      val prev = words
+      val rules = graft.GraftCaches.getOrBuild(s, s"text.bpeb_b$i:$d") {
+        prev.select(explode(expr(BpePairsSql)).as("p"), $"cnt")
+          .groupBy($"p.l".as("l"), $"p.r".as("r"))
+          .agg(sum($"cnt").as("pc"))
+          .orderBy($"pc".desc, $"l".asc, $"r".asc).limit(BpeBatchC)
+          .agg(sort_array(collect_list(struct(
+            (-$"pc").as("npc"), $"l", $"r"))).as("cands"))
+          .select(posexplode(expr(BpeBatchSelectSql)))
+          .select(($"pos" + 1).cast("long").as("rank"),
+            $"col.l".as("l"), $"col.r".as("r"), $"col.pc".as("pc"))
+          .localCheckpoint()
+      }
+      words = graft.GraftCaches.getOrBuild(s, s"text.bpeb_w$i:$d") {
+        val ruleList = rules
+          .agg(collect_list(struct($"l", $"r")).as("rules"))
+        prev.crossJoin(broadcast(ruleList))
+          .select($"w", expr(BpeBatchFoldSql).as("syms"), $"cnt")
+          .localCheckpoint()
+      }
+      rules
+    }
+    (words, sels)
+  }
+
+  private def bpeTrainBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeBatchTables(s, d)._2.zipWithIndex.map { case (rules, i0) =>
+      rules.select(lit((i0 + 1).toLong).as("round"), $"rank",
+        $"l".as("left_sym"), $"r".as("right_sym"),
+        $"pc".as("pair_count"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[bpeBatchTables]]'s final symbolized vocabulary, exposed for
+    * the ScaleSpec fixture equality against the sequential chain. */
+  private[scale] def bpeBatchFinalVocab(s: SparkSession, d: String)
+      : DataFrame = bpeBatchTables(s, d)._1
+  /** Sequential twin accessor, same purpose. */
+  private[scale] def bpeSequentialFinalVocab(s: SparkSession, d: String)
+      : DataFrame = bpeTables(s, d)._1
+  /** Sequential merge table accessor for the ScaleSpec round-1
+    * prefix-equality assertion. */
+  private[scale] def bpeSequentialMerges(s: SparkSession, d: String)
+      : Seq[DataFrame] = bpeTables(s, d)._2
+
+  /** Chained-CTE DuckDB replay of [[bpeTrainBatch]] — the sequential
+    * oracle's discipline extended with a string-accumulator
+    * list_reduce for the greedy selection (DuckDB's list_reduce is
+    * element-typed, so selected rules serialize as 'l r pc' records
+    * joined by chr(30); the first element auto-seeds the fold =
+    * greedy always takes the argmax, matching Spark's empty-array
+    * fold) and a list_filter rule probe inside the word fold. */
+  private def bpeBatchOracleCtes: String = {
+    val eos = "$"
+    val conflict = """len(list_filter(string_split(acc, chr(30)), s ->
+              split_part(s, ' ', 2) = split_part(x, ' ', 1)
+           OR split_part(s, ' ', 1) = split_part(x, ' ', 2)
+           OR split_part(s, ' ', 1) || split_part(s, ' ', 2)
+              = split_part(x, ' ', 1)
+           OR split_part(s, ' ', 1) || split_part(s, ' ', 2)
+              = split_part(x, ' ', 2)
+           OR split_part(x, ' ', 1) || split_part(x, ' ', 2)
+              = split_part(s, ' ', 1)
+           OR split_part(x, ' ', 1) || split_part(x, ' ', 2)
+              = split_part(s, ' ', 2)
+           OR split_part(x, ' ', 1) || split_part(x, ' ', 2)
+              = split_part(s, ' ', 1) || split_part(s, ' ', 2))) > 0"""
+    val base = s"""
+      WITH toks AS (SELECT lower(unnest(string_split_regex(text,
+                      '\\s+'))) AS w
+                    FROM documents),
+      bw0 AS (SELECT w,
+                    list_append(string_split(w, ''), '$BpeEow') AS syms,
+                    CAST(count(*) AS BIGINT) AS cnt
+             FROM toks WHERE w <> '' GROUP BY w)"""
+    val rounds = (1 to BpeBatchRounds).map { i =>
+      s""",
+      p$i AS (SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS pc
+              FROM (SELECT unnest(list_transform(range(1, len(syms)),
+                        j -> struct_pack(l := syms[j], r := syms[j+1])))
+                      AS p, cnt
+                    FROM bw${i - 1}) GROUP BY 1, 2),
+      c$i AS (SELECT list(l || ' ' || r || ' ' || pc
+                          ORDER BY pc DESC, l ASC, r ASC) AS cs
+              FROM (SELECT l, r, pc FROM p$i
+                    ORDER BY pc DESC, l ASC, r ASC LIMIT $BpeBatchC)),
+      s$i AS (SELECT string_split(list_reduce(cs, (acc, x) -> CASE
+                 WHEN len(string_split(acc, chr(30))) >= $BpeBatchM
+                   THEN acc
+                 WHEN $conflict THEN acc
+                 ELSE acc || chr(30) || x END), chr(30)) AS sel
+              FROM c$i),
+      bb$i AS (SELECT CAST(rank AS BIGINT) AS rank,
+                      split_part(s, ' ', 1) AS l,
+                      split_part(s, ' ', 2) AS r,
+                      CAST(split_part(s, ' ', 3) AS BIGINT) AS pc
+               FROM (SELECT unnest(sel) AS s,
+                            unnest(range(1, len(sel) + 1)) AS rank
+                     FROM s$i)),
+      rl$i AS (SELECT list(struct_pack(l := l, r := r)) AS rules
+               FROM bb$i),
+      bw$i AS (SELECT w, string_split(list_reduce(syms, (acc, x) -> CASE
+                  WHEN len(list_filter(rules, rr ->
+                         regexp_extract(acc, '[^ ]*$eos') = rr.l
+                         AND x = rr.r)) > 0
+                  THEN regexp_replace(acc, '[^ ]*$eos',
+                         regexp_extract(acc, '[^ ]*$eos') || x)
+                  ELSE acc || ' ' || x END), ' ') AS syms, cnt
+               FROM bw${i - 1} CROSS JOIN rl$i)"""
+    }.mkString
+    s"$base$rounds"
+  }
+
+  private def bpeTrainBatchOracle: String = {
+    val sel = (1 to BpeBatchRounds).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, rank, l AS left_sym,
+             r AS right_sym, pc AS pair_count FROM bb$i""")
+      .mkString("\n      UNION ALL\n      ")
+    s"$bpeBatchOracleCtes\n      $sel"
   }
 
   private def bpeTrainOracle: String = {
@@ -3603,6 +3823,7 @@ object TextOps {
       FROM g""")),
 
     Q("q_bpe_train", bpeTrain, Some(bpeTrainOracle)),
+    Q("q_bpe_train_batch", bpeTrainBatch, Some(bpeTrainBatchOracle)),
     Q("q_bpe_encode", bpeEncode, Some(bpeEncodeOracle)),
 
     Q("q_good_turing", goodTuring, Some(s"""
