@@ -11,7 +11,8 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * is semantically identical but runs as an INTERPRETED higher-order
   * function that materializes the blob's hex string per row — the
   * same class of overhead PolyHashExpr replaced (measured 3.6× there;
-  * QBench round 14 measures this swap on q_video_shots). Byte
+  * QBench round 14 measures this swap on the byte-stride shot query,
+  * q_byte_shots since round 15). Byte
   * semantics match DuckDB's strpos-decoded hex pairs exactly: each
   * byte contributes its unsigned value, empty input → 0.
   */

@@ -375,10 +375,44 @@ class MultimodalSpec extends AnyFunSuite {
       s"missed near-dup ($a,$b) at hamming $ham")
   }
 
-  test("q_video_shots: luma deltas replay from the raw text payload; " +
-      "shots = boundaries + 1; frame counts match the stride rule") {
+  test("JdkGifCodec: animated GIF round-trips every gray pixel " +
+      "losslessly through the real javax.imageio writer/reader") {
+    for (id <- Seq(0L, 7L, 123L)) {
+      val (w, h, nf) = (16 + (id % 16).toInt, 9 + (id % 9).toInt,
+        2 + (id % 4).toInt)
+      val frames = JdkGifCodec.decodeFrames(JdkGifCodec.encode(id, w, h, nf))
+      assert(frames.length === nf)
+      frames.foreach { case (f, fw, fh, sum) =>
+        assert((fw, fh) === ((w, h)))
+        val want = (0 until w * h)
+          .map(p => JdkGifCodec.defaultPixel(id, f, p).toLong).sum
+        assert(sum === want, s"gif frame $f of video $id not lossless")
+      }
+    }
+  }
+
+  test("q_video_shots: GIF-decoded lumas replay the scene formula; " +
+      "boundaries land exactly on the every-3-frames scene steps") {
     val sf = SparkTestSession.sf
     val rows = graft.SparkEntry.queries("q_video_shots")(spark, sf)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("n_boundaries"),
+          r.getAs[Long]("n_shots"))).toMap
+    rows.foreach { case (id, (nf, nb, ns)) =>
+      assert(nf === 4 + id % 5)
+      // scenes step at frames 3 and 6: nf in 4..6 → 1 boundary,
+      // 7..8 → 2; the decoded-luma detector must find exactly those
+      val wantB = if (nf <= 6) 1L else 2L
+      assert(nb === wantB, s"media $id: boundaries $nb != $wantB")
+      assert(ns === nb + 1)
+    }
+    assert(rows.values.exists(_._3 > 2)) // multi-scene media exist
+  }
+
+  test("q_byte_shots: luma deltas replay from the raw text payload; " +
+      "shots = boundaries + 1; frame counts match the stride rule") {
+    val sf = SparkTestSession.sf
+    val rows = graft.SparkEntry.queries("q_byte_shots")(spark, sf)
       .collect().map(r => r.getAs[Long]("media_id") ->
         (r.getAs[Long]("n_frames"), r.getAs[Long]("n_boundaries"),
           r.getAs[Long]("n_shots"))).toMap
