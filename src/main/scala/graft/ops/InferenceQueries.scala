@@ -798,6 +798,169 @@ object InferenceQueries {
       .withColumn("w_e6", expr("greatest(chi2_e6, 0L) div (n * (k - 1))"))
   }
 
+  /** PAGE'S L test (Page 1963) for ORDERED alternatives across the
+    * same day-blocks [[friedman]] ranks — Friedman asks "do the k
+    * treatments differ AT ALL?"; Page asks the sharper monotone
+    * question "do they INCREASE along a hypothesized order?" (here
+    * the alphabetical event-type order — the demonstration ordering,
+    * as with [[jonckheere]]). Reuses Friedman's exact block machinery
+    * verbatim: complete day blocks, doubled midranks
+    * (2·avg = 2·prev + g + 1 on the per-block cent grid), per-type
+    * rank sums R2_j — then L2 = Σ_j j·R2_j with j the type's 1-based
+    * lex index, E[L2] = m·k(k+1)²/2, and (the turningPoints device)
+    * the z ships as the sign-carried EXACT rational
+    * z2_e6 = 36·10⁶·(L2−E)² div (m·k²(k+1)(k²−1)) — the no-ties null
+    * variance, the standard convention (midranks only perturb it
+    * O(tie mass); documented, not hidden). Flag |z| ≥ 1.96 ⟺
+    * magnitude ≥ 3 841 600. Shape: Friedman's calendar-bounded grid
+    * walk plus one k-row ordered index (bounded global window —
+    * whitelisted). */
+  private def pageTrend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val cell = Tables.events(s, d)
+      .select(to_date($"ts").as("day"), $"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter($"cents".isNotNull)
+      .groupBy($"day", $"event_type")
+      .agg(sum($"cents").as("cents"))
+    val kRow = cell.select($"event_type").distinct()
+      .agg(count(lit(1)).as("k"))
+    val complete = cell
+      .withColumn("m", count(lit(1)).over(W.partitionBy($"day")))
+      .crossJoin(broadcast(kRow))
+      .filter($"m" === $"k")
+    val cum = W.partitionBy($"day").orderBy($"cents".asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val grid = complete.groupBy($"day", $"cents")
+      .agg(count(lit(1)).as("g"))
+      .withColumn("prev", sum($"g").over(cum) - $"g")
+    val perType = complete.join(grid, Seq("day", "cents"))
+      .select($"event_type", (lit(2L) * $"prev" + $"g" + 1).as("rank2"))
+      .groupBy($"event_type")
+      .agg(sum($"rank2").as("r2_j"), count(lit(1)).as("n_blocks"))
+      // the hypothesized order: 1-based alphabetical type index
+      // (k-row frame — bounded global window)
+      .withColumn("j", row_number()
+        .over(W.orderBy($"event_type".asc)).cast("long"))
+    perType
+      .agg(max($"n_blocks").as("m"), count(lit(1)).as("k"),
+        sum($"j" * $"r2_j").as("l2"))
+      .select($"m", $"k", $"l2",
+        ($"m" * $"k" * ($"k" + 1) * ($"k" + 1)).as("e_l2_x2"))
+      .withColumn("dev2", $"l2" * 2 - $"e_l2_x2")
+      .withColumn("mag", expr(
+        "cast(36000000 * cast(dev2 as decimal(38,0)) * dev2" +
+          " div (4 * m * k * k * (k + 1) * (k * k - 1)) as bigint)"))
+      .select($"m", $"k", $"l2",
+        when($"dev2" >= 0, $"mag").otherwise(-$"mag").as("z2_e6"),
+        ($"mag" >= 3841600L).as("ordered_trend_5pct"))
+  }
+
+  /** JONCKHEERE–TERPSTRA test (Jonckheere 1954) for ordered
+    * k-sample alternatives on the VALUE axis — the between-subjects
+    * sibling of [[pageTrend]] (no blocks): do the k groups' value
+    * distributions shift monotonically along the hypothesized
+    * (alphabetical) group order? The pairwise-group Mann–Whitney sum
+    * 2U = Σ_{t1<t2} (2·#{x<y} + #{x=y}) computes WITHOUT any pair
+    * fan: on the (type × distinct-cents) grid, a per-type
+    * cumulative-less window then a per-cents prefix-over-earlier-
+    * types window turn 2U into one linear pass — the grid walks
+    * VALUES, never rows (the kruskalWallis whitelist argument), so
+    * the shape survives any event volume. E[2U] = (n² − Σn_i²)/2
+    * exactly (ties included: P(<)+P(>)+P(=) telescopes), and z ships
+    * sign-carried exact: z2_e6 = 18·10⁶·dev² div
+    * (n²(2n+3) − Σn_i²(2n_i+3)) — the standard no-ties variance
+    * (documented convention; headroom: dev² ≤ n⁴/4 keeps
+    * 18·10⁶·dev² inside decimal(38,0) through ~100× this volume).
+    * Flag ≥ 3 841 600 ⟺ |z| ≥ 1.96. */
+  private def jonckheere(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val vals = centsSplit(s, d)
+      .groupBy($"event_type", $"cents").agg(count(lit(1)).as("cnt"))
+    val types = vals.select($"event_type").distinct()
+    // dense (type × cents) lattice so the rows-frame cumulative IS
+    // the value-semantics cumulative (every cents appears exactly
+    // once per type) — k·|distinct cents| rows, value-range bounded
+    val full = vals.select($"cents").distinct()
+      .crossJoin(broadcast(types))
+      .join(vals, Seq("event_type", "cents"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val wLess = W.partitionBy($"event_type").orderBy($"cents".asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wPrevTypes = W.partitionBy($"cents").orderBy($"event_type".asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val lattice = full
+      .withColumn("cum_less", coalesce(sum($"cnt").over(wLess), lit(0L)))
+      .withColumn("less_prev",
+        coalesce(sum($"cum_less").over(wPrevTypes), lit(0L)))
+      .withColumn("eq_prev",
+        coalesce(sum($"cnt").over(wPrevTypes), lit(0L)))
+    val u2 = lattice
+      .agg(sum($"cnt" * (lit(2L) * $"less_prev" + $"eq_prev")).as("u2"))
+    val sizes = vals.groupBy($"event_type").agg(sum($"cnt").as("n_i"))
+      .agg(sum($"n_i").as("n"), sum($"n_i" * $"n_i").as("sum_ni2"),
+        // n³-scale terms in decimal(38,0): int64 tops out at n≈1.6e6
+        expr("sum(cast(n_i as decimal(38,0)) * n_i * (2 * n_i + 3))")
+          .as("var_sub"),
+        count(lit(1)).as("k_groups"))
+    u2.crossJoin(sizes)
+      .withColumn("e_u2", expr("(n * n - sum_ni2) div 2")) // exact: even
+      .withColumn("var_u72",
+        expr("cast(n as decimal(38,0)) * n * (2 * n + 3) - var_sub"))
+      .withColumn("dev", $"u2" - $"e_u2")
+      .withColumn("mag", expr(
+        "case when var_u72 > 0 then" +
+          " cast(18000000 * cast(abs(dev) as decimal(38,0)) * abs(dev)" +
+          " div var_u72 as bigint) else 0L end"))
+      .select($"k_groups", $"n", $"u2", $"e_u2",
+        $"var_u72".cast("long").as("var_u72"),
+        when($"dev" >= 0, $"mag").otherwise(-$"mag").as("z2_e6"),
+        ($"mag" >= 3841600L).as("ordered_shift_5pct"))
+  }
+
+  /** CLIFF'S DELTA (Cliff 1993) — the ORDINAL effect size for the
+    * [[mannWhitney]] split: δ = (#{x>y} − #{x<y}) / (n_x·n_y) over
+    * all cross-arm pairs (x = odd event_ids, y = even — the
+    * [[centsSplit]] arms), the dominance measure that stays
+    * meaningful where Cohen's d's variance normalization lies (heavy
+    * tails, ordinal grids). Pair counts collapse on the per-type
+    * cent grid with one cumulative window (gt = Σ cnt_x·cumLess_y,
+    * lt = Σ cnt_x·(n_y − cum_y)), so the computation walks values,
+    * never pairs. δ ships exact: delta_e6 = sign·10⁶·|gt−lt| div
+    * (n_x·n_y), with the Romano et al. magnitude bands (0.147 /
+    * 0.33 / 0.474) as a label — thresholds on the e6 grid, no
+    * floats. */
+  private def cliffsDelta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val g = centsSplit(s, d)
+      .groupBy($"event_type", $"cents")
+      .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("ref_cnt"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("trt_cnt"))
+    val cum = W.partitionBy($"event_type").orderBy($"cents".asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val walked = g
+      .withColumn("cum_ref", sum($"ref_cnt").over(cum))
+      .withColumn("less_ref", $"cum_ref" - $"ref_cnt")
+      .withColumn("n_ref_t",
+        max($"cum_ref").over(W.partitionBy($"event_type")))
+    val agg = walked.groupBy($"event_type")
+      .agg(sum($"ref_cnt").as("n_ref"), sum($"trt_cnt").as("n_trt"),
+        sum($"trt_cnt" * $"less_ref").as("gt"),
+        sum($"trt_cnt" * ($"n_ref_t" - $"cum_ref")).as("lt"))
+    agg
+      .withColumn("mag",
+        expr("abs(gt - lt) * 1000000 div (n_ref * n_trt)"))
+      .select($"event_type", $"n_ref", $"n_trt", $"gt", $"lt",
+        when($"gt" >= $"lt", $"mag").otherwise(-$"mag").as("delta_e6"),
+        when($"mag" < 147000L, "negligible")
+          .when($"mag" < 330000L, "small")
+          .when($"mag" < 474000L, "medium")
+          .otherwise("large").as("magnitude"))
+  }
+
   /** Cohen's d / Hedges' g — the EFFECT SIZE the battery's p-values
     * lack: a significant Welch t on 1e9 rows can reflect a trivially
     * small shift, so the accept/reject layer needs the standardized
@@ -2349,6 +2512,141 @@ object InferenceQueries {
                - 3 * n * (k + 1) * 1000000, 0) // (n * (k - 1))
                AS BIGINT) AS w_e6
       FROM a""")),
+
+    Q("q_page_trend", pageTrend, Some("""
+      WITH cell AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2),
+      kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+             FROM cell),
+      fullc AS (SELECT *, count(*) OVER (PARTITION BY day) AS m
+                FROM cell),
+      comp AS (SELECT f.day, f.event_type, f.cents
+               FROM fullc f CROSS JOIN kk WHERE f.m = kk.k),
+      grid AS (SELECT day, cents, CAST(count(*) AS BIGINT) AS g,
+                      CAST(sum(count(*)) OVER (
+                        PARTITION BY day ORDER BY cents ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - count(*) AS BIGINT) AS prev
+               FROM comp GROUP BY day, cents),
+      pt AS (SELECT c.event_type,
+                    CAST(sum(2 * g.prev + g.g + 1) AS BIGINT) AS r2_j,
+                    CAST(count(*) AS BIGINT) AS n_blocks
+             FROM comp c JOIN grid g
+               ON c.day = g.day AND c.cents = g.cents
+             GROUP BY 1),
+      idx AS (SELECT event_type, r2_j, n_blocks,
+                     CAST(row_number() OVER (ORDER BY event_type ASC)
+                       AS BIGINT) AS j
+              FROM pt),
+      a AS (SELECT CAST(max(n_blocks) AS BIGINT) AS m,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(j * r2_j) AS BIGINT) AS l2
+            FROM idx),
+      dv AS (SELECT m, k, l2,
+                    l2 * 2 - m * k * (k + 1) * (k + 1) AS dev2
+             FROM a),
+      z AS (SELECT m, k, l2, dev2,
+                   CAST(CAST(36000000 AS HUGEINT) * dev2 * dev2
+                     // (4 * m * k * k * (k + 1) * (k * k - 1))
+                     AS BIGINT) AS mag
+            FROM dv)
+      SELECT m, k, l2,
+             CAST(CASE WHEN dev2 >= 0 THEN mag ELSE -mag END AS BIGINT)
+               AS z2_e6,
+             mag >= 3841600 AS ordered_trend_5pct
+      FROM z""")),
+
+    Q("q_jonckheere", jonckheere, Some("""
+      WITH v AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents,
+                        CAST(count(*) AS BIGINT) AS cnt
+                 FROM events WHERE value IS NOT NULL
+                 GROUP BY 1, 2),
+      latt AS (SELECT t.event_type, c.cents, coalesce(v.cnt, 0) AS cnt
+               FROM (SELECT DISTINCT cents FROM v) c
+               CROSS JOIN (SELECT DISTINCT event_type FROM v) t
+               LEFT JOIN v USING (event_type, cents)),
+      w1 AS (SELECT *, CAST(coalesce(sum(cnt) OVER (
+                 PARTITION BY event_type ORDER BY cents ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_less
+             FROM latt),
+      w2 AS (SELECT *, CAST(coalesce(sum(cum_less) OVER (
+                 PARTITION BY cents ORDER BY event_type ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS less_prev,
+                  CAST(coalesce(sum(cnt) OVER (
+                 PARTITION BY cents ORDER BY event_type ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS eq_prev
+             FROM w1),
+      u AS (SELECT CAST(sum(cnt * (2 * less_prev + eq_prev))
+              AS BIGINT) AS u2
+            FROM w2),
+      sz AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+                    CAST(sum(n_i * n_i) AS BIGINT) AS sum_ni2,
+                    CAST(sum(n_i * n_i * (2 * n_i + 3)) AS BIGINT)
+                      AS var_sub,
+                    CAST(count(*) AS BIGINT) AS k_groups
+             FROM (SELECT event_type, sum(cnt) AS n_i
+                   FROM v GROUP BY 1)),
+      st AS (SELECT k_groups, n, u2,
+                    (n * n - sum_ni2) // 2 AS e_u2,
+                    n * n * (2 * n + 3) - var_sub AS var_u72
+             FROM u, sz),
+      z AS (SELECT *, u2 - e_u2 AS dev FROM st)
+      SELECT k_groups, n, u2, CAST(e_u2 AS BIGINT) AS e_u2,
+             CAST(var_u72 AS BIGINT) AS var_u72,
+             CAST(CASE WHEN var_u72 <= 0 THEN 0
+                  WHEN dev >= 0 THEN
+                    CAST(18000000 AS HUGEINT) * abs(dev) * abs(dev)
+                      // var_u72
+                  ELSE -(CAST(18000000 AS HUGEINT) * abs(dev)
+                      * abs(dev) // var_u72) END AS BIGINT) AS z2_e6,
+             var_u72 > 0 AND CAST(18000000 AS HUGEINT) * abs(dev)
+               * abs(dev) // var_u72 >= 3841600 AS ordered_shift_5pct
+      FROM z""")),
+
+    Q("q_cliffs_delta", cliffsDelta, Some("""
+      WITH g AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents,
+                        CAST(sum(CASE WHEN event_id % 2 = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+                        CAST(sum(CASE WHEN event_id % 2 = 0
+                          THEN 0 ELSE 1 END) AS BIGINT) AS trt_cnt
+                 FROM events WHERE value IS NOT NULL
+                 GROUP BY 1, 2),
+      w AS (SELECT *, CAST(sum(ref_cnt) OVER (
+                PARTITION BY event_type ORDER BY cents ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_ref,
+                 CAST(sum(ref_cnt) OVER (PARTITION BY event_type)
+              AS BIGINT) AS n_ref_t
+            FROM g),
+      a AS (SELECT event_type,
+                   CAST(sum(ref_cnt) AS BIGINT) AS n_ref,
+                   CAST(sum(trt_cnt) AS BIGINT) AS n_trt,
+                   CAST(sum(trt_cnt * (cum_ref - ref_cnt)) AS BIGINT)
+                     AS gt,
+                   CAST(sum(trt_cnt * (n_ref_t - cum_ref)) AS BIGINT)
+                     AS lt
+            FROM w GROUP BY 1),
+      m AS (SELECT *, abs(gt - lt) * 1000000 // (n_ref * n_trt) AS mag
+            FROM a)
+      SELECT event_type, n_ref, n_trt, gt, lt,
+             CAST(CASE WHEN gt >= lt THEN mag ELSE -mag END AS BIGINT)
+               AS delta_e6,
+             CASE WHEN mag < 147000 THEN 'negligible'
+                  WHEN mag < 330000 THEN 'small'
+                  WHEN mag < 474000 THEN 'medium'
+                  ELSE 'large' END AS magnitude
+      FROM m""")),
 
     Q("q_cohens_d", cohensD, Some("""
       WITH m AS (

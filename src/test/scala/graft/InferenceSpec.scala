@@ -1301,4 +1301,85 @@ class InferenceSpec extends AnyFunSuite {
       row.getAs[Long]("intercept_l_e3")
     assert((row.getAs[Long]("effect_e3") - approx).abs <= 2L)
   }
+
+  test("q_jonckheere: the lattice-window 2U equals the brute pairwise " +
+      "count and the z replays in BigInt") {
+    val byType = centsRows.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val types = byType.keys.toSeq.sorted
+    var u2 = BigInt(0)
+    for {
+      (t1, i) <- types.zipWithIndex; t2 <- types.drop(i + 1)
+      x <- byType(t1); y <- byType(t2)
+    } {
+      if (x < y) u2 += 2 else if (x == y) u2 += 1
+    }
+    val n = BigInt(centsRows.size)
+    val sumNi2 = types.map(t => BigInt(byType(t).size).pow(2)).sum
+    val eU2 = (n * n - sumNi2) / 2
+    val varU72 = n * n * (2 * n + 3) -
+      types.map { t => val ni = BigInt(byType(t).size)
+        ni * ni * (2 * ni + 3) }.sum
+    val dev = u2 - eU2
+    val mag = BigInt(18000000) * dev.abs * dev.abs / varU72
+    val want = if (dev >= 0) mag else -mag
+    val row = SparkEntry.queries("q_jonckheere")(spark, sf).head()
+    assert(row.getAs[Long]("u2") === u2.toLong)
+    assert(row.getAs[Long]("e_u2") === eU2.toLong)
+    assert(row.getAs[Long]("var_u72") === varU72.toLong)
+    assert(row.getAs[Long]("z2_e6") === want.toLong)
+  }
+
+  test("q_cliffs_delta: dominance counts replay brute-force per type " +
+      "and the Romano bands label the e6 magnitude") {
+    val got = SparkEntry.queries("q_cliffs_delta")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("gt"), r.getAs[Long]("lt"),
+          r.getAs[Long]("delta_e6"), r.getAs[String]("magnitude"))).toMap
+    centsRows.groupBy(_._1).foreach { case (t, rows) =>
+      val ref = rows.filter(_._3).map(_._2)
+      val trt = rows.filterNot(_._3).map(_._2)
+      var gt = 0L; var lt = 0L
+      for (x <- trt; y <- ref) {
+        if (x > y) gt += 1 else if (x < y) lt += 1
+      }
+      val mag = BigInt(gt - lt).abs * 1000000 /
+        (BigInt(ref.size) * trt.size)
+      val (ggt, glt, gdelta, gmag) = got(t)
+      assert((ggt, glt) === ((gt, lt)))
+      assert(gdelta === (if (gt >= lt) mag.toLong else -mag.toLong))
+      val wantLabel =
+        if (mag < 147000) "negligible" else if (mag < 330000) "small"
+        else if (mag < 474000) "medium" else "large"
+      assert(gmag === wantLabel)
+    }
+  }
+
+  test("q_page_trend: L replays from driver-side midranks over " +
+      "complete day blocks in BigInt") {
+    val cells = dailyRows.groupBy(_._2) // by day
+    val k = dailyRows.map(_._1).distinct.size
+    val complete = cells.filter(_._2.size == k)
+    val types = dailyRows.map(_._1).distinct.sorted
+    val r2 = scala.collection.mutable.Map.empty[String, BigInt]
+    complete.foreach { case (_, rows) =>
+      val sorted = rows.map(_._3).sorted
+      rows.foreach { case (t, _, c) =>
+        val below = sorted.count(_ < c)
+        val tieSz = sorted.count(_ == c)
+        r2(t) = r2.getOrElse(t, BigInt(0)) + (2 * below + tieSz + 1)
+      }
+    }
+    val m = BigInt(complete.size)
+    val l2 = types.zipWithIndex
+      .map { case (t, i) => BigInt(i + 1) * r2(t) }.sum
+    val dev2 = l2 * 2 - m * k * (k + 1) * (k + 1)
+    val mag = BigInt(36000000) * dev2 * dev2 /
+      (4 * m * k * k * (k + 1) * (BigInt(k) * k - 1))
+    val row = SparkEntry.queries("q_page_trend")(spark, sf).head()
+    assert(row.getAs[Long]("m") === m.toLong)
+    assert(row.getAs[Long]("l2") === l2.toLong)
+    assert(row.getAs[Long]("z2_e6") ===
+      (if (dev2 >= 0) mag.toLong else -mag.toLong))
+  }
 }

@@ -106,6 +106,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_randomized_response" -> "|event_types|-row rollup",
     "q_dp_histogram" -> "|event_types|x|weeks| grid",
     "q_modularity" -> "per-community rollup (2 communities)",
+    "q_page_trend" -> ("k-row event-type index frame (ordered-" +
+      "alternative position labels over the per-type rank-sum rollup)"),
     "q_ann_pq" -> "PQ codebook frame (k=16 centroids)"
   )
 
