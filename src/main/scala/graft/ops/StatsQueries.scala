@@ -794,6 +794,77 @@ object StatsQueries {
         ($"sy" / $"n").as("mean_cents"))
   }
 
+  /** CHOW structural-break test (Chow 1960) on the weekly revenue
+    * trend — the "did the regression REGIME change at the pivot?"
+    * question [[groupOls]]'s single slope and q_changepoint's mean
+    * shifts can't answer (a break can flip slope with no level jump).
+    * Per event type the weekly series splits at its midpoint week;
+    * each segment's OLS residual sum of squares comes STRAIGHT from
+    * the five integer moments as the exact rational
+    * SSR = [D·Syy − Sy·(Sy·Sxx − Sx·Sxy) − Sxy·(n·Sxy − Sx·Sy)] / D,
+    * D = n·Sxx − Sx² — no per-row residual, no squared-residual
+    * overflow (the reason a Breusch–Pagan form was rejected). Each
+    * SSR floors ONCE (documented floor point — the three
+    * denominators differ, so a common-denominator cross-
+    * multiply of F would pass 1e38), then
+    * F_e6 = 10⁶·(n−4)·max(SSR_p − SSR₁ − SSR₂, 0) div (2·(SSR₁+SSR₂))
+    * — the SSR floor is the INTEGER grid (cents² units: SSR ≈ 1e14
+    * here vs int64's 9e18, ~300× volume headroom since SSR ∝ vol²,
+    * and F is insensitive to a ±1 cents² floor), and the
+    * greatest(·,0) guards the −1 the independent floors can
+    * leave under an exact no-break fit (the q_friedman lesson:
+    * negative div diverges between engines). x is the RELATIVE week
+    * index (≤ ~110), keeping D·Syy ≈ 1e21 with 17 orders of
+    * decimal(38,0) headroom. Shape: one weekly rollup, one 2-segment
+    * moment aggregate, |types| rows out. */
+  private def chowBreak(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type")
+    val weekly = Tables.events(s, d)
+      .filter($"value".isNotNull)
+      .select($"event_type",
+        (datediff($"ts".cast("date"), lit("1970-01-01").cast("date"))
+          / 7).cast("long").as("wk"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"event_type", $"wk").agg(sum($"cents").as("y"))
+      .withColumn("x", $"wk" - min($"wk").over(W))
+      .withColumn("seg",
+        when($"x" * 2 < max($"x").over(W), 1L).otherwise(2L))
+    def ssrE3(pre: String) = expr(
+      s"""case when ${pre}d > 0 then
+         cast((cast(${pre}d as decimal(38,0)) * ${pre}syy
+               - cast(${pre}sy as decimal(38,0))
+                 * (${pre}sy * ${pre}sxx - ${pre}sx * ${pre}sxy)
+               - cast(${pre}sxy as decimal(38,0))
+                 * (${pre}n * ${pre}sxy - ${pre}sx * ${pre}sy))
+              div ${pre}d as bigint)
+         end""")
+    def moments(dfw: DataFrame, pre: String) = dfw
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as(s"${pre}n"), sum($"x").as(s"${pre}sx"),
+        sum($"y").as(s"${pre}sy"), sum($"x" * $"x").as(s"${pre}sxx"),
+        sum($"x" * $"y").as(s"${pre}sxy"),
+        expr("sum(cast(y as decimal(38,0)) * y)").as(s"${pre}syy"))
+      .withColumn(s"${pre}d",
+        expr(s"${pre}n * ${pre}sxx - ${pre}sx * ${pre}sx"))
+      .withColumn(s"${pre}ssr", ssrE3(pre))
+    val p = moments(weekly, "p_")
+    val s1 = moments(weekly.filter($"seg" === 1L), "a_")
+    val s2 = moments(weekly.filter($"seg" === 2L), "b_")
+    p.join(s1, "event_type").join(s2, "event_type")
+      .select($"event_type", $"p_n".as("n_weeks"), $"a_n".as("n_seg1"),
+        $"b_n".as("n_seg2"), $"p_ssr".as("ssr_pooled"),
+        $"a_ssr".as("ssr_seg1"), $"b_ssr".as("ssr_seg2"),
+        expr("""case when a_n >= 3 and b_n >= 3
+                 and a_ssr is not null and b_ssr is not null
+                 and a_ssr + b_ssr > 0 then
+               cast(cast(1000000 as decimal(38,0)) * (p_n - 4)
+                 * greatest(p_ssr - a_ssr - b_ssr, 0L)
+                 div (2 * (a_ssr + b_ssr)) as bigint)
+               end""").as("f_e6"))
+  }
+
   /** Ridge-regularized grouped trend — [[groupOls]] with an L2 penalty
     * on the slope, the regression a pipeline reaches for when short or
     * noisy series make raw OLS slopes jumpy: the closed form is
@@ -4263,6 +4334,84 @@ object StatsQueries {
       FROM spine s
       LEFT JOIN hourly h ON s.event_type = h.event_type
                         AND s.hr = h.hr""")),
+
+    Q("q_chow_break", chowBreak, Some("""
+      WITH weekly AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01',
+                 CAST(ts AS DATE)) // 7 AS BIGINT) AS wk,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2),
+      x1 AS (SELECT event_type,
+                    wk - min(wk) OVER (PARTITION BY event_type) AS x,
+                    y
+             FROM weekly),
+      xd AS (SELECT event_type, x, y,
+                    CASE WHEN x * 2
+                      < max(x) OVER (PARTITION BY event_type)
+                      THEN 1 ELSE 2 END AS seg
+             FROM x1),
+      mp AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS sx,
+                    CAST(sum(y) AS BIGINT) AS sy,
+                    CAST(sum(x * x) AS BIGINT) AS sxx,
+                    CAST(sum(x * y) AS BIGINT) AS sxy,
+                    sum(CAST(y AS HUGEINT) * y) AS syy
+             FROM xd GROUP BY 1),
+      m1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS sx,
+                    CAST(sum(y) AS BIGINT) AS sy,
+                    CAST(sum(x * x) AS BIGINT) AS sxx,
+                    CAST(sum(x * y) AS BIGINT) AS sxy,
+                    sum(CAST(y AS HUGEINT) * y) AS syy
+             FROM xd WHERE seg = 1 GROUP BY 1),
+      m2 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS sx,
+                    CAST(sum(y) AS BIGINT) AS sy,
+                    CAST(sum(x * x) AS BIGINT) AS sxx,
+                    CAST(sum(x * y) AS BIGINT) AS sxy,
+                    sum(CAST(y AS HUGEINT) * y) AS syy
+             FROM xd WHERE seg = 2 GROUP BY 1),
+      ss AS (SELECT p.event_type,
+                    p.n AS n_weeks, a.n AS n_seg1, b.n AS n_seg2,
+                    CASE WHEN p.n * p.sxx - p.sx * p.sx > 0 THEN
+                      CAST(((p.n * p.sxx - p.sx * p.sx) * p.syy
+                        - CAST(p.sy AS HUGEINT)
+                          * (p.sy * p.sxx - p.sx * p.sxy)
+                        - CAST(p.sxy AS HUGEINT)
+                          * (p.n * p.sxy - p.sx * p.sy))
+                        // (p.n * p.sxx - p.sx * p.sx) AS BIGINT)
+                    END AS ssr_pooled,
+                    CASE WHEN a.n * a.sxx - a.sx * a.sx > 0 THEN
+                      CAST(((a.n * a.sxx - a.sx * a.sx) * a.syy
+                        - CAST(a.sy AS HUGEINT)
+                          * (a.sy * a.sxx - a.sx * a.sxy)
+                        - CAST(a.sxy AS HUGEINT)
+                          * (a.n * a.sxy - a.sx * a.sy))
+                        // (a.n * a.sxx - a.sx * a.sx) AS BIGINT)
+                    END AS ssr_seg1,
+                    CASE WHEN b.n * b.sxx - b.sx * b.sx > 0 THEN
+                      CAST(((b.n * b.sxx - b.sx * b.sx) * b.syy
+                        - CAST(b.sy AS HUGEINT)
+                          * (b.sy * b.sxx - b.sx * b.sxy)
+                        - CAST(b.sxy AS HUGEINT)
+                          * (b.n * b.sxy - b.sx * b.sy))
+                        // (b.n * b.sxx - b.sx * b.sx) AS BIGINT)
+                    END AS ssr_seg2
+             FROM mp p JOIN m1 a USING (event_type)
+                       JOIN m2 b USING (event_type))
+      SELECT event_type, n_weeks, n_seg1, n_seg2,
+             ssr_pooled, ssr_seg1, ssr_seg2,
+             CASE WHEN n_seg1 >= 3 AND n_seg2 >= 3
+                    AND ssr_seg1 IS NOT NULL AND ssr_seg2 IS NOT NULL
+                    AND ssr_seg1 + ssr_seg2 > 0 THEN
+               CAST(CAST(1000000 AS HUGEINT) * (n_weeks - 4)
+                 * greatest(ssr_pooled - ssr_seg1 - ssr_seg2, 0)
+                 // (2 * (ssr_seg1 + ssr_seg2)) AS BIGINT)
+             END AS f_e6
+      FROM ss""")),
 
     Q("q_group_ols", groupOls, Some("""
       WITH e AS (SELECT event_type,

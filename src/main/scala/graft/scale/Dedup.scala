@@ -107,6 +107,61 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** LSH S-CURVE CALIBRATION (VERDICT-tier banding tuner): for every
+    * df-capped candidate pair, the exact Jaccard rational (i, u) runs
+    * through the banding recall curve P(candidate | s) = 1 − (1−sʳ)ᵇ
+    * for the production config ([[Bands]]×[[RowsPerBand]] = 32×4) and
+    * the tighter 16×8 alternative, then rolls up per Jaccard decile —
+    * the table that answers "what recall does my banding give at each
+    * similarity level on MY corpus's pair distribution" before anyone
+    * re-signs 100 TB with a new config. The curve is evaluated in e6
+    * FIXED POINT with a floor after every squaring (s⁴ exact from the
+    * Jaccard rational in decimal(38,0); then 5 halving-squarings for
+    * (·)³² and 4 for (·)¹⁶) — the floor chain IS the operator
+    * contract, replayed step-for-step by the oracle, so both engines
+    * agree bit-for-bit with no transcendentals. Shape: the same
+    * df-capped inverted-index join as [[ngramCandidates]], per-pair
+    * scalar math, an ≤11-row rollup. */
+  private def lshScurve(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d)
+    val s1 = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    ngramCandidates(sh)
+      .join(s1, "d1").join(s2, "d2")
+      .select(
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+          .as("i"),
+        size(array_union(col("sh1"), col("sh2"))).cast("long").as("u"))
+      .withColumn("jac_e6", expr("i * 1000000 div u"))
+      .withColumn("s4", expr(
+        "cast(i as decimal(38,0)) * i * i * i * 1000000" +
+          " div (cast(u as decimal(38,0)) * u * u * u)"))
+      .withColumn("q1", expr("1000000 - s4"))
+      .withColumn("q2", expr("q1 * q1 div 1000000"))
+      .withColumn("q4", expr("q2 * q2 div 1000000"))
+      .withColumn("q8", expr("q4 * q4 div 1000000"))
+      .withColumn("q16", expr("q8 * q8 div 1000000"))
+      .withColumn("q32", expr("q16 * q16 div 1000000"))
+      .withColumn("s8", expr("s4 * s4 div 1000000"))
+      .withColumn("t1", expr("1000000 - s8"))
+      .withColumn("t2", expr("t1 * t1 div 1000000"))
+      .withColumn("t4", expr("t2 * t2 div 1000000"))
+      .withColumn("t8", expr("t4 * t4 div 1000000"))
+      .withColumn("t16", expr("t8 * t8 div 1000000"))
+      .groupBy(expr("jac_e6 div 100000").cast("long").as("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jac_e6")).as("sum_jac"),
+        sum(expr("1000000 - q32")).as("sum_p32"),
+        sum(expr("1000000 - t16")).as("sum_p16"))
+      .select(col("decile"), col("n_pairs"),
+        expr("cast(sum_jac div n_pairs as bigint)")
+          .as("avg_jaccard_e6"),
+        expr("cast(sum_p32 div n_pairs as bigint)")
+          .as("recall_b32r4_e6"),
+        expr("cast(sum_p16 div n_pairs as bigint)")
+          .as("recall_b16r8_e6"))
+  }
+
   /** Candidate pairs from the inverted index, df-capped (see
     * [[MaxShingleDf]]). The hot-shingle set is tiny by construction
     * (only shingles with df > cap survive the aggregate, and the
@@ -1419,6 +1474,59 @@ object Dedup {
             SELECT doc_id, lang, source FROM documents WHERE doc_id < 25) u
       GROUP BY 1, 2, 3 HAVING count(*) > 1""")),
     Q("q_dedup_ngram_jaccard", ngramJaccard, Some(jaccardCappedOracle)),
+    Q("q_lsh_scurve", lshScurve, Some(s"""
+      WITH tk AS (SELECT doc_id,
+                         string_split_regex(lower(text), '\\s+') AS toks
+                  FROM documents),
+      sh AS (SELECT doc_id,
+                    unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                                          || ' ' || toks[i+2]
+                                          for i in range(1, len(toks)-1)]))
+                      AS s
+             FROM tk WHERE len(toks) >= 3),
+      hot AS (SELECT s FROM sh GROUP BY s
+              HAVING count(*) > $MaxShingleDf),
+      shc AS (SELECT doc_id, s FROM sh
+              WHERE s NOT IN (SELECT s FROM hot)),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM shc a JOIN shc b
+                 ON a.s = b.s AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                       CAST(count(*) AS BIGINT) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      base AS (SELECT i.i, s1.sz + s2.sz - i.i AS u
+               FROM cand c
+               JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+               JOIN sizes s1 ON c.d1 = s1.doc_id
+               JOIN sizes s2 ON c.d2 = s2.doc_id),
+      fx AS (SELECT i * 1000000 // u AS jac_e6,
+                    CAST(i AS HUGEINT) * i * i * i * 1000000
+                      // (CAST(u AS HUGEINT) * u * u * u) AS s4
+             FROM base),
+      c1 AS (SELECT jac_e6, s4, 1000000 - s4 AS q1,
+                    s4 * s4 // 1000000 AS s8
+             FROM fx),
+      c2 AS (SELECT *, q1 * q1 // 1000000 AS q2,
+                    1000000 - s8 AS t1 FROM c1),
+      c3 AS (SELECT *, q2 * q2 // 1000000 AS q4,
+                    t1 * t1 // 1000000 AS t2 FROM c2),
+      c4 AS (SELECT *, q4 * q4 // 1000000 AS q8,
+                    t2 * t2 // 1000000 AS t4 FROM c3),
+      c5 AS (SELECT *, q8 * q8 // 1000000 AS q16,
+                    t4 * t4 // 1000000 AS t8 FROM c4),
+      c6 AS (SELECT *, q16 * q16 // 1000000 AS q32,
+                    t8 * t8 // 1000000 AS t16 FROM c5)
+      SELECT CAST(jac_e6 // 100000 AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(jac_e6) // count(*) AS BIGINT) AS avg_jaccard_e6,
+             CAST(sum(1000000 - q32) // count(*) AS BIGINT)
+               AS recall_b32r4_e6,
+             CAST(sum(1000000 - t16) // count(*) AS BIGINT)
+               AS recall_b16r8_e6
+      FROM c6 GROUP BY 1""")),
     Q("q_cosine_shingle_pairs", cosineShinglePairs,
       Some(cosinePairsOracle)),
     Q("q_dedup_prefix_filter", prefixFilterJaccard,

@@ -982,8 +982,128 @@ object GraphOps {
               GROUP BY 1, 2)
             WHERE w >= $StrongTieMinCount)"""
 
+  /** Attenuation for [[katzIndex]] as an exact power-of-4 weight:
+    * β = 1/4, so Σ_{k≤3} β^k·walks_k scales by 4³ into the all-
+    * integer katz_x64 = 16·w1 + 4·w2 + w3 — no fixed-point division
+    * anywhere in the iteration, unlike PageRank's normalized ranks,
+    * because Katz never renormalizes. */
+  val KatzRounds = 3
+
+  /** KATZ centrality (Katz 1953), truncated at [[KatzRounds]] hops —
+    * the walk-counting influence score [[pagerank]]'s normalized
+    * fixed-point can't give (PageRank is a distribution; Katz is an
+    * absolute reachability mass, the standard choice when scores must
+    * be comparable ACROSS graphs, e.g. per-source trust in a curation
+    * pipeline). w_k(v) = Σ_{(u,v)∈E} w_{k−1}(u) counts length-k walks
+    * ending at v — all-integer, so both engines match bit-for-bit
+    * with no grid snapping at all. Per round the node-cardinality
+    * walk table joins the edge list exactly like [[pagerankOn]]'s
+    * rank join (edges never move; contributions collapse map-side);
+    * each w_k localCheckpoints because it is read twice (next round +
+    * the final combine — the BPE 2^k DAG lesson). Top-50 by score
+    * with node tiebreak keeps the output bounded and total-ordered. */
+  private def katzIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = graft.GraftCaches.getOrPersist(s, s"graph.sp_edges:$d") {
+      edges(s, d)
+    }
+    val w0 = graft.GraftCaches.getOrBuild(s, s"graph.katz_w0:$d") {
+      e.select($"src".as("node")).distinct()
+        .withColumn("w", lit(1L)).localCheckpoint()
+    }
+    val walks = (1 to KatzRounds).scanLeft(w0) { (prev, i) =>
+      graft.GraftCaches.getOrBuild(s, s"graph.katz_w$i:$d") {
+        e.join(broadcast(prev.withColumnRenamed("node", "src")), "src")
+          .groupBy($"dst".as("node")).agg(sum($"w").as("w"))
+          .localCheckpoint()
+      }
+    }.drop(1)
+    val combined = walks.zipWithIndex.map { case (wk, i0) =>
+      val weight = 1L << (2 * (KatzRounds - 1 - i0)) // 16, 4, 1
+      wk.select($"node", ($"w" * weight).as("contrib"))
+    }.reduce(_ unionByName _)
+      .groupBy($"node").agg(sum($"contrib").as("katz_x64"))
+    combined.orderBy($"katz_x64".desc, $"node".asc).limit(50)
+  }
+
+  private def katzOracle: String = {
+    val base = s"""
+      WITH li AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                  FROM lineitem),
+      e AS (SELECT 's' || sk AS src, 'p' || pk AS dst FROM li
+            UNION ALL SELECT 'p' || pk, 's' || sk FROM li),
+      kw0 AS (SELECT DISTINCT src AS node, CAST(1 AS BIGINT) AS w
+              FROM e)"""
+    val iters = (1 to KatzRounds).map { i =>
+      s""",
+      kw$i AS (SELECT e.dst AS node, CAST(sum(p.w) AS BIGINT) AS w
+               FROM e JOIN kw${i - 1} p ON e.src = p.node GROUP BY 1)"""
+    }.mkString
+    val combine = (1 to KatzRounds).map { i =>
+      val weight = 1L << (2 * (KatzRounds - i))
+      s"SELECT node, w * $weight AS contrib FROM kw$i"
+    }.mkString("\n        UNION ALL\n        ")
+    s"""$base$iters
+      SELECT node, CAST(sum(contrib) AS BIGINT) AS katz_x64
+      FROM ($combine) GROUP BY 1
+      ORDER BY katz_x64 DESC, node ASC LIMIT 50"""
+  }
+
+  /** EDGE RECIPROCITY of the directed item-sequence graph — part x →
+    * part y when y immediately follows x inside an order (the
+    * l_linenumber walk): of all distinct directed edges, what
+    * fraction has its reverse? Plus the dyad census (mutual /
+    * asymmetric dyads) — the Garlaschelli–Loffredo numbers a sampler
+    * checks before treating a directed graph as undirected. Shape:
+    * one self-join of lineitem on (orderkey, linenumber+1) builds the
+    * edges (1:1, shuffle ∝ lineitem), then ONE distinct-edge
+    * self-join on both keys (equi, linear); the census is exact
+    * integer counting, reciprocity ships as ·1e6 floors. Note
+    * l_linenumber is dense 1..n within an order, so "next line"
+    * is well-defined; self-loops (same part twice in a row) are
+    * excluded from the dyad census by the a<>b guard, documented. */
+  private def reciprocity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"),
+        $"l_partkey".as("part"))
+    val nxt = li.select($"ok", ($"ln" - 1).as("ln"),
+      $"part".as("part_b"))
+    val edges = li.join(nxt, Seq("ok", "ln"))
+      .select($"part".as("a"), $"part_b".as("b"))
+      .filter($"a" =!= $"b").distinct()
+    val rev = edges.select($"b".as("a"), $"a".as("b"))
+      .withColumn("has_rev", lit(1L))
+    edges.join(rev, Seq("a", "b"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(coalesce($"has_rev", lit(0L))).as("n_recip"))
+      .select($"n_edges", $"n_recip",
+        expr("n_recip div 2").as("n_mutual_dyads"), // exact: even
+        ($"n_edges" - $"n_recip").as("n_asym_dyads"),
+        expr("n_recip * 1000000 div n_edges").as("reciprocity_e6"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_kcore", kcore, Some(kcoreOracle)),
+    Q("q_katz_index", katzIndex, Some(katzOracle)),
+    Q("q_graph_reciprocity", reciprocity, Some("""
+      WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                         l_partkey AS part
+                  FROM lineitem),
+      ed AS (SELECT DISTINCT a.part AS a, b.part AS b
+             FROM li a JOIN li b
+               ON a.ok = b.ok AND b.ln = a.ln + 1
+             WHERE a.part <> b.part),
+      j AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(sum(CASE WHEN r.a IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_recip
+            FROM ed LEFT JOIN ed r ON ed.a = r.b AND ed.b = r.a)
+      SELECT n_edges, n_recip,
+             n_recip // 2 AS n_mutual_dyads,
+             n_edges - n_recip AS n_asym_dyads,
+             CAST(n_recip * 1000000 // n_edges AS BIGINT)
+               AS reciprocity_e6
+      FROM j""")),
     Q("q_clustering_coeff", clusteringCoeff, headline = true,
       oracle = Some(s"""$strongTieSql,
       deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg

@@ -551,7 +551,99 @@ object Layout {
              END AS amp_e3
       FROM agg"""
 
+  /** FILE-CLUSTERING OVERLAP DEPTH — the re-cluster decision metric a
+    * lakehouse OPTIMIZE reports (Delta/Iceberg "clustering depth"):
+    * on the sort axis (ship_day), how many files' zone ranges
+    * [min, max] cover a given day — depth 1 = perfectly clustered
+    * (zone maps skip everything irrelevant), depth ≈ n_files =
+    * fully interleaved (zone maps skip nothing — exactly the
+    * [[zoneMapSkip]] 'natural' layout pathology, quantified). The
+    * AVERAGE depth needs no sweep at all: ∫depth = Σ file extents, so
+    * avg = Σ(mx−mn+1) / span exactly. The MAX depth is a sweep line —
+    * +1 at mn, −1 at mx+1, running sum over the distinct-day delta
+    * grid via [[graft.ext.GlobalRank.withPrefixSum]] (file count
+    * scales with data: an unpartitioned window here would be the
+    * audit-banned scale killer) — then one max. Both layouts of
+    * [[zoneMapSkip]] are profiled, and the contrast IS the point:
+    * date_weekly partitions the axis (depth 1), natural interleaves
+    * (depth ≈ n_files). */
+  private def fileOverlapDepth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val epoch = lit("1970-01-01").cast("date")
+    val rows = Tables.lineitem(s, d)
+      .select($"l_orderkey",
+        datediff($"l_shipdate".cast("date"), epoch).cast("long")
+          .as("ship_day"))
+    def profile(layout: String,
+        fid: org.apache.spark.sql.Column): DataFrame = {
+      val files = rows.groupBy(fid.as("fid"))
+        .agg(min($"ship_day").as("mn"), max($"ship_day").as("mx"))
+      val deltas = files.select($"mn".as("day"), lit(1L).as("delta"))
+        .unionAll(files.select(($"mx" + 1L).as("day"),
+          lit(-1L).as("delta")))
+        .groupBy($"day").agg(sum($"delta").as("delta"))
+      val maxDepth = graft.ext.GlobalRank
+        .withPrefixSum(deltas, Seq($"day"), $"delta", "depth")
+        .agg(max($"depth").as("max_depth"))
+      files
+        .agg(count(lit(1)).as("n_files"),
+          sum($"mx" - $"mn" + 1).as("sum_extent"),
+          (max($"mx") - min($"mn") + 1).as("span_days"))
+        .crossJoin(maxDepth) // scalar x scalar
+        .select(lit(layout).as("layout"), $"n_files", $"span_days",
+          expr("sum_extent * 1000 div span_days").as("avg_depth_e3"),
+          $"max_depth")
+    }
+    profile("natural", expr("l_orderkey div 4096"))
+      .unionByName(profile("date_weekly", expr("ship_day div 7")))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_file_overlap_depth", fileOverlapDepth, Some("""
+      WITH rows0 AS (SELECT l_orderkey,
+                            CAST(datediff('day', DATE '1970-01-01',
+                              CAST(l_shipdate AS DATE)) AS BIGINT)
+                              AS ship_day
+                     FROM lineitem),
+      natf AS (SELECT l_orderkey // 4096 AS fid,
+                      min(ship_day) AS mn, max(ship_day) AS mx
+               FROM rows0 GROUP BY 1),
+      wkf AS (SELECT ship_day // 7 AS fid,
+                     min(ship_day) AS mn, max(ship_day) AS mx
+              FROM rows0 GROUP BY 1),
+      natd AS (SELECT day, sum(delta) AS delta FROM (
+                 SELECT mn AS day, 1 AS delta FROM natf
+                 UNION ALL SELECT mx + 1, -1 FROM natf)
+               GROUP BY 1),
+      wkd AS (SELECT day, sum(delta) AS delta FROM (
+                 SELECT mn AS day, 1 AS delta FROM wkf
+                 UNION ALL SELECT mx + 1, -1 FROM wkf)
+               GROUP BY 1),
+      natm AS (SELECT max(depth) AS max_depth FROM (
+                 SELECT sum(delta) OVER (ORDER BY day) AS depth
+                 FROM natd)),
+      wkm AS (SELECT max(depth) AS max_depth FROM (
+                 SELECT sum(delta) OVER (ORDER BY day) AS depth
+                 FROM wkd)),
+      nats AS (SELECT CAST(count(*) AS BIGINT) AS n_files,
+                      CAST(sum(mx - mn + 1) AS BIGINT) AS sum_extent,
+                      CAST(max(mx) - min(mn) + 1 AS BIGINT)
+                        AS span_days
+               FROM natf),
+      wks AS (SELECT CAST(count(*) AS BIGINT) AS n_files,
+                     CAST(sum(mx - mn + 1) AS BIGINT) AS sum_extent,
+                     CAST(max(mx) - min(mn) + 1 AS BIGINT) AS span_days
+              FROM wkf)
+      SELECT 'natural' AS layout, n_files, span_days,
+             CAST(sum_extent * 1000 // span_days AS BIGINT)
+               AS avg_depth_e3,
+             CAST(max_depth AS BIGINT) AS max_depth
+      FROM nats, natm
+      UNION ALL
+      SELECT 'date_weekly', n_files, span_days,
+             CAST(sum_extent * 1000 // span_days AS BIGINT),
+             CAST(max_depth AS BIGINT)
+      FROM wks, wkm""")),
     Q("q_curriculum_order", curriculumOrder, Some(curriculumOracle)),
     Q("q_zone_map_skip", zoneMapSkip, Some(zoneMapOracle)),
     Q("q_zorder_layout", zorderLayout, Some(zorderOracle)),

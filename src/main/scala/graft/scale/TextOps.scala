@@ -1281,6 +1281,40 @@ object TextOps {
           element_at(t, i + 1).as("w2"))))
   }
 
+  /** SPECULATIVE-DECODING acceptance-rate estimator — the data-side
+    * number (cf. Leviathan et al. 2023, arXiv 2211.17192) that
+    * decides whether a cheap draft model is worth its latency: train
+    * the simplest corpus-supported draft (the bigram ARGMAX: per
+    * token, the most frequent next token, ties broken
+    * lexicographically — a total order, so training is
+    * deterministic), then replay every corpus transition and measure
+    * the fraction the draft predicts, per source. Shape: transition
+    * pairs come from the [[graft.ext.BigramPairsExpr]] scan kernel
+    * and their counts collapse map-side; the draft table is
+    * vocab-bounded (Heaps-sublinear) and BROADCASTS back onto the
+    * transitions — the corpus never shuffles; argmax rides a
+    * per-token window (vocab-keyed partitions). Acceptance ships as
+    * the exact ·1e6 floor. */
+  private def draftAcceptance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1")).orderBy(col("cnt").desc, col("w2").asc)
+    val trans = Tables.documents(s, d)
+      .select($"source",
+        explode(graft.ext.BigramPairsExpr.bigramPairs($"text")).as("p"))
+      .select($"source", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val draft = trans.groupBy($"w1", $"w2").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(W))
+      .filter($"rn" === 1).select($"w1", $"w2".as("draft_w2"))
+    trans.join(broadcast(draft), "w1")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(when($"w2" === $"draft_w2", 1L).otherwise(0L))
+          .as("n_accepted"))
+      .withColumn("acceptance_e6",
+        expr("n_accepted * 1000000 div n_transitions"))
+  }
+
   private def bigramLm(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // pair construction via the codegen kernel: the interpreted form
@@ -3298,6 +3332,29 @@ object TextOps {
              round(avg(len(string_split_regex(lower(text), '\s+'))), 4)
                AS avg_tokens
       FROM documents GROUP BY lang, source""")),
+
+    Q("q_draft_acceptance", draftAcceptance, Some("""
+      WITH tk AS (SELECT source,
+                         string_split_regex(lower(text), '\s+') AS toks
+                  FROM documents),
+      tr AS (SELECT source,
+                    unnest([struct_pack(w1 := toks[i], w2 := toks[i+1])
+                            for i in range(1, len(toks))]) AS p
+             FROM tk WHERE len(toks) >= 2),
+      t2 AS (SELECT source, p.w1 AS w1, p.w2 AS w2 FROM tr),
+      cnt AS (SELECT w1, w2, count(*) AS cnt FROM t2 GROUP BY 1, 2),
+      draft AS (SELECT w1, w2 AS draft_w2 FROM (
+                  SELECT w1, w2, row_number() OVER (
+                    PARTITION BY w1 ORDER BY cnt DESC, w2 ASC) AS rn
+                  FROM cnt)
+                WHERE rn = 1)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_transitions,
+             CAST(sum(CASE WHEN w2 = draft_w2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_accepted,
+             CAST(sum(CASE WHEN w2 = draft_w2 THEN 1 ELSE 0 END)
+               * 1000000 // count(*) AS BIGINT) AS acceptance_e6
+      FROM t2 JOIN draft USING (w1)
+      GROUP BY 1""")),
 
     Q("q_bigram_lm", bigramLm, Some("""
       WITH tk AS (SELECT string_split_regex(lower(text), '\s+') AS toks
