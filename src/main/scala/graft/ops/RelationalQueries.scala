@@ -631,7 +631,69 @@ object RelationalQueries {
           <= $"exact_parts" * 0.05).as("parts_within_5pct"))
   }
 
+  /** Salting granularity [[skewAdvisor]] plans against — the official
+    * shuffle-partition count at the pinned bench config. */
+  val SkewAdvisorParts = 32L
+
+  /** JOIN-KEY SKEW ADVISOR — the pre-flight profile behind the
+    * q_join_salted / AQE-skew decisions: per candidate join key, how
+    * concentrated are the rows, and what salt factor would level the
+    * biggest key across [[SkewAdvisorParts]] partition slots? All
+    * exact integers: skew_ratio_e3 = max_cnt·n_keys·1000 div n_rows
+    * (1000 = perfectly uniform), salt_factor =
+    * ⌈max_cnt·P / n_rows⌉ (the number of sub-splits that brings the
+    * hottest key down to the average per-slot load; 1 = no salting
+    * needed). One map-side-combinable count per key then a 1-row
+    * rollup per profiled key — the 100 TB shape is two aggregate
+    * passes over the fact table, nothing else. */
+  private def skewAdvisor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def profile(keyName: String, key: org.apache.spark.sql.Column) =
+      Tables.lineitem(s, d)
+        .groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"), sum($"cnt").as("n_rows"),
+          max($"cnt").as("max_cnt"))
+        .select(lit(keyName).as("join_key"), $"n_keys", $"n_rows",
+          $"max_cnt",
+          expr("max_cnt * n_keys * 1000 div n_rows").as("skew_ratio_e3"),
+          expr(s"greatest((max_cnt * $SkewAdvisorParts + n_rows - 1)" +
+            " div n_rows, 1L)").as("salt_factor"),
+          expr("max_cnt * n_keys * 1000 div n_rows >= 4000")
+            .as("salting_recommended"))
+    profile("l_suppkey", $"l_suppkey")
+      .unionByName(profile("l_partkey", $"l_partkey"))
+      .unionByName(profile("l_orderkey", $"l_orderkey"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_skew_advisor", skewAdvisor, Some(s"""
+      WITH p1 AS (SELECT l_suppkey AS k, count(*) AS cnt
+                  FROM lineitem GROUP BY 1),
+      p2 AS (SELECT l_partkey AS k, count(*) AS cnt
+             FROM lineitem GROUP BY 1),
+      p3 AS (SELECT l_orderkey AS k, count(*) AS cnt
+             FROM lineitem GROUP BY 1),
+      r1 AS (SELECT 'l_suppkey' AS join_key,
+                    CAST(count(*) AS BIGINT) AS n_keys,
+                    CAST(sum(cnt) AS BIGINT) AS n_rows,
+                    CAST(max(cnt) AS BIGINT) AS max_cnt
+             FROM p1),
+      r2 AS (SELECT 'l_partkey', CAST(count(*) AS BIGINT),
+                    CAST(sum(cnt) AS BIGINT), CAST(max(cnt) AS BIGINT)
+             FROM p2),
+      r3 AS (SELECT 'l_orderkey', CAST(count(*) AS BIGINT),
+                    CAST(sum(cnt) AS BIGINT), CAST(max(cnt) AS BIGINT)
+             FROM p3),
+      u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+            UNION ALL SELECT * FROM r3)
+      SELECT join_key, n_keys, n_rows, max_cnt,
+             CAST(max_cnt * n_keys * 1000 // n_rows AS BIGINT)
+               AS skew_ratio_e3,
+             CAST(greatest((max_cnt * $SkewAdvisorParts + n_rows - 1)
+               // n_rows, 1) AS BIGINT) AS salt_factor,
+             max_cnt * n_keys * 1000 // n_rows >= 4000
+               AS salting_recommended
+      FROM u""")),
     Q("q_agg_pricing", aggPricing, Some("""
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,

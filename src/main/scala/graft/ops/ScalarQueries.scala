@@ -399,6 +399,46 @@ object ScalarQueries {
         .as("peak_concurrent"), $"n_intervals")
   }
 
+  /** Sliding-window DISTINCT users — exact "7-day active users per
+    * day", the classic hard operator (a distinct inside a sliding
+    * frame can't be window-aggregated: COUNT(DISTINCT) OVER RANGE is
+    * unsupported in Spark, and sketches trade exactness). Exact
+    * distributed form: each (user, active day) covers the window-end
+    * days [day, day+6]; per user those cover-intervals MERGE
+    * (gaps-and-islands, user-partitioned window) so one user never
+    * counts twice; merged intervals become +1/−1 deltas on the
+    * distinct-day grid, and the running count is one cumulative
+    * window over that CALENDAR-bounded grid (whitelisted — the
+    * conversion_hazard risk-grid argument: the frame walks days,
+    * never users or events). Emits the change-point days (the grid)
+    * with the exact 7-day distinct count in force from that day. */
+  private def slidingDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val wUser = W.partitionBy($"user_id").orderBy($"day".asc)
+    val active = Tables.events(s, d)
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .distinct()
+    val islands = active
+      .withColumn("newi",
+        when($"day" > coalesce(lag($"day", 1).over(wUser),
+          lit(Long.MinValue)) + 6, 1L).otherwise(0L))
+      .withColumn("grp", sum($"newi").over(
+        wUser.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy($"user_id", $"grp")
+      .agg(min($"day").as("st"), (max($"day") + 6).as("en"))
+    val deltas = islands.select($"st".as("day"), lit(1L).as("delta"))
+      .unionAll(islands.select(($"en" + 1).as("day"),
+        lit(-1L).as("delta")))
+      .groupBy($"day").agg(sum($"delta").as("delta"))
+    deltas
+      .withColumn("active_7d", sum($"delta").over(W.orderBy($"day".asc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .select($"day".as("dayn"), $"active_7d")
+  }
+
   /** Time-WEIGHTED average value per series (TWAP) — the sampling-
     * rate-proof mean [[dailyOhlc]]'s volume-weighted family lacks: a
     * burst of identical readings must not move it. Each observation
@@ -1017,6 +1057,31 @@ object ScalarQueries {
                AS peak_concurrent,
              st.n_intervals
       FROM st LEFT JOIN pk USING (day)""")),
+
+    Q("q_sliding_distinct", slidingDistinct, Some("""
+      WITH active AS (SELECT DISTINCT user_id,
+                        CAST(datediff('day', DATE '1970-01-01',
+                          CAST(ts AS DATE)) AS BIGINT) AS day
+                      FROM events),
+      isl AS (SELECT *, CASE WHEN day > coalesce(lag(day) OVER (
+                  PARTITION BY user_id ORDER BY day ASC),
+                  -9223372036854775807) + 6 THEN 1 ELSE 0 END AS newi
+              FROM active),
+      grp AS (SELECT *, sum(newi) OVER (PARTITION BY user_id
+                ORDER BY day ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS grp
+              FROM isl),
+      iv AS (SELECT user_id, grp, min(day) AS st, max(day) + 6 AS en
+             FROM grp GROUP BY 1, 2),
+      deltas AS (SELECT day, CAST(sum(delta) AS BIGINT) AS delta
+                 FROM (SELECT st AS day, 1 AS delta FROM iv
+                       UNION ALL SELECT en + 1, -1 FROM iv)
+                 GROUP BY 1)
+      SELECT day AS dayn,
+             CAST(sum(delta) OVER (ORDER BY day ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS active_7d
+      FROM deltas""")),
 
     Q("q_twap", twapByType, Some("""
       WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id,

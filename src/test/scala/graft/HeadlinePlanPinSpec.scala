@@ -23,6 +23,20 @@ import org.scalatest.funsuite.AnyFunSuite
 class HeadlinePlanPinSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf}
 
+  /** Counts are pinned against a FRESH session (PlanCensus runs in
+    * its own JVM), but in the full suite earlier specs populate
+    * GraftCaches / the session cache manager, and a headliner that
+    * plans over an InMemoryRelation instead of its parquet scans
+    * counts differently. One flush before the first count restores
+    * the fresh-session state; within the suite the queries then run
+    * in catalog order, evolving the caches exactly as the census
+    * did. (Suites run sequentially in the forked test JVM, so no
+    * other spec can interleave.) */
+  private lazy val freshCaches: Unit = {
+    graft.GraftCaches.release(spark)
+    spark.catalog.clearCache()
+  }
+
   /** (shuffles, broadcasts, scans) per headliner — PlanCensus output. */
   private val pinned: Map[String, Counts] = Map(
     "q_agg_pricing" -> Counts(1, 0, 1),
@@ -62,6 +76,7 @@ class HeadlinePlanPinSpec extends AnyFunSuite {
   )
 
   test("every headliner is pinned and no pin is stale") {
+    freshCaches
     val names = SparkEntry.headline.map(_.name).toSet
     assert(names === pinned.keySet,
       s"headliner set changed — re-run PlanCensus; " +
@@ -71,6 +86,7 @@ class HeadlinePlanPinSpec extends AnyFunSuite {
 
   for (q <- SparkEntry.headline) {
     test(s"${q.name} plan structure matches its pin") {
+      freshCaches
       val got = PlanStats.of(q.run(spark, sf))
       val want = pinned(q.name)
       assert(got === want,

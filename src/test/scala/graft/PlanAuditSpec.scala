@@ -80,6 +80,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_skew_profile" -> "cum share over the top-20 LIMIT frame",
     "q_psi_drift" -> "PSI total over the fixed bin grid",
     "q_conversion_hazard" -> "distinct event-day risk grid (calendar)",
+    "q_sliding_distinct" -> ("distinct-day delta grid (calendar; the " +
+      "per-user interval merge already collapsed users away)"),
     "q_nelson_aalen" -> "distinct event-day risk grid (calendar)",
     "q_kaplan_meier" -> "distinct event-day risk grid (calendar)",
     "q_logrank_test" -> "distinct event-day risk grid (calendar)",
