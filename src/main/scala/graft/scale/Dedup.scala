@@ -1272,12 +1272,35 @@ object Dedup {
         s"transform(sequence(1, size(t) - ${k - 1})," +
           s" j -> struct(cast(j as bigint) as pos," +
           s" array_join(slice(t, j, $k), ' ') as g))")).as("a"))
-      .select(col("doc_id"), col("a.pos").as("pos"), col("a.g").as("g"))
-    val rare = anchors.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"))
+      // the documented gram-key shrink path, now the implementation
+      // (round 15): the ~60-byte gram string is hashed to a 62-bit
+      // key IN the scan projection (two independent 31-bit poly
+      // hashes, both DuckDB-replayable, combined as h31·(2³¹−1)+h131
+      // < 2⁶² — a single 31-bit key would give ~6000 expected
+      // colliding pairs at 5M anchors; the pair needs ≈ (5e6)²/2 /
+      // 4.6e18 ≈ 3e-6 here, and a FALSE RUN additionally needs
+      // minRun−k+1 consecutive collisions on one diagonal), so the
+      // df aggregate and the self-join shuffle 8-byte longs, never
+      // strings. Both engines hash identically, so the oracle compare
+      // is exact even in the astronomically-unlikely collision case.
+      .select(col("doc_id"), col("a.pos").as("pos"),
+        (graft.ext.PolyHashExpr.polyHash(col("a.g"), 31L)
+          * 2147483647L +
+          graft.ext.PolyHashExpr.polyHash(col("a.g"), 131L)).as("g"))
+    // df filter as a COUNT WINDOW over the g-partition rather than a
+    // separate aggregate + join: the aggregate branch and the join
+    // branch each re-ran the whole 5M-gram explode+hash (their
+    // exchanges differ in schema, so ReuseExchange cannot collapse
+    // them) — the window form shuffles the anchors ONCE, the df
+    // filter runs post-shuffle, and the self-join's two branches
+    // share that single exchange (and its hashpartitioning(g), so
+    // the join adds no exchange of its own). Measured 2.2 → 1.2 s
+    // at sf0.1.
+    val wG = W.partitionBy(col("g"))
+    val kept = anchors
+      .withColumn("df", count(lit(1)).over(wG))
       .filter(col("df") <= dfCap && col("df") >= 2)
-      .select(col("g"))
-    val kept = anchors.join(rare, "g")
+      .select(col("doc_id"), col("pos"), col("g"))
     val m = kept.select(col("g"), col("doc_id").as("doc_a"),
         col("pos").as("pa"))
       .join(kept.select(col("g"), col("doc_id").as("doc_b"),
@@ -1357,7 +1380,7 @@ object Dedup {
   private def substringRunCtes: String = s"""
       WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t
                   FROM documents),
-      an AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+      an0 AS (SELECT doc_id, u.pos AS pos, u.g AS gs FROM (
                SELECT doc_id,
                       unnest(list_transform(
                         range(1, len(t) - ${AnchorTokens - 2}),
@@ -1365,6 +1388,12 @@ object Dedup {
                           g := array_to_string(
                             t[j:j+${AnchorTokens - 1}], ' ')))) AS u
                FROM tk WHERE len(t) >= $AnchorTokens)),
+      an AS (SELECT doc_id, pos,
+                    ${graft.scale.TextOps.polyHashSql("gs", 31L)}
+                      * 2147483647
+                      + ${graft.scale.TextOps.polyHashSql("gs", 131L)}
+                      AS g
+             FROM an0),
       rare AS (SELECT g FROM an GROUP BY g
                HAVING count(*) <= $AnchorDfCap AND count(*) >= 2),
       kept AS (SELECT an.* FROM an JOIN rare USING (g)),
