@@ -1156,16 +1156,7 @@ object InferenceQueries {
     * positive variance (the welch lesson). */
   private def pairedTTest(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val diffs = Tables.events(s, d)
-      .select($"event_type", $"user_id",
-        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
-        (datediff($"ts".cast("date"), lit("1970-01-01").cast("date"))
-          % 2 === 0).as("pre"))
-      .filter($"cents".isNotNull)
-      .groupBy($"event_type", $"user_id")
-      .agg((sum(when(!$"pre", $"cents").otherwise(0L)) -
-        sum(when($"pre", $"cents").otherwise(0L))).as("dd"))
-    diffs.groupBy($"event_type")
+    pairedDiffs(s, d).groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"dd").as("sd"),
         sum($"dd".cast("decimal(38,0)") * $"dd").as("sdd"))
       .withColumn("var_n2",
@@ -1175,6 +1166,88 @@ object InferenceQueries {
         floor($"sd".cast("double") *
           sqrt(($"n" - 1).cast("double")) /
           sqrt($"var_n2".cast("double")) * lit(1000000.0)).as("t_e6"))
+  }
+
+  /** Per-(type, user) paired differences shared by [[pairedTTest]],
+    * [[wilcoxonSignedRank]], and [[signTest]]: odd-day spend − even-
+    * day spend in exact cents (each user their own control). */
+  private def pairedDiffs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type", $"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (datediff($"ts".cast("date"), lit("1970-01-01").cast("date"))
+          % 2 === 0).as("pre"))
+      .filter($"cents".isNotNull)
+      .groupBy($"event_type", $"user_id")
+      .agg((sum(when(!$"pre", $"cents").otherwise(0L)) -
+        sum(when($"pre", $"cents").otherwise(0L))).as("dd"))
+  }
+
+  /** WILCOXON SIGNED-RANK test — [[pairedTTest]]'s nonparametric twin
+    * on the SAME per-user paired differences: ranks |d| instead of
+    * averaging d, so one whale's swing can't carry the test. Zero
+    * differences drop (the standard Wilcoxon convention); |d| ranks
+    * come doubled off the per-type |d| grid (2·avg = 2·prev + g + 1,
+    * the [[kruskalWallis]] midrank machinery, so ties stay integral);
+    * W2⁺ = Σ_{d>0} rank2 with E[W2⁺] = n(n+1)/2 exactly and
+    * Var[W2⁺]·12 = 2n(n+1)(2n+1) − Σ(t³−t) (tie-corrected, exact —
+    * t³−t is divisible by 6). The z ships sign-carried exact:
+    * z2_e6 = 12·10⁶·dev² div V12, flag ≥ 3 841 600 ⟺ |z| ≥ 1.96.
+    * Shape: one (type,user) rollup, then windows on the per-type |d|
+    * VALUE grid — user cardinality never enters a frame. */
+  private def wilcoxonSignedRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val diffs = pairedDiffs(s, d).filter($"dd" =!= 0L)
+      .select($"event_type", $"dd", abs($"dd").as("ad"))
+    val cum = W.partitionBy($"event_type").orderBy($"ad".asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val grid = diffs.groupBy($"event_type", $"ad")
+      .agg(count(lit(1)).as("g"),
+        sum(when($"dd" > 0, 1L).otherwise(0L)).as("pos"))
+      .withColumn("prev", sum($"g").over(cum) - $"g")
+    val ranks = grid.groupBy($"event_type")
+      .agg(sum($"g").as("n"),
+        sum($"pos" * (lit(2L) * $"prev" + $"g" + 1)).as("w2_pos"),
+        sum($"g" * $"g" * $"g" - $"g").as("tie_num"))
+    ranks
+      .withColumn("e2", expr("n * (n + 1) div 2")) // exact: even
+      .withColumn("v12", expr(
+        "2 * cast(n as decimal(38,0)) * (n + 1) * (2 * n + 1)" +
+          " - tie_num"))
+      .withColumn("dev", $"w2_pos" - $"e2")
+      .withColumn("mag", expr(
+        "case when v12 > 0 then" +
+          " cast(12000000 * cast(abs(dev) as decimal(38,0)) * abs(dev)" +
+          " div v12 as bigint) else 0L end"))
+      .select($"event_type", $"n", $"w2_pos", $"e2".cast("long").as("e2"),
+        $"v12".cast("long").as("v12"),
+        when($"dev" >= 0, $"mag").otherwise(-$"mag").as("z2_e6"),
+        ($"mag" >= 3841600L).as("shift_5pct"))
+  }
+
+  /** SIGN TEST on the same paired differences — the assumption-free
+    * floor under [[wilcoxonSignedRank]] (uses only the SIGNS, so it
+    * survives even ordinal-scale garbage where ranks are suspect).
+    * Zeros drop; with continuity correction the z ships sign-carried
+    * exact: z2_e6 = 10⁶·(|n⁺−n⁻|−1)² div n (the mann_kendall (|S|−1)
+    * device), flag ≥ 3 841 600. One rollup, |types| rows. */
+  private def signTest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pairedDiffs(s, d).filter($"dd" =!= 0L)
+      .groupBy($"event_type")
+      .agg(sum(when($"dd" > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when($"dd" < 0, 1L).otherwise(0L)).as("n_neg"))
+      .withColumn("n", $"n_pos" + $"n_neg")
+      .withColumn("mag", expr(
+        "case when n > 0 and abs(n_pos - n_neg) > 1 then" +
+          " (abs(n_pos - n_neg) - 1) * (abs(n_pos - n_neg) - 1)" +
+          " * 1000000 div n else 0L end"))
+      .select($"event_type", $"n", $"n_pos", $"n_neg",
+        when($"n_pos" >= $"n_neg", $"mag").otherwise(-$"mag")
+          .as("z2_e6"),
+        ($"mag" >= 3841600L).as("shift_5pct"))
   }
 
   /** Overdispersion (variance-to-mean) index of the daily event
@@ -3348,6 +3421,81 @@ object InferenceQueries {
                / sqrt(CAST(var_n2 AS DOUBLE)) * 1000000.0) AS BIGINT)
                AS t_e6
       FROM v WHERE var_n2 > 0""")),
+
+    Q("q_wilcoxon_signed_rank", wilcoxonSignedRank, Some("""
+      WITH e AS (SELECT event_type, user_id,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents,
+                        datediff('day', DATE '1970-01-01',
+                          CAST(ts AS DATE)) % 2 = 0 AS pre
+                 FROM events WHERE value IS NOT NULL),
+      u AS (SELECT event_type, user_id,
+                   CAST(sum(CASE WHEN NOT pre THEN cents ELSE 0 END)
+                     - sum(CASE WHEN pre THEN cents ELSE 0 END)
+                     AS BIGINT) AS dd
+            FROM e GROUP BY 1, 2),
+      dz AS (SELECT event_type, dd, abs(dd) AS ad FROM u
+             WHERE dd <> 0),
+      grid AS (SELECT event_type, ad, CAST(count(*) AS BIGINT) AS g,
+                      CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pos,
+                      CAST(sum(count(*)) OVER (PARTITION BY event_type
+                        ORDER BY ad ASC ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) - count(*)
+                        AS BIGINT) AS prev
+               FROM dz GROUP BY event_type, ad),
+      rk AS (SELECT event_type, CAST(sum(g) AS BIGINT) AS n,
+                    CAST(sum(pos * (2 * prev + g + 1)) AS BIGINT)
+                      AS w2_pos,
+                    CAST(sum(g * g * g - g) AS BIGINT) AS tie_num
+             FROM grid GROUP BY 1),
+      st AS (SELECT *, n * (n + 1) // 2 AS e2,
+                    2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1)
+                      - tie_num AS v12
+             FROM rk),
+      z AS (SELECT *, w2_pos - e2 AS dev,
+                   CASE WHEN v12 > 0 THEN
+                     CAST(CAST(12000000 AS HUGEINT) * abs(w2_pos - e2)
+                       * abs(w2_pos - e2) // v12 AS BIGINT)
+                   ELSE 0 END AS mag
+            FROM st)
+      SELECT event_type, n, w2_pos, CAST(e2 AS BIGINT) AS e2,
+             CAST(v12 AS BIGINT) AS v12,
+             CAST(CASE WHEN dev >= 0 THEN mag ELSE -mag END AS BIGINT)
+               AS z2_e6,
+             mag >= 3841600 AS shift_5pct
+      FROM z""")),
+
+    Q("q_sign_test", signTest, Some("""
+      WITH e AS (SELECT event_type, user_id,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents,
+                        datediff('day', DATE '1970-01-01',
+                          CAST(ts AS DATE)) % 2 = 0 AS pre
+                 FROM events WHERE value IS NOT NULL),
+      u AS (SELECT event_type, user_id,
+                   CAST(sum(CASE WHEN NOT pre THEN cents ELSE 0 END)
+                     - sum(CASE WHEN pre THEN cents ELSE 0 END)
+                     AS BIGINT) AS dd
+            FROM e GROUP BY 1, 2),
+      c AS (SELECT event_type,
+                   CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_pos,
+                   CAST(sum(CASE WHEN dd < 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_neg
+            FROM u WHERE dd <> 0 GROUP BY 1),
+      m AS (SELECT *, n_pos + n_neg AS n,
+                   CASE WHEN n_pos + n_neg > 0
+                          AND abs(n_pos - n_neg) > 1 THEN
+                     (abs(n_pos - n_neg) - 1) * (abs(n_pos - n_neg) - 1)
+                       * 1000000 // (n_pos + n_neg)
+                   ELSE 0 END AS mag
+            FROM c)
+      SELECT event_type, n, n_pos, n_neg,
+             CAST(CASE WHEN n_pos >= n_neg THEN mag ELSE -mag END
+               AS BIGINT) AS z2_e6,
+             mag >= 3841600 AS shift_5pct
+      FROM m""")),
 
     Q("q_overdispersion", overdispersion, Some("""
       WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

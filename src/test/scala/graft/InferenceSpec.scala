@@ -1355,6 +1355,60 @@ class InferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("q_wilcoxon_signed_rank + q_sign_test: both replay from the " +
+      "same driver-side paired differences in BigInt") {
+    val diffs = Tables.events(spark, sf)
+      .select($"event_type", $"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (datediff($"ts".cast("date"), lit("1970-01-01").cast("date"))
+          % 2 === 0).as("pre"))
+      .filter($"cents".isNotNull)
+      .as[(String, Long, Long, Boolean)].collect()
+      .groupBy(r => (r._1, r._2)).view
+      .mapValues(rs => rs.filterNot(_._4).map(_._3).sum -
+        rs.filter(_._4).map(_._3).sum)
+      .toSeq.map { case ((t, _), dd) => (t, dd) }
+      .filter(_._2 != 0L)
+    val wGot = SparkEntry.queries("q_wilcoxon_signed_rank")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("w2_pos"),
+          r.getAs[Long]("z2_e6"))).toMap
+    val sGot = SparkEntry.queries("q_sign_test")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          r.getAs[Long]("z2_e6"))).toMap
+    diffs.groupBy(_._1).foreach { case (t, rows) =>
+      val ds = rows.map(_._2)
+      val sortedAbs = ds.map(_.abs).sorted
+      // doubled midrank of |d|: 2*avg over the tie group
+      def rank2(ad: Long): Long = {
+        val below = sortedAbs.count(_ < ad)
+        val tieSz = sortedAbs.count(_ == ad)
+        2L * below + tieSz + 1
+      }
+      val n = BigInt(ds.size)
+      val w2pos = ds.filter(_ > 0).map(d => BigInt(rank2(d.abs))).sum
+      val e2 = n * (n + 1) / 2
+      val tieNum = sortedAbs.groupBy(identity).values
+        .map(g => BigInt(g.size).pow(3) - g.size).sum
+      val v12 = 2 * n * (n + 1) * (2 * n + 1) - tieNum
+      val dev = w2pos - e2
+      val mag = BigInt(12000000) * dev.abs * dev.abs / v12
+      val (gn, gw, gz) = wGot(t)
+      assert(gn === n.toLong)
+      assert(gw === w2pos.toLong)
+      assert(gz === (if (dev >= 0) mag.toLong else -mag.toLong))
+      // sign test
+      val (np, nn) = (ds.count(_ > 0).toLong, ds.count(_ < 0).toLong)
+      val smag = if (np + nn > 0 && (np - nn).abs > 1)
+        BigInt((np - nn).abs - 1).pow(2) * 1000000 / (np + nn)
+      else BigInt(0)
+      val (gp, gneg, gsz) = sGot(t)
+      assert((gp, gneg) === ((np, nn)))
+      assert(gsz === (if (np >= nn) smag.toLong else -smag.toLong))
+    }
+  }
+
   test("q_page_trend: L replays from driver-side midranks over " +
       "complete day blocks in BigInt") {
     val cells = dailyRows.groupBy(_._2) // by day
