@@ -276,6 +276,71 @@ object InferenceQueries {
         ($"mag" >= 38416L).as("sig_5pct"))
   }
 
+  /** ORDINAL association battery — Goodman–Kruskal γ and BOTH
+    * Somers' d directions over the (order priority × order status)
+    * contingency grid: the strength-AND-direction numbers
+    * [[cramersV]]'s symmetric, sign-less V cannot give when the two
+    * categoricals are ORDERED (priority by its leading digit; status
+    * by its letter — the demonstration orderings, as with
+    * [[jonckheere]]). Concordant/discordant/tied-one-way pair masses
+    * come from the bounded cell-grid pair fan (|priority|×|status|
+    * cells squared — data-independent cardinality, the tukey_hsd
+    * whitelist argument; the cell table itself is one
+    * map-side-combinable aggregate over orders). All counts exact
+    * BIGINTs in decimal(38,0) (pair masses are O(N²)); ratios ship
+    * sign-carried as ·1e6 floors of |C−D| over the respective
+    * denominators. γ ignores all ties; d_status excludes only
+    * priority-ties (status dependent); d_priority the transpose. */
+  private def ordinalAssoc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.orders(s, d)
+      .groupBy($"o_orderpriority".as("pri"), $"o_orderstatus".as("st"))
+      .agg(count(lit(1)).as("n"))
+    val a = cells.select($"pri".as("p1"), $"st".as("s1"), $"n".as("n1"))
+    val b = cells.select($"pri".as("p2"), $"st".as("s2"), $"n".as("n2"))
+    val pairs = a.join(b,
+      $"p1" < $"p2" || ($"p1" === $"p2" && $"s1" < $"s2"))
+    val masses = pairs.agg(
+      sum(when($"p1" =!= $"p2" &&
+        (($"p1" < $"p2" && $"s1" < $"s2") ||
+          ($"p1" > $"p2" && $"s1" > $"s2")),
+        expr("cast(n1 as decimal(38,0)) * n2")).otherwise(
+        lit(0).cast("decimal(38,0)"))).as("c_mass"),
+      sum(when($"p1" =!= $"p2" &&
+        (($"p1" < $"p2" && $"s1" > $"s2") ||
+          ($"p1" > $"p2" && $"s1" < $"s2")),
+        expr("cast(n1 as decimal(38,0)) * n2")).otherwise(
+        lit(0).cast("decimal(38,0)"))).as("d_mass"),
+      sum(when($"p1" === $"p2" && $"s1" =!= $"s2",
+        expr("cast(n1 as decimal(38,0)) * n2")).otherwise(
+        lit(0).cast("decimal(38,0)"))).as("tx_mass"),
+      sum(when($"p1" =!= $"p2" && $"s1" === $"s2",
+        expr("cast(n1 as decimal(38,0)) * n2")).otherwise(
+        lit(0).cast("decimal(38,0)"))).as("ty_mass"))
+    masses
+      .withColumn("dev", $"c_mass" - $"d_mass")
+      .select(
+        $"c_mass".cast("long").as("concordant"),
+        $"d_mass".cast("long").as("discordant"),
+        $"tx_mass".cast("long").as("tied_pri_only"),
+        $"ty_mass".cast("long").as("tied_st_only"),
+        expr("""case when c_mass + d_mass > 0 then
+            cast(case when dev >= 0
+              then 1000000 * dev div (c_mass + d_mass)
+              else -(1000000 * (-dev) div (c_mass + d_mass)) end
+              as bigint) end""").as("gamma_e6"),
+        expr("""case when c_mass + d_mass + ty_mass > 0 then
+            cast(case when dev >= 0
+              then 1000000 * dev div (c_mass + d_mass + ty_mass)
+              else -(1000000 * (-dev) div (c_mass + d_mass + ty_mass))
+              end as bigint) end""").as("somers_d_status_e6"),
+        expr("""case when c_mass + d_mass + tx_mass > 0 then
+            cast(case when dev >= 0
+              then 1000000 * dev div (c_mass + d_mass + tx_mass)
+              else -(1000000 * (-dev) div (c_mass + d_mass + tx_mass))
+              end as bigint) end""").as("somers_d_priority_e6"))
+  }
+
   private def cramersV(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val W = org.apache.spark.sql.expressions.Window
@@ -2475,6 +2540,53 @@ object InferenceQueries {
                  / (CAST(ssw_sq AS DOUBLE) / (n - k))
                  * 1000000.0) AS BIGINT) END AS f_e6
       FROM a""")),
+
+    Q("q_ordinal_assoc", ordinalAssoc, Some("""
+      WITH cells AS (SELECT o_orderpriority AS pri,
+                            o_orderstatus AS st,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM orders GROUP BY 1, 2),
+      pr AS (SELECT a.pri AS p1, a.st AS s1, a.n AS n1,
+                    b.pri AS p2, b.st AS s2, b.n AS n2
+             FROM cells a JOIN cells b
+               ON a.pri < b.pri OR (a.pri = b.pri AND a.st < b.st)),
+      m AS (SELECT
+              sum(CASE WHEN p1 <> p2 AND ((p1 < p2 AND s1 < s2)
+                    OR (p1 > p2 AND s1 > s2))
+                  THEN CAST(n1 AS HUGEINT) * n2 ELSE 0 END) AS c_mass,
+              sum(CASE WHEN p1 <> p2 AND ((p1 < p2 AND s1 > s2)
+                    OR (p1 > p2 AND s1 < s2))
+                  THEN CAST(n1 AS HUGEINT) * n2 ELSE 0 END) AS d_mass,
+              sum(CASE WHEN p1 = p2 AND s1 <> s2
+                  THEN CAST(n1 AS HUGEINT) * n2 ELSE 0 END) AS tx_mass,
+              sum(CASE WHEN p1 <> p2 AND s1 = s2
+                  THEN CAST(n1 AS HUGEINT) * n2 ELSE 0 END) AS ty_mass
+            FROM pr)
+      SELECT CAST(c_mass AS BIGINT) AS concordant,
+             CAST(d_mass AS BIGINT) AS discordant,
+             CAST(tx_mass AS BIGINT) AS tied_pri_only,
+             CAST(ty_mass AS BIGINT) AS tied_st_only,
+             CASE WHEN c_mass + d_mass > 0 THEN
+               CAST(CASE WHEN c_mass >= d_mass
+                 THEN 1000000 * (c_mass - d_mass) // (c_mass + d_mass)
+                 ELSE -(1000000 * (d_mass - c_mass)
+                        // (c_mass + d_mass)) END AS BIGINT)
+             END AS gamma_e6,
+             CASE WHEN c_mass + d_mass + ty_mass > 0 THEN
+               CAST(CASE WHEN c_mass >= d_mass
+                 THEN 1000000 * (c_mass - d_mass)
+                      // (c_mass + d_mass + ty_mass)
+                 ELSE -(1000000 * (d_mass - c_mass)
+                        // (c_mass + d_mass + ty_mass)) END AS BIGINT)
+             END AS somers_d_status_e6,
+             CASE WHEN c_mass + d_mass + tx_mass > 0 THEN
+               CAST(CASE WHEN c_mass >= d_mass
+                 THEN 1000000 * (c_mass - d_mass)
+                      // (c_mass + d_mass + tx_mass)
+                 ELSE -(1000000 * (d_mass - c_mass)
+                        // (c_mass + d_mass + tx_mass)) END AS BIGINT)
+             END AS somers_d_priority_e6
+      FROM m""")),
 
     Q("q_cramers_v", cramersV, Some("""
       WITH cells AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,

@@ -2786,6 +2786,74 @@ object TextOps {
     * LCS-based precision AND recall, F1 collapses to the single exact
     * division 2·LCS·10⁶ div (n_a + n_b). Shape: one equi self-join on
     * doc_id+1 (1:1, shuffle ∝ corpus), DP scan-local per pair. */
+  /** BLEU COMPONENTS between neighboring documents — the
+    * precision-family eval twin of [[rougeL]]'s recall-family LCS
+    * (Papineni et al. 2002): modified (clipped) n-gram precisions p₁
+    * and p₂ as EXACT rationals — Σ_g min(cnt_cand(g), cnt_ref(g))
+    * over candidate n-gram totals — plus the brevity ratio and the
+    * exact integer-corrected √(p₁·p₂) geometric mean (BLEU-2 without
+    * the brevity exponential: exp(1−r/c) is not exactly replayable,
+    * so the ratio ships raw and the penalty stays the consumer's
+    * one-liner — documented, not hidden). Tokens polyhash to longs
+    * and cap at [[RougeTokenCap]] (the rouge_l conventions); clipped
+    * counts run as distinct-gram filter scans inside the row —
+    * O(cap²) scan-local work, no shuffle beyond the 1:1 neighbor
+    * join. The √ floor is [[graft.ops.StatsQueries.exactFloorDivSqrt]]
+    * in its ⌊√X⌋ = ⌊X/√X⌋ form, integer-corrected on both engines. */
+  private def bleuComponents(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = slice(
+      transform(tokens(col("text")), t => polyHash(t, 31L)),
+      1, RougeTokenCap)
+    val base = Tables.documents(s, d)
+      .select($"doc_id", toks.as("toks"))
+    def grams(col: String, n: Int): String =
+      if (n == 1) s"transform($col, x -> cast(x as string))"
+      else s"if(size($col) < $n, array()," +
+        s" transform(sequence(1, size($col) - ${n - 1})," +
+        s" j -> concat(cast(element_at($col, j) as string), '_'," +
+        s" cast(element_at($col, j + 1) as string))))"
+    // clipped counts as per-doc GRAM-COUNT tables + one equi join per
+    // order, not an O(cap²) in-row filter scan (the interpreted-HOF
+    // pathology: filter-inside-aggregate re-evaluates per element —
+    // measured 3.7 s vs 0.6 s at sf0.1): Σ_g min(cnt_cand, cnt_ref)
+    // over the join is the same clipped mass, grams absent from
+    // either side contribute 0 and the inner join drops them.
+    def gramCounts(n: Int): DataFrame = base
+      .select($"doc_id", explode(expr(grams("toks", n))).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+    def matches(n: Int, out: String): DataFrame = {
+      val gc = gramCounts(n)
+      gc.select($"doc_id".as("doc_a"), $"g", $"cnt".as("cnt_r"))
+        .join(gc.select(($"doc_id" - 1).as("doc_a"),
+          $"g", $"cnt".as("cnt_c")), Seq("doc_a", "g"))
+        .groupBy($"doc_a")
+        .agg(sum(least($"cnt_c", $"cnt_r")).as(out))
+    }
+    val lens = base.select($"doc_id".as("doc_a"),
+        size($"toks").cast("long").as("len_r"))
+      .join(base.select(($"doc_id" - 1).as("doc_a"),
+        $"doc_id".as("doc_b"),
+        size($"toks").cast("long").as("len_c")), "doc_a")
+    lens
+      .join(matches(1, "m1"), Seq("doc_a"), "left")
+      .join(matches(2, "m2"), Seq("doc_a"), "left")
+      .select($"doc_a", $"doc_b", $"len_c", $"len_r",
+        coalesce($"m1", lit(0L)).as("match1"),
+        coalesce($"m2", lit(0L)).as("match2"))
+      .withColumn("p1_e6", expr("match1 * 1000000 div len_c"))
+      .withColumn("p2_e6",
+        expr("match2 * 1000000 div greatest(len_c - 1, 1L)"))
+      .withColumn("brevity_ratio_e3",
+        expr("len_c * 1000 div len_r"))
+      .withColumn("xx", $"p1_e6" * $"p2_e6")
+      .withColumn("bleu2_geo_e6",
+        when($"xx" === 0L, 0L).otherwise( // guard sqrt(0) NaN candidate
+          graft.ops.StatsQueries.exactFloorDivSqrt(
+            $"xx", $"xx", 1L).cast("long")))
+      .drop("xx")
+  }
+
   private def rougeL(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = slice(
@@ -3931,6 +3999,59 @@ object TextOps {
              CAST((n_tokens - f1) * 1000000 // n_tokens AS BIGINT)
                AS coverage_e6
       FROM g""")),
+
+    Q("q_bleu_components", bleuComponents, Some(s"""
+      WITH tk AS (SELECT doc_id,
+                         list_transform(
+                           string_split_regex(lower(text), '\\s+'),
+                           t -> ${polyHashSql("t", 31L)}
+                         )[1:$RougeTokenCap] AS toks
+                  FROM documents),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.toks AS ta, b.toks AS tb
+                FROM tk a JOIN tk b ON b.doc_id = a.doc_id + 1),
+      g AS (SELECT doc_a, doc_b,
+                   CAST(len(tb) AS BIGINT) AS len_c,
+                   CAST(len(ta) AS BIGINT) AS len_r,
+                   list_transform(tb, x -> CAST(x AS VARCHAR)) AS c1,
+                   list_transform(ta, x -> CAST(x AS VARCHAR)) AS r1,
+                   list_transform(range(1, len(tb)),
+                     j -> CAST(tb[j] AS VARCHAR) || '_'
+                          || CAST(tb[j + 1] AS VARCHAR)) AS c2,
+                   list_transform(range(1, len(ta)),
+                     j -> CAST(ta[j] AS VARCHAR) || '_'
+                          || CAST(ta[j + 1] AS VARCHAR)) AS r2
+            FROM pairs),
+      m AS (SELECT doc_a, doc_b, len_c, len_r,
+                   CAST(coalesce(list_sum(list_transform(
+                     list_distinct(c1), gg -> least(
+                       len(list_filter(c1, x -> x = gg)),
+                       len(list_filter(r1, x -> x = gg))))), 0)
+                     AS BIGINT) AS match1,
+                   CAST(coalesce(list_sum(list_transform(
+                     list_distinct(c2), gg -> least(
+                       len(list_filter(c2, x -> x = gg)),
+                       len(list_filter(r2, x -> x = gg))))), 0)
+                     AS BIGINT) AS match2
+            FROM g),
+      f AS (SELECT doc_a, doc_b, len_c, len_r, match1, match2,
+                   match1 * 1000000 // len_c AS p1_e6,
+                   match2 * 1000000 // greatest(len_c - 1, 1) AS p2_e6,
+                   len_c * 1000 // len_r AS brevity_ratio_e3
+            FROM m),
+      q AS (SELECT *, p1_e6 * p2_e6 AS xx,
+                   CAST(floor(sqrt(CAST(p1_e6 * p2_e6 AS DOUBLE)))
+                     AS BIGINT) AS kd
+            FROM f)
+      SELECT doc_a, doc_b, len_c, len_r, match1, match2,
+             CAST(p1_e6 AS BIGINT) AS p1_e6,
+             CAST(p2_e6 AS BIGINT) AS p2_e6,
+             CAST(brevity_ratio_e3 AS BIGINT) AS brevity_ratio_e3,
+             CAST(CASE WHEN xx = 0 THEN 0
+                  WHEN (kd + 1) * (kd + 1) <= xx THEN kd + 1
+                  WHEN kd * kd <= xx THEN kd
+                  ELSE kd - 1 END AS BIGINT) AS bleu2_geo_e6
+      FROM q""")),
 
     Q("q_rouge_l", rougeL, Some(s"""
       WITH tk AS (SELECT doc_id,

@@ -58,6 +58,11 @@ class PlanAuditSpec extends AnyFunSuite {
                           // (events collapse to day arrays in one equi
                           // aggregate first); the DP kernel then runs
                           // scan-local inside DtwExpr
+    "q_ordinal_assoc",    // |priority|x|status| CELL-grid pair fan
+                          // (the contingency table, not the rows):
+                          // data-independent cardinality; orders
+                          // collapse to cells in one equi aggregate
+                          // before the non-equi loop runs
     "q_tukey_hsd"         // the same C(|types|,2) pair fan over the
                           // k-row per-type MOMENT table (events
                           // collapse in one equi aggregate first);
