@@ -86,11 +86,17 @@ object Bench {
   private val RetrySleepMs = 120000L // our own loadavg must decay too
 
   private case class Pass(total: Double, ext: Double,
-                          times: Map[String, Double])
+                          times: Map[String, Double],
+                          errors: Map[String, String])
   private case class Sweep(loadStart: Double, loadMid: Double,
-                           loadEnd: Double, p1: Pass, p2: Pass) {
+                           loadEnd: Double, warmErrors: Map[String, String],
+                           p1: Pass, p2: Pass) {
     def total: Double = // per-query min across the two passes
       p1.times.map { case (n, t) => math.min(t, p2.times(n)) }.sum
+    // a sweep owns its failures: a transient error in a sweep the
+    // gate discards must not contaminate the kept sweep's artifact
+    // (r15 ADVICE — stale errors forced exit 1 on clean timings)
+    def errors: Map[String, String] = warmErrors ++ p1.errors ++ p2.errors
     def clean: Boolean =
       loadStart <= IdleLoadGate &&
         (p1.ext < 0 || p1.ext <= ExtCoresGate) &&
@@ -114,9 +120,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.headline
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     def runAll(timed: Boolean): Pass = {
+      val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
       val wall0 = System.nanoTime()
       val box0 = boxBusyJiffies(); val self0 = selfBusyJiffies()
       val times = qs.map { q =>
@@ -124,7 +130,7 @@ object Bench {
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           val tag = if (timed) "" else "warmup: "
-          errors.put(q.name,
+          errs.put(q.name,
             s"$tag${e.getClass.getSimpleName}: ${e.getMessage}")
         }
         q.name -> (System.nanoTime() - t0) / 1e9
@@ -134,7 +140,7 @@ object Bench {
       val ext =
         if (box0 < 0 || self0 < 0 || box1 < 0 || self1 < 0 || wallS <= 0) -1.0
         else math.max(0.0, (box1 - box0 - (self1 - self0)) / UserHz / wallS)
-      Pass(times.values.sum, ext, times)
+      Pass(times.values.sum, ext, times, errs.toMap)
     }
 
     // NOTE (round 8): a System.gc() before each query's clock was
@@ -146,11 +152,11 @@ object Bench {
     // Reverted; see BENCHNOTES Round 8.
     def sweep(): Sweep = {
       val la0 = loadAvg()
-      runAll(timed = false) // warm-up: plan + run once, discard timing
+      val warm = runAll(timed = false) // warm-up: discard timing, keep errors
       val laMid = loadAvg()
       val p1 = runAll(timed = true)
       val p2 = runAll(timed = true)
-      Sweep(la0, laMid, loadAvg(), p1, p2)
+      Sweep(la0, laMid, loadAvg(), warm.errors, p1, p2)
     }
 
     val sweeps = scala.collection.mutable.ArrayBuffer.empty[Sweep]
@@ -191,13 +197,17 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val errJson = errors
+    def errMapJson(m: Map[String, String]): String = m
       .map { case (k, v) => jstr(k) + ":" + jstr(v.take(300)) }
       .mkString("{", ",", "}")
+    // the artifact's top-level errors (and the exit code) reflect the
+    // KEPT sweep only; every sweep still carries its own errors below
+    val errJson = errMapJson(kept.errors)
     val sweepsJson = sweeps.map { s =>
       f"""{"loadavg":[${s.loadStart}%.2f,${s.loadMid}%.2f,${s.loadEnd}%.2f],""" +
         f""""ext_cores":[${s.p1.ext}%.2f,${s.p2.ext}%.2f],""" +
-        f""""pass_totals":[${s.p1.total}%.3f,${s.p2.total}%.3f],"clean":${s.clean}}"""
+        f""""pass_totals":[${s.p1.total}%.3f,${s.p2.total}%.3f],""" +
+        f""""errors":${errMapJson(s.errors)},"clean":${s.clean}}"""
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line =
@@ -211,6 +221,6 @@ object Bench {
     }
     GraftCaches.release(spark)
     spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
+    if (kept.errors.nonEmpty) sys.exit(1)
   }
 }

@@ -21,14 +21,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query wall time (VERDICT r15 #4): only the 34 headliners are
+    // benched per round, so a wall-time blowup in any of the other ~460
+    // queries is invisible until it stalls the whole verify sweep.
+    // Verify already runs every query at both SFs — stamp the durations
+    // (verify_times.json) so rounds can diff the top deltas.
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        times.put(name, (System.nanoTime() - t0) / 1e9)
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -45,6 +53,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val timesJson = times
+      .map { case (k, v) => s"${q(k)}: " + f"$v%.3f" }
+      .mkString("{\"sf\":" + q(sfDir) + ",\"times\":{", ",", "}}")
+    Files.writeString(Paths.get(s"$outDir/verify_times.json"), timesJson)
     GraftCaches.release(spark)
     spark.stop()
   }

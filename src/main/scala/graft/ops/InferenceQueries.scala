@@ -914,9 +914,13 @@ object InferenceQueries {
       .select($"m", $"k", $"l2",
         ($"m" * $"k" * ($"k" + 1) * ($"k" + 1)).as("e_l2_x2"))
       .withColumn("dev2", $"l2" * 2 - $"e_l2_x2")
+      // k = 1 zeroes the variance denominator: Spark div would yield
+      // NULL while DuckDB // raises — pin the degenerate case to NULL
+      // on both engines (guard mirrors the KMV vk==0 pattern)
       .withColumn("mag", expr(
-        "cast(36000000 * cast(dev2 as decimal(38,0)) * dev2" +
-          " div (4 * m * k * k * (k + 1) * (k * k - 1)) as bigint)"))
+        "case when k < 2 then cast(null as bigint) else" +
+          " cast(36000000 * cast(dev2 as decimal(38,0)) * dev2" +
+          " div (4 * m * k * k * (k + 1) * (k * k - 1)) as bigint) end"))
       .select($"m", $"k", $"l2",
         when($"dev2" >= 0, $"mag").otherwise(-$"mag").as("z2_e6"),
         ($"mag" >= 3841600L).as("ordered_trend_5pct"))
@@ -1016,11 +1020,16 @@ object InferenceQueries {
         sum($"trt_cnt" * $"less_ref").as("gt"),
         sum($"trt_cnt" * ($"n_ref_t" - $"cum_ref")).as("lt"))
     agg
+      // an arm with zero rows for a type zeroes n_ref·n_trt: Spark
+      // div gives NULL (and the label chain would fall to 'large'),
+      // DuckDB // raises — pin the degenerate case to NULL on both
       .withColumn("mag",
-        expr("abs(gt - lt) * 1000000 div (n_ref * n_trt)"))
+        when($"n_ref" * $"n_trt" === 0L, lit(null).cast("long"))
+          .otherwise(expr("abs(gt - lt) * 1000000 div (n_ref * n_trt)")))
       .select($"event_type", $"n_ref", $"n_trt", $"gt", $"lt",
         when($"gt" >= $"lt", $"mag").otherwise(-$"mag").as("delta_e6"),
-        when($"mag" < 147000L, "negligible")
+        when($"mag".isNull, lit(null).cast("string"))
+          .when($"mag" < 147000L, "negligible")
           .when($"mag" < 330000L, "small")
           .when($"mag" < 474000L, "medium")
           .otherwise("large").as("magnitude"))
@@ -2735,9 +2744,10 @@ object InferenceQueries {
                     l2 * 2 - m * k * (k + 1) * (k + 1) AS dev2
              FROM a),
       z AS (SELECT m, k, l2, dev2,
-                   CAST(CAST(36000000 AS HUGEINT) * dev2 * dev2
+                   CASE WHEN k < 2 THEN NULL
+                   ELSE CAST(CAST(36000000 AS HUGEINT) * dev2 * dev2
                      // (4 * m * k * k * (k + 1) * (k * k - 1))
-                     AS BIGINT) AS mag
+                     AS BIGINT) END AS mag
             FROM dv)
       SELECT m, k, l2,
              CAST(CASE WHEN dev2 >= 0 THEN mag ELSE -mag END AS BIGINT)
@@ -2775,14 +2785,15 @@ object InferenceQueries {
             FROM w2),
       sz AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
                     CAST(sum(n_i * n_i) AS BIGINT) AS sum_ni2,
-                    CAST(sum(n_i * n_i * (2 * n_i + 3)) AS BIGINT)
-                      AS var_sub,
+                    CAST(sum(CAST(n_i AS HUGEINT) * n_i
+                      * (2 * n_i + 3)) AS HUGEINT) AS var_sub,
                     CAST(count(*) AS BIGINT) AS k_groups
              FROM (SELECT event_type, sum(cnt) AS n_i
                    FROM v GROUP BY 1)),
       st AS (SELECT k_groups, n, u2,
                     (n * n - sum_ni2) // 2 AS e_u2,
-                    n * n * (2 * n + 3) - var_sub AS var_u72
+                    CAST(n AS HUGEINT) * n * (2 * n + 3) - var_sub
+                      AS var_u72
              FROM u, sz),
       z AS (SELECT *, u2 - e_u2 AS dev FROM st)
       SELECT k_groups, n, u2, CAST(e_u2 AS BIGINT) AS e_u2,
@@ -2822,12 +2833,15 @@ object InferenceQueries {
                    CAST(sum(trt_cnt * (n_ref_t - cum_ref)) AS BIGINT)
                      AS lt
             FROM w GROUP BY 1),
-      m AS (SELECT *, abs(gt - lt) * 1000000 // (n_ref * n_trt) AS mag
+      m AS (SELECT *, CASE WHEN n_ref * n_trt = 0 THEN NULL
+                      ELSE abs(gt - lt) * 1000000 // (n_ref * n_trt)
+                      END AS mag
             FROM a)
       SELECT event_type, n_ref, n_trt, gt, lt,
              CAST(CASE WHEN gt >= lt THEN mag ELSE -mag END AS BIGINT)
                AS delta_e6,
-             CASE WHEN mag < 147000 THEN 'negligible'
+             CASE WHEN mag IS NULL THEN NULL
+                  WHEN mag < 147000 THEN 'negligible'
                   WHEN mag < 330000 THEN 'small'
                   WHEN mag < 474000 THEN 'medium'
                   ELSE 'large' END AS magnitude

@@ -2540,16 +2540,17 @@ object TextOps {
     *     exactly as they would sequentially (ScaleSpec pins this).
     * First candidate always selects (it is the round's argmax — the
     * same pair the sequential trainer would take). */
-  val BpeBatchSelectSql: String =
+  def bpeSelectSql(cap: Int): String =
     s"""aggregate(cands,
        cast(array() as array<struct<l:string,r:string,pc:bigint>>),
-       (acc, x) -> if(size(acc) >= $BpeBatchM, acc,
+       (acc, x) -> if(size(acc) >= $cap, acc,
          if(exists(acc, y -> y.r = x.l or y.l = x.r
              or concat(y.l, y.r) = x.l or concat(y.l, y.r) = x.r
              or concat(x.l, x.r) = y.l or concat(x.l, x.r) = y.r
              or concat(x.l, x.r) = concat(y.l, y.r)), acc,
            concat(acc, array(named_struct(
              'l', x.l, 'r', x.r, 'pc', -x.npc))))))"""
+  val BpeBatchSelectSql: String = bpeSelectSql(BpeBatchM)
 
   /** Multi-rule variant of [[BpeMergeFoldSql]]: one greedy
     * left-to-right pass applying ALL of the round's rules (columns:
@@ -2717,6 +2718,173 @@ object TextOps {
              r AS right_sym, pc AS pair_count FROM bb$i""")
       .mkString("\n      UNION ALL\n      ")
     s"$bpeBatchOracleCtes\n      $sel"
+  }
+
+  /** Candidate pool and round count for [[bpeTrainLarge]] (VERDICT
+    * r15 #1 — scale BPE training past toy merge counts). The
+    * whitespace-word fixture vocabulary is 31 words / 138 total
+    * characters: a HARD ceiling of 138 learnable merges, so a
+    * ≥256-merge run needs a richer unit inventory, not more rounds.
+    * The large trainer therefore trains over word BIGRAMS — adjacent
+    * token pairs joined by an explicit '_' boundary symbol (the
+    * SentencePiece move of making the word boundary an ordinary
+    * symbol, Kudo & Richardson 2018 arXiv:1808.06226, bounded to
+    * 2-grams so the unit table stays |V|²-capped) — lifting the
+    * fixture inventory to 916 units / ~10 k merge headroom, and
+    * letting the learned vocab contain cross-word tokens ("the_key")
+    * exactly as byte-level production tokenizers do. */
+  val BpeLargeC = 96
+  val BpeLargeRounds = 8
+
+  /** LARGE-SCALE batched BPE training: per round, select ALL
+    * mutually non-interacting pairs among the top-[[BpeLargeC]]
+    * candidates ([[bpeSelectSql]] with cap = pool size, so the
+    * [[BpeBatchM]]-style cap never binds — the non-interaction rule
+    * alone decides batch width) and apply them in one simultaneous
+    * greedy pass. On the fixture this trains 466–480 merges in 8
+    * rounds (min 24 per round across all three SFs) — the
+    * one-winner-per-round sequential trainer would need ~470 Spark
+    * rounds for the same vocab; at a production ~32 k-merge budget
+    * the same all-safe-pairs selection keeps round count O(merges /
+    * batch-width) with each round one |vocab|-table aggregate, which
+    * is what makes BPE training feasible as a distributed plan at
+    * 100 TB corpus scale (the pair-count aggregate is the only
+    * corpus-sized job, and only in round 0's unit build). */
+  private def bpeLargeTables(s: SparkSession, d: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    import s.implicits._
+    var words = graft.GraftCaches.getOrBuild(s, s"text.bpel_w0:$d") {
+      val ts = filter(tokens($"text"), t => t =!= "")
+      val n1 = greatest(size(ts) - 1, lit(0))
+      Tables.documents(s, d)
+        .select(explode(zip_with(
+          slice(ts, lit(1), n1), slice(ts, lit(2), n1),
+          (a, b) => concat(a, lit("_"), b))).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .select($"w",
+          concat(split($"w", ""), array(lit(BpeEow))).as("syms"),
+          $"cnt")
+        .localCheckpoint()
+    }
+    val sels = (1 to BpeLargeRounds).map { i =>
+      val prev = words
+      val rules = graft.GraftCaches.getOrBuild(s, s"text.bpel_b$i:$d") {
+        prev.select(explode(expr(BpePairsSql)).as("p"), $"cnt")
+          .groupBy($"p.l".as("l"), $"p.r".as("r"))
+          .agg(sum($"cnt").as("pc"))
+          .orderBy($"pc".desc, $"l".asc, $"r".asc).limit(BpeLargeC)
+          .agg(sort_array(collect_list(struct(
+            (-$"pc").as("npc"), $"l", $"r"))).as("cands"))
+          .select(posexplode(expr(bpeSelectSql(BpeLargeC))))
+          .select(($"pos" + 1).cast("long").as("rank"),
+            $"col.l".as("l"), $"col.r".as("r"), $"col.pc".as("pc"))
+          .localCheckpoint()
+      }
+      words = graft.GraftCaches.getOrBuild(s, s"text.bpel_w$i:$d") {
+        val ruleList = rules
+          .agg(collect_list(struct($"l", $"r")).as("rules"))
+        prev.crossJoin(broadcast(ruleList))
+          .select($"w", expr(BpeBatchFoldSql).as("syms"), $"cnt")
+          .localCheckpoint()
+      }
+      rules
+    }
+    (words, sels)
+  }
+
+  private def bpeTrainLarge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeLargeTables(s, d)._2.zipWithIndex.map { case (rules, i0) =>
+      rules.select(lit((i0 + 1).toLong).as("round"), $"rank",
+        $"l".as("left_sym"), $"r".as("right_sym"),
+        $"pc".as("pair_count"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[bpeLargeTables]]'s final vocabulary + per-round rule tables,
+    * exposed for the ScaleSpec driver replay and merge-count
+    * assertions. */
+  private[scale] def bpeLargeFinalVocab(s: SparkSession, d: String)
+      : DataFrame = bpeLargeTables(s, d)._1
+
+  /** Chained-CTE DuckDB replay of [[bpeTrainLarge]] — the
+    * [[bpeBatchOracleCtes]] discipline at 8 rounds, with the
+    * twice-referenced word tables declared AS MATERIALIZED: DuckDB
+    * inlines multiply-referenced CTEs by default, so an unmarked
+    * k-round chain re-evaluates the training prefix 2^k times (the
+    * 6-round batch oracle tolerates 2^6; 2^8 at 916 units does not —
+    * measured: the inlined 20-round prototype never finished, the
+    * materialized one runs in ~1 s). */
+  private def bpeLargeOracleCtes: String = {
+    val eos = "$"
+    val conflict = s"""len(list_filter(string_split(acc, chr(30)), s ->
+              split_part(s, ' ', 2) = split_part(x, ' ', 1)
+           OR split_part(s, ' ', 1) = split_part(x, ' ', 2)
+           OR split_part(s, ' ', 1) || split_part(s, ' ', 2)
+              = split_part(x, ' ', 1)
+           OR split_part(s, ' ', 1) || split_part(s, ' ', 2)
+              = split_part(x, ' ', 2)
+           OR split_part(x, ' ', 1) || split_part(x, ' ', 2)
+              = split_part(s, ' ', 1)
+           OR split_part(x, ' ', 1) || split_part(x, ' ', 2)
+              = split_part(s, ' ', 2)
+           OR split_part(x, ' ', 1) || split_part(x, ' ', 2)
+              = split_part(s, ' ', 1) || split_part(s, ' ', 2))) > 0"""
+    val base = s"""
+      WITH ldt AS (SELECT list_filter(string_split_regex(lower(text),
+                     '\\s+'), t -> t <> '') AS ts
+                   FROM documents),
+      lw0 AS MATERIALIZED (SELECT w,
+                    list_append(string_split(w, ''), '$BpeEow') AS syms,
+                    CAST(count(*) AS BIGINT) AS cnt
+             FROM (SELECT unnest(list_transform(range(1, len(ts)),
+                      j -> ts[j] || '_' || ts[j+1])) AS w FROM ldt)
+             GROUP BY w)"""
+    val rounds = (1 to BpeLargeRounds).map { i =>
+      s""",
+      lp$i AS (SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS pc
+              FROM (SELECT unnest(list_transform(range(1, len(syms)),
+                        j -> struct_pack(l := syms[j], r := syms[j+1])))
+                      AS p, cnt
+                    FROM lw${i - 1}) GROUP BY 1, 2),
+      lc$i AS (SELECT list(l || ' ' || r || ' ' || pc
+                          ORDER BY pc DESC, l ASC, r ASC) AS cs
+              FROM (SELECT l, r, pc FROM lp$i
+                    ORDER BY pc DESC, l ASC, r ASC LIMIT $BpeLargeC)),
+      ls$i AS (SELECT string_split(list_reduce(cs, (acc, x) -> CASE
+                 WHEN len(string_split(acc, chr(30))) >= $BpeLargeC
+                   THEN acc
+                 WHEN $conflict THEN acc
+                 ELSE acc || chr(30) || x END), chr(30)) AS sel
+              FROM lc$i),
+      lb$i AS MATERIALIZED (SELECT CAST(rank AS BIGINT) AS rank,
+                      split_part(s, ' ', 1) AS l,
+                      split_part(s, ' ', 2) AS r,
+                      CAST(split_part(s, ' ', 3) AS BIGINT) AS pc
+               FROM (SELECT unnest(sel) AS s,
+                            unnest(range(1, len(sel) + 1)) AS rank
+                     FROM ls$i)),
+      lr$i AS (SELECT list(struct_pack(l := l, r := r)) AS rules
+               FROM lb$i),
+      lw$i AS MATERIALIZED (SELECT w, string_split(list_reduce(syms,
+                  (acc, x) -> CASE
+                  WHEN len(list_filter(rules, rr ->
+                         regexp_extract(acc, '[^ ]*$eos') = rr.l
+                         AND x = rr.r)) > 0
+                  THEN regexp_replace(acc, '[^ ]*$eos',
+                         regexp_extract(acc, '[^ ]*$eos') || x)
+                  ELSE acc || ' ' || x END), ' ') AS syms, cnt
+               FROM lw${i - 1} CROSS JOIN lr$i)"""
+    }.mkString
+    s"$base$rounds"
+  }
+
+  private def bpeTrainLargeOracle: String = {
+    val sel = (1 to BpeLargeRounds).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, rank, l AS left_sym,
+             r AS right_sym, pc AS pair_count FROM lb$i""")
+      .mkString("\n      UNION ALL\n      ")
+    s"$bpeLargeOracleCtes\n      $sel"
   }
 
   private def bpeTrainOracle: String = {
@@ -3949,6 +4117,7 @@ object TextOps {
 
     Q("q_bpe_train", bpeTrain, Some(bpeTrainOracle)),
     Q("q_bpe_train_batch", bpeTrainBatch, Some(bpeTrainBatchOracle)),
+    Q("q_bpe_train_large", bpeTrainLarge, Some(bpeTrainLargeOracle)),
     Q("q_bpe_encode", bpeEncode, Some(bpeEncodeOracle)),
 
     Q("q_good_turing", goodTuring, Some(s"""

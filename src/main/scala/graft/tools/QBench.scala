@@ -15,7 +15,11 @@ object QBench {
     val sfDir = args(0)
     val runs = args(1).toInt
     require(runs >= 1, s"runs must be >= 1, got $runs")
-    val names = args.drop(2).toSet
+    // -cold: flush GraftCaches before every timed run, so session-
+    // cached chains (BPE training, LSH bucket tables) are timed
+    // end-to-end instead of as a registry hit.
+    val cold = args.lift(2).contains("-cold")
+    val names = args.drop(if (cold) 3 else 2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Volume-derived (round 10): shuffle.partitions must grow with
     // data volume (32 is right for sf0.1; a 100× probe wants hundreds
@@ -46,11 +50,13 @@ object QBench {
     picked.foreach { q =>
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       val times = (1 to runs).map { _ =>
+        if (cold) graft.GraftCaches.release(spark)
         val t0 = System.nanoTime()
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[qbench] ${q.name}: min=${times.min}%.3f " +
+      println(f"[qbench] ${q.name}${if (cold) " (cold)" else ""}: " +
+        f"min=${times.min}%.3f " +
         times.map(t => f"$t%.3f").mkString("runs=[", ", ", "]") +
         s" loadavg=${loadavg()}")
     }
