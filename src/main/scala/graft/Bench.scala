@@ -44,9 +44,9 @@ import java.nio.file.{Files, Paths}
   * failure point, reported in an "errors" map, and forces a non-zero
   * exit — a silently-zero bench entry must never read as a pass.
   */
-object Bench {
+private[graft] object ProcCpu {
   /** 1-minute system load average (pre-sweep gate + evidence). */
-  private def loadAvg(): Double = {
+  def loadAvg(): Double = {
     val v = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     if (v.isNaN) -1.0 else v
@@ -56,7 +56,7 @@ object Bench {
     * user+nice+system+irq+softirq+steal (idle+iowait excluded).
     * -1 when unreadable (non-Linux) — gating then degrades to the
     * loadavg_start check only. */
-  private def boxBusyJiffies(): Long = try {
+  def boxBusyJiffies(): Long = try {
     val line = Files.readAllLines(Paths.get("/proc/stat")).get(0)
     val f = line.trim.split("\\s+")
     // cpu user nice system idle iowait irq softirq steal ...
@@ -66,7 +66,7 @@ object Bench {
 
   /** This process's utime+stime jiffies (/proc/self/stat fields 14,15,
     * 1-based; sums all threads — the whole local-mode engine). */
-  private def selfBusyJiffies(): Long = try {
+  def selfBusyJiffies(): Long = try {
     val s = Files.readString(Paths.get("/proc/self/stat"))
     // comm (field 2) may contain spaces/parens — split after the ')'.
     val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
@@ -78,7 +78,20 @@ object Bench {
     * (x86-64, aarch64); only used to convert jiffies → cores, and both
     * numerator terms share the unit so a wrong constant would scale,
     * not invert, the gate. */
-  private val UserHz = 100.0
+  val UserHz = 100.0
+
+  /** Average non-self cores burned over a timed window — the Bench
+    * contamination discriminator (loadavg cannot tell our own
+    * local[32] load from a contaminating process; CPU accounting
+    * can). -1 when /proc is unreadable. */
+  def extCores(box0: Long, self0: Long, box1: Long, self1: Long,
+               wallS: Double): Double =
+    if (box0 < 0 || self0 < 0 || box1 < 0 || self1 < 0 || wallS <= 0) -1.0
+    else math.max(0.0, (box1 - box0 - (self1 - self0)) / UserHz / wallS)
+}
+
+object Bench {
+  import ProcCpu.{loadAvg, boxBusyJiffies, selfBusyJiffies}
 
   private val IdleLoadGate = 2.0   // pre-sweep 1-min loadavg bound
   private val ExtCoresGate = 1.5   // avg non-self cores during a timed pass
@@ -137,9 +150,7 @@ object Bench {
       }.toMap
       val wallS = (System.nanoTime() - wall0) / 1e9
       val box1 = boxBusyJiffies(); val self1 = selfBusyJiffies()
-      val ext =
-        if (box0 < 0 || self0 < 0 || box1 < 0 || self1 < 0 || wallS <= 0) -1.0
-        else math.max(0.0, (box1 - box0 - (self1 - self0)) / UserHz / wallS)
+      val ext = ProcCpu.extCores(box0, self0, box1, self1, wallS)
       Pass(times.values.sum, ext, times, errs.toMap)
     }
 

@@ -773,24 +773,40 @@ object Dedup {
                  FROM comp c JOIN ql USING (doc_id))
       SELECT component, doc_id AS keep_id, q FROM ranked WHERE rn = 1"""
 
+  /** Rounds actually executed by the most recent [[connectedComponents]]
+    * call — test observability for the adaptive early exit (VERDICT
+    * r15 #6: prove fewer rounds ran, not just that results match). */
+  private[graft] val ccRoundsExecuted =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Connected components over a near-dup pair graph — the CLUSTERING
     * step of dedup: every node gets the min doc_id of its component,
     * so "keep one document per duplicate cluster" is a groupBy away.
     *
-    * Fixed-round min-label propagation, pure dataflow: each round
-    * every node adopts the smallest label among itself and its
-    * neighbors, so `rounds` = component diameter suffices. Near-dup
-    * components are shallow by construction (mutual near-dups form
-    * dense, small-diameter clusters), so the default 8 rounds carries
-    * slack — and there is NO driver-side convergence loop, no
-    * collect/count per step. At cluster scale each round is one
-    * shuffle of the node-label table, and nodes are pair members
-    * only — orders of magnitude smaller than the corpus. For general
-    * graphs with long chains, swap the step for alternating
-    * large-star/small-star (O(log n) rounds); pair input and output
-    * contract stay the same. Production note: checkpoint every ~4
-    * rounds to keep lineage flat; at test rounds the optimizer
-    * handles the join chain directly.
+    * ADAPTIVE min-label propagation (VERDICT r15 #6): each round every
+    * node adopts the smallest label among itself and its neighbors;
+    * `rounds` is the pinned WORST CASE (= component diameter bound),
+    * and the loop exits as soon as a round changes no label — at
+    * 100 TB, rounds-beyond-convergence are pure waste, and near-dup
+    * components are shallow by construction (diameter ≤ 2 cliques for
+    * the ER fixtures), so the worst-case bound typically over-provisions
+    * 2–4×. The convergence check is EXACT, not probabilistic: labels
+    * are non-increasing per node, so "no change" is a join of the new
+    * and previous label tables on node filtered to inequality —
+    * both sides are hash-partitioned on node from their groupBy /
+    * checkpoint, so the diff is exchange-free, and the label table is
+    * pair-members only (orders of magnitude smaller than the corpus).
+    * Each round's labels are `localCheckpoint`ed: the diff needs the
+    * round materialized anyway, and truncating lineage keeps round k's
+    * plan flat instead of k-deep (the CcProbe round-9 lesson — 33 586
+    * analyzed plan nodes — applied per round instead of only to the
+    * adjacency). Consequence for plan pins: the returned frame plans
+    * as a checkpoint scan, so downstream [[graft.ext.PlanStats]]
+    * counts no longer include the propagation loop's shuffles
+    * (q_er_cluster's pin dropped from 14 to the post-cc stages only —
+    * conscious update, PLANS.md r16). Cluster note: localCheckpoint
+    * is not fault-tolerant — swap for a reliable checkpoint dir when
+    * running on real clusters.
     *
     * @param pairs columns (d1, d2), each pair once with d1 < d2
     * @return (doc_id, component) for every node appearing in `pairs`
@@ -831,12 +847,26 @@ object Dedup {
     }
     var labels = adj.select(col("node")).distinct()
       .withColumn("label", col("node"))
-    for (_ <- 1 to rounds) {
-      labels = adj.alias("g")
+      .localCheckpoint()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      r += 1
+      val next = adj.alias("g")
         .join(labels.alias("l"), col("g.nbr") === col("l.node"))
         .groupBy(col("g.node"))
         .agg(min(col("l.label")).as("label"))
+        .localCheckpoint()
+      // exact fixpoint test (skipped on the final worst-case round —
+      // there is no further round to save): any changed label shows
+      // as an inequality in the exchange-free node-aligned diff
+      converged = r < rounds && next.alias("n")
+        .join(labels.alias("p"), col("n.node") === col("p.node"))
+        .filter(col("n.label") =!= col("p.label"))
+        .isEmpty
+      labels = next
     }
+    ccRoundsExecuted.set(r)
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 

@@ -1,22 +1,60 @@
 package graft.tools
 
+import graft.ProcCpu
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.{Change, Event}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.{Files, Paths}
 
-/** Stateful-streaming throughput micro-bench (VERDICT r13 #7): the
-  * stateful runtime (transformWithState debounce, fMGWS CDC apply) is
-  * parity-locked but had zero perf visibility — a state-store
-  * regression was invisible to the batch-only bench. Feeds N synthetic
-  * rows through each processor via MemoryStream in B micro-batches and
-  * prints rows/s (wall time over processAllAvailable of all batches,
-  * after a small untimed warm-up stream). Recorded per round in
-  * BENCHNOTES.
+/** Stateful-streaming throughput bench (VERDICT r13 #7, gateable per
+  * VERDICT r15 #2): the stateful runtime (transformWithState debounce
+  * + KMV sketch, fMGWS CDC apply) is parity-locked but a state-store
+  * regression is invisible to the batch-only bench. r13–r15 printed a
+  * single pass per processor, whose ±18 % same-box swing meant a 10 %
+  * regression bar could never actually be enforced. This version
+  * applies the Bench playbook to the streaming surface:
+  *
+  *   - each processor runs a small untimed warm-up then [[Runs]]
+  *     timed passes, each against a FRESH MemoryStream + query (state
+  *     store starts empty every pass — pass 2 of a shared query would
+  *     bench ever-growing state, not the processor);
+  *   - every pass carries its own /proc/stat − /proc/self/stat
+  *     external-core reading ([[ProcCpu.extCores]]);
+  *   - a sweep is clean iff pre-sweep 1-min loadavg ≤ [[IdleLoadGate]],
+  *     every pass's ext_cores ≤ [[ExtCoresGate]], and every
+  *     processor's cross-pass spread (max−min)/min ≤ [[SpreadGate]] —
+  *     dirty sweeps are discarded and retried (≤ [[MaxSweeps]]), every
+  *     attempt stamped into the JSON;
+  *   - ONE JSON line in the Bench schema (queries/sweeps/kept/clean),
+  *     also written to target/streambench.json, so the committed
+  *     STREAMBENCH_r{N}.json artifact is self-adjudicating.
   *
   *   sbt "runMain graft.tools.StreamBench 200000 20"
   */
 object StreamBench {
+  private val Runs         = 3
+  private val IdleLoadGate = 2.0
+  private val ExtCoresGate = 1.5
+  private val SpreadGate   = 0.10
+  private val MaxSweeps    = 3
+  private val RetrySleepMs = 90000L
+
+  private case class Pass(secs: Double, ext: Double)
+  private case class Sweep(loadStart: Double, loadEnd: Double,
+                           passes: Map[String, Seq[Pass]]) {
+    def minSecs: Map[String, Double] =
+      passes.view.mapValues(_.map(_.secs).min).toMap
+    def spread: Map[String, Double] = passes.view.mapValues { ps =>
+      val s = ps.map(_.secs); (s.max - s.min) / s.min
+    }.toMap
+    def total: Double = minSecs.values.sum
+    def clean: Boolean =
+      loadStart <= IdleLoadGate &&
+        passes.values.flatten.forall(p => p.ext < 0 || p.ext <= ExtCoresGate) &&
+        spread.values.forall(_ <= SpreadGate)
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     val batches = args.drop(1).headOption.map(_.toInt).getOrElse(20)
@@ -33,20 +71,6 @@ object StreamBench {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
       spark.sqlContext
 
-    def run(tag: String, total: Int)(feed: (Int, Int) => Unit): Unit = {
-      // rows/s numerator = rows actually fed: total/batches floors, so
-      // when batches ∤ total the loop delivers batches*(total/batches)
-      // rows, not `total` — using `total` overstated throughput.
-      val perBatch = total / batches
-      val fed = batches.toLong * perBatch
-      val t0 = System.nanoTime()
-      var i = 0
-      while (i < batches) { feed(i, perBatch); i += 1 }
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[streambench] $tag: $fed rows / $batches batches " +
-        f"in $secs%.2f s = ${fed / secs}%.0f rows/s")
-    }
-
     def events(batch: Int, rows: Int): Seq[Event] =
       (0 until rows).map { j =>
         val id = batch.toLong * rows + j
@@ -60,48 +84,101 @@ object StreamBench {
         Change(id % 4999, id, if (id % 11 == 0) "D" else "U", id % 10000)
       }
 
-    // ---- debounce (transformWithState) ----
-    locally {
-      val warm = MemoryStream[Event]
-      val wq = EventStreams.debouncedEvents(spark, warm.toDS())
-        .writeStream.format("noop").outputMode("append").start()
-      warm.addData(events(0, 1000): _*); wq.processAllAvailable(); wq.stop()
-      val in = MemoryStream[Event]
-      val q = EventStreams.debouncedEvents(spark, in.toDS())
-        .writeStream.format("noop").outputMode("append").start()
-      try run("debounce_tws", n) { (b, rows) =>
-        in.addData(events(b, rows): _*); q.processAllAvailable()
+    /** One timed pass: fresh stream + fresh query, feed all batches,
+      * processAllAvailable per batch (the micro-batch cadence), stop. */
+    def pass[T](mk: (Int, Int) => Seq[T],
+                start: Dataset[T] => Dataset[_],
+                mode: String, total: Int)
+               (implicit e: org.apache.spark.sql.Encoder[T]): Pass = {
+      val in = MemoryStream[T]
+      val q = start(in.toDS()).writeStream.format("noop")
+        .outputMode(mode).start()
+      try {
+        val perBatch = total / batches
+        val box0 = ProcCpu.boxBusyJiffies()
+        val self0 = ProcCpu.selfBusyJiffies()
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < batches) {
+          in.addData(mk(i, perBatch): _*); q.processAllAvailable(); i += 1
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        val ext = ProcCpu.extCores(box0, self0,
+          ProcCpu.boxBusyJiffies(), ProcCpu.selfBusyJiffies(), secs)
+        Pass(secs, ext)
       } finally q.stop()
     }
 
-    // ---- KMV distinct sketch (transformWithState) ----
-    locally {
-      val warm = MemoryStream[Event]
-      val wq = EventStreams.kmvByType(spark, warm.toDS())
-        .writeStream.format("noop").outputMode("update").start()
-      warm.addData(events(0, 1000): _*); wq.processAllAvailable(); wq.stop()
-      val in = MemoryStream[Event]
-      val q = EventStreams.kmvByType(spark, in.toDS())
-        .writeStream.format("noop").outputMode("update").start()
-      try run("kmv_tws", n) { (b, rows) =>
-        in.addData(events(b, rows): _*); q.processAllAvailable()
-      } finally q.stop()
+    val procs: Seq[(String, Int => Pass)] = Seq(
+      ("debounce_tws", (rows: Int) =>
+        pass[Event](events, ds => EventStreams.debouncedEvents(spark, ds),
+          "append", rows)),
+      ("kmv_tws", (rows: Int) =>
+        pass[Event](events, ds => EventStreams.kmvByType(spark, ds),
+          "update", rows)),
+      ("cdc_apply_fmgws", (rows: Int) =>
+        pass[Change](changes, ds => EventStreams.cdcApply(spark, ds),
+          "update", rows)))
+
+    def sweep(): Sweep = {
+      val la0 = ProcCpu.loadAvg()
+      val passes = procs.map { case (tag, run) =>
+        run(1000 * batches) // warm-up: JIT + RocksDB + codegen, untimed
+        tag -> (1 to Runs).map(_ => run(n))
+      }.toMap
+      Sweep(la0, ProcCpu.loadAvg(), passes)
     }
 
-    // ---- CDC apply (flatMapGroupsWithState) ----
-    locally {
-      val warm = MemoryStream[Change]
-      val wq = EventStreams.cdcApply(spark, warm.toDS())
-        .writeStream.format("noop").outputMode("update").start()
-      warm.addData(changes(0, 1000): _*); wq.processAllAvailable(); wq.stop()
-      val in = MemoryStream[Change]
-      val q = EventStreams.cdcApply(spark, in.toDS())
-        .writeStream.format("noop").outputMode("update").start()
-      try run("cdc_apply_fmgws", n) { (b, rows) =>
-        in.addData(changes(b, rows): _*); q.processAllAvailable()
-      } finally q.stop()
+    val sweeps = scala.collection.mutable.ArrayBuffer.empty[Sweep]
+    var attempt = 0
+    var done = false
+    while (!done && attempt < MaxSweeps) {
+      attempt += 1
+      var waits = 0
+      while (ProcCpu.loadAvg() > IdleLoadGate && waits < 3) {
+        System.err.println(f"[streambench] loadavg ${ProcCpu.loadAvg()}%.2f" +
+          f" > $IdleLoadGate%.1f — sleeping ${RetrySleepMs / 1000} s")
+        Thread.sleep(RetrySleepMs); waits += 1
+      }
+      val s = sweep()
+      sweeps += s
+      if (s.clean) done = true
+      else System.err.println(f"[streambench] sweep $attempt dirty " +
+        f"(loadStart ${s.loadStart}%.2f, maxSpread " +
+        f"${s.spread.values.max * 100}%.1f %%, maxExt " +
+        f"${s.passes.values.flatten.map(_.ext).max}%.2f) — " +
+        (if (attempt < MaxSweeps) "retrying" else "out of retries"))
     }
+    val keptIdx = sweeps.indexWhere(_.clean) match {
+      case -1 => sweeps.zipWithIndex.minBy(_._1.total)._2
+      case i  => i
+    }
+    val kept = sweeps(keptIdx)
+    val fed = batches.toLong * (n / batches)
 
+    val names = procs.map(_._1)
+    def fmtMap(m: Map[String, Double], scale: Double = 1.0): String =
+      names.map(k => "\"" + k + "\":" + f"${m(k) * scale}%.3f")
+        .mkString("{", ",", "}")
+    val rps = kept.minSecs.view.mapValues(fed / _).toMap
+    val sweepsJson = sweeps.map { s =>
+      val passJson = names.map { k =>
+        "\"" + k + "\":[" + s.passes(k).map(p =>
+          f"""{"secs":${p.secs}%.3f,"ext":${p.ext}%.2f}""").mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      f"""{"loadavg":[${s.loadStart}%.2f,${s.loadEnd}%.2f],""" +
+        f""""passes":$passJson,"spread_pct":${fmtMap(s.spread, 100)},""" +
+        f""""clean":${s.clean}}"""
+    }.mkString("[", ",", "]")
+    val line =
+      f"""{"metric":"total","value":${kept.total}%.3f,"unit":"sec","queries":${fmtMap(kept.minSecs)},"rows_per_sec":${fmtMap(rps.toMap)},"spread_pct":${fmtMap(kept.spread, 100)},"rows":$fed,"batches":$batches,"runs":$Runs,"agg":"min","sweeps":$sweepsJson,"kept":$keptIdx,"clean":${kept.clean},"ext_gate":$ExtCoresGate%.1f,"spread_gate_pct":${SpreadGate * 100}%.0f,"loadavg_start":${kept.loadStart}%.2f,"loadavg_end":${kept.loadEnd}%.2f}"""
+    println(line)
+    try {
+      Files.createDirectories(Paths.get("target"))
+      Files.writeString(Paths.get("target/streambench.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[streambench] write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

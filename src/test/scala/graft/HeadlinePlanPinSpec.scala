@@ -66,7 +66,9 @@ class HeadlinePlanPinSpec extends AnyFunSuite {
     // window-df (the aggregate+join form re-ran the explode twice)
     "q_dedup_spans" -> Counts(2, 2, 3),
     "q_dedup_minhash_lsh" -> Counts(3, 5, 6),
-    "q_er_cluster" -> Counts(14, 0, 8),
+    "q_er_cluster" -> Counts(6, 0, 4), // r16: adaptive cc — per-round
+    // localCheckpoints truncate the propagation loop out of the final
+    // plan (and the loop itself early-exits at the label fixpoint)
     "q_clustering_coeff" -> Counts(9, 7, 11),
     "q_pagerank" -> Counts(3, 3, 4),
     "q_graph_jaccard" -> Counts(3, 3, 4),

@@ -193,6 +193,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(aHash64(base) !== aHash64(mirrored), "aHash can't separate")
   }
 
+  test("JdkImageCodec: JPEG round trip — dims exact, raw perceptual " +
+      "drift and luma MAE stay well inside the pinned tolerances " +
+      "across the full fixture image cycle") {
+    import JdkImageCodec._
+    // id cycle: pixel values repeat with period lcm(256,16,9)=2304,
+    // so 2304 ids cover every distinct fixture image
+    var maxA = 0; var maxD = 0; var maxErrNum = 0L; var maxErrDen = 1L
+    for (id <- 0L until 2304L) {
+      val w = 16 + (id % 16).toInt
+      val h = 9 + (id % 9).toInt
+      val png = encodePng(id, w, h)
+      val aPng = aHash64(png); val dPng = dHash64(png)
+      val (jw, jh, aJ, dJ, err) = decodeJpegStats(id, encodeJpeg(id, w, h))
+      assert((jw, jh) === ((w, h)), s"id=$id dims drift through JPEG")
+      maxA = math.max(maxA, java.lang.Long.bitCount(aPng ^ aJ))
+      maxD = math.max(maxD, java.lang.Long.bitCount(dPng ^ dJ))
+      if (err * maxErrDen > maxErrNum * (w.toLong * h)) {
+        maxErrNum = err; maxErrDen = w.toLong * h
+      }
+    }
+    // raw distances, not just the boolean: the pinned tolerances must
+    // keep real margin (observed 2 / 1 / MAE 2.87 at q=0.90), so a
+    // codec or formula change that erodes it fails HERE before the
+    // oracle's TRUE-pinned booleans ever get near flipping
+    assert(maxA <= JpegAHashTol, s"aHash drift $maxA > $JpegAHashTol")
+    assert(maxD <= JpegDHashTol, s"dHash drift $maxD > $JpegDHashTol")
+    assert(maxErrNum <= JpegMaeTol * maxErrDen,
+      s"luma MAE ${maxErrNum.toDouble / maxErrDen} > $JpegMaeTol")
+    // and the drift is REAL (JPEG is lossy at q=0.90): a zero max
+    // everywhere would mean the codec silently went lossless and the
+    // tolerance contract stopped testing anything
+    assert(maxErrNum > 0L, "JPEG round trip unexpectedly lossless")
+  }
+
   test("JdkAudioCodec: envHash survives one-sample dither, separates envelopes") {
     import JdkAudioCodec._
     // reuse the real encoder; clip 3 vs clip 3 re-encoded is identical

@@ -273,6 +273,31 @@ class ScaleSpec extends AnyFunSuite {
     val got = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.toSet === Set(0L), s"chain not fully labeled: $got")
+    // the worst case actually spends its whole budget (no false early
+    // exit on a graph that needs every round)
+    assert(Dedup.ccRoundsExecuted.get === 8)
+  }
+
+  test("connectedComponents exits early at the label fixpoint " +
+      "(VERDICT r15 #6), with results identical to the full budget") {
+    // shallow cliques (the ER-fixture shape): min labels reach every
+    // node in round 1, round 2 proves the fixpoint, rounds 3..8 would
+    // be pure waste — the adaptive loop must run exactly 2 of the 8
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(pairs, rounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    assert(Dedup.ccRoundsExecuted.get === 2,
+      s"expected early exit after 2 rounds, ran ${Dedup.ccRoundsExecuted.get}")
+    // and the q_er_cluster path itself early-exits: its corruption
+    // cliques are shallow (cross-name edges can add a hop, but never
+    // the full worst case), so fewer than the pinned 4 rounds execute
+    SparkEntry.queries("q_er_cluster")(spark, sf).write
+      .format("noop").mode("overwrite").save()
+    assert(Dedup.ccRoundsExecuted.get < 4,
+      s"q_er_cluster ran ${Dedup.ccRoundsExecuted.get} of its 4-round budget")
   }
 
   test("minhash LSH finds exactly the exact-jaccard pairs at τ=0.8") {

@@ -134,6 +134,33 @@ def audit_dtypes(con, oracle, got_schemas, got_sqltypes=None):
                           f"date32 and timestamp differently — CAST "
                           f"one side")
                     n_bad += 1
+                # DOUBLE-vs-DECIMAL (VERDICT r15 #8): this gate loads
+                # Spark's parquet THROUGH DuckDB, whose fetchdf renders
+                # parquet decimal128 and DOUBLE both as float64, so the
+                # pandas-kind compare is blind to the pair — but the
+                # driver reads the parquet natively: a Spark decimal
+                # column arrives as Decimal objects ('1234.50') while
+                # the oracle's DOUBLE renders 1234.5, and they hash
+                # differently even when numerically equal. The
+                # e6-fixed-point discipline (decimal(38,0) intermediates)
+                # makes an output-position decimal the likeliest silent
+                # regression. Flag ANY decimal-vs-nondecimal numeric
+                # pairing, both directions.
+                NUMERIC = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                           "HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER",
+                           "UBIGINT", "DOUBLE", "FLOAT", "REAL")
+                s_dec = stype.startswith("DECIMAL")
+                o_dec = typ.startswith("DECIMAL")
+                s_num = s_dec or stype in NUMERIC
+                o_num = o_dec or typ in NUMERIC
+                if s_num and o_num and s_dec != o_dec:
+                    print(f"AUDIT-FAIL {name}.{col}: DECIMAL kind pair "
+                          f"— Spark parquet {stype} vs oracle {typ}; "
+                          f"identical here via DuckDB's float64 render "
+                          f"but the driver reads parquet decimals as "
+                          f"Decimal objects and hashes them differently "
+                          f"— CAST one side")
+                    n_bad += 1
     return n_bad
 
 
@@ -149,14 +176,24 @@ def selftest():
         "probe_tz": {"t": "datetime64[us]"},
         "probe_ntz": {"t": "datetime64[us, UTC]"},
         "probe_date_vs_ts": {"d": "datetime64[us]"},
+        # DuckDB's fetchdf renders BOTH parquet decimal128 and DOUBLE
+        # as float64 — the pandas layer is structurally blind here,
+        # which is exactly why the SQL-level probe must fire.
+        "probe_dbl_vs_dec": {"c": "float64"},
+        "probe_dec_vs_int": {"c": "float64"},
         "probe_clean": {"c": "int64", "t": "datetime64[us]",
-                        "d": "datetime64[us]"},
+                        "d": "datetime64[us]", "x": "float64"},
     }
     got_sqltypes = {
         # Spark wrote date32; the oracle (below) says TIMESTAMP — the
         # datetime64 pandas dtype is identical, only this catches it.
         "probe_date_vs_ts": {"d": "DATE"},
-        "probe_clean": {"c": "BIGINT", "t": "TIMESTAMP", "d": "DATE"},
+        # Spark wrote DOUBLE; the oracle returns DECIMAL (and the
+        # reverse) — the VERDICT r15 #8 kind pair, both directions.
+        "probe_dbl_vs_dec": {"c": "DOUBLE"},
+        "probe_dec_vs_int": {"c": "DECIMAL(38,0)"},
+        "probe_clean": {"c": "BIGINT", "t": "TIMESTAMP", "d": "DATE",
+                        "x": "DOUBLE"},
     }
     oracle = {
         "probe_hugeint": "SELECT sum(x) AS c FROM (VALUES (1), (2)) v(x)",
@@ -165,14 +202,16 @@ def selftest():
         "probe_tz": "SELECT TIMESTAMPTZ '2020-01-01 00:00:00+00' AS t",
         "probe_ntz": "SELECT TIMESTAMP '2020-01-01 00:00:00' AS t",
         "probe_date_vs_ts": "SELECT TIMESTAMP '2020-01-01 00:00:00' AS d",
+        "probe_dbl_vs_dec": "SELECT CAST(1.5 AS DECIMAL(18,2)) AS c",
+        "probe_dec_vs_int": "SELECT CAST(2 AS BIGINT) AS c",
         "probe_clean":
             "SELECT CAST(1 AS BIGINT) AS c, "
             "TIMESTAMP '2020-01-01 00:00:00' AS t, "
-            "DATE '2020-01-01' AS d",
+            "DATE '2020-01-01' AS d, CAST(1.5 AS DOUBLE) AS x",
     }
     n_bad = audit_dtypes(con, oracle, got_schemas, got_sqltypes)
-    assert n_bad == 6, f"expected exactly 6 audit fires, got {n_bad}"
-    print("== selftest ok: all 6 mistyped probes fired, clean probe "
+    assert n_bad == 8, f"expected exactly 8 audit fires, got {n_bad}"
+    print("== selftest ok: all 8 mistyped probes fired, clean probe "
           "passed")
     return 0
 
