@@ -53,15 +53,32 @@ private[graft] object ProcCpu {
   }
 
   /** Whole-box busy jiffies from /proc/stat line 1:
-    * user+nice+system+irq+softirq+steal (idle+iowait excluded).
+    * user+nice+system+irq+softirq (idle+iowait excluded — and STEAL
+    * excluded since r16: on this firecracker guest, steal is charged
+    * in proportion to OUR OWN vCPU activity — measured idle steal
+    * ≈ 0.0–0.15 cores vs 1–2 cores whenever a local[8] sweep runs —
+    * so counting it in "busy" made ext_cores read the hypervisor's
+    * tax on ourselves as a contaminating process and permanently
+    * blew the 1.5-core gate for any state-heavy workload. Steal is
+    * still read separately ([[stealJiffies]]) and stamped per pass
+    * as evidence; its timing effect is pass-to-pass variance, which
+    * the min-of-N aggregation and the spread gates absorb.)
     * -1 when unreadable (non-Linux) — gating then degrades to the
     * loadavg_start check only. */
   def boxBusyJiffies(): Long = try {
     val line = Files.readAllLines(Paths.get("/proc/stat")).get(0)
     val f = line.trim.split("\\s+")
     // cpu user nice system idle iowait irq softirq steal ...
-    f(1).toLong + f(2).toLong + f(3).toLong + f(6).toLong + f(7).toLong +
-      (if (f.length > 8) f(8).toLong else 0L)
+    f(1).toLong + f(2).toLong + f(3).toLong + f(6).toLong + f(7).toLong
+  } catch { case _: Throwable => -1L }
+
+  /** Hypervisor steal jiffies (/proc/stat field 9) — stamped as
+    * evidence next to ext_cores, never summed into it (see
+    * [[boxBusyJiffies]]). */
+  def stealJiffies(): Long = try {
+    val line = Files.readAllLines(Paths.get("/proc/stat")).get(0)
+    val f = line.trim.split("\\s+")
+    if (f.length > 8) f(8).toLong else 0L
   } catch { case _: Throwable => -1L }
 
   /** This process's utime+stime jiffies (/proc/self/stat fields 14,15,
@@ -95,10 +112,17 @@ object Bench {
 
   private val IdleLoadGate = 2.0   // pre-sweep 1-min loadavg bound
   private val ExtCoresGate = 1.5   // avg non-self cores during a timed pass
+  /** Per-pass hypervisor-steal bound (r16): steal is the OTHER
+    * contamination channel — invisible to ext_cores (it is not a
+    * process in this VM) but it directly confiscates our vCPUs: a
+    * steal storm of 3.7–4.3 cores measured 2.3× on every pass total
+    * (70.6/87.5 s vs the 31 s quiet-window artifact) with ext 0.00.
+    * Quiet windows read 0.0–0.3; gate between the regimes. */
+  private val StealGate    = 0.7
   private val MaxSweeps    = 3     // bounded retries (1 + 2)
   private val RetrySleepMs = 120000L // our own loadavg must decay too
 
-  private case class Pass(total: Double, ext: Double,
+  private case class Pass(total: Double, ext: Double, steal: Double,
                           times: Map[String, Double],
                           errors: Map[String, String])
   private case class Sweep(loadStart: Double, loadMid: Double,
@@ -113,7 +137,9 @@ object Bench {
     def clean: Boolean =
       loadStart <= IdleLoadGate &&
         (p1.ext < 0 || p1.ext <= ExtCoresGate) &&
-        (p2.ext < 0 || p2.ext <= ExtCoresGate)
+        (p2.ext < 0 || p2.ext <= ExtCoresGate) &&
+        (p1.steal < 0 || p1.steal <= StealGate) &&
+        (p2.steal < 0 || p2.steal <= StealGate)
   }
 
   def main(args: Array[String]): Unit = {
@@ -138,6 +164,7 @@ object Bench {
       val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
       val wall0 = System.nanoTime()
       val box0 = boxBusyJiffies(); val self0 = selfBusyJiffies()
+      val st0 = ProcCpu.stealJiffies()
       val times = qs.map { q =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -151,7 +178,11 @@ object Bench {
       val wallS = (System.nanoTime() - wall0) / 1e9
       val box1 = boxBusyJiffies(); val self1 = selfBusyJiffies()
       val ext = ProcCpu.extCores(box0, self0, box1, self1, wallS)
-      Pass(times.values.sum, ext, times, errs.toMap)
+      val st1 = ProcCpu.stealJiffies()
+      val steal =
+        if (st0 < 0 || st1 < 0 || wallS <= 0) -1.0
+        else (st1 - st0) / ProcCpu.UserHz / wallS
+      Pass(times.values.sum, ext, steal, times, errs.toMap)
     }
 
     // NOTE (round 8): a System.gc() before each query's clock was
@@ -217,12 +248,13 @@ object Bench {
     val sweepsJson = sweeps.map { s =>
       f"""{"loadavg":[${s.loadStart}%.2f,${s.loadMid}%.2f,${s.loadEnd}%.2f],""" +
         f""""ext_cores":[${s.p1.ext}%.2f,${s.p2.ext}%.2f],""" +
+        f""""steal_cores":[${s.p1.steal}%.2f,${s.p2.steal}%.2f],""" +
         f""""pass_totals":[${s.p1.total}%.3f,${s.p2.total}%.3f],""" +
         f""""errors":${errMapJson(s.errors)},"clean":${s.clean}}"""
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"runs":2,"agg":"min","sweeps":$sweepsJson,"kept":$keptIdx,"clean":${kept.clean},"ext_gate":$ExtCoresGate%.1f,"idle_gated":${sweeps.length > 1},"loadavg_start":${kept.loadStart}%.2f,"loadavg_end":${kept.loadEnd}%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"runs":2,"agg":"min","sweeps":$sweepsJson,"kept":$keptIdx,"clean":${kept.clean},"ext_gate":$ExtCoresGate%.1f,"steal_gate":$StealGate%.1f,"idle_gated":${sweeps.length > 1},"loadavg_start":${kept.loadStart}%.2f,"loadavg_end":${kept.loadEnd}%.2f,"sf":"$sfDir"}"""
     println(line)
     try {
       Files.createDirectories(Paths.get("target"))
