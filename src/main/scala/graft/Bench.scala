@@ -116,10 +116,17 @@ object Bench {
     * contamination channel — invisible to ext_cores (it is not a
     * process in this VM) but it directly confiscates our vCPUs: a
     * steal storm of 3.7–4.3 cores measured 2.3× on every pass total
-    * (70.6/87.5 s vs the 31 s quiet-window artifact) with ext 0.00.
-    * Quiet windows read 0.0–0.3; gate between the regimes. */
-  private val StealGate    = 0.7
-  private val MaxSweeps    = 3     // bounded retries (1 + 2)
+    * (70.6/87.5 s vs the 31 s quiet-window artifact) with ext 0.00,
+    * and even sub-core steal is not free: a 0.17/0.66-steal sweep
+    * measured +24 % on the headline total against the r15 quiet
+    * window (whose whole-pass steal+ext reading was 0.03). Gate at
+    * 0.3: quiet windows (the historical norm — r13–r15 artifacts all
+    * landed in them) read ≈0.0, storms read 0.7–4.3. A night with no
+    * quiet window yields clean:false with the steal evidence stamped
+    * — honest and explainable, where a loose gate would stamp a
+    * +24 % artifact as a code regression that never happened. */
+  private val StealGate    = 0.3
+  private val MaxSweeps    = 4     // bounded retries (1 + 3)
   private val RetrySleepMs = 120000L // our own loadavg must decay too
 
   private case class Pass(total: Double, ext: Double, steal: Double,
