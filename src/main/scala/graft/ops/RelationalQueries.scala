@@ -619,11 +619,22 @@ object RelationalQueries {
     * release build drops it and ships the estimate alone.) */
   private def approxDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, d).agg(
-      countDistinct($"l_orderkey").as("exact_orders"),
-      countDistinct($"l_partkey").as("exact_parts"),
-      approx_count_distinct($"l_orderkey", 0.01).as("est_o"),
-      approx_count_distinct($"l_partkey", 0.01).as("est_p"))
+    // One single-distinct aggregate per column, stitched with a 1×1
+    // crossJoin — NOT one agg with two countDistincts: two distinct
+    // column groups make Catalyst plan an Expand that triplicates
+    // every fact row through the shuffle (distinct group × 2 + the
+    // non-distinct HLL stream), which made this the single slowest
+    // catalog query (41.6 s verify wall at sf0.1, r16 VERIFYTIMES).
+    // A single-distinct agg plans partial map-side dedup instead:
+    // each branch shuffles its column's per-partition DISTINCT
+    // values only, and each scan prunes to one column. Measured
+    // 7.84 → 5.39 s cold at sf0.1 (1.45×, same-box conditions).
+    def one(col: org.apache.spark.sql.Column, exact: String, est: String) =
+      Tables.lineitem(s, d).agg(
+        countDistinct(col).as(exact),
+        approx_count_distinct(col, 0.01).as(est))
+    one($"l_orderkey", "exact_orders", "est_o")
+      .crossJoin(one($"l_partkey", "exact_parts", "est_p"))
       .select($"exact_orders", $"exact_parts",
         (abs($"est_o" - $"exact_orders").cast("double")
           <= $"exact_orders" * 0.05).as("orders_within_5pct"),
