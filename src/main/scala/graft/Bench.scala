@@ -97,6 +97,27 @@ private[graft] object ProcCpu {
     * not invert, the gate. */
   val UserHz = 100.0
 
+  /** Fixed-work single-thread speed probe: a 4×10⁸-iteration
+    * xorshift64 loop, returned as Miter/s. Stamped per sweep as a
+    * box-speed index — the THIRD noise channel after in-VM processes
+    * (ext_cores) and hypervisor steal: host cache/membw contention
+    * from neighbor tenants slows every cycle without being charged
+    * to either counter (observed r16: steal 0.06 with headline
+    * totals still +14 % over the r15 quiet window). Not gated —
+    * evidence for conditioning cross-round comparisons. Call twice
+    * and keep the second (first run JITs the loop). */
+  def speedIndex(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    val n = 400000000L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e9
+    // keep `x` observable so the JIT cannot dead-code the loop
+    if (x == 42L) System.err.println("")
+    n / dt / 1e6
+  }
+
   /** Average non-self cores burned over a timed window — the Bench
     * contamination discriminator (loadavg cannot tell our own
     * local[32] load from a contaminating process; CPU accounting
@@ -128,12 +149,20 @@ object Bench {
   private val StealGate    = 0.3
   private val MaxSweeps    = 4     // bounded retries (1 + 3)
   private val RetrySleepMs = 120000L // our own loadavg must decay too
+  /** Hard wall-clock budget for the whole retry policy: with 4
+    * sweeps × (up to 3 pre-waits + a ~4–5 min sweep) the worst case
+    * is ~40 min, which risks blowing the driver's invocation budget
+    * and losing the round's artifact entirely to a timeout. Once the
+    * budget is spent, stop retrying and emit the least-dirty sweep —
+    * a stamped dirty artifact beats no artifact. */
+  private val TimeBudgetMs = 18 * 60 * 1000L
 
   private case class Pass(total: Double, ext: Double, steal: Double,
                           times: Map[String, Double],
                           errors: Map[String, String])
   private case class Sweep(loadStart: Double, loadMid: Double,
-                           loadEnd: Double, warmErrors: Map[String, String],
+                           loadEnd: Double, speedIdx: Double,
+                           warmErrors: Map[String, String],
                            p1: Pass, p2: Pass) {
     def total: Double = // per-query min across the two passes
       p1.times.map { case (n, t) => math.min(t, p2.times(n)) }.sum
@@ -201,22 +230,27 @@ object Bench {
     // Reverted; see BENCHNOTES Round 8.
     def sweep(): Sweep = {
       val la0 = loadAvg()
+      ProcCpu.speedIndex() // JIT warm-up for the probe loop
+      val spd = ProcCpu.speedIndex()
       val warm = runAll(timed = false) // warm-up: discard timing, keep errors
       val laMid = loadAvg()
       val p1 = runAll(timed = true)
       val p2 = runAll(timed = true)
-      Sweep(la0, laMid, loadAvg(), warm.errors, p1, p2)
+      Sweep(la0, laMid, loadAvg(), spd, warm.errors, p1, p2)
     }
 
     val sweeps = scala.collection.mutable.ArrayBuffer.empty[Sweep]
     var attempt = 0
     var done = false
-    while (!done && attempt < MaxSweeps) {
+    val policyT0 = System.nanoTime()
+    def budgetLeft: Boolean =
+      (System.nanoTime() - policyT0) / 1e6 < TimeBudgetMs
+    while (!done && attempt < MaxSweeps && (attempt == 0 || budgetLeft)) {
       attempt += 1
       // Pre-sweep idle wait: a retry must also let OUR OWN previous
       // sweep's loadavg decay (1-min average halves every ~42 s).
       var waits = 0
-      while (loadAvg() > IdleLoadGate && waits < 3) {
+      while (loadAvg() > IdleLoadGate && waits < 3 && budgetLeft) {
         System.err.println(f"[bench] loadavg ${loadAvg()}%.2f > " +
           f"$IdleLoadGate%.1f — sleeping ${RetrySleepMs / 1000} s (wait ${waits + 1}/3)")
         Thread.sleep(RetrySleepMs); waits += 1
@@ -225,8 +259,10 @@ object Bench {
       sweeps += s
       if (s.clean) done = true
       else System.err.println(f"[bench] sweep $attempt dirty " +
-        f"(loadStart ${s.loadStart}%.2f, ext ${s.p1.ext}%.2f/${s.p2.ext}%.2f" +
-        f" cores) — ${if (attempt < MaxSweeps) "retrying" else "out of retries"}")
+        f"(loadStart ${s.loadStart}%.2f, ext ${s.p1.ext}%.2f/${s.p2.ext}%.2f," +
+        f" steal ${s.p1.steal}%.2f/${s.p2.steal}%.2f cores) — " +
+        (if (attempt < MaxSweeps && budgetLeft) "retrying"
+         else if (!budgetLeft) "time budget spent" else "out of retries"))
     }
     val keptIdx = sweeps.indexWhere(_.clean) match {
       case -1 => sweeps.zipWithIndex.minBy(_._1.total)._2 // least-dirty
@@ -254,6 +290,7 @@ object Bench {
     val errJson = errMapJson(kept.errors)
     val sweepsJson = sweeps.map { s =>
       f"""{"loadavg":[${s.loadStart}%.2f,${s.loadMid}%.2f,${s.loadEnd}%.2f],""" +
+        f""""speed_midx":${s.speedIdx}%.0f,""" +
         f""""ext_cores":[${s.p1.ext}%.2f,${s.p2.ext}%.2f],""" +
         f""""steal_cores":[${s.p1.steal}%.2f,${s.p2.steal}%.2f],""" +
         f""""pass_totals":[${s.p1.total}%.3f,${s.p2.total}%.3f],""" +

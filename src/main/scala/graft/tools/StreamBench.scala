@@ -54,6 +54,7 @@ object StreamBench {
 
   private case class Pass(secs: Double, ext: Double, steal: Double)
   private case class Sweep(loadStart: Double, loadEnd: Double,
+                           speedIdx: Double,
                            passes: Map[String, Seq[Pass]]) {
     def minSecs: Map[String, Double] =
       passes.view.mapValues(_.map(_.secs).min).toMap
@@ -164,6 +165,8 @@ object StreamBench {
 
     def sweep(): Sweep = {
       val la0 = ProcCpu.loadAvg()
+      ProcCpu.speedIndex() // JIT warm-up for the probe loop
+      val spd = ProcCpu.speedIndex()
       val passes = procs.map { case (tag, run) =>
         // warm-up at FULL size, discarded: a reduced-size warm pass
         // left pass 1 consistently ~20 % above its siblings (page
@@ -172,7 +175,7 @@ object StreamBench {
         run(n)
         tag -> (1 to Runs).map(_ => run(n))
       }.toMap
-      Sweep(la0, ProcCpu.loadAvg(), passes)
+      Sweep(la0, ProcCpu.loadAvg(), spd, passes)
     }
 
     val sweeps = scala.collection.mutable.ArrayBuffer.empty[Sweep]
@@ -214,6 +217,7 @@ object StreamBench {
             f""""steal":${p.steal}%.2f}""").mkString(",") + "]"
       }.mkString("{", ",", "}")
       f"""{"loadavg":[${s.loadStart}%.2f,${s.loadEnd}%.2f],""" +
+        f""""speed_midx":${s.speedIdx}%.0f,""" +
         f""""passes":$passJson,"spread_pct":${fmtMap(s.spread, 100)},""" +
         f""""clean":${s.clean}}"""
     }.mkString("[", ",", "]")
