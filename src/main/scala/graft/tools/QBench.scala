@@ -17,9 +17,16 @@ object QBench {
     require(runs >= 1, s"runs must be >= 1, got $runs")
     // -cold: flush GraftCaches before every timed run, so session-
     // cached chains (BPE training, LSH bucket tables) are timed
-    // end-to-end instead of as a registry hit.
-    val cold = args.lift(2).contains("-cold")
-    val names = args.drop(if (cold) 3 else 2).toSet
+    // end-to-end instead of as a registry hit. Recognized ANYWHERE
+    // in the trailing args (ADVICE r16: position-2-only parsing let
+    // `QBench sf 3 q_x -cold` silently run warm); any other
+    // dash-arg is an error, not a query name.
+    val tail = args.drop(2)
+    val cold = tail.contains("-cold")
+    val unknownFlags = tail.filter(a => a.startsWith("-") && a != "-cold")
+    require(unknownFlags.isEmpty,
+      s"unknown flags: ${unknownFlags.mkString(", ")} (only -cold is supported)")
+    val names = tail.filterNot(_.startsWith("-")).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Volume-derived (round 10): shuffle.partitions must grow with
     // data volume (32 is right for sf0.1; a 100× probe wants hundreds
