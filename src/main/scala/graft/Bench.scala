@@ -157,10 +157,10 @@ object Bench {
     * a stamped dirty artifact beats no artifact. */
   private val TimeBudgetMs = 18 * 60 * 1000L
 
-  private case class Pass(total: Double, ext: Double, steal: Double,
+  private[graft] case class Pass(total: Double, ext: Double, steal: Double,
                           times: Map[String, Double],
                           errors: Map[String, String])
-  private case class Sweep(loadStart: Double, loadMid: Double,
+  private[graft] case class Sweep(loadStart: Double, loadMid: Double,
                            loadEnd: Double, speedIdx: Double,
                            warmErrors: Map[String, String],
                            p1: Pass, p2: Pass) {
@@ -177,6 +177,33 @@ object Bench {
         (p1.steal < 0 || p1.steal <= StealGate) &&
         (p2.steal < 0 || p2.steal <= StealGate)
   }
+
+  /** Kept-sweep selection: first CLEAN sweep wins; with no clean sweep
+    * the least-dirty (min-total) one is stamped. The kept sweep alone
+    * determines the artifact's top-level errors map and the exit code
+    * — a transient failure in a sweep the gate DISCARDED must not
+    * force exit 1 against clean kept timings (VERDICT r16 #7; the
+    * retried-away case is pinned by BenchPolicySpec). */
+  private[graft] def keptIndex(sweeps: Seq[Sweep]): Int =
+    sweeps.indexWhere(_.clean) match {
+      case -1 => sweeps.zipWithIndex.minBy(_._1.total)._2 // least-dirty
+      case i  => i
+    }
+
+  /** Reference box-speed index (Miter/s from [[ProcCpu.speedIndex]])
+    * for the speed-normalized companion total: the r16 quiet-window
+    * ceiling on this hardware class. `value_speednorm` =
+    * value × speed_midx / RefSpeedMidx — a slower box (host cache /
+    * membw contention from neighbor tenants) inflates every measured
+    * second, so scaling by the same sweep's fixed-work probe makes
+    * cross-round headline comparison mechanical instead of requiring
+    * three conditioning variables read by hand (VERDICT r16 #3). The
+    * RAW value stays the primary metric; the companion is the
+    * conditioned view. */
+  private[graft] val RefSpeedMidx = 470.0
+
+  private[graft] def speedNorm(total: Double, speedIdx: Double): Double =
+    if (speedIdx > 0) total * speedIdx / RefSpeedMidx else total
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -264,10 +291,7 @@ object Bench {
         (if (attempt < MaxSweeps && budgetLeft) "retrying"
          else if (!budgetLeft) "time budget spent" else "out of retries"))
     }
-    val keptIdx = sweeps.indexWhere(_.clean) match {
-      case -1 => sweeps.zipWithIndex.minBy(_._1.total)._2 // least-dirty
-      case i  => i
-    }
+    val keptIdx = keptIndex(sweeps.toSeq)
     val kept = sweeps(keptIdx)
     val results = qs.map { q =>
       q.name -> math.min(kept.p1.times(q.name), kept.p2.times(q.name))
@@ -298,7 +322,7 @@ object Bench {
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"runs":2,"agg":"min","sweeps":$sweepsJson,"kept":$keptIdx,"clean":${kept.clean},"ext_gate":$ExtCoresGate%.1f,"steal_gate":$StealGate%.1f,"idle_gated":${sweeps.length > 1},"loadavg_start":${kept.loadStart}%.2f,"loadavg_end":${kept.loadEnd}%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_speednorm":${speedNorm(total, kept.speedIdx)}%.3f,"speed_midx":${kept.speedIdx}%.0f,"ref_midx":$RefSpeedMidx%.0f,"queries":$qJson,"errors":$errJson,"runs":2,"agg":"min","sweeps":$sweepsJson,"kept":$keptIdx,"clean":${kept.clean},"ext_gate":$ExtCoresGate%.1f,"steal_gate":$StealGate%.1f,"idle_gated":${sweeps.length > 1},"loadavg_start":${kept.loadStart}%.2f,"loadavg_end":${kept.loadEnd}%.2f,"sf":"$sfDir"}"""
     println(line)
     try {
       Files.createDirectories(Paths.get("target"))
