@@ -586,9 +586,15 @@ object ScalarQueries {
       .filter($"us" >= $"t2")
       .groupBy($"user_id")
       .agg(min($"us").as("t3"), min($"t1").as("t1"), min($"t2").as("t2"))
+    // localCheckpoint: each stats() leg consumes `gaps` three ways
+    // (count, GlobalRank's approxQuantile pass, the rank shuffle), so
+    // the unmaterialized 3-stage funnel join chain re-ran ~6× per
+    // query (r17; measured 3.50 → 2.52 s at the sf0.1 verify config
+    // vs the r16 stamp). |gaps| = fully-converted users — tiny.
     val gaps = s3.select($"user_id",
         ($"t2" - $"t1").as("view_to_click_us"),
         ($"t3" - $"t2").as("click_to_buy_us"))
+      .localCheckpoint()
     // rank + total count over ALL converted users: distributed
     // GlobalRank row number plus a broadcast scalar count — the
     // original unpartitioned row_number/count windows single-task

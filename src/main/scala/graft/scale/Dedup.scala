@@ -99,10 +99,15 @@ object Dedup {
   private def verifyPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val s1 = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
     val s2 = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    // |x ∪ y| = |x| + |y| − |x ∩ y| exactly (both arrays are distinct
+    // by construction), so the per-pair array_union — a second full
+    // hash-set build over ~|x|+|y| elements for every candidate — is
+    // pure waste next to the intersect (guide §1.2 step 2: per-task
+    // work). Same integer i and u ⇒ bit-identical jaccard double.
     pairs.join(s1, "d1").join(s2, "d2")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("i", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("i").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("i")).cast("double"))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -128,10 +133,15 @@ object Dedup {
     val s2 = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
     ngramCandidates(sh)
       .join(s1, "d1").join(s2, "d2")
+      // u from sizes, not array_union: |x ∪ y| = |x| + |y| − |x ∩ y|
+      // exactly on distinct arrays — same longs, half the per-pair
+      // hash-set work (see verifyPairs).
       .select(
         size(array_intersect(col("sh1"), col("sh2"))).cast("long")
           .as("i"),
-        size(array_union(col("sh1"), col("sh2"))).cast("long").as("u"))
+        size(col("sh1")).cast("long").as("sz1"),
+        size(col("sh2")).cast("long").as("sz2"))
+      .withColumn("u", expr("sz1 + sz2 - i"))
       .withColumn("jac_e6", expr("i * 1000000 div u"))
       .withColumn("s4", expr(
         "cast(i as decimal(38,0)) * i * i * i * 1000000" +
@@ -622,11 +632,14 @@ object Dedup {
     * list comprehension. */
   private def cosineShinglePairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val t = TextOps.tokens(col("text"))
-    val shingles = when(size(t) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(t) - lit(2)),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-          element_at(t, i + 2))))
+    // bindOnce: without it the trigram lambda re-tokenizes the doc
+    // per element per reference (see TextOps.bindOnce).
+    val shingles = TextOps.bindOnce(TextOps.tokens(col("text"))) { t =>
+      when(size(t) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(t) - lit(2)),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+            element_at(t, i + 2))))
+    }
     val tf = Tables.documents(s, d)
       .repartition(s.sessionState.conf.numShufflePartitions)
       .select($"doc_id", explode(shingles).as("sh"))
@@ -1012,9 +1025,14 @@ object Dedup {
     val chunked = base
       .select(col("doc_id"), col("nc"),
         posexplode(when(col("nc") > 0,
-            transform(sequence(lit(0), (col("nc") - 1).cast("int")),
-              i => array_join(
-                slice(col("toks"), i * SpanTokens + 1, lit(SpanTokens)), " ")))
+            // bindOnce: `toks` is a collapsed-projection alias for the
+            // tokenization; an unbound lambda re-splits the doc once
+            // per chunk (see TextOps.bindOnce)
+            TextOps.bindOnce(col("toks")) { tk =>
+              transform(sequence(lit(0), (col("nc") - 1).cast("int")),
+                i => array_join(
+                  slice(tk, i * SpanTokens + 1, lit(SpanTokens)), " "))
+            })
           .otherwise(array().cast("array<string>"))).as(Seq("idx", "chunk")))
       .withColumn("pos", col("doc_id") * 100000L + col("idx"))
     val firsts = chunked.groupBy(col("chunk"))
@@ -1068,9 +1086,13 @@ object Dedup {
     val chunked = base
       .select(col("doc_id"), col("source"), col("nc"),
         posexplode(when(col("nc") > 0,
-            transform(sequence(lit(0), (col("nc") - 1).cast("int")),
-              i => array_join(
-                slice(col("toks"), i * SpanTokens + 1, lit(SpanTokens)), " ")))
+            // bindOnce: same per-chunk re-tokenization fix as
+            // dedupSpans (see TextOps.bindOnce)
+            TextOps.bindOnce(col("toks")) { tk =>
+              transform(sequence(lit(0), (col("nc") - 1).cast("int")),
+                i => array_join(
+                  slice(tk, i * SpanTokens + 1, lit(SpanTokens)), " "))
+            })
           .otherwise(array().cast("array<string>"))).as(Seq("idx", "chunk")))
     val srcDocs = docs.groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -1247,13 +1269,15 @@ object Dedup {
     * anything; shuffle ∝ corpus chunks. */
   private def chunkDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val t = split($"text", "\\s+")
-    val nChunks = (size(t) + lit(ChunkLen - 1)) / lit(ChunkLen)
+    // bindOnce: unbound lambda re-splits the doc once per chunk
+    // (see TextOps.bindOnce)
     val chunks = Tables.documents(s, d)
-      .select($"doc_id", posexplode(transform(
-        sequence(lit(0), nChunks.cast("int") - 1),
-        i => concat_ws(" ", slice(t, i * ChunkLen + 1, lit(ChunkLen)))))
-        .as(Seq("idx", "chunk")))
+      .select($"doc_id", posexplode(
+        TextOps.bindOnce(split($"text", "\\s+")) { t =>
+          val nChunks = (size(t) + lit(ChunkLen - 1)) / lit(ChunkLen)
+          transform(sequence(lit(0), nChunks.cast("int") - 1),
+            i => concat_ws(" ", slice(t, i * ChunkLen + 1, lit(ChunkLen))))
+        }).as(Seq("idx", "chunk")))
     val first = chunks.groupBy($"chunk")
       .agg(min(struct($"doc_id", $"idx")).as("keep"),
         count(lit(1)).as("n_occ"))
@@ -1318,10 +1342,13 @@ object Dedup {
     val anchors = docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
       .filter(size(col("t")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(t) - ${k - 1})," +
-          s" j -> struct(cast(j as bigint) as pos," +
-          s" array_join(slice(t, j, $k), ' ') as g))")).as("a"))
+      // bindOnce: an unbound lambda re-splits the doc once per anchor
+      // position — O(n²) per doc (see TextOps.bindOnce)
+      .select(col("doc_id"), explode(TextOps.bindOnce(col("t")) { tk =>
+        transform(sequence(lit(1), size(tk) - lit(k - 1)),
+          j => struct(j.cast("bigint").as("pos"),
+            array_join(slice(tk, j, lit(k)), " ").as("g")))
+      }).as("a"))
       // the documented gram-key shrink path, now the implementation
       // (round 15): the ~60-byte gram string is hashed to a 62-bit
       // key IN the scan projection (two independent 31-bit poly

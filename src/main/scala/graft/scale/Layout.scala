@@ -576,6 +576,13 @@ object Layout {
           .as("ship_day"))
     def profile(layout: String,
         fid: org.apache.spark.sql.Column): DataFrame = {
+      // NOTE (r17): the three consumers (both delta legs + the file
+      // stats agg) share the groupBy's exchange via ReuseExchange, so
+      // an explicit localCheckpoint here bought nothing (measured ±0
+      // at the sf0.1 verify config) and was reverted; the query is
+      // 1.6 s cold at the official bench config — its 10-15 s verify
+      // wall is the 8-core config's per-job overhead across the
+      // ~60 small jobs (2 profiles × quantile/offset/window passes).
       val files = rows.groupBy(fid.as("fid"))
         .agg(min($"ship_day").as("mn"), max($"ship_day").as("mx"))
       val deltas = files.select($"mn".as("day"), lit(1L).as("delta"))

@@ -81,10 +81,15 @@ object MinHashSigAgg extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
     import s.implicits._
     val sketch = udaf(MinHashSigAgg)
     val docs = Tables.documents(s, d)
+    // ONE signature pass (guide §2.4 — a DataFrame self-join
+    // re-executes its whole subtree once per side, so the r16 plan
+    // MinHash-signed the entire corpus twice). |langs| rows: the
+    // localCheckpoint is a rounding error that halves the UDAF work.
     val sigs = docs
       .select($"lang", Dedup.shingleHashes($"text").as("sh"))
       .groupBy($"lang")
       .agg(sketch($"sh").as("sig"))
+      .localCheckpoint()
     // slot-match fraction as native zip_with/aggregate expressions
     // (no UDF; mirrors `estimate` which the spec uses as the model)
     val matches = aggregate(
@@ -95,26 +100,50 @@ object MinHashSigAgg extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
       .select($"a.lang".as("lang1"), $"b.lang".as("lang2"),
         (matches.cast("double") / size($"a.sig")).as("est"))
     // exact corpus Jaccard over shingle strings (oracle-reproducible:
-    // trim + lowercase + \s+ split, 3-token windows, per-lang DISTINCT)
+    // trim + lowercase + \s+ split, 3-token windows, per-lang
+    // DISTINCT). bindOnce: the r16 form aliased the split and let the
+    // trigram lambda re-tokenize per element per reference — this one
+    // pass alone measured 18.7 s at sf0.1 (see TextOps.bindOnce).
     val ls = docs
-      .select($"lang", split(lower(trim($"text")), "\\s+").as("t"))
-      .select($"lang", when(size($"t") >= 3,
-        expr("transform(sequence(1, size(t) - 2), " +
-          "i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"))
-        .otherwise(array().cast("array<string>")).as("shingles"))
-      .select($"lang", explode($"shingles").as("sh"))
+      .select($"lang", explode(TextOps.bindOnce(
+        split(lower(trim($"text")), "\\s+")) { t =>
+        when(size(t) >= 3,
+          transform(sequence(lit(1), size(t) - lit(2)),
+            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+              element_at(t, i + 2))))
+          .otherwise(array().cast("array<string>"))
+      }).as("sh"))
       .distinct()
-    val sizes = ls.groupBy($"lang").agg(count(lit(1)).as("n"))
-    val inter = ls.as("x").join(ls.as("y"),
-        $"x.sh" === $"y.sh" && $"x.lang" < $"y.lang")
-      .groupBy($"x.lang".as("lang1"), $"y.lang".as("lang2"))
+    // ONE pass over the distinct (lang, shingle) table: the per-shingle
+    // sorted lang set yields BOTH per-lang sizes and every cross-lang
+    // intersection count. The r16 plan computed `ls` FOUR times — once
+    // per broadcast copy of `sizes`, twice under the `inter` self-join
+    // (guide §2.4: remove shuffles/passes outright; measured 20.5 s →
+    // see OPTIMIZATION_r17.md). `langs` is ≤ |langs| long and sorted,
+    // so expanding (x, y) pairs with x before y in the sorted distinct
+    // array replays the old `x.lang < y.lang` join predicate exactly.
+    // localCheckpoint (a reliable checkpoint on a real cluster)
+    // materializes the ~|distinct shingles| rows once for its two
+    // consumers instead of re-running the corpus explode per consumer.
+    val byShingle = ls.groupBy($"sh")
+      .agg(sort_array(collect_set($"lang")).as("langs"))
+      .localCheckpoint()
+    val sizes = byShingle.select(explode($"langs").as("lang"))
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+    val inter = byShingle
+      .filter(size($"langs") >= 2)
+      .select(explode(expr(
+        "flatten(transform(langs, (x, i) -> " +
+          "transform(slice(langs, i + 2, size(langs)), " +
+          "y -> named_struct('lang1', x, 'lang2', y))))")).as("p"))
+      .groupBy($"p.lang1".as("lang1"), $"p.lang2".as("lang2"))
       .agg(count(lit(1)).as("ni"))
     est
       .join(broadcast(sizes.select($"lang".as("lang1"), $"n".as("n1"))),
         "lang1")
       .join(broadcast(sizes.select($"lang".as("lang2"), $"n".as("n2"))),
         "lang2")
-      .join(inter, Seq("lang1", "lang2"), "left")
+      .join(broadcast(inter), Seq("lang1", "lang2"), "left")
       .withColumn("ni", coalesce($"ni", lit(0L)))
       .select($"lang1", $"lang2",
         expr("(ni * 1000000) div (n1 + n2 - ni)").as("exact_jaccard_ppm"),

@@ -1699,19 +1699,25 @@ object Similarity {
     val k = JlOutDims
     val xf = transform($"embedding",
       x => floor(x.cast("double") * lit(1.0e6)).cast("long"))
-    def signedAt(i: Column, j: Column): Column = {
-      val x = element_at($"xf", (i + 1).cast("int"))
+    def signedAt(v: Column, i: Column, j: Column): Column = {
+      val x = element_at(v, (i + 1).cast("int"))
       when(pmod((i * k + j) * lit(2654435761L), lit(4294967296L))
         < lit(2147483648L), x).otherwise(-x)
     }
+    // bindOnce: the k×d projection lambda references the snapped
+    // vector per (j, i) pair — unbound, the e6 grid transform would
+    // re-run O(k·d) times per row (see TextOps.bindOnce)
     Tables.embeddings(s, d)
-      .select($"vec_id", xf.as("xf"))
-      .select($"vec_id",
-        aggregate($"xf", lit(0L), (a, x) => a + x * x)
-          .as("orig_n2_e12"),
-        transform(sequence(lit(0L), lit(k - 1L)),
-          j => aggregate(sequence(lit(0L), size($"xf").cast("long") - 1L),
-            lit(0L), (a, i) => a + signedAt(i, j))).as("proj"))
+      .select($"vec_id", TextOps.bindOnce(xf) { v =>
+        struct(
+          aggregate(v, lit(0L), (a, x) => a + x * x)
+            .as("orig_n2_e12"),
+          transform(sequence(lit(0L), lit(k - 1L)),
+            j => aggregate(sequence(lit(0L), size(v).cast("long") - 1L),
+              lit(0L), (a, i) => a + signedAt(v, i, j))).as("proj"))
+      }.as("s"))
+      .select($"vec_id", $"s.orig_n2_e12".as("orig_n2_e12"),
+        $"s.proj".as("proj"))
       .select($"vec_id", $"orig_n2_e12",
         aggregate($"proj", lit(0L), (a, p) => a + p * p)
           .as("proj_n2_e12"))

@@ -18,15 +18,30 @@ object TextOps {
   /** Whitespace tokenization, lowercased. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** Let-binding for higher-order-function lambdas: evaluates `v`
+    * ONCE per row and hands it to `f` as a lambda-bound value.
+    * Catalyst's CollapseProject inlines same-chain aliases into
+    * lambda bodies, and HOFs evaluate interpreted (CodegenFallback,
+    * no subexpression elimination inside the lambda), so a lambda
+    * that references an aliased tokenization re-runs the full regex
+    * split PER ELEMENT PER REFERENCE — O(n²) per row. transform's
+    * own argument is evaluated exactly once per row, so wrapping `v`
+    * in a 1-element array turns every lambda reference into an O(1)
+    * variable lookup. Measured on q_sketch_union's distinct-shingle
+    * pass at sf0.1: 18.7 s → 0.71 s (r17; same rows out). */
+  def bindOnce(v: Column)(f: Column => Column): Column =
+    element_at(transform(array(v), f), 1)
+
   /** Distinct word n-gram shingles (default 3), the unit for MinHash /
     * Jaccard near-dedup. Guarded for docs shorter than n tokens. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), size(t) - lit(n - 1)),
-          i => array_join(slice(t, i, lit(n)), " "))))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    // bindOnce: an unbound lambda re-tokenizes per shingle position
+    bindOnce(tokens(text)) { t =>
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(1), size(t) - lit(n - 1)),
+            i => array_join(slice(t, i, lit(n)), " "))))
+    }
 
   /** BPE-ish regex tokenization: letter runs, single digits, and
     * punctuation runs — the GPT-2-style pre-tokenizer shape, engine-
@@ -710,9 +725,12 @@ object TextOps {
       Tables.documents(s, d)
         .select($"doc_id", split(lower($"text"), "\\s+").as("toks"))
         .filter(size($"toks") >= 3)
+        // bindOnce: unbound lambda re-splits per trigram position
         .select($"doc_id", explode(array_distinct(
-          expr("transform(sequence(1, size(toks) - 2), " +
-            "i -> concat_ws(' ', slice(toks, i, 3)))"))).as("tok"))
+          bindOnce($"toks") { tk =>
+            transform(sequence(lit(1), size(tk) - lit(2)),
+              i => concat_ws(" ", slice(tk, i, lit(3))))
+          })).as("tok"))
     }
     var uncovered = posting
     val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -800,13 +818,15 @@ object TextOps {
       broadcastNodeCap: Long): DataFrame = {
     import s.implicits._
     val fp = GraphOps.FpOne
-    val t = tokens(lower($"text"))
+    // bindOnce: unbound lambda re-tokenizes per bigram position
     val bi = Tables.documents(s, d)
-      .select(explode(when(size(t) < 2, array().cast(
-        "array<struct<w1:string,w2:string>>"))
-        .otherwise(transform(sequence(lit(1), size(t) - lit(1)),
-          i => struct(element_at(t, i).as("w1"),
-            element_at(t, i + 1).as("w2"))))).as("p"))
+      .select(explode(bindOnce(tokens(lower($"text"))) { t =>
+        when(size(t) < 2, array().cast(
+          "array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(1), size(t) - lit(1)),
+            i => struct(element_at(t, i).as("w1"),
+              element_at(t, i + 1).as("w2"))))
+      }).as("p"))
       .select($"p.w1", $"p.w2")
       .filter($"w1" =!= $"w2")
     val edges = graft.GraftCaches.getOrPersist(s, s"textrank.edges:$d") {
@@ -905,11 +925,13 @@ object TextOps {
     * is |sources| rows — one shuffle family, linear at any volume. */
   private def shapleyCoverage(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val t = tokens(col("text"))
-    val shingles = when(size(t) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(t) - lit(2)),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-          element_at(t, i + 2))))
+    // bindOnce: unbound lambda re-tokenizes per trigram position
+    val shingles = bindOnce(tokens(col("text"))) { t =>
+      when(size(t) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(t) - lit(2)),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+            element_at(t, i + 2))))
+    }
     val owners = Tables.documents(s, d)
       .repartition(s.sessionState.conf.numShufflePartitions)
       .select($"source", explode(shingles).as("sh"))
@@ -2975,12 +2997,16 @@ object TextOps {
       1, RougeTokenCap)
     val base = Tables.documents(s, d)
       .select($"doc_id", toks.as("toks"))
-    def grams(col: String, n: Int): String =
-      if (n == 1) s"transform($col, x -> cast(x as string))"
-      else s"if(size($col) < $n, array()," +
-        s" transform(sequence(1, size($col) - ${n - 1})," +
-        s" j -> concat(cast(element_at($col, j) as string), '_'," +
-        s" cast(element_at($col, j + 1) as string))))"
+    // bindOnce: `toks` aliases the hashed-token pipeline; an unbound
+    // bigram lambda would re-hash the whole doc per gram position
+    // (see TextOps.bindOnce)
+    def grams(c: Column, n: Int): Column = bindOnce(c) { tk =>
+      if (n == 1) transform(tk, x => x.cast("string"))
+      else when(size(tk) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(tk) - lit(n - 1)),
+          j => concat(element_at(tk, j).cast("string"), lit("_"),
+            element_at(tk, j + 1).cast("string"))))
+    }
     // clipped counts as per-doc GRAM-COUNT tables + one equi join per
     // order, not an O(cap²) in-row filter scan (the interpreted-HOF
     // pathology: filter-inside-aggregate re-evaluates per element —
@@ -2988,7 +3014,7 @@ object TextOps {
     // over the join is the same clipped mass, grams absent from
     // either side contribute 0 and the inner join drops them.
     def gramCounts(n: Int): DataFrame = base
-      .select($"doc_id", explode(expr(grams("toks", n))).as("g"))
+      .select($"doc_id", explode(grams($"toks", n)).as("g"))
       .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
     def matches(n: Int, out: String): DataFrame = {
       val gc = gramCounts(n)
