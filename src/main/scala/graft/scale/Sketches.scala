@@ -305,9 +305,21 @@ object Sketches {
     val raw = graft.ext.PolyHashExpr.polyHash(
       $"o_custkey".cast("string"), 31L)
     val hv = pmod(pmod(raw * 48271L, lit(P)) * 48271L, lit(P))
-    val hashed = flags.withColumn("hv", hv)
-    def sketch(side: String) = hashed.filter(col(side) === 1L)
-      .select($"hv").distinct().orderBy($"hv".asc).limit(KmvK)
+    // ONE (hv, pre, post) rollup replaces the two per-side
+    // filter+distinct shuffles (r18, guide §2.4): hv is a pure
+    // function of the custkey, so distinct-hv-per-side ==
+    // groupBy(hv) with OR'd side flags — max() over 0/1. The lazy
+    // localCheckpoint materializes the vocabulary-sized table once
+    // for its four consumers (aStats/bStats/the sketch join) instead
+    // of replaying the rollup per subtree; each sketch is then a
+    // TakeOrdered over it — no further exchange. (NOT fault-tolerant —
+    // swap for a reliable checkpoint dir at cluster scale.)
+    val byHv = flags.withColumn("hv", hv)
+      .groupBy($"hv")
+      .agg(max($"pre").as("pre"), max($"post").as("post"))
+      .localCheckpoint(eager = false)
+    def sketch(side: String) = byHv.filter(col(side) === 1L)
+      .select($"hv").orderBy($"hv".asc).limit(KmvK)
     val a = sketch("pre")
     val b = sketch("post")
     val aStats = a.agg(count(lit(1)).as("k_a"), max($"hv").as("vk_a"))

@@ -1476,14 +1476,7 @@ object TextOps {
     import s.implicits._
     val words = Seq("query", "join", "data")
     val probes = words.flatMap(a => words.map(b => (a, b))).toDF("w1", "w2")
-    val pairs = graft.ext.BigramPairsExpr.bigramPairs($"text")
-    val docBig = graft.GraftCaches.getOrPersist(s, s"text.doc_bigrams:$d") {
-      Tables.documents(s, d)
-        .select($"doc_id", explode(pairs).as("p"))
-        .groupBy($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
-        .agg(count(lit(1)).as("cnt"))
-    }
-    val big = docBig.groupBy($"w1", $"w2").agg(sum($"cnt").as("c12"))
+    val big = lmBigrams(s, d)
     val left = big.filter($"w1".isInCollection(words))
       .groupBy($"w1")
       .agg(sum($"c12").as("c1"), count(lit(1)).as("n1w1"))
@@ -1710,6 +1703,35 @@ object TextOps {
   private def perplexity(s: SparkSession, d: String): DataFrame =
     perplexityOn(s, d)
 
+  /** Per-document bigram counts, registry-cached — the shared base of
+    * q_perplexity / q_kneser_ney / q_pmi_terms (the token explode
+    * crosses the wire once per session, not once per query). */
+  private def docBigrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.GraftCaches.getOrPersist(s, s"text.doc_bigrams:$d") {
+      Tables.documents(s, d)
+        .select($"doc_id",
+          explode(graft.ext.BigramPairsExpr.bigramPairs($"text")).as("p"))
+        .groupBy($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+  }
+
+  /** Corpus bigram LM counts, registry-cached (r18): every consumer
+    * of the LM previously re-aggregated the cached doc-bigram table —
+    * q_perplexity alone ran the (w1,w2) groupBy TWICE per invocation
+    * (once under the broadcast build of the scoring join, once under
+    * the vocab scalar; the two subtrees differ downstream so
+    * ReuseExchange never collapses them — r18 StageProbe measured both
+    * passes live). |distinct bigrams| rows — vocabulary-scale, far
+    * smaller than the doc-bigram table it folds. */
+  private def lmBigrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.GraftCaches.getOrPersist(s, s"text.lm_bigrams:$d") {
+      docBigrams(s, d).groupBy($"w1", $"w2").agg(sum($"cnt").as("c12"))
+    }
+  }
+
   /** Rows above which the unigram LM stops being broadcast into the
     * scoring join: ~10M (string, long) rows is a few hundred MB —
     * the executor-memory comfort limit for a broadcast build. */
@@ -1718,18 +1740,8 @@ object TextOps {
   private[graft] def perplexityOn(s: SparkSession, d: String,
       uniBroadcastCap: Long = UnigramBroadcastCap): DataFrame = {
     import s.implicits._
-    val pairs = graft.ext.BigramPairsExpr.bigramPairs($"text")
-    // The doc-bigram table feeds the LM (twice) AND the scoring join;
-    // registry-cache it so the token explode runs once per session,
-    // not once per downstream branch (broadcast builds don't share
-    // exchange reuse with the shuffled branch).
-    val docBig = graft.GraftCaches.getOrPersist(s, s"text.doc_bigrams:$d") {
-      Tables.documents(s, d)
-        .select($"doc_id", explode(pairs).as("p"))
-        .groupBy($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
-        .agg(count(lit(1)).as("cnt"))
-    }
-    val lmBig = docBig.groupBy($"w1", $"w2").agg(sum($"cnt").as("c12"))
+    val docBig = docBigrams(s, d)
+    val lmBig = lmBigrams(s, d)
     val lmUni = graft.GraftCaches.getOrPersist(s, s"text.lm_unigrams:$d") {
       lmBig.groupBy($"w1").agg(sum($"c12").as("c1"))
     }
@@ -1766,14 +1778,7 @@ object TextOps {
     * total order, so output is deterministic. */
   private def pmiTerms(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = graft.ext.BigramPairsExpr.bigramPairs($"text")
-    val docBig = graft.GraftCaches.getOrPersist(s, s"text.doc_bigrams:$d") {
-      Tables.documents(s, d)
-        .select($"doc_id", explode(pairs).as("p"))
-        .groupBy($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
-        .agg(count(lit(1)).as("cnt"))
-    }
-    val big = docBig.groupBy($"w1", $"w2").agg(sum($"cnt").as("c12"))
+    val big = lmBigrams(s, d)
     val left = big.groupBy($"w1").agg(sum($"c12").as("c1"))
     val right = big.groupBy($"w2").agg(sum($"c12").as("c2"))
     val n = big.agg(sum($"c12").as("nn"))

@@ -28,6 +28,8 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions",
         graft.GraftSession.shufflePartitions(sfDir, cpus.toInt))
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        graft.GraftSession.aqeMinPartitionSize)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

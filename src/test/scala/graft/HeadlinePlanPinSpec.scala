@@ -60,22 +60,41 @@ class HeadlinePlanPinSpec extends AnyFunSuite {
     "q_spatial_join" -> Counts(1, 1, 2),
     "q_yelp_master_volume" -> Counts(4, 2, 3),
     "q_winnow_fingerprints" -> Counts(1, 0, 1),
-    "q_perplexity" -> Counts(4, 3, 4),
-    "q_chunk_dedup" -> Counts(2, 1, 2),
-    "q_dedup_substring" -> Counts(3, 1, 2), // r15: hashed anchors +
-    // window-df (the aggregate+join form re-ran the explode twice)
-    "q_dedup_spans" -> Counts(2, 2, 3),
+    "q_perplexity" -> Counts(3, 3, 4), // r18: lm bigram table
+    // registry-cached — the scoring join's broadcast build and the
+    // vocab scalar no longer each re-aggregate the doc-bigram cache
+    "q_chunk_dedup" -> Counts(4, 1, 2), // r18: +2 = the input
+    // repartition before the chunk explode, counted once per consumer
+    // branch (agg + join-back) — stage-reused to ONE execution at
+    // runtime; the explode itself now runs parallel, not single-split
+    "q_dedup_substring" -> Counts(5, 1, 2), // r15: hashed anchors +
+    // window-df (the aggregate+join form re-ran the explode twice);
+    // r18: +2 = the input repartition before the stride-1 explode
+    // (single-split parquet serialized the whole per-token compute)
+    // counted once per self-join branch — at runtime AQE stage reuse
+    // executes the identical anchor exchange ONCE
+    "q_dedup_spans" -> Counts(5, 2, 3), // r18: +3 = the same input
+    // repartition counted per consumer branch (chunk stream, firsts,
+    // reassembly join) — one runtime execution via AQE stage reuse
     "q_dedup_minhash_lsh" -> Counts(3, 5, 6),
     "q_er_cluster" -> Counts(6, 0, 4), // r16: adaptive cc — per-round
     // localCheckpoints truncate the propagation loop out of the final
     // plan (and the loop itself early-exits at the label fixpoint)
-    "q_clustering_coeff" -> Counts(9, 7, 11),
+    "q_clustering_coeff" -> Counts(5, 3, 5), // r18: single-pass
+    // credits — the 3-branch unionAll re-ran the edge⋈adjacency join
+    // and array_intersect per branch; one explode of a concatenated
+    // credit array does it once (−4 shuffles, −4 broadcasts, −6 scans)
     "q_pagerank" -> Counts(3, 3, 4),
     "q_graph_jaccard" -> Counts(3, 3, 4),
     "q_ann_bruteforce" -> Counts(1, 1, 2),
     "q_embed_neardup_lsh" -> Counts(1, 3, 4),
     "q_bloom_prejoin" -> Counts(1, 2, 3),
-    "q_sketch_intersect" -> Counts(14, 6, 7)
+    "q_sketch_intersect" -> Counts(2, 6, 7) // r18: one (hv, pre,
+    // post) rollup replaces the two per-side filter+distinct sketches
+    // and is lazily localCheckpoint'ed for its four consumers — like
+    // q_er_cluster, the checkpoint truncates the sketch subtree out
+    // of the counted plan (the flags/byHv aggregates execute once at
+    // runtime; PLANS.md r18)
   )
 
   test("every headliner is pinned and no pin is stale") {

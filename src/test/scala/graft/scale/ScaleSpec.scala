@@ -1066,6 +1066,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(both(Seq("a b").toDF("text")).head().getSeq[Long](0).isEmpty)
   }
 
+  test("shingleHashes output is duplicate-free on the whole corpus " +
+      "(the |x ∪ y| = |x|+|y|−|x∩y| size-union in verifyPairs/lshScurve " +
+      "is exact ONLY on distinct arrays — ADVICE r17)") {
+    // A future kernel change that drops ShingleHashExpr's first-
+    // occurrence dedup must fail HERE, loudly, instead of silently
+    // inflating every Jaccard computed from set sizes.
+    val dupRows = Tables.documents(spark, sf)
+      .select(Dedup.shingleHashes($"text").as("sh"))
+      .filter(size(array_distinct($"sh")) =!= size($"sh"))
+      .count()
+    assert(dupRows === 0L)
+    // and on the adversarial repeat-heavy edge rows
+    val edge = Seq("x y x y x y x y", "a a a b b b a a a")
+      .toDF("text").select(Dedup.shingleHashes($"text").as("sh"))
+      .filter(size(array_distinct($"sh")) =!= size($"sh")).count()
+    assert(edge === 0L)
+  }
+
   test("native BigramPairsExpr == interpreted pair recompute on the " +
       "whole corpus and edge rows") {
     def both(df: org.apache.spark.sql.DataFrame) = df

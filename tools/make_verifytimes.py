@@ -35,7 +35,8 @@ def main() -> None:
         rows.sort(key=lambda r: -r[1])
         print(f"\ntop-20 {sf} (cur s, prev s, delta%):")
         for k, v, o in rows[:20]:
-            d = "" if not o else f"{(v - o) / o * 100:+6.1f}%"
+            d = ("" if o is None or o == 0
+                 else f"{(v - o) / o * 100:+6.1f}%")
             po = "" if o is None else f"{o:7.2f}"
             print(f"  {k:35s} {v:7.2f} {po:>7s} {d}")
 
