@@ -65,7 +65,7 @@ object GraftSession {
     * stock 1 MB floor collapses every sub-32 MB exchange below the
     * core count — at sf0.1 the SCD2/window/sessionize reduce stages ran
     * as 1–2 tasks on a 32-core box (measured: q_upsert_scd2 1.47 →
-    * 0.79 s at 64k). At production volumes post-shuffle partitions are
+    * 0.79 s isolated at 64k). At production volumes post-shuffle partitions are
     * ≫ 1 MB and the floor is inert either way, so this knob only
     * restores parallelism where the data is small relative to the
     * cluster — it can never under-size a large shuffle (that is
@@ -73,7 +73,15 @@ object GraftSession {
     * (`parallelismFirst=false` — coalescing to the 64 MB advisory size
     * — was measured 2–4× WORSE here: it serializes compute-bound
     * post-shuffle stages exactly as the parallelismFirst scaladoc
-    * warns.) Env-overridable for controlled probes. */
+    * warns.) Env-overridable for controlled probes.
+    *
+    * The default is 256k, picked by a three-way FULL-BENCH comparison
+    * (r18, same code, quiet windows): in-sequence totals 1m = 35.10,
+    * 64k = 33.06, 256k = 31.66 pass-2 seconds — 64k maximally
+    * parallelizes but pays the ~tens-of-ms/task local constant on
+    * many-tiny-stage queries (isolated q_dedup_minhash_lsh 1.01 →
+    * 2.06 s at 64k!), 1m serializes the compute-bound reduce stages;
+    * 256k holds both ends (OPTIMIZATION_r18.md has the full table). */
   def aqeMinPartitionSize: String =
-    sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k")
+    sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "256k")
 }
